@@ -1,9 +1,11 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession, Column}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.functions.Dialect
+import graft.mat.{Incremental, Snapshot}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -183,7 +185,147 @@ object SparkEntry {
 
     "fn_current_timestamp" -> ((s, dir) =>
       s.range(1).select(Dialect.currentTimestampCol().isNotNull.as("ok"))),
+
+    // ---- pass-through relational breadth (SURVEY §2.5): windows, rollup,
+    // set ops, semi/anti joins, top-k, correlated subquery ----
+    "q03_window" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val w = Window.partitionBy(col("o_custkey")).orderBy(
+        col("o_orderdate"), col("o_orderkey"))
+      o.select(
+          col("o_orderkey"), col("o_custkey"),
+          row_number().over(w).as("rn"),
+          sum(dec(col("o_totalprice"))).over(w).cast(DoubleType)
+            .as("running_total"),
+          lag(col("o_orderkey"), 1).over(w).as("prev_order"))
+        .orderBy(col("o_custkey"), col("rn"))
+    }),
+
+    "q04_rollup" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      o.join(li, col("o_orderkey") === col("l_orderkey"))
+        .rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(sum(dec(col("l_quantity"))).cast(DoubleType).as("qty"),
+          count(lit(1)).as("n"))
+        .orderBy(col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first)
+    }),
+
+    "q05_setops" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val big = o.filter(col("o_totalprice") > 200000).select(col("o_custkey"))
+      val urgent = o.filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey"))
+      val both = big.intersect(urgent).withColumn("src", lit("both"))
+      val bigOnly = big.except(urgent).withColumn("src", lit("big_only"))
+      both.unionByName(bigOnly).orderBy(col("src"), col("o_custkey"))
+    }),
+
+    "q06_semi_anti" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      val withOrders = c.join(o, col("c_custkey") === col("o_custkey"),
+        "left_semi").select(col("c_custkey")).withColumn("has_orders", lit(true))
+      val noOrders = c.join(o, col("c_custkey") === col("o_custkey"),
+        "left_anti").select(col("c_custkey")).withColumn("has_orders", lit(false))
+      withOrders.unionByName(noOrders).orderBy(col("c_custkey"))
+    }),
+
+    "q07_topk" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_custkey"))
+        .agg(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+          .cast(DecimalType(28, 4)).as("revenue"))
+        .orderBy(col("revenue").desc, col("o_custkey"))
+        .limit(10)
+        .select(col("o_custkey"), col("revenue").cast(DoubleType).as("revenue"))
+    }),
+
+    "q08_corr_subquery" -> ((s, dir) => {
+      // orders above their customer's average price — correlated scalar
+      // subquery shape, expressed as a join on a pre-agg (what Catalyst's
+      // decorrelation would produce anyway)
+      // "price > avg(price)" compared exactly as price * n > sum(price)
+      // (pure decimal arithmetic — no float/decimal division divergence
+      // between engines)
+      val o = t(s, dir, "orders")
+      val aggByCust = o.groupBy(col("o_custkey"))
+        .agg(sum(dec(col("o_totalprice"))).as("sum_price"),
+          count(lit(1)).as("n_orders"))
+      o.join(aggByCust, Seq("o_custkey"))
+        .filter(dec(col("o_totalprice")) * col("n_orders") > col("sum_price"))
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_above"))
+        .orderBy(col("o_custkey"))
+    }),
+
+    // ---- incremental strategies as oracle-checked rewrites (SURVEY §2.2) ----
+    "inc_append" -> ((s, dir) => {
+      val (target, staged) = incFixture(s, dir)
+      Incremental.append(target, staged).orderBy(col("o_orderkey"), col("src"))
+    }),
+
+    "inc_delete_insert" -> ((s, dir) => {
+      val (target, staged) = incFixture(s, dir)
+      Incremental.deleteInsert(target, staged, Seq("o_orderkey"))
+        .orderBy(col("o_orderkey"), col("src"))
+    }),
+
+    "inc_merge" -> ((s, dir) => {
+      val (target, staged) = incFixture(s, dir)
+      Incremental.merge(target, staged, Seq("o_orderkey"))
+        .orderBy(col("o_orderkey"), col("src"))
+    }),
+
+    "inc_merge_subset" -> ((s, dir) => {
+      // merge_update_columns = [src]: price keeps the TARGET value on match
+      val (target, staged) = incFixture(s, dir)
+      Incremental.merge(target, staged, Seq("o_orderkey"),
+          updateColumns = Seq("src"))
+        .orderBy(col("o_orderkey"), col("src"))
+    }),
+
+    "snapshot_scd2" -> ((s, dir) => {
+      // deterministic two-step SCD2 cycle over orders:
+      //   v0 = keys %10 in 0..4 (updated_at = o_orderdate)
+      //   v1 = all keys; keys %10 in (0,1) changed (status='XX', +10 days)
+      val o = t(s, dir, "orders").select(
+        col("o_orderkey").as("id"),
+        col("o_orderstatus").as("v"),
+        col("o_orderdate").cast(TimestampType).as("updated_at"))
+      val v0 = o.filter(pmod(col("id"), lit(10)) < 5)
+      val changed = pmod(col("id"), lit(10)) < 2
+      val v1 = o.select(col("id"),
+        when(changed, lit("XX")).otherwise(col("v")).as("v"),
+        when(changed, col("updated_at") + expr("interval 10 days"))
+          .otherwise(col("updated_at")).as("updated_at"))
+      val snap0 = Snapshot.initial(v0, Seq("id"), "updated_at")
+      Snapshot.run(snap0, v1, Seq("id"), "updated_at")
+        .select(col("id"), col("v"), col("dbt_valid_from"), col("dbt_valid_to"))
+        .orderBy(col("id"), col("dbt_valid_from"))
+    }),
   )
+
+  /** Shared deterministic fixture for the incremental-strategy queries:
+    * target = orders with key%4 != 0, staged = key%2 == 0 with doubled
+    * price and src='staged'. */
+  private def incFixture(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    val o = t(s, dir, "orders").select(
+      col("o_orderkey"),
+      dec(col("o_totalprice")).cast(DoubleType).as("price"),
+      lit("target").as("src"))
+    val target = o.filter(pmod(col("o_orderkey"), lit(4)) =!= 0)
+    val staged = t(s, dir, "orders")
+      .filter(pmod(col("o_orderkey"), lit(2)) === 0)
+      .select(col("o_orderkey"),
+        (dec(col("o_totalprice")) * 2).cast(DoubleType).as("price"),
+        lit("staged").as("src"))
+    (target, staged)
+  }
 
   /** DuckDB-dialect twins for the driver's oracle (sf0.01). Column names
     * match the Spark side exactly (the driver sorts columns by name before
@@ -305,5 +447,109 @@ object SparkEntry {
 
     "fn_current_timestamp" ->
       "SELECT current_timestamp IS NOT NULL AS ok",
+
+    "q03_window" ->
+      """SELECT o_orderkey, o_custkey,
+        |  row_number() OVER w AS rn,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS running_total,
+        |  lag(o_orderkey, 1) OVER w AS prev_order
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, rn""".stripMargin,
+
+    "q04_rollup" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty,
+        |  count(*) AS n
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+
+    "q05_setops" ->
+      """WITH big AS (SELECT o_custkey FROM orders WHERE o_totalprice > 200000),
+        |     urgent AS (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+        |SELECT o_custkey, 'both' AS src
+        |FROM (SELECT * FROM big INTERSECT SELECT * FROM urgent)
+        |UNION ALL
+        |SELECT o_custkey, 'big_only' AS src
+        |FROM (SELECT * FROM big EXCEPT SELECT * FROM urgent)
+        |ORDER BY src, o_custkey""".stripMargin,
+
+    "q06_semi_anti" ->
+      """SELECT c_custkey,
+        |  c_custkey IN (SELECT o_custkey FROM orders) AS has_orders
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "q07_topk" ->
+      """SELECT o_custkey, CAST(revenue AS DOUBLE) AS revenue
+        |FROM (SELECT o_custkey,
+        |        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(28,4)) AS revenue
+        |      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |      GROUP BY o_custkey)
+        |ORDER BY revenue DESC, o_custkey LIMIT 10""".stripMargin,
+
+    "q08_corr_subquery" ->
+      """SELECT o_custkey, count(*) AS n_above
+        |FROM orders o
+        |JOIN (SELECT o_custkey,
+        |        sum(CAST(o_totalprice AS DECIMAL(18,2))) AS sum_price,
+        |        count(*) AS n_orders
+        |      FROM orders GROUP BY o_custkey) a USING (o_custkey)
+        |WHERE CAST(o.o_totalprice AS DECIMAL(18,2)) * a.n_orders > a.sum_price
+        |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+
+    "inc_append" ->
+      s"""$incFixtureSql
+        |SELECT * FROM target UNION ALL SELECT * FROM staged
+        |ORDER BY o_orderkey, src""".stripMargin,
+
+    "inc_delete_insert" ->
+      s"""$incFixtureSql
+        |SELECT * FROM target WHERE o_orderkey NOT IN (SELECT o_orderkey FROM staged)
+        |UNION ALL SELECT * FROM staged
+        |ORDER BY o_orderkey, src""".stripMargin,
+
+    "inc_merge" ->
+      s"""$incFixtureSql
+        |SELECT coalesce(t.o_orderkey, s.o_orderkey) AS o_orderkey,
+        |  CASE WHEN s.o_orderkey IS NOT NULL THEN s.price ELSE t.price END AS price,
+        |  CASE WHEN s.o_orderkey IS NOT NULL THEN s.src ELSE t.src END AS src
+        |FROM target t FULL OUTER JOIN staged s ON t.o_orderkey = s.o_orderkey
+        |ORDER BY o_orderkey, src""".stripMargin,
+
+    "inc_merge_subset" ->
+      s"""$incFixtureSql
+        |SELECT coalesce(t.o_orderkey, s.o_orderkey) AS o_orderkey,
+        |  CASE WHEN t.o_orderkey IS NOT NULL THEN t.price ELSE s.price END AS price,
+        |  CASE WHEN s.o_orderkey IS NOT NULL THEN s.src ELSE t.src END AS src
+        |FROM target t FULL OUTER JOIN staged s ON t.o_orderkey = s.o_orderkey
+        |ORDER BY o_orderkey, src""".stripMargin,
+
+    "snapshot_scd2" ->
+      """WITH o AS (SELECT o_orderkey AS id, o_orderstatus AS v,
+        |                  CAST(o_orderdate AS TIMESTAMP) AS ua FROM orders)
+        |SELECT id, v, ua AS dbt_valid_from, CAST(NULL AS TIMESTAMP) AS dbt_valid_to
+        |FROM o WHERE id % 10 BETWEEN 2 AND 4
+        |UNION ALL
+        |SELECT id, v, ua, ua + INTERVAL 10 DAY FROM o WHERE id % 10 < 2
+        |UNION ALL
+        |SELECT id, 'XX', ua + INTERVAL 10 DAY, CAST(NULL AS TIMESTAMP)
+        |FROM o WHERE id % 10 < 2
+        |UNION ALL
+        |SELECT id, v, ua, CAST(NULL AS TIMESTAMP) FROM o WHERE id % 10 >= 5
+        |ORDER BY id, dbt_valid_from""".stripMargin,
   )
+
+  /** DuckDB twin of [[incFixture]]. */
+  private val incFixtureSql =
+    """WITH target AS (
+      |  SELECT o_orderkey,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price,
+      |    'target' AS src
+      |  FROM orders WHERE o_orderkey % 4 != 0),
+      |staged AS (
+      |  SELECT o_orderkey,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 2 AS DOUBLE) AS price,
+      |    'staged' AS src
+      |  FROM orders WHERE o_orderkey % 2 = 0)""".stripMargin
 }

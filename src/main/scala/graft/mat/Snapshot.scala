@@ -1,0 +1,143 @@
+package graft.mat
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.Dialect
+
+/** SCD2 snapshots (reference materializations/snapshot.sql).
+  *
+  * The reference's own code is only the MERGE applier (snapshot.sql:13-34)
+  * plus the row-identity hash (snapshot.sql:1-6); change *staging* comes
+  * from dbt-core's timestamp strategy. Both halves are implemented here so
+  * the operator is complete:
+  *
+  *  - [[stage]] — detect inserts/updates/deletes between the current
+  *    snapshot and a fresh source read (dbt timestamp strategy: a row
+  *    changed iff its `updated_at` advanced);
+  *  - [[applyChanges]] — the reference MERGE on `dbt_scd_id`, rewritten as
+  *    a distributed join (no MERGE INTO on vanilla parquet — SURVEY §7.3):
+  *    matched ∧ dbt_valid_to IS NULL ∧ change ∈ (update, delete) → close
+  *    the row; change = insert → add the row.
+  *
+  * Everything is a pure DataFrame rewrite: one shuffle on dbt_scd_id for
+  * the apply, one on the unique key for staging.
+  */
+object Snapshot {
+
+  val MetaColumns: Seq[String] =
+    Seq("dbt_scd_id", "dbt_updated_at", "dbt_valid_from", "dbt_valid_to")
+
+  /** snapshot.sql:1-6 — scd_id = md5 over '|'-joined coalesced args. */
+  def scdId(keys: Seq[Column], updatedAt: Column): Column =
+    Dialect.snapshotHash(keys :+ updatedAt)
+
+  /** First-run snapshot: every source row becomes an open SCD2 row. */
+  def initial(source: DataFrame, keys: Seq[String], updatedAt: String)
+      : DataFrame = {
+    val ua = col(updatedAt).cast("timestamp")
+    source
+      .withColumn("dbt_scd_id", scdId(keys.map(col), col(updatedAt)))
+      .withColumn("dbt_updated_at", ua)
+      .withColumn("dbt_valid_from", ua)
+      .withColumn("dbt_valid_to", lit(null).cast("timestamp"))
+  }
+
+  /** Stage changes between the open rows of `snapshot` and `source`
+    * (dbt's timestamp strategy):
+    *  - insert: key in source, not in snapshot-open;
+    *  - update: key in both and source.updated_at > open-row.updated_at
+    *    (staged twice, once as 'update' to close the old row and once as
+    *    'insert' of the new version — dbt's insertions+updates CTEs);
+    *  - delete: only when `invalidateHardDeletes`, key open in snapshot
+    *    but gone from source (valid_to set to `now`).
+    * Output schema: source columns + dbt meta columns + dbt_change_type.
+    */
+  def stage(
+      snapshot: DataFrame,
+      source: DataFrame,
+      keys: Seq[String],
+      updatedAt: String,
+      invalidateHardDeletes: Boolean = false,
+      now: Column = current_timestamp()): DataFrame = {
+    val srcCols = source.columns.toIndexedSeq
+    val ua = col(updatedAt).cast("timestamp")
+
+    val open = snapshot.filter(col("dbt_valid_to").isNull)
+      .select((keys.map(c => col(c)) :+
+        col("dbt_updated_at").as("__snap_updated_at") :+
+        col("dbt_scd_id").as("__snap_scd_id")): _*)
+
+    val src = source
+      .withColumn("dbt_scd_id", scdId(keys.map(col), col(updatedAt)))
+      .withColumn("dbt_updated_at", ua)
+      .withColumn("dbt_valid_from", ua)
+      .withColumn("dbt_valid_to", lit(null).cast("timestamp"))
+
+    val joined = src.join(open, keys, "left_outer")
+
+    val inserts = joined.filter(col("__snap_scd_id").isNull)
+      .withColumn("dbt_change_type", lit("insert"))
+    val newVersions = joined
+      .filter(col("__snap_scd_id").isNotNull &&
+        col("dbt_updated_at") > col("__snap_updated_at"))
+      .withColumn("dbt_change_type", lit("insert"))
+    // close the superseded open row: carry ITS scd_id, set valid_to
+    val updates = joined
+      .filter(col("__snap_scd_id").isNotNull &&
+        col("dbt_updated_at") > col("__snap_updated_at"))
+      .withColumn("dbt_scd_id", col("__snap_scd_id"))
+      .withColumn("dbt_valid_to", col("dbt_updated_at"))
+      .withColumn("dbt_change_type", lit("update"))
+
+    val base = inserts.unionByName(newVersions).unionByName(updates)
+      .drop("__snap_updated_at", "__snap_scd_id")
+
+    if (!invalidateHardDeletes) base
+    else {
+      val gone = snapshot.filter(col("dbt_valid_to").isNull)
+        .join(source.select(keys.map(col): _*).distinct(), keys, "left_anti")
+        .withColumn("dbt_valid_to", now)
+        .withColumn("dbt_change_type", lit("delete"))
+      base.unionByName(gone.select(base.columns.map(col).toIndexedSeq: _*))
+    }
+  }
+
+  /** snapshot.sql:13-34 — the MERGE applier:
+    * {{{
+    * MERGE INTO snapshot d USING staged s ON d.dbt_scd_id = s.dbt_scd_id
+    * WHEN MATCHED AND d.dbt_valid_to IS NULL
+    *      AND s.dbt_change_type IN ('update','delete')
+    *   THEN UPDATE SET dbt_valid_to = s.dbt_valid_to
+    * WHEN NOT MATCHED AND s.dbt_change_type = 'insert' THEN INSERT ...
+    * }}}
+    */
+  def applyChanges(snapshot: DataFrame, staged: DataFrame): DataFrame = {
+    val cols = snapshot.columns.toIndexedSeq
+    val d = snapshot.alias("d")
+    val closers = staged
+      .filter(col("dbt_change_type").isin("update", "delete"))
+      .select(col("dbt_scd_id").as("__scd"),
+        col("dbt_valid_to").as("__new_valid_to"))
+    val merged = d.join(closers, col("d.dbt_scd_id") === col("__scd"),
+        "left_outer")
+      .select(cols.map {
+        case "dbt_valid_to" =>
+          when(col("__scd").isNotNull && col("d.dbt_valid_to").isNull,
+            col("__new_valid_to"))
+            .otherwise(col("d.dbt_valid_to")).as("dbt_valid_to")
+        case c => col(s"d.$c").as(c)
+      }: _*)
+    val inserts = staged.filter(col("dbt_change_type") === "insert")
+      .alias("s")
+      .join(d, col("s.dbt_scd_id") === col("d.dbt_scd_id"), "left_anti")
+      .select(cols.map(col): _*)
+    merged.unionByName(inserts)
+  }
+
+  /** Full snapshot step: stage + apply (what one `dbt snapshot` run does). */
+  def run(snapshot: DataFrame, source: DataFrame, keys: Seq[String],
+          updatedAt: String, invalidateHardDeletes: Boolean = false,
+          now: Column = current_timestamp()): DataFrame =
+    applyChanges(snapshot,
+      stage(snapshot, source, keys, updatedAt, invalidateHardDeletes, now))
+}

@@ -1,0 +1,150 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.mat.{Incremental, Snapshot, SchemaEvolution}
+
+class IncrementalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def target = Seq(
+    (1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0)
+  ).toDF("id", "name", "amt")
+
+  private def staged = Seq(
+    (2L, "B2", 22.0), (4L, "d", 40.0)
+  ).toDF("id", "name", "amt")
+
+  test("append keeps everything (incremental.sql:145-149)") {
+    val out = Incremental.append(target, staged)
+    assert(out.count() == 5)
+  }
+
+  test("delete+insert: delete matched keys then insert staged (incremental.sql:112-150)") {
+    val out = Incremental.deleteInsert(target, staged, Seq("id"))
+      .orderBy("id").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L, 4L))
+    assert(out(1).getString(1) == "B2") // replaced
+    assert(out(2).getString(1) == "c")  // untouched
+  }
+
+  test("delete+insert with predicates scopes the delete (incremental.sql:123-127)") {
+    // predicate amt > 25 → id=2 (amt=20) is NOT deleted even though key matches;
+    // staged rows still insert, producing a duplicate id=2 — exactly what the
+    // reference SQL would do.
+    val out = Incremental.deleteInsert(target, staged, Seq("id"),
+      Seq(col("amt") > 25))
+    assert(out.count() == 5)
+    assert(out.filter($"id" === 2L).count() == 2)
+  }
+
+  test("delete+insert composite keys use columnwise IN, not tuple equality (incremental.sql:116-127)") {
+    val t = Seq((1L, "x", 1.0), (1L, "y", 2.0), (2L, "x", 3.0))
+      .toDF("k1", "k2", "v")
+    val s = Seq((1L, "x", 9.0)).toDF("k1", "k2", "v")
+    // columnwise: delete where k1 IN (1) AND k2 IN ('x') → deletes (1,x) AND (2,x)? no:
+    // k1 IN (1) excludes k1=2 → deletes only (1,x). But (1,y): k2='y' not in ('x') → kept.
+    val out = Incremental.deleteInsert(t, s, Seq("k1", "k2")).orderBy("k1", "k2")
+    val rows = out.collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    assert(rows.toSeq == Seq((1L, "x", 9.0), (1L, "y", 2.0), (2L, "x", 3.0)))
+  }
+
+  test("delete+insert null keys are never deleted (SQL IN semantics)") {
+    val t = Seq((Some(1L), "a"), (None, "n")).toDF("id", "name")
+    val s = Seq((Some(1L), "A"), (None, "N")).toDF("id", "name")
+    val out = Incremental.deleteInsert(t, s, Seq("id"))
+    // target null-key row kept; staged rows both inserted → 3 rows
+    assert(out.count() == 3)
+    assert(out.filter($"name" === "n").count() == 1)
+  }
+
+  test("merge updates matched, inserts unmatched (incremental.sql:152-205)") {
+    val out = Incremental.merge(target, staged, Seq("id"))
+      .orderBy("id").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L, 4L))
+    assert(out(1).getString(1) == "B2" && out(1).getDouble(2) == 22.0)
+  }
+
+  test("merge honors update-column subsetting (incremental.sql:156-158)") {
+    val out = Incremental.merge(target, staged, Seq("id"),
+      updateColumns = Seq("amt")).orderBy("id").collect()
+    // name NOT updated, amt updated
+    assert(out(1).getString(1) == "b" && out(1).getDouble(2) == 22.0)
+    val out2 = Incremental.merge(target, staged, Seq("id"),
+      excludeColumns = Seq("amt")).orderBy("id").collect()
+    assert(out2(1).getString(1) == "B2" && out2(1).getDouble(2) == 20.0)
+  }
+
+  test("merge without unique key degenerates to insert (incremental.sql:198-204)") {
+    assert(Incremental.merge(target, staged, Nil).count() == 5)
+  }
+
+  test("SCD2 snapshot full cycle (snapshot.sql:13-34)") {
+    val t0 = Seq((1L, "a", "2024-01-01 00:00:00"),
+      (2L, "b", "2024-01-01 00:00:00")).toDF("id", "v", "updated_at")
+      .withColumn("updated_at", $"updated_at".cast("timestamp"))
+    val snap0 = Snapshot.initial(t0, Seq("id"), "updated_at")
+    assert(snap0.filter($"dbt_valid_to".isNull).count() == 2)
+
+    // id=2 changes, id=3 appears
+    val t1 = Seq((1L, "a", "2024-01-01 00:00:00"),
+      (2L, "b2", "2024-02-01 00:00:00"),
+      (3L, "c", "2024-02-01 00:00:00")).toDF("id", "v", "updated_at")
+      .withColumn("updated_at", $"updated_at".cast("timestamp"))
+    val snap1 = Snapshot.run(snap0, t1, Seq("id"), "updated_at")
+    val open = snap1.filter($"dbt_valid_to".isNull).orderBy("id").collect()
+    assert(open.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    assert(open(1).getString(1) == "b2")
+    val closed = snap1.filter($"dbt_valid_to".isNotNull).collect()
+    assert(closed.length == 1 && closed(0).getLong(0) == 2L &&
+      closed(0).getString(1) == "b")
+    // idempotent: re-running with same source changes nothing
+    assert(Snapshot.run(snap1, t1, Seq("id"), "updated_at").count() ==
+      snap1.count())
+  }
+
+  test("SCD2 hard deletes close rows when enabled") {
+    val t0 = Seq((1L, "a", "2024-01-01 00:00:00"))
+      .toDF("id", "v", "updated_at")
+      .withColumn("updated_at", $"updated_at".cast("timestamp"))
+    val snap0 = Snapshot.initial(t0, Seq("id"), "updated_at")
+    val t1 = t0.filter($"id" =!= 1L)
+    val now = to_timestamp(lit("2024-03-01 00:00:00"))
+    val snap1 = Snapshot.run(snap0, t1, Seq("id"), "updated_at",
+      invalidateHardDeletes = true, now = now)
+    val r = snap1.collect()
+    assert(r.length == 1 && r(0).getAs[java.sql.Timestamp]("dbt_valid_to") != null)
+  }
+
+  test("on_schema_change modes (incremental.sql:83-86)") {
+    val t = Seq((1L, "a")).toDF("id", "name")
+    val sNew = Seq((2L, "b", 5.0)).toDF("id", "name", "extra")
+    // ignore: extra dropped
+    assert(SchemaEvolution.processSchemaChanges("ignore", t, sNew)
+      .columns.toSeq == Seq("id", "name"))
+    // fail: throws
+    intercept[IllegalStateException] {
+      SchemaEvolution.processSchemaChanges("fail", t, sNew)
+    }
+    // append_new_columns: extra kept
+    assert(SchemaEvolution.processSchemaChanges("append_new_columns", t, sNew)
+      .columns.toSeq == Seq("id", "name", "extra"))
+    // removed column: ignore keeps target shape with nulls
+    val sMissing = Seq(Tuple1(3L)).toDF("id")
+    val out = SchemaEvolution.processSchemaChanges("ignore", t, sMissing)
+    assert(out.columns.toSeq == Seq("id", "name") &&
+      out.collect()(0).isNullAt(1))
+  }
+
+  test("expandColumnTypes widens decimals only upward (incremental.sql:79-81)") {
+    import org.apache.spark.sql.types._
+    val t = Seq(Tuple1(BigDecimal("1.5"))).toDF("d")
+      .select($"d".cast(DecimalType(10, 2)).as("d"))
+    val s = Seq(Tuple1(BigDecimal("1.5"))).toDF("d")
+      .select($"d".cast(DecimalType(20, 4)).as("d"))
+    val widened = SchemaEvolution.expandColumnTypes(t, s)
+    assert(widened.schema("d").dataType == DecimalType(20, 4))
+    // no narrowing the other way
+    assert(SchemaEvolution.expandColumnTypes(s, t).schema("d").dataType ==
+      DecimalType(20, 4))
+  }
+}

@@ -1,0 +1,133 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.mat.{CatalogOps, Materializer}
+import graft.model.{ColumnModel, Relation}
+
+class MaterializerSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val mat = new Materializer(spark)
+  private lazy val cat = new CatalogOps(spark)
+
+  test("table materialization: CTAS + rename swap (table.sql:12-48)") {
+    val rel = Relation("t_swap")
+    mat.table(rel, Seq((1, "a")).toDF("id", "v"))
+    assert(spark.table("t_swap").count() == 1)
+    // replace via rename dance; old data fully swapped out
+    mat.table(rel, Seq((2, "b"), (3, "c")).toDF("id", "v"))
+    assert(spark.table("t_swap").count() == 2)
+    // no leftover tmp/backup relations
+    assert(!spark.catalog.tableExists("t_swap__dbt_tmp"))
+    assert(!spark.catalog.tableExists("t_swap__dbt_backup"))
+  }
+
+  test("table on_table_exists=drop + invalid fallback (table.sql:3-7,50-59)") {
+    val rel = Relation("t_drop")
+    mat.table(rel, Seq((1, "a")).toDF("id", "v"), onTableExists = "drop")
+    mat.table(rel, Seq((2, "b")).toDF("id", "v"), onTableExists = "drop")
+    assert(spark.table("t_drop").collect()(0).getInt(0) == 2)
+    // invalid mode falls back to rename, still works
+    mat.table(rel, Seq((9, "z")).toDF("id", "v"), onTableExists = "bogus")
+    assert(spark.table("t_drop").collect()(0).getInt(0) == 9)
+  }
+
+  test("contract enforcement (adapters.sql:107-124)") {
+    val df = Seq((1L, "a")).toDF("id", "name")
+    mat.tableWithContract(Relation("t_contract"), df,
+      Seq(ColumnModel("id", "bigint"), ColumnModel("name", "varchar")))
+    assert(spark.table("t_contract").count() == 1)
+    intercept[IllegalArgumentException] {
+      mat.tableWithContract(Relation("t_contract2"), df,
+        Seq(ColumnModel("id", "integer"), ColumnModel("name", "varchar")))
+    }
+  }
+
+  test("view create/replace + security fallback (adapters.sql:136-153)") {
+    mat.table(Relation("v_base"), Seq((1, "a"), (2, "b")).toDF("id", "v"))
+    mat.view(Relation("v1"), "SELECT * FROM v_base WHERE id = 1")
+    assert(spark.table("v1").count() == 1)
+    mat.view(Relation("v1"), "SELECT * FROM v_base", security = "invoker")
+    assert(spark.table("v1").count() == 2)
+    assert(mat.securityOf(Relation("v1")).contains("invoker"))
+    mat.view(Relation("v1"), "SELECT * FROM v_base", security = "bogus")
+    assert(mat.securityOf(Relation("v1")).contains("definer"))
+    // view replaces a same-named TABLE by dropping it first (adapters.sql:279-282)
+    mat.table(Relation("v2"), Seq((1, "a")).toDF("id", "v"))
+    mat.view(Relation("v2"), "SELECT * FROM v_base")
+    assert(spark.catalog.getTable("v2").tableType == "VIEW")
+  }
+
+  test("materialized view: create + refresh re-runs defining query (materialized_view.sql)") {
+    mat.table(Relation("mv_src"), Seq((1, 10.0)).toDF("id", "x"))
+    mat.materializedView(Relation("mv1"),
+      "SELECT sum(x) AS total FROM mv_src")
+    assert(spark.table("mv1").collect()(0).getDouble(0) == 10.0)
+    // underlying data changes; MV is stale until refresh
+    mat.table(Relation("mv_src"), Seq((1, 10.0), (2, 20.0)).toDF("id", "x"))
+    assert(spark.table("mv1").collect()(0).getDouble(0) == 10.0)
+    mat.refreshMaterializedView(Relation("mv1"))
+    assert(spark.table("mv1").collect()(0).getDouble(0) == 30.0)
+  }
+
+  test("seed: CSV load with inference + column_types override (seeds/helpers.sql, impl.py:52-66)") {
+    val dir = java.nio.file.Files.createTempDirectory("seed").toFile
+    val f = new java.io.File(dir, "s.csv")
+    java.nio.file.Files.writeString(f.toPath,
+      "id,amount,when,note\n1,1.5,2024-01-01,hello\n2,2,2024-01-02,world\n")
+    mat.seed(Relation("seed1"), f.getPath)
+    val sch = spark.table("seed1").schema
+    assert(sch("id").dataType.typeName == "integer")
+    assert(sch("amount").dataType.typeName == "double")
+    assert(sch("when").dataType.typeName == "date")
+    assert(sch("note").dataType.typeName == "string")
+    // override: force amount to decimal(28,6) via dbt generic label
+    mat.seed(Relation("seed2"), f.getPath,
+      columnTypes = Map("amount" -> "NUMERIC"))
+    assert(spark.table("seed2").schema("amount").dataType ==
+      org.apache.spark.sql.types.DecimalType(28, 6))
+  }
+
+  test("incremental materialization end-to-end (incremental.sql:21-110)") {
+    val rel = Relation("inc1")
+    mat.incremental(rel, Seq((1L, "a"), (2L, "b")).toDF("id", "v"),
+      strategy = "merge", uniqueKeys = Seq("id"))
+    assert(spark.table("inc1").count() == 2) // first run = CTAS
+    mat.incremental(rel, Seq((2L, "B"), (3L, "c")).toDF("id", "v"),
+      strategy = "merge", uniqueKeys = Seq("id"))
+    val rows = spark.table("inc1").orderBy("id").collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    assert(rows(1).getString(1) == "B")
+    // full refresh rebuilds
+    mat.incremental(rel, Seq((9L, "z")).toDF("id", "v"),
+      strategy = "merge", uniqueKeys = Seq("id"), fullRefresh = true)
+    assert(spark.table("inc1").count() == 1)
+  }
+
+  test("catalog ops: columns, relations, schemas, comments, grants") {
+    mat.table(Relation("cat_t"), Seq((1L, "a", 1.5)).toDF("id", "name", "amt"))
+    val cols = cat.getColumnsInRelation(Relation("cat_t"))
+    assert(cols.map(c => (c.name, c.dtype)) ==
+      Seq(("id", "bigint"), ("name", "varchar"), ("amt", "double")))
+    assert(cat.getColumnsInRelation(Relation("nope")) == Nil)
+    assert(cat.listSchemas().contains("default"))
+    assert(cat.schemaExists("default"))
+    cat.createSchema("extra_schema")
+    assert(cat.schemaExists("extra_schema"))
+    cat.dropSchema("extra_schema")
+    assert(!cat.schemaExists("extra_schema"))
+    val catalog = cat.getCatalog(Seq("default"))
+    assert(catalog.filter($"table_name" === "cat_t").count() == 3)
+    assert(catalog.columns.contains("column_index"))
+    cat.applyGrants(Relation("cat_t"), Map("select" -> Set("alice", "bob")))
+    cat.applyGrants(Relation("cat_t"), Map("select" -> Set("bob")))
+    assert(cat.showGrants(Relation("cat_t")) == Map("select" -> Set("bob")))
+  }
+
+  test("rename relation (adapters.sql:188-193)") {
+    mat.table(Relation("rn_a"), Seq(Tuple1(1)).toDF("x"))
+    mat.dropRelation(Relation("rn_b"))
+    mat.renameRelation(Relation("rn_a"), Relation("rn_b"))
+    assert(spark.catalog.tableExists("rn_b") && !spark.catalog.tableExists("rn_a"))
+  }
+}
