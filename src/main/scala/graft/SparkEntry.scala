@@ -5,7 +5,9 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.functions.Dialect
+import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.mat.{Incremental, Snapshot}
+import graft.streaming.Events
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -307,6 +309,114 @@ object SparkEntry {
         .select(col("id"), col("v"), col("dbt_valid_from"), col("dbt_valid_to"))
         .orderBy(col("id"), col("dbt_valid_from"))
     }),
+
+    // ---- text analysis (north-star LLM-pipeline ops) ----
+    "ta_tokens" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+          col("doc_id"),
+          TextAnalysis.tokenCountWs(col("text")).as("n_ws"),
+          TextAnalysis.tokenCountBpe(col("text")).as("n_bpe"),
+          TextAnalysis.fingerprint(col("text")).as("fp"))
+        .orderBy(col("doc_id"))),
+
+    "ta_langid" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+          col("doc_id"),
+          col("lang").as("lang_actual"),
+          TextAnalysis.langId(col("text")).as("lang_pred"))
+        .orderBy(col("doc_id"))),
+
+    "ta_quality" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+          col("doc_id"),
+          TextAnalysis.punctRatio(col("text")).as("punct_ratio"),
+          TextAnalysis.stopwordRatio(col("text")).as("stopword_ratio"),
+          TextAnalysis.avgTokenLen(col("text")).as("avg_token_len"),
+          TextAnalysis.qualityScore(col("text")).as("quality"))
+        .orderBy(col("doc_id"))),
+
+    // ---- deduplication ----
+    "dd_exact" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val u = d.select(col("doc_id"), col("text")).unionByName(
+        d.select((col("doc_id") + 10000).as("doc_id"), col("text")))
+      Dedup.exact(u, col("text"), col("doc_id")).orderBy(col("keep_id"))
+    }),
+
+    "dd_minhash_lsh" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val u = d.select(col("doc_id"), col("text")).unionByName(
+        d.select((col("doc_id") + 10000).as("doc_id"), col("text")))
+      Dedup.minhashCandidates(u, "doc_id", "text")
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    "dd_jaccard" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val pairs = d.filter(pmod(col("doc_id"), lit(2)) === 0)
+        .select(col("doc_id").as("id_a"), (col("doc_id") + 1).as("id_b"))
+        .join(d.select(col("doc_id").as("id_b")), Seq("id_b"), "left_semi")
+      Dedup.jaccardOnPairs(d, pairs, "doc_id", "text").orderBy(col("id_a"))
+    }),
+
+    "dd_simhash" -> ((s, dir) =>
+      Dedup.simhash(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc"))),
+
+    "dd_cosine_pairs" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val pairs = e.filter(pmod(col("vec_id"), lit(2)) === 0)
+        .select(col("vec_id").as("id_a"), (col("vec_id") + 1).as("id_b"))
+        .join(e.select(col("vec_id").as("id_b")), Seq("id_b"), "left_semi")
+      Dedup.cosineOnPairs(e, pairs, "vec_id", "embedding", -1.0)
+        .orderBy(col("id_a"))
+    }),
+
+    // ---- similarity search ----
+    "sim_bruteforce_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 5),
+          "vec_id", "embedding", 10)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    "sim_lsh_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.lshTopK(e, e.filter(col("vec_id") < 5),
+          "vec_id", "embedding", 10)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // ---- multimodal plumbing (stub decode — see Multimodal.FakeDecoder) ----
+    "mm_decode" -> ((s, dir) =>
+      Multimodal.decodeFeatures(
+          Multimodal.mediaFromDocuments(t(s, dir, "documents")))
+        .orderBy(col("media_id"))),
+
+    "mm_frames" -> ((s, dir) =>
+      Multimodal.sampleFrames(
+          Multimodal.decodeFeatures(
+            Multimodal.mediaFromDocuments(t(s, dir, "documents"))), 4)
+        .orderBy(col("media_id"), col("frame_idx"))),
+
+    // ---- events: streaming-native operators evaluated in batch ----
+    "ev_tumbling" -> ((s, dir) =>
+      Events.tumblingCounts(t(s, dir, "events"))
+        .orderBy(col("win_start"), col("event_type"))),
+
+    "ev_sliding" -> ((s, dir) =>
+      Events.slidingCounts(t(s, dir, "events"))
+        .orderBy(col("win_start"), col("event_type"))),
+
+    "ev_sessions" -> ((s, dir) =>
+      Events.sessions(t(s, dir, "events"))
+        .orderBy(col("user_id"), col("sess_start"))),
+
+    "ev_props" -> ((s, dir) =>
+      Events.withProps(t(s, dir, "events"))
+        .select(col("event_id"), col("k"))
+        .filter(col("k") > 50)
+        .orderBy(col("event_id"))),
   )
 
   /** Shared deterministic fixture for the incremental-strategy queries:
@@ -538,6 +648,252 @@ object SparkEntry {
         |UNION ALL
         |SELECT id, v, ua, CAST(NULL AS TIMESTAMP) FROM o WHERE id % 10 >= 5
         |ORDER BY id, dbt_valid_from""".stripMargin,
+  ) ++ llmOracles
+
+  // ------------------------------------------------------------------
+  // DuckDB oracle helpers for the LLM-pipeline ops. All hashing is pure
+  // md5/integer arithmetic so the SQL reproduces the Spark expressions
+  // bit-for-bit; the long signature SQL is generated programmatically.
+  // ------------------------------------------------------------------
+
+  /** Rolling polynomial hash (TextAnalysis.fingerprint/tokenHash) over an
+    * expression's characters, in DuckDB list-lambda SQL. */
+  private def rollSql(e: String): String =
+    s"list_reduce(list_prepend(0::BIGINT, list_transform(" +
+      s"list_filter(string_split($e, ''), c -> c != ''), " +
+      s"c -> ascii(c)::BIGINT)), (a, x) -> (a*31 + x) % 2147483647)"
+
+  /** Scala-side replica of the rolling hash (for precomputing the LSH
+    * hyperplane constants embedded in the sim_lsh_topk oracle). */
+  private def rollScala(s: String): Long =
+    s.foldLeft(0L)((a, c) => (a * 31 + c.toLong) % 2147483647L)
+
+  /** Whitespace tokens, empties dropped. */
+  private def toksSql(e: String): String =
+    s"list_filter(string_split_regex($e, '\\s+'), x -> x != '')"
+
+  /** Word-3-gram shingle list (Dedup.shingles). */
+  private val shingleSql =
+    """CASE WHEN len(ws) >= 3
+      |  THEN list_transform(range(len(ws)-2), i -> ws[i+1]||' '||ws[i+2]||' '||ws[i+3])
+      |  ELSE [array_to_string(ws, ' ')] END""".stripMargin
+
+  /** Double dot product of two list columns, element order, left fold. */
+  private def dotSql(a: String, b: String): String =
+    s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(" +
+      s"range(1, len($a)+1), i -> $a[i]::DOUBLE * $b[i]::DOUBLE)), " +
+      s"(x, y) -> x + y)"
+
+  private def cosSql(a: String, b: String): String =
+    s"round(${dotSql(a, b)} / sqrt(${dotSql(a, a)} * ${dotSql(b, b)}), 6)"
+
+  /** 16 minhash signature exprs over a shingle-list column `shl`. */
+  private val minhashSqls: Seq[String] = (0 until 16).map(i =>
+    s"list_min(list_transform(shl, s -> substr(md5('$i:' || s), 1, 8)))")
+
+  /** Band keys from a 16-element mh list, 4 bands of 4. */
+  private val bandListSql: String = {
+    val bands = (0 until 4).map { b =>
+      val parts = (0 until 4).map(r => s"mh[${b * 4 + r + 1}]").mkString(" || '|' || ")
+      s"'$b:' || md5($parts)"
+    }
+    bands.mkString("[", ", ", "]")
+  }
+
+  /** Per-bit simhash sum exprs over token-hash column `h` (20 bits). */
+  private val simhashSumSqls: Seq[String] = (0 until 20).map(j =>
+    s"sum(((h // ${1L << j}) % 2)*2 - 1) AS v$j")
+  private val simhashCombineSql: String = (0 until 20).map(j =>
+    s"(CASE WHEN v$j > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
+
+  /** Precomputed LSH hyperplane literals: planes(p)(d) =
+    * ((roll("p:d") % 2001) - 1000) / 1000.0 — must match
+    * Similarity.planeComponent exactly. */
+  private def planeLiteral(p: Int): String =
+    (0 until 64).map { d =>
+      val v = (rollScala(s"$p:$d") % 2001 - 1000).toDouble / 1000.0
+      v.toString
+    }.mkString("[", ", ", "]::DOUBLE[]")
+
+  /** Bucket code of list column `v` using the precomputed planes. */
+  private def bucketSql(v: String): String =
+    (0 until 8).map { p =>
+      s"(CASE WHEN ${dotSql(v, s"(${planeLiteral(p)})")} > 0 THEN ${1 << p} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+
+  private val langScoreSqls: String = Seq(
+    "s_zh" -> "[\\x{4e00}-\\x{9fff}]",
+    "s_ru" -> "[\\x{0400}-\\x{04ff}]",
+    "s_es" -> "(?: el | la | de | que | los | una |ñ)",
+    "s_fr" -> "(?: le | les | des | est | dans |à|é)",
+    "s_de" -> "(?: der | die | das | und | ist | nicht )",
+    "s_en" -> "(?: the | and | of | to | in | is )")
+    .map { case (n, p) =>
+      s"len(regexp_extract_all(lower(text), '$p')) AS $n"
+    }.mkString(",\n  ")
+
+  private val llmOracles: Map[String, String] = Map(
+    "ta_tokens" ->
+      s"""SELECT doc_id,
+        |  len(${toksSql("text")}) AS n_ws,
+        |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe,
+        |  ${rollSql("text")} AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "ta_langid" ->
+      s"""WITH s AS (SELECT doc_id, lang, $langScoreSqls FROM documents),
+        |m AS (SELECT *, greatest(s_zh, s_ru, s_es, s_fr, s_de, s_en) AS mx FROM s)
+        |SELECT doc_id, lang AS lang_actual,
+        |  CASE WHEN mx = 0 THEN 'und'
+        |       WHEN s_zh = mx THEN 'zh' WHEN s_ru = mx THEN 'ru'
+        |       WHEN s_es = mx THEN 'es' WHEN s_fr = mx THEN 'fr'
+        |       WHEN s_de = mx THEN 'de' WHEN s_en = mx THEN 'en'
+        |       ELSE 'und' END AS lang_pred
+        |FROM m ORDER BY doc_id""".stripMargin,
+
+    "ta_quality" ->
+      s"""WITH b AS (SELECT doc_id,
+        |  len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS n_punct,
+        |  len(regexp_extract_all(lower(text),
+        |    '\\b(?:the|and|of|to|in|is|a|that|it|for|on|with|as|at|by|an|be|this|from|or)\\b')) AS n_stop,
+        |  length(text) AS n_chars,
+        |  length(regexp_replace(text, '\\s+', '', 'g')) AS n_nonspace,
+        |  len(${toksSql("text")}) AS n_tok
+        |FROM documents),
+        |r AS (SELECT doc_id,
+        |  round(n_punct::DOUBLE / greatest(n_chars, 1), 6) AS punct_ratio,
+        |  round(n_stop::DOUBLE / greatest(n_tok, 1), 6) AS stopword_ratio,
+        |  round(n_nonspace::DOUBLE / greatest(n_tok, 1), 6) AS avg_token_len,
+        |  n_chars FROM b)
+        |SELECT doc_id, punct_ratio, stopword_ratio, avg_token_len,
+        |  round(0.4 * least(n_chars::DOUBLE / 200.0, 1.0)
+        |      + 0.3 * least(stopword_ratio / 0.4, 1.0)
+        |      + 0.3 * (1.0 - least(punct_ratio / 0.25, 1.0)), 6) AS quality
+        |FROM r ORDER BY doc_id""".stripMargin,
+
+    "dd_exact" ->
+      """WITH u AS (SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 10000, text FROM documents)
+        |SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
+        |  count(*) AS n_dups
+        |FROM u GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
+
+    "dd_minhash_lsh" ->
+      s"""WITH u AS (SELECT doc_id, lower(text) AS t FROM documents
+        |  UNION ALL SELECT doc_id + 10000, lower(text) FROM documents),
+        |w AS (SELECT doc_id, ${toksSql("t")} AS ws FROM u),
+        |sh AS (SELECT doc_id, $shingleSql AS shl FROM w),
+        |sig AS (SELECT doc_id, ${minhashSqls.mkString("[", ", ", "]")} AS mh FROM sh),
+        |bands AS (SELECT doc_id, unnest($bandListSql) AS band FROM sig)
+        |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "dd_jaccard" ->
+      s"""WITH w AS (SELECT doc_id, ${toksSql("lower(text)")} AS ws FROM documents),
+        |sh0 AS (SELECT doc_id, $shingleSql AS shl FROM w),
+        |s AS (SELECT DISTINCT doc_id, unnest(shl) AS sh FROM sh0),
+        |sz AS (SELECT doc_id, count(*) AS sz FROM s GROUP BY doc_id),
+        |pairs AS (SELECT a.doc_id AS id_a, a.doc_id + 1 AS id_b FROM documents a
+        |  JOIN documents b ON b.doc_id = a.doc_id + 1 WHERE a.doc_id % 2 = 0),
+        |inter AS (SELECT p.id_a, p.id_b, count(*) AS i FROM pairs p
+        |  JOIN s a ON a.doc_id = p.id_a JOIN s b ON b.doc_id = p.id_b AND b.sh = a.sh
+        |  GROUP BY p.id_a, p.id_b)
+        |SELECT p.id_a AS id_a, p.id_b AS id_b,
+        |  round(coalesce(i, 0)::DOUBLE / (sa.sz + sb.sz - coalesce(i, 0)), 6) AS jaccard
+        |FROM pairs p LEFT JOIN inter ON inter.id_a = p.id_a AND inter.id_b = p.id_b
+        |JOIN sz sa ON sa.doc_id = p.id_a JOIN sz sb ON sb.doc_id = p.id_b
+        |ORDER BY p.id_a""".stripMargin,
+
+    "dd_simhash" ->
+      s"""WITH tok AS (SELECT doc_id, unnest(${toksSql("lower(text)")}) AS tok FROM documents),
+        |th AS (SELECT doc_id, ${rollSql("tok")} AS h FROM tok),
+        |sums AS (SELECT doc_id, ${simhashSumSqls.mkString(", ")} FROM th GROUP BY doc_id)
+        |SELECT doc_id AS doc, ($simhashCombineSql)::BIGINT AS simhash
+        |FROM sums ORDER BY doc""".stripMargin,
+
+    "dd_cosine_pairs" ->
+      s"""WITH pairs AS (SELECT a.vec_id AS id_a, a.vec_id + 1 AS id_b
+        |  FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+        |  WHERE a.vec_id % 2 = 0)
+        |SELECT p.id_a, p.id_b, ${cosSql("ea.embedding", "eb.embedding")} AS cos
+        |FROM pairs p JOIN embeddings ea ON ea.vec_id = p.id_a
+        |JOIN embeddings eb ON eb.vec_id = p.id_b
+        |ORDER BY id_a""".stripMargin,
+
+    "sim_bruteforce_topk" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+        |c AS (SELECT vec_id, embedding AS cv FROM embeddings),
+        |scored AS (SELECT query_id, vec_id, ${cosSql("qv", "cv")} AS cos
+        |  FROM c CROSS JOIN q WHERE query_id != vec_id),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank FROM scored)
+        |SELECT query_id, vec_id, cos, rank FROM r WHERE rank <= 10
+        |ORDER BY query_id, rank""".stripMargin,
+
+    "sim_lsh_topk" ->
+      s"""WITH c AS (SELECT vec_id, embedding AS cv, ${bucketSql("embedding")} AS bucket FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, cv AS qv, bucket FROM c WHERE vec_id < 5),
+        |scored AS (SELECT query_id, c.vec_id, ${cosSql("qv", "cv")} AS cos
+        |  FROM c JOIN q USING (bucket) WHERE query_id != c.vec_id),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank FROM scored)
+        |SELECT query_id, vec_id, cos, rank FROM r WHERE rank <= 10
+        |ORDER BY query_id, rank""".stripMargin,
+
+    "mm_decode" ->
+      s"""WITH m AS (SELECT doc_id AS media_id,
+        |  ['image','audio','video'][(doc_id % 3)::INTEGER + 1] AS media_type,
+        |  strlen(text) AS n_bytes,
+        |  list_reduce(list_prepend(0::BIGINT, list_transform(
+        |    list_filter(string_split(text, ''), c -> c != ''),
+        |    c -> ascii(c)::BIGINT)), (a, x) -> (a + x) % 997) AS checksum
+        |FROM documents)
+        |SELECT media_id, media_type, n_bytes,
+        |  ((n_bytes % 640) + 1)::INTEGER AS width,
+        |  ((n_bytes % 480) + 1)::INTEGER AS height,
+        |  (CASE media_type WHEN 'video' THEN (n_bytes % 24) + 1
+        |    WHEN 'audio' THEN (n_bytes % 16000) + 1 ELSE 1 END)::INTEGER AS n_frames,
+        |  checksum
+        |FROM m ORDER BY media_id""".stripMargin,
+
+    "mm_frames" ->
+      """WITH d AS (SELECT doc_id AS media_id, (strlen(text) % 24) + 1 AS n_frames
+        |  FROM documents WHERE doc_id % 3 = 2)
+        |SELECT media_id, unnest(range(0, n_frames, 4)) AS frame_idx
+        |FROM d ORDER BY media_id, frame_idx""".stripMargin,
+
+    "ev_tumbling" ->
+      """SELECT date_trunc('hour', ts) AS win_start, event_type,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "ev_sliding" ->
+      """WITH b AS (SELECT date_trunc('hour', ts)
+        |    + CASE WHEN minute(ts) >= 30 THEN INTERVAL 30 MINUTE
+        |           ELSE INTERVAL 0 MINUTE END AS w1, event_type FROM events),
+        |w AS (SELECT w1 AS win_start, event_type FROM b
+        |  UNION ALL SELECT w1 - INTERVAL 30 MINUTE, event_type FROM b)
+        |SELECT win_start, event_type, count(*) AS n
+        |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "ev_sessions" ->
+      """WITH o AS (SELECT user_id, ts, value,
+        |  CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |    OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) > INTERVAL 30 MINUTE
+        |    THEN 1 ELSE 0 END AS brk FROM events),
+        |g AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |  ROWS UNBOUNDED PRECEDING) AS grp FROM o)
+        |SELECT user_id, min(ts) AS sess_start,
+        |  max(ts) + INTERVAL 30 MINUTE AS sess_end,
+        |  count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM g GROUP BY user_id, grp ORDER BY user_id, sess_start""".stripMargin,
+
+    "ev_props" ->
+      """SELECT event_id, k FROM (
+        |  SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+        |  FROM events)
+        |WHERE k > 50 ORDER BY event_id""".stripMargin,
   )
 
   /** DuckDB twin of [[incFixture]]. */

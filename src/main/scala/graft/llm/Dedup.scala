@@ -1,0 +1,201 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Deduplication operators for training-data pipelines: exact,
+  * MinHash+LSH, SimHash, and n-gram Jaccard. All shuffle-conscious:
+  *
+  *  - exact dedup: one hash-partitioned groupBy on the content key;
+  *  - MinHash+LSH: per-row signature (map-only) → explode b band keys →
+  *    self-join on band key (shuffle on band, never all-pairs) → distinct
+  *    candidate pairs. Cost O(rows·b) instead of O(rows²);
+  *  - SimHash: per-row 20-bit signature via one explode+groupBy;
+  *  - n-gram Jaccard: exact verification on a candidate pair set.
+  *
+  * All hashing is md5/polynomial arithmetic that DuckDB reproduces exactly,
+  * so every op is oracle-checkable.
+  */
+object Dedup {
+
+  // -------------------------------------------------------------------
+  // exact dedup
+  // -------------------------------------------------------------------
+
+  /** Exact dedup on a content column: keep the min-id row per distinct
+    * content (deterministic winner). Output keeps the group size so the
+    * caller can see what collapsed. */
+  def exact(df: DataFrame, content: Column, id: Column): DataFrame =
+    df.groupBy(md5(content.cast(StringType)).as("content_hash"))
+      .agg(min(id).as("keep_id"), count(lit(1)).as("n_dups"))
+
+  // -------------------------------------------------------------------
+  // shingling
+  // -------------------------------------------------------------------
+
+  /** Word n-gram shingle list (with duplicates; min-hashing is multiset-
+    * insensitive so no dedup needed). Documents with fewer than n words
+    * shingle to the whole text. */
+  def shingles(text: Column, n: Int): Column = {
+    val ws = TextAnalysis.tokens(lower(text))
+    val joined = transform(
+      sequence(lit(0), size(ws) - n),
+      i => concat_ws(" ", slice(ws, i + 1, lit(n))))
+    when(size(ws) >= n, joined).otherwise(array(concat_ws(" ", ws)))
+  }
+
+  // -------------------------------------------------------------------
+  // MinHash + LSH banding
+  // -------------------------------------------------------------------
+
+  /** One minhash value: min over shingles of the first 8 md5 hex chars of
+    * "<i>:<shingle>". String-min over fixed-width lowercase hex ==
+    * numeric min — and both engines agree on md5. */
+  def minhash(shingleArr: Column, i: Int): Column =
+    array_min(transform(shingleArr,
+      s => substring(md5(concat(lit(s"$i:"), s)), 1, 8)))
+
+  /** k minhash signature values. */
+  def signature(shingleArr: Column, k: Int): Seq[Column] =
+    (0 until k).map(i => minhash(shingleArr, i))
+
+  /** LSH band keys: the k signature values in b bands of r = k/b rows;
+    * band key = "<band>:" + md5 of the concatenated band slice. */
+  def bandKeys(shingleArr: Column, k: Int, bands: Int): Column = {
+    val sig = signature(shingleArr, k)
+    val r = k / bands
+    array((0 until bands).map { b =>
+      concat(lit(s"$b:"),
+        md5(concat_ws("|", sig.slice(b * r, (b + 1) * r): _*)))
+    }: _*)
+  }
+
+  /** k-value minhash signature as columns mh0..mh{k-1}, computed the
+    * scalable way: explode shingles once, hash each shingle k times, and
+    * min-aggregate per document. The groupBy's partial (map-side) min
+    * means the shuffle carries one k-wide row per document — and the
+    * shingle array expression is evaluated exactly once per document
+    * (array-expression variants re-evaluate it per hash function, which
+    * is a 16× blow-up that Catalyst's projection collapsing makes worse,
+    * not better). */
+  def minhashSignature(df: DataFrame, id: String, text: String,
+                       n: Int, k: Int): DataFrame = {
+    val sh = df.select(col(id).as("doc"),
+      explode(shingles(col(text), n)).as("sh"))
+    val aggs = (0 until k).map(i =>
+      min(substring(md5(concat(lit(s"$i:"), col("sh"))), 1, 8)).as(s"mh$i"))
+    sh.groupBy("doc").agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Candidate near-dup pairs via MinHash LSH: documents sharing any band
+    * key. Returns distinct (id_a, id_b) with id_a < id_b. The self-join
+    * shuffles on the band key only — no quadratic blow-up; hot buckets
+    * (identical boilerplate docs) are bounded by bucket size, the classic
+    * LSH trade. */
+  def minhashCandidates(df: DataFrame, id: String, text: String,
+                        n: Int = 3, k: Int = 16, bands: Int = 4)
+      : DataFrame = {
+    val r = k / bands
+    val sig = minhashSignature(df, id, text, n, k)
+    val bandCols = (0 until bands).map { b =>
+      concat(lit(s"$b:"),
+        md5(concat_ws("|", (b * r until (b + 1) * r).map(i => col(s"mh$i")): _*)))
+    }
+    val keyed = sig.select(col("doc"), explode(array(bandCols: _*)).as("band"))
+    val a = keyed.alias("a")
+    val b = keyed.alias("b")
+    a.join(b, col("a.band") === col("b.band") &&
+        col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("id_a"), col("b.doc").as("id_b"))
+      .distinct()
+  }
+
+  // -------------------------------------------------------------------
+  // n-gram Jaccard (exact verification)
+  // -------------------------------------------------------------------
+
+  /** Exact Jaccard similarity over distinct word n-gram sets for a given
+    * pair list (id_a, id_b). Used to verify LSH candidates; the join
+    * explodes shingles and shuffles on (pair, shingle) — linear in total
+    * shingle volume of the candidate set, not in corpus size. */
+  def jaccardOnPairs(docs: DataFrame, pairs: DataFrame,
+                     id: String, text: String, n: Int = 3): DataFrame = {
+    val sh = docs.select(col(id).as("doc"),
+        explode(shingles(col(text), n)).as("sh"))
+      .distinct()
+    val sizes = sh.groupBy("doc").agg(count(lit(1)).as("sz"))
+    val inter = pairs
+      .join(sh.select(col("doc").as("id_a"), col("sh")), Seq("id_a"))
+      .join(sh.select(col("doc").as("id_b"), col("sh")), Seq("id_b", "sh"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+    pairs
+      .join(inter, Seq("id_a", "id_b"), "left_outer")
+      .na.fill(0L, Seq("inter"))
+      .join(sizes.select(col("doc").as("id_a"), col("sz").as("sz_a")), Seq("id_a"))
+      .join(sizes.select(col("doc").as("id_b"), col("sz").as("sz_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(col("inter").cast(DoubleType) /
+          (col("sz_a") + col("sz_b") - col("inter")), 6).as("jaccard"))
+  }
+
+  // -------------------------------------------------------------------
+  // SimHash
+  // -------------------------------------------------------------------
+
+  val SimHashBits = 20
+
+  /** 20-bit SimHash per document over whitespace tokens hashed with the
+    * polynomial rolling hash: bit j of the signature is set when the sum
+    * over tokens of ±1 (by bit j of the token hash) is positive.
+    * Computed via explode + one groupBy — scales linearly, and the
+    * arithmetic (floor-div/mod powers of two) is engine-portable. */
+  def simhash(df: DataFrame, id: String, text: String): DataFrame = {
+    val tok = df.select(col(id).as("doc"),
+        explode(TextAnalysis.tokens(lower(col(text)))).as("tok"))
+      .withColumn("th", TextAnalysis.tokenHash(col("tok")))
+    val bitSums = (0 until SimHashBits).map { j =>
+      sum(((col("th").cast(LongType) / lit(1L << j)).cast(LongType) % 2)
+        * 2 - 1).as(s"v$j")
+    }
+    val sums = tok.groupBy("doc").agg(bitSums.head, bitSums.tail: _*)
+    val sig = (0 until SimHashBits).map { j =>
+      when(col(s"v$j") > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    sums.select(col("doc"), sig.as("simhash"))
+  }
+
+  /** Hamming distance between two SimHash signatures (bit-arithmetic,
+    * portable: sum over j of xor of extracted bits). */
+  def hamming(a: Column, b: Column): Column =
+    (0 until SimHashBits).map { j =>
+      abs((a.cast(LongType) / lit(1L << j)).cast(LongType) % 2 -
+          (b.cast(LongType) / lit(1L << j)).cast(LongType) % 2)
+    }.reduce(_ + _)
+
+  // -------------------------------------------------------------------
+  // embedding-cosine near-dup
+  // -------------------------------------------------------------------
+
+  /** Cosine similarity of two float-vector columns, accumulated in double
+    * element-by-element in index order (deterministic, engine-portable),
+    * rounded to 6 places. */
+  def cosine(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y,
+        (p, q) => p.cast(DoubleType) * q.cast(DoubleType)),
+        lit(0.0), (acc, v) => acc + v)
+    round(dot(a, b) / sqrt(dot(a, a) * dot(b, b)), 6)
+  }
+
+  /** Near-duplicate pairs by embedding cosine over a candidate pair list. */
+  def cosineOnPairs(emb: DataFrame, pairs: DataFrame, id: String,
+                    vec: String, threshold: Double): DataFrame = {
+    val e = emb.select(col(id), col(vec))
+    pairs
+      .join(e.select(col(id).as("id_a"), col(vec).as("va")), Seq("id_a"))
+      .join(e.select(col(id).as("id_b"), col(vec).as("vb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), cosine(col("va"), col("vb")).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+}

@@ -1,0 +1,103 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing: image/audio/video as opaque `binary`
+  * columns with typed metadata, processed in partition-local batches.
+  *
+  * The actual media decode is STUBBED (this container has no image/audio
+  * libraries): [[FakeDecoder.decode]] is a deterministic function of the
+  * byte payload, clearly marked. Everything around it — the schema, the
+  * binary column, the batched `mapPartitions` shape, the partitioning —
+  * is real and is what a production decode (JNI codec, ONNX feature
+  * extractor) would plug into.
+  *
+  * Scale notes: decode is a per-row map over partition iterators (no
+  * shuffle, no driver data). Batch shape mirrors Arrow-batch processing:
+  * rows are processed in groups of [[BatchSize]] so a vectorized decoder
+  * amortizes per-batch setup, exactly like `mapInPandas` batches do.
+  */
+object Multimodal {
+
+  val BatchSize = 256
+
+  /** Typed metadata carried beside the opaque payload. */
+  val MediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("media_type", StringType), // image | audio | video
+    StructField("payload", BinaryType),
+    StructField("n_bytes", LongType)))
+
+  /** Decoded-feature schema produced by the (stubbed) decoder. */
+  val DecodedSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("media_type", StringType),
+    StructField("n_bytes", LongType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("n_frames", IntegerType),
+    StructField("checksum", LongType)))
+
+  /** Build a media table from the documents table: the text bytes stand in
+    * for an image/audio payload (deterministic; media_type cycles by id).
+    * In production this column comes from the lakehouse as real bytes. */
+  def mediaFromDocuments(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id").as("media_id"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (pmod(col("doc_id"), lit(3)) + 1).cast(IntegerType)).as("media_type"),
+      col("text").cast(BinaryType).as("payload"),
+      length(col("text")).cast(LongType).as("n_bytes"))
+
+  /** STUB decoder — deterministic fake in place of a real codec.
+    * A real implementation would decode `payload` with an image/audio
+    * library inside the same batch loop. */
+  object FakeDecoder {
+    def decode(mediaType: String, payload: Array[Byte])
+        : (Int, Int, Int, Long) = {
+      val n = payload.length
+      // ??? real codec goes here; deterministic fake below
+      val width = (n % 640) + 1
+      val height = (n % 480) + 1
+      val frames = mediaType match {
+        case "video" => (n % 24) + 1
+        case "audio" => (n % 16000) + 1 // "samples"
+        case _ => 1
+      }
+      var cs = 0L
+      var i = 0
+      while (i < n) { cs = (cs + (payload(i) & 0xff)) % 997; i += 1 }
+      (width, height, frames, cs)
+    }
+  }
+
+  /** Decode/feature-extract over partition-local batches. The iterator is
+    * grouped into [[BatchSize]] chunks so a vectorized decoder can process
+    * a batch at a time (the Scala analogue of a `mapInPandas` batch). */
+  def decodeFeatures(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val out = media.select("media_id", "media_type", "payload", "n_bytes")
+      .rdd.mapPartitions { it =>
+        it.grouped(BatchSize).flatMap { batch =>
+          // per-batch decoder setup would happen here (model load, codec init)
+          batch.iterator.map { r =>
+            val (w, h, f, cs) = FakeDecoder.decode(
+              r.getString(1), r.getAs[Array[Byte]](2))
+            Row(r.getLong(0), r.getString(1), r.getLong(3), w, h, f, cs)
+          }
+        }
+      }
+    spark.createDataFrame(out, DecodedSchema)
+  }
+
+  /** Frame-sampling shape for video: emit every `stride`-th frame index as
+    * its own row (explode — the downstream per-frame pipeline is then
+    * plain relational). */
+  def sampleFrames(decoded: DataFrame, stride: Int): DataFrame =
+    decoded.filter(col("media_type") === "video")
+      .select(col("media_id"),
+        explode(sequence(lit(0), col("n_frames") - 1,
+          lit(stride))).as("frame_idx"))
+}

@@ -1,0 +1,111 @@
+package graft.llm
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text-analysis operators for large-scale training-data pipelines
+  * (additive to the reference surface — north-star scope).
+  *
+  * Every function is a pure `Column` composition (whole-stage codegen, no
+  * UDFs) built only from arithmetic/regex primitives that exist identically
+  * in DuckDB, so each op is oracle-checkable bit-for-bit. At 100 TB these
+  * are embarrassingly parallel per-row maps — no shuffle at all.
+  */
+object TextAnalysis {
+
+  /** Whitespace token list, empties dropped (leading/trailing space safe). */
+  def tokens(text: Column): Column =
+    filter(split(text, "\\s+"), t => t =!= "")
+
+  /** Whitespace token count. */
+  def tokenCountWs(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish token count: alpha runs, digit runs, and single
+    * non-alnum-non-space marks each count as one token — the classic
+    * pre-tokenizer split (GPT-2-style word/number/punct classes). */
+  val BpeTokenPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+  def tokenCountBpe(text: Column): Column =
+    size(regexp_extract_all(text, lit(BpeTokenPattern), lit(0)))
+
+  /** Polynomial rolling hash over characters, mod 2^31-1 — the document
+    * fingerprint. Pure integer arithmetic → identical in any engine.
+    * fp = foldLeft(chars)(acc -> (acc*31 + codepoint) % 2147483647). */
+  def fingerprint(text: Column): Column =
+    aggregate(
+      transform(filter(split(text, ""), c => c =!= ""), c => ascii(c)),
+      lit(0L),
+      (acc, x) => (acc * 31 + x.cast(LongType)) % lit(2147483647L))
+
+  /** Rolling hash of a single token (same recurrence) — shared by SimHash
+    * and the LSH hyperplanes. */
+  def tokenHash(tok: Column): Column =
+    aggregate(
+      transform(filter(split(tok, ""), c => c =!= ""), c => ascii(c)),
+      lit(0L),
+      (acc, x) => (acc * 31 + x.cast(LongType)) % lit(2147483647L))
+
+  // -------------------------------------------------------------------
+  // language ID — n-gram/marker heuristic
+  // -------------------------------------------------------------------
+
+  /** Marker patterns per language: script ranges for zh/ru, common
+    * function words for the latin-script languages. Counts are
+    * regexp-match counts over the lowercased text. */
+  val LangMarkers: Seq[(String, String)] = Seq(
+    "zh" -> "[\\u4e00-\\u9fff]",
+    "ru" -> "[\\u0400-\\u04ff]",
+    "es" -> "(?: el | la | de | que | los | una |ñ)",
+    "fr" -> "(?: le | les | des | est | dans |à|é)",
+    "de" -> "(?: der | die | das | und | ist | nicht )",
+    "en" -> "(?: the | and | of | to | in | is )")
+
+  private def score(text: Column, pat: String): Column =
+    size(regexp_extract_all(lower(text), lit(pat), lit(0)))
+
+  /** Predicted language: argmax marker score; ties resolve by the fixed
+    * order zh,ru,es,fr,de,en; all-zero scores → 'und'. */
+  def langId(text: Column): Column = {
+    val scores = LangMarkers.map { case (l, p) => l -> score(text, p) }
+    val m = greatest(scores.map(_._2): _*)
+    val chain = scores.foldRight(lit("und")) { case ((l, s), rest) =>
+      when(m > 0 && s === m, lit(l)).otherwise(rest)
+    }
+    chain
+  }
+
+  // -------------------------------------------------------------------
+  // quality scoring — length / punctuation / stopword ratios
+  // -------------------------------------------------------------------
+
+  val Stopwords =
+    "(?:the|and|of|to|in|is|a|that|it|for|on|with|as|at|by|an|be|this|from|or)"
+
+  /** Component ratios, each rounded to 6 places (round(x,6) is identical
+    * IEEE double arithmetic in Spark and DuckDB). */
+  def punctRatio(text: Column): Column =
+    round(size(regexp_extract_all(text, lit("[^A-Za-z0-9\\s]"), lit(0)))
+      .cast(DoubleType) / greatest(length(text), lit(1)), 6)
+
+  def stopwordRatio(text: Column): Column =
+    round(size(regexp_extract_all(lower(text),
+        lit(s"\\b$Stopwords\\b"), lit(0))).cast(DoubleType) /
+      greatest(tokenCountWs(text), lit(1)), 6)
+
+  def avgTokenLen(text: Column): Column =
+    round(length(regexp_replace(text, lit("\\s+"), lit("")))
+      .cast(DoubleType) / greatest(tokenCountWs(text), lit(1)), 6)
+
+  /** Composite quality score in [0,1]: rational arithmetic only —
+    * no exp/log, so engines agree bit-for-bit.
+    *   q = 0.4·lenScore + 0.3·stopScore + 0.3·(1 − punctPenalty)
+    * where lenScore saturates at 1 for ≥200 chars, stopScore at 0.4
+    * stopword ratio, punctPenalty at 0.25 punct ratio. */
+  def qualityScore(text: Column): Column = {
+    val lenScore = least(length(text).cast(DoubleType) / lit(200.0), lit(1.0))
+    val stopScore = least(stopwordRatio(text) / lit(0.4), lit(1.0))
+    val punctPenalty = least(punctRatio(text) / lit(0.25), lit(1.0))
+    round(lit(0.4) * lenScore + lit(0.3) * stopScore +
+      lit(0.3) * (lit(1.0) - punctPenalty), 6)
+  }
+}

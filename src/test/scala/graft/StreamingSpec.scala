@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.streaming.Events
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("structured streaming tumbling agg matches batch result (AvailableNow)") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-stream").toString
+    // file-stream source needs a directory; stage the single parquet file
+    val inDir = java.nio.file.Paths.get(tmp, "in")
+    java.nio.file.Files.createDirectories(inDir)
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      inDir.resolve("events.parquet"))
+    val stream = Events.readEventStream(spark, inDir.toString)
+    assert(stream.isStreaming)
+    val q = Events.startTumblingQuery(stream, s"$tmp/ckpt", s"$tmp/out")
+    q.awaitTermination(120000)
+    val streamed = spark.read.parquet(s"$tmp/out")
+      .select($"win_start", $"event_type", $"n", $"sum_value")
+    val batch = Events.tumblingCounts(Tables.load(spark, sf, "events"))
+    // append-mode emits only watermark-closed windows: a subset of batch
+    val sCnt = streamed.count()
+    assert(sCnt > 0, "streaming emitted nothing")
+    val joined = streamed.alias("s").join(batch.alias("b"),
+      $"s.win_start" === $"b.win_start" && $"s.event_type" === $"b.event_type")
+    assert(joined.filter($"s.n" =!= $"b.n").count() == 0,
+      "streamed window counts disagree with batch")
+    assert(joined.count() == sCnt, "streamed window missing from batch")
+  }
+
+  test("batch session_window matches hand-rolled gaps-and-islands") {
+    val ev = Tables.load(spark, sf, "events")
+    val sess = Events.sessions(ev)
+    // independent computation via lag/cumsum (the oracle shape)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"user_id").orderBy($"ts")
+    val brk = when(lag($"ts", 1).over(w).isNull ||
+      $"ts".cast("long") - lag($"ts", 1).over(w).cast("long") > 1800, 1)
+      .otherwise(0)
+    val grouped = ev.withColumn("brk", brk)
+      .withColumn("grp", sum($"brk").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy($"user_id", $"grp")
+      .agg(count(lit(1)).as("n_events2"))
+    assert(sess.count() == grouped.count())
+    assert(sess.agg(sum($"n_events")).head.getLong(0) == ev.count())
+  }
+
+  test("json props extraction") {
+    val ev = Tables.load(spark, sf, "events")
+    val k = Events.withProps(ev).select($"k")
+    assert(k.filter($"k".isNull).count() == 0)
+  }
+}
