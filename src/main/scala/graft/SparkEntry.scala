@@ -186,7 +186,10 @@ object SparkEntry {
         .orderBy(col("o_orderkey"))),
 
     "fn_current_timestamp" -> ((s, dir) =>
-      s.range(1).select(Dialect.currentTimestampCol().isNotNull.as("ok"))),
+      s.range(1).select(
+        Dialect.currentTimestampCol().isNotNull.as("ok"),
+        // impl.py:47-49 date_function → datenow()
+        Dialect.dateNow().isNotNull.as("today_ok"))),
 
     // ---- pass-through relational breadth (SURVEY §2.5): windows, rollup,
     // set ops, semi/anti joins, top-k, correlated subquery ----
@@ -290,6 +293,16 @@ object SparkEntry {
         .orderBy(col("o_orderkey"), col("src"))
     }),
 
+    "inc_merge_predicates" -> ((s, dir) => {
+      // incremental_predicates (incremental.sql:152-153): the predicate is
+      // AND-ed into the MERGE ON — an expensive target row is never
+      // matched, so it survives unmodified and its staged twin inserts.
+      val (target, staged) = incFixture(s, dir)
+      Incremental.merge(target, staged, Seq("o_orderkey"),
+          predicates = Seq(col("t.price") < lit(200000.0)))
+        .orderBy(col("o_orderkey"), col("src"))
+    }),
+
     "snapshot_scd2" -> ((s, dir) => {
       // deterministic two-step SCD2 cycle over orders:
       //   v0 = keys %10 in 0..4 (updated_at = o_orderdate)
@@ -308,6 +321,210 @@ object SparkEntry {
       Snapshot.run(snap0, v1, Seq("id"), "updated_at")
         .select(col("id"), col("v"), col("dbt_valid_from"), col("dbt_valid_to"))
         .orderBy(col("id"), col("dbt_valid_from"))
+    }),
+
+    "snapshot_scd2_checkcols" -> ((s, dir) => {
+      // check_cols strategy: changed iff any checked column differs.
+      //   v0 = keys %10 in 0..4 at t0
+      //   v1 = all keys; %10 in (0,1) → v changes; %10 == 2 → w changes
+      val o = t(s, dir, "orders").select(
+        col("o_orderkey").as("id"),
+        col("o_orderstatus").as("v"),
+        col("o_orderpriority").as("w"))
+      val now0 = Dialect.snapshotStringAsTime("2020-01-01 00:00:00")
+      val now1 = Dialect.snapshotStringAsTime("2020-02-01 00:00:00")
+      val v0 = o.filter(pmod(col("id"), lit(10)) < 5)
+      val chV = pmod(col("id"), lit(10)) < 2
+      val chW = pmod(col("id"), lit(10)) === 2
+      val v1 = o.select(col("id"),
+        when(chV, lit("XX")).otherwise(col("v")).as("v"),
+        when(chW, lit("ZZ")).otherwise(col("w")).as("w"))
+      val snap0 = Snapshot.initialCheck(v0, Seq("id"), now0)
+      Snapshot.runCheck(snap0, v1, Seq("id"), Seq("v", "w"), now1)
+        .select(col("id"), col("v"), col("w"),
+          col("dbt_valid_from"), col("dbt_valid_to"))
+        .orderBy(col("id"), col("dbt_valid_from"))
+    }),
+
+    // ---- materialization / DDL / catalog state machines (SURVEY §2.1,
+    // §2.3) exercised end-to-end against the session catalog, read back,
+    // and oracle-compared. Each query is self-contained + idempotent. ----
+    "mat_table_swap" -> ((s, dir) => {
+      val m = new graft.mat.Materializer(s)
+      val rel = graft.model.Relation("graft_mat_swap")
+      val n = t(s, dir, "nation").select(col("n_nationkey"), col("n_name"))
+      m.table(rel, n.withColumn("ver", lit("v1")))
+      m.table(rel, n.withColumn("ver", lit("v2"))) // rename-swap path
+      s.table("graft_mat_swap").orderBy(col("n_nationkey"))
+    }),
+
+    "mat_table_drop" -> ((s, dir) => {
+      val m = new graft.mat.Materializer(s)
+      val rel = graft.model.Relation("graft_mat_drop")
+      val n = t(s, dir, "nation").select(col("n_nationkey"), col("n_name"))
+      m.table(rel, n.withColumn("ver", lit("v1")))
+      m.table(rel, n.withColumn("ver", lit("v2")),
+        onTableExists = "drop") // table.sql:50-59 drop path
+      s.table("graft_mat_drop").orderBy(col("n_nationkey"))
+    }),
+
+    "mat_view" -> ((s, dir) => {
+      val m = new graft.mat.Materializer(s)
+      val rel = graft.model.Relation("graft_view_demo")
+      // adapters.sql:279-282: a non-view object of the same name is
+      // dropped before the view is created
+      m.dropRelation(rel)
+      s.range(1).write.saveAsTable("graft_view_demo")
+      m.view(rel,
+        s"SELECT r_regionkey, upper(r_name) AS r_name_up FROM parquet.`$dir/region.parquet`")
+      s.table("graft_view_demo").orderBy(col("r_regionkey"))
+    }),
+
+    "mat_mv_refresh" -> ((s, dir) => {
+      val m = new graft.mat.Materializer(s)
+      val rel = graft.model.Relation("graft_mv_demo")
+      m.materializedView(rel,
+        s"SELECT n_regionkey, count(*) AS n FROM parquet.`$dir/nation.parquet` GROUP BY n_regionkey")
+      m.refreshMaterializedView(rel) // materialized_view.sql:33-35
+      s.table("graft_mv_demo").orderBy(col("n_regionkey"))
+    }),
+
+    "mat_seed_types" -> ((s, dir) => {
+      // seed CSV → agate-mirroring inference (impl.py:52-66): price→DOUBLE
+      // (mixed int/decimal), born→DATE, seen→TIMESTAMP, label→VARCHAR;
+      // id overridden to bigint via column_types (adapters.sql:59,67).
+      val csv = java.nio.file.Paths.get("target/graft_seed.csv")
+      java.nio.file.Files.createDirectories(csv.getParent)
+      java.nio.file.Files.writeString(csv,
+        "id,price,born,seen,label\n" +
+          "1,1.5,1995-01-01,1995-01-01 12:00:00,alpha\n" +
+          "2,2,1996-02-02,1996-02-02 13:30:00,beta\n" +
+          "3,,1997-03-03,,gamma\n")
+      val m = new graft.mat.Materializer(s)
+      m.seed(graft.model.Relation("graft_seed_demo"),
+        csv.toAbsolutePath.toString, columnTypes = Map("id" -> "bigint"))
+      s.table("graft_seed_demo").orderBy(col("id"))
+    }),
+
+    "mat_incremental_driver" -> ((s, dir) => {
+      // the full incremental state machine (incremental.sql:21-110):
+      // first run → CTAS; second run → merge strategy + tmp-table swap
+      val m = new graft.mat.Materializer(s)
+      val rel = graft.model.Relation("graft_inc_drv")
+      m.dropRelation(rel)
+      val (target, staged) = incFixture(s, dir)
+      m.incremental(rel, target, "merge", Seq("o_orderkey"))
+      m.incremental(rel, staged, "merge", Seq("o_orderkey"))
+      s.table("graft_inc_drv").orderBy(col("o_orderkey"), col("src"))
+    }),
+
+    "se_append_new_cols" -> ((s, dir) => {
+      // on_schema_change=append_new_columns (incremental.sql:83-86): the
+      // staged frame keeps its new column when aligned to the target
+      val o = t(s, dir, "orders")
+      val target = o.select(col("o_orderkey"),
+        dec(col("o_totalprice")).cast(DoubleType).as("price"))
+      val staged = o.select(col("o_orderkey"),
+        (dec(col("o_totalprice")) * 2).cast(DoubleType).as("price"),
+        col("o_orderstatus").as("status"))
+      graft.mat.SchemaEvolution
+        .processSchemaChanges("append_new_columns", target, staged)
+        .orderBy(col("o_orderkey"))
+    }),
+
+    "se_ignore_missing" -> ((s, dir) => {
+      // on_schema_change=ignore: staged projects onto the target's
+      // columns — new staged columns drop, removed ones go NULL
+      val o = t(s, dir, "orders")
+      val target = o.select(col("o_orderkey"),
+        dec(col("o_totalprice")).cast(DoubleType).as("price"),
+        col("o_orderstatus").as("status"))
+      val staged = o.select(col("o_orderkey"),
+        (dec(col("o_totalprice")) * 2).cast(DoubleType).as("price"),
+        col("o_orderpriority").as("extra"))
+      graft.mat.SchemaEvolution
+        .processSchemaChanges("ignore", target, staged)
+        .orderBy(col("o_orderkey"))
+    }),
+
+    "se_expand_types" -> ((s, dir) => {
+      // expand_target_column_types (incremental.sql:79-81): decimal(12,2)
+      // target widens to fit a decimal(18,6) staged column
+      val o = t(s, dir, "orders")
+      val target = o.select(col("o_orderkey"),
+        col("o_totalprice").cast(DecimalType(12, 2)).as("price"))
+      val staged = o.select(col("o_orderkey"),
+        col("o_totalprice").cast(DecimalType(18, 6)).as("price"))
+      graft.mat.SchemaEvolution.expandColumnTypes(target, staged)
+        .select(col("o_orderkey"),
+          col("price").cast(DoubleType).as("price_wide"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    "ddl_alter_columns" -> ((s, dir) => {
+      // adapters.sql:242-263 add/remove + 297-312 retype, as one rewrite
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_orderpriority"))
+      val altered = graft.mat.SchemaEvolution.addRemoveColumns(o,
+        add = Seq(("flag", BooleanType)), remove = Seq("o_orderstatus"))
+      graft.mat.SchemaEvolution
+        .alterColumnType(altered, "o_orderkey", StringType)
+        .orderBy(length(col("o_orderkey")), col("o_orderkey"))
+    }),
+
+    "cat_catalog" -> ((s, dir) => {
+      // get_catalog (catalog.sql:1-175): per-column rows over a schema
+      val c = new graft.mat.CatalogOps(s)
+      val m = new graft.mat.Materializer(s)
+      c.dropSchema("graft_cat"); c.createSchema("graft_cat")
+      m.table(graft.model.Relation("graft_cat", "t1"),
+        t(s, dir, "region").select(col("r_regionkey"), col("r_name")))
+      m.view(graft.model.Relation("graft_cat", "v1"),
+        s"SELECT r_regionkey FROM parquet.`$dir/region.parquet`")
+      c.getCatalog(Seq("graft_cat"))
+    }),
+
+    "cat_catalog_relations" -> ((s, dir) => {
+      // get_catalog_relations by-relation variant (catalog.sql:23-42)
+      val c = new graft.mat.CatalogOps(s)
+      val m = new graft.mat.Materializer(s)
+      c.dropSchema("graft_cat2"); c.createSchema("graft_cat2")
+      m.table(graft.model.Relation("graft_cat2", "t1"),
+        t(s, dir, "region").select(col("r_regionkey")))
+      m.table(graft.model.Relation("graft_cat2", "t2"),
+        t(s, dir, "region").select(col("r_regionkey"), col("r_name")))
+      c.getCatalogRelations(Seq(graft.model.Relation("graft_cat2", "t2")))
+    }),
+
+    "cat_comments" -> ((s, dir) => {
+      import s.implicits._
+      val m = new graft.mat.Materializer(s)
+      val c = new graft.mat.CatalogOps(s)
+      val rel = graft.model.Relation("graft_cmt")
+      m.table(rel, t(s, dir, "region").select(col("r_regionkey")))
+      c.setTableComment(rel, "demo table")
+      // only existing columns get comments (adapters.sql:207)
+      c.setColumnComments(rel,
+        Map("r_regionkey" -> "pk", "no_such_col" -> "ignored"))
+      val tableRow = ("__table__",
+        s.catalog.getTable("graft_cmt").description)
+      val colRows = s.catalog.listColumns("graft_cmt").collect()
+        .map(ci => (ci.name, ci.description)).toSeq
+      (tableRow +: colRows).toDF("item", "comment").orderBy($"item")
+    }),
+
+    "cat_grants" -> ((s, dir) => {
+      import s.implicits._
+      val c = new graft.mat.CatalogOps(s)
+      val rel = graft.model.Relation("graft_grants_demo")
+      c.applyGrants(rel,
+        Map("select" -> Set("alice", "bob"), "insert" -> Set("bob")))
+      // second apply diffs: bob loses select, insert disappears, carol adds
+      c.applyGrants(rel, Map("select" -> Set("alice", "carol")))
+      c.showGrants(rel).toSeq
+        .flatMap { case (p, gs) => gs.toSeq.sorted.map(g => (p, g)) }
+        .toDF("privilege", "grantee").orderBy($"privilege", $"grantee")
     }),
 
     // ---- text analysis (north-star LLM-pipeline ops) ----
@@ -363,6 +580,16 @@ object SparkEntry {
       Dedup.simhash(t(s, dir, "documents"), "doc_id", "text")
         .orderBy(col("doc"))),
 
+    "dd_simhash_pairs" -> ((s, dir) => {
+      // banded hamming neighbor search over the doubled corpus (exact
+      // duplicates guarantee distance-0 pairs exist)
+      val d = t(s, dir, "documents")
+      val u = d.select(col("doc_id"), col("text")).unionByName(
+        d.select((col("doc_id") + 10000).as("doc_id"), col("text")))
+      Dedup.simhashPairs(u, "doc_id", "text")
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     "dd_cosine_pairs" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       val pairs = e.filter(pmod(col("vec_id"), lit(2)) === 0)
@@ -384,6 +611,13 @@ object SparkEntry {
       val e = t(s, dir, "embeddings")
       Similarity.lshTopK(e, e.filter(col("vec_id") < 5),
           "vec_id", "embedding", 10)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    "sim_ivf_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.ivfTopK(e, e.filter(col("vec_id") < 5),
+          "vec_id", "embedding", 10, nlist = 32)
         .orderBy(col("query_id"), col("rank"))
     }),
 
@@ -556,7 +790,7 @@ object SparkEntry {
         |FROM orders ORDER BY o_orderkey""".stripMargin,
 
     "fn_current_timestamp" ->
-      "SELECT current_timestamp IS NOT NULL AS ok",
+      "SELECT current_timestamp IS NOT NULL AS ok, current_date IS NOT NULL AS today_ok",
 
     "q03_window" ->
       """SELECT o_orderkey, o_custkey,
@@ -648,6 +882,121 @@ object SparkEntry {
         |UNION ALL
         |SELECT id, v, ua, CAST(NULL AS TIMESTAMP) FROM o WHERE id % 10 >= 5
         |ORDER BY id, dbt_valid_from""".stripMargin,
+
+    "inc_merge_predicates" ->
+      s"""$incFixtureSql
+        |SELECT coalesce(t.o_orderkey, s.o_orderkey) AS o_orderkey,
+        |  CASE WHEN s.o_orderkey IS NOT NULL THEN s.price ELSE t.price END AS price,
+        |  CASE WHEN s.o_orderkey IS NOT NULL THEN s.src ELSE t.src END AS src
+        |FROM target t FULL OUTER JOIN staged s
+        |  ON t.o_orderkey = s.o_orderkey AND t.price < 200000
+        |ORDER BY o_orderkey, src""".stripMargin,
+
+    "snapshot_scd2_checkcols" ->
+      """WITH o AS (SELECT o_orderkey AS id, o_orderstatus AS v,
+        |                  o_orderpriority AS w FROM orders),
+        |t AS (SELECT TIMESTAMP '2020-01-01 00:00:00' AS t0,
+        |             TIMESTAMP '2020-02-01 00:00:00' AS t1)
+        |SELECT id, v, w, t0 AS dbt_valid_from, t1 AS dbt_valid_to
+        |FROM o, t WHERE id % 10 < 2
+        |UNION ALL
+        |SELECT id, 'XX', w, t1, CAST(NULL AS TIMESTAMP) FROM o, t WHERE id % 10 < 2
+        |UNION ALL
+        |SELECT id, v, w, t0, t1 FROM o, t WHERE id % 10 = 2
+        |UNION ALL
+        |SELECT id, v, 'ZZ', t1, CAST(NULL AS TIMESTAMP) FROM o, t WHERE id % 10 = 2
+        |UNION ALL
+        |SELECT id, v, w, t0, CAST(NULL AS TIMESTAMP) FROM o, t WHERE id % 10 IN (3, 4)
+        |UNION ALL
+        |SELECT id, v, w, t1, CAST(NULL AS TIMESTAMP) FROM o, t WHERE id % 10 >= 5
+        |ORDER BY id, dbt_valid_from""".stripMargin,
+
+    // ---- materialization / DDL / catalog twins. DuckDB states the
+    // EXPECTED CONTENT after the state machine ran (create/swap/refresh/
+    // seed are exercised on the Spark side; the oracle pins the result). ----
+    "mat_table_swap" ->
+      """SELECT n_nationkey, n_name, 'v2' AS ver
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
+
+    "mat_table_drop" ->
+      """SELECT n_nationkey, n_name, 'v2' AS ver
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
+
+    "mat_view" ->
+      """SELECT r_regionkey, upper(r_name) AS r_name_up
+        |FROM region ORDER BY r_regionkey""".stripMargin,
+
+    "mat_mv_refresh" ->
+      """SELECT n_regionkey, count(*) AS n
+        |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
+
+    "mat_seed_types" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(1 AS BIGINT), CAST(1.5 AS DOUBLE), DATE '1995-01-01',
+        |   TIMESTAMP '1995-01-01 12:00:00', 'alpha'),
+        |  (2, 2.0, DATE '1996-02-02', TIMESTAMP '1996-02-02 13:30:00', 'beta'),
+        |  (3, NULL, DATE '1997-03-03', NULL, 'gamma'))
+        |  t(id, price, born, seen, label)
+        |ORDER BY id""".stripMargin,
+
+    "mat_incremental_driver" ->
+      s"""$incFixtureSql
+        |SELECT coalesce(t.o_orderkey, s.o_orderkey) AS o_orderkey,
+        |  CASE WHEN s.o_orderkey IS NOT NULL THEN s.price ELSE t.price END AS price,
+        |  CASE WHEN s.o_orderkey IS NOT NULL THEN s.src ELSE t.src END AS src
+        |FROM target t FULL OUTER JOIN staged s ON t.o_orderkey = s.o_orderkey
+        |ORDER BY o_orderkey, src""".stripMargin,
+
+    "se_append_new_cols" ->
+      """SELECT o_orderkey,
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 2 AS DOUBLE) AS price,
+        |  o_orderstatus AS status
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "se_ignore_missing" ->
+      """SELECT o_orderkey,
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 2 AS DOUBLE) AS price,
+        |  CAST(NULL AS VARCHAR) AS status
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "se_expand_types" ->
+      """SELECT o_orderkey,
+        |  CAST(CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DECIMAL(18,6)) AS DOUBLE) AS price_wide
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "ddl_alter_columns" ->
+      """SELECT CAST(o_orderkey AS VARCHAR) AS o_orderkey,
+        |  o_orderpriority, CAST(NULL AS BOOLEAN) AS flag
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "cat_catalog" ->
+      """SELECT * FROM (VALUES
+        |  ('spark_catalog', 'graft_cat', 't1', 'table', 'r_regionkey', 1, 'integer'),
+        |  ('spark_catalog', 'graft_cat', 't1', 'table', 'r_name', 2, 'varchar'),
+        |  ('spark_catalog', 'graft_cat', 'v1', 'view', 'r_regionkey', 1, 'integer'))
+        |  t(table_database, table_schema, table_name, table_type,
+        |    column_name, column_index, column_type)
+        |ORDER BY table_schema, table_name, column_index""".stripMargin,
+
+    "cat_catalog_relations" ->
+      """SELECT * FROM (VALUES
+        |  ('spark_catalog', 'graft_cat2', 't2', 'table', 'r_regionkey', 1, 'integer'),
+        |  ('spark_catalog', 'graft_cat2', 't2', 'table', 'r_name', 2, 'varchar'))
+        |  t(table_database, table_schema, table_name, table_type,
+        |    column_name, column_index, column_type)
+        |ORDER BY table_schema, table_name, column_index""".stripMargin,
+
+    "cat_comments" ->
+      """SELECT * FROM (VALUES
+        |  ('__table__', 'demo table'), ('r_regionkey', 'pk'))
+        |  t(item, comment)
+        |ORDER BY item""".stripMargin,
+
+    "cat_grants" ->
+      """SELECT * FROM (VALUES
+        |  ('select', 'alice'), ('select', 'carol'))
+        |  t(privilege, grantee)
+        |ORDER BY privilege, grantee""".stripMargin,
   ) ++ llmOracles
 
   // ------------------------------------------------------------------
@@ -662,11 +1011,6 @@ object SparkEntry {
     s"list_reduce(list_prepend(0::BIGINT, list_transform(" +
       s"list_filter(string_split($e, ''), c -> c != ''), " +
       s"c -> ascii(c)::BIGINT)), (a, x) -> (a*31 + x) % 2147483647)"
-
-  /** Scala-side replica of the rolling hash (for precomputing the LSH
-    * hyperplane constants embedded in the sim_lsh_topk oracle). */
-  private def rollScala(s: String): Long =
-    s.foldLeft(0L)((a, c) => (a * 31 + c.toLong) % 2147483647L)
 
   /** Whitespace tokens, empties dropped. */
   private def toksSql(e: String): String =
@@ -687,14 +1031,18 @@ object SparkEntry {
   private def cosSql(a: String, b: String): String =
     s"round(${dotSql(a, b)} / sqrt(${dotSql(a, a)} * ${dotSql(b, b)}), 6)"
 
-  /** 16 minhash signature exprs over a shingle-list column `shl`. */
-  private val minhashSqls: Seq[String] = (0 until 16).map(i =>
-    s"list_min(list_transform(shl, s -> substr(md5('$i:' || s), 1, 8)))")
+  /** 16 minhash aggregate exprs over a shingle-hash column `h`: integer
+    * mixes (a_i·h + b_i) mod p of ONE rolling hash per shingle — the
+    * constants come from Dedup.mixA/mixB so Spark and oracle share them. */
+  private val minhashAggSqls: Seq[String] = (0 until 16).map(i =>
+    s"min((h * ${Dedup.mixA(i)} + ${Dedup.mixB(i)}) % ${Dedup.MinhashPrime}) AS mh$i")
 
-  /** Band keys from a 16-element mh list, 4 bands of 4. */
+  /** Band keys from the mh0..mh15 aggregate columns, 4 bands of 4
+    * (mirrors Dedup.minhashCandidates' band construction). */
   private val bandListSql: String = {
     val bands = (0 until 4).map { b =>
-      val parts = (0 until 4).map(r => s"mh[${b * 4 + r + 1}]").mkString(" || '|' || ")
+      val parts = (0 until 4).map(r => s"CAST(mh${b * 4 + r} AS VARCHAR)")
+        .mkString(" || '|' || ")
       s"'$b:' || md5($parts)"
     }
     bands.mkString("[", ", ", "]")
@@ -706,19 +1054,25 @@ object SparkEntry {
   private val simhashCombineSql: String = (0 until 20).map(j =>
     s"(CASE WHEN v$j > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
 
-  /** Precomputed LSH hyperplane literals: planes(p)(d) =
-    * ((roll("p:d") % 2001) - 1000) / 1000.0 — must match
-    * Similarity.planeComponent exactly. */
-  private def planeLiteral(p: Int): String =
-    (0 until 64).map { d =>
-      val v = (rollScala(s"$p:$d") % 2001 - 1000).toDouble / 1000.0
-      v.toString
-    }.mkString("[", ", ", "]::DOUBLE[]")
+  /** The 4 disjoint 5-bit band keys of a `simhash` column (mirrors
+    * Dedup.simhashPairs' banding). */
+  private val simhashBandsSql: String = {
+    val bits = Dedup.SimHashBits / Dedup.SimHashBands
+    (0 until Dedup.SimHashBands).map { b =>
+      s"'$b:' || CAST((simhash // ${1L << (b * bits)}) % ${1L << bits} AS VARCHAR)"
+    }.mkString("[", ", ", "]")
+  }
 
-  /** Bucket code of list column `v` using the precomputed planes. */
+  /** Precomputed LSH hyperplane literals from Similarity.planeMatrix —
+    * the same matrix the Spark side embeds as typedLit arrays. */
+  private def planeLiteral(p: Int): String =
+    Similarity.planeMatrix(Similarity.Planes, Similarity.Dim)(p)
+      .map(_.toString).mkString("[", ", ", "]::DOUBLE[]")
+
+  /** 16-bit bucket code of list column `v` using the precomputed planes. */
   private def bucketSql(v: String): String =
-    (0 until 8).map { p =>
-      s"(CASE WHEN ${dotSql(v, s"(${planeLiteral(p)})")} > 0 THEN ${1 << p} ELSE 0 END)"
+    (0 until Similarity.Planes).map { p =>
+      s"(CASE WHEN ${dotSql(v, s"(${planeLiteral(p)})")} > 0 THEN ${1L << p} ELSE 0 END)"
     }.mkString("(", " + ", ")")
 
   private val langScoreSqls: String = Seq(
@@ -783,7 +1137,9 @@ object SparkEntry {
         |  UNION ALL SELECT doc_id + 10000, lower(text) FROM documents),
         |w AS (SELECT doc_id, ${toksSql("t")} AS ws FROM u),
         |sh AS (SELECT doc_id, $shingleSql AS shl FROM w),
-        |sig AS (SELECT doc_id, ${minhashSqls.mkString("[", ", ", "]")} AS mh FROM sh),
+        |sx AS (SELECT doc_id, unnest(shl) AS sgl FROM sh),
+        |hx AS (SELECT doc_id, ${rollSql("sgl")} AS h FROM sx),
+        |sig AS (SELECT doc_id, ${minhashAggSqls.mkString(", ")} FROM hx GROUP BY doc_id),
         |bands AS (SELECT doc_id, unnest($bandListSql) AS band FROM sig)
         |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
         |FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
@@ -812,6 +1168,21 @@ object SparkEntry {
         |SELECT doc_id AS doc, ($simhashCombineSql)::BIGINT AS simhash
         |FROM sums ORDER BY doc""".stripMargin,
 
+    "dd_simhash_pairs" ->
+      s"""WITH u AS (SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 10000, text FROM documents),
+        |tok AS (SELECT doc_id, unnest(${toksSql("lower(text)")}) AS tok FROM u),
+        |th AS (SELECT doc_id, ${rollSql("tok")} AS h FROM tok),
+        |sums AS (SELECT doc_id, ${simhashSumSqls.mkString(", ")} FROM th GROUP BY doc_id),
+        |sig AS (SELECT doc_id AS doc, ($simhashCombineSql)::BIGINT AS simhash FROM sums),
+        |banded AS (SELECT doc, simhash, unnest($simhashBandsSql) AS band FROM sig),
+        |cand AS (SELECT DISTINCT a.doc AS id_a, b.doc AS id_b,
+        |    a.simhash AS sh_a, b.simhash AS sh_b
+        |  FROM banded a JOIN banded b ON a.band = b.band AND a.doc < b.doc)
+        |SELECT id_a, id_b, CAST(bit_count(xor(sh_a, sh_b)) AS INTEGER) AS dist
+        |FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 3
+        |ORDER BY id_a, id_b""".stripMargin,
+
     "dd_cosine_pairs" ->
       s"""WITH pairs AS (SELECT a.vec_id AS id_a, a.vec_id + 1 AS id_b
         |  FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
@@ -831,10 +1202,29 @@ object SparkEntry {
         |ORDER BY query_id, rank""".stripMargin,
 
     "sim_lsh_topk" ->
+      // multi-probe radius 2 == all corpus buckets within hamming 2 of
+      // the query's bucket (the Spark side explodes the probe list; the
+      // popcount join is the set-equivalent formulation)
       s"""WITH c AS (SELECT vec_id, embedding AS cv, ${bucketSql("embedding")} AS bucket FROM embeddings),
-        |q AS (SELECT vec_id AS query_id, cv AS qv, bucket FROM c WHERE vec_id < 5),
+        |q AS (SELECT vec_id AS query_id, cv AS qv, bucket AS qbucket FROM c WHERE vec_id < 5),
         |scored AS (SELECT query_id, c.vec_id, ${cosSql("qv", "cv")} AS cos
-        |  FROM c JOIN q USING (bucket) WHERE query_id != c.vec_id),
+        |  FROM c JOIN q ON bit_count(xor(c.bucket, q.qbucket)) <= 2
+        |  WHERE query_id != c.vec_id),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank FROM scored)
+        |SELECT query_id, vec_id, cos, rank FROM r WHERE rank <= 10
+        |ORDER BY query_id, rank""".stripMargin,
+
+    "sim_ivf_topk" ->
+      // nlist=32 cells = 16-bit bucket mod 32; probes = the query's own
+      // cell plus each single-plane flip, deduplicated after the modulo
+      s"""WITH c AS (SELECT vec_id, embedding AS cv, ${bucketSql("embedding")} % 32 AS cell FROM embeddings),
+        |q0 AS (SELECT vec_id AS query_id, embedding AS qv, ${bucketSql("embedding")} AS qb FROM embeddings WHERE vec_id < 5),
+        |q AS (SELECT query_id, qv, list_distinct(list_transform(
+        |  [0${(0 until Similarity.Planes).map(i => s", ${1L << i}").mkString}],
+        |  m -> xor(qb, m) % 32)) AS cells FROM q0),
+        |scored AS (SELECT query_id, c.vec_id, ${cosSql("qv", "cv")} AS cos
+        |  FROM c JOIN q ON list_contains(q.cells, c.cell)
+        |  WHERE query_id != c.vec_id),
         |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank FROM scored)
         |SELECT query_id, vec_id, cos, rank FROM r WHERE rank <= 10
         |ORDER BY query_id, rank""".stripMargin,

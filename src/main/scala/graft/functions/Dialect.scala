@@ -158,6 +158,10 @@ object Dialect {
   /** utils/timestamps.sql:1-3. */
   def currentTimestampCol(): Column = current_timestamp()
 
+  /** impl.py:47-49 — `date_function()` → `datenow()`: the adapter's
+    * current-date macro. */
+  def dateNow(): Column = current_date()
+
   /** utils/timestamps.sql:5-8 — `timestamp '<s>'` literal. */
   def snapshotStringAsTime(ts: String): Column = lit(ts).cast(TimestampType)
 

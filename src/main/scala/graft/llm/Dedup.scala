@@ -49,12 +49,31 @@ object Dedup {
   // MinHash + LSH banding
   // -------------------------------------------------------------------
 
-  /** One minhash value: min over shingles of the first 8 md5 hex chars of
-    * "<i>:<shingle>". String-min over fixed-width lowercase hex ==
-    * numeric min — and both engines agree on md5. */
+  /** Modulus for the minhash mixers (2^31 - 1, prime). */
+  val MinhashPrime = 2147483647L
+
+  /** Multiplier/offset of minhash function i, derived from the rolling
+    * hash of "a:i"/"b:i" — a deterministic, engine-portable formula
+    * evaluated ONCE driver-side and embedded as literals. Multiplier is
+    * forced non-zero. */
+  def mixA(i: Int): Long =
+    (TextAnalysis.rollLocal(s"a:$i") % (MinhashPrime - 1)) + 1
+  def mixB(i: Int): Long = TextAnalysis.rollLocal(s"b:$i") % MinhashPrime
+
+  /** Minhash value i over a shingle-hash column: (a_i·h + b_i) mod p.
+    * Each shingle is rolling-hashed ONCE; the k signature values are
+    * integer mixes of that one hash — k× cheaper than the former
+    * k-md5-calls-per-shingle form. a·h + b ≤ (p-1)² + p < 2^63: no
+    * overflow in either engine. */
+  def minhashMix(h: Column, i: Int): Column =
+    (h * lit(mixA(i)) + lit(mixB(i))) % lit(MinhashPrime)
+
+  /** One minhash value from a shingle array (per-row expression form —
+    * prefer [[minhashSignature]], which hashes each shingle once across
+    * all k functions). */
   def minhash(shingleArr: Column, i: Int): Column =
     array_min(transform(shingleArr,
-      s => substring(md5(concat(lit(s"$i:"), s)), 1, 8)))
+      s => minhashMix(TextAnalysis.tokenHash(s), i)))
 
   /** k minhash signature values. */
   def signature(shingleArr: Column, k: Int): Seq[Column] =
@@ -67,24 +86,24 @@ object Dedup {
     val r = k / bands
     array((0 until bands).map { b =>
       concat(lit(s"$b:"),
-        md5(concat_ws("|", sig.slice(b * r, (b + 1) * r): _*)))
+        md5(concat_ws("|",
+          sig.slice(b * r, (b + 1) * r).map(_.cast(StringType)): _*)))
     }: _*)
   }
 
   /** k-value minhash signature as columns mh0..mh{k-1}, computed the
-    * scalable way: explode shingles once, hash each shingle k times, and
-    * min-aggregate per document. The groupBy's partial (map-side) min
-    * means the shuffle carries one k-wide row per document — and the
-    * shingle array expression is evaluated exactly once per document
-    * (array-expression variants re-evaluate it per hash function, which
-    * is a 16× blow-up that Catalyst's projection collapsing makes worse,
-    * not better). */
+    * scalable way: explode shingles once, rolling-hash each shingle ONCE,
+    * and min-aggregate the k integer mixes per document. The groupBy's
+    * partial (map-side) min means the shuffle carries one k-wide row per
+    * document; the per-shingle work is one string hash + k
+    * multiply-add-mods (the former form paid k md5 calls per shingle —
+    * VERDICT r1 hot spot). */
   def minhashSignature(df: DataFrame, id: String, text: String,
                        n: Int, k: Int): DataFrame = {
     val sh = df.select(col(id).as("doc"),
-      explode(shingles(col(text), n)).as("sh"))
-    val aggs = (0 until k).map(i =>
-      min(substring(md5(concat(lit(s"$i:"), col("sh"))), 1, 8)).as(s"mh$i"))
+        explode(shingles(col(text), n)).as("sh"))
+      .select(col("doc"), TextAnalysis.tokenHash(col("sh")).as("h"))
+    val aggs = (0 until k).map(i => min(minhashMix(col("h"), i)).as(s"mh$i"))
     sh.groupBy("doc").agg(aggs.head, aggs.tail: _*)
   }
 
@@ -100,7 +119,8 @@ object Dedup {
     val sig = minhashSignature(df, id, text, n, k)
     val bandCols = (0 until bands).map { b =>
       concat(lit(s"$b:"),
-        md5(concat_ws("|", (b * r until (b + 1) * r).map(i => col(s"mh$i")): _*)))
+        md5(concat_ws("|", (b * r until (b + 1) * r)
+          .map(i => col(s"mh$i").cast(StringType)): _*)))
     }
     val keyed = sig.select(col("doc"), explode(array(bandCols: _*)).as("band"))
     val a = keyed.alias("a")
@@ -165,13 +185,63 @@ object Dedup {
     sums.select(col("doc"), sig.as("simhash"))
   }
 
-  /** Hamming distance between two SimHash signatures (bit-arithmetic,
-    * portable: sum over j of xor of extracted bits). */
+  /** Hamming distance between two SimHash signatures: popcount of the
+    * XOR (signatures are nonnegative, so bit_count agrees across
+    * engines). */
   def hamming(a: Column, b: Column): Column =
-    (0 until SimHashBits).map { j =>
-      abs((a.cast(LongType) / lit(1L << j)).cast(LongType) % 2 -
-          (b.cast(LongType) / lit(1L << j)).cast(LongType) % 2)
-    }.reduce(_ + _)
+    bit_count(a.cast(LongType).bitwiseXOR(b.cast(LongType)))
+      .cast(IntegerType)
+
+  val SimHashBands = 4
+
+  /** SimHash near-dup pairs at scale: banded hamming join run in
+    * DISTINCT-SIGNATURE space.
+    *
+    * Templated corpora concentrate many documents onto few signatures
+    * (sf0.1: 10,000 docs → 1,758 signatures), so the quadratic part —
+    * the banded self-join — runs over distinct signatures only, and doc
+    * pairs are re-expanded with two linear joins afterwards. Banding:
+    * the signature splits into [[SimHashBands]] disjoint bit slices; by
+    * pigeonhole any pair within hamming distance < bands shares at least
+    * one slice, so candidate signature pairs come from equi-joins on the
+    * slice value (never all-pairs), with the exact popcount verify inside
+    * the join condition. Completeness requires
+    * maxHamming < SimHashBands (default 3 < 4). */
+  def simhashPairs(df: DataFrame, id: String, text: String,
+                   maxHamming: Int = 3): DataFrame = {
+    require(maxHamming < SimHashBands,
+      s"banded search complete only for maxHamming < $SimHashBands")
+    val bits = SimHashBits / SimHashBands
+    val sig = simhash(df, id, text) // (doc, simhash)
+
+    val sigs = sig.select(col("simhash")).distinct()
+    val bandCols = (0 until SimHashBands).map { b =>
+      concat(lit(s"$b:"),
+        ((col("simhash") / lit(1L << (b * bits))).cast(LongType)
+          % lit(1L << bits)).cast(StringType))
+    }
+    val banded = sigs.select(col("simhash"),
+      explode(array(bandCols: _*)).as("band"))
+    val sigPairs = banded.alias("x").join(banded.alias("y"),
+        col("x.band") === col("y.band") &&
+          col("x.simhash") < col("y.simhash") &&
+          hamming(col("x.simhash"), col("y.simhash")) <= maxHamming)
+      .select(col("x.simhash").as("sa"), col("y.simhash").as("sb"))
+      .distinct()
+
+    // expansion back to doc pairs: linear in output size
+    val da = sig.select(col("doc").as("doc_a"), col("simhash").as("sa"))
+    val db = sig.select(col("doc").as("doc_b"), col("simhash").as("sb"))
+    val cross = sigPairs.join(da, "sa").join(db, "sb")
+      .select(least(col("doc_a"), col("doc_b")).as("id_a"),
+        greatest(col("doc_a"), col("doc_b")).as("id_b"),
+        hamming(col("sa"), col("sb")).as("dist"))
+    val same = sig.alias("p").join(sig.alias("q"),
+        col("p.simhash") === col("q.simhash") && col("p.doc") < col("q.doc"))
+      .select(col("p.doc").as("id_a"), col("q.doc").as("id_b"),
+        lit(0).cast(IntegerType).as("dist"))
+    same.unionByName(cross)
+  }
 
   // -------------------------------------------------------------------
   // embedding-cosine near-dup

@@ -37,13 +37,20 @@ object TextAnalysis {
       lit(0L),
       (acc, x) => (acc * 31 + x.cast(LongType)) % lit(2147483647L))
 
-  /** Rolling hash of a single token (same recurrence) — shared by SimHash
-    * and the LSH hyperplanes. */
+  /** Rolling hash of a single token (same recurrence) — shared by SimHash,
+    * MinHash shingle hashing, and the LSH hyperplanes. */
   def tokenHash(tok: Column): Column =
     aggregate(
       transform(filter(split(tok, ""), c => c =!= ""), c => ascii(c)),
       lit(0L),
       (acc, x) => (acc * 31 + x.cast(LongType)) % lit(2147483647L))
+
+  /** Driver-side replica of [[tokenHash]]/[[fingerprint]] — used to
+    * precompute deterministic constants (LSH planes, minhash mixers) that
+    * are then embedded as literals in both the Spark plan and the oracle
+    * SQL. */
+  def rollLocal(s: String): Long =
+    s.foldLeft(0L)((a, c) => (a * 31 + c.toLong) % 2147483647L)
 
   // -------------------------------------------------------------------
   // language ID — n-gram/marker heuristic

@@ -73,6 +73,34 @@ final class CatalogOps(spark: SparkSession) {
       .orderBy($"table_schema", $"table_name", $"column_index")
   }
 
+  /** get_catalog_relations — the by-relation variant (catalog.sql:23-42,
+    * 90-121, 151-175): same per-column rows as [[getCatalog]] but filtered
+    * to an explicit relation list (dbt passes one on every docs generate).
+    * The reference pushes `(table_schema, table_name)` pairs into the
+    * information_schema WHERE clause (catalog.sql:151-175); here the
+    * filter applies before any column introspection, so only the listed
+    * relations are described. Matching is case-insensitive
+    * (relation.py:11-13). */
+  def getCatalogRelations(relations: Seq[Relation]): DataFrame = {
+    import spark.implicits._
+    val wanted = relations.map(r =>
+      (r.schema.map(_.toLowerCase), r.identifier.toLowerCase)).toSet
+    val bySchema = relations.flatMap(_.schema).distinct
+    val rows = for {
+      schema <- bySchema
+      rel <- listRelations(schema)
+      if wanted.contains((rel.schema.map(_.toLowerCase),
+        rel.identifier.toLowerCase)) ||
+        wanted.contains((None, rel.identifier.toLowerCase))
+      (c, i) <- getColumnsInRelation(rel).zipWithIndex
+    } yield (rel.catalog.getOrElse("spark_catalog"),
+      rel.schema.getOrElse(schema), rel.identifier, rel.relType.name,
+      c.name, i + 1, c.declaredType)
+    rows.toDF("table_database", "table_schema", "table_name", "table_type",
+      "column_name", "column_index", "column_type")
+      .orderBy($"table_schema", $"table_name", $"column_index")
+  }
+
   // ---- comments (adapters.sql:196-211) ----
 
   def setTableComment(rel: Relation, comment: String): Unit =

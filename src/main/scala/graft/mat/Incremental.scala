@@ -77,6 +77,14 @@ object Incremental {
     * `updateColumns` is empty, all non-key columns update, minus
     * `excludeColumns`.
     *
+    * `predicates` are the `incremental_predicates` config
+    * (incremental.sql:152-153): extra conjuncts AND-ed into the MERGE ON
+    * condition. A target row whose key matches but fails a predicate is NOT
+    * matched — it passes through unmodified — and its staged twin inserts
+    * as a new row, exactly as SQL MERGE with a composite ON would do.
+    * Predicates reference the two sides via the aliases `t` (target,
+    * DBT_INTERNAL_DEST) and `s` (staged, DBT_INTERNAL_SOURCE).
+    *
     * No unique key → degenerate insert (incremental.sql:198-204).
     *
     * Rewrite: matched rows = inner join taking update cols from staged and
@@ -89,7 +97,8 @@ object Incremental {
       staged: DataFrame,
       uniqueKeys: Seq[String],
       updateColumns: Seq[String] = Nil,
-      excludeColumns: Seq[String] = Nil): DataFrame = {
+      excludeColumns: Seq[String] = Nil,
+      predicates: Seq[Column] = Nil): DataFrame = {
     val cols = target.columns.toIndexedSeq
     val stagedAligned = staged.select(cols.map(col): _*)
     if (uniqueKeys.isEmpty)
@@ -102,8 +111,8 @@ object Incremental {
     }
     val tAlias = target.alias("t")
     val sAlias = stagedAligned.alias("s")
-    val onCond = uniqueKeys.map(k => col(s"t.$k") === col(s"s.$k"))
-      .reduce(_ && _)
+    val onCond = (uniqueKeys.map(k => col(s"t.$k") === col(s"s.$k")) ++
+      predicates).reduce(_ && _)
 
     val matchedUpdated = tAlias.join(sAlias, onCond, "inner")
       .select(cols.map { c =>

@@ -168,7 +168,8 @@ final class Materializer(spark: SparkSession) {
       strategy: String = "append",
       uniqueKeys: Seq[String] = Nil,
       onSchemaChange: String = "ignore",
-      fullRefresh: Boolean = false): Unit = {
+      fullRefresh: Boolean = false,
+      predicates: Seq[org.apache.spark.sql.Column] = Nil): Unit = {
     val name = rel.render
     val exists = spark.catalog.tableExists(name)
     if (!exists || fullRefresh) {
@@ -182,8 +183,9 @@ final class Materializer(spark: SparkSession) {
       case "append" => Incremental.append(target, staged)
       case "delete+insert" =>
         if (uniqueKeys.isEmpty) Incremental.append(target, staged)
-        else Incremental.deleteInsert(target, staged, uniqueKeys)
-      case "merge" => Incremental.merge(target, staged, uniqueKeys)
+        else Incremental.deleteInsert(target, staged, uniqueKeys, predicates)
+      case "merge" =>
+        Incremental.merge(target, staged, uniqueKeys, predicates = predicates)
       case other =>
         throw new IllegalArgumentException(
           s"invalid incremental strategy: $other") // impl.py:80-81

@@ -102,6 +102,78 @@ object Snapshot {
     }
   }
 
+  /** First-run snapshot under the `check_cols` strategy: there is no
+    * source `updated_at`, so validity starts at the snapshot time `now`
+    * and the row identity hashes the keys plus `now`. */
+  def initialCheck(source: DataFrame, keys: Seq[String],
+                   now: Column): DataFrame =
+    source
+      .withColumn("dbt_scd_id", scdId(keys.map(col), now))
+      .withColumn("dbt_updated_at", now.cast("timestamp"))
+      .withColumn("dbt_valid_from", now.cast("timestamp"))
+      .withColumn("dbt_valid_to", lit(null).cast("timestamp"))
+
+  /** Stage changes under dbt's `check_cols` strategy: a row changed iff
+    * ANY checked column differs null-safely (`<=>`) from the open
+    * snapshot row. Versions are timestamped with the snapshot time `now`
+    * (dbt's check strategy has no source updated_at). Output schema
+    * matches [[stage]]. */
+  def stageCheck(
+      snapshot: DataFrame,
+      source: DataFrame,
+      keys: Seq[String],
+      checkCols: Seq[String],
+      now: Column,
+      invalidateHardDeletes: Boolean = false): DataFrame = {
+    require(checkCols.nonEmpty, "check_cols strategy needs columns to check")
+    val open = snapshot.filter(col("dbt_valid_to").isNull)
+      .select((keys.map(col) ++
+        checkCols.map(c => col(c).as(s"__snap_$c")) :+
+        col("dbt_scd_id").as("__snap_scd_id")): _*)
+
+    val src = source
+      .withColumn("dbt_scd_id", scdId(keys.map(col), now))
+      .withColumn("dbt_updated_at", now.cast("timestamp"))
+      .withColumn("dbt_valid_from", now.cast("timestamp"))
+      .withColumn("dbt_valid_to", lit(null).cast("timestamp"))
+
+    val joined = src.join(open, keys, "left_outer")
+    val differs = checkCols.map(c => !(col(c) <=> col(s"__snap_$c")))
+      .reduce(_ || _)
+
+    val inserts = joined.filter(col("__snap_scd_id").isNull)
+      .withColumn("dbt_change_type", lit("insert"))
+    val newVersions = joined
+      .filter(col("__snap_scd_id").isNotNull && differs)
+      .withColumn("dbt_change_type", lit("insert"))
+    val updates = joined
+      .filter(col("__snap_scd_id").isNotNull && differs)
+      .withColumn("dbt_scd_id", col("__snap_scd_id"))
+      .withColumn("dbt_valid_to", now.cast("timestamp"))
+      .withColumn("dbt_change_type", lit("update"))
+
+    val dropCols = checkCols.map(c => s"__snap_$c") :+ "__snap_scd_id"
+    val base = inserts.unionByName(newVersions).unionByName(updates)
+      .drop(dropCols: _*)
+
+    if (!invalidateHardDeletes) base
+    else {
+      val gone = snapshot.filter(col("dbt_valid_to").isNull)
+        .join(source.select(keys.map(col): _*).distinct(), keys, "left_anti")
+        .withColumn("dbt_valid_to", now.cast("timestamp"))
+        .withColumn("dbt_change_type", lit("delete"))
+      base.unionByName(gone.select(base.columns.map(col).toIndexedSeq: _*))
+    }
+  }
+
+  /** Full `check_cols` snapshot step: stage + apply. */
+  def runCheck(snapshot: DataFrame, source: DataFrame, keys: Seq[String],
+               checkCols: Seq[String], now: Column,
+               invalidateHardDeletes: Boolean = false): DataFrame =
+    applyChanges(snapshot,
+      stageCheck(snapshot, source, keys, checkCols, now,
+        invalidateHardDeletes))
+
   /** snapshot.sql:13-34 — the MERGE applier:
     * {{{
     * MERGE INTO snapshot d USING staged s ON d.dbt_scd_id = s.dbt_scd_id
