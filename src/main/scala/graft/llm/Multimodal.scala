@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -73,23 +73,37 @@ object Multimodal {
     }
   }
 
+  /** Encoder-side row types for the typed mapPartitions (kept static so
+    * the case-class Encoders resolve). */
+  final case class MediaRow(media_id: Long, media_type: String,
+                            payload: Array[Byte], n_bytes: Long)
+  final case class DecodedRow(media_id: Long, media_type: String,
+                              n_bytes: Long, width: Int, height: Int,
+                              n_frames: Int, checksum: Long)
+
   /** Decode/feature-extract over partition-local batches. The iterator is
     * grouped into [[BatchSize]] chunks so a vectorized decoder can process
-    * a batch at a time (the Scala analogue of a `mapInPandas` batch). */
+    * a batch at a time (the Scala analogue of a `mapInPandas` batch).
+    *
+    * Typed `Dataset.mapPartitions` with case-class Encoders — rows stay
+    * in Tungsten binary form and the operator composes inside the plan
+    * (the former `.rdd.mapPartitions` detour dropped codegen and AQE
+    * statistics for everything downstream). */
   def decodeFeatures(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
-    val out = media.select("media_id", "media_type", "payload", "n_bytes")
-      .rdd.mapPartitions { it =>
+    import spark.implicits._
+    media.select("media_id", "media_type", "payload", "n_bytes")
+      .as[MediaRow]
+      .mapPartitions { it =>
         it.grouped(BatchSize).flatMap { batch =>
           // per-batch decoder setup would happen here (model load, codec init)
-          batch.iterator.map { r =>
-            val (w, h, f, cs) = FakeDecoder.decode(
-              r.getString(1), r.getAs[Array[Byte]](2))
-            Row(r.getLong(0), r.getString(1), r.getLong(3), w, h, f, cs)
+          batch.iterator.map { m =>
+            val (w, h, f, cs) = FakeDecoder.decode(m.media_type, m.payload)
+            DecodedRow(m.media_id, m.media_type, m.n_bytes, w, h, f, cs)
           }
         }
       }
-    spark.createDataFrame(out, DecodedSchema)
+      .toDF()
   }
 
   /** Frame-sampling shape for video: emit every `stride`-th frame index as

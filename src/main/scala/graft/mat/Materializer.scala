@@ -133,22 +133,53 @@ final class Materializer(spark: SparkSession) {
   def seed(rel: Relation, csvPath: String,
            columnTypes: Map[String, String] = Map.empty): Unit = {
     val raw = spark.read.option("header", "true").csv(csvPath)
-    // infer per-column from the raw string values (distributed scan, one
-    // small aggregate per column — seeds are small by definition)
-    val sampled = raw.limit(10000).collect()
+    val inferred = inferSeedTypes(raw)
     val typed = raw.schema.fieldNames.foldLeft(raw) { (df, c) =>
       val declared = columnTypes.get(c).map(ColumnModel.translateLabel)
-        .getOrElse {
-          val values = sampled.map { r =>
-            val i = r.fieldIndex(c)
-            if (r.isNullAt(i)) null else r.getString(i)
-          }.toSeq
-          ColumnModel.inferSeedType(values)
-        }
+        .getOrElse(inferred(c))
       df.withColumn(c, df(c).cast(ColumnModel.toSparkType(declared)))
     }
     dropRelation(rel)
     typed.write.saveAsTable(rel.render)
+  }
+
+  /** Distributed seed type inference: ONE aggregate pass over the whole
+    * CSV computing, per column, the non-null count plus an all-match flag
+    * per agate value class — no rows ever reach the driver (seeds are
+    * small by contract, but the plan scales regardless). Decision rules
+    * identical to ColumnModel.inferSeedType (impl.py:52-66). */
+  def inferSeedTypes(raw: org.apache.spark.sql.DataFrame)
+      : Map[String, String] = {
+    import org.apache.spark.sql.functions._
+    val fields = raw.schema.fieldNames.toIndexedSeq
+    if (fields.isEmpty) return Map.empty
+    val classes = Seq(
+      "bool" -> Seq(ColumnModel.SeedBoolRe),
+      "int" -> Seq(ColumnModel.SeedIntRe),
+      "num" -> Seq(ColumnModel.SeedIntRe, ColumnModel.SeedNumRe),
+      "date" -> Seq(ColumnModel.SeedDateRe),
+      "ts" -> Seq(ColumnModel.SeedTsRe, ColumnModel.SeedDateRe))
+    val aggs = fields.flatMap { c =>
+      val present = col(c).isNotNull && col(c) =!= ""
+      count(when(present, 1)).as(s"${c}__n") +: classes.map { case (k, res) =>
+        val m = res.map(re => col(c).rlike(re)).reduce(_ || _)
+        coalesce(bool_and(when(present, m)), lit(true)).as(s"${c}__$k")
+      }
+    }
+    val r = raw.agg(aggs.head, aggs.tail: _*).head()
+    fields.map { c =>
+      val n = r.getAs[Long](s"${c}__n")
+      def ok(k: String) = r.getAs[Boolean](s"${c}__$k")
+      val t =
+        if (n == 0) "VARCHAR"
+        else if (ok("bool")) "BOOLEAN"
+        else if (ok("int")) "INTEGER"
+        else if (ok("num")) "DOUBLE"
+        else if (ok("date")) "DATE"
+        else if (ok("ts")) "TIMESTAMP"
+        else "VARCHAR"
+      c -> t
+    }.toMap
   }
 
   // ------------------------------------------------------------------

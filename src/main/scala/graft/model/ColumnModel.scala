@@ -146,23 +146,26 @@ object ColumnModel {
     *
     * Input: the column's raw string values (as a CSV reader sees them).
     */
+  // anchored value-class patterns shared by the local and the
+  // distributed (Materializer.inferSeedTypes) inference paths
+  val SeedIntRe = """^-?\d+$"""
+  val SeedNumRe = """^-?\d+\.\d+([eE][+-]?\d+)?$"""
+  val SeedDateRe = """^\d{4}-\d{2}-\d{2}$"""
+  val SeedTsRe = """^\d{4}-\d{2}-\d{2}[T ]\d{2}:\d{2}(:\d{2}(\.\d+)?)?$"""
+  val SeedBoolRe = """^(?i)(true|false)$"""
+
   def inferSeedType(values: Seq[String]): String = {
     val present = values.filter(v => v != null && v.nonEmpty)
     if (present.isEmpty) return "VARCHAR"
-    def all(p: String => Boolean) = present.forall(p)
-    val intRe = """^-?\d+$""".r
-    val numRe = """^-?\d+\.\d+([eE][+-]?\d+)?$""".r
-    val dateRe = """^\d{4}-\d{2}-\d{2}$""".r
-    val tsRe = """^\d{4}-\d{2}-\d{2}[T ]\d{2}:\d{2}(:\d{2}(\.\d+)?)?$""".r
-    val boolRe = """^(?i)(true|false)$""".r
-    if (all(v => boolRe.matches(v))) "BOOLEAN"
-    else if (all(v => intRe.matches(v))) "INTEGER"
-    else if (all(v => intRe.matches(v) || numRe.matches(v))) {
+    def all(re: String*) = present.forall(v => re.exists(v.matches))
+    if (all(SeedBoolRe)) "BOOLEAN"
+    else if (all(SeedIntRe)) "INTEGER"
+    else if (all(SeedIntRe, SeedNumRe)) {
       // agate Number + MaxPrecision>0 → DOUBLE (impl.py:55-60)
       "DOUBLE"
     }
-    else if (all(v => dateRe.matches(v))) "DATE"
-    else if (all(v => tsRe.matches(v) || dateRe.matches(v))) "TIMESTAMP"
+    else if (all(SeedDateRe)) "DATE"
+    else if (all(SeedTsRe, SeedDateRe)) "TIMESTAMP"
     else "VARCHAR"
   }
 }

@@ -78,6 +78,44 @@ class IncrementalSpec extends SparkSpec {
     assert(Incremental.merge(target, staged, Nil).count() == 5)
   }
 
+  test("merge incremental_predicates scope the ON condition (incremental.sql:152-153)") {
+    // target: (1,a,10) (2,b,20) (3,c,30); staged id=2 and id=3.
+    // predicate t.amt < 25 → id=2 matches+updates; id=3 fails the
+    // predicate: target row passes through AND staged row inserts.
+    val s2 = Seq((2L, "B2", 22.0), (3L, "C2", 33.0)).toDF("id", "name", "amt")
+    val out = Incremental.merge(target, s2, Seq("id"),
+      predicates = Seq(col("t.amt") < 25)).cache()
+    assert(out.count() == 4)
+    assert(out.filter($"id" === 3L).count() == 2)
+    assert(out.filter($"id" === 2L).head.getString(1) == "B2")
+    assert(out.filter($"id" === 3L && $"name" === "c").count() == 1)
+  }
+
+  test("SCD2 check_cols strategy: changed iff any checked column differs") {
+    val t0v = Seq((1L, "a", "x"), (2L, "b", "y")).toDF("id", "v", "w")
+    val now0 = to_timestamp(lit("2024-01-01 00:00:00"))
+    val now1 = to_timestamp(lit("2024-02-01 00:00:00"))
+    val snap0 = Snapshot.initialCheck(t0v, Seq("id"), now0)
+    assert(snap0.filter($"dbt_valid_to".isNull).count() == 2)
+    // id=1 changes w only; id=2 unchanged; id=3 new
+    val t1v = Seq((1L, "a", "x2"), (2L, "b", "y"), (3L, "c", "z"))
+      .toDF("id", "v", "w")
+    val snap1 = Snapshot.runCheck(snap0, t1v, Seq("id"), Seq("v", "w"),
+      now1).cache()
+    val open = snap1.filter($"dbt_valid_to".isNull).orderBy("id").collect()
+    assert(open.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    assert(open(0).getString(2) == "x2")
+    val closed = snap1.filter($"dbt_valid_to".isNotNull).collect()
+    assert(closed.length == 1 && closed(0).getLong(0) == 1L &&
+      closed(0).getString(2) == "x")
+    // unchanged row keeps its original valid_from
+    assert(open(1).getAs[java.sql.Timestamp]("dbt_valid_from").toString
+      .startsWith("2024-01-01"))
+    // idempotent: same source again stages nothing
+    assert(Snapshot.runCheck(snap1, t1v, Seq("id"), Seq("v", "w"),
+      to_timestamp(lit("2024-03-01 00:00:00"))).count() == snap1.count())
+  }
+
   test("SCD2 snapshot full cycle (snapshot.sql:13-34)") {
     val t0 = Seq((1L, "a", "2024-01-01 00:00:00"),
       (2L, "b", "2024-01-01 00:00:00")).toDF("id", "v", "updated_at")

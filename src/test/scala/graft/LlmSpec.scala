@@ -74,6 +74,35 @@ class LlmSpec extends SparkSpec {
     assert(approx.size <= exact.size)
   }
 
+  test("simhash banded pairs: complete vs brute force, twins at distance 0") {
+    val small = docs.limit(60)
+    val u = small.select($"doc_id", $"text").unionByName(
+      small.select(($"doc_id" + 10000).as("doc_id"), $"text"))
+    val pairs = Dedup.simhashPairs(u, "doc_id", "text").cache()
+    // every (d, d+10000) twin surfaces at distance 0
+    assert(pairs.filter($"id_b" === $"id_a" + 10000 && $"dist" === 0)
+      .count() == 60)
+    // banded search is COMPLETE for maxHamming < bands: equal to all-pairs
+    val sig = Dedup.simhash(u, "doc_id", "text")
+    val a = sig.select($"doc".as("id_a"), $"simhash".as("sa"))
+    val b = sig.select($"doc".as("id_b"), $"simhash".as("sb"))
+    val brute = a.join(b, $"id_a" < $"id_b" &&
+      Dedup.hamming($"sa", $"sb") <= 3).count()
+    assert(pairs.count() == brute)
+  }
+
+  test("IVF top-k: scores agree with exact cosine, self excluded") {
+    val q = emb.filter($"vec_id" < 3)
+    val ivf = Similarity.ivfTopK(emb, q, "vec_id", "embedding", 5).cache()
+    assert(ivf.filter($"query_id" === $"vec_id").count() == 0)
+    val bf = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding",
+        emb.count().toInt)
+      .select($"query_id", $"vec_id", $"cos".as("cos_bf"))
+    val joined = ivf.join(bf, Seq("query_id", "vec_id")).cache()
+    assert(joined.count() == ivf.count())
+    assert(joined.filter($"cos" =!= $"cos_bf").count() == 0)
+  }
+
   test("multimodal decode: deterministic stub features over binary payloads") {
     val media = Multimodal.mediaFromDocuments(docs.limit(30))
     assert(media.schema("payload").dataType.typeName == "binary")

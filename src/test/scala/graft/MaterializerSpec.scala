@@ -124,6 +124,24 @@ class MaterializerSpec extends SparkSpec {
     assert(cat.showGrants(Relation("cat_t")) == Map("select" -> Set("bob")))
   }
 
+  test("get_catalog_relations filters to the relation list (catalog.sql:23-42)") {
+    mat.table(Relation("cr_t1"), Seq((1L, "a")).toDF("id", "name"))
+    mat.table(Relation("cr_t2"), Seq(Tuple1(2L)).toDF("id"))
+    val out = cat.getCatalogRelations(Seq(Relation("default", "cr_t2")))
+    assert(out.select("table_name").distinct().collect()
+      .map(_.getString(0)).toSeq == Seq("cr_t2"))
+    assert(out.count() == 1)
+    assert(out.head.getAs[String]("column_type") == "bigint")
+  }
+
+  test("distributed seed inference matches the local agate rules") {
+    val df = Seq(("1", "1.5", "2024-01-01", "true", "x"),
+        ("2", "2", "2024-01-02 10:00:00", "false", null))
+      .toDF("i", "n", "t", "b", "s")
+    assert(mat.inferSeedTypes(df) == Map("i" -> "INTEGER", "n" -> "DOUBLE",
+      "t" -> "TIMESTAMP", "b" -> "BOOLEAN", "s" -> "VARCHAR"))
+  }
+
   test("rename relation (adapters.sql:188-193)") {
     mat.table(Relation("rn_a"), Seq(Tuple1(1)).toDF("x"))
     mat.dropRelation(Relation("rn_b"))
