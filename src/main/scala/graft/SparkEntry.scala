@@ -470,7 +470,41 @@ object SparkEntry {
         add = Seq(("flag", BooleanType)), remove = Seq("o_orderstatus"))
       graft.mat.SchemaEvolution
         .alterColumnType(altered, "o_orderkey", StringType)
-        .orderBy(length(col("o_orderkey")), col("o_orderkey"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    "mat_contract" -> ((s, dir) => {
+      // create_table_as with enforced contract (adapters.sql:107-124):
+      // matching contract writes; mismatching contract aborts pre-write
+      val m = new graft.mat.Materializer(s)
+      val rel = graft.model.Relation("graft_contract")
+      val df = t(s, dir, "region")
+        .select(col("r_regionkey"), col("r_name"))
+      m.tableWithContract(rel, df, Seq(
+        graft.model.ColumnModel("r_regionkey", "integer"),
+        graft.model.ColumnModel("r_name", "varchar")))
+      val failed =
+        try {
+          m.tableWithContract(rel.withIdentifier("graft_contract_bad"), df,
+            Seq(graft.model.ColumnModel("r_regionkey", "bigint"),
+              graft.model.ColumnModel("r_name", "varchar")))
+          false
+        } catch { case _: IllegalArgumentException => true }
+      s.table("graft_contract")
+        .withColumn("mismatch_rejected", lit(failed))
+        .orderBy(col("r_regionkey"))
+    }),
+
+    "cat_schemas" -> ((s, dir) => {
+      import s.implicits._
+      // list_schemas / check_schema_exists / drop_schema cascade
+      // (adapters.sql:172-185, 214-231)
+      val c = new graft.mat.CatalogOps(s)
+      c.createSchema("graft_sch_a"); c.createSchema("graft_sch_b")
+      c.dropSchema("graft_sch_b")
+      val listed = c.listSchemas().filter(_.startsWith("graft_sch_"))
+      listed.map(n => (n, c.schemaExists(n)))
+        .toDF("schema_name", "still_exists").orderBy($"schema_name")
     }),
 
     "cat_catalog" -> ((s, dir) => {
@@ -991,6 +1025,13 @@ object SparkEntry {
         |  ('__table__', 'demo table'), ('r_regionkey', 'pk'))
         |  t(item, comment)
         |ORDER BY item""".stripMargin,
+
+    "mat_contract" ->
+      """SELECT r_regionkey, r_name, true AS mismatch_rejected
+        |FROM region ORDER BY r_regionkey""".stripMargin,
+
+    "cat_schemas" ->
+      """SELECT 'graft_sch_a' AS schema_name, true AS still_exists""",
 
     "cat_grants" ->
       """SELECT * FROM (VALUES
