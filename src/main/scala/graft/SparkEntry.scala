@@ -680,6 +680,15 @@ object SparkEntry {
       Events.sessions(t(s, dir, "events"))
         .orderBy(col("user_id"), col("sess_start"))),
 
+    "ev_sessions_custom" -> ((s, dir) =>
+      // flatMapGroupsWithState sessionizer (custom-state API); sum_value
+      // omitted: it accumulates doubles in event order, which the
+      // set-semantics oracle can't pin
+      Events.sessionsCustomState(t(s, dir, "events"))
+        .select(col("user_id"), col("sess_start"), col("sess_end"),
+          col("n_events"))
+        .orderBy(col("user_id"), col("sess_start"))),
+
     "ev_props" -> ((s, dir) =>
       Events.withProps(t(s, dir, "events"))
         .select(col("event_id"), col("k"))
@@ -1318,6 +1327,18 @@ object SparkEntry {
         |  max(ts) + INTERVAL 30 MINUTE AS sess_end,
         |  count(*) AS n_events,
         |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM g GROUP BY user_id, grp ORDER BY user_id, sess_start""".stripMargin,
+
+    "ev_sessions_custom" ->
+      """WITH o AS (SELECT user_id, ts,
+        |  CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |    OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) > INTERVAL 30 MINUTE
+        |    THEN 1 ELSE 0 END AS brk FROM events),
+        |g AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |  ROWS UNBOUNDED PRECEDING) AS grp FROM o)
+        |SELECT user_id, min(ts) AS sess_start,
+        |  max(ts) + INTERVAL 30 MINUTE AS sess_end,
+        |  count(*) AS n_events
         |FROM g GROUP BY user_id, grp ORDER BY user_id, sess_start""".stripMargin,
 
     "ev_props" ->

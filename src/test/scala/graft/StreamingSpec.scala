@@ -54,4 +54,37 @@ class StreamingSpec extends SparkSpec {
     val k = Events.withProps(ev).select($"k")
     assert(k.filter($"k".isNull).count() == 0)
   }
+
+  test("custom-state sessionization matches session_window (flatMapGroupsWithState)") {
+    val ev = Tables.load(spark, sf, "events")
+    val builtin = Events.sessions(ev)
+      .select($"user_id", $"sess_start", $"sess_end", $"n_events")
+    val custom = Events.sessionsCustomState(ev)
+      .select($"user_id", $"sess_start", $"sess_end", $"n_events")
+    assert(custom.count() == builtin.count())
+    assert(custom.exceptAll(builtin).count() == 0)
+    assert(builtin.exceptAll(custom).count() == 0)
+  }
+
+  test("streaming dedup drops duplicate event_ids with watermark-bounded state") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-dedup").toString
+    val inDir = java.nio.file.Paths.get(tmp, "in")
+    java.nio.file.Files.createDirectories(inDir)
+    // the same file twice → every event_id arrives twice
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      inDir.resolve("a.parquet"))
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      inDir.resolve("b.parquet"))
+    val stream = Events.readEventStream(spark, inDir.toString)
+    val q = Events.startDedupQuery(stream, s"$tmp/ckpt", s"$tmp/out")
+    q.awaitTermination(120000)
+    val streamed = spark.read.parquet(s"$tmp/out")
+    val expected = Tables.load(spark, sf, "events")
+      .select($"event_id").distinct().count()
+    assert(streamed.select($"event_id").distinct().count() ==
+      streamed.count(), "duplicates survived the streaming dedup")
+    assert(streamed.count() == expected)
+  }
 }
