@@ -30,20 +30,17 @@ object TextAnalysis {
 
   /** Polynomial rolling hash over characters, mod 2^31-1 — the document
     * fingerprint. Pure integer arithmetic → identical in any engine.
-    * fp = foldLeft(chars)(acc -> (acc*31 + codepoint) % 2147483647). */
+    * fp = foldLeft(chars)(acc -> (acc*31 + codepoint) % 2147483647).
+    * Evaluated by the codegen'd [[graft.functions.RollingHash]]
+    * expression (one loop over code units; the HOF formulation
+    * interpreted 4 nested lambdas per row). */
   def fingerprint(text: Column): Column =
-    aggregate(
-      transform(filter(split(text, ""), c => c =!= ""), c => ascii(c)),
-      lit(0L),
-      (acc, x) => (acc * 31 + x.cast(LongType)) % lit(2147483647L))
+    graft.functions.RollingHash(text)
 
   /** Rolling hash of a single token (same recurrence) — shared by SimHash,
     * MinHash shingle hashing, and the LSH hyperplanes. */
   def tokenHash(tok: Column): Column =
-    aggregate(
-      transform(filter(split(tok, ""), c => c =!= ""), c => ascii(c)),
-      lit(0L),
-      (acc, x) => (acc * 31 + x.cast(LongType)) % lit(2147483647L))
+    graft.functions.RollingHash(tok)
 
   /** Driver-side replica of [[tokenHash]]/[[fingerprint]] — used to
     * precompute deterministic constants (LSH planes, minhash mixers) that

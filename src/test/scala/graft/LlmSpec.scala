@@ -129,6 +129,19 @@ class LlmSpec extends SparkSpec {
     assert(byId.filter($"mx" >= $"n_frames").count() == 0)
   }
 
+  test("RollingHash codegen expression matches the HOF recurrence") {
+    import org.apache.spark.sql.types.LongType
+    def hof(c: org.apache.spark.sql.Column) =
+      aggregate(transform(filter(split(c, ""), x => x =!= ""), x => ascii(x)),
+        lit(0L), (acc, x) => (acc * 31 + x.cast(LongType)) % lit(2147483647L))
+    assert(docs.filter(graft.functions.RollingHash($"text") =!= hof($"text"))
+      .count() == 0)
+    // empty string hashes to 0; null in → null out; "a" → 97
+    val edge = Seq(Some(""), None, Some("a")).toDF("s")
+    val r = edge.select(graft.functions.RollingHash($"s").as("h")).collect()
+    assert(r(0).getLong(0) == 0L && r(1).isNullAt(0) && r(2).getLong(0) == 97L)
+  }
+
   test("text analysis: langid marker hit and quality bounds") {
     val d = Seq((0L, "the cat and the dog of the house"),
       (1L, "el perro de la casa que ladra los dias"),
