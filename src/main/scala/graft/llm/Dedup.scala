@@ -109,11 +109,17 @@ object Dedup {
 
   /** Candidate near-dup pairs via MinHash LSH: documents sharing any band
     * key. Returns distinct (id_a, id_b) with id_a < id_b. The self-join
-    * shuffles on the band key only — no quadratic blow-up; hot buckets
-    * (identical boilerplate docs) are bounded by bucket size, the classic
-    * LSH trade. */
+    * shuffles on the band key only — no quadratic blow-up across buckets.
+    *
+    * `maxBucketSize` caps the hot-bucket quadratic: a band bucket with
+    * more than `maxBucketSize` documents is dropped from the candidate
+    * join (its members are near-identical boilerplate that exact dedup
+    * or a dedicated pass should collapse first — emitting its O(n²)
+    * pairs is never what a 100 TB pipeline wants). None = no cap, which
+    * keeps the operator exact (the oracle-checked default). */
   def minhashCandidates(df: DataFrame, id: String, text: String,
-                        n: Int = 3, k: Int = 16, bands: Int = 4)
+                        n: Int = 3, k: Int = 16, bands: Int = 4,
+                        maxBucketSize: Option[Int] = None)
       : DataFrame = {
     val r = k / bands
     val sig = minhashSignature(df, id, text, n, k)
@@ -122,7 +128,18 @@ object Dedup {
         md5(concat_ws("|", (b * r until (b + 1) * r)
           .map(i => col(s"mh$i").cast(StringType)): _*)))
     }
-    val keyed = sig.select(col("doc"), explode(array(bandCols: _*)).as("band"))
+    val keyed0 = sig.select(col("doc"), explode(array(bandCols: _*)).as("band"))
+    val keyed = maxBucketSize match {
+      case None => keyed0
+      case Some(cap) =>
+        // one extra count-agg on the band key; hot buckets never enter
+        // the self-join
+        val sizes = keyed0.groupBy("band")
+          .agg(count(lit(1)).as("__bucket_n"))
+          .filter(col("__bucket_n") <= cap)
+          .select(col("band"))
+        keyed0.join(sizes, Seq("band"), "left_semi")
+    }
     val a = keyed.alias("a")
     val b = keyed.alias("b")
     a.join(b, col("a.band") === col("b.band") &&

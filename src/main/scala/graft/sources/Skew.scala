@@ -1,0 +1,51 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation for extreme single-key hot spots.
+  *
+  * AQE's runtime skew-join already splits oversized SMJ partitions; these
+  * helpers cover the cases it can't: a key so hot that a single reducer
+  * overflows even after splitting, and skewed aggregation state.
+  */
+object Skew {
+
+  /** Salted inner equi-join: the big side gets a deterministic pseudo-
+    * random salt in [0, salts); the small side replicates `salts` times;
+    * the join key becomes (key, salt). Produces exactly the rows of the
+    * plain inner join, but the hot key's rows spread over `salts`
+    * reducers. Trade: small side is materialized `salts`×, so keep
+    * `salts` modest (16-64) and the small side genuinely small. */
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String,
+                 salts: Int = 16): DataFrame = {
+    require(salts > 0)
+    val salted = big.withColumn("__salt",
+      pmod(xxhash64(monotonically_increasing_id()), lit(salts.toLong))
+        .cast("int"))
+    val replicated = small.withColumn("__salt",
+      explode(array((0 until salts).map(lit): _*)))
+    salted.join(replicated, Seq(key, "__salt")).drop("__salt")
+  }
+
+  /** Two-phase (salted) aggregation for re-aggregable functions: phase 1
+    * aggregates on (keys, salt), phase 2 merges the partials. Spark's
+    * hash aggregate already partial-aggregates map-side; this helps when
+    * the FINAL aggregation state per key is itself huge (e.g.
+    * collect-style or distinct-heavy state on a hot key).
+    *
+    * `partials` aggregate the raw rows; `merges` re-aggregate the
+    * partial columns (referenced by their output names). */
+  def saltedAgg(df: DataFrame, keys: Seq[String], salts: Int)(
+      partials: Seq[Column], merges: Seq[Column]): DataFrame = {
+    require(salts > 0 && keys.nonEmpty)
+    val salted = df.withColumn("__salt",
+      pmod(xxhash64(monotonically_increasing_id()), lit(salts.toLong))
+        .cast("int"))
+    val phase1 = salted
+      .groupBy((keys.map(col) :+ col("__salt")): _*)
+      .agg(partials.head, partials.tail: _*)
+    phase1.groupBy(keys.map(col): _*)
+      .agg(merges.head, merges.tail: _*)
+  }
+}

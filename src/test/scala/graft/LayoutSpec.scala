@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.llm.Similarity
+import graft.sources.Layout
+
+class LayoutSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bucketed tables equi-join with no shuffle (co-located SMJ)") {
+    val o = Tables.load(spark, sf, "orders")
+      .select($"o_orderkey", $"o_custkey")
+    val li = Tables.load(spark, sf, "lineitem")
+      .select($"l_orderkey", $"l_quantity")
+    Layout.writeBucketed(o, "bkt_orders", 8, Seq("o_orderkey"))
+    Layout.writeBucketed(li, "bkt_lineitem", 8, Seq("l_orderkey"))
+    // force the join down the SMJ path (broadcast would hide the shuffle)
+    withConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val joined = spark.table("bkt_orders").join(spark.table("bkt_lineitem"),
+        $"o_orderkey" === $"l_orderkey")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed join still shuffles:\n$plan")
+      // and it computes the right thing
+      assert(joined.count() ==
+        o.join(li, $"o_orderkey" === $"l_orderkey").count())
+    }
+  }
+
+  test("IVF cell layout gives partition-pruned probes") {
+    val e = Tables.load(spark, sf, "embeddings")
+    val assigned = Similarity.ivfAssign(e, "vec_id", "embedding", 8)
+    Layout.writePartitioned(assigned, "ivf_cells", Seq("cell"))
+    val probe = spark.table("ivf_cells").filter($"cell" === 3)
+    val scan = probe.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("cell"),
+      s"no partition pruning in:\n$scan")
+    // pruned read returns exactly that cell's rows
+    assert(probe.count() == assigned.filter($"cell" === 3).count())
+  }
+
+  test("salted join equals plain inner join") {
+    val o = Tables.load(spark, sf, "orders").select($"o_custkey", $"o_orderkey")
+    val c = Tables.load(spark, sf, "customer")
+      .select($"c_custkey".as("o_custkey"), $"c_mktsegment")
+    val plain = o.join(c, Seq("o_custkey"))
+    val salted = graft.sources.Skew.saltedJoin(o, c, "o_custkey", salts = 8)
+    assert(salted.count() == plain.count())
+    assert(salted.select("o_custkey", "o_orderkey", "c_mktsegment")
+      .exceptAll(plain.select("o_custkey", "o_orderkey", "c_mktsegment"))
+      .count() == 0)
+  }
+
+  test("salted two-phase aggregation is exact for re-aggregable functions") {
+    val li = Tables.load(spark, sf, "lineitem")
+    val plain = li.groupBy($"l_orderkey")
+      .agg(sum($"l_quantity").as("q"), count(lit(1)).as("n"))
+    val salted = graft.sources.Skew.saltedAgg(li, Seq("l_orderkey"), 8)(
+      partials = Seq(sum($"l_quantity").as("q1"), count(lit(1)).as("n1")),
+      merges = Seq(sum($"q1").as("q"), sum($"n1").as("n")))
+    assert(salted.count() == plain.count())
+    assert(salted.exceptAll(plain).count() == 0)
+  }
+
+  test("minhash hot-bucket cap drops oversized buckets only") {
+    val docs = Tables.load(spark, sf, "documents").limit(40)
+    val u = docs.select($"doc_id", $"text").unionByName(
+      docs.select(($"doc_id" + 10000).as("doc_id"), $"text"))
+    val uncapped = graft.llm.Dedup.minhashCandidates(u, "doc_id", "text")
+    // cap of 1 kills every bucket (every twin pair shares buckets of ≥2)
+    val allCapped = graft.llm.Dedup.minhashCandidates(u, "doc_id", "text",
+      maxBucketSize = Some(1))
+    assert(allCapped.count() == 0)
+    // a generous cap changes nothing
+    val bigCap = graft.llm.Dedup.minhashCandidates(u, "doc_id", "text",
+      maxBucketSize = Some(1000))
+    assert(bigCap.count() == uncapped.count())
+  }
+
+  private def withConf(kv: (String, String))(body: => Unit): Unit = {
+    val (k, v) = kv
+    val old = spark.conf.getOption(k)
+    spark.conf.set(k, v)
+    try body
+    finally old match {
+      case Some(o) => spark.conf.set(k, o)
+      case None => spark.conf.unset(k)
+    }
+  }
+}
