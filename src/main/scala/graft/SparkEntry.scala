@@ -267,6 +267,31 @@ object SparkEntry {
         .orderBy(col("o_custkey"))
     }),
 
+    "q09_cube" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      o.cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec(col("o_totalprice"))).cast(DoubleType).as("total"))
+        .orderBy(col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first)
+    }),
+
+    "q10_sql" -> ((s, dir) => {
+      // the spark.sql text entry path over registered views (EXISTS +
+      // CTE — Catalyst decorrelates the subquery)
+      Tables.registerAll(s, dir)
+      s.sql("""
+        WITH big AS (
+          SELECT o_custkey, count(*) AS n
+          FROM orders WHERE o_totalprice > 100000
+          GROUP BY o_custkey)
+        SELECT c_custkey, c_mktsegment
+        FROM customer
+        WHERE EXISTS (SELECT 1 FROM big
+                      WHERE big.o_custkey = customer.c_custkey AND big.n >= 2)
+        ORDER BY c_custkey""")
+    }),
+
     // ---- incremental strategies as oracle-checked rewrites (SURVEY §2.2) ----
     "inc_append" -> ((s, dir) => {
       val (target, staged) = incFixture(s, dir)
@@ -884,6 +909,24 @@ object SparkEntry {
         |      FROM orders GROUP BY o_custkey) a USING (o_custkey)
         |WHERE CAST(o.o_totalprice AS DECIMAL(18,2)) * a.n_orders > a.sum_price
         |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+
+    "q09_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders
+        |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+
+    "q10_sql" ->
+      """WITH big AS (
+        |  SELECT o_custkey, count(*) AS n
+        |  FROM orders WHERE o_totalprice > 100000
+        |  GROUP BY o_custkey)
+        |SELECT c_custkey, c_mktsegment
+        |FROM customer
+        |WHERE EXISTS (SELECT 1 FROM big
+        |              WHERE big.o_custkey = customer.c_custkey AND big.n >= 2)
+        |ORDER BY c_custkey""".stripMargin,
 
     "inc_append" ->
       s"""$incFixtureSql

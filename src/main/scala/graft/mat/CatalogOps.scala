@@ -32,12 +32,18 @@ final class CatalogOps(spark: SparkSession) {
     * (database, name, schema, type) per relation in a schema. */
   def listRelations(schema: String): Seq[Relation] = {
     if (!spark.catalog.databaseExists(schema)) return Nil
-    spark.catalog.listTables(schema).collect().toIndexedSeq.map { t =>
-      val tpe =
-        if (t.tableType == "VIEW") RelationType.View else RelationType.Table
-      Relation(Option(t.catalog), Option(t.namespace).map(_.mkString(".")),
-        t.name, tpe)
-    }
+    // temp views also appear in listTables(db) but live outside any
+    // schema (empty namespace) — the reference lists a schema's OWN
+    // relations (information_schema.tables), so exclude them
+    spark.catalog.listTables(schema).collect().toIndexedSeq
+      .filterNot(_.isTemporary)
+      .map { t =>
+        val tpe =
+          if (t.tableType == "VIEW") RelationType.View else RelationType.Table
+        Relation(Option(t.catalog),
+          Option(t.namespace).filter(_.nonEmpty).map(_.mkString(".")),
+          t.name, tpe)
+      }
   }
 
   /** list_schemas (adapters.sql:214-220). */
