@@ -121,7 +121,10 @@ object SparkEntry {
           Dialect.dateDiff("month", f, g).as("dd_month"),
           Dialect.dateDiff("day", f, g).as("dd_day"),
           Dialect.dateDiff("week", f, g).as("dd_week"),
-          Dialect.dateDiff("hour", f, g).as("dd_hour"))
+          Dialect.dateDiff("hour", f, g).as("dd_hour"),
+          Dialect.dateDiff("minute", f, g).as("dd_minute"),
+          Dialect.dateDiff("second", f, g).as("dd_second"),
+          Dialect.dateDiff("millisecond", f, g).as("dd_ms"))
         .orderBy(col("l_orderkey"), col("l_linenumber"))
     }),
 
@@ -346,6 +349,23 @@ object SparkEntry {
       Snapshot.run(snap0, v1, Seq("id"), "updated_at")
         .select(col("id"), col("v"), col("dbt_valid_from"), col("dbt_valid_to"))
         .orderBy(col("id"), col("dbt_valid_from"))
+    }),
+
+    "snapshot_hard_delete" -> ((s, dir) => {
+      // invalidate_hard_deletes: keys gone from the source get their open
+      // row closed at the snapshot time
+      val o = t(s, dir, "orders").select(
+        col("o_orderkey").as("id"),
+        col("o_orderstatus").as("v"),
+        col("o_orderdate").cast(TimestampType).as("updated_at"))
+      val now1 = Dialect.snapshotStringAsTime("2021-06-01 00:00:00")
+      val snap0 = Snapshot.initial(o, Seq("id"), "updated_at")
+      val v1 = o.filter(pmod(col("id"), lit(5)) =!= 0) // id%5==0 vanishes
+      Snapshot.run(snap0, v1, Seq("id"), "updated_at",
+          invalidateHardDeletes = true, now = now1)
+        .select(col("id"), col("v"), col("dbt_valid_from"),
+          col("dbt_valid_to"))
+        .orderBy(col("id"))
     }),
 
     "snapshot_scd2_checkcols" -> ((s, dir) => {
@@ -806,7 +826,15 @@ object SparkEntry {
         |           THEN CASE WHEN o_orderdate <= l_shipdate THEN 0 ELSE -1 END
         |           ELSE CASE WHEN o_orderdate <= l_shipdate THEN 1 ELSE 0 END END AS dd_week,
         |  date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE))*24
-        |    + hour(l_shipdate) - hour(o_orderdate) AS dd_hour
+        |    + hour(l_shipdate) - hour(o_orderdate) AS dd_hour,
+        |  (date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE))*24
+        |    + hour(l_shipdate) - hour(o_orderdate))*60
+        |    + minute(l_shipdate) - minute(o_orderdate) AS dd_minute,
+        |  ((date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE))*24
+        |    + hour(l_shipdate) - hour(o_orderdate))*60
+        |    + minute(l_shipdate) - minute(o_orderdate))*60
+        |    + CAST(second(l_shipdate) AS BIGINT) - CAST(second(o_orderdate) AS BIGINT) AS dd_second,
+        |  epoch_ms(l_shipdate) - epoch_ms(o_orderdate) AS dd_ms
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
@@ -977,6 +1005,14 @@ object SparkEntry {
         |FROM target t FULL OUTER JOIN staged s
         |  ON t.o_orderkey = s.o_orderkey AND t.price < 200000
         |ORDER BY o_orderkey, src""".stripMargin,
+
+    "snapshot_hard_delete" ->
+      """WITH o AS (SELECT o_orderkey AS id, o_orderstatus AS v,
+        |                  CAST(o_orderdate AS TIMESTAMP) AS ua FROM orders)
+        |SELECT id, v, ua AS dbt_valid_from,
+        |  CASE WHEN id % 5 = 0 THEN TIMESTAMP '2021-06-01 00:00:00'
+        |       ELSE CAST(NULL AS TIMESTAMP) END AS dbt_valid_to
+        |FROM o ORDER BY id""".stripMargin,
 
     "snapshot_scd2_checkcols" ->
       """WITH o AS (SELECT o_orderkey AS id, o_orderstatus AS v,

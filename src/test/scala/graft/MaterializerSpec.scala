@@ -142,6 +142,44 @@ class MaterializerSpec extends SparkSpec {
       "t" -> "TIMESTAMP", "b" -> "BOOLEAN", "s" -> "VARCHAR"))
   }
 
+  test("profile mapping: timezone, session props, default schema (§1.4)") {
+    import graft.model.Profile
+    val oldTz = spark.conf.get("spark.sql.session.timeZone")
+    val oldDb = spark.catalog.currentDatabase
+    try {
+      Profile.configure(spark, Profile(
+        schema = Some("prof_sch"),
+        sessionProperties = Map("query_max_run_time" -> "4h"),
+        timezone = Some("UTC")))
+      assert(spark.conf.get("spark.sql.session.timeZone") == "UTC")
+      assert(spark.catalog.currentDatabase == "prof_sch")
+      assert(Profile.sessionProperty(spark, "query_max_run_time")
+        .contains("4h"))
+    } finally {
+      spark.conf.set("spark.sql.session.timeZone", oldTz)
+      spark.catalog.setCurrentDatabase(oldDb)
+    }
+  }
+
+  test("exception taxonomy (connections.py:236-258, test_adapter.py:87-116)") {
+    import graft.model.{ConnectError, DatabaseError, Errors, RuntimeError}
+    // bad SQL → DatabaseError (the ProgrammingError class)
+    intercept[DatabaseError] {
+      Errors.translate(spark.sql("SELEKT 1"))
+    }
+    intercept[DatabaseError] {
+      Errors.translate(spark.table("no_such_table_zzz").collect())
+    }
+    // unreachable source → ConnectError
+    intercept[ConnectError] {
+      Errors.translate(spark.read.parquet("/no/such/path/zzz").collect())
+    }
+    // anything else → RuntimeError
+    intercept[RuntimeError] {
+      Errors.translate(throw new IllegalStateException("boom"))
+    }
+  }
+
   test("rename relation (adapters.sql:188-193)") {
     mat.table(Relation("rn_a"), Seq(Tuple1(1)).toDF("x"))
     mat.dropRelation(Relation("rn_b"))
