@@ -207,7 +207,10 @@ final class Materializer(spark: SparkSession) {
       table(rel, model) // incremental.sql:48-66
       return
     }
-    val target = spark.table(name)
+    // incremental.sql:79-81: widen target column types so staged values
+    // fit (decimal precision/scale grow, never shrink), THEN handle
+    // on_schema_change — same order as the reference
+    val target = SchemaEvolution.expandColumnTypes(spark.table(name), model)
     val staged = SchemaEvolution.processSchemaChanges(
       onSchemaChange, target, model)
     val result = strategy match {

@@ -142,6 +142,21 @@ class MaterializerSpec extends SparkSpec {
       "t" -> "TIMESTAMP", "b" -> "BOOLEAN", "s" -> "VARCHAR"))
   }
 
+  test("incremental run widens target decimal types to fit staged (incremental.sql:79-81)") {
+    import org.apache.spark.sql.types._
+    val rel = Relation("inc_widen")
+    mat.dropRelation(rel)
+    val v0 = Seq((1L, BigDecimal("1.50"))).toDF("id", "amt")
+      .select($"id", $"amt".cast(DecimalType(10, 2)).as("amt"))
+    mat.incremental(rel, v0, strategy = "merge", uniqueKeys = Seq("id"))
+    val v1 = Seq((2L, BigDecimal("2.123456"))).toDF("id", "amt")
+      .select($"id", $"amt".cast(DecimalType(18, 6)).as("amt"))
+    mat.incremental(rel, v1, strategy = "merge", uniqueKeys = Seq("id"))
+    val out = spark.table("inc_widen")
+    assert(out.schema("amt").dataType == DecimalType(18, 6))
+    assert(out.count() == 2)
+  }
+
   test("profile mapping: timezone, session props, default schema (§1.4)") {
     import graft.model.Profile
     val oldTz = spark.conf.get("spark.sql.session.timeZone")
