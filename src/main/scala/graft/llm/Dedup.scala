@@ -266,12 +266,10 @@ object Dedup {
 
   /** Cosine similarity of two float-vector columns, accumulated in double
     * element-by-element in index order (deterministic, engine-portable),
-    * rounded to 6 places. */
+    * rounded to 6 places. The dots are the codegen'd
+    * [[graft.functions.DotProduct]] loop. */
   def cosine(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column): Column =
-      aggregate(zip_with(x, y,
-        (p, q) => p.cast(DoubleType) * q.cast(DoubleType)),
-        lit(0.0), (acc, v) => acc + v)
+    def dot(x: Column, y: Column): Column = graft.functions.DotProduct(x, y)
     round(dot(a, b) / sqrt(dot(a, a) * dot(b, b)), 6)
   }
 

@@ -59,20 +59,17 @@ object Similarity {
 
   /** Sign-LSH bucket code of a vector: bit p = 1 iff dot(v, plane_p) > 0.
     *
-    * Shape matters: the whole plane matrix is ONE 2D array literal and
-    * the 16 dot products are one nested transform/aggregate — a
-    * constant-size expression tree. (16 separate zip_with+aggregate
-    * trees put thousands of nodes in the plan and Catalyst's optimizer
-    * passes, not the data, dominated the runtime.) */
+    * Each plane's dot is one codegen'd [[graft.functions.DotProduct]]
+    * node over a literal weight array — a small, flat expression tree.
+    * (The original 16 zip_with+aggregate lambda subtrees put thousands
+    * of nodes in the plan and Catalyst's optimizer passes, not the
+    * data, dominated the runtime.) */
   def bucketCode(vec: Column, planes: Int = Planes, dim: Int = Dim): Column = {
-    val m: Seq[Seq[Double]] = planeMatrix(planes, dim).map(_.toSeq).toSeq
-    val dots = transform(typedLit(m), row =>
-      aggregate(zip_with(vec, row, (x, y) => x.cast(DoubleType) * y),
-        lit(0.0), (acc, v) => acc + v))
-    val powers = typedLit((0 until planes).map(p => 1L << p))
-    aggregate(
-      zip_with(dots, powers, (d, pw) => when(d > 0, pw).otherwise(lit(0L))),
-      lit(0L), (acc, v) => acc + v)
+    val m = planeMatrix(planes, dim)
+    (0 until planes).map { p =>
+      when(graft.functions.DotProduct(vec, typedLit(m(p).toSeq)) > 0,
+        lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
   }
 
   /** All bucket codes within `radius` bit flips of `bucket` (multi-probe

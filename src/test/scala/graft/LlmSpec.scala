@@ -129,6 +129,24 @@ class LlmSpec extends SparkSpec {
     assert(byId.filter($"mx" >= $"n_frames").count() == 0)
   }
 
+  test("DotProduct codegen expression matches the HOF formulation") {
+    import org.apache.spark.sql.types.DoubleType
+    def hof(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
+      aggregate(zip_with(x, y, (p, q) => p.cast(DoubleType) * q.cast(DoubleType)),
+        lit(0.0), (acc, v) => acc + v)
+    val pair = emb.select($"embedding".as("a"))
+      .crossJoin(emb.limit(3).select($"embedding".as("b")))
+    assert(pair.filter(
+      graft.functions.DotProduct($"a", $"b") =!= hof($"a", $"b"))
+      .count() == 0)
+    // null array → null; int arrays work too
+    val edge = Seq((Some(Seq(1, 2, 3)), Seq(4, 5, 6)), (None, Seq(1, 2, 3)))
+      .toDF("a", "b")
+    val r = edge.select(graft.functions.DotProduct($"a", $"b").as("d"))
+      .collect()
+    assert(r(0).getDouble(0) == 32.0 && r(1).isNullAt(0))
+  }
+
   test("RollingHash codegen expression matches the HOF recurrence") {
     import org.apache.spark.sql.types.LongType
     def hof(c: org.apache.spark.sql.Column) =
