@@ -121,6 +121,8 @@ object SparkEntry {
           Dialect.dateDiff("month", f, g).as("dd_month"),
           Dialect.dateDiff("day", f, g).as("dd_day"),
           Dialect.dateDiff("week", f, g).as("dd_week"),
+          // reversed direction exercises the other dow-correction branches
+          Dialect.dateDiff("week", g, f).as("dd_week_rev"),
           Dialect.dateDiff("hour", f, g).as("dd_hour"),
           Dialect.dateDiff("minute", f, g).as("dd_minute"),
           Dialect.dateDiff("second", f, g).as("dd_second"),
@@ -825,6 +827,10 @@ object SparkEntry {
         |    + CASE WHEN isodow(o_orderdate) <= isodow(l_shipdate)
         |           THEN CASE WHEN o_orderdate <= l_shipdate THEN 0 ELSE -1 END
         |           ELSE CASE WHEN o_orderdate <= l_shipdate THEN 1 ELSE 0 END END AS dd_week,
+        |  CAST(trunc(date_diff('day', CAST(l_shipdate AS DATE), CAST(o_orderdate AS DATE)) / 7.0) AS INT)
+        |    + CASE WHEN isodow(l_shipdate) <= isodow(o_orderdate)
+        |           THEN CASE WHEN l_shipdate <= o_orderdate THEN 0 ELSE -1 END
+        |           ELSE CASE WHEN l_shipdate <= o_orderdate THEN 1 ELSE 0 END END AS dd_week_rev,
         |  date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE))*24
         |    + hour(l_shipdate) - hour(o_orderdate) AS dd_hour,
         |  (date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE))*24
