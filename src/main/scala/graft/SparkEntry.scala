@@ -196,6 +196,18 @@ object SparkEntry {
         // impl.py:47-49 date_function → datenow()
         Dialect.dateNow().isNotNull.as("today_ok"))),
 
+    "fn_custom_sql" -> ((s, dir) => {
+      // the custom expressions through the SQL-text surface
+      // (FunctionRegistry / SparkSessionExtensions path)
+      graft.plans.GraftFunctions.register(s)
+      Tables.registerAll(s, dir)
+      s.sql("""
+        SELECT d.doc_id, graft_rolling_hash(d.text) AS h,
+               round(graft_dot(e.embedding, e.embedding), 6) AS norm2
+        FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+        ORDER BY d.doc_id""")
+    }),
+
     // ---- pass-through relational breadth (SURVEY §2.5): windows, rollup,
     // set ops, semi/anti joins, top-k, correlated subquery ----
     "q03_window" -> ((s, dir) => {
@@ -1259,6 +1271,12 @@ object SparkEntry {
         |      + 0.3 * least(stopword_ratio / 0.4, 1.0)
         |      + 0.3 * (1.0 - least(punct_ratio / 0.25, 1.0)), 6) AS quality
         |FROM r ORDER BY doc_id""".stripMargin,
+
+    "fn_custom_sql" ->
+      s"""SELECT d.doc_id, ${rollSql("d.text")} AS h,
+        |  round(${dotSql("e.embedding", "e.embedding")}, 6) AS norm2
+        |FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
 
     "dd_exact" ->
       """WITH u AS (SELECT doc_id, text FROM documents

@@ -28,6 +28,7 @@ case class DotProduct(left: Expression, right: Expression)
 
   override def checkInputDataTypes(): TypeCheckResult = {
     def ok(e: Expression) = e.dataType match {
+      case ArrayType(_: DecimalType, _) => true
       case ArrayType(t, _) => Seq(FloatType, DoubleType, IntegerType,
         LongType, ShortType).contains(t)
       case _ => false
@@ -47,6 +48,7 @@ case class DotProduct(left: Expression, right: Expression)
     case IntegerType => a.getInt(i).toDouble
     case LongType => a.getLong(i).toDouble
     case ShortType => a.getShort(i).toDouble
+    case d: DecimalType => a.getDecimal(i, d.precision, d.scale).toDouble
     case other => throw new IllegalStateException(s"unexpected $other")
   }
 
@@ -69,6 +71,8 @@ case class DotProduct(left: Expression, right: Expression)
     case IntegerType => s"(double) $arr.getInt($i)"
     case LongType => s"(double) $arr.getLong($i)"
     case ShortType => s"(double) $arr.getShort($i)"
+    case d: DecimalType =>
+      s"$arr.getDecimal($i, ${d.precision}, ${d.scale}).toDouble()"
     case other => throw new IllegalStateException(s"unexpected $other")
   }
 

@@ -1,0 +1,54 @@
+package graft.plans
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.functions.{DotProduct, RollingHash}
+
+/** SQL-text surface for the engine's custom expressions: makes
+  * `graft_rolling_hash(s)` and `graft_dot(a, b)` callable from
+  * `spark.sql(...)` — either registered into an existing session
+  * ([[register]]) or injected at session build time via
+  * `spark.sql.extensions=graft.plans.GraftExtensions`
+  * ([[GraftExtensions]], the SparkSessionExtensions hook).
+  *
+  * Everything else in the dialect surface intentionally stays
+  * `Column`-level: those are compositions of built-ins that Spark SQL
+  * already expresses (SURVEY §2.4 maps each to its native spelling);
+  * only the two genuine custom expressions need SQL names.
+  */
+object GraftFunctions {
+
+  /** (name, arity-checked builder, usage) for each custom expression. */
+  val all: Seq[(String, Seq[Expression] => Expression, String)] = Seq(
+    ("graft_rolling_hash",
+      args => {
+        require(args.length == 1, "graft_rolling_hash(str)")
+        RollingHash(args.head)
+      },
+      "graft_rolling_hash(str) - polynomial rolling hash mod 2^31-1"),
+    ("graft_dot",
+      args => {
+        require(args.length == 2, "graft_dot(arr, arr)")
+        DotProduct(args.head, args(1))
+      },
+      "graft_dot(a, b) - double dot product of two numeric arrays"))
+
+  /** Register into an already-built session. */
+  def register(spark: SparkSession): Unit =
+    all.foreach { case (name, builder, usage) =>
+      spark.sessionState.functionRegistry.registerFunction(
+        FunctionIdentifier(name),
+        new ExpressionInfo("graft", name, usage),
+        builder)
+    }
+}
+
+/** `spark.sql.extensions` entry point (injectFunction at build time). */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.all.foreach { case (name, builder, usage) =>
+      ext.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo("graft", name, usage), builder))
+    }
+}

@@ -160,6 +160,16 @@ class LlmSpec extends SparkSpec {
     assert(r(0).getLong(0) == 0L && r(1).isNullAt(0) && r(2).getLong(0) == 97L)
   }
 
+  test("custom expressions callable from SQL text (FunctionRegistry)") {
+    graft.plans.GraftFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT graft_rolling_hash('a') AS h, graft_dot(array(1.0, 2.0), array(3.0, 4.0)) AS d")
+      .head
+    assert(r.getLong(0) == 97L && r.getDouble(1) == 11.0)
+    // arity errors surface at analysis
+    intercept[Exception] { spark.sql("SELECT graft_rolling_hash('a','b')").collect() }
+  }
+
   test("text analysis: langid marker hit and quality bounds") {
     val d = Seq((0L, "the cat and the dog of the house"),
       (1L, "el perro de la casa que ladra los dias"),
