@@ -145,6 +145,11 @@ object SparkEntry {
         .select(col("date_day").cast(DateType).as("date_day"))
         .orderBy(col("date_day"))),
 
+    "fn_date_spine_month" -> ((s, dir) =>
+      Dialect.dateSpine(s, "month", "1994-01-01", "1996-01-01")
+        .select(col("date_month").cast(DateType).as("date_month"))
+        .orderBy(col("date_month"))),
+
     "fn_split_part" -> ((s, dir) =>
       t(s, dir, "orders")
         .select(
@@ -726,6 +731,13 @@ object SparkEntry {
             Multimodal.mediaFromDocuments(t(s, dir, "documents"))), 4)
         .orderBy(col("media_id"), col("frame_idx"))),
 
+    "mm_resize" -> ((s, dir) =>
+      Multimodal.resizePlan(
+          Multimodal.decodeFeatures(
+            Multimodal.mediaFromDocuments(t(s, dir, "documents"))),
+          maxW = 224, maxH = 160)
+        .orderBy(col("media_id"))),
+
     // ---- events: streaming-native operators evaluated in batch ----
     "ev_tumbling" -> ((s, dir) =>
       Events.tumblingCounts(t(s, dir, "events"))
@@ -868,6 +880,11 @@ object SparkEntry {
       """SELECT CAST(g AS DATE) AS date_day
         |FROM generate_series(TIMESTAMP '1995-01-01', TIMESTAMP '1995-03-01', INTERVAL 1 DAY) t(g)
         |WHERE g < TIMESTAMP '1995-03-01' ORDER BY date_day""".stripMargin,
+
+    "fn_date_spine_month" ->
+      """SELECT CAST(g AS DATE) AS date_month
+        |FROM generate_series(TIMESTAMP '1994-01-01', TIMESTAMP '1996-01-01', INTERVAL 1 MONTH) t(g)
+        |WHERE g < TIMESTAMP '1996-01-01' ORDER BY date_month""".stripMargin,
 
     "fn_split_part" ->
       """SELECT o_orderkey,
@@ -1403,6 +1420,20 @@ object SparkEntry {
         |  FROM documents WHERE doc_id % 3 = 2)
         |SELECT media_id, unnest(range(0, n_frames, 4)) AS frame_idx
         |FROM d ORDER BY media_id, frame_idx""".stripMargin,
+
+    "mm_resize" ->
+      """WITH m AS (SELECT doc_id AS media_id, strlen(text) AS nb
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |d AS (SELECT media_id, ((nb % 640) + 1)::INTEGER AS width,
+        |             ((nb % 480) + 1)::INTEGER AS height FROM m)
+        |SELECT media_id, width, height,
+        |  (CASE WHEN width <= 224 AND height <= 160 THEN width
+        |        WHEN width * 160 >= height * 224 THEN 224
+        |        ELSE (width * 160) // height END)::INTEGER AS out_w,
+        |  (CASE WHEN width <= 224 AND height <= 160 THEN height
+        |        WHEN width * 160 >= height * 224 THEN (height * 224) // width
+        |        ELSE 160 END)::INTEGER AS out_h
+        |FROM d ORDER BY media_id""".stripMargin,
 
     "ev_tumbling" ->
       """SELECT date_trunc('hour', ts) AS win_start, event_type,

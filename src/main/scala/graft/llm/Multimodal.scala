@@ -114,4 +114,28 @@ object Multimodal {
       .select(col("media_id"),
         explode(sequence(lit(0), col("n_frames") - 1,
           lit(stride))).as("frame_idx"))
+
+  /** Resize plan for image media: fit-within-box scaling that preserves
+    * aspect ratio (integer arithmetic, floor, min scale). The actual
+    * pixel resample belongs to the stubbed codec; the SHAPE — per-row
+    * map computing target geometry the codec executes — is the real
+    * pipeline step, and the geometry itself is engine-portable and
+    * oracle-checked. Never upscales (scale capped at 1:1). */
+  def resizePlan(decoded: DataFrame, maxW: Int, maxH: Int): DataFrame = {
+    val w = col("width").cast(LongType)
+    val h = col("height").cast(LongType)
+    // exact rational arithmetic, floor division (both engines agree on
+    // integer // for non-negatives). Width "binds" when w/maxW >= h/maxH
+    // ⇔ w·maxH >= h·maxW.
+    val fits = w <= maxW && h <= maxH
+    val widthBinds = w * maxH >= h * maxW
+    val outW = when(fits, w)
+      .otherwise(when(widthBinds, lit(maxW.toLong)).otherwise(w * maxH / h))
+    val outH = when(fits, h)
+      .otherwise(when(widthBinds, h * maxW / w).otherwise(lit(maxH.toLong)))
+    decoded.filter(col("media_type") === "image")
+      .select(col("media_id"), col("width"), col("height"),
+        outW.cast(IntegerType).as("out_w"),
+        outH.cast(IntegerType).as("out_h"))
+  }
 }
