@@ -314,6 +314,22 @@ object SparkEntry {
         ORDER BY c_custkey""")
     }),
 
+    "q11_approx_distinct" -> ((s, dir) => {
+      // approx_count_distinct (HLL++): the 100 TB cardinality tool — one
+      // pass, fixed-size sketch state, no exact-distinct shuffle.
+      // No oracleSql twin on purpose: DuckDB's approx sketch differs, so
+      // the driver records the weaker rows-only check; the exact_lo/hi
+      // bounds pin the estimate against the exact count in-result.
+      val o = t(s, dir, "orders")
+      o.groupBy(col("o_orderstatus"))
+        .agg(approx_count_distinct(col("o_custkey"), 0.02).as("approx_cust"),
+          countDistinct(col("o_custkey")).as("exact_cust"))
+        .select(col("o_orderstatus"), col("approx_cust"), col("exact_cust"),
+          (abs(col("approx_cust") - col("exact_cust")) <=
+            col("exact_cust") * 0.1).as("within_10pct"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
     // ---- incremental strategies as oracle-checked rewrites (SURVEY §2.2) ----
     "inc_append" -> ((s, dir) => {
       val (target, staged) = incFixture(s, dir)
