@@ -170,6 +170,25 @@ class LlmSpec extends SparkSpec {
     intercept[Exception] { spark.sql("SELECT graft_rolling_hash('a','b')").collect() }
   }
 
+  test("GraftExtensions injects functions at session build time") {
+    import org.apache.spark.sql.SparkSession
+    val default = spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder()
+        .master("local[2]")
+        .withExtensions(new graft.plans.GraftExtensions)
+        .getOrCreate()
+      assert(s2 ne default)
+      assert(s2.sql("SELECT graft_rolling_hash('a') AS h").head.getLong(0)
+        == 97L)
+    } finally {
+      SparkSession.setDefaultSession(default)
+      SparkSession.setActiveSession(default)
+    }
+  }
+
   test("text analysis: langid marker hit and quality bounds") {
     val d = Seq((0L, "the cat and the dog of the house"),
       (1L, "el perro de la casa que ladra los dias"),
