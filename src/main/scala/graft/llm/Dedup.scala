@@ -132,13 +132,16 @@ object Dedup {
     val keyed = maxBucketSize match {
       case None => keyed0
       case Some(cap) =>
-        // one extra count-agg on the band key; hot buckets never enter
-        // the self-join
-        val sizes = keyed0.groupBy("band")
-          .agg(count(lit(1)).as("__bucket_n"))
+        // bucket sizes via a window over the SAME subplan (a join
+        // against a separate count-agg would evaluate the whole
+        // signature pipeline twice); hot buckets never enter the
+        // self-join
+        import org.apache.spark.sql.expressions.Window
+        keyed0
+          .withColumn("__bucket_n",
+            count(lit(1)).over(Window.partitionBy(col("band"))))
           .filter(col("__bucket_n") <= cap)
-          .select(col("band"))
-        keyed0.join(sizes, Seq("band"), "left_semi")
+          .drop("__bucket_n")
     }
     val a = keyed.alias("a")
     val b = keyed.alias("b")

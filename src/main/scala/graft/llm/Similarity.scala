@@ -43,18 +43,15 @@ object Similarity {
   val Planes = 16
   val Dim = 64
 
-  /** Polynomial rolling hash — same recurrence as TextAnalysis.tokenHash,
-    * evaluated driver-side to seed the plane constants. */
-  private def rollHash(s: String): Long =
-    s.foldLeft(0L)((a, c) => (a * 31 + c.toLong) % 2147483647L)
-
   /** Deterministic hyperplane matrix: planes(p)(d) =
-    * ((rollHash("p:d") % 2001) - 1000) / 1000.0 ∈ [-1, 1]. Computed ONCE
-    * here and embedded as literals — any engine reproduces it from the
-    * formula, and no per-row recompute happens on the executors. */
+    * ((rollLocal("p:d") % 2001) - 1000) / 1000.0 ∈ [-1, 1]. Computed ONCE
+    * here (via the single shared replica of the rolling-hash recurrence,
+    * TextAnalysis.rollLocal) and embedded as literals — any engine
+    * reproduces it from the formula, and no per-row recompute happens on
+    * the executors. */
   def planeMatrix(planes: Int, dim: Int): Array[Array[Double]] =
     Array.tabulate(planes, dim) { (p, d) =>
-      ((rollHash(s"$p:$d") % 2001) - 1000).toDouble / 1000.0
+      ((TextAnalysis.rollLocal(s"$p:$d") % 2001) - 1000).toDouble / 1000.0
     }
 
   /** Sign-LSH bucket code of a vector: bit p = 1 iff dot(v, plane_p) > 0.

@@ -89,15 +89,19 @@ final class CatalogOps(spark: SparkSession) {
     * (relation.py:11-13). */
   def getCatalogRelations(relations: Seq[Relation]): DataFrame = {
     import spark.implicits._
-    val wanted = relations.map(r =>
+    // a schema-less relation refers to the current database (same
+    // resolution Spark applies to the bare name)
+    val resolved = relations.map(r =>
+      if (r.schema.isEmpty) r.copy(schema = Some(spark.catalog.currentDatabase))
+      else r)
+    val wanted = resolved.map(r =>
       (r.schema.map(_.toLowerCase), r.identifier.toLowerCase)).toSet
-    val bySchema = relations.flatMap(_.schema).distinct
+    val bySchema = resolved.flatMap(_.schema).distinct
     val rows = for {
       schema <- bySchema
       rel <- listRelations(schema)
       if wanted.contains((rel.schema.map(_.toLowerCase),
-        rel.identifier.toLowerCase)) ||
-        wanted.contains((None, rel.identifier.toLowerCase))
+        rel.identifier.toLowerCase))
       (c, i) <- getColumnsInRelation(rel).zipWithIndex
     } yield (rel.catalog.getOrElse("spark_catalog"),
       rel.schema.getOrElse(schema), rel.identifier, rel.relType.name,

@@ -210,9 +210,21 @@ final class Materializer(spark: SparkSession) {
     // incremental.sql:79-81: widen target column types so staged values
     // fit (decimal precision/scale grow, never shrink), THEN handle
     // on_schema_change — same order as the reference
-    val target = SchemaEvolution.expandColumnTypes(spark.table(name), model)
+    val widened = SchemaEvolution.expandColumnTypes(spark.table(name), model)
     val staged = SchemaEvolution.processSchemaChanges(
-      onSchemaChange, target, model)
+      onSchemaChange, widened, model)
+    // the staged frame now carries the POST-change schema
+    // (append_new_columns adds columns, sync_all_columns adds+removes);
+    // evolve the target to that same schema — existing rows get typed
+    // NULLs for added columns, removed columns drop — so the strategy
+    // rewrites below (which align to the target's columns) keep the
+    // evolution instead of silently projecting it away
+    val target = widened.select(staged.schema.fields.map { f =>
+      if (widened.columns.exists(_.equalsIgnoreCase(f.name)))
+        org.apache.spark.sql.functions.col(f.name)
+      else
+        org.apache.spark.sql.functions.lit(null).cast(f.dataType).as(f.name)
+    }.toIndexedSeq: _*)
     val result = strategy match {
       case "append" => Incremental.append(target, staged)
       case "delete+insert" =>

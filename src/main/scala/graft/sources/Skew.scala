@@ -11,18 +11,27 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
-  /** Salted inner equi-join: the big side gets a deterministic pseudo-
-    * random salt in [0, salts); the small side replicates `salts` times;
-    * the join key becomes (key, salt). Produces exactly the rows of the
-    * plain inner join, but the hot key's rows spread over `salts`
-    * reducers. Trade: small side is materialized `salts`×, so keep
-    * `salts` modest (16-64) and the small side genuinely small. */
+  /** Row-content salt: deterministic under task retry. A salt from
+    * monotonically_increasing_id/rand recomputes DIFFERENTLY when a
+    * partial map-stage retry re-runs (the SPARK-23207 class of silent
+    * row loss/duplication on shuffle keys); hashing the full row content
+    * is stable no matter how many times the task re-executes. Identical
+    * rows share a salt — acceptable: hot-key rows almost always differ
+    * somewhere, and correctness never depends on the spread. */
+  private def contentSalt(df: DataFrame, salts: Int) =
+    pmod(xxhash64(df.columns.map(col).toIndexedSeq: _*), lit(salts.toLong))
+      .cast("int")
+
+  /** Salted inner equi-join: the big side gets a deterministic
+    * content-derived salt in [0, salts); the small side replicates
+    * `salts` times; the join key becomes (key, salt). Produces exactly
+    * the rows of the plain inner join, but the hot key's rows spread
+    * over `salts` reducers. Trade: small side is materialized `salts`×,
+    * so keep `salts` modest (16-64) and the small side genuinely small. */
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
                  salts: Int = 16): DataFrame = {
     require(salts > 0)
-    val salted = big.withColumn("__salt",
-      pmod(xxhash64(monotonically_increasing_id()), lit(salts.toLong))
-        .cast("int"))
+    val salted = big.withColumn("__salt", contentSalt(big, salts))
     val replicated = small.withColumn("__salt",
       explode(array((0 until salts).map(lit): _*)))
     salted.join(replicated, Seq(key, "__salt")).drop("__salt")
@@ -39,9 +48,7 @@ object Skew {
   def saltedAgg(df: DataFrame, keys: Seq[String], salts: Int)(
       partials: Seq[Column], merges: Seq[Column]): DataFrame = {
     require(salts > 0 && keys.nonEmpty)
-    val salted = df.withColumn("__salt",
-      pmod(xxhash64(monotonically_increasing_id()), lit(salts.toLong))
-        .cast("int"))
+    val salted = df.withColumn("__salt", contentSalt(df, salts))
     val phase1 = salted
       .groupBy((keys.map(col) :+ col("__salt")): _*)
       .agg(partials.head, partials.tail: _*)

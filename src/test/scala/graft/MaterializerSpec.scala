@@ -132,6 +132,27 @@ class MaterializerSpec extends SparkSpec {
       .map(_.getString(0)).toSeq == Seq("cr_t2"))
     assert(out.count() == 1)
     assert(out.head.getAs[String]("column_type") == "bigint")
+    // schema-less relations resolve against the current database
+    assert(cat.getCatalogRelations(Seq(Relation("cr_t2"))).count() == 1)
+  }
+
+  test("incremental applies on_schema_change to the target (incremental.sql:83-86)") {
+    val rel = Relation("inc_evolve")
+    mat.dropRelation(rel)
+    mat.incremental(rel, Seq((1L, "a")).toDF("id", "v"), "merge", Seq("id"))
+    // append_new_columns: new column appears, pre-existing rows get NULL
+    mat.incremental(rel, Seq((2L, "b", 9.5)).toDF("id", "v", "score"),
+      "merge", Seq("id"), onSchemaChange = "append_new_columns")
+    val t1 = spark.table("inc_evolve")
+    assert(t1.columns.toSeq == Seq("id", "v", "score"))
+    assert(t1.filter($"id" === 1L).head.isNullAt(2))
+    assert(t1.filter($"id" === 2L).head.getDouble(2) == 9.5)
+    // sync_all_columns: removed column drops from the target too
+    mat.incremental(rel, Seq((3L, 1.0)).toDF("id", "score"),
+      "merge", Seq("id"), onSchemaChange = "sync_all_columns")
+    val t2 = spark.table("inc_evolve")
+    assert(t2.columns.toSeq == Seq("id", "score"))
+    assert(t2.count() == 3)
   }
 
   test("distributed seed inference matches the local agate rules") {
