@@ -314,6 +314,19 @@ object SparkEntry {
         ORDER BY c_custkey""")
     }),
 
+    "op_asof_join" -> ((s, dir) => {
+      // point-in-time join: odd events look up the latest even-event
+      // value at-or-before their timestamp, per user
+      val ev = t(s, dir, "events")
+      val left = ev.filter(pmod(col("event_id"), lit(2)) === 1)
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val right = ev.filter(pmod(col("event_id"), lit(2)) === 0)
+        .groupBy(col("user_id"), col("ts")) // unique per (key, ts)
+        .agg(max(dec(col("value"))).cast(DoubleType).as("rv"))
+      graft.operators.AsOfJoin.asOf(left, right, "user_id", "ts", Seq("rv"))
+        .orderBy(col("event_id"))
+    }),
+
     "q11_approx_distinct" -> ((s, dir) => {
       // approx_count_distinct (HLL++): the 100 TB cardinality tool — one
       // pass, fixed-size sketch state, no exact-distinct shuffle.
@@ -1006,6 +1019,15 @@ object SparkEntry {
         |WHERE EXISTS (SELECT 1 FROM big
         |              WHERE big.o_custkey = customer.c_custkey AND big.n >= 2)
         |ORDER BY c_custkey""".stripMargin,
+
+    "op_asof_join" ->
+      """WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_id % 2 = 1),
+        |r AS (SELECT user_id, ts,
+        |        CAST(max(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS rv
+        |      FROM events WHERE event_id % 2 = 0 GROUP BY user_id, ts)
+        |SELECT l.event_id, l.user_id, l.ts, r.rv AS r_rv
+        |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND r.ts <= l.ts
+        |ORDER BY event_id""".stripMargin,
 
     "inc_append" ->
       s"""$incFixtureSql

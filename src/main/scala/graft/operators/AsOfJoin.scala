@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Point-in-time (as-of) join — for each left row, the latest right row
+  * with `rightTs <= leftTs` in the same key group. The operator Spark
+  * lacks natively (DuckDB spells it `ASOF JOIN`, the oracle twin), and
+  * the backbone of feature/label alignment in training-data pipelines.
+  *
+  * Implementation (composition of built-ins, SURVEY §7.5 preference (a)):
+  * tag and union both sides, then ONE window pass per key ordered by
+  * (ts, side) carries the last-seen right payload forward onto left
+  * rows. Cost = one shuffle on the key + a sort within partitions —
+  * never the naive range cross-join (which is quadratic per key), and
+  * no per-row probe structure. At 100 TB both sides shuffle once;
+  * skewed keys fall under AQE like any window.
+  *
+  * Right rows sort BEFORE left rows at equal timestamps, so a right row
+  * at exactly `ts` matches (the `<=` of ASOF). The right side must be
+  * unique per (key, ts) — pre-aggregate duplicates (the window would
+  * otherwise pick the partition-order-dependent last one).
+  */
+object AsOfJoin {
+
+  def asOf(left: DataFrame, right: DataFrame, key: String, ts: String,
+           rightValueCols: Seq[String]): DataFrame = {
+    require(rightValueCols.nonEmpty, "as-of join needs right value columns")
+    val leftCols = left.columns.toIndexedSeq
+    val rvType = org.apache.spark.sql.types.StructType(
+      rightValueCols.map(c => right.schema(c)))
+
+    val rUnion = right.select(
+      (leftCols.map { c =>
+        if (c == key || c == ts) col(c)
+        else lit(null).cast(left.schema(c).dataType).as(c)
+      } :+ struct(rightValueCols.map(col): _*).cast(rvType).as("__rv")
+        :+ lit(0).as("__side")): _*)
+    val lUnion = left.select(
+      (leftCols.map(col) :+ lit(null).cast(rvType).as("__rv")
+        :+ lit(1).as("__side")): _*)
+
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(ts), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    lUnion.unionByName(rUnion)
+      .withColumn("__carried", last(col("__rv"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select((leftCols.map(col) ++ rightValueCols.map(c =>
+        col("__carried").getField(c).as(s"r_$c"))): _*)
+  }
+}

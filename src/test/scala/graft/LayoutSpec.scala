@@ -77,6 +77,26 @@ class LayoutSpec extends SparkSpec {
     assert(bigCap.count() == uncapped.count())
   }
 
+  test("as-of join picks the latest right row at-or-before each left ts") {
+    val left = Seq((1L, "u", "2024-01-01 10:00:00"),
+        (2L, "u", "2024-01-01 12:00:00"),
+        (3L, "u", "2024-01-01 09:00:00"),
+        (4L, "v", "2024-01-01 10:00:00"))
+      .toDF("event_id", "user_id", "ts")
+      .withColumn("ts", $"ts".cast("timestamp"))
+    val right = Seq(("u", "2024-01-01 09:30:00", 1.0),
+        ("u", "2024-01-01 12:00:00", 2.0), // equal ts matches (<=)
+        ("w", "2024-01-01 00:00:00", 9.0))
+      .toDF("user_id", "ts", "rv")
+      .withColumn("ts", $"ts".cast("timestamp"))
+    val out = graft.operators.AsOfJoin
+      .asOf(left, right, "user_id", "ts", Seq("rv"))
+      .orderBy("event_id").collect()
+    assert(out.map(r => (r.getLong(0),
+      if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toSeq ==
+      Seq((1L, Some(1.0)), (2L, Some(2.0)), (3L, None), (4L, None)))
+  }
+
   private def withConf(kv: (String, String))(body: => Unit): Unit = {
     val (k, v) = kv
     val old = spark.conf.getOption(k)
