@@ -717,6 +717,16 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    "dd_simhash_clusters" -> ((s, dir) => {
+      // per-doc keep/drop over the same doubled corpus: exact duplicates
+      // guarantee non-singleton components
+      val d = t(s, dir, "documents")
+      val u = d.select(col("doc_id"), col("text")).unionByName(
+        d.select((col("doc_id") + 10000).as("doc_id"), col("text")))
+      Dedup.simhashClusters(u, "doc_id", "text")
+        .orderBy(col("doc"))
+    }),
+
     "dd_cosine_pairs" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       val pairs = e.filter(pmod(col("vec_id"), lit(2)) === 0)
@@ -1250,13 +1260,23 @@ object SparkEntry {
     bands.mkString("[", ", ", "]")
   }
 
-  /** Per-bit simhash sum exprs over token-hash column `h` (20 bits). */
-  private val simhashSumSqls: Seq[String] = (0 until 20).map(j =>
-    s"sum(((h // ${1L << j}) % 2)*2 - 1) AS v$j")
-  private val simhashCombineSql: String = (0 until 20).map(j =>
+  /** Per-band remixes of the token-hash column `h` (constants shared with
+    * Dedup.simhashMixA/B — the 31-bit rolling hash supplies 15 bits per
+    * band through an independent integer mix). */
+  private val simhashMixSqls: Seq[String] =
+    (0 until Dedup.SimHashBands).map(b =>
+      s"(h * ${Dedup.simhashMixA(b)} + ${Dedup.simhashMixB(b)}) % ${Dedup.MinhashPrime} AS m$b")
+
+  /** Per-bit simhash sum exprs over the mix columns m0..m3 (60 bits). */
+  private val simhashSumSqls: Seq[String] =
+    (0 until Dedup.SimHashBits).map { j =>
+      val (b, r) = (j / Dedup.SimHashBandBits, j % Dedup.SimHashBandBits)
+      s"sum(((m$b // ${1L << r}) % 2)*2 - 1) AS v$j"
+    }
+  private val simhashCombineSql: String = (0 until Dedup.SimHashBits).map(j =>
     s"(CASE WHEN v$j > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
 
-  /** The 4 disjoint 5-bit band keys of a `simhash` column (mirrors
+  /** The 4 disjoint 15-bit band keys of a `simhash` column (mirrors
     * Dedup.simhashPairs' banding). */
   private val simhashBandsSql: String = {
     val bits = Dedup.SimHashBits / Dedup.SimHashBands
@@ -1373,7 +1393,8 @@ object SparkEntry {
     "dd_simhash" ->
       s"""WITH tok AS (SELECT doc_id, unnest(${toksSql("lower(text)")}) AS tok FROM documents),
         |th AS (SELECT doc_id, ${rollSql("tok")} AS h FROM tok),
-        |sums AS (SELECT doc_id, ${simhashSumSqls.mkString(", ")} FROM th GROUP BY doc_id)
+        |mx AS (SELECT doc_id, ${simhashMixSqls.mkString(", ")} FROM th),
+        |sums AS (SELECT doc_id, ${simhashSumSqls.mkString(", ")} FROM mx GROUP BY doc_id)
         |SELECT doc_id AS doc, ($simhashCombineSql)::BIGINT AS simhash
         |FROM sums ORDER BY doc""".stripMargin,
 
@@ -1382,7 +1403,8 @@ object SparkEntry {
         |  UNION ALL SELECT doc_id + 10000, text FROM documents),
         |tok AS (SELECT doc_id, unnest(${toksSql("lower(text)")}) AS tok FROM u),
         |th AS (SELECT doc_id, ${rollSql("tok")} AS h FROM tok),
-        |sums AS (SELECT doc_id, ${simhashSumSqls.mkString(", ")} FROM th GROUP BY doc_id),
+        |mx AS (SELECT doc_id, ${simhashMixSqls.mkString(", ")} FROM th),
+        |sums AS (SELECT doc_id, ${simhashSumSqls.mkString(", ")} FROM mx GROUP BY doc_id),
         |sig AS (SELECT doc_id AS doc, ($simhashCombineSql)::BIGINT AS simhash FROM sums),
         |banded AS (SELECT doc, simhash, unnest($simhashBandsSql) AS band FROM sig),
         |cand AS (SELECT DISTINCT a.doc AS id_a, b.doc AS id_b,
@@ -1391,6 +1413,31 @@ object SparkEntry {
         |SELECT id_a, id_b, CAST(bit_count(xor(sh_a, sh_b)) AS INTEGER) AS dist
         |FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 3
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // connected components over the near-dup graph: DuckDB's recursive
+    // CTE enumerates (node, reachable ancestor) pairs; min(anc) per node
+    // is the component representative — the same fixpoint the Spark
+    // label-propagation loop converges to.
+    "dd_simhash_clusters" ->
+      s"""WITH RECURSIVE u AS (SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 10000, text FROM documents),
+        |tok AS (SELECT doc_id, unnest(${toksSql("lower(text)")}) AS tok FROM u),
+        |th AS (SELECT doc_id, ${rollSql("tok")} AS h FROM tok),
+        |mx AS (SELECT doc_id, ${simhashMixSqls.mkString(", ")} FROM th),
+        |sums AS (SELECT doc_id, ${simhashSumSqls.mkString(", ")} FROM mx GROUP BY doc_id),
+        |sig AS (SELECT doc_id AS doc, ($simhashCombineSql)::BIGINT AS simhash FROM sums),
+        |banded AS (SELECT doc, simhash, unnest($simhashBandsSql) AS band FROM sig),
+        |cand AS (SELECT DISTINCT a.doc AS id_a, b.doc AS id_b
+        |  FROM banded a JOIN banded b ON a.band = b.band AND a.doc < b.doc
+        |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM cand
+        |  UNION ALL SELECT id_b, id_a FROM cand),
+        |walk(doc, anc) AS (
+        |  SELECT doc_id, doc_id FROM u
+        |  UNION
+        |  SELECT e.dst, w.anc FROM walk w JOIN edges e ON e.src = w.doc)
+        |SELECT doc, min(anc) AS rep, (doc = min(anc)) AS keep
+        |FROM walk GROUP BY doc ORDER BY doc""".stripMargin,
 
     "dd_cosine_pairs" ->
       s"""WITH pairs AS (SELECT a.vec_id AS id_a, a.vec_id + 1 AS id_b

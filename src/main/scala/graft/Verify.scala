@@ -5,7 +5,12 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    // optional 3rd arg (dev only): comma-separated name prefixes to run
+    // a subset; the driver always passes two args
+    val (sfDir, outDir, only) = args match {
+      case Array(s, o)    => (s, o, Option.empty[Array[String]])
+      case Array(s, o, f) => (s, o, Some(f.split(",")))
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     // fresh warehouse per run: the mat_*/cat_* queries exercise
     // saveAsTable/catalog state machines and must never collide with a
@@ -20,7 +25,10 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    SparkEntry.queries
+      .filter { case (name, _) =>
+        only.forall(_.exists(name.startsWith)) }
+      .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

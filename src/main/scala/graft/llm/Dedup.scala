@@ -188,22 +188,52 @@ object Dedup {
   // SimHash
   // -------------------------------------------------------------------
 
-  val SimHashBits = 20
+  /** Signature width. 60 = 4 bands × 15 bits: wide enough that distinct
+    * signatures ≈ distinct documents on non-templated corpora (the r2
+    * 20-bit form capped at ~1M and saturated its 5-bit band buckets),
+    * while staying below the BIGINT sign bit so the floor-div/mod band
+    * extraction and the literal DuckDB oracle stay exact on both engines
+    * (a 64th bit lands on two's-complement sign, where Spark's
+    * truncate-toward-zero division and DuckDB's floor `//` diverge). */
+  val SimHashBits = 60
+  val SimHashBands = 4
+  /** Bits per band slice: 15 → 32,768 distinct bucket values per band,
+    * so band buckets stay small even when distinct signatures ≈ corpus
+    * size (the r2 scale-killer was 32 values per band). */
+  val SimHashBandBits: Int = SimHashBits / SimHashBands
 
-  /** 20-bit SimHash per document over whitespace tokens hashed with the
-    * polynomial rolling hash: bit j of the signature is set when the sum
-    * over tokens of ±1 (by bit j of the token hash) is positive.
-    * Computed via explode + one groupBy — scales linearly, and the
-    * arithmetic (floor-div/mod powers of two) is engine-portable. */
+  /** Per-band remix constants for the simhash bit source: the rolling
+    * token hash is 31-bit, so each 15-bit band slice draws its bits from
+    * an independent integer mix (a_b·h + b_b) mod p of that one hash —
+    * same family as the minhash mixers, derived driver-side and shared
+    * with the oracle SQL generator. */
+  def simhashMixA(b: Int): Long =
+    (TextAnalysis.rollLocal(s"sh:a:$b") % (MinhashPrime - 1)) + 1
+  def simhashMixB(b: Int): Long =
+    TextAnalysis.rollLocal(s"sh:b:$b") % MinhashPrime
+
+  /** 60-bit SimHash per document over whitespace tokens: each token is
+    * rolling-hashed ONCE, remixed into [[SimHashBands]] independent
+    * 31-bit values, and bit j = b·15+r of the signature is set when the
+    * sum over tokens of ±1 (by bit r of mix b) is positive. Computed via
+    * explode + one groupBy with map-side partial aggregation — the
+    * shuffle carries one 60-column row per document; scales linearly,
+    * and the arithmetic (multiply-add-mod, floor-div/mod powers of two
+    * on nonnegative longs) is engine-portable. */
   def simhash(df: DataFrame, id: String, text: String): DataFrame = {
     val tok = df.select(col(id).as("doc"),
         explode(TextAnalysis.tokens(lower(col(text)))).as("tok"))
       .withColumn("th", TextAnalysis.tokenHash(col("tok")))
+    val mixed = tok.select(col("doc") +:
+      (0 until SimHashBands).map(b =>
+        ((col("th") * lit(simhashMixA(b)) + lit(simhashMixB(b)))
+          % lit(MinhashPrime)).as(s"m$b")): _*)
     val bitSums = (0 until SimHashBits).map { j =>
-      sum(((col("th").cast(LongType) / lit(1L << j)).cast(LongType) % 2)
+      val (b, r) = (j / SimHashBandBits, j % SimHashBandBits)
+      sum(((col(s"m$b") / lit(1L << r)).cast(LongType) % 2)
         * 2 - 1).as(s"v$j")
     }
-    val sums = tok.groupBy("doc").agg(bitSums.head, bitSums.tail: _*)
+    val sums = mixed.groupBy("doc").agg(bitSums.head, bitSums.tail: _*)
     val sig = (0 until SimHashBits).map { j =>
       when(col(s"v$j") > 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
@@ -217,26 +247,30 @@ object Dedup {
     bit_count(a.cast(LongType).bitwiseXOR(b.cast(LongType)))
       .cast(IntegerType)
 
-  val SimHashBands = 4
-
   /** SimHash near-dup pairs at scale: banded hamming join run in
     * DISTINCT-SIGNATURE space.
     *
-    * Templated corpora concentrate many documents onto few signatures
-    * (sf0.1: 10,000 docs → 1,758 signatures), so the quadratic part —
-    * the banded self-join — runs over distinct signatures only, and doc
-    * pairs are re-expanded with two linear joins afterwards. Banding:
-    * the signature splits into [[SimHashBands]] disjoint bit slices; by
-    * pigeonhole any pair within hamming distance < bands shares at least
-    * one slice, so candidate signature pairs come from equi-joins on the
-    * slice value (never all-pairs), with the exact popcount verify inside
-    * the join condition. Completeness requires
-    * maxHamming < SimHashBands (default 3 < 4). */
+    * Templated corpora concentrate many documents onto few signatures,
+    * so the quadratic part — the banded self-join — runs over distinct
+    * signatures only, and doc pairs are re-expanded with two linear
+    * joins afterwards. Banding: the signature splits into
+    * [[SimHashBands]] disjoint 15-bit slices; by pigeonhole any pair
+    * within hamming distance < bands shares at least one slice, so
+    * candidate signature pairs come from equi-joins on the slice value
+    * (never all-pairs), with the exact popcount verify inside the join
+    * condition. Completeness requires maxHamming < SimHashBands
+    * (default 3 < 4). With 15-bit slices each band key has 32,768
+    * distinct values, so bucket sizes stay ~D/32768 even on
+    * non-templated corpora (the r2 5-bit form saturated at D/32).
+    *
+    * The pair list is quadratic per near-dup cluster by definition —
+    * a 100 TB dedup pass should consume [[simhashClusters]] (linear
+    * per-doc keep/drop) instead and use this form for inspection. */
   def simhashPairs(df: DataFrame, id: String, text: String,
                    maxHamming: Int = 3): DataFrame = {
     require(maxHamming < SimHashBands,
       s"banded search complete only for maxHamming < $SimHashBands")
-    val bits = SimHashBits / SimHashBands
+    val bits = SimHashBandBits
     val sig = simhash(df, id, text) // (doc, simhash)
 
     val sigs = sig.select(col("simhash")).distinct()
@@ -266,6 +300,52 @@ object Dedup {
       .select(col("p.doc").as("id_a"), col("q.doc").as("id_b"),
         lit(0).cast(IntegerType).as("dist"))
     same.unionByName(cross)
+  }
+
+  /** Cluster collapse of the SimHash near-dup graph: every document gets
+    * the MIN doc id of its connected component as `rep`, and
+    * `keep = (doc = rep)` — the per-document keep/drop decision a 100 TB
+    * dedup pass actually wants, linear in corpus size where the raw pair
+    * list ([[simhashPairs]]) is quadratic per cluster.
+    *
+    * Components come from hash-min label propagation — the standard
+    * distributed connected-components loop (each round: one equi-join of
+    * labels onto edges + one min-aggregate, both shuffling on doc id) —
+    * run to fixpoint, detected by a count of changed labels per round.
+    * Rounds needed = graph diameter; near-dup graphs are unions of
+    * near-cliques (diameter 1-2), so the loop converges in 2-3 rounds.
+    * `localCheckpoint` truncates lineage each round (on a cluster, use a
+    * reliable checkpoint dir). The driver loop is control flow only —
+    * all data movement stays distributed; `maxIter` bounds pathological
+    * chain-shaped graphs. */
+  def simhashClusters(df: DataFrame, id: String, text: String,
+                      maxHamming: Int = 3, maxIter: Int = 20): DataFrame = {
+    val pairs = simhashPairs(df, id, text, maxHamming)
+    val docs = df.select(col(id).as("doc")).distinct()
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .localCheckpoint() // pairs plan is expensive — evaluate once
+    var labels = docs.select(col("doc"), col("doc").as("label"))
+      .localCheckpoint()
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val nbrMin = edges
+        .join(labels.select(col("doc").as("src"), col("label")), "src")
+        .groupBy(col("dst").as("doc")).agg(min("label").as("nbr"))
+      val next = labels.join(nbrMin, Seq("doc"), "left_outer")
+        .select(col("doc"),
+          least(col("label"), coalesce(col("nbr"), col("label"))).as("label"))
+        .localCheckpoint()
+      val changed = next
+        .join(labels.withColumnRenamed("label", "old"), "doc")
+        .filter(col("label") =!= col("old")).count()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    labels.select(col("doc"), col("label").as("rep"),
+      (col("doc") === col("label")).as("keep"))
   }
 
   // -------------------------------------------------------------------

@@ -91,6 +91,26 @@ class LlmSpec extends SparkSpec {
     assert(pairs.count() == brute)
   }
 
+  test("simhash clusters: twins collapse to min-id rep, keep iff rep") {
+    val small = docs.limit(40)
+    val u = small.select($"doc_id", $"text").unionByName(
+      small.select(($"doc_id" + 10000).as("doc_id"), $"text"))
+    val cl = Dedup.simhashClusters(u, "doc_id", "text").cache()
+    assert(cl.count() == 80) // one row per doc
+    // each twin (d, d+10000) shares a component, rep = the min member
+    val reps = cl.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0 until 40).foreach { i =>
+      assert(reps(i.toLong + 10000) == reps(i.toLong))
+      assert(reps(i.toLong) <= i.toLong)
+    }
+    // keep is exactly doc == rep, and one keeper per component
+    assert(cl.filter($"keep" =!= ($"doc" === $"rep")).count() == 0)
+    val perRep = cl.filter($"keep").groupBy("rep").count().collect()
+    assert(perRep.forall(_.getLong(1) == 1))
+    // rep must be a member of its own component with keep=true
+    assert(cl.filter($"doc" === $"rep" && !$"keep").count() == 0)
+  }
+
   test("IVF top-k: scores agree with exact cosine, self excluded") {
     val q = emb.filter($"vec_id" < 3)
     val ivf = Similarity.ivfTopK(emb, q, "vec_id", "embedding", 5).cache()
