@@ -485,17 +485,23 @@ object SparkEntry {
     "mat_seed_types" -> ((s, dir) => {
       // seed CSV → agate-mirroring inference (impl.py:52-66): price→DOUBLE
       // (mixed int/decimal), born→DATE, seen→TIMESTAMP, label→VARCHAR;
-      // id overridden to bigint via column_types (adapters.sql:59,67).
+      // id overridden to bigint via column_types (adapters.sql:59,67);
+      // dur/bin/meta exercise the typed-literal path
+      // (seeds/helpers.sql:6-24): interval `'N' unit` cells, varbinary
+      // hex, json-as-text
       val csv = java.nio.file.Paths.get("target/graft_seed.csv")
       java.nio.file.Files.createDirectories(csv.getParent)
       java.nio.file.Files.writeString(csv,
-        "id,price,born,seen,label\n" +
-          "1,1.5,1995-01-01,1995-01-01 12:00:00,alpha\n" +
-          "2,2,1996-02-02,1996-02-02 13:30:00,beta\n" +
-          "3,,1997-03-03,,gamma\n")
+        "id,price,born,seen,label,dur,bin,meta\n" +
+          "1,1.5,1995-01-01,1995-01-01 12:00:00,alpha,'1' day,65683F,\"{\"\"k\"\":1}\"\n" +
+          "2,2,1996-02-02,1996-02-02 13:30:00,beta,'36' hour,4F4B,\"{\"\"a\"\":[1,2]}\"\n" +
+          "3,,1997-03-03,,gamma,,,\n")
       val m = new graft.mat.Materializer(s)
       m.seed(graft.model.Relation("graft_seed_demo"),
-        csv.toAbsolutePath.toString, columnTypes = Map("id" -> "bigint"))
+        csv.toAbsolutePath.toString,
+        columnTypes = Map("id" -> "bigint",
+          "dur" -> "interval day to second", "bin" -> "varbinary",
+          "meta" -> "json"))
       s.table("graft_seed_demo").orderBy(col("id"))
     }),
 
@@ -586,6 +592,81 @@ object SparkEntry {
       s.table("graft_contract")
         .withColumn("mismatch_rejected", lit(failed))
         .orderBy(col("r_regionkey"))
+    }),
+
+    "mat_hooks" -> ((s, dir) => {
+      import s.implicits._
+      // the full table state machine with hooks/docs/grants wired in
+      // reference order (table.sql:30,62-67): pre-hook runs BEFORE the
+      // build, post-hook AFTER the swap (it reads the materialized
+      // target), grants are re-applied grant-only after a replace
+      // (copy_grants() = False) and diffed on the incremental run
+      val m = new graft.mat.Materializer(s)
+      val rel = graft.model.Relation("graft_hooked")
+      m.dropRelation(rel)
+      s.sql("DROP TABLE IF EXISTS graft_hook_audit")
+      val n = t(s, dir, "nation")
+      n.createOrReplaceTempView("graft_hooks_src")
+      val body = n.groupBy(col("n_regionkey"))
+        .agg(count(lit(1)).as("n"))
+      val cfg1 = graft.mat.ModelConfig(
+        preHooks = Seq("CREATE TABLE graft_hook_audit AS " +
+          "SELECT 'pre1' AS tag, count(*) AS val FROM graft_hooks_src"),
+        postHooks = Seq("INSERT INTO graft_hook_audit " +
+          "SELECT 'post1', sum(n) FROM graft_hooked"),
+        grants = Map("select" -> Set("alice", "bob")),
+        description = Some("hooked model"), persistDocs = true)
+      m.table(rel, body, config = cfg1)
+      // replace: grants never copy over; new config applies grant-only
+      val cfg2 = cfg1.copy(
+        preHooks = Seq("INSERT INTO graft_hook_audit " +
+          "SELECT 'pre2', count(*) FROM graft_hooks_src"),
+        postHooks = Seq("INSERT INTO graft_hook_audit " +
+          "SELECT 'post2', sum(n) FROM graft_hooked"),
+        grants = Map("select" -> Set("alice", "carol")))
+      m.table(rel, body, config = cfg2)
+      // incremental run (object survives): should_revoke=true diffs —
+      // carol is revoked, dave granted, alice kept
+      // persist_docs re-applies after the strategy rewrite (the swap
+      // produces a fresh physical table, incremental.sql:106)
+      m.incremental(rel, body.limit(0), "append",
+        config = graft.mat.ModelConfig(
+          grants = Map("select" -> Set("alice", "dave")),
+          description = Some("hooked model"), persistDocs = true))
+      val audit = s.table("graft_hook_audit")
+      val grants = m.catalog.showGrants(rel).toSeq
+        .flatMap { case (p, gs) => gs.toSeq.map(g => (s"grant:$p:$g", 0L)) }
+        .toDF("tag", "val")
+      val doc = Seq(("doc:" +
+        s.catalog.getTable("graft_hooked").description, 0L))
+        .toDF("tag", "val")
+      audit.unionByName(grants).unionByName(doc)
+        .orderBy(col("tag"), col("val"))
+    }),
+
+    "mat_mv_config" -> ((s, dir) => {
+      // MV configuration-change detection (materialized_view.sql:24-30):
+      // unchanged config → refresh; changed properties → forced full
+      // refresh. Actions + final TBLPROPERTIES are part of the output.
+      val m = new graft.mat.Materializer(s)
+      val rel = graft.model.Relation("graft_mv_cfg")
+      m.dropRelation(rel)
+      val sql = s"SELECT n_regionkey, count(*) AS n " +
+        s"FROM parquet.`$dir/nation.parquet` GROUP BY n_regionkey"
+      val p1 = graft.mat.ModelConfig(
+        properties = Map("format" -> "PARQUET"))
+      m.materializedView(rel, sql, p1)
+      m.materializedView(rel, sql, p1) // no change → refresh
+      m.materializedView(rel, sql, // properties changed → full refresh
+        p1.copy(properties =
+          Map("format" -> "PARQUET", "retention" -> "30d")))
+      val actions = m.mvActions(rel).mkString(",")
+      val props = m.getProperties(rel).toSeq.sorted
+        .map { case (k, v) => s"$k=$v" }.mkString(",")
+      s.table("graft_mv_cfg")
+        .withColumn("actions", lit(actions))
+        .withColumn("props", lit(props))
+        .orderBy(col("n_regionkey"))
     }),
 
     "cat_schemas" -> ((s, dir) => {
@@ -1135,13 +1216,18 @@ object SparkEntry {
       """SELECT n_regionkey, count(*) AS n
         |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
 
+    // dur compares as BIGINT micros: Spark writes DayTimeIntervalType
+    // as INT64 microseconds in parquet, which is how DuckDB reads the
+    // verify dump back
     "mat_seed_types" ->
       """SELECT * FROM (VALUES
         |  (CAST(1 AS BIGINT), CAST(1.5 AS DOUBLE), DATE '1995-01-01',
-        |   TIMESTAMP '1995-01-01 12:00:00', 'alpha'),
-        |  (2, 2.0, DATE '1996-02-02', TIMESTAMP '1996-02-02 13:30:00', 'beta'),
-        |  (3, NULL, DATE '1997-03-03', NULL, 'gamma'))
-        |  t(id, price, born, seen, label)
+        |   TIMESTAMP '1995-01-01 12:00:00', 'alpha',
+        |   CAST(86400000000 AS BIGINT), unhex('65683F'), '{"k":1}'),
+        |  (2, 2.0, DATE '1996-02-02', TIMESTAMP '1996-02-02 13:30:00', 'beta',
+        |   129600000000, unhex('4F4B'), '{"a":[1,2]}'),
+        |  (3, NULL, DATE '1997-03-03', NULL, 'gamma', NULL, NULL, NULL))
+        |  t(id, price, born, seen, label, dur, bin, meta)
         |ORDER BY id""".stripMargin,
 
     "mat_incremental_driver" ->
@@ -1209,6 +1295,27 @@ object SparkEntry {
         |  ('select', 'alice'), ('select', 'carol'))
         |  t(privilege, grantee)
         |ORDER BY privilege, grantee""".stripMargin,
+
+    // audit counts are real data the oracle recomputes from nation;
+    // the grant/doc rows pin the state-machine end state (the grants
+    // diff logic itself is unit-tested in MaterializerSpec)
+    "mat_hooks" ->
+      """WITH audit AS (
+        |  SELECT 'pre1' AS tag, count(*) AS val FROM nation
+        |  UNION ALL SELECT 'post1', count(*) FROM nation
+        |  UNION ALL SELECT 'pre2', count(*) FROM nation
+        |  UNION ALL SELECT 'post2', count(*) FROM nation
+        |  UNION ALL SELECT * FROM (VALUES
+        |    ('grant:select:alice', CAST(0 AS BIGINT)),
+        |    ('grant:select:dave', 0),
+        |    ('doc:hooked model', 0)) g(tag, val))
+        |SELECT tag, val FROM audit ORDER BY tag, val""".stripMargin,
+
+    "mat_mv_config" ->
+      """SELECT n_regionkey, count(*) AS n,
+        |  'create,refresh,full_refresh' AS actions,
+        |  'format=PARQUET,retention=30d' AS props
+        |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
   ) ++ llmOracles
 
   // ------------------------------------------------------------------

@@ -133,17 +133,36 @@ final class CatalogOps(spark: SparkSession) {
   private val grants =
     mutable.Map.empty[String, mutable.Map[String, Set[String]]]
 
-  def applyGrants(rel: Relation, wanted: Map[String, Set[String]]): Unit = {
+  /** apply_grants with dbt-core's `should_revoke` protocol:
+    *  - `shouldRevoke = true` (object survived — incremental run, view
+    *    replace): read current grants back, revoke what's no longer
+    *    wanted, grant what's missing (diff_of_two_dicts both ways);
+    *  - `shouldRevoke = false` (object is new, or fully replaced with
+    *    `copy_grants() = False`, apply_grants.sql:11-23): no read-back,
+    *    grant-only pass over the wanted config.
+    * One grantee per DCL statement (apply_grants.sql:25-45) — modeled
+    * here as per-grantee set updates on the intent record. */
+  def applyGrants(rel: Relation, wanted: Map[String, Set[String]],
+                  shouldRevoke: Boolean = true): Unit = {
     val key = rel.render.toLowerCase
     val cur = grants.getOrElseUpdate(key, mutable.Map.empty)
-    // revoke what's no longer wanted, grant what's missing — one grantee
-    // at a time, as the reference does
-    for ((priv, grantees) <- cur.toSeq; g <- grantees
-         if !wanted.get(priv).exists(_.contains(g)))
-      cur(priv) = cur(priv) - g
+    if (shouldRevoke) {
+      // revoke what's no longer wanted, grant what's missing — one
+      // grantee at a time, as the reference does
+      for ((priv, grantees) <- cur.toSeq; g <- grantees
+           if !wanted.get(priv).exists(_.contains(g)))
+        cur(priv) = cur(priv) - g
+    }
     for ((priv, grantees) <- wanted; g <- grantees)
       cur(priv) = cur.getOrElse(priv, Set.empty) + g
   }
+
+  /** A fully-replaced object loses its grants (`copy_grants() = False` —
+    * apply_grants.sql:11-23: grants are never copied on replace). The
+    * materializer calls this on every replace before re-applying the
+    * model's grant config. */
+  def clearGrants(rel: Relation): Unit =
+    grants.remove(rel.render.toLowerCase)
 
   def showGrants(rel: Relation): Map[String, Set[String]] =
     grants.get(rel.render.toLowerCase)

@@ -13,9 +13,68 @@ import scala.collection.mutable
   * All writes are distributed (`df.write`); the state machine itself is
   * pure catalog orchestration (metadata ops), so nothing here caps scale.
   */
-final class Materializer(spark: SparkSession) {
+final class Materializer(spark: SparkSession, val catalog: CatalogOps) {
+
+  def this(spark: SparkSession) = this(spark, new CatalogOps(spark))
 
   import spark.implicits._
+
+  // ------------------------------------------------------------------
+  // hook / docs / grants / properties plumbing shared by the
+  // materialization state machines (table.sql:30,62-67,
+  // incremental.sql:46,100-106, adapters.sql:277-295)
+  // ------------------------------------------------------------------
+
+  /** run_hooks: each hook is a SQL statement executed in order; a hook
+    * failure aborts the materialization (dbt behavior). */
+  private def runHooks(hooks: Seq[String]): Unit =
+    hooks.foreach(spark.sql(_))
+
+  /** persist_docs (adapters.sql:92-101 + dbt's persist_docs macro):
+    * relation comment from the model description, column comments for
+    * existing columns only. */
+  private def persistDocs(rel: Relation, config: ModelConfig): Unit =
+    if (config.persistDocs) {
+      config.description.foreach(catalog.setTableComment(rel, _))
+      if (config.columnComments.nonEmpty)
+        catalog.setColumnComments(rel, config.columnComments)
+    }
+
+  /** `properties` config → TBLPROPERTIES. The reference renders
+    * `WITH (k = v, ...)` inline in the CREATE (adapters.sql:102-110);
+    * Spark's writer API cannot attach properties at `saveAsTable` time,
+    * so they are set immediately after the write — same end state. */
+  private def setProperties(rel: Relation,
+                            props: Map[String, String]): Unit =
+    if (props.nonEmpty) {
+      def esc(s: String) = s.replace("'", "''")
+      val kvs = props.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"'${esc(k)}' = '${esc(v)}'" }.mkString(", ")
+      spark.sql(s"ALTER TABLE ${rel.render} SET TBLPROPERTIES ($kvs)")
+    }
+
+  /** Read back the table properties previously set via the `properties`
+    * config (filters out Spark-internal keys). Metadata-only. */
+  def getProperties(rel: Relation): Map[String, String] =
+    spark.sql(s"SHOW TBLPROPERTIES ${rel.render}").collect()
+      .map(r => r.getString(0) -> r.getString(1))
+      .filterNot(_._1.startsWith("transient_lastDdlTime"))
+      .filterNot(_._1.startsWith("spark.sql.")).toMap
+
+  /** dbt-core `should_revoke`: a new object has nothing to revoke; a
+    * fully-replaced one only does if grants copy over — and
+    * `extrica__copy_grants()` returns False (apply_grants.sql:11-23) —
+    * so only an object that SURVIVED the build (normal incremental run)
+    * diffs against its current grants. */
+  private def shouldRevoke(existed: Boolean, fullRefresh: Boolean): Boolean =
+    existed && !fullRefresh
+
+  /** apply_grants call site: dbt skips the whole flow when the model has
+    * no grants config (existing grants stay untouched). */
+  private def applyGrantsCfg(rel: Relation, config: ModelConfig,
+                             revoke: Boolean): Unit =
+    if (config.grants.nonEmpty)
+      catalog.applyGrants(rel, config.grants, shouldRevoke = revoke)
 
   // ------------------------------------------------------------------
   // table materialization (table.sql:1-70)
@@ -26,9 +85,15 @@ final class Materializer(spark: SparkSession) {
     *    → rename tmp → target → drop backup (table.sql:12-48);
     *  - "drop": drop old, then CTAS (table.sql:50-59);
     *  - anything else: logged fallback to rename (table.sql:3-7).
+    *
+    * Full state machine order (table.sql:30,62-67): pre-hooks → build +
+    * swap → persist-docs → apply-grants → post-hooks. The replace wipes
+    * existing grants (copy_grants() = False) before the model's grant
+    * config is applied grant-only (should_revoke is false on replace).
     */
   def table(rel: Relation, df: DataFrame,
-            onTableExists: String = "rename"): Unit = {
+            onTableExists: String = "rename",
+            config: ModelConfig = ModelConfig.empty): Unit = {
     val mode = onTableExists match {
       case "rename" | "drop" => onTableExists
       case other =>
@@ -38,7 +103,9 @@ final class Materializer(spark: SparkSession) {
         "rename"
     }
     val name = rel.render
-    if (!spark.catalog.tableExists(name)) {
+    val existed = spark.catalog.tableExists(name)
+    runHooks(config.preHooks) // table.sql:30
+    if (!existed) {
       df.write.saveAsTable(name)
     } else if (mode == "drop") {
       dropRelation(rel)
@@ -52,6 +119,12 @@ final class Materializer(spark: SparkSession) {
       spark.sql(s"ALTER TABLE ${tmp.render} RENAME TO ${name}")
       dropRelation(backup)
     }
+    if (existed) catalog.clearGrants(rel) // grants never copy on replace
+    setProperties(rel, config.properties)
+    persistDocs(rel, config) // table.sql:62
+    applyGrantsCfg(rel, config, // table.sql:64-65
+      revoke = shouldRevoke(existed, fullRefresh = true))
+    runHooks(config.postHooks) // table.sql:67
   }
 
   /** create_table_as with an enforced contract (adapters.sql:107-124):
@@ -75,8 +148,13 @@ final class Materializer(spark: SparkSession) {
 
   /** `create or replace view … security {definer|invoker}` — the security
     * clause has no Spark equivalent; it is validated (invalid values fall
-    * back to definer, adapters.sql:141-147) and recorded, not enforced. */
-  def view(rel: Relation, sql: String, security: String = "definer"): Unit = {
+    * back to definer, adapters.sql:141-147) and recorded, not enforced.
+    *
+    * State machine order (adapters.sql:277-292 + view.sql:5): pre-hooks →
+    * build → apply-grants (should_revoke hardcoded True by the reference)
+    * → post-hooks → persist-docs. */
+  def view(rel: Relation, sql: String, security: String = "definer",
+           config: ModelConfig = ModelConfig.empty): Unit = {
     val sec = security.toLowerCase match {
       case "definer" | "invoker" => security.toLowerCase
       case other =>
@@ -85,12 +163,16 @@ final class Materializer(spark: SparkSession) {
         "definer"
     }
     viewSecurity(rel.render.toLowerCase) = sec
+    runHooks(config.preHooks) // adapters.sql:277
     // adapters.sql:279-282: drop a non-view object of the same name first
     if (spark.catalog.tableExists(rel.render)) {
       val t = spark.catalog.getTable(rel.render)
       if (t.tableType != "VIEW") dropRelation(rel)
     }
     spark.sql(s"CREATE OR REPLACE VIEW ${rel.render} AS $sql")
+    applyGrantsCfg(rel, config, revoke = true) // adapters.sql:290
+    runHooks(config.postHooks) // adapters.sql:292
+    persistDocs(rel, config) // view.sql:5
   }
 
   private val viewSecurity = mutable.Map.empty[String, String]
@@ -101,24 +183,50 @@ final class Materializer(spark: SparkSession) {
   // materialized view (materialized_view.sql:1-35)
   // ------------------------------------------------------------------
   // No vanilla-Spark MV → physically refreshed table + recorded defining
-  // query; `refresh` re-runs the stored query (SURVEY §2.1).
+  // query and properties; `refresh` re-runs the stored query (SURVEY §2.1).
 
-  private val mvQueries = mutable.Map.empty[String, String]
+  private case class MvState(sql: String, properties: Map[String, String])
+  private val mvQueries = mutable.Map.empty[String, MvState]
+  private val mvLog = mutable.Map.empty[String, List[String]]
 
-  def materializedView(rel: Relation, definingSql: String): Unit = {
-    mvQueries(rel.render.toLowerCase) = definingSql
-    table(rel, spark.sql(definingSql))
+  /** Materialized-view state machine with configuration-change
+    * detection: applying MV config changes via ALTER is unsupported
+    * (extrica__get_materialized_view_configuration_changes returns None,
+    * materialized_view.sql:24-30), so ANY change to the defining query
+    * or the `properties` config forces a full refresh (drop-equivalent
+    * rebuild with the new properties); an unchanged re-materialize is a
+    * plain `refresh materialized view`. Actions are recorded —
+    * [[mvActions]] — so the distinction is observable. */
+  def materializedView(rel: Relation, definingSql: String,
+                       config: ModelConfig = ModelConfig.empty): Unit = {
+    val key = rel.render.toLowerCase
+    val prev = mvQueries.get(key)
+      .filter(_ => spark.catalog.tableExists(rel.render))
+    val action = prev match {
+      case None => "create"
+      case Some(st) if st.sql == definingSql &&
+        st.properties == config.properties => "refresh"
+      case _ => "full_refresh" // materialized_view.sql:24-30
+    }
+    mvQueries(key) = MvState(definingSql, config.properties)
+    mvLog(key) = mvLog.getOrElse(key, Nil) :+ action
+    table(rel, spark.sql(definingSql), config = config)
   }
 
   /** `refresh materialized view` (materialized_view.sql:33-35). */
   def refreshMaterializedView(rel: Relation): Unit = {
-    val sql = mvQueries.getOrElse(rel.render.toLowerCase,
+    val st = mvQueries.getOrElse(rel.render.toLowerCase,
       throw new IllegalArgumentException(s"not a materialized view: ${rel.render}"))
-    table(rel, spark.sql(sql))
+    table(rel, spark.sql(st.sql))
   }
 
   def materializedViewQuery(rel: Relation): Option[String] =
-    mvQueries.get(rel.render.toLowerCase)
+    mvQueries.get(rel.render.toLowerCase).map(_.sql)
+
+  /** The create/refresh/full_refresh decisions taken for an MV, oldest
+    * first — the observable trace of the config-change detection. */
+  def mvActions(rel: Relation): Seq[String] =
+    mvLog.getOrElse(rel.render.toLowerCase, Nil)
 
   // ------------------------------------------------------------------
   // seed materialization (seeds/helpers.sql + adapters.sql:52-90)
@@ -132,15 +240,54 @@ final class Materializer(spark: SparkSession) {
     * with no Spark analogue (single distributed write). */
   def seed(rel: Relation, csvPath: String,
            columnTypes: Map[String, String] = Map.empty): Unit = {
-    val raw = spark.read.option("header", "true").csv(csvPath)
+    // RFC-4180 CSV (the dbt seed format): quoted fields escape inner
+    // quotes by doubling; Spark's univocity default escape is backslash
+    val raw = spark.read.option("header", "true")
+      .option("escape", "\"").csv(csvPath)
     val inferred = inferSeedTypes(raw)
     val typed = raw.schema.fieldNames.foldLeft(raw) { (df, c) =>
       val declared = columnTypes.get(c).map(ColumnModel.translateLabel)
         .getOrElse(inferred(c))
-      df.withColumn(c, df(c).cast(ColumnModel.toSparkType(declared)))
+      df.withColumn(c, seedCast(df(c), declared))
     }
     dropRelation(rel)
     typed.write.saveAsTable(rel.render)
+  }
+
+  /** CSV cell → typed column with the reference's typed-literal
+    * semantics (seeds/helpers.sql:6-24 create_bindings):
+    *  - `interval*` types take the literal tail verbatim — a cell like
+    *    `'1' day` becomes `INTERVAL '1' day` (helpers.sql:12-13);
+    *    day/hour/minute/second feed a day-time interval, year/month a
+    *    year-month interval;
+    *  - `varbinary` cells are hex strings (`VARBINARY '65683F'`);
+    *  - `json` is stored textual (Trino JSON ≈ string storage here);
+    *  - everything else is a plain cast to the declared type. */
+  private def seedCast(c: org.apache.spark.sql.Column,
+                       declared: String): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    val base = declared.trim.toLowerCase
+    if (base.startsWith("interval")) {
+      val v = regexp_extract(c, "'([^']*)'", 1)
+      val unit = lower(trim(regexp_extract(c, "'[^']*'\\s*(\\w+)", 1)))
+      if (base.contains("year") || base.contains("month"))
+        when(unit === "year", make_ym_interval(v.cast(IntegerType)))
+          .when(unit === "month", make_ym_interval(lit(0), v.cast(IntegerType)))
+      else
+        when(unit === "day", make_dt_interval(v.cast(IntegerType)))
+          .when(unit === "hour", make_dt_interval(lit(0), v.cast(IntegerType)))
+          .when(unit === "minute",
+            make_dt_interval(lit(0), lit(0), v.cast(IntegerType)))
+          .when(unit === "second",
+            make_dt_interval(lit(0), lit(0), lit(0), v.cast(DecimalType(18, 6))))
+    } else if (base == "varbinary" || base == "binary") {
+      unhex(c)
+    } else if (base == "json") {
+      c // textual storage; declaredType 'json' is preserved on the model
+    } else {
+      c.cast(ColumnModel.toSparkType(declared))
+    }
   }
 
   /** Distributed seed type inference: ONE aggregate pass over the whole
@@ -200,11 +347,23 @@ final class Materializer(spark: SparkSession) {
       uniqueKeys: Seq[String] = Nil,
       onSchemaChange: String = "ignore",
       fullRefresh: Boolean = false,
-      predicates: Seq[org.apache.spark.sql.Column] = Nil): Unit = {
+      predicates: Seq[org.apache.spark.sql.Column] = Nil,
+      config: ModelConfig = ModelConfig.empty): Unit = {
     val name = rel.render
     val exists = spark.catalog.tableExists(name)
+    runHooks(config.preHooks) // incremental.sql:46
+    // incremental's tail order differs from table's: post-hooks →
+    // apply-grants → persist-docs (incremental.sql:100-106)
+    def tail(): Unit = {
+      setProperties(rel, config.properties)
+      runHooks(config.postHooks) // incremental.sql:100
+      applyGrantsCfg(rel, config, // incremental.sql:102-104
+        revoke = shouldRevoke(exists, fullRefresh))
+      persistDocs(rel, config) // incremental.sql:106
+    }
     if (!exists || fullRefresh) {
-      table(rel, model) // incremental.sql:48-66
+      table(rel, model) // incremental.sql:48-66 (replace wipes grants)
+      tail()
       return
     }
     // incremental.sql:79-81: widen target column types so staged values
@@ -245,6 +404,7 @@ final class Materializer(spark: SparkSession) {
     spark.sql(s"ALTER TABLE $name RENAME TO ${backup.render}")
     spark.sql(s"ALTER TABLE ${tmp.render} RENAME TO $name")
     dropRelation(backup)
+    tail()
   }
 
   // ------------------------------------------------------------------

@@ -109,7 +109,10 @@ object ColumnModel {
       case "date" => DateType
       case "timestamp" | "timestamp without time zone" => TimestampType
       case "timestamp with time zone" => TimestampType
-      case "interval" => CalendarIntervalType
+      // Trino's two interval kinds → Spark's storable ANSI interval
+      // types (CalendarIntervalType cannot be written to tables/parquet)
+      case "interval" | "interval day to second" => DayTimeIntervalType()
+      case "interval year to month" => YearMonthIntervalType()
       case b if b.startsWith("array") =>
         // array(T) — recurse on the element type text
         val inner = raw.trim.stripPrefix("array").trim
@@ -134,6 +137,8 @@ object ColumnModel {
     case d: DecimalType => s"decimal(${d.precision},${d.scale})"
     case DateType => "date"
     case _: TimestampType => "timestamp"
+    case _: DayTimeIntervalType => "interval day to second"
+    case _: YearMonthIntervalType => "interval year to month"
     case ArrayType(e, _) => s"array(${fromSparkType(e)})"
     case MapType(k, v, _) => s"map(${fromSparkType(k)},${fromSparkType(v)})"
     case other => other.simpleString

@@ -222,4 +222,104 @@ class MaterializerSpec extends SparkSpec {
     mat.renameRelation(Relation("rn_a"), Relation("rn_b"))
     assert(spark.catalog.tableExists("rn_b") && !spark.catalog.tableExists("rn_a"))
   }
+
+  test("grants diff matrix: should_revoke on/off, replace wipes (apply_grants.sql)") {
+    val c = new CatalogOps(spark)
+    val rel = Relation("g_matrix")
+    // grant-only pass (new object, should_revoke=false)
+    c.applyGrants(rel, Map("select" -> Set("a", "b")), shouldRevoke = false)
+    assert(c.showGrants(rel) == Map("select" -> Set("a", "b")))
+    // diff pass: b loses select, insert appears, c added
+    c.applyGrants(rel, Map("select" -> Set("a", "c"), "insert" -> Set("a")))
+    assert(c.showGrants(rel) ==
+      Map("select" -> Set("a", "c"), "insert" -> Set("a")))
+    // grant-only pass does NOT revoke (no read-back in the reference)
+    c.applyGrants(rel, Map("select" -> Set("d")), shouldRevoke = false)
+    assert(c.showGrants(rel) ==
+      Map("select" -> Set("a", "c", "d"), "insert" -> Set("a")))
+    // full replace wipes everything
+    c.clearGrants(rel)
+    assert(c.showGrants(rel).isEmpty)
+  }
+
+  test("table state machine: hook order, docs, grants on replace (table.sql:30,62-67)") {
+    import graft.mat.ModelConfig
+    val rel = Relation("hk_t")
+    mat.dropRelation(rel)
+    spark.sql("DROP TABLE IF EXISTS hk_audit")
+    val cfg = ModelConfig(
+      preHooks = Seq("CREATE TABLE hk_audit AS SELECT 'pre' AS tag"),
+      // post-hook sees the materialized target → proves it runs last
+      postHooks = Seq("INSERT INTO hk_audit SELECT concat('post:', " +
+        "CAST((SELECT count(*) FROM hk_t) AS STRING))"),
+      grants = Map("select" -> Set("alice")),
+      description = Some("demo"), persistDocs = true)
+    mat.table(rel, Seq((1, "x"), (2, "y")).toDF("id", "v"), config = cfg)
+    val tags = spark.table("hk_audit").collect().map(_.getString(0)).sorted
+    assert(tags.toSeq == Seq("post:2", "pre"))
+    assert(mat.catalog.showGrants(rel) == Map("select" -> Set("alice")))
+    assert(spark.catalog.getTable("hk_t").description == "demo")
+    // replace with different grants: old set never copies over
+    mat.table(rel, Seq((3, "z")).toDF("id", "v"),
+      config = cfg.copy(preHooks = Nil,
+        postHooks = Nil, grants = Map("select" -> Set("bob"))))
+    assert(mat.catalog.showGrants(rel) == Map("select" -> Set("bob")))
+    // incremental run (survivor): diff path revokes bob, grants carol
+    mat.incremental(rel, Seq((4, "w")).toDF("id", "v"), "append",
+      config = ModelConfig(grants = Map("select" -> Set("carol"))))
+    assert(mat.catalog.showGrants(rel) == Map("select" -> Set("carol")))
+    // empty grants config leaves existing grants untouched (dbt skips)
+    mat.incremental(rel, Seq((5, "q")).toDF("id", "v"), "append")
+    assert(mat.catalog.showGrants(rel) == Map("select" -> Set("carol")))
+  }
+
+  test("table properties set + read back (adapters.sql:102-110)") {
+    val rel = Relation("props_t")
+    mat.table(rel, Seq(Tuple1(1)).toDF("x"),
+      config = graft.mat.ModelConfig(
+        properties = Map("format" -> "PARQUET", "retention" -> "7d")))
+    val p = mat.getProperties(rel)
+    assert(p.get("format").contains("PARQUET"))
+    assert(p.get("retention").contains("7d"))
+  }
+
+  test("MV config change forces full refresh (materialized_view.sql:24-30)") {
+    import graft.mat.ModelConfig
+    val rel = Relation("mv_cfg_t")
+    mat.dropRelation(rel)
+    spark.sql("DROP TABLE IF EXISTS mv_cfg_src")
+    Seq((1, 10), (2, 20)).toDF("k", "v").write.saveAsTable("mv_cfg_src")
+    val sql = "SELECT k, sum(v) AS s FROM mv_cfg_src GROUP BY k"
+    val cfg = ModelConfig(properties = Map("a" -> "1"))
+    mat.materializedView(rel, sql, cfg)
+    mat.materializedView(rel, sql, cfg) // unchanged → refresh
+    mat.materializedView(rel, sql, cfg.copy(properties = Map("a" -> "2")))
+    mat.materializedView(rel, "SELECT k, max(v) AS s FROM mv_cfg_src GROUP BY k", cfg.copy(properties = Map("a" -> "2")))
+    assert(mat.mvActions(rel) ==
+      Seq("create", "refresh", "full_refresh", "full_refresh"))
+    assert(mat.getProperties(rel).get("a").contains("2"))
+  }
+
+  test("seed typed literals: interval, varbinary, json (seeds/helpers.sql:6-24)") {
+    val csv = java.nio.file.Files.createTempFile("seed_lit", ".csv")
+    java.nio.file.Files.writeString(csv,
+      "id,dur,mth,bin,meta\n" +
+        "1,'90' minute,'2' year,DEAD,\"{\"\"x\"\":true}\"\n" +
+        "2,'45' second,'3' month,BEEF,plain\n")
+    mat.seed(Relation("seed_lit"), csv.toString,
+      columnTypes = Map("dur" -> "interval day to second",
+        "mth" -> "interval year to month", "bin" -> "varbinary",
+        "meta" -> "json"))
+    val t = spark.table("seed_lit").orderBy("id").collect()
+    assert(t(0).getAs[java.time.Duration]("dur") ==
+      java.time.Duration.ofMinutes(90))
+    assert(t(1).getAs[java.time.Duration]("dur") ==
+      java.time.Duration.ofSeconds(45))
+    assert(t(0).getAs[java.time.Period]("mth") == java.time.Period.ofYears(2))
+    assert(t(1).getAs[java.time.Period]("mth") == java.time.Period.ofMonths(3))
+    assert(t(0).getAs[Array[Byte]]("bin").toSeq ==
+      Seq(0xDE.toByte, 0xAD.toByte))
+    assert(t(0).getAs[String]("meta") == """{"x":true}""")
+    assert(t(1).getAs[String]("meta") == "plain")
+  }
 }
