@@ -833,16 +833,33 @@ object SparkEntry {
     }),
 
     "sim_ivf_topk" -> ((s, dir) => {
+      // trained-cell IVF (k-means centroids) gated on recall vs the
+      // exact brute-force baseline: the result is the per-query recall
+      // check, since the oracle cannot re-run k-means in SQL. The raw
+      // recall values are asserted in LlmSpec.
       val e = t(s, dir, "embeddings")
-      Similarity.ivfTopK(e, e.filter(col("vec_id") < 5),
-          "vec_id", "embedding", 10, nlist = 32)
-        .orderBy(col("query_id"), col("rank"))
+      Similarity.ivfRecall(e, e.filter(col("vec_id") < 5),
+          "vec_id", "embedding", 10, nlist = 32, nprobe = 12)
+        .select(col("query_id"), (col("recall") >= 0.6).as("recall_ok"))
+        .orderBy(col("query_id"))
     }),
 
     // ---- multimodal plumbing (stub decode — see Multimodal.FakeDecoder) ----
     "mm_decode" -> ((s, dir) =>
       Multimodal.decodeFeatures(
           Multimodal.mediaFromDocuments(t(s, dir, "documents")))
+        .orderBy(col("media_id"))),
+
+    "mm_decode_real" -> ((s, dir) =>
+      // REAL byte-level decode: image rows carry an actual BMP, audio
+      // rows an actual WAV (MediaCodecs encode/parse); geometry derives
+      // from the id so the oracle recomputes it arithmetically.
+      // checksum is projected away — it is a function of raw bytes the
+      // SQL oracle cannot reconstruct; CodecSpec pins it instead.
+      Multimodal.decodeFeatures(
+          Multimodal.syntheticMedia(t(s, dir, "documents")))
+        .select(col("media_id"), col("media_type"), col("n_bytes"),
+          col("width"), col("height"), col("n_frames"))
         .orderBy(col("media_id"))),
 
     "mm_frames" -> ((s, dir) =>
@@ -1577,20 +1594,13 @@ object SparkEntry {
         |SELECT query_id, vec_id, cos, rank FROM r WHERE rank <= 10
         |ORDER BY query_id, rank""".stripMargin,
 
+    // k-means training is not SQL-expressible; the oracle pins the
+    // recall gate (per-query recall ≥ 0.6 vs brute force, computed
+    // Spark-side against its own exact baseline). Raw recall values are
+    // asserted in LlmSpec.
     "sim_ivf_topk" ->
-      // nlist=32 cells = 16-bit bucket mod 32; probes = the query's own
-      // cell plus each single-plane flip, deduplicated after the modulo
-      s"""WITH c AS (SELECT vec_id, embedding AS cv, ${bucketSql("embedding")} % 32 AS cell FROM embeddings),
-        |q0 AS (SELECT vec_id AS query_id, embedding AS qv, ${bucketSql("embedding")} AS qb FROM embeddings WHERE vec_id < 5),
-        |q AS (SELECT query_id, qv, list_distinct(list_transform(
-        |  [0${(0 until Similarity.Planes).map(i => s", ${1L << i}").mkString}],
-        |  m -> xor(qb, m) % 32)) AS cells FROM q0),
-        |scored AS (SELECT query_id, c.vec_id, ${cosSql("qv", "cv")} AS cos
-        |  FROM c JOIN q ON list_contains(q.cells, c.cell)
-        |  WHERE query_id != c.vec_id),
-        |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank FROM scored)
-        |SELECT query_id, vec_id, cos, rank FROM r WHERE rank <= 10
-        |ORDER BY query_id, rank""".stripMargin,
+      """SELECT vec_id AS query_id, true AS recall_ok
+        |FROM embeddings WHERE vec_id < 5 ORDER BY query_id""".stripMargin,
 
     "mm_decode" ->
       s"""WITH m AS (SELECT doc_id AS media_id,
@@ -1607,6 +1617,30 @@ object SparkEntry {
         |    WHEN 'audio' THEN (n_bytes % 16000) + 1 ELSE 1 END)::INTEGER AS n_frames,
         |  checksum
         |FROM m ORDER BY media_id""".stripMargin,
+
+    // mirrors MediaCodecs byte layout arithmetically: BMP = 54-byte
+    // header + 4-byte-padded 24bpp rows; WAV = 44-byte header + 16-bit
+    // samples × channels
+    "mm_decode_real" ->
+      """WITH f AS (SELECT doc_id AS media_id, doc_id % 3 AS k,
+        |  strlen(text) AS tb FROM documents)
+        |SELECT media_id,
+        |  CASE k WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+        |    ELSE 'video' END AS media_type,
+        |  (CASE k
+        |    WHEN 0 THEN 54 + ((((media_id % 16 + 1) * 3 + 3) // 4) * 4)
+        |      * (media_id % 12 + 1)
+        |    WHEN 1 THEN 44 + (media_id % 256 + 1) * (media_id % 2 + 1) * 2
+        |    ELSE tb END)::BIGINT AS n_bytes,
+        |  (CASE k WHEN 0 THEN media_id % 16 + 1
+        |    WHEN 1 THEN 8000 + (media_id % 8) * 1000
+        |    ELSE (tb % 640) + 1 END)::INTEGER AS width,
+        |  (CASE k WHEN 0 THEN media_id % 12 + 1
+        |    WHEN 1 THEN media_id % 2 + 1
+        |    ELSE (tb % 480) + 1 END)::INTEGER AS height,
+        |  (CASE k WHEN 0 THEN 1 WHEN 1 THEN media_id % 256 + 1
+        |    ELSE (tb % 24) + 1 END)::INTEGER AS n_frames
+        |FROM f ORDER BY media_id""".stripMargin,
 
     "mm_frames" ->
       """WITH d AS (SELECT doc_id AS media_id, (strlen(text) % 24) + 1 AS n_frames
@@ -1646,7 +1680,7 @@ object SparkEntry {
     "ev_sessions" ->
       """WITH o AS (SELECT user_id, ts, value,
         |  CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
-        |    OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) > INTERVAL 30 MINUTE
+        |    OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL 30 MINUTE
         |    THEN 1 ELSE 0 END AS brk FROM events),
         |g AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
         |  ROWS UNBOUNDED PRECEDING) AS grp FROM o)
@@ -1659,7 +1693,7 @@ object SparkEntry {
     "ev_sessions_custom" ->
       """WITH o AS (SELECT user_id, ts,
         |  CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
-        |    OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) > INTERVAL 30 MINUTE
+        |    OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL 30 MINUTE
         |    THEN 1 ELSE 0 END AS brk FROM events),
         |g AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
         |  ROWS UNBOUNDED PRECEDING) AS grp FROM o)

@@ -62,13 +62,8 @@ object Dialect {
     * Spark equivalent is `timestampadd` (NOT Spark's 2-arg days-only
     * date_add). */
   def dateAdd(part: String, n: Column, d: Column): Column =
-    timestamp_add(normPart(part), n, d.cast(TimestampType))
+    timestamp_add(part.toUpperCase, n, d.cast(TimestampType))
   def dateAdd(part: String, n: Int, d: Column): Column = dateAdd(part, lit(n), d)
-
-  private def normPart(part: String): String = part.toUpperCase match {
-    case "MILLISECOND" => "MILLISECOND"
-    case p => p
-  }
 
   /** utils/datediff.sql:1-28 — Trino/dbt boundary-crossing datediff,
     * replicated part-for-part (NOT Spark's days-only datediff and NOT

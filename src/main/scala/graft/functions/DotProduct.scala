@@ -17,7 +17,9 @@ import org.apache.spark.sql.types._
   * element; this is a fused multiply-add loop. Identical arithmetic:
   * left-to-right IEEE double accumulation, so oracle parity holds.
   *
-  * Arrays are assumed element-non-null (parquet vector columns); the
+  * A null ELEMENT in the overlapped range null-propagates the whole
+  * result — the same semantics as the replaced HOF form (and of the
+  * DuckDB oracle's list arithmetic, where NULL*x poisons the sum). The
   * shorter length bounds the loop.
   */
 case class DotProduct(left: Expression, right: Expression)
@@ -42,6 +44,14 @@ case class DotProduct(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_dot"
 
+  // nullable even when the array columns aren't: element nulls
+  // null-propagate the result
+  override def nullable: Boolean = super.nullable ||
+    Seq(left, right).exists(_.dataType match {
+      case ArrayType(_, cn) => cn
+      case _ => false
+    })
+
   private def get(a: ArrayData, t: DataType, i: Int): Double = t match {
     case FloatType => a.getFloat(i).toDouble
     case DoubleType => a.getDouble(i)
@@ -59,6 +69,7 @@ case class DotProduct(left: Expression, right: Expression)
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if (la.isNullAt(i) || ra.isNullAt(i)) return null
       acc += get(la, lt, i) * get(ra, rt, i)
       i += 1
     }
@@ -87,6 +98,9 @@ case class DotProduct(left: Expression, right: Expression)
          |int $n = java.lang.Math.min($l.numElements(), $r.numElements());
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($l.isNullAt($i) || $r.isNullAt($i)) {
+         |    ${ev.isNull} = true; break;
+         |  }
          |  $acc += $lg * $rg;
          |}
          |${ev.value} = $acc;

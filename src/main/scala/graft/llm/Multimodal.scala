@@ -7,12 +7,13 @@ import org.apache.spark.sql.types._
 /** Multimodal-column plumbing: image/audio/video as opaque `binary`
   * columns with typed metadata, processed in partition-local batches.
   *
-  * The actual media decode is STUBBED (this container has no image/audio
-  * libraries): [[FakeDecoder.decode]] is a deterministic function of the
-  * byte payload, clearly marked. Everything around it — the schema, the
-  * binary column, the batched `mapPartitions` shape, the partitioning —
-  * is real and is what a production decode (JNI codec, ONNX feature
-  * extractor) would plug into.
+  * BMP and WAV payloads are decoded for REAL — byte-level header parsing
+  * in pure JVM code ([[MediaCodecs]]), dispatched by magic number. Other
+  * formats (JPEG/PNG/MP3/MP4 need codec libraries this container lacks)
+  * fall back to [[FakeDecoder.decode]], a deterministic stub that is the
+  * clearly-marked seam where a JNI/ONNX codec would plug in. Everything
+  * around the decode — the schema, the binary column, the batched
+  * `mapPartitions` shape, the partitioning — is real in both paths.
   *
   * Scale notes: decode is a per-row map over partition iterators (no
   * shuffle, no driver data). Batch shape mirrors Arrow-batch processing:
@@ -51,9 +52,37 @@ object Multimodal {
       col("text").cast(BinaryType).as("payload"),
       length(col("text")).cast(LongType).as("n_bytes"))
 
-  /** STUB decoder — deterministic fake in place of a real codec.
-    * A real implementation would decode `payload` with an image/audio
-    * library inside the same batch loop. */
+  /** Synthetic REAL media from the documents table: image rows carry an
+    * actual BMP and audio rows an actual WAV, with geometry derived from
+    * the id (so a correctness oracle can recompute the decoded features
+    * without parsing bytes); video rows keep text bytes (stub path).
+    * Payload construction is a partition-local typed map — the same
+    * shape a lakehouse ingest job would use. */
+  def syntheticMedia(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val payload = (id % 3) match {
+          case 0 => MediaCodecs.encodeBmp(
+            (id % 16).toInt + 1, (id % 12).toInt + 1)
+          case 1 => MediaCodecs.encodeWav(
+            8000 + (id % 8).toInt * 1000, (id % 2).toInt + 1,
+            (id % 256).toInt + 1)
+          case _ => text.getBytes("UTF-8")
+        }
+        val mt = (id % 3) match {
+          case 0 => "image"; case 1 => "audio"; case _ => "video"
+        }
+        MediaRow(id, mt, payload, payload.length.toLong)
+      })
+      .toDF()
+  }
+
+  /** STUB decoder — deterministic fake in place of a real codec, used
+    * only for payloads no real parser here understands (see
+    * [[decodeAny]]). A real implementation would decode `payload` with
+    * an image/audio library inside the same batch loop. */
   object FakeDecoder {
     def decode(mediaType: String, payload: Array[Byte])
         : (Int, Int, Int, Long) = {
@@ -66,12 +95,31 @@ object Multimodal {
         case "audio" => (n % 16000) + 1 // "samples"
         case _ => 1
       }
-      var cs = 0L
-      var i = 0
-      while (i < n) { cs = (cs + (payload(i) & 0xff)) % 997; i += 1 }
-      (width, height, frames, cs)
+      (width, height, frames, checksum(payload))
     }
   }
+
+  /** Payload checksum (all decode paths): byte sum mod 997. */
+  def checksum(payload: Array[Byte]): Long = {
+    var cs = 0L
+    var i = 0
+    while (i < payload.length) { cs = (cs + (payload(i) & 0xff)) % 997; i += 1 }
+    cs
+  }
+
+  /** Decode dispatch: real parse for recognized magics, stub otherwise.
+    * Feature mapping — image: (width, height, 1 frame); audio WAV:
+    * (sample_rate, channels, n_samples) in the (width, height, n_frames)
+    * slots. */
+  def decodeAny(mediaType: String, payload: Array[Byte])
+      : (Int, Int, Int, Long) =
+    MediaCodecs.decodeBmp(payload) match {
+      case Some((w, h)) => (w, h, 1, checksum(payload))
+      case None => MediaCodecs.decodeWav(payload) match {
+        case Some((rate, ch, n)) => (rate, ch, n, checksum(payload))
+        case None => FakeDecoder.decode(mediaType, payload)
+      }
+    }
 
   /** Encoder-side row types for the typed mapPartitions (kept static so
     * the case-class Encoders resolve). */
@@ -98,7 +146,7 @@ object Multimodal {
         it.grouped(BatchSize).flatMap { batch =>
           // per-batch decoder setup would happen here (model load, codec init)
           batch.iterator.map { m =>
-            val (w, h, f, cs) = FakeDecoder.decode(m.media_type, m.payload)
+            val (w, h, f, cs) = decodeAny(m.media_type, m.payload)
             DecodedRow(m.media_id, m.media_type, m.n_bytes, w, h, f, cs)
           }
         }

@@ -56,6 +56,12 @@ object Similarity {
 
   /** Sign-LSH bucket code of a vector: bit p = 1 iff dot(v, plane_p) > 0.
     *
+    * `dim` must cover the actual embedding width — DotProduct's
+    * min-length loop silently truncates a wider vector to the plane
+    * length, degrading recall without error; callers with non-64-dim
+    * embeddings must thread their width through
+    * [[lshTopK]]/[[bucketCode]].
+    *
     * Each plane's dot is one codegen'd [[graft.functions.DotProduct]]
     * node over a literal weight array — a small, flat expression tree.
     * (The original 16 zip_with+aggregate lambda subtrees put thousands
@@ -92,12 +98,13 @@ object Similarity {
     * exact cosine re-rank on the candidates. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, id: String,
               vec: String, k: Int, planes: Int = Planes,
-              probeRadius: Int = 2): DataFrame = {
+              probeRadius: Int = 2, dim: Int = Dim): DataFrame = {
     val c = corpus.select(col(id).as("vec_id"), col(vec).as("cv"))
-      .withColumn("bucket", bucketCode(col("cv"), planes))
+      .withColumn("bucket", bucketCode(col("cv"), planes, dim))
     val q = queries.select(col(id).as("query_id"), col(vec).as("qv"))
       .withColumn("bucket",
-        explode(probeBuckets(bucketCode(col("qv"), planes), planes, probeRadius)))
+        explode(probeBuckets(bucketCode(col("qv"), planes, dim), planes,
+          probeRadius)))
     val scored = c.join(broadcast(q), Seq("bucket"))
       .filter(col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id"),
@@ -108,29 +115,88 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
-  /** IVF cell assignment: `nlist` coarse cells by bucket code modulo
-    * nlist (a deterministic stand-in for trained centroids). Write the
-    * result `partitionBy("cell")` and a probe becomes a partition-pruned
-    * scan of |probed cells|/nlist of the data. */
-  def ivfAssign(corpus: DataFrame, id: String, vec: String,
-                nlist: Int): DataFrame =
-    corpus.select(col(id), col(vec),
-      pmod(bucketCode(col(vec)), lit(nlist)).as("cell"))
+  /** Squared-distance ranking expression to each TRAINED centroid:
+    * argmin_c |v - c|² = argmin_c (c·c - 2·v·c) since v·v is constant
+    * per row. One codegen'd DotProduct per centroid against a literal
+    * weight array — the same flat-literal pattern as [[bucketCode]]. */
+  private def centroidScores(vec: Column,
+                             centroids: Array[Array[Double]]): Column =
+    array(centroids.map { c =>
+      val c2 = c.map(x => x * x).sum
+      graft.functions.DotProduct(vec, typedLit(c.toSeq)) * -2.0 + lit(c2)
+    }.toIndexedSeq: _*)
 
-  /** IVF search path: queries probe their own cell plus the cells reached
-    * by each single-plane flip of the sign code (deduplicated after the
-    * modulo), exact cosine re-rank inside the probed cells. The
-    * corpus-side work is an equi-join on `cell` — with a cell-partitioned
-    * corpus layout this reads only the probed partitions. */
+  /** Nearest-centroid cell id (0-based). Ties take the first centroid —
+    * deterministic. */
+  def nearestCell(vec: Column, centroids: Array[Array[Double]]): Column = {
+    val s = centroidScores(vec, centroids)
+    (array_position(s, array_min(s)) - 1).cast(IntegerType)
+  }
+
+  /** The `nprobe` cells nearest to the vector, by centroid distance:
+    * sort (score, idx) structs, take the prefix. Literal-sized
+    * expression — no per-row allocation beyond the nlist-array. */
+  def probeCells(vec: Column, centroids: Array[Array[Double]],
+                 nprobe: Int): Column = {
+    val s = centroidScores(vec, centroids)
+    val ranked = array_sort(transform(s,
+      (sc, i) => struct(sc.as("score"), i.as("idx"))))
+    transform(slice(ranked, 1, nprobe), r => r.getField("idx"))
+  }
+
+  /** Train `nlist` IVF centroids with Lloyd's k-means run as DataFrame
+    * aggregations: init = the nlist lowest-id vectors (deterministic),
+    * then `iters` rounds of {assign to nearest centroid (map-only
+    * literal expression) → per-cell per-dimension avg (one shuffled
+    * aggregate on `cell`)}. Only the nlist×dim centroid matrix ever
+    * reaches the driver — model state, not data — so the loop is the
+    * standard distributed k-means shape at any corpus size. Cells that
+    * lose all members keep their previous centroid. */
+  def ivfTrain(corpus: DataFrame, id: String, vec: String, nlist: Int,
+               iters: Int = 3): Array[Array[Double]] = {
+    var cent = corpus.orderBy(col(id)).limit(nlist)
+      .select(col(vec)).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    require(cent.length == nlist, s"corpus smaller than nlist=$nlist")
+    val dim = cent.head.length
+    for (_ <- 0 until iters) {
+      val assigned = corpus.select(col(vec).as("v"),
+        nearestCell(col(vec), cent).as("cell"))
+      val aggs = (0 until dim).map(d =>
+        avg(element_at(col("v"), d + 1)).as(s"c$d"))
+      val next = cent.clone()
+      assigned.groupBy("cell").agg(aggs.head, aggs.tail: _*)
+        .collect().foreach { r =>
+          next(r.getInt(0)) =
+            Array.tabulate(dim)(d => r.getDouble(d + 1))
+        }
+      cent = next
+    }
+    cent
+  }
+
+  /** Trained-cell assignment (replaces the r2 hash-modulo stand-in).
+    * Write the result `partitionBy("cell")` and a probe becomes a
+    * partition-pruned scan of |probed cells|/nlist of the data. */
+  def ivfAssign(corpus: DataFrame, id: String, vec: String,
+                nlist: Int, iters: Int = 3): DataFrame = {
+    val cent = ivfTrain(corpus, id, vec, nlist, iters)
+    corpus.select(col(id), col(vec),
+      nearestCell(col(vec), cent).as("cell"))
+  }
+
+  /** IVF search: queries probe their `nprobe` nearest trained cells,
+    * exact cosine re-rank inside the probed cells. The corpus-side work
+    * is an equi-join on `cell` — with a cell-partitioned corpus layout
+    * this reads only the probed partitions. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, id: String,
-              vec: String, k: Int, nlist: Int = 32): DataFrame = {
-    val c = ivfAssign(corpus, id, vec, nlist)
-      .select(col(id).as("vec_id"), col(vec).as("cv"), col("cell"))
+              vec: String, k: Int, nlist: Int = 32, nprobe: Int = 8,
+              iters: Int = 3): DataFrame = {
+    val cent = ivfTrain(corpus, id, vec, nlist, iters)
+    val c = corpus.select(col(id).as("vec_id"), col(vec).as("cv"))
+      .withColumn("cell", nearestCell(col("cv"), cent))
     val q = queries.select(col(id).as("query_id"), col(vec).as("qv"))
-      .withColumn("cell",
-        explode(array_distinct(transform(
-          probeBuckets(bucketCode(col("qv")), Planes, 1),
-          b => pmod(b, lit(nlist))))))
+      .withColumn("cell", explode(probeCells(col("qv"), cent, nprobe)))
     val scored = c.join(broadcast(q), Seq("cell"))
       .filter(col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id"),
@@ -139,5 +205,24 @@ object Similarity {
       .orderBy(col("cos").desc, col("vec_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
+  }
+
+  /** Per-query recall of [[ivfTopK]] against [[bruteForceTopK]] —
+    * |ivf∩exact| / k. The measurement the VERDICT/paper-standard IVF
+    * evaluation reports; used by the sim_ivf_topk gate. */
+  def ivfRecall(corpus: DataFrame, queries: DataFrame, id: String,
+                vec: String, k: Int, nlist: Int = 32,
+                nprobe: Int = 8): DataFrame = {
+    val ivf = ivfTopK(corpus, queries, id, vec, k, nlist, nprobe)
+      .select(col("query_id"), col("vec_id"))
+    val exact = bruteForceTopK(corpus, queries, id, vec, k)
+      .select(col("query_id"), col("vec_id"))
+    val hits = ivf.intersect(exact)
+      .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
+    queries.select(col(id).as("query_id"))
+      .join(hits, Seq("query_id"), "left_outer")
+      .na.fill(0L, Seq("n_hits"))
+      .select(col("query_id"),
+        round(col("n_hits").cast(DoubleType) / k, 4).as("recall"))
   }
 }

@@ -45,8 +45,14 @@ object AsOfJoin {
       .orderBy(col(ts), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
+    // ASOF never matches on NULL keys or NULL timestamps (the window
+    // would otherwise group null keys together and carry right-side
+    // values onto null-key left rows, where SQL join semantics say no
+    // match) — mask the carried payload for those rows
     lUnion.unionByName(rUnion)
-      .withColumn("__carried", last(col("__rv"), ignoreNulls = true).over(w))
+      .withColumn("__carried",
+        when(col(key).isNotNull && col(ts).isNotNull,
+          last(col("__rv"), ignoreNulls = true).over(w)))
       .filter(col("__side") === 1)
       .select((leftCols.map(col) ++ rightValueCols.map(c =>
         col("__carried").getField(c).as(s"r_$c"))): _*)

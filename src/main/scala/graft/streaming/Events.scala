@@ -62,25 +62,38 @@ object Events {
 
   final case class Ev(event_id: Long, ts_us: Long, user_id: Long,
                       value: Double)
+  /** Streaming twin of [[Ev]]: keeps the watermarked `ts` column so the
+    * event-time watermark survives the projection (metadata travels with
+    * the column — dropping it voids EventTimeTimeout). */
+  final case class EvT(event_id: Long, ts: java.sql.Timestamp, ts_us: Long,
+                       user_id: Long, value: Double)
   final case class SessU(user_id: Long, start_us: Long, end_us: Long,
                          n_events: Long, sum_value: Double)
   final case class SessAcc(start: Long, last: Long, n: Long, sum: Double)
 
-  /** Per-user sessionization via the CUSTOM-STATE API
-    * (`flatMapGroupsWithState`) instead of the built-in
-    * `session_window` — the extension point for session logic the
-    * built-in can't express (e.g. value-dependent gaps, early emission).
-    *
-    * Event times flow as MICROSECONDS (unix_micros) so boundaries match
-    * session_window exactly; session windows are end-exclusive — an
-    * event arriving exactly `gap` after the last one starts a NEW
-    * session, as session_window's interval-overlap merge does.
-    *
-    * Batch evaluation receives each user's full event iterator and is
-    * exact (parity-tested against [[sessions]]). Under streaming the
-    * same function runs incrementally per micro-batch with `GroupState`
-    * carrying the open session and event-time timeouts closing it; state
-    * per key is one [[SessAcc]] — bounded. */
+  /** The session fold shared by the batch and streaming paths: feed
+    * events in ts order, close a session when the gap is reached.
+    * Session windows are end-exclusive — an event arriving exactly
+    * `gap` after the last one starts a NEW session, matching
+    * session_window's interval-overlap merge. */
+  private def foldSession(cur: SessAcc, tsUs: Long, value: Double,
+                          gapUs: Long): (Option[SessAcc], SessAcc) =
+    if (cur == null) (None, SessAcc(tsUs, tsUs, 1, value))
+    else if (tsUs - cur.last >= gapUs)
+      (Some(cur), SessAcc(tsUs, tsUs, 1, value))
+    else (None, SessAcc(cur.start, tsUs, cur.n + 1, cur.sum + value))
+
+  /** Per-user sessionization, BATCH form: custom session logic (the
+    * extension point for what `session_window` can't express —
+    * value-dependent gaps, early emission) evaluated scale-safely as a
+    * secondary sort: repartition by user, sort partitions by
+    * (user, ts), one forward pass per partition. Memory is O(1) per
+    * task regardless of how many events one user has (the r2 form
+    * buffered each user's full event array); the sort itself spills
+    * through Spark's external sorter. Event times flow as MICROSECONDS
+    * (unix_micros) so boundaries match session_window exactly.
+    * Parity-tested against [[sessions]]; streaming twin:
+    * [[sessionsCustomStateStreaming]]. */
   def sessionsCustomState(events: DataFrame,
                           gapSeconds: Long = 1800): DataFrame = {
     val spark = events.sparkSession
@@ -89,27 +102,84 @@ object Events {
     events.select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
         col("user_id"), col("value"))
       .as[Ev]
+      .repartition(col("user_id"))
+      .sortWithinPartitions(col("user_id"), col("ts_us"))
+      .mapPartitions { it =>
+        new Iterator[SessU] {
+          private var uid = 0L
+          private var cur: SessAcc = null
+          private val pending = scala.collection.mutable.Queue.empty[SessU]
+          private def emit(a: SessAcc): Unit =
+            pending += SessU(uid, a.start, a.last + gapUs, a.n, a.sum)
+          private def advance(): Unit = {
+            while (pending.isEmpty && it.hasNext) {
+              val e = it.next()
+              if (cur != null && e.user_id != uid) { emit(cur); cur = null }
+              uid = e.user_id
+              val (closed, next) = foldSession(cur, e.ts_us, e.value, gapUs)
+              closed.foreach(emit)
+              cur = next
+            }
+            if (pending.isEmpty && !it.hasNext && cur != null) {
+              emit(cur); cur = null
+            }
+          }
+          def hasNext: Boolean = { advance(); pending.nonEmpty }
+          def next(): SessU = { advance(); pending.dequeue() }
+        }
+      }
+      .toDF()
+      .select(col("user_id"),
+        timestamp_micros(col("start_us")).as("sess_start"),
+        timestamp_micros(col("end_us")).as("sess_end"),
+        col("n_events"), col("sum_value"))
+  }
+
+  /** Per-user sessionization, STREAMING form: `flatMapGroupsWithState`
+    * with `GroupState` carrying the open session and EVENT-TIME TIMEOUTS
+    * closing it. Each micro-batch folds its events (sorted within the
+    * batch — bounded by micro-batch size, not corpus size) into the open
+    * session; closed sessions emit immediately, the trailing session
+    * stays in state with a timeout at (last event + gap), and emits when
+    * the watermark passes it (`state.hasTimedOut`). State per key is one
+    * [[SessAcc]] — bounded. The input must carry a watermark
+    * ([[readEventStream]]); out-of-order events within the watermark
+    * merge correctly, later ones are dropped by Spark. */
+  def sessionsCustomStateStreaming(events: DataFrame,
+                                   gapSeconds: Long = 1800): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapUs = gapSeconds * 1000000L
+    events.select(col("event_id"), col("ts"),
+        unix_micros(col("ts")).as("ts_us"),
+        col("user_id"), col("value"))
+      .as[EvT]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessAcc, SessU](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (uid: Long, it: Iterator[Ev], state: GroupState[SessAcc]) =>
-          val evs = it.toArray.sortBy(_.ts_us)
-          val out = scala.collection.mutable.ArrayBuffer.empty[SessAcc]
-          var cur = state.getOption.orNull
-          for (e <- evs) {
-            val t = e.ts_us
-            if (cur == null) cur = SessAcc(t, t, 1, e.value)
-            else if (t - cur.last >= gapUs) { // end-exclusive window
-              out += cur
-              cur = SessAcc(t, t, 1, e.value)
-            } else cur = SessAcc(cur.start, t, cur.n + 1, cur.sum + e.value)
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, it: Iterator[EvT], state: GroupState[SessAcc]) =>
+          if (state.hasTimedOut) {
+            // watermark passed the open session's end → emit + clear
+            val a = state.get
+            state.remove()
+            Iterator.single(SessU(uid, a.start, a.last + gapUs, a.n, a.sum))
+          } else {
+            val evs = it.toArray.sortBy(_.ts_us)
+            val out = scala.collection.mutable.ArrayBuffer.empty[SessAcc]
+            var cur = state.getOption.orNull
+            for (e <- evs) {
+              val (closed, next) = foldSession(cur, e.ts_us, e.value, gapUs)
+              closed.foreach(out += _)
+              cur = next
+            }
+            if (cur != null) {
+              state.update(cur)
+              // timeout once the event-time watermark passes session end
+              state.setTimeoutTimestamp((cur.last + gapUs) / 1000L)
+            }
+            out.iterator.map(a =>
+              SessU(uid, a.start, a.last + gapUs, a.n, a.sum))
           }
-          // batch: everything seen → emit the trailing session too.
-          // streaming would instead state.update(cur) + setTimeoutTimestamp
-          // and emit it on timeout; batch state never persists.
-          if (cur != null) out += cur
-          out.iterator.map(a =>
-            SessU(uid, a.start, a.last + gapUs, a.n, a.sum))
       }
       .toDF()
       .select(col("user_id"),

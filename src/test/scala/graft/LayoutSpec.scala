@@ -97,6 +97,25 @@ class LayoutSpec extends SparkSpec {
       Seq((1L, Some(1.0)), (2L, Some(2.0)), (3L, None), (4L, None)))
   }
 
+  test("as-of join: NULL keys and NULL timestamps never match") {
+    val left = Seq((1L, Some("u"), Some("2024-01-01 10:00:00")),
+        (2L, None, Some("2024-01-01 10:00:00")), // null key
+        (3L, Some("u"), None)) // null ts
+      .toDF("event_id", "user_id", "ts")
+      .withColumn("ts", $"ts".cast("timestamp"))
+    val right = Seq((Some("u"), Some("2024-01-01 09:00:00"), 1.0),
+        (None, Some("2024-01-01 09:00:00"), 8.0), // null-key right row
+        (Some("u"), None, 9.0)) // null-ts right row
+      .toDF("user_id", "ts", "rv")
+      .withColumn("ts", $"ts".cast("timestamp"))
+    val out = graft.operators.AsOfJoin
+      .asOf(left, right, "user_id", "ts", Seq("rv"))
+      .orderBy("event_id").collect()
+    assert(out.map(r => (r.getLong(0),
+      if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toSeq ==
+      Seq((1L, Some(1.0)), (2L, None), (3L, None)))
+  }
+
   private def withConf(kv: (String, String))(body: => Unit): Unit = {
     val (k, v) = kv
     val old = spark.conf.getOption(k)

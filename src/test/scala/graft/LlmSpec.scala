@@ -123,6 +123,23 @@ class LlmSpec extends SparkSpec {
     assert(joined.filter($"cos" =!= $"cos_bf").count() == 0)
   }
 
+  test("trained IVF: k-means cells partition the corpus, recall beats gate") {
+    // every vector lands in exactly one of nlist cells
+    val assigned = Similarity.ivfAssign(emb, "vec_id", "embedding", 16)
+      .cache()
+    assert(assigned.count() == emb.count())
+    val cells = assigned.groupBy("cell").count().collect()
+    assert(cells.forall(r => r.getInt(0) >= 0 && r.getInt(0) < 16))
+    assert(cells.length > 1, "k-means collapsed to a single cell")
+    // recall vs brute force at nprobe=12/nlist=32 must clear the oracle
+    // gate with margin
+    val rec = Similarity.ivfRecall(emb, emb.filter($"vec_id" < 5),
+      "vec_id", "embedding", 10, nlist = 32, nprobe = 12).collect()
+    val min = rec.map(_.getDouble(1)).min
+    assert(min >= 0.6, s"min recall $min below gate")
+    info(s"IVF recall per query: ${rec.map(_.getDouble(1)).mkString(",")}")
+  }
+
   test("multimodal decode: deterministic stub features over binary payloads") {
     val media = Multimodal.mediaFromDocuments(docs.limit(30))
     assert(media.schema("payload").dataType.typeName == "binary")
@@ -165,6 +182,15 @@ class LlmSpec extends SparkSpec {
     val r = edge.select(graft.functions.DotProduct($"a", $"b").as("d"))
       .collect()
     assert(r(0).getDouble(0) == 32.0 && r(1).isNullAt(0))
+    // a null ELEMENT null-propagates the result (HOF/oracle parity),
+    // in both codegen and interpreted eval
+    val elemNull = Seq(
+      (Seq[Option[Int]](Some(1), None, Some(3)), Seq(4, 5, 6)),
+      (Seq[Option[Int]](Some(1), Some(2), Some(3)), Seq(4, 5, 6)))
+      .toDF("a", "b")
+    val en = elemNull
+      .select(graft.functions.DotProduct($"a", $"b").as("d")).collect()
+    assert(en(0).isNullAt(0) && en(1).getDouble(0) == 32.0)
   }
 
   test("RollingHash codegen expression matches the HOF recurrence") {

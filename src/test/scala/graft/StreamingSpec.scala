@@ -66,6 +66,57 @@ class StreamingSpec extends SparkSpec {
     assert(builtin.exceptAll(custom).count() == 0)
   }
 
+  test("streaming sessionizer: GroupState + event-time timeout emits all real sessions") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-sess").toString
+    val inDir = java.nio.file.Paths.get(tmp, "in")
+    java.nio.file.Files.createDirectories(inDir)
+    val ev = Tables.load(spark, sf, "events").filter($"user_id" < 20)
+    // file 1: the real events; file 2: one far-future sentinel per user
+    // so the watermark advances past every real session's end and the
+    // event-time timeouts actually fire (the sentinel sessions
+    // themselves stay open and must NOT be emitted)
+    ev.select($"event_id", unix_micros($"ts").as("ts"), $"user_id",
+        $"event_type", $"value", $"props")
+      .withColumn("ts", $"ts" * 1000) // nanos, matching the source schema
+      .coalesce(1).write.parquet(s"$inDir/batch1")
+    val far = ev.agg(max(unix_micros($"ts"))).head.getLong(0) +
+      30L * 24 * 3600 * 1000000
+    ev.groupBy($"user_id").agg(min($"event_id").as("event_id"))
+      .select(($"event_id" + 1000000).as("event_id"),
+        lit(far * 1000).as("ts"), $"user_id",
+        lit("sentinel").as("event_type"), lit(0.0).as("value"),
+        lit("{}").as("props"))
+      .coalesce(1).write.parquet(s"$inDir/batch2")
+    // stage as two sequential files → two micro-batches (file source
+    // sorts by path; timeouts fire after batch2 advances the watermark)
+    def stage(sub: String, dst: String): Unit = {
+      val f = java.nio.file.Files.list(java.nio.file.Paths.get(s"$inDir/$sub"))
+        .filter(_.toString.endsWith(".parquet")).findFirst().get()
+      java.nio.file.Files.move(f, java.nio.file.Paths.get(s"$inDir/$dst"))
+    }
+    stage("batch1", "a.parquet"); stage("batch2", "b.parquet")
+    val stream = Events.readEventStream(spark, inDir.toString)
+      .where($"event_id".isNotNull) // no-op, keeps the plan streaming
+    val out = Events.sessionsCustomStateStreaming(stream)
+    val q = out.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("maxFilesPerTrigger", "1")
+      .format("parquet").option("path", s"$tmp/out").start()
+    q.awaitTermination(180000)
+    val streamed = spark.read.parquet(s"$tmp/out")
+      .select($"user_id", $"sess_start", $"sess_end", $"n_events")
+    val batch = Events.sessionsCustomState(ev)
+      .select($"user_id", $"sess_start", $"sess_end", $"n_events")
+    // every real session emitted exactly once (closed in-batch or by
+    // timeout); sentinel sessions still open → absent
+    assert(streamed.count() == batch.count(),
+      s"streamed ${streamed.count()} sessions, batch ${batch.count()}")
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
+  }
+
   test("streaming dedup drops duplicate event_ids with watermark-bounded state") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-dedup").toString
     val inDir = java.nio.file.Paths.get(tmp, "in")
