@@ -271,7 +271,13 @@ object Dedup {
     require(maxHamming < SimHashBands,
       s"banded search complete only for maxHamming < $SimHashBands")
     val bits = SimHashBandBits
-    val sig = simhash(df, id, text) // (doc, simhash)
+    // the signature aggregate (explode every token + 60 bit-sums) is the
+    // expensive subtree and is referenced three times below (distinct
+    // signatures + both sides of the doc re-expansion); persist() makes
+    // Spark compute it once and share the InMemoryRelation. One narrow
+    // row per document — negligible storage at any corpus size.
+    val sig = simhash(df, id, text)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val sigs = sig.select(col("simhash")).distinct()
     val bandCols = (0 until SimHashBands).map { b =>
@@ -308,24 +314,85 @@ object Dedup {
     * dedup pass actually wants, linear in corpus size where the raw pair
     * list ([[simhashPairs]]) is quadratic per cluster.
     *
-    * Components come from hash-min label propagation — the standard
-    * distributed connected-components loop (each round: one equi-join of
-    * labels onto edges + one min-aggregate, both shuffling on doc id) —
-    * run to fixpoint, detected by a count of changed labels per round.
-    * Rounds needed = graph diameter; near-dup graphs are unions of
-    * near-cliques (diameter 1-2), so the loop converges in 2-3 rounds.
-    * `localCheckpoint` truncates lineage each round (on a cluster, use a
-    * reliable checkpoint dir). The driver loop is control flow only —
-    * all data movement stays distributed; `maxIter` bounds pathological
-    * chain-shaped graphs. */
+    * Components come from hash-min label propagation WITH POINTER
+    * JUMPING: each round first takes the min label over graph neighbors
+    * (one equi-join + min-aggregate), then compresses paths by replacing
+    * each label with its label's label (one self-join). The jump squares
+    * the propagation distance per round, so convergence takes O(log
+    * diameter) rounds instead of O(diameter) — templated near-dup
+    * corpora produce CHAINS (doc i ~ doc i+1 ~ ...) whose diameter grows
+    * with corpus size, where plain propagation (the first cut of this
+    * operator) needed 25+ rounds at sf0.1 and a round cap would silently
+    * return unconverged labels. Fixpoint is detected by a count of
+    * changed labels; `maxIter` is a safety net at 2^maxIter-diameter
+    * reach, and hitting it throws rather than returning a wrong answer.
+    *
+    * Only documents that HAVE an edge participate in the loop; the
+    * (typically vast) singleton majority joins back in at the end.
+    * `localCheckpoint` truncates lineage each round (on a cluster, use
+    * a reliable checkpoint dir). The driver loop is control flow only —
+    * all data movement stays distributed. */
   def simhashClusters(df: DataFrame, id: String, text: String,
-                      maxHamming: Int = 3, maxIter: Int = 20): DataFrame = {
+                      maxHamming: Int = 3, maxIter: Int = 20,
+                      driverEdgeLimit: Long = 1000000L): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val idType = df.schema(id).dataType
+    // evaluate the expensive pairs plan ONCE, then work off the
+    // checkpointed edge list (its count is free afterwards)
     val pairs = simhashPairs(df, id, text, maxHamming)
-    val docs = df.select(col(id).as("doc")).distinct()
+      .select(col("id_a").cast(LongType), col("id_b").cast(LongType))
+      .localCheckpoint()
+    val labels: DataFrame =
+      if (pairs.count() <= driverEdgeLimit) {
+        // the edge list is ~|near-dup docs| — tiny relative to corpus —
+        // so union-find on the driver beats dozens of distributed jobs.
+        // This is model-sized state (like k-means centroids), not data;
+        // the distributed loop below takes over past the threshold.
+        val parent = scala.collection.mutable.Map.empty[Long, Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrElse(r, r) != r) r = parent(r)
+          var c = x
+          while (parent.getOrElse(c, c) != c) {
+            val n = parent(c); parent(c) = r; c = n
+          }
+          r
+        }
+        val es = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
+        es.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          // larger root attaches under smaller → root = component min
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        es.iterator.flatMap { case (a, b) => Iterator(a, b) }
+          .toSet.toSeq.map((d: Long) => (d, find(d)))
+          .toDF("doc", "label")
+      } else distributedComponents(pairs, maxIter)
+    df.select(col(id).as("doc")).distinct()
+      .join(labels.select(col("doc").cast(idType).as("doc"),
+        col("label").cast(idType).as("label")), Seq("doc"), "left_outer")
+      .select(col("doc"), coalesce(col("label"), col("doc")).as("rep"))
+      .withColumn("keep", col("doc") === col("rep"))
+  }
+
+  /** Distributed connected components: hash-min label propagation WITH
+    * POINTER JUMPING. Each round takes the min label over graph
+    * neighbors (equi-join + min-aggregate), then compresses paths by
+    * replacing each label with its label's label (self-join). The jump
+    * squares the propagation distance per round → O(log diameter)
+    * rounds; templated near-dup corpora produce CHAINS whose diameter
+    * grows with corpus size, where plain propagation needed 25+ rounds
+    * at sf0.1 and a round cap would silently return unconverged labels
+    * (hence the throw). `localCheckpoint` truncates lineage each round
+    * (on a cluster, use a reliable checkpoint dir); the driver loop is
+    * control flow only. */
+  private[llm] def distributedComponents(pairs: DataFrame,
+                                         maxIter: Int): DataFrame = {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .localCheckpoint() // pairs plan is expensive — evaluate once
-    var labels = docs.select(col("doc"), col("doc").as("label"))
+    var labels = edges.select(col("src").as("doc")).distinct()
+      .select(col("doc"), col("doc").as("label"))
       .localCheckpoint()
     var iter = 0
     var converged = false
@@ -333,9 +400,15 @@ object Dedup {
       val nbrMin = edges
         .join(labels.select(col("doc").as("src"), col("label")), "src")
         .groupBy(col("dst").as("doc")).agg(min("label").as("nbr"))
-      val next = labels.join(nbrMin, Seq("doc"), "left_outer")
-        .select(col("doc"),
-          least(col("label"), coalesce(col("nbr"), col("label"))).as("label"))
+      val prop = labels.join(nbrMin, Seq("doc"))
+        .select(col("doc"), least(col("label"), col("nbr")).as("label"))
+        .localCheckpoint()
+      // pointer jump: label ← min(label, label(label))
+      val next = prop.alias("a")
+        .join(prop.select(col("doc").as("pl"), col("label").as("plabel"))
+          .alias("p"), col("a.label") === col("pl"))
+        .select(col("a.doc"),
+          least(col("a.label"), col("plabel")).as("label"))
         .localCheckpoint()
       val changed = next
         .join(labels.withColumnRenamed("label", "old"), "doc")
@@ -344,8 +417,9 @@ object Dedup {
       converged = changed == 0
       iter += 1
     }
-    labels.select(col("doc"), col("label").as("rep"),
-      (col("doc") === col("label")).as("keep"))
+    if (!converged) throw new IllegalStateException(
+      s"distributedComponents did not converge in $maxIter rounds")
+    labels
   }
 
   // -------------------------------------------------------------------

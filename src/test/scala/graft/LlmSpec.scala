@@ -109,6 +109,12 @@ class LlmSpec extends SparkSpec {
     assert(perRep.forall(_.getLong(1) == 1))
     // rep must be a member of its own component with keep=true
     assert(cl.filter($"doc" === $"rep" && !$"keep").count() == 0)
+    // the distributed pointer-jumping path reaches the same fixpoint as
+    // the driver union-find (force it by zeroing the edge threshold)
+    val clDist = Dedup.simhashClusters(u, "doc_id", "text",
+      driverEdgeLimit = 0L)
+    assert(clDist.exceptAll(cl).count() == 0)
+    assert(cl.exceptAll(clDist).count() == 0)
   }
 
   test("IVF top-k: scores agree with exact cosine, self excluded") {
