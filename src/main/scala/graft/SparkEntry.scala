@@ -735,6 +735,60 @@ object SparkEntry {
         .toDF("privilege", "grantee").orderBy($"privilege", $"grantee")
     }),
 
+    // ---- dataset assembly: splits / PII redaction / packing ----
+    "ta_split" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+          TextAnalysis.splitAssign(col("doc_id")).as("split"))
+        .orderBy(col("doc_id"))),
+
+    "ta_redact" -> ((s, dir) => {
+      // synthetic PII injected deterministically (the corpus has none):
+      // every 5th doc gains an email + phone; output proves the
+      // redaction via span count and a fingerprint of the scrubbed text
+      val d = t(s, dir, "documents")
+      val injected = when(pmod(col("doc_id"), lit(5)) === 0,
+        concat(col("text"), lit(" contact user"),
+          col("doc_id").cast(StringType), lit("@example.com call +1 (555) 010-"),
+          pmod(col("doc_id"), lit(10)).cast(StringType)))
+        .otherwise(col("text"))
+      d.select(col("doc_id"),
+          TextAnalysis.piiCount(injected).as("n_pii"),
+          TextAnalysis.fingerprint(TextAnalysis.redact(injected))
+            .as("redacted_fp"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "ta_pack" -> ((s, dir) =>
+      TextAnalysis.packShards(t(s, dir, "documents"), "doc_id", "text",
+          budget = 2048)
+        .orderBy(col("doc"))),
+
+    // ---- source/sink formats beyond parquet (§2.5 scans/sinks) ----
+    // each round-trips the orders table (bigint, varchar, double,
+    // timestamp) through sink → schema'd scan; the oracle recomputes
+    // from the parquet original, so any fidelity loss in the format
+    // path breaks the hash
+    "src_csv_roundtrip" -> ((s, dir) =>
+      graft.sources.Formats.roundTrip(
+          t(s, dir, "orders").select(col("o_orderkey"), col("o_orderstatus"),
+            col("o_totalprice"), col("o_orderdate")),
+          "csv", s"target/graft_rt_csv")
+        .orderBy(col("o_orderkey"))),
+
+    "src_json_roundtrip" -> ((s, dir) =>
+      graft.sources.Formats.roundTrip(
+          t(s, dir, "orders").select(col("o_orderkey"), col("o_orderstatus"),
+            col("o_totalprice"), col("o_orderdate")),
+          "json", s"target/graft_rt_json")
+        .orderBy(col("o_orderkey"))),
+
+    "src_orc_roundtrip" -> ((s, dir) =>
+      graft.sources.Formats.roundTrip(
+          t(s, dir, "orders").select(col("o_orderkey"), col("o_orderstatus"),
+            col("o_totalprice"), col("o_orderdate")),
+          "orc", s"target/graft_rt_orc")
+        .orderBy(col("o_orderkey"))),
+
     // ---- text analysis (north-star LLM-pipeline ops) ----
     "ta_tokens" -> ((s, dir) =>
       t(s, dir, "documents").select(
@@ -1328,6 +1382,18 @@ object SparkEntry {
         |    ('doc:hooked model', 0)) g(tag, val))
         |SELECT tag, val FROM audit ORDER BY tag, val""".stripMargin,
 
+    "src_csv_roundtrip" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderdate
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "src_json_roundtrip" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderdate
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "src_orc_roundtrip" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderdate
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
     "mat_mv_config" ->
       """SELECT n_regionkey, count(*) AS n,
         |  'create,refresh,full_refresh' AS actions,
@@ -1432,6 +1498,10 @@ object SparkEntry {
       s"len(regexp_extract_all(lower(text), '$p')) AS $n"
     }.mkString(",\n  ")
 
+  // PII patterns shared with TextAnalysis (SQL-single-quote safe)
+  private val emailRe: String = TextAnalysis.EmailRe
+  private val phoneRe: String = TextAnalysis.PhoneRe
+
   private val llmOracles: Map[String, String] = Map(
     "ta_tokens" ->
       s"""SELECT doc_id,
@@ -1470,6 +1540,39 @@ object SparkEntry {
         |      + 0.3 * least(stopword_ratio / 0.4, 1.0)
         |      + 0.3 * (1.0 - least(punct_ratio / 0.25, 1.0)), 6) AS quality
         |FROM r ORDER BY doc_id""".stripMargin,
+
+    "ta_split" ->
+      s"""WITH h AS (SELECT doc_id,
+        |  ${rollSql("'split:' || CAST(doc_id AS VARCHAR)")} % 100 AS b
+        |FROM documents)
+        |SELECT doc_id, CASE WHEN b < 80 THEN 'train'
+        |  WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+        |FROM h ORDER BY doc_id""".stripMargin,
+
+    "ta_redact" ->
+      s"""WITH inj AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 5 = 0 THEN text || ' contact user' ||
+        |    CAST(doc_id AS VARCHAR) || '@example.com call +1 (555) 010-' ||
+        |    CAST(doc_id % 10 AS VARCHAR) ELSE text END AS t
+        |FROM documents),
+        |e AS (SELECT doc_id, t,
+        |  regexp_replace(t, '$emailRe', '<EMAIL>', 'g') AS t_email FROM inj)
+        |SELECT doc_id,
+        |  len(regexp_extract_all(t, '$emailRe'))
+        |    + len(regexp_extract_all(t_email, '$phoneRe')) AS n_pii,
+        |  ${rollSql("regexp_replace(t_email, '" + phoneRe + "', '<PHONE>', 'g')")} AS redacted_fp
+        |FROM e ORDER BY doc_id""".stripMargin,
+
+    "ta_pack" ->
+      s"""WITH b AS (SELECT doc_id,
+        |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))::BIGINT AS n_tokens,
+        |  ${rollSql("'pack:' || CAST(doc_id AS VARCHAR)")} % 16 AS grp
+        |FROM documents),
+        |c AS (SELECT *, sum(n_tokens) OVER (PARTITION BY grp ORDER BY doc_id
+        |  ROWS UNBOUNDED PRECEDING) - n_tokens AS cum FROM b)
+        |SELECT doc_id AS doc, n_tokens,
+        |  grp * 4294967296 + cum // 2048 AS shard, cum % 2048 AS offset
+        |FROM c ORDER BY doc""".stripMargin,
 
     "fn_custom_sql" ->
       s"""SELECT d.doc_id, ${rollSql("d.text")} AS h,

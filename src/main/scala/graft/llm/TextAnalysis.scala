@@ -112,4 +112,68 @@ object TextAnalysis {
     round(lit(0.4) * lenScore + lit(0.3) * stopScore +
       lit(0.3) * (lit(1.0) - punctPenalty), 6)
   }
+
+  // -------------------------------------------------------------------
+  // dataset assembly: splits, PII redaction, context packing
+  // -------------------------------------------------------------------
+
+  /** Deterministic train/val/test assignment by id hash — the
+    * reproducible split every training pipeline needs (Bernoulli
+    * `sample()` is seed- and partitioning-dependent; a content hash
+    * moves documents between splits when text is cleaned). Salted so
+    * the split is independent of other id-hash uses. Map-only. */
+  def splitAssign(id: Column, trainPct: Int = 80,
+                  valPct: Int = 10): Column = {
+    val h = pmod(graft.functions.RollingHash(
+      concat(lit("split:"), id.cast(StringType))), lit(100))
+    when(h < trainPct, lit("train"))
+      .when(h < trainPct + valPct, lit("val"))
+      .otherwise(lit("test"))
+  }
+
+  /** PII patterns — email addresses and phone-like digit runs. Both are
+    * RE2-safe (no backtracking constructs), so the DuckDB oracle runs
+    * the identical pattern. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\+?[0-9][0-9()\\- ]{6,}[0-9]"
+
+  /** Redact emails then phone-like runs. Map-only regexp_replace
+    * (replace-all in both engines). */
+  def redact(text: Column): Column =
+    regexp_replace(regexp_replace(text, lit(EmailRe), lit("<EMAIL>")),
+      lit(PhoneRe), lit("<PHONE>"))
+
+  /** How many PII spans [[redact]] would remove. */
+  def piiCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(EmailRe), lit(0))) +
+      size(regexp_extract_all(
+        regexp_replace(text, lit(EmailRe), lit("<EMAIL>")),
+        lit(PhoneRe), lit(0)))
+
+  /** Context-window packing: assign documents to fixed-token-budget
+    * shards, greedy in id order. Runs in `nGroups` INDEPENDENT packing
+    * groups (id-hash bucketed) so the cumulative-sum window never needs
+    * a global single-partition sort — each group packs in parallel and
+    * the shard id namespaces as group·2^32 + local shard. A document
+    * whose exclusive running total crosses the budget boundary starts
+    * the next local shard (block-packing approximation: long documents
+    * may exceed one budget, as pretraining block packing accepts).
+    * Output: (doc, n_tokens, shard, offset) — offset is the document's
+    * start position within its shard's token stream. */
+  def packShards(df: org.apache.spark.sql.DataFrame, id: String,
+                 text: String, budget: Long,
+                 nGroups: Int = 16): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("grp")).orderBy(col("doc"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.select(col(id).as("doc"), col(text).as("t"))
+      .withColumn("grp", pmod(graft.functions.RollingHash(
+        concat(lit("pack:"), col("doc").cast(StringType))), lit(nGroups)))
+      .withColumn("n_tokens", tokenCountBpe(col("t")).cast(LongType))
+      .withColumn("cum", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .select(col("doc"), col("n_tokens"),
+        (col("grp").cast(LongType) * lit(4294967296L) +
+          (col("cum") / lit(budget)).cast(LongType)).as("shard"),
+        (col("cum") % lit(budget)).as("offset"))
+  }
 }

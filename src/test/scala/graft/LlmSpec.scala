@@ -172,6 +172,51 @@ class LlmSpec extends SparkSpec {
     assert(byId.filter($"mx" >= $"n_frames").count() == 0)
   }
 
+  test("dataset assembly: split is deterministic and roughly proportioned") {
+    val s1 = docs.select($"doc_id",
+      TextAnalysis.splitAssign($"doc_id").as("split"))
+    val s2 = docs.select($"doc_id",
+      TextAnalysis.splitAssign($"doc_id").as("split"))
+    assert(s1.exceptAll(s2).count() == 0) // reproducible
+    val dist = s1.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = docs.count().toDouble
+    assert(dist("train") / n > 0.7 && dist("train") / n < 0.9)
+    assert(dist.getOrElse("val", 0L) > 0 && dist.getOrElse("test", 0L) > 0)
+  }
+
+  test("dataset assembly: redaction removes emails and phones") {
+    val d = Seq((1L, "mail me at jo.doe+x@sub.example.org thanks"),
+      (2L, "call +1 (555) 010-7788 now"),
+      (3L, "clean text, no pii at all")).toDF("doc_id", "text")
+    val out = d.select($"doc_id",
+      TextAnalysis.piiCount($"text").as("n"),
+      TextAnalysis.redact($"text").as("r")).orderBy("doc_id").collect()
+    assert(out(0).getInt(1) == 1 &&
+      out(0).getString(2) == "mail me at <EMAIL> thanks")
+    assert(out(1).getInt(1) == 1 &&
+      out(1).getString(2) == "call <PHONE> now")
+    assert(out(2).getInt(1) == 0 &&
+      out(2).getString(2) == "clean text, no pii at all")
+  }
+
+  test("dataset assembly: packing respects budgets per group stream") {
+    val packed = TextAnalysis.packShards(docs, "doc_id", "text", 2048)
+      .cache()
+    assert(packed.count() == docs.count())
+    // offsets stay within the budget, and each document starts where the
+    // previous one in its group ended (contiguous token stream)
+    assert(packed.filter($"offset" < 0 || $"offset" >= 2048).count() == 0)
+    val byShard = packed.groupBy("shard")
+      .agg(sum($"n_tokens").as("tok"), count(lit(1)).as("docs"))
+    // a shard only exceeds its budget via one straddling document
+    val over = byShard.join(packed, "shard")
+      .groupBy("shard").agg(max($"n_tokens").as("mx"),
+        sum($"n_tokens").as("tot"))
+      .filter($"tot" > lit(2048) + $"mx")
+    assert(over.count() == 0)
+  }
+
   test("DotProduct codegen expression matches the HOF formulation") {
     import org.apache.spark.sql.types.DoubleType
     def hof(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
