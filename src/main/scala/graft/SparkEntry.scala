@@ -735,6 +735,11 @@ object SparkEntry {
         .toDF("privilege", "grantee").orderBy($"privilege", $"grantee")
     }),
 
+    "ta_repetition" -> ((s, dir) =>
+      TextAnalysis.repetition(t(s, dir, "documents"), "doc_id", "text")
+        .withColumnRenamed("doc", "doc_id")
+        .orderBy(col("doc_id"))),
+
     // ---- dataset assembly: splits / PII redaction / packing ----
     "ta_split" -> ((s, dir) =>
       t(s, dir, "documents").select(col("doc_id"),
@@ -1540,6 +1545,18 @@ object SparkEntry {
         |      + 0.3 * least(stopword_ratio / 0.4, 1.0)
         |      + 0.3 * (1.0 - least(punct_ratio / 0.25, 1.0)), 6) AS quality
         |FROM r ORDER BY doc_id""".stripMargin,
+
+    "ta_repetition" ->
+      s"""WITH w AS (SELECT doc_id, ${toksSql("lower(text)")} AS ws FROM documents),
+        |g AS (SELECT doc_id, ws, CASE WHEN len(ws) >= 2
+        |  THEN list_transform(range(len(ws)-1), i -> ws[i+1]||' '||ws[i+2])
+        |  ELSE [array_to_string(ws, ' ')] END AS gs FROM w)
+        |SELECT doc_id,
+        |  round((len(ws) - len(list_distinct(ws)))::DOUBLE
+        |    / greatest(len(ws), 1), 6) AS dup_word_frac,
+        |  round((len(gs) - len(list_distinct(gs)))::DOUBLE
+        |    / greatest(len(gs), 1), 6) AS dup_bigram_frac
+        |FROM g ORDER BY doc_id""".stripMargin,
 
     "ta_split" ->
       s"""WITH h AS (SELECT doc_id,

@@ -113,6 +113,40 @@ object TextAnalysis {
       lit(0.3) * (lit(1.0) - punctPenalty), 6)
   }
 
+  /** Gopher-style repetition signals: the fraction of duplicate words
+    * and duplicate word 2-grams per document (high values mark
+    * boilerplate/spam that per-document quality scores miss).
+    *
+    * Shaped as explode → codegen'd count/count_distinct aggregates with
+    * bigrams from a per-document lead() window — NOT as nested array
+    * expressions: an array_distinct-of-transform tree re-evaluates the
+    * interpreted token/shingle lambdas once per reference (~4× per row),
+    * which benched 4× slower than this relational form. Two shuffles on
+    * the doc key, map-side partial aggregation. */
+  def repetition(df: org.apache.spark.sql.DataFrame, id: String,
+                 text: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = df.select(col(id).as("doc"),
+      posexplode(tokens(lower(col(text)))).as(Seq("pos", "tok")))
+    val w = Window.partitionBy("doc").orderBy("pos")
+    val bg = tok.withColumn("next", lead("tok", 1).over(w))
+      .filter(col("next").isNotNull)
+      .select(col("doc"), concat_ws(" ", col("tok"), col("next")).as("bg"))
+    val wa = tok.groupBy("doc").agg(count(lit(1)).as("nw"),
+      count_distinct(col("tok")).as("dw"))
+    val ba = bg.groupBy("doc").agg(count(lit(1)).as("nb"),
+      count_distinct(col("bg")).as("db"))
+    def frac(total: Column, distinct: Column): Column =
+      round((total - distinct).cast(DoubleType) /
+        greatest(total, lit(1)), 6)
+    df.select(col(id).as("doc"))
+      .join(wa, Seq("doc"), "left_outer")
+      .join(ba, Seq("doc"), "left_outer")
+      .na.fill(0L, Seq("nw", "dw", "nb", "db"))
+      .select(col("doc"), frac(col("nw"), col("dw")).as("dup_word_frac"),
+        frac(col("nb"), col("db")).as("dup_bigram_frac"))
+  }
+
   // -------------------------------------------------------------------
   // dataset assembly: splits, PII redaction, context packing
   // -------------------------------------------------------------------
