@@ -53,6 +53,33 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("as-of join agrees with a brute-force reference on random data") {
+    // small random key/ts space forces heavy key collisions and ts ties
+    val keyGen = Gen.choose(0, 5)
+    val tsGen = Gen.choose(0L, 50L)
+    val leftRows = (1 to 120).map(i =>
+      (i.toLong, draw(keyGen, i).toString, draw(tsGen, 7000 + i)))
+    // right side unique per (key, ts) — the operator's documented contract
+    val rightRows = (1 to 150).map(i =>
+        (draw(keyGen, 9000 + i).toString, draw(tsGen, 11000 + i)))
+      .distinct.zipWithIndex
+      .map { case ((k, t), i) => (k, t, i * 1.5) }
+    val left = leftRows.toDF("event_id", "k", "ts")
+    val right = rightRows.toDF("k", "ts", "rv")
+    val got = graft.operators.AsOfJoin
+      .asOf(left, right, "k", "ts", Seq("rv"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    // brute force: latest right at-or-before, per left row
+    val expected = leftRows.map { case (id, k, t) =>
+      id -> rightRows.filter(r => r._1 == k && r._2 <= t)
+        .sortBy(_._2).lastOption.map(_._3)
+    }.toMap
+    assert(got == expected)
+    assert(got.size == leftRows.size) // exactly one output row per left row
+  }
+
   test("RollingHash agrees with the driver-side replica on arbitrary BMP strings") {
     val strGen = Gen.listOf(Gen.frequency(
       8 -> Gen.alphaNumChar, 2 -> Gen.oneOf(' ', '|', 'é', '中', 'д')))
