@@ -857,6 +857,16 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    "dd_minhash_clusters" -> ((s, dir) => {
+      // per-doc keep/drop over the MinHash-LSH near-dup graph (doubled
+      // corpus: exact duplicates guarantee non-singleton components)
+      val d = t(s, dir, "documents")
+      val u = d.select(col("doc_id"), col("text")).unionByName(
+        d.select((col("doc_id") + 10000).as("doc_id"), col("text")))
+      Dedup.minhashClusters(u, "doc_id", "text")
+        .orderBy(col("doc"))
+    }),
+
     "dd_simhash_clusters" -> ((s, dir) => {
       // per-doc keep/drop over the same doubled corpus: exact duplicates
       // guarantee non-singleton components
@@ -1657,6 +1667,26 @@ object SparkEntry {
         |SELECT id_a, id_b, CAST(bit_count(xor(sh_a, sh_b)) AS INTEGER) AS dist
         |FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 3
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "dd_minhash_clusters" ->
+      s"""WITH RECURSIVE u AS (SELECT doc_id, lower(text) AS t FROM documents
+        |  UNION ALL SELECT doc_id + 10000, lower(text) FROM documents),
+        |w AS (SELECT doc_id, ${toksSql("t")} AS ws FROM u),
+        |sh AS (SELECT doc_id, $shingleSql AS shl FROM w),
+        |sx AS (SELECT doc_id, unnest(shl) AS sgl FROM sh),
+        |hx AS (SELECT doc_id, ${rollSql("sgl")} AS h FROM sx),
+        |sig AS (SELECT doc_id, ${minhashAggSqls.mkString(", ")} FROM hx GROUP BY doc_id),
+        |bands AS (SELECT doc_id, unnest($bandListSql) AS band FROM sig),
+        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM cand
+        |  UNION ALL SELECT id_b, id_a FROM cand),
+        |walk(doc, anc) AS (
+        |  SELECT doc_id, doc_id FROM u
+        |  UNION
+        |  SELECT e.dst, w2.anc FROM walk w2 JOIN edges e ON e.src = w2.doc)
+        |SELECT doc, min(anc) AS rep, (doc = min(anc)) AS keep
+        |FROM walk GROUP BY doc ORDER BY doc""".stripMargin,
 
     // connected components over the near-dup graph: DuckDB's recursive
     // CTE enumerates (node, reachable ancestor) pairs; min(anc) per node

@@ -362,13 +362,36 @@ object Dedup {
     * all data movement stays distributed. */
   def simhashClusters(df: DataFrame, id: String, text: String,
                       maxHamming: Int = 3, maxIter: Int = 20,
-                      driverEdgeLimit: Long = 1000000L): DataFrame = {
+                      driverEdgeLimit: Long = 1000000L): DataFrame =
+    collapseComponents(df, id, simhashPairs(df, id, text, maxHamming),
+      maxIter, driverEdgeLimit)
+
+  /** Per-doc keep/drop over the MinHash-LSH near-dup graph — the same
+    * cluster collapse as [[simhashClusters]], over [[minhashCandidates]]
+    * edges (optionally bucket-capped). The scale-safe product shape for
+    * MinHash dedup: corpus-linear output where the candidate pair list
+    * is quadratic per cluster. */
+  def minhashClusters(df: DataFrame, id: String, text: String,
+                      n: Int = 3, k: Int = 16, bands: Int = 4,
+                      maxBucketSize: Option[Int] = None,
+                      maxIter: Int = 20,
+                      driverEdgeLimit: Long = 1000000L): DataFrame =
+    collapseComponents(df, id,
+      minhashCandidates(df, id, text, n, k, bands, maxBucketSize),
+      maxIter, driverEdgeLimit)
+
+  /** Connected-component collapse shared by the dedup families: every
+    * document gets the MIN doc id of its component in `pairsDf`
+    * (columns id_a/id_b) as `rep`, plus `keep = (doc = rep)`. */
+  private[llm] def collapseComponents(df: DataFrame, id: String,
+                                      pairsDf: DataFrame, maxIter: Int,
+                                      driverEdgeLimit: Long): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val idType = df.schema(id).dataType
     // evaluate the expensive pairs plan ONCE, then work off the
     // checkpointed edge list (its count is free afterwards)
-    val pairs = simhashPairs(df, id, text, maxHamming)
+    val pairs = pairsDf
       .select(col("id_a").cast(LongType), col("id_b").cast(LongType))
       .localCheckpoint()
     val labels: DataFrame =
