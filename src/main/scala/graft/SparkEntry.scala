@@ -343,6 +343,64 @@ object SparkEntry {
         .orderBy(col("o_orderstatus"))
     }),
 
+    "q12_percentile" -> ((s, dir) => {
+      // exact percentiles (linear interpolation) — Spark percentile()
+      // and DuckDB quantile_cont share the definition; rounded to 6 so
+      // IEEE double interpolation agrees bit-for-bit
+      val li = t(s, dir, "lineitem")
+      li.groupBy(col("l_returnflag"))
+        .agg(
+          round(expr("percentile(l_quantity, 0.5)"), 6).as("p50_qty"),
+          round(expr("percentile(l_quantity, 0.95)"), 6).as("p95_qty"),
+          round(expr("percentile(CAST(l_extendedprice AS DOUBLE), 0.9)"),
+            6).as("p90_price"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    "q13_grouping_sets" -> ((s, dir) => {
+      // explicit GROUPING SETS with grouping_id disambiguation — the
+      // rollup/cube family's general form (§2.5 aggregates)
+      Tables.registerAll(s, dir)
+      s.sql("""
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(grouping(o_orderstatus) AS INT) AS g_status,
+               CAST(grouping(o_orderpriority) AS INT) AS g_prio,
+               count(*) AS n
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus),
+                                (o_orderpriority),
+                                (o_orderstatus, o_orderpriority))
+        ORDER BY g_status, g_prio,
+                 o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""")
+    }),
+
+    "q14_pivot" -> ((s, dir) => {
+      // relational pivot over a known small value set (Spark pivot with
+      // explicit values = conditional aggregation, no extra pass to
+      // discover categories — the 100 TB form)
+      val o = t(s, dir, "orders")
+      o.groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .na.fill(0L, Seq("F", "O", "P"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    "q15_unpivot" -> ((s, dir) => {
+      // unpivot (melt): wide aggregate → (metric, value) rows
+      val o = t(s, dir, "orders")
+      val wide = o.groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).cast(DoubleType).as("n_orders"),
+          round(sum(dec(col("o_totalprice"))).cast(DoubleType), 2)
+            .as("total_price"),
+          round(avg(dec(col("o_totalprice"))).cast(DoubleType), 2)
+            .as("avg_price"))
+      wide.unpivot(Array(col("o_orderstatus")),
+          Array(col("n_orders"), col("total_price"), col("avg_price")),
+          "metric", "value")
+        .orderBy(col("o_orderstatus"), col("metric"))
+    }),
+
     // ---- incremental strategies as oracle-checked rewrites (SURVEY §2.2) ----
     "inc_append" -> ((s, dir) => {
       val (target, staged) = incFixture(s, dir)
@@ -1185,6 +1243,45 @@ object SparkEntry {
         |FROM orders
         |GROUP BY CUBE (o_orderstatus, o_orderpriority)
         |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+
+    "q12_percentile" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_quantity, 0.5), 6) AS p50_qty,
+        |  round(quantile_cont(l_quantity, 0.95), 6) AS p95_qty,
+        |  round(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.9), 6) AS p90_price
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+
+    "q13_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(grouping(o_orderstatus) AS INTEGER) AS g_status,
+        |  CAST(grouping(o_orderpriority) AS INTEGER) AS g_prio,
+        |  count(*) AS n
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+        |  (o_orderstatus, o_orderpriority))
+        |ORDER BY g_status, g_prio,
+        |  o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+
+    "q14_pivot" ->
+      """SELECT o_orderpriority,
+        |  count(*) FILTER (WHERE o_orderstatus = 'F') AS F,
+        |  count(*) FILTER (WHERE o_orderstatus = 'O') AS O,
+        |  count(*) FILTER (WHERE o_orderstatus = 'P') AS P
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    "q15_unpivot" ->
+      """WITH wide AS (SELECT o_orderstatus,
+        |  CAST(count(*) AS DOUBLE) AS n_orders,
+        |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_price,
+        |  round(CAST(avg(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS avg_price
+        |FROM orders GROUP BY o_orderstatus)
+        |SELECT o_orderstatus, metric, value FROM (
+        |  SELECT o_orderstatus, 'n_orders' AS metric, n_orders AS value FROM wide
+        |  UNION ALL SELECT o_orderstatus, 'total_price', total_price FROM wide
+        |  UNION ALL SELECT o_orderstatus, 'avg_price', avg_price FROM wide)
+        |ORDER BY o_orderstatus, metric""".stripMargin,
 
     "q10_sql" ->
       """WITH big AS (
