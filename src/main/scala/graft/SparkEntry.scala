@@ -560,7 +560,13 @@ object SparkEntry {
         columnTypes = Map("id" -> "bigint",
           "dur" -> "interval day to second", "bin" -> "varbinary",
           "meta" -> "json"))
-      s.table("graft_seed_demo").orderBy(col("id"))
+      // the stored table keeps BinaryType for bin; the compared projection
+      // hex-encodes it because the verify driver's pandas layer cannot
+      // sort/hash raw bytearray values
+      s.table("graft_seed_demo")
+        .select(col("id"), col("price"), col("born"), col("seen"),
+          col("label"), col("dur"), hex(col("bin")).as("bin_hex"), col("meta"))
+        .orderBy(col("id"))
     }),
 
     "mat_incremental_driver" -> ((s, dir) => {
@@ -963,10 +969,14 @@ object SparkEntry {
       // trained-cell IVF (k-means centroids) gated on recall vs the
       // exact brute-force baseline: the result is the per-query recall
       // check, since the oracle cannot re-run k-means in SQL. The raw
-      // recall values are asserted in LlmSpec.
+      // recall values are asserted in LlmSpec. Training happens ONCE
+      // here — the offline step of a real deployment — and the trained
+      // matrix feeds the search and the gate (r3: the train-inline form
+      // paid 3 corpus passes inside the query hot path).
       val e = t(s, dir, "embeddings")
+      val cent = Similarity.ivfTrain(e, "vec_id", "embedding", nlist = 32)
       Similarity.ivfRecall(e, e.filter(col("vec_id") < 5),
-          "vec_id", "embedding", 10, nlist = 32, nprobe = 12)
+          "vec_id", "embedding", 10, cent, nprobe = 12)
         .select(col("query_id"), (col("recall") >= 0.6).as("recall_ok"))
         .orderBy(col("query_id"))
     }),
@@ -1402,15 +1412,18 @@ object SparkEntry {
     // dur compares as BIGINT micros: Spark writes DayTimeIntervalType
     // as INT64 microseconds in parquet, which is how DuckDB reads the
     // verify dump back
+    // bin compares as hex VARCHAR (hex(unhex(..)) keeps the BLOB round-trip
+    // in the oracle): the verify driver's pandas compare cannot hash raw
+    // bytearray values
     "mat_seed_types" ->
       """SELECT * FROM (VALUES
         |  (CAST(1 AS BIGINT), CAST(1.5 AS DOUBLE), DATE '1995-01-01',
         |   TIMESTAMP '1995-01-01 12:00:00', 'alpha',
-        |   CAST(86400000000 AS BIGINT), unhex('65683F'), '{"k":1}'),
+        |   CAST(86400000000 AS BIGINT), hex(unhex('65683F')), '{"k":1}'),
         |  (2, 2.0, DATE '1996-02-02', TIMESTAMP '1996-02-02 13:30:00', 'beta',
-        |   129600000000, unhex('4F4B'), '{"a":[1,2]}'),
+        |   129600000000, hex(unhex('4F4B')), '{"a":[1,2]}'),
         |  (3, NULL, DATE '1997-03-03', NULL, 'gamma', NULL, NULL, NULL))
-        |  t(id, price, born, seen, label, dur, bin, meta)
+        |  t(id, price, born, seen, label, dur, bin_hex, meta)
         |ORDER BY id""".stripMargin,
 
     "mat_incremental_driver" ->
@@ -1695,7 +1708,8 @@ object SparkEntry {
         |c AS (SELECT *, sum(n_tokens) OVER (PARTITION BY grp ORDER BY doc_id
         |  ROWS UNBOUNDED PRECEDING) - n_tokens AS cum FROM b)
         |SELECT doc_id AS doc, n_tokens,
-        |  grp * 4294967296 + cum // 2048 AS shard, cum % 2048 AS offset
+        |  (grp * 4294967296 + cum // 2048)::BIGINT AS shard,
+        |  (cum % 2048)::BIGINT AS offset
         |FROM c ORDER BY doc""".stripMargin,
 
     "fn_custom_sql" ->

@@ -94,13 +94,21 @@ case class DotProduct(left: Expression, right: Expression)
       val acc = ctx.freshName("acc")
       val lg = genGet(elemType(left), l, i)
       val rg = genGet(elemType(right), r, i)
+      // when nullable is false (non-nullable inputs, containsNull=false on
+      // both) ev.isNull is the literal `false`, so emitting an assignment
+      // would generate `false = true;` and fail janino compilation — and
+      // elements can never be null there, so the check is dead code anyway
+      val nullCheck =
+        if (nullable)
+          s"""if ($l.isNullAt($i) || $r.isNullAt($i)) {
+             |    ${ev.isNull} = true; break;
+             |  }""".stripMargin
+        else ""
       s"""
          |int $n = java.lang.Math.min($l.numElements(), $r.numElements());
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  if ($l.isNullAt($i) || $r.isNullAt($i)) {
-         |    ${ev.isNull} = true; break;
-         |  }
+         |  $nullCheck
          |  $acc += $lg * $rg;
          |}
          |${ev.value} = $acc;

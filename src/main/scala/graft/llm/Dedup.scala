@@ -301,11 +301,16 @@ object Dedup {
     val bits = SimHashBandBits
     // the signature aggregate (explode every token + 60 bit-sums) is the
     // expensive subtree and is referenced three times below (distinct
-    // signatures + both sides of the doc re-expansion); persist() makes
-    // Spark compute it once and share the InMemoryRelation. One narrow
-    // row per document — negligible storage at any corpus size.
-    val sig = simhash(df, id, text)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // signatures + both sides of the doc re-expansion); an eager
+    // localCheckpoint computes it once and shares the materialized blocks.
+    // Deliberately NOT persist(): a CacheManager entry lives until the
+    // session ends (nothing here could unpersist it after the lazily-
+    // consumed result is used), and repeated calls re-register the same
+    // plan ("already cached" warnings) — checkpoint blocks are instead
+    // released by the ContextCleaner once the result is dropped. One
+    // narrow row per document — negligible storage at any corpus size
+    // (on a real cluster, prefer a reliable checkpoint dir).
+    val sig = simhash(df, id, text).localCheckpoint()
 
     val sigs = sig.select(col("simhash")).distinct()
     val bandCols = (0 until SimHashBands).map { b =>
@@ -389,6 +394,12 @@ object Dedup {
     val spark = df.sparkSession
     import spark.implicits._
     val idType = df.schema(id).dataType
+    // a non-numeric id would cast to NULL below, every edge would vanish,
+    // and the result would silently report keep=true for all documents —
+    // fail loudly instead (hash string ids to long upstream if needed)
+    require(idType.isInstanceOf[NumericType],
+      s"collapseComponents needs a numeric id column; '$id' is $idType " +
+        "(hash non-numeric ids to long before collapsing)")
     // evaluate the expensive pairs plan ONCE, then work off the
     // checkpointed edge list (its count is free afterwards)
     val pairs = pairsDf
@@ -438,38 +449,64 @@ object Dedup {
     * (hence the throw). `localCheckpoint` truncates lineage each round
     * (on a cluster, use a reliable checkpoint dir); the driver loop is
     * control flow only. */
+  /** Materialize a (small) intermediate with truncated lineage and an
+    * EXPLICIT release handle. localCheckpoint() frees its blocks only
+    * when the driver GCs the RDD, and persist() registers a CacheManager
+    * entry that lives until the session ends — in the iterative loop
+    * below either choice accumulated superseded round state for the rest
+    * of a long-lived session (the r3 bench's "already cached" warnings /
+    * `ddl_alter_columns` regression). Pinning the row RDD directly gives
+    * deterministic unpersist the moment a round's state is superseded. */
+  private def pin(df: DataFrame)
+      : (DataFrame, () => Unit) = {
+    val rdd = df.rdd
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    (df.sparkSession.createDataFrame(rdd, df.schema),
+      () => { rdd.unpersist(false); () })
+  }
+
   private[llm] def distributedComponents(pairs: DataFrame,
                                          maxIter: Int): DataFrame = {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-    var labels = edges.select(col("src").as("doc")).distinct()
-      .select(col("doc"), col("doc").as("label"))
-      .localCheckpoint()
+    var (labels, releaseLabels) = pin(
+      edges.select(col("src").as("doc")).distinct()
+        .select(col("doc"), col("doc").as("label")))
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
       val nbrMin = edges
         .join(labels.select(col("doc").as("src"), col("label")), "src")
         .groupBy(col("dst").as("doc")).agg(min("label").as("nbr"))
-      val prop = labels.join(nbrMin, Seq("doc"))
-        .select(col("doc"), least(col("label"), col("nbr")).as("label"))
-        .localCheckpoint()
+      val (prop, releaseProp) = pin(
+        labels.join(nbrMin, Seq("doc"))
+          .select(col("doc"), least(col("label"), col("nbr")).as("label")))
       // pointer jump: label ← min(label, label(label))
-      val next = prop.alias("a")
-        .join(prop.select(col("doc").as("pl"), col("label").as("plabel"))
-          .alias("p"), col("a.label") === col("pl"))
-        .select(col("a.doc"),
-          least(col("a.label"), col("plabel")).as("label"))
-        .localCheckpoint()
+      val (next, releaseNext) = pin(
+        prop.alias("a")
+          .join(prop.select(col("doc").as("pl"), col("label").as("plabel"))
+            .alias("p"), col("a.label") === col("pl"))
+          .select(col("a.doc"),
+            least(col("a.label"), col("plabel")).as("label")))
+      // this count materializes `next` (and transitively `prop`), after
+      // which the superseded round state can be dropped immediately
       val changed = next
         .join(labels.withColumnRenamed("label", "old"), "doc")
         .filter(col("label") =!= col("old")).count()
+      releaseProp()
+      releaseLabels()
       labels = next
+      releaseLabels = releaseNext
       converged = changed == 0
       iter += 1
     }
-    if (!converged) throw new IllegalStateException(
-      s"distributedComponents did not converge in $maxIter rounds")
+    if (!converged) {
+      releaseLabels()
+      throw new IllegalStateException(
+        s"distributedComponents did not converge in $maxIter rounds")
+    }
+    // the final round's pin stays materialized for the caller's consume;
+    // its blocks are released by the ContextCleaner once dropped
     labels
   }
 

@@ -175,28 +175,36 @@ object Similarity {
     cent
   }
 
-  /** Trained-cell assignment (replaces the r2 hash-modulo stand-in).
-    * Write the result `partitionBy("cell")` and a probe becomes a
-    * partition-pruned scan of |probed cells|/nlist of the data. */
+  /** Trained-cell assignment from PRE-TRAINED centroids — at 100 TB
+    * training is a once-offline step ([[ivfTrain]]); the serving path
+    * must never re-scan the corpus to rebuild the model. Write the
+    * result `partitionBy("cell")` and a probe becomes a partition-pruned
+    * scan of |probed cells|/nlist of the data. */
   def ivfAssign(corpus: DataFrame, id: String, vec: String,
-                nlist: Int, iters: Int = 3): DataFrame = {
-    val cent = ivfTrain(corpus, id, vec, nlist, iters)
+                centroids: Array[Array[Double]]): DataFrame =
     corpus.select(col(id), col(vec),
-      nearestCell(col(vec), cent).as("cell"))
-  }
+      nearestCell(col(vec), centroids).as("cell"))
 
-  /** IVF search: queries probe their `nprobe` nearest trained cells,
-    * exact cosine re-rank inside the probed cells. The corpus-side work
-    * is an equi-join on `cell` — with a cell-partitioned corpus layout
-    * this reads only the probed partitions. */
+  /** Train-then-assign convenience (replaces the r2 hash-modulo
+    * stand-in). Prefer the pre-trained overload on repeated calls. */
+  def ivfAssign(corpus: DataFrame, id: String, vec: String,
+                nlist: Int, iters: Int = 3): DataFrame =
+    ivfAssign(corpus, id, vec, ivfTrain(corpus, id, vec, nlist, iters))
+
+  /** IVF search with PRE-TRAINED centroids: queries probe their `nprobe`
+    * nearest cells, exact cosine re-rank inside the probed cells. The
+    * corpus-side work is an equi-join on `cell` — with a cell-partitioned
+    * corpus layout this reads only the probed partitions. Training cost
+    * never enters this path (the r3 hot-path finding: the train-inline
+    * overload paid 3 full corpus passes per query call). */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, id: String,
-              vec: String, k: Int, nlist: Int = 32, nprobe: Int = 8,
-              iters: Int = 3): DataFrame = {
-    val cent = ivfTrain(corpus, id, vec, nlist, iters)
+              vec: String, k: Int, centroids: Array[Array[Double]],
+              nprobe: Int): DataFrame = {
     val c = corpus.select(col(id).as("vec_id"), col(vec).as("cv"))
-      .withColumn("cell", nearestCell(col("cv"), cent))
+      .withColumn("cell", nearestCell(col("cv"), centroids))
     val q = queries.select(col(id).as("query_id"), col(vec).as("qv"))
-      .withColumn("cell", explode(probeCells(col("qv"), cent, nprobe)))
+      .withColumn("cell",
+        explode(probeCells(col("qv"), centroids, nprobe)))
     val scored = c.join(broadcast(q), Seq("cell"))
       .filter(col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id"),
@@ -207,13 +215,22 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Train-then-search convenience — one-shot exploration only; any
+    * repeated-query caller should [[ivfTrain]] once and use the
+    * pre-trained overload. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, id: String,
+              vec: String, k: Int, nlist: Int = 32, nprobe: Int = 8,
+              iters: Int = 3): DataFrame =
+    ivfTopK(corpus, queries, id, vec, k,
+      ivfTrain(corpus, id, vec, nlist, iters), nprobe)
+
   /** Per-query recall of [[ivfTopK]] against [[bruteForceTopK]] —
-    * |ivf∩exact| / k. The measurement the VERDICT/paper-standard IVF
-    * evaluation reports; used by the sim_ivf_topk gate. */
+    * |ivf∩exact| / k — over PRE-TRAINED centroids, so the gate measures
+    * the same model the search used without retraining. */
   def ivfRecall(corpus: DataFrame, queries: DataFrame, id: String,
-                vec: String, k: Int, nlist: Int = 32,
-                nprobe: Int = 8): DataFrame = {
-    val ivf = ivfTopK(corpus, queries, id, vec, k, nlist, nprobe)
+                vec: String, k: Int, centroids: Array[Array[Double]],
+                nprobe: Int): DataFrame = {
+    val ivf = ivfTopK(corpus, queries, id, vec, k, centroids, nprobe)
       .select(col("query_id"), col("vec_id"))
     val exact = bruteForceTopK(corpus, queries, id, vec, k)
       .select(col("query_id"), col("vec_id"))
@@ -225,4 +242,13 @@ object Similarity {
       .select(col("query_id"),
         round(col("n_hits").cast(DoubleType) / k, 4).as("recall"))
   }
+
+  /** Train-then-measure convenience. The measurement the VERDICT/
+    * paper-standard IVF evaluation reports; used by the sim_ivf_topk
+    * gate (which trains once and calls the pre-trained overload). */
+  def ivfRecall(corpus: DataFrame, queries: DataFrame, id: String,
+                vec: String, k: Int, nlist: Int = 32,
+                nprobe: Int = 8): DataFrame =
+    ivfRecall(corpus, queries, id, vec, k,
+      ivfTrain(corpus, id, vec, nlist), nprobe)
 }

@@ -31,7 +31,14 @@ object AsOfJoin {
     val rvType = org.apache.spark.sql.types.StructType(
       rightValueCols.map(c => right.schema(c)))
 
-    val rUnion = right.select(
+    // a right row with a NULL key or NULL timestamp can never be an ASOF
+    // match, but if it entered the union it would sort nulls-first inside
+    // a valid key partition and its payload would be carried onto left
+    // rows that have no earlier valid right match — drop such rows up
+    // front (the left-side mask below handles null LEFT rows)
+    val rUnion = right
+      .filter(col(key).isNotNull && col(ts).isNotNull)
+      .select(
       (leftCols.map { c =>
         if (c == key || c == ts) col(c)
         else lit(null).cast(left.schema(c).dataType).as(c)

@@ -100,7 +100,11 @@ class LayoutSpec extends SparkSpec {
   test("as-of join: NULL keys and NULL timestamps never match") {
     val left = Seq((1L, Some("u"), Some("2024-01-01 10:00:00")),
         (2L, None, Some("2024-01-01 10:00:00")), // null key
-        (3L, Some("u"), None)) // null ts
+        (3L, Some("u"), None), // null ts
+        // earlier than every VALID right row: the null-ts right row
+        // sorts nulls-first in this key partition and must NOT carry
+        // its payload here (r3 ADVICE regression)
+        (4L, Some("u"), Some("2024-01-01 08:00:00")))
       .toDF("event_id", "user_id", "ts")
       .withColumn("ts", $"ts".cast("timestamp"))
     val right = Seq((Some("u"), Some("2024-01-01 09:00:00"), 1.0),
@@ -113,7 +117,7 @@ class LayoutSpec extends SparkSpec {
       .orderBy("event_id").collect()
     assert(out.map(r => (r.getLong(0),
       if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toSeq ==
-      Seq((1L, Some(1.0)), (2L, None), (3L, None)))
+      Seq((1L, Some(1.0)), (2L, None), (3L, None), (4L, None)))
   }
 
   private def withConf(kv: (String, String))(body: => Unit): Unit = {

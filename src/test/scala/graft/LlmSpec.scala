@@ -130,17 +130,20 @@ class LlmSpec extends SparkSpec {
   }
 
   test("trained IVF: k-means cells partition the corpus, recall beats gate") {
-    // every vector lands in exactly one of nlist cells
-    val assigned = Similarity.ivfAssign(emb, "vec_id", "embedding", 16)
+    // every vector lands in exactly one of nlist cells — via the
+    // pre-trained overload (train once, assign from the matrix)
+    val cent16 = Similarity.ivfTrain(emb, "vec_id", "embedding", 16)
+    val assigned = Similarity.ivfAssign(emb, "vec_id", "embedding", cent16)
       .cache()
     assert(assigned.count() == emb.count())
     val cells = assigned.groupBy("cell").count().collect()
     assert(cells.forall(r => r.getInt(0) >= 0 && r.getInt(0) < 16))
     assert(cells.length > 1, "k-means collapsed to a single cell")
     // recall vs brute force at nprobe=12/nlist=32 must clear the oracle
-    // gate with margin
+    // gate with margin; the same trained matrix feeds search and gate
+    val cent32 = Similarity.ivfTrain(emb, "vec_id", "embedding", 32)
     val rec = Similarity.ivfRecall(emb, emb.filter($"vec_id" < 5),
-      "vec_id", "embedding", 10, nlist = 32, nprobe = 12).collect()
+      "vec_id", "embedding", 10, cent32, nprobe = 12).collect()
     val min = rec.map(_.getDouble(1)).min
     assert(min >= 0.6, s"min recall $min below gate")
     info(s"IVF recall per query: ${rec.map(_.getDouble(1)).mkString(",")}")

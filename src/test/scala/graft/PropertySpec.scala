@@ -80,6 +80,58 @@ class PropertySpec extends SparkSpec {
     assert(got.size == leftRows.size) // exactly one output row per left row
   }
 
+  test("packShards invariants: offset bound, dense shards, token conservation") {
+    // random corpora with wildly varying doc lengths; the operator got
+    // burned by oracle representation drift once (r3 ta_pack) — pin its
+    // semantics independently of the oracle
+    val wordGen = Gen.listOf(Gen.frequency(
+      6 -> Gen.alphaNumChar, 1 -> Gen.oneOf('.', ',', '-'))).map(_.mkString)
+    val docGen = Gen.choose(0, 60).flatMap(n =>
+      Gen.listOfN(n, wordGen).map(_.mkString(" ")))
+    for (seed <- 1 to 3) {
+      val budget = Seq(64L, 256L, 2048L)(seed - 1)
+      val docs = (1 to 300).map(i =>
+        (i.toLong, draw(docGen, seed * 10000L + i)))
+      val df = docs.toDF("doc_id", "text")
+      val packed = graft.llm.TextAnalysis
+        .packShards(df, "doc_id", "text", budget).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      // 1. every offset sits inside the shard's token budget
+      assert(packed.forall(_._4 < budget), s"offset >= budget=$budget")
+      assert(packed.forall(_._4 >= 0))
+      // 2. local shard ids are dense (0..max, no gaps) within each group —
+      // guaranteed when no single doc exceeds the budget (each doc then
+      // advances the running total by at most one shard); an overlong doc
+      // legitimately skips shards (block-packing approximation)
+      if (packed.map(_._2).max <= budget) {
+        packed.groupBy(_._3 >> 32).foreach { case (grp, rows) =>
+          val locals = rows.map(r => r._3 & 0xffffffffL).distinct.sorted
+          assert(locals.sameElements(0L until locals.length.toLong),
+            s"group $grp shard ids not dense: ${locals.mkString(",")}")
+        }
+      }
+      // 3. token conservation: every input doc appears exactly once with
+      // its own token count — nothing dropped, duplicated, or resized
+      assert(packed.length == docs.length)
+      assert(packed.map(_._1).distinct.length == docs.length)
+      val expectedTokens = df.select(sum(
+        graft.llm.TextAnalysis.tokenCountBpe($"text").cast("long")))
+        .head.getLong(0)
+      assert(packed.map(_._2).sum == expectedTokens)
+      // and the greedy rule itself: positions follow the exclusive
+      // cumulative sum exactly — shard/offset are div/mod of the running
+      // total, so each doc's position derives from its predecessor's
+      // (an overlong doc rolls the remainder into the next shard)
+      packed.groupBy(_._3 >> 32).foreach { case (_, rows) =>
+        rows.sortBy(_._1).foldLeft(0L) { case (cum, (_, n, shard, off)) =>
+          assert(off == cum % budget)
+          assert((shard & 0xffffffffL) == cum / budget)
+          cum + n
+        }
+      }
+    }
+  }
+
   test("RollingHash agrees with the driver-side replica on arbitrary BMP strings") {
     val strGen = Gen.listOf(Gen.frequency(
       8 -> Gen.alphaNumChar, 2 -> Gen.oneOf(' ', '|', 'é', '中', 'д')))
