@@ -725,11 +725,21 @@ object SparkEntry {
         p1.copy(properties =
           Map("format" -> "PARQUET", "retention" -> "30d")))
       val actions = m.mvActions(rel).mkString(",")
-      val props = m.getProperties(rel).toSeq.sorted
+      // a FRESH session (shared catalog, new session state) must be able
+      // to read the persisted MV metadata and refresh it — the state
+      // lives in TBLPROPERTIES, not driver memory (adapters.sql:35-39's
+      // system.metadata.materialized_views equivalent)
+      val s2 = s.newSession()
+      val m2 = new graft.mat.Materializer(s2)
+      m2.refreshMaterializedView(rel)
+      val xok = m2.materializedViewQuery(rel).contains(sql) &&
+        m2.mvActions(rel).mkString(",") == actions
+      val props = m2.getProperties(rel).toSeq.sorted
         .map { case (k, v) => s"$k=$v" }.mkString(",")
       s.table("graft_mv_cfg")
         .withColumn("actions", lit(actions))
         .withColumn("props", lit(props))
+        .withColumn("xsession_ok", lit(xok))
         .orderBy(col("n_regionkey"))
     }),
 
@@ -988,9 +998,10 @@ object SparkEntry {
         .orderBy(col("media_id"))),
 
     "mm_decode_real" -> ((s, dir) =>
-      // REAL byte-level decode: image rows carry an actual BMP, audio
-      // rows an actual WAV (MediaCodecs encode/parse); geometry derives
-      // from the id so the oracle recomputes it arithmetically.
+      // REAL byte-level decode: image rows carry an actual BMP, PNG, or
+      // JPEG, audio rows an actual WAV (MediaCodecs encode/parse);
+      // geometry derives from the id so the oracle recomputes it
+      // arithmetically.
       // checksum is projected away — it is a function of raw bytes the
       // SQL oracle cannot reconstruct; CodecSpec pins it instead.
       Multimodal.decodeFeatures(
@@ -1522,7 +1533,8 @@ object SparkEntry {
     "mat_mv_config" ->
       """SELECT n_regionkey, count(*) AS n,
         |  'create,refresh,full_refresh' AS actions,
-        |  'format=PARQUET,retention=30d' AS props
+        |  'format=PARQUET,retention=30d' AS props,
+        |  true AS xsession_ok
         |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
   ) ++ llmOracles
 
@@ -1881,25 +1893,35 @@ object SparkEntry {
 
     // mirrors MediaCodecs byte layout arithmetically: BMP = 54-byte
     // header + 4-byte-padded 24bpp rows; WAV = 44-byte header + 16-bit
-    // samples × channels
+    // samples × channels; PNG = 68 + h·(w+1) (signature + IHDR/IEND +
+    // one stored-block zlib IDAT of (filter byte + row) scanlines);
+    // JPEG = constant 35-byte SOI/APP0/SOF0/EOI marker fixture
     "mm_decode_real" ->
-      """WITH f AS (SELECT doc_id AS media_id, doc_id % 3 AS k,
+      """WITH f AS (SELECT doc_id AS media_id, doc_id % 5 AS k,
         |  strlen(text) AS tb FROM documents)
         |SELECT media_id,
         |  CASE k WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+        |    WHEN 2 THEN 'image' WHEN 3 THEN 'image'
         |    ELSE 'video' END AS media_type,
         |  (CASE k
         |    WHEN 0 THEN 54 + ((((media_id % 16 + 1) * 3 + 3) // 4) * 4)
         |      * (media_id % 12 + 1)
         |    WHEN 1 THEN 44 + (media_id % 256 + 1) * (media_id % 2 + 1) * 2
+        |    WHEN 2 THEN 68 + (media_id % 10 + 1) * (media_id % 20 + 2)
+        |    WHEN 3 THEN 35
         |    ELSE tb END)::BIGINT AS n_bytes,
         |  (CASE k WHEN 0 THEN media_id % 16 + 1
         |    WHEN 1 THEN 8000 + (media_id % 8) * 1000
+        |    WHEN 2 THEN media_id % 20 + 1
+        |    WHEN 3 THEN media_id % 30 + 1
         |    ELSE (tb % 640) + 1 END)::INTEGER AS width,
         |  (CASE k WHEN 0 THEN media_id % 12 + 1
         |    WHEN 1 THEN media_id % 2 + 1
+        |    WHEN 2 THEN media_id % 10 + 1
+        |    WHEN 3 THEN media_id % 14 + 1
         |    ELSE (tb % 480) + 1 END)::INTEGER AS height,
         |  (CASE k WHEN 0 THEN 1 WHEN 1 THEN media_id % 256 + 1
+        |    WHEN 2 THEN 1 WHEN 3 THEN 1
         |    ELSE (tb % 24) + 1 END)::INTEGER AS n_frames
         |FROM f ORDER BY media_id""".stripMargin,
 

@@ -1,10 +1,13 @@
 package graft.llm
 
 /** Pure-JVM codecs for the multimodal pipeline: real byte-level encode /
-  * decode for the two formats that need no external library — BMP
-  * (uncompressed image) and PCM WAV (audio). These replace the
-  * deterministic stub for payloads carrying their magic; other formats
-  * (JPEG/PNG/MP3/MP4...) still fall back to [[Multimodal.FakeDecoder]],
+  * decode for the formats that need no external library — BMP
+  * (uncompressed image), PCM WAV (audio), PNG (zlib + CRC32 chunk
+  * structure, both in java.util.zip), and JPEG geometry (marker-segment
+  * walk to the SOF frame header — the standard header-only probe; full
+  * pixel decode would need a codec library). These replace the
+  * deterministic stub for payloads carrying their magic; remaining
+  * formats (MP3/MP4...) still fall back to [[Multimodal.FakeDecoder]],
   * the documented stub seam where a JNI codec would plug in.
   *
   * Everything here is partition-local per-row byte work — no shuffle,
@@ -94,5 +97,151 @@ object MediaCodecs {
     }
     if (rate <= 0 || channels <= 0 || dataLen < 0) None
     else Some((rate, channels, dataLen / (channels * math.max(bits / 8, 1))))
+  }
+
+  // ---- big-endian primitives (PNG/JPEG are network byte order) ----
+  private def be16(v: Int): Array[Byte] =
+    Array(((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+  private def be32(v: Int): Array[Byte] =
+    Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+  private def rdBe16(b: Array[Byte], off: Int): Int =
+    ((b(off) & 0xff) << 8) | (b(off + 1) & 0xff)
+  private def rdBe32(b: Array[Byte], off: Int): Int =
+    ((b(off) & 0xff) << 24) | ((b(off + 1) & 0xff) << 16) |
+      ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
+
+  private val PngSig: Array[Int] =
+    Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+
+  /** zlib stream of `raw` as ONE stored (uncompressed) deflate block —
+    * hand-rolled so the byte length is exactly `raw.length + 11`
+    * (2 header + 5 block framing + data + 4 Adler-32), a closed form an
+    * arithmetic oracle can reproduce. Valid input for any inflater.
+    * Single-block framing caps raw at 65535 bytes (fixture-sized). */
+  private def zlibStored(raw: Array[Byte]): Array[Byte] = {
+    require(raw.length <= 0xffff, "single stored block caps at 65535")
+    val out = new java.io.ByteArrayOutputStream(raw.length + 11)
+    out.write(0x78); out.write(0x01) // CMF/FLG, 32K window, check bits ok
+    out.write(0x01) // BFINAL=1, BTYPE=00 (stored)
+    out.write(le16(raw.length)); out.write(le16(raw.length ^ 0xffff))
+    out.write(raw)
+    val adler = new java.util.zip.Adler32
+    adler.update(raw)
+    out.write(be32(adler.getValue.toInt))
+    out.toByteArray
+  }
+
+  private def pngChunk(out: java.io.ByteArrayOutputStream,
+                       typ: String, data: Array[Byte]): Unit = {
+    out.write(be32(data.length))
+    val tb = typ.getBytes("US-ASCII")
+    out.write(tb)
+    out.write(data)
+    val crc = new java.util.zip.CRC32
+    crc.update(tb); crc.update(data)
+    out.write(be32(crc.getValue.toInt))
+  }
+
+  /** Encode a REAL (inflater-valid) PNG: signature, IHDR, one IDAT of
+    * zero-filled 8-bit grayscale scanlines (filter byte 0 per row) in a
+    * stored-block zlib stream, IEND. Total size is the closed form
+    * 68 + height·(width+1). */
+  def encodePng(width: Int, height: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(68 + height * (width + 1))
+    PngSig.foreach(out.write)
+    val ihdr = new java.io.ByteArrayOutputStream(13)
+    ihdr.write(be32(width)); ihdr.write(be32(height))
+    ihdr.write(8) // bit depth
+    ihdr.write(0) // grayscale
+    ihdr.write(0); ihdr.write(0); ihdr.write(0) // deflate/adaptive/none
+    pngChunk(out, "IHDR", ihdr.toByteArray)
+    pngChunk(out, "IDAT", zlibStored(new Array[Byte](height * (width + 1))))
+    pngChunk(out, "IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
+  /** Decode PNG header → (width, height); None when not a PNG. The IHDR
+    * chunk is required first by the spec, so the walk is a fixed-offset
+    * read after the signature. */
+  def decodePng(b: Array[Byte]): Option[(Int, Int)] =
+    if (b.length >= 24 && PngSig.indices.forall(i =>
+        (b(i) & 0xff) == PngSig(i)) &&
+        "IHDR".indices.forall(i => b(12 + i) == "IHDR".charAt(i).toByte)) {
+      val (w, h) = (rdBe32(b, 16), rdBe32(b, 20))
+      if (w > 0 && h > 0) Some((w, h)) else None
+    } else None
+
+  private def jpegSeg(out: java.io.ByteArrayOutputStream,
+                      marker: Int, data: Array[Byte]): Unit = {
+    out.write(0xff); out.write(marker)
+    out.write(be16(data.length + 2))
+    out.write(data)
+  }
+
+  /** Encode a JPEG geometry fixture: SOI, JFIF APP0, SOF0 frame header
+    * carrying (height, width, 1 grayscale component), EOI — the marker
+    * structure a header prober walks, 35 bytes total. Entropy-coded
+    * data (DQT/DHT/SOS) is omitted: generating it needs a real
+    * compressor, and [[decodeJpeg]]-style geometry probes never read
+    * it. */
+  def encodeJpeg(width: Int, height: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(35)
+    out.write(0xff); out.write(0xd8) // SOI
+    val jfif = new java.io.ByteArrayOutputStream(14)
+    jfif.write("JFIF".getBytes("US-ASCII")); jfif.write(0)
+    jfif.write(1); jfif.write(2) // version 1.2
+    jfif.write(0) // aspect-ratio units
+    jfif.write(be16(1)); jfif.write(be16(1)) // density 1:1
+    jfif.write(0); jfif.write(0) // no thumbnail
+    jpegSeg(out, 0xe0, jfif.toByteArray)
+    val sof = new java.io.ByteArrayOutputStream(9)
+    sof.write(8) // precision
+    sof.write(be16(height)); sof.write(be16(width))
+    sof.write(1) // one component
+    sof.write(1); sof.write(0x11); sof.write(0) // id, 1x1 sampling, qtable
+    jpegSeg(out, 0xc0, sof.toByteArray)
+    out.write(0xff); out.write(0xd9) // EOI
+    out.toByteArray
+  }
+
+  /** SOF0-SOF15 minus DHT(C4)/JPG(C8)/DAC(CC) — the frame headers that
+    * carry geometry. */
+  private def isSofMarker(m: Int): Boolean =
+    m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc
+
+  /** Decode JPEG geometry → (width, height); None when not a JPEG or no
+    * SOF before scan data. Walks marker segments from SOI (skipping fill
+    * bytes and length-less RST/TEM markers) to the first SOF frame
+    * header — the standard header probe, independent of entropy data. */
+  def decodeJpeg(b: Array[Byte]): Option[(Int, Int)] = {
+    if (b.length < 4 || (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8)
+      return None
+    var off = 2
+    while (off + 2 <= b.length) {
+      if ((b(off) & 0xff) != 0xff) return None
+      // fill bytes: any number of 0xff may pad before the marker id
+      var p = off + 1
+      while (p < b.length && (b(p) & 0xff) == 0xff) p += 1
+      if (p >= b.length) return None
+      val m = b(p) & 0xff
+      off = p + 1
+      if (m == 0xd9 || m == 0xda) return None // EOI / SOS: no SOF seen
+      if ((m >= 0xd0 && m <= 0xd8) || m == 0x01) {
+        // RSTn / SOI / TEM carry no length — nothing to skip
+      } else {
+        if (off + 2 > b.length) return None
+        val len = rdBe16(b, off)
+        if (len < 2) return None
+        if (isSofMarker(m)) {
+          if (off + 7 > b.length) return None
+          val h = rdBe16(b, off + 3)
+          val w = rdBe16(b, off + 5)
+          return if (w > 0 && h > 0) Some((w, h)) else None
+        }
+        off += len
+      }
+    }
+    None
   }
 }

@@ -7,9 +7,10 @@ import org.apache.spark.sql.types._
 /** Multimodal-column plumbing: image/audio/video as opaque `binary`
   * columns with typed metadata, processed in partition-local batches.
   *
-  * BMP and WAV payloads are decoded for REAL — byte-level header parsing
-  * in pure JVM code ([[MediaCodecs]]), dispatched by magic number. Other
-  * formats (JPEG/PNG/MP3/MP4 need codec libraries this container lacks)
+  * BMP, WAV, PNG, and JPEG payloads are decoded for REAL — byte-level
+  * header parsing in pure JVM code ([[MediaCodecs]]), dispatched by
+  * magic number. Remaining formats (MP3/MP4 need codec libraries this
+  * container lacks)
   * fall back to [[FakeDecoder.decode]], a deterministic stub that is the
   * clearly-marked seam where a JNI/ONNX codec would plug in. Everything
   * around the decode — the schema, the binary column, the batched
@@ -53,26 +54,31 @@ object Multimodal {
       length(col("text")).cast(LongType).as("n_bytes"))
 
   /** Synthetic REAL media from the documents table: image rows carry an
-    * actual BMP and audio rows an actual WAV, with geometry derived from
-    * the id (so a correctness oracle can recompute the decoded features
-    * without parsing bytes); video rows keep text bytes (stub path).
-    * Payload construction is a partition-local typed map — the same
-    * shape a lakehouse ingest job would use. */
+    * actual BMP, PNG, or JPEG and audio rows an actual WAV (MediaCodecs
+    * encode/parse), with geometry derived from the id (so a correctness
+    * oracle can recompute the decoded features without parsing bytes);
+    * video rows keep text bytes (stub path). Payload construction is a
+    * partition-local typed map — the same shape a lakehouse ingest job
+    * would use. */
   def syntheticMedia(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     docs.select(col("doc_id"), col("text")).as[(Long, String)]
       .mapPartitions(_.map { case (id, text) =>
-        val payload = (id % 3) match {
+        val payload = (id % 5) match {
           case 0 => MediaCodecs.encodeBmp(
             (id % 16).toInt + 1, (id % 12).toInt + 1)
           case 1 => MediaCodecs.encodeWav(
             8000 + (id % 8).toInt * 1000, (id % 2).toInt + 1,
             (id % 256).toInt + 1)
+          case 2 => MediaCodecs.encodePng(
+            (id % 20).toInt + 1, (id % 10).toInt + 1)
+          case 3 => MediaCodecs.encodeJpeg(
+            (id % 30).toInt + 1, (id % 14).toInt + 1)
           case _ => text.getBytes("UTF-8")
         }
-        val mt = (id % 3) match {
-          case 0 => "image"; case 1 => "audio"; case _ => "video"
+        val mt = (id % 5) match {
+          case 0 | 2 | 3 => "image"; case 1 => "audio"; case _ => "video"
         }
         MediaRow(id, mt, payload, payload.length.toLong)
       })
@@ -107,13 +113,15 @@ object Multimodal {
     cs
   }
 
-  /** Decode dispatch: real parse for recognized magics, stub otherwise.
-    * Feature mapping — image: (width, height, 1 frame); audio WAV:
-    * (sample_rate, channels, n_samples) in the (width, height, n_frames)
-    * slots. */
+  /** Decode dispatch: real parse for recognized magics (BMP, WAV, PNG,
+    * JPEG), stub otherwise. Feature mapping — image: (width, height,
+    * 1 frame); audio WAV: (sample_rate, channels, n_samples) in the
+    * (width, height, n_frames) slots. */
   def decodeAny(mediaType: String, payload: Array[Byte])
       : (Int, Int, Int, Long) =
-    MediaCodecs.decodeBmp(payload) match {
+    MediaCodecs.decodeBmp(payload)
+      .orElse(MediaCodecs.decodePng(payload))
+      .orElse(MediaCodecs.decodeJpeg(payload)) match {
       case Some((w, h)) => (w, h, 1, checksum(payload))
       case None => MediaCodecs.decodeWav(payload) match {
         case Some((rate, ch, n)) => (rate, ch, n, checksum(payload))

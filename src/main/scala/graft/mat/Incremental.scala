@@ -36,6 +36,18 @@ object Incremental {
     * SQL `IN` null semantics (NULL key → no match → row kept) and lets
     * AQE broadcast the (usually small) distinct key sets.
     *
+    * Composite keys deliberately stay one join PER COLUMN (examined r4):
+    * each column's membership check needs co-location by that column, so
+    * any single-join rewrite either explodes target k× (unpivot+regroup:
+    * three exchanges of the exploded relation), needs a row id
+    * (monotonically_increasing_id across a self-referencing plan is the
+    * classic nondeterminism trap unless the whole target is first
+    * materialized), or joins flags back on the key tuple (a full distinct
+    * of target keys — worse exactly when staged is small). In the
+    * incremental norm — staged batch ≪ target — every distinct key set
+    * broadcasts and the target never shuffles at all, which is already
+    * the 100 TB plan shape.
+    *
     * `predicates` are Column expressions over the target's columns
     * (incremental_predicates, incremental.sql:123-127).
     */

@@ -3,7 +3,6 @@ package graft.mat
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.types.StructType
 import graft.model.{ColumnModel, Relation, RelationType}
-import scala.collection.mutable
 
 /** The reference adapter's top-level operators — the materialization state
   * machines of `dbt/include/extrica/macros/materializations/` — driven
@@ -18,6 +17,7 @@ final class Materializer(spark: SparkSession, val catalog: CatalogOps) {
   def this(spark: SparkSession) = this(spark, new CatalogOps(spark))
 
   import spark.implicits._
+  import Materializer.{GraftKeyPrefix, MvSqlKey, MvActionsKey, ViewSecurityKey}
 
   // ------------------------------------------------------------------
   // hook / docs / grants / properties plumbing shared by the
@@ -53,13 +53,24 @@ final class Materializer(spark: SparkSession, val catalog: CatalogOps) {
       spark.sql(s"ALTER TABLE ${rel.render} SET TBLPROPERTIES ($kvs)")
     }
 
-  /** Read back the table properties previously set via the `properties`
-    * config (filters out Spark-internal keys). Metadata-only. */
-  def getProperties(rel: Relation): Map[String, String] =
+  /** Every TBLPROPERTIES entry, including the graft.* metadata keys the
+    * MV/view machinery persists (the reference keeps this state in
+    * `system.metadata.materialized_views`, adapters.sql:35-39; here the
+    * catalog's property store is the durable home, so a fresh
+    * SparkSession can pick up where another left off). */
+  private def rawProperties(rel: Relation): Map[String, String] =
     spark.sql(s"SHOW TBLPROPERTIES ${rel.render}").collect()
-      .map(r => r.getString(0) -> r.getString(1))
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+
+  /** Read back the table properties previously set via the `properties`
+    * config (filters out Spark-internal keys and graft metadata).
+    * Metadata-only. */
+  def getProperties(rel: Relation): Map[String, String] =
+    rawProperties(rel)
       .filterNot(_._1.startsWith("transient_lastDdlTime"))
-      .filterNot(_._1.startsWith("spark.sql.")).toMap
+      .filterNot(_._1.startsWith("spark.sql."))
+      .filterNot(_._1.startsWith("view."))
+      .filterNot(_._1.startsWith(GraftKeyPrefix))
 
   /** dbt-core `should_revoke`: a new object has nothing to revoke; a
     * fully-replaced one only does if grants copy over — and
@@ -162,7 +173,6 @@ final class Materializer(spark: SparkSession, val catalog: CatalogOps) {
           s"[graft] invalid view security '$other', falling back to definer")
         "definer"
     }
-    viewSecurity(rel.render.toLowerCase) = sec
     runHooks(config.preHooks) // adapters.sql:277
     // adapters.sql:279-282: drop a non-view object of the same name first
     if (spark.catalog.tableExists(rel.render)) {
@@ -170,24 +180,52 @@ final class Materializer(spark: SparkSession, val catalog: CatalogOps) {
       if (t.tableType != "VIEW") dropRelation(rel)
     }
     spark.sql(s"CREATE OR REPLACE VIEW ${rel.render} AS $sql")
+    // the recorded security mode lives on the view itself (the reference
+    // keeps it in engine metadata) — any session can read it back
+    setViewProperties(rel, Map(ViewSecurityKey -> sec))
     applyGrantsCfg(rel, config, revoke = true) // adapters.sql:290
     runHooks(config.postHooks) // adapters.sql:292
     persistDocs(rel, config) // view.sql:5
   }
 
-  private val viewSecurity = mutable.Map.empty[String, String]
   def securityOf(rel: Relation): Option[String] =
-    viewSecurity.get(rel.render.toLowerCase)
+    if (!spark.catalog.tableExists(rel.render)) None
+    else rawProperties(rel).get(ViewSecurityKey)
+
+  /** TBLPROPERTIES on a VIEW take the ALTER VIEW form. */
+  private def setViewProperties(rel: Relation,
+                                props: Map[String, String]): Unit =
+    if (props.nonEmpty) {
+      def esc(s: String) = s.replace("'", "''")
+      val kvs = props.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"'${esc(k)}' = '${esc(v)}'" }.mkString(", ")
+      spark.sql(s"ALTER VIEW ${rel.render} SET TBLPROPERTIES ($kvs)")
+    }
 
   // ------------------------------------------------------------------
   // materialized view (materialized_view.sql:1-35)
   // ------------------------------------------------------------------
-  // No vanilla-Spark MV → physically refreshed table + recorded defining
-  // query and properties; `refresh` re-runs the stored query (SURVEY §2.1).
+  // No vanilla-Spark MV → physically refreshed table + defining query,
+  // action log, and config persisted as graft.* TBLPROPERTIES on the
+  // table itself (the reference persists MV definitions in
+  // `system.metadata.materialized_views`, adapters.sql:35-39) — so a
+  // fresh SparkSession can refresh an MV another session created.
 
   private case class MvState(sql: String, properties: Map[String, String])
-  private val mvQueries = mutable.Map.empty[String, MvState]
-  private val mvLog = mutable.Map.empty[String, List[String]]
+
+  /** Stored MV state read back from the catalog (None when the relation
+    * does not exist or was not created by [[materializedView]]). */
+  private def mvStateOf(rel: Relation): Option[MvState] =
+    if (!spark.catalog.tableExists(rel.render)) None
+    else rawProperties(rel).get(MvSqlKey)
+      .map(sql => MvState(sql, getProperties(rel)))
+
+  /** Re-attach the MV metadata after a rebuild (the swap produces a new
+    * table whose properties start from the model config alone). */
+  private def writeMvMeta(rel: Relation, sql: String,
+                          actions: Seq[String]): Unit =
+    setProperties(rel, Map(MvSqlKey -> sql,
+      MvActionsKey -> actions.mkString(",")))
 
   /** Materialized-view state machine with configuration-change
     * detection: applying MV config changes via ALTER is unsupported
@@ -199,34 +237,40 @@ final class Materializer(spark: SparkSession, val catalog: CatalogOps) {
     * [[mvActions]] — so the distinction is observable. */
   def materializedView(rel: Relation, definingSql: String,
                        config: ModelConfig = ModelConfig.empty): Unit = {
-    val key = rel.render.toLowerCase
-    val prev = mvQueries.get(key)
-      .filter(_ => spark.catalog.tableExists(rel.render))
+    val prev = mvStateOf(rel)
     val action = prev match {
       case None => "create"
       case Some(st) if st.sql == definingSql &&
         st.properties == config.properties => "refresh"
       case _ => "full_refresh" // materialized_view.sql:24-30
     }
-    mvQueries(key) = MvState(definingSql, config.properties)
-    mvLog(key) = mvLog.getOrElse(key, Nil) :+ action
+    val actions = prev.map(_ => mvActions(rel)).getOrElse(Nil) :+ action
     table(rel, spark.sql(definingSql), config = config)
+    writeMvMeta(rel, definingSql, actions)
   }
 
-  /** `refresh materialized view` (materialized_view.sql:33-35). */
+  /** `refresh materialized view` (materialized_view.sql:33-35). Reads
+    * the stored defining query from the catalog — works from any
+    * session, not just the one that created the MV. */
   def refreshMaterializedView(rel: Relation): Unit = {
-    val st = mvQueries.getOrElse(rel.render.toLowerCase,
+    val st = mvStateOf(rel).getOrElse(
       throw new IllegalArgumentException(s"not a materialized view: ${rel.render}"))
-    table(rel, spark.sql(st.sql))
+    val actions = mvActions(rel)
+    table(rel, spark.sql(st.sql),
+      config = ModelConfig(properties = st.properties))
+    writeMvMeta(rel, st.sql, actions)
   }
 
   def materializedViewQuery(rel: Relation): Option[String] =
-    mvQueries.get(rel.render.toLowerCase).map(_.sql)
+    mvStateOf(rel).map(_.sql)
 
   /** The create/refresh/full_refresh decisions taken for an MV, oldest
-    * first — the observable trace of the config-change detection. */
+    * first — the observable trace of the config-change detection,
+    * persisted with the MV. */
   def mvActions(rel: Relation): Seq[String] =
-    mvLog.getOrElse(rel.render.toLowerCase, Nil)
+    if (!spark.catalog.tableExists(rel.render)) Nil
+    else rawProperties(rel).get(MvActionsKey)
+      .map(_.split(",").toSeq.filter(_.nonEmpty)).getOrElse(Nil)
 
   // ------------------------------------------------------------------
   // seed materialization (seeds/helpers.sql + adapters.sql:52-90)
@@ -423,4 +467,14 @@ final class Materializer(spark: SparkSession, val catalog: CatalogOps) {
   /** alter {type} x rename to y (adapters.sql:188-193). */
   def renameRelation(from: Relation, to: Relation): Unit =
     spark.sql(s"ALTER TABLE ${from.render} RENAME TO ${to.render}")
+}
+
+object Materializer {
+  /** Namespace of the metadata keys graft persists as TBLPROPERTIES —
+    * the durable replacement for the reference's
+    * `system.metadata.materialized_views` store (adapters.sql:35-39). */
+  val GraftKeyPrefix = "graft."
+  val MvSqlKey: String = GraftKeyPrefix + "mv.sql"
+  val MvActionsKey: String = GraftKeyPrefix + "mv.actions"
+  val ViewSecurityKey: String = GraftKeyPrefix + "view.security"
 }

@@ -38,6 +38,43 @@ class CodecSpec extends AnyFunSuite {
     assert(MediaCodecs.decodeWav(withChunk).contains((22050, 1, 10)))
   }
 
+  test("PNG encode/decode round-trip; stream is inflater-valid") {
+    for ((w, h) <- Seq((1, 1), (20, 10), (64, 3))) {
+      val b = MediaCodecs.encodePng(w, h)
+      assert(MediaCodecs.decodePng(b).contains((w, h)))
+      assert(b.length == 68 + h * (w + 1)) // the oracle's closed form
+    }
+    // the IDAT zlib stream must inflate to the raw scanlines — i.e. the
+    // PNG is REAL, not merely header-shaped
+    val png = MediaCodecs.encodePng(5, 4)
+    val idatLen = ((png(33) & 0xff) << 24) | ((png(34) & 0xff) << 16) |
+      ((png(35) & 0xff) << 8) | (png(36) & 0xff)
+    val idat = png.slice(41, 41 + idatLen)
+    val inf = new java.util.zip.Inflater()
+    inf.setInput(idat)
+    val raw = new Array[Byte](4 * 6 + 16)
+    val n = inf.inflate(raw)
+    assert(n == 4 * 6) // height * (width + filter byte)
+    assert(inf.finished())
+    assert(raw.take(n).forall(_ == 0))
+  }
+
+  test("JPEG geometry fixture round-trip; SOF walk skips other segments") {
+    for ((w, h) <- Seq((1, 1), (30, 14), (1920, 1080))) {
+      val b = MediaCodecs.encodeJpeg(w, h)
+      assert(b.length == 35)
+      assert(MediaCodecs.decodeJpeg(b).contains((w, h)))
+    }
+    // a COM segment inserted before SOF must be walked over
+    val base = MediaCodecs.encodeJpeg(9, 7)
+    val com = Array(0xff, 0xfe, 0x00, 0x06).map(_.toByte) ++
+      "note".getBytes
+    val withCom = base.take(2) ++ com ++ base.drop(2)
+    assert(MediaCodecs.decodeJpeg(withCom).contains((9, 7)))
+    // truncated before SOF → reject
+    assert(MediaCodecs.decodeJpeg(base.take(10)).isEmpty)
+  }
+
   test("malformed payloads are rejected, dispatch falls back to stub") {
     assert(MediaCodecs.decodeBmp("not a bmp".getBytes).isEmpty)
     assert(MediaCodecs.decodeWav("RIFFxxxxJUNK".getBytes).isEmpty)

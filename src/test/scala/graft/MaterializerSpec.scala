@@ -300,6 +300,38 @@ class MaterializerSpec extends SparkSpec {
     assert(mat.getProperties(rel).get("a").contains("2"))
   }
 
+  test("MV + view metadata survive a fresh session (adapters.sql:35-39 analogue)") {
+    import graft.mat.ModelConfig
+    val rel = Relation("mv_xsession_t")
+    mat.dropRelation(rel)
+    spark.sql("DROP TABLE IF EXISTS mv_xs_src")
+    Seq((1, 10), (2, 20)).toDF("k", "v").write.saveAsTable("mv_xs_src")
+    val sql = "SELECT k, sum(v) AS s FROM mv_xs_src GROUP BY k"
+    mat.materializedView(rel, sql,
+      ModelConfig(properties = Map("a" -> "1")))
+    mat.view(Relation("view_xs_t"), "SELECT * FROM mv_xs_src",
+      security = "invoker")
+    // a brand-new session state + Materializer sees only the catalog —
+    // the defining query, action log, config, and view security must all
+    // come back from TBLPROPERTIES, not driver memory
+    val mat2 = new graft.mat.Materializer(spark.newSession())
+    assert(mat2.materializedViewQuery(rel).contains(sql))
+    assert(mat2.mvActions(rel) == Seq("create"))
+    assert(mat2.securityOf(Relation("view_xs_t")).contains("invoker"))
+    spark.sql("INSERT INTO mv_xs_src VALUES (1, 5)")
+    mat2.refreshMaterializedView(rel)
+    assert(spark.table(rel.render).orderBy("k").collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toSeq == Seq((1, 15L), (2, 20L)))
+    // refresh preserves the stored metadata and the user properties
+    assert(mat2.materializedViewQuery(rel).contains(sql))
+    assert(mat2.getProperties(rel).get("a").contains("1"))
+    // a non-MV table refuses to refresh
+    mat.table(Relation("plain_xs_t"), Seq(Tuple1(1)).toDF("x"))
+    intercept[IllegalArgumentException] {
+      mat2.refreshMaterializedView(Relation("plain_xs_t"))
+    }
+  }
+
   test("seed typed literals: interval, varbinary, json (seeds/helpers.sql:6-24)") {
     val csv = java.nio.file.Files.createTempFile("seed_lit", ".csv")
     java.nio.file.Files.writeString(csv,
