@@ -893,6 +893,23 @@ object SparkEntry {
           TextAnalysis.qualityScore(col("text")).as("quality"))
         .orderBy(col("doc_id"))),
 
+    "ta_vocab" -> ((s, dir) =>
+      // corpus-wide token counts — the tokenizer-training input
+      TextAnalysis.vocabCounts(t(s, dir, "documents"), "text")
+        .orderBy(col("tok"))),
+
+    "ta_dupspans" -> ((s, dir) =>
+      // per-doc duplicated-span coverage (substring-dedup signal)
+      TextAnalysis.dupSpanFraction(t(s, dir, "documents"), "doc_id", "text")
+        .withColumnRenamed("doc", "doc_id")
+        .orderBy(col("doc_id"))),
+
+    "ta_filter" -> ((s, dir) =>
+      // composed C4/Gopher-style keep/drop with per-gate flags
+      TextAnalysis.filterPipeline(t(s, dir, "documents"), "doc_id", "text")
+        .withColumnRenamed("doc", "doc_id")
+        .orderBy(col("doc_id"))),
+
     // ---- deduplication ----
     "dd_exact" -> ((s, dir) => {
       val d = t(s, dir, "documents")
@@ -960,6 +977,17 @@ object SparkEntry {
         .orderBy(col("id_a"))
     }),
 
+    "dd_cosine_clusters" -> ((s, dir) => {
+      // embedding near-dup end to end: LSH-bucket candidates → exact
+      // cosine verify → per-vector keep/drop (doubled corpus: exact
+      // duplicate vectors guarantee non-singleton components)
+      val e = t(s, dir, "embeddings")
+      val u = e.select(col("vec_id"), col("embedding")).unionByName(
+        e.select((col("vec_id") + 10000).as("vec_id"), col("embedding")))
+      Dedup.cosineClusters(u, "vec_id", "embedding", threshold = 0.95)
+        .orderBy(col("doc"))
+    }),
+
     // ---- similarity search ----
     "sim_bruteforce_topk" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
@@ -983,7 +1011,9 @@ object SparkEntry {
       // here — the offline step of a real deployment — and the trained
       // matrix feeds the search and the gate (r3: the train-inline form
       // paid 3 corpus passes inside the query hot path).
-      val e = t(s, dir, "embeddings")
+      // train + search + exact gate make five passes over the corpus —
+      // materialize it once (train alone re-scans parquet per iteration)
+      val e = t(s, dir, "embeddings").localCheckpoint()
       val cent = Similarity.ivfTrain(e, "vec_id", "embedding", nlist = 32)
       Similarity.ivfRecall(e, e.filter(col("vec_id") < 5),
           "vec_id", "embedding", 10, cent, nprobe = 12)
@@ -1690,6 +1720,76 @@ object SparkEntry {
         |    / greatest(len(gs), 1), 6) AS dup_bigram_frac
         |FROM g ORDER BY doc_id""".stripMargin,
 
+    "ta_vocab" ->
+      s"""SELECT tok, count(*) AS n FROM (
+        |  SELECT unnest(${toksSql("lower(text)")}) AS tok FROM documents)
+        |GROUP BY tok ORDER BY tok""".stripMargin,
+
+    "ta_dupspans" ->
+      s"""WITH w AS (SELECT doc_id, ${toksSql("lower(text)")} AS ws FROM documents),
+        |sh AS (SELECT doc_id, $shingleSql AS shl FROM w),
+        |sx AS (SELECT DISTINCT doc_id, ${rollSql("sgl")} AS h
+        |  FROM (SELECT doc_id, unnest(shl) AS sgl FROM sh)),
+        |f AS (SELECT h, count(*) AS ndocs FROM sx GROUP BY h)
+        |SELECT doc_id, count(*) AS n_spans,
+        |  sum(CASE WHEN ndocs > 1 THEN 1 ELSE 0 END)::BIGINT AS n_dup,
+        |  round(sum(CASE WHEN ndocs > 1 THEN 1 ELSE 0 END)::DOUBLE
+        |    / greatest(count(*), 1), 6) AS dup_span_frac
+        |FROM sx JOIN f USING (h) GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
+
+    "ta_filter" ->
+      s"""WITH ls AS (SELECT doc_id, $langScoreSqls FROM documents),
+        |lm AS (SELECT doc_id, s_zh, s_ru, s_es, s_fr, s_de, s_en,
+        |  greatest(s_zh, s_ru, s_es, s_fr, s_de, s_en) AS mx FROM ls),
+        |lp AS (SELECT doc_id, CASE WHEN mx = 0 THEN 'und'
+        |  WHEN s_zh = mx THEN 'zh' WHEN s_ru = mx THEN 'ru'
+        |  WHEN s_es = mx THEN 'es' WHEN s_fr = mx THEN 'fr'
+        |  WHEN s_de = mx THEN 'de' WHEN s_en = mx THEN 'en'
+        |  ELSE 'und' END AS lang FROM lm),
+        |qb AS (SELECT doc_id,
+        |  len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS n_punct,
+        |  len(regexp_extract_all(lower(text),
+        |    '\\b(?:the|and|of|to|in|is|a|that|it|for|on|with|as|at|by|an|be|this|from|or)\\b')) AS n_stop,
+        |  length(text) AS n_chars,
+        |  len(${toksSql("text")}) AS n_tok
+        |FROM documents),
+        |qr AS (SELECT doc_id,
+        |  round(n_punct::DOUBLE / greatest(n_chars, 1), 6) AS punct_ratio,
+        |  round(n_stop::DOUBLE / greatest(n_tok, 1), 6) AS stopword_ratio,
+        |  n_chars FROM qb),
+        |qq AS (SELECT doc_id,
+        |  round(0.4 * least(n_chars::DOUBLE / 200.0, 1.0)
+        |      + 0.3 * least(stopword_ratio / 0.4, 1.0)
+        |      + 0.3 * (1.0 - least(punct_ratio / 0.25, 1.0)), 6) AS quality
+        |FROM qr),
+        |rw AS (SELECT doc_id, ${toksSql("lower(text)")} AS ws FROM documents),
+        |rg AS (SELECT doc_id, ws, CASE WHEN len(ws) >= 2
+        |  THEN list_transform(range(len(ws)-1), i -> ws[i+1]||' '||ws[i+2])
+        |  ELSE [array_to_string(ws, ' ')] END AS gs FROM rw),
+        |rr AS (SELECT doc_id,
+        |  round((len(ws) - len(list_distinct(ws)))::DOUBLE
+        |    / greatest(len(ws), 1), 6) AS dup_word_frac,
+        |  round((len(gs) - len(list_distinct(gs)))::DOUBLE
+        |    / greatest(len(gs), 1), 6) AS dup_bigram_frac
+        |FROM rg),
+        |tk AS (SELECT doc_id,
+        |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))::BIGINT AS n_tokens
+        |FROM documents)
+        |SELECT d.doc_id, lp.lang, qq.quality, tk.n_tokens,
+        |  rr.dup_word_frac, rr.dup_bigram_frac,
+        |  (lp.lang = 'en') AS lang_ok,
+        |  (qq.quality >= 0.5) AS quality_ok,
+        |  (rr.dup_word_frac <= 0.3 AND rr.dup_bigram_frac <= 0.2) AS repetition_ok,
+        |  (tk.n_tokens >= 10 AND tk.n_tokens <= 100000) AS length_ok,
+        |  ((lp.lang = 'en') AND (qq.quality >= 0.5)
+        |    AND (rr.dup_word_frac <= 0.3 AND rr.dup_bigram_frac <= 0.2)
+        |    AND (tk.n_tokens >= 10 AND tk.n_tokens <= 100000)) AS keep
+        |FROM documents d
+        |JOIN lp USING (doc_id) JOIN qq USING (doc_id)
+        |JOIN rr USING (doc_id) JOIN tk USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
     "ta_split" ->
       s"""WITH h AS (SELECT doc_id,
         |  ${rollSql("'split:' || CAST(doc_id AS VARCHAR)")} % 100 AS b
@@ -1844,6 +1944,24 @@ object SparkEntry {
         |FROM pairs p JOIN embeddings ea ON ea.vec_id = p.id_a
         |JOIN embeddings eb ON eb.vec_id = p.id_b
         |ORDER BY id_a""".stripMargin,
+
+    // LSH-bucket blocking (the 16 shared hyperplanes), exact cosine
+    // verify, then connected components via the recursive-CTE walk —
+    // the same fixpoint the Spark label-propagation loop converges to
+    "dd_cosine_clusters" ->
+      s"""WITH RECURSIVE u AS (SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL SELECT vec_id + 10000, embedding FROM embeddings),
+        |c AS (SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket FROM u),
+        |e0 AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM c a JOIN c b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        |  WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.95),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM e0
+        |  UNION SELECT id_b, id_a FROM e0),
+        |walk AS (SELECT vec_id AS doc, vec_id AS anc FROM u
+        |  UNION
+        |  SELECT e.dst, w.anc FROM walk w JOIN edges e ON e.src = w.doc)
+        |SELECT doc, min(anc) AS rep, (doc = min(anc)) AS keep
+        |FROM walk GROUP BY doc ORDER BY doc""".stripMargin,
 
     "sim_bruteforce_topk" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),

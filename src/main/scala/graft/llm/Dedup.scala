@@ -387,55 +387,83 @@ object Dedup {
 
   /** Connected-component collapse shared by the dedup families: every
     * document gets the MIN doc id of its component in `pairsDf`
-    * (columns id_a/id_b) as `rep`, plus `keep = (doc = rep)`. */
+    * (columns id_a/id_b) as `rep`, plus `keep = (doc = rep)`.
+    *
+    * Numeric ids run the propagation directly in id space. Non-numeric
+    * ids (string doc ids, URLs, UUIDs — the 100 TB norm) are xxhash64'd
+    * into a 64-bit working space for the loop (collision odds ~n²/2⁶⁴,
+    * the standard blocking trade) and the representative is recovered as
+    * the MIN ORIGINAL id per component — lexicographic for strings —
+    * with one linear groupBy+join, so the output is always in the
+    * caller's own id type. (r3 ADVICE: the old unconditional long cast
+    * turned string edges into NULLs and silently kept everything.) */
   private[llm] def collapseComponents(df: DataFrame, id: String,
                                       pairsDf: DataFrame, maxIter: Int,
                                       driverEdgeLimit: Long): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
     val idType = df.schema(id).dataType
-    // a non-numeric id would cast to NULL below, every edge would vanish,
-    // and the result would silently report keep=true for all documents —
-    // fail loudly instead (hash string ids to long upstream if needed)
-    require(idType.isInstanceOf[NumericType],
-      s"collapseComponents needs a numeric id column; '$id' is $idType " +
-        "(hash non-numeric ids to long before collapsing)")
-    // evaluate the expensive pairs plan ONCE, then work off the
-    // checkpointed edge list (its count is free afterwards)
-    val pairs = pairsDf
-      .select(col("id_a").cast(LongType), col("id_b").cast(LongType))
-      .localCheckpoint()
-    val labels: DataFrame =
-      if (pairs.count() <= driverEdgeLimit) {
-        // the edge list is ~|near-dup docs| — tiny relative to corpus —
-        // so union-find on the driver beats dozens of distributed jobs.
-        // This is model-sized state (like k-means centroids), not data;
-        // the distributed loop below takes over past the threshold.
-        val parent = scala.collection.mutable.Map.empty[Long, Long]
-        def find(x: Long): Long = {
-          var r = x
-          while (parent.getOrElse(r, r) != r) r = parent(r)
-          var c = x
-          while (parent.getOrElse(c, c) != c) {
-            val n = parent(c); parent(c) = r; c = n
-          }
-          r
+    val allDocs = df.select(col(id).as("doc")).distinct()
+    if (idType.isInstanceOf[NumericType]) {
+      // evaluate the expensive pairs plan ONCE, then work off the
+      // checkpointed edge list (its count is free afterwards)
+      val pairs = pairsDf
+        .select(col("id_a").cast(LongType), col("id_b").cast(LongType))
+        .localCheckpoint()
+      val labels = componentLabels(pairs, maxIter, driverEdgeLimit)
+      allDocs
+        .join(labels.select(col("doc").cast(idType).as("doc"),
+          col("label").cast(idType).as("label")), Seq("doc"), "left_outer")
+        .select(col("doc"), coalesce(col("label"), col("doc")).as("rep"))
+        .withColumn("keep", col("doc") === col("rep"))
+    } else {
+      val rawPairs = pairsDf.select(col("id_a"), col("id_b"))
+        .localCheckpoint()
+      val mapping = rawPairs.select(col("id_a").as("orig"))
+        .unionByName(rawPairs.select(col("id_b").as("orig")))
+        .distinct()
+        .select(col("orig"), xxhash64(col("orig")).as("doc"))
+      val hashed = rawPairs.select(xxhash64(col("id_a")).as("id_a"),
+        xxhash64(col("id_b")).as("id_b")).localCheckpoint()
+      val labels = componentLabels(hashed, maxIter, driverEdgeLimit)
+      val byDoc = labels.join(mapping, Seq("doc"))
+      val reps = byDoc.groupBy("label").agg(min(col("orig")).as("rep"))
+      val docRep = byDoc.join(reps, Seq("label"))
+        .select(col("orig").as("doc"), col("rep"))
+      allDocs
+        .join(docRep, Seq("doc"), "left_outer")
+        .select(col("doc"), coalesce(col("rep"), col("doc")).as("rep"))
+        .withColumn("keep", col("doc") === col("rep"))
+    }
+  }
+
+  /** Component labels (doc → min-long label) for a MATERIALIZED LongType
+    * edge list: union-find on the driver while the edge list is
+    * model-sized (it is ~|near-dup docs|, tiny relative to corpus), the
+    * distributed pointer-jumping loop above the threshold. */
+  private def componentLabels(pairs: DataFrame, maxIter: Int,
+                              driverEdgeLimit: Long): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    if (pairs.count() <= driverEdgeLimit) {
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) {
+          val n = parent(c); parent(c) = r; c = n
         }
-        val es = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
-        es.foreach { case (a, b) =>
-          val (ra, rb) = (find(a), find(b))
-          // larger root attaches under smaller → root = component min
-          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
-        }
-        es.iterator.flatMap { case (a, b) => Iterator(a, b) }
-          .toSet.toSeq.map((d: Long) => (d, find(d)))
-          .toDF("doc", "label")
-      } else distributedComponents(pairs, maxIter)
-    df.select(col(id).as("doc")).distinct()
-      .join(labels.select(col("doc").cast(idType).as("doc"),
-        col("label").cast(idType).as("label")), Seq("doc"), "left_outer")
-      .select(col("doc"), coalesce(col("label"), col("doc")).as("rep"))
-      .withColumn("keep", col("doc") === col("rep"))
+        r
+      }
+      val es = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
+      es.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        // larger root attaches under smaller → root = component min
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      es.iterator.flatMap { case (a, b) => Iterator(a, b) }
+        .toSet.toSeq.map((d: Long) => (d, find(d)))
+        .toDF("doc", "label")
+    } else distributedComponents(pairs, maxIter)
   }
 
   /** Distributed connected components: hash-min label propagation WITH
@@ -533,4 +561,35 @@ object Dedup {
       .select(col("id_a"), col("id_b"), cosine(col("va"), col("vb")).as("cos"))
       .filter(col("cos") >= threshold)
   }
+
+  /** Candidate near-dup pairs by sign-LSH blocking: vectors sharing the
+    * full 16-bit hyperplane bucket ([[Similarity.bucketCode]]). An
+    * equi-join on the bucket code — the shuffle is on 65,536 bucket
+    * values, never all-pairs. Same-bucket-only blocking is the standard
+    * recall trade (a near-dup pair straddling a hyperplane is missed;
+    * exact duplicates always share every sign bit). */
+  def cosineCandidates(emb: DataFrame, id: String, vec: String,
+                       planes: Int = Similarity.Planes,
+                       dim: Int = Similarity.Dim): DataFrame = {
+    val coded = emb.select(col(id).as("doc"),
+      Similarity.bucketCode(col(vec), planes, dim).as("bucket"))
+    coded.alias("a").join(coded.alias("b"),
+        col("a.bucket") === col("b.bucket") && col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("id_a"), col("b.doc").as("id_b"))
+  }
+
+  /** Embedding near-dup collapse, end to end: LSH-bucket candidates →
+    * exact cosine verify at `threshold` → connected-component collapse
+    * to a per-vector keep/drop — the corpus-linear product shape
+    * ([[simhashClusters]]' embedding twin). */
+  def cosineClusters(emb: DataFrame, id: String, vec: String,
+                     threshold: Double,
+                     planes: Int = Similarity.Planes,
+                     dim: Int = Similarity.Dim,
+                     maxIter: Int = 20,
+                     driverEdgeLimit: Long = 1000000L): DataFrame =
+    collapseComponents(emb, id,
+      cosineOnPairs(emb, cosineCandidates(emb, id, vec, planes, dim),
+        id, vec, threshold).select(col("id_a"), col("id_b")),
+      maxIter, driverEdgeLimit)
 }

@@ -148,6 +148,78 @@ object TextAnalysis {
   }
 
   // -------------------------------------------------------------------
+  // corpus-level hygiene: vocabulary, duplicated spans, composed filters
+  // -------------------------------------------------------------------
+
+  /** Corpus-wide vocabulary counts over lowercased whitespace tokens —
+    * the input every tokenizer-training run starts from. One explode +
+    * one hash-partitioned groupBy with map-side partial counts; the
+    * shuffle carries one (token, count) row per distinct token per
+    * partition. Linear at any corpus size. */
+  def vocabCounts(df: org.apache.spark.sql.DataFrame,
+                  text: String): org.apache.spark.sql.DataFrame =
+    df.select(explode(tokens(lower(col(text)))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("n"))
+
+  /** Duplicate-span coverage: the fraction of a document's DISTINCT word
+    * n-gram shingles that also occur in at least one OTHER document —
+    * the per-document signal substring-level dedup (Lee et al.,
+    * "Deduplicating Training Data Makes Language Models Better") acts
+    * on. High coverage marks documents assembled from corpus-common
+    * spans even when no single whole-document near-dup exists.
+    *
+    * Shingles are 64-bit rolling hashes (shuffle carries longs); the
+    * document-frequency aggregate and the join back are both linear in
+    * distinct (doc, shingle) volume. */
+  def dupSpanFraction(df: org.apache.spark.sql.DataFrame, id: String,
+                      text: String, n: Int = 3)
+      : org.apache.spark.sql.DataFrame = {
+    val sh = Dedup.shingleRows(df, id, text, n)
+      .select(col("doc"), tokenHash(col("sh")).as("h"))
+      .distinct()
+    val freq = sh.groupBy("h").agg(count(lit(1)).as("ndocs"))
+    sh.join(freq, Seq("h"))
+      .groupBy("doc")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("ndocs") > 1, 1L).otherwise(0L)).as("n_dup"))
+      .select(col("doc"), col("n_spans"), col("n_dup"),
+        round(col("n_dup").cast(DoubleType) /
+          greatest(col("n_spans"), lit(1L)), 6).as("dup_span_frac"))
+  }
+
+  /** The composed C4/Gopher-style keep/drop decision: language allowlist,
+    * quality floor, repetition caps, token-count bounds — one row per
+    * document with per-gate flags (so a pipeline can report WHY a
+    * document dropped) and the conjunction as `keep`. The per-row gates
+    * are map-only; [[repetition]] contributes the only shuffles (two, on
+    * the doc key). */
+  def filterPipeline(df: org.apache.spark.sql.DataFrame, id: String,
+                     text: String,
+                     minQuality: Double = 0.5,
+                     maxDupWord: Double = 0.3,
+                     maxDupBigram: Double = 0.2,
+                     minTokens: Long = 10L,
+                     maxTokens: Long = 100000L,
+                     langs: Seq[String] = Seq("en"))
+      : org.apache.spark.sql.DataFrame = {
+    val base = df.select(col(id).as("doc"),
+      langId(col(text)).as("lang"),
+      qualityScore(col(text)).as("quality"),
+      tokenCountBpe(col(text)).cast(LongType).as("n_tokens"))
+    base.join(repetition(df, id, text), Seq("doc"))
+      .withColumn("lang_ok", col("lang").isInCollection(langs))
+      .withColumn("quality_ok", col("quality") >= minQuality)
+      .withColumn("repetition_ok",
+        col("dup_word_frac") <= maxDupWord &&
+          col("dup_bigram_frac") <= maxDupBigram)
+      .withColumn("length_ok",
+        col("n_tokens") >= minTokens && col("n_tokens") <= maxTokens)
+      .withColumn("keep",
+        col("lang_ok") && col("quality_ok") &&
+          col("repetition_ok") && col("length_ok"))
+  }
+
+  // -------------------------------------------------------------------
   // dataset assembly: splits, PII redaction, context packing
   // -------------------------------------------------------------------
 

@@ -117,6 +117,65 @@ class LlmSpec extends SparkSpec {
     assert(cl.exceptAll(clDist).count() == 0)
   }
 
+  test("cluster collapse supports string ids (hashed CC, min-original rep)") {
+    val small = docs.limit(40)
+    val u = small.select($"doc_id", $"text").unionByName(
+      small.select(($"doc_id" + 10000).as("doc_id"), $"text"))
+    // zero-padded string ids preserve the numeric order, so the expected
+    // reps are exactly the numeric result's reps reformatted
+    def fmt(c: org.apache.spark.sql.Column) =
+      concat(lit("doc-"), lpad(c.cast("string"), 6, "0"))
+    val su = u.select(fmt($"doc_id").as("doc_id"), $"text")
+    val got = Dedup.simhashClusters(su, "doc_id", "text")
+      .select($"doc", $"rep", $"keep")
+    val expected = Dedup.simhashClusters(u, "doc_id", "text")
+      .select(fmt($"doc").as("doc"), fmt($"rep").as("rep"), $"keep")
+    assert(got.exceptAll(expected).count() == 0)
+    assert(expected.exceptAll(got).count() == 0)
+  }
+
+  test("cosine clusters: duplicate vectors collapse, keep iff rep") {
+    val u = emb.select($"vec_id", $"embedding").unionByName(
+      emb.select(($"vec_id" + 10000).as("vec_id"), $"embedding"))
+    val cl = Dedup.cosineClusters(u, "vec_id", "embedding", 0.95).cache()
+    assert(cl.count() == u.count())
+    val reps = cl.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every duplicate pair (v, v+10000) shares a component (same bucket,
+    // cosine exactly 1), and reps never exceed their doc
+    reps.keys.filter(_ < 10000).foreach { v =>
+      assert(reps(v + 10000) == reps(v))
+      assert(reps(v) <= v)
+    }
+    assert(cl.filter($"keep" =!= ($"doc" === $"rep")).count() == 0)
+    // at least half the corpus drops (every original's twin is a dup)
+    assert(cl.filter(!$"keep").count() >= emb.count())
+  }
+
+  test("dupSpanFraction: shared spans counted, unique docs score 0") {
+    val d = Seq(
+      (0L, "alpha beta gamma delta epsilon"),
+      (1L, "alpha beta gamma zeta eta"), // shares shingle "alpha beta gamma"
+      (2L, "totally unrelated words here now"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.dupSpanFraction(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out(0L)._1 == 3 && out(0L)._2 == 1) // 3 shingles, 1 shared
+    assert(out(1L)._2 == 1)
+    assert(out(2L) == ((3L, 0L, 0.0)))
+  }
+
+  test("filterPipeline: gate flags compose into keep") {
+    val out = TextAnalysis.filterPipeline(docs.limit(50), "doc_id", "text")
+      .cache()
+    assert(out.count() == 50)
+    assert(out.filter($"keep" =!= ($"lang_ok" && $"quality_ok" &&
+      $"repetition_ok" && $"length_ok")).count() == 0)
+    // the synthetic corpus is English word salad: language and length
+    // gates pass universally; repetition catches the salty duplicates
+    assert(out.filter($"length_ok").count() == 50)
+  }
+
   test("IVF top-k: scores agree with exact cosine, self excluded") {
     val q = emb.filter($"vec_id" < 3)
     val ivf = Similarity.ivfTopK(emb, q, "vec_id", "embedding", 5).cache()
