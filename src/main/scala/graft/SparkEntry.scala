@@ -327,6 +327,20 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    "op_asof_tolerance" -> ((s, dir) => {
+      // bounded lookback (pandas merge_asof tolerance / kdb wj): a
+      // carried match older than 30 minutes expires to NULL
+      val ev = t(s, dir, "events")
+      val left = ev.filter(pmod(col("event_id"), lit(2)) === 1)
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val right = ev.filter(pmod(col("event_id"), lit(2)) === 0)
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(dec(col("value"))).cast(DoubleType).as("rv"))
+      graft.operators.AsOfJoin.asOf(left, right, "user_id", "ts",
+          Seq("rv"), tolerance = Some(expr("INTERVAL 30 MINUTES")))
+        .orderBy(col("event_id"))
+    }),
+
     "q11_approx_distinct" -> ((s, dir) => {
       // approx_count_distinct (HLL++): the 100 TB cardinality tool — one
       // pass, fixed-size sketch state, no exact-distinct shuffle.
@@ -910,6 +924,21 @@ object SparkEntry {
         .withColumnRenamed("doc", "doc_id")
         .orderBy(col("doc_id"))),
 
+    "ta_sample" -> ((s, dir) =>
+      // deterministic per-language sampling rates (data mixing)
+      TextAnalysis.stratifiedSample(t(s, dir, "documents"), "doc_id",
+          "lang", Map("en" -> 0.5, "zh" -> 0.25, "es" -> 0.1),
+          defaultRate = 0.05)
+        .orderBy(col("doc"))),
+
+    "ta_select" -> ((s, dir) =>
+      // greedy quality-ranked selection under a global token budget,
+      // computed via the histogram two-phase (never a global
+      // single-partition window)
+      TextAnalysis.budgetSelect(t(s, dir, "documents"), "doc_id",
+          "text", budgetTokens = 8000L)
+        .orderBy(col("doc"))),
+
     // ---- deduplication ----
     "dd_exact" -> ((s, dir) => {
       val d = t(s, dir, "documents")
@@ -1354,6 +1383,18 @@ object SparkEntry {
         |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND r.ts <= l.ts
         |ORDER BY event_id""".stripMargin,
 
+    // ASOF finds the latest at-or-before row; the tolerance mask then
+    // expires it — the identical two-step the Spark operator runs
+    "op_asof_tolerance" ->
+      """WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_id % 2 = 1),
+        |r AS (SELECT user_id, ts,
+        |        CAST(max(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS rv
+        |      FROM events WHERE event_id % 2 = 0 GROUP BY user_id, ts)
+        |SELECT l.event_id, l.user_id, l.ts,
+        |  CASE WHEN r.ts >= l.ts - INTERVAL 30 MINUTE THEN r.rv END AS r_rv
+        |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND r.ts <= l.ts
+        |ORDER BY event_id""".stripMargin,
+
     "inc_append" ->
       s"""$incFixtureSql
         |SELECT * FROM target UNION ALL SELECT * FROM staged
@@ -1789,6 +1830,43 @@ object SparkEntry {
         |JOIN lp USING (doc_id) JOIN qq USING (doc_id)
         |JOIN rr USING (doc_id) JOIN tk USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+
+    "ta_sample" ->
+      s"""SELECT doc_id AS doc, lang AS stratum,
+        |  (${rollSql("'sample:' || CAST(doc_id AS VARCHAR)")} % 10000) <
+        |  (CASE lang WHEN 'en' THEN 5000 WHEN 'zh' THEN 2500
+        |    WHEN 'es' THEN 1000 ELSE 500 END) AS keep
+        |FROM documents ORDER BY doc""".stripMargin,
+
+    // the oracle runs the naive global quality-ordered running sum; the
+    // Spark side must reach the identical prefix via its histogram
+    // two-phase
+    "ta_select" ->
+      s"""WITH qb AS (SELECT doc_id,
+        |  len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS n_punct,
+        |  len(regexp_extract_all(lower(text),
+        |    '\\b(?:the|and|of|to|in|is|a|that|it|for|on|with|as|at|by|an|be|this|from|or)\\b')) AS n_stop,
+        |  length(text) AS n_chars,
+        |  len(${toksSql("text")}) AS n_tok
+        |FROM documents),
+        |qr AS (SELECT doc_id,
+        |  round(n_punct::DOUBLE / greatest(n_chars, 1), 6) AS punct_ratio,
+        |  round(n_stop::DOUBLE / greatest(n_tok, 1), 6) AS stopword_ratio,
+        |  n_chars FROM qb),
+        |qq AS (SELECT doc_id,
+        |  round(0.4 * least(n_chars::DOUBLE / 200.0, 1.0)
+        |      + 0.3 * least(stopword_ratio / 0.4, 1.0)
+        |      + 0.3 * (1.0 - least(punct_ratio / 0.25, 1.0)), 6) AS quality
+        |FROM qr),
+        |tk AS (SELECT doc_id,
+        |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))::BIGINT AS n_tokens
+        |FROM documents),
+        |c AS (SELECT qq.doc_id, qq.quality, tk.n_tokens,
+        |  (sum(tk.n_tokens) OVER (ORDER BY qq.quality DESC, qq.doc_id
+        |    ROWS UNBOUNDED PRECEDING))::BIGINT AS cum
+        |FROM qq JOIN tk USING (doc_id))
+        |SELECT doc_id AS doc, quality, n_tokens, (cum <= 8000) AS selected
+        |FROM c ORDER BY doc""".stripMargin,
 
     "ta_split" ->
       s"""WITH h AS (SELECT doc_id,

@@ -237,6 +237,76 @@ object TextAnalysis {
       .otherwise(lit("test"))
   }
 
+  /** Deterministic stratified sampling: a row keeps iff its salted id
+    * hash falls under its stratum's rate (in basis points of 10,000 —
+    * exact integer thresholds, no float compare). The data-mixing
+    * primitive: up-/down-weight languages or sources reproducibly,
+    * independent of partitioning and immune to the content edits that
+    * move rows under Bernoulli `sample()`. Map-only; emits the keep
+    * flag so the decision is auditable. */
+  def stratifiedSample(df: org.apache.spark.sql.DataFrame, id: String,
+                       stratum: String, rates: Map[String, Double],
+                       defaultRate: Double = 0.0)
+      : org.apache.spark.sql.DataFrame = {
+    val h = pmod(graft.functions.RollingHash(
+      concat(lit("sample:"), col(id).cast(StringType))), lit(10000))
+    val bps = rates.toSeq.sortBy(_._1).foldLeft(
+        lit(math.round(defaultRate * 10000).toInt)) {
+      case (acc, (k, v)) =>
+        when(col(stratum) === k, lit(math.round(v * 10000).toInt))
+          .otherwise(acc)
+    }
+    df.select(col(id).as("doc"), col(stratum).as("stratum"),
+      (h < bps).as("keep"))
+  }
+
+  /** Greedy token-budget selection: the highest-quality documents whose
+    * cumulative token count fits `budgetTokens` (order: quality desc,
+    * id asc — the deterministic data-mixing prefix rule). Equivalent to
+    * a global quality-ordered running sum, computed WITHOUT a global
+    * single-partition window: a 1,001-bucket quality histogram (one
+    * aggregate; model-sized driver state, like k-means centroids) finds
+    * the crossing bucket; buckets above it select wholesale, and only
+    * the crossing bucket's residents run a windowed cumsum against the
+    * leftover budget. Identical output to the naive global window at
+    * any scale. */
+  def budgetSelect(df: org.apache.spark.sql.DataFrame, id: String,
+                   text: String, budgetTokens: Long)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = df.select(col(id).as("doc"),
+      qualityScore(col(text)).as("quality"),
+      tokenCountBpe(col(text)).cast(LongType).as("n_tokens"))
+      .withColumn("qb", floor(col("quality") * 1000).cast(IntegerType))
+    val hist = scored.groupBy("qb").agg(sum("n_tokens").as("toks"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(-_._1)
+    var acc = 0L
+    var cut = Int.MinValue
+    var remaining = 0L
+    val it = hist.iterator
+    var crossed = false
+    while (it.hasNext && !crossed) {
+      val (qb, toks) = it.next()
+      if (acc + toks <= budgetTokens) acc += toks
+      else { cut = qb; remaining = budgetTokens - acc; crossed = true }
+    }
+    val out =
+      if (!crossed)
+        scored.withColumn("selected", lit(true))
+      else {
+        val w = Window.orderBy(col("quality").desc, col("doc"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val residual = scored.filter(col("qb") === cut)
+          .withColumn("cum", sum(col("n_tokens")).over(w))
+          .withColumn("selected", col("cum") <= remaining)
+          .drop("cum")
+        scored.filter(col("qb") =!= cut)
+          .withColumn("selected", col("qb") > cut)
+          .unionByName(residual)
+      }
+    out.select(col("doc"), col("quality"), col("n_tokens"), col("selected"))
+  }
+
   /** PII patterns — email addresses and phone-like digit runs. Both are
     * RE2-safe (no backtracking constructs), so the DuckDB oracle runs
     * the identical pattern. */

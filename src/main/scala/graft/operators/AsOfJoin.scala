@@ -24,12 +24,23 @@ import org.apache.spark.sql.functions._
   */
 object AsOfJoin {
 
+  /** `tolerance`: maximum lookback — a carried right row older than
+    * `leftTs - tolerance` does NOT match (pandas `merge_asof(tolerance=)`
+    * / kdb `wj` window semantics). Any expression subtractable from the
+    * ts column: an `expr("INTERVAL 1 HOUR")` for timestamps, a plain
+    * number for numeric ts. Evaluated inside the same single window
+    * pass — no extra shuffle: the carried struct keeps the right row's
+    * own timestamp, and the last-at-or-before row either satisfies the
+    * window or nothing earlier can. */
   def asOf(left: DataFrame, right: DataFrame, key: String, ts: String,
-           rightValueCols: Seq[String]): DataFrame = {
+           rightValueCols: Seq[String],
+           tolerance: Option[Column] = None): DataFrame = {
     require(rightValueCols.nonEmpty, "as-of join needs right value columns")
     val leftCols = left.columns.toIndexedSeq
     val rvType = org.apache.spark.sql.types.StructType(
-      rightValueCols.map(c => right.schema(c)))
+      org.apache.spark.sql.types.StructField("__rts",
+        right.schema(ts).dataType) +:
+        rightValueCols.map(c => right.schema(c)))
 
     // a right row with a NULL key or NULL timestamp can never be an ASOF
     // match, but if it entered the union it would sort nulls-first inside
@@ -42,7 +53,8 @@ object AsOfJoin {
       (leftCols.map { c =>
         if (c == key || c == ts) col(c)
         else lit(null).cast(left.schema(c).dataType).as(c)
-      } :+ struct(rightValueCols.map(col): _*).cast(rvType).as("__rv")
+      } :+ struct(col(ts).as("__rts") +: rightValueCols.map(col): _*)
+        .cast(rvType).as("__rv")
         :+ lit(0).as("__side")): _*)
     val lUnion = left.select(
       (leftCols.map(col) :+ lit(null).cast(rvType).as("__rv")
@@ -56,12 +68,21 @@ object AsOfJoin {
     // would otherwise group null keys together and carry right-side
     // values onto null-key left rows, where SQL join semantics say no
     // match) — mask the carried payload for those rows
+    // tolerance: the carried row is the LATEST right row at-or-before
+    // this ts; if even it falls outside the lookback window, no earlier
+    // row can be inside it → correctly null
+    val carriedOk = tolerance match {
+      case Some(tol) =>
+        col("__carried").isNotNull &&
+          col("__carried").getField("__rts") >= col(ts) - tol
+      case None => lit(true)
+    }
     lUnion.unionByName(rUnion)
       .withColumn("__carried",
         when(col(key).isNotNull && col(ts).isNotNull,
           last(col("__rv"), ignoreNulls = true).over(w)))
       .filter(col("__side") === 1)
       .select((leftCols.map(col) ++ rightValueCols.map(c =>
-        col("__carried").getField(c).as(s"r_$c"))): _*)
+        when(carriedOk, col("__carried").getField(c)).as(s"r_$c"))): _*)
   }
 }

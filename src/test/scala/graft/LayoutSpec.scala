@@ -97,6 +97,26 @@ class LayoutSpec extends SparkSpec {
       Seq((1L, Some(1.0)), (2L, Some(2.0)), (3L, None), (4L, None)))
   }
 
+  test("as-of join tolerance bounds the lookback window") {
+    val left = Seq((1L, "u", "2024-01-01 10:00:00"),
+        (2L, "u", "2024-01-01 09:40:00"),
+        (3L, "u", "2024-01-01 12:00:00"))
+      .toDF("event_id", "user_id", "ts")
+      .withColumn("ts", $"ts".cast("timestamp"))
+    val right = Seq(("u", "2024-01-01 09:30:00", 1.0))
+      .toDF("user_id", "ts", "rv")
+      .withColumn("ts", $"ts".cast("timestamp"))
+    val out = graft.operators.AsOfJoin
+      .asOf(left, right, "user_id", "ts", Seq("rv"),
+        tolerance = Some(expr("INTERVAL 30 MINUTES")))
+      .orderBy("event_id").collect()
+    // 10:00 matches (30 min back exactly), 09:40 matches (10 min),
+    // 12:00 expires (2.5 h back)
+    assert(out.map(r => (r.getLong(0),
+      if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toSeq ==
+      Seq((1L, Some(1.0)), (2L, Some(1.0)), (3L, None)))
+  }
+
   test("as-of join: NULL keys and NULL timestamps never match") {
     val left = Seq((1L, Some("u"), Some("2024-01-01 10:00:00")),
         (2L, None, Some("2024-01-01 10:00:00")), // null key

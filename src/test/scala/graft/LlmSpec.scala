@@ -176,6 +176,41 @@ class LlmSpec extends SparkSpec {
     assert(out.filter($"length_ok").count() == 50)
   }
 
+  test("stratifiedSample: deterministic, rates roughly honored") {
+    val out = TextAnalysis.stratifiedSample(docs, "doc_id", "lang",
+      Map("en" -> 0.5, "zh" -> 0.25), defaultRate = 0.0).cache()
+    assert(out.count() == docs.count())
+    // repeated runs agree row for row
+    val again = TextAnalysis.stratifiedSample(docs, "doc_id", "lang",
+      Map("en" -> 0.5, "zh" -> 0.25), defaultRate = 0.0)
+    assert(out.exceptAll(again).count() == 0)
+    // zero-rate strata drop everything; sampled strata keep a real share
+    assert(out.filter($"stratum" === "es" && $"keep").count() == 0)
+    val en = out.filter($"stratum" === "en")
+    val rate = en.filter($"keep").count().toDouble / en.count()
+    assert(rate > 0.3 && rate < 0.7, s"en keep rate $rate far from 0.5")
+  }
+
+  test("budgetSelect matches the naive global-window greedy prefix") {
+    import org.apache.spark.sql.expressions.Window
+    val budget = 2000L
+    val got = TextAnalysis.budgetSelect(docs.limit(100), "doc_id", "text",
+      budget)
+    val scored = docs.limit(100).select($"doc_id".as("doc"),
+      TextAnalysis.qualityScore($"text").as("quality"),
+      TextAnalysis.tokenCountBpe($"text").cast("long").as("n_tokens"))
+    val w = Window.orderBy($"quality".desc, $"doc")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val naive = scored.withColumn("cum", sum($"n_tokens").over(w))
+      .select($"doc", $"quality", $"n_tokens",
+        ($"cum" <= budget).as("selected"))
+    assert(got.exceptAll(naive).count() == 0)
+    assert(naive.exceptAll(got).count() == 0)
+    // the budget is actually binding at this size
+    assert(got.filter($"selected").count() > 0)
+    assert(got.filter(!$"selected").count() > 0)
+  }
+
   test("IVF top-k: scores agree with exact cosine, self excluded") {
     val q = emb.filter($"vec_id" < 3)
     val ivf = Similarity.ivfTopK(emb, q, "vec_id", "embedding", 5).cache()
