@@ -274,10 +274,15 @@ object TextAnalysis {
                    text: String, budgetTokens: Long)
       : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // the regex-heavy scoring projection is referenced three times
+    // (histogram + both selection branches) — materialize the narrow
+    // (doc, quality, n_tokens, qb) form once; blocks are released by the
+    // ContextCleaner when the result is dropped
     val scored = df.select(col(id).as("doc"),
       qualityScore(col(text)).as("quality"),
       tokenCountBpe(col(text)).cast(LongType).as("n_tokens"))
       .withColumn("qb", floor(col("quality") * 1000).cast(IntegerType))
+      .localCheckpoint()
     val hist = scored.groupBy("qb").agg(sum("n_tokens").as("toks"))
       .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(-_._1)
     var acc = 0L
