@@ -1057,10 +1057,10 @@ object SparkEntry {
         .orderBy(col("media_id"))),
 
     "mm_decode_real" -> ((s, dir) =>
-      // REAL byte-level decode: image rows carry an actual BMP, PNG, or
-      // JPEG, audio rows an actual WAV (MediaCodecs encode/parse);
-      // geometry derives from the id so the oracle recomputes it
-      // arithmetically.
+      // REAL byte-level decode: image rows carry an actual BMP, PNG,
+      // JPEG, or GIF, audio rows a WAV or MP3 frame sequence, video
+      // rows an MP4 box tree (MediaCodecs encode/parse); geometry
+      // derives from the id so the oracle recomputes it arithmetically.
       // checksum is projected away — it is a function of raw bytes the
       // SQL oracle cannot reconstruct; CodecSpec pins it instead.
       Multimodal.decodeFeatures(
@@ -2091,13 +2091,16 @@ object SparkEntry {
     // header + 4-byte-padded 24bpp rows; WAV = 44-byte header + 16-bit
     // samples × channels; PNG = 68 + h·(w+1) (signature + IHDR/IEND +
     // one stored-block zlib IDAT of (filter byte + row) scanlines);
-    // JPEG = constant 35-byte SOI/APP0/SOF0/EOI marker fixture
+    // JPEG = constant 35-byte SOI/APP0/SOF0/EOI marker fixture;
+    // GIF = constant 14 (header + LSD + trailer); MP3 = frames ×
+    // MPEG-1 L3 frame length at 128 kbps (417/384/576 for
+    // 44100/48000/32000); MP4 = constant 124-byte ftyp+moov/trak/tkhd
     "mm_decode_real" ->
-      """WITH f AS (SELECT doc_id AS media_id, doc_id % 5 AS k,
+      """WITH f AS (SELECT doc_id AS media_id, doc_id % 8 AS k,
         |  strlen(text) AS tb FROM documents)
         |SELECT media_id,
-        |  CASE k WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
-        |    WHEN 2 THEN 'image' WHEN 3 THEN 'image'
+        |  CASE WHEN k IN (0, 2, 3, 4) THEN 'image'
+        |    WHEN k IN (1, 5) THEN 'audio'
         |    ELSE 'video' END AS media_type,
         |  (CASE k
         |    WHEN 0 THEN 54 + ((((media_id % 16 + 1) * 3 + 3) // 4) * 4)
@@ -2105,20 +2108,31 @@ object SparkEntry {
         |    WHEN 1 THEN 44 + (media_id % 256 + 1) * (media_id % 2 + 1) * 2
         |    WHEN 2 THEN 68 + (media_id % 10 + 1) * (media_id % 20 + 2)
         |    WHEN 3 THEN 35
+        |    WHEN 4 THEN 14
+        |    WHEN 5 THEN (media_id % 20 + 1) *
+        |      ([417, 384, 576][(media_id % 3)::INTEGER + 1])
+        |    WHEN 6 THEN 124
         |    ELSE tb END)::BIGINT AS n_bytes,
         |  (CASE k WHEN 0 THEN media_id % 16 + 1
         |    WHEN 1 THEN 8000 + (media_id % 8) * 1000
         |    WHEN 2 THEN media_id % 20 + 1
         |    WHEN 3 THEN media_id % 30 + 1
+        |    WHEN 4 THEN media_id % 25 + 1
+        |    WHEN 5 THEN [44100, 48000, 32000][(media_id % 3)::INTEGER + 1]
+        |    WHEN 6 THEN media_id % 320 + 16
         |    ELSE (tb % 640) + 1 END)::INTEGER AS width,
         |  (CASE k WHEN 0 THEN media_id % 12 + 1
         |    WHEN 1 THEN media_id % 2 + 1
         |    WHEN 2 THEN media_id % 10 + 1
         |    WHEN 3 THEN media_id % 14 + 1
+        |    WHEN 4 THEN media_id % 15 + 1
+        |    WHEN 5 THEN media_id % 2 + 1
+        |    WHEN 6 THEN media_id % 240 + 16
         |    ELSE (tb % 480) + 1 END)::INTEGER AS height,
-        |  (CASE k WHEN 0 THEN 1 WHEN 1 THEN media_id % 256 + 1
-        |    WHEN 2 THEN 1 WHEN 3 THEN 1
-        |    ELSE (tb % 24) + 1 END)::INTEGER AS n_frames
+        |  (CASE k WHEN 1 THEN media_id % 256 + 1
+        |    WHEN 5 THEN media_id % 20 + 1
+        |    WHEN 7 THEN (tb % 24) + 1
+        |    ELSE 1 END)::INTEGER AS n_frames
         |FROM f ORDER BY media_id""".stripMargin,
 
     "mm_frames" ->

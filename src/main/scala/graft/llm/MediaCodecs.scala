@@ -205,6 +205,134 @@ object MediaCodecs {
     out.toByteArray
   }
 
+  private val GifMagics = Seq("GIF87a", "GIF89a")
+
+  /** Encode a minimal GIF89a: header, logical screen descriptor
+    * (width/height LE16, no global color table), trailer. 14 bytes. */
+  def encodeGif(width: Int, height: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(14)
+    out.write("GIF89a".getBytes("US-ASCII"))
+    out.write(le16(width)); out.write(le16(height))
+    out.write(0); out.write(0); out.write(0) // no GCT, bg 0, square pixels
+    out.write(0x3b) // trailer
+    out.toByteArray
+  }
+
+  /** Decode GIF logical-screen geometry → (width, height). */
+  def decodeGif(b: Array[Byte]): Option[(Int, Int)] =
+    if (b.length >= 10 && GifMagics.exists(m =>
+        m.indices.forall(i => b(i) == m.charAt(i).toByte))) {
+      val (w, h) = (rdLe16(b, 6), rdLe16(b, 8))
+      if (w > 0 && h > 0) Some((w, h)) else None
+    } else None
+
+  /** Fixed encode bitrate for the MP3 fixture (128 kbps, MPEG-1 L3
+    * bitrate index 9). */
+  val Mp3Bitrate = 128000
+  private val Mp3Bitrates = // MPEG-1 Layer III, bps (0 = free, 15 = bad)
+    Array(0, 32000, 40000, 48000, 56000, 64000, 80000, 96000, 112000,
+      128000, 160000, 192000, 224000, 256000, 320000)
+  private val Mp3Rates = Array(44100, 48000, 32000)
+
+  /** MPEG-1 Layer III frame length at padding 0: 144·bitrate/rate. */
+  def mp3FrameLen(sampleRate: Int, bitrate: Int = Mp3Bitrate): Int =
+    144 * bitrate / sampleRate
+
+  /** Encode an MP3 fixture: `nFrames` valid MPEG-1 Layer III frame
+    * headers (sync, version, layer, bitrate 128k, rate, channel mode)
+    * each followed by its zeroed frame payload — a real frame sequence
+    * a walker must step through. `sampleRate` ∈ {44100, 48000, 32000}. */
+  def encodeMp3(sampleRate: Int, channels: Int, nFrames: Int): Array[Byte] = {
+    val rateIdx = Mp3Rates.indexOf(sampleRate)
+    require(rateIdx >= 0, s"unsupported MPEG-1 rate $sampleRate")
+    val flen = mp3FrameLen(sampleRate)
+    val out = new java.io.ByteArrayOutputStream(nFrames * flen)
+    for (_ <- 0 until nFrames) {
+      out.write(0xff)
+      out.write(0xfb) // sync + MPEG-1 + Layer III + no CRC
+      out.write((9 << 4) | (rateIdx << 2)) // bitrate idx 9, padding 0
+      out.write((if (channels == 1) 3 else 0) << 6) // mono / stereo
+      out.write(new Array[Byte](flen - 4))
+    }
+    out.toByteArray
+  }
+
+  /** Decode MP3 → (sampleRate, channels, nFrames) by WALKING the frame
+    * sequence: each header's bitrate/rate indexes give that frame's
+    * length, the walk steps to the next sync. A byte stream that stops
+    * mid-frame or loses sync is rejected. */
+  def decodeMp3(b: Array[Byte]): Option[(Int, Int, Int)] = {
+    var off = 0
+    var rate = -1; var channels = -1; var frames = 0
+    while (off + 4 <= b.length) {
+      if ((b(off) & 0xff) != 0xff || (b(off + 1) & 0xe0) != 0xe0)
+        return None // lost sync
+      val version = (b(off + 1) >> 3) & 3
+      val layer = (b(off + 1) >> 1) & 3
+      if (version != 3 || layer != 1) return None // MPEG-1 Layer III only
+      val bitrate = Mp3Bitrates((b(off + 2) >> 4) & 15)
+      val rateIdx = (b(off + 2) >> 2) & 3
+      if (bitrate == 0 || rateIdx == 3) return None
+      val padding = (b(off + 2) >> 1) & 1
+      val r = Mp3Rates(rateIdx)
+      val ch = if (((b(off + 3) >> 6) & 3) == 3) 1 else 2
+      if (rate < 0) { rate = r; channels = ch }
+      frames += 1
+      off += mp3FrameLen(r, bitrate) + padding
+    }
+    if (frames > 0 && off == b.length) Some((rate, channels, frames))
+    else None
+  }
+
+  /** Decode MP4 geometry → (width, height) by walking the ISO-BMFF box
+    * tree (BE32 size + 4CC) to moov → trak → tkhd and reading the
+    * 16.16 fixed-point width/height at the v0 layout offsets. */
+  def decodeMp4(b: Array[Byte]): Option[(Int, Int)] = {
+    def boxAt(off: Int, limit: Int): Option[(String, Int, Int)] =
+      if (off + 8 > limit) None
+      else {
+        val size = rdBe32(b, off)
+        if (size < 8 || off + size > limit) None
+        else Some((new String(b, off + 4, 4, "US-ASCII"), off + 8, off + size))
+      }
+    def walk(off: Int, limit: Int, path: List[String]): Option[(Int, Int)] =
+      boxAt(off, limit) match {
+        case None => None
+        case Some((typ, dataStart, end)) =>
+          val found = (typ, path) match {
+            case ("tkhd", "trak" :: "moov" :: _) =>
+              // v0 tkhd: width/height at data offsets 76/80, 16.16 fixed
+              if (end - dataStart >= 84 && b(dataStart) == 0)
+                Some((rdBe32(b, dataStart + 76) >>> 16,
+                  rdBe32(b, dataStart + 80) >>> 16))
+              else None
+            case ("moov", _) | ("trak", _) =>
+              walk(dataStart, end, typ :: path)
+            case _ => None
+          }
+          found.orElse(walk(end, limit, path))
+      }
+    // a real MP4 leads with ftyp
+    boxAt(0, b.length) match {
+      case Some(("ftyp", _, _)) =>
+        walk(0, b.length, Nil).filter { case (w, h) => w > 0 && h > 0 }
+      case _ => None
+    }
+  }
+
+  /** Encode an MP4 geometry fixture: ftyp(isom) + moov/trak/tkhd with
+    * the 16.16 width/height — the box path [[decodeMp4]] walks.
+    * 124 bytes; sample data (mdat/stbl) omitted, as for JPEG. */
+  def encodeMp4(width: Int, height: Int): Array[Byte] = {
+    def box(typ: String, payload: Array[Byte]): Array[Byte] =
+      be32(payload.length + 8) ++ typ.getBytes("US-ASCII") ++ payload
+    val tkhd = new Array[Byte](84)
+    System.arraycopy(be32(width << 16), 0, tkhd, 76, 4)
+    System.arraycopy(be32(height << 16), 0, tkhd, 80, 4)
+    box("ftyp", "isom".getBytes("US-ASCII") ++ be32(0)) ++
+      box("moov", box("trak", box("tkhd", tkhd)))
+  }
+
   /** SOF0-SOF15 minus DHT(C4)/JPG(C8)/DAC(CC) — the frame headers that
     * carry geometry. */
   private def isSofMarker(m: Int): Boolean =

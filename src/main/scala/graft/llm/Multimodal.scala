@@ -54,18 +54,19 @@ object Multimodal {
       length(col("text")).cast(LongType).as("n_bytes"))
 
   /** Synthetic REAL media from the documents table: image rows carry an
-    * actual BMP, PNG, or JPEG and audio rows an actual WAV (MediaCodecs
+    * actual BMP, PNG, JPEG, or GIF, audio rows an actual WAV or MP3
+    * frame sequence, video rows an MP4 box tree (MediaCodecs
     * encode/parse), with geometry derived from the id (so a correctness
     * oracle can recompute the decoded features without parsing bytes);
-    * video rows keep text bytes (stub path). Payload construction is a
-    * partition-local typed map — the same shape a lakehouse ingest job
-    * would use. */
+    * every 8th row keeps text bytes (the documented stub path). Payload
+    * construction is a partition-local typed map — the same shape a
+    * lakehouse ingest job would use. */
   def syntheticMedia(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     docs.select(col("doc_id"), col("text")).as[(Long, String)]
       .mapPartitions(_.map { case (id, text) =>
-        val payload = (id % 5) match {
+        val payload = (id % 8) match {
           case 0 => MediaCodecs.encodeBmp(
             (id % 16).toInt + 1, (id % 12).toInt + 1)
           case 1 => MediaCodecs.encodeWav(
@@ -75,10 +76,19 @@ object Multimodal {
             (id % 20).toInt + 1, (id % 10).toInt + 1)
           case 3 => MediaCodecs.encodeJpeg(
             (id % 30).toInt + 1, (id % 14).toInt + 1)
-          case _ => text.getBytes("UTF-8")
+          case 4 => MediaCodecs.encodeGif(
+            (id % 25).toInt + 1, (id % 15).toInt + 1)
+          case 5 => MediaCodecs.encodeMp3(
+            Seq(44100, 48000, 32000)((id % 3).toInt),
+            (id % 2).toInt + 1, (id % 20).toInt + 1)
+          case 6 => MediaCodecs.encodeMp4(
+            (id % 320).toInt + 16, (id % 240).toInt + 16)
+          case _ => text.getBytes("UTF-8") // the documented stub path
         }
-        val mt = (id % 5) match {
-          case 0 | 2 | 3 => "image"; case 1 => "audio"; case _ => "video"
+        val mt = (id % 8) match {
+          case 0 | 2 | 3 | 4 => "image"
+          case 1 | 5 => "audio"
+          case _ => "video"
         }
         MediaRow(id, mt, payload, payload.length.toLong)
       })
@@ -113,19 +123,26 @@ object Multimodal {
     cs
   }
 
-  /** Decode dispatch: real parse for recognized magics (BMP, WAV, PNG,
-    * JPEG), stub otherwise. Feature mapping — image: (width, height,
-    * 1 frame); audio WAV: (sample_rate, channels, n_samples) in the
-    * (width, height, n_frames) slots. */
+  /** Decode dispatch: real parse for recognized magics (BMP, PNG, JPEG,
+    * GIF, MP4 geometry; WAV and MP3 audio), stub otherwise. Feature
+    * mapping — image/video geometry: (width, height, 1 frame); audio:
+    * (sample_rate, channels, n_samples|n_frames) in the (width, height,
+    * n_frames) slots. */
   def decodeAny(mediaType: String, payload: Array[Byte])
       : (Int, Int, Int, Long) =
     MediaCodecs.decodeBmp(payload)
       .orElse(MediaCodecs.decodePng(payload))
-      .orElse(MediaCodecs.decodeJpeg(payload)) match {
+      .orElse(MediaCodecs.decodeJpeg(payload))
+      .orElse(MediaCodecs.decodeGif(payload))
+      .orElse(MediaCodecs.decodeMp4(payload)) match {
       case Some((w, h)) => (w, h, 1, checksum(payload))
       case None => MediaCodecs.decodeWav(payload) match {
         case Some((rate, ch, n)) => (rate, ch, n, checksum(payload))
-        case None => FakeDecoder.decode(mediaType, payload)
+        case None => MediaCodecs.decodeMp3(payload) match {
+          case Some((rate, ch, frames)) =>
+            (rate, ch, frames, checksum(payload))
+          case None => FakeDecoder.decode(mediaType, payload)
+        }
       }
     }
 

@@ -75,6 +75,43 @@ class CodecSpec extends AnyFunSuite {
     assert(MediaCodecs.decodeJpeg(base.take(10)).isEmpty)
   }
 
+  test("GIF encode/decode round-trip") {
+    for ((w, h) <- Seq((1, 1), (25, 15), (640, 480))) {
+      val b = MediaCodecs.encodeGif(w, h)
+      assert(b.length == 14)
+      assert(MediaCodecs.decodeGif(b).contains((w, h)))
+    }
+    assert(MediaCodecs.decodeGif("GIFXYZ1234".getBytes).isEmpty)
+  }
+
+  test("MP3 frame walk: counts frames, rejects lost sync / truncation") {
+    for ((rate, ch, n) <- Seq((44100, 1, 1), (48000, 2, 20), (32000, 2, 7))) {
+      val b = MediaCodecs.encodeMp3(rate, ch, n)
+      assert(b.length == n * MediaCodecs.mp3FrameLen(rate))
+      assert(MediaCodecs.decodeMp3(b).contains((rate, ch, n)))
+    }
+    val good = MediaCodecs.encodeMp3(44100, 2, 3)
+    // truncated mid-frame → reject; garbage between frames → reject
+    assert(MediaCodecs.decodeMp3(good.dropRight(10)).isEmpty)
+    assert(MediaCodecs.decodeMp3(good ++ "junk".getBytes).isEmpty)
+  }
+
+  test("MP4 box walk: tkhd geometry via moov/trak, other boxes skipped") {
+    for ((w, h) <- Seq((16, 16), (336, 255), (1920, 1080))) {
+      val b = MediaCodecs.encodeMp4(w, h)
+      assert(b.length == 124)
+      assert(MediaCodecs.decodeMp4(b).contains((w, h)))
+    }
+    // an unknown top-level box before moov must be skipped
+    val base = MediaCodecs.encodeMp4(99, 55)
+    val free = Array(0, 0, 0, 12).map(_.toByte) ++
+      "free".getBytes ++ new Array[Byte](4)
+    val withFree = base.take(16) ++ free ++ base.drop(16)
+    assert(MediaCodecs.decodeMp4(withFree).contains((99, 55)))
+    // no ftyp lead-in → not an MP4
+    assert(MediaCodecs.decodeMp4(base.drop(16)).isEmpty)
+  }
+
   test("malformed payloads are rejected, dispatch falls back to stub") {
     assert(MediaCodecs.decodeBmp("not a bmp".getBytes).isEmpty)
     assert(MediaCodecs.decodeWav("RIFFxxxxJUNK".getBytes).isEmpty)
