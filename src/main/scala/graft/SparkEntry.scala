@@ -327,6 +327,13 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    "ev_join" -> ((s, dir) =>
+      // stream-stream interval join evaluated in batch: clicks pair with
+      // same-user impressions in the preceding 30 minutes (the
+      // time-bound ON condition is what bounds streaming join state)
+      Events.clickImpressionJoin(t(s, dir, "events"))
+        .orderBy(col("click_id"), col("impression_id"))),
+
     "op_asof_tolerance" -> ((s, dir) => {
       // bounded lookback (pandas merge_asof tolerance / kdb wj): a
       // carried match older than 30 minutes expires to NULL
@@ -2200,6 +2207,16 @@ object SparkEntry {
         |  SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
         |  FROM events)
         |WHERE k > 50 ORDER BY event_id""".stripMargin,
+
+    "ev_join" ->
+      """WITH i AS (SELECT user_id AS i_user, ts AS i_ts,
+        |    event_id AS impression_id FROM events WHERE event_id % 2 = 0),
+        |c AS (SELECT user_id AS c_user, ts AS c_ts,
+        |    event_id AS click_id FROM events WHERE event_id % 2 = 1)
+        |SELECT click_id, impression_id, c_user AS user_id, c_ts, i_ts
+        |FROM c JOIN i ON c_user = i_user AND i_ts <= c_ts
+        |  AND i_ts >= c_ts - INTERVAL 30 MINUTE
+        |ORDER BY click_id, impression_id""".stripMargin,
   )
 
   /** DuckDB twin of [[incFixture]]. */

@@ -195,6 +195,28 @@ object Events {
   def dedupedStream(stream: DataFrame): DataFrame =
     stream.dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-stream INTERVAL join: each "click" (odd event_id) pairs with
+    * the "impressions" (even event_id) of the same user in the preceding
+    * `windowExpr` (e.g. "30 minutes"). Both sides carry watermarks, and
+    * the time-bound ON condition is what lets Spark EVICT join state —
+    * an unbounded-state stream-stream join never survives production.
+    * Works identically in batch (the standard range-join rewrite). */
+  def clickImpressionJoin(events: DataFrame,
+                          windowExpr: String = "30 minutes"): DataFrame = {
+    val imps = events.filter(pmod(col("event_id"), lit(2)) === 0)
+      .select(col("user_id").as("i_user"), col("ts").as("i_ts"),
+        col("event_id").as("impression_id"))
+    val clicks = events.filter(pmod(col("event_id"), lit(2)) === 1)
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("click_id"))
+    clicks.join(imps,
+      col("c_user") === col("i_user") &&
+        col("i_ts") <= col("c_ts") &&
+        col("i_ts") >= col("c_ts") - expr(s"INTERVAL $windowExpr"))
+      .select(col("click_id"), col("impression_id"),
+        col("c_user").as("user_id"), col("c_ts"), col("i_ts"))
+  }
+
   // -----------------------------------------------------------------
   // streaming entry points
   // -----------------------------------------------------------------
@@ -222,6 +244,18 @@ object Events {
   def startTumblingQuery(stream: DataFrame, checkpoint: String,
                          outPath: String): StreamingQuery =
     tumblingCounts(stream)
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .format("parquet")
+      .option("path", outPath)
+      .start()
+
+  /** Stream-stream interval join → parquet sink (AvailableNow). */
+  def startClickJoinQuery(stream: DataFrame, checkpoint: String,
+                          outPath: String): StreamingQuery =
+    clickImpressionJoin(stream)
       .writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpoint)

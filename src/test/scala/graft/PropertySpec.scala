@@ -132,6 +132,37 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("DotProduct codegen COMPILES for non-nullable inputs (no silent fallback)") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.catalyst.expressions.codegen.GenerateUnsafeProjection
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    // r4 regression: with nullable=false the generated null-check wrote
+    // `false = true;`, janino refused it, and Spark silently fell back to
+    // interpreted eval. GenerateUnsafeProjection compiles EAGERLY (no
+    // fallback), so a codegen bug fails this test instead of hiding.
+    val t = ArrayType(DoubleType, containsNull = false)
+    val e = graft.functions.DotProduct(
+      BoundReference(0, t, nullable = false),
+      BoundReference(1, t, nullable = false))
+    assert(!e.nullable)
+    val proj = GenerateUnsafeProjection.generate(Seq(e))
+    val arr = new GenericArrayData(Array(1.0, 2.0, 3.0))
+    val row = proj(InternalRow(arr, arr))
+    assert(row.getDouble(0) == 14.0)
+    // and the nullable variant still null-propagates element nulls
+    val tn = ArrayType(DoubleType, containsNull = true)
+    val en = graft.functions.DotProduct(
+      BoundReference(0, tn, nullable = false),
+      BoundReference(1, tn, nullable = false))
+    assert(en.nullable)
+    val projN = GenerateUnsafeProjection.generate(Seq(en))
+    val withNull = new GenericArrayData(Array[Any](1.0, null, 3.0))
+    assert(projN(InternalRow(withNull, withNull)).isNullAt(0))
+    assert(projN(InternalRow(arr, arr)).getDouble(0) == 14.0)
+  }
+
   test("RollingHash agrees with the driver-side replica on arbitrary BMP strings") {
     val strGen = Gen.listOf(Gen.frequency(
       8 -> Gen.alphaNumChar, 2 -> Gen.oneOf(' ', '|', 'é', '中', 'д')))

@@ -31,6 +31,26 @@ class StreamingSpec extends SparkSpec {
     assert(joined.count() == sCnt, "streamed window missing from batch")
   }
 
+  test("stream-stream interval join matches batch result (AvailableNow)") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ssj").toString
+    val inDir = java.nio.file.Paths.get(tmp, "in")
+    java.nio.file.Files.createDirectories(inDir)
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      inDir.resolve("events.parquet"))
+    val stream = Events.readEventStream(spark, inDir.toString)
+    val q = Events.startClickJoinQuery(stream, s"$tmp/ckpt", s"$tmp/out")
+    q.awaitTermination(120000)
+    val streamed = spark.read.parquet(s"$tmp/out")
+      .select($"click_id", $"impression_id")
+    val batch = Events.clickImpressionJoin(Tables.load(spark, sf, "events"))
+      .select($"click_id", $"impression_id")
+    assert(streamed.count() > 0, "streaming join emitted nothing")
+    // a single drained micro-batch emits the complete inner join
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
+  }
+
   test("batch session_window matches hand-rolled gaps-and-islands") {
     val ev = Tables.load(spark, sf, "events")
     val sess = Events.sessions(ev)
