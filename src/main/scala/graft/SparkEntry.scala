@@ -334,6 +334,21 @@ object SparkEntry {
       Events.clickImpressionJoin(t(s, dir, "events"))
         .orderBy(col("click_id"), col("impression_id"))),
 
+    "op_salted_agg" -> ((s, dir) => {
+      // two-phase salted aggregation under the driver gate: partials on
+      // (key, salt), exact merge — result identical to the plain groupBy
+      // (sums ride DECIMAL so reassociation is exact; the final cast to
+      // DOUBLE happens once, after the merge)
+      val ev = t(s, dir, "events")
+      graft.sources.Skew.saltedAgg(ev, Seq("event_type"), salts = 16)(
+        Seq(count(lit(1)).as("pn"), sum(dec(col("value"))).as("ps"),
+          min(col("user_id")).as("pmn"), max(col("user_id")).as("pmx")),
+        Seq(sum(col("pn")).as("n"),
+          sum(col("ps")).cast(DoubleType).as("sum_value"),
+          min(col("pmn")).as("min_user"), max(col("pmx")).as("max_user")))
+        .orderBy(col("event_type"))
+    }),
+
     "op_asof_tolerance" -> ((s, dir) => {
       // bounded lookback (pandas merge_asof tolerance / kdb wj): a
       // carried match older than 30 minutes expires to NULL
@@ -2207,6 +2222,12 @@ object SparkEntry {
         |  SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
         |  FROM events)
         |WHERE k > 50 ORDER BY event_id""".stripMargin,
+
+    "op_salted_agg" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        |  min(user_id) AS min_user, max(user_id) AS max_user
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "ev_join" ->
       """WITH i AS (SELECT user_id AS i_user, ts AS i_ts,
