@@ -69,4 +69,29 @@ class PlanAuditSpec extends SparkSpec {
       assert(plan.contains("Broadcast"), s"$name does not broadcast")
     }
   }
+
+  test("interval join extracts its equi-key (never nested-loop over time bounds)") {
+    // the user_id conjunct must become the join key with the time bounds
+    // as residual condition — a BroadcastNestedLoopJoin here would scan
+    // |clicks|×|impressions| at 100 TB
+    val plan = graft.streaming.Events
+      .clickImpressionJoin(Tables.load(spark, sf, "events"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"interval join lost its equi-key:\n$plan")
+    assert(plan.contains("SortMergeJoin") ||
+      plan.contains("ShuffledHashJoin") || plan.contains("BroadcastHashJoin"),
+      s"no hash/merge join in interval join plan:\n$plan")
+  }
+
+  test("cosine candidate blocking is an equi-join on the bucket code") {
+    val plan = graft.llm.Dedup
+      .cosineCandidates(Tables.load(spark, sf, "embeddings"),
+        "vec_id", "embedding")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"bucket blocking degenerated to all-pairs:\n$plan")
+  }
 }
