@@ -97,6 +97,23 @@ class LayoutSpec extends SparkSpec {
       Seq((1L, Some(1.0)), (2L, Some(2.0)), (3L, None), (4L, None)))
   }
 
+  test("as-of join with a composite key partitions by the full tuple") {
+    val left = Seq((1L, "u", "eu", "2024-01-01 10:00:00"),
+        (2L, "u", "us", "2024-01-01 10:00:00"))
+      .toDF("event_id", "user_id", "region", "ts")
+      .withColumn("ts", $"ts".cast("timestamp"))
+    val right = Seq(("u", "eu", "2024-01-01 09:00:00", 1.0),
+        ("u", "us", "2024-01-01 08:00:00", 2.0))
+      .toDF("user_id", "region", "ts", "rv")
+      .withColumn("ts", $"ts".cast("timestamp"))
+    val out = graft.operators.AsOfJoin
+      .asOf(left, right, Seq("user_id", "region"), "ts", Seq("rv"), None)
+      .orderBy("event_id").collect()
+    // same user, different region → different as-of streams
+    assert(out.map(r => (r.getLong(0), r.getDouble(4))).toSeq ==
+      Seq((1L, 1.0), (2L, 2.0)))
+  }
+
   test("as-of join tolerance bounds the lookback window") {
     val left = Seq((1L, "u", "2024-01-01 10:00:00"),
         (2L, "u", "2024-01-01 09:40:00"),
