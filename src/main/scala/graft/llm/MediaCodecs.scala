@@ -270,9 +270,12 @@ object MediaCodecs {
       val version = (b(off + 1) >> 3) & 3
       val layer = (b(off + 1) >> 1) & 3
       if (version != 3 || layer != 1) return None // MPEG-1 Layer III only
-      val bitrate = Mp3Bitrates((b(off + 2) >> 4) & 15)
+      val brIdx = (b(off + 2) >> 4) & 15
       val rateIdx = (b(off + 2) >> 2) & 3
-      if (bitrate == 0 || rateIdx == 3) return None
+      // index 15 = "bad", 0 = free-format, 3 = reserved rate — reject
+      // rather than crash on the table lookup
+      if (brIdx == 0 || brIdx == 15 || rateIdx == 3) return None
+      val bitrate = Mp3Bitrates(brIdx)
       val padding = (b(off + 2) >> 1) & 1
       val r = Mp3Rates(rateIdx)
       val ch = if (((b(off + 3) >> 6) & 3) == 3) 1 else 2

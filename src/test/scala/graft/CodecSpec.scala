@@ -94,6 +94,14 @@ class CodecSpec extends AnyFunSuite {
     // truncated mid-frame → reject; garbage between frames → reject
     assert(MediaCodecs.decodeMp3(good.dropRight(10)).isEmpty)
     assert(MediaCodecs.decodeMp3(good ++ "junk".getBytes).isEmpty)
+    // "bad" (15) and free-format (0) bitrate indexes reject, not crash
+    val badBr = good.clone(); badBr(2) = (15 << 4 | badBr(2) & 0xf).toByte
+    assert(MediaCodecs.decodeMp3(badBr).isEmpty)
+    val freeBr = good.clone(); freeBr(2) = (freeBr(2) & 0xf).toByte
+    assert(MediaCodecs.decodeMp3(freeBr).isEmpty)
+    // reserved sample-rate index rejects
+    val badRate = good.clone(); badRate(2) = (badRate(2) | (3 << 2)).toByte
+    assert(MediaCodecs.decodeMp3(badRate).isEmpty)
   }
 
   test("MP4 box walk: tkhd geometry via moov/trak, other boxes skipped") {
