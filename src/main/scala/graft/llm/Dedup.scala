@@ -581,15 +581,44 @@ object Dedup {
   /** Embedding near-dup collapse, end to end: LSH-bucket candidates →
     * exact cosine verify at `threshold` → connected-component collapse
     * to a per-vector keep/drop — the corpus-linear product shape
-    * ([[simhashClusters]]' embedding twin). */
+    * ([[simhashClusters]]' embedding twin).
+    *
+    * Runs in DISTINCT-VECTOR space (the same move as [[simhashPairs]]'
+    * distinct-signature space): duplicated corpora concentrate many ids
+    * onto few distinct embeddings, and pairing doc ids directly grows
+    * candidate volume quadratically with the duplication factor (the r4
+    * scale probe: 16× self-union went superlinear). Vectors are
+    * fingerprinted with xxhash64 (collision odds ~n²/2⁶⁴ — the standard
+    * blocking trade); one min-id representative per distinct vector
+    * enters the bucket join, and docs sharing a vector attach to their
+    * representative with LINEAR star edges — the component structure is
+    * identical to the full pair graph's. */
   def cosineClusters(emb: DataFrame, id: String, vec: String,
                      threshold: Double,
                      planes: Int = Similarity.Planes,
                      dim: Int = Similarity.Dim,
                      maxIter: Int = 20,
-                     driverEdgeLimit: Long = 1000000L): DataFrame =
-    collapseComponents(emb, id,
-      cosineOnPairs(emb, cosineCandidates(emb, id, vec, planes, dim),
-        id, vec, threshold).select(col("id_a"), col("id_b")),
+                     driverEdgeLimit: Long = 1000000L): DataFrame = {
+    val keyed = emb.select(col(id).as("doc"), col(vec).as("__v"))
+      .withColumn("__vh", xxhash64(col("__v")))
+    // rows within a __vh group carry the same vector, so first() is
+    // deterministic in value; min(doc) makes the representative stable
+    val reps = keyed.groupBy("__vh")
+      .agg(min(col("doc")).as("doc"), first(col("__v")).as("__v"))
+      .localCheckpoint()
+    val repEmb = reps.select(col("doc"), col("__v").as(vec))
+    val cross = cosineOnPairs(repEmb,
+        cosineCandidates(repEmb, "doc", vec, planes, dim),
+        "doc", vec, threshold)
+      .select(col("id_a"), col("id_b"))
+    // duplicates attach to their representative: linear, no verify
+    // needed (cos(v, v) = 1 ≥ any threshold)
+    val star = keyed.alias("k")
+      .join(reps.select(col("__vh"), col("doc").as("id_a")).alias("r"),
+        Seq("__vh"))
+      .filter(col("k.doc") =!= col("id_a"))
+      .select(col("id_a"), col("k.doc").as("id_b"))
+    collapseComponents(emb, id, cross.unionByName(star),
       maxIter, driverEdgeLimit)
+  }
 }

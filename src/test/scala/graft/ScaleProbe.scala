@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Ad-hoc scale probe behind SURVEY §8.7/§8.12 — self-unions sf0.1 so
+  * near-dup clusters multiply by construction, then times the cluster
+  * operators whose runtime must track OUTPUT size (keep/drop rows are
+  * corpus-linear) rather than input². Run:
+  * `SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 sbt "Test/runMain graft.ScaleProbe"` */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def selfUnion(df: DataFrame, id: String, times: Int): DataFrame =
+      (1 until times).foldLeft(df)((acc, i) =>
+        acc.unionByName(df.withColumn(id, col(id) + lit(i * 1000000L))))
+
+    def time[T](label: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[probe] $label%-46s ${(System.nanoTime() - t0) / 1e9}%8.1f s")
+      r
+    }
+
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+
+    for (x <- Seq(2, 8, 16)) {
+      val d = selfUnion(docs, "doc_id", x)
+      val n = time(s"simhashClusters ${x}x (${x * 5000} docs) [rows]") {
+        graft.llm.Dedup.simhashClusters(d, "doc_id", "text").count()
+      }
+      println(s"[probe]   -> $n rows")
+    }
+    for (x <- Seq(2, 8, 16)) {
+      val e = selfUnion(emb, "vec_id", x)
+      val n = time(s"cosineClusters ${x}x (${x * 10000} vecs) [rows]") {
+        graft.llm.Dedup.cosineClusters(e, "vec_id", "embedding", 0.95)
+          .count()
+      }
+      println(s"[probe]   -> $n rows")
+    }
+    val d8 = selfUnion(docs, "doc_id", 8)
+    val ds = time("dupSpanFraction 8x (40k docs) [rows]") {
+      graft.llm.TextAnalysis.dupSpanFraction(d8, "doc_id", "text").count()
+    }
+    println(s"[probe]   -> $ds rows")
+    val bs = time("budgetSelect 8x (40k docs) [selected]") {
+      graft.llm.TextAnalysis.budgetSelect(d8, "doc_id", "text", 500000L)
+        .filter(col("selected")).count()
+    }
+    println(s"[probe]   -> $bs selected")
+    spark.stop()
+  }
+}
