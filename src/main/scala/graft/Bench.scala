@@ -52,6 +52,24 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
     try Files.writeString(Paths.get("target/bench.json"), full)
     catch { case _: Throwable => }
+    // Per-round archive (VERDICT r4 #4): target/bench.json is overwritten
+    // every run, so cross-round per-query regression diffs previously
+    // depended on numbers quoted in old verdicts. bench_archive/ is NOT
+    // gitignored — the driver's end-of-round auto-commit picks it up.
+    // Round = SPARK_GRAFT_ROUND if set, else max N of the driver-written
+    // BENCH_r*.json files + 1 (the driver writes BENCH_rN *after* this
+    // run, so during round N the max existing index is N-1).
+    try {
+      val round = sys.env.get("SPARK_GRAFT_ROUND").map(_.toInt).getOrElse {
+        val rx = "BENCH_r(\\d+)\\.json".r
+        val seen = Option(new java.io.File(".").list()).getOrElse(Array.empty)
+          .collect { case rx(n) => n.toInt }
+        if (seen.isEmpty) 1 else seen.max + 1
+      }
+      Files.createDirectories(Paths.get("bench_archive"))
+      Files.writeString(
+        Paths.get(f"bench_archive/bench_r$round%02d.json"), full)
+    } catch { case _: Throwable => }
     spark.stop()
     // The driver tails stdout and parses the LAST line as JSON; at 73+
     // queries the per-query map is ~2.6 KB and overflows the tail window

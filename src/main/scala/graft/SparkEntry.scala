@@ -366,14 +366,16 @@ object SparkEntry {
     "q11_approx_distinct" -> ((s, dir) => {
       // approx_count_distinct (HLL++): the 100 TB cardinality tool — one
       // pass, fixed-size sketch state, no exact-distinct shuffle.
-      // No oracleSql twin on purpose: DuckDB's approx sketch differs, so
-      // the driver records the weaker rows-only check; the exact_lo/hi
-      // bounds pin the estimate against the exact count in-result.
+      // DuckDB's approx sketch differs, so the raw estimate cannot be a
+      // compared column; instead the result IS the gate (sim_ivf_topk
+      // pattern): exact_cust (oracle-recomputable) plus a within-10%
+      // boolean the oracle pins true. The raw estimate stays verified —
+      // a false gate hash-mismatches the oracle's literal true.
       val o = t(s, dir, "orders")
       o.groupBy(col("o_orderstatus"))
         .agg(approx_count_distinct(col("o_custkey"), 0.02).as("approx_cust"),
           countDistinct(col("o_custkey")).as("exact_cust"))
-        .select(col("o_orderstatus"), col("approx_cust"), col("exact_cust"),
+        .select(col("o_orderstatus"), col("exact_cust"),
           (abs(col("approx_cust") - col("exact_cust")) <=
             col("exact_cust") * 0.1).as("within_10pct"))
         .orderBy(col("o_orderstatus"))
@@ -1088,7 +1090,21 @@ object SparkEntry {
       Multimodal.decodeFeatures(
           Multimodal.syntheticMedia(t(s, dir, "documents")))
         .select(col("media_id"), col("media_type"), col("n_bytes"),
-          col("width"), col("height"), col("n_frames"))
+          col("width"), col("height"), col("n_frames"), col("px_checksum"))
+        .orderBy(col("media_id"))),
+
+    "mm_decode_pixels" -> ((s, dir) =>
+      // REAL CONTENT decode end to end: javax.imageio reads the actual
+      // pixel raster (BMP / PNG / a real LZW GIF), javax.sound.sampled
+      // the actual PCM frames; px_checksum is a function of decoded
+      // pixel/sample DATA that the oracle recomputes in closed form
+      // because payloads carry a constant id-derived fill. n_bytes is
+      // deliberately not projected — the ImageIO-written GIF has no
+      // closed-form size.
+      Multimodal.decodeFeatures(
+          Multimodal.syntheticPixelMedia(t(s, dir, "documents")))
+        .select(col("media_id"), col("media_type"), col("width"),
+          col("height"), col("n_frames"), col("px_checksum"))
         .orderBy(col("media_id"))),
 
     "mm_frames" -> ((s, dir) =>
@@ -1345,6 +1361,14 @@ object SparkEntry {
         |FROM orders
         |GROUP BY CUBE (o_orderstatus, o_orderpriority)
         |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+
+    // The HLL++ estimate itself is not oracle-comparable (DuckDB's
+    // sketch differs); the compared row is the gate: exact distinct
+    // count plus a pinned-true within-10% boolean (sim_ivf_topk pattern).
+    "q11_approx_distinct" ->
+      """SELECT o_orderstatus, count(DISTINCT o_custkey) AS exact_cust,
+        |  true AS within_10pct
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     "q12_percentile" ->
       """SELECT l_returnflag,
@@ -2106,7 +2130,8 @@ object SparkEntry {
         |  ((n_bytes % 480) + 1)::INTEGER AS height,
         |  (CASE media_type WHEN 'video' THEN (n_bytes % 24) + 1
         |    WHEN 'audio' THEN (n_bytes % 16000) + 1 ELSE 1 END)::INTEGER AS n_frames,
-        |  checksum
+        |  checksum,
+        |  CAST(NULL AS BIGINT) AS px_checksum
         |FROM m ORDER BY media_id""".stripMargin,
 
     // mirrors MediaCodecs byte layout arithmetically: BMP = 54-byte
@@ -2154,7 +2179,36 @@ object SparkEntry {
         |  (CASE k WHEN 1 THEN media_id % 256 + 1
         |    WHEN 5 THEN media_id % 20 + 1
         |    WHEN 7 THEN (tb % 24) + 1
-        |    ELSE 1 END)::INTEGER AS n_frames
+        |    ELSE 1 END)::INTEGER AS n_frames,
+        |  (CASE k
+        |    WHEN 0 THEN (3 * (media_id % 16 + 1) * (media_id % 12 + 1)
+        |      * (media_id % 251 + 1)) % 997
+        |    WHEN 1 THEN ((media_id % 256 + 1) * (media_id % 2 + 1) * 2
+        |      * (media_id % 251 + 1)) % 997
+        |    WHEN 2 THEN (3 * (media_id % 20 + 1) * (media_id % 10 + 1)
+        |      * (media_id % 251 + 1)) % 997
+        |    ELSE NULL END)::BIGINT AS px_checksum
+        |FROM f ORDER BY media_id""".stripMargin,
+
+    // decoded-CONTENT closed forms: constant-fill payloads make the
+    // pixel checksum 3·w·h·fill (images; GIF is palette-lossless so the
+    // ImageIO round-trip preserves it exactly) and the PCM sample
+    // checksum dataBytes·fill, both mod 997
+    "mm_decode_pixels" ->
+      """WITH f AS (SELECT doc_id AS media_id, doc_id % 4 AS k,
+        |  doc_id % 251 + 1 AS fill, doc_id % 16 + 1 AS w,
+        |  doc_id % 12 + 1 AS h FROM documents)
+        |SELECT media_id,
+        |  CASE WHEN k = 3 THEN 'audio' ELSE 'image' END AS media_type,
+        |  (CASE WHEN k = 3 THEN 8000 + (media_id % 8) * 1000
+        |    ELSE w END)::INTEGER AS width,
+        |  (CASE WHEN k = 3 THEN media_id % 2 + 1
+        |    ELSE h END)::INTEGER AS height,
+        |  (CASE WHEN k = 3 THEN media_id % 256 + 1
+        |    ELSE 1 END)::INTEGER AS n_frames,
+        |  (CASE WHEN k = 3 THEN
+        |      ((media_id % 256 + 1) * (media_id % 2 + 1) * 2 * fill) % 997
+        |    ELSE (3 * w * h * fill) % 997 END)::BIGINT AS px_checksum
         |FROM f ORDER BY media_id""".stripMargin,
 
     "mm_frames" ->

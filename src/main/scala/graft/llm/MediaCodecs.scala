@@ -32,8 +32,11 @@ object MediaCodecs {
   def bmpRowBytes(width: Int): Int = (width * 3 + 3) / 4 * 4
 
   /** Encode a minimal valid 24bpp BMP: 14-byte file header + 40-byte
-    * BITMAPINFOHEADER + zeroed pixel array. */
-  def encodeBmp(width: Int, height: Int): Array[Byte] = {
+    * BITMAPINFOHEADER + pixel array of constant `fill` bytes (every
+    * channel = fill, so the decoded-pixel checksum has the closed form
+    * 3·w·h·fill mod 997 an arithmetic oracle can recompute). Size is
+    * independent of fill. */
+  def encodeBmp(width: Int, height: Int, fill: Int = 0): Array[Byte] = {
     val pix = bmpRowBytes(width) * height
     val size = 54 + pix
     val out = new java.io.ByteArrayOutputStream(size)
@@ -46,7 +49,9 @@ object MediaCodecs {
     out.write(le32(0)) // BI_RGB
     out.write(le32(pix)); out.write(le32(2835)); out.write(le32(2835))
     out.write(le32(0)); out.write(le32(0))
-    out.write(new Array[Byte](pix))
+    val arr = new Array[Byte](pix)
+    if (fill != 0) java.util.Arrays.fill(arr, fill.toByte)
+    out.write(arr)
     out.toByteArray
   }
 
@@ -57,9 +62,11 @@ object MediaCodecs {
       Some((rdLe32(b, 18), math.abs(rdLe32(b, 22))))
     else None
 
-  /** Encode a PCM WAV: RIFF header + fmt chunk + data chunk of zeroed
-    * 16-bit samples. */
-  def encodeWav(sampleRate: Int, channels: Int, nSamples: Int): Array[Byte] = {
+  /** Encode a PCM WAV: RIFF header + fmt chunk + data chunk of 16-bit
+    * samples whose bytes are all `fill` (sample checksum closed form:
+    * nSamples·channels·2·fill mod 997; size independent of fill). */
+  def encodeWav(sampleRate: Int, channels: Int, nSamples: Int,
+                fill: Int = 0): Array[Byte] = {
     val block = channels * 2 // 16-bit
     val data = nSamples * block
     val out = new java.io.ByteArrayOutputStream(44 + data)
@@ -71,7 +78,9 @@ object MediaCodecs {
     out.write(le32(sampleRate * block)) // byte rate
     out.write(le16(block)); out.write(le16(16))
     out.write("data".getBytes); out.write(le32(data))
-    out.write(new Array[Byte](data))
+    val arr = new Array[Byte](data)
+    if (fill != 0) java.util.Arrays.fill(arr, fill.toByte)
+    out.write(arr)
     out.toByteArray
   }
 
@@ -144,10 +153,11 @@ object MediaCodecs {
   }
 
   /** Encode a REAL (inflater-valid) PNG: signature, IHDR, one IDAT of
-    * zero-filled 8-bit grayscale scanlines (filter byte 0 per row) in a
-    * stored-block zlib stream, IEND. Total size is the closed form
-    * 68 + height·(width+1). */
-  def encodePng(width: Int, height: Int): Array[Byte] = {
+    * 8-bit grayscale scanlines (filter byte 0 per row, every gray value
+    * = `fill` — decoded via gray→RGB expansion the pixel checksum is
+    * 3·w·h·fill mod 997) in a stored-block zlib stream, IEND. Total
+    * size is the closed form 68 + height·(width+1), fill-independent. */
+  def encodePng(width: Int, height: Int, fill: Int = 0): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream(68 + height * (width + 1))
     PngSig.foreach(out.write)
     val ihdr = new java.io.ByteArrayOutputStream(13)
@@ -156,7 +166,16 @@ object MediaCodecs {
     ihdr.write(0) // grayscale
     ihdr.write(0); ihdr.write(0); ihdr.write(0) // deflate/adaptive/none
     pngChunk(out, "IHDR", ihdr.toByteArray)
-    pngChunk(out, "IDAT", zlibStored(new Array[Byte](height * (width + 1))))
+    val raw = new Array[Byte](height * (width + 1))
+    if (fill != 0) {
+      var y = 0
+      while (y < height) { // byte 0 of each scanline is the filter type
+        java.util.Arrays.fill(raw, y * (width + 1) + 1,
+          (y + 1) * (width + 1), fill.toByte)
+        y += 1
+      }
+    }
+    pngChunk(out, "IDAT", zlibStored(raw))
     pngChunk(out, "IEND", Array.emptyByteArray)
     out.toByteArray
   }
@@ -340,6 +359,147 @@ object MediaCodecs {
     * carry geometry. */
   private def isSofMarker(m: Int): Boolean =
     m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc
+
+  // ---- real pixel/sample decode (JDK standard library, zero new deps) --
+  // javax.imageio reads the actual raster for PNG/JPEG/GIF/BMP;
+  // javax.sound.sampled reads the actual PCM frames for WAV/AIFF. These
+  // close the content half of the decode seam: features below derive
+  // from decoded pixel/sample DATA, not header fields. Disk caching off —
+  // every payload is an in-memory byte array; a temp-file cache per call
+  // would turn a map-only operator into per-row disk IO.
+  javax.imageio.ImageIO.setUseCache(false)
+
+  /** Checksum over decoded pixel content: sum of the 8-bit R+G+B
+    * channels over all pixels, row-major, mod 997 (the same modulus as
+    * the byte checksum). Grayscale images expand gray→(g,g,g) by RAW
+    * raster sample — `getRGB` would run the linear-gray→sRGB gamma
+    * conversion (gray 1 becomes 13) and destroy the arithmetic closed
+    * form — so a constant-fill image of any supported color model
+    * checksums to 3·w·h·fill mod 997. Indexed (palette) and direct-RGB
+    * models go through `getRGB`, an identity for sRGB data. */
+  def pixelChecksum(img: java.awt.image.BufferedImage): Long = {
+    val gray = img.getColorModel match {
+      case _: java.awt.image.IndexColorModel => false // sample = palette index
+      case cm => cm.getColorSpace.getType == java.awt.color.ColorSpace.TYPE_GRAY
+    }
+    val raster = img.getRaster
+    var cs = 0L
+    var y = 0
+    while (y < img.getHeight) {
+      var x = 0
+      while (x < img.getWidth) {
+        val v =
+          if (gray) 3 * raster.getSample(x, y, 0)
+          else {
+            val rgb = img.getRGB(x, y)
+            ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+          }
+        cs = (cs + v) % 997
+        x += 1
+      }
+      y += 1
+    }
+    cs
+  }
+
+  /** REAL image decode via the JDK's ImageIO: full raster read →
+    * (width, height, pixelChecksum). None when no reader accepts the
+    * bytes — geometry-only fixtures (JPEG without scan data, GIF
+    * without an image descriptor) land here and keep their header-walk
+    * geometry with no pixel evidence. */
+  def decodeImagePixels(b: Array[Byte]): Option[(Int, Int, Long)] = {
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+      catch { case _: Exception => null }
+    if (img == null) None
+    else Some((img.getWidth, img.getHeight, pixelChecksum(img)))
+  }
+
+  /** REAL audio sample decode via javax.sound.sampled: stream the PCM
+    * frames and checksum the sample bytes mod 997 (constant-fill data
+    * chunk → nBytes·fill mod 997). None when the byte stream isn't a
+    * supported audio file. */
+  def decodeWavSamples(b: Array[Byte]): Option[Long] =
+    try {
+      val ais = javax.sound.sampled.AudioSystem
+        .getAudioInputStream(new java.io.ByteArrayInputStream(b))
+      try {
+        val buf = new Array[Byte](8192)
+        var cs = 0L
+        var n = ais.read(buf)
+        while (n > 0) {
+          var i = 0
+          while (i < n) { cs = (cs + (buf(i) & 0xff)) % 997; i += 1 }
+          n = ais.read(buf)
+        }
+        Some(cs)
+      } finally ais.close()
+    } catch { case _: Exception => None }
+
+  /** Deterministic full-color test image: channel values are fixed
+    * affine functions of (x, y, seed) — non-constant in both axes, so a
+    * decoder that reads only part of the raster cannot reproduce the
+    * checksum. */
+  def renderImage(width: Int, height: Int,
+                  seed: Int): java.awt.image.BufferedImage = {
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val r = (x * 7 + y * 13 + seed) & 0xff
+        val g = (x * 3 + y * 5 + seed * 11) & 0xff
+        val bl = (x * 17 + y + seed * 29) & 0xff
+        img.setRGB(x, y, (r << 16) | (g << 8) | bl)
+        x += 1
+      }
+      y += 1
+    }
+    img
+  }
+
+  /** Constant-color image (every channel = fill) — the oracle-friendly
+    * input: lossless formats round-trip it exactly, so the decoded
+    * pixel checksum keeps the 3·w·h·fill closed form. */
+  def renderConstImage(width: Int, height: Int,
+                       fill: Int): java.awt.image.BufferedImage = {
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val rgb = (fill << 16) | (fill << 8) | fill
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) { img.setRGB(x, y, rgb); x += 1 }
+      y += 1
+    }
+    img
+  }
+
+  /** Encode via the JDK's ImageIO writers ("png", "jpg", "gif", "bmp"):
+    * a REAL compressed file — LZW for GIF, DCT entropy coding for JPEG —
+    * that any standard decoder reads. Unlike the hand-rolled encoders
+    * the byte size has no closed form, so oracle queries over these
+    * payloads compare geometry and pixel checksums, not n_bytes. */
+  def encodeImageIO(img: java.awt.image.BufferedImage,
+                    format: String): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val ok = javax.imageio.ImageIO.write(img, format, out)
+    require(ok, s"no ImageIO writer for format $format")
+    out.toByteArray
+  }
+
+  /** Real LZW-compressed GIF of a constant-color image. GIF is
+    * palette-lossless: one distinct color → exact round-trip → pixel
+    * checksum keeps the 3·w·h·fill mod 997 closed form. */
+  def encodeGifReal(width: Int, height: Int, fill: Int): Array[Byte] =
+    encodeImageIO(renderConstImage(width, height, fill), "gif")
+
+  /** Real entropy-coded JPEG of the deterministic gradient image. Lossy:
+    * pixel values are NOT oracle-recomputable; determinism is pinned by
+    * CodecSpec (same input bytes → same decoded raster in one JVM). */
+  def encodeJpegReal(width: Int, height: Int, seed: Int): Array[Byte] =
+    encodeImageIO(renderImage(width, height, seed), "jpg")
 
   /** Decode JPEG geometry → (width, height); None when not a JPEG or no
     * SOF before scan data. Walks marker segments from SOI (skipping fill

@@ -7,14 +7,22 @@ import org.apache.spark.sql.types._
 /** Multimodal-column plumbing: image/audio/video as opaque `binary`
   * columns with typed metadata, processed in partition-local batches.
   *
-  * BMP, WAV, PNG, and JPEG payloads are decoded for REAL — byte-level
-  * header parsing in pure JVM code ([[MediaCodecs]]), dispatched by
-  * magic number. Remaining formats (MP3/MP4 need codec libraries this
-  * container lacks)
-  * fall back to [[FakeDecoder.decode]], a deterministic stub that is the
-  * clearly-marked seam where a JNI/ONNX codec would plug in. Everything
-  * around the decode — the schema, the binary column, the batched
-  * `mapPartitions` shape, the partitioning — is real in both paths.
+  * Decode happens at two depths, both REAL:
+  *  - header walk ([[MediaCodecs]] byte-level parsers, dispatched by
+  *    magic number): geometry/rate/frame-count for BMP, PNG, JPEG, GIF,
+  *    WAV, MP3, MP4 — the cheap metadata probe;
+  *  - content decode (JDK standard library, zero new deps):
+  *    `javax.imageio` reads the actual pixel raster for
+  *    BMP/PNG/GIF/JPEG and `javax.sound.sampled` the actual PCM frames
+  *    for WAV, producing `px_checksum` over decoded CONTENT.
+  * Payloads no parser recognizes fall back to [[FakeDecoder.decode]],
+  * a deterministic stub that is the clearly-marked seam where a
+  * JNI/ONNX codec would plug in; the only in-format capability still
+  * stubbed is MP3/MP4 *sample/frame payload* decode (needs codec
+  * libraries outside the JDK — px_checksum stays null there).
+  * Everything around the decode — the schema, the binary column, the
+  * batched `mapPartitions` shape, the partitioning — is real in all
+  * paths.
   *
   * Scale notes: decode is a per-row map over partition iterators (no
   * shuffle, no driver data). Batch shape mirrors Arrow-batch processing:
@@ -32,7 +40,10 @@ object Multimodal {
     StructField("payload", BinaryType),
     StructField("n_bytes", LongType)))
 
-  /** Decoded-feature schema produced by the (stubbed) decoder. */
+  /** Decoded-feature schema. `checksum` is over raw payload BYTES (all
+    * paths); `px_checksum` is over decoded pixel/sample CONTENT — null
+    * when only header metadata is available (geometry-only fixtures,
+    * MP3/MP4 payloads, unrecognized bytes). */
   val DecodedSchema: StructType = StructType(Seq(
     StructField("media_id", LongType),
     StructField("media_type", StringType),
@@ -40,7 +51,8 @@ object Multimodal {
     StructField("width", IntegerType),
     StructField("height", IntegerType),
     StructField("n_frames", IntegerType),
-    StructField("checksum", LongType)))
+    StructField("checksum", LongType),
+    StructField("px_checksum", LongType)))
 
   /** Build a media table from the documents table: the text bytes stand in
     * for an image/audio payload (deterministic; media_type cycles by id).
@@ -66,14 +78,18 @@ object Multimodal {
     import spark.implicits._
     docs.select(col("doc_id"), col("text")).as[(Long, String)]
       .mapPartitions(_.map { case (id, text) =>
+        // constant non-zero pixel/sample fill (id-derived) keeps the
+        // decoded-content checksum in SQL-closed form: 3·w·h·fill for
+        // images, dataBytes·fill for PCM, both mod 997
+        val fill = (id % 251).toInt + 1
         val payload = (id % 8) match {
           case 0 => MediaCodecs.encodeBmp(
-            (id % 16).toInt + 1, (id % 12).toInt + 1)
+            (id % 16).toInt + 1, (id % 12).toInt + 1, fill)
           case 1 => MediaCodecs.encodeWav(
             8000 + (id % 8).toInt * 1000, (id % 2).toInt + 1,
-            (id % 256).toInt + 1)
+            (id % 256).toInt + 1, fill)
           case 2 => MediaCodecs.encodePng(
-            (id % 20).toInt + 1, (id % 10).toInt + 1)
+            (id % 20).toInt + 1, (id % 10).toInt + 1, fill)
           case 3 => MediaCodecs.encodeJpeg(
             (id % 30).toInt + 1, (id % 14).toInt + 1)
           case 4 => MediaCodecs.encodeGif(
@@ -90,6 +106,36 @@ object Multimodal {
           case 1 | 5 => "audio"
           case _ => "video"
         }
+        MediaRow(id, mt, payload, payload.length.toLong)
+      })
+      .toDF()
+  }
+
+  /** Synthetic media where every payload's CONTENT is fully decodable
+    * with the JDK alone: constant-fill BMP / PNG / PCM WAV
+    * (hand-rolled encoders) and a real LZW-compressed GIF written by
+    * ImageIO — all four chosen so the decoded pixel/sample checksum has
+    * a closed form (3·w·h·fill or dataBytes·fill, mod 997) an
+    * arithmetic SQL oracle recomputes without parsing a byte. The
+    * lossy/ImageIO-encoded cases (JPEG entropy data, variable GIF
+    * sizes) are pinned by CodecSpec instead, where exact byte-size
+    * oracles don't apply. */
+  def syntheticPixelMedia(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val fill = (id % 251).toInt + 1
+        val w = (id % 16).toInt + 1
+        val h = (id % 12).toInt + 1
+        val payload = (id % 4) match {
+          case 0 => MediaCodecs.encodeBmp(w, h, fill)
+          case 1 => MediaCodecs.encodePng(w, h, fill)
+          case 2 => MediaCodecs.encodeGifReal(w, h, fill)
+          case _ => MediaCodecs.encodeWav(8000 + (id % 8).toInt * 1000,
+            (id % 2).toInt + 1, (id % 256).toInt + 1, fill)
+        }
+        val mt = if (id % 4 == 3) "audio" else "image"
         MediaRow(id, mt, payload, payload.length.toLong)
       })
       .toDF()
@@ -127,21 +173,34 @@ object Multimodal {
     * GIF, MP4 geometry; WAV and MP3 audio), stub otherwise. Feature
     * mapping — image/video geometry: (width, height, 1 frame); audio:
     * (sample_rate, channels, n_samples|n_frames) in the (width, height,
-    * n_frames) slots. */
+    * n_frames) slots. The 5th element is the decoded-CONTENT checksum:
+    * real pixel raster via `javax.imageio` for image formats, real PCM
+    * frames via `javax.sound.sampled` for WAV; None when only header
+    * metadata exists (geometry-only fixtures, MP3/MP4 payloads, stub
+    * path). The ImageIO/audio attempt is gated on a matching magic so
+    * arbitrary bytes never pay a reader probe. */
   def decodeAny(mediaType: String, payload: Array[Byte])
-      : (Int, Int, Int, Long) =
+      : (Int, Int, Int, Long, Option[Long]) =
     MediaCodecs.decodeBmp(payload)
       .orElse(MediaCodecs.decodePng(payload))
       .orElse(MediaCodecs.decodeJpeg(payload))
-      .orElse(MediaCodecs.decodeGif(payload))
-      .orElse(MediaCodecs.decodeMp4(payload)) match {
-      case Some((w, h)) => (w, h, 1, checksum(payload))
-      case None => MediaCodecs.decodeWav(payload) match {
-        case Some((rate, ch, n)) => (rate, ch, n, checksum(payload))
-        case None => MediaCodecs.decodeMp3(payload) match {
-          case Some((rate, ch, frames)) =>
-            (rate, ch, frames, checksum(payload))
-          case None => FakeDecoder.decode(mediaType, payload)
+      .orElse(MediaCodecs.decodeGif(payload)) match {
+      case Some((w, h)) =>
+        (w, h, 1, checksum(payload),
+          MediaCodecs.decodeImagePixels(payload).map(_._3))
+      case None => MediaCodecs.decodeMp4(payload) match {
+        case Some((w, h)) => (w, h, 1, checksum(payload), None)
+        case None => MediaCodecs.decodeWav(payload) match {
+          case Some((rate, ch, n)) =>
+            (rate, ch, n, checksum(payload),
+              MediaCodecs.decodeWavSamples(payload))
+          case None => MediaCodecs.decodeMp3(payload) match {
+            case Some((rate, ch, frames)) =>
+              (rate, ch, frames, checksum(payload), None)
+            case None =>
+              val (w, h, f, cs) = FakeDecoder.decode(mediaType, payload)
+              (w, h, f, cs, None)
+          }
         }
       }
     }
@@ -152,7 +211,8 @@ object Multimodal {
                             payload: Array[Byte], n_bytes: Long)
   final case class DecodedRow(media_id: Long, media_type: String,
                               n_bytes: Long, width: Int, height: Int,
-                              n_frames: Int, checksum: Long)
+                              n_frames: Int, checksum: Long,
+                              px_checksum: Option[Long])
 
   /** Decode/feature-extract over partition-local batches. The iterator is
     * grouped into [[BatchSize]] chunks so a vectorized decoder can process
@@ -171,8 +231,8 @@ object Multimodal {
         it.grouped(BatchSize).flatMap { batch =>
           // per-batch decoder setup would happen here (model load, codec init)
           batch.iterator.map { m =>
-            val (w, h, f, cs) = decodeAny(m.media_type, m.payload)
-            DecodedRow(m.media_id, m.media_type, m.n_bytes, w, h, f, cs)
+            val (w, h, f, cs, px) = decodeAny(m.media_type, m.payload)
+            DecodedRow(m.media_id, m.media_type, m.n_bytes, w, h, f, cs, px)
           }
         }
       }

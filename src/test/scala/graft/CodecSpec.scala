@@ -124,18 +124,83 @@ class CodecSpec extends AnyFunSuite {
     assert(MediaCodecs.decodeBmp("not a bmp".getBytes).isEmpty)
     assert(MediaCodecs.decodeWav("RIFFxxxxJUNK".getBytes).isEmpty)
     assert(MediaCodecs.decodeWav(Array.emptyByteArray).isEmpty)
-    // unknown bytes route to the deterministic stub
-    val (w, h, f, cs) = Multimodal.decodeAny("image", "hello".getBytes)
+    // unknown bytes route to the deterministic stub — no pixel evidence
+    val (w, h, f, cs, px) = Multimodal.decodeAny("image", "hello".getBytes)
     assert((w, h, f) == (6, 6, 1)) // fake formulas on n=5
     assert(cs == "hello".getBytes.map(_ & 0xff).sum % 997)
+    assert(px.isEmpty)
   }
 
   test("decodeAny dispatches by magic and checksums real payloads") {
-    val bmp = MediaCodecs.encodeBmp(7, 5)
+    // constant-fill payloads: decoded-content checksums are the closed
+    // forms the SQL oracle recomputes (3·w·h·fill / dataBytes·fill)
+    val bmp = MediaCodecs.encodeBmp(7, 5, fill = 40)
     assert(Multimodal.decodeAny("image", bmp) ==
-      ((7, 5, 1, Multimodal.checksum(bmp))))
-    val wav = MediaCodecs.encodeWav(12000, 2, 99)
+      ((7, 5, 1, Multimodal.checksum(bmp), Some(3L * 7 * 5 * 40 % 997))))
+    val wav = MediaCodecs.encodeWav(12000, 2, 99, fill = 17)
     assert(Multimodal.decodeAny("audio", wav) ==
-      ((12000, 2, 99, Multimodal.checksum(wav))))
+      ((12000, 2, 99, Multimodal.checksum(wav),
+        Some(99L * 2 * 2 * 17 % 997))))
+  }
+
+  test("ImageIO pixel decode: constant-fill BMP/PNG match closed form") {
+    for ((w, h, fill) <- Seq((1, 1, 1), (16, 12, 200), (20, 10, 251))) {
+      val closed = 3L * w * h * fill % 997
+      assert(MediaCodecs.decodeImagePixels(MediaCodecs.encodeBmp(w, h, fill))
+        .contains((w, h, closed)))
+      assert(MediaCodecs.decodeImagePixels(MediaCodecs.encodePng(w, h, fill))
+        .contains((w, h, closed)))
+    }
+    // zero fill decodes too (checksum 0) — the pixel read is real either way
+    assert(MediaCodecs.decodeImagePixels(MediaCodecs.encodeBmp(4, 3))
+      .contains((4, 3, 0L)))
+  }
+
+  test("ImageIO gradient round-trip: PNG lossless, GIF palette-exact") {
+    // full-color gradient through the JDK PNG writer and back: lossless,
+    // so the decoded raster reproduces the source checksum exactly
+    val src = MediaCodecs.renderImage(23, 11, seed = 7)
+    val png = MediaCodecs.encodeImageIO(src, "png")
+    assert(MediaCodecs.decodePng(png).contains((23, 11))) // header walk too
+    assert(MediaCodecs.decodeImagePixels(png)
+      .contains((23, 11, MediaCodecs.pixelChecksum(src))))
+    // a gradient that differs in one pixel must not collide
+    val tweaked = MediaCodecs.renderImage(23, 11, seed = 7)
+    tweaked.setRGB(22, 10, tweaked.getRGB(22, 10) ^ 1)
+    assert(MediaCodecs.pixelChecksum(tweaked) !=
+      MediaCodecs.pixelChecksum(src))
+    // real LZW GIF of a single color: palette-lossless → closed form
+    val gif = MediaCodecs.encodeGifReal(9, 6, fill = 77)
+    assert(MediaCodecs.decodeGif(gif).contains((9, 6))) // header walk
+    assert(MediaCodecs.decodeImagePixels(gif)
+      .contains((9, 6, 3L * 9 * 6 * 77 % 997)))
+  }
+
+  test("real JPEG: entropy-coded bytes decode; geometry fixture does not") {
+    val jpg = MediaCodecs.encodeJpegReal(24, 16, seed = 3)
+    // the hand-rolled SOF walk parses real-world JPEG bytes
+    assert(MediaCodecs.decodeJpeg(jpg).contains((24, 16)))
+    val decoded = MediaCodecs.decodeImagePixels(jpg)
+    assert(decoded.exists { case (w, h, _) => w == 24 && h == 16 })
+    // lossy but deterministic: same input → same bytes → same raster
+    assert(MediaCodecs.decodeImagePixels(
+      MediaCodecs.encodeJpegReal(24, 16, seed = 3)) == decoded)
+    // the header-only geometry fixture has no scan data: pixel read
+    // fails, header geometry stands, px_checksum stays empty
+    val fixture = MediaCodecs.encodeJpeg(24, 16)
+    assert(MediaCodecs.decodeImagePixels(fixture).isEmpty)
+    assert(Multimodal.decodeAny("image", fixture) ==
+      ((24, 16, 1, Multimodal.checksum(fixture), None)))
+  }
+
+  test("javax.sound WAV sample decode matches the data chunk bytes") {
+    val wav = MediaCodecs.encodeWav(8000, 1, 300, fill = 5)
+    assert(MediaCodecs.decodeWavSamples(wav).contains(300L * 2 * 5 % 997))
+    assert(MediaCodecs.decodeWavSamples(MediaCodecs.encodeWav(8000, 2, 10))
+      .contains(0L)) // zero samples read for real, checksum 0
+    assert(MediaCodecs.decodeWavSamples("RIFFxxxxJUNK".getBytes).isEmpty)
+    // MP3 frame sequences carry no JDK sample decoder: px stays empty
+    val mp3 = MediaCodecs.encodeMp3(44100, 2, 3)
+    assert(Multimodal.decodeAny("audio", mp3)._5.isEmpty)
   }
 }
