@@ -266,10 +266,12 @@ object TextAnalysis {
     * a global quality-ordered running sum, computed WITHOUT a global
     * single-partition window: a 1,001-bucket quality histogram (one
     * aggregate; model-sized driver state, like k-means centroids) finds
-    * the crossing bucket; buckets above it select wholesale, and only
-    * the crossing bucket's residents run a windowed cumsum against the
-    * leftover budget. Identical output to the naive global window at
-    * any scale. */
+    * the crossing bucket; buckets above it select wholesale, and the
+    * crossing bucket's residents run a RANGE-PARTITIONED two-phase
+    * cumsum (per-partition window + driver-side partition offsets)
+    * against the leftover budget — so even a corpus where every row
+    * shares one quality value never sees a single-partition window.
+    * Identical output to the naive global window at any scale. */
   def budgetSelect(df: org.apache.spark.sql.DataFrame, id: String,
                    text: String, budgetTokens: Long)
       : org.apache.spark.sql.DataFrame = {
@@ -299,12 +301,41 @@ object TextAnalysis {
       if (!crossed)
         scored.withColumn("selected", lit(true))
       else {
-        val w = Window.orderBy(col("quality").desc, col("doc"))
+        // Residual cumsum WITHOUT a global single-partition window. The
+        // histogram bounds the residual to one of 1,001 QUALITY buckets,
+        // which is no bound on DATA: a constant-quality corpus routes
+        // ~100% of rows through this branch, and a bare
+        // Window.orderBy(...) would move them all to one partition — the
+        // exact global sort this operator exists to avoid. Instead:
+        // range-partition on the selection order, cumsum within each
+        // partition, then add per-partition prefix offsets (≤P totals —
+        // model-sized driver state, like the histogram itself). Exact
+        // for any input: (quality desc, doc asc) is a strict total
+        // order, so the split points cannot change the prefix sums.
+        val ord = Seq(col("quality").desc, col("doc").asc)
+        val p = scored.sparkSession.sessionState.conf.numShufflePartitions
+        // localCheckpoint freezes the sampled range bounds: the pid
+        // column must be identical in the offsets job and the cumsum job
+        val parts = scored.filter(col("qb") === cut)
+          .repartitionByRange(p, ord: _*)
+          .withColumn("pid", spark_partition_id())
+          .localCheckpoint()
+        val ptots = parts.groupBy("pid").agg(sum("n_tokens").as("ptot"))
+          .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+        val offsets = ptots.scanLeft((Int.MinValue, 0L)) {
+          case ((_, acc2), (pid, ptot)) => (pid, acc2 + ptot)
+        }.sliding(2).collect { case Array((_, prior), (pid, _)) =>
+          (pid, prior)
+        }.toArray
+        val offset = offsets.foldLeft(lit(0L)) { case (acc2, (pid, off)) =>
+          when(col("pid") === pid, lit(off)).otherwise(acc2)
+        }
+        val wIn = Window.partitionBy(col("pid")).orderBy(ord: _*)
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val residual = scored.filter(col("qb") === cut)
-          .withColumn("cum", sum(col("n_tokens")).over(w))
+        val residual = parts
+          .withColumn("cum", sum(col("n_tokens")).over(wIn) + offset)
           .withColumn("selected", col("cum") <= remaining)
-          .drop("cum")
+          .drop("cum", "pid")
         scored.filter(col("qb") =!= cut)
           .withColumn("selected", col("qb") > cut)
           .unionByName(residual)

@@ -211,6 +211,34 @@ class LlmSpec extends SparkSpec {
     assert(got.filter(!$"selected").count() > 0)
   }
 
+  test("budgetSelect constant-quality corpus: exact, no global window") {
+    // every document shares one quality value, so ~100% of rows land in
+    // the crossing histogram bucket — the input shape that degenerated
+    // the pre-r6 residual into a single-partition global window. The
+    // range-partitioned two-phase cumsum must (a) stay exact against the
+    // naive greedy prefix and (b) never plan an Exchange SinglePartition.
+    val spark2 = docs.sparkSession
+    import spark2.implicits._
+    val const = (0L until 400L).map(i => (i, "alpha beta gamma delta"))
+      .toDF("doc_id", "text")
+    // identical text → identical quality and n_tokens: greedy order
+    // degenerates to doc asc, budget cuts mid-corpus
+    val one = TextAnalysis.budgetSelect(const.limit(1), "doc_id", "text", 1L)
+    val perDoc = one.select($"n_tokens").head.getLong(0)
+    val budget = perDoc * 150 + 1
+    val got = TextAnalysis.budgetSelect(const, "doc_id", "text", budget)
+      .cache()
+    assert(got.count() == 400)
+    // greedy prefix by doc asc: exactly docs 0..149 fit
+    assert(got.filter($"selected").count() == 150)
+    assert(got.filter($"selected").agg(max($"doc")).head.getLong(0) == 149L)
+    // the residual cumsum must be partitioned: a windowed plan with no
+    // partition spec would show up as an Exchange SinglePartition
+    val plan = got.queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"),
+      s"degenerate single-partition window in plan:\n$plan")
+  }
+
   test("IVF top-k: scores agree with exact cosine, self excluded") {
     val q = emb.filter($"vec_id" < 3)
     val ivf = Similarity.ivfTopK(emb, q, "vec_id", "embedding", 5).cache()
