@@ -1074,6 +1074,21 @@ object SparkEntry {
         .orderBy(col("query_id"))
     }),
 
+    "sim_ivf_multiassign" -> ((s, dir) => {
+      // corpus-side multiple assignment (×3 index) must clear a HIGHER
+      // recall gate than single-assignment sim_ivf_topk at the same
+      // nprobe — the storage-for-recall trade driver-verified. Queries
+      // are mid-id (disjoint from every init pool) so the gate isn't an
+      // artifact of seeding near the query vectors.
+      val e = t(s, dir, "embeddings").localCheckpoint()
+      val cent = Similarity.ivfTrain(e, "vec_id", "embedding", nlist = 32)
+      Similarity.ivfRecall(e,
+          e.filter(col("vec_id") >= 200 && col("vec_id") < 205),
+          "vec_id", "embedding", 10, cent, nprobe = 12, multiAssign = 3)
+        .select(col("query_id"), (col("recall") >= 0.8).as("recall_ok"))
+        .orderBy(col("query_id"))
+    }),
+
     // ---- multimodal plumbing (stub decode — see Multimodal.FakeDecoder) ----
     "mm_decode" -> ((s, dir) =>
       Multimodal.decodeFeatures(
@@ -2116,6 +2131,14 @@ object SparkEntry {
     "sim_ivf_topk" ->
       """SELECT vec_id AS query_id, true AS recall_ok
         |FROM embeddings WHERE vec_id < 5 ORDER BY query_id""".stripMargin,
+
+    // multiple-assignment search must clear the HIGHER 0.8 gate (vs 0.6
+    // single-assign) at the same nprobe — recall floors measured in
+    // LlmSpec; the oracle pins the gate
+    "sim_ivf_multiassign" ->
+      """SELECT vec_id AS query_id, true AS recall_ok
+        |FROM embeddings WHERE vec_id >= 200 AND vec_id < 205
+        |ORDER BY query_id""".stripMargin,
 
     "mm_decode" ->
       s"""WITH m AS (SELECT doc_id AS media_id,

@@ -298,7 +298,6 @@ object Dedup {
                    maxHamming: Int = 3): DataFrame = {
     require(maxHamming < SimHashBands,
       s"banded search complete only for maxHamming < $SimHashBands")
-    val bits = SimHashBandBits
     // the signature aggregate (explode every token + 60 bit-sums) is the
     // expensive subtree and is referenced three times below (distinct
     // signatures + both sides of the doc re-expansion); an eager
@@ -311,21 +310,7 @@ object Dedup {
     // narrow row per document — negligible storage at any corpus size
     // (on a real cluster, prefer a reliable checkpoint dir).
     val sig = simhash(df, id, text).localCheckpoint()
-
-    val sigs = sig.select(col("simhash")).distinct()
-    val bandCols = (0 until SimHashBands).map { b =>
-      concat(lit(s"$b:"),
-        ((col("simhash") / lit(1L << (b * bits))).cast(LongType)
-          % lit(1L << bits)).cast(StringType))
-    }
-    val banded = sigs.select(col("simhash"),
-      explode(array(bandCols: _*)).as("band"))
-    val sigPairs = banded.alias("x").join(banded.alias("y"),
-        col("x.band") === col("y.band") &&
-          col("x.simhash") < col("y.simhash") &&
-          hamming(col("x.simhash"), col("y.simhash")) <= maxHamming)
-      .select(col("x.simhash").as("sa"), col("y.simhash").as("sb"))
-      .distinct()
+    val sigPairs = simhashSigPairs(sig, maxHamming)
 
     // expansion back to doc pairs: linear in output size
     val da = sig.select(col("doc").as("doc_a"), col("simhash").as("sa"))
@@ -339,6 +324,28 @@ object Dedup {
       .select(col("p.doc").as("id_a"), col("q.doc").as("id_b"),
         lit(0).cast(IntegerType).as("dist"))
     same.unionByName(cross)
+  }
+
+  /** Banded hamming self-join over DISTINCT signatures → signature-space
+    * edge list (sa, sb). The quadratic part of SimHash search runs here,
+    * on ~|distinct signatures| nodes — never over documents. */
+  private[llm] def simhashSigPairs(sig: DataFrame,
+                                   maxHamming: Int): DataFrame = {
+    val bits = SimHashBandBits
+    val sigs = sig.select(col("simhash")).distinct()
+    val bandCols = (0 until SimHashBands).map { b =>
+      concat(lit(s"$b:"),
+        ((col("simhash") / lit(1L << (b * bits))).cast(LongType)
+          % lit(1L << bits)).cast(StringType))
+    }
+    val banded = sigs.select(col("simhash"),
+      explode(array(bandCols: _*)).as("band"))
+    banded.alias("x").join(banded.alias("y"),
+        col("x.band") === col("y.band") &&
+          col("x.simhash") < col("y.simhash") &&
+          hamming(col("x.simhash"), col("y.simhash")) <= maxHamming)
+      .select(col("x.simhash").as("sa"), col("y.simhash").as("sb"))
+      .distinct()
   }
 
   /** Cluster collapse of the SimHash near-dup graph: every document gets
@@ -360,30 +367,117 @@ object Dedup {
     * changed labels; `maxIter` is a safety net at 2^maxIter-diameter
     * reach, and hitting it throws rather than returning a wrong answer.
     *
-    * Only documents that HAVE an edge participate in the loop; the
-    * (typically vast) singleton majority joins back in at the end.
-    * `localCheckpoint` truncates lineage each round (on a cluster, use
-    * a reliable checkpoint dir). The driver loop is control flow only —
-    * all data movement stays distributed. */
+    * Only nodes that HAVE an edge participate in the loop — and the
+    * nodes here are DISTINCT SIGNATURES, not documents (see the r6 note
+    * in the body); the (typically vast) singleton majority joins back in
+    * at the end. `localCheckpoint` truncates lineage each round (on a
+    * cluster, use a reliable checkpoint dir). The driver loop is control
+    * flow only — all data movement stays distributed. */
   def simhashClusters(df: DataFrame, id: String, text: String,
                       maxHamming: Int = 3, maxIter: Int = 20,
-                      driverEdgeLimit: Long = 1000000L): DataFrame =
-    collapseComponents(df, id, simhashPairs(df, id, text, maxHamming),
-      maxIter, driverEdgeLimit)
+                      driverEdgeLimit: Long = 1000000L): DataFrame = {
+    // The component graph lives in DISTINCT-SIGNATURE space (r6): nodes
+    // are signatures, edges the banded-hamming signature pairs, and each
+    // document inherits its signature's component with one linear join.
+    // The former doc-space form fed collapseComponents the expanded
+    // doc-pair list, which is quadratic per duplicate GROUP — a corpus
+    // where every page has m near-identical copies produced ~m²/2 edges
+    // per cluster (10× sf1 probe: 8,628 → 1.3M edges, 15× runtime for
+    // 10× data, spilling past the driver union-find limit). In signature
+    // space the same corpus keeps the ~same edge count at any
+    // duplication multiplicity, and every per-doc step is one join or
+    // aggregate. Identical output: same-signature docs are hamming-0
+    // neighbors, so the doc-space components were exactly the expanded
+    // signature components.
+    val sig = simhash(df, id, text).localCheckpoint()
+    val edges = simhashSigPairs(sig, maxHamming)
+      .select(col("sa").as("id_a"), col("sb").as("id_b"))
+      .localCheckpoint()
+    val labels = componentLabels(edges, maxIter, driverEdgeLimit)
+    val sigLabel = sig.select(col("simhash")).distinct()
+      .join(labels.withColumnRenamed("doc", "simhash"),
+        Seq("simhash"), "left_outer")
+      .select(col("simhash"),
+        coalesce(col("label"), col("simhash")).as("slabel"))
+    // doc → its signature's component; rep = MIN ORIGINAL id per
+    // component (any orderable id type — numeric or string)
+    val byDoc = sig.join(sigLabel, Seq("simhash"))
+      .select(col("doc"), col("slabel"))
+    val reps = byDoc.groupBy("slabel").agg(min(col("doc")).as("rep"))
+    val docRep = byDoc.join(reps, Seq("slabel"))
+      .select(col("doc"), col("rep"))
+    // docs the tokenizer produced no signature for (empty text) stay
+    // their own singleton clusters
+    df.select(col(id).as("doc")).distinct()
+      .join(docRep, Seq("doc"), "left_outer")
+      .select(col("doc"), coalesce(col("rep"), col("doc")).as("rep"))
+      .withColumn("keep", col("doc") === col("rep"))
+  }
 
   /** Per-doc keep/drop over the MinHash-LSH near-dup graph — the same
-    * cluster collapse as [[simhashClusters]], over [[minhashCandidates]]
-    * edges (optionally bucket-capped). The scale-safe product shape for
-    * MinHash dedup: corpus-linear output where the candidate pair list
-    * is quadratic per cluster. */
+    * cluster collapse as [[simhashClusters]], with the component graph
+    * in DISTINCT-SIGNATURE space (r6, same reasoning): nodes are
+    * distinct k-value signature vectors (xxhash64 fingerprint), edges
+    * connect fingerprints sharing a band key, and documents inherit
+    * their fingerprint's component with one linear join. The former
+    * doc-space [[minhashCandidates]] edge list is quadratic per
+    * duplicate group (m copies → m²/2 edges); here duplication
+    * multiplicity never enters the graph. `maxBucketSize` keeps its
+    * doc-count semantics: a band bucket whose DOCUMENT population
+    * exceeds the cap contributes no edges (the population is the sum of
+    * per-fingerprint doc counts — one aggregate, still
+    * signature-space-sized state). One deliberate improvement over the
+    * doc-space form: IDENTICAL-signature documents are one node, so
+    * they collapse together even when every band they share is capped —
+    * the cap bounds join cost, and merging exact signature twins costs
+    * nothing regardless of bucket heat. */
   def minhashClusters(df: DataFrame, id: String, text: String,
                       n: Int = 3, k: Int = 16, bands: Int = 4,
                       maxBucketSize: Option[Int] = None,
                       maxIter: Int = 20,
-                      driverEdgeLimit: Long = 1000000L): DataFrame =
-    collapseComponents(df, id,
-      minhashCandidates(df, id, text, n, k, bands, maxBucketSize),
-      maxIter, driverEdgeLimit)
+                      driverEdgeLimit: Long = 1000000L): DataFrame = {
+    val r = k / bands
+    val sig = minhashSignature(df, id, text, n, k).localCheckpoint()
+    val fp = xxhash64((0 until k).map(i => col(s"mh$i")): _*)
+    val docSig = sig.select(col("doc"), fp.as("sfp"))
+    val bandCols = (0 until bands).map { b =>
+      concat(lit(s"$b:"),
+        md5(concat_ws("|", (b * r until (b + 1) * r)
+          .map(i => col(s"mh$i").cast(StringType)): _*)))
+    }
+    val sigBand = sig.select(fp.as("sfp"),
+        explode(array(bandCols: _*)).as("band"))
+      .distinct()
+    val kept = maxBucketSize match {
+      case None => sigBand
+      case Some(cap) =>
+        val perFp = docSig.groupBy("sfp").agg(count(lit(1)).as("fn"))
+        import org.apache.spark.sql.expressions.Window
+        sigBand.join(perFp, Seq("sfp"))
+          .withColumn("__bucket_n",
+            sum(col("fn")).over(Window.partitionBy(col("band"))))
+          .filter(col("__bucket_n") <= cap)
+          .select(col("sfp"), col("band"))
+    }
+    val edges = kept.alias("a").join(kept.alias("b"),
+        col("a.band") === col("b.band") && col("a.sfp") < col("b.sfp"))
+      .select(col("a.sfp").as("id_a"), col("b.sfp").as("id_b"))
+      .distinct()
+      .localCheckpoint()
+    val labels = componentLabels(edges, maxIter, driverEdgeLimit)
+    val sigLabel = docSig.select(col("sfp")).distinct()
+      .join(labels.withColumnRenamed("doc", "sfp"), Seq("sfp"), "left_outer")
+      .select(col("sfp"), coalesce(col("label"), col("sfp")).as("slabel"))
+    val byDoc = docSig.join(sigLabel, Seq("sfp"))
+      .select(col("doc"), col("slabel"))
+    val reps = byDoc.groupBy("slabel").agg(min(col("doc")).as("rep"))
+    val docRep = byDoc.join(reps, Seq("slabel"))
+      .select(col("doc"), col("rep"))
+    df.select(col(id).as("doc")).distinct()
+      .join(docRep, Seq("doc"), "left_outer")
+      .select(col("doc"), coalesce(col("rep"), col("doc")).as("rep"))
+      .withColumn("keep", col("doc") === col("rep"))
+  }
 
   /** Connected-component collapse shared by the dedup families: every
     * document gets the MIN doc id of its component in `pairsDf`

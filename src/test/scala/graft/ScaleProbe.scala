@@ -60,6 +60,50 @@ object ScaleProbe {
         .filter(col("selected")).count()
     }
     println(s"[probe]   -> $bs selected")
+
+    // ---- r6 additions: join operators + the degenerate budgetSelect ----
+    // events scale by SHIFTING user_id too: more keys at constant per-key
+    // history — the realistic 100 TB growth axis (a fixed key set with
+    // ever-deeper history would measure per-key sort growth instead)
+    val ev = Tables.load(spark, sfDir, "events") // nanos-ts aware loader
+    def evUnion(times: Int): DataFrame =
+      (1 until times).foldLeft(ev)((acc, i) =>
+        acc.unionByName(ev
+          .withColumn("event_id", col("event_id") + lit(i * 10000000L))
+          .withColumn("user_id", col("user_id") + lit(i * 1000000L))))
+
+    for (x <- Seq(2, 8, 16)) {
+      val e = evUnion(x)
+      val left = e.filter(pmod(col("event_id"), lit(2)) === 1)
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val right = e.filter(pmod(col("event_id"), lit(2)) === 0)
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("value").cast("decimal(18,6)")).cast("double").as("rv"))
+      val n = time(s"asOf+tolerance ${x}x [rows]") {
+        graft.operators.AsOfJoin.asOf(left, right, "user_id", "ts",
+          Seq("rv"), tolerance = Some(expr("INTERVAL 30 MINUTES"))).count()
+      }
+      println(s"[probe]   -> $n rows")
+    }
+    for (x <- Seq(2, 8, 16)) {
+      val n = time(s"clickImpressionJoin ${x}x [rows]") {
+        graft.streaming.Events.clickImpressionJoin(evUnion(x)).count()
+      }
+      println(s"[probe]   -> $n rows")
+    }
+    // constant-quality corpus: 100% of rows land in the crossing
+    // histogram bucket — pre-r6 this was the single-partition-window
+    // scale killer; post-fix it must grow like the normal corpus
+    for (x <- Seq(2, 8, 16)) {
+      val const = selfUnion(docs, "doc_id", x)
+        .withColumn("text",
+          lit("the quick brown fox jumps over the lazy dog again and again"))
+      val n = time(s"budgetSelect const-quality ${x}x [selected]") {
+        graft.llm.TextAnalysis.budgetSelect(const, "doc_id", "text",
+          x * 30000L).filter(col("selected")).count()
+      }
+      println(s"[probe]   -> $n selected")
+    }
     spark.stop()
   }
 }

@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** sf1 sanity probe behind SURVEY §8.13: synthesizes a 10× corpus from
+  * sf0.1 with COORDINATED key shifts (every foreign key moves with its
+  * primary key, so join fanout per row is preserved and linear growth is
+  * the correct expectation; naive row duplication would square join
+  * outputs by construction), writes it to /tmp/graft_sf1 as the same
+  * parquet layout, then times the most expensive bench queries at both
+  * scales. Growth beyond ~15× on a 10× corpus flags a superlinear
+  * operator before the scale bar moves there. Run:
+  * `sbt "Test/runMain graft.Sf1Probe"` */
+object Sf1Probe {
+  val Queries: Seq[String] = Seq(
+    "fn_safe_cast", "sim_ivf_topk", "fn_datediff", "ta_filter",
+    "ta_langid", "q02_top_revenue", "dd_jaccard", "q11_approx_distinct",
+    "dd_simhash_clusters", "q12_percentile", "ta_select", "dd_minhash_lsh",
+    "op_asof_tolerance", "q01_pricing_summary")
+
+  def main(args: Array[String]): Unit = {
+    val src = "/root/testdata/sf0.1"
+    val dst = "/tmp/graft_sf1"
+    val wh = java.nio.file.Files.createTempDirectory("graft-wh").toString
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.warehouse.dir", wh)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val X = 10
+    // key-shift deltas far above any real id range
+    val K = 100000000L
+    def shifted(t: String, keys: Seq[String]): DataFrame = {
+      val base = Tables.load(spark, src, t) // nanos-ts aware for events
+      // (the rewritten copy then carries a plain TIMESTAMP column)
+      (1 until X).foldLeft(base) { (acc, i) =>
+        acc.unionByName(keys.foldLeft(base)((d, k) =>
+          d.withColumn(k, col(k) + lit(i * K))))
+      }
+    }
+    // dims stay fixed — at 100 TB the region/nation side doesn't grow
+    for (t <- Seq("region", "nation"))
+      spark.read.parquet(s"$src/$t.parquet")
+        .write.mode("overwrite").parquet(s"$dst/$t.parquet")
+    Seq(
+      "customer" -> Seq("c_custkey"),
+      "supplier" -> Seq("s_suppkey"),
+      "part" -> Seq("p_partkey"),
+      "orders" -> Seq("o_orderkey", "o_custkey"),
+      "lineitem" -> Seq("l_orderkey", "l_partkey", "l_suppkey"),
+      "events" -> Seq("event_id", "user_id"),
+      "documents" -> Seq("doc_id"),
+      "embeddings" -> Seq("vec_id")
+    ).foreach { case (t, keys) =>
+      shifted(t, keys).write.mode("overwrite").parquet(s"$dst/$t.parquet")
+    }
+    println("[sf1] corpus written")
+
+    def run(name: String, dir: String): Double = {
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        SparkEntry.queries(name)(spark, dir)
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      once() // warm-up
+      math.min(once(), once())
+    }
+    println(f"[sf1] ${"query"}%-22s ${"sf0.1"}%8s ${"sf1"}%8s ${"ratio"}%7s")
+    Queries.foreach { q =>
+      val a = run(q, src)
+      val b = run(q, dst)
+      println(f"[sf1] $q%-22s $a%8.2f $b%8.2f ${b / a}%7.1fx")
+    }
+    spark.stop()
+  }
+}
