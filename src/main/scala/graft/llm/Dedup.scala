@@ -243,12 +243,30 @@ object Dedup {
   /** 60-bit SimHash per document over whitespace tokens: each token is
     * rolling-hashed ONCE, remixed into [[SimHashBands]] independent
     * 31-bit values, and bit j = b·15+r of the signature is set when the
-    * sum over tokens of ±1 (by bit r of mix b) is positive. Computed via
-    * explode + one groupBy with map-side partial aggregation — the
-    * shuffle carries one 60-column row per document; scales linearly,
-    * and the arithmetic (multiply-add-mod, floor-div/mod powers of two
-    * on nonnegative longs) is engine-portable. */
-  def simhash(df: DataFrame, id: String, text: String): DataFrame = {
+    * sum over tokens of ±1 (by bit r of mix b) is positive.
+    *
+    * MAP-ONLY (r6): evaluated by the native codegen expression
+    * [[graft.functions.SimHash60]] in one pass over each row's own
+    * tokens — no explode, no groupBy, NO SHUFFLE. The former relational
+    * form ([[simhashRelational]], retained as the equivalence pin)
+    * shuffled a 60-column partial-sum row per document just to
+    * reassemble per-row state; at 100 TB that corpus-wide exchange was
+    * the dominant cost of every simhash consumer. Zero-token documents
+    * are absent from the result in both forms (the expression returns
+    * null there; the groupBy never saw a row). */
+  def simhash(df: DataFrame, id: String, text: String): DataFrame =
+    df.select(col(id).as("doc"),
+        graft.functions.SimHash60(lower(col(text))).as("simhash"))
+      .filter(col("simhash").isNotNull)
+
+  /** The explode → remix → 60-bit-sum → groupBy relational form of
+    * [[simhash]] — arithmetic identical (multiply-add-mod, floor-div/mod
+    * powers of two on nonnegative longs, engine-portable); kept so the
+    * expression's bit-exactness is pinned against an independent
+    * computation path (LlmSpec) and as the reference the DuckDB oracle
+    * mirrors in SQL. */
+  private[graft] def simhashRelational(df: DataFrame, id: String,
+                                       text: String): DataFrame = {
     val tok = df.select(col(id).as("doc"),
         explode(TextAnalysis.tokens(lower(col(text)))).as("tok"))
       .withColumn("th", TextAnalysis.tokenHash(col("tok")))

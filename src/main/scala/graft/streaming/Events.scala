@@ -195,6 +195,29 @@ object Events {
   def dedupedStream(stream: DataFrame): DataFrame =
     stream.dropDuplicatesWithinWatermark("event_id")
 
+  /** Streaming NEAR-dup dedup by content signature (r6): the 60-bit
+    * SimHash is a per-row map-only expression
+    * ([[graft.functions.SimHash60]] — no aggregation state), so
+    * signature dedup composes with watermarked streaming exactly like
+    * key dedup does. Documents whose signature was already seen inside
+    * the watermark horizon are dropped; hamming-0 near-dups (templated
+    * boilerplate, mirrored pages) never reach the sink. `textCol` rows
+    * with no tokens keep a null signature and are passed through (null
+    * keys never match each other in dropDuplicates semantics would drop
+    * them — they are exempted explicitly). Batch DataFrames run the
+    * identical code. */
+  def dedupStreamBySignature(stream: DataFrame, textCol: String): DataFrame = {
+    val signed = stream.withColumn("simhash",
+      graft.functions.SimHash60(lower(col(textCol))))
+    val dedup =
+      if (stream.isStreaming)
+        signed.filter(col("simhash").isNotNull)
+          .dropDuplicatesWithinWatermark("simhash")
+      else signed.filter(col("simhash").isNotNull)
+        .dropDuplicates("simhash")
+    dedup.unionByName(signed.filter(col("simhash").isNull))
+  }
+
   /** Stream-stream INTERVAL join: each "click" (odd event_id) pairs with
     * the "impressions" (even event_id) of the same user in the preceding
     * `windowExpr` (e.g. "30 minutes"). Both sides carry watermarks, and

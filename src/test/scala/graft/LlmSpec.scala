@@ -49,6 +49,26 @@ class LlmSpec extends SparkSpec {
     assert(dist > 0)
   }
 
+  test("SimHash60 expression is bit-exact with the relational form") {
+    // the map-only codegen expression vs the independent explode +
+    // groupBy computation path, over the real corpus plus edge shapes
+    val edge = Seq((100001L, ""), (100002L, "   \t  "),
+      (100003L, "one"), (100004L, "  padded   tokens  here "),
+      (100005L, "MiXeD Case TOKENS"))
+      .toDF("doc_id", "text")
+    val d = docs.select($"doc_id", $"text").unionByName(edge)
+    val fast = Dedup.simhash(d, "doc_id", "text")
+    val slow = Dedup.simhashRelational(d, "doc_id", "text")
+    assert(fast.exceptAll(slow).count() == 0)
+    assert(slow.exceptAll(fast).count() == 0)
+    // zero-token docs are absent from BOTH surfaces
+    assert(fast.filter($"doc" === 100001L || $"doc" === 100002L)
+      .count() == 0)
+    // and the expression's plan carries no exchange — map-only
+    val plan = fast.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"signature plan shuffles:\n$plan")
+  }
+
   test("brute-force top-k: k rows per query, descending, self excluded") {
     val out = Similarity.bruteForceTopK(emb, emb.filter($"vec_id" < 3),
       "vec_id", "embedding", 5).cache()

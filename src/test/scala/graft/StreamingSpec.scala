@@ -158,4 +158,44 @@ class StreamingSpec extends SparkSpec {
       streamed.count(), "duplicates survived the streaming dedup")
     assert(streamed.count() == expected)
   }
+
+  test("streaming near-dup dedup by SimHash signature (map-only expression)") {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    val tmp = java.nio.file.Files.createTempDirectory("graft-sigdedup").toString
+    val inDir = java.nio.file.Paths.get(tmp, "in")
+    java.nio.file.Files.createDirectories(inDir)
+    // two copies of each document under different ids: every text (and
+    // so every signature) arrives at least twice
+    val docs = Tables.load(spark, sf, "documents")
+      .select($"doc_id", $"text").limit(200)
+    val doubled = docs.unionByName(
+        docs.select(($"doc_id" + 100000).as("doc_id"), $"text"))
+      .withColumn("ts", timestamp_seconds(lit(1700000000L) + $"doc_id" % 60))
+    doubled.coalesce(1).write.mode("overwrite")
+      .parquet(inDir.resolve("batch").toString)
+    val stream = spark.readStream
+      .schema(StructType(Seq(StructField("doc_id", LongType),
+        StructField("text", StringType),
+        StructField("ts", TimestampType))))
+      .parquet(inDir.resolve("batch").toString)
+      .withWatermark("ts", "1 hour")
+    val q = Events.dedupStreamBySignature(stream, "text")
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .format("parquet")
+      .option("path", s"$tmp/out")
+      .start()
+    q.awaitTermination(120000)
+    val streamed = spark.read.parquet(s"$tmp/out")
+    // one survivor per distinct signature — the batch ground truth
+    val expected = graft.llm.Dedup.simhash(doubled, "doc_id", "text")
+      .select($"simhash").distinct().count()
+    assert(streamed.count() == expected,
+      s"got ${streamed.count()}, want $expected")
+    assert(streamed.select($"simhash").distinct().count() ==
+      streamed.count(), "near-duplicates survived the signature dedup")
+  }
 }
