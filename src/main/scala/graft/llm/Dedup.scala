@@ -121,15 +121,40 @@ object Dedup {
     full.unionByName(short)
   }
 
-  /** k-value minhash signature as columns mh0..mh{k-1}, computed the
-    * scalable way: one shingle row per n-gram ([[shingleRows]]),
-    * rolling-hash each shingle ONCE, and min-aggregate the k integer
-    * mixes per document. The groupBy's partial (map-side) min means the
-    * shuffle carries one k-wide row per document; the per-shingle work
-    * is one string hash + k multiply-add-mods (the former form paid k
-    * md5 calls per shingle — VERDICT r1 hot spot). */
+  /** k-value minhash signature as columns mh0..mh{k-1}.
+    *
+    * MAP-ONLY (r6): the native codegen expression
+    * [[graft.functions.MinHashSig]] slides the n-gram window over each
+    * row's own tokens and keeps k running minima in one pass — NO
+    * SHUFFLE. The former relational pipeline ([[minhashSignatureRelational]],
+    * retained as the equivalence pin) paid TWO corpus-wide exchanges
+    * per pass: the `Window.partitionBy(doc)` assembling shingles and
+    * the min-aggregate groupBy — both reassembling per-row state. */
   def minhashSignature(df: DataFrame, id: String, text: String,
                        n: Int, k: Int): DataFrame = {
+    val arr = graft.functions.MinHashSig(lower(col(text)), n, k)
+    // null-text rows are dropped on the CHEAP column predicate, not on
+    // the expression result — a filter on isNotNull(minhash(...)) would
+    // evaluate the whole signature a second time in the Filter node
+    // (per-operator codegen has no cross-operator CSE). The expression
+    // never returns null for non-null text (zero tokens still yield the
+    // empty-string shingle, as in the relational short-doc branch).
+    df.filter(col(text).isNotNull)
+      .select(col(id).as("doc"), arr.as("mharr"))
+      .select(col("doc") +: (0 until k).map(i =>
+        element_at(col("mharr"), i + 1).as(s"mh$i")): _*)
+  }
+
+  /** The shingle-rows → hash-once → k-min-aggregate relational form of
+    * [[minhashSignature]] (shuffle carries one k-wide row per document;
+    * per-shingle work is one string hash + k multiply-add-mods — the
+    * r1-era md5-per-shingle hot spot stays dead). Kept so the
+    * expression's bit-exactness is pinned against an independent
+    * computation path (LlmSpec) and as the reference the DuckDB oracle
+    * mirrors in SQL. */
+  private[graft] def minhashSignatureRelational(df: DataFrame, id: String,
+                                                text: String,
+                                                n: Int, k: Int): DataFrame = {
     val sh = shingleRows(df, id, text, n)
       .select(col("doc"), TextAnalysis.tokenHash(col("sh")).as("h"))
     val aggs = (0 until k).map(i => min(minhashMix(col("h"), i)).as(s"mh$i"))
@@ -255,9 +280,15 @@ object Dedup {
     * are absent from the result in both forms (the expression returns
     * null there; the groupBy never saw a row). */
   def simhash(df: DataFrame, id: String, text: String): DataFrame =
-    df.select(col(id).as("doc"),
+    // "document has at least one token" is exactly `text RLIKE '\S'` —
+    // filtering on the cheap column predicate instead of on
+    // isNotNull(simhash(...)) keeps the signature expression out of the
+    // Filter node, which would otherwise evaluate it a second time per
+    // row (per-operator codegen has no cross-operator CSE). On the
+    // surviving rows the expression never returns null.
+    df.filter(col(text).isNotNull && col(text).rlike("\\S"))
+      .select(col(id).as("doc"),
         graft.functions.SimHash60(lower(col(text))).as("simhash"))
-      .filter(col("simhash").isNotNull)
 
   /** The explode → remix → 60-bit-sum → groupBy relational form of
     * [[simhash]] — arithmetic identical (multiply-add-mod, floor-div/mod

@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{DotProduct, RollingHash}
+import graft.functions.{DotProduct, MinHashSig, RollingHash, SimHash60}
 
 /** SQL-text surface for the engine's custom expressions: makes
   * `graft_rolling_hash(s)` and `graft_dot(a, b)` callable from
@@ -32,7 +32,24 @@ object GraftFunctions {
         require(args.length == 2, "graft_dot(arr, arr)")
         DotProduct(args.head, args(1))
       },
-      "graft_dot(a, b) - double dot product of two numeric arrays"))
+      "graft_dot(a, b) - double dot product of two numeric arrays"),
+    ("graft_simhash60",
+      args => {
+        require(args.length == 1, "graft_simhash60(str)")
+        SimHash60(args.head)
+      },
+      "graft_simhash60(str) - 60-bit SimHash over \\s+ tokens (null if none)"),
+    ("graft_minhash",
+      args => {
+        require(args.length == 3, "graft_minhash(str, n, k)")
+        def intLit(e: Expression, what: String): Int = e match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case _ => throw new IllegalArgumentException(
+            s"graft_minhash: $what must be an integer literal")
+        }
+        MinHashSig(args.head, intLit(args(1), "n"), intLit(args(2), "k"))
+      },
+      "graft_minhash(str, n, k) - k-value MinHash over n-gram shingles"))
 
   /** Register into an already-built session. */
   def register(spark: SparkSession): Unit =

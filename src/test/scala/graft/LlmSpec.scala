@@ -69,6 +69,23 @@ class LlmSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"signature plan shuffles:\n$plan")
   }
 
+  test("MinHashSig expression is bit-exact with the relational form") {
+    // map-only k-minima vs the window-lead + explode + min-aggregate
+    // path, over the real corpus plus short-document edge shapes (fewer
+    // tokens than the shingle width → one all-tokens shingle)
+    val edge = Seq((100001L, "one"), (100002L, "two words"),
+      (100003L, "  padded   tokens  "), (100004L, "MiXeD Case"))
+      .toDF("doc_id", "text")
+    val d = docs.select($"doc_id", $"text").unionByName(edge)
+    val fast = Dedup.minhashSignature(d, "doc_id", "text", 3, 16)
+    val slow = Dedup.minhashSignatureRelational(d, "doc_id", "text", 3, 16)
+    assert(fast.exceptAll(slow).count() == 0)
+    assert(slow.exceptAll(fast).count() == 0)
+    // map-only: the signature plan carries no exchange
+    val plan = fast.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"signature plan shuffles:\n$plan")
+  }
+
   test("brute-force top-k: k rows per query, descending, self excluded") {
     val out = Similarity.bruteForceTopK(emb, emb.filter($"vec_id" < 3),
       "vec_id", "embedding", 5).cache()
@@ -433,6 +450,21 @@ class LlmSpec extends SparkSpec {
     assert(r.getLong(0) == 97L && r.getDouble(1) == 11.0)
     // arity errors surface at analysis
     intercept[Exception] { spark.sql("SELECT graft_rolling_hash('a','b')").collect() }
+    // the r6 signature expressions: SQL spelling agrees with Column API
+    val s2 = spark.sql(
+      "SELECT graft_simhash60(lower('Hello World')) AS sh, " +
+        "graft_minhash(lower('a b c d'), 3, 4) AS mh, " +
+        "graft_simhash60('   ') AS empty").head
+    val viaCol = Dedup.simhash(
+      Seq((1L, "Hello World")).toDF("doc_id", "text"), "doc_id", "text")
+      .head.getLong(1)
+    assert(s2.getLong(0) == viaCol)
+    assert(s2.getSeq[Long](1).length == 4)
+    assert(s2.isNullAt(2)) // zero tokens → null
+    // non-literal n rejected at analysis
+    intercept[Exception] {
+      spark.sql("SELECT graft_minhash('a', length('xx'), 4)").collect()
+    }
   }
 
   test("GraftExtensions injects functions at session build time") {
