@@ -108,6 +108,73 @@ object MediaCodecs {
     else Some((rate, channels, dataLen / (channels * math.max(bits / 8, 1))))
   }
 
+  /** Encode an AIFF: FORM/AIFF container with COMM (channels, frame
+    * count, 16-bit samples, sample rate as the 80-bit extended float
+    * the format mandates) and SSND (offset/block 0 + sample bytes of
+    * constant `fill` — same closed-form checksum as WAV:
+    * nFrames·channels·2·fill mod 997). Big-endian throughout. */
+  def encodeAiff(sampleRate: Int, channels: Int, nFrames: Int,
+                 fill: Int = 0): Array[Byte] = {
+    val data = nFrames * channels * 2
+    val out = new java.io.ByteArrayOutputStream(54 + data)
+    out.write("FORM".getBytes); out.write(be32(4 + 26 + 16 + data))
+    out.write("AIFF".getBytes)
+    out.write("COMM".getBytes); out.write(be32(18))
+    out.write(be16(channels)); out.write(be32(nFrames))
+    out.write(be16(16)) // bits per sample
+    out.write(ext80(sampleRate))
+    out.write("SSND".getBytes); out.write(be32(8 + data))
+    out.write(be32(0)); out.write(be32(0)) // offset, block size
+    val arr = new Array[Byte](data)
+    if (fill != 0) java.util.Arrays.fill(arr, fill.toByte)
+    out.write(arr)
+    out.toByteArray
+  }
+
+  /** 80-bit IEEE 754 extended float of a positive integer (the COMM
+    * sample-rate field): 15-bit biased exponent + explicit-leading-one
+    * 64-bit mantissa. */
+  private def ext80(v: Int): Array[Byte] = {
+    require(v > 0, "ext80 encodes positive rates")
+    val h = 31 - Integer.numberOfLeadingZeros(v) // highest set bit
+    val exp = 16383 + h
+    val mant = v.toLong << (63 - h)
+    Array(((exp >> 8) & 0xff).toByte, (exp & 0xff).toByte) ++
+      (0 until 8).map(i => ((mant >>> (56 - 8 * i)) & 0xff).toByte)
+  }
+
+  private def rdExt80(b: Array[Byte], off: Int): Int = {
+    val exp = ((b(off) & 0x7f) << 8) | (b(off + 1) & 0xff)
+    var mant = 0L
+    var i = 0
+    while (i < 8) { mant = (mant << 8) | (b(off + 2 + i) & 0xff); i += 1 }
+    val shift = 63 - (exp - 16383)
+    if (shift < 0 || shift > 62 || mant == 0) -1
+    else (mant >>> shift).toInt
+  }
+
+  /** Decode AIFF → (sampleRate, channels, nFrames); None when not a
+    * FORM/AIFF. Walks the chunk list to COMM (chunks are word-aligned,
+    * any order, others skipped) and decodes the 80-bit extended rate. */
+  def decodeAiff(b: Array[Byte]): Option[(Int, Int, Int)] = {
+    def tag(off: Int, s: String): Boolean =
+      off + 4 <= b.length && s.indices.forall(i => b(off + i) == s(i).toByte)
+    if (!(tag(0, "FORM") && tag(8, "AIFF"))) return None
+    var off = 12
+    while (off + 8 <= b.length) {
+      val size = rdBe32(b, off + 4)
+      if (tag(off, "COMM") && size >= 18 && off + 8 + 18 <= b.length) {
+        val channels = rdBe16(b, off + 8)
+        val frames = rdBe32(b, off + 10)
+        val rate = rdExt80(b, off + 16)
+        return if (rate > 0 && channels > 0) Some((rate, channels, frames))
+        else None
+      }
+      off += 8 + size + (size & 1)
+    }
+    None
+  }
+
   // ---- big-endian primitives (PNG/JPEG are network byte order) ----
   private def be16(v: Int): Array[Byte] =
     Array(((v >> 8) & 0xff).toByte, (v & 0xff).toByte)

@@ -10,11 +10,11 @@ import org.apache.spark.sql.types._
   * Decode happens at two depths, both REAL:
   *  - header walk ([[MediaCodecs]] byte-level parsers, dispatched by
   *    magic number): geometry/rate/frame-count for BMP, PNG, JPEG, GIF,
-  *    WAV, MP3, MP4 — the cheap metadata probe;
+  *    WAV, AIFF, MP3, MP4 — the cheap metadata probe;
   *  - content decode (JDK standard library, zero new deps):
   *    `javax.imageio` reads the actual pixel raster for
   *    BMP/PNG/GIF/JPEG and `javax.sound.sampled` the actual PCM frames
-  *    for WAV, producing `px_checksum` over decoded CONTENT.
+  *    for WAV/AIFF, producing `px_checksum` over decoded CONTENT.
   * Payloads no parser recognizes fall back to [[FakeDecoder.decode]],
   * a deterministic stub that is the clearly-marked seam where a
   * JNI/ONNX codec would plug in; the only in-format capability still
@@ -190,8 +190,10 @@ object Multimodal {
           MediaCodecs.decodeImagePixels(payload).map(_._3))
       case None => MediaCodecs.decodeMp4(payload) match {
         case Some((w, h)) => (w, h, 1, checksum(payload), None)
-        case None => MediaCodecs.decodeWav(payload) match {
+        case None => MediaCodecs.decodeWav(payload)
+          .orElse(MediaCodecs.decodeAiff(payload)) match {
           case Some((rate, ch, n)) =>
+            // javax.sound reads the PCM frames of BOTH containers
             (rate, ch, n, checksum(payload),
               MediaCodecs.decodeWavSamples(payload))
           case None => MediaCodecs.decodeMp3(payload) match {

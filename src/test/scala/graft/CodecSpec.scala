@@ -193,6 +193,25 @@ class CodecSpec extends AnyFunSuite {
       ((24, 16, 1, Multimodal.checksum(fixture), None)))
   }
 
+  test("AIFF encode/decode round-trip incl. 80-bit extended rate") {
+    for ((rate, ch, n) <- Seq((8000, 1, 1), (22050, 2, 255), (44100, 2, 4096),
+        (48000, 1, 7), (96000, 2, 100))) {
+      val b = MediaCodecs.encodeAiff(rate, ch, n)
+      assert(MediaCodecs.decodeAiff(b).contains((rate, ch, n)),
+        s"rate=$rate ch=$ch n=$n")
+      assert(b.length == 54 + n * ch * 2)
+      // WAV walker must not claim it and vice versa
+      assert(MediaCodecs.decodeWav(b).isEmpty)
+    }
+    assert(MediaCodecs.decodeAiff("FORMxxxxJUNK".getBytes).isEmpty)
+    // javax.sound reads AIFF PCM frames through the same sample path
+    val filled = MediaCodecs.encodeAiff(8000, 1, 300, fill = 5)
+    assert(MediaCodecs.decodeWavSamples(filled).contains(300L * 2 * 5 % 997))
+    // dispatch: geometry + real sample checksum, no stub
+    assert(Multimodal.decodeAny("audio", filled) ==
+      ((8000, 1, 300, Multimodal.checksum(filled), Some(300L * 2 * 5 % 997))))
+  }
+
   test("javax.sound WAV sample decode matches the data chunk bytes") {
     val wav = MediaCodecs.encodeWav(8000, 1, 300, fill = 5)
     assert(MediaCodecs.decodeWavSamples(wav).contains(300L * 2 * 5 % 997))
