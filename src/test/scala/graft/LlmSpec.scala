@@ -69,6 +69,38 @@ class LlmSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"signature plan shuffles:\n$plan")
   }
 
+  test("minhashClusters: signature-space CC, cap semantics, twin collapse") {
+    // doubled corpus: every text appears under two ids → every signature
+    // fingerprint has (at least) a twin
+    val base = docs.limit(40).select($"doc_id", $"text")
+    val u = base.unionByName(
+      base.select(($"doc_id" + 10000).as("doc_id"), $"text"))
+    val out = Dedup.minhashClusters(u, "doc_id", "text").cache()
+    assert(out.count() == 80)
+    // twins share a rep, rep is the min id of its component, keep iff rep
+    val twins = out.alias("a").join(out.alias("b"),
+      col("a.doc") + 10000 === col("b.doc"))
+    assert(twins.filter(col("a.rep") =!= col("b.rep")).count() == 0)
+    assert(out.filter($"keep" =!= ($"doc" === $"rep")).count() == 0)
+    assert(out.filter($"rep" > $"doc").count() == 0)
+    // a cap of 1 excludes EVERY band bucket (each holds >= 2 docs), so
+    // cross-signature edges vanish — but identical-signature twins are
+    // one NODE, not an edge, and still collapse (the documented
+    // signature-space improvement over doc-space cap semantics)
+    val capped = Dedup.minhashClusters(u, "doc_id", "text",
+      maxBucketSize = Some(1)).cache()
+    val cappedTwins = capped.alias("a").join(capped.alias("b"),
+      col("a.doc") + 10000 === col("b.doc"))
+    assert(cappedTwins.filter(col("a.rep") =!= col("b.rep")).count() == 0)
+    // and the capped graph is never COARSER than the uncapped one:
+    // every capped-together pair is also together uncapped
+    val pairsOf = (d: org.apache.spark.sql.DataFrame) =>
+      d.alias("x").join(d.alias("y"),
+        col("x.rep") === col("y.rep") && col("x.doc") < col("y.doc"))
+        .select(col("x.doc").as("a"), col("y.doc").as("b"))
+    assert(pairsOf(capped).exceptAll(pairsOf(out)).count() == 0)
+  }
+
   test("MinHashSig expression is bit-exact with the relational form") {
     // map-only k-minima vs the window-lead + explode + min-aggregate
     // path, over the real corpus plus short-document edge shapes (fewer

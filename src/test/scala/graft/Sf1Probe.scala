@@ -17,7 +17,9 @@ object Sf1Probe {
     "fn_safe_cast", "sim_ivf_topk", "fn_datediff", "ta_filter",
     "ta_langid", "q02_top_revenue", "dd_jaccard", "q11_approx_distinct",
     "dd_simhash_clusters", "q12_percentile", "ta_select", "dd_minhash_lsh",
-    "op_asof_tolerance", "q01_pricing_summary")
+    "op_asof_tolerance", "q01_pricing_summary",
+    "dd_minhash_clusters", "dd_simhash", "mm_decode_pixels",
+    "sim_ivf_multiassign")
 
   def main(args: Array[String]): Unit = {
     val src = "/root/testdata/sf0.1"
