@@ -363,6 +363,36 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    "op_asof_forward" -> ((s, dir) => {
+      // forward direction (pandas merge_asof direction='forward'): the
+      // EARLIEST right row at-or-after the left ts, bounded lookahead
+      val ev = t(s, dir, "events")
+      val left = ev.filter(pmod(col("event_id"), lit(2)) === 1)
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val right = ev.filter(pmod(col("event_id"), lit(2)) === 0)
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(dec(col("value"))).cast(DoubleType).as("rv"))
+      graft.operators.AsOfJoin.asOf(left, right, "user_id", "ts",
+          Seq("rv"), tolerance = Some(expr("INTERVAL 30 MINUTES")),
+          direction = "forward")
+        .orderBy(col("event_id"))
+    }),
+
+    "op_asof_nearest" -> ((s, dir) => {
+      // nearest direction: closer of the backward/forward candidates
+      // inside the tolerance window, ties to backward
+      val ev = t(s, dir, "events")
+      val left = ev.filter(pmod(col("event_id"), lit(2)) === 1)
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val right = ev.filter(pmod(col("event_id"), lit(2)) === 0)
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(dec(col("value"))).cast(DoubleType).as("rv"))
+      graft.operators.AsOfJoin.asOf(left, right, "user_id", "ts",
+          Seq("rv"), tolerance = Some(expr("INTERVAL 30 MINUTES")),
+          direction = "nearest")
+        .orderBy(col("event_id"))
+    }),
+
     "q11_approx_distinct" -> ((s, dir) => {
       // approx_count_distinct (HLL++): the 100 TB cardinality tool — one
       // pass, fixed-size sketch state, no exact-distinct shuffle.
@@ -1454,6 +1484,40 @@ object SparkEntry {
         |SELECT l.event_id, l.user_id, l.ts,
         |  CASE WHEN r.ts >= l.ts - INTERVAL 30 MINUTE THEN r.rv END AS r_rv
         |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND r.ts <= l.ts
+        |ORDER BY event_id""".stripMargin,
+
+    // DuckDB ASOF is backward-only; forward/nearest are emulated with
+    // LATERAL first-match subqueries (independent computation path)
+    "op_asof_forward" ->
+      """WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_id % 2 = 1),
+        |r AS (SELECT user_id, ts,
+        |        CAST(max(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS rv
+        |      FROM events WHERE event_id % 2 = 0 GROUP BY user_id, ts)
+        |SELECT l.event_id, l.user_id, l.ts, f.rv AS r_rv
+        |FROM l LEFT JOIN LATERAL (
+        |  SELECT r.rv FROM r WHERE r.user_id = l.user_id AND r.ts >= l.ts
+        |    AND r.ts <= l.ts + INTERVAL 30 MINUTE
+        |  ORDER BY r.ts LIMIT 1) f ON true
+        |ORDER BY event_id""".stripMargin,
+
+    "op_asof_nearest" ->
+      """WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_id % 2 = 1),
+        |r AS (SELECT user_id, ts,
+        |        CAST(max(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS rv
+        |      FROM events WHERE event_id % 2 = 0 GROUP BY user_id, ts)
+        |SELECT l.event_id, l.user_id, l.ts,
+        |  CASE WHEN b.ts IS NOT NULL AND f.ts IS NOT NULL THEN
+        |         CASE WHEN l.ts - b.ts <= f.ts - l.ts THEN b.rv ELSE f.rv END
+        |       WHEN b.ts IS NOT NULL THEN b.rv ELSE f.rv END AS r_rv
+        |FROM l
+        |LEFT JOIN LATERAL (
+        |  SELECT r.ts, r.rv FROM r WHERE r.user_id = l.user_id
+        |    AND r.ts <= l.ts AND r.ts >= l.ts - INTERVAL 30 MINUTE
+        |  ORDER BY r.ts DESC LIMIT 1) b ON true
+        |LEFT JOIN LATERAL (
+        |  SELECT r.ts, r.rv FROM r WHERE r.user_id = l.user_id
+        |    AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 30 MINUTE
+        |  ORDER BY r.ts LIMIT 1) f ON true
         |ORDER BY event_id""".stripMargin,
 
     "inc_append" ->

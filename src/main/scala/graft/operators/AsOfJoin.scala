@@ -27,8 +27,15 @@ object AsOfJoin {
   /** Single-key form — see the multi-key overload. */
   def asOf(left: DataFrame, right: DataFrame, key: String, ts: String,
            rightValueCols: Seq[String],
-           tolerance: Option[Column] = None): DataFrame =
-    asOf(left, right, Seq(key), ts, rightValueCols, tolerance)
+           tolerance: Option[Column] = None,
+           direction: String = "backward"): DataFrame =
+    asOf(left, right, Seq(key), ts, rightValueCols, tolerance, direction)
+
+  /** Multi-key form without direction (source compatibility). */
+  def asOf(left: DataFrame, right: DataFrame, keys: Seq[String],
+           ts: String, rightValueCols: Seq[String],
+           tolerance: Option[Column]): DataFrame =
+    asOf(left, right, keys, ts, rightValueCols, tolerance, "backward")
 
   /** Composite-key as-of join (DuckDB ASOF takes any number of equality
     * conditions plus one inequality; same here — the window partitions
@@ -42,11 +49,28 @@ object AsOfJoin {
     * pass — no extra shuffle: the carried struct keeps the right row's
     * own timestamp, and the last-at-or-before row either satisfies the
     * window or nothing earlier can. */
+  /** Full form with `direction` (pandas merge_asof parity):
+    *  - "backward" (default): latest right row with rightTs <= leftTs;
+    *  - "forward": earliest right row with rightTs >= leftTs;
+    *  - "nearest": whichever of the two is closer in time, ties to the
+    *    backward row. `tolerance` bounds the search on the matching
+    *    side(s) — lookback for backward, lookahead for forward, both
+    *    for nearest.
+    * Forward/nearest use VALUE-based range frames over the same
+    * tagged-union shape (one shuffle on the keys, one sort; nearest's
+    * two window frames share the exchange and sort since partitioning
+    * and ordering are identical), so a right row at exactly leftTs
+    * matches in every direction. */
   def asOf(left: DataFrame, right: DataFrame, keys: Seq[String],
            ts: String, rightValueCols: Seq[String],
-           tolerance: Option[Column]): DataFrame = {
+           tolerance: Option[Column], direction: String): DataFrame = {
     require(keys.nonEmpty, "as-of join needs at least one key")
     require(rightValueCols.nonEmpty, "as-of join needs right value columns")
+    require(Seq("backward", "forward", "nearest").contains(direction),
+      s"unknown as-of direction '$direction'")
+    if (direction != "backward")
+      return asOfDirectional(left, right, keys, ts, rightValueCols,
+        tolerance, direction)
     val leftCols = left.columns.toIndexedSeq
     val rvType = org.apache.spark.sql.types.StructType(
       org.apache.spark.sql.types.StructField("__rts",
@@ -96,5 +120,76 @@ object AsOfJoin {
       .filter(col("__side") === 1)
       .select((leftCols.map(col) ++ rightValueCols.map(c =>
         when(carriedOk, col("__carried").getField(c)).as(s"r_$c"))): _*)
+  }
+
+  /** forward / nearest directions. Same tagged-union single-shuffle
+    * shape as backward; the frames are RANGE (value-based) over the
+    * bare ts ordering, so same-ts right rows are frame peers and match
+    * in both directions without the side-ordering trick. */
+  private def asOfDirectional(left: DataFrame, right: DataFrame,
+                              keys: Seq[String], ts: String,
+                              rightValueCols: Seq[String],
+                              tolerance: Option[Column],
+                              direction: String): DataFrame = {
+    val leftCols = left.columns.toIndexedSeq
+    val rvType = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField("__rts",
+        right.schema(ts).dataType) +:
+        rightValueCols.map(c => right.schema(c)))
+    def keysNotNull = keys.map(k => col(k).isNotNull).reduce(_ && _)
+    val rUnion = right
+      .filter(keysNotNull && col(ts).isNotNull)
+      .select(
+      (leftCols.map { c =>
+        if (keys.contains(c) || c == ts) col(c)
+        else lit(null).cast(left.schema(c).dataType).as(c)
+      } :+ struct(col(ts).as("__rts") +: rightValueCols.map(col): _*)
+        .cast(rvType).as("__rv")
+        :+ lit(0).as("__side")): _*)
+    val lUnion = left.select(
+      (leftCols.map(col) :+ lit(null).cast(rvType).as("__rv")
+        :+ lit(1).as("__side")): _*)
+
+    val base = Window.partitionBy(keys.map(col): _*).orderBy(col(ts))
+    val wBack = base.rangeBetween(Window.unboundedPreceding,
+      Window.currentRow)
+    val wFwd = base.rangeBetween(Window.currentRow,
+      Window.unboundedFollowing)
+    val validLeft = keysNotNull && col(ts).isNotNull
+
+    val u0 = lUnion.unionByName(rUnion)
+    val u = direction match {
+      case "forward" =>
+        u0.withColumn("__cf",
+          when(validLeft, first(col("__rv"), ignoreNulls = true).over(wFwd)))
+      case _ => // nearest: both frames share the exchange and sort
+        u0.withColumn("__cb",
+            when(validLeft, last(col("__rv"), ignoreNulls = true).over(wBack)))
+          .withColumn("__cf",
+            when(validLeft, first(col("__rv"), ignoreNulls = true).over(wFwd)))
+    }
+    def rts(c: Column): Column = c.getField("__rts")
+    val fwdOk = col("__cf").isNotNull && (tolerance match {
+      case Some(tol) => rts(col("__cf")) <= col(ts) + tol
+      case None => lit(true)
+    })
+    val chosen = direction match {
+      case "forward" => when(fwdOk, col("__cf"))
+      case _ =>
+        val backOk = col("__cb").isNotNull && (tolerance match {
+          case Some(tol) => rts(col("__cb")) >= col(ts) - tol
+          case None => lit(true)
+        })
+        // ties (equal distance) resolve to the backward row
+        when(backOk && fwdOk,
+            when(col(ts) - rts(col("__cb")) <= rts(col("__cf")) - col(ts),
+              col("__cb")).otherwise(col("__cf")))
+          .when(backOk, col("__cb"))
+          .when(fwdOk, col("__cf"))
+    }
+    u.filter(col("__side") === 1)
+      .withColumn("__chosen", chosen)
+      .select((leftCols.map(col) ++ rightValueCols.map(c =>
+        col("__chosen").getField(c).as(s"r_$c"))): _*)
   }
 }

@@ -97,6 +97,39 @@ class LayoutSpec extends SparkSpec {
       Seq((1L, Some(1.0)), (2L, Some(2.0)), (3L, None), (4L, None)))
   }
 
+  test("as-of join directions: forward lookahead, nearest ties backward") {
+    val left = Seq((1L, "u", "2024-01-01 10:00:00"), // between 09:30 / 10:20
+        (2L, "u", "2024-01-01 12:00:00"),  // exact right match
+        (3L, "u", "2024-01-01 13:00:00"),  // after the last right row
+        (4L, "u", "2024-01-01 09:55:00"))  // 25min back vs 25min fwd: tie
+      .toDF("event_id", "user_id", "ts")
+      .withColumn("ts", $"ts".cast("timestamp"))
+    val right = Seq(("u", "2024-01-01 09:30:00", 1.0),
+        ("u", "2024-01-01 10:20:00", 2.0),
+        ("u", "2024-01-01 12:00:00", 3.0))
+      .toDF("user_id", "ts", "rv")
+      .withColumn("ts", $"ts".cast("timestamp"))
+    def run(direction: String, tol: Option[String] = None) =
+      graft.operators.AsOfJoin.asOf(left, right, Seq("user_id"), "ts",
+          Seq("rv"), tol.map(t => expr(s"INTERVAL $t")), direction)
+        .orderBy("event_id").collect()
+        .map(r => if (r.isNullAt(3)) None else Some(r.getDouble(3))).toSeq
+    // forward: earliest at-or-after; equal ts matches; nothing after 12:00
+    assert(run("forward") ==
+      Seq(Some(2.0), Some(3.0), None, Some(2.0)))
+    // forward tolerance: 10:00→10:20 inside 30min, 09:55→10:20 inside too,
+    // but a 10-minute lookahead cuts both off at distance > 10min
+    assert(run("forward", Some("10 MINUTES")) ==
+      Seq(None, Some(3.0), None, None))
+    // nearest: 10:00 is 30min from 09:30 but 20min from 10:20 → forward;
+    // 13:00 only has backward; 09:55 is 25min from both → tie → backward
+    assert(run("nearest") ==
+      Seq(Some(2.0), Some(3.0), Some(3.0), Some(1.0)))
+    // nearest with 30min bound: 13:00's backward candidate is 60min away
+    assert(run("nearest", Some("30 MINUTES")) ==
+      Seq(Some(2.0), Some(3.0), None, Some(1.0)))
+  }
+
   test("as-of join with a composite key partitions by the full tuple") {
     val left = Seq((1L, "u", "eu", "2024-01-01 10:00:00"),
         (2L, "u", "us", "2024-01-01 10:00:00"))
