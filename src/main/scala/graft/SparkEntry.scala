@@ -1009,6 +1009,19 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    "dd_minhash_estimate" -> ((s, dir) => {
+      // the MinHash point: estimated Jaccard = fraction of agreeing
+      // signature components on the LSH candidate pairs — the cheap
+      // screen before the exact dd_jaccard verify. matches/16 is
+      // binary-exact, so the oracle compare is exact, not a gate.
+      val d = t(s, dir, "documents")
+      val u = d.select(col("doc_id"), col("text")).unionByName(
+        d.select((col("doc_id") + 10000).as("doc_id"), col("text")))
+      Dedup.minhashEstimate(u, "doc_id", "text",
+          Dedup.minhashCandidates(u, "doc_id", "text"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     "dd_jaccard" -> ((s, dir) => {
       val d = t(s, dir, "documents")
       val pairs = d.filter(pmod(col("doc_id"), lit(2)) === 0)
@@ -2051,6 +2064,25 @@ object SparkEntry {
         |bands AS (SELECT doc_id, unnest($bandListSql) AS band FROM sig)
         |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
         |FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "dd_minhash_estimate" ->
+      s"""WITH u AS (SELECT doc_id, lower(text) AS t FROM documents
+        |  UNION ALL SELECT doc_id + 10000, lower(text) FROM documents),
+        |w AS (SELECT doc_id, ${toksSql("t")} AS ws FROM u),
+        |sh AS (SELECT doc_id, $shingleSql AS shl FROM w),
+        |sx AS (SELECT doc_id, unnest(shl) AS sgl FROM sh),
+        |hx AS (SELECT doc_id, ${rollSql("sgl")} AS h FROM sx),
+        |sig AS (SELECT doc_id, ${minhashAggSqls.mkString(", ")} FROM hx GROUP BY doc_id),
+        |bands AS (SELECT doc_id, unnest($bandListSql) AS band FROM sig),
+        |p AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |      FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id)
+        |SELECT p.id_a, p.id_b,
+        |  (${(0 until 16).map(i =>
+               s"CASE WHEN sa.mh$i = sb.mh$i THEN 1 ELSE 0 END")
+               .mkString(" + ")}) / 16.0 AS est_jaccard
+        |FROM p JOIN sig sa ON sa.doc_id = p.id_a
+        |       JOIN sig sb ON sb.doc_id = p.id_b
         |ORDER BY id_a, id_b""".stripMargin,
 
     "dd_jaccard" ->

@@ -145,6 +145,29 @@ object Dedup {
         element_at(col("mharr"), i + 1).as(s"mh$i")): _*)
   }
 
+  /** MinHash-estimated Jaccard over explicit candidate pairs: the
+    * fraction of agreeing signature components — the unbiased estimator
+    * MinHash exists to provide (E[est] = true n-gram Jaccard; std err
+    * ~1/√k). The cheap screen between LSH candidate generation and the
+    * exact [[jaccardOnPairs]] verify: signatures are map-only
+    * ([[minhashSignature]]), the pairs join is linear in |pairs|, and
+    * k·matches/k is a binary-exact double (engine-portable compare). */
+  def minhashEstimate(df: DataFrame, id: String, text: String,
+                      pairs: DataFrame, n: Int = 3,
+                      k: Int = 16): DataFrame = {
+    val sig = minhashSignature(df, id, text, n, k)
+    val a = sig.select(col("doc").as("id_a") +:
+      (0 until k).map(i => col(s"mh$i").as(s"__a$i")): _*)
+    val b = sig.select(col("doc").as("id_b") +:
+      (0 until k).map(i => col(s"mh$i").as(s"__b$i")): _*)
+    val matches = (0 until k).map(i =>
+      when(col(s"__a$i") === col(s"__b$i"), 1).otherwise(0)).reduce(_ + _)
+    pairs.select(col("id_a"), col("id_b"))
+      .join(a, Seq("id_a")).join(b, Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (matches.cast(DoubleType) / k).as("est_jaccard"))
+  }
+
   /** The shingle-rows → hash-once → k-min-aggregate relational form of
     * [[minhashSignature]] (shuffle carries one k-wide row per document;
     * per-shingle work is one string hash + k multiply-add-mods — the

@@ -101,6 +101,21 @@ class LlmSpec extends SparkSpec {
     assert(pairsOf(capped).exceptAll(pairsOf(out)).count() == 0)
   }
 
+  test("minhashEstimate: twins estimate 1.0, values quantized to k-ths") {
+    val base = docs.limit(40).select($"doc_id", $"text")
+    val u = base.unionByName(
+      base.select(($"doc_id" + 10000).as("doc_id"), $"text"))
+    val est = Dedup.minhashEstimate(u, "doc_id", "text",
+      Dedup.minhashCandidates(u, "doc_id", "text")).cache()
+    // identical texts agree on every signature component
+    assert(est.filter($"id_b" === $"id_a" + 10000 && $"est_jaccard" =!= 1.0)
+      .count() == 0)
+    // the estimator is m/16 — in [0,1] and binary-exact
+    assert(est.filter($"est_jaccard" < 0 || $"est_jaccard" > 1).count() == 0)
+    assert(est.filter(($"est_jaccard" * 16) =!=
+      round($"est_jaccard" * 16)).count() == 0)
+  }
+
   test("MinHashSig expression is bit-exact with the relational form") {
     // map-only k-minima vs the window-lead + explode + min-aggregate
     // path, over the real corpus plus short-document edge shapes (fewer
