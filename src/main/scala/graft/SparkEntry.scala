@@ -985,6 +985,14 @@ object SparkEntry {
           defaultRate = 0.05)
         .orderBy(col("doc"))),
 
+    "ta_mixture" -> ((s, dir) =>
+      // derive per-language acceptance rates from target output
+      // proportions (50/30/20) — integer-exact ppm thresholds, so the
+      // oracle reproduces the rates bit-for-bit from the same counts
+      TextAnalysis.mixtureBalance(t(s, dir, "documents"), "doc_id",
+          "lang", Map("en" -> 5000, "zh" -> 3000, "es" -> 2000))
+        .orderBy(col("doc"))),
+
     "ta_select" -> ((s, dir) =>
       // greedy quality-ranked selection under a global token budget,
       // computed via the histogram two-phase (never a global
@@ -1028,6 +1036,17 @@ object SparkEntry {
         .select(col("doc_id").as("id_a"), (col("doc_id") + 1).as("id_b"))
         .join(d.select(col("doc_id").as("id_b")), Seq("id_b"), "left_semi")
       Dedup.jaccardOnPairs(d, pairs, "doc_id", "text").orderBy(col("id_a"))
+    }),
+
+    "dd_decontaminate" -> ((s, dir) => {
+      // benchmark decontamination: every doc sharing a word 3-gram with
+      // the "benchmark" slice (every 20th doc) is flagged. Broadcast-join
+      // shaped — the corpus is never exchanged (benchmark shingle set and
+      // per-doc match counts both broadcast).
+      val d = t(s, dir, "documents")
+      val bench = d.filter(pmod(col("doc_id"), lit(20)) === 0)
+      Dedup.decontaminate(d, "doc_id", "text", bench, "text")
+        .orderBy(col("doc"))
     }),
 
     "dd_simhash" -> ((s, dir) =>
@@ -1976,6 +1995,25 @@ object SparkEntry {
         |    WHEN 'es' THEN 1000 ELSE 500 END) AS keep
         |FROM documents ORDER BY doc""".stripMargin,
 
+    // the oracle re-derives the mixture rates from the same counts with
+    // the same 64-bit integer arithmetic (basis points → feasible total
+    // from the binding stratum → ppm thresholds)
+    "ta_mixture" ->
+      s"""WITH cnt AS (SELECT lang, count(*)::BIGINT AS c FROM documents
+        |  WHERE lang IN ('en', 'es', 'zh') GROUP BY lang),
+        |w AS (SELECT lang, c,
+        |  (CASE lang WHEN 'en' THEN 5000 WHEN 'zh' THEN 3000
+        |    WHEN 'es' THEN 2000 END)::BIGINT AS wbps FROM cnt),
+        |t AS (SELECT min(c * 10000 // wbps) AS total FROM w),
+        |r AS (SELECT lang,
+        |  ((wbps * total // 10000) * 1000000) // c AS rate_ppm
+        |  FROM w, t)
+        |SELECT d.doc_id AS doc, d.lang AS stratum, r.rate_ppm,
+        |  (${rollSql("'mix:' || CAST(doc_id AS VARCHAR)")} % 1000000)
+        |    < r.rate_ppm AS keep
+        |FROM documents d JOIN r ON r.lang = d.lang
+        |ORDER BY doc""".stripMargin,
+
     // the oracle runs the naive global quality-ordered running sum; the
     // Spark side must reach the identical prefix via its histogram
     // two-phase
@@ -2101,6 +2139,22 @@ object SparkEntry {
         |FROM pairs p LEFT JOIN inter ON inter.id_a = p.id_a AND inter.id_b = p.id_b
         |JOIN sz sa ON sa.doc_id = p.id_a JOIN sz sb ON sb.doc_id = p.id_b
         |ORDER BY p.id_a""".stripMargin,
+
+    "dd_decontaminate" ->
+      s"""WITH bw AS (SELECT ${toksSql("lower(text)")} AS ws FROM documents
+        |  WHERE doc_id % 20 = 0),
+        |bs0 AS (SELECT unnest($shingleSql) AS sgl FROM bw),
+        |bs AS (SELECT DISTINCT ${rollSql("sgl")} AS sh FROM bs0),
+        |dw AS (SELECT doc_id, ${toksSql("lower(text)")} AS ws FROM documents),
+        |ds0 AS (SELECT doc_id, unnest($shingleSql) AS sgl FROM dw),
+        |ds AS (SELECT DISTINCT doc_id, ${rollSql("sgl")} AS sh FROM ds0),
+        |m AS (SELECT doc_id, count(*) AS n FROM ds JOIN bs USING (sh)
+        |  GROUP BY doc_id)
+        |SELECT d.doc_id AS doc,
+        |  coalesce(m.n, 0)::BIGINT AS n_contaminated,
+        |  coalesce(m.n, 0) >= 1 AS contaminated
+        |FROM documents d LEFT JOIN m USING (doc_id)
+        |ORDER BY doc""".stripMargin,
 
     "dd_simhash" ->
       s"""WITH tok AS (SELECT doc_id, unnest(${toksSql("lower(text)")}) AS tok FROM documents),

@@ -229,6 +229,57 @@ object Dedup {
   }
 
   // -------------------------------------------------------------------
+  // benchmark decontamination
+  // -------------------------------------------------------------------
+
+  /** Flags training documents whose word n-grams overlap a benchmark
+    * ("contamination") set — the eval-leakage guard a training-data
+    * pipeline runs before any model sees the corpus (the GPT-3/PaLM
+    * style n-gram decontamination; n=8..13 in practice, parameterized
+    * here).
+    *
+    * Scale shape: the benchmark side is model-sized next to the corpus
+    * (eval suites are thousands of documents; the corpus is 100 TB), so
+    * its DISTINCT shingle-hash set is computed once and BROADCAST. The
+    * corpus side generates shingles and is filtered by the broadcast
+    * hash join map-side — the corpus itself is never exchanged. Only
+    * MATCHED (doc, shingle) rows — rare by construction — reach the one
+    * aggregation shuffle (distinct-count per doc), and the per-doc
+    * counts coming back are broadcast again for the final flag join, so
+    * the full pipeline moves O(|matches| + |bench|) bytes through
+    * exchanges regardless of corpus size. If contamination were
+    * pervasive (counts ≈ corpus), drop the second broadcast hint and
+    * the flag join degrades to one ordinary shuffle join — still never
+    * quadratic.
+    *
+    * Shingles are rolling-hashed to integer keys before the join (the
+    * same winnowing trade as [[jaccardOnPairs]]: the exchange carries
+    * longs, not strings; the oracle hashes identically). Documents
+    * shorter than n tokens contribute their whole text as one shingle —
+    * a short doc equal to a short benchmark doc still matches.
+    *
+    * Output: one row per input doc — (doc, n_contaminated = distinct
+    * overlapping shingles, contaminated = n_contaminated >= minOverlap).
+    */
+  def decontaminate(docs: DataFrame, id: String, text: String,
+                    bench: DataFrame, benchText: String,
+                    n: Int = 3, minOverlap: Int = 1): DataFrame = {
+    val benchSh = bench
+      .select(explode(shingles(col(benchText), n)).as("sh"))
+      .select(TextAnalysis.tokenHash(col("sh")).as("sh"))
+      .distinct()
+    val matched = shingleRows(docs, id, text, n)
+      .select(col("doc"), TextAnalysis.tokenHash(col("sh")).as("sh"))
+      .join(broadcast(benchSh), Seq("sh"))
+      .groupBy("doc")
+      .agg(countDistinct(col("sh")).as("n_contaminated"))
+    docs.select(col(id).as("doc"))
+      .join(broadcast(matched), Seq("doc"), "left_outer")
+      .na.fill(0L, Seq("n_contaminated"))
+      .withColumn("contaminated", col("n_contaminated") >= minOverlap)
+  }
+
+  // -------------------------------------------------------------------
   // n-gram Jaccard (exact verification)
   // -------------------------------------------------------------------
 

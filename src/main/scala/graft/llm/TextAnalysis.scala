@@ -260,6 +260,60 @@ object TextAnalysis {
       (h < bps).as("keep"))
   }
 
+  /** Rebalance a corpus to TARGET OUTPUT PROPORTIONS — the data-mixing
+    * step that turns "70% web / 20% code / 10% books" into per-stratum
+    * acceptance rates. [[stratifiedSample]] takes rates as given; this
+    * operator derives them: the largest feasible output size that
+    * honors every declared weight without upsampling is set by the
+    * BINDING stratum (`total = min_d floor(count_d · 10000 / wbps_d)`),
+    * each stratum takes `floor(wbps_d · total / 10000)` docs, and rows
+    * are admitted by salted id-hash threshold at
+    * `floor(take_d · 10⁶ / count_d)` parts-per-million.
+    *
+    * All arithmetic is 64-bit integer (weights in basis points, rates
+    * in ppm) so any engine reproduces the thresholds bit-for-bit — no
+    * float division anywhere. Strata not in `weightsBps` are dropped
+    * (weight 0). Two passes: one count aggregate whose result is
+    * driver-side model state (one row per DECLARED stratum — never
+    * data-sized), then a map-only flag projection with the rates
+    * embedded as a literal CASE. The admit decision is per-row and
+    * partitioning-independent, so the sample is reproducible across
+    * cluster sizes and survives repartitioning — same property as
+    * [[stratifiedSample]].
+    *
+    * Output: (doc, stratum, rate_ppm, keep) for rows of declared
+    * strata. Expected kept count per stratum = take_d ± binomial noise
+    * (hash thresholds admit each row independently; exact-count
+    * selection would need a per-stratum rank — a shuffle this operator
+    * deliberately avoids). */
+  def mixtureBalance(df: org.apache.spark.sql.DataFrame, id: String,
+                     stratum: String, weightsBps: Map[String, Int])
+      : org.apache.spark.sql.DataFrame = {
+    require(weightsBps.nonEmpty &&
+      weightsBps.values.forall(w => w > 0 && w <= 10000),
+      "weights must be in (0, 10000] basis points")
+    val declared = weightsBps.keys.toSeq.sorted
+    val counts = df.filter(col(stratum).isin(declared: _*))
+      .groupBy(col(stratum)).agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    require(counts.nonEmpty, "no rows in any declared stratum")
+    val total = declared.flatMap(d =>
+      counts.get(d).map(c => c * 10000L / weightsBps(d))).min
+    val ratePpm: Map[String, Long] = declared.map { d =>
+      val c = counts.getOrElse(d, 0L)
+      val take = weightsBps(d) * total / 10000L
+      d -> (if (c == 0) 0L else take * 1000000L / c)
+    }.toMap
+    val rateCol = declared.foldLeft(lit(0L)) { (acc, d) =>
+      when(col(stratum) === d, lit(ratePpm(d))).otherwise(acc)
+    }
+    val h = pmod(graft.functions.RollingHash(
+      concat(lit("mix:"), col(id).cast(StringType))), lit(1000000))
+    df.filter(col(stratum).isin(declared: _*))
+      .select(col(id).as("doc"), col(stratum).as("stratum"),
+        rateCol.as("rate_ppm"), (h < rateCol).as("keep"))
+  }
+
   /** Greedy token-budget selection: the highest-quality documents whose
     * cumulative token count fits `budgetTokens` (order: quality desc,
     * id asc — the deterministic data-mixing prefix rule). Equivalent to

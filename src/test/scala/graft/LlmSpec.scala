@@ -533,6 +533,57 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("decontaminate: overlap counts exact, clean docs zero, corpus un-shuffled") {
+    val d = Seq(
+      (0L, "alpha beta gamma delta epsilon"), // = bench doc → all 3 shingles hit
+      (1L, "zeta eta theta iota kappa"),      // clean
+      (2L, "x y alpha beta gamma z"),         // contains 1 bench shingle
+      (3L, "so"),                             // short doc, not in bench
+      (4L, "tiny doc")                        // short doc, = short bench doc
+    ).toDF("doc_id", "text")
+    val bench = Seq("alpha beta gamma delta epsilon", "tiny doc")
+      .toDF("btext")
+    val out = Dedup.decontaminate(d, "doc_id", "text", bench, "btext")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2)))
+      .toMap
+    assert(out(0L) == (3L, true))  // 5 tokens → 3 shingles, all in bench
+    assert(out(1L) == (0L, false))
+    assert(out(2L) == (1L, true))  // "alpha beta gamma" only
+    assert(out(3L) == (0L, false)) // whole-text shingle "so" not in bench
+    assert(out(4L) == (1L, true))  // whole-text fallback matches both ways
+    // scale shape: both joins on the corpus side broadcast — the full
+    // corpus never crosses an exchange (only matched rows aggregate)
+    val plan = Dedup.decontaminate(d, "doc_id", "text", bench, "btext")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("mixtureBalance: binding stratum keeps rate 1e6, proportions honored") {
+    // 60 a-docs, 30 b-docs, 10 c-docs with target 50/30/20 → binding
+    // stratum is c (10/0.2 = 50 feasible total ≤ 60/0.5, 30/0.3);
+    // total=50 → take a=25/b=15/c=10 → rates 416666/500000/1000000 ppm
+    val rows = (0 until 60).map(i => (i.toLong, "a")) ++
+      (100 until 130).map(i => (i.toLong, "b")) ++
+      (200 until 210).map(i => (i.toLong, "c")) ++
+      Seq((900L, "undeclared"))
+    val d = rows.toDF("doc_id", "lang")
+    val out = TextAnalysis.mixtureBalance(d, "doc_id", "lang",
+      Map("a" -> 5000, "b" -> 3000, "c" -> 2000)).cache()
+    assert(out.count() == 100) // undeclared stratum dropped
+    val rates = out.select($"stratum", $"rate_ppm").distinct()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rates("c") == 1000000L) // binding stratum admits everything
+    assert(rates("a") == 25L * 1000000L / 60L)
+    assert(rates("b") == 15L * 1000000L / 30L)
+    // every c-doc kept (rate 1e6 > any hash)
+    assert(out.filter($"stratum" === "c" && !$"keep").count() == 0)
+    // keep decision is pure hash-vs-rate (partitioning-independent)
+    val re = out.filter($"keep").count()
+    assert(TextAnalysis.mixtureBalance(d.repartition(7), "doc_id", "lang",
+      Map("a" -> 5000, "b" -> 3000, "c" -> 2000))
+      .filter($"keep").count() == re)
+  }
+
   test("text analysis: langid marker hit and quality bounds") {
     val d = Seq((0L, "the cat and the dog of the house"),
       (1L, "el perro de la casa que ladra los dias"),
