@@ -334,6 +334,31 @@ object SparkEntry {
       Events.clickImpressionJoin(t(s, dir, "events"))
         .orderBy(col("click_id"), col("impression_id"))),
 
+    "op_zorder" -> ((s, dir) =>
+      // Morton interleave of (custkey, orderkey) — the multi-column
+      // data-skipping sort key; the write path + row-group-skip evidence
+      // live in Layout.writeZOrdered/LayoutSpec, the VALUE is compared
+      // here bit-for-bit (pure integer shift/mask arithmetic)
+      t(s, dir, "orders")
+        .select(col("o_orderkey"),
+          graft.sources.Layout.zValue(
+            Seq(col("o_custkey"), col("o_orderkey")), 8).as("zval"))
+        .orderBy(col("o_orderkey"))),
+
+    "op_compact" -> ((s, dir) => {
+      // small-file compaction: 10-file litter coalesces (no shuffle)
+      // into one target-sized file behind a rename swap; the compared
+      // result is the read-back — content preservation IS the contract
+      val cdir = "target/graft_compact_demo"
+      t(s, dir, "nation").repartition(10)
+        .write.mode("overwrite").parquet(cdir)
+      val (_, after) = graft.sources.Layout.compact(s, cdir, 1L << 30)
+      s.read.parquet(cdir)
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"),
+          lit(after).as("files_after"))
+        .orderBy(col("n_nationkey"))
+    }),
+
     "op_salted_agg" -> ((s, dir) => {
       // two-phase salted aggregation under the driver gate: partials on
       // (key, salt), exact merge — result identical to the plain groupBy
@@ -1789,6 +1814,17 @@ object SparkEntry {
       |  THEN list_transform(range(len(ws)-2), i -> ws[i+1]||' '||ws[i+2]||' '||ws[i+3])
       |  ELSE [array_to_string(ws, ' ')] END""".stripMargin
 
+  /** Morton interleave of two integer expressions (Layout.zValue, c=2):
+    * bit i of column j lands at position 2i + j — pure integer
+    * arithmetic, bit-for-bit across engines. */
+  private def zorderSql(c0: String, c1: String, bits: Int): String = {
+    val terms = for { j <- 0 until 2; i <- 0 until bits } yield {
+      val c = if (j == 0) c0 else c1
+      s"((($c % ${1L << bits}) // ${1L << i}) % 2) * ${1L << (i * 2 + j)}"
+    }
+    terms.mkString("(", " + ", ")::BIGINT")
+  }
+
   /** Double dot product of two list columns, element order, left fold. */
   private def dotSql(a: String, b: String): String =
     s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(" +
@@ -2449,6 +2485,14 @@ object SparkEntry {
         |  SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
         |  FROM events)
         |WHERE k > 50 ORDER BY event_id""".stripMargin,
+
+    "op_zorder" ->
+      s"""SELECT o_orderkey, ${zorderSql("o_custkey", "o_orderkey", 8)} AS zval
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "op_compact" ->
+      """SELECT n_nationkey, n_name, n_regionkey, 1 AS files_after
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
 
     "op_salted_agg" ->
       """SELECT event_type, count(*) AS n,

@@ -39,6 +39,71 @@ class LayoutSpec extends SparkSpec {
     assert(probe.count() == assigned.filter($"cell" === 3).count())
   }
 
+  test("zValue interleaves bits (Morton order)") {
+    // driver-side reference: bit i of col j -> position i*c + j
+    def morton(xs: Seq[Long], bits: Int): Long =
+      (for { j <- xs.indices; i <- 0 until bits }
+        yield (((xs(j) >> i) & 1L) << (i * xs.length + j))).sum
+    val rows = Seq((0L, 0L), (1L, 0L), (0L, 1L), (3L, 5L), (255L, 255L),
+      (256L, 1L)) // 256 masks to 0 at bits=8
+    val out = rows.toDF("x", "y")
+      .select(Layout.zValue(Seq($"x", $"y"), 8).as("z"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(out == rows.map { case (x, y) =>
+      morton(Seq(x % 256, y % 256), 8) })
+    // three columns, and the 62-bit budget is enforced
+    assert(Seq((1L, 1L, 1L)).toDF("a", "b", "c")
+      .select(Layout.zValue(Seq($"a", $"b", $"c"), 4).as("z"))
+      .head.getLong(0) == 7L)
+    intercept[IllegalArgumentException] {
+      Layout.zValue(Seq($"a", $"b"), 32)
+    }
+  }
+
+  test("z-ordered layout skips row groups a single-column sort cannot") {
+    // 128x128 grid; filter selective in y ONLY. The x-sorted layout
+    // scatters every y across all files; the z-ordered one confines
+    // low-y rows to few files, so parquet min/max stats prune the rest.
+    val grid = spark.range(128L * 128L)
+      .select(($"id" % 128).as("x"), ($"id" / 128).cast("long").as("y"))
+    val zdir = "target/graft_zorder_grid"
+    val xdir = "target/graft_xsort_grid"
+    Layout.writeZOrdered(grid, zdir, Seq("x", "y"), bits = 7,
+      partitions = 16)
+    grid.repartitionByRange(16, $"x").sortWithinPartitions("x")
+      .write.mode("overwrite").parquet(xdir)
+    def scannedRows(dir: String): Long = {
+      val df = spark.read.parquet(dir).filter($"y" < 8)
+      assert(df.count() == 128L * 8L) // correctness first
+      val collected = df.collect()
+      assert(collected.length == 128 * 8)
+      val scan = df.queryExecution.executedPlan.collectLeaves()
+        .find(_.nodeName.contains("Scan")).get
+      scan.metrics("numOutputRows").value
+    }
+    val zScanned = scannedRows(zdir)
+    val xScanned = scannedRows(xdir)
+    // x-sorted: no file can be skipped for a y-filter (full scan);
+    // z-ordered: only the files whose z-range touches the y<8 strip
+    // survive — ~4 of 16 tiles, plus partial tiles where the sampled
+    // range bounds straddle a tile edge
+    assert(xScanned == 128L * 128L, s"x-sorted scanned $xScanned")
+    assert(zScanned <= (128L * 128L * 2) / 5, s"z-ordered scanned $zScanned")
+  }
+
+  test("compact merges small files without changing content") {
+    val dir = "target/graft_compact_test"
+    val n = Tables.load(spark, sf, "nation")
+    n.repartition(10).write.mode("overwrite").parquet(dir)
+    val (before, after) = Layout.compact(spark, dir, targetBytes = 1L << 30)
+    assert(before == 10 && after == 1, s"$before -> $after")
+    val back = spark.read.parquet(dir)
+    assert(back.count() == n.count())
+    assert(back.exceptAll(n).count() == 0 && n.exceptAll(back).count() == 0)
+    // idempotent: compacting a compacted dir is a no-op shape (1 -> 1)
+    assert(Layout.compact(spark, dir, targetBytes = 1L << 30) == (1, 1))
+  }
+
   test("salted join equals plain inner join") {
     val o = Tables.load(spark, sf, "orders").select($"o_custkey", $"o_orderkey")
     val c = Tables.load(spark, sf, "customer")
