@@ -1176,6 +1176,22 @@ object SparkEntry {
         .orderBy(col("query_id"))
     }),
 
+    "sim_pq_topk" -> ((s, dir) => {
+      // product quantization (ADC shortlist + exact rerank) gated on
+      // recall vs the exact baseline — the memory lever: 8×6-bit codes
+      // (6 bytes) stand in for 256-byte raw vectors in the scan, ~42×
+      // smaller. Threshold measured in LlmSpec/PqProbe: floor 0.9 at
+      // this shape on sf0.01 (random unit vectors — PQ's worst case);
+      // gate 0.7 leaves margin for k-means float jitter.
+      val e = t(s, dir, "embeddings").localCheckpoint()
+      val model = Similarity.pqTrain(e, "vec_id", "embedding",
+        m = 8, ksub = 64)
+      Similarity.pqRecall(e, e.filter(col("vec_id") < 5),
+          "vec_id", "embedding", 10, model, shortlist = 100)
+        .select(col("query_id"), (col("recall") >= 0.7).as("recall_ok"))
+        .orderBy(col("query_id"))
+    }),
+
     // ---- multimodal plumbing (stub decode — see Multimodal.FakeDecoder) ----
     "mm_decode" -> ((s, dir) =>
       Multimodal.decodeFeatures(
@@ -2325,6 +2341,12 @@ object SparkEntry {
       """SELECT vec_id AS query_id, true AS recall_ok
         |FROM embeddings WHERE vec_id >= 200 AND vec_id < 205
         |ORDER BY query_id""".stripMargin,
+
+    // PQ gate: recall floor measured at 0.9 for this shape (LlmSpec /
+    // PqProbe); the oracle pins the 0.7 gate
+    "sim_pq_topk" ->
+      """SELECT vec_id AS query_id, true AS recall_ok
+        |FROM embeddings WHERE vec_id < 5 ORDER BY query_id""".stripMargin,
 
     "mm_decode" ->
       s"""WITH m AS (SELECT doc_id AS media_id,

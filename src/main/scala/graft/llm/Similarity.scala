@@ -328,4 +328,190 @@ object Similarity {
                 nprobe: Int = 8): DataFrame =
     ivfRecall(corpus, queries, id, vec, k,
       ivfTrain(corpus, id, vec, nlist), nprobe)
+
+  // -------------------------------------------------------------------
+  // Product quantization (the ANN memory lever)
+  // -------------------------------------------------------------------
+
+  /** PQ codebook: `m` subspaces of `subdim` dims, `ksub` centroids each
+    * (`centroids(j)(c)` is a subdim-vector). Model-sized driver state:
+    * m·ksub·subdim doubles — 4·16·16 = 1 KB at the default shape. */
+  case class PqModel(m: Int, ksub: Int, subdim: Int,
+                     centroids: Array[Array[Array[Double]]])
+
+  /** j-th subvector of a vector column (1-based slice). */
+  private def subVec(vec: Column, j: Int, subdim: Int): Column =
+    slice(vec, j * subdim + 1, subdim)
+
+  /** Per-centroid score array for ONE subspace: -2·(s·c) + ||c||² —
+    * rank-equivalent to squared L2 for a fixed subvector s, one codegen
+    * DotProduct per centroid (the [[centroidScores]] pattern). */
+  private def subScores(vec: Column, j: Int, subdim: Int,
+                        cents: Array[Array[Double]]): Column =
+    array(cents.map { c =>
+      val c2 = c.map(x => x * x).sum
+      graft.functions.DotProduct(subVec(vec, j, subdim), typedLit(c.toSeq)) *
+        -2.0 + lit(c2)
+    }.toIndexedSeq: _*)
+
+  /** Nearest sub-centroid id for subspace j (0-based; ties → first). */
+  private def nearestSubCell(vec: Column, j: Int, subdim: Int,
+                             cents: Array[Array[Double]]): Column = {
+    val s = subScores(vec, j, subdim, cents)
+    (array_position(s, array_min(s)) - 1).cast(IntegerType)
+  }
+
+  /** Deterministic greedy farthest-point sweep (the [[ivfTrain]] init,
+    * factored for per-subspace reuse). */
+  private def farthestPointInit(sample: Array[Array[Double]],
+                                k: Int): Array[Array[Double]] = {
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    val minD = Array.fill(sample.length)(Double.MaxValue)
+    val chosen = Array.ofDim[Int](k)
+    var n = 1
+    while (n < k) {
+      val last = sample(chosen(n - 1))
+      var best = -1; var bestD = -1.0
+      var i = 0
+      while (i < sample.length) {
+        val d = math.min(minD(i), d2(sample(i), last))
+        minD(i) = d
+        if (d > bestD) { bestD = d; best = i }
+        i += 1
+      }
+      chosen(n) = best
+      n += 1
+    }
+    chosen.map(sample)
+  }
+
+  /** Train a product-quantization codebook — THE memory lever for
+    * ANN at 100 TB: a 64-dim float vector is 256 bytes; its PQ code is
+    * m·log2(ksub) bits (4 subspaces × 16 centroids = 2 bytes, 128×
+    * smaller), so the candidate scan reads codes, not vectors, and the
+    * full corpus of codes fits where 1% of the vectors would.
+    *
+    * Distributed shape mirrors [[ivfTrain]]: per-subspace k-means where
+    * each Lloyd's round is ONE corpus pass (per-row posexplode into m
+    * (sub, cell, subvec) structs — map-only against the literal
+    * codebook — then a per-(sub, cell) per-dimension avg whose result
+    * is the model itself). Init is the same deterministic hash-spread
+    * sample + greedy farthest-point sweep, run per subspace on the
+    * sample's sub-slices. Only m·ksub·subdim doubles ever reach the
+    * driver. */
+  def pqTrain(corpus: DataFrame, id: String, vec: String,
+              m: Int = 4, ksub: Int = 16, iters: Int = 3): PqModel = {
+    val sample = corpus
+      .select(col(vec), xxhash64(col(id)).as("h"))
+      .orderBy(col("h")).limit(math.max(4 * ksub, 64))
+      .select(col(vec)).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    require(sample.length >= ksub, s"corpus smaller than ksub=$ksub")
+    val dim = sample.head.length
+    require(dim % m == 0, s"dim=$dim not divisible by m=$m")
+    val subdim = dim / m
+    var cents: Array[Array[Array[Double]]] = Array.tabulate(m) { j =>
+      farthestPointInit(
+        sample.map(_.slice(j * subdim, (j + 1) * subdim)), ksub)
+    }
+    for (_ <- 0 until iters) {
+      val structs = (0 until m).map(j =>
+        struct(nearestSubCell(col(vec), j, subdim, cents(j)).as("cell"),
+          subVec(col(vec), j, subdim).as("sv")))
+      val assigned = corpus.select(
+        posexplode(array(structs: _*)).as(Seq("sub", "sc")))
+      val aggs = (0 until subdim).map(d =>
+        avg(element_at(col("sc.sv"), d + 1)).as(s"c$d"))
+      val next = cents.map(_.clone())
+      assigned.groupBy(col("sub"), col("sc.cell").as("cell"))
+        .agg(aggs.head, aggs.tail: _*)
+        .collect().foreach { r =>
+          next(r.getInt(0))(r.getInt(1)) =
+            Array.tabulate(subdim)(d => r.getDouble(d + 2))
+        }
+      cents = next
+    }
+    PqModel(m, ksub, subdim, cents)
+  }
+
+  /** Map-only PQ encoding: (id, code) where code(j) = nearest centroid
+    * of subspace j. This is the ONLY corpus-sized artifact a PQ
+    * deployment stores hot; the raw vectors stay in cold storage for
+    * the final rerank fetch. */
+  def pqEncode(corpus: DataFrame, id: String, vec: String,
+               model: PqModel): DataFrame =
+    corpus.select(col(id),
+      array((0 until model.m).map(j =>
+        nearestSubCell(col(vec), j, model.subdim,
+          model.centroids(j))): _*).as("code"))
+
+  /** PQ top-k via asymmetric distance computation (ADC) + exact rerank.
+    *
+    * Query side (small, broadcast): per query, per subspace, an
+    * ksub-wide DISTANCE TABLE dt_j[c] = ||q_j − centroid_j[c]||² is
+    * computed once per query row. Corpus side: the scan touches only
+    * the code column — approx distance is m array lookups + adds per
+    * row, never a vector multiply — and the per-query shortlist runs
+    * through the rank-pushdown window (WindowGroupLimit keeps a
+    * per-partition top-`shortlist` heap before the exchange, the
+    * two-phase top-k). Only the |queries|·shortlist survivors join
+    * back to the raw vectors for the exact cosine rerank — at 100 TB
+    * the vectors are read for a few hundred rows, not the corpus. */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, id: String,
+             vec: String, k: Int, model: PqModel,
+             shortlist: Int = 50): DataFrame = {
+    val dtabs = (0 until model.m).map { j =>
+      transform(
+        typedLit(model.centroids(j).map(_.toSeq).toSeq),
+        c => aggregate(
+          zip_with(subVec(col("qv"), j, model.subdim), c,
+            (a, b) => (a - b) * (a - b)),
+          lit(0.0), (acc, x) => acc + x)).as(s"dt$j")
+    }
+    val q = queries.select(
+      (col(id).as("query_id") +: col(vec).as("qv") +: dtabs): _*)
+    val codes = pqEncode(corpus, id, vec, model)
+      .withColumnRenamed(id, "vec_id")
+    val approx = (0 until model.m).map(j =>
+      element_at(col(s"dt$j"), element_at(col("code"), j + 1) + 1))
+      .reduce(_ + _)
+    val scored = codes.join(broadcast(q), col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id"), approx.as("adist"))
+    val ws = Window.partitionBy(col("query_id"))
+      .orderBy(col("adist").asc, col("vec_id"))
+    val short = scored.withColumn("rk", row_number().over(ws))
+      .filter(col("rk") <= shortlist)
+      .select(col("query_id"), col("vec_id"))
+    val rer = short
+      .join(corpus.select(col(id).as("vec_id"), col(vec).as("cv")),
+        Seq("vec_id"))
+      .join(broadcast(queries.select(col(id).as("query_id"),
+        col(vec).as("qv"))), Seq("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        Dedup.cosine(col("qv"), col("cv")).as("cos"))
+    val wk = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    rer.withColumn("rank", row_number().over(wk)).filter(col("rank") <= k)
+  }
+
+  /** Per-query recall of [[pqTopK]] against [[bruteForceTopK]]. */
+  def pqRecall(corpus: DataFrame, queries: DataFrame, id: String,
+               vec: String, k: Int, model: PqModel,
+               shortlist: Int = 50): DataFrame = {
+    val pq = pqTopK(corpus, queries, id, vec, k, model, shortlist)
+      .select(col("query_id"), col("vec_id"))
+    val exact = bruteForceTopK(corpus, queries, id, vec, k)
+      .select(col("query_id"), col("vec_id"))
+    val hits = pq.intersect(exact)
+      .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
+    queries.select(col(id).as("query_id"))
+      .join(hits, Seq("query_id"), "left_outer")
+      .na.fill(0L, Seq("n_hits"))
+      .select(col("query_id"),
+        round(col("n_hits").cast(DoubleType) / k, 4).as("recall"))
+  }
 }

@@ -533,6 +533,32 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("PQ: map-only encode, exact-at-full-coverage ADC, recall floor") {
+    val e = emb.localCheckpoint()
+    val model = Similarity.pqTrain(e, "vec_id", "embedding", m = 8, ksub = 64)
+    assert(model.centroids.length == 8 &&
+      model.centroids.forall(_.length == 64) && model.subdim == 8)
+    // encode is a map-only projection: codes in range, no exchange
+    val codes = Similarity.pqEncode(e, "vec_id", "embedding", model)
+    val plan = codes.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"pqEncode shuffles:\n$plan")
+    assert(codes.filter(exists($"code",
+      c => c < 0 || c >= 64) || size($"code") =!= 8).count() == 0)
+    // full-coverage shortlist makes ADC+rerank EXACTLY brute force —
+    // pins the distance tables, the code lookups, and the rerank join
+    val q = e.filter($"vec_id" < 5)
+    val full = Similarity.pqRecall(e, q, "vec_id", "embedding", 10,
+      model, shortlist = 500).collect()
+    assert(full.forall(_.getDouble(1) == 1.0),
+      full.map(r => r.getLong(0) -> r.getDouble(1)).mkString(","))
+    // the honest approximate floor at the gate shape (PqProbe: random
+    // unit vectors are PQ's worst case; measured floor 0.8 at sf0.001)
+    val approx = Similarity.pqRecall(e, q, "vec_id", "embedding", 10,
+      model, shortlist = 100).collect()
+    assert(approx.forall(_.getDouble(1) >= 0.7),
+      approx.map(r => r.getLong(0) -> r.getDouble(1)).mkString(","))
+  }
+
   test("decontaminate: overlap counts exact, clean docs zero, corpus un-shuffled") {
     val d = Seq(
       (0L, "alpha beta gamma delta epsilon"), // = bench doc → all 3 shingles hit
