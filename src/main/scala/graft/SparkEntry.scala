@@ -1063,6 +1063,23 @@ object SparkEntry {
       Dedup.jaccardOnPairs(d, pairs, "doc_id", "text").orderBy(col("id_a"))
     }),
 
+    "dd_incremental" -> ((s, dir) => {
+      // incremental ingestion: history (doc_id < 400) persists its
+      // signature index once; the new batch = the tail plus copies of
+      // 50 history docs. Copies must flag non-novel, the tail novel
+      // (unless genuinely near-dup). The join moves the batch to the
+      // index, never the reverse.
+      val d = t(s, dir, "documents")
+      val hist = d.filter(col("doc_id") < 400)
+      val index = Dedup.minhashSignature(hist, "doc_id", "text", 3, 16)
+      val batch = d.filter(col("doc_id") >= 400)
+        .select(col("doc_id"), col("text"))
+        .unionByName(d.filter(col("doc_id") < 50)
+          .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+      Dedup.minhashNovelty(batch, "doc_id", "text", index)
+        .orderBy(col("doc"))
+    }),
+
     "dd_decontaminate" -> ((s, dir) => {
       // benchmark decontamination: every doc sharing a word 3-gram with
       // the "benchmark" slice (every 20th doc) is flagged. Broadcast-join
@@ -1189,6 +1206,22 @@ object SparkEntry {
       Similarity.pqRecall(e, e.filter(col("vec_id") < 5),
           "vec_id", "embedding", 10, model, shortlist = 100)
         .select(col("query_id"), (col("recall") >= 0.7).as("recall_ok"))
+        .orderBy(col("query_id"))
+    }),
+
+    "sim_ivfpq_topk" -> ((s, dir) => {
+      // the IVFADC composition: coarse cells prune the scan to
+      // nprobe/nlist of the corpus AND the scan reads 6-byte PQ codes,
+      // not 256-byte vectors. Floor measured 0.7 at this shape on
+      // sf0.01 (PqProbe); gate 0.6 = the single-assign IVF gate.
+      val e = t(s, dir, "embeddings").localCheckpoint()
+      val cent = Similarity.ivfTrain(e, "vec_id", "embedding", nlist = 32)
+      val model = Similarity.pqTrain(e, "vec_id", "embedding",
+        m = 8, ksub = 64)
+      Similarity.ivfPqRecall(e, e.filter(col("vec_id") < 5),
+          "vec_id", "embedding", 10, cent, model, nprobe = 16,
+          shortlist = 100)
+        .select(col("query_id"), (col("recall") >= 0.6).as("recall_ok"))
         .orderBy(col("query_id"))
     }),
 
@@ -2192,6 +2225,34 @@ object SparkEntry {
         |JOIN sz sa ON sa.doc_id = p.id_a JOIN sz sb ON sb.doc_id = p.id_b
         |ORDER BY p.id_a""".stripMargin,
 
+    "dd_incremental" ->
+      s"""WITH hu AS (SELECT doc_id, lower(text) AS t FROM documents
+        |  WHERE doc_id < 400),
+        |bu AS (SELECT doc_id, lower(text) AS t FROM documents
+        |    WHERE doc_id >= 400
+        |  UNION ALL SELECT doc_id + 10000, lower(text) FROM documents
+        |    WHERE doc_id < 50),
+        |hw AS (SELECT doc_id, ${toksSql("t")} AS ws FROM hu),
+        |hs AS (SELECT doc_id, $shingleSql AS shl FROM hw),
+        |hx AS (SELECT doc_id, unnest(shl) AS sgl FROM hs),
+        |hh AS (SELECT doc_id, ${rollSql("sgl")} AS h FROM hx),
+        |hsig AS (SELECT doc_id, ${minhashAggSqls.mkString(", ")}
+        |  FROM hh GROUP BY doc_id),
+        |hb AS (SELECT doc_id AS hist, unnest($bandListSql) AS band FROM hsig),
+        |bw AS (SELECT doc_id, ${toksSql("t")} AS ws FROM bu),
+        |bs AS (SELECT doc_id, $shingleSql AS shl FROM bw),
+        |bx AS (SELECT doc_id, unnest(shl) AS sgl FROM bs),
+        |bh AS (SELECT doc_id, ${rollSql("sgl")} AS h FROM bx),
+        |bsig AS (SELECT doc_id, ${minhashAggSqls.mkString(", ")}
+        |  FROM bh GROUP BY doc_id),
+        |bb AS (SELECT doc_id, unnest($bandListSql) AS band FROM bsig),
+        |m AS (SELECT b.doc_id, count(DISTINCT h.hist) AS n
+        |  FROM bb b JOIN hb h ON b.band = h.band GROUP BY b.doc_id)
+        |SELECT x.doc_id AS doc, coalesce(m.n, 0)::BIGINT AS n_dups,
+        |  coalesce(m.n, 0) = 0 AS novel
+        |FROM bu x LEFT JOIN m USING (doc_id)
+        |ORDER BY doc""".stripMargin,
+
     "dd_decontaminate" ->
       s"""WITH bw AS (SELECT ${toksSql("lower(text)")} AS ws FROM documents
         |  WHERE doc_id % 20 = 0),
@@ -2345,6 +2406,12 @@ object SparkEntry {
     // PQ gate: recall floor measured at 0.9 for this shape (LlmSpec /
     // PqProbe); the oracle pins the 0.7 gate
     "sim_pq_topk" ->
+      """SELECT vec_id AS query_id, true AS recall_ok
+        |FROM embeddings WHERE vec_id < 5 ORDER BY query_id""".stripMargin,
+
+    // IVFPQ gate: floor 0.7 measured at nprobe=16/shortlist=100
+    // (PqProbe); the oracle pins the 0.6 gate
+    "sim_ivfpq_topk" ->
       """SELECT vec_id AS query_id, true AS recall_ok
         |FROM embeddings WHERE vec_id < 5 ORDER BY query_id""".stripMargin,
 

@@ -194,17 +194,22 @@ object Dedup {
     * or a dedicated pass should collapse first — emitting its O(n²)
     * pairs is never what a 100 TB pipeline wants). None = no cap, which
     * keeps the operator exact (the oracle-checked default). */
-  def minhashCandidates(df: DataFrame, id: String, text: String,
-                        n: Int = 3, k: Int = 16, bands: Int = 4,
-                        maxBucketSize: Option[Int] = None)
-      : DataFrame = {
+  /** LSH band-key columns over a signature frame's mh0..mh{k-1}. */
+  private def sigBandCols(k: Int, bands: Int): Seq[Column] = {
     val r = k / bands
-    val sig = minhashSignature(df, id, text, n, k)
-    val bandCols = (0 until bands).map { b =>
+    (0 until bands).map { b =>
       concat(lit(s"$b:"),
         md5(concat_ws("|", (b * r until (b + 1) * r)
           .map(i => col(s"mh$i").cast(StringType)): _*)))
     }
+  }
+
+  def minhashCandidates(df: DataFrame, id: String, text: String,
+                        n: Int = 3, k: Int = 16, bands: Int = 4,
+                        maxBucketSize: Option[Int] = None)
+      : DataFrame = {
+    val sig = minhashSignature(df, id, text, n, k)
+    val bandCols = sigBandCols(k, bands)
     val keyed0 = sig.select(col("doc"), explode(array(bandCols: _*)).as("band"))
     val keyed = maxBucketSize match {
       case None => keyed0
@@ -226,6 +231,49 @@ object Dedup {
         col("a.doc") < col("b.doc"))
       .select(col("a.doc").as("id_a"), col("b.doc").as("id_b"))
       .distinct()
+  }
+
+  // -------------------------------------------------------------------
+  // incremental dedup (new batch vs a persisted signature index)
+  // -------------------------------------------------------------------
+
+  /** Novelty screen for INCREMENTAL ingestion: flag batch documents
+    * that near-duplicate a persisted signature index — the daily-crawl
+    * vs years-of-history shape, where re-running full-corpus dedup per
+    * increment would re-shuffle 100 TB to admit a few GB.
+    *
+    * `index` is a [[minhashSignature]] frame (doc, mh0..mh{k-1}) — the
+    * model a deployment persists once per corpus build (k longs per
+    * doc; at 100 TB of text the index is ~0.1% of the data). Both sides
+    * expand to band keys map-side; the equi-join on the band key is the
+    * only corpus-sized shuffle, and it moves the BATCH side to the
+    * index — with the index stored bucketed by band key the exchange
+    * shrinks to the batch alone. The per-doc aggregate counts distinct
+    * matched history docs, so the result is auditable (which increment
+    * rows were near-dups, and how strongly), not just a filter.
+    *
+    * Batch-INTERNAL duplicates are deliberately out of scope: run
+    * [[minhashClusters]] over the novel survivors (batch-sized, cheap)
+    * — novelty-vs-history and self-consistency are different policies
+    * and pipelines legitimately order them differently.
+    *
+    * Output: (doc, n_dups = distinct index docs sharing ≥1 band,
+    * novel = n_dups == 0) — one row per batch doc with non-null text. */
+  def minhashNovelty(batch: DataFrame, id: String, text: String,
+                     index: DataFrame, n: Int = 3, k: Int = 16,
+                     bands: Int = 4): DataFrame = {
+    val bandCols = sigBandCols(k, bands)
+    val batchBands = minhashSignature(batch, id, text, n, k)
+      .select(col("doc"), explode(array(bandCols: _*)).as("band"))
+    val indexBands = index
+      .select(col("doc").as("hist"), explode(array(bandCols: _*)).as("band"))
+    val matches = batchBands.join(indexBands, Seq("band"))
+      .groupBy("doc").agg(countDistinct(col("hist")).as("n_dups"))
+    batch.filter(col(text).isNotNull)
+      .select(col(id).as("doc"))
+      .join(matches, Seq("doc"), "left_outer")
+      .na.fill(0L, Seq("n_dups"))
+      .withColumn("novel", col("n_dups") === 0)
   }
 
   // -------------------------------------------------------------------

@@ -343,24 +343,6 @@ object Similarity {
   private def subVec(vec: Column, j: Int, subdim: Int): Column =
     slice(vec, j * subdim + 1, subdim)
 
-  /** Per-centroid score array for ONE subspace: -2·(s·c) + ||c||² —
-    * rank-equivalent to squared L2 for a fixed subvector s, one codegen
-    * DotProduct per centroid (the [[centroidScores]] pattern). */
-  private def subScores(vec: Column, j: Int, subdim: Int,
-                        cents: Array[Array[Double]]): Column =
-    array(cents.map { c =>
-      val c2 = c.map(x => x * x).sum
-      graft.functions.DotProduct(subVec(vec, j, subdim), typedLit(c.toSeq)) *
-        -2.0 + lit(c2)
-    }.toIndexedSeq: _*)
-
-  /** Nearest sub-centroid id for subspace j (0-based; ties → first). */
-  private def nearestSubCell(vec: Column, j: Int, subdim: Int,
-                             cents: Array[Array[Double]]): Column = {
-    val s = subScores(vec, j, subdim, cents)
-    (array_position(s, array_min(s)) - 1).cast(IntegerType)
-  }
-
   /** Deterministic greedy farthest-point sweep (the [[ivfTrain]] init,
     * factored for per-subspace reuse). */
   private def farthestPointInit(sample: Array[Array[Double]],
@@ -419,15 +401,20 @@ object Similarity {
         sample.map(_.slice(j * subdim, (j + 1) * subdim)), ksub)
     }
     for (_ <- 0 until iters) {
-      val structs = (0 until m).map(j =>
-        struct(nearestSubCell(col(vec), j, subdim, cents(j)).as("cell"),
-          subVec(col(vec), j, subdim).as("sv")))
-      val assigned = corpus.select(
-        posexplode(array(structs: _*)).as(Seq("sub", "sc")))
+      // all m assignments in one native-expression pass (the composed
+      // per-centroid-literal form recompiled a 512-term projection per
+      // round — see PqAssignCodes' scaladoc), then per-(sub, cell)
+      // sub-vector means
+      val assigned = corpus
+        .select(col(vec).as("v"),
+          posexplode(graft.functions.PqAssignCodes(col(vec), cents))
+            .as(Seq("sub", "cell")))
+        .select(col("sub"), col("cell"),
+          slice(col("v"), col("sub") * subdim + 1, lit(subdim)).as("sv"))
       val aggs = (0 until subdim).map(d =>
-        avg(element_at(col("sc.sv"), d + 1)).as(s"c$d"))
+        avg(element_at(col("sv"), d + 1)).as(s"c$d"))
       val next = cents.map(_.clone())
-      assigned.groupBy(col("sub"), col("sc.cell").as("cell"))
+      assigned.groupBy(col("sub"), col("cell"))
         .agg(aggs.head, aggs.tail: _*)
         .collect().foreach { r =>
           next(r.getInt(0))(r.getInt(1)) =
@@ -445,9 +432,7 @@ object Similarity {
   def pqEncode(corpus: DataFrame, id: String, vec: String,
                model: PqModel): DataFrame =
     corpus.select(col(id),
-      array((0 until model.m).map(j =>
-        nearestSubCell(col(vec), j, model.subdim,
-          model.centroids(j))): _*).as("code"))
+      graft.functions.PqAssignCodes(col(vec), model.centroids).as("code"))
 
   /** PQ top-k via asymmetric distance computation (ADC) + exact rerank.
     *
@@ -496,6 +481,80 @@ object Similarity {
     val wk = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("vec_id"))
     rer.withColumn("rank", row_number().over(wk)).filter(col("rank") <= k)
+  }
+
+  /** IVFPQ search — the canonical composition (the IVFADC pipeline of
+    * the PQ literature): the IVF coarse quantizer prunes the scan to
+    * `nprobe`/`nlist` of the corpus, and within the probed cells the
+    * ADC code scan replaces vector reads. At 100 TB the two multiply:
+    * a cell-partitioned, PQ-encoded corpus serves a query by reading
+    * nprobe/nlist of the CODE column (~0.4% of the raw data at
+    * nlist=32/nprobe=12 with 42× code compression), plus
+    * |queries|·shortlist raw-vector fetches for the exact rerank.
+    * The probe is an equi-join on `cell` (partition-pruned under a
+    * `partitionBy("cell")` layout, as [[ivfTopK]]); everything else is
+    * the [[pqTopK]] shape. */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, id: String,
+                vec: String, k: Int, centroids: Array[Array[Double]],
+                model: PqModel, nprobe: Int,
+                shortlist: Int = 50): DataFrame = {
+    val codes = corpus.select(col(id).as("vec_id"),
+      nearestCell(col(vec), centroids).as("cell"),
+      graft.functions.PqAssignCodes(col(vec), model.centroids).as("code"))
+    val dtabs = (0 until model.m).map { j =>
+      transform(
+        typedLit(model.centroids(j).map(_.toSeq).toSeq),
+        c => aggregate(
+          zip_with(subVec(col("qv"), j, model.subdim), c,
+            (a, b) => (a - b) * (a - b)),
+          lit(0.0), (acc, x) => acc + x)).as(s"dt$j")
+    }
+    val q = queries.select(
+      (col(id).as("query_id") +: col(vec).as("qv") +:
+        probeCells(col(vec), centroids, nprobe).as("probes") +: dtabs): _*)
+      .select((col("query_id") +: col("qv") +:
+        explode(col("probes")).as("cell") +:
+        (0 until model.m).map(j => col(s"dt$j"))): _*)
+    val approx = (0 until model.m).map(j =>
+      element_at(col(s"dt$j"), element_at(col("code"), j + 1) + 1))
+      .reduce(_ + _)
+    val scored = codes.join(broadcast(q), Seq("cell"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id"), approx.as("adist"))
+    val ws = Window.partitionBy(col("query_id"))
+      .orderBy(col("adist").asc, col("vec_id"))
+    val short = scored.withColumn("rk", row_number().over(ws))
+      .filter(col("rk") <= shortlist)
+      .select(col("query_id"), col("vec_id"))
+    val rer = short
+      .join(corpus.select(col(id).as("vec_id"), col(vec).as("cv")),
+        Seq("vec_id"))
+      .join(broadcast(queries.select(col(id).as("query_id"),
+        col(vec).as("qv"))), Seq("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        Dedup.cosine(col("qv"), col("cv")).as("cos"))
+    val wk = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    rer.withColumn("rank", row_number().over(wk)).filter(col("rank") <= k)
+  }
+
+  /** Per-query recall of [[ivfPqTopK]] against [[bruteForceTopK]]. */
+  def ivfPqRecall(corpus: DataFrame, queries: DataFrame, id: String,
+                  vec: String, k: Int, centroids: Array[Array[Double]],
+                  model: PqModel, nprobe: Int,
+                  shortlist: Int = 50): DataFrame = {
+    val approx = ivfPqTopK(corpus, queries, id, vec, k, centroids,
+        model, nprobe, shortlist)
+      .select(col("query_id"), col("vec_id"))
+    val exact = bruteForceTopK(corpus, queries, id, vec, k)
+      .select(col("query_id"), col("vec_id"))
+    val hits = approx.intersect(exact)
+      .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
+    queries.select(col(id).as("query_id"))
+      .join(hits, Seq("query_id"), "left_outer")
+      .na.fill(0L, Seq("n_hits"))
+      .select(col("query_id"),
+        round(col("n_hits").cast(DoubleType) / k, 4).as("recall"))
   }
 
   /** Per-query recall of [[pqTopK]] against [[bruteForceTopK]]. */

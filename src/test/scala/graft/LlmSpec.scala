@@ -559,6 +559,25 @@ class LlmSpec extends SparkSpec {
       approx.map(r => r.getLong(0) -> r.getDouble(1)).mkString(","))
   }
 
+  test("IVFPQ: probe-pruned ADC clears the composed floor") {
+    val e = emb.localCheckpoint()
+    val cent = Similarity.ivfTrain(e, "vec_id", "embedding", nlist = 32)
+    val model = Similarity.pqTrain(e, "vec_id", "embedding", 8, 64)
+    val q = e.filter($"vec_id" < 5)
+    // probing EVERY cell with a full shortlist = exactly brute force —
+    // pins the cell join, the ADC lookups, and the rerank
+    val full = Similarity.ivfPqRecall(e, q, "vec_id", "embedding", 10,
+      cent, model, nprobe = 32, shortlist = 500).collect()
+    assert(full.forall(_.getDouble(1) == 1.0),
+      full.map(r => r.getLong(0) -> r.getDouble(1)).mkString(","))
+    // the honest composed floor at the gate shape (PqProbe: 0.8 at
+    // sf0.001, 0.7 at sf0.01)
+    val approx = Similarity.ivfPqRecall(e, q, "vec_id", "embedding", 10,
+      cent, model, nprobe = 16, shortlist = 100).collect()
+    assert(approx.forall(_.getDouble(1) >= 0.6),
+      approx.map(r => r.getLong(0) -> r.getDouble(1)).mkString(","))
+  }
+
   test("decontaminate: overlap counts exact, clean docs zero, corpus un-shuffled") {
     val d = Seq(
       (0L, "alpha beta gamma delta epsilon"), // = bench doc → all 3 shingles hit
@@ -582,6 +601,25 @@ class LlmSpec extends SparkSpec {
     val plan = Dedup.decontaminate(d, "doc_id", "text", bench, "btext")
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("minhashNovelty: history dups flagged, novel batch rows pass") {
+    val hist = docs.limit(40).select($"doc_id", $"text")
+    val index = Dedup.minhashSignature(hist, "doc_id", "text", 3, 16)
+    // batch: exact copies of 10 history docs + 10 genuinely new docs
+    val copies = hist.limit(10)
+      .select(($"doc_id" + 5000).as("doc_id"), $"text")
+    val fresh = docs.filter($"doc_id" >= 400 && $"doc_id" < 410)
+      .select(($"doc_id" + 9000).as("doc_id"), $"text")
+    val out = Dedup.minhashNovelty(copies.unionByName(fresh),
+      "doc_id", "text", index).cache()
+    assert(out.count() == 20)
+    // every exact copy shares EVERY band with its original → non-novel
+    assert(out.filter($"doc" < 9000 && $"novel").count() == 0)
+    assert(out.filter($"doc" < 9000 && $"n_dups" < 1).count() == 0)
+    // the fresh tail has no history twin (near-dup collisions aside,
+    // these sf0.001 docs are distinct texts): all novel
+    assert(out.filter($"doc" >= 9400 && !$"novel").count() == 0)
   }
 
   test("mixtureBalance: binding stratum keeps rate 1e6, proportions honored") {

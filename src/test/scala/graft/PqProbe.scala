@@ -23,6 +23,14 @@ object PqProbe {
             rec.map(_.getDouble(1)).mkString(","))
         }
       }
+      val cent = Similarity.ivfTrain(e, "vec_id", "embedding", nlist = 32)
+      val model = Similarity.pqTrain(e, "vec_id", "embedding", 8, 64)
+      for (nprobe <- Seq(12, 16); short <- Seq(100, 200)) {
+        val rec = Similarity.ivfPqRecall(e, e.filter(col("vec_id") < 5),
+          "vec_id", "embedding", 10, cent, model, nprobe, short).collect()
+        println(s"PROBE SF=$sf IVFPQ nprobe=$nprobe short=$short recalls=" +
+          rec.map(_.getDouble(1)).mkString(","))
+      }
     }
   }
 }
