@@ -1010,6 +1010,19 @@ object SparkEntry {
           defaultRate = 0.05)
         .orderBy(col("doc"))),
 
+    "ta_normalize" -> ((s, dir) =>
+      // canonical cleanup ahead of any hash-based op: NFC composition
+      // the appended suffix carries DECOMPOSED e-acute (e+U+0301) and
+      // A-ring (A+U+030A) that NFC must compose, a BEL to strip, and
+      // tab/space runs to collapse. Both engines implement the same
+      // Unicode algorithm → hash-exact compare.
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.normalize(concat(col("text"),
+            lit(" cafe\u0301 A\u030A x\u0007y\tz  w")))
+            .as("norm"))
+        .orderBy(col("doc_id"))),
+
     "ta_mixture" -> ((s, dir) =>
       // derive per-language acceptance rates from target output
       // proportions (50/30/20) — integer-exact ppm thresholds, so the
@@ -1088,6 +1101,18 @@ object SparkEntry {
       val d = t(s, dir, "documents")
       val bench = d.filter(pmod(col("doc_id"), lit(20)) === 0)
       Dedup.decontaminate(d, "doc_id", "text", bench, "text")
+        .orderBy(col("doc"))
+    }),
+
+    "dd_decontaminate_set" -> ((s, dir) => {
+      // the map-only twin of dd_decontaminate: benchmark hashes
+      // collected once driver-side (model-sized), per-row native
+      // sorted-set membership — the form Events.decontaminateStream
+      // runs at ingestion. Same output contract, same oracle.
+      val d = t(s, dir, "documents")
+      val bench = d.filter(pmod(col("doc_id"), lit(20)) === 0)
+      Dedup.decontaminateSet(d, "doc_id", "text",
+          Dedup.contaminationSet(bench, "text"))
         .orderBy(col("doc"))
     }),
 
@@ -1863,6 +1888,25 @@ object SparkEntry {
       |  THEN list_transform(range(len(ws)-2), i -> ws[i+1]||' '||ws[i+2]||' '||ws[i+3])
       |  ELSE [array_to_string(ws, ' ')] END""".stripMargin
 
+  /** Shared by dd_decontaminate and dd_decontaminate_set — the two
+    * forms (broadcast join vs native sorted-set scalar) implement one
+    * contract. */
+  private lazy val decontaminateOracle: String =
+    s"""WITH bw AS (SELECT ${toksSql("lower(text)")} AS ws FROM documents
+      |  WHERE doc_id % 20 = 0),
+      |bs0 AS (SELECT unnest($shingleSql) AS sgl FROM bw),
+      |bs AS (SELECT DISTINCT ${rollSql("sgl")} AS sh FROM bs0),
+      |dw AS (SELECT doc_id, ${toksSql("lower(text)")} AS ws FROM documents),
+      |ds0 AS (SELECT doc_id, unnest($shingleSql) AS sgl FROM dw),
+      |ds AS (SELECT DISTINCT doc_id, ${rollSql("sgl")} AS sh FROM ds0),
+      |m AS (SELECT doc_id, count(*) AS n FROM ds JOIN bs USING (sh)
+      |  GROUP BY doc_id)
+      |SELECT d.doc_id AS doc,
+      |  coalesce(m.n, 0)::BIGINT AS n_contaminated,
+      |  coalesce(m.n, 0) >= 1 AS contaminated
+      |FROM documents d LEFT JOIN m USING (doc_id)
+      |ORDER BY doc""".stripMargin
+
   /** Morton interleave of two integer expressions (Layout.zValue, c=2):
     * bit i of column j lands at position 2i + j — pure integer
     * arithmetic, bit-for-bit across engines. */
@@ -2080,6 +2124,14 @@ object SparkEntry {
         |    WHEN 'es' THEN 1000 ELSE 500 END) AS keep
         |FROM documents ORDER BY doc""".stripMargin,
 
+    "ta_normalize" ->
+      """SELECT doc_id, trim(regexp_replace(regexp_replace(
+        |  nfc_normalize(text || ' cafe' || chr(769) || ' A' || chr(778)
+        |    || ' x' || chr(7) || 'y' || chr(9) || 'z  w'),
+        |  '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
+        |  '[ \t]+', ' ', 'g')) AS norm
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
     // the oracle re-derives the mixture rates from the same counts with
     // the same 64-bit integer arithmetic (basis points → feasible total
     // from the binding stratum → ppm thresholds)
@@ -2253,21 +2305,11 @@ object SparkEntry {
         |FROM bu x LEFT JOIN m USING (doc_id)
         |ORDER BY doc""".stripMargin,
 
-    "dd_decontaminate" ->
-      s"""WITH bw AS (SELECT ${toksSql("lower(text)")} AS ws FROM documents
-        |  WHERE doc_id % 20 = 0),
-        |bs0 AS (SELECT unnest($shingleSql) AS sgl FROM bw),
-        |bs AS (SELECT DISTINCT ${rollSql("sgl")} AS sh FROM bs0),
-        |dw AS (SELECT doc_id, ${toksSql("lower(text)")} AS ws FROM documents),
-        |ds0 AS (SELECT doc_id, unnest($shingleSql) AS sgl FROM dw),
-        |ds AS (SELECT DISTINCT doc_id, ${rollSql("sgl")} AS sh FROM ds0),
-        |m AS (SELECT doc_id, count(*) AS n FROM ds JOIN bs USING (sh)
-        |  GROUP BY doc_id)
-        |SELECT d.doc_id AS doc,
-        |  coalesce(m.n, 0)::BIGINT AS n_contaminated,
-        |  coalesce(m.n, 0) >= 1 AS contaminated
-        |FROM documents d LEFT JOIN m USING (doc_id)
-        |ORDER BY doc""".stripMargin,
+    "dd_decontaminate" -> decontaminateOracle,
+
+    // same oracle by construction: the set form is semantics-identical
+    // (LlmSpec pins equivalence with the join form mechanically too)
+    "dd_decontaminate_set" -> decontaminateOracle,
 
     "dd_simhash" ->
       s"""WITH tok AS (SELECT doc_id, unnest(${toksSql("lower(text)")}) AS tok FROM documents),

@@ -327,6 +327,38 @@ object Dedup {
       .withColumn("contaminated", col("n_contaminated") >= minOverlap)
   }
 
+  /** Driver-side contamination set: the benchmark's DISTINCT shingle
+    * hashes as one sorted array — model-sized (eval suites are
+    * thousands of documents; a 375k-shingle set is 3 MB), shipped to
+    * executors once per task like any broadcast model. The input to
+    * [[decontaminateSet]] and `Events.decontaminateStream`. */
+  def contaminationSet(bench: DataFrame, benchText: String,
+                       n: Int = 3): Array[Long] =
+    bench.select(explode(shingles(col(benchText), n)).as("sh"))
+      .select(TextAnalysis.tokenHash(col("sh")).as("h")).distinct()
+      .collect().map(_.getLong(0))
+
+  /** Map-only decontamination: same output contract as
+    * [[decontaminate]] ((doc, n_contaminated, contaminated) per doc,
+    * distinct-match counting), but the membership test is a native
+    * scalar against the broadcast sorted set ([[graft.functions.CountInSet]])
+    * instead of a join — NO exchange anywhere in the plan, which is
+    * what lets the same operator run per-row inside Structured
+    * Streaming (no stream-stream join, no aggregation state). Batch
+    * pipelines can prefer either; the join form keeps the set fully
+    * distributed, this form trades one driver collect of the benchmark
+    * hashes for a pure projection. Equivalence is pinned in LlmSpec. */
+  def decontaminateSet(docs: DataFrame, id: String, text: String,
+                       set: Array[Long], n: Int = 3,
+                       minOverlap: Int = 1): DataFrame =
+    docs.select(col(id).as("doc"),
+        coalesce(
+          graft.functions.CountInSet(
+            transform(shingles(col(text), n),
+              s => TextAnalysis.tokenHash(s)), set).cast(LongType),
+          lit(0L)).as("n_contaminated"))
+      .withColumn("contaminated", col("n_contaminated") >= minOverlap)
+
   // -------------------------------------------------------------------
   // n-gram Jaccard (exact verification)
   // -------------------------------------------------------------------

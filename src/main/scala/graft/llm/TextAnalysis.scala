@@ -260,6 +260,20 @@ object TextAnalysis {
       (h < bps).as("keep"))
   }
 
+  /** Canonical text cleanup, the step that runs BEFORE any hash-based
+    * operator (dedup signatures, fingerprints, exact-dedup keys are all
+    * byte-sensitive): Unicode NFC composition
+    * ([[graft.functions.NormalizeNfc]] — no Spark built-in), control
+    * characters stripped (except \n and \t), spaces/tabs collapsed to
+    * one space, ends trimmed. Map-only; DuckDB's nfc_normalize mirrors
+    * the NFC step so the whole pipeline is oracle-comparable. */
+  def normalize(text: Column): Column = {
+    val nfc = graft.functions.NormalizeNfc(text)
+    val noCtl = regexp_replace(nfc,
+      "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", "")
+    trim(regexp_replace(noCtl, "[ \\t]+", " "))
+  }
+
   /** Rebalance a corpus to TARGET OUTPUT PROPORTIONS — the data-mixing
     * step that turns "70% web / 20% code / 10% books" into per-stratum
     * acceptance rates. [[stratifiedSample]] takes rates as given; this

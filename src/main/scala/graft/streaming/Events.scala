@@ -218,6 +218,24 @@ object Events {
     dedup.unionByName(signed.filter(col("simhash").isNull))
   }
 
+  /** Streaming benchmark decontamination: drop documents sharing any
+    * word n-gram with a fixed contamination set as they ARRIVE — the
+    * eval-leakage guard applied at ingestion instead of as a batch
+    * sweep. Because the membership test is a map-only native scalar
+    * over a broadcast sorted set (`Dedup.decontaminateSet` /
+    * `CountInSet`), this is a pure projection + filter: no
+    * stream-stream join, no aggregation state, no watermark required.
+    * `set` comes from `Dedup.contaminationSet(bench, ...)`, computed
+    * once offline per benchmark release. Identical semantics in batch
+    * (StreamingSpec pins AvailableNow ≡ batch). */
+  def decontaminateStream(stream: DataFrame, id: String, text: String,
+                          set: Array[Long], n: Int = 3,
+                          minOverlap: Int = 1): DataFrame = {
+    graft.llm.Dedup
+      .decontaminateSet(stream, id, text, set, n, minOverlap)
+      .filter(!col("contaminated"))
+  }
+
   /** Stream-stream INTERVAL join: each "click" (odd event_id) pairs with
     * the "impressions" (even event_id) of the same user in the preceding
     * `windowExpr` (e.g. "30 minutes"). Both sides carry watermarks, and

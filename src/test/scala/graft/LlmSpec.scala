@@ -622,6 +622,18 @@ class LlmSpec extends SparkSpec {
     assert(out.filter($"doc" >= 9400 && !$"novel").count() == 0)
   }
 
+  test("decontaminateSet: map-only twin of the join form, exchange-free") {
+    val bench = docs.filter($"doc_id" % 20 === 0)
+    val set = Dedup.contaminationSet(bench, "text")
+    val viaSet = Dedup.decontaminateSet(docs, "doc_id", "text", set)
+    val viaJoin = Dedup.decontaminate(docs, "doc_id", "text", bench, "text")
+    assert(viaSet.exceptAll(viaJoin).count() == 0)
+    assert(viaJoin.exceptAll(viaSet).count() == 0)
+    // pure projection: usable per-row in a stream
+    val plan = viaSet.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"set form shuffles:\n$plan")
+  }
+
   test("mixtureBalance: binding stratum keeps rate 1e6, proportions honored") {
     // 60 a-docs, 30 b-docs, 10 c-docs with target 50/30/20 → binding
     // stratum is c (10/0.2 = 50 feasible total ≤ 60/0.5, 30/0.3);
@@ -646,6 +658,28 @@ class LlmSpec extends SparkSpec {
     assert(TextAnalysis.mixtureBalance(d.repartition(7), "doc_id", "lang",
       Map("a" -> 5000, "b" -> 3000, "c" -> 2000))
       .filter($"keep").count() == re)
+  }
+
+  test("normalize: NFC composes, control chars strip, runs collapse") {
+    val d = Seq(
+      (0L, "cafe\u0301 and A\u030A"), // decomposed -> composed
+      (1L, "café and Å"),        // already NFC: same output
+      (2L, "a\u0007b\u0000c"),        // control chars vanish
+      (3L, "  x\t\ty   z  "),              // runs collapse, ends trim
+      (4L, "line1\nline2")                 // newline survives
+    ).toDF("doc_id", "text")
+    val out = d.select($"doc_id",
+        TextAnalysis.normalize($"text").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(0L) == "café and Å")
+    assert(out(1L) == out(0L)) // byte-identical after normalization
+    assert(out(2L) == "abc")
+    assert(out(3L) == "x y z")
+    assert(out(4L) == "line1\nline2")
+    // dedup consequence: the two renderings now collapse together
+    val u = d.filter($"doc_id" < 2)
+      .select($"doc_id", TextAnalysis.normalize($"text").as("text"))
+    assert(Dedup.exact(u, $"text", $"doc_id").count() == 1)
   }
 
   test("text analysis: langid marker hit and quality bounds") {

@@ -104,6 +104,61 @@ object ScaleProbe {
       }
       println(s"[probe]   -> $n selected")
     }
+
+    // ---- r6 late additions: decontaminate / novelty / PQ / z-order ----
+    // decontaminate: corpus grows, benchmark FIXED (the real shape —
+    // eval suites don't grow with the crawl). Expect corpus-linear.
+    val bench = docs.filter(pmod(col("doc_id"), lit(20)) === 0)
+    for (x <- Seq(2, 8, 16)) {
+      val d = selfUnion(docs, "doc_id", x)
+      val n = time(s"decontaminate ${x}x vs fixed bench [flagged]") {
+        graft.llm.Dedup.decontaminate(d, "doc_id", "text", bench, "text")
+          .filter(col("contaminated")).count()
+      }
+      println(s"[probe]   -> $n flagged")
+    }
+    // novelty: HISTORY INDEX grows, batch fixed (daily increment vs
+    // deepening history). The join moves the batch; expect growth bound
+    // by index scan + matched rows, not batch re-hash.
+    for (x <- Seq(2, 8, 16)) {
+      val index = graft.llm.Dedup.minhashSignature(
+        selfUnion(docs, "doc_id", x), "doc_id", "text", 3, 16)
+      val n = time(s"minhashNovelty batch=5k vs ${x}x index [novel]") {
+        graft.llm.Dedup.minhashNovelty(
+          docs.select((col("doc_id") + 90000000L).as("doc_id"), col("text")),
+          "doc_id", "text", index).filter(col("novel")).count()
+      }
+      println(s"[probe]   -> $n novel")
+    }
+    // PQ: train once on 1x, encode/search at corpus scale (the serving
+    // shape). Encode is map-only; search = code scan + rank-pushdown
+    // window + shortlist rerank.
+    val pqModel = graft.llm.Similarity.pqTrain(
+      emb.localCheckpoint(), "vec_id", "embedding", 8, 64)
+    for (x <- Seq(2, 8, 16)) {
+      val e = selfUnion(emb, "vec_id", x)
+      val n = time(s"pqEncode ${x}x [rows]") {
+        graft.llm.Similarity.pqEncode(e, "vec_id", "embedding", pqModel)
+          .count()
+      }
+      println(s"[probe]   -> $n rows")
+      val s = time(s"pqTopK ${x}x (5 queries) [rows]") {
+        graft.llm.Similarity.pqTopK(e, emb.filter(col("vec_id") < 5),
+          "vec_id", "embedding", 10, pqModel, 100).count()
+      }
+      println(s"[probe]   -> $s rows")
+    }
+    // z-order write: one range exchange + in-partition sort — the
+    // layout cost a deployment pays once per table build
+    val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+    for (x <- Seq(2, 8)) {
+      val o = selfUnion(orders.select(col("o_orderkey"), col("o_custkey"),
+        col("o_totalprice")), "o_orderkey", x)
+      time(s"writeZOrdered orders ${x}x") {
+        graft.sources.Layout.writeZOrdered(o,
+          s"/tmp/graft_zorder_probe_$x", Seq("o_custkey", "o_orderkey"))
+      }
+    }
     spark.stop()
   }
 }

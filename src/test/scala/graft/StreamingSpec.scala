@@ -159,6 +159,43 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.count() == expected)
   }
 
+  test("streaming decontamination drops contaminated docs at ingestion") {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    val tmp = java.nio.file.Files.createTempDirectory("graft-decon").toString
+    val inDir = java.nio.file.Paths.get(tmp, "in")
+    java.nio.file.Files.createDirectories(inDir)
+    val docs = Tables.load(spark, sf, "documents")
+      .select($"doc_id", $"text").limit(200)
+    docs.coalesce(1).write.mode("overwrite")
+      .parquet(inDir.resolve("batch").toString)
+    val bench = docs.filter($"doc_id" % 10 === 0)
+    val set = graft.llm.Dedup.contaminationSet(bench, "text")
+    val stream = spark.readStream
+      .schema(StructType(Seq(StructField("doc_id", LongType),
+        StructField("text", StringType))))
+      .parquet(inDir.resolve("batch").toString)
+    // map-only per-row decision: no watermark, no state required
+    val q = Events.decontaminateStream(stream, "doc_id", "text", set)
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .format("parquet")
+      .option("path", s"$tmp/out")
+      .start()
+    q.awaitTermination(120000)
+    val streamed = spark.read.parquet(s"$tmp/out")
+    val expected = graft.llm.Dedup
+      .decontaminate(docs, "doc_id", "text", bench, "text")
+      .filter(!$"contaminated")
+    assert(streamed.count() == expected.count())
+    assert(streamed.select($"doc").exceptAll(expected.select($"doc"))
+      .count() == 0)
+    // every benchmark member is its own contamination → none survive
+    assert(streamed.filter($"doc" % 10 === 0).count() == 0)
+  }
+
   test("streaming near-dup dedup by SimHash signature (map-only expression)") {
     import org.apache.spark.sql.types._
     import org.apache.spark.sql.streaming.{OutputMode, Trigger}
