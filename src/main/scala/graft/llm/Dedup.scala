@@ -334,9 +334,9 @@ object Dedup {
     * [[decontaminateSet]] and `Events.decontaminateStream`. */
   def contaminationSet(bench: DataFrame, benchText: String,
                        n: Int = 3): Array[Long] =
-    bench.select(explode(shingles(col(benchText), n)).as("sh"))
-      .select(TextAnalysis.tokenHash(col("sh")).as("h")).distinct()
-      .collect().map(_.getLong(0))
+    bench.select(explode(graft.functions.ShingleHashes(
+        lower(col(benchText)), n)).as("h"))
+      .distinct().collect().map(_.getLong(0))
 
   /** Map-only decontamination: same output contract as
     * [[decontaminate]] ((doc, n_contaminated, contaminated) per doc,
@@ -351,11 +351,15 @@ object Dedup {
   def decontaminateSet(docs: DataFrame, id: String, text: String,
                        set: Array[Long], n: Int = 3,
                        minOverlap: Int = 1): DataFrame =
+    // ShingleHashes + CountInSet keep the projection inside whole-stage
+    // codegen; the transform(shingles(...), RollingHash) spelling rode
+    // on a CodegenFallback HOF and ran the row interpreted (3.6 s →
+    // 0.3 s on the sf0.1 row — see ShingleHashes' scaladoc)
     docs.select(col(id).as("doc"),
         coalesce(
           graft.functions.CountInSet(
-            transform(shingles(col(text), n),
-              s => TextAnalysis.tokenHash(s)), set).cast(LongType),
+            graft.functions.ShingleHashes(lower(col(text)), n),
+            set).cast(LongType),
           lit(0L)).as("n_contaminated"))
       .withColumn("contaminated", col("n_contaminated") >= minOverlap)
 

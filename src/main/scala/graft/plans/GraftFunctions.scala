@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{DotProduct, MinHashSig, RollingHash, SimHash60}
+import graft.functions.{DotProduct, MinHashSig, NormalizeNfc, RollingHash, SimHash60}
 
 /** SQL-text surface for the engine's custom expressions: makes
   * `graft_rolling_hash(s)` and `graft_dot(a, b)` callable from
@@ -49,7 +49,13 @@ object GraftFunctions {
         }
         MinHashSig(args.head, intLit(args(1), "n"), intLit(args(2), "k"))
       },
-      "graft_minhash(str, n, k) - k-value MinHash over n-gram shingles"))
+      "graft_minhash(str, n, k) - k-value MinHash over n-gram shingles"),
+    ("graft_nfc",
+      args => {
+        require(args.length == 1, "graft_nfc(str)")
+        NormalizeNfc(args.head)
+      },
+      "graft_nfc(str) - Unicode NFC canonical composition"))
 
   /** Register into an already-built session. */
   def register(spark: SparkSession): Unit =

@@ -512,6 +512,11 @@ class LlmSpec extends SparkSpec {
     intercept[Exception] {
       spark.sql("SELECT graft_minhash('a', length('xx'), 4)").collect()
     }
+    // NFC through the SQL surface: decomposed escape sequence composes
+    // (the escape is the combining acute; chr() is mod-256 ASCII)
+    val nfc = spark.sql(
+      "SELECT graft_nfc('cafe\\u0301') AS n").head.getString(0)
+    assert(nfc == "café" && nfc.length == 4)
   }
 
   test("GraftExtensions injects functions at session build time") {
