@@ -334,6 +334,53 @@ object SparkEntry {
       Events.clickImpressionJoin(t(s, dir, "events"))
         .orderBy(col("click_id"), col("impression_id"))),
 
+    "op_components" -> ((s, dir) => {
+      // the CC primitive behind every cluster collapse, compared
+      // directly: chain edges doc→doc+1 where doc%5<2 (3-node chains,
+      // plenty of isolated nodes), rep = min id of the component
+      val d = t(s, dir, "documents")
+      val edges = d.filter(pmod(col("doc_id"), lit(5)) < 2)
+        .select(col("doc_id").as("id_a"), (col("doc_id") + 1).as("id_b"))
+        .join(d.select(col("doc_id").as("id_b")), Seq("id_b"), "left_semi")
+      Dedup.connectedComponents(d, "doc_id", edges)
+        .orderBy(col("doc"))
+    }),
+
+    "q16_window_breadth" -> ((s, dir) => {
+      // the window-function breadth a dbt model relies on beyond q03's
+      // rank/sum: offsets, tiles, running first, relative ranks —
+      // deterministic because o_orderkey is unique per partition
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderkey"))
+      t(s, dir, "orders").select(
+          col("o_orderkey"), col("o_custkey"),
+          lead(col("o_orderkey"), 1).over(w).as("next_ok"),
+          lag(col("o_orderkey"), 1).over(w).as("prev_ok"),
+          ntile(4).over(w).as("quartile"),
+          first(col("o_orderkey")).over(w).as("first_ok"),
+          round(percent_rank().over(w), 6).as("pr"),
+          round(cume_dist().over(w), 6).as("cd"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    "q17_approx_percentile" -> ((s, dir) => {
+      // the sketch the reference passes through to the engine
+      // (approx_percentile): gated within 5% of the exact percentile
+      // per group — the q11 approx-distinct pattern
+      val li = t(s, dir, "lineitem")
+      li.groupBy(col("l_returnflag"))
+        .agg(
+          expr("approx_percentile(l_quantity, array(0.5, 0.9), 1000)")
+            .as("ap"),
+          expr("percentile(l_quantity, 0.5)").as("e50"),
+          expr("percentile(l_quantity, 0.9)").as("e90"))
+        .select(col("l_returnflag"),
+          (abs(element_at(col("ap"), 1) - col("e50")) <=
+            greatest(col("e50") * 0.05, lit(1.0))).as("p50_ok"),
+          (abs(element_at(col("ap"), 2) - col("e90")) <=
+            greatest(col("e90") * 0.05, lit(1.0))).as("p90_ok"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     "op_zorder" -> ((s, dir) =>
       // Morton interleave of (custkey, orderkey) — the multi-column
       // data-skipping sort key; the write path + row-group-skip evidence
@@ -2616,6 +2663,40 @@ object SparkEntry {
         |  SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
         |  FROM events)
         |WHERE k > 50 ORDER BY event_id""".stripMargin,
+
+    // the same recursive-CTE fixpoint as the cluster oracles, over the
+    // explicit chain edges
+    "op_components" ->
+      """WITH RECURSIVE cand AS (
+        |  SELECT a.doc_id AS id_a, a.doc_id + 1 AS id_b FROM documents a
+        |  JOIN documents b ON b.doc_id = a.doc_id + 1
+        |  WHERE a.doc_id % 5 < 2),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM cand
+        |  UNION ALL SELECT id_b, id_a FROM cand),
+        |walk(doc, anc) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT e.dst, w2.anc FROM walk w2 JOIN edges e ON e.src = w2.doc)
+        |SELECT doc, min(anc) AS rep, (doc = min(anc)) AS keep
+        |FROM walk GROUP BY doc ORDER BY doc""".stripMargin,
+
+    "q16_window_breadth" ->
+      """SELECT o_orderkey, o_custkey,
+        |  lead(o_orderkey, 1) OVER w AS next_ok,
+        |  lag(o_orderkey, 1) OVER w AS prev_ok,
+        |  (ntile(4) OVER w)::INTEGER AS quartile,
+        |  first_value(o_orderkey) OVER w AS first_ok,
+        |  round(percent_rank() OVER w, 6) AS pr,
+        |  round(cume_dist() OVER w, 6) AS cd
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    // sketch gate (the q11 pattern): DuckDB pins the within-5% check
+    "q17_approx_percentile" ->
+      """SELECT l_returnflag, true AS p50_ok, true AS p90_ok
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
 
     "op_zorder" ->
       s"""SELECT o_orderkey, ${zorderSql("o_custkey", "o_orderkey", 8)} AS zval

@@ -698,6 +698,23 @@ object Dedup {
     * with one linear groupBy+join, so the output is always in the
     * caller's own id type. (r3 ADVICE: the old unconditional long cast
     * turned string edges into NULLs and silently kept everything.) */
+  /** PUBLIC connected components over an explicit undirected edge list
+    * — the graph primitive behind every cluster collapse here
+    * (simhash/minhash/cosine), exposed directly because training-data
+    * pipelines carry their own dedup graphs (url canonicalization
+    * chains, cross-source link graphs). `edges` columns: (id_a, id_b);
+    * isolated nodes keep themselves. Output (doc, rep = min original id
+    * of the component, keep = doc==rep). Union-find on the driver while
+    * the edge list is model-sized (< `driverEdgeLimit`), distributed
+    * pointer-jumping (O(log diameter) rounds) above it; string ids ride
+    * an xxhash64 edge space with min-original-id recovery. Compared
+    * end-to-end by the `op_components` driver row against a DuckDB
+    * recursive-CTE fixpoint. */
+  def connectedComponents(nodes: DataFrame, id: String, edges: DataFrame,
+                          maxIter: Int = 20,
+                          driverEdgeLimit: Long = 1000000L): DataFrame =
+    collapseComponents(nodes, id, edges, maxIter, driverEdgeLimit)
+
   private[llm] def collapseComponents(df: DataFrame, id: String,
                                       pairsDf: DataFrame, maxIter: Int,
                                       driverEdgeLimit: Long): DataFrame = {

@@ -583,6 +583,22 @@ class LlmSpec extends SparkSpec {
       approx.map(r => r.getLong(0) -> r.getDouble(1)).mkString(","))
   }
 
+  test("connectedComponents: chains collapse, isolates self-rep, string ids") {
+    val nodes = (0L to 9L).toDF("id")
+    // two chains 0-1-2 and 5-6, plus isolates 3,4,7,8,9
+    val edges = Seq((0L, 1L), (1L, 2L), (5L, 6L)).toDF("id_a", "id_b")
+    val out = Dedup.connectedComponents(nodes, "id", edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 3L, 4L -> 4L,
+      5L -> 5L, 6L -> 5L, 7L -> 7L, 8L -> 8L, 9L -> 9L))
+    // string ids take the hashed-edge-space path, same shape
+    val snodes = Seq("a", "b", "c", "d").toDF("id")
+    val sedges = Seq(("c", "b")).toDF("id_a", "id_b")
+    val sout = Dedup.connectedComponents(snodes, "id", sedges)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(sout == Map("a" -> "a", "b" -> "b", "c" -> "b", "d" -> "d"))
+  }
+
   test("decontaminate: overlap counts exact, clean docs zero, corpus un-shuffled") {
     val d = Seq(
       (0L, "alpha beta gamma delta epsilon"), // = bench doc → all 3 shingles hit

@@ -19,7 +19,11 @@ object Sf1Probe {
     "dd_simhash_clusters", "q12_percentile", "ta_select", "dd_minhash_lsh",
     "op_asof_tolerance", "q01_pricing_summary",
     "dd_minhash_clusters", "dd_simhash", "mm_decode_pixels",
-    "sim_ivf_multiassign")
+    "sim_ivf_multiassign",
+    // round-6 second-session rows
+    "dd_decontaminate", "dd_decontaminate_set", "dd_incremental",
+    "ta_mixture", "ta_normalize", "sim_pq_topk", "sim_ivfpq_topk",
+    "op_zorder", "op_compact")
 
   def main(args: Array[String]): Unit = {
     val src = "/root/testdata/sf0.1"
