@@ -1057,6 +1057,15 @@ object SparkEntry {
           defaultRate = 0.05)
         .orderBy(col("doc"))),
 
+    "ta_bpe_pairs" -> ((s, dir) =>
+      // the BPE objective function, compared exactly: adjacent char-pair
+      // counts over the word-frequency table (the base training stage).
+      // The iterative merge policy on top is pinned by LlmSpec's
+      // hand-computed case — an oracle cannot replay data-dependent
+      // merges in static SQL.
+      TextAnalysis.bpePairCounts(t(s, dir, "documents"), "text")
+        .limit(50)),
+
     "ta_normalize" -> ((s, dir) =>
       // canonical cleanup ahead of any hash-based op: NFC composition
       // the appended suffix carries DECOMPOSED e-acute (e+U+0301) and
@@ -2170,6 +2179,17 @@ object SparkEntry {
         |  (CASE lang WHEN 'en' THEN 5000 WHEN 'zh' THEN 2500
         |    WHEN 'es' THEN 1000 ELSE 500 END) AS keep
         |FROM documents ORDER BY doc""".stripMargin,
+
+    "ta_bpe_pairs" ->
+      s"""WITH wx AS (SELECT unnest(${toksSql("lower(text)")}) AS w
+        |  FROM documents),
+        |wc AS (SELECT w, count(*)::BIGINT AS cnt FROM wx GROUP BY w),
+        |px AS (SELECT substring(w, i, 1) AS l, substring(w, i + 1, 1) AS r,
+        |    cnt
+        |  FROM wc, unnest(range(1, length(w))) AS t(i)
+        |  WHERE length(w) >= 2)
+        |SELECT l, r, sum(cnt)::BIGINT AS n FROM px GROUP BY l, r
+        |ORDER BY n DESC, l, r LIMIT 50""".stripMargin,
 
     "ta_normalize" ->
       """SELECT doc_id, trim(regexp_replace(regexp_replace(

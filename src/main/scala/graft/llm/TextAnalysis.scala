@@ -260,6 +260,77 @@ object TextAnalysis {
       (h < bps).as("keep"))
   }
 
+  /** Word-frequency table of a corpus: (w, cnt) — THE intermediate
+    * every tokenizer-training step runs on. One corpus pass (explode +
+    * one shuffled count); everything downstream is vocab-sized, which
+    * is what keeps BPE iteration affordable at 100 TB (the corpus is
+    * never re-read during training). */
+  def wordCounts(df: org.apache.spark.sql.DataFrame,
+                 text: String): org.apache.spark.sql.DataFrame =
+    df.select(explode(tokens(lower(col(text)))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+
+  /** Adjacent-symbol pair counts over the word-frequency table, with
+    * `merges` applied first ([[graft.functions.BpeSymbols]]) — the
+    * quantity BPE maximizes at each step. Deterministic total order
+    * (count desc, then pair) so top-k prefixes are engine-stable.
+    * Single-symbol words contribute no pairs. */
+  def bpePairCounts(df: org.apache.spark.sql.DataFrame, text: String,
+                    merges: Seq[(String, String)] = Nil)
+      : org.apache.spark.sql.DataFrame = {
+    val syms = graft.functions.BpeSymbols(col("w"), merges)
+    wordCounts(df, text)
+      .select(col("cnt"), syms.as("s"))
+      .filter(size(col("s")) >= 2)
+      .select(col("cnt"),
+        explode(sequence(lit(1), size(col("s")) - 1)).as("i"), col("s"))
+      .select(element_at(col("s"), col("i")).as("l"),
+        element_at(col("s"), col("i") + 1).as("r"), col("cnt"))
+      .groupBy("l", "r").agg(sum(col("cnt")).as("n"))
+      .orderBy(col("n").desc, col("l"), col("r"))
+  }
+
+  /** Byte-pair-encoding vocabulary induction: `numMerges` greedy merge
+    * steps, each taking the most frequent adjacent symbol pair (ties →
+    * lexicographically smallest pair, so training is deterministic
+    * across partitionings and engines). Returns (l, r, count) in merge
+    * order — the model artifact a tokenizer ships.
+    *
+    * Scale shape: ONE corpus pass builds the word-frequency table
+    * ([[wordCounts]], checkpointed); each merge step re-derives symbols
+    * from the word via the native [[graft.functions.BpeSymbols]] (all
+    * accumulated merges in one pass) and re-counts pairs with a
+    * vocab-sized aggregate. Only the single top pair crosses to the
+    * driver per step — model state, like the k-means centroids. The
+    * iterative selection policy is pinned by a hand-computed LlmSpec
+    * case; the pair-counting machinery is driver-compared exactly
+    * (`ta_bpe_pairs`). */
+  def bpeTrain(df: org.apache.spark.sql.DataFrame, text: String,
+               numMerges: Int): Seq[(String, String, Long)] = {
+    val wc = wordCounts(df, text).localCheckpoint()
+    val acc = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    var done = false
+    while (acc.length < numMerges && !done) {
+      val merges = acc.map(m => (m._1, m._2)).toSeq
+      val syms = graft.functions.BpeSymbols(col("w"), merges)
+      val top = wc.select(col("cnt"), syms.as("s"))
+        .filter(size(col("s")) >= 2)
+        .select(col("cnt"),
+          explode(sequence(lit(1), size(col("s")) - 1)).as("i"), col("s"))
+        .select(element_at(col("s"), col("i")).as("l"),
+          element_at(col("s"), col("i") + 1).as("r"), col("cnt"))
+        .groupBy("l", "r").agg(sum(col("cnt")).as("n"))
+        .orderBy(col("n").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (top.isEmpty) done = true
+      else {
+        val r = top.head
+        acc += ((r.getString(0), r.getString(1), r.getLong(2)))
+      }
+    }
+    acc.toSeq
+  }
+
   /** Canonical text cleanup, the step that runs BEFORE any hash-based
     * operator (dedup signatures, fingerprints, exact-dedup keys are all
     * byte-sensitive): Unicode NFC composition

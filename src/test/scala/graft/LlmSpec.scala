@@ -681,6 +681,31 @@ class LlmSpec extends SparkSpec {
       .filter($"keep").count() == re)
   }
 
+  test("bpeTrain: hand-computed merge sequence, deterministic, exhaustion") {
+    // corpus: "aaab" x3, "aab" x2. Stage 0 pairs: (a,a)=6+2=8, (a,b)=5
+    // -> merge (a,a). Stage 1: aaab=[aa,a,b], aab=[aa,b]; pairs
+    // (aa,a)=3, (a,b)=3, (aa,b)=2 -> tie, lexicographic: (a,b) wins.
+    // Stage 2: aaab=[aa,ab], aab=[aa,b]; (aa,ab)=3 > (aa,b)=2.
+    val d = Seq((1L, "aaab aaab aaab aab aab")).toDF("doc_id", "text")
+    val merges = TextAnalysis.bpeTrain(d, "text", 3)
+    assert(merges == Seq(("a", "a", 8L), ("a", "b", 3L), ("aa", "ab", 3L)))
+    // deterministic across partitionings
+    val docs40 = docs.limit(40)
+    val m1 = TextAnalysis.bpeTrain(docs40, "text", 4)
+    val m2 = TextAnalysis.bpeTrain(docs40.repartition(7), "text", 4)
+    assert(m1 == m2 && m1.length == 4)
+    // merge exhaustion stops early instead of looping
+    val tiny = Seq((1L, "ab")).toDF("doc_id", "text")
+    val mt = TextAnalysis.bpeTrain(tiny, "text", 10)
+    assert(mt == Seq(("a", "b", 1L)))
+    // BpeSymbols applies merges left-to-right in order
+    val syms = Seq(("aaab")).toDF("w")
+      .select(graft.functions.BpeSymbols(col("w"),
+        Seq(("a", "a"), ("a", "b"))).as("s"))
+      .head.getSeq[String](0)
+    assert(syms == Seq("aa", "ab"))
+  }
+
   test("normalize: NFC composes, control chars strip, runs collapse") {
     val d = Seq(
       (0L, "cafe\u0301 and A\u030A"), // decomposed -> composed
