@@ -263,10 +263,28 @@ object Dedup {
                      index: DataFrame, n: Int = 3, k: Int = 16,
                      bands: Int = 4): DataFrame = {
     val bandCols = sigBandCols(k, bands)
-    val batchBands = minhashSignature(batch, id, text, n, k)
-      .select(col("doc"), explode(array(bandCols: _*)).as("band"))
     val indexBands = index
       .select(col("doc").as("hist"), explode(array(bandCols: _*)).as("band"))
+    minhashNoveltyBanded(batch, id, text, indexBands, n, k, bands)
+  }
+
+  /** Expanded band-key form of the novelty index: (hist, band), what a
+    * deployment PERSISTS — written once per corpus build via
+    * `Layout.writeBucketed(indexBands(...), table, B, Seq("band"))` so
+    * the incremental join reads co-located buckets and only the BATCH
+    * side is exchanged (asserted at the plan level in LayoutSpec). */
+  def indexBands(index: DataFrame, k: Int = 16, bands: Int = 4): DataFrame =
+    index.select(col("doc").as("hist"),
+      explode(array(sigBandCols(k, bands): _*)).as("band"))
+
+  /** [[minhashNovelty]] against a PRE-EXPANDED (hist, band) index — the
+    * serving path for a bucket-stored index (see [[indexBands]]). */
+  def minhashNoveltyBanded(batch: DataFrame, id: String, text: String,
+                           indexBands: DataFrame, n: Int = 3, k: Int = 16,
+                           bands: Int = 4): DataFrame = {
+    val bandCols = sigBandCols(k, bands)
+    val batchBands = minhashSignature(batch, id, text, n, k)
+      .select(col("doc"), explode(array(bandCols: _*)).as("band"))
     val matches = batchBands.join(indexBands, Seq("band"))
       .groupBy("doc").agg(countDistinct(col("hist")).as("n_dups"))
     batch.filter(col(text).isNotNull)

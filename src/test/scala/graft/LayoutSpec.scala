@@ -104,6 +104,50 @@ class LayoutSpec extends SparkSpec {
     assert(Layout.compact(spark, dir, targetBytes = 1L << 30) == (1, 1))
   }
 
+  test("bucket-stored novelty index: only the batch side is exchanged") {
+    val hist = Tables.load(spark, sf, "documents").limit(100)
+      .select($"doc_id", $"text")
+    val bands = graft.llm.Dedup.indexBands(
+      graft.llm.Dedup.minhashSignature(hist, "doc_id", "text", 3, 16))
+    Layout.writeBucketed(bands, "novelty_idx", 8, Seq("band"))
+    val batch = Tables.load(spark, sf, "documents")
+      .filter($"doc_id" >= 400).select($"doc_id", $"text")
+    withConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+     withConf("spark.sql.adaptive.enabled" -> "false") {
+      val out = graft.llm.Dedup.minhashNoveltyBanded(batch, "doc_id",
+        "text", spark.table("novelty_idx"))
+      // same answer as the inline-index form
+      val inline = graft.llm.Dedup.minhashNovelty(batch, "doc_id", "text",
+        graft.llm.Dedup.minhashSignature(hist, "doc_id", "text", 3, 16))
+      assert(out.exceptAll(inline).count() == 0 &&
+        inline.exceptAll(out).count() == 0)
+      // the band join reads the bucketed index WITHOUT an exchange on
+      // its subtree — the history (the 100 TB side) is never reshuffled
+      // per increment; scope the assert to the scan→join path
+      val plan = out.queryExecution.executedPlan
+      val idxScans = plan.collect {
+        case s if s.nodeName.contains("Scan") &&
+          s.toString.contains("novelty_idx") => s
+      }
+      assert(idxScans.nonEmpty, "bucketed index scan missing")
+      val joins = plan.collect {
+        case j if j.nodeName.contains("SortMergeJoin") => j
+      }
+      // collect is pre-order: the LAST novelty_idx-containing SMJ is the
+      // innermost — the band join itself (the outer doc-join's subtree
+      // contains the whole plan, including the index scan)
+      val bandJoin = joins.filter(_.toString.contains("novelty_idx"))
+        .lastOption
+      assert(bandJoin.isDefined, "band join not SMJ over the bucketed table")
+      // within the band join, the index-side subtree has no Exchange
+      val idxSide = bandJoin.get.children
+        .find(_.toString.contains("novelty_idx")).get
+      assert(!idxSide.toString.contains("Exchange"),
+        s"index side re-shuffled:\n$idxSide")
+     }
+    }
+  }
+
   test("salted join equals plain inner join") {
     val o = Tables.load(spark, sf, "orders").select($"o_custkey", $"o_orderkey")
     val c = Tables.load(spark, sf, "customer")

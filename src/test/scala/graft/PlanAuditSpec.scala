@@ -94,4 +94,18 @@ class PlanAuditSpec extends SparkSpec {
       !plan.contains("CartesianProduct"),
       s"bucket blocking degenerated to all-pairs:\n$plan")
   }
+
+  test("PQ shortlist rides the rank-pushdown window (two-phase top-k)") {
+    // the ADC scan's row_number<=shortlist filter must become a
+    // WindowGroupLimit — a per-partition top-k heap BEFORE the window
+    // exchange — or the full scored corpus would sort per query at 100 TB
+    val e = Tables.load(spark, sf, "embeddings")
+    val model = graft.llm.Similarity.pqTrain(e, "vec_id", "embedding", 4, 16)
+    val plan = graft.llm.Similarity
+      .pqTopK(e, e.filter(col("vec_id") < 3), "vec_id", "embedding",
+        5, model, shortlist = 20)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"shortlist window not rank-pushed:\n$plan")
+  }
 }
