@@ -346,6 +346,31 @@ object SparkEntry {
         .orderBy(col("doc"))
     }),
 
+    "q18_regional_revenue" -> ((s, dir) => {
+      // the TPC-H-Q5-shaped 6-table join: two broadcastable dim chains
+      // meeting a fact-fact join — the plan must broadcast
+      // region/nation/supplier-side dims and SMJ/SHJ only
+      // orders⋈lineitem (PlanAuditSpec's cartesian sweep covers it)
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val su = t(s, dir, "supplier")
+      val n = t(s, dir, "nation")
+      val r = t(s, dir, "region")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(su), col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast(TimestampType))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+          .cast(DoubleType).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("r_name"), col("n_name"))
+    }),
+
     "q16_window_breadth" -> ((s, dir) => {
       // the window-function breadth a dbt model relies on beyond q03's
       // rank/sum: offsets, tiles, running first, relative ranks —
@@ -2699,6 +2724,22 @@ object SparkEntry {
         |  SELECT e.dst, w2.anc FROM walk w2 JOIN edges e ON e.src = w2.doc)
         |SELECT doc, min(anc) AS rep, (doc = min(anc)) AS keep
         |FROM walk GROUP BY doc ORDER BY doc""".stripMargin,
+
+    "q18_regional_revenue" ->
+      """SELECT r_name, n_name,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |    (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |  AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |GROUP BY r_name, n_name
+        |ORDER BY r_name, n_name""".stripMargin,
 
     "q16_window_breadth" ->
       """SELECT o_orderkey, o_custkey,

@@ -681,6 +681,41 @@ class LlmSpec extends SparkSpec {
       .filter($"keep").count() == re)
   }
 
+  test("new native expressions: null/edge semantics") {
+    import graft.functions.{BpeSymbols, CountInSet, NormalizeNfc, PqAssignCodes}
+    // CountInSet: null array → null; null elements skipped; duplicate
+    // matches count once
+    val cis = Seq((1L, Seq(Some(5L), None, Some(5L), Some(7L))),
+        (2L, null.asInstanceOf[Seq[Option[Long]]]))
+      .toDF("id", "arr")
+      .select($"id", CountInSet($"arr", Array(5L, 9L)).as("n"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) -1 else r.getInt(1))).toMap
+    assert(cis == Map(1L -> 1, 2L -> -1))
+    // BpeSymbols: surrogate pairs stay whole symbols (codePoint walk)
+    val emoji = Seq("a😀b").toDF("w")
+      .select(BpeSymbols($"w", Nil).as("s")).head.getSeq[String](0)
+    assert(emoji == Seq("a", "😀", "b"))
+    // NormalizeNfc: null in, null out; already-NFC passes through
+    val nfc = Seq((1L, Some("abc")), (2L, None))
+      .toDF("id", "t")
+      .select($"id", NormalizeNfc($"t").as("n")).collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getString(1))).toMap
+    assert(nfc == Map(1L -> "abc", 2L -> null))
+    // PqAssignCodes: vector shorter than m*subdim pads with zeros
+    // (codes still defined), wrong codebook shape rejected eagerly
+    val cb = Array.tabulate(2, 2, 2)((_, c, _) => c.toDouble)
+    val short = Seq(Seq(0.9f, 0.8f)).toDF("v")
+      .select(PqAssignCodes($"v", cb).as("code")).head.getSeq[Int](0)
+    assert(short == Seq(1, 0)) // sub0=[.9,.8]→cell1; sub1 all-missing→cell0
+    intercept[IllegalArgumentException] {
+      graft.functions.PqAssignCodes(
+        org.apache.spark.sql.GraftColumnBridge.expression($"v"),
+        Array(1.0), 2, 2, 2)
+    }
+  }
+
   test("bpeTrain: hand-computed merge sequence, deterministic, exhaustion") {
     // corpus: "aaab" x3, "aab" x2. Stage 0 pairs: (a,a)=6+2=8, (a,b)=5
     // -> merge (a,a). Stage 1: aaab=[aa,a,b], aab=[aa,b]; pairs
