@@ -1364,6 +1364,17 @@ object SparkEntry {
           col("height"), col("n_frames"), col("px_checksum"))
         .orderBy(col("media_id"))),
 
+    "mm_resize_real" -> ((s, dir) =>
+      // REAL pixel resample end to end: ImageIO decode → bilinear
+      // Graphics2D into the fit-within-(8,6) geometry → checksum of the
+      // RESIZED raster. Constant-fill sources keep their fill under
+      // interpolation, so the oracle recomputes 3·ow·oh·fill in closed
+      // form; gradient content is pinned by CodecSpec.
+      Multimodal.resizePixels(
+          Multimodal.syntheticPixelMedia(t(s, dir, "documents")),
+          maxW = 8, maxH = 6)
+        .orderBy(col("media_id"))),
+
     "mm_frames" -> ((s, dir) =>
       Multimodal.sampleFrames(
           Multimodal.decodeFeatures(
@@ -2642,6 +2653,22 @@ object SparkEntry {
         |      ((media_id % 256 + 1) * (media_id % 2 + 1) * 2 * fill) % 997
         |    ELSE (3 * w * h * fill) % 997 END)::BIGINT AS px_checksum
         |FROM f ORDER BY media_id""".stripMargin,
+
+    "mm_resize_real" ->
+      """WITH f AS (SELECT doc_id AS media_id, doc_id % 251 + 1 AS fill,
+        |  (doc_id % 16 + 1)::BIGINT AS w, (doc_id % 12 + 1)::BIGINT AS h
+        |  FROM documents WHERE doc_id % 4 <> 3),
+        |g AS (SELECT media_id, fill, w, h,
+        |  CASE WHEN w <= 8 AND h <= 6 THEN w
+        |    WHEN w * 6 >= h * 8 THEN 8
+        |    ELSE greatest(1, w * 6 // h) END AS ow,
+        |  CASE WHEN w <= 8 AND h <= 6 THEN h
+        |    WHEN w * 6 >= h * 8 THEN greatest(1, h * 8 // w)
+        |    ELSE 6 END AS oh FROM f)
+        |SELECT media_id, w::INTEGER AS width, h::INTEGER AS height,
+        |  ow::INTEGER AS out_w, oh::INTEGER AS out_h,
+        |  ((3 * ow * oh * fill) % 997)::BIGINT AS px_checksum
+        |FROM g ORDER BY media_id""".stripMargin,
 
     "mm_frames" ->
       """WITH d AS (SELECT doc_id AS media_id, (strlen(text) % 24) + 1 AS n_frames

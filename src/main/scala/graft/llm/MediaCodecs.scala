@@ -482,6 +482,35 @@ object MediaCodecs {
     else Some((img.getWidth, img.getHeight, pixelChecksum(img)))
   }
 
+  /** REAL pixel resample via the JDK: ImageIO decode → bilinear
+    * `Graphics2D.drawImage` into an RGB target of (outW, outH) →
+    * checksum of the RESIZED raster. Palette (GIF) and gray sources
+    * convert to RGB through the draw, so the checksum is always the
+    * RGB-sum form. Constant-color sources stay constant under any
+    * interpolation — the closed form 3·outW·outH·fill survives the
+    * resample, which is what makes the operator oracle-comparable on
+    * the synthetic fixtures (gradient content is pinned by CodecSpec
+    * instead). None when the bytes aren't a decodable image. */
+  def resizeImagePixels(b: Array[Byte], outW: Int,
+                        outH: Int): Option[Long] = {
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+      catch { case _: Exception => null }
+    if (img == null || outW < 1 || outH < 1) None
+    else {
+      val dst = new java.awt.image.BufferedImage(
+        outW, outH, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = dst.createGraphics()
+      try {
+        g.setRenderingHint(
+          java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g.drawImage(img, 0, 0, outW, outH, null)
+      } finally g.dispose()
+      Some(pixelChecksum(dst))
+    }
+  }
+
   /** REAL audio sample decode via javax.sound.sampled: stream the PCM
     * frames and checksum the sample bytes mod 997 (constant-fill data
     * chunk → nBytes·fill mod 997). None when the byte stream isn't a

@@ -250,6 +250,50 @@ object Multimodal {
         explode(sequence(lit(0), col("n_frames") - 1,
           lit(stride))).as("frame_idx"))
 
+  final case class ResizedPixelsRow(media_id: Long, width: Int,
+                                    height: Int, out_w: Int, out_h: Int,
+                                    px_checksum: Option[Long])
+
+  /** REAL pixel resize: the [[resizePlan]] fit-within-box geometry
+    * EXECUTED on actual rasters (ImageIO decode → bilinear Graphics2D
+    * resample → checksum of the resized pixels —
+    * [[MediaCodecs.resizeImagePixels]]). Same typed-mapPartitions batch
+    * shape as [[decodeFeatures]]; image rows only (the decode gate is a
+    * real magic parse, so arbitrary bytes never pay an ImageIO probe).
+    * Degenerate aspect ratios clamp the short side to 1 pixel. */
+  def resizePixels(media: DataFrame, maxW: Int, maxH: Int): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "media_type", "payload", "n_bytes")
+      .as[MediaRow]
+      .mapPartitions { it =>
+        it.grouped(BatchSize).flatMap { batch =>
+          batch.iterator.flatMap { m =>
+            MediaCodecs.decodeBmp(m.payload)
+              .orElse(MediaCodecs.decodePng(m.payload))
+              .orElse(MediaCodecs.decodeJpeg(m.payload))
+              .orElse(MediaCodecs.decodeGif(m.payload))
+              .map { case (w, h) =>
+                val (ow, oh) = fitWithin(w, h, maxW, maxH)
+                ResizedPixelsRow(m.media_id, w, h, ow, oh,
+                  MediaCodecs.resizeImagePixels(m.payload, ow, oh))
+              }
+          }
+        }
+      }
+      .toDF()
+  }
+
+  /** The [[resizePlan]] integer geometry as a plain function (shared by
+    * [[resizePixels]]): fit within (maxW, maxH), preserve aspect, never
+    * upscale, clamp to ≥1 px. */
+  private[graft] def fitWithin(w: Int, h: Int, maxW: Int,
+                             maxH: Int): (Int, Int) =
+    if (w <= maxW && h <= maxH) (w, h)
+    else if (w.toLong * maxH >= h.toLong * maxW)
+      (maxW, math.max(1L, h.toLong * maxW / w).toInt)
+    else (math.max(1L, w.toLong * maxH / h).toInt, maxH)
+
   /** Resize plan for image media: fit-within-box scaling that preserves
     * aspect ratio (integer arithmetic, floor, min scale). The actual
     * pixel resample belongs to the stubbed codec; the SHAPE — per-row

@@ -176,6 +176,30 @@ class CodecSpec extends AnyFunSuite {
       .contains((9, 6, 3L * 9 * 6 * 77 % 997)))
   }
 
+  test("pixel resize: identity is exact, constant fill keeps closed form") {
+    // 1:1 "resize" of a gradient PNG copies the raster bit-exact
+    val src = MediaCodecs.renderImage(23, 11, seed = 5)
+    val png = MediaCodecs.encodeImageIO(src, "png")
+    assert(MediaCodecs.resizeImagePixels(png, 23, 11)
+      .contains(MediaCodecs.pixelChecksum(src)))
+    // constant fill survives bilinear down-scaling: closed form on the
+    // TARGET geometry, for RGB (BMP) and palette (real GIF) sources
+    val bmp = MediaCodecs.encodeBmp(16, 12, fill = 93)
+    assert(MediaCodecs.resizeImagePixels(bmp, 8, 6)
+      .contains(3L * 8 * 6 * 93 % 997))
+    val gif = MediaCodecs.encodeGifReal(9, 6, fill = 77)
+    assert(MediaCodecs.resizeImagePixels(gif, 3, 2)
+      .contains(3L * 3 * 2 * 77 % 997))
+    // non-image bytes and degenerate targets refuse
+    assert(MediaCodecs.resizeImagePixels("junk".getBytes, 4, 4).isEmpty)
+    assert(MediaCodecs.resizeImagePixels(bmp, 0, 4).isEmpty)
+    // fit-within geometry: never upscale, clamp to 1 px
+    assert(graft.llm.Multimodal.fitWithin(4, 3, 8, 6) == (4, 3))
+    assert(graft.llm.Multimodal.fitWithin(16, 1, 8, 6) == (8, 1))
+    assert(graft.llm.Multimodal.fitWithin(16, 12, 8, 6) == (8, 6))
+    assert(graft.llm.Multimodal.fitWithin(1, 12, 8, 6) == (1, 6))
+  }
+
   test("real JPEG: entropy-coded bytes decode; geometry fixture does not") {
     val jpg = MediaCodecs.encodeJpegReal(24, 16, seed = 3)
     // the hand-rolled SOF walk parses real-world JPEG bytes
