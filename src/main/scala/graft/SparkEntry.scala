@@ -734,6 +734,29 @@ object SparkEntry {
         .orderBy(col("id"))
     }),
 
+    "mat_data_tests" -> ((s, dir) => {
+      // dbt's four generic tests over the TPC-H tables: three that must
+      // pass (pk uniqueness, pk not-null, orders→customer referential
+      // integrity) and two seeded to fail (l_returnflag carries 'R'
+      // beyond the accepted set; lineitem.l_linenumber is non-unique by
+      // construction) — the summary is what `dbt test` prints
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val li = t(s, dir, "lineitem")
+      graft.mat.DataTests.summary(Seq(
+        "accepted_values_returnflag" ->
+          graft.mat.DataTests.acceptedValues(li, "l_returnflag",
+            Seq("A", "N")),
+        "not_null_custkey" -> graft.mat.DataTests.notNull(c, "c_custkey"),
+        "relationships_orders_customer" ->
+          graft.mat.DataTests.relationships(o, "o_custkey",
+            c, "c_custkey"),
+        "unique_linenumber" ->
+          graft.mat.DataTests.unique(li, "l_linenumber"),
+        "unique_orderkey" -> graft.mat.DataTests.unique(o, "o_orderkey")))
+        .orderBy(col("test_name"))
+    }),
+
     "mat_incremental_driver" -> ((s, dir) => {
       // the full incremental state machine (incremental.sql:21-110):
       // first run → CTAS; second run → merge strategy + tmp-table swap
@@ -2215,6 +2238,33 @@ object SparkEntry {
         |  (CASE lang WHEN 'en' THEN 5000 WHEN 'zh' THEN 2500
         |    WHEN 'es' THEN 1000 ELSE 500 END) AS keep
         |FROM documents ORDER BY doc""".stripMargin,
+
+    "mat_data_tests" ->
+      """WITH t1 AS (SELECT count(*) AS n FROM (
+        |    SELECT l_returnflag FROM lineitem
+        |    WHERE l_returnflag IS NOT NULL
+        |      AND l_returnflag NOT IN ('A', 'N')
+        |    GROUP BY l_returnflag)),
+        |t2 AS (SELECT count(*) AS n FROM customer WHERE c_custkey IS NULL),
+        |t3 AS (SELECT count(*) AS n FROM (
+        |    SELECT DISTINCT o.o_custkey FROM orders o
+        |    LEFT JOIN customer c ON c.c_custkey = o.o_custkey
+        |    WHERE o.o_custkey IS NOT NULL AND c.c_custkey IS NULL)),
+        |t4 AS (SELECT count(*) AS n FROM (
+        |    SELECT l_linenumber FROM lineitem WHERE l_linenumber IS NOT NULL
+        |    GROUP BY l_linenumber HAVING count(*) > 1)),
+        |t5 AS (SELECT count(*) AS n FROM (
+        |    SELECT o_orderkey FROM orders WHERE o_orderkey IS NOT NULL
+        |    GROUP BY o_orderkey HAVING count(*) > 1))
+        |SELECT test_name, n_violations, n_violations = 0 AS passed FROM (
+        |  SELECT 'accepted_values_returnflag' AS test_name,
+        |    (SELECT n FROM t1) AS n_violations
+        |  UNION ALL SELECT 'not_null_custkey', (SELECT n FROM t2)
+        |  UNION ALL SELECT 'relationships_orders_customer',
+        |    (SELECT n FROM t3)
+        |  UNION ALL SELECT 'unique_linenumber', (SELECT n FROM t4)
+        |  UNION ALL SELECT 'unique_orderkey', (SELECT n FROM t5))
+        |ORDER BY test_name""".stripMargin,
 
     "ta_bpe_pairs" ->
       s"""WITH wx AS (SELECT unnest(${toksSql("lower(text)")}) AS w

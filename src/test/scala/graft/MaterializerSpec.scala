@@ -10,6 +10,31 @@ class MaterializerSpec extends SparkSpec {
   private lazy val mat = new Materializer(spark)
   private lazy val cat = new CatalogOps(spark)
 
+  test("data tests: dbt generic-test null semantics and violation shapes") {
+    import graft.mat.DataTests
+    val d = Seq(Some(1L), Some(1L), Some(2L), None, None)
+      .toDF("id")
+    // nulls are NOT uniqueness violations (dbt: not_null is the test
+    // for nulls); 1L appears twice -> one violating VALUE
+    val u = DataTests.unique(d, "id").collect()
+    assert(u.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 2L)))
+    assert(DataTests.notNull(d, "id").count() == 2)
+    // accepted_values skips nulls; 2L is outside the set
+    val av = DataTests.acceptedValues(d, "id", Seq(1L)).collect()
+    assert(av.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((2L, 1L)))
+    // relationships: null FKs ignored, 2L is the orphan
+    val parent = Seq(1L).toDF("pid")
+    val rel = DataTests.relationships(d, "id", parent, "pid").collect()
+    assert(rel.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((2L, 1L)))
+    // summary is the dbt-test result table
+    val s = DataTests.summary(Seq(
+        "u" -> DataTests.unique(d, "id"),
+        "nn" -> DataTests.notNull(parent, "pid")))
+      .orderBy("test_name").collect()
+    assert(s.map(r => (r.getString(0), r.getLong(1), r.getBoolean(2)))
+      .toSeq == Seq(("nn", 0L, true), ("u", 1L, false)))
+  }
+
   test("table materialization: CTAS + rename swap (table.sql:12-48)") {
     val rel = Relation("t_swap")
     mat.table(rel, Seq((1, "a")).toDF("id", "v"))

@@ -159,6 +159,40 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.count() == expected)
   }
 
+  test("deterministic split/sample are stream-safe (map-only, batch-equal)") {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    val tmp = java.nio.file.Files.createTempDirectory("graft-split").toString
+    val inDir = java.nio.file.Paths.get(tmp, "in")
+    java.nio.file.Files.createDirectories(inDir)
+    val docs = Tables.load(spark, sf, "documents")
+      .select($"doc_id", $"lang").limit(200)
+    docs.coalesce(1).write.mode("overwrite")
+      .parquet(inDir.resolve("batch").toString)
+    val stream = spark.readStream
+      .schema(StructType(Seq(StructField("doc_id", LongType),
+        StructField("lang", StringType))))
+      .parquet(inDir.resolve("batch").toString)
+    // the id-hash split/sample decisions are pure projections, so the
+    // SAME code runs on the stream — reproducible splits at ingestion
+    val q = graft.llm.TextAnalysis.stratifiedSample(stream,
+        "doc_id", "lang", Map("en" -> 0.5), defaultRate = 0.25)
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .format("parquet")
+      .option("path", s"$tmp/out")
+      .start()
+    q.awaitTermination(120000)
+    val streamed = spark.read.parquet(s"$tmp/out")
+    val batch = graft.llm.TextAnalysis.stratifiedSample(docs,
+      "doc_id", "lang", Map("en" -> 0.5), defaultRate = 0.25)
+    assert(streamed.count() == 200)
+    assert(streamed.select($"doc", $"stratum", $"keep")
+      .exceptAll(batch.select($"doc", $"stratum", $"keep")).count() == 0)
+  }
+
   test("streaming decontamination drops contaminated docs at ingestion") {
     import org.apache.spark.sql.types._
     import org.apache.spark.sql.streaming.{OutputMode, Trigger}
