@@ -431,6 +431,16 @@ object SparkEntry {
         .orderBy(col("n_nationkey"))
     }),
 
+    "op_gapfill" -> ((s, dir) =>
+      // irregular per-user event series → 10-minute grid with
+      // carry-forward (the feature-engineering resample; AsOfJoin's
+      // synthetic-grid sibling). Bounded to 40 users for row volume.
+      graft.operators.GapFill.gapFill(
+          t(s, dir, "events").filter(col("user_id") < 40),
+          "user_id", "ts", "event_id", "value", stepSec = 600L)
+        .withColumnRenamed("key", "user_id")
+        .orderBy(col("user_id"), col("tick"))),
+
     "op_salted_agg" -> ((s, dir) => {
       // two-phase salted aggregation under the driver gate: partials on
       // (key, salt), exact merge — result identical to the plain groupBy
@@ -2843,6 +2853,27 @@ object SparkEntry {
     "op_compact" ->
       """SELECT n_nationkey, n_name, n_regionkey, 1 AS files_after
         |FROM nation ORDER BY n_nationkey""".stripMargin,
+
+    "op_gapfill" ->
+      """WITH e AS (SELECT user_id, ts, event_id, value,
+        |    to_timestamp(floor(epoch(ts) / 600) * 600) AS tick
+        |  FROM events WHERE user_id < 40),
+        |p AS (SELECT user_id, tick, value,
+        |    row_number() OVER (PARTITION BY user_id, tick
+        |      ORDER BY ts DESC, event_id DESC) AS rn FROM e),
+        |b AS (SELECT user_id, tick, value FROM p WHERE rn = 1),
+        |r AS (SELECT user_id, min(tick) AS mn, max(tick) AS mx
+        |  FROM b GROUP BY user_id),
+        |s AS (SELECT user_id,
+        |    unnest(generate_series(mn, mx, INTERVAL 600 SECONDS)) AS tick
+        |  FROM r),
+        |j AS (SELECT s.user_id, s.tick, b.value FROM s
+        |  LEFT JOIN b ON b.user_id = s.user_id AND b.tick = s.tick)
+        |SELECT user_id, tick,
+        |  last_value(value IGNORE NULLS) OVER (PARTITION BY user_id
+        |    ORDER BY tick ROWS UNBOUNDED PRECEDING) AS filled,
+        |  value IS NOT NULL AS observed
+        |FROM j ORDER BY user_id, tick""".stripMargin,
 
     "op_salted_agg" ->
       """SELECT event_type, count(*) AS n,

@@ -186,6 +186,27 @@ class LayoutSpec extends SparkSpec {
     assert(bigCap.count() == uncapped.count())
   }
 
+  test("gapFill: grid spine, carry-forward, duplicate-timestamp tie-break") {
+    val df = Seq(
+        (1L, "u", "2024-01-01 10:00:30", 1.0),
+        (2L, "u", "2024-01-01 10:21:00", 2.0),
+        (3L, "u", "2024-01-01 10:21:00", 9.0), // same ts: higher id wins
+        (4L, "v", "2024-01-01 00:00:00", 5.0)) // single-tick key
+      .toDF("event_id", "user_id", "ts", "value")
+      .withColumn("ts", $"ts".cast("timestamp"))
+    val out = graft.operators.GapFill
+      .gapFill(df, "user_id", "ts", "event_id", "value", stepSec = 600L)
+      .orderBy("key", "tick").collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).toString,
+        r.getDouble(2), r.getBoolean(3)))
+    assert(out.toSeq == Seq(
+      // u: 10:00 observed, 10:10 carried, 10:20 observed (tie → id 3)
+      ("u", "2024-01-01 10:00:00.0", 1.0, true),
+      ("u", "2024-01-01 10:10:00.0", 1.0, false),
+      ("u", "2024-01-01 10:20:00.0", 9.0, true),
+      ("v", "2024-01-01 00:00:00.0", 5.0, true)))
+  }
+
   test("as-of join picks the latest right row at-or-before each left ts") {
     val left = Seq((1L, "u", "2024-01-01 10:00:00"),
         (2L, "u", "2024-01-01 12:00:00"),

@@ -163,6 +163,42 @@ class PropertySpec extends SparkSpec {
     assert(projN(InternalRow(arr, arr)).getDouble(0) == 14.0)
   }
 
+  test("zValue: invertible interleave, rectangle-range monotonicity") {
+    import graft.sources.Layout
+    val pairGen = for {
+      x <- Gen.choose(0L, 255L)
+      y <- Gen.choose(0L, 255L)
+    } yield (x, y)
+    val pts = (1 to 300).map(i => draw(pairGen, i.toLong))
+    val zs = pts.toDF("x", "y")
+      .select(Layout.zValue(Seq($"x", $"y"), 8).as("z"))
+      .collect().map(_.getLong(0)).toSeq
+    // invertibility: de-interleaving the bits recovers (x, y) exactly —
+    // no information loss, so sorting by z is a total spatial order
+    def unz(z: Long): (Long, Long) = {
+      var x = 0L; var y = 0L; var i = 0
+      while (i < 8) {
+        x |= ((z >> (2 * i)) & 1L) << i
+        y |= ((z >> (2 * i + 1)) & 1L) << i
+        i += 1
+      }
+      (x, y)
+    }
+    assert(zs.map(unz) == pts)
+    // locality property behind the file skipping: any z-CONTIGUOUS run
+    // is bounded in both coordinates by the run's own min/max corner
+    // quadrants — here verified in the small: points sharing their
+    // top 2×2 quadrant bits form one contiguous z block
+    val byQuad = pts.zip(zs).groupBy { case ((x, y), _) =>
+      (x >> 6, y >> 6) }
+    for ((_, members) <- byQuad) {
+      val qzs = members.map(_._2)
+      val others = zs.toSet -- qzs.toSet
+      // no foreign point interleaves into the quadrant's z-range
+      assert(others.forall(z => z < qzs.min || z > qzs.max))
+    }
+  }
+
   test("RollingHash agrees with the driver-side replica on arbitrary BMP strings") {
     val strGen = Gen.listOf(Gen.frequency(
       8 -> Gen.alphaNumChar, 2 -> Gen.oneOf(' ', '|', 'é', '中', 'д')))
