@@ -159,6 +159,25 @@ object ScaleProbe {
           s"/tmp/graft_zorder_probe_$x", Seq("o_custkey", "o_orderkey"))
       }
     }
+    // gap-fill: events scale by MORE KEYS (user shift), so output ticks
+    // scale with keys and runtime must track the spine, never keys²
+    for (x <- Seq(2, 8, 16)) {
+      val n = time(s"gapFill ${x}x keys [ticks]") {
+        graft.operators.GapFill.gapFill(evUnion(x), "user_id", "ts",
+          "event_id", "value", stepSec = 600L).count()
+      }
+      println(s"[probe]   -> $n ticks")
+    }
+    // BPE base-stage pair counts: vocab-bound, so self-unioning the
+    // corpus (same words, higher counts) must be nearly flat — the
+    // word-frequency-table trick in one measurement
+    for (x <- Seq(2, 8, 16)) {
+      val n = time(s"bpePairCounts ${x}x corpus [pairs]") {
+        graft.llm.TextAnalysis.bpePairCounts(
+          selfUnion(docs, "doc_id", x), "text").count()
+      }
+      println(s"[probe]   -> $n distinct pairs")
+    }
     spark.stop()
   }
 }
