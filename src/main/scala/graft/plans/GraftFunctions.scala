@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{DotProduct, MinHashSig, NormalizeNfc, RollingHash, SimHash60}
+import graft.functions.{DotProduct, MinHashSig, NormalizeNfc, RollingHash, ShingleHashes, SimHash60}
 
 /** SQL-text surface for the engine's custom expressions: makes
   * `graft_rolling_hash(s)` and `graft_dot(a, b)` callable from
@@ -55,7 +55,18 @@ object GraftFunctions {
         require(args.length == 1, "graft_nfc(str)")
         NormalizeNfc(args.head)
       },
-      "graft_nfc(str) - Unicode NFC canonical composition"))
+      "graft_nfc(str) - Unicode NFC canonical composition"),
+    ("graft_shingle_hashes",
+      args => {
+        require(args.length == 2, "graft_shingle_hashes(str, n)")
+        val n = args(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case _ => throw new IllegalArgumentException(
+            "graft_shingle_hashes: n must be an integer literal")
+        }
+        ShingleHashes(args.head, n)
+      },
+      "graft_shingle_hashes(str, n) - rolling hashes of word n-gram shingles"))
 
   /** Register into an already-built session. */
   def register(spark: SparkSession): Unit =

@@ -517,6 +517,17 @@ class LlmSpec extends SparkSpec {
     val nfc = spark.sql(
       "SELECT graft_nfc('cafe\\u0301') AS n").head.getString(0)
     assert(nfc == "café" && nfc.length == 4)
+    // shingle hashes: SQL spelling agrees with the Column path, and the
+    // short-doc whole-text fallback holds
+    val sh = spark.sql(
+      "SELECT graft_shingle_hashes('a b c d', 3) AS s, " +
+        "graft_shingle_hashes('one', 3) AS short").head
+    assert(sh.getSeq[Long](0) ==
+      Seq(TextAnalysis.rollLocal("a b c"), TextAnalysis.rollLocal("b c d")))
+    assert(sh.getSeq[Long](1) == Seq(TextAnalysis.rollLocal("one")))
+    intercept[Exception] {
+      spark.sql("SELECT graft_shingle_hashes('a', length('xx'))").collect()
+    }
   }
 
   test("GraftExtensions injects functions at session build time") {
