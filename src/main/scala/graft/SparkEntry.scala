@@ -2856,7 +2856,7 @@ object SparkEntry {
 
     "op_gapfill" ->
       """WITH e AS (SELECT user_id, ts, event_id, value,
-        |    to_timestamp(floor(epoch(ts) / 600) * 600) AS tick
+        |    CAST(to_timestamp(floor(epoch(ts) / 600) * 600) AS TIMESTAMP) AS tick
         |  FROM events WHERE user_id < 40),
         |p AS (SELECT user_id, tick, value,
         |    row_number() OVER (PARTITION BY user_id, tick
