@@ -418,15 +418,21 @@ object SparkEntry {
         .orderBy(col("o_orderkey"))),
 
     "op_compact" -> ((s, dir) => {
-      // small-file compaction: 10-file litter coalesces (no shuffle)
-      // into one target-sized file behind a rename swap; the compared
-      // result is the read-back — content preservation IS the contract
+      // partition-aware small-file compaction: a region-partitioned
+      // table with per-leaf litter compacts LEAF BY LEAF (layout
+      // preserved, bounded work per leaf — the shape that holds at
+      // 100 TB); compared result is the read-back (content
+      // preservation IS the contract) plus the total post-compaction
+      // file count: exactly 1 per region leaf
+      val n = t(s, dir, "nation")
       val cdir = "target/graft_compact_demo"
-      t(s, dir, "nation").repartition(10)
-        .write.mode("overwrite").parquet(cdir)
+      n.repartition(5).write.mode("overwrite")
+        .partitionBy("n_regionkey").parquet(cdir)
       val (_, after) = graft.sources.Layout.compact(s, cdir, 1L << 30)
       s.read.parquet(cdir)
-        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"),
+        .select(col("n_nationkey"), col("n_name"),
+          col("n_regionkey").cast(n.schema("n_regionkey").dataType)
+            .as("n_regionkey"),
           lit(after).as("files_after"))
         .orderBy(col("n_nationkey"))
     }),
@@ -438,6 +444,39 @@ object SparkEntry {
       graft.operators.GapFill.gapFill(
           t(s, dir, "events").filter(col("user_id") < 40),
           "user_id", "ts", "event_id", "value", stepSec = 600L)
+        .withColumnRenamed("key", "user_id")
+        .orderBy(col("user_id"), col("tick"))),
+
+    "op_gapfill_bounded" -> ((s, dir) =>
+      // LOCF with a bounded carry horizon: a tick more than 1 step
+      // from its donor observation fills null (unbounded carry across
+      // a long outage is feature fiction)
+      graft.operators.GapFill.gapFill(
+          t(s, dir, "events").filter(col("user_id") < 40),
+          "user_id", "ts", "event_id", "value", stepSec = 600L,
+          direction = "backward", maxFillTicks = Some(1L))
+        .withColumnRenamed("key", "user_id")
+        .orderBy(col("user_id"), col("tick"))),
+
+    "op_gapfill_forward" -> ((s, dir) =>
+      // NOCB start-alignment fill: each tick takes the EARLIEST
+      // observation at-or-after it
+      graft.operators.GapFill.gapFill(
+          t(s, dir, "events").filter(col("user_id") < 40),
+          "user_id", "ts", "event_id", "value", stepSec = 600L,
+          direction = "forward")
+        .withColumnRenamed("key", "user_id")
+        .orderBy(col("user_id"), col("tick"))),
+
+    "op_gapfill_interp" -> ((s, dir) =>
+      // linear interpolation between the surrounding observations,
+      // gaps longer than 2 missing ticks nulled; double arithmetic
+      // mirrors the oracle expression term-for-term (IEEE determinism
+      // makes the compare bit-exact)
+      graft.operators.GapFill.gapFill(
+          t(s, dir, "events").filter(col("user_id") < 40),
+          "user_id", "ts", "event_id", "value", stepSec = 600L,
+          direction = "interpolate", maxFillTicks = Some(2L))
         .withColumnRenamed("key", "user_id")
         .orderBy(col("user_id"), col("tick"))),
 
@@ -2032,6 +2071,26 @@ object SparkEntry {
       |FROM documents d LEFT JOIN m USING (doc_id)
       |ORDER BY doc""".stripMargin
 
+  /** Shared CTE prefix of the gap-fill oracles: events<40 users bucketed
+    * to 10-min ticks, per-tick latest pick, per-key first..last spine,
+    * left-join back. The CAST on tick strips DuckDB to_timestamp's
+    * TIMESTAMPTZ back to the plain TIMESTAMP Spark produces. */
+  private val gapfillCtes: String =
+    """WITH e AS (SELECT user_id, ts, event_id, value,
+      |    CAST(to_timestamp(floor(epoch(ts) / 600) * 600) AS TIMESTAMP) AS tick
+      |  FROM events WHERE user_id < 40),
+      |p AS (SELECT user_id, tick, value,
+      |    row_number() OVER (PARTITION BY user_id, tick
+      |      ORDER BY ts DESC, event_id DESC) AS rn FROM e),
+      |b AS (SELECT user_id, tick, value FROM p WHERE rn = 1),
+      |r AS (SELECT user_id, min(tick) AS mn, max(tick) AS mx
+      |  FROM b GROUP BY user_id),
+      |s AS (SELECT user_id,
+      |    unnest(generate_series(mn, mx, INTERVAL 600 SECONDS)) AS tick
+      |  FROM r),
+      |j AS (SELECT s.user_id, s.tick, b.value FROM s
+      |  LEFT JOIN b ON b.user_id = s.user_id AND b.tick = s.tick)""".stripMargin
+
   /** Morton interleave of two integer expressions (Layout.zValue, c=2):
     * bit i of column j lands at position 2i + j — pure integer
     * arithmetic, bit-for-bit across engines. */
@@ -2851,29 +2910,62 @@ object SparkEntry {
         |FROM orders ORDER BY o_orderkey""".stripMargin,
 
     "op_compact" ->
-      """SELECT n_nationkey, n_name, n_regionkey, 1 AS files_after
+      """SELECT n_nationkey, n_name, n_regionkey, 5 AS files_after
         |FROM nation ORDER BY n_nationkey""".stripMargin,
 
     "op_gapfill" ->
-      """WITH e AS (SELECT user_id, ts, event_id, value,
-        |    CAST(to_timestamp(floor(epoch(ts) / 600) * 600) AS TIMESTAMP) AS tick
-        |  FROM events WHERE user_id < 40),
-        |p AS (SELECT user_id, tick, value,
-        |    row_number() OVER (PARTITION BY user_id, tick
-        |      ORDER BY ts DESC, event_id DESC) AS rn FROM e),
-        |b AS (SELECT user_id, tick, value FROM p WHERE rn = 1),
-        |r AS (SELECT user_id, min(tick) AS mn, max(tick) AS mx
-        |  FROM b GROUP BY user_id),
-        |s AS (SELECT user_id,
-        |    unnest(generate_series(mn, mx, INTERVAL 600 SECONDS)) AS tick
-        |  FROM r),
-        |j AS (SELECT s.user_id, s.tick, b.value FROM s
-        |  LEFT JOIN b ON b.user_id = s.user_id AND b.tick = s.tick)
+      s"""$gapfillCtes
         |SELECT user_id, tick,
         |  last_value(value IGNORE NULLS) OVER (PARTITION BY user_id
         |    ORDER BY tick ROWS UNBOUNDED PRECEDING) AS filled,
         |  value IS NOT NULL AS observed
         |FROM j ORDER BY user_id, tick""".stripMargin,
+
+    "op_gapfill_bounded" ->
+      s"""$gapfillCtes,
+        |f AS (SELECT user_id, tick, value,
+        |    last_value(value IGNORE NULLS) OVER w AS pv,
+        |    last_value(CASE WHEN value IS NOT NULL THEN tick END
+        |      IGNORE NULLS) OVER w AS pt
+        |  FROM j WINDOW w AS (PARTITION BY user_id ORDER BY tick
+        |    ROWS UNBOUNDED PRECEDING))
+        |SELECT user_id, tick,
+        |  CASE WHEN epoch(tick) - epoch(pt) <= 600 THEN pv END AS filled,
+        |  value IS NOT NULL AS observed
+        |FROM f ORDER BY user_id, tick""".stripMargin,
+
+    "op_gapfill_forward" ->
+      s"""$gapfillCtes
+        |SELECT user_id, tick,
+        |  first_value(value IGNORE NULLS) OVER (PARTITION BY user_id
+        |    ORDER BY tick ROWS BETWEEN CURRENT ROW AND UNBOUNDED
+        |    FOLLOWING) AS filled,
+        |  value IS NOT NULL AS observed
+        |FROM j ORDER BY user_id, tick""".stripMargin,
+
+    "op_gapfill_interp" ->
+      s"""$gapfillCtes,
+        |f AS (SELECT user_id, tick, value,
+        |    last_value(value IGNORE NULLS) OVER wb AS pv,
+        |    last_value(CASE WHEN value IS NOT NULL THEN tick END
+        |      IGNORE NULLS) OVER wb AS pt,
+        |    first_value(value IGNORE NULLS) OVER wf AS nv,
+        |    first_value(CASE WHEN value IS NOT NULL THEN tick END
+        |      IGNORE NULLS) OVER wf AS nt
+        |  FROM j WINDOW
+        |    wb AS (PARTITION BY user_id ORDER BY tick
+        |      ROWS UNBOUNDED PRECEDING),
+        |    wf AS (PARTITION BY user_id ORDER BY tick
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT user_id, tick,
+        |  CASE WHEN value IS NOT NULL THEN CAST(value AS DOUBLE)
+        |    WHEN epoch(nt) - epoch(pt) <= 1800 THEN
+        |      CAST(pv AS DOUBLE) + (CAST(nv AS DOUBLE) - CAST(pv AS DOUBLE))
+        |        * (CAST(epoch(tick) - epoch(pt) AS DOUBLE)
+        |           / CAST(epoch(nt) - epoch(pt) AS DOUBLE))
+        |  END AS filled,
+        |  value IS NOT NULL AS observed
+        |FROM f ORDER BY user_id, tick""".stripMargin,
 
     "op_salted_agg" ->
       """SELECT event_type, count(*) AS n,

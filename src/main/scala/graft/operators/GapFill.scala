@@ -5,30 +5,58 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Time-series regularization: resample an irregular per-key series to
-  * a fixed grid with carry-forward fill — the feature-engineering
-  * staple (sensor/price/metric series in, model-ready equal-spaced
-  * series out). Complements [[AsOfJoin]]: as-of joins align one
-  * irregular series to ANOTHER's timestamps; gap-fill aligns it to a
-  * synthetic grid.
+  * a fixed grid with gap filling — the feature-engineering staple
+  * (sensor/price/metric series in, model-ready equal-spaced series
+  * out). Complements [[AsOfJoin]]: as-of joins align one irregular
+  * series to ANOTHER's timestamps; gap-fill aligns it to a synthetic
+  * grid.
   *
   * Semantics per key: one row per `stepSec` tick from the key's first
-  * observed tick through its last; each tick carries the LATEST
-  * observation at-or-before it (ties inside a tick broken by
+  * observed tick through its last (ties inside a tick broken by
   * (timestamp, tieBreak) descending — deterministic under duplicate
-  * timestamps). Ticks before a key's first observation don't exist
-  * (nothing to carry), so `filled` is never null.
+  * timestamps). How a gap tick gets its `filled` value is the
+  * `direction` option:
+  *
+  *  - `"backward"` (default, LOCF): the latest observation at-or-before
+  *    the tick. Never null without a bound (the spine starts at the
+  *    first observation).
+  *  - `"forward"` (NOCB): the earliest observation at-or-after the
+  *    tick — start-alignment fill for features that must not leak the
+  *    past, e.g. aligning to a trade that settles later. Never null
+  *    without a bound (the spine ends at the last observation).
+  *  - `"interpolate"`: linear interpolation between the surrounding
+  *    observations (`filled` is DOUBLE in this mode); observed ticks
+  *    keep their exact value.
+  *
+  * `maxFillTicks = Some(k)` bounds the carry/interpolation horizon:
+  * unbounded carry-forward across a years-long outage is usually wrong
+  * for features. For backward/forward, a tick more than k ticks from
+  * its donor observation fills null; for interpolate, a gap LONGER
+  * than k missing ticks fills null (the straight line across a long
+  * outage is fiction). Observed ticks are never nulled.
   *
   * Scale shape: one shuffle keys the per-tick pick + bounds aggregate;
   * the spine explode is map-side (sequence per key — span/stepSec
-  * ticks, generated not stored); the carry-forward is a running
-  * `last(ignoreNulls)` over (key, tick) — rows-frame, no global
-  * window. Spine size is the OUTPUT size; nothing quadratic exists.
+  * ticks, generated not stored); the fill is running `last`/`first`
+  * frames over (key, tick) — BOTH directions share one window
+  * partition+sort (one exchange, verified in the r6 as-of work);
+  * rows-frames, no global window. Spine size is the OUTPUT size;
+  * nothing quadratic exists. Output columns are the fixed contract
+  * (key, tick, filled, observed) — a rename, so caller column names
+  * can never collide with the internal `__`-prefixed workspace (the
+  * initial select projects the five workspace columns and drops
+  * everything else).
   */
 object GapFill {
 
   def gapFill(df: DataFrame, key: String, ts: String, tieBreak: String,
-              value: String, stepSec: Long): DataFrame = {
+              value: String, stepSec: Long,
+              direction: String = "backward",
+              maxFillTicks: Option[Long] = None): DataFrame = {
     require(stepSec > 0, "stepSec must be positive")
+    require(Set("backward", "forward", "interpolate").contains(direction),
+      s"direction must be backward|forward|interpolate, got '$direction'")
+    maxFillTicks.foreach(k => require(k >= 0, "maxFillTicks must be >= 0"))
     val tick = timestamp_seconds(
       floor(unix_timestamp(col(ts)) / stepSec) * stepSec)
     // latest observation within each (key, tick)
@@ -45,11 +73,43 @@ object GapFill {
       .select(col("key"), explode(
         sequence(col("mn"), col("mx"),
           expr(s"INTERVAL $stepSec SECONDS"))).as("tick"))
-    val wFill = Window.partitionBy(col("key")).orderBy(col("tick"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    spine.join(picked, Seq("key", "tick"), "left_outer")
-      .select(col("key"), col("tick"),
-        last(col("__v"), ignoreNulls = true).over(wFill).as("filled"),
-        col("__v").isNotNull.as("observed"))
+    val joined = spine.join(picked, Seq("key", "tick"), "left_outer")
+
+    val w = Window.partitionBy(col("key")).orderBy(col("tick"))
+    val wB = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wF = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val tickSec = col("tick").cast("long")
+    val obsTick = when(col("__v").isNotNull, tickSec)
+    lazy val prevV = last(col("__v"), ignoreNulls = true).over(wB)
+    lazy val prevT = last(obsTick, ignoreNulls = true).over(wB)
+    lazy val nextV = first(col("__v"), ignoreNulls = true).over(wF)
+    lazy val nextT = first(obsTick, ignoreNulls = true).over(wF)
+
+    val filled: Column = direction match {
+      case "backward" => maxFillTicks match {
+        case None => prevV
+        case Some(k) => when(tickSec - prevT <= k * stepSec, prevV)
+      }
+      case "forward" => maxFillTicks match {
+        case None => nextV
+        case Some(k) => when(nextT - tickSec <= k * stepSec, nextV)
+      }
+      case "interpolate" =>
+        // same double-arithmetic shape as the SQL oracle: pv+(nv-pv)*f
+        val pv = prevV.cast("double")
+        val nv = nextV.cast("double")
+        val frac = (tickSec - prevT).cast("double") /
+          (nextT - prevT).cast("double")
+        val interp = pv + (nv - pv) * frac
+        val bounded = maxFillTicks match {
+          case None => interp
+          // gap of g missing ticks spans (g+1)*step between donors
+          case Some(k) => when(nextT - prevT <= (k + 1) * stepSec, interp)
+        }
+        when(col("__v").isNotNull, col("__v").cast("double"))
+          .otherwise(bounded)
+    }
+    joined.select(col("key"), col("tick"), filled.as("filled"),
+      col("__v").isNotNull.as("observed"))
   }
 }

@@ -80,10 +80,14 @@ object Layout {
                     bits: Int = 8, partitions: Int = 0): Unit = {
     val n = if (partitions > 0) partitions
       else df.sparkSession.sessionState.conf.numShufflePartitions
-    df.withColumn("__z", zValue(zcols.map(col), bits))
-      .repartitionByRange(n, col("__z"))
-      .sortWithinPartitions("__z")
-      .drop("__z")
+    // internal sort column: suffix until free, so a user column named
+    // "__graft_z" (or anything else) can never be silently dropped
+    val zc = Iterator.iterate("__graft_z")(_ + "_")
+      .dropWhile(df.columns.contains).next()
+    df.withColumn(zc, zValue(zcols.map(col), bits))
+      .repartitionByRange(n, col(zc))
+      .sortWithinPartitions(zc)
+      .drop(zc)
       .write.mode("overwrite").parquet(path)
   }
 
@@ -95,31 +99,81 @@ object Layout {
     * sinks, over-parallel writers, and incremental appends all leave
     * small-file litter; at scale the per-file overhead (footer reads,
     * task scheduling, open/close) dominates scans long before data
-    * volume does. Driver work is file LISTING only (metadata,
-    * model-sized); the data moves through `coalesce`, which merges
-    * read splits WITHOUT a shuffle — compaction is IO-bound, never
-    * exchange-bound. The rewrite goes to a sibling directory and is
-    * swapped in with two renames (the table-swap idiom from
-    * [[graft.mat.Materializer]]), so readers never observe a partial
-    * directory. Returns (filesBefore, filesAfter). */
+    * volume does.
+    *
+    * Partition-aware: a directory-partitioned table (the layout
+    * [[writePartitioned]] produces — `k=v` subdirectories, the #1
+    * real-world source of small-file litter under streaming sinks) is
+    * compacted LEAF BY LEAF — each partition directory is rewritten and
+    * swapped independently, so the partition layout is preserved
+    * (partition values live in the directory names, which never move)
+    * and per-leaf work is bounded regardless of table size — the
+    * scale-correct shape: a 100 TB table compacts as many small
+    * independent jobs, resumable per partition. A flat directory is a
+    * single leaf.
+    *
+    * Driver work is file LISTING only (metadata, model-sized); the data
+    * moves through `coalesce`, which merges read splits WITHOUT a
+    * shuffle — compaction is IO-bound, never exchange-bound. Each leaf
+    * rewrite goes to a dot-prefixed hidden sibling (invisible to
+    * Spark's file listing AND to partition discovery, so a crash can
+    * never leave a directory that parses as a bogus partition value)
+    * and is swapped in with two renames. NOTE the swap is not atomic:
+    * HDFS-like filesystems have no atomic directory exchange, so
+    * between the two renames there is a brief window (two metadata
+    * ops) where that one leaf is absent — a concurrent reader can see
+    * a transiently missing partition, never a partially-written one.
+    * Readers needing stronger isolation should swap at the table-name
+    * level ([[graft.mat.Materializer]]'s rename dance) or use a
+    * snapshotting table format. Returns (filesBefore, filesAfter)
+    * summed over leaves. */
   def compact(spark: SparkSession, path: String,
               targetBytes: Long = 128L << 20): (Int, Int) = {
     val hconf = spark.sparkContext.hadoopConfiguration
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(hconf)
-    val dataFiles = fs.listStatus(p).toSeq
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(hconf)
+    val results = leafDataDirs(fs, root)
+      .map(leaf => compactLeaf(spark, fs, leaf, targetBytes))
+    (results.map(_._1).sum, results.map(_._2).sum)
+  }
+
+  /** Leaf data directories under `dir`: directories with no visible
+    * subdirectories (partition leaves, or the root itself for a flat
+    * table). Hidden (`.`/`_`-prefixed) entries are skipped, mirroring
+    * Spark's own listing rules. Stray files alongside partition
+    * subdirectories are left untouched (Spark ignores them too). */
+  private def leafDataDirs(fs: org.apache.hadoop.fs.FileSystem,
+                           dir: org.apache.hadoop.fs.Path)
+      : Seq[org.apache.hadoop.fs.Path] = {
+    val subdirs = fs.listStatus(dir).toSeq.filter { s =>
+      val n = s.getPath.getName
+      s.isDirectory && !n.startsWith("_") && !n.startsWith(".")
+    }
+    if (subdirs.isEmpty) Seq(dir)
+    else subdirs.flatMap(d => leafDataDirs(fs, d.getPath))
+  }
+
+  private def compactLeaf(spark: SparkSession,
+                          fs: org.apache.hadoop.fs.FileSystem,
+                          leaf: org.apache.hadoop.fs.Path,
+                          targetBytes: Long): (Int, Int) = {
+    val dataFiles = fs.listStatus(leaf).toSeq
       .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
+    if (dataFiles.isEmpty) return (0, 0)
     val totalBytes = dataFiles.map(_.getLen).sum
     val n = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
-    val tmp = new org.apache.hadoop.fs.Path(path + "__compacting")
-    val old = new org.apache.hadoop.fs.Path(path + "__precompact")
+    val parent = leaf.getParent
+    val tmp = new org.apache.hadoop.fs.Path(parent,
+      "." + leaf.getName + "__compacting")
+    val old = new org.apache.hadoop.fs.Path(parent,
+      "." + leaf.getName + "__precompact")
     fs.delete(tmp, true); fs.delete(old, true)
-    spark.read.parquet(path).coalesce(n)
+    spark.read.parquet(leaf.toString).coalesce(n)
       .write.mode("overwrite").parquet(tmp.toString)
     val after = fs.listStatus(tmp).count(s =>
       s.isFile && s.getPath.getName.startsWith("part-"))
-    require(fs.rename(p, old), s"compact: could not stage $path")
-    require(fs.rename(tmp, p), s"compact: could not swap in $tmp")
+    require(fs.rename(leaf, old), s"compact: could not stage $leaf")
+    require(fs.rename(tmp, leaf), s"compact: could not swap in $tmp")
     fs.delete(old, true)
     (dataFiles.size, after)
   }

@@ -104,6 +104,49 @@ class LayoutSpec extends SparkSpec {
     assert(Layout.compact(spark, dir, targetBytes = 1L << 30) == (1, 1))
   }
 
+  test("compact is partition-aware: each leaf compacted, layout preserved") {
+    val dir = "target/graft_compact_part_test"
+    val n = Tables.load(spark, sf, "nation")
+    n.repartition(5).write.mode("overwrite")
+      .partitionBy("n_regionkey").parquet(dir)
+    val (before, after) = Layout.compact(spark, dir, targetBytes = 1L << 30)
+    // 5 region leaves, up to 5 files each -> exactly 1 file per leaf
+    assert(after == 5 && before > after, s"$before -> $after")
+    val back = spark.read.parquet(dir)
+    // partition layout survives: the partition column is still derived
+    // from directory names and every row round-trips
+    assert(back.columns.sorted.toSeq == n.columns.sorted.toSeq)
+    val backAligned = back.select(n.columns.head, n.columns.tail: _*)
+      .withColumn("n_regionkey", $"n_regionkey".cast(
+        n.schema("n_regionkey").dataType))
+    assert(backAligned.exceptAll(n).count() == 0 &&
+      n.exceptAll(backAligned).count() == 0)
+    // partition pruning still works on the compacted table
+    val pruned = back.filter($"n_regionkey" === 1)
+    assert(pruned.queryExecution.executedPlan.toString
+      .contains("PartitionFilters"))
+    // no hidden staging litter left behind
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val litter = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .filter(_.getPath.getName.contains("__"))
+    assert(litter.isEmpty, litter.map(_.getPath).mkString(","))
+    // idempotent: every leaf already 1 file
+    assert(Layout.compact(spark, dir, targetBytes = 1L << 30) == (5, 5))
+  }
+
+  test("writeZOrdered never swallows a user column named __graft_z") {
+    val dir = "target/graft_zorder_collision"
+    val df = spark.range(100)
+      .select(($"id" % 10).as("x"), ($"id" / 10).cast("long").as("y"),
+        ($"id" * 7).as("__graft_z"))
+    Layout.writeZOrdered(df, dir, Seq("x", "y"), bits = 4, partitions = 2)
+    val back = spark.read.parquet(dir)
+    assert(back.columns.toSet == Set("x", "y", "__graft_z"))
+    assert(back.agg(sum($"__graft_z")).head.getLong(0) ==
+      (0L until 100L).map(_ * 7).sum)
+  }
+
   test("bucket-stored novelty index: only the batch side is exchanged") {
     val hist = Tables.load(spark, sf, "documents").limit(100)
       .select($"doc_id", $"text")
@@ -205,6 +248,38 @@ class LayoutSpec extends SparkSpec {
       ("u", "2024-01-01 10:10:00.0", 1.0, false),
       ("u", "2024-01-01 10:20:00.0", 9.0, true),
       ("v", "2024-01-01 00:00:00.0", 5.0, true)))
+  }
+
+  test("gapFill options: forward, bounded carry, linear interpolation") {
+    // ticks: 10:00 (obs 1.0), 10:10, 10:20, 10:30, 10:40 (obs 5.0) —
+    // a gap of exactly 3 missing ticks
+    val df = Seq(
+        (1L, "u", "2024-01-01 10:00:30", 1.0),
+        (2L, "u", "2024-01-01 10:41:00", 5.0))
+      .toDF("event_id", "user_id", "ts", "value")
+      .withColumn("ts", $"ts".cast("timestamp"))
+    def run(direction: String, k: Option[Long]) =
+      graft.operators.GapFill
+        .gapFill(df, "user_id", "ts", "event_id", "value", 600L,
+          direction, k)
+        .orderBy("tick").collect()
+        .map(r => if (r.isNullAt(2)) None else Some(r.getDouble(2))).toSeq
+    assert(run("backward", None) ==
+      Seq(Some(1.0), Some(1.0), Some(1.0), Some(1.0), Some(5.0)))
+    // carry bounded to 1 tick: 10:20/10:30 are 2-3 ticks past the donor
+    assert(run("backward", Some(1L)) ==
+      Seq(Some(1.0), Some(1.0), None, None, Some(5.0)))
+    assert(run("forward", None) ==
+      Seq(Some(1.0), Some(5.0), Some(5.0), Some(5.0), Some(5.0)))
+    // lookahead bounded to 2 ticks: 10:10 is 3 ticks before its donor
+    assert(run("forward", Some(2L)) ==
+      Seq(Some(1.0), None, Some(5.0), Some(5.0), Some(5.0)))
+    // straight line 1.0 -> 5.0 over 4 steps
+    assert(run("interpolate", None) ==
+      Seq(Some(1.0), Some(2.0), Some(3.0), Some(4.0), Some(5.0)))
+    // the 3-tick gap exceeds the 2-tick bound: interior nulls, observed kept
+    assert(run("interpolate", Some(2L)) ==
+      Seq(Some(1.0), None, None, None, Some(5.0)))
   }
 
   test("as-of join picks the latest right row at-or-before each left ts") {
