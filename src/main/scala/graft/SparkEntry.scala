@@ -1163,6 +1163,15 @@ object SparkEntry {
       TextAnalysis.bpePairCounts(t(s, dir, "documents"), "text")
         .limit(50)),
 
+    "ta_bpe_encode" -> ((s, dir) =>
+      // encode-to-ids: merge application + vocab id mapping compared
+      // exactly under the fixed merge list (training itself is covered
+      // by ta_bpe_pairs + the LlmSpec policy pin); map-only projection
+      TextAnalysis.bpeEncode(t(s, dir, "documents"), "doc_id", "text",
+          bpeEncMerges, bpeEncVocab)
+        .withColumnRenamed("doc", "doc_id")
+        .orderBy(col("doc_id"))),
+
     "ta_normalize" -> ((s, dir) =>
       // canonical cleanup ahead of any hash-based op: NFC composition
       // the appended suffix carries DECOMPOSED e-acute (e+U+0301) and
@@ -2071,6 +2080,30 @@ object SparkEntry {
       |FROM documents d LEFT JOIN m USING (doc_id)
       |ORDER BY doc""".stripMargin
 
+  /** Fixed merge list + vocabulary for the `ta_bpe_encode` row: a
+    * static oracle cannot replay data-dependent merges (the
+    * `ta_bpe_pairs` rationale), so encode is compared under a
+    * hand-chosen English-ish merge list over base alphabet [0-9a-z]
+    * (ids 0-35; merge products 36+; anything else → -1 UNK). */
+  private val bpeEncMerges: Seq[(String, String)] = Seq(
+    "t" -> "h", "th" -> "e", "a" -> "n", "i" -> "n",
+    "e" -> "r", "o" -> "n", "r" -> "e", "a" -> "t")
+  private val bpeEncVocab: Seq[String] = graft.llm.TextAnalysis.bpeVocab(
+    (('a' to 'z') ++ ('0' to '9')).map(_.toString), bpeEncMerges)
+
+  /** DuckDB replay of per-word BPE merge application: the word as
+    * 2-space-separated codepoints with 1-space sentinels, then one
+    * global regexp_replace per merge — RE2's leftmost non-overlapping
+    * global replace IS BPE's left-to-right scan (each match consumes
+    * one space from each flanking separator, so the 2-space invariant
+    * and adjacent-match correctness both hold, including l==r runs). */
+  private def bpeMergedSql(w: String): String =
+    bpeEncMerges.foldLeft(
+      s"' ' || array_to_string(regexp_extract_all($w, '.'), '  ') || ' '") {
+      case (acc, (l, r)) =>
+        s"regexp_replace($acc, ' $l  $r ', ' $l$r ', 'g')"
+    }
+
   /** Shared CTE prefix of the gap-fill oracles: events<40 users bucketed
     * to 10-min ticks, per-tick latest pick, per-key first..last spine,
     * left-join back. The CAST on tick strips DuckDB to_timestamp's
@@ -2316,7 +2349,7 @@ object SparkEntry {
         |    GROUP BY l_returnflag)),
         |t2 AS (SELECT count(*) AS n FROM customer WHERE c_custkey IS NULL),
         |t3 AS (SELECT count(*) AS n FROM (
-        |    SELECT DISTINCT o.o_custkey FROM orders o
+        |    SELECT o.o_custkey FROM orders o
         |    LEFT JOIN customer c ON c.c_custkey = o.o_custkey
         |    WHERE o.o_custkey IS NOT NULL AND c.c_custkey IS NULL)),
         |t4 AS (SELECT count(*) AS n FROM (
@@ -2345,6 +2378,26 @@ object SparkEntry {
         |  WHERE length(w) >= 2)
         |SELECT l, r, sum(cnt)::BIGINT AS n FROM px GROUP BY l, r
         |ORDER BY n DESC, l, r LIMIT 50""".stripMargin,
+
+    "ta_bpe_encode" ->
+      s"""WITH d AS (SELECT doc_id, ${toksSql("lower(text)")} AS ws
+        |  FROM documents),
+        |wx AS (SELECT doc_id, i AS wi, ws[i] AS w
+        |  FROM d, unnest(range(1, len(ws) + 1)) AS t(i)),
+        |sx AS (SELECT doc_id, wi,
+        |    string_split(trim(${bpeMergedSql("w")}), '  ') AS syms
+        |  FROM wx),
+        |se AS (SELECT doc_id, wi, i AS si, syms[i] AS s
+        |  FROM sx, unnest(range(1, len(syms) + 1)) AS t(i)),
+        |v AS (SELECT vs[i] AS s, (i - 1)::INTEGER AS id
+        |  FROM (SELECT [${bpeEncVocab.map(s => s"'$s'").mkString(", ")}]
+        |    AS vs), unnest(range(1, ${bpeEncVocab.size} + 1)) AS t(i)),
+        |enc AS (SELECT doc_id, list(coalesce(v.id, -1) ORDER BY wi, si)
+        |    AS ids
+        |  FROM se LEFT JOIN v USING (s) GROUP BY doc_id)
+        |SELECT dd.doc_id, coalesce(enc.ids, []::INTEGER[]) AS ids
+        |FROM documents dd LEFT JOIN enc USING (doc_id)
+        |ORDER BY dd.doc_id""".stripMargin,
 
     "ta_normalize" ->
       """SELECT doc_id, trim(regexp_replace(regexp_replace(

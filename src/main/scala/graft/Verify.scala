@@ -29,6 +29,7 @@ object Verify {
       .filter { case (name, _) =>
         only.forall(_.exists(name.startsWith)) }
       .foreach { case (name, fn) =>
+      System.err.println(s"[verify] start $name")
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

@@ -60,9 +60,10 @@ object BpeSymbols {
       GraftColumnBridge.expression(word),
       merges.flatMap(p => Seq(p._1, p._2)).toArray))
 
-  /** Called from generated code — keep the signature stable. */
-  def compute(u: UTF8String, merges: Array[String]): ArrayData = {
-    val word = u.toString
+  /** Codepoint split + ordered merge application — shared by
+    * [[compute]] and [[BpeEncodeIds]]. */
+  def symbolList(word: String,
+                 merges: Array[String]): java.util.ArrayList[String] = {
     var syms = new java.util.ArrayList[String](word.length)
     var i = 0
     while (i < word.length) {
@@ -84,6 +85,12 @@ object BpeSymbols {
       syms = next
       m += 2
     }
+    syms
+  }
+
+  /** Called from generated code — keep the signature stable. */
+  def compute(u: UTF8String, merges: Array[String]): ArrayData = {
+    val syms = symbolList(u.toString, merges)
     val out = new Array[AnyRef](syms.size)
     var k = 0
     while (k < syms.size) {

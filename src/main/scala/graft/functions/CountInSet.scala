@@ -28,6 +28,14 @@ import org.apache.spark.sql.types._
 case class CountInSet(child: Expression, sorted: Array[Long])
     extends UnaryExpression {
 
+  // binarySearch silently miscounts on an unsorted/duplicated array, so
+  // the invariant the companion apply establishes is enforced here too
+  // (direct construction is legal — e.g. from a SQL-name builder)
+  require(sorted.length <= 1 ||
+    (1 until sorted.length).forall(i => sorted(i - 1) < sorted(i)),
+    "CountInSet: set array must be strictly increasing " +
+      "(use the companion apply, which sorts and dedups)")
+
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(

@@ -137,9 +137,17 @@ object Dialect {
   def splitPart(s: Column, delim: String, n: Int): Column =
     split_part(s, lit(delim), lit(n))
 
-  /** utils/right.sql:1-7 — zero-length guard + substr(s, -len). */
+  /** utils/right.sql:1-7 — zero-length guard + substr(s, -len). A
+    * constant-zero `len` folds to '' at construction: building
+    * `lit(0) === lit(0)` would be a (deliberate but noisy) trivially
+    * true predicate — Catalyst folds it anyway, this just skips the
+    * per-construction WARN. */
   def rightStr(s: Column, len: Column): Column =
-    when(len === lit(0), lit("")).otherwise(substr(s, lit(-1) * len))
+    org.apache.spark.sql.GraftColumnBridge.literalValue(len) match {
+      case Some(v) if v == 0 => lit("")
+      case _ =>
+        when(len === lit(0), lit("")).otherwise(substr(s, lit(-1) * len))
+    }
 
   /** utils/hash.sql:1-3 — `lower(to_hex(md5(to_utf8(cast(f as varchar)))))`.
     * Spark's md5 over a string already yields lowercase hex of UTF-8 bytes. */

@@ -174,7 +174,7 @@ object Similarity {
       .select(col(vec), xxhash64(col(id)).as("h"))
       .orderBy(col("h")).limit(4 * nlist)
       .select(col(vec)).collect()
-      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+      .map(_.getSeq[Number](0).map(_.doubleValue).toArray)
     require(sample.length >= nlist, s"corpus smaller than nlist=$nlist")
     def d2(a: Array[Double], b: Array[Double]): Double = {
       var s = 0.0; var i = 0
@@ -391,7 +391,7 @@ object Similarity {
       .select(col(vec), xxhash64(col(id)).as("h"))
       .orderBy(col("h")).limit(math.max(4 * ksub, 64))
       .select(col(vec)).collect()
-      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+      .map(_.getSeq[Number](0).map(_.doubleValue).toArray)
     require(sample.length >= ksub, s"corpus smaller than ksub=$ksub")
     val dim = sample.head.length
     require(dim % m == 0, s"dim=$dim not divisible by m=$m")

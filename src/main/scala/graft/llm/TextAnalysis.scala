@@ -331,6 +331,29 @@ object TextAnalysis {
     acc.toSeq
   }
 
+  /** Id-ordered encode vocabulary: base symbols (sorted) then merge
+    * products in merge order; a symbol's position is its id, first
+    * occurrence wins on duplicates (two merges CAN produce the same
+    * string — ("ab","c") and ("a","bc") both yield "abc"). */
+  def bpeVocab(base: Seq[String],
+               merges: Seq[(String, String)]): Seq[String] =
+    (base.sorted ++ merges.map(m => m._1 + m._2)).distinct
+
+  /** Encode each document to BPE token ids: tokenize with the SAME
+    * `tokens(lower(text))` every text operator uses, apply the merge
+    * list per word, map symbols through `vocab` (position = id, -1 =
+    * UNK), flatten in document order → `array<int>` — the column a
+    * training pipeline writes. Map-only
+    * ([[graft.functions.BpeEncodeIds]] with the merge list and id map
+    * as reference objects): encoding is an embarrassingly parallel
+    * projection at any corpus scale. */
+  def bpeEncode(df: org.apache.spark.sql.DataFrame, doc: String,
+                text: String, merges: Seq[(String, String)],
+                vocab: Seq[String]): org.apache.spark.sql.DataFrame =
+    df.select(col(doc).as("doc"),
+      graft.functions.BpeEncodeIds(
+        tokens(lower(col(text))), merges, vocab).as("ids"))
+
   /** Canonical text cleanup, the step that runs BEFORE any hash-based
     * operator (dedup signatures, fingerprints, exact-dedup keys are all
     * byte-sensitive): Unicode NFC composition

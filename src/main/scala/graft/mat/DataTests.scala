@@ -45,17 +45,17 @@ object DataTests {
       .groupBy(col(column).as("value"))
       .agg(count(lit(1)).as("n_records"))
 
-  /** Child values with no matching parent (left-anti): (value,
-    * n_records). Nulls are skipped (dbt's relationships test ignores
-    * null FKs). */
+  /** Child ROWS with no matching parent (left-anti): one output row
+    * per violating child row — exactly dbt's compiled relationships
+    * test, so a repeated missing FK value counts once per occurrence
+    * in [[summary]] (r6 ADVICE: the grouped-by-value form undercounted
+    * vs `dbt test`). Nulls are skipped (dbt ignores null FKs). */
   def relationships(child: DataFrame, childCol: String,
                     parent: DataFrame, parentCol: String): DataFrame =
     child.filter(col(childCol).isNotNull)
       .select(col(childCol).as("value"))
       .join(parent.select(col(parentCol).as("value")),
         Seq("value"), "left_anti")
-      .groupBy(col("value"))
-      .agg(count(lit(1)).as("n_records"))
 
   /** Fold named tests into the `dbt test` result table:
     * (test_name, n_violations, passed), one row per test. Each count is

@@ -68,13 +68,17 @@ object GraftFunctions {
       },
       "graft_shingle_hashes(str, n) - rolling hashes of word n-gram shingles"))
 
-  /** Register into an already-built session. */
+  /** Register into an already-built session. Register-if-absent: the
+    * builders are stateless, so a name already present IS this
+    * function — re-registering would only emit a "replaced a
+    * previously registered function" WARN per name per query. */
   def register(spark: SparkSession): Unit =
     all.foreach { case (name, builder, usage) =>
-      spark.sessionState.functionRegistry.registerFunction(
-        FunctionIdentifier(name),
-        new ExpressionInfo("graft", name, usage),
-        builder)
+      val reg = spark.sessionState.functionRegistry
+      val id = FunctionIdentifier(name)
+      if (!reg.functionExists(id))
+        reg.registerFunction(id,
+          new ExpressionInfo("graft", name, usage), builder)
     }
 }
 

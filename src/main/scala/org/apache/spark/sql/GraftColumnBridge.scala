@@ -13,4 +13,13 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftColumnBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** The column's value if it is a plain literal node (`lit(x)`), else
+    * None — lets operators constant-fold degenerate argument shapes at
+    * construction time (the ColumnNode `Literal` is private[sql], so
+    * the peek lives in this shim). */
+  def literalValue(c: Column): Option[Any] = c.node match {
+    case internal.Literal(v, _, _) => Some(v)
+    case _ => None
+  }
 }

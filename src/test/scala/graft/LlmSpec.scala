@@ -549,6 +549,14 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("pqTrain/ivfTrain accept array<double> vectors (r6 ADVICE)") {
+    val dbl = emb.limit(80)
+      .select($"vec_id", $"embedding".cast("array<double>").as("embedding"))
+    val m = Similarity.pqTrain(dbl, "vec_id", "embedding", m = 4, ksub = 8)
+    assert(m.centroids.length == 4 && m.centroids.forall(_.length == 8))
+    assert(Similarity.ivfTrain(dbl, "vec_id", "embedding", 4).length == 4)
+  }
+
   test("PQ: map-only encode, exact-at-full-coverage ADC, recall floor") {
     val e = emb.localCheckpoint()
     val model = Similarity.pqTrain(e, "vec_id", "embedding", m = 8, ksub = 64)
@@ -750,6 +758,32 @@ class LlmSpec extends SparkSpec {
         Seq(("a", "a"), ("a", "b"))).as("s"))
       .head.getSeq[String](0)
     assert(syms == Seq("aa", "ab"))
+  }
+
+  test("bpeEncode: hand-computed ids, UNK, empty doc, train round-trip") {
+    val merges = Seq("t" -> "h", "th" -> "e")
+    val vocab = TextAnalysis.bpeVocab(('a' to 'z').map(_.toString), merges)
+    // a..z -> 0..25, th -> 26, the -> 27
+    assert(vocab.length == 28 && vocab(26) == "th" && vocab(27) == "the")
+    val d = Seq((1L, "The cat"), (2L, "xy!"), (3L, "")).toDF("doc_id", "text")
+    val out = TextAnalysis.bpeEncode(d, "doc_id", "text", merges, vocab)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    // "the" -> t,h,e -> th,e -> the -> [27]; "cat" -> [2,0,19]
+    assert(out(1L) == Seq(27, 2, 0, 19))
+    // '!' is out-of-vocab -> UNK
+    assert(out(2L) == Seq(23, 24, -1))
+    assert(out(3L) == Seq.empty[Int])
+    // round-trip with TRAINED merges: every in-alphabet symbol the
+    // training produces is in the vocab, so no UNK appears
+    val corpus = Seq((1L, "aaab aaab aaab aab aab")).toDF("doc_id", "text")
+    val trained = TextAnalysis.bpeTrain(corpus, "text", 2)
+      .map(m => (m._1, m._2))
+    val v2 = TextAnalysis.bpeVocab(Seq("a", "b"), trained)
+    val enc = TextAnalysis.bpeEncode(corpus, "doc_id", "text", trained, v2)
+      .head.getSeq[Int](1)
+    // merges (a,a),(a,b): aaab -> [aa, ab] = ids [2, 3]; aab -> [aa, b]
+    assert(enc == Seq(2, 3, 2, 3, 2, 3, 2, 1, 2, 1))
+    assert(!enc.contains(-1))
   }
 
   test("normalize: NFC composes, control chars strip, runs collapse") {

@@ -22,10 +22,14 @@ class MaterializerSpec extends SparkSpec {
     // accepted_values skips nulls; 2L is outside the set
     val av = DataTests.acceptedValues(d, "id", Seq(1L)).collect()
     assert(av.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((2L, 1L)))
-    // relationships: null FKs ignored, 2L is the orphan
+    // relationships: null FKs ignored, one row PER violating child row
+    // (dbt parity — a repeated orphan value counts per occurrence)
     val parent = Seq(1L).toDF("pid")
     val rel = DataTests.relationships(d, "id", parent, "pid").collect()
-    assert(rel.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((2L, 1L)))
+    assert(rel.map(_.getLong(0)).toSeq == Seq(2L))
+    val dupOrphans = Seq(Some(2L), Some(2L), None).toDF("id")
+    assert(DataTests.relationships(dupOrphans, "id", parent, "pid")
+      .count() == 2)
     // summary is the dbt-test result table
     val s = DataTests.summary(Seq(
         "u" -> DataTests.unique(d, "id"),
