@@ -236,6 +236,98 @@ object Events {
       .filter(!col("contaminated"))
   }
 
+  // -----------------------------------------------------------------
+  // streaming as-of enrichment
+  // -----------------------------------------------------------------
+
+  final case class AsOfTagged(key: Long, ts: java.sql.Timestamp,
+                              ts_us: Long, side: Int, id: Long, v: Double)
+  final case class AsOfBuf(rights: List[(Long, Double)],
+                           lefts: List[(Long, Long)])
+  final case class AsOfOut(id: Long, key: Long, ts_us: Long,
+                           rv: Option[Double])
+
+  /** Streaming as-of enrichment — the ingestion-time sibling of the
+    * batch [[graft.operators.AsOfJoin]] (backward direction +
+    * mandatory tolerance): each left event takes the LATEST right
+    * (dimension) value at-or-before its timestamp, no more than
+    * `toleranceSec` back, emitted once the event-time watermark passes
+    * the left's timestamp (so a still-in-flight dimension update
+    * cannot be missed; rights later than the watermark are outside the
+    * correctness contract, as everywhere in streaming).
+    *
+    * `left` needs (key: long, ts: timestamp, id: long); `right` needs
+    * (key: long, ts: timestamp, rv: double); both must carry
+    * watermarks and non-null keys (the batch operator is the place for
+    * null-key semantics). Unmatched lefts emit rv = null — left-outer,
+    * like the batch operator.
+    *
+    * Scale shape: a tagged union shuffles ONCE on key into
+    * `flatMapGroupsWithState`; per-key state is the pending lefts
+    * inside the watermark horizon plus the rights inside
+    * `tolerance` of the earliest still-pending left — the tolerance
+    * is what BOUNDS dimension state (an unbounded-lookback streaming
+    * as-of cannot evict anything and dies at scale; this is the same
+    * argument as the interval join's time-bound ON clause). Rights
+    * older than every possible future match are evicted each
+    * invocation; event-time timeouts drain lefts when the watermark
+    * moves with no new data on the key. */
+  def asOfEnrichStream(left: DataFrame, right: DataFrame,
+                       toleranceSec: Long): DataFrame = {
+    val spark = left.sparkSession
+    import spark.implicits._
+    val tolUs = toleranceSec * 1000000L
+    val tagged = left.select(col("key"), col("ts"),
+        unix_micros(col("ts")).as("ts_us"), lit(0).as("side"),
+        col("id"), lit(0.0).as("v"))
+      .unionByName(right.select(col("key"), col("ts"),
+        unix_micros(col("ts")).as("ts_us"), lit(1).as("side"),
+        lit(0L).as("id"), col("rv").as("v")))
+      .as[AsOfTagged]
+    tagged.groupByKey(_.key)
+      .flatMapGroupsWithState[AsOfBuf, AsOfOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: Long, it: Iterator[AsOfTagged], state: GroupState[AsOfBuf]) =>
+          val prev = state.getOption.getOrElse(AsOfBuf(Nil, Nil))
+          val incoming = if (state.hasTimedOut) Array.empty[AsOfTagged]
+                         else it.toArray
+          val rights = (prev.rights ++
+            incoming.filter(_.side == 1).map(t => (t.ts_us, t.v)))
+            .sortBy(_._1)
+          val lefts = prev.lefts ++
+            incoming.filter(_.side == 0).map(t => (t.id, t.ts_us))
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          // a left is final once the watermark passes it: every right
+          // at-or-before it has either arrived or is late-beyond-wm
+          val (ready, pending) = lefts.partition(_._2 <= wmUs)
+          val out = ready.map { case (id, lts) =>
+            val m = rights.foldLeft(Option.empty[(Long, Double)]) {
+              case (acc, r) =>
+                if (r._1 <= lts && lts - r._1 <= tolUs) Some(r) else acc
+            }
+            AsOfOut(id, key, lts, m.map(_._2))
+          }
+          // rights older than tolerance before EVERY possible future
+          // left (future arrivals are > wm; pending lefts are known)
+          // can never match again — evict them
+          val minFuture = pending.map(_._2)
+            .foldLeft(wmUs)(math.min)
+          val kept = rights.filter(_._1 >= minFuture - tolUs)
+          if (kept.isEmpty && pending.isEmpty) state.remove()
+          else {
+            state.update(AsOfBuf(kept, pending))
+            val nextUs = if (pending.nonEmpty) pending.map(_._2).min
+                         else kept.map(_._1).max + tolUs
+            state.setTimeoutTimestamp(math.max(nextUs / 1000L,
+              state.getCurrentWatermarkMs() + 1))
+          }
+          out.iterator
+      }
+      .toDF()
+      .select(col("id"), col("key"),
+        timestamp_micros(col("ts_us")).as("ts"), col("rv"))
+  }
+
   /** Stream-stream INTERVAL join: each "click" (odd event_id) pairs with
     * the "impressions" (even event_id) of the same user in the preceding
     * `windowExpr` (e.g. "30 minutes"). Both sides carry watermarks, and

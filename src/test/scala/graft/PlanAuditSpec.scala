@@ -108,4 +108,32 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("WindowGroupLimit"),
       s"shortlist window not rank-pushed:\n$plan")
   }
+
+  test("gap-fill interpolation: both window directions share one exchange") {
+    // the backward (prev) and forward (next) frames partition and order
+    // identically, so the plan must carry exactly ONE exchange for the
+    // fill stage — a second sort+shuffle per direction would double the
+    // dominant cost at 100 TB. The pick/bounds stages add their own
+    // keyed exchanges; what's asserted is the TOTAL stays at the
+    // backward-only query's count (interpolate adds directions, not
+    // shuffles).
+    val ev = Tables.load(spark, sf, "events").filter(col("user_id") < 10)
+    def exchanges(direction: String): Int =
+      "Exchange".r.findAllIn(
+        graft.operators.GapFill.gapFill(ev, "user_id", "ts", "event_id",
+            "value", 600L, direction, None)
+          .queryExecution.executedPlan.toString).length
+    assert(exchanges("interpolate") == exchanges("backward"),
+      "interpolation pays extra exchanges over LOCF")
+  }
+
+  test("BPE encode is an exchange-free map-only projection") {
+    val q = graft.llm.TextAnalysis.bpeEncode(
+      Tables.load(spark, sf, "documents"), "doc_id", "text",
+      Seq("t" -> "h", "th" -> "e"),
+      graft.llm.TextAnalysis.bpeVocab(('a' to 'z').map(_.toString),
+        Seq("t" -> "h", "th" -> "e")))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"bpeEncode shuffles:\n$plan")
+  }
 }

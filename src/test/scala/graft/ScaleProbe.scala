@@ -178,6 +178,27 @@ object ScaleProbe {
       }
       println(s"[probe]   -> $n distinct pairs")
     }
+    // gap-fill interpolation: same spine as LOCF plus the forward
+    // frame — must stay output-linear (shared exchange, no second sort
+    // cost blowup)
+    for (x <- Seq(2, 8, 16)) {
+      val n = time(s"gapFill-interp ${x}x keys [ticks]") {
+        graft.operators.GapFill.gapFill(evUnion(x), "user_id", "ts",
+          "event_id", "value", 600L, "interpolate", None).count()
+      }
+      println(s"[probe]   -> $n ticks")
+    }
+    // BPE encode-to-ids: map-only projection, must be corpus-linear
+    val encMerges = Seq("t" -> "h", "th" -> "e", "a" -> "n", "i" -> "n")
+    val encVocab = graft.llm.TextAnalysis.bpeVocab(
+      (('a' to 'z') ++ ('0' to '9')).map(_.toString), encMerges)
+    for (x <- Seq(2, 8, 16)) {
+      val n = time(s"bpeEncode ${x}x corpus [docs]") {
+        graft.llm.TextAnalysis.bpeEncode(selfUnion(docs, "doc_id", x),
+          "doc_id", "text", encMerges, encVocab).count()
+      }
+      println(s"[probe]   -> $n docs")
+    }
     spark.stop()
   }
 }

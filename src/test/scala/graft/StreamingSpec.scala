@@ -137,6 +137,67 @@ class StreamingSpec extends SparkSpec {
     assert(batch.exceptAll(streamed).count() == 0)
   }
 
+  test("streaming as-of enrichment matches the batch as-of join " +
+      "(tolerance-bounded state, watermark-final emission)") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-asofs").toString
+    val inDir = java.nio.file.Paths.get(tmp, "in")
+    java.nio.file.Files.createDirectories(inDir)
+    val ev = Tables.load(spark, sf, "events").filter($"user_id" < 20)
+    // batch1: the real events; batch2: far-future sentinels per user so
+    // the watermark passes every real left timestamp (sentinel lefts
+    // stay pending forever and must NOT emit; sentinel rights are
+    // beyond every real left's tolerance)
+    ev.select($"event_id", unix_micros($"ts").as("ts"), $"user_id",
+        $"event_type", $"value", $"props")
+      .withColumn("ts", $"ts" * 1000)
+      .coalesce(1).write.parquet(s"$inDir/batch1")
+    val far = ev.agg(max(unix_micros($"ts"))).head.getLong(0) +
+      30L * 24 * 3600 * 1000000
+    ev.groupBy($"user_id").agg(min($"event_id").as("event_id"))
+      .select(($"event_id" + 1000000).as("event_id"),
+        lit(far * 1000).as("ts"), $"user_id",
+        lit("sentinel").as("event_type"), lit(0.0).as("value"),
+        lit("{}").as("props"))
+      .coalesce(1).write.parquet(s"$inDir/batch2")
+    def stage(sub: String, dst: String): Unit = {
+      val f = java.nio.file.Files.list(java.nio.file.Paths.get(s"$inDir/$sub"))
+        .filter(_.toString.endsWith(".parquet")).findFirst().get()
+      java.nio.file.Files.move(f, java.nio.file.Paths.get(s"$inDir/$dst"))
+    }
+    stage("batch1", "a.parquet"); stage("batch2", "b.parquet")
+    val src = Events.readEventStream(spark, inDir.toString)
+    val leftS = src.filter(pmod($"event_id", lit(2)) === 1)
+      .select($"user_id".as("key"), $"ts", $"event_id".as("id"))
+    val rightS = src.filter(pmod($"event_id", lit(2)) === 0)
+      .select($"user_id".as("key"), $"ts", $"value".as("rv"))
+    val q = Events.asOfEnrichStream(leftS, rightS, toleranceSec = 1800)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("maxFilesPerTrigger", "1")
+      .format("parquet").option("path", s"$tmp/out").start()
+    q.awaitTermination(180000)
+    val streamed = spark.read.parquet(s"$tmp/out")
+      .select($"id", $"key", $"ts", $"rv")
+    // batch reference over the REAL events only — identical semantics
+    // required: backward as-of with 30-minute tolerance, left-outer
+    val lb = ev.filter(pmod($"event_id", lit(2)) === 1)
+      .select($"event_id", $"user_id", $"ts")
+    val rb = ev.filter(pmod($"event_id", lit(2)) === 0)
+      .select($"user_id", $"ts", $"value".as("rv"))
+    val batch = graft.operators.AsOfJoin.asOf(lb, rb, "user_id", "ts",
+        Seq("rv"), Some(expr("INTERVAL 30 MINUTES")))
+      .select($"event_id".as("id"), $"user_id".as("key"), $"ts",
+        $"r_rv".as("rv"))
+    assert(streamed.count() == batch.count(),
+      s"streamed ${streamed.count()} vs batch ${batch.count()}")
+    assert(streamed.exceptAll(batch).count() == 0 &&
+      batch.exceptAll(streamed).count() == 0)
+    // some rows matched and some exercised the left-outer null path
+    assert(streamed.filter($"rv".isNotNull).count() > 0)
+    assert(streamed.filter($"rv".isNull).count() > 0)
+  }
+
   test("streaming dedup drops duplicate event_ids with watermark-bounded state") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-dedup").toString
     val inDir = java.nio.file.Paths.get(tmp, "in")
