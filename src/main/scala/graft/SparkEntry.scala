@@ -1278,6 +1278,36 @@ object SparkEntry {
         .orderBy(col("doc"))
     }),
 
+    "dd_decontaminate_bloom" -> ((s, dir) => {
+      // the SCALE path of decontamination: membership probes a Bloom
+      // filter built as a distributed aggregate (registry sizes where
+      // the exact set cannot collect). Compared as a gate: the exact
+      // flags (same oracle machinery) plus a pinned no-false-negative
+      // bit — a Bloom may over-drop clean docs (fpp), it must NEVER
+      // pass a contaminated one.
+      val d = t(s, dir, "documents")
+      val bench = d.filter(pmod(col("doc_id"), lit(20)) === 0)
+      val set = Dedup.contaminationSet(bench, "text")
+      val bloom = Dedup.contaminationBloom(bench, "text")
+      val sh = graft.functions.ShingleHashes(lower(col("text")), 3)
+      val exact = graft.functions.CountInSet(sh, set) >= 1
+      val might = graft.functions.CountInBloom(sh, bloom) >= 1
+      d.select(col("doc_id").as("doc"), exact.as("contaminated"),
+          (!exact || might).as("bloom_no_false_negative"))
+        .orderBy(col("doc"))
+    }),
+
+    "op_source_cap" -> ((s, dir) =>
+      // per-source caps (domain caps): at most 3 docs per source by
+      // (n_chars desc, doc_id) — the over-represented-domain guard in a
+      // training mix; the row_number<=k predicate compiles to
+      // WindowGroupLimit so the exchange carries the cap, not the crawl
+      graft.operators.TopKPerKey.topKPerKey(
+          t(s, dir, "documents"), Seq("source"),
+          Seq(col("n_chars").desc, col("doc_id")), 3)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .orderBy(col("doc_id"))),
+
     "dd_simhash" -> ((s, dir) =>
       Dedup.simhash(t(s, dir, "documents"), "doc_id", "text")
         .orderBy(col("doc"))),
@@ -2585,6 +2615,28 @@ object SparkEntry {
     // same oracle by construction: the set form is semantics-identical
     // (LlmSpec pins equivalence with the join form mechanically too)
     "dd_decontaminate_set" -> decontaminateOracle,
+
+    "dd_decontaminate_bloom" ->
+      s"""WITH bw AS (SELECT ${toksSql("lower(text)")} AS ws FROM documents
+        |  WHERE doc_id % 20 = 0),
+        |bs0 AS (SELECT unnest($shingleSql) AS sgl FROM bw),
+        |bs AS (SELECT DISTINCT ${rollSql("sgl")} AS sh FROM bs0),
+        |dw AS (SELECT doc_id, ${toksSql("lower(text)")} AS ws FROM documents),
+        |ds0 AS (SELECT doc_id, unnest($shingleSql) AS sgl FROM dw),
+        |ds AS (SELECT DISTINCT doc_id, ${rollSql("sgl")} AS sh FROM ds0),
+        |m AS (SELECT doc_id, count(*) AS n FROM ds JOIN bs USING (sh)
+        |  GROUP BY doc_id)
+        |SELECT d.doc_id AS doc, coalesce(m.n, 0) >= 1 AS contaminated,
+        |  true AS bloom_no_false_negative
+        |FROM documents d LEFT JOIN m USING (doc_id)
+        |ORDER BY doc""".stripMargin,
+
+    "op_source_cap" ->
+      """SELECT doc_id, source, n_chars FROM (
+        |  SELECT doc_id, source, n_chars, row_number() OVER (
+        |    PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn <= 3 ORDER BY doc_id""".stripMargin,
 
     "dd_simhash" ->
       s"""WITH tok AS (SELECT doc_id, unnest(${toksSql("lower(text)")}) AS tok FROM documents),

@@ -381,6 +381,52 @@ object Dedup {
           lit(0L)).as("n_contaminated"))
       .withColumn("contaminated", col("n_contaminated") >= minOverlap)
 
+  /** Distributed contamination Bloom filter — the scale path past
+    * [[contaminationSet]]. The exact sorted set collects every distinct
+    * benchmark shingle hash to the driver: model-sized for one eval
+    * suite (3 MB-class), impossible for a contamination REGISTRY of
+    * billions of n-grams (every benchmark release + heldout splits +
+    * customer evals). This builds the sketch as a DISTRIBUTED
+    * `stat.bloomFilter` aggregate — only the bit array reaches the
+    * driver — and the error direction is the safe one for
+    * decontamination: NO false negatives (a contaminated doc can never
+    * slip through), an over-drop fraction of clean docs.
+    *
+    * Size fpp for the DOC level, not the probe level: with minOverlap=1
+    * a doc is over-dropped if ANY of its shingles false-positives, so
+    * P(over-drop) ≈ shinglesPerDoc × fpp — at the textbook 1% fpp this
+    * measured a 19% over-drop on the sf0.001 docs. The 1e-6 default
+    * gives ~3·10⁻⁴ per 300-shingle doc at ~28.8 bits/key (~3.4 GiB
+    * per 10⁹ keys — still one broadcast). Two passes over the bench
+    * side only (count for sizing, then the aggregate); deterministic
+    * (fixed hash seed, bit-OR merge is order-free). */
+  def contaminationBloom(bench: DataFrame, benchText: String, n: Int = 3,
+                         fpp: Double = 1e-6)
+      : org.apache.spark.util.sketch.BloomFilter = {
+    val h = bench.select(explode(graft.functions.ShingleHashes(
+        lower(col(benchText)), n)).as("h"))
+      .distinct()
+    h.stat.bloomFilter("h", math.max(h.count(), 1L), fpp)
+  }
+
+  /** Map-only Bloom decontamination: same output contract and plan
+    * shape as [[decontaminateSet]] (pure projection, stream-composable,
+    * no exchange), with the membership scalar probing the Bloom filter
+    * ([[graft.functions.CountInBloom]]). `contaminated` here means
+    * "might be contaminated": a superset of the exact flags — LlmSpec
+    * pins the no-false-negative containment and a bounded
+    * false-positive fraction. */
+  def decontaminateBloom(docs: DataFrame, id: String, text: String,
+                         bloom: org.apache.spark.util.sketch.BloomFilter,
+                         n: Int = 3, minOverlap: Int = 1): DataFrame =
+    docs.select(col(id).as("doc"),
+        coalesce(
+          graft.functions.CountInBloom(
+            graft.functions.ShingleHashes(lower(col(text)), n),
+            bloom).cast(LongType),
+          lit(0L)).as("n_contaminated"))
+      .withColumn("contaminated", col("n_contaminated") >= minOverlap)
+
   // -------------------------------------------------------------------
   // n-gram Jaccard (exact verification)
   // -------------------------------------------------------------------

@@ -674,6 +674,44 @@ class LlmSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"set form shuffles:\n$plan")
   }
 
+  test("Bloom decontamination: superset of exact flags, no false " +
+      "negatives, bounded over-drop, exchange-free") {
+    val bench = docs.filter($"doc_id" % 20 === 0)
+    val set = Dedup.contaminationSet(bench, "text")
+    val bloom = Dedup.contaminationBloom(bench, "text")
+    val exact = Dedup.decontaminateSet(docs, "doc_id", "text", set)
+      .select($"doc", $"contaminated".as("e"))
+    val might = Dedup.decontaminateBloom(docs, "doc_id", "text", bloom)
+    val j = exact.join(might.select($"doc", $"contaminated".as("m")),
+      Seq("doc")).cache()
+    // the safety contract: a contaminated doc can NEVER slip through
+    assert(j.filter($"e" && !$"m").count() == 0)
+    // over-drop stays an fpp-class fraction of the clean docs
+    val clean = j.filter(!$"e").count()
+    val fp = j.filter(!$"e" && $"m").count()
+    assert(clean == 0 || fp <= math.max(5L, clean / 20),
+      s"$fp false positives over $clean clean docs")
+    // same plan shape as the exact form: pure projection
+    val plan = might.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"bloom form shuffles:\n$plan")
+    j.unpersist()
+  }
+
+  test("topKPerKey: deterministic cap, ties by the order columns") {
+    import graft.operators.TopKPerKey.topKPerKey
+    val d = Seq((1L, "a", 10L), (2L, "a", 30L), (3L, "a", 30L),
+        (4L, "a", 5L), (5L, "b", 1L))
+      .toDF("id", "k", "q")
+    val out = topKPerKey(d, Seq("k"), Seq($"q".desc, $"id"), 2)
+      .orderBy($"id").collect().map(_.getLong(0)).toSeq
+    // a: q=30 twice (ids 2,3 — id breaks the tie), then 10; cap 2
+    assert(out == Seq(2L, 3L, 5L))
+    // a user column named __graft_rn survives
+    val d2 = d.withColumn("__graft_rn", $"id" * 2)
+    assert(topKPerKey(d2, Seq("k"), Seq($"id"), 1)
+      .columns.contains("__graft_rn"))
+  }
+
   test("mixtureBalance: binding stratum keeps rate 1e6, proportions honored") {
     // 60 a-docs, 30 b-docs, 10 c-docs with target 50/30/20 → binding
     // stratum is c (10/0.2 = 50 feasible total ≤ 60/0.5, 30/0.3);

@@ -127,6 +127,17 @@ class PlanAuditSpec extends SparkSpec {
       "interpolation pays extra exchanges over LOCF")
   }
 
+  test("per-key cap rides the rank-pushdown window (WindowGroupLimit)") {
+    // each input partition keeps its own top k per key BEFORE the
+    // exchange — the shuffle carries the cap, not the corpus
+    val plan = graft.operators.TopKPerKey.topKPerKey(
+        Tables.load(spark, sf, "documents"), Seq("source"),
+        Seq(col("n_chars").desc, col("doc_id")), 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"cap not rank-pushed:\n$plan")
+  }
+
   test("BPE encode is an exchange-free map-only projection") {
     val q = graft.llm.TextAnalysis.bpeEncode(
       Tables.load(spark, sf, "documents"), "doc_id", "text",
