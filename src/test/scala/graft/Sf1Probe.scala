@@ -23,7 +23,10 @@ object Sf1Probe {
     // round-6 second-session rows
     "dd_decontaminate", "dd_decontaminate_set", "dd_incremental",
     "ta_mixture", "ta_normalize", "sim_pq_topk", "sim_ivfpq_topk",
-    "op_zorder", "op_compact")
+    "op_zorder", "op_compact",
+    // round-7 rows
+    "op_gapfill_interp", "ta_bpe_encode", "dd_decontaminate_bloom",
+    "op_source_cap")
 
   def main(args: Array[String]): Unit = {
     val src = "/root/testdata/sf0.1"
