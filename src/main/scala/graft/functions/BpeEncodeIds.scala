@@ -18,7 +18,11 @@ import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, StringType}
   * Tokenization stays OUTSIDE the expression (the caller passes the
   * same codegen'd `tokens(lower(text))` column every other text
   * operator uses), so oracle parity for the split is inherited, and
-  * this expression is a pure per-word loop. Map-only — encoding a
+  * this expression is a pure per-word loop. The flat id stream does
+  * not mark word boundaries — a tokenizer needing exact detokenization
+  * should put an end-of-word sentinel in the base alphabet (GPT-2
+  * style leading-space marking), which is a vocab choice, not an
+  * engine change. Map-only — encoding a
   * 100 TB corpus is an embarrassingly parallel projection with the
   * merge list and the id map riding as reference objects (the
   * literal-explosion and HOF-CodegenFallback lessons from r6 both
