@@ -328,6 +328,89 @@ object Events {
         timestamp_micros(col("ts_us")).as("ts"), col("rv"))
   }
 
+  final case class GfObs(key: Long, ts: java.sql.Timestamp, ts_us: Long,
+                         event_id: Long, value: Double)
+  final case class GfState(nextTickUs: Long, carry: Double,
+                           buf: List[(Long, Long, Double)])
+  final case class GfOut(key: Long, tick_us: Long, filled: Double,
+                         observed: Boolean)
+
+  /** Streaming gap-fill — [[graft.operators.GapFill]]'s LOCF semantics
+    * emitted INCREMENTALLY as the event-time watermark advances: per
+    * key, one row per `stepSec` tick from the first observed tick,
+    * each carrying the latest observation at-or-before it (ties by
+    * (ts, event_id) desc, exactly the batch tie-break). A tick emits
+    * once BOTH hold: the watermark passed it (every observation
+    * at-or-before it has arrived) and some observation at-or-after it
+    * exists (the batch spine ends at the last observed tick — so a
+    * drained stream equals the batch operator row-for-row, which
+    * StreamingSpec pins). The regularized feature grid materializes
+    * while the stream runs instead of in a nightly batch.
+    *
+    * State per key: observations still above the watermark (watermark
+    * horizon — the same bound every streaming agg carries), ONE carry
+    * value, one tick cursor. Event-time timeouts advance quiet keys. */
+  def gapFillStream(events: DataFrame, key: String, ts: String,
+                    tieBreak: String, value: String,
+                    stepSec: Long): DataFrame = {
+    require(stepSec > 0, "stepSec must be positive")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val stepUs = stepSec * 1000000L
+    def tickOf(tsUs: Long): Long = Math.floorDiv(tsUs, stepUs) * stepUs
+    events.select(col(key).as("key"), col(ts).as("ts"),
+        unix_micros(col(ts)).as("ts_us"), col(tieBreak).as("event_id"),
+        col(value).as("value"))
+      .as[GfObs]
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[GfState, GfOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (k: Long, it: Iterator[GfObs], state: GroupState[GfState]) =>
+          val incoming = if (state.hasTimedOut) Nil
+            else it.map(o => (o.ts_us, o.event_id, o.value)).toList
+          // nextTickUs = Long.MinValue means "spine not started": the
+          // start tick stays fluid (an out-of-order earlier observation
+          // inside the watermark can still lower it) until the first
+          // tick actually emits
+          val st0 = state.getOption.getOrElse(GfState(Long.MinValue, 0.0, Nil))
+          val buf = (st0.buf ++ incoming).sortBy(o => (o._1, o._2))
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val started = st0.nextTickUs != Long.MinValue
+          val out = scala.collection.mutable.ArrayBuffer.empty[GfOut]
+          var tick =
+            if (started) st0.nextTickUs
+            else if (buf.nonEmpty) tickOf(buf.map(_._1).min)
+            else Long.MaxValue
+          var carry = st0.carry
+          // a tick is final once the watermark passes it AND an
+          // observation at-or-after it exists (batch spine bound)
+          val maxObsTick = if (buf.isEmpty) Long.MinValue
+                           else tickOf(buf.map(_._1).max)
+          while (tick <= wmUs && tick <= maxObsTick) {
+            // latest observation inside this tick (ties: (ts, id) desc)
+            val inTick = buf.filter(o => tickOf(o._1) == tick)
+            val observed = inTick.nonEmpty
+            if (observed) carry = inTick.maxBy(o => (o._1, o._2))._3
+            out += GfOut(k, tick, carry, observed)
+            tick += stepUs
+          }
+          // evict consumed observations: everything before the cursor
+          // tick is folded into `carry`; the rest feeds future ticks
+          val kept =
+            if (tick == Long.MaxValue) buf else buf.filter(_._1 >= tick)
+          val newNext = if (started || out.nonEmpty) tick else Long.MinValue
+          state.update(GfState(newNext, carry, kept))
+          val wakeMs =
+            if (tick == Long.MaxValue) state.getCurrentWatermarkMs() + 1
+            else math.max(tick / 1000L, state.getCurrentWatermarkMs() + 1)
+          state.setTimeoutTimestamp(wakeMs)
+          out.iterator
+      }
+      .toDF()
+      .select(col("key"), timestamp_micros(col("tick_us")).as("tick"),
+        col("filled"), col("observed").as("observed"))
+  }
+
   /** Stream-stream INTERVAL join: each "click" (odd event_id) pairs with
     * the "impressions" (even event_id) of the same user in the preceding
     * `windowExpr` (e.g. "30 minutes"). Both sides carry watermarks, and

@@ -198,6 +198,73 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.filter($"rv".isNull).count() > 0)
   }
 
+  test("streaming gap-fill equals the batch operator on a drained stream") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-gfs").toString
+    val inDir = java.nio.file.Paths.get(tmp, "in")
+    java.nio.file.Files.createDirectories(inDir)
+    val ev = Tables.load(spark, sf, "events").filter($"user_id" < 20)
+    ev.select($"event_id", unix_micros($"ts").as("ts"), $"user_id",
+        $"event_type", $"value", $"props")
+      .withColumn("ts", $"ts" * 1000)
+      .coalesce(1).write.parquet(s"$inDir/batch1")
+    // sentinels on SHIFTED keys: they advance the global watermark past
+    // every real tick but never touch a real key's spine (and their own
+    // single far-future tick stays beyond the final watermark → no rows)
+    val far = ev.agg(max(unix_micros($"ts"))).head.getLong(0) +
+      30L * 24 * 3600 * 1000000
+    ev.groupBy($"user_id").agg(min($"event_id").as("event_id"))
+      .select(($"event_id" + 1000000).as("event_id"),
+        lit(far * 1000).as("ts"), ($"user_id" + 10000).as("user_id"),
+        lit("sentinel").as("event_type"), lit(0.0).as("value"),
+        lit("{}").as("props"))
+      .coalesce(1).write.parquet(s"$inDir/batch2")
+    // a THIRD sentinel wave: timeouts registered while processing the
+    // final data batch never fire under AvailableNow (no trailing
+    // no-data batch), so one more data batch must run with the
+    // advanced watermark to drain the per-key tails
+    ev.groupBy($"user_id").agg(min($"event_id").as("event_id"))
+      .select(($"event_id" + 2000000).as("event_id"),
+        lit((far + 86400L * 1000000) * 1000).as("ts"),
+        ($"user_id" + 20000).as("user_id"),
+        lit("sentinel").as("event_type"), lit(0.0).as("value"),
+        lit("{}").as("props"))
+      .coalesce(1).write.parquet(s"$inDir/batch3")
+    def stage(sub: String, dst: String): Unit = {
+      val f = java.nio.file.Files.list(java.nio.file.Paths.get(s"$inDir/$sub"))
+        .filter(_.toString.endsWith(".parquet")).findFirst().get()
+      java.nio.file.Files.move(f, java.nio.file.Paths.get(s"$inDir/$dst"))
+    }
+    stage("batch1", "a.parquet"); stage("batch2", "b.parquet")
+    stage("batch3", "c.parquet")
+    // sentinels flow THROUGH the operator on their own shifted keys: a
+    // pre-filter would be pushed below the watermark node and their
+    // event times would never advance the watermark. Wave-2 sentinel
+    // keys emit one single-tick spine row each once wave 3 moves the
+    // watermark past them — excluded from the comparison by key below;
+    // wave-3 keys stay below the final watermark and emit nothing.
+    val src = Events.readEventStream(spark, inDir.toString)
+    val q = Events.gapFillStream(src, "user_id", "ts", "event_id",
+        "value", stepSec = 600L)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("maxFilesPerTrigger", "1")
+      .format("parquet").option("path", s"$tmp/out").start()
+    q.awaitTermination(180000)
+    val streamed = spark.read.parquet(s"$tmp/out")
+      .filter($"key" < 10000)
+      .select($"key", $"tick", $"filled", $"observed")
+    val batch = graft.operators.GapFill.gapFill(ev, "user_id", "ts",
+        "event_id", "value", stepSec = 600L)
+      .select($"key", $"tick", $"filled", $"observed")
+    assert(streamed.count() == batch.count(),
+      s"streamed ${streamed.count()} ticks, batch ${batch.count()}")
+    assert(streamed.exceptAll(batch).count() == 0 &&
+      batch.exceptAll(streamed).count() == 0)
+    // the grid really has carried (unobserved) ticks in it
+    assert(streamed.filter(!$"observed").count() > 0)
+  }
+
   test("streaming dedup drops duplicate event_ids with watermark-bounded state") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-dedup").toString
     val inDir = java.nio.file.Paths.get(tmp, "in")
