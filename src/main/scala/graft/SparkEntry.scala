@@ -327,6 +327,49 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    "op_range_join" -> ((s, dir) => {
+      // binned range join: shipments falling inside promo windows
+      // derived from a 1/97 orders sample — the non-equi BETWEEN join
+      // Spark would otherwise plan as a nested loop. Bucket width ≈ the
+      // max window length (31 d) keeps the explosion factor ≤ 2.
+      val li = t(s, dir, "lineitem")
+        .select(unix_timestamp(col("l_shipdate")).as("p"),
+          col("l_quantity"))
+      val promos = t(s, dir, "orders")
+        .filter(col("o_orderkey") % 97 === 0)
+        .select(col("o_orderkey").as("promo_id"),
+          unix_timestamp(col("o_orderdate")).as("lo"),
+          (unix_timestamp(col("o_orderdate")) +
+            (col("o_orderkey") % 30 + 1) * 86400L).as("hi"))
+      graft.operators.RangeJoin.pointInInterval(li, "p", promos,
+          "lo", "hi", bucketWidth = 86400L * 31)
+        .groupBy(col("promo_id"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(dec(col("l_quantity"))).cast(DoubleType).as("sum_qty"))
+        .orderBy(col("promo_id"))
+    }),
+
+    "op_interval_overlap" -> ((s, dir) => {
+      // interval-overlap self-analysis: which promo windows from two
+      // disjoint order samples run concurrently (each qualifying pair
+      // exactly once — first-shared-bucket dedup, no DISTINCT)
+      val o = t(s, dir, "orders")
+      val a = o.filter(col("o_orderkey") % 97 === 0)
+        .select(col("o_orderkey").as("a_id"),
+          unix_timestamp(col("o_orderdate")).as("a_lo"),
+          (unix_timestamp(col("o_orderdate")) +
+            (col("o_orderkey") % 30 + 1) * 86400L).as("a_hi"))
+      val b = o.filter(col("o_orderkey") % 101 === 0)
+        .select(col("o_orderkey").as("b_id"),
+          unix_timestamp(col("o_orderdate")).as("b_lo"),
+          (unix_timestamp(col("o_orderdate")) +
+            (col("o_orderkey") % 23 + 1) * 86400L).as("b_hi"))
+      graft.operators.RangeJoin.intervalOverlap(a, "a_lo", "a_hi",
+          b, "b_lo", "b_hi", bucketWidth = 86400L * 31)
+        .select(col("a_id"), col("b_id"))
+        .orderBy(col("a_id"), col("b_id"))
+    }),
+
     "ev_join" -> ((s, dir) =>
       // stream-stream interval join evaluated in batch: clicks pair with
       // same-user impressions in the preceding 30 minutes (the
@@ -1807,6 +1850,35 @@ object SparkEntry {
         |SELECT l.event_id, l.user_id, l.ts, r.rv AS r_rv
         |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND r.ts <= l.ts
         |ORDER BY event_id""".stripMargin,
+
+    // the oracle states the range join as the plain BETWEEN join the
+    // binning rewrite must be equivalent to
+    "op_range_join" ->
+      """WITH p AS (SELECT o_orderkey AS promo_id,
+        |        CAST(epoch(o_orderdate) AS BIGINT) AS lo,
+        |        CAST(epoch(o_orderdate) AS BIGINT)
+        |          + (o_orderkey % 30 + 1) * 86400 AS hi
+        |      FROM orders WHERE o_orderkey % 97 = 0)
+        |SELECT promo_id, count(*) AS n_items,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem JOIN p
+        |  ON CAST(epoch(l_shipdate) AS BIGINT) BETWEEN p.lo AND p.hi
+        |GROUP BY promo_id ORDER BY promo_id""".stripMargin,
+
+    "op_interval_overlap" ->
+      """WITH a AS (SELECT o_orderkey AS a_id,
+        |        CAST(epoch(o_orderdate) AS BIGINT) AS a_lo,
+        |        CAST(epoch(o_orderdate) AS BIGINT)
+        |          + (o_orderkey % 30 + 1) * 86400 AS a_hi
+        |      FROM orders WHERE o_orderkey % 97 = 0),
+        |b AS (SELECT o_orderkey AS b_id,
+        |        CAST(epoch(o_orderdate) AS BIGINT) AS b_lo,
+        |        CAST(epoch(o_orderdate) AS BIGINT)
+        |          + (o_orderkey % 23 + 1) * 86400 AS b_hi
+        |      FROM orders WHERE o_orderkey % 101 = 0)
+        |SELECT a_id, b_id FROM a JOIN b
+        |  ON a_lo <= b_hi AND b_lo <= a_hi
+        |ORDER BY a_id, b_id""".stripMargin,
 
     // ASOF finds the latest at-or-before row; the tolerance mask then
     // expires it — the identical two-step the Spark operator runs
