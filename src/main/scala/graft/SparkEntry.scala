@@ -538,6 +538,22 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
+    "op_asof_broadcast" -> ((s, dir) => {
+      // the ZERO-shuffle broadcast sibling of op_asof_join — identical
+      // semantics (same oracle), the fact side never exchanges: a
+      // broadcast binary-search expression stamps the matched right ts,
+      // then a broadcast hash equi-join fetches the payload
+      val ev = t(s, dir, "events")
+      val left = ev.filter(pmod(col("event_id"), lit(2)) === 1)
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val right = ev.filter(pmod(col("event_id"), lit(2)) === 0)
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(dec(col("value"))).cast(DoubleType).as("rv"))
+      graft.operators.AsOfJoin.broadcastAsOf(left, right,
+          Seq("user_id"), "ts", Seq("rv"))
+        .orderBy(col("event_id"))
+    }),
+
     "op_asof_tolerance" -> ((s, dir) => {
       // bounded lookback (pandas merge_asof tolerance / kdb wj): a
       // carried match older than 30 minutes expires to NULL
@@ -1843,6 +1859,17 @@ object SparkEntry {
         |ORDER BY c_custkey""".stripMargin,
 
     "op_asof_join" ->
+      """WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_id % 2 = 1),
+        |r AS (SELECT user_id, ts,
+        |        CAST(max(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS rv
+        |      FROM events WHERE event_id % 2 = 0 GROUP BY user_id, ts)
+        |SELECT l.event_id, l.user_id, l.ts, r.rv AS r_rv
+        |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND r.ts <= l.ts
+        |ORDER BY event_id""".stripMargin,
+
+    // the broadcast as-of must be indistinguishable from the window
+    // as-of — same oracle, verbatim
+    "op_asof_broadcast" ->
       """WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_id % 2 = 1),
         |r AS (SELECT user_id, ts,
         |        CAST(max(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS rv

@@ -122,6 +122,88 @@ object AsOfJoin {
         when(carriedOk, col("__carried").getField(c)).as(s"r_$c"))): _*)
   }
 
+  /** Broadcast as-of join — the ZERO-shuffle sibling of [[asOf]] for
+    * the small-right-side case (a dimension that fits on the driver,
+    * like any broadcast join side). The window form shuffles BOTH
+    * sides on the keys; when the right side is a rates/config/sensor
+    * dimension of a few million rows joined against a 100 TB fact,
+    * that shuffle of the fact table is the whole cost. Here:
+    *
+    *  1. the right side's (key → sorted ts[]) index is collected and
+    *     BROADCAST once (torrent, per executor — not per task);
+    *  2. a map-only codegen expression ([[graft.functions.AsOfMatchTs]])
+    *     binary-searches it to stamp each left row with the MATCHED
+    *     right timestamp (direction + tolerance resolved right there);
+    *  3. an ordinary broadcast hash equi-join on (keys, matched ts)
+    *     fetches the value columns — arbitrary arity and types, all
+    *     whole-stage codegen, zero exchanges on the fact side
+    *     (plan-asserted in AsOfJoinSpec).
+    *
+    * Same contract as [[asOf]]: inclusive match, right unique per
+    * (keys, ts), NULL keys/ts never match, output = left.* plus
+    * `r_`-prefixed value columns. `toleranceUs` is epoch MICROS for
+    * timestamp ts (micros are the equi-join domain); for integral ts
+    * columns it is in the column's own units. */
+  def broadcastAsOf(left: DataFrame, right: DataFrame, keys: Seq[String],
+                    ts: String, rightValueCols: Seq[String],
+                    toleranceUs: Option[Long] = None,
+                    direction: String = "backward"): DataFrame = {
+    require(keys.nonEmpty, "as-of join needs at least one key")
+    require(rightValueCols.nonEmpty, "as-of join needs right value columns")
+    val dirCode = Map("backward" -> 0, "forward" -> 1, "nearest" -> 2)
+      .getOrElse(direction,
+        throw new IllegalArgumentException(
+          s"unknown as-of direction '$direction'"))
+    val RtsCol = "__graft_asof_rts"
+    require(!(left.columns ++ right.columns).contains(RtsCol),
+      s"column name $RtsCol is reserved by broadcastAsOf")
+
+    def tsUs(df: DataFrame): Column = df.schema(ts).dataType match {
+      case org.apache.spark.sql.types.TimestampType => unix_micros(col(ts))
+      case org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.ByteType =>
+        col(ts).cast("long")
+      case other => throw new IllegalArgumentException(
+        s"broadcastAsOf needs a timestamp or integral ts column, " +
+          s"got ${other.sql}")
+    }
+    def keysNotNull = keys.map(k => col(k).isNotNull).reduce(_ && _)
+    // composite key as one string: concat_ws SKIPS nulls (would alias
+    // ("a", null) with ("a")), so the mask forces whole-key null first
+    def ckey: Column = when(keysNotNull,
+      concat_ws("\u0000", keys.map(col(_).cast("string")): _*))
+
+    // driver-side index build — this is the eager, collect-the-dim step
+    // every broadcast join has; the fact side is never touched
+    val spark = left.sparkSession
+    import spark.implicits._
+    val idx = new java.util.HashMap[String, Array[Long]]()
+    right.filter(keysNotNull && col(ts).isNotNull)
+      .select(ckey.as("k"), tsUs(right).as("t"))
+      .as[(String, Long)].collect()
+      .groupBy(_._1)
+      .foreach { case (k, vs) => idx.put(k, vs.map(_._2).sorted) }
+    val bc = spark.sparkContext.broadcast(idx)
+
+    val matchTs = org.apache.spark.sql.GraftColumnBridge.column(
+      graft.functions.AsOfMatchTs(
+        org.apache.spark.sql.GraftColumnBridge.expression(ckey),
+        org.apache.spark.sql.GraftColumnBridge.expression(tsUs(left)),
+        bc, dirCode, toleranceUs.getOrElse(-1L)))
+
+    val l = left.withColumn(RtsCol, matchTs)
+    val r = right.filter(keysNotNull && col(ts).isNotNull)
+      .select((keys.map(col) :+ tsUs(right).as(RtsCol)) ++
+        rightValueCols.map(c => col(c).as(s"r_$c")): _*)
+    // the using-join reorders columns (join keys first) — restore
+    // left.* ++ r_* to match asOf's output shape exactly
+    l.join(broadcast(r), keys :+ RtsCol, "left_outer")
+      .select(left.columns.map(col).toIndexedSeq ++
+        rightValueCols.map(c => col(s"r_$c")): _*)
+  }
+
   /** forward / nearest directions. Same tagged-union single-shuffle
     * shape as backward; the frames are RANGE (value-based) over the
     * bare ts ordering, so same-ts right rows are frame peers and match
