@@ -538,6 +538,22 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
+    "op_salted_join" -> ((s, dir) => {
+      // salted equi-join under the driver gate: fact rows carry a
+      // content-derived salt, the dim replicates across all salts —
+      // identical rows to the plain join (the oracle), but a hot key
+      // spreads over `salts` reducers instead of melting one
+      val li = t(s, dir, "lineitem")
+        .select(col("l_suppkey"), col("l_quantity"))
+      val sup = t(s, dir, "supplier")
+        .select(col("s_suppkey").as("l_suppkey"), col("s_nationkey"))
+      graft.sources.Skew.saltedJoin(li, sup, "l_suppkey", salts = 16)
+        .groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(dec(col("l_quantity"))).cast(DoubleType).as("sum_qty"))
+        .orderBy(col("s_nationkey"))
+    }),
+
     "op_asof_broadcast" -> ((s, dir) => {
       // the ZERO-shuffle broadcast sibling of op_asof_join — identical
       // semantics (same oracle), the fact side never exchanges: a
@@ -1866,6 +1882,13 @@ object SparkEntry {
         |SELECT l.event_id, l.user_id, l.ts, r.rv AS r_rv
         |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND r.ts <= l.ts
         |ORDER BY event_id""".stripMargin,
+
+    // the salted join must be indistinguishable from the plain join
+    "op_salted_join" ->
+      """SELECT s_nationkey, count(*) AS n_items,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
 
     // the broadcast as-of must be indistinguishable from the window
     // as-of — same oracle, verbatim
