@@ -538,6 +538,15 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
+    "op_heavy_hitters" -> ((s, dir) => {
+      // exact heavy hitters via Misra–Gries candidate surfacing + exact
+      // recount of the candidate sliver — equals the plain GROUP
+      // BY/HAVING (the oracle) with no full-key-space shuffle
+      graft.operators.HeavyHitters
+        .heavyHitters(t(s, dir, "events"), "user_id", phi = 0.0075)
+        .orderBy(col("user_id"))
+    }),
+
     "op_salted_join" -> ((s, dir) => {
       // salted equi-join under the driver gate: fact rows carry a
       // content-derived salt, the dim replicates across all salts —
@@ -1882,6 +1891,13 @@ object SparkEntry {
         |SELECT l.event_id, l.user_id, l.ts, r.rv AS r_rv
         |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND r.ts <= l.ts
         |ORDER BY event_id""".stripMargin,
+
+    // the sketch may only prune, never decide: exact GROUP BY/HAVING
+    "op_heavy_hitters" ->
+      """SELECT user_id, count(*) AS cnt FROM events
+        |GROUP BY user_id
+        |HAVING count(*) > 0.0075 * (SELECT count(*) FROM events)
+        |ORDER BY user_id""".stripMargin,
 
     // the salted join must be indistinguishable from the plain join
     "op_salted_join" ->
