@@ -1163,6 +1163,17 @@ object SparkEntry {
           budget = 2048)
         .orderBy(col("doc"))),
 
+    "ta_tensorize" -> ((s, dir) =>
+      // GPT-style block packing into fixed 128-token windows, compared
+      // in exploded (window, pos, token) form so the oracle checks
+      // concatenation order, boundary splits AND tail padding
+      graft.llm.Tensorize.tensorize(t(s, dir, "documents"), "doc_id",
+          TextAnalysis.tokens(lower(col("text"))), seqLen = 128,
+          pad = lit("<pad>"), sep = lit("<eos>"))
+        .select(col("window"),
+          posexplode(col("input_ids")).as(Seq("pos", "tok")))
+        .orderBy(col("window"), col("pos"))),
+
     // ---- source/sink formats beyond parquet (§2.5 scans/sinks) ----
     // each round-trips the orders table (bigint, varchar, double,
     // timestamp) through sink → schema'd scan; the oracle recomputes
@@ -2657,6 +2668,30 @@ object SparkEntry {
         |  (grp * 4294967296 + cum // 2048)::BIGINT AS shard,
         |  (cum % 2048)::BIGINT AS offset
         |FROM c ORDER BY doc""".stripMargin,
+
+    // the oracle rebuilds the packed token stream with window-function
+    // arithmetic: per-group exclusive prefix offsets, global position →
+    // (window, pos), plus the synthetic tail-padding rows
+    "ta_tensorize" ->
+      s"""WITH b AS (SELECT doc_id,
+        |    list_append(${toksSql("lower(text)")}, '<eos>') AS ws,
+        |    ${rollSql("'pack:' || CAST(doc_id AS VARCHAR)")} % 16 AS grp
+        |  FROM documents),
+        |c AS (SELECT doc_id, ws, grp, len(ws)::BIGINT AS n,
+        |    sum(len(ws)::BIGINT) OVER (PARTITION BY grp ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING) - len(ws)::BIGINT AS s
+        |  FROM b),
+        |toks AS (SELECT grp, s + g.i - 1 AS gpos, ws[g.i] AS tok
+        |  FROM c, LATERAL (SELECT unnest(generate_series(1,
+        |    len(ws)::BIGINT)) AS i) g),
+        |tot AS (SELECT grp, count(*) AS tt FROM toks GROUP BY grp),
+        |pads AS (SELECT grp, tt + g.i - 1 AS gpos, '<pad>' AS tok
+        |  FROM tot, LATERAL (SELECT unnest(generate_series(1,
+        |    (128 - tt % 128) % 128)) AS i) g),
+        |allt AS (SELECT * FROM toks UNION ALL SELECT * FROM pads)
+        |SELECT (grp * 4294967296 + gpos // 128)::BIGINT AS "window",
+        |  (gpos % 128)::INTEGER AS pos, tok
+        |FROM allt ORDER BY "window", pos""".stripMargin,
 
     "fn_custom_sql" ->
       s"""SELECT d.doc_id, ${rollSql("d.text")} AS h,

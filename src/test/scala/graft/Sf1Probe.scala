@@ -26,7 +26,10 @@ object Sf1Probe {
     "op_zorder", "op_compact",
     // round-7 rows
     "op_gapfill_interp", "ta_bpe_encode", "dd_decontaminate_bloom",
-    "op_source_cap")
+    "op_source_cap",
+    // round-7 third-wave rows
+    "op_range_join", "op_interval_overlap", "op_asof_broadcast",
+    "op_salted_join", "op_heavy_hitters")
 
   def main(args: Array[String]): Unit = {
     val src = "/root/testdata/sf0.1"
@@ -40,6 +43,11 @@ object Sf1Probe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    // optional arg: comma-separated query-name prefixes to probe a
+    // subset; the synthesized corpus is reused when already on disk
+    val only = args.headOption.map(_.split(","))
+    val marker = java.nio.file.Paths.get(dst, "_GRAFT_SF1_OK")
 
     val X = 10
     // key-shift deltas far above any real id range
@@ -66,9 +74,12 @@ object Sf1Probe {
       "documents" -> Seq("doc_id"),
       "embeddings" -> Seq("vec_id")
     ).foreach { case (t, keys) =>
-      shifted(t, keys).write.mode("overwrite").parquet(s"$dst/$t.parquet")
+      if (!java.nio.file.Files.exists(marker))
+        shifted(t, keys).write.mode("overwrite").parquet(s"$dst/$t.parquet")
     }
-    println("[sf1] corpus written")
+    if (!java.nio.file.Files.exists(marker))
+      java.nio.file.Files.createFile(marker)
+    println("[sf1] corpus ready")
 
     def run(name: String, dir: String): Double = {
       def once(): Double = {
@@ -81,7 +92,7 @@ object Sf1Probe {
       math.min(once(), once())
     }
     println(f"[sf1] ${"query"}%-22s ${"sf0.1"}%8s ${"sf1"}%8s ${"ratio"}%7s")
-    Queries.foreach { q =>
+    Queries.filter(q => only.forall(_.exists(q.startsWith))).foreach { q =>
       val a = run(q, src)
       val b = run(q, dst)
       println(f"[sf1] $q%-22s $a%8.2f $b%8.2f ${b / a}%7.1fx")
