@@ -94,6 +94,107 @@ class PropertySpec extends SparkSpec {
     assert(got.size == leftRows.size) // exactly one output row per left row
   }
 
+  test("broadcastAsOf agrees with brute force across all directions " +
+      "(random data, integral ts)") {
+    val keyGen = Gen.choose(0, 5)
+    val tsGen = Gen.choose(0L, 50L)
+    val leftRows = (1 to 120).map(i =>
+      (i.toLong, draw(keyGen, i).toString, draw(tsGen, 7000 + i)))
+    val rightRows = (1 to 150).map(i =>
+        (draw(keyGen, 9000 + i).toString, draw(tsGen, 11000 + i)))
+      .distinct.zipWithIndex
+      .map { case ((k, t), i) => (k, t, i * 1.5) }
+    val left = leftRows.toDF("event_id", "k", "ts")
+    val right = rightRows.toDF("k", "ts", "rv")
+    val tol = 7L
+    for (dir <- Seq("backward", "forward", "nearest");
+         tolOpt <- Seq(None, Some(tol))) {
+      val got = graft.operators.AsOfJoin
+        .broadcastAsOf(left, right, Seq("k"), "ts", Seq("rv"),
+          toleranceUs = tolOpt, direction = dir)
+        .collect()
+        .map(r => r.getLong(0) ->
+          (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+      val expected = leftRows.map { case (id, k, t) =>
+        val inTol = rightRows.filter(r => r._1 == k &&
+          tolOpt.forall(tl => math.abs(r._2 - t) <= tl))
+        val back = inTol.filter(_._2 <= t).sortBy(_._2).lastOption
+        val fwd = inTol.filter(_._2 >= t).sortBy(_._2).headOption
+        id -> (dir match {
+          case "backward" => back.map(_._3)
+          case "forward" => fwd.map(_._3)
+          case _ => (back, fwd) match {
+            case (Some(b), Some(f)) =>
+              Some(if (t - b._2 <= f._2 - t) b._3 else f._3)
+            case (b, f) => b.orElse(f).map(_._3)
+          }
+        })
+      }.toMap
+      assert(got == expected, s"direction=$dir tolerance=$tolOpt")
+    }
+  }
+
+  test("range join agrees with the naive BETWEEN join for arbitrary " +
+      "bucket widths (random data incl. negative domains)") {
+    val vGen = Gen.choose(-100L, 100L)
+    val points = (1 to 150).map(i => (i.toLong, draw(vGen, i)))
+      .toDF("id", "p")
+    val ivRows = (1 to 60).map { i =>
+      val lo = draw(vGen, 5000 + i)
+      (i.toLong, lo, lo + draw(Gen.choose(-5L, 40L), 6000 + i))
+    }
+    val ivs = ivRows.toDF("iv", "lo", "hi")
+    val naive = points.join(ivs, $"p" >= $"lo" && $"p" <= $"hi")
+      .select($"id", $"iv").as[(Long, Long)].collect().sorted.toSeq
+    for (width <- Seq(1L, 7L, 64L, 1000L)) {
+      val got = graft.operators.RangeJoin
+        .pointInInterval(points, "p", ivs, "lo", "hi", width)
+        .select($"id", $"iv").as[(Long, Long)].collect().sorted.toSeq
+      assert(got === naive, s"bucketWidth=$width")
+    }
+  }
+
+  test("interval overlap agrees with the naive join, exactly once per " +
+      "pair, for arbitrary bucket widths") {
+    val vGen = Gen.choose(-100L, 100L)
+    def mk(n: Int, seedBase: Int, idCol: String, lo: String, hi: String) = {
+      val rows = (1 to n).map { i =>
+        val l = draw(vGen, seedBase + i)
+        (i.toLong, l, l + draw(Gen.choose(-5L, 40L), seedBase + 700 + i))
+      }
+      (rows, rows.toDF(idCol, lo, hi))
+    }
+    val (aRows, a) = mk(50, 20000, "a_id", "a_lo", "a_hi")
+    val (bRows, b) = mk(50, 30000, "b_id", "b_lo", "b_hi")
+    val naive = (for {
+      (ai, alo, ahi) <- aRows if alo <= ahi
+      (bi, blo, bhi) <- bRows if blo <= bhi
+      if alo <= bhi && blo <= ahi
+    } yield (ai, bi)).sorted
+    for (width <- Seq(1L, 9L, 50L, 1000L)) {
+      val got = graft.operators.RangeJoin
+        .intervalOverlap(a, "a_lo", "a_hi", b, "b_lo", "b_hi", width)
+        .select($"a_id", $"b_id").as[(Long, Long)].collect().sorted.toSeq
+      assert(got === naive, s"bucketWidth=$width")
+    }
+  }
+
+  test("heavy hitters equals exact GROUP BY/HAVING on zipf-ish random keys") {
+    val keyGen = Gen.frequency(
+      (8, Gen.const(0L)), (4, Gen.const(1L)), (2, Gen.const(2L)),
+      (8, Gen.choose(3L, 2000L)))
+    val rows = (1 to 3000).map(i => Tuple1(draw(keyGen, i)))
+    val df = rows.toDF("k").repartition(16)
+    val n = rows.size.toDouble
+    for (phi <- Seq(0.001, 0.01, 0.05, 0.3)) {
+      val got = graft.operators.HeavyHitters.heavyHitters(df, "k", phi)
+        .as[(Long, Long)].collect().toMap
+      val expected = rows.groupBy(_._1).view.mapValues(_.size.toLong)
+        .filter(_._2 > phi * n).toMap
+      assert(got == expected, s"phi=$phi")
+    }
+  }
+
   test("packShards invariants: offset bound, dense shards, token conservation") {
     // random corpora with wildly varying doc lengths; the operator got
     // burned by oracle representation drift once (r3 ta_pack) — pin its
