@@ -538,6 +538,26 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
+    "op_bucketed_join" -> ((s, dir) => {
+      // both sides written bucketed+sorted on the join key, then
+      // joined through the catalog: the co-located SMJ path
+      // (shuffle-free join — plan-asserted in LayoutSpec; this row
+      // certifies the bucketed write→scan→join path's RESULTS against
+      // the plain-join oracle)
+      graft.sources.Layout.writeBucketed(
+        t(s, dir, "lineitem").select(col("l_orderkey"), col("l_quantity")),
+        "graft_bkt_li", buckets = 8, keys = Seq("l_orderkey"))
+      graft.sources.Layout.writeBucketed(
+        t(s, dir, "orders").select(col("o_orderkey").as("l_orderkey"),
+          col("o_orderstatus")),
+        "graft_bkt_ord", buckets = 8, keys = Seq("l_orderkey"))
+      s.table("graft_bkt_li").join(s.table("graft_bkt_ord"), "l_orderkey")
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(dec(col("l_quantity"))).cast(DoubleType).as("sum_qty"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
     "op_heavy_hitters" -> ((s, dir) => {
       // exact heavy hitters via Misra–Gries candidate surfacing + exact
       // recount of the candidate sliver — equals the plain GROUP
@@ -1902,6 +1922,13 @@ object SparkEntry {
         |SELECT l.event_id, l.user_id, l.ts, r.rv AS r_rv
         |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND r.ts <= l.ts
         |ORDER BY event_id""".stripMargin,
+
+    // the bucketed path must be invisible in the results
+    "op_bucketed_join" ->
+      """SELECT o_orderstatus, count(*) AS n_items,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     // the sketch may only prune, never decide: exact GROUP BY/HAVING
     "op_heavy_hitters" ->

@@ -138,6 +138,38 @@ class PlanAuditSpec extends SparkSpec {
       s"cap not rank-pushed:\n$plan")
   }
 
+  test("runtime bloom filter prunes the fact side of a selective SMJ") {
+    // at 100 TB a selective dim predicate should reach the fact SCAN as
+    // a runtime bloom filter (Spark's own injection — our plans must
+    // not defeat it): fact rows failing might_contain never enter the
+    // join exchange
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" ->
+        "100MB",
+      // the production default (10GB) gates injection on a genuinely
+      // large fact scan; zero it so the sf0.001 fixture qualifies —
+      // what's audited is that OUR plan shape accepts the injection
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" ->
+        "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val li = Tables.load(spark, sf, "lineitem")
+      val ord = Tables.load(spark, sf, "orders")
+        .filter(col("o_totalprice") > 400000)
+      val j = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderstatus")).count()
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("might_contain"),
+        s"no runtime bloom filter injected:\n${plan.take(3000)}")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("BPE encode is an exchange-free map-only projection") {
     val q = graft.llm.TextAnalysis.bpeEncode(
       Tables.load(spark, sf, "documents"), "doc_id", "text",
