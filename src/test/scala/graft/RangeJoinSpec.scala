@@ -81,6 +81,27 @@ class RangeJoinSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
   }
 
+  test("intervalOverlap honors extra equality keys") {
+    val a = intervals.select($"iv_id".as("a_id"), $"lo".as("a_lo"),
+      $"hi".as("a_hi"), ($"iv_id" % 5).as("a_k"))
+    val b = Tables.load(spark, sf, "orders")
+      .filter($"o_orderkey" % 11 === 0)
+      .select($"o_orderkey".as("b_id"),
+        unix_timestamp($"o_orderdate").as("b_lo"),
+        (unix_timestamp($"o_orderdate") + ($"o_orderkey" % 25 + 1) *
+          86400L).as("b_hi"), ($"o_orderkey" % 5).as("b_k"))
+    val got = RangeJoin.intervalOverlap(a, "a_lo", "a_hi", b, "b_lo",
+        "b_hi", bucketWidth = 86400L * 10,
+        extraKeys = Seq("a_k" -> "b_k"))
+      .select($"a_id", $"b_id")
+    val naive = a.filter($"a_lo" <= $"a_hi")
+      .join(b.filter($"b_lo" <= $"b_hi"),
+        $"a_lo" <= $"b_hi" && $"b_lo" <= $"a_hi" && $"a_k" === $"b_k")
+      .select($"a_id", $"b_id")
+    assert(got.count() > 0)
+    assert(got.exceptAll(naive).isEmpty && naive.exceptAll(got).isEmpty)
+  }
+
   test("bucket-boundary and degenerate intervals") {
     val l = Seq((1L, 0L), (2L, 100L), (3L, 99L), (4L, -100L), (5L, -1L))
       .toDF("id", "p")
