@@ -321,6 +321,88 @@ class StreamingSpec extends SparkSpec {
       .exceptAll(batch.select($"doc", $"stratum", $"keep")).count() == 0)
   }
 
+  test("binned range join is stream-safe against a static interval table") {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    val tmp = java.nio.file.Files.createTempDirectory("graft-rjs").toString
+    val inDir = java.nio.file.Paths.get(tmp, "in")
+    java.nio.file.Files.createDirectories(inDir)
+    val points = Tables.load(spark, sf, "lineitem")
+      .select(($"l_orderkey" * 10 + $"l_linenumber").as("pid"),
+        unix_timestamp($"l_shipdate").as("p")).limit(2000)
+    points.coalesce(1).write.mode("overwrite")
+      .parquet(inDir.resolve("batch").toString)
+    val ivs = Tables.load(spark, sf, "orders")
+      .filter($"o_orderkey" % 7 === 0)
+      .select($"o_orderkey".as("iv_id"),
+        unix_timestamp($"o_orderdate").as("lo"),
+        (unix_timestamp($"o_orderdate") +
+          ($"o_orderkey" % 40 + 1) * 86400L).as("hi"))
+    val stream = spark.readStream
+      .schema(StructType(Seq(StructField("pid", LongType),
+        StructField("p", LongType))))
+      .parquet(inDir.resolve("batch").toString)
+    // stateless: bucket stamp is a projection, the static side is just
+    // a (broadcastable) dimension — the SAME operator code runs on the
+    // stream, tagging events with their windows at ingestion
+    val q = graft.operators.RangeJoin.pointInInterval(stream, "p",
+        ivs, "lo", "hi", bucketWidth = 86400L * 15)
+      .select($"pid", $"iv_id")
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .format("parquet")
+      .option("path", s"$tmp/out")
+      .start()
+    q.awaitTermination(120000)
+    val streamed = spark.read.parquet(s"$tmp/out")
+    val batch = graft.operators.RangeJoin.pointInInterval(points, "p",
+      ivs, "lo", "hi", bucketWidth = 86400L * 15).select($"pid", $"iv_id")
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).isEmpty &&
+      batch.exceptAll(spark.read.parquet(s"$tmp/out")).isEmpty)
+  }
+
+  test("broadcast as-of join is stream-safe against a static dimension") {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    val tmp = java.nio.file.Files.createTempDirectory("graft-bas").toString
+    val inDir = java.nio.file.Paths.get(tmp, "in")
+    java.nio.file.Files.createDirectories(inDir)
+    val ev = Tables.load(spark, sf, "events")
+    val left = ev.filter(pmod($"event_id", lit(2)) === 1)
+      .select($"event_id", $"user_id", unix_micros($"ts").as("tsu"))
+    left.coalesce(1).write.mode("overwrite")
+      .parquet(inDir.resolve("batch").toString)
+    val right = ev.filter(pmod($"event_id", lit(2)) === 0)
+      .groupBy($"user_id", unix_micros($"ts").as("tsu"))
+      .agg(max($"value").as("rv"))
+    val stream = spark.readStream
+      .schema(StructType(Seq(StructField("event_id", LongType),
+        StructField("user_id", LongType), StructField("tsu", LongType))))
+      .parquet(inDir.resolve("batch").toString)
+    // zero state: the broadcast index resolves the as-of match in a
+    // map, the payload fetch is a stream-static equi-join — full as-of
+    // semantics on a live stream with a reference-data dimension
+    val q = graft.operators.AsOfJoin.broadcastAsOf(stream, right,
+        Seq("user_id"), "tsu", Seq("rv"))
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .format("parquet")
+      .option("path", s"$tmp/out")
+      .start()
+    q.awaitTermination(120000)
+    val streamed = spark.read.parquet(s"$tmp/out")
+    val batch = graft.operators.AsOfJoin.broadcastAsOf(left, right,
+      Seq("user_id"), "tsu", Seq("rv"))
+    assert(streamed.count() === batch.count())
+    assert(streamed.exceptAll(batch).isEmpty &&
+      batch.exceptAll(streamed).isEmpty)
+  }
+
   test("streaming decontamination drops contaminated docs at ingestion") {
     import org.apache.spark.sql.types._
     import org.apache.spark.sql.streaming.{OutputMode, Trigger}
