@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Degenerate-input behavior of the round-7 operators: empty sides must
+  * produce empty (or fully-null-payload) results, never throw — the
+  * first partition of a 100 TB run is routinely empty. */
+class EmptyInputSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val noPoints = Seq.empty[(Long, Long)].toDF("id", "p")
+  private val noIvs = Seq.empty[(Long, Long, Long)].toDF("iv", "lo", "hi")
+  private val somePoints = Seq((1L, 5L), (2L, 50L)).toDF("id", "p")
+  private val someIvs = Seq((7L, 0L, 10L)).toDF("iv", "lo", "hi")
+
+  test("range join with an empty side is empty") {
+    assert(graft.operators.RangeJoin
+      .pointInInterval(noPoints, "p", someIvs, "lo", "hi", 10L)
+      .count() === 0)
+    assert(graft.operators.RangeJoin
+      .pointInInterval(somePoints, "p", noIvs, "lo", "hi", 10L)
+      .count() === 0)
+    assert(graft.operators.RangeJoin
+      .intervalOverlap(noIvs, "lo", "hi",
+        someIvs.select($"iv".as("b_iv"), $"lo".as("b_lo"),
+          $"hi".as("b_hi")), "b_lo", "b_hi", 10L)
+      .count() === 0)
+  }
+
+  test("broadcast as-of with an empty dimension keeps left rows, null payload") {
+    val left = Seq((1L, 5L, 100L)).toDF("event_id", "k", "t")
+    val right = Seq.empty[(Long, Long, Double)].toDF("k", "t", "v")
+    val out = graft.operators.AsOfJoin
+      .broadcastAsOf(left, right, Seq("k"), "t", Seq("v")).collect()
+    assert(out.length === 1 && out(0).isNullAt(3))
+    // and an empty LEFT is just empty
+    assert(graft.operators.AsOfJoin.broadcastAsOf(
+      left.limit(0), right, Seq("k"), "t", Seq("v")).count() === 0)
+  }
+
+  test("heavy hitters and tensorize on empty inputs are empty") {
+    val noKeys = Seq.empty[Tuple1[Long]].toDF("k")
+    assert(graft.operators.HeavyHitters.heavyHitters(noKeys, "k", 0.1)
+      .count() === 0)
+    val noDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(graft.llm.Tensorize.tensorize(noDocs, "doc_id",
+      graft.llm.TextAnalysis.tokens($"text"), 16,
+      lit("<pad>"), lit("<eos>")).count() === 0)
+  }
+}
