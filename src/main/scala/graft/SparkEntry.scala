@@ -1412,6 +1412,20 @@ object SparkEntry {
         .orderBy(col("doc"))
     }),
 
+    "op_sample_per_key" -> ((s, dir) =>
+      // deterministic UNIFORM k-per-key sample: rank by the id's
+      // rolling hash (a fixed random permutation of each key group)
+      // and keep the first k — balanced per-class subsampling that
+      // reproduces bit-for-bit across runs and engines, riding the
+      // same WindowGroupLimit pushdown as the domain cap
+      graft.operators.TopKPerKey.topKPerKey(
+          t(s, dir, "documents"), Seq("source"),
+          Seq(graft.functions.RollingHash(
+              concat(lit("smp:"), col("doc_id").cast(StringType))).asc,
+            col("doc_id").asc), 5)
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))),
+
     "op_source_cap" -> ((s, dir) =>
       // per-source caps (domain caps): at most 3 docs per source by
       // (n_chars desc, doc_id) — the over-represented-domain guard in a
@@ -2837,6 +2851,15 @@ object SparkEntry {
         |    PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rn
         |  FROM documents)
         |WHERE rn <= 3 ORDER BY doc_id""".stripMargin,
+
+    // the hash rank is a fixed permutation both engines can replay
+    "op_sample_per_key" ->
+      s"""SELECT doc_id, source FROM (
+        |  SELECT doc_id, source, row_number() OVER (
+        |    PARTITION BY source
+        |    ORDER BY ${rollSql("'smp:' || CAST(doc_id AS VARCHAR)")}, doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn <= 5 ORDER BY doc_id""".stripMargin,
 
     "dd_simhash" ->
       s"""WITH tok AS (SELECT doc_id, unnest(${toksSql("lower(text)")}) AS tok FROM documents),
