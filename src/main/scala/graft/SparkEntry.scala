@@ -1183,6 +1183,22 @@ object SparkEntry {
           budget = 2048)
         .orderBy(col("doc"))),
 
+    "ta_bm25" -> ((s, dir) =>
+      // BM25 lexical relevance against a fixed query; corpus stats
+      // (N, avgdl, df) resolved once and baked as literals — scoring
+      // is then a pure scan
+      TextAnalysis.bm25(
+          t(s, dir, "documents").withColumn("text", lower(col("text"))),
+          "doc_id", "text", Seq("join", "hash", "window"))
+        .orderBy(col("doc"))),
+
+    "ta_chunk" -> ((s, dir) =>
+      // RAG-style overlapping chunker: 64-token windows every 48 tokens
+      // — a pure map (explode + slice), chunking at 100 TB is a scan
+      TextAnalysis.chunk(t(s, dir, "documents"), "doc_id", "text",
+          chunkSize = 64, overlap = 16)
+        .orderBy(col("doc"), col("chunk_idx"))),
+
     "ta_tensorize" -> ((s, dir) =>
       // GPT-style block packing into fixed 128-token windows, compared
       // in exploded (window, pos, token) form so the oracle checks
@@ -2709,6 +2725,39 @@ object SparkEntry {
         |  (grp * 4294967296 + cum // 2048)::BIGINT AS shard,
         |  (cum % 2048)::BIGINT AS offset
         |FROM c ORDER BY doc""".stripMargin,
+
+    // Robertson idf + Okapi saturation recomputed from scratch; scores
+    // rounded to 6 places on both sides for engine-portable floats
+    "ta_bm25" ->
+      s"""WITH b AS (SELECT doc_id, ${toksSql("lower(text)")} AS ws FROM documents),
+        |s AS (SELECT count(*)::DOUBLE AS n, avg(len(ws))::DOUBLE AS avgdl FROM b),
+        |f AS (SELECT
+        |  (SELECT count(*) FROM b WHERE list_contains(ws, 'join'))::DOUBLE AS df1,
+        |  (SELECT count(*) FROM b WHERE list_contains(ws, 'hash'))::DOUBLE AS df2,
+        |  (SELECT count(*) FROM b WHERE list_contains(ws, 'window'))::DOUBLE AS df3),
+        |t AS (SELECT doc_id, len(ws)::DOUBLE AS dl,
+        |  len(list_filter(ws, x -> x = 'join'))::DOUBLE AS tf1,
+        |  len(list_filter(ws, x -> x = 'hash'))::DOUBLE AS tf2,
+        |  len(list_filter(ws, x -> x = 'window'))::DOUBLE AS tf3
+        |  FROM b)
+        |SELECT doc_id AS doc, dl::INTEGER AS dl,
+        |  round(
+        |    ln(1 + (s.n - f.df1 + 0.5)/(f.df1 + 0.5)) * tf1 * 2.2
+        |      / (tf1 + 1.2*(0.25 + 0.75*dl/s.avgdl))
+        |  + ln(1 + (s.n - f.df2 + 0.5)/(f.df2 + 0.5)) * tf2 * 2.2
+        |      / (tf2 + 1.2*(0.25 + 0.75*dl/s.avgdl))
+        |  + ln(1 + (s.n - f.df3 + 0.5)/(f.df3 + 0.5)) * tf3 * 2.2
+        |      / (tf3 + 1.2*(0.25 + 0.75*dl/s.avgdl)), 6) AS score
+        |FROM t, s, f ORDER BY doc""".stripMargin,
+
+    "ta_chunk" ->
+      s"""WITH b AS (SELECT doc_id, ${toksSql("text")} AS ws FROM documents),
+        |c AS (SELECT doc_id, ws, len(ws) AS n FROM b WHERE len(ws) > 0)
+        |SELECT doc_id AS doc, g.i::INTEGER AS chunk_idx,
+        |  least(n - g.i*48, 64)::INTEGER AS n_tokens,
+        |  array_to_string(ws[g.i*48+1 : least(g.i*48+64, n)], ' ') AS chunk
+        |FROM c, LATERAL (SELECT unnest(generate_series(0, (n-1)//48)) AS i) g
+        |ORDER BY doc, chunk_idx""".stripMargin,
 
     // the oracle rebuilds the packed token stream with window-function
     // arithmetic: per-group exclusive prefix offsets, global position →

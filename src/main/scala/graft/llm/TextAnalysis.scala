@@ -534,6 +534,71 @@ object TextAnalysis {
     * may exceed one budget, as pretraining block packing accepts).
     * Output: (doc, n_tokens, shard, offset) — offset is the document's
     * start position within its shard's token stream. */
+  /** BM25 relevance scoring of every document against a fixed query —
+    * the classic lexical retrieval/reranking scorer (and the usual
+    * hard-negative miner next to the ANN index). Corpus statistics
+    * (N, avgdl, per-term document frequency) are computed ONCE in one
+    * aggregate pass and baked into the scoring projection as literals —
+    * "train once, serve as a map", the same shape as the ANN model
+    * queries: scoring 100 TB is then a pure scan, and the stats job
+    * touches only token counts (column-pruned).
+    *
+    * score(d) = Σ_t ln(1 + (N−df_t+0.5)/(df_t+0.5)) ·
+    *            tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))
+    * — the standard Robertson/Sparck-Jones idf (always positive) with
+    * Okapi saturation. Output: (doc, dl, score rounded to 6 places,
+    * for engine-portable float comparison). */
+  def bm25(df: org.apache.spark.sql.DataFrame, id: String, text: String,
+           queryTerms: Seq[String], k1: Double = 1.2,
+           b: Double = 0.75): org.apache.spark.sql.DataFrame = {
+    require(queryTerms.nonEmpty, "bm25 needs at least one query term")
+    val toks = df.select(col(id).as("doc"), tokens(col(text)).as("__ws"))
+    // one stats job: N and avgdl from a count/avg aggregate, per-term
+    // df from a distinct-token explode filtered to the query terms
+    val g = toks.agg(count(lit(1)), avg(size(col("__ws")))).head()
+    val n = g.getLong(0)
+    val avgdl = g.getDouble(1)
+    val dfs: Map[String, Long] = toks
+      .select(explode(array_distinct(col("__ws"))).as("t"))
+      .filter(col("t").isin(queryTerms: _*))
+      .groupBy(col("t")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val dl = size(col("__ws")).cast("double")
+    val score = queryTerms.map { t =>
+      val dft = dfs.getOrElse(t, 0L).toDouble
+      val idf = math.log(1.0 + (n - dft + 0.5) / (dft + 0.5))
+      val tf = size(filter(col("__ws"), x => x === lit(t))).cast("double")
+      lit(idf) * tf * lit(k1 + 1.0) /
+        (tf + lit(k1) * (lit(1.0 - b) + lit(b) * dl / lit(avgdl)))
+    }.reduce(_ + _)
+    toks.select(col("doc"), dl.cast("int").as("dl"),
+      round(score, 6).as("score"))
+  }
+
+  /** Overlapping token chunker (RAG-style indexing): each document
+    * splits into windows of `chunkSize` whitespace tokens starting
+    * every `chunkSize - overlap` tokens, the last window short. A
+    * map-only projection (explode + slice — no shuffle, no state):
+    * chunking 100 TB is exactly a scan. Documents with zero tokens
+    * produce zero chunks. Output: (doc, chunk_idx, n_tokens, chunk). */
+  def chunk(df: org.apache.spark.sql.DataFrame, id: String, text: String,
+            chunkSize: Int, overlap: Int): org.apache.spark.sql.DataFrame = {
+    require(chunkSize > 0, s"chunkSize must be positive: $chunkSize")
+    require(overlap >= 0 && overlap < chunkSize,
+      s"overlap must be in [0, chunkSize): $overlap")
+    val stride = chunkSize - overlap
+    df.select(col(id).as("doc"), tokens(col(text)).as("__ws"))
+      .withColumn("__n", size(col("__ws")))
+      .filter(col("__n") > 0)
+      .withColumn("chunk_idx", explode(sequence(lit(0),
+        ((col("__n") - 1) / stride).cast("int"))))
+      .select(col("doc"), col("chunk_idx"),
+        least(col("__n") - col("chunk_idx") * stride, lit(chunkSize))
+          .as("n_tokens"),
+        array_join(slice(col("__ws"), col("chunk_idx") * stride + 1,
+          lit(chunkSize)), " ").as("chunk"))
+  }
+
   def packShards(df: org.apache.spark.sql.DataFrame, id: String,
                  text: String, budget: Long,
                  nGroups: Int = 16): org.apache.spark.sql.DataFrame = {
