@@ -29,7 +29,8 @@ object Sf1Probe {
     "op_source_cap",
     // round-7 third-wave rows
     "op_range_join", "op_interval_overlap", "op_asof_broadcast",
-    "op_salted_join", "op_heavy_hitters", "ta_tensorize")
+    "op_salted_join", "op_heavy_hitters", "ta_tensorize",
+    "op_bucketed_join", "op_sample_per_key", "ta_chunk", "ta_bm25")
 
   def main(args: Array[String]): Unit = {
     val src = "/root/testdata/sf0.1"
