@@ -1453,6 +1453,116 @@ object SparkEntry {
         .select(col("doc_id"), col("source"), col("n_chars"))
         .orderBy(col("doc_id"))),
 
+    "op_weighted_sample" -> ((s, dir) =>
+      // deterministic Efraimidis-Spirakis weighted sampling: 50 docs,
+      // weight-proportional (weight = n_chars), the uniform draw derived
+      // from a rolling hash both engines replay; the global top-k
+      // compiles to TakeOrderedAndProject so k bounds the cost at any
+      // corpus size (no full sort, no corpus shuffle)
+      graft.operators.WeightedSample.sample(
+          t(s, dir, "documents").select(col("doc_id"), col("n_chars")),
+          "doc_id", col("n_chars"), 50)
+        .select(col("doc_id").as("doc"), col("n_chars"), col("es_key"))
+        .orderBy(col("doc"))),
+
+    "op_profile" -> ((s, dir) =>
+      // ANALYZE-style one-pass column statistics (rows/non-null/exact
+      // NDV/min/max-as-string) over every orders column; approx=true
+      // swaps HLL for the Expand-based exact distinct at 100 TB
+      graft.mat.Profile.profile(t(s, dir, "orders"))),
+
+    "op_covariance" -> ((s, dir) =>
+      // sample covariance of the 64-dim embeddings in one distributed
+      // moment pass: the exchange carries d(d+1)/2 partial rows (the
+      // model), never the data
+      graft.llm.Embeddings.covariance(t(s, dir, "embeddings"), "embedding")
+        .orderBy(col("i"), col("j"))),
+
+    "dd_lines" -> ((s, dir) => {
+      // CCNet-style corpus-wide line dedup with reassembly: the corpus
+      // text is single-line, so both engines first rebuild it as
+      // deterministic 12-token lines; the doubled corpus guarantees
+      // every line of each copy dies while firsts survive
+      val d = t(s, dir, "documents")
+      val u = d.select(col("doc_id"), lower(col("text")).as("text"))
+        .unionByName(d.select((col("doc_id") + 10000).as("doc_id"),
+          lower(col("text")).as("text")))
+      val ws = TextAnalysis.tokens(col("text"))
+      val lined = array_join(transform(
+        sequence(lit(0), ((size(ws) - 1) / lit(12)).cast(IntegerType)),
+        i => array_join(slice(ws, i * 12 + 1, lit(12)), " ")), "\n")
+      Dedup.dedupLines(u.select(col("doc_id"), lined.as("text")),
+          "doc_id", "text")
+        .orderBy(col("doc"))
+    }),
+
+    "ta_perplexity" -> ((s, dir) =>
+      // unigram-LM quality scoring: model trained in one word-count
+      // pass, scoring joins the distributed model — the CCNet LM-filter
+      // shape with an in-engine trainable model
+      TextAnalysis.unigramScore(
+          t(s, dir, "documents").withColumn("text", lower(col("text"))),
+          "doc_id", "text")
+        .orderBy(col("doc"))),
+
+    "ta_bigram" -> ((s, dir) =>
+      // bigram-LM scoring: one Markov order up from ta_perplexity —
+      // notices scrambled word order; models (context counts, pair
+      // counts) stay vocab-bound, the pair explode is map-only
+      TextAnalysis.bigramScore(
+          t(s, dir, "documents").withColumn("text", lower(col("text"))),
+          "doc_id", "text")
+        .orderBy(col("doc"))),
+
+    "op_pagerank" -> ((s, dir) => {
+      // domain-quality prior (Common Crawl host ranking): PageRank over
+      // a deterministic synthetic link graph — 400 hosts, edges from
+      // two doc-id hash functions over even docs so out-degrees vary
+      // and every odd host is DANGLING; 10 fixed iterations make the
+      // result replayable by an unrolled-SQL oracle
+      val d = t(s, dir, "documents")
+      val nodes = d.select(pmod(col("doc_id"), lit(400)).as("id")).distinct()
+      val ev = d.filter(pmod(col("doc_id"), lit(2)) === 0)
+      val edges = ev.select(pmod(col("doc_id"), lit(400)).as("src"),
+          pmod(col("doc_id") * col("doc_id") + 7, lit(400)).as("dst"))
+        .unionByName(ev.select(pmod(col("doc_id"), lit(400)).as("src"),
+          pmod(col("doc_id") * 17 + 3, lit(400)).as("dst")))
+        .distinct()
+      graft.operators.PageRank.pageRank(nodes, "id", edges)
+        .orderBy(col("id"))
+    }),
+
+    "op_fuzzy_join" -> ((s, dir) => {
+      // cross-corpus LSH similarity join (entity resolution): documents
+      // vs a perturbed snapshot (one token appended) — each doc must
+      // rediscover its twin; the only corpus-sized exchange is the
+      // band-key equi-join, never an all-pairs product
+      val d = t(s, dir, "documents")
+      val right = d.select((col("doc_id") + 10000).as("doc_id"),
+        concat(col("text"), lit(" zz"),
+          pmod(col("doc_id"), lit(5)).cast(StringType)).as("text"))
+      Dedup.fuzzyJoin(d, right, "doc_id", "text", threshold = 0.5)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    "op_winsorize" -> ((s, dir) =>
+      // per-source winsorization at exact [p05, p95]: the group-quantile
+      // table is model-sized and broadcasts; the clip is map-only — the
+      // fact side never shuffles
+      graft.operators.Winsorize.winsorize(
+          t(s, dir, "documents")
+            .select(col("doc_id"), col("source"), col("n_chars")),
+          Seq("source"), "n_chars", 0.05, 0.95)
+        .orderBy(col("doc_id"))),
+
+    "op_standardize" -> ((s, dir) =>
+      // per-dimension z-scores: 2d-double model from one diagonal-moment
+      // pass, served as literals in a map-only transform; compared in
+      // exploded (vec_id, i, z) form
+      graft.llm.Embeddings.standardize(t(s, dir, "embeddings"), "embedding")
+        .select(col("vec_id"), posexplode(col("z")).as(Seq("i", "z")))
+        .orderBy(col("vec_id"), col("i"))),
+
     "dd_simhash" -> ((s, dir) =>
       Dedup.simhash(t(s, dir, "documents"), "doc_id", "text")
         .orderBy(col("doc"))),
@@ -2909,6 +3019,176 @@ object SparkEntry {
         |    ORDER BY ${rollSql("'smp:' || CAST(doc_id AS VARCHAR)")}, doc_id) AS rn
         |  FROM documents)
         |WHERE rn <= 5 ORDER BY doc_id""".stripMargin,
+
+    // E-S key replayed from the shared rolling hash; keys are rounded
+    // BEFORE ranking (id tie-break) so the selected SET matches exactly
+    "op_weighted_sample" ->
+      s"""WITH b AS (SELECT doc_id, n_chars,
+        |    ${rollSql("'es:' || CAST(doc_id AS VARCHAR)")} AS h FROM documents),
+        |k AS (SELECT doc_id, n_chars,
+        |    round(ln((h % 1000000007 + 1) / 1000000008.0) / n_chars, 6) AS es_key
+        |  FROM b),
+        |sel AS (SELECT * FROM k ORDER BY es_key DESC, doc_id LIMIT 50)
+        |SELECT doc_id AS doc, n_chars, es_key FROM sel ORDER BY doc""".stripMargin,
+
+    "op_profile" ->
+      Seq("o_custkey", "o_orderdate", "o_orderkey", "o_orderpriority",
+          "o_orderstatus", "o_totalprice").map { c =>
+        s"""SELECT '$c' AS col_name, count(*)::BIGINT AS n_rows,
+          |  count($c)::BIGINT AS n_nonnull,
+          |  count(DISTINCT $c)::BIGINT AS ndv,
+          |  CAST(min($c) AS VARCHAR) AS min_val,
+          |  CAST(max($c) AS VARCHAR) AS max_val
+          |FROM orders""".stripMargin
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name"),
+
+    // explicit moment-sum identity (not covar_samp) so both engines
+    // evaluate the same expression term-for-term
+    "op_covariance" ->
+      """WITH e AS (SELECT embedding AS v FROM embeddings),
+        |x AS (SELECT v, g.i::INTEGER - 1 AS i, v[g.i]::DOUBLE AS xi
+        |  FROM e, LATERAL (SELECT unnest(generate_series(1, len(v))) AS i) g),
+        |p AS (SELECT x.i, g2.j::INTEGER - 1 AS j, x.xi, x.v[g2.j]::DOUBLE AS xj
+        |  FROM x, LATERAL (SELECT unnest(generate_series(1, len(x.v))) AS j) g2
+        |  WHERE g2.j - 1 >= x.i),
+        |a AS (SELECT i, j, count(*)::BIGINT AS n, sum(xi) AS sx,
+        |    sum(xj) AS sy, sum(xi * xj) AS sxy
+        |  FROM p GROUP BY i, j)
+        |SELECT i, j, round((sxy - sx * sy / n) / (n - 1), 6) + 0.0 AS cov
+        |FROM a ORDER BY i, j""".stripMargin,
+
+    // firsts elected by the integer key doc*2^20+pos — equivalent to the
+    // engine's lexicographic min(struct(doc, pos)) while pos < 2^20
+    "dd_lines" ->
+      s"""WITH u AS (SELECT doc_id, lower(text) AS t FROM documents
+        |  UNION ALL SELECT doc_id + 10000, lower(text) FROM documents),
+        |w AS (SELECT doc_id, ${toksSql("t")} AS ws FROM u),
+        |lined AS (SELECT doc_id, array_to_string(list_transform(
+        |    generate_series(0, (len(ws) - 1) // 12),
+        |    i -> array_to_string(ws[i*12+1 : i*12+12], ' ')), chr(10)) AS t
+        |  FROM w),
+        |p AS (SELECT doc_id, string_split(t, chr(10)) AS parts FROM lined),
+        |l AS (SELECT doc_id, g.i::INTEGER - 1 AS pos, parts[g.i] AS line
+        |  FROM p, LATERAL (SELECT unnest(generate_series(1, len(parts))) AS i) g),
+        |f AS (SELECT line, min(doc_id * 1048576 + pos) AS first FROM l GROUP BY line),
+        |k AS (SELECT l.doc_id, l.pos, l.line FROM l JOIN f USING (line)
+        |  WHERE l.doc_id * 1048576 + l.pos = f.first),
+        |r AS (SELECT doc_id, count(*)::BIGINT AS n_kept,
+        |    string_agg(line, chr(10) ORDER BY pos) AS text FROM k GROUP BY doc_id)
+        |SELECT p.doc_id AS doc, len(p.parts)::BIGINT AS n_lines,
+        |  coalesce(r.n_kept, 0)::BIGINT AS n_kept, coalesce(r.text, '') AS text
+        |FROM p LEFT JOIN r USING (doc_id) ORDER BY doc""".stripMargin,
+
+    "ta_perplexity" ->
+      s"""WITH b0 AS (SELECT doc_id, ${toksSql("lower(text)")} AS ws FROM documents),
+        |b AS (SELECT * FROM b0 WHERE len(ws) > 0),
+        |x AS (SELECT doc_id, len(ws)::INTEGER AS n, unnest(ws) AS w FROM b),
+        |wc AS (SELECT w, count(*)::BIGINT AS c FROM x GROUP BY w),
+        |s AS (SELECT (sum(c) + count(*))::DOUBLE AS denom FROM wc),
+        |tf AS (SELECT doc_id, n, w, count(*)::BIGINT AS tf
+        |  FROM x GROUP BY doc_id, n, w)
+        |SELECT tf.doc_id AS doc, tf.n AS n_tokens,
+        |  round(-sum(tf * ln((c + 1.0) / (SELECT denom FROM s))) / tf.n, 6) AS nll
+        |FROM tf JOIN wc USING (w)
+        |GROUP BY tf.doc_id, tf.n ORDER BY doc""".stripMargin,
+
+    "ta_bigram" ->
+      s"""WITH b0 AS (SELECT doc_id, ${toksSql("lower(text)")} AS ws FROM documents),
+        |b AS (SELECT * FROM b0 WHERE len(ws) > 1),
+        |v AS (SELECT count(DISTINCT w)::DOUBLE AS vs FROM
+        |  (SELECT unnest(ws) AS w FROM b0)),
+        |pr AS (SELECT doc_id, len(ws)::INTEGER AS n, ws[g.i] AS w1, ws[g.i + 1] AS w2
+        |  FROM b, LATERAL (SELECT unnest(generate_series(1, len(ws) - 1)) AS i) g),
+        |ctx AS (SELECT w1, count(*)::BIGINT AS c1 FROM pr GROUP BY w1),
+        |big AS (SELECT w1, w2, count(*)::BIGINT AS c12 FROM pr GROUP BY w1, w2),
+        |tf AS (SELECT doc_id, n, w1, w2, count(*)::BIGINT AS tf
+        |  FROM pr GROUP BY doc_id, n, w1, w2)
+        |SELECT tf.doc_id AS doc, tf.n AS n_tokens,
+        |  round(-sum(tf * ln((c12 + 1.0) / (c1 + (SELECT vs FROM v))))
+        |    / (tf.n - 1), 6) AS nll
+        |FROM tf JOIN big USING (w1, w2) JOIN ctx USING (w1)
+        |GROUP BY tf.doc_id, tf.n ORDER BY doc""".stripMargin,
+
+    // 10 unrolled iterations of r' = 0.15/N + 0.85*(in_sum + dangling/N)
+    // — a recursive CTE cannot aggregate its own reference, so the
+    // oracle chains pr0..pr10 as generated CTEs. Every CTE is
+    // MATERIALIZED: DuckDB inlines plain CTEs per reference, and with
+    // 3 references per iteration the un-hinted chain re-expands pr0
+    // 3^10 times (measured: minutes vs 0.09 s)
+    "op_pagerank" -> {
+      val init =
+        """WITH nodes AS MATERIALIZED (SELECT DISTINCT doc_id % 400 AS id FROM documents),
+          |edges AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+          |  SELECT doc_id % 400 AS src, (doc_id * doc_id + 7) % 400 AS dst
+          |  FROM documents WHERE doc_id % 2 = 0
+          |  UNION ALL
+          |  SELECT doc_id % 400, (doc_id * 17 + 3) % 400
+          |  FROM documents WHERE doc_id % 2 = 0)),
+          |odeg AS MATERIALIZED (SELECT src AS id, count(*)::BIGINT AS outdeg
+          |  FROM edges GROUP BY src),
+          |nn AS MATERIALIZED (SELECT count(*)::DOUBLE AS n FROM nodes),
+          |pr0 AS MATERIALIZED (SELECT id, 1.0 / (SELECT n FROM nn) AS rank FROM nodes)""".stripMargin
+      val steps = (1 to 10).map { k =>
+        val p = s"pr${k - 1}"
+        s""",
+          |dang$k AS MATERIALIZED (SELECT coalesce(sum(rank), 0) AS dg FROM $p
+          |  LEFT JOIN odeg USING (id) WHERE outdeg IS NULL),
+          |ct$k AS MATERIALIZED (SELECT e.dst AS id, sum(p.rank / o.outdeg) AS in_sum
+          |  FROM $p p JOIN odeg o USING (id) JOIN edges e ON e.src = p.id
+          |  GROUP BY e.dst),
+          |pr$k AS MATERIALIZED (SELECT nodes.id,
+          |  0.15 / (SELECT n FROM nn) + 0.85 * (coalesce(ct$k.in_sum, 0)
+          |    + (SELECT dg FROM dang$k) / (SELECT n FROM nn)) AS rank
+          |  FROM nodes LEFT JOIN ct$k ON ct$k.id = nodes.id)""".stripMargin
+      }.mkString
+      init + steps + "\nSELECT id, round(rank, 6) AS rank FROM pr10 ORDER BY id"
+    },
+
+    // the union pipeline keeps ids disjoint (left < 10000 <= right), so
+    // one signature CTE serves both sides of the cross-corpus join
+    "op_fuzzy_join" ->
+      s"""WITH u AS (SELECT doc_id, lower(text) AS t FROM documents
+        |  UNION ALL SELECT doc_id + 10000,
+        |    lower(text || ' zz' || CAST(doc_id % 5 AS VARCHAR)) FROM documents),
+        |w AS (SELECT doc_id, ${toksSql("t")} AS ws FROM u),
+        |sh AS (SELECT doc_id, $shingleSql AS shl FROM w),
+        |sx AS (SELECT doc_id, unnest(shl) AS sgl FROM sh),
+        |hx AS (SELECT doc_id, ${rollSql("sgl")} AS h FROM sx),
+        |sig AS (SELECT doc_id, ${minhashAggSqls.mkString(", ")} FROM hx GROUP BY doc_id),
+        |bands AS (SELECT doc_id, unnest($bandListSql) AS band FROM sig),
+        |p AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |      FROM bands a JOIN bands b ON a.band = b.band
+        |      WHERE a.doc_id < 10000 AND b.doc_id >= 10000),
+        |e AS (SELECT p.id_a, p.id_b,
+        |  (${(0 until 16).map(i =>
+               s"CASE WHEN sa.mh$i = sb.mh$i THEN 1 ELSE 0 END")
+               .mkString(" + ")}) / 16.0 AS est_jaccard
+        |  FROM p JOIN sig sa ON sa.doc_id = p.id_a
+        |         JOIN sig sb ON sb.doc_id = p.id_b)
+        |SELECT id_a, id_b, est_jaccard FROM e WHERE est_jaccard >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "op_winsorize" ->
+      """WITH q AS (SELECT source, quantile_cont(n_chars, 0.05) AS plo,
+        |    quantile_cont(n_chars, 0.95) AS phi
+        |  FROM documents GROUP BY source)
+        |SELECT doc_id, d.source, n_chars,
+        |  round(CASE WHEN n_chars < plo THEN plo
+        |    WHEN n_chars > phi THEN phi ELSE n_chars::DOUBLE END, 6) AS n_chars_w
+        |FROM documents d JOIN q USING (source) ORDER BY doc_id""".stripMargin,
+
+    "op_standardize" ->
+      """WITH x AS (SELECT vec_id, g.i::INTEGER - 1 AS i, embedding[g.i]::DOUBLE AS x
+        |  FROM embeddings,
+        |    LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) g),
+        |st AS (SELECT i, count(*)::BIGINT AS n, sum(x) AS sx, sum(x * x) AS sxx
+        |  FROM x GROUP BY i),
+        |m AS (SELECT i, sx / n AS mean,
+        |    sqrt((sxx - sx * sx / n) / (n - 1)) AS std FROM st)
+        |SELECT x.vec_id, x.i,
+        |  CASE WHEN std > 0 THEN round((x.x - mean) / std, 6) + 0.0
+        |    ELSE 0.0 END AS z
+        |FROM x JOIN m USING (i) ORDER BY vec_id, i""".stripMargin,
 
     "dd_simhash" ->
       s"""WITH tok AS (SELECT doc_id, unnest(${toksSql("lower(text)")}) AS tok FROM documents),

@@ -233,6 +233,68 @@ object Dedup {
       .distinct()
   }
 
+  /** Cross-corpus similarity join (entity resolution / fuzzy matching):
+    * pairs a left row with every right row whose n-gram Jaccard clears
+    * `threshold` — the two-sided sibling of [[minhashCandidates]].
+    * Dedup asks "what repeats inside one corpus"; fuzzy join asks
+    * "which records of A describe the same thing as B" (catalog
+    * matching, leakage of an eval corpus against a second crawl,
+    * near-dup transfer between snapshots).
+    *
+    * Shape at scale: both sides get map-only signatures
+    * ([[minhashSignature]] — no shuffle), band keys explode map-side,
+    * and the ONLY corpus-sized exchange is the band-key equi-join —
+    * never an all-pairs product, and each side shuffles once. With
+    * `exact = false` candidates are screened by the signature-agreement
+    * estimator (k·matches/k — binary-exact, engine-portable);
+    * `exact = true` re-verifies candidates with exact shingle-set
+    * Jaccard (linear in candidate shingle volume, the
+    * [[jaccardOnPairs]] pattern run two-sided so ids may collide
+    * between corpora).
+    *
+    * Output: (id_a from left, id_b from right,
+    * est_jaccard | jaccard ≥ threshold). */
+  def fuzzyJoin(left: DataFrame, right: DataFrame, id: String, text: String,
+                threshold: Double, n: Int = 3, k: Int = 16, bands: Int = 4,
+                exact: Boolean = false): DataFrame = {
+    val sigL = minhashSignature(left, id, text, n, k)
+    val sigR = minhashSignature(right, id, text, n, k)
+    def banded(sig: DataFrame, as: String) =
+      sig.select(col("doc").as(as),
+        explode(array(sigBandCols(k, bands): _*)).as("band"))
+    val cands = banded(sigL, "id_a").join(banded(sigR, "id_b"), Seq("band"))
+      .select(col("id_a"), col("id_b")).distinct()
+    if (!exact) {
+      val a = sigL.select(col("doc").as("id_a") +:
+        (0 until k).map(i => col(s"mh$i").as(s"__a$i")): _*)
+      val b = sigR.select(col("doc").as("id_b") +:
+        (0 until k).map(i => col(s"mh$i").as(s"__b$i")): _*)
+      val matches = (0 until k).map(i =>
+        when(col(s"__a$i") === col(s"__b$i"), 1).otherwise(0)).reduce(_ + _)
+      cands.join(a, Seq("id_a")).join(b, Seq("id_b"))
+        .select(col("id_a"), col("id_b"),
+          (matches.cast(DoubleType) / k).as("est_jaccard"))
+        .filter(col("est_jaccard") >= threshold)
+    } else {
+      def shs(df: DataFrame, as: String) =
+        shingleRows(df, id, text, n)
+          .select(col("doc").as(as), TextAnalysis.tokenHash(col("sh")).as("sh"))
+          .distinct()
+      val shA = shs(left, "id_a"); val shB = shs(right, "id_b")
+      val szA = shA.groupBy("id_a").agg(count(lit(1)).as("sz_a"))
+      val szB = shB.groupBy("id_b").agg(count(lit(1)).as("sz_b"))
+      val inter = cands.join(shA, Seq("id_a")).join(shB, Seq("id_b", "sh"))
+        .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+      cands.join(inter, Seq("id_a", "id_b"), "left_outer")
+        .na.fill(0L, Seq("inter"))
+        .join(szA, Seq("id_a")).join(szB, Seq("id_b"))
+        .select(col("id_a"), col("id_b"),
+          round(col("inter").cast(DoubleType) /
+            (col("sz_a") + col("sz_b") - col("inter")), 6).as("jaccard"))
+        .filter(col("jaccard") >= threshold)
+    }
+  }
+
   // -------------------------------------------------------------------
   // incremental dedup (new batch vs a persisted signature index)
   // -------------------------------------------------------------------
@@ -1002,5 +1064,49 @@ object Dedup {
       .select(col("id_a"), col("k.doc").as("id_b"))
     collapseComponents(emb, id, cross.unionByName(star),
       maxIter, driverEdgeLimit)
+  }
+
+  // -------------------------------------------------------------------
+  // line / paragraph dedup (CCNet-style)
+  // -------------------------------------------------------------------
+
+  /** Corpus-wide line-level exact dedup with document reassembly — the
+    * CCNet/RefinedWeb paragraph dedup: boilerplate lines (nav bars,
+    * cookie banners, license blurbs) repeat across millions of pages,
+    * and stripping every occurrence but the global first is the
+    * standard pre-filter that runs BEFORE whole-document near-dedup
+    * (a doc that is 80% boilerplate is not a near-dup of anything
+    * until its boilerplate is gone).
+    *
+    * Shape at scale: explode lines (map-only) → one hash-partitioned
+    * groupBy on the line value electing the global first occurrence —
+    * `min(struct(doc, pos))` is the deterministic lexicographic winner
+    * under any partitioning — → equi-join winners back → one
+    * groupBy(doc) reassembly. Two shuffles, both on keys partial
+    * aggregation compresses (the line table collapses to its distinct
+    * lines map-side); no driver state, no all-pairs step anywhere.
+    *
+    * Output: (doc, n_lines, n_kept, text) — surviving lines re-joined
+    * with `delim` in original order, '' when nothing survived. */
+  def dedupLines(df: DataFrame, id: String, text: String,
+                 delim: String = "\n"): DataFrame = {
+    val d = java.util.regex.Pattern.quote(delim)
+    val lines = df.select(col(id).as("doc"),
+      posexplode(split(col(text), d)).as(Seq("pos", "line")))
+    val first = lines.groupBy(col("line"))
+      .agg(min(struct(col("doc"), col("pos"))).as("__first"))
+    val kept = lines.join(first, Seq("line"))
+      .filter(struct(col("doc"), col("pos")) === col("__first"))
+    val rebuilt = kept.groupBy(col("doc"))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("line")))),
+          x => x.getField("line")), delim).as("text"))
+    df.select(col(id).as("doc"),
+        size(split(col(text), d)).cast(LongType).as("n_lines"))
+      .join(rebuilt, Seq("doc"), "left")
+      .select(col("doc"), col("n_lines"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("text"), lit("")).as("text"))
   }
 }

@@ -599,6 +599,82 @@ object TextAnalysis {
           lit(chunkSize)), " ").as("chunk"))
   }
 
+  /** Unigram language-model quality scoring — the in-engine form of
+    * the classic LM-based filter (CCNet scores with a pretrained KenLM
+    * 5-gram; the unigram case keeps the identical pipeline shape with a
+    * model trainable in ONE pass). Train: token counts over the corpus
+    * (explode → map-side-combined groupBy — the model table, vocab-
+    * bound not corpus-bound). Score: per-doc distinct-term frequencies
+    * equi-join the model, then
+    *   nll(d) = − Σ_w tf_w · ln((c_w + 1) / (T + V)) / |d|
+    * (add-one smoothing over the observed vocab). The model stays
+    * distributed — nothing corpus-sized reaches the driver; only the
+    * two scalars T and V do. Scoring 100 TB is a join whose build side
+    * is the vocabulary. Lower = more typical of the corpus; the filter
+    * convention is dropping the high-nll tail.
+    * Output: (doc, n_tokens, nll rounded to 6 — engine-portable). */
+  def unigramScore(df: org.apache.spark.sql.DataFrame, id: String,
+                   text: String): org.apache.spark.sql.DataFrame = {
+    val toks = df.select(col(id).as("doc"), tokens(col(text)).as("__ws"))
+      .filter(size(col("__ws")) > 0)
+    val wc = toks.select(explode(col("__ws")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    // sum over an EMPTY corpus is NULL — coalesce so the degenerate
+    // input scores nothing instead of throwing at train time
+    val g = wc.agg(coalesce(sum(col("c")), lit(0L)), count(lit(1))).head()
+    val denom = (g.getLong(0) + g.getLong(1)).toDouble // T + V
+    val tf = toks
+      .select(col("doc"), size(col("__ws")).as("n"), explode(col("__ws")).as("w"))
+      .groupBy(col("doc"), col("n"), col("w")).agg(count(lit(1)).as("tf"))
+    tf.join(wc, "w")
+      .groupBy(col("doc"), col("n"))
+      .agg(round(-sum(col("tf").cast(DoubleType) *
+          log((col("c").cast(DoubleType) + lit(1.0)) / lit(denom))) /
+        col("n").cast(DoubleType), 6).as("nll"))
+      .select(col("doc"), col("n").as("n_tokens"), col("nll"))
+  }
+
+  /** Bigram language-model scoring — one Markov order up from
+    * [[unigramScore]], the cheapest model that notices scrambled word
+    * ORDER (a bag-of-words spam page and fluent prose share unigram
+    * stats; their transition likelihoods differ sharply). Two model
+    * tables train in one explode pass each, both vocab-bound:
+    * context counts c(w1) (tokens in positions 1..n−1) and adjacent
+    * pair counts c(w1,w2). Scoring:
+    *   nll(d) = − Σ_{adjacent (w1,w2)} ln((c(w1,w2)+1)/(c(w1)+V)) / (n−1)
+    * with V = corpus vocabulary size (the [[unigramScore]] convention).
+    * The pair explode is map-only (element_at over the row's own
+    * tokens — no window, no shuffle); the model joins are equi-joins
+    * whose build side is the vocabulary. Unseen pairs (scoring a corpus
+    * the model wasn't trained on) fall back to the +1 numerator with
+    * c=0. Documents need ≥ 2 tokens. Output: (doc, n_tokens, nll). */
+  def bigramScore(df: org.apache.spark.sql.DataFrame, id: String,
+                  text: String): org.apache.spark.sql.DataFrame = {
+    val toks = df.select(col(id).as("doc"), tokens(col(text)).as("__ws"))
+      .filter(size(col("__ws")) > 1)
+    val pairs = toks
+      .select(col("doc"), size(col("__ws")).as("n"),
+        explode(sequence(lit(1), size(col("__ws")) - 1)).as("i"),
+        col("__ws"))
+      .select(col("doc"), col("n"),
+        element_at(col("__ws"), col("i")).as("w1"),
+        element_at(col("__ws"), col("i") + 1).as("w2"))
+    val ctx = pairs.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val big = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val v = df.select(col(id).as("doc"), tokens(col(text)).as("__ws"))
+      .select(explode(col("__ws")).as("w")).agg(countDistinct(col("w")))
+      .head().getLong(0)
+    val tf = pairs.groupBy(col("doc"), col("n"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("tf"))
+    tf.join(big, Seq("w1", "w2"), "left").join(ctx, Seq("w1"))
+      .groupBy(col("doc"), col("n"))
+      .agg(round(-sum(col("tf").cast(DoubleType) *
+          log((coalesce(col("c12"), lit(0L)).cast(DoubleType) + lit(1.0)) /
+            (col("c1").cast(DoubleType) + lit(v.toDouble)))) /
+        (col("n") - lit(1)).cast(DoubleType), 6).as("nll"))
+      .select(col("doc"), col("n").as("n_tokens"), col("nll"))
+  }
+
   def packShards(df: org.apache.spark.sql.DataFrame, id: String,
                  text: String, budget: Long,
                  nGroups: Int = 16): org.apache.spark.sql.DataFrame = {

@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.llm.Embeddings
+
+/** Covariance / PCA over embedding columns: hand-computed moments, the
+  * eigen contract of power iteration, and the map-only projection. */
+class EmbeddingsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tiny = Seq(
+    (1L, Array(1f, 2f)), (2L, Array(3f, 4f)), (3L, Array(5f, 9f)))
+    .toDF("vec_id", "embedding")
+
+  test("covariance: hand-computed 2x2 sample covariance") {
+    // means (3,5); dev_x = (-2,0,2), dev_y = (-3,-1,4):
+    // cov_xx = (4+0+4)/2 = 4; cov_xy = (6+0+8)/2 = 7; cov_yy = (9+1+16)/2 = 13
+    val got = Embeddings.covariance(tiny, "embedding")
+      .orderBy($"i", $"j").as[(Int, Int, Double)].collect().toSeq
+    assert(got === Seq((0, 0, 4.0), (0, 1, 7.0), (1, 1, 13.0)))
+  }
+
+  test("covariance folds IEEE negative zero (text comparators see -0.0)") {
+    // two anti-correlated-but-tiny dims engineered to round to zero
+    val df = Seq(Array(1e-9f, -1e-9f), Array(-1e-9f, 1e-9f), Array(0f, 0f))
+      .toDF("embedding")
+    val covs = Embeddings.covariance(df, "embedding")
+      .as[(Int, Int, Double)].collect()
+    covs.foreach { case (_, _, c) =>
+      assert(java.lang.Double.doubleToRawLongBits(c) !=
+        java.lang.Double.doubleToRawLongBits(-0.0d), s"negative zero leaked")
+    }
+  }
+
+  test("covarianceMatrix is symmetric and matches the triangle rows") {
+    val m = Embeddings.covarianceMatrix(tiny, "embedding")
+    assert(m.length === 2 && m(0)(1) === m(1)(0))
+    assert(math.abs(m(0)(0) - 4.0) < 1e-9 && math.abs(m(0)(1) - 7.0) < 1e-9
+      && math.abs(m(1)(1) - 13.0) < 1e-9)
+  }
+
+  test("pca1: power iteration converges to the dominant eigenpair") {
+    val (v, lambda) = Embeddings.pca1(tiny, "embedding")
+    // C = [[4,7],[7,13]]: tr 17, det 3 -> lambda_max = (17+sqrt(277))/2
+    val expected = (17.0 + math.sqrt(17.0 * 17.0 - 4.0 * 3.0)) / 2
+    assert(math.abs(lambda - expected) < 1e-6)
+    // eigen contract: C v = lambda v componentwise
+    val cv0 = 4.0 * v(0) + 7.0 * v(1)
+    val cv1 = 7.0 * v(0) + 13.0 * v(1)
+    assert(math.abs(cv0 - lambda * v(0)) < 1e-6)
+    assert(math.abs(cv1 - lambda * v(1)) < 1e-6)
+    assert(math.abs(v(0) * v(0) + v(1) * v(1) - 1.0) < 1e-9)
+  }
+
+  test("project: map-only dot product against the served component") {
+    val comp = Array(0.6, 0.8)
+    val got = Embeddings.project(tiny, "embedding", comp)
+      .orderBy($"vec_id").select($"pc").as[Double].collect().toSeq
+    assert(got.zip(Seq(2.2, 5.0, 10.2)).forall {
+      case (a, b) => math.abs(a - b) < 1e-6 })
+    // projection plan is exchange-free (a scan-side projection)
+    val plan = Embeddings.project(tiny, "embedding", comp)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"projection should not shuffle:\n$plan")
+  }
+
+  test("standardize: hand-computed z-scores, zero-variance dim to 0") {
+    // dim0: 1,3,5 -> mean 3, std 2; dim1 constant -> all zeros
+    val df = Seq(Array(1f, 9f), Array(3f, 9f), Array(5f, 9f))
+      .toDF("embedding")
+    val got = Embeddings.standardize(df, "embedding")
+      .select($"z").as[Seq[Double]].collect().toSeq.sortBy(_.head)
+    assert(got === Seq(Seq(-1.0, 0.0), Seq(0.0, 0.0), Seq(1.0, 0.0)))
+  }
+
+  test("standardize on real embeddings: per-dim mean 0, std 1") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val z = Embeddings.standardize(emb, "embedding")
+      .select(posexplode($"z").as(Seq("i", "z")))
+    val stats = z.groupBy($"i")
+      .agg(avg($"z").as("m"), stddev($"z").as("s"))
+      .as[(Int, Double, Double)].collect()
+    stats.foreach { case (i, m, s) =>
+      assert(math.abs(m) < 1e-4, s"dim $i mean $m")
+      assert(math.abs(s - 1.0) < 1e-4, s"dim $i std $s")
+    }
+  }
+
+  test("pca1 on real embeddings: top eigenvalue dominates trace share") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    // near-isotropic real embeddings have a small top eigen-gap, so
+    // convergence is slow ((lambda2/lambda1)^iters) — more driver-side
+    // matvecs (64x64, trivial) and a gap-appropriate tolerance
+    val (v, lambda) = Embeddings.pca1(emb, "embedding", iters = 500)
+    val m = Embeddings.covarianceMatrix(emb, "embedding")
+    val trace = m.indices.map(i => m(i)(i)).sum
+    assert(lambda > 0 && lambda <= trace + 1e-9)
+    // residual of the eigen contract, relative to lambda
+    val cv = m.map(row => row.zip(v).map { case (a, b) => a * b }.sum)
+    val res = math.sqrt(cv.zip(v).map { case (a, b) =>
+      val d = a - lambda * b; d * d }.sum)
+    assert(res / lambda < 1e-2, s"eigen residual $res at lambda $lambda")
+  }
+}

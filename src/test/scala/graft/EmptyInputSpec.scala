@@ -47,4 +47,36 @@ class EmptyInputSpec extends SparkSpec {
       graft.llm.TextAnalysis.tokens($"text"), 16,
       lit("<pad>"), lit("<eos>")).count() === 0)
   }
+
+  test("wave-6/7 text ops on an empty corpus are empty, never throw") {
+    val noDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(graft.llm.Dedup.dedupLines(noDocs, "doc_id", "text")
+      .count() === 0)
+    assert(graft.llm.TextAnalysis.unigramScore(noDocs, "doc_id", "text")
+      .count() === 0)
+    val noW = Seq.empty[(Long, Long)].toDF("doc_id", "w")
+    assert(graft.operators.WeightedSample.sample(noW, "doc_id", $"w", 5)
+      .count() === 0)
+    assert(graft.operators.Winsorize
+      .winsorize(noW, Seq("doc_id"), "w", 0.05, 0.95).count() === 0)
+  }
+
+  test("fuzzy join with an empty side is empty on both paths") {
+    val noDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val someDocs = Seq((1L, "a b c d")).toDF("doc_id", "text")
+    assert(graft.llm.Dedup.fuzzyJoin(noDocs, someDocs, "doc_id", "text", 0.1)
+      .count() === 0)
+    assert(graft.llm.Dedup.fuzzyJoin(someDocs, noDocs, "doc_id", "text", 0.1,
+      exact = true).count() === 0)
+  }
+
+  test("profile of an empty table reports zero counts and null min/max") {
+    val empty = Seq.empty[(Long, String)].toDF("a", "b")
+    val rows = graft.mat.Profile.profile(empty).collect()
+    assert(rows.length === 2)
+    rows.foreach { r =>
+      assert(r.getLong(1) === 0L && r.getLong(2) === 0L
+        && r.getLong(3) === 0L && r.isNullAt(4) && r.isNullAt(5))
+    }
+  }
 }

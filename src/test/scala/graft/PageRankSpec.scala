@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.PageRank
+
+/** PageRank: closed-form cycle, dangling redistribution vs a
+  * driver-side reference loop, mass conservation. */
+class PageRankSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("3-cycle is uniform at any damping: each rank 1/3") {
+    val nodes = Seq(1L, 2L, 3L).toDF("id")
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    val got = PageRank.pageRank(nodes, "id", edges)
+      .orderBy($"id").select($"rank").as[Double].collect().toSeq
+    assert(got === Seq(0.333333, 0.333333, 0.333333))
+  }
+
+  test("dangling mass redistributes: matches a scalar reference loop") {
+    // A -> B, B and C dangling
+    val nodes = Seq(1L, 2L, 3L).toDF("id")
+    val edges = Seq((1L, 2L)).toDF("src", "dst")
+    val got = PageRank.pageRank(nodes, "id", edges, iters = 10)
+      .orderBy($"id").select($"rank").as[Double].collect().toSeq
+    // reference mirrors the engine's float grouping exactly:
+    // r'(v) = (1-d)/N + d*(in_sum + dang/N)
+    var r = Array(1.0 / 3, 1.0 / 3, 1.0 / 3)
+    val tele = (1.0 - 0.85) / 3
+    for (_ <- 1 to 10) {
+      val dangOverN = (r(1) + r(2)) / 3
+      r = Array(
+        tele + 0.85 * (0.0 + dangOverN),
+        tele + 0.85 * (r(0) + dangOverN),
+        tele + 0.85 * (0.0 + dangOverN))
+    }
+    val exp = r.map(x => BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(got === exp.toSeq)
+  }
+
+  test("rank mass is conserved (~1) and varies on a non-regular graph") {
+    val docs = Tables.load(spark, sf, "documents")
+    val nodes = docs.select(pmod($"doc_id", lit(50)).as("id")).distinct()
+    val ev = docs.filter(pmod($"doc_id", lit(2)) === 0)
+    val edges = ev.select(pmod($"doc_id", lit(50)).as("src"),
+        pmod($"doc_id" * $"doc_id" + 7, lit(50)).as("dst"))
+      .unionByName(ev.select(pmod($"doc_id", lit(50)).as("src"),
+        pmod($"doc_id" * 17 + 3, lit(50)).as("dst")))
+      .distinct()
+    val ranks = PageRank.pageRank(nodes, "id", edges, iters = 10)
+    val (total, mn, mx) = ranks
+      .agg(sum($"rank"), min($"rank"), max($"rank"))
+      .as[(Double, Double, Double)].head()
+    assert(math.abs(total - 1.0) < 1e-3, s"mass drifted: $total")
+    assert(mx > mn, "a hash-derived irregular graph must not be uniform")
+  }
+}

@@ -1,0 +1,234 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.llm.{Dedup, TextAnalysis}
+import graft.mat.Profile
+import graft.operators.WeightedSample
+
+/** Wave-6 pipeline operators: table profiling, weighted sampling,
+  * CCNet-style line dedup, unigram-LM scoring. */
+class PipelineOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- Profile -----------------------------------------------------
+
+  test("profile: counts, nulls, exact ndv, min/max as strings") {
+    val df = Seq((1L, Some("x")), (2L, None), (2L, Some("y")))
+      .toDF("a", "b")
+    val got = Profile.profile(df)
+      .as[(String, Long, Long, Long, String, String)].collect().toSeq
+    assert(got === Seq(
+      ("a", 3L, 3L, 2L, "1", "2"),
+      ("b", 3L, 2L, 2L, "x", "y")))
+  }
+
+  test("profile: approx path agrees on tiny cardinalities, single pass") {
+    val df = Seq((1L, "x"), (2L, "y"), (3L, "y")).toDF("a", "b")
+    assert(Profile.profile(df, approx = true).collect().toSeq ===
+      Profile.profile(df).collect().toSeq)
+  }
+
+  test("profile: all-null column yields null min/max and ndv 0") {
+    val df = Seq(Tuple1(1L)).toDF("a")
+      .withColumn("b", lit(null).cast("string"))
+    val row = Profile.profile(df, Seq("b")).collect().head
+    assert(row.getLong(2) === 0L && row.getLong(3) === 0L
+      && row.isNullAt(4) && row.isNullAt(5))
+  }
+
+  // ---- WeightedSample ----------------------------------------------
+
+  test("weighted sample: deterministic, k-bounded, key formula replayed") {
+    val df = Tables.load(spark, sf, "documents")
+      .select($"doc_id", $"n_chars")
+    val s1 = WeightedSample.sample(df, "doc_id", $"n_chars", 20)
+      .select($"doc_id", $"es_key").collect().toSeq
+    val s2 = WeightedSample.sample(df.repartition(7), "doc_id", $"n_chars", 20)
+      .select($"doc_id", $"es_key").collect().toSeq
+    assert(s1 === s2 && s1.size === 20)
+    // replay one key by hand from the shared rolling hash
+    val r = s1.head
+    val id = r.getLong(0)
+    val w = df.filter($"doc_id" === id).head().getLong(1).toDouble
+    val h = TextAnalysis.rollLocal(s"es:$id")
+    val u = (h % 1000000007L + 1).toDouble / 1000000008.0
+    val expected = BigDecimal(math.log(u) / w)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getDouble(1) === expected)
+  }
+
+  test("weighted sample: higher weight never lowers a row's key") {
+    val one = Seq((7L, 1L), (7L, 100L)).toDF("doc_id", "w")
+    val keys = one.select(WeightedSample.esKey($"doc_id", $"w"))
+      .as[Double].collect()
+    assert(keys(1) > keys(0), s"key must rise with weight: ${keys.toSeq}")
+  }
+
+  test("weighted sample: global top-k compiles to TakeOrderedAndProject") {
+    val df = Tables.load(spark, sf, "documents").select($"doc_id", $"n_chars")
+    val plan = WeightedSample.sample(df, "doc_id", $"n_chars", 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"expected per-partition top-k merge, got:\n$plan")
+  }
+
+  // ---- dedupLines --------------------------------------------------
+
+  test("dedupLines: global first occurrence survives, within-doc dups die") {
+    val docs = Seq((1L, "a\nb\na"), (2L, "b\nc"), (3L, "a"))
+      .toDF("doc_id", "text")
+    val got = Dedup.dedupLines(docs, "doc_id", "text")
+      .orderBy($"doc").as[(Long, Long, Long, String)].collect().toSeq
+    assert(got === Seq(
+      (1L, 3L, 2L, "a\nb"),   // second 'a' is a dup of position 0
+      (2L, 2L, 1L, "c"),      // 'b' first seen in doc 1
+      (3L, 1L, 0L, "")))      // nothing survives
+  }
+
+  test("dedupLines: token conservation — kept lines partition distinct lines") {
+    val docs = Tables.load(spark, sf, "documents").limit(200)
+      .select($"doc_id", regexp_replace($"text", " (\\w+ \\w+ \\w+) ", " $1\n")
+        .as("text"))
+    val out = Dedup.dedupLines(docs, "doc_id", "text")
+    val keptTotal = out.agg(sum($"n_kept")).as[Long].head()
+    val distinctLines = docs
+      .select(explode(split($"text", "\n")).as("l"))
+      .select(countDistinct($"l")).as[Long].head()
+    assert(keptTotal === distinctLines,
+      s"every distinct line must survive exactly once: $keptTotal vs $distinctLines")
+  }
+
+  test("dedupLines: custom delimiter with regex metacharacters") {
+    val docs = Seq((1L, "x|y"), (2L, "y|z")).toDF("doc_id", "text")
+    val got = Dedup.dedupLines(docs, "doc_id", "text", delim = "|")
+      .orderBy($"doc").as[(Long, Long, Long, String)].collect().toSeq
+    assert(got === Seq((1L, 2L, 2L, "x|y"), (2L, 2L, 1L, "z")))
+  }
+
+  // ---- unigramScore ------------------------------------------------
+
+  test("unigramScore: hand-computed add-one-smoothed nll") {
+    val docs = Seq((1L, "a a b"), (2L, "c")).toDF("doc_id", "text")
+    val got = TextAnalysis.unigramScore(docs, "doc_id", "text")
+      .orderBy($"doc").as[(Long, Int, Double)].collect().toSeq
+    // counts a=2,b=1,c=1; T=4, V=3, denom=7
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val nll1 = r6(-(2 * math.log(3.0 / 7) + math.log(2.0 / 7)) / 3)
+    val nll2 = r6(-math.log(2.0 / 7) / 1)
+    assert(got === Seq((1L, 3, nll1), (2L, 1, nll2)))
+  }
+
+  test("unigramScore: rarer vocabulary scores higher nll at equal length") {
+    val docs = Seq((1L, "x x x x"), (2L, "x x x q")).toDF("doc_id", "text")
+    val got = TextAnalysis.unigramScore(docs, "doc_id", "text")
+      .orderBy($"doc").as[(Long, Int, Double)].collect().toSeq
+    assert(got(1)._3 > got(0)._3,
+      s"the rare-token doc must be less typical: $got")
+  }
+
+  test("unigramScore: zero-token docs are excluded, not divided by zero") {
+    val docs = Seq((1L, "a"), (2L, "   ")).toDF("doc_id", "text")
+    val got = TextAnalysis.unigramScore(docs, "doc_id", "text")
+      .select($"doc").as[Long].collect().toSeq
+    assert(got === Seq(1L))
+  }
+
+  test("bigramScore: hand-computed transition nll") {
+    val docs = Seq((1L, "a b a b"), (2L, "a a b b")).toDF("doc_id", "text")
+    val got = TextAnalysis.bigramScore(docs, "doc_id", "text")
+      .orderBy($"doc").as[(Long, Int, Double)].collect().toSeq
+    // pairs: d1 = ab,ba,ab; d2 = aa,ab,bb -> ctx a:4 b:2;
+    // big ab:3 ba:1 aa:1 bb:1; V=2
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val nll1 = r6(-(2 * math.log(4.0 / 6) + math.log(2.0 / 4)) / 3)
+    val nll2 = r6(-(math.log(2.0 / 6) + math.log(4.0 / 6) +
+      math.log(2.0 / 4)) / 3)
+    assert(got === Seq((1L, 4, nll1), (2L, 4, nll2)))
+    // the bigram point: same unigram bag, different word order,
+    // different likelihood
+    assert(nll1 !== nll2)
+  }
+
+  test("bigramScore: docs with fewer than 2 tokens are excluded") {
+    val docs = Seq((1L, "a b"), (2L, "a"), (3L, "")).toDF("doc_id", "text")
+    val got = TextAnalysis.bigramScore(docs, "doc_id", "text")
+      .select($"doc").as[Long].collect().toSeq
+    assert(got === Seq(1L))
+  }
+
+  // ---- fuzzyJoin ---------------------------------------------------
+
+  test("fuzzyJoin: every doc rediscovers its identical twin at est 1.0") {
+    val d = Tables.load(spark, sf, "documents").limit(60)
+      .select($"doc_id", $"text")
+    val right = d.select(($"doc_id" + 10000).as("doc_id"), $"text")
+    val got = Dedup.fuzzyJoin(d, right, "doc_id", "text", threshold = 0.9)
+    val self = got.filter($"id_b" === $"id_a" + 10000)
+    assert(self.count() === d.count())
+    assert(self.filter($"est_jaccard" =!= 1.0).count() === 0)
+  }
+
+  test("fuzzyJoin exact path: jaccard matches jaccardOnPairs on the union") {
+    val d = Tables.load(spark, sf, "documents").limit(40)
+      .select($"doc_id", $"text")
+    val right = d.select(($"doc_id" + 10000).as("doc_id"),
+      concat($"text", lit(" extra token here")).as("text"))
+    val got = Dedup.fuzzyJoin(d, right, "doc_id", "text",
+        threshold = 0.0, exact = true)
+      .select($"id_a", $"id_b", $"jaccard")
+    val union = d.unionByName(right)
+    val expected = Dedup.jaccardOnPairs(union,
+        got.select($"id_a", $"id_b"), "doc_id", "text")
+    assert(got.exceptAll(expected).isEmpty &&
+      expected.exceptAll(got).isEmpty)
+  }
+
+  test("fuzzyJoin: threshold filters — higher threshold is a subset") {
+    val d = Tables.load(spark, sf, "documents").limit(60)
+      .select($"doc_id", $"text")
+    val right = d.select(($"doc_id" + 10000).as("doc_id"),
+      concat($"text", lit(" q1 q2 q3 q4 q5")).as("text"))
+    val loose = Dedup.fuzzyJoin(d, right, "doc_id", "text", 0.2)
+      .select($"id_a", $"id_b")
+    val strict = Dedup.fuzzyJoin(d, right, "doc_id", "text", 0.8)
+      .select($"id_a", $"id_b")
+    assert(strict.exceptAll(loose).isEmpty)
+    assert(strict.count() <= loose.count())
+  }
+
+  // ---- winsorize ---------------------------------------------------
+
+  test("winsorize: hand-computed clip at exact group quantiles") {
+    val df = (1 to 10).map(i => (i.toLong, "g", i.toLong * 10))
+      .toDF("id", "grp", "v")
+    // values 10..100: p0.05 = 14.5, p0.95 = 95.5 (linear interpolation)
+    val got = graft.operators.Winsorize
+      .winsorize(df, Seq("grp"), "v", 0.05, 0.95)
+      .orderBy($"id").select($"v_w").as[Double].collect().toSeq
+    assert(got === Seq(14.5, 20.0, 30.0, 40.0, 50.0, 60.0, 70.0, 80.0,
+      90.0, 95.5))
+  }
+
+  test("winsorize: groups clip independently; lo=0/hi=1 is identity") {
+    val df = Seq((1L, "a", 1L), (2L, "a", 100L), (3L, "b", 5L),
+      (4L, "b", 7L)).toDF("id", "grp", "v")
+    val id = graft.operators.Winsorize.winsorize(df, Seq("grp"), "v", 0.0, 1.0)
+      .orderBy($"id").select($"v_w").as[Double].collect().toSeq
+    assert(id === Seq(1.0, 100.0, 5.0, 7.0))
+    val mid = graft.operators.Winsorize.winsorize(df, Seq("grp"), "v", 0.5, 0.5)
+      .orderBy($"id").select($"v_w").as[Double].collect().toSeq
+    assert(mid === Seq(50.5, 50.5, 6.0, 6.0))
+  }
+
+  test("winsorize: fact side joins broadcast — no fact-side exchange") {
+    val df = Tables.load(spark, sf, "documents")
+      .select($"doc_id", $"source", $"n_chars")
+    val plan = graft.operators.Winsorize
+      .winsorize(df, Seq("source"), "n_chars", 0.05, 0.95)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected broadcast clip join, got:\n$plan")
+  }
+}

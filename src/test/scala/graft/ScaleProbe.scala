@@ -199,6 +199,59 @@ object ScaleProbe {
       }
       println(s"[probe]   -> $n docs")
     }
+
+    // ---- wave 6/7: hygiene + statistics operators ----
+    // line dedup: self-union multiplies line duplication; runtime must
+    // track the distinct-line table + reassembly (corpus-linear), the
+    // duplicate multiplicity collapses at the first groupBy
+    for (x <- Seq(2, 8, 16)) {
+      val n = time(s"dedupLines ${x}x corpus [docs]") {
+        graft.llm.Dedup.dedupLines(selfUnion(docs, "doc_id", x),
+          "doc_id", "text").count()
+      }
+      println(s"[probe]   -> $n docs")
+    }
+    // unigram LM: the model is vocab-bound (same words at any union
+    // factor), scoring is corpus-linear
+    for (x <- Seq(2, 8, 16)) {
+      val n = time(s"unigramScore ${x}x corpus [docs]") {
+        graft.llm.TextAnalysis.unigramScore(selfUnion(docs, "doc_id", x),
+          "doc_id", "text").count()
+      }
+      println(s"[probe]   -> $n docs")
+    }
+    // E-S sampling: TakeOrderedAndProject — k bounds the merge at any
+    // input size, so wall time must be scan-bound
+    for (x <- Seq(2, 8, 16)) {
+      val d = selfUnion(docs, "doc_id", x)
+        .withColumn("w", length(col("text")).cast("long") + 1)
+      val n = time(s"weightedSample ${x}x corpus [k]") {
+        graft.operators.WeightedSample.sample(d, "doc_id", col("w"), 100)
+          .count()
+      }
+      println(s"[probe]   -> $n sampled")
+    }
+    // covariance: the exchange carries d(d+1)/2 partial rows at ANY
+    // input size; runtime = the d^2-per-row outer-product map work
+    for (x <- Seq(2, 8)) {
+      val n = time(s"covariance ${x}x vectors [cells]") {
+        graft.llm.Embeddings.covariance(selfUnion(emb, "vec_id", x),
+          "embedding").count()
+      }
+      println(s"[probe]   -> $n cells")
+    }
+    // fuzzy join: both sides self-union (keys shifted) — candidate
+    // volume grows with true matches, never all-pairs
+    for (x <- Seq(2, 8)) {
+      val l = selfUnion(docs, "doc_id", x)
+      val r = selfUnion(docs, "doc_id", x)
+        .select((col("doc_id") + 100000000L).as("doc_id"),
+          concat(col("text"), lit(" zz")).as("text"))
+      val n = time(s"fuzzyJoin ${x}x both sides [pairs]") {
+        graft.llm.Dedup.fuzzyJoin(l, r, "doc_id", "text", 0.5).count()
+      }
+      println(s"[probe]   -> $n pairs")
+    }
     spark.stop()
   }
 }
