@@ -1505,6 +1505,21 @@ object SparkEntry {
           "doc_id", "text")
         .orderBy(col("doc"))),
 
+    "ta_hashtfidf" -> ((s, dir) =>
+      // hashing-trick TF-IDF (no vocabulary dictionary): two
+      // partial-aggregated passes, dim-bounded idf table broadcasts
+      TextAnalysis.hashTfidf(
+          t(s, dir, "documents").withColumn("text", lower(col("text"))),
+          "doc_id", "text", dim = 64)
+        .orderBy(col("doc"), col("dim"))),
+
+    "sim_knn_graph" -> ((s, dir) =>
+      // corpus-wide approximate kNN graph: LSH-bucket candidates →
+      // exact cosine → WindowGroupLimit top-k per node; never all-pairs
+      Similarity.knnGraph(t(s, dir, "embeddings"), "vec_id", "embedding",
+          k = 3)
+        .orderBy(col("id_a"), col("cos").desc, col("id_b"))),
+
     "ta_bigram" -> ((s, dir) =>
       // bigram-LM scoring: one Markov order up from ta_perplexity —
       // notices scrambled word order; models (context counts, pair
@@ -3091,6 +3106,31 @@ object SparkEntry {
         |  round(-sum(tf * ln((c + 1.0) / (SELECT denom FROM s))) / tf.n, 6) AS nll
         |FROM tf JOIN wc USING (w)
         |GROUP BY tf.doc_id, tf.n ORDER BY doc""".stripMargin,
+
+    "ta_hashtfidf" ->
+      s"""WITH tok AS (SELECT doc_id, unnest(${toksSql("lower(text)")}) AS tok FROM documents),
+        |tf AS (SELECT doc_id, ${rollSql("tok")} % 64 AS dim, count(*)::BIGINT AS tf
+        |  FROM tok GROUP BY doc_id, dim),
+        |nn AS (SELECT count(*)::DOUBLE AS n FROM documents),
+        |dfb AS (SELECT dim, count(*)::BIGINT AS dfb FROM tf GROUP BY dim)
+        |SELECT tf.doc_id AS doc, tf.dim, tf.tf,
+        |  round(tf * (ln(((SELECT n FROM nn) + 1) / (dfb + 1.0)) + 1), 6) AS tfidf
+        |FROM tf JOIN dfb USING (dim) ORDER BY doc, dim""".stripMargin,
+
+    // cosSql is the bit-exact cosine twin (the dd_cosine_pairs
+    // contract), so ranks and ties replay identically
+    "sim_knn_graph" ->
+      s"""WITH coded AS (SELECT vec_id, ${bucketSql("embedding")} AS bucket FROM embeddings),
+        |cand AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b FROM coded a
+        |  JOIN coded b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+        |pr AS (SELECT id_a, id_b FROM cand UNION ALL SELECT id_b, id_a FROM cand),
+        |cos AS (SELECT p.id_a, p.id_b, ${cosSql("ea.embedding", "eb.embedding")} AS cos
+        |  FROM pr p JOIN embeddings ea ON ea.vec_id = p.id_a
+        |  JOIN embeddings eb ON eb.vec_id = p.id_b),
+        |rk AS (SELECT id_a, id_b, cos, row_number() OVER (
+        |  PARTITION BY id_a ORDER BY cos DESC, id_b) AS rn FROM cos)
+        |SELECT id_a, id_b, cos FROM rk WHERE rn <= 3
+        |ORDER BY id_a, cos DESC, id_b""".stripMargin,
 
     "ta_bigram" ->
       s"""WITH b0 AS (SELECT doc_id, ${toksSql("lower(text)")} AS ws FROM documents),

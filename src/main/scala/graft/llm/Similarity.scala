@@ -573,4 +573,30 @@ object Similarity {
       .select(col("query_id"),
         round(col("n_hits").cast(DoubleType) / k, 4).as("recall"))
   }
+
+  /** Approximate k-NN GRAPH over the whole corpus — every vector's k
+    * nearest same-bucket neighbors, the input artifact of graph
+    * clustering, agglomerative dedup, and label propagation.
+    * Candidates come from sign-LSH blocking
+    * ([[graft.llm.Dedup.cosineCandidates]] — an equi-join on the
+    * 2^planes bucket code, never all-pairs); cosine is exact on the
+    * candidates; `row_number <= k` per node compiles to
+    * WindowGroupLimit so each partition keeps its own top k BEFORE the
+    * exchange. Both orientations of each candidate pair rank, so the
+    * graph is per-node directed top-k (i may list j while j doesn't
+    * list i — the standard kNN asymmetry). Recall follows the LSH
+    * blocking contract: a true neighbor straddling a hyperplane is
+    * missed; raise `planes` probes or pre-cluster for higher recall.
+    * Output: (id_a, id_b, cos) — ≤ k rows per id_a, ordered by the
+    * (cos desc, id_b) total order within each node. */
+  def knnGraph(emb: DataFrame, id: String, vec: String, k: Int,
+               planes: Int = Planes, dim: Int = Dim): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val cand = Dedup.cosineCandidates(emb, id, vec, planes, dim)
+    val both = cand.unionByName(
+      cand.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+    val cos = Dedup.cosineOnPairs(emb, both, id, vec, threshold = -1.0)
+    graft.operators.TopKPerKey.topKPerKey(cos, Seq("id_a"),
+      Seq(col("cos").desc, col("id_b").asc), k)
+  }
 }

@@ -675,6 +675,34 @@ object TextAnalysis {
       .select(col("doc"), col("n").as("n_tokens"), col("nll"))
   }
 
+  /** Feature hashing with TF-IDF weighting (the "hashing trick",
+    * Weinberger et al. 2009): token → bucket via the shared rolling
+    * hash mod `dim`, so featurization needs NO vocabulary dictionary —
+    * the train-free text embedding that linear classifiers
+    * (fastText-style quality models) consume. Sparse output
+    * (doc, dim, tf, tfidf), tfidf = tf · (ln((N+1)/(df_b+1)) + 1)
+    * (the smoothed-idf convention).
+    *
+    * Shape at scale: one explode → groupBy(doc, bucket) for tf
+    * (map-side combined); bucket document frequencies are a
+    * dim-bounded second aggregate that broadcasts back; N is the one
+    * driver scalar. No vocabulary table, no dictionary join — the
+    * whole featurizer is two partial-aggregated passes. */
+  def hashTfidf(df: org.apache.spark.sql.DataFrame, id: String,
+                text: String, dim: Int = 1024): org.apache.spark.sql.DataFrame = {
+    require(dim > 0, s"dim must be positive: $dim")
+    val n = df.count()
+    val tf = df.select(col(id).as("doc"), explode(tokens(col(text))).as("tok"))
+      .select(col("doc"), pmod(tokenHash(col("tok")), lit(dim)).as("dim"))
+      .groupBy(col("doc"), col("dim")).agg(count(lit(1)).as("tf"))
+    val dfb = tf.groupBy(col("dim")).agg(count(lit(1)).as("dfb"))
+    tf.join(broadcast(dfb), Seq("dim"))
+      .select(col("doc"), col("dim"), col("tf"),
+        round(col("tf").cast(DoubleType) *
+          (log(lit((n + 1).toDouble) / (col("dfb").cast(DoubleType) + 1.0))
+            + lit(1.0)), 6).as("tfidf"))
+  }
+
   def packShards(df: org.apache.spark.sql.DataFrame, id: String,
                  text: String, budget: Long,
                  nGroups: Int = 16): org.apache.spark.sql.DataFrame = {

@@ -86,6 +86,24 @@ class EmbeddingsSpec extends SparkSpec {
     }
   }
 
+  test("knnGraph: k-bounded, no self loops, twin vectors at cos 1.0") {
+    // distinct vectors only: a duplicate cluster in the raw data would
+    // produce several cos-1.0 neighbors and outrank the twin
+    val emb = Tables.load(spark, sf, "embeddings")
+      .dropDuplicates("embedding").limit(300)
+      .select($"vec_id", $"embedding")
+    val doubled = emb.unionByName(
+      emb.select(($"vec_id" + 100000).as("vec_id"), $"embedding"))
+    val g = graft.llm.Similarity.knnGraph(doubled, "vec_id", "embedding", 3)
+    assert(g.filter($"id_a" === $"id_b").count() === 0)
+    val over = g.groupBy($"id_a").count().filter($"count" > 3).count()
+    assert(over === 0, "more than k neighbors for some node")
+    // every original vector's twin shares its bucket -> cos exactly 1.0
+    // must appear as its top neighbor
+    val twins = g.filter($"id_b" === $"id_a" + 100000 && $"cos" === 1.0)
+    assert(twins.count() === emb.count())
+  }
+
   test("pca1 on real embeddings: top eigenvalue dominates trace share") {
     val emb = Tables.load(spark, sf, "embeddings")
     // near-isotropic real embeddings have a small top eigen-gap, so

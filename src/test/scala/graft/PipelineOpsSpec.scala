@@ -158,6 +158,33 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got === Seq(1L))
   }
 
+  test("hashTfidf: hand-computed buckets, counts, and smoothed idf") {
+    val docs = Seq((1L, "a a b"), (2L, "b")).toDF("doc_id", "text")
+    val dim = 8
+    val got = TextAnalysis.hashTfidf(docs, "doc_id", "text", dim)
+      .orderBy($"doc", $"dim").as[(Long, Long, Long, Double)]
+      .collect().toSeq
+    val ba = (TextAnalysis.rollLocal("a") % dim).toInt
+    val bb = (TextAnalysis.rollLocal("b") % dim).toInt
+    assert(ba !== bb, "test assumes a and b land in distinct buckets")
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // N=2; bucket(a) df=1, bucket(b) df=2
+    val wa = r6(2.0 * (math.log(3.0 / 2) + 1)) // tf 2, df 1
+    val wb = r6(1.0 * (math.log(3.0 / 3) + 1)) // tf 1, df 2
+    val expected = Seq((1L, ba.toLong, 2L, wa), (1L, bb.toLong, 1L, wb),
+      (2L, bb.toLong, 1L, wb)).sortBy(t => (t._1, t._2))
+    assert(got === expected)
+  }
+
+  test("hashTfidf: bucket collisions merge counts (dim = 1)") {
+    val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val got = TextAnalysis.hashTfidf(docs, "doc_id", "text", dim = 1)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    // every token collapses into bucket 0 with tf 3
+    assert(got.map(t => (t._1, t._2, t._3)) === Seq((1L, 0L, 3L)))
+  }
+
   // ---- fuzzyJoin ---------------------------------------------------
 
   test("fuzzyJoin: every doc rediscovers its identical twin at est 1.0") {
