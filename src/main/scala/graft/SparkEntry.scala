@@ -414,6 +414,75 @@ object SparkEntry {
         .orderBy(col("r_name"), col("n_name"))
     }),
 
+    "q19_promo_revenue" -> ((s, dir) => {
+      // TPC-H-Q19-shaped disjunctive join: the OR of brand/size/quantity
+      // bands must NOT break the p_partkey equi-join — the key stays a
+      // broadcast-hash probe and the whole disjunction evaluates as a
+      // codegen'd residual after the probe (never a nested loop over
+      // the OR arms)
+      val li = t(s, dir, "lineitem")
+      val p = t(s, dir, "part")
+      li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#11" && col("p_size").between(1, 15) &&
+            col("l_quantity").between(1, 20)) ||
+          (col("p_brand") === "Brand#22" && col("p_size").between(10, 30) &&
+            col("l_quantity").between(10, 35)) ||
+          (col("p_brand") === "Brand#33" && col("p_size").between(20, 50) &&
+            col("l_quantity").between(20, 50)))
+        .agg(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+            .cast(DoubleType).as("revenue"),
+          count(lit(1)).as("n_items"))
+    }),
+
+    "q21_last_shipper" -> ((s, dir) => {
+      // TPC-H-Q21-shaped double-correlated EXISTS/NOT-EXISTS, expressed
+      // as the decorrelation Catalyst would produce: supplier s "held
+      // up" multi-supplier order o iff s's latest shipdate in o equals
+      // the order's latest shipdate (exists other-supplier lineitem;
+      // not exists other-supplier lineitem shipping strictly later).
+      // One (order,supp) pre-agg, one window over the order key, one
+      // count per supplier — three shuffles total, no self-join blowup.
+      val li = t(s, dir, "lineitem")
+      val su = t(s, dir, "supplier")
+      val ms = li.groupBy(col("l_orderkey"), col("l_suppkey"))
+        .agg(max(col("l_shipdate")).as("ms"))
+      val w = Window.partitionBy(col("l_orderkey"))
+      val held = ms
+        .withColumn("m1", max(col("ms")).over(w))
+        .withColumn("nsupp", count(lit(1)).over(w))
+        .filter(col("nsupp") > 1 && col("ms") === col("m1"))
+      held.groupBy(col("l_suppkey"))
+        .agg(count(lit(1)).as("numwait"))
+        .join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_name"), col("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+        .limit(10)
+    }),
+
+    "q22_dormant_value" -> ((s, dir) => {
+      // TPC-H-Q22-shaped anti-join + scalar subquery: customers above
+      // the positive-balance average (decimal-exact q08 comparison:
+      // bal*n > sum) with NO order since the cutoff; per-segment count
+      // and balance total. The scalar agg broadcasts as a 1-row cross
+      // join; the recency check is a left_anti against the filtered
+      // fact — no correlated re-scan per customer.
+      val c = t(s, dir, "customer")
+      val pos = c.filter(col("c_acctbal") > 0)
+        .agg(sum(dec(col("c_acctbal"))).as("sum_bal"),
+          count(lit(1)).as("n_pos"))
+      val recent = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("2000-06-01").cast(TimestampType))
+        .select(col("o_custkey"))
+      c.join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .crossJoin(broadcast(pos))
+        .filter(dec(col("c_acctbal")) * col("n_pos") > col("sum_bal"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_cust"),
+          sum(dec(col("c_acctbal"))).cast(DoubleType).as("total_bal"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
     "q16_window_breadth" -> ((s, dir) => {
       // the window-function breadth a dbt model relies on beyond q03's
       // rank/sum: offsets, tiles, running first, relative ranks —
@@ -3583,6 +3652,48 @@ object SparkEntry {
         |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
         |GROUP BY r_name, n_name
         |ORDER BY r_name, n_name""".stripMargin,
+
+    "q19_promo_revenue" ->
+      """SELECT
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |    (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 15
+        |       AND l_quantity BETWEEN 1 AND 20)
+        |   OR (p_brand = 'Brand#22' AND p_size BETWEEN 10 AND 30
+        |       AND l_quantity BETWEEN 10 AND 35)
+        |   OR (p_brand = 'Brand#33' AND p_size BETWEEN 20 AND 50
+        |       AND l_quantity BETWEEN 20 AND 50)""".stripMargin,
+
+    "q21_last_shipper" ->
+      """WITH ms AS (
+        |  SELECT l_orderkey, l_suppkey, max(l_shipdate) AS ms
+        |  FROM lineitem GROUP BY l_orderkey, l_suppkey),
+        |w AS (
+        |  SELECT *, max(ms) OVER (PARTITION BY l_orderkey) AS m1,
+        |    count(*) OVER (PARTITION BY l_orderkey) AS nsupp
+        |  FROM ms)
+        |SELECT s_name, count(*) AS numwait
+        |FROM w JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE nsupp > 1 AND ms = m1
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name LIMIT 10""".stripMargin,
+
+    "q22_dormant_value" ->
+      """WITH pos AS (
+        |  SELECT sum(CAST(c_acctbal AS DECIMAL(18,2))) AS sum_bal,
+        |    count(*) AS n_pos
+        |  FROM customer WHERE c_acctbal > 0)
+        |SELECT c_mktsegment, count(*) AS n_cust,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+        |FROM customer, pos
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_orderdate >= TIMESTAMP '2000-06-01')
+        |  AND CAST(c_acctbal AS DECIMAL(18,2)) * pos.n_pos > pos.sum_bal
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
 
     "q16_window_breadth" ->
       """SELECT o_orderkey, o_custkey,
