@@ -389,6 +389,37 @@ object SparkEntry {
         .orderBy(col("doc"))
     }),
 
+    "op_labelprop" -> ((s, dir) => {
+      // mode-vote community detection on a triangle graph: every
+      // doc_id≡0 (mod 3) anchors the triangle {d, d+1, d+2} (edges
+      // semi-joined against existing ids); 4 synchronous rounds
+      // converge each triangle to its min id — communities stay
+      // DISTINCT (min-label CC would merge everything a bridge touches)
+      val d = t(s, dir, "documents")
+      val ids = d.select(col("doc_id"))
+      val tri = ids.filter(pmod(col("doc_id"), lit(3)) === 0)
+        .select(col("doc_id").as("base"))
+      val edges = tri.select(col("base").as("id_a"), (col("base") + 1).as("id_b"))
+        .unionByName(tri.select((col("base") + 1).as("id_a"),
+          (col("base") + 2).as("id_b")))
+        .unionByName(tri.select(col("base").as("id_a"),
+          (col("base") + 2).as("id_b")))
+        .join(ids.select(col("doc_id").as("id_b")), Seq("id_b"), "left_semi")
+        .join(ids.select(col("doc_id").as("id_a")), Seq("id_a"), "left_semi")
+      graft.operators.LabelProp.labelProp(d, "doc_id", edges, iters = 4)
+        .orderBy(col("id"))
+    }),
+
+    "op_rolling" -> ((s, dir) =>
+      // per-event trailing 7-day activity features (range frame ending
+      // at EVERY event — not ev_sliding's fixed grid): one exchange on
+      // user_id, one sort, two-pointer frame evaluation per key
+      graft.operators.Rolling.trailing(
+          t(s, dir, "events")
+            .select(col("event_id"), col("user_id"), col("ts"), col("value")),
+          "user_id", "ts", "value", horizonSec = 7 * 86400L)
+        .orderBy(col("event_id"))),
+
     "q18_regional_revenue" -> ((s, dir) => {
       // the TPC-H-Q5-shaped 6-table join: two broadcastable dim chains
       // meeting a fact-fact join — the plan must broadcast
@@ -3636,6 +3667,50 @@ object SparkEntry {
         |  SELECT e.dst, w2.anc FROM walk w2 JOIN edges e ON e.src = w2.doc)
         |SELECT doc, min(anc) AS rep, (doc = min(anc)) AS keep
         |FROM walk GROUP BY doc ORDER BY doc""".stripMargin,
+
+    // every CTE MATERIALIZED — the op_pagerank lesson (plain CTEs
+    // inline per reference and the unrolled chain re-expands
+    // exponentially)
+    "op_labelprop" -> {
+      val init =
+        """WITH ids AS MATERIALIZED (SELECT doc_id FROM documents),
+          |tri AS MATERIALIZED (SELECT doc_id AS base FROM ids WHERE doc_id % 3 = 0),
+          |eraw AS (SELECT base AS id_a, base + 1 AS id_b FROM tri
+          |  UNION ALL SELECT base + 1, base + 2 FROM tri
+          |  UNION ALL SELECT base, base + 2 FROM tri),
+          |e AS MATERIALIZED (SELECT id_a, id_b FROM eraw
+          |  WHERE id_a IN (SELECT doc_id FROM ids)
+          |    AND id_b IN (SELECT doc_id FROM ids)),
+          |e2 AS MATERIALIZED (SELECT id_a AS a, id_b AS b FROM e
+          |  UNION ALL SELECT id_b, id_a FROM e),
+          |l0 AS MATERIALIZED (SELECT doc_id AS id, doc_id AS label FROM ids)""".stripMargin
+      val steps = (1 to 4).map { k =>
+        val p = s"l${k - 1}"
+        s""",
+          |v$k AS MATERIALIZED (SELECT e2.a AS id, l.label, count(*) AS cnt
+          |  FROM e2 JOIN $p l ON l.id = e2.b GROUP BY e2.a, l.label),
+          |b$k AS MATERIALIZED (SELECT id, min(label) AS newlab FROM (
+          |  SELECT id, label, cnt, max(cnt) OVER (PARTITION BY id) AS mc
+          |  FROM v$k) WHERE cnt = mc GROUP BY id),
+          |l$k AS MATERIALIZED (SELECT $p.id,
+          |  coalesce(b$k.newlab, $p.label) AS label
+          |  FROM $p LEFT JOIN b$k ON b$k.id = $p.id)""".stripMargin
+      }.mkString
+      init + steps + "\nSELECT id, label FROM l4 ORDER BY id"
+    },
+
+    "op_rolling" ->
+      """SELECT event_id, user_id, ts, value,
+        |  count(*) OVER w AS roll_n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS roll_sum,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+        |    / count(*) OVER w AS roll_avg,
+        |  CAST(min(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS roll_min,
+        |  CAST(max(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS roll_max
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch(ts)
+        |  RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
 
     "q18_regional_revenue" ->
       """SELECT r_name, n_name,

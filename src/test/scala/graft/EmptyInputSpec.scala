@@ -70,6 +70,24 @@ class EmptyInputSpec extends SparkSpec {
       exact = true).count() === 0)
   }
 
+  test("labelProp with no edges is identity labels; no nodes is empty") {
+    val nodes = Seq(4L, 9L).toDF("id")
+    val noEdges = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    val got = graft.operators.LabelProp
+      .labelProp(nodes, "id", noEdges, iters = 2)
+      .orderBy($"id").as[(Long, Long)].collect().toSeq
+    assert(got === Seq((4L, 4L), (9L, 9L)))
+    assert(graft.operators.LabelProp
+      .labelProp(nodes.limit(0), "id", noEdges, iters = 2).count() === 0)
+  }
+
+  test("rolling over an empty frame input is empty") {
+    val empty = Seq.empty[(Long, String, java.sql.Timestamp, Double)]
+      .toDF("event_id", "key", "ts", "value")
+    assert(graft.operators.Rolling
+      .trailing(empty, "key", "ts", "value", 10L).count() === 0)
+  }
+
   test("profile of an empty table reports zero counts and null min/max") {
     val empty = Seq.empty[(Long, String)].toDF("a", "b")
     val rows = graft.mat.Profile.profile(empty).collect()

@@ -38,6 +38,33 @@ class PageRankSpec extends SparkSpec {
     assert(got === exp.toSeq)
   }
 
+  test("labelProp: two triangles joined by a bridge settle into two communities") {
+    // hand-computed 4-round synchronous trace: the bridge 3-7 pulls
+    // labels across briefly, but by round 4 each triangle holds its
+    // own min id — where min-label CC would merge everything into {1}
+    val nodes = Seq(1L, 2L, 3L, 7L, 8L, 9L).toDF("id")
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (7L, 8L), (8L, 9L), (7L, 9L), (3L, 7L)).toDF("id_a", "id_b")
+    val got = graft.operators.LabelProp.labelProp(nodes, "id", edges, iters = 4)
+      .orderBy($"id").as[(Long, Long)].collect().toSeq
+    assert(got === Seq((1L, 1L), (2L, 1L), (3L, 1L),
+      (7L, 3L), (8L, 3L), (9L, 3L)))
+    val cc = graft.llm.Dedup.connectedComponents(nodes, "id", edges)
+    assert(cc.select(countDistinct($"rep")).as[Long].head() === 1L,
+      "CC merges across the bridge — LPA must be strictly finer here")
+  }
+
+  test("labelProp: isolated node keeps its own id; duplicate edge outweighs") {
+    val nodes = Seq(1L, 2L, 3L, 99L).toDF("id")
+    // node 1 sees label 3 twice (duplicate edge) and label 2 once
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 3L)).toDF("id_a", "id_b")
+    val got = graft.operators.LabelProp.labelProp(nodes, "id", edges, iters = 1)
+      .orderBy($"id").as[(Long, Long)].collect().toSeq
+    assert(got.find(_._1 == 99L).get._2 === 99L)
+    assert(got.find(_._1 == 1L).get._2 === 3L,
+      "doubled vote must beat the smaller single-vote label")
+  }
+
   test("rank mass is conserved (~1) and varies on a non-regular graph") {
     val docs = Tables.load(spark, sf, "documents")
     val nodes = docs.select(pmod($"doc_id", lit(50)).as("id")).distinct()

@@ -185,6 +185,42 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got.map(t => (t._1, t._2, t._3)) === Seq((1L, 0L, 3L)))
   }
 
+  // ---- Rolling -----------------------------------------------------
+
+  test("rolling trailing window: hand-computed 10-second horizon") {
+    import java.sql.Timestamp
+    def t(s: Long) = new Timestamp(s * 1000L)
+    // key A at 0,5,12,30; key B at 3 — frames: [t-10, t] inclusive
+    val df = Seq(
+      (1L, "A", t(0), 1.0), (2L, "A", t(5), 2.0),
+      (3L, "A", t(12), 4.0), (4L, "A", t(30), 8.0),
+      (5L, "B", t(3), 5.0)).toDF("event_id", "key", "ts", "value")
+    val got = graft.operators.Rolling
+      .trailing(df, "key", "ts", "value", horizonSec = 10L)
+      .orderBy($"event_id")
+      .select($"event_id", $"roll_n", $"roll_sum", $"roll_avg",
+        $"roll_min", $"roll_max")
+      .as[(Long, Long, Double, Double, Double, Double)].collect().toSeq
+    assert(got === Seq(
+      (1L, 1L, 1.0, 1.0, 1.0, 1.0),        // frame {0}
+      (2L, 2L, 3.0, 1.5, 1.0, 2.0),        // frame {0,5}
+      (3L, 2L, 6.0, 3.0, 2.0, 4.0),        // frame [2,12]: {5,12}, drops 0
+      (4L, 1L, 8.0, 8.0, 8.0, 8.0),        // 30-10=20 > 12: alone
+      (5L, 1L, 5.0, 5.0, 5.0, 5.0)))       // key B independent
+  }
+
+  test("rolling: same-timestamp rows are RANGE peers sharing one frame") {
+    import java.sql.Timestamp
+    def t(s: Long) = new Timestamp(s * 1000L)
+    val df = Seq((1L, "A", t(7), 1.0), (2L, "A", t(7), 2.0))
+      .toDF("event_id", "key", "ts", "value")
+    val got = graft.operators.Rolling
+      .trailing(df, "key", "ts", "value", horizonSec = 5L)
+      .select($"roll_n", $"roll_sum").distinct()
+      .as[(Long, Double)].collect().toSeq
+    assert(got === Seq((2L, 3.0)))
+  }
+
   // ---- fuzzyJoin ---------------------------------------------------
 
   test("fuzzyJoin: every doc rediscovers its identical twin at est 1.0") {
