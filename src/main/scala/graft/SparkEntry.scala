@@ -410,6 +410,23 @@ object SparkEntry {
         .orderBy(col("id"))
     }),
 
+    "op_editdist_join" -> ((s, dir) => {
+      // entity resolution over distinct part names plus first-char-
+      // dropped typo variants: deletion-neighborhood EQUI-join (never
+      // all-pairs). The oracle is the brute-force quadratic join, so a
+      // green row proves the blocking is COMPLETE, not just fast.
+      val names = t(s, dir, "part")
+        .groupBy(col("p_name").as("nm"))
+        .agg(min(col("p_partkey")).as("id"))
+      val u = names.select(col("id"), col("nm"))
+        .unionByName(names.filter(col("id") % 3 === 0)
+          .select((col("id") + 100000).as("id"),
+            expr("substring(nm, 2)").as("nm")))
+      val d = u.groupBy(col("nm")).agg(min(col("id")).as("id"))
+      graft.operators.EditDistJoin.selfJoin(d, "id", "nm")
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     "op_rolling" -> ((s, dir) =>
       // per-event trailing 7-day activity features (range frame ending
       // at EVERY event — not ev_sliding's fixed grid): one exchange on
@@ -1383,6 +1400,13 @@ object SparkEntry {
       TextAnalysis.stratifiedSample(t(s, dir, "documents"), "doc_id",
           "lang", Map("en" -> 0.5, "zh" -> 0.25, "es" -> 0.1),
           defaultRate = 0.05)
+        .orderBy(col("doc"))),
+
+    "ta_temperature" -> ((s, dir) =>
+      // √n per-source cap (temperature τ=0.5 mixture balancing): the
+      // per-stratum target derives from observed size — no caller map
+      TextAnalysis.sqrtSample(t(s, dir, "documents"), "doc_id",
+          "source", rate = 2.0)
         .orderBy(col("doc"))),
 
     "ta_bpe_pairs" -> ((s, dir) =>
@@ -2802,6 +2826,21 @@ object SparkEntry {
         |    WHEN 'es' THEN 1000 ELSE 500 END) AS keep
         |FROM documents ORDER BY doc""".stripMargin,
 
+    // least(n, ceil(rate·sqrt(n))) uses only correctly-rounded IEEE
+    // ops on per-stratum scalars — no cross-stratum float sum, so the
+    // threshold cannot flip between engines
+    "ta_temperature" ->
+      s"""WITH r AS (SELECT doc_id AS doc, source AS stratum,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY ${rollSql("'tsample:' || CAST(doc_id AS VARCHAR)")} ASC,
+        |        doc_id) AS rk
+        |  FROM documents),
+        |c AS (SELECT source AS stratum, count(*) AS n
+        |  FROM documents GROUP BY source)
+        |SELECT doc, stratum FROM r JOIN c USING (stratum)
+        |WHERE rk <= least(n, ceil(2.0 * sqrt(n)))
+        |ORDER BY doc""".stripMargin,
+
     "mat_data_tests" ->
       """WITH t1 AS (SELECT count(*) AS n FROM (
         |    SELECT l_returnflag FROM lineitem
@@ -3698,6 +3737,21 @@ object SparkEntry {
       }.mkString
       init + steps + "\nSELECT id, label FROM l4 ORDER BY id"
     },
+
+    // brute-force oracle on purpose: proves deletion-neighborhood
+    // blocking completeness, not just speed
+    "op_editdist_join" ->
+      """WITH names AS (SELECT p_name AS nm, min(p_partkey) AS id
+        |  FROM part GROUP BY p_name),
+        |u AS (SELECT id, nm FROM names
+        |  UNION ALL
+        |  SELECT id + 100000, substring(nm, 2) FROM names WHERE id % 3 = 0),
+        |d AS (SELECT nm, min(id) AS id FROM u GROUP BY nm)
+        |SELECT a.id AS id_a, b.id AS id_b,
+        |  levenshtein(a.nm, b.nm) AS dist
+        |FROM d a JOIN d b ON a.id < b.id
+        |WHERE levenshtein(a.nm, b.nm) <= 1
+        |ORDER BY id_a, id_b""".stripMargin,
 
     "op_rolling" ->
       """SELECT event_id, user_id, ts, value,

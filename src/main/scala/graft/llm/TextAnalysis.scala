@@ -260,6 +260,45 @@ object TextAnalysis {
       (h < bps).as("keep"))
   }
 
+  /** Square-root (temperature τ = 0.5) mixture resampling: cap each
+    * stratum at ⌈rate·√n_s⌉ documents — big sources are downweighted
+    * sublinearly, small ones kept nearly whole, the standard
+    * multilingual-corpus balancing curve (cf. the exponent-smoothed
+    * sampling of multilingual pretraining). Unlike
+    * [[stratifiedSample]] (caller-fixed per-stratum rates) the rate
+    * here DERIVES from the observed stratum size.
+    *
+    * Selection is deterministic: rank by the shared rolling hash
+    * (id tie-break) within each stratum and keep the top target_s.
+    * target_s = least(n_s, ceil(rate·sqrt(n_s))) uses only
+    * correctly-rounded IEEE ops on a per-stratum scalar — no
+    * cross-stratum float sum anywhere, so the threshold can never
+    * flip between engines.
+    *
+    * Shape at scale: one tiny groupBy(stratum) count that broadcasts
+    * back, one exchange+sort per stratum for the rank — the sort is
+    * the price of EXACT per-stratum counts (hash-thresholding is
+    * cheaper but only approximates the target; that path is
+    * [[stratifiedSample]]). */
+  def sqrtSample(df: org.apache.spark.sql.DataFrame, id: String,
+                 stratum: String, rate: Double)
+      : org.apache.spark.sql.DataFrame = {
+    require(rate > 0, s"rate must be positive: $rate")
+    val counts = df.groupBy(col(stratum).as("stratum"))
+      .agg(count(lit(1)).as("__n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("stratum"))
+      .orderBy(graft.functions.RollingHash(
+        concat(lit("tsample:"), col("doc").cast(StringType))).asc,
+        col("doc").asc)
+    df.select(col(id).as("doc"), col(stratum).as("stratum"))
+      .withColumn("__rk", row_number().over(w))
+      .join(broadcast(counts), Seq("stratum"))
+      .filter(col("__rk") <=
+        least(col("__n"), ceil(lit(rate) * sqrt(col("__n")))))
+      .select(col("doc"), col("stratum"))
+  }
+
   /** Word-frequency table of a corpus: (w, cnt) — THE intermediate
     * every tokenizer-training step runs on. One corpus pass (explode +
     * one shuffled count); everything downstream is vocab-sized, which

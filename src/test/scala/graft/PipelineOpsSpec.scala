@@ -221,6 +221,76 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got === Seq((2L, 3.0)))
   }
 
+  // ---- EditDistJoin ------------------------------------------------
+
+  test("editDistJoin: substitution, insertion, deletion all at dist 1") {
+    val df = Seq((1L, "cat"), (2L, "bat"), (3L, "cats"), (4L, "at"),
+      (5L, "dog"), (6L, "")).toDF("id", "nm")
+    val got = graft.operators.EditDistJoin.selfJoin(df, "id", "nm")
+      .orderBy($"id_a", $"id_b").as[(Long, Long, Int)].collect().toSeq
+    // cat~bat (substitution), cat~cats (insertion), cat~at (deletion),
+    // bat~at (deletion); ""~"at" is dist 2; dog matches nothing
+    val in = Seq((1L, "cat"), (2L, "bat"), (3L, "cats"), (4L, "at"),
+      (5L, "dog"), (6L, ""))
+    val expected = for {
+      a <- in; b <- in if a._1 < b._1
+      d = levenshteinRef(a._2, b._2) if d <= 1
+    } yield (a._1, b._1, d)
+    assert(got === expected.sortBy(t => (t._1, t._2)))
+    assert(got.map(t => (t._1, t._2)).toSet ===
+      Set((1L, 2L), (1L, 3L), (1L, 4L), (2L, 4L)))
+  }
+
+  private def levenshteinRef(a: String, b: String): Int = {
+    val dp = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+      if (i == 0) j else if (j == 0) i else 0
+    }
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      dp(i)(j) = math.min(math.min(dp(i - 1)(j) + 1, dp(i)(j - 1) + 1),
+        dp(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    dp(a.length)(b.length)
+  }
+
+  test("editDistJoin: blocking finds everything brute force finds (property)") {
+    // random short strings over a 3-letter alphabet — dense near-pair
+    // space exercises all three edit kinds and variant collisions
+    val strs = (0 until 60).map { i =>
+      val r = new scala.util.Random(i * 7 + 1)
+      (i.toLong, (0 until (1 + r.nextInt(4)))
+        .map(_ => ('a' + r.nextInt(3)).toChar).mkString)
+    }
+    val dedup = strs.groupBy(_._2).map { case (_, g) => g.minBy(_._1) }.toSeq
+    val df = dedup.toDF("id", "nm")
+    val got = graft.operators.EditDistJoin.selfJoin(df, "id", "nm")
+      .as[(Long, Long, Int)].collect().toSet
+    val brute = (for {
+      a <- dedup; b <- dedup if a._1 < b._1
+      d = levenshteinRef(a._2, b._2) if d <= 1
+    } yield (a._1, b._1, d)).toSet
+    assert(got === brute)
+  }
+
+  // ---- sqrtSample --------------------------------------------------
+
+  test("sqrtSample: per-stratum count is exactly min(n, ceil(rate*sqrt(n)))") {
+    val df = (1L to 100L).map(i => (i, if (i <= 81) "big" else "small"))
+      .toDF("doc_id", "src")
+    val got = TextAnalysis.sqrtSample(df, "doc_id", "src", rate = 2.0)
+      .groupBy($"stratum").count().as[(String, Long)].collect().toMap
+    assert(got("big") === 18L)   // ceil(2*sqrt(81)) = 18 of 81
+    assert(got("small") === 9L)  // ceil(2*sqrt(19)) = 9 of 19
+    // determinism: identical on re-run
+    val again = TextAnalysis.sqrtSample(df, "doc_id", "src", 2.0)
+      .orderBy($"doc").collect().toSeq
+    assert(again === TextAnalysis.sqrtSample(df, "doc_id", "src", 2.0)
+      .orderBy($"doc").collect().toSeq)
+  }
+
+  test("sqrtSample: huge rate keeps every row (capped at n)") {
+    val df = (1L to 10L).map((_, "s")).toDF("doc_id", "src")
+    assert(TextAnalysis.sqrtSample(df, "doc_id", "src", 1e6).count() === 10L)
+  }
+
   // ---- fuzzyJoin ---------------------------------------------------
 
   test("fuzzyJoin: every doc rediscovers its identical twin at est 1.0") {
