@@ -410,6 +410,31 @@ object SparkEntry {
         .orderBy(col("id"))
     }),
 
+    "dd_canonical" -> ((s, dir) => {
+      // best-copy election over the MinHash near-dup clusters: keep the
+      // NEWEST copy (score = doc_id, the crawl-recency convention)
+      // instead of the min-id representative — on the doubled corpus
+      // every canonical is the +10000 twin, provably ≠ rep
+      val d = t(s, dir, "documents")
+      val u = d.select(col("doc_id"), col("text")).unionByName(
+        d.select((col("doc_id") + 10000).as("doc_id"), col("text")))
+      val clusters = Dedup.minhashClusters(u, "doc_id", "text")
+      val scores = u.select(col("doc_id").as("doc"),
+        col("doc_id").cast(DoubleType).as("score"))
+      Dedup.canonicalByScore(clusters, scores).orderBy(col("doc"))
+    }),
+
+    "op_skew_profile" -> ((s, dir) => {
+      // the pre-shuffle skew measurement: group-size distribution +
+      // max/mean ratio for two prospective keys of the events fact
+      val ev = t(s, dir, "events")
+      graft.sources.Skew.keyProfile(ev, "user_id")
+        .withColumn("key_col", lit("user_id"))
+        .unionByName(graft.sources.Skew.keyProfile(ev, "event_type")
+          .withColumn("key_col", lit("event_type")))
+        .orderBy(col("key_col"))
+    }),
+
     "op_editdist_join" -> ((s, dir) => {
       // entity resolution over distinct part names plus first-char-
       // dropped typo variants: deletion-neighborhood EQUI-join (never
@@ -3737,6 +3762,46 @@ object SparkEntry {
       }.mkString
       init + steps + "\nSELECT id, label FROM l4 ORDER BY id"
     },
+
+    // same minhash/band/walk pipeline as dd_minhash_clusters, then the
+    // canonical re-election: score = doc_id ⇒ max(doc) per cluster
+    "dd_canonical" ->
+      s"""WITH RECURSIVE u AS (SELECT doc_id, lower(text) AS t FROM documents
+        |  UNION ALL SELECT doc_id + 10000, lower(text) FROM documents),
+        |w AS (SELECT doc_id, ${toksSql("t")} AS ws FROM u),
+        |sh AS (SELECT doc_id, $shingleSql AS shl FROM w),
+        |sx AS (SELECT doc_id, unnest(shl) AS sgl FROM sh),
+        |hx AS (SELECT doc_id, ${rollSql("sgl")} AS h FROM sx),
+        |sig AS (SELECT doc_id, ${minhashAggSqls.mkString(", ")} FROM hx GROUP BY doc_id),
+        |bands AS (SELECT doc_id, unnest($bandListSql) AS band FROM sig),
+        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM cand
+        |  UNION ALL SELECT id_b, id_a FROM cand),
+        |walk(doc, anc) AS (
+        |  SELECT doc_id, doc_id FROM u
+        |  UNION
+        |  SELECT e.dst, w2.anc FROM walk w2 JOIN edges e ON e.src = w2.doc),
+        |clus AS (SELECT doc, min(anc) AS rep FROM walk GROUP BY doc),
+        |best AS (SELECT rep, max(doc) AS canonical FROM clus GROUP BY rep)
+        |SELECT c.doc, c.rep, b.canonical, (c.doc = b.canonical) AS keep
+        |FROM clus c JOIN best b USING (rep) ORDER BY doc""".stripMargin,
+
+    "op_skew_profile" ->
+      """WITH s1 AS (SELECT user_id AS k, count(*) AS n FROM events GROUP BY 1),
+        |s2 AS (SELECT event_type AS k, count(*) AS n FROM events GROUP BY 1),
+        |p1 AS (SELECT count(*) AS n_keys, sum(n) AS n_rows, max(n) AS max_n,
+        |  round(quantile_cont(n, 0.5), 6) AS p50_n,
+        |  round(quantile_cont(n, 0.99), 6) AS p99_n,
+        |  round(max(n)::DOUBLE / (sum(n)::DOUBLE / count(*)), 4) AS skew_ratio,
+        |  'user_id' AS key_col FROM s1),
+        |p2 AS (SELECT count(*) AS n_keys, sum(n) AS n_rows, max(n) AS max_n,
+        |  round(quantile_cont(n, 0.5), 6) AS p50_n,
+        |  round(quantile_cont(n, 0.99), 6) AS p99_n,
+        |  round(max(n)::DOUBLE / (sum(n)::DOUBLE / count(*)), 4) AS skew_ratio,
+        |  'event_type' AS key_col FROM s2)
+        |SELECT * FROM p1 UNION ALL SELECT * FROM p2
+        |ORDER BY key_col""".stripMargin,
 
     // brute-force oracle on purpose: proves deletion-neighborhood
     // blocking completeness, not just speed

@@ -841,6 +841,33 @@ object Dedup {
                           driverEdgeLimit: Long = 1000000L): DataFrame =
     collapseComponents(nodes, id, edges, maxIter, driverEdgeLimit)
 
+  /** Canonical-document selection: within each near-dup cluster keep
+    * the BEST-SCORING document, not the min-id one. The cluster
+    * operators (`minhashClusters`/`simhashClusters`/`cosineClusters`)
+    * return min-id representatives because that is cheap and stable;
+    * real pipelines keep the highest-quality or newest copy (quality
+    * score, crawl recency, source priority). This joins any (doc, rep)
+    * cluster map against any (doc, score) table and re-elects each
+    * cluster's winner by (score desc, doc asc) — the argmax is
+    * `max(struct(score, -doc))` inside ONE hash aggregate per cluster
+    * (no window, map-side combined), then one broadcast-size join back
+    * (cluster count ≤ doc count; the agg output is one row per rep).
+    *
+    * Output: (doc, rep, canonical, keep) — `rep` the structural
+    * min-id representative, `canonical` the elected winner,
+    * `keep` = doc == canonical. */
+  def canonicalByScore(clusters: DataFrame, scores: DataFrame,
+                       scoreCol: String = "score"): DataFrame = {
+    val j = clusters.select(col("doc"), col("rep"))
+      .join(scores.select(col("doc"), col(scoreCol).as("__s")), Seq("doc"))
+    val best = j.groupBy(col("rep"))
+      .agg(max(struct(col("__s"), (-col("doc")).as("neg"))).as("m"))
+      .select(col("rep"), (-col("m.neg")).as("canonical"))
+    j.join(best, Seq("rep"))
+      .select(col("doc"), col("rep"), col("canonical"),
+        (col("doc") === col("canonical")).as("keep"))
+  }
+
   private[llm] def collapseComponents(df: DataFrame, id: String,
                                       pairsDf: DataFrame, maxIter: Int,
                                       driverEdgeLimit: Long): DataFrame = {

@@ -37,6 +37,27 @@ object Skew {
     salted.join(replicated, Seq(key, "__salt")).drop("__salt")
   }
 
+  /** Key-skew diagnostic — the measurement you run BEFORE choosing a
+    * skew mitigation (salting, AQE skew-join, broadcast): group-size
+    * distribution of a prospective shuffle key. One groupBy(key) count
+    * (map-side combined) then one single-row aggregate over the
+    * key-count table. `skew_ratio` = max group / mean group: ~1 means
+    * uniform (plain shuffle is fine), ≫ 32 (the executor-thread count)
+    * means the largest key alone outlasts the rest of the stage —
+    * salt it. Percentiles are exact (the key-count table has one row
+    * per key — small even when the input is 100 TB). */
+  def keyProfile(df: DataFrame, key: String): DataFrame = {
+    val sizes = df.groupBy(col(key)).agg(count(lit(1)).as("n"))
+    sizes.agg(
+      count(lit(1)).as("n_keys"),
+      sum(col("n")).as("n_rows"),
+      max(col("n")).as("max_n"),
+      round(expr("percentile(n, 0.5)"), 6).as("p50_n"),
+      round(expr("percentile(n, 0.99)"), 6).as("p99_n"),
+      round(max(col("n")).cast("double") /
+        (sum(col("n")).cast("double") / count(lit(1))), 4).as("skew_ratio"))
+  }
+
   /** Two-phase (salted) aggregation for re-aggregable functions: phase 1
     * aggregates on (keys, salt), phase 2 merges the partials. Spark's
     * hash aggregate already partial-aggregates map-side; this helps when

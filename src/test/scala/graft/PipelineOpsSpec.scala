@@ -221,6 +221,31 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got === Seq((2L, 3.0)))
   }
 
+  // ---- canonicalByScore --------------------------------------------
+
+  test("canonicalByScore: best score wins, ties break to min doc, singletons self") {
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L))
+      .toDF("doc", "rep")
+    val scores = Seq((1L, 0.5), (2L, 0.9), (3L, 0.9), (4L, 0.1))
+      .toDF("doc", "score")
+    val got = Dedup.canonicalByScore(clusters, scores)
+      .orderBy($"doc").as[(Long, Long, Long, Boolean)].collect().toSeq
+    // 2 and 3 tie at 0.9 -> min doc 2 is canonical; 4 is its own
+    assert(got === Seq((1L, 1L, 2L, false), (2L, 1L, 2L, true),
+      (3L, 1L, 2L, false), (4L, 4L, 4L, true)))
+  }
+
+  // ---- keyProfile --------------------------------------------------
+
+  test("keyProfile: hand-computed distribution and skew ratio") {
+    val df = Seq("a", "a", "a", "b").map(Tuple1(_)).toDF("k")
+    val got = graft.sources.Skew.keyProfile(df, "k")
+      .as[(Long, Long, Long, Double, Double, Double)].head()
+    // sizes {1,3}: p50 = 2.0, p99 = 1 + 0.99*2 = 2.98 (interpolated);
+    // skew = max/mean = 3 / (4/2) = 1.5
+    assert(got === ((2L, 4L, 3L, 2.0, 2.98, 1.5)))
+  }
+
   // ---- EditDistJoin ------------------------------------------------
 
   test("editDistJoin: substitution, insertion, deletion all at dist 1") {

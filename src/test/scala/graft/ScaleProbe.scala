@@ -252,6 +252,77 @@ object ScaleProbe {
       }
       println(s"[probe]   -> $n pairs")
     }
+
+    // ---- round-7 late waves: graph, window, string-join operators ----
+    // PageRank / LPA: nodes AND edges scale together (disjoint shifted
+    // copies of the same graph) — per-iteration cost is one join + one
+    // agg on graph keys; expect ~linear in |E|
+    val prNodes = docs.select(pmod(col("doc_id"), lit(400)).as("id")).distinct()
+    val prEdges = docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+      .select(pmod(col("doc_id"), lit(400)).as("src"),
+        pmod(col("doc_id") * col("doc_id") + 7, lit(400)).as("dst"))
+      .distinct()
+    for (x <- Seq(2, 8)) {
+      val nn = selfUnion(prNodes, "id", x)
+      val ee = (1 until x).foldLeft(prEdges)((acc, i) =>
+        acc.unionByName(prEdges
+          .withColumn("src", col("src") + lit(i * 1000000L))
+          .withColumn("dst", col("dst") + lit(i * 1000000L))))
+      val n = time(s"pageRank ${x}x graph, 10 iters [nodes]") {
+        graft.operators.PageRank.pageRank(nn, "id", ee, iters = 10).count()
+      }
+      println(s"[probe]   -> $n nodes")
+      val m = time(s"labelProp ${x}x graph, 4 iters [nodes]") {
+        graft.operators.LabelProp.labelProp(nn, "id", ee,
+          a = "src", b = "dst", iters = 4).count()
+      }
+      println(s"[probe]   -> $m nodes")
+    }
+    // kNN graph: copies get ROTATED vectors (rotation moves the sign-LSH
+    // bucket) — the realistic "more distinct vectors" axis, not the
+    // adversarial duplicate-stack (identical copies multiply bucket
+    // population and candidate pairs quadratically BY CONSTRUCTION;
+    // that is the output growing, not the algorithm degrading)
+    for (x <- Seq(2, 8)) {
+      val e = (1 until x).foldLeft(emb)((acc, i) =>
+        acc.unionByName(emb
+          .withColumn("vec_id", col("vec_id") + lit(i * 1000000L))
+          .withColumn("embedding", expr(
+            s"concat(slice(embedding, ${i + 1}, size(embedding) - $i), " +
+              s"slice(embedding, 1, $i))"))))
+      val n = time(s"knnGraph ${x}x distinct vectors [edges]") {
+        graft.llm.Similarity.knnGraph(e, "vec_id", "embedding", 3).count()
+      }
+      println(s"[probe]   -> $n edges")
+    }
+    // edit-distance join: copies get a distinct 2-char suffix (dist 2
+    // apart cross-copy, so output stays per-copy-linear); variants and
+    // candidates must scale with distinct strings
+    for (x <- Seq(2, 8)) {
+      val names = docs.select(col("doc_id"),
+        substring(col("text"), 1, 12).as("nm"))
+      val u = (1 until x).foldLeft(names)((acc, i) =>
+        acc.unionByName(names
+          .withColumn("doc_id", col("doc_id") + lit(i * 1000000L))
+          .withColumn("nm", concat(col("nm"),
+            lit(s"${('a' + i).toChar}${('a' + i).toChar}")))))
+      val d = u.groupBy(col("nm")).agg(min(col("doc_id")).as("id"))
+      val n = time(s"editDistJoin ${x}x distinct strings [pairs]") {
+        graft.operators.EditDistJoin.selfJoin(d, "id", "nm").count()
+      }
+      println(s"[probe]   -> $n pairs")
+    }
+    // rolling trailing features: more keys at constant per-key history
+    // (the evUnion axis) — per-key sort work constant, total linear
+    for (x <- Seq(2, 8, 16)) {
+      val n = time(s"rolling 7d ${x}x keys [rows]") {
+        graft.operators.Rolling.trailing(
+          evUnion(x).select(col("event_id"), col("user_id"), col("ts"),
+            col("value")),
+          "user_id", "ts", "value", 7 * 86400L).count()
+      }
+      println(s"[probe]   -> $n rows")
+    }
     spark.stop()
   }
 }
