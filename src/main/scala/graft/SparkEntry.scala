@@ -410,6 +410,16 @@ object SparkEntry {
         .orderBy(col("id"))
     }),
 
+    "op_bottomk_agg" -> ((s, dir) =>
+      // top-k as a MERGEABLE AGGREGATE (custom TypedImperativeAggregate,
+      // ObjectHashAggregate partial+final): only k values per group
+      // cross the exchange, vs the window form shuffling every raw row
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(graft.functions.BottomK.bottomK(col("l_orderkey"), 5)
+          .as("bottom5"))
+        .orderBy(col("l_returnflag"))),
+
     "dd_canonical" -> ((s, dir) => {
       // best-copy election over the MinHash near-dup clusters: keep the
       // NEWEST copy (score = doc_id, the crawl-recency convention)
@@ -3762,6 +3772,13 @@ object SparkEntry {
       }.mkString
       init + steps + "\nSELECT id, label FROM l4 ORDER BY id"
     },
+
+    // multiset of the k smallest per group is order-independent, so
+    // sort-then-slice replays the heap exactly
+    "op_bottomk_agg" ->
+      """SELECT l_returnflag, (list_sort(list(l_orderkey)))[1:5] AS bottom5
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
 
     // same minhash/band/walk pipeline as dd_minhash_clusters, then the
     // canonical re-election: score = doc_id ⇒ max(doc) per cluster

@@ -411,6 +411,92 @@ object Events {
         col("filled"), col("observed").as("observed"))
   }
 
+  final case class RlObs(key: Long, ts: java.sql.Timestamp, ts_us: Long,
+                         event_id: Long, value: Double)
+  final case class RlBuf(pending: List[(Long, Long, Double)],
+                         hist: List[(Long, Double)])
+  final case class RlOut(event_id: Long, key: Long, ts_us: Long,
+                         roll_n: Long, roll_sum: Double)
+
+  /** Streaming trailing-window features —
+    * [[graft.operators.Rolling.trailing]]'s streaming sibling: each
+    * event emits (count, sum) of same-key values in the `horizonSec`
+    * window ENDING at its (second-truncated) timestamp, computed
+    * incrementally as the event-time watermark advances.
+    *
+    * Watermark-final emission: batch RANGE frames include same-second
+    * peers (even ones arriving later within the second), so an event is
+    * final only when the watermark passes the END of its second —
+    * every frame member has then either arrived or is late-beyond-
+    * watermark (the same correctness contract as every streaming op
+    * here). State per key = pending (unemitted) events plus emitted
+    * observations still inside `horizonSec` of any possible FUTURE
+    * frame; observations older than watermark − horizon can never be
+    * referenced again and are evicted each invocation — the horizon is
+    * what BOUNDS state, exactly the tolerance argument of
+    * `asOfEnrichStream`. Event-time timeouts drain quiet keys.
+    *
+    * Sums ride BigDecimal at scale 2 — the exact arithmetic batch
+    * `Rolling.trailing` gets from its DECIMAL(18,2) cast — so parity
+    * with the batch operator is bit-exact regardless of accumulation
+    * order; StreamingSpec pins row-set equality on (n, sum). */
+  def rollingStream(events: DataFrame, horizonSec: Long): DataFrame = {
+    require(horizonSec > 0, "horizonSec must be positive")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val tagged = events.select(col("key"), col("ts"),
+        unix_micros(col("ts")).as("ts_us"), col("event_id"), col("value"))
+      .as[RlObs]
+    tagged.groupByKey(_.key)
+      .flatMapGroupsWithState[RlBuf, RlOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (k: Long, it: Iterator[RlObs], state: GroupState[RlBuf]) =>
+          val prev = state.getOption.getOrElse(RlBuf(Nil, Nil))
+          val incoming = if (state.hasTimedOut) Array.empty[RlObs]
+                         else it.toArray
+          val pending = (prev.pending ++ incoming.map(o =>
+            (Math.floorDiv(o.ts_us, 1000000L), o.event_id, o.value)))
+            .sortBy(t => (t._1, t._2))
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          // final once the watermark passed the END of the second
+          val (ready, stillPending) =
+            pending.partition(p => (p._1 + 1) * 1000000L <= wmUs)
+          // frame members come from every arrived observation: emitted
+          // history AND all currently-known events (ready or pending)
+          val frameSrc = prev.hist ++ pending.map(p => (p._1, p._3))
+          val out = ready.map { case (sec, id, _) =>
+            val lo = sec - horizonSec
+            val in = frameSrc.filter(o => o._1 >= lo && o._1 <= sec)
+              .sortBy(_._1)
+            RlOut(id, k, sec * 1000000L, in.size.toLong,
+              in.map(o => BigDecimal(o._2)
+                .setScale(2, BigDecimal.RoundingMode.HALF_UP))
+                .sum.toDouble)
+          }
+          // observations below watermark - horizon are out of every
+          // possible future frame (late arrivals beyond wm are dropped
+          // by contract) — evict; keep emitted obs as history
+          val loBound = Math.floorDiv(wmUs, 1000000L) - horizonSec
+          val hist = (prev.hist ++ ready.map(p => (p._1, p._3)))
+            .filter(_._1 >= loBound)
+          if (stillPending.isEmpty && hist.isEmpty) state.remove()
+          else {
+            state.update(RlBuf(stillPending, hist))
+            val nextUs =
+              if (stillPending.nonEmpty)
+                (stillPending.map(_._1).min + 1) * 1000000L
+              else (hist.map(_._1).max + horizonSec + 1) * 1000000L
+            state.setTimeoutTimestamp(math.max(nextUs / 1000L,
+              state.getCurrentWatermarkMs() + 1))
+          }
+          out.iterator
+      }
+      .toDF()
+      .select(col("event_id"), col("key"),
+        timestamp_micros(col("ts_us")).as("ts"),
+        col("roll_n"), col("roll_sum"))
+  }
+
   /** Stream-stream INTERVAL join: each "click" (odd event_id) pairs with
     * the "impressions" (even event_id) of the same user in the preceding
     * `windowExpr` (e.g. "30 minutes"). Both sides carry watermarks, and

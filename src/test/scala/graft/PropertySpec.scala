@@ -325,4 +325,44 @@ class PropertySpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSeq
     assert(got == expected)
   }
+
+  test("BottomK aggregate: parity with sort-take at every partitioning (property)") {
+    // random multisets with heavy duplication so the k-th boundary ties;
+    // the multiset of k smallest is order-unique, so every partition
+    // count must merge to the same answer
+    val vals = (1 to 500).map(i => draw(Gen.choose(0L, 40L), i.toLong * 13))
+    val keys = (1 to 500).map(i => draw(Gen.oneOf("a", "b", "c"), i.toLong * 7))
+    val df = keys.zip(vals).toDF("k", "v")
+    val expected = keys.zip(vals).groupBy(_._1).map { case (g, xs) =>
+      g -> xs.map(_._2).sorted.take(5)
+    }
+    for (parts <- Seq(1, 3, 32)) {
+      val got = df.repartition(parts)
+        .groupBy($"k")
+        .agg(graft.functions.BottomK.bottomK($"v", 5).as("b"))
+        .as[(String, Seq[Long])].collect().toMap
+      assert(got.view.mapValues(_.toSeq).toMap ===
+        expected.view.mapValues(_.toSeq).toMap, s"at $parts partitions")
+    }
+  }
+
+  test("BottomK: k > group size returns the whole sorted group; nulls skipped") {
+    val df = Seq(("a", Some(3L)), ("a", None), ("a", Some(1L)))
+      .toDF("k", "v")
+    val got = df.groupBy($"k")
+      .agg(graft.functions.BottomK.bottomK($"v", 10).as("b"))
+      .as[(String, Seq[Long])].head()
+    assert(got === (("a", Seq(1L, 3L))))
+  }
+
+  test("BottomK plans as ObjectHashAggregate with a partial stage") {
+    val df = Seq(("a", 1L)).toDF("k", "v")
+    val plan = df.groupBy($"k")
+      .agg(graft.functions.BottomK.bottomK($"v", 3).as("b"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"),
+      s"expected ObjectHashAggregate in:\n$plan")
+    assert(plan.contains("partial_graft_bottom_k"),
+      "map-side partial aggregation must run before the exchange")
+  }
 }

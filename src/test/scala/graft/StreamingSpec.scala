@@ -198,6 +198,55 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.filter($"rv".isNull).count() > 0)
   }
 
+  test("streaming rolling trailing features equal the batch operator " +
+      "(horizon-bounded state, watermark-final emission)") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-rolls").toString
+    val inDir = java.nio.file.Paths.get(tmp, "in")
+    java.nio.file.Files.createDirectories(inDir)
+    val ev = Tables.load(spark, sf, "events").filter($"user_id" < 20)
+    ev.select($"event_id", unix_micros($"ts").as("ts"), $"user_id",
+        $"event_type", $"value", $"props")
+      .withColumn("ts", $"ts" * 1000)
+      .coalesce(1).write.parquet(s"$inDir/batch1")
+    // far-future sentinels advance the watermark past every real event;
+    // they stay pending forever and must not emit
+    val far = ev.agg(max(unix_micros($"ts"))).head.getLong(0) +
+      30L * 24 * 3600 * 1000000
+    ev.groupBy($"user_id").agg(min($"event_id").as("event_id"))
+      .select(($"event_id" + 1000000).as("event_id"),
+        lit(far * 1000).as("ts"), $"user_id",
+        lit("sentinel").as("event_type"), lit(0.0).as("value"),
+        lit("{}").as("props"))
+      .coalesce(1).write.parquet(s"$inDir/batch2")
+    def stage(sub: String, dst: String): Unit = {
+      val f = java.nio.file.Files.list(java.nio.file.Paths.get(s"$inDir/$sub"))
+        .filter(_.toString.endsWith(".parquet")).findFirst().get()
+      java.nio.file.Files.move(f, java.nio.file.Paths.get(s"$inDir/$dst"))
+    }
+    stage("batch1", "a.parquet"); stage("batch2", "b.parquet")
+    val src = Events.readEventStream(spark, inDir.toString)
+      .select($"user_id".as("key"), $"ts", $"event_id", $"value")
+    val q = Events.rollingStream(src, horizonSec = 3600)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("maxFilesPerTrigger", "1")
+      .format("parquet").option("path", s"$tmp/out").start()
+    q.awaitTermination(180000)
+    val streamed = spark.read.parquet(s"$tmp/out")
+      .select($"event_id", $"roll_n", $"roll_sum")
+    val batch = graft.operators.Rolling.trailing(
+        ev.select($"event_id", $"user_id", $"ts", $"value"),
+        "user_id", "ts", "value", 3600L)
+      .select($"event_id", $"roll_n", $"roll_sum")
+    assert(streamed.count() == batch.count(),
+      s"streamed ${streamed.count()} vs batch ${batch.count()}")
+    assert(streamed.exceptAll(batch).count() == 0 &&
+      batch.exceptAll(streamed).count() == 0)
+    // the horizon actually groups events (some frame has n > 1)
+    assert(streamed.filter($"roll_n" > 1).count() > 0)
+  }
+
   test("streaming gap-fill equals the batch operator on a drained stream") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-gfs").toString
     val inDir = java.nio.file.Paths.get(tmp, "in")
