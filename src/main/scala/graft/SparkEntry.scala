@@ -420,6 +420,33 @@ object SparkEntry {
           .as("bottom5"))
         .orderBy(col("l_returnflag"))),
 
+    "op_sketch_rollup" -> ((s, dir) => {
+      // persistable mergeable distinct-count sketches: monthly HLL
+      // sketches of the customer set union to EXACTLY the register
+      // state one direct pass builds (same lgK ⇒ lossless merge), so a
+      // persisted rollup table answers coarser distincts without
+      // rescanning raw data. DuckDB's sketch differs, so the gates ARE
+      // the result (q11 pattern): union==direct pinned exactly, ±2% vs
+      // exact pinned true
+      val o = t(s, dir, "orders")
+        .withColumn("mon", date_trunc("month", col("o_orderdate")))
+      val rolled = graft.operators.Sketches.estimateAcross(
+        graft.operators.Sketches.buildRollup(
+          o, Seq("o_orderstatus"), "mon", "o_custkey", lgK = 14),
+        Seq("o_orderstatus"))
+      val direct = o.groupBy(col("o_orderstatus"))
+        .agg(graft.operators.Sketches.hllEstimate(
+            graft.operators.Sketches.hllSketch(col("o_custkey"), 14))
+          .as("est_direct"),
+          countDistinct(col("o_custkey")).as("exact_cust"))
+      direct.join(rolled, Seq("o_orderstatus"))
+        .select(col("o_orderstatus"), col("exact_cust"),
+          (col("distinct_est") === col("est_direct")).as("union_eq_direct"),
+          (abs(col("distinct_est") - col("exact_cust")) <=
+            col("exact_cust") * 0.02).as("within_2pct"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
     "dd_canonical" -> ((s, dir) => {
       // best-copy election over the MinHash near-dup clusters: keep the
       // NEWEST copy (score = doc_id, the crawl-recency convention)
@@ -904,6 +931,26 @@ object SparkEntry {
       val (target, staged) = incFixture(s, dir)
       Incremental.merge(target, staged, Seq("o_orderkey"),
           predicates = Seq(col("t.price") < lit(200000.0)))
+        .orderBy(col("o_orderkey"), col("src"))
+    }),
+
+    "inc_insert_overwrite" -> ((s, dir) => {
+      // partitioned fixture: o_orderpriority is the partition key. The
+      // staged batch rewrites two partitions (every 3rd key, doubled
+      // price); the other three priorities pass through untouched — the
+      // partition-replacement strategy, where the rewrite cost is the
+      // touched partitions, never a keyed join against the whole target
+      val o = t(s, dir, "orders")
+      val target = o.select(col("o_orderkey"), col("o_orderpriority"),
+        dec(col("o_totalprice")).cast(DoubleType).as("price"),
+        lit("target").as("src"))
+      val staged = o
+        .filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH") &&
+          pmod(col("o_orderkey"), lit(3)) === 0)
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          (dec(col("o_totalprice")) * 2).cast(DoubleType).as("price"),
+          lit("staged").as("src"))
+      Incremental.insertOverwrite(target, staged, Seq("o_orderpriority"))
         .orderBy(col("o_orderkey"), col("src"))
     }),
 
@@ -3772,6 +3819,37 @@ object SparkEntry {
       }.mkString
       init + steps + "\nSELECT id, label FROM l4 ORDER BY id"
     },
+
+    // partition replacement in plain SQL: keep partitions absent from
+    // the staged batch, append the batch (tuple NOT IN on one non-null
+    // partition column ≡ the anti-join)
+    "inc_insert_overwrite" ->
+      """WITH target AS (
+        |  SELECT o_orderkey, o_orderpriority,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price,
+        |    'target' AS src
+        |  FROM orders),
+        |staged AS (
+        |  SELECT o_orderkey, o_orderpriority,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 2 AS DOUBLE) AS price,
+        |    'staged' AS src
+        |  FROM orders
+        |  WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    AND o_orderkey % 3 = 0)
+        |SELECT * FROM target
+        |WHERE o_orderpriority NOT IN (SELECT DISTINCT o_orderpriority FROM staged)
+        |UNION ALL SELECT * FROM staged
+        |ORDER BY o_orderkey, src""".stripMargin,
+
+    // DuckDB cannot replay DataSketches HLL, so the gates ARE the
+    // compared values (q11 pattern): exact distinct recomputed here,
+    // both booleans pinned literally true — a sketch drift on the Spark
+    // side hash-mismatches
+    "op_sketch_rollup" ->
+      """SELECT o_orderstatus, count(DISTINCT o_custkey) AS exact_cust,
+        |  true AS union_eq_direct, true AS within_2pct
+        |FROM orders GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
 
     // multiset of the k smallest per group is order-independent, so
     // sort-then-slice replays the heap exactly

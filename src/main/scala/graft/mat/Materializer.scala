@@ -392,7 +392,8 @@ final class Materializer(spark: SparkSession, val catalog: CatalogOps) {
       onSchemaChange: String = "ignore",
       fullRefresh: Boolean = false,
       predicates: Seq[org.apache.spark.sql.Column] = Nil,
-      config: ModelConfig = ModelConfig.empty): Unit = {
+      config: ModelConfig = ModelConfig.empty,
+      partitionCols: Seq[String] = Nil): Unit = {
     val name = rel.render
     val exists = spark.catalog.tableExists(name)
     runHooks(config.preHooks) // incremental.sql:46
@@ -435,6 +436,9 @@ final class Materializer(spark: SparkSession, val catalog: CatalogOps) {
         else Incremental.deleteInsert(target, staged, uniqueKeys, predicates)
       case "merge" =>
         Incremental.merge(target, staged, uniqueKeys, predicates = predicates)
+      case "insert_overwrite" => // extension beyond impl.py:80-81 — the
+        // partitioned-warehouse strategy (see Incremental.insertOverwrite)
+        Incremental.insertOverwrite(target, staged, partitionCols)
       case other =>
         throw new IllegalArgumentException(
           s"invalid incremental strategy: $other") // impl.py:80-81

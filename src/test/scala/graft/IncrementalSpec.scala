@@ -173,6 +173,33 @@ class IncrementalSpec extends SparkSpec {
       out.collect()(0).isNullAt(1))
   }
 
+  test("insert_overwrite replaces exactly the staged partitions") {
+    val target = Seq(
+      (1L, "p1", 10.0), (2L, "p1", 20.0), (3L, "p2", 30.0), (4L, "p3", 40.0)
+    ).toDF("id", "part", "amt")
+    val staged = Seq((9L, "p1", 99.0)).toDF("id", "part", "amt")
+    val out = Incremental.insertOverwrite(target, staged, Seq("part"))
+      .orderBy("id").collect()
+    // p1 fully replaced by the single staged row; p2/p3 untouched
+    assert(out.map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((3L, "p2"), (4L, "p3"), (9L, "p1")))
+  }
+
+  test("insert_overwrite: composite partition key matches as a tuple") {
+    val target = Seq(
+      (1L, "a", 1, 10.0), (2L, "a", 2, 20.0), (3L, "b", 1, 30.0)
+    ).toDF("id", "p1", "p2", "amt")
+    // staged touches only (a,1); (a,2) and (b,1) must survive even
+    // though each shares ONE partition column with the batch
+    val staged = Seq((9L, "a", 1, 99.0)).toDF("id", "p1", "p2", "amt")
+    val out = Incremental.insertOverwrite(target, staged, Seq("p1", "p2"))
+    assert(out.orderBy("id").collect().map(_.getLong(0)).toSeq ==
+      Seq(2L, 3L, 9L))
+    intercept[IllegalArgumentException] {
+      Incremental.insertOverwrite(target, staged, Nil)
+    }
+  }
+
   test("expandColumnTypes widens decimals only upward (incremental.sql:79-81)") {
     import org.apache.spark.sql.types._
     val t = Seq(Tuple1(BigDecimal("1.5"))).toDF("d")

@@ -133,6 +133,20 @@ class MaterializerSpec extends SparkSpec {
     assert(spark.table("inc1").count() == 1)
   }
 
+  test("incremental insert_overwrite strategy replaces staged partitions only") {
+    val rel = Relation("inc_ovr")
+    mat.incremental(rel,
+      Seq((1L, "p1", "a"), (2L, "p2", "b")).toDF("id", "part", "v"),
+      strategy = "insert_overwrite", partitionCols = Seq("part"))
+    mat.incremental(rel,
+      Seq((9L, "p1", "A")).toDF("id", "part", "v"),
+      strategy = "insert_overwrite", partitionCols = Seq("part"))
+    val rows = spark.table("inc_ovr").orderBy("id").collect()
+    // p1 replaced wholesale, p2 untouched
+    assert(rows.map(r => (r.getLong(0), r.getString(2))).toSeq ==
+      Seq((2L, "b"), (9L, "A")))
+  }
+
   test("catalog ops: columns, relations, schemas, comments, grants") {
     mat.table(Relation("cat_t"), Seq((1L, "a", 1.5)).toDF("id", "name", "amt"))
     val cols = cat.getColumnsInRelation(Relation("cat_t"))

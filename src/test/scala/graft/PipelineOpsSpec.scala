@@ -389,4 +389,46 @@ class PipelineOpsSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"),
       s"expected broadcast clip join, got:\n$plan")
   }
+
+  // ---- Sketches ----------------------------------------------------
+
+  test("HLL rollup: persisted sketches re-union to the direct estimate") {
+    import graft.operators.Sketches
+    val o = Tables.load(spark, sf, "orders")
+      .withColumn("mon", date_trunc("month", $"o_orderdate"))
+    val rollup = Sketches.buildRollup(
+      o, Seq("o_orderstatus"), "mon", "o_custkey", lgK = 12)
+    // the rollup table is a real persistable artifact: write, read back,
+    // and answer the coarser question from the FILES — the raw table is
+    // never rescanned
+    val tmp = java.nio.file.Files.createTempDirectory("graft-sk").toString
+    rollup.write.parquet(s"$tmp/rollup")
+    val persisted = spark.read.parquet(s"$tmp/rollup")
+    val fromFiles = Sketches.estimateAcross(persisted, Seq("o_orderstatus"))
+      .orderBy($"o_orderstatus")
+      .as[(String, Long)].collect().toSeq
+    val direct = o.groupBy($"o_orderstatus")
+      .agg(Sketches.hllEstimate(Sketches.hllSketch($"o_custkey", 12))
+        .as("distinct_est"))
+      .orderBy($"o_orderstatus")
+      .as[(String, Long)].collect().toSeq
+    assert(fromFiles === direct) // same lgK ⇒ lossless union, bit-exact
+    // and the estimate is a real distinct count, not a row count
+    val exact = o.groupBy($"o_orderstatus")
+      .agg(countDistinct($"o_custkey")).orderBy($"o_orderstatus")
+      .as[(String, Long)].collect().toSeq
+    fromFiles.zip(exact).foreach { case ((_, est), (_, ex)) =>
+      assert(math.abs(est - ex) <= 0.05 * ex, s"est $est vs exact $ex")
+    }
+  }
+
+  test("HLL sketch aggregate is map-side partial (sketches cross the exchange, not rows)") {
+    import graft.operators.Sketches
+    val df = Seq(("a", 1L), ("a", 2L), ("b", 1L)).toDF("k", "v")
+    val plan = df.groupBy($"k").agg(Sketches.hllSketch($"v").as("sk"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"), s"plan:\n$plan")
+    assert(plan.toLowerCase.contains("partial_hll_sketch_agg"),
+      s"map-side partial sketch build must precede the exchange:\n$plan")
+  }
 }
