@@ -420,6 +420,51 @@ object SparkEntry {
           .as("bottom5"))
         .orderBy(col("l_returnflag"))),
 
+    "mm_ingest" -> ((s, dir) => {
+      // the multimodal ENTRY POINT: raw files on disk → binaryFile rows.
+      // The row is the full write→ingest round trip: stage docs as .txt
+      // files (staging is scaffolding — in production the files already
+      // exist), ingest the directory via the binaryFile source, emit
+      // (doc_id, n_bytes, md5). The oracle recomputes byte length and
+      // md5 from the documents table, so a byte lost anywhere in the
+      // file round trip hash-mismatches.
+      val stage = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"),
+        "graft_ingest_" + new java.io.File(dir).getName)
+      java.nio.file.Files.createDirectories(stage)
+      val stageStr = stage.toString
+      // empty texts excluded on both sides: a zero-byte file yields no
+      // scan split, so the source emits no row for it (LayoutSpec pin)
+      t(s, dir, "documents")
+        .filter(col("doc_id") < 1000 && length(col("text")) > 0)
+        .select(col("doc_id"), col("text"))
+        .foreachPartition {
+          (it: Iterator[org.apache.spark.sql.Row]) =>
+            it.foreach { r =>
+              java.nio.file.Files.write(
+                java.nio.file.Paths.get(stageStr, s"doc_${r.getLong(0)}.txt"),
+                r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            }
+        }
+      graft.sources.Formats.ingestBinaryDir(s, stageStr, "*.txt")
+        .select(
+          regexp_extract(col("path"), "doc_(\\d+)\\.txt$", 1)
+            .cast(LongType).as("doc_id"),
+          col("length").as("n_bytes"),
+          md5(col("content")).as("md5"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "op_quantile_bin" -> ((s, dir) =>
+      // per-group equi-depth decile of quantity; tie-break columns make
+      // the ntile order total, so both engines bin identically
+      graft.operators.QuantileBin.assign(
+        t(s, dir, "lineitem").select(col("l_orderkey"), col("l_linenumber"),
+          col("l_returnflag"), col("l_quantity")),
+        Seq("l_returnflag"), "l_quantity", 10,
+        Seq("l_orderkey", "l_linenumber"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))),
+
     "op_sketch_rollup" -> ((s, dir) => {
       // persistable mergeable distinct-count sketches: monthly HLL
       // sketches of the customer set union to EXACTLY the register
@@ -3840,6 +3885,26 @@ object SparkEntry {
         |WHERE o_orderpriority NOT IN (SELECT DISTINCT o_orderpriority FROM staged)
         |UNION ALL SELECT * FROM staged
         |ORDER BY o_orderkey, src""".stripMargin,
+
+    // the Spark side round-trips bytes through real files; the oracle
+    // recomputes length and digest straight from the table — equality
+    // proves the file round trip lost nothing
+    "mm_ingest" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  md5(text) AS md5
+        |FROM documents WHERE doc_id < 1000 AND length(text) > 0
+        |ORDER BY doc_id""".stripMargin,
+
+    // SQL ntile over the same total order bins identically in both
+    // engines (first count%n buckets take the extra row)
+    "op_quantile_bin" ->
+      """SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity,
+        |  CAST(ntile(10) OVER (PARTITION BY l_returnflag
+        |    ORDER BY l_quantity, l_orderkey, l_linenumber) AS INTEGER)
+        |    AS l_quantity_bin
+        |FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
     // DuckDB cannot replay DataSketches HLL, so the gates ARE the
     // compared values (q11 pattern): exact distinct recomputed here,

@@ -28,4 +28,23 @@ object Formats {
     df.sparkSession.read.format(format).options(opts)
       .schema(df.schema).load(path)
   }
+
+  /** Ingest a directory of raw files via Spark's `binaryFile` source —
+    * the multimodal entry point: images/audio/any opaque payload arrive
+    * as (path, modificationTime, length, content) rows, ready for the
+    * [[graft.llm.Multimodal]] decode operators. `pathGlob` filters at
+    * the LISTING level (pushed into the file index, not a post-scan
+    * filter), so a mixed directory only lists matching files.
+    *
+    * Scale: listing is distributed for large directories and each file
+    * becomes (at least) one task; the source never splits a file, so
+    * per-file memory is bounded by the largest object — cap payload
+    * size upstream, or store giant media in chunked parquet instead.
+    * Caveat (LayoutSpec-pinned): zero-byte files produce NO row — the
+    * file scan emits no split for an empty file. */
+  def ingestBinaryDir(spark: org.apache.spark.sql.SparkSession,
+                      dir: String, pathGlob: String = "*"): DataFrame =
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", pathGlob)
+      .load(dir)
 }

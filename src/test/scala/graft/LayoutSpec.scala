@@ -395,6 +395,25 @@ class LayoutSpec extends SparkSpec {
       Seq((1L, Some(1.0)), (2L, None), (3L, None), (4L, None)))
   }
 
+  test("binaryFile ingestion: bytes survive, glob filters at listing, " +
+      "zero-byte files are skipped by the source") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-bin")
+    val utf8 = java.nio.charset.StandardCharsets.UTF_8
+    java.nio.file.Files.write(dir.resolve("a.txt"), "héllo — ünïcode".getBytes(utf8))
+    java.nio.file.Files.write(dir.resolve("b.txt"), Array.empty[Byte])
+    java.nio.file.Files.write(dir.resolve("skip.bin"), Array[Byte](1, 2, 3))
+    val got = graft.sources.Formats.ingestBinaryDir(spark, dir.toString, "*.txt")
+      .select(element_at(split($"path", "/"), -1).as("f"), $"length", $"content")
+      .orderBy($"f")
+      .collect()
+    // .bin filtered by the glob; b.txt dropped because Spark's file scan
+    // produces no split for a zero-length file — the documented caveat on
+    // ingestBinaryDir (an empty media file is a no-op row, never a null)
+    assert(got.map(_.getString(0)).toSeq == Seq("a.txt"))
+    assert(new String(got(0).getAs[Array[Byte]](2), utf8) == "héllo — ünïcode")
+    assert(got(0).getLong(1) == "héllo — ünïcode".getBytes(utf8).length)
+  }
+
   private def withConf(kv: (String, String))(body: => Unit): Unit = {
     val (k, v) = kv
     val old = spark.conf.getOption(k)

@@ -390,6 +390,40 @@ class PipelineOpsSpec extends SparkSpec {
       s"expected broadcast clip join, got:\n$plan")
   }
 
+  // ---- QuantileBin ---------------------------------------------------
+
+  test("quantile binning: equi-depth, first count%n buckets take the extra row") {
+    import graft.operators.QuantileBin
+    // 7 rows, 3 bins → sizes 3,2,2; value ties broken by id
+    val df = Seq((1L, 5.0), (2L, 5.0), (3L, 1.0), (4L, 9.0), (5L, 1.0),
+      (6L, 7.0), (7L, 3.0)).toDF("id", "v").withColumn("g", lit("x"))
+    val got = QuantileBin.assign(df, Seq("g"), "v", 3, Seq("id"))
+      .orderBy($"v", $"id").select($"id", $"v_bin")
+      .as[(Long, Int)].collect().toSeq
+    // sorted order: (3,1),(5,1),(7,3) | (1,5),(2,5) | (4,9),(6,7)→(6,7),(4,9)
+    assert(got === Seq((3L, 1), (5L, 1), (7L, 1), (1L, 2), (2L, 2),
+      (6L, 3), (4L, 3)))
+    intercept[IllegalArgumentException] {
+      QuantileBin.assign(df, Seq("g"), "v", 3, Nil) // no total order
+    }
+  }
+
+  test("quantile binning: groups bin independently, one exchange on the key") {
+    import graft.operators.QuantileBin
+    val df = Tables.load(spark, sf, "documents")
+      .select($"doc_id", $"source", $"n_chars")
+    val out = QuantileBin.assign(df, Seq("source"), "n_chars", 4, Seq("doc_id"))
+    // each group's bins are 1..4 and within ±1 of equal size
+    val sizes = out.groupBy($"source", $"n_chars_bin").count()
+      .groupBy($"source").agg((max($"count") - min($"count")).as("spread"),
+        countDistinct($"n_chars_bin").as("nbins"))
+      .collect()
+    assert(sizes.forall(r => r.getLong(1) <= 1 && r.getLong(2) == 4L))
+    val exchanges = "Exchange hashpartitioning".r
+      .findAllIn(out.queryExecution.executedPlan.toString).size
+    assert(exchanges == 1, "binning must cost exactly one exchange on the key")
+  }
+
   // ---- Sketches ----------------------------------------------------
 
   test("HLL rollup: persisted sketches re-union to the direct estimate") {
