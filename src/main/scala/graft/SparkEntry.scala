@@ -465,6 +465,53 @@ object SparkEntry {
         Seq("l_orderkey", "l_linenumber"))
         .orderBy(col("l_orderkey"), col("l_linenumber"))),
 
+    "op_table_diff" -> ((s, dir) => {
+      // CDC between two snapshot versions: old = orders as-is; new =
+      // orders with deterministic deletes (%97), price bumps (%13),
+      // priority rewrites (%17), and appended keys (%1009, shifted).
+      // The diff emits only what changed, with the changed column list.
+      val old = t(s, dir, "orders")
+      val mutated = old.filter(col("o_orderkey") % 97 =!= 0)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 13 === 0, col("o_totalprice") + 1)
+            .otherwise(col("o_totalprice")))
+        .withColumn("o_orderpriority",
+          when(col("o_orderkey") % 17 === 0, lit("9-RECLASSIFIED"))
+            .otherwise(col("o_orderpriority")))
+      val appended = old.filter(col("o_orderkey") % 1009 === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + 100000000L)
+      graft.operators.TableDiff.diff(
+          old, mutated.unionByName(appended), Seq("o_orderkey"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    "op_incremental_agg" -> ((s, dir) => {
+      // merge(aggregate(history), batch) == aggregate(history ∪ batch):
+      // the state table folds the new batch without re-scanning history.
+      // The oracle IS the full recompute over all of lineitem.
+      import graft.mat.IncrementalAgg.{Spec, aggregate, merge}
+      val li = t(s, dir, "lineitem")
+        .withColumn("qty_dec", dec(col("l_quantity")))
+        .withColumn("price_dec", dec(col("l_extendedprice")))
+      val history = li.filter(col("l_orderkey") % 3 =!= 0)
+      val batch = li.filter(col("l_orderkey") % 3 === 0)
+      val keys = Seq("l_returnflag", "l_linestatus")
+      val specs = Seq(
+        Spec("sum_qty", "sum", "qty_dec"),
+        Spec("sum_price", "sum", "price_dec"),
+        Spec("n_rows", "count", ""),
+        Spec("min_ship", "min", "l_shipdate"),
+        Spec("max_ship", "max", "l_shipdate"))
+      merge(aggregate(history, keys, specs), batch, keys, specs)
+        .select(col("l_returnflag"), col("l_linestatus"),
+          col("sum_qty").cast(DoubleType).as("sum_qty"),
+          col("sum_price").cast(DoubleType).as("sum_price"),
+          col("n_rows"),
+          (col("sum_price").cast(DoubleType) / col("n_rows")).as("avg_price"),
+          col("min_ship"), col("max_ship"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
     "op_sketch_rollup" -> ((s, dir) => {
       // persistable mergeable distinct-count sketches: monthly HLL
       // sketches of the customer set union to EXACTLY the register
@@ -3905,6 +3952,54 @@ object SparkEntry {
         |    AS l_quantity_bin
         |FROM lineitem
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    // same deterministic mutation replayed in SQL; IS DISTINCT FROM is
+    // the null-safe compare, concat_ws skips NULLs exactly like Spark's
+    "op_table_diff" ->
+      """WITH neu AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus,
+        |    CASE WHEN o_orderkey % 13 = 0 THEN o_totalprice + 1
+        |         ELSE o_totalprice END AS o_totalprice,
+        |    o_orderdate,
+        |    CASE WHEN o_orderkey % 17 = 0 THEN '9-RECLASSIFIED'
+        |         ELSE o_orderpriority END AS o_orderpriority
+        |  FROM orders WHERE o_orderkey % 97 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 100000000, o_custkey, o_orderstatus,
+        |    o_totalprice, o_orderdate, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 1009 = 0)
+        |SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+        |  CASE WHEN o.o_orderkey IS NULL THEN 'added'
+        |       WHEN n.o_orderkey IS NULL THEN 'removed'
+        |       ELSE 'changed' END AS change,
+        |  CASE WHEN o.o_orderkey IS NULL OR n.o_orderkey IS NULL THEN NULL
+        |       ELSE concat_ws(',',
+        |    CASE WHEN o.o_custkey       IS DISTINCT FROM n.o_custkey       THEN 'o_custkey' END,
+        |    CASE WHEN o.o_orderdate     IS DISTINCT FROM n.o_orderdate     THEN 'o_orderdate' END,
+        |    CASE WHEN o.o_orderpriority IS DISTINCT FROM n.o_orderpriority THEN 'o_orderpriority' END,
+        |    CASE WHEN o.o_orderstatus   IS DISTINCT FROM n.o_orderstatus   THEN 'o_orderstatus' END,
+        |    CASE WHEN o.o_totalprice    IS DISTINCT FROM n.o_totalprice    THEN 'o_totalprice' END)
+        |  END AS changed_cols
+        |FROM orders o FULL OUTER JOIN neu n ON o.o_orderkey = n.o_orderkey
+        |WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+        |   OR (o.o_custkey       IS DISTINCT FROM n.o_custkey
+        |    OR o.o_orderdate     IS DISTINCT FROM n.o_orderdate
+        |    OR o.o_orderpriority IS DISTINCT FROM n.o_orderpriority
+        |    OR o.o_orderstatus   IS DISTINCT FROM n.o_orderstatus
+        |    OR o.o_totalprice    IS DISTINCT FROM n.o_totalprice)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    // the oracle IS the full recompute the merge avoids: exact decimal
+    // sums over all of lineitem, double-cast at the end on both sides
+    "op_incremental_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |  count(*) AS n_rows,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price,
+        |  min(l_shipdate) AS min_ship, max(l_shipdate) AS max_ship
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
 
     // DuckDB cannot replay DataSketches HLL, so the gates ARE the
     // compared values (q11 pattern): exact distinct recomputed here,

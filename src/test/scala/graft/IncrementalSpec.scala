@@ -200,6 +200,33 @@ class IncrementalSpec extends SparkSpec {
     }
   }
 
+  test("incremental agg: merge(aggregate(history), batch) == full recompute") {
+    import graft.mat.IncrementalAgg
+    import graft.mat.IncrementalAgg.Spec
+    val all = Tables.load(spark, sf, "lineitem")
+      .select($"l_returnflag", $"l_quantity", $"l_shipdate")
+    val history = all.filter(hash($"l_quantity", $"l_shipdate") % 4 =!= 0)
+    val batch = all.filter(hash($"l_quantity", $"l_shipdate") % 4 === 0)
+    val specs = Seq(Spec("sq", "sum", "l_quantity"), Spec("n", "count", ""),
+      Spec("mn", "min", "l_shipdate"), Spec("mx", "max", "l_shipdate"))
+    val keys = Seq("l_returnflag")
+    val merged = IncrementalAgg.merge(
+      IncrementalAgg.aggregate(history, keys, specs), batch, keys, specs)
+    val full = IncrementalAgg.aggregate(all, keys, specs)
+    assert(merged.orderBy($"l_returnflag").collect().toSeq ==
+      full.orderBy($"l_returnflag").collect().toSeq)
+    // keys only in the batch appear; keys only in history survive
+    val histOnly = Seq(("x", 1.0)).toDF("k", "v")
+    val batchOnly = Seq(("y", 2.0), ("y", 3.0)).toDF("k", "v")
+    val s2 = Seq(Spec("sv", "sum", "v"), Spec("n", "count", ""))
+    val m2 = IncrementalAgg.merge(
+      IncrementalAgg.aggregate(histOnly, Seq("k"), s2), batchOnly, Seq("k"), s2)
+      .orderBy($"k").as[(String, Double, Long)].collect().toSeq
+    assert(m2 == Seq(("x", 1.0, 1L), ("y", 5.0, 2L)))
+    // non-mergeable aggregates are rejected at construction
+    intercept[IllegalArgumentException] { Spec("bad", "median", "v") }
+  }
+
   test("expandColumnTypes widens decimals only upward (incremental.sql:79-81)") {
     import org.apache.spark.sql.types._
     val t = Seq(Tuple1(BigDecimal("1.5"))).toDF("d")

@@ -424,6 +424,33 @@ class PipelineOpsSpec extends SparkSpec {
     assert(exchanges == 1, "binning must cost exactly one exchange on the key")
   }
 
+  // ---- TableDiff -----------------------------------------------------
+
+  test("table diff: added/removed/changed with null-safe column lists") {
+    import graft.operators.TableDiff
+    val old = Seq((1L, Some("a"), Some(1.0)), (2L, Some("b"), Some(2.0)),
+      (3L, Some("c"), None), (4L, None, Some(4.0)))
+      .toDF("id", "s", "v")
+    val neu = Seq((1L, Some("a"), Some(1.0)),      // unchanged → no row
+      (2L, Some("B"), Some(2.5)),                  // both cols changed
+      (3L, Some("c"), Some(3.0)),                  // null → value IS a change
+      (5L, Some("e"), Some(5.0)))                  // added; 4 removed
+      .toDF("id", "s", "v")
+    val got = TableDiff.diff(old, neu, Seq("id"))
+      .orderBy($"id").as[(Long, String, Option[String])].collect().toSeq
+    assert(got == Seq(
+      (2L, "changed", Some("s,v")),
+      (3L, "changed", Some("v")),
+      (4L, "removed", None),
+      (5L, "added", None)))
+    // identical snapshots diff to nothing
+    assert(TableDiff.diff(old, old, Seq("id")).count() == 0L)
+    // schema mismatch refused
+    intercept[IllegalArgumentException] {
+      TableDiff.diff(old, neu.withColumnRenamed("v", "w"), Seq("id"))
+    }
+  }
+
   // ---- Sketches ----------------------------------------------------
 
   test("HLL rollup: persisted sketches re-union to the direct estimate") {
