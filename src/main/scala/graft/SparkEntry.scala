@@ -1557,6 +1557,12 @@ object SparkEntry {
       TextAnalysis.vocabCounts(t(s, dir, "documents"), "text")
         .orderBy(col("tok"))),
 
+    "ta_drift" -> ((s, dir) =>
+      // top-50 drifted tokens between the en slice and the rest —
+      // integer-exact ppm deltas, never an order-dependent log-sum
+      TextAnalysis.tokenDrift(t(s, dir, "documents"), "text",
+        col("lang") === "en", 50)),
+
     "ta_dupspans" -> ((s, dir) =>
       // per-doc duplicated-span coverage (substring-dedup signal)
       TextAnalysis.dupSpanFraction(t(s, dir, "documents"), "doc_id", "text")
@@ -1666,6 +1672,13 @@ object SparkEntry {
         .join(d.select(col("doc_id").as("id_b")), Seq("id_b"), "left_semi")
       Dedup.jaccardOnPairs(d, pairs, "doc_id", "text").orderBy(col("id_a"))
     }),
+
+    "dd_allpairs" -> ((s, dir) =>
+      // EXACT Jaccard self-join via AllPairs prefix filtering; the
+      // oracle is the definitional brute force — equality proves the
+      // prefix+size pruning dropped nothing
+      graft.llm.Dedup.allPairs(t(s, dir, "documents"), "doc_id", "text", 0.8)
+        .orderBy(col("doc_a"), col("doc_b"))),
 
     "dd_incremental" -> ((s, dir) => {
       // incremental ingestion: history (doc_id < 400) persists its
@@ -2928,6 +2941,27 @@ object SparkEntry {
         |  SELECT unnest(${toksSql("lower(text)")}) AS tok FROM documents)
         |GROUP BY tok ORDER BY tok""".stripMargin,
 
+    // integer-exact ppm drift: floor division `//` mirrors Spark's
+    // `div`; sums cast back to BIGINT (DuckDB sums BIGINT into HUGEINT)
+    "ta_drift" ->
+      s"""WITH tk AS (SELECT lang = 'en' AS p,
+        |    unnest(${toksSql("lower(text)")}) AS tok FROM documents),
+        |c AS (SELECT tok,
+        |    CAST(sum(CASE WHEN p THEN 1 ELSE 0 END) AS BIGINT) AS n_p,
+        |    CAST(sum(CASE WHEN NOT p THEN 1 ELSE 0 END) AS BIGINT) AS n_q
+        |  FROM tk GROUP BY tok),
+        |tt AS (SELECT CAST(sum(n_p) AS BIGINT) AS t_p,
+        |    CAST(sum(n_q) AS BIGINT) AS t_q FROM c)
+        |SELECT tok, n_p, n_q,
+        |  (n_p * 1000000) // greatest(t_p, 1) AS ppm_p,
+        |  (n_q * 1000000) // greatest(t_q, 1) AS ppm_q,
+        |  ((n_p * 1000000) // greatest(t_p, 1))
+        |    - ((n_q * 1000000) // greatest(t_q, 1)) AS delta_ppm
+        |FROM c, tt
+        |ORDER BY abs(((n_p * 1000000) // greatest(t_p, 1))
+        |  - ((n_q * 1000000) // greatest(t_q, 1))) DESC, tok
+        |LIMIT 50""".stripMargin,
+
     "ta_dupspans" ->
       s"""WITH w AS (SELECT doc_id, ${toksSql("lower(text)")} AS ws FROM documents),
         |sh AS (SELECT doc_id, $shingleSql AS shl FROM w),
@@ -3282,6 +3316,26 @@ object SparkEntry {
         |FROM pairs p LEFT JOIN inter ON inter.id_a = p.id_a AND inter.id_b = p.id_b
         |JOIN sz sa ON sa.doc_id = p.id_a JOIN sz sb ON sb.doc_id = p.id_b
         |ORDER BY p.id_a""".stripMargin,
+
+    // the definitional brute force: every co-token pair, exact
+    // intersection, exact Jaccard — what the Spark side's prefix
+    // filtering must reproduce without losing a single pair
+    "dd_allpairs" ->
+      s"""WITH toks AS (
+        |  SELECT doc_id, unnest(list_distinct(${toksSql("lower(text)")})) AS tok
+        |  FROM documents),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+        |  FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT da AS doc_a, db AS doc_b, i AS inter,
+        |  sa.n + sb.n - i AS uni,
+        |  CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jaccard
+        |FROM inter
+        |JOIN sizes sa ON sa.doc_id = da
+        |JOIN sizes sb ON sb.doc_id = db
+        |WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8
+        |ORDER BY doc_a, doc_b""".stripMargin,
 
     "dd_incremental" ->
       s"""WITH hu AS (SELECT doc_id, lower(text) AS t FROM documents

@@ -521,6 +521,72 @@ object Dedup {
           (col("sz_a") + col("sz_b") - col("inter")), 6).as("jaccard"))
   }
 
+  /** EXACT set-similarity self-join: every pair of documents whose
+    * word-token sets have Jaccard ≥ `threshold` — no LSH, no
+    * probabilistic recall; the exact complement to
+    * [[minhashCandidates]] when a pipeline must certify "no duplicate
+    * above t survives" (licensing audits, eval-set isolation). Uses
+    * AllPairs/PPJoin-style prefix filtering (Bayardo et al., WWW'07;
+    * reference has no such operator — its dedup is delegated wholesale):
+    * tokens are globally ordered rarest-first, each document exposes
+    * only its first `|d| - ceil(t·|d|) + 1` tokens as join keys, and the
+    * AllPairs lemma guarantees any pair with J ≥ t shares a prefix
+    * token. A size filter (`min ≥ t·max`) prunes before verification;
+    * exact intersection counts verify only surviving candidates.
+    *
+    * Shape at scale: the prefix join keys on single RARE tokens (the
+    * frequency order exists precisely so prefixes hold the rarest
+    * tokens), so bucket sizes stay small where an unordered token join
+    * explodes on stopwords; candidate volume — not corpus² — drives the
+    * verify cost. Frequency ranking is one map-side-combined groupBy of
+    * vocab size; everything else is equi-joins.
+    *
+    * Output: (doc_a, doc_b, inter, uni, jaccard), doc_a < doc_b. */
+  def allPairs(df: DataFrame, id: String, text: String,
+               threshold: Double): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"threshold must be in (0,1]: $threshold")
+    // threshold as an EXACT parts-per-million rational: float math at
+    // the boundary lies (IEEE 0.8·5 = 4.0000000000000002, whose ceil
+    // shortens the prefix below what the AllPairs lemma requires and
+    // silently drops J-exactly-t pairs). All pruning below is integer.
+    val tN = math.round(threshold * 1000000)
+    require(math.abs(tN / 1e6 - threshold) < 1e-12,
+      s"threshold must have at most 6 decimal places: $threshold")
+    import org.apache.spark.sql.expressions.Window
+    val toks = df.select(col(id).as("doc"),
+        explode(array_distinct(TextAnalysis.tokens(lower(col(text)))))
+          .as("tok"))
+    val freq = toks.groupBy("tok").agg(count(lit(1)).as("gf"))
+    val sizes = toks.groupBy("doc").agg(count(lit(1)).as("sz"))
+    // rarest-first total order (ties by token string) per document
+    val ranked = toks.join(freq, Seq("tok"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("doc")).orderBy(col("gf"), col("tok"))))
+    // prefix length |d| - ceil(t·|d|) + 1, ceil via (a + b - 1) div b
+    val prefix = ranked.join(sizes, Seq("doc"))
+      .filter(col("rnk") <= col("sz") + 1 - expr(
+        s"(CAST($tN AS BIGINT) * sz + 999999) div CAST(1000000 AS BIGINT)"))
+      .select(col("doc"), col("tok"), col("sz"))
+    val cand = prefix.alias("pa").join(prefix.alias("pb"),
+        col("pa.tok") === col("pb.tok") && col("pa.doc") < col("pb.doc"))
+      .select(col("pa.doc").as("doc_a"), col("pb.doc").as("doc_b"),
+        col("pa.sz").as("sz_a"), col("pb.sz").as("sz_b"))
+      .filter(least(col("sz_a"), col("sz_b")) * 1000000L >=
+        lit(tN) * greatest(col("sz_a"), col("sz_b")))
+      .distinct()
+    val inter = cand
+      .join(toks.select(col("doc").as("doc_a"), col("tok")), Seq("doc_a"))
+      .join(toks.select(col("doc").as("doc_b"), col("tok")),
+        Seq("doc_b", "tok"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+    cand.join(inter, Seq("doc_a", "doc_b"))
+      .withColumn("uni", col("sz_a") + col("sz_b") - col("inter"))
+      .filter(col("inter") * 1000000L >= lit(tN) * col("uni"))
+      .withColumn("jaccard", col("inter").cast(DoubleType) / col("uni"))
+      .select("doc_a", "doc_b", "inter", "uni", "jaccard")
+  }
+
   // -------------------------------------------------------------------
   // SimHash
   // -------------------------------------------------------------------

@@ -161,6 +161,47 @@ object TextAnalysis {
     df.select(explode(tokens(lower(col(text)))).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("n"))
 
+  /** Distribution drift between two corpus slices: the top-k tokens by
+    * absolute parts-per-million rate difference between the slice where
+    * `inP` holds and its complement — the monitoring primitive behind
+    * "did this crawl/source shift under us" checks. Deliberately
+    * INTEGER-exact (counts and floor-ppm rates, like [[mixtureFlags]]'s
+    * ppm thresholds) rather than KL/JS floats: a log-sum's value depends
+    * on engine summation order, while ppm deltas hash-compare bit-for-
+    * bit across engines AND tell the operator WHICH tokens drifted —
+    * the actionable part of any drift alarm.
+    *
+    * Shape at scale: one explode into one map-side-combined groupBy
+    * keyed on token (conditional sums — the slice predicate never
+    * shuffles separately), then top-k over vocab-sized — not
+    * corpus-sized — rows via TakeOrdered. Tie-break on the token string
+    * makes the top-k deterministic across engines.
+    *
+    * Output: (tok, n_p, n_q, ppm_p, ppm_q, delta_ppm), |delta| desc. */
+  def tokenDrift(df: org.apache.spark.sql.DataFrame, text: String,
+                 inP: Column, k: Int): org.apache.spark.sql.DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val counts = df
+      .select(col(text), inP.as("__graft_p"))
+      .select(explode(tokens(lower(col(text)))).as("tok"), col("__graft_p"))
+      .groupBy("tok")
+      .agg(sum(when(col("__graft_p"), 1L).otherwise(0L)).as("n_p"),
+        sum(when(!col("__graft_p"), 1L).otherwise(0L)).as("n_q"))
+    val tot = counts.agg(
+      sum(col("n_p")).as("t_p"), sum(col("n_q")).as("t_q"))
+    counts.crossJoin(broadcast(tot))
+      .select(col("tok"), col("n_p"), col("n_q"),
+        // integer `div`, not `/`: Spark's / on BIGINT returns DOUBLE,
+        // and floor-of-double drifts from exact long division at scale
+        expr("n_p * CAST(1000000 AS BIGINT) div greatest(t_p, CAST(1 AS BIGINT))")
+          .as("ppm_p"),
+        expr("n_q * CAST(1000000 AS BIGINT) div greatest(t_q, CAST(1 AS BIGINT))")
+          .as("ppm_q"))
+      .withColumn("delta_ppm", col("ppm_p") - col("ppm_q"))
+      .orderBy(abs(col("delta_ppm")).desc, col("tok"))
+      .limit(k)
+  }
+
   /** Duplicate-span coverage: the fraction of a document's DISTINCT word
     * n-gram shingles that also occur in at least one OTHER document —
     * the per-document signal substring-level dedup (Lee et al.,

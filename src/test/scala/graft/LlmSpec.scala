@@ -37,6 +37,45 @@ class LlmSpec extends SparkSpec {
     assert(j(1).getDouble(2) == 0.6)
   }
 
+  test("allPairs: exact boundary pair kept, brute-force parity on real docs") {
+    // |A∩B|=4, |A∪B|=5 → J exactly 0.8: the pair the float-ceil prefix
+    // math silently dropped — must be present at threshold 0.8
+    val hand = Seq((1L, "a b c d"), (2L, "a b c d e"), (3L, "x y z w q"))
+      .toDF("doc_id", "text")
+    val got = Dedup.allPairs(hand, "doc_id", "text", 0.8)
+      .select($"doc_a", $"doc_b", $"inter", $"uni", $"jaccard")
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq((1L, 2L, 4L, 5L, 0.8)))
+    // parity with the definitional brute force on the real corpus
+    val toks = docs.select($"doc_id".as("doc"),
+      explode(array_distinct(TextAnalysis.tokens(lower($"text")))).as("tok"))
+    val sizes = toks.groupBy("doc").agg(count(lit(1)).as("sz"))
+    val brute = toks.alias("a").join(toks.alias("b"),
+        col("a.tok") === col("b.tok") && col("a.doc") < col("b.doc"))
+      .groupBy(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.select($"doc".as("doc_a"), $"sz".as("sz_a")), Seq("doc_a"))
+      .join(sizes.select($"doc".as("doc_b"), $"sz".as("sz_b")), Seq("doc_b"))
+      .filter($"inter" * 1000000L >= ($"sz_a" + $"sz_b" - $"inter") * 700000L)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    val mine = Dedup.allPairs(docs, "doc_id", "text", 0.7)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    assert(mine == brute, s"missing=${brute -- mine} extra=${mine -- brute}")
+  }
+
+  test("tokenDrift: ppm math integer-exact, top-k tie-broken by token") {
+    val df = Seq(("p", "a a b"), ("q", "a c c c"))
+      .toDF("slice", "text")
+    val got = TextAnalysis.tokenDrift(df, "text", $"slice" === "p", 10)
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    // P totals 3: a=2,b=1 → ppm 666666, 333333; Q totals 4: a=1,c=3 →
+    // 250000, 750000. deltas: c -750000, b +333333, a +416666
+    assert(got == Seq(
+      ("c", 0L, 3L, 0L, 750000L, -750000L),
+      ("a", 2L, 1L, 666666L, 250000L, 416666L),
+      ("b", 1L, 0L, 333333L, 0L, 333333L)))
+  }
+
   test("simhash: identical text → distance 0, perturbed text → small distance") {
     val d = Seq((0L, "the quick brown fox jumps over the lazy dog again and again"),
       (1L, "the quick brown fox jumps over the lazy dog again and again"),
