@@ -465,6 +465,22 @@ object SparkEntry {
         Seq("l_orderkey", "l_linenumber"))
         .orderBy(col("l_orderkey"), col("l_linenumber"))),
 
+    "op_twap" -> ((s, dir) =>
+      // carry-forward time-weighted mean per user over irregular event
+      // ticks; microsecond integer intervals, decimal-exact weighted sum
+      graft.operators.TimeWeighted.twap(t(s, dir, "events"),
+        Seq("user_id"), "ts", col("value").cast(DecimalType(18, 4)),
+        Seq("event_id"))
+        .orderBy(col("user_id"))),
+
+    "op_regression" -> ((s, dir) =>
+      // per-segment OLS of price on quantity: decimal-exact moments,
+      // double closed form mirrored token-for-token in the oracle
+      graft.operators.Regression.ols(t(s, dir, "lineitem"),
+        Seq("l_returnflag"), dec(col("l_quantity")),
+        dec(col("l_extendedprice")))
+        .orderBy(col("l_returnflag"))),
+
     "op_table_diff" -> ((s, dir) => {
       // CDC between two snapshot versions: old = orders as-is; new =
       // orders with deterministic deletes (%97), price bumps (%13),
@@ -4006,6 +4022,52 @@ object SparkEntry {
         |    AS l_quantity_bin
         |FROM lineitem
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    // epoch_us mirrors unix_micros exactly (integer microseconds — a
+    // seconds-level epoch would truncate here and round there); the
+    // weighted sum is decimal×bigint, double only at the final division
+    "op_twap" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS t,
+        |    CAST(value AS DECIMAL(18,4)) AS v,
+        |    lead(epoch_us(ts)) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS nt
+        |  FROM events)
+        |SELECT user_id, count(*) + 1 AS n_events,
+        |  CAST(sum(nt - t) AS BIGINT) AS total_us,
+        |  round(CAST(sum(v * (nt - t)) AS DOUBLE)
+        |    / CAST(sum(nt - t) AS BIGINT), 6) AS twap
+        |FROM e WHERE nt IS NOT NULL
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // decimal-exact moment sums (order-independent), then the IDENTICAL
+    // double expression tree as Regression.ols — same op sequence,
+    // same IEEE result
+    "op_regression" ->
+      """WITH a AS (SELECT l_returnflag, count(*) AS n,
+        |    sum(CAST(l_quantity AS DECIMAL(18,2))) AS sx,
+        |    sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sy,
+        |    sum(CAST(l_quantity AS DECIMAL(18,2))
+        |      * CAST(l_quantity AS DECIMAL(18,2))) AS sxx,
+        |    sum(CAST(l_quantity AS DECIMAL(18,2))
+        |      * CAST(l_extendedprice AS DECIMAL(18,2))) AS sxy,
+        |    sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |      * CAST(l_extendedprice AS DECIMAL(18,2))) AS syy
+        |  FROM lineitem GROUP BY l_returnflag),
+        |d AS (SELECT l_returnflag, n, CAST(n AS DOUBLE) AS nd,
+        |    CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd,
+        |    CAST(sxx AS DOUBLE) AS sxxd, CAST(sxy AS DOUBLE) AS sxyd,
+        |    CAST(syy AS DOUBLE) AS syyd
+        |  FROM a)
+        |SELECT l_returnflag, n,
+        |  CASE WHEN nd*sxxd - sxd*sxd <> 0
+        |    THEN (nd*sxyd - sxd*syd) / (nd*sxxd - sxd*sxd) END AS slope,
+        |  CASE WHEN nd*sxxd - sxd*sxd <> 0
+        |    THEN (syd - ((nd*sxyd - sxd*syd) / (nd*sxxd - sxd*sxd)) * sxd) / nd
+        |    END AS intercept,
+        |  CASE WHEN nd*sxxd - sxd*sxd <> 0 AND nd*syyd - syd*syd <> 0
+        |    THEN ((nd*sxyd - sxd*syd) * (nd*sxyd - sxd*syd))
+        |      / ((nd*sxxd - sxd*sxd) * (nd*syyd - syd*syd)) END AS r2
+        |FROM d ORDER BY l_returnflag""".stripMargin,
 
     // same deterministic mutation replayed in SQL; IS DISTINCT FROM is
     // the null-safe compare, concat_ws skips NULLs exactly like Spark's

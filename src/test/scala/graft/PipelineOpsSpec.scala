@@ -424,6 +424,47 @@ class PipelineOpsSpec extends SparkSpec {
     assert(exchanges == 1, "binning must cost exactly one exchange on the key")
   }
 
+  // ---- TimeWeighted --------------------------------------------------
+
+  test("twap: carry-forward weighting, last obs weightless, single-obs keys absent") {
+    import graft.operators.TimeWeighted
+    import org.apache.spark.sql.types.DecimalType
+    val df = Seq(
+      // key a: v=10 for 2s, v=20 for 1s → twap (10·2+20·1)/3 = 40/3
+      ("a", "2024-01-01 00:00:00", 1L, 10.0),
+      ("a", "2024-01-01 00:00:02", 2L, 20.0),
+      ("a", "2024-01-01 00:00:03", 3L, 99.0), // last: no weight
+      ("b", "2024-01-01 00:00:00", 4L, 7.0))  // single obs: no row
+      .toDF("k", "ts_s", "eid", "v")
+      .withColumn("ts", $"ts_s".cast("timestamp"))
+    val got = TimeWeighted.twap(df, Seq("k"), "ts",
+        $"v".cast(DecimalType(18, 4)), Seq("eid"))
+      .as[(String, Long, Long, Double)].collect().toSeq
+    assert(got == Seq(("a", 3L, 3000000L, 13.333333))) // round(40/3, 6)
+    intercept[IllegalArgumentException] {
+      TimeWeighted.twap(df, Seq("k"), "ts", $"v", Nil)
+    }
+  }
+
+  // ---- Regression ----------------------------------------------------
+
+  test("ols: exact line recovered, zero-variance group yields nulls") {
+    import graft.operators.Regression
+    import org.apache.spark.sql.types.DecimalType
+    val df = Seq(
+      ("g", 1.0, 3.0), ("g", 2.0, 5.0), ("g", 3.0, 7.0),   // y = 2x + 1
+      ("z", 4.0, 1.0), ("z", 4.0, 9.0))                    // var(x) = 0
+      .toDF("k", "x", "y")
+    val got = Regression.ols(df, Seq("k"),
+        $"x".cast(DecimalType(18, 2)), $"y".cast(DecimalType(18, 2)))
+      .orderBy($"k")
+      .as[(String, Long, Option[Double], Option[Double], Option[Double])]
+      .collect().toSeq
+    assert(got == Seq(
+      ("g", 3L, Some(2.0), Some(1.0), Some(1.0)),
+      ("z", 2L, None, None, None)))
+  }
+
   // ---- TableDiff -----------------------------------------------------
 
   test("table diff: added/removed/changed with null-safe column lists") {
