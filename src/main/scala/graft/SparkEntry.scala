@@ -413,12 +413,17 @@ object SparkEntry {
     "op_bottomk_agg" -> ((s, dir) =>
       // top-k as a MERGEABLE AGGREGATE (custom TypedImperativeAggregate,
       // ObjectHashAggregate partial+final): only k values per group
-      // cross the exchange, vs the window form shuffling every raw row
+      // cross the exchange, vs the window form shuffling every raw row.
+      // Compared row is the EXPLODED (group, pos, value) shape — the
+      // driver's row-sorter cannot order raw array cells (r7 `err`);
+      // the operator API itself still returns the array
       t(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
         .agg(graft.functions.BottomK.bottomK(col("l_orderkey"), 5)
           .as("bottom5"))
-        .orderBy(col("l_returnflag"))),
+        .select(col("l_returnflag"),
+          posexplode(col("bottom5")).as(Seq("pos", "orderkey")))
+        .orderBy(col("l_returnflag"), col("pos"))),
 
     "mm_ingest" -> ((s, dir) => {
       // the multimodal ENTRY POINT: raw files on disk → binaryFile rows.
@@ -1617,11 +1622,15 @@ object SparkEntry {
     "ta_bpe_encode" -> ((s, dir) =>
       // encode-to-ids: merge application + vocab id mapping compared
       // exactly under the fixed merge list (training itself is covered
-      // by ta_bpe_pairs + the LlmSpec policy pin); map-only projection
+      // by ta_bpe_pairs + the LlmSpec policy pin); map-only projection.
+      // Compared row explodes ids to (doc_id, pos, id) scalars — the
+      // driver's row-sorter cannot order raw array cells (r7 `err`);
+      // empty-token docs drop out of BOTH engines identically
       TextAnalysis.bpeEncode(t(s, dir, "documents"), "doc_id", "text",
           bpeEncMerges, bpeEncVocab)
         .withColumnRenamed("doc", "doc_id")
-        .orderBy(col("doc_id"))),
+        .select(col("doc_id"), posexplode(col("ids")).as(Seq("pos", "id")))
+        .orderBy(col("doc_id"), col("pos"))),
 
     "ta_normalize" -> ((s, dir) =>
       // canonical cleanup ahead of any hash-based op: NFC composition
@@ -3119,9 +3128,9 @@ object SparkEntry {
         |enc AS (SELECT doc_id, list(coalesce(v.id, -1) ORDER BY wi, si)
         |    AS ids
         |  FROM se LEFT JOIN v USING (s) GROUP BY doc_id)
-        |SELECT dd.doc_id, coalesce(enc.ids, []::INTEGER[]) AS ids
-        |FROM documents dd LEFT JOIN enc USING (doc_id)
-        |ORDER BY dd.doc_id""".stripMargin,
+        |SELECT doc_id, (i - 1)::INTEGER AS pos, ids[i]::INTEGER AS id
+        |FROM enc, unnest(range(1, len(ids) + 1)) AS t(i)
+        |ORDER BY doc_id, pos""".stripMargin,
 
     "ta_normalize" ->
       """SELECT doc_id, trim(regexp_replace(regexp_replace(
@@ -4128,11 +4137,16 @@ object SparkEntry {
         |ORDER BY o_orderstatus""".stripMargin,
 
     // multiset of the k smallest per group is order-independent, so
-    // sort-then-slice replays the heap exactly
+    // sort-then-slice replays the heap exactly; exploded to scalar
+    // (group, pos, value) rows for the driver comparator (r7 `err`)
     "op_bottomk_agg" ->
-      """SELECT l_returnflag, (list_sort(list(l_orderkey)))[1:5] AS bottom5
-        |FROM lineitem GROUP BY l_returnflag
-        |ORDER BY l_returnflag""".stripMargin,
+      """WITH b AS (SELECT l_returnflag,
+        |    (list_sort(list(l_orderkey)))[1:5] AS bottom5
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, (i - 1)::INTEGER AS pos,
+        |  bottom5[i]::BIGINT AS orderkey
+        |FROM b, unnest(range(1, len(bottom5) + 1)) AS t(i)
+        |ORDER BY l_returnflag, pos""".stripMargin,
 
     // same minhash/band/walk pipeline as dd_minhash_clusters, then the
     // canonical re-election: score = doc_id ⇒ max(doc) per cluster
@@ -4161,12 +4175,12 @@ object SparkEntry {
     "op_skew_profile" ->
       """WITH s1 AS (SELECT user_id AS k, count(*) AS n FROM events GROUP BY 1),
         |s2 AS (SELECT event_type AS k, count(*) AS n FROM events GROUP BY 1),
-        |p1 AS (SELECT count(*) AS n_keys, sum(n) AS n_rows, max(n) AS max_n,
+        |p1 AS (SELECT count(*) AS n_keys, sum(n)::BIGINT AS n_rows, max(n) AS max_n,
         |  round(quantile_cont(n, 0.5), 6) AS p50_n,
         |  round(quantile_cont(n, 0.99), 6) AS p99_n,
         |  round(max(n)::DOUBLE / (sum(n)::DOUBLE / count(*)), 4) AS skew_ratio,
         |  'user_id' AS key_col FROM s1),
-        |p2 AS (SELECT count(*) AS n_keys, sum(n) AS n_rows, max(n) AS max_n,
+        |p2 AS (SELECT count(*) AS n_keys, sum(n)::BIGINT AS n_rows, max(n) AS max_n,
         |  round(quantile_cont(n, 0.5), 6) AS p50_n,
         |  round(quantile_cont(n, 0.99), 6) AS p99_n,
         |  round(max(n)::DOUBLE / (sum(n)::DOUBLE / count(*)), 4) AS skew_ratio,

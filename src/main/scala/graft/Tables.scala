@@ -16,13 +16,24 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    // events.parquet carries TIMESTAMP(NANOS) which vanilla Spark rejects;
-    // read nanos as long and convert (values are micros-exact in this data).
+    // The driver has regenerated events.parquet across rounds with three
+    // different physical timestamp encodings: TIMESTAMP(NANOS) (which
+    // vanilla Spark rejects — read as long), timezone-aware micros, and
+    // timezone-less micros (TIMESTAMP_NTZ). Normalize all three to
+    // TimestampType here, in the one loader every query shares: the
+    // session timezone is pinned UTC (Bench/Verify/specs), so the
+    // NTZ→TZ cast preserves the instant and the DuckDB oracle (NTZ-
+    // native) keeps matching.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$dir/$name.parquet")
     if (name == "events" && df.schema("ts").dataType == LongType)
       df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else df
+    else {
+      val ntz = df.schema.fields.collect {
+        case f if f.dataType == TimestampNTZType => f.name
+      }
+      ntz.foldLeft(df)((d, c) => d.withColumn(c, col(c).cast(TimestampType)))
+    }
   }
 
   /** Register every table as a temp view so spark.sql sees the same names

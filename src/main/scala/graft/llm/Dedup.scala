@@ -564,17 +564,48 @@ object Dedup {
       .withColumn("rnk", row_number().over(
         Window.partitionBy(col("doc")).orderBy(col("gf"), col("tok"))))
     // prefix length |d| - ceil(t·|d|) + 1, ceil via (a + b - 1) div b
-    val prefix = ranked.join(sizes, Seq("doc"))
+    // Each prefix row carries its doc's WHOLE prefix as a rank-ordered
+    // array (parr) plus the token's 1-based global rank (rnk): both are
+    // what turn the candidate join from AllPairs into PPJoin —
+    //   (a) positional filter: at a shared token with ranks (i, j), no
+    //       shared token can precede it in either list (both lists sort
+    //       by the same global order), so overlap ≤ 1 + min(sz_a-i,
+    //       sz_b-j); prune when that bound misses the required overlap
+    //       ⌈t/(1+t)·(sz_a+sz_b)⌉.
+    //   (b) first-shared-token dedup: a pair surfaces once per shared
+    //       prefix token; emit it ONLY at the globally-smallest shared
+    //       token (head of array_intersect — both arrays sort by the
+    //       same total order, and Spark preserves left-array order).
+    //       A filter in the join projection, where the r7 version paid
+    //       a full exchange to .distinct() the duplicate-heavy pair
+    //       set — the bench-dominating shuffle (103.9 s at sf0.1).
+    // Dropping a pair whose FIRST shared occurrence fails (a) is safe:
+    // at that occurrence the bound is valid for the whole pair.
+    val prefixRows = ranked.join(sizes, Seq("doc"))
       .filter(col("rnk") <= col("sz") + 1 - expr(
         s"(CAST($tN AS BIGINT) * sz + 999999) div CAST(1000000 AS BIGINT)"))
-      .select(col("doc"), col("tok"), col("sz"))
+      .select(col("doc"), col("tok"), col("rnk"), col("sz"))
+    val prefix = prefixRows
+      .groupBy("doc").agg(first(col("sz")).as("sz"),
+        transform(sort_array(collect_list(struct(col("rnk"), col("tok")))),
+          x => x("tok")).as("parr"))
+      .select(col("doc"), col("sz"), posexplode(col("parr"))
+        .as(Seq("pos0", "tok")), col("parr"))
+      .withColumn("rnk", col("pos0") + 1).drop("pos0")
     val cand = prefix.alias("pa").join(prefix.alias("pb"),
         col("pa.tok") === col("pb.tok") && col("pa.doc") < col("pb.doc"))
+      .filter(least(col("pa.sz"), col("pb.sz")) * 1000000L >=
+        lit(tN) * greatest(col("pa.sz"), col("pb.sz")))
+      // ubound ≥ ⌈tN·(sz_a+sz_b) / (1e6+tN)⌉ ⟺ ubound·(1e6+tN) ≥
+      // tN·(sz_a+sz_b) — exact in integers, no float boundary lies
+      .filter((lit(1L) + least(col("pa.sz") - col("pa.rnk"),
+          col("pb.sz") - col("pb.rnk"))) * lit(1000000L + tN) >=
+        lit(tN) * (col("pa.sz") + col("pb.sz")))
+      .filter(element_at(
+        array_intersect(col("pa.parr"), col("pb.parr")), 1) ===
+        col("pa.tok"))
       .select(col("pa.doc").as("doc_a"), col("pb.doc").as("doc_b"),
         col("pa.sz").as("sz_a"), col("pb.sz").as("sz_b"))
-      .filter(least(col("sz_a"), col("sz_b")) * 1000000L >=
-        lit(tN) * greatest(col("sz_a"), col("sz_b")))
-      .distinct()
     val inter = cand
       .join(toks.select(col("doc").as("doc_a"), col("tok")), Seq("doc_a"))
       .join(toks.select(col("doc").as("doc_b"), col("tok")),

@@ -160,6 +160,10 @@ object AsOfJoin {
 
     def tsUs(df: DataFrame): Column = df.schema(ts).dataType match {
       case org.apache.spark.sql.types.TimestampType => unix_micros(col(ts))
+      // NTZ: the driver's parquet is timezone-less; sessions are pinned
+      // UTC, so the cast preserves the instant
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        unix_micros(col(ts).cast(org.apache.spark.sql.types.TimestampType))
       case org.apache.spark.sql.types.LongType |
            org.apache.spark.sql.types.IntegerType |
            org.apache.spark.sql.types.ShortType |

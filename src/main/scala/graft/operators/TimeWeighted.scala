@@ -38,7 +38,9 @@ object TimeWeighted {
         "interval attribution nondeterministic")
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy((col(ts) +: tieBreak.map(col)): _*)
-    val us = unix_micros(col(ts))
+    // cast tolerates TIMESTAMP_NTZ input (UTC session → same instant);
+    // no-op when the column is already TimestampType
+    val us = unix_micros(col(ts).cast("timestamp"))
     df.withColumn("__graft_dt", lead(us, 1).over(w) - us)
       .filter(col("__graft_dt").isNotNull)
       .groupBy(keys.map(col): _*)

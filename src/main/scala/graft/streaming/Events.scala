@@ -99,7 +99,7 @@ object Events {
     val spark = events.sparkSession
     import spark.implicits._
     val gapUs = gapSeconds * 1000000L
-    events.select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+    events.select(col("event_id"), unix_micros(col("ts").cast("timestamp")).as("ts_us"),
         col("user_id"), col("value"))
       .as[Ev]
       .repartition(col("user_id"))
@@ -151,7 +151,7 @@ object Events {
     import spark.implicits._
     val gapUs = gapSeconds * 1000000L
     events.select(col("event_id"), col("ts"),
-        unix_micros(col("ts")).as("ts_us"),
+        unix_micros(col("ts").cast("timestamp")).as("ts_us"),
         col("user_id"), col("value"))
       .as[EvT]
       .groupByKey(_.user_id)
@@ -278,10 +278,10 @@ object Events {
     import spark.implicits._
     val tolUs = toleranceSec * 1000000L
     val tagged = left.select(col("key"), col("ts"),
-        unix_micros(col("ts")).as("ts_us"), lit(0).as("side"),
+        unix_micros(col("ts").cast("timestamp")).as("ts_us"), lit(0).as("side"),
         col("id"), lit(0.0).as("v"))
       .unionByName(right.select(col("key"), col("ts"),
-        unix_micros(col("ts")).as("ts_us"), lit(1).as("side"),
+        unix_micros(col("ts").cast("timestamp")).as("ts_us"), lit(1).as("side"),
         lit(0L).as("id"), col("rv").as("v")))
       .as[AsOfTagged]
     tagged.groupByKey(_.key)
@@ -359,7 +359,7 @@ object Events {
     val stepUs = stepSec * 1000000L
     def tickOf(tsUs: Long): Long = Math.floorDiv(tsUs, stepUs) * stepUs
     events.select(col(key).as("key"), col(ts).as("ts"),
-        unix_micros(col(ts)).as("ts_us"), col(tieBreak).as("event_id"),
+        unix_micros(col(ts).cast("timestamp")).as("ts_us"), col(tieBreak).as("event_id"),
         col(value).as("value"))
       .as[GfObs]
       .groupByKey(_.key)
@@ -445,7 +445,7 @@ object Events {
     val spark = events.sparkSession
     import spark.implicits._
     val tagged = events.select(col("key"), col("ts"),
-        unix_micros(col("ts")).as("ts_us"), col("event_id"), col("value"))
+        unix_micros(col("ts").cast("timestamp")).as("ts_us"), col("event_id"), col("value"))
       .as[RlObs]
     tagged.groupByKey(_.key)
       .flatMapGroupsWithState[RlBuf, RlOut](
@@ -524,20 +524,27 @@ object Events {
   // -----------------------------------------------------------------
 
   /** File-source stream over a directory of event parquet files, with a
-    * watermark for state eviction. The driver's event files carry
-    * TIMESTAMP(NANOS), which vanilla Spark only reads as long — declared
-    * long here and converted (values are micros-exact). */
+    * watermark for state eviction. The driver has shipped event files
+    * under THREE physical ts encodings across rounds — TIMESTAMP(NANOS)
+    * (readable only as long), tz-micros, and NTZ-micros — so the stream's
+    * required static schema is probed from the footers with a one-off
+    * batch read, then ts is normalized to TimestampType exactly like
+    * `Tables.load` (UTC session ⇒ instant preserved). */
   def readEventStream(spark: SparkSession, dir: String,
                       watermark: String = "1 hour"): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val physical = spark.read.parquet(dir).schema
+    val tsNorm = physical("ts").dataType match {
+      case LongType => timestamp_micros(expr("ts div 1000"))
+      case TimestampNTZType => col("ts").cast(TimestampType)
+      case TimestampType => col("ts")
+      case other => throw new IllegalArgumentException(
+        s"events.ts arrived as unsupported physical type ${other.sql}")
+    }
     spark.readStream
-      .schema(StructType(Seq(
-        StructField("event_id", LongType), StructField("ts", LongType),
-        StructField("user_id", LongType),
-        StructField("event_type", StringType),
-        StructField("value", DoubleType), StructField("props", StringType))))
+      .schema(physical)
       .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withColumn("ts", tsNorm)
       .withWatermark("ts", watermark)
   }
 

@@ -323,6 +323,19 @@ object ScaleProbe {
       }
       println(s"[probe]   -> $n rows")
     }
+    // exact AllPairs self-join (r8 PPJoin rewrite): self-union multiplies
+    // near-dup density — the adversarial axis for candidate volume. The
+    // r7 form (.distinct() on the pair set, no positional filter) was
+    // 103.9 s at 1×; the PPJoin form must stay output-bound (the true
+    // pair count IS quadratic in copies: x copies of a doc → x·(x+1)/2
+    // ordered pairs per original near-dup pair)
+    for (x <- Seq(1, 2, 4)) {
+      val d = selfUnion(docs, "doc_id", x)
+      val n = time(s"allPairs t=0.7 ${x}x (${x * 5000} docs) [pairs]") {
+        graft.llm.Dedup.allPairs(d, "doc_id", "text", 0.7).count()
+      }
+      println(s"[probe]   -> $n pairs")
+    }
     spark.stop()
   }
 }
