@@ -525,25 +525,42 @@ object Dedup {
     * word-token sets have Jaccard ≥ `threshold` — no LSH, no
     * probabilistic recall; the exact complement to
     * [[minhashCandidates]] when a pipeline must certify "no duplicate
-    * above t survives" (licensing audits, eval-set isolation). Uses
-    * AllPairs/PPJoin-style prefix filtering (Bayardo et al., WWW'07;
-    * reference has no such operator — its dedup is delegated wholesale):
-    * tokens are globally ordered rarest-first, each document exposes
-    * only its first `|d| - ceil(t·|d|) + 1` tokens as join keys, and the
-    * AllPairs lemma guarantees any pair with J ≥ t shares a prefix
-    * token. A size filter (`min ≥ t·max`) prunes before verification;
-    * exact intersection counts verify only surviving candidates.
+    * above t survives" (licensing audits, eval-set isolation).
     *
-    * Shape at scale: the prefix join keys on single RARE tokens (the
-    * frequency order exists precisely so prefixes hold the rarest
-    * tokens), so bucket sizes stay small where an unordered token join
-    * explodes on stopwords; candidate volume — not corpus² — drives the
-    * verify cost. Frequency ranking is one map-side-combined groupBy of
-    * vocab size; everything else is equi-joins.
+    * ADAPTIVE between two exact plans, dispatched on measured vocabulary
+    * size (the frequency table is computed either way):
     *
-    * Output: (doc_a, doc_b, inter, uni, jaccard), doc_a < doc_b. */
+    *   - **Large vocab** (the real-corpus regime): AllPairs/PPJoin
+    *     prefix filtering (Bayardo et al., WWW'07; Xiao et al., WWW'08;
+    *     reference has no such operator — its dedup is delegated
+    *     wholesale). Tokens are globally ordered rarest-first, each
+    *     document exposes only its first `|d| - ceil(t·|d|) + 1` tokens
+    *     as join keys (the AllPairs lemma guarantees any pair with
+    *     J ≥ t shares a prefix token), plus the PPJoin positional
+    *     filter and first-shared-token dedup; the exact intersection is
+    *     a map-side array_intersect at the join site — candidate
+    *     volume, not corpus², drives the cost, and nothing but the
+    *     doc-array build and the prefix equi-join shuffles.
+    *
+    *   - **Small vocab** (≤ [[AllPairsDenseVocabMax]] distinct tokens):
+    *     prefix filtering is provably useless — every token is frequent,
+    *     so prefix buckets approach corpus size and candidate volume
+    *     approaches n² with fat per-candidate work. Instead each token
+    *     set becomes a DENSE BITSET (`ceil(V/64)` longs); documents
+    *     collapse to DISTINCT bitsets (dedup corpora are exactly where
+    *     exact-set duplicates abound), the distinct-signature pairs are
+    *     compared by codegen'd `bit_count(a&b)` popcounts under a
+    *     broadcast nested-loop join (D signatures ≪ n docs, and D² wins
+    *     over candidate machinery precisely because the true result is
+    *     itself dense), and qualifying signature pairs expand back to
+    *     doc pairs — output-bound, like every exact join must be.
+    *
+    * Output: (doc_a, doc_b, inter, uni, jaccard), doc_a < doc_b.
+    * `denseVocabMax` overrides the plan-dispatch ceiling (tests pin each
+    * arm against the brute-force oracle by forcing it). */
   def allPairs(df: DataFrame, id: String, text: String,
-               threshold: Double): DataFrame = {
+               threshold: Double,
+               denseVocabMax: Long = AllPairsDenseVocabMax): DataFrame = {
     require(threshold > 0 && threshold <= 1,
       s"threshold must be in (0,1]: $threshold")
     // threshold as an EXACT parts-per-million rational: float math at
@@ -558,41 +575,55 @@ object Dedup {
         explode(array_distinct(TextAnalysis.tokens(lower(col(text)))))
           .as("tok"))
     val freq = toks.groupBy("tok").agg(count(lit(1)).as("gf"))
-    val sizes = toks.groupBy("doc").agg(count(lit(1)).as("sz"))
+    // vocab probe: one count over the (already-needed) frequency table;
+    // model-sized action, same family as the centroid/codebook collects
+    val vocabSize = freq.count()
+    if (vocabSize <= denseVocabMax && vocabSize > 0)
+      return allPairsDense(toks, freq, vocabSize.toInt, tN)
     // rarest-first total order (ties by token string) per document
     val ranked = toks.join(freq, Seq("tok"))
       .withColumn("rnk", row_number().over(
         Window.partitionBy(col("doc")).orderBy(col("gf"), col("tok"))))
-    // prefix length |d| - ceil(t·|d|) + 1, ceil via (a + b - 1) div b
-    // Each prefix row carries its doc's WHOLE prefix as a rank-ordered
-    // array (parr) plus the token's 1-based global rank (rnk): both are
-    // what turn the candidate join from AllPairs into PPJoin —
-    //   (a) positional filter: at a shared token with ranks (i, j), no
+    // PPJoin shape (r8): each doc becomes ONE row carrying its whole
+    // token set as a rank-ordered array (farr); prefix tokens (the first
+    // |d| - ceil(t·|d|) + 1, i.e. the RAREST) are re-exploded as join
+    // keys with their 1-based rank. Three filters run inside the join
+    // projection — no candidate materialization, no .distinct(), no
+    // re-join against the token table (the r7 form paid a full exchange
+    // for the pair set plus two verify joins and a groupBy: 103.9 s at
+    // sf0.1; this form's only shuffles are the doc-array build and the
+    // prefix-token equi-join):
+    //   (a) size filter: min·1e6 ≥ t·max, else J < t regardless.
+    //   (b) positional filter: at a shared token with ranks (i, j), no
     //       shared token can precede it in either list (both lists sort
-    //       by the same global order), so overlap ≤ 1 + min(sz_a-i,
-    //       sz_b-j); prune when that bound misses the required overlap
-    //       ⌈t/(1+t)·(sz_a+sz_b)⌉.
-    //   (b) first-shared-token dedup: a pair surfaces once per shared
-    //       prefix token; emit it ONLY at the globally-smallest shared
-    //       token (head of array_intersect — both arrays sort by the
-    //       same total order, and Spark preserves left-array order).
-    //       A filter in the join projection, where the r7 version paid
-    //       a full exchange to .distinct() the duplicate-heavy pair
-    //       set — the bench-dominating shuffle (103.9 s at sf0.1).
-    // Dropping a pair whose FIRST shared occurrence fails (a) is safe:
-    // at that occurrence the bound is valid for the whole pair.
-    val prefixRows = ranked.join(sizes, Seq("doc"))
-      .filter(col("rnk") <= col("sz") + 1 - expr(
-        s"(CAST($tN AS BIGINT) * sz + 999999) div CAST(1000000 AS BIGINT)"))
-      .select(col("doc"), col("tok"), col("rnk"), col("sz"))
-    val prefix = prefixRows
-      .groupBy("doc").agg(first(col("sz")).as("sz"),
+    //       by the same global rarest-first order), so overlap ≤
+    //       1 + min(sz_a-i, sz_b-j); prune when that misses the
+    //       required overlap ⌈t/(1+t)·(sz_a+sz_b)⌉. Dropping a pair at
+    //       its FIRST shared occurrence is safe: the bound is valid for
+    //       the whole pair there.
+    //   (c) first-shared-token dedup: a pair surfaces once per shared
+    //       prefix token; emit ONLY at the globally-smallest shared
+    //       token — head of array_intersect(farr_a, farr_b) (both
+    //       arrays sort by the same total order, Spark preserves
+    //       left-array order, and the smallest shared token is always
+    //       inside both prefixes, since prefixes hold each doc's
+    //       rank-smallest tokens).
+    // The SAME array_intersect then yields the exact intersection size
+    // (tokens are distinct within a doc), so verification is a
+    // map-side size() — the exact count never crosses an exchange.
+    val docArr = ranked
+      .groupBy("doc").agg(
         transform(sort_array(collect_list(struct(col("rnk"), col("tok")))),
-          x => x("tok")).as("parr"))
-      .select(col("doc"), col("sz"), posexplode(col("parr"))
-        .as(Seq("pos0", "tok")), col("parr"))
-      .withColumn("rnk", col("pos0") + 1).drop("pos0")
-    val cand = prefix.alias("pa").join(prefix.alias("pb"),
+          x => x("tok")).as("farr"))
+      .withColumn("sz", size(col("farr")).cast(LongType))
+      .withColumn("plen", expr(
+        s"CAST(sz + 1 - ((CAST($tN AS BIGINT) * sz + 999999) div " +
+          "CAST(1000000 AS BIGINT)) AS INT)"))
+    val prefix = docArr
+      .select(col("doc"), col("sz"), col("farr"),
+        posexplode(expr("slice(farr, 1, plen)")).as(Seq("pos0", "tok")))
+      .withColumn("rnk", (col("pos0") + 1).cast(LongType)).drop("pos0")
+    prefix.alias("pa").join(prefix.alias("pb"),
         col("pa.tok") === col("pb.tok") && col("pa.doc") < col("pb.doc"))
       .filter(least(col("pa.sz"), col("pb.sz")) * 1000000L >=
         lit(tN) * greatest(col("pa.sz"), col("pb.sz")))
@@ -601,19 +632,83 @@ object Dedup {
       .filter((lit(1L) + least(col("pa.sz") - col("pa.rnk"),
           col("pb.sz") - col("pb.rnk"))) * lit(1000000L + tN) >=
         lit(tN) * (col("pa.sz") + col("pb.sz")))
-      .filter(element_at(
-        array_intersect(col("pa.parr"), col("pb.parr")), 1) ===
-        col("pa.tok"))
+      .withColumn("ix", array_intersect(col("pa.farr"), col("pb.farr")))
+      .filter(element_at(col("ix"), 1) === col("pa.tok"))
+      .withColumn("inter", size(col("ix")).cast(LongType))
+      .withColumn("uni", col("pa.sz") + col("pb.sz") - col("inter"))
+      .filter(col("inter") * 1000000L >= lit(tN) * col("uni"))
       .select(col("pa.doc").as("doc_a"), col("pb.doc").as("doc_b"),
-        col("pa.sz").as("sz_a"), col("pb.sz").as("sz_b"))
-    val inter = cand
-      .join(toks.select(col("doc").as("doc_a"), col("tok")), Seq("doc_a"))
-      .join(toks.select(col("doc").as("doc_b"), col("tok")),
-        Seq("doc_b", "tok"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
-    cand.join(inter, Seq("doc_a", "doc_b"))
+        col("inter"), col("uni"),
+        (col("inter").cast(DoubleType) / col("uni")).as("jaccard"))
+  }
+
+  /** Vocabulary ceiling for [[allPairs]]'s dense-bitset plan. Below it,
+    * every token is frequent (prefix filtering can't prune) and bitsets
+    * stay narrow (≤ 64 words); above it rare tokens exist and the
+    * prefix plan regains selectivity. The dense plan additionally
+    * assumes distinct token SETS ≪ documents (true of dedup corpora by
+    * construction); its broadcast is D·(V/64) longs. */
+  val AllPairsDenseVocabMax = 4096L
+
+  /** Dense-bitset exact Jaccard self-join — the small-vocabulary arm of
+    * [[allPairs]] (see its scaladoc for when and why). `toks` is the
+    * exploded (doc, tok) set, `freq` its global frequency table, `tN`
+    * the threshold in ppm. */
+  private def allPairsDense(toks: DataFrame, freq: DataFrame,
+                            vocab: Int, tN: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nWords = (vocab + 63) / 64
+    // fixed dense bit per token (order arbitrary but total); vocab-bound
+    // table → broadcast join against the token rows
+    val bits = freq.select(col("tok"),
+      (row_number().over(Window.orderBy(col("tok"))) - 1).as("bit"))
+    // per-doc bitset: bit_or per 64-bit word, zero-filled to fixed width
+    val docWords = toks.join(broadcast(bits), Seq("tok"))
+      .groupBy(col("doc"), (col("bit") / 64).cast("int").as("wi"))
+      .agg(expr("bit_or(shiftleft(1L, CAST(bit % 64 AS INT)))").as("wv"))
+      .groupBy("doc")
+      .agg(map_from_entries(collect_list(struct(col("wi"), col("wv"))))
+        .as("m"))
+      .select(col("doc"), transform(sequence(lit(0), lit(nWords - 1)),
+        i => coalesce(element_at(col("m"), i), lit(0L))).as("words"))
+      .withColumn("sz", expr(
+        "aggregate(words, 0L, (acc, x) -> acc + CAST(bit_count(x) AS BIGINT))"))
+    // collapse to distinct signatures; sid = smallest member (unique)
+    val docSig = docWords.withColumn("sid",
+      min(col("doc")).over(Window.partitionBy(col("words"))))
+    val sigs = docSig.groupBy(col("sid"))
+      .agg(first(col("words")).as("words"), first(col("sz")).as("sz"))
+    // D² popcount sweep under a broadcast nested-loop join: distinct
+    // signatures only, size-filtered before the popcounts
+    val sigPairs = sigs.select(col("sid").as("sid_a"),
+        col("words").as("wa"), col("sz").as("sz_a"))
+      .join(broadcast(sigs.select(col("sid").as("sid_b"),
+        col("words").as("wb"), col("sz").as("sz_b"))),
+        col("sid_a") < col("sid_b"))
+      .filter(least(col("sz_a"), col("sz_b")) * 1000000L >=
+        lit(tN) * greatest(col("sz_a"), col("sz_b")))
+      .withColumn("inter", expr("aggregate(zip_with(wa, wb, " +
+        "(x, y) -> CAST(bit_count(x & y) AS BIGINT)), 0L, " +
+        "(acc, v) -> acc + v)"))
       .withColumn("uni", col("sz_a") + col("sz_b") - col("inter"))
       .filter(col("inter") * 1000000L >= lit(tN) * col("uni"))
+      .select(col("sid_a"), col("sid_b"), col("inter"), col("uni"))
+    // expand qualifying signature pairs back to doc pairs (output-bound)
+    val members = docSig.select(col("sid"), col("doc"))
+    val cross = sigPairs
+      .join(members.select(col("sid").as("sid_a"), col("doc").as("da")),
+        Seq("sid_a"))
+      .join(members.select(col("sid").as("sid_b"), col("doc").as("db")),
+        Seq("sid_b"))
+      .select(least(col("da"), col("db")).as("doc_a"),
+        greatest(col("da"), col("db")).as("doc_b"),
+        col("inter"), col("uni"))
+    // identical-set pairs: J = 1 ≥ any valid threshold by definition
+    val intra = docSig.alias("x").join(docSig.alias("y"),
+        col("x.sid") === col("y.sid") && col("x.doc") < col("y.doc"))
+      .select(col("x.doc").as("doc_a"), col("y.doc").as("doc_b"),
+        col("x.sz").as("inter"), col("x.sz").as("uni"))
+    cross.unionByName(intra)
       .withColumn("jaccard", col("inter").cast(DoubleType) / col("uni"))
       .select("doc_a", "doc_b", "inter", "uni", "jaccard")
   }

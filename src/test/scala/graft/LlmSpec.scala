@@ -58,9 +58,23 @@ class LlmSpec extends SparkSpec {
       .join(sizes.select($"doc".as("doc_b"), $"sz".as("sz_b")), Seq("doc_b"))
       .filter($"inter" * 1000000L >= ($"sz_a" + $"sz_b" - $"inter") * 700000L)
       .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    // BOTH plan arms against the same oracle: the corpus's 31-token
+    // vocab takes the dense-bitset path by default; denseVocabMax = 0
+    // forces the PPJoin prefix path over identical inputs
     val mine = Dedup.allPairs(docs, "doc_id", "text", 0.7)
       .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
     assert(mine == brute, s"missing=${brute -- mine} extra=${mine -- brute}")
+    val prefixArm = Dedup.allPairs(docs, "doc_id", "text", 0.7,
+        denseVocabMax = 0)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    assert(prefixArm == brute,
+      s"missing=${brute -- prefixArm} extra=${prefixArm -- brute}")
+    // boundary-pair case through the prefix arm too
+    val handPrefix = Dedup.allPairs(hand, "doc_id", "text", 0.8,
+        denseVocabMax = 0)
+      .select($"doc_a", $"doc_b", $"inter", $"uni", $"jaccard")
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    assert(handPrefix == Seq((1L, 2L, 4L, 5L, 0.8)))
   }
 
   test("tokenDrift: ppm math integer-exact, top-k tie-broken by token") {
