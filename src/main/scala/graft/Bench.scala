@@ -76,7 +76,9 @@ object Bench {
     // Round = SPARK_GRAFT_ROUND if set, else max N of the driver-written
     // BENCH_r*.json files + 1 (the driver writes BENCH_rN *after* this
     // run, so during round N the max existing index is N-1).
-    try {
+    // a SPARK_GRAFT_ONLY-filtered run is an iteration probe, never a
+    // round record — archiving it would overwrite the real board
+    try if (only.isEmpty) {
       val round = sys.env.get("SPARK_GRAFT_ROUND").map(_.toInt).getOrElse {
         val rx = "BENCH_r(\\d+)\\.json".r
         val seen = Option(new java.io.File(".").list()).getOrElse(Array.empty)
