@@ -671,7 +671,12 @@ object Dedup {
         .as("m"))
       .select(col("doc"), transform(sequence(lit(0), lit(nWords - 1)),
         i => coalesce(element_at(col("m"), i), lit(0L))).as("words"))
-      .withColumn("sz", expr(
+      // single-word vocabs (≤64 tokens) take pure-builtin popcounts —
+      // the higher-order aggregate/zip_with lambdas evaluate interpreted,
+      // outside whole-stage codegen; bit_count on a long stays inside
+      .withColumn("sz", if (nWords == 1)
+        expr("CAST(bit_count(words[0]) AS BIGINT)")
+      else expr(
         "aggregate(words, 0L, (acc, x) -> acc + CAST(bit_count(x) AS BIGINT))"))
     // collapse to distinct signatures; sid = smallest member (unique)
     val docSig = docWords.withColumn("sid",
@@ -687,7 +692,9 @@ object Dedup {
         col("sid_a") < col("sid_b"))
       .filter(least(col("sz_a"), col("sz_b")) * 1000000L >=
         lit(tN) * greatest(col("sz_a"), col("sz_b")))
-      .withColumn("inter", expr("aggregate(zip_with(wa, wb, " +
+      .withColumn("inter", if (nWords == 1)
+        expr("CAST(bit_count(wa[0] & wb[0]) AS BIGINT)")
+      else expr("aggregate(zip_with(wa, wb, " +
         "(x, y) -> CAST(bit_count(x & y) AS BIGINT)), 0L, " +
         "(acc, v) -> acc + v)"))
       .withColumn("uni", col("sz_a") + col("sz_b") - col("inter"))
