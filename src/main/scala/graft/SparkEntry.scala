@@ -1705,6 +1705,19 @@ object SparkEntry {
       graft.llm.Dedup.allPairs(t(s, dir, "documents"), "doc_id", "text", 0.8)
         .orderBy(col("doc_a"), col("doc_b"))),
 
+    "dd_allpairs_join" -> ((s, dir) => {
+      // EXACT cross-corpus Jaccard join (certified decontamination /
+      // licensing audit): documents vs a perturbed snapshot, every pair
+      // with J ≥ 0.7 — brute-force oracle proves completeness, the
+      // property LSH (op_fuzzy_join) only approximates
+      val d = t(s, dir, "documents")
+      val right = d.select((col("doc_id") + 10000).as("doc_id"),
+        concat(col("text"), lit(" zz"),
+          pmod(col("doc_id"), lit(5)).cast(StringType)).as("text"))
+      graft.llm.Dedup.allPairsJoin(d, right, "doc_id", "text", 0.7)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     "dd_incremental" -> ((s, dir) => {
       // incremental ingestion: history (doc_id < 400) persists its
       // signature index once; the new batch = the tail plus copies of
@@ -3361,6 +3374,30 @@ object SparkEntry {
         |JOIN sizes sb ON sb.doc_id = db
         |WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8
         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // two-sided brute force: left corpus × perturbed right, integer-ppm
+    // threshold — completeness contract for the exact cross-corpus join
+    "dd_allpairs_join" ->
+      s"""WITH l AS (
+        |  SELECT doc_id, unnest(list_distinct(${toksSql("lower(text)")})) AS tok
+        |  FROM documents),
+        |r0 AS (SELECT doc_id + 10000 AS doc_id,
+        |    lower(text || ' zz' || CAST(doc_id % 5 AS VARCHAR)) AS t
+        |  FROM documents),
+        |r AS (SELECT doc_id, unnest(list_distinct(${toksSql("t")})) AS tok
+        |  FROM r0),
+        |szl AS (SELECT doc_id, count(*) AS n FROM l GROUP BY doc_id),
+        |szr AS (SELECT doc_id, count(*) AS n FROM r GROUP BY doc_id),
+        |inter AS (SELECT l.doc_id AS da, r.doc_id AS db, count(*) AS i
+        |  FROM l JOIN r ON l.tok = r.tok GROUP BY 1, 2)
+        |SELECT da AS id_a, db AS id_b, i AS inter,
+        |  sa.n + sb.n - i AS uni,
+        |  CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jaccard
+        |FROM inter
+        |JOIN szl sa ON sa.doc_id = da
+        |JOIN szr sb ON sb.doc_id = db
+        |WHERE i * 1000000 >= 700000 * (sa.n + sb.n - i)
+        |ORDER BY id_a, id_b""".stripMargin,
 
     "dd_incremental" ->
       s"""WITH hu AS (SELECT doc_id, lower(text) AS t FROM documents

@@ -654,16 +654,22 @@ object Dedup {
     * [[allPairs]] (see its scaladoc for when and why). `toks` is the
     * exploded (doc, tok) set, `freq` its global frequency table, `tN`
     * the threshold in ppm. */
-  private def allPairsDense(toks: DataFrame, freq: DataFrame,
-                            vocab: Int, tN: Long): DataFrame = {
+  /** Dense bit assignment for the small-vocab plans: one fixed bit per
+    * token (order arbitrary but total). Vocab-bound → broadcast side. */
+  private def denseBits(freq: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val nWords = (vocab + 63) / 64
-    // fixed dense bit per token (order arbitrary but total); vocab-bound
-    // table → broadcast join against the token rows
-    val bits = freq.select(col("tok"),
+    freq.select(col("tok"),
       (row_number().over(Window.orderBy(col("tok"))) - 1).as("bit"))
-    // per-doc bitset: bit_or per 64-bit word, zero-filled to fixed width
-    val docWords = toks.join(broadcast(bits), Seq("tok"))
+  }
+
+  /** Per-doc dense bitset build: bit_or per 64-bit word, zero-filled to
+    * `nWords` width, plus the popcount size. Single-word vocabs (≤64
+    * tokens) take pure-builtin popcounts — the higher-order
+    * aggregate/zip_with lambdas evaluate interpreted, outside
+    * whole-stage codegen; bit_count on a long stays inside. */
+  private def denseDocWords(toks: DataFrame, bits: DataFrame,
+                            nWords: Int): DataFrame =
+    toks.join(broadcast(bits), Seq("tok"))
       .groupBy(col("doc"), (col("bit") / 64).cast("int").as("wi"))
       .agg(expr("bit_or(shiftleft(1L, CAST(bit % 64 AS INT)))").as("wv"))
       .groupBy("doc")
@@ -671,13 +677,23 @@ object Dedup {
         .as("m"))
       .select(col("doc"), transform(sequence(lit(0), lit(nWords - 1)),
         i => coalesce(element_at(col("m"), i), lit(0L))).as("words"))
-      // single-word vocabs (≤64 tokens) take pure-builtin popcounts —
-      // the higher-order aggregate/zip_with lambdas evaluate interpreted,
-      // outside whole-stage codegen; bit_count on a long stays inside
       .withColumn("sz", if (nWords == 1)
         expr("CAST(bit_count(words[0]) AS BIGINT)")
       else expr(
         "aggregate(words, 0L, (acc, x) -> acc + CAST(bit_count(x) AS BIGINT))"))
+
+  /** Codegen-friendly popcount of `wa & wb` (see [[denseDocWords]]). */
+  private def denseInterCol(nWords: Int): Column =
+    if (nWords == 1) expr("CAST(bit_count(wa[0] & wb[0]) AS BIGINT)")
+    else expr("aggregate(zip_with(wa, wb, " +
+      "(x, y) -> CAST(bit_count(x & y) AS BIGINT)), 0L, " +
+      "(acc, v) -> acc + v)")
+
+  private def allPairsDense(toks: DataFrame, freq: DataFrame,
+                            vocab: Int, tN: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nWords = (vocab + 63) / 64
+    val docWords = denseDocWords(toks, denseBits(freq), nWords)
     // collapse to distinct signatures; sid = smallest member (unique)
     val docSig = docWords.withColumn("sid",
       min(col("doc")).over(Window.partitionBy(col("words"))))
@@ -692,11 +708,7 @@ object Dedup {
         col("sid_a") < col("sid_b"))
       .filter(least(col("sz_a"), col("sz_b")) * 1000000L >=
         lit(tN) * greatest(col("sz_a"), col("sz_b")))
-      .withColumn("inter", if (nWords == 1)
-        expr("CAST(bit_count(wa[0] & wb[0]) AS BIGINT)")
-      else expr("aggregate(zip_with(wa, wb, " +
-        "(x, y) -> CAST(bit_count(x & y) AS BIGINT)), 0L, " +
-        "(acc, v) -> acc + v)"))
+      .withColumn("inter", denseInterCol(nWords))
       .withColumn("uni", col("sz_a") + col("sz_b") - col("inter"))
       .filter(col("inter") * 1000000L >= lit(tN) * col("uni"))
       .select(col("sid_a"), col("sid_b"), col("inter"), col("uni"))
@@ -718,6 +730,112 @@ object Dedup {
     cross.unionByName(intra)
       .withColumn("jaccard", col("inter").cast(DoubleType) / col("uni"))
       .select("doc_a", "doc_b", "inter", "uni", "jaccard")
+  }
+
+  /** EXACT cross-corpus set-similarity JOIN: every (left, right) pair
+    * whose word-token sets have Jaccard ≥ `threshold` — the exact
+    * complement to [[fuzzyJoin]] (LSH, probabilistic recall), for when
+    * the match set must be certified complete: eval-set decontamination
+    * with a similarity bar rather than exact n-gram hits, licensing
+    * audits of a new crawl against an owned corpus, cross-snapshot
+    * reconciliation. Same adaptive dispatch as [[allPairs]] (see its
+    * scaladoc): the global token-frequency order — and hence the
+    * prefixes the AllPairs lemma reasons about — is computed over the
+    * UNION of both corpora, which the lemma requires (a shared total
+    * order); the dense arm keeps per-side distinct-signature collapse
+    * and sweeps the D_L × D_R product.
+    *
+    * Both inputs use the same `id`/`text` column names (the
+    * [[fuzzyJoin]] convention). Output: (id_a from left, id_b from
+    * right, inter, uni, jaccard) — ids are independent namespaces, no
+    * ordering constraint between them. */
+  def allPairsJoin(left: DataFrame, right: DataFrame, id: String,
+                   text: String, threshold: Double,
+                   denseVocabMax: Long = AllPairsDenseVocabMax)
+      : DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"threshold must be in (0,1]: $threshold")
+    val tN = math.round(threshold * 1000000)
+    require(math.abs(tN / 1e6 - threshold) < 1e-12,
+      s"threshold must have at most 6 decimal places: $threshold")
+    import org.apache.spark.sql.expressions.Window
+    def toksOf(df: DataFrame) = df.select(col(id).as("doc"),
+      explode(array_distinct(TextAnalysis.tokens(lower(col(text)))))
+        .as("tok"))
+    val toksL = toksOf(left)
+    val toksR = toksOf(right)
+    val freq = toksL.unionByName(toksR)
+      .groupBy("tok").agg(count(lit(1)).as("gf"))
+    val vocabSize = freq.count()
+    if (vocabSize <= denseVocabMax && vocabSize > 0)
+      return allPairsJoinDense(toksL, toksR, freq, vocabSize.toInt, tN)
+    // prefix arm: per-side doc arrays under the SHARED rarest-first
+    // order; filters identical to the self-join, minus the doc_a <
+    // doc_b constraint (sides are distinct namespaces)
+    def side(toks: DataFrame): DataFrame = {
+      val ranked = toks.join(freq, Seq("tok"))
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy(col("doc")).orderBy(col("gf"), col("tok"))))
+      ranked.groupBy("doc").agg(
+          transform(sort_array(collect_list(struct(col("rnk"), col("tok")))),
+            x => x("tok")).as("farr"))
+        .withColumn("sz", size(col("farr")).cast(LongType))
+        .withColumn("plen", expr(
+          s"CAST(sz + 1 - ((CAST($tN AS BIGINT) * sz + 999999) div " +
+            "CAST(1000000 AS BIGINT)) AS INT)"))
+        .select(col("doc"), col("sz"), col("farr"),
+          posexplode(expr("slice(farr, 1, plen)")).as(Seq("pos0", "tok")))
+        .withColumn("rnk", (col("pos0") + 1).cast(LongType)).drop("pos0")
+    }
+    side(toksL).alias("pa").join(side(toksR).alias("pb"),
+        col("pa.tok") === col("pb.tok"))
+      .filter(least(col("pa.sz"), col("pb.sz")) * 1000000L >=
+        lit(tN) * greatest(col("pa.sz"), col("pb.sz")))
+      .filter((lit(1L) + least(col("pa.sz") - col("pa.rnk"),
+          col("pb.sz") - col("pb.rnk"))) * lit(1000000L + tN) >=
+        lit(tN) * (col("pa.sz") + col("pb.sz")))
+      .withColumn("ix", array_intersect(col("pa.farr"), col("pb.farr")))
+      .filter(element_at(col("ix"), 1) === col("pa.tok"))
+      .withColumn("inter", size(col("ix")).cast(LongType))
+      .withColumn("uni", col("pa.sz") + col("pb.sz") - col("inter"))
+      .filter(col("inter") * 1000000L >= lit(tN) * col("uni"))
+      .select(col("pa.doc").as("id_a"), col("pb.doc").as("id_b"),
+        col("inter"), col("uni"),
+        (col("inter").cast(DoubleType) / col("uni")).as("jaccard"))
+  }
+
+  /** Dense-bitset arm of [[allPairsJoin]]: per-side signature collapse,
+    * D_L × D_R popcount sweep, output-bound expansion. */
+  private def allPairsJoinDense(toksL: DataFrame, toksR: DataFrame,
+                                freq: DataFrame, vocab: Int,
+                                tN: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nWords = (vocab + 63) / 64
+    val bits = denseBits(freq)
+    def sigged(toks: DataFrame) =
+      denseDocWords(toks, bits, nWords).withColumn("sid",
+        min(col("doc")).over(Window.partitionBy(col("words"))))
+    val dsL = sigged(toksL)
+    val dsR = sigged(toksR)
+    def sigs(ds: DataFrame) = ds.groupBy(col("sid"))
+      .agg(first(col("words")).as("words"), first(col("sz")).as("sz"))
+    val sigPairs = sigs(dsL).select(col("sid").as("sid_a"),
+        col("words").as("wa"), col("sz").as("sz_a"))
+      .crossJoin(broadcast(sigs(dsR).select(col("sid").as("sid_b"),
+        col("words").as("wb"), col("sz").as("sz_b"))))
+      .filter(least(col("sz_a"), col("sz_b")) * 1000000L >=
+        lit(tN) * greatest(col("sz_a"), col("sz_b")))
+      .withColumn("inter", denseInterCol(nWords))
+      .withColumn("uni", col("sz_a") + col("sz_b") - col("inter"))
+      .filter(col("inter") * 1000000L >= lit(tN) * col("uni"))
+      .select(col("sid_a"), col("sid_b"), col("inter"), col("uni"))
+    sigPairs
+      .join(dsL.select(col("sid").as("sid_a"), col("doc").as("id_a")),
+        Seq("sid_a"))
+      .join(dsR.select(col("sid").as("sid_b"), col("doc").as("id_b")),
+        Seq("sid_b"))
+      .withColumn("jaccard", col("inter").cast(DoubleType) / col("uni"))
+      .select("id_a", "id_b", "inter", "uni", "jaccard")
   }
 
   // -------------------------------------------------------------------

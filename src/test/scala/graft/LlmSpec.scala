@@ -77,6 +77,37 @@ class LlmSpec extends SparkSpec {
     assert(handPrefix == Seq((1L, 2L, 4L, 5L, 0.8)))
   }
 
+  test("allPairsJoin: cross-corpus brute-force parity, both arms") {
+    // right corpus = perturbed snapshot (the op_fuzzy_join shape); the
+    // EXACT join must find every pair with J ≥ t, no LSH recall caveat
+    val right = docs.select(($"doc_id" + 10000).as("doc_id"),
+      concat($"text", lit(" zz"),
+        pmod($"doc_id", lit(5)).cast("string")).as("text"))
+    def tokset(df: org.apache.spark.sql.DataFrame) =
+      df.select($"doc_id".as("doc"),
+        explode(array_distinct(TextAnalysis.tokens(lower($"text"))))
+          .as("tok"))
+    val tl = tokset(docs)
+    val tr = tokset(right)
+    val szl = tl.groupBy("doc").agg(count(lit(1)).as("sz"))
+    val szr = tr.groupBy("doc").agg(count(lit(1)).as("sz"))
+    val brute = tl.alias("a").join(tr.alias("b"),
+        col("a.tok") === col("b.tok"))
+      .groupBy(col("a.doc").as("id_a"), col("b.doc").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(szl.select($"doc".as("id_a"), $"sz".as("sz_a")), Seq("id_a"))
+      .join(szr.select($"doc".as("id_b"), $"sz".as("sz_b")), Seq("id_b"))
+      .filter($"inter" * 1000000L >= ($"sz_a" + $"sz_b" - $"inter") * 700000L)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    for (gate <- Seq(Dedup.AllPairsDenseVocabMax, 0L)) {
+      val mine = Dedup.allPairsJoin(docs, right, "doc_id", "text", 0.7,
+          denseVocabMax = gate)
+        .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+      assert(mine == brute,
+        s"gate=$gate missing=${brute -- mine} extra=${mine -- brute}")
+    }
+  }
+
   test("tokenDrift: ppm math integer-exact, top-k tie-broken by token") {
     val df = Seq(("p", "a a b"), ("q", "a c c c"))
       .toDF("slice", "text")
