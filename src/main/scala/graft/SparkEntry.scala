@@ -1970,6 +1970,26 @@ object SparkEntry {
         .orderBy(col("id_a"))
     }),
 
+    "dd_semantic" -> ((s, dir) => {
+      // SemDeDup (k-means cells → within-cell cosine dedup, min-id
+      // keep). Doubled corpus: identical copies are the dup pairs AND
+      // always co-locate (identical centroid distances, deterministic
+      // tie-break), and no natural pair reaches 0.95 (max natural
+      // cosine < 0.9, measured sf0.01/sf0.1) — so cell-LOCAL dedup must
+      // reproduce the GLOBAL brute-force drop rule exactly, which is
+      // what the oracle computes. The k-means train/assign path is
+      // fully exercised; a cell-straddle bug or tie-break drift breaks
+      // the hash.
+      val e = t(s, dir, "embeddings")
+      val doubled = e.select(col("vec_id"), col("embedding"))
+        .unionByName(e.select((col("vec_id") + 100000).as("vec_id"),
+          col("embedding")))
+      Dedup.semanticDedup(doubled, "vec_id", "embedding",
+          nlist = 32, threshold = 0.95)
+        .select(col("vec_id"), col("kept"))
+        .orderBy(col("vec_id"))
+    }),
+
     "dd_cosine_clusters" -> ((s, dir) => {
       // embedding near-dup end to end: LSH-bucket candidates → exact
       // cosine verify → per-vector keep/drop (doubled corpus: exact
@@ -3740,6 +3760,18 @@ object SparkEntry {
     // LSH-bucket blocking (the 16 shared hyperplanes), exact cosine
     // verify, then connected components via the recursive-CTE walk —
     // the same fixpoint the Spark label-propagation loop converges to
+    // GLOBAL brute-force drop rule — the cell-local SemDeDup result
+    // must equal it (copies co-locate, no natural pair ≥ 0.95)
+    "dd_semantic" ->
+      s"""WITH u AS (SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL SELECT vec_id + 100000, embedding FROM embeddings),
+        |drp AS (SELECT DISTINCT b.vec_id
+        |  FROM u a JOIN u b ON a.vec_id < b.vec_id
+        |  WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.95)
+        |SELECT u.vec_id, d.vec_id IS NULL AS kept
+        |FROM u LEFT JOIN drp d ON u.vec_id = d.vec_id
+        |ORDER BY u.vec_id""".stripMargin,
+
     "dd_cosine_clusters" ->
       s"""WITH RECURSIVE u AS (SELECT vec_id, embedding FROM embeddings
         |  UNION ALL SELECT vec_id + 10000, embedding FROM embeddings),

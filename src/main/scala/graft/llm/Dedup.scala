@@ -1410,6 +1410,42 @@ object Dedup {
       maxIter, driverEdgeLimit)
   }
 
+  /** SemDeDup-style SEMANTIC dedup (Abbas et al., 2023, arXiv:2303.09540
+    * — "SemDeDup: Data-efficient learning at web-scale through semantic
+    * deduplication"): partition the embedding space with k-means, then
+    * dedup ONLY within each cell — the design that makes embedding-space
+    * dedup tractable at corpus scale by bounding the quadratic step to
+    * cell size (n²/nlist per cell instead of n²), at the cost of missing
+    * pairs that straddle a cell boundary (exact duplicates never do:
+    * identical vectors have identical centroid distances and the
+    * deterministic first-centroid tie-break, so they always co-locate).
+    *
+    * Keep rule: a vector is DROPPED iff some lower-id vector in its cell
+    * has cosine ≥ `threshold` with it — the deterministic id-order
+    * greedy scan (SemDeDup keeps one representative per ε-ball; min-id
+    * mirrors the [[exactDedup]] canonical convention and needs no
+    * iteration).
+    *
+    * Shape at scale: training is [[Similarity.ivfTrain]] (model-sized
+    * driver state), assignment is a map-only literal expression, the
+    * within-cell pair join shuffles on cell ids (nlist keys, sized so
+    * cells fit; raise nlist as the corpus grows), the drop set is one
+    * distinct on dropped ids. Output: (id, cell, kept). */
+  def semanticDedup(emb: DataFrame, id: String, vec: String,
+                    nlist: Int, threshold: Double): DataFrame = {
+    val cents = Similarity.ivfTrain(emb, id, vec, nlist)
+    val assigned = Similarity.ivfAssign(emb, id, vec, cents)
+    val dropped = assigned.alias("x").join(assigned.alias("y"),
+        col("x.cell") === col("y.cell") &&
+          col(s"x.$id") < col(s"y.$id"))
+      .filter(cosine(col(s"x.$vec"), col(s"y.$vec")) >= threshold)
+      .select(col(s"y.$id").as(id)).distinct()
+      .withColumn("__drp", lit(true))
+    assigned.join(dropped, Seq(id), "left_outer")
+      .select(col(id), col("cell"),
+        coalesce(!col("__drp"), lit(true)).as("kept"))
+  }
+
   // -------------------------------------------------------------------
   // line / paragraph dedup (CCNet-style)
   // -------------------------------------------------------------------

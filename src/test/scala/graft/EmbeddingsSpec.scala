@@ -104,6 +104,31 @@ class EmbeddingsSpec extends SparkSpec {
     assert(twins.count() === emb.count())
   }
 
+  test("semanticDedup: cell-local drop equals global brute force on doubled corpus") {
+    // identical copies always co-locate (same centroid distances,
+    // deterministic tie-break) and no natural pair reaches 0.95, so the
+    // cell-LOCAL SemDeDup drop set must equal the GLOBAL rule — the
+    // same contract the dd_semantic oracle enforces
+    val emb = Tables.load(spark, sf, "embeddings")
+      .select($"vec_id", $"embedding")
+    val doubled = emb.unionByName(
+      emb.select(($"vec_id" + 100000).as("vec_id"), $"embedding"))
+    val got = graft.llm.Dedup.semanticDedup(doubled, "vec_id",
+        "embedding", nlist = 8, threshold = 0.95)
+      .select($"vec_id", $"kept").as[(Long, Boolean)].collect().toMap
+    val globalDrop = doubled.alias("a").join(doubled.alias("b"),
+        col("a.vec_id") < col("b.vec_id"))
+      .filter(graft.llm.Dedup.cosine(
+        col("a.embedding"), col("b.embedding")) >= 0.95)
+      .select(col("b.vec_id")).as[Long].collect().toSet
+    assert(got.size === doubled.count())
+    for ((id, kept) <- got)
+      assert(kept === !globalDrop.contains(id), s"vec $id")
+    // every copy dropped, every original kept
+    assert(got.filter(_._1 >= 100000).forall(!_._2))
+    assert(got.filter(_._1 < 100000).forall(_._2))
+  }
+
   test("pca1 on real embeddings: top eigenvalue dominates trace share") {
     val emb = Tables.load(spark, sf, "embeddings")
     // near-isotropic real embeddings have a small top eigen-gap, so
