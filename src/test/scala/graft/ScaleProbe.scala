@@ -44,7 +44,7 @@ object ScaleProbe {
     }
     for (x <- Seq(2, 8, 16)) {
       val e = selfUnion(emb, "vec_id", x)
-      val n = time(s"cosineClusters ${x}x (${x * 10000} vecs) [rows]") {
+      val n = time(s"cosineClusters ${x}x (${x * 2000} vecs) [rows]") {
         graft.llm.Dedup.cosineClusters(e, "vec_id", "embedding", 0.95)
           .count()
       }
@@ -335,6 +335,28 @@ object ScaleProbe {
         graft.llm.Dedup.allPairs(d, "doc_id", "text", 0.7).count()
       }
       println(s"[probe]   -> $n pairs")
+    }
+    // exact cross-corpus join: left fixed, right grows — candidate and
+    // output volume scale with the right side; must stay output-bound
+    for (x <- Seq(1, 2, 4)) {
+      val r = selfUnion(docs, "doc_id", x)
+        .select((col("doc_id") + 50000000L).as("doc_id"), col("text"))
+      val n = time(s"allPairsJoin t=0.7 5k x ${x * 5000} [pairs]") {
+        graft.llm.Dedup.allPairsJoin(docs, r, "doc_id", "text", 0.7)
+          .count()
+      }
+      println(s"[probe]   -> $n pairs")
+    }
+    // SemDeDup: corpus doubles, nlist fixed → per-cell quadratic work
+    // grows 4x per doubling; raising nlist with the corpus is the
+    // documented scale lever, pinned here by the nlist=64 row
+    for ((x, nl) <- Seq((2, 32), (4, 32), (4, 64))) {
+      val e = selfUnion(emb, "vec_id", x)
+      val n = time(s"semanticDedup ${x}x (${x * 2000} vecs) nlist=$nl [dropped]") {
+        graft.llm.Dedup.semanticDedup(e, "vec_id", "embedding", nl, 0.95)
+          .filter(!col("kept")).count()
+      }
+      println(s"[probe]   -> $n dropped")
     }
     spark.stop()
   }
