@@ -1433,7 +1433,14 @@ object Dedup {
     * distinct on dropped ids. Output: (id, cell, kept). */
   def semanticDedup(emb: DataFrame, id: String, vec: String,
                     nlist: Int, threshold: Double): DataFrame = {
-    val cents = Similarity.ivfTrain(emb, id, vec, nlist)
+    // a corpus smaller than nlist needs fewer cells, not an exception
+    // (ivfTrain requires corpus ≥ nlist); the count is model-sized next
+    // to training's own corpus scans
+    val n = emb.count()
+    if (n == 0)
+      return emb.select(col(id), lit(0).as("cell"), lit(true).as("kept"))
+    val cents = Similarity.ivfTrain(emb, id, vec,
+      math.min(nlist.toLong, n).toInt)
     val assigned = Similarity.ivfAssign(emb, id, vec, cents)
     val dropped = assigned.alias("x").join(assigned.alias("y"),
         col("x.cell") === col("y.cell") &&

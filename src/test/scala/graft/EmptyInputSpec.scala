@@ -81,6 +81,41 @@ class EmptyInputSpec extends SparkSpec {
       .labelProp(nodes.limit(0), "id", noEdges, iters = 2).count() === 0)
   }
 
+  test("allPairs / allPairsJoin degenerate inputs are empty, never throw") {
+    val noDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val one = Seq((1L, "only one document here")).toDF("doc_id", "text")
+    val blank = Seq((1L, ""), (2L, "   ")).toDF("doc_id", "text")
+    for (gate <- Seq(graft.llm.Dedup.AllPairsDenseVocabMax, 0L)) {
+      assert(graft.llm.Dedup.allPairs(noDocs, "doc_id", "text", 0.8,
+        denseVocabMax = gate).count() === 0)
+      assert(graft.llm.Dedup.allPairs(one, "doc_id", "text", 0.8,
+        denseVocabMax = gate).count() === 0)
+      assert(graft.llm.Dedup.allPairs(blank, "doc_id", "text", 0.8,
+        denseVocabMax = gate).count() === 0)
+      assert(graft.llm.Dedup.allPairsJoin(noDocs, one, "doc_id", "text",
+        0.8, denseVocabMax = gate).count() === 0)
+      assert(graft.llm.Dedup.allPairsJoin(one, noDocs, "doc_id", "text",
+        0.8, denseVocabMax = gate).count() === 0)
+    }
+  }
+
+  test("semanticDedup keeps a singleton and tolerates duplicate-only cells") {
+    val noVecs = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    assert(graft.llm.Dedup.semanticDedup(noVecs, "vec_id", "embedding",
+      nlist = 4, threshold = 0.95).count() === 0)
+    val one = Seq((1L, Array(1f, 0f))).toDF("vec_id", "embedding")
+    val got = graft.llm.Dedup.semanticDedup(one, "vec_id", "embedding",
+      nlist = 4, threshold = 0.95).collect()
+    assert(got.length === 1 && got(0).getBoolean(2))
+    // all-identical corpus: one keeper, rest dropped
+    val same = Seq((1L, Array(1f, 0f)), (2L, Array(1f, 0f)),
+      (3L, Array(1f, 0f))).toDF("vec_id", "embedding")
+    val kept = graft.llm.Dedup.semanticDedup(same, "vec_id", "embedding",
+        nlist = 2, threshold = 0.95)
+      .filter($"kept").select($"vec_id").as[Long].collect().toSeq
+    assert(kept === Seq(1L))
+  }
+
   test("rolling over an empty frame input is empty") {
     val empty = Seq.empty[(Long, String, java.sql.Timestamp, Double)]
       .toDF("event_id", "key", "ts", "value")
