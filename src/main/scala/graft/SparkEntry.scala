@@ -1990,6 +1990,24 @@ object SparkEntry {
         .orderBy(col("vec_id"))
     }),
 
+    "dd_semantic_novelty" -> ((s, dir) => {
+      // embedding-space incremental novelty (dd_incremental's twin):
+      // batch = exact copies of index vectors (must flag NON-novel;
+      // copies always co-locate with their originals) plus NEGATED
+      // vectors (must flag novel: cos(-v, u) = -cos(v, u), and no
+      // natural pair reaches 0.95 — so nothing qualifies globally, and
+      // cell-local search equals the global brute-force oracle)
+      val e = t(s, dir, "embeddings")
+      val copies = e.filter(pmod(col("vec_id"), lit(5)) === 0)
+        .select((col("vec_id") + 200000).as("vec_id"), col("embedding"))
+      val fresh = e.filter(pmod(col("vec_id"), lit(7)) === 0)
+        .select((col("vec_id") + 300000).as("vec_id"),
+          transform(col("embedding"), x => -x).as("embedding"))
+      graft.llm.Dedup.semanticNovelty(copies.unionByName(fresh), e,
+          "vec_id", "embedding", nlist = 32, threshold = 0.95)
+        .orderBy(col("vec_id"))
+    }),
+
     "dd_cosine_clusters" -> ((s, dir) => {
       // embedding near-dup end to end: LSH-bucket candidates → exact
       // cosine verify → per-vector keep/drop (doubled corpus: exact
@@ -3760,6 +3778,22 @@ object SparkEntry {
     // LSH-bucket blocking (the 16 shared hyperplanes), exact cosine
     // verify, then connected components via the recursive-CTE walk —
     // the same fixpoint the Spark label-propagation loop converges to
+    // GLOBAL brute-force novelty — the cell-local search must equal it
+    // (copies co-locate; negated vectors match nothing at 0.95)
+    "dd_semantic_novelty" ->
+      s"""WITH b AS (
+        |  SELECT vec_id + 200000 AS vec_id, embedding FROM embeddings
+        |  WHERE vec_id % 5 = 0
+        |  UNION ALL
+        |  SELECT vec_id + 300000, list_transform(embedding, x -> -x)
+        |  FROM embeddings WHERE vec_id % 7 = 0),
+        |hit AS (SELECT DISTINCT b.vec_id
+        |  FROM b JOIN embeddings a
+        |    ON ${cosSql("b.embedding", "a.embedding")} >= 0.95)
+        |SELECT b.vec_id, h.vec_id IS NULL AS novel
+        |FROM b LEFT JOIN hit h ON b.vec_id = h.vec_id
+        |ORDER BY b.vec_id""".stripMargin,
+
     // GLOBAL brute-force drop rule — the cell-local SemDeDup result
     // must equal it (copies co-locate, no natural pair ≥ 0.95)
     "dd_semantic" ->

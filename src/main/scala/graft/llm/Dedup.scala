@@ -1453,6 +1453,36 @@ object Dedup {
         coalesce(!col("__drp"), lit(true)).as("kept"))
   }
 
+  /** Incremental SEMANTIC novelty — [[minhashNovelty]]'s twin in
+    * embedding space: each batch vector is novel unless some INDEX
+    * vector has cosine ≥ `threshold` with it. The daily-increment
+    * serving shape: the index is assigned to trained cells once
+    * (offline at deployment — pass the same `nlist`); the batch is
+    * assigned map-only and joins only its own cell's index slice, so
+    * per-batch cost is |batch|·|index|/nlist, never |batch|·|index|.
+    * Exact duplicates are always found (identical vectors co-locate);
+    * near-dups straddling a cell boundary can be missed — raise
+    * `multiAssign` (the IVF recall lever, [[Similarity.ivfAssign]]) to
+    * probe the batch vector's m nearest cells. Output: (id, novel). */
+  def semanticNovelty(batch: DataFrame, index: DataFrame, id: String,
+                      vec: String, nlist: Int, threshold: Double,
+                      multiAssign: Int = 1): DataFrame = {
+    val n = index.count()
+    if (n == 0) return batch.select(col(id), lit(true).as("novel"))
+    val cents = Similarity.ivfTrain(index, id, vec,
+      math.min(nlist.toLong, n).toInt)
+    val idx = Similarity.ivfAssign(index, id, vec, cents)
+      .select(col("cell"), col(vec).as("__graft_iv"))
+    val assignedBatch =
+      if (multiAssign <= 1) Similarity.ivfAssign(batch, id, vec, cents)
+      else Similarity.ivfAssign(batch, id, vec, cents, multiAssign)
+    val hits = assignedBatch.join(idx, Seq("cell"))
+      .filter(cosine(col(vec), col("__graft_iv")) >= threshold)
+      .select(col(id)).distinct().withColumn("__graft_hit", lit(true))
+    batch.select(col(id)).join(hits, Seq(id), "left_outer")
+      .select(col(id), coalesce(!col("__graft_hit"), lit(true)).as("novel"))
+  }
+
   // -------------------------------------------------------------------
   // line / paragraph dedup (CCNet-style)
   // -------------------------------------------------------------------

@@ -129,6 +129,26 @@ class EmbeddingsSpec extends SparkSpec {
     assert(got.filter(_._1 < 100000).forall(_._2))
   }
 
+  test("semanticNovelty: copies non-novel, negated vectors novel, empty index all-novel") {
+    val emb = Tables.load(spark, sf, "embeddings")
+      .select($"vec_id", $"embedding")
+    val copies = emb.filter(pmod($"vec_id", lit(5)) === 0)
+      .select(($"vec_id" + 200000).as("vec_id"), $"embedding")
+    val fresh = emb.filter(pmod($"vec_id", lit(7)) === 0)
+      .select(($"vec_id" + 300000).as("vec_id"),
+        transform($"embedding", x => -x).as("embedding"))
+    val got = graft.llm.Dedup.semanticNovelty(copies.unionByName(fresh),
+        emb, "vec_id", "embedding", nlist = 8, threshold = 0.95)
+      .as[(Long, Boolean)].collect().toMap
+    assert(got.filter(_._1 < 300000).forall(!_._2), "a copy flagged novel")
+    assert(got.filter(_._1 >= 300000).forall(_._2),
+      "a negated vector flagged non-novel")
+    // empty index: everything is novel, no training attempted
+    val all = graft.llm.Dedup.semanticNovelty(copies, emb.limit(0),
+      "vec_id", "embedding", nlist = 8, threshold = 0.95)
+    assert(all.filter(!$"novel").count() === 0)
+  }
+
   test("pca1 on real embeddings: top eigenvalue dominates trace share") {
     val emb = Tables.load(spark, sf, "embeddings")
     // near-isotropic real embeddings have a small top eigen-gap, so
