@@ -67,7 +67,11 @@ object Bench {
       .mkString("{", ",", "}")
     val full =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sentinel":$sentinelJson,"failed":$failedJson,"sf":"$sfDir"}"""
-    try Files.writeString(Paths.get("target/bench.json"), full)
+    // a filtered probe run must not clobber the full board's per-query
+    // map either (the compact stdout line defers to this file)
+    try Files.writeString(Paths.get(
+      if (only.isEmpty) "target/bench.json" else "target/bench_probe.json"),
+      full)
     catch { case _: Throwable => }
     // Per-round archive (VERDICT r4 #4): target/bench.json is overwritten
     // every run, so cross-round per-query regression diffs previously

@@ -3775,9 +3775,6 @@ object SparkEntry {
         |JOIN embeddings eb ON eb.vec_id = p.id_b
         |ORDER BY id_a""".stripMargin,
 
-    // LSH-bucket blocking (the 16 shared hyperplanes), exact cosine
-    // verify, then connected components via the recursive-CTE walk —
-    // the same fixpoint the Spark label-propagation loop converges to
     // GLOBAL brute-force novelty — the cell-local search must equal it
     // (copies co-locate; negated vectors match nothing at 0.95)
     "dd_semantic_novelty" ->
@@ -3806,6 +3803,9 @@ object SparkEntry {
         |FROM u LEFT JOIN drp d ON u.vec_id = d.vec_id
         |ORDER BY u.vec_id""".stripMargin,
 
+    // LSH-bucket blocking (the 16 shared hyperplanes), exact cosine
+    // verify, then connected components via the recursive-CTE walk —
+    // the same fixpoint the Spark label-propagation loop converges to
     "dd_cosine_clusters" ->
       s"""WITH RECURSIVE u AS (SELECT vec_id, embedding FROM embeddings
         |  UNION ALL SELECT vec_id + 10000, embedding FROM embeddings),

@@ -580,19 +580,15 @@ object Dedup {
     val vocabSize = freq.count()
     if (vocabSize <= denseVocabMax && vocabSize > 0)
       return allPairsDense(toks, freq, vocabSize.toInt, tN)
-    // rarest-first total order (ties by token string) per document
-    val ranked = toks.join(freq, Seq("tok"))
-      .withColumn("rnk", row_number().over(
-        Window.partitionBy(col("doc")).orderBy(col("gf"), col("tok"))))
     // PPJoin shape (r8): each doc becomes ONE row carrying its whole
     // token set as a rank-ordered array (farr); prefix tokens (the first
     // |d| - ceil(t·|d|) + 1, i.e. the RAREST) are re-exploded as join
-    // keys with their 1-based rank. Three filters run inside the join
-    // projection — no candidate materialization, no .distinct(), no
-    // re-join against the token table (the r7 form paid a full exchange
-    // for the pair set plus two verify joins and a groupBy: 103.9 s at
-    // sf0.1; this form's only shuffles are the doc-array build and the
-    // prefix-token equi-join):
+    // keys with their 1-based rank ([[prefixSide]]). Three filters run
+    // inside the join projection — no candidate materialization, no
+    // .distinct(), no re-join against the token table (the r7 form paid
+    // a full exchange for the pair set plus two verify joins and a
+    // groupBy: 103.9 s at sf0.1; this form's only shuffles are the
+    // doc-array build and the prefix-token equi-join):
     //   (a) size filter: min·1e6 ≥ t·max, else J < t regardless.
     //   (b) positional filter: at a shared token with ranks (i, j), no
     //       shared token can precede it in either list (both lists sort
@@ -611,18 +607,7 @@ object Dedup {
     // The SAME array_intersect then yields the exact intersection size
     // (tokens are distinct within a doc), so verification is a
     // map-side size() — the exact count never crosses an exchange.
-    val docArr = ranked
-      .groupBy("doc").agg(
-        transform(sort_array(collect_list(struct(col("rnk"), col("tok")))),
-          x => x("tok")).as("farr"))
-      .withColumn("sz", size(col("farr")).cast(LongType))
-      .withColumn("plen", expr(
-        s"CAST(sz + 1 - ((CAST($tN AS BIGINT) * sz + 999999) div " +
-          "CAST(1000000 AS BIGINT)) AS INT)"))
-    val prefix = docArr
-      .select(col("doc"), col("sz"), col("farr"),
-        posexplode(expr("slice(farr, 1, plen)")).as(Seq("pos0", "tok")))
-      .withColumn("rnk", (col("pos0") + 1).cast(LongType)).drop("pos0")
+    val prefix = prefixSide(toks, freq, tN)
     prefix.alias("pa").join(prefix.alias("pb"),
         col("pa.tok") === col("pb.tok") && col("pa.doc") < col("pb.doc"))
       .filter(least(col("pa.sz"), col("pb.sz")) * 1000000L >=
@@ -642,6 +627,32 @@ object Dedup {
         (col("inter").cast(DoubleType) / col("uni")).as("jaccard"))
   }
 
+  /** Shared prefix-side builder for [[allPairs]] and [[allPairsJoin]]:
+    * ranks each doc's tokens rarest-first under `freq`'s GLOBAL (gf,
+    * tok) order, assembles the rank-ordered full token array (farr),
+    * and re-explodes the first `|d| - ceil(t·|d|) + 1` tokens as join
+    * keys. One copy of the ppm-integer prefix-length math — the two
+    * join forms must never diverge on it. Output columns:
+    * (doc, sz, farr, tok, rnk). */
+  private def prefixSide(toks: DataFrame, freq: DataFrame,
+                         tN: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ranked = toks.join(freq, Seq("tok"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("doc")).orderBy(col("gf"), col("tok"))))
+    ranked
+      .groupBy("doc").agg(
+        transform(sort_array(collect_list(struct(col("rnk"), col("tok")))),
+          x => x("tok")).as("farr"))
+      .withColumn("sz", size(col("farr")).cast(LongType))
+      .withColumn("plen", expr(
+        s"CAST(sz + 1 - ((CAST($tN AS BIGINT) * sz + 999999) div " +
+          "CAST(1000000 AS BIGINT)) AS INT)"))
+      .select(col("doc"), col("sz"), col("farr"),
+        posexplode(expr("slice(farr, 1, plen)")).as(Seq("pos0", "tok")))
+      .withColumn("rnk", (col("pos0") + 1).cast(LongType)).drop("pos0")
+  }
+
   /** Vocabulary ceiling for [[allPairs]]'s dense-bitset plan. Below it,
     * every token is frequent (prefix filtering can't prune) and bitsets
     * stay narrow (≤ 64 words); above it rare tokens exist and the
@@ -650,10 +661,6 @@ object Dedup {
     * construction); its broadcast is D·(V/64) longs. */
   val AllPairsDenseVocabMax = 4096L
 
-  /** Dense-bitset exact Jaccard self-join — the small-vocabulary arm of
-    * [[allPairs]] (see its scaladoc for when and why). `toks` is the
-    * exploded (doc, tok) set, `freq` its global frequency table, `tN`
-    * the threshold in ppm. */
   /** Dense bit assignment for the small-vocab plans: one fixed bit per
     * token (order arbitrary but total). Vocab-bound → broadcast side. */
   private def denseBits(freq: DataFrame): DataFrame = {
@@ -689,6 +696,10 @@ object Dedup {
       "(x, y) -> CAST(bit_count(x & y) AS BIGINT)), 0L, " +
       "(acc, v) -> acc + v)")
 
+  /** Dense-bitset exact Jaccard self-join — the small-vocabulary arm of
+    * [[allPairs]] (see its scaladoc for when and why). `toks` is the
+    * exploded (doc, tok) set, `freq` its global frequency table, `tN`
+    * the threshold in ppm. */
   private def allPairsDense(toks: DataFrame, freq: DataFrame,
                             vocab: Int, tN: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -769,25 +780,11 @@ object Dedup {
     val vocabSize = freq.count()
     if (vocabSize <= denseVocabMax && vocabSize > 0)
       return allPairsJoinDense(toksL, toksR, freq, vocabSize.toInt, tN)
-    // prefix arm: per-side doc arrays under the SHARED rarest-first
+    // prefix arm: per-side [[prefixSide]] under the SHARED rarest-first
     // order; filters identical to the self-join, minus the doc_a <
     // doc_b constraint (sides are distinct namespaces)
-    def side(toks: DataFrame): DataFrame = {
-      val ranked = toks.join(freq, Seq("tok"))
-        .withColumn("rnk", row_number().over(
-          Window.partitionBy(col("doc")).orderBy(col("gf"), col("tok"))))
-      ranked.groupBy("doc").agg(
-          transform(sort_array(collect_list(struct(col("rnk"), col("tok")))),
-            x => x("tok")).as("farr"))
-        .withColumn("sz", size(col("farr")).cast(LongType))
-        .withColumn("plen", expr(
-          s"CAST(sz + 1 - ((CAST($tN AS BIGINT) * sz + 999999) div " +
-            "CAST(1000000 AS BIGINT)) AS INT)"))
-        .select(col("doc"), col("sz"), col("farr"),
-          posexplode(expr("slice(farr, 1, plen)")).as(Seq("pos0", "tok")))
-        .withColumn("rnk", (col("pos0") + 1).cast(LongType)).drop("pos0")
-    }
-    side(toksL).alias("pa").join(side(toksR).alias("pb"),
+    prefixSide(toksL, freq, tN).alias("pa")
+      .join(prefixSide(toksR, freq, tN).alias("pb"),
         col("pa.tok") === col("pb.tok"))
       .filter(least(col("pa.sz"), col("pb.sz")) * 1000000L >=
         lit(tN) * greatest(col("pa.sz"), col("pb.sz")))

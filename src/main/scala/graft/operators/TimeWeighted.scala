@@ -38,9 +38,14 @@ object TimeWeighted {
         "interval attribution nondeterministic")
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy((col(ts) +: tieBreak.map(col)): _*)
-    // cast tolerates TIMESTAMP_NTZ input (UTC session → same instant);
-    // no-op when the column is already TimestampType
-    val us = unix_micros(col(ts).cast("timestamp"))
+    // NTZ is cast to TimestampType (UTC session → same instant); any
+    // other non-timestamp type still fails analysis LOUDLY — a blanket
+    // cast would reinterpret an integer epoch-micros column as SECONDS
+    val us = df.schema(ts).dataType match {
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        unix_micros(col(ts).cast("timestamp"))
+      case _ => unix_micros(col(ts))
+    }
     df.withColumn("__graft_dt", lead(us, 1).over(w) - us)
       .filter(col("__graft_dt").isNotNull)
       .groupBy(keys.map(col): _*)

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
@@ -15,6 +15,17 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * also evaluates in batch.
   */
 object Events {
+
+  /** Epoch-micros of a timestamp column. NTZ is cast to TimestampType
+    * first (sessions pin UTC, so the instant is unchanged); every OTHER
+    * non-timestamp type still reaches unix_micros unchanged and fails
+    * analysis LOUDLY — a blanket cast-to-timestamp would silently
+    * reinterpret an integer epoch-micros column as SECONDS. */
+  private def tsUsOf(df: DataFrame, c: String): Column =
+    df.schema(c).dataType match {
+      case TimestampNTZType => unix_micros(col(c).cast(TimestampType))
+      case _ => unix_micros(col(c))
+    }
 
   /** Tumbling-window event counts + value sums per event_type.
     * Streaming: works with `withWatermark` upstream; state is one row per
@@ -99,7 +110,7 @@ object Events {
     val spark = events.sparkSession
     import spark.implicits._
     val gapUs = gapSeconds * 1000000L
-    events.select(col("event_id"), unix_micros(col("ts").cast("timestamp")).as("ts_us"),
+    events.select(col("event_id"), tsUsOf(events, "ts").as("ts_us"),
         col("user_id"), col("value"))
       .as[Ev]
       .repartition(col("user_id"))
@@ -151,7 +162,7 @@ object Events {
     import spark.implicits._
     val gapUs = gapSeconds * 1000000L
     events.select(col("event_id"), col("ts"),
-        unix_micros(col("ts").cast("timestamp")).as("ts_us"),
+        tsUsOf(events, "ts").as("ts_us"),
         col("user_id"), col("value"))
       .as[EvT]
       .groupByKey(_.user_id)
@@ -278,10 +289,10 @@ object Events {
     import spark.implicits._
     val tolUs = toleranceSec * 1000000L
     val tagged = left.select(col("key"), col("ts"),
-        unix_micros(col("ts").cast("timestamp")).as("ts_us"), lit(0).as("side"),
+        tsUsOf(left, "ts").as("ts_us"), lit(0).as("side"),
         col("id"), lit(0.0).as("v"))
       .unionByName(right.select(col("key"), col("ts"),
-        unix_micros(col("ts").cast("timestamp")).as("ts_us"), lit(1).as("side"),
+        tsUsOf(right, "ts").as("ts_us"), lit(1).as("side"),
         lit(0L).as("id"), col("rv").as("v")))
       .as[AsOfTagged]
     tagged.groupByKey(_.key)
@@ -359,7 +370,7 @@ object Events {
     val stepUs = stepSec * 1000000L
     def tickOf(tsUs: Long): Long = Math.floorDiv(tsUs, stepUs) * stepUs
     events.select(col(key).as("key"), col(ts).as("ts"),
-        unix_micros(col(ts).cast("timestamp")).as("ts_us"), col(tieBreak).as("event_id"),
+        tsUsOf(events, ts).as("ts_us"), col(tieBreak).as("event_id"),
         col(value).as("value"))
       .as[GfObs]
       .groupByKey(_.key)
@@ -445,7 +456,7 @@ object Events {
     val spark = events.sparkSession
     import spark.implicits._
     val tagged = events.select(col("key"), col("ts"),
-        unix_micros(col("ts").cast("timestamp")).as("ts_us"), col("event_id"), col("value"))
+        tsUsOf(events, "ts").as("ts_us"), col("event_id"), col("value"))
       .as[RlObs]
     tagged.groupByKey(_.key)
       .flatMapGroupsWithState[RlBuf, RlOut](
@@ -533,7 +544,20 @@ object Events {
   def readEventStream(spark: SparkSession, dir: String,
                       watermark: String = "1 hour"): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val physical = spark.read.parquet(dir).schema
+    // An empty landing directory is the NORMAL starting state of a file
+    // stream (files arrive after the query starts), so a failed probe
+    // falls back to the current driver encoding (NTZ micros) instead of
+    // propagating 'Unable to infer schema'.
+    val physical = try spark.read.parquet(dir).schema
+      catch { case _: org.apache.spark.sql.AnalysisException =>
+        StructType(Seq(
+          StructField("event_id", LongType),
+          StructField("ts", TimestampNTZType),
+          StructField("user_id", LongType),
+          StructField("event_type", StringType),
+          StructField("value", DoubleType),
+          StructField("props", StringType)))
+      }
     val tsNorm = physical("ts").dataType match {
       case LongType => timestamp_micros(expr("ts div 1000"))
       case TimestampNTZType => col("ts").cast(TimestampType)
