@@ -35,13 +35,31 @@ object Bench {
         failed += name
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
-      (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      if (sys.env.contains("SPARK_GRAFT_TRACE"))
+        System.err.println(f"[bench-trace] $name $dt%.2f")
+      // Deterministic litter release between timings (r8 verdict #2):
+      // localCheckpoint blocks free only when the driver GCs the RDD,
+      // and broadcast pieces only when ContextCleaner notices the GC —
+      // across a 171-query board that accumulation taxes later queries
+      // and widens run-to-run variance. Outside the timed region.
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      System.gc()
+      dt
     }
 
     // SPARK_GRAFT_ONLY=a,b,c: iterate on named queries without paying the
-    // full 168-query board (builder-side only; the driver never sets it)
+    // full 171-query board (builder-side only; the driver never sets it).
+    // Empty names are dropped and an all-empty value counts as unset —
+    // SPARK_GRAFT_ONLY="" must run the full board, not silently write an
+    // empty probe file; unmatched names warn instead of silently
+    // filtering to nothing.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
-      .map(_.split(",").map(_.trim).toSet)
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .filter(_.nonEmpty)
+    only.foreach(names => (names -- SparkEntry.queries.keySet).foreach(n =>
+      System.err.println(s"[bench] SPARK_GRAFT_ONLY matches no query: $n")))
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>

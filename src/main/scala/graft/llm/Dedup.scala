@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -556,11 +556,21 @@ object Dedup {
     *     doc pairs — output-bound, like every exact join must be.
     *
     * Output: (doc_a, doc_b, inter, uni, jaccard), doc_a < doc_b.
-    * `denseVocabMax` overrides the plan-dispatch ceiling (tests pin each
-    * arm against the brute-force oracle by forcing it). */
+    * `denseVocabMax` / `denseSigMax` override the plan-dispatch ceilings
+    * (tests pin each arm against the brute-force oracle by forcing it).
+    *
+    * NOTE: this call runs EAGER probe jobs (vocabulary count, and —
+    * small-vocab only — a distinct-signature count) to pick the plan,
+    * the one deliberate break from the repo's lazy-builder convention.
+    * `freq` (vocab-sized) and the dense arm's bitset table (doc-count ×
+    * ≤64 longs) are localCheckpointed so probe work is not recomputed
+    * when the returned plan executes; the raw token table is NOT — it
+    * is corpus-sized, and re-deriving a map-only explode off the scan
+    * is cheaper than materializing it at any scale. */
   def allPairs(df: DataFrame, id: String, text: String,
                threshold: Double,
-               denseVocabMax: Long = AllPairsDenseVocabMax): DataFrame = {
+               denseVocabMax: Long = AllPairsDenseVocabMax,
+               denseSigMax: Long = AllPairsDenseSigMax): DataFrame = {
     require(threshold > 0 && threshold <= 1,
       s"threshold must be in (0,1]: $threshold")
     // threshold as an EXACT parts-per-million rational: float math at
@@ -570,16 +580,40 @@ object Dedup {
     val tN = math.round(threshold * 1000000)
     require(math.abs(tN / 1e6 - threshold) < 1e-12,
       s"threshold must have at most 6 decimal places: $threshold")
-    import org.apache.spark.sql.expressions.Window
     val toks = df.select(col(id).as("doc"),
         explode(array_distinct(TextAnalysis.tokens(lower(col(text)))))
           .as("tok"))
     val freq = toks.groupBy("tok").agg(count(lit(1)).as("gf"))
-    // vocab probe: one count over the (already-needed) frequency table;
-    // model-sized action, same family as the centroid/codebook collects
-    val vocabSize = freq.count()
-    if (vocabSize <= denseVocabMax && vocabSize > 0)
-      return allPairsDense(toks, freq, vocabSize.toInt, tN)
+    // vocab probe: ONE bounded job over the (already-needed) frequency
+    // table — limit(max+1) both decides the arm exactly and, when the
+    // dense arm wins, IS the vocabulary (the bit codebook), so no
+    // second count/collect pass. Model-sized driver action, same family
+    // as the centroid/codebook collects.
+    val vocabProbe = probeVocab(freq, denseVocabMax)
+    vocabProbe match {
+      case Some(vocab) if vocab.nonEmpty =>
+        // The dense arm broadcasts ALL distinct signatures and sweeps
+        // the D² product — bounded by distinct-SIGNATURE count, which a
+        // small-vocab corpus can still push toward min(n, 2^V) (the r8
+        // verdict's one latent 100×-scale hazard: a forced broadcast
+        // overrides size thresholds, so unguarded this OOMs or goes
+        // quadratic with no fallback). Measure D over the (checkpointed,
+        // doc-count-sized) bitset table; take the dense arm only when
+        // the sweep AND its broadcast stay bounded, else fall through to
+        // the prefix arm — degraded on small vocabs but shuffle-based
+        // and spillable, the survivable plan.
+        val nWords = (vocab.length + 63) / 64
+        val docWords = denseDocWords(toks, denseBits(toks.sparkSession,
+            vocab), nWords)
+          .localCheckpoint()
+        val d = docWords.select(col("words")).distinct().count()
+        if (d <= denseSigMax && d * nWords * 8L <= AllPairsDenseBroadcastCap)
+          return allPairsDense(docWords, nWords, tN)
+      case _ => ()
+    }
+    // prefix arm: freq feeds BOTH sides of the self-join below —
+    // checkpoint so the token-frequency shuffle runs once, not twice
+    val freqC = freq.localCheckpoint()
     // PPJoin shape (r8): each doc becomes ONE row carrying its whole
     // token set as a rank-ordered array (farr); prefix tokens (the first
     // |d| - ceil(t·|d|) + 1, i.e. the RAREST) are re-exploded as join
@@ -607,7 +641,7 @@ object Dedup {
     // The SAME array_intersect then yields the exact intersection size
     // (tokens are distinct within a doc), so verification is a
     // map-side size() — the exact count never crosses an exchange.
-    val prefix = prefixSide(toks, freq, tN)
+    val prefix = prefixSide(toks, freqC, tN)
     prefix.alias("pa").join(prefix.alias("pb"),
         col("pa.tok") === col("pb.tok") && col("pa.doc") < col("pb.doc"))
       .filter(least(col("pa.sz"), col("pb.sz")) * 1000000L >=
@@ -658,15 +692,51 @@ object Dedup {
     * stay narrow (≤ 64 words); above it rare tokens exist and the
     * prefix plan regains selectivity. The dense plan additionally
     * assumes distinct token SETS ≪ documents (true of dedup corpora by
-    * construction); its broadcast is D·(V/64) longs. */
+    * construction) — an assumption [[AllPairsDenseSigMax]] now MEASURES
+    * rather than trusts; its broadcast is D·(V/64) longs. */
   val AllPairsDenseVocabMax = 4096L
 
+  /** Distinct-signature ceiling for the dense arm (r8 verdict #1): the
+    * D² popcount sweep and the forced signature broadcast are bounded by
+    * distinct-signature count, not vocabulary — a small-vocab corpus can
+    * still carry up to min(n, 2^V) distinct sets. At the ceiling the
+    * sweep is ≤ ~2·10⁹ pairs of ≤64-word popcounts (bounded minutes on
+    * one executor core-set, never an outage) and the broadcast ≤
+    * [[AllPairsDenseBroadcastCap]]; above it the prefix arm — degraded
+    * on small vocabs but shuffle-based and spillable — takes over. */
+  val AllPairsDenseSigMax = 65536L
+
+  /** Hard byte cap on the dense arm's signature broadcast
+    * (D · ceil(V/64) · 8 bytes must stay under it — a broadcast() hint
+    * overrides Spark's own size thresholds, so the cap is enforced at
+    * dispatch). */
+  val AllPairsDenseBroadcastCap: Long = 64L << 20
+
+  /** Arm-dispatch probe: collects at most `max + 1` vocabulary tokens.
+    * Returns Some(vocab) when the vocabulary fits the dense arm (the
+    * collected tokens then double as its bit codebook — one bounded job
+    * decides the arm AND trains the model), None when it exceeds `max`
+    * (prefix arm; nothing vocab-sized was held on the driver). */
+  private def probeVocab(freq: DataFrame, max: Long): Option[Array[String]] = {
+    if (max <= 0) return None
+    val toks = freq.select(col("tok"))
+      .limit(math.min(max, Int.MaxValue - 1L).toInt + 1)
+      .collect().map(_.getString(0))
+    if (toks.length > max) None else Some(toks)
+  }
+
   /** Dense bit assignment for the small-vocab plans: one fixed bit per
-    * token (order arbitrary but total). Vocab-bound → broadcast side. */
-  private def denseBits(freq: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    freq.select(col("tok"),
-      (row_number().over(Window.orderBy(col("tok"))) - 1).as("bit"))
+    * token, sorted-vocab order (arbitrary but total). The vocab is
+    * model-sized (≤ [[AllPairsDenseVocabMax]] by dispatch), so the
+    * assignment is driver-side over the probe's collected vocabulary —
+    * the centroid/codebook pattern — not a Window.orderBy with no
+    * partition (the r8 bench tail's "No Partition Defined" warning
+    * source; an unpartitioned window also serializes the assignment
+    * through one task). */
+  private def denseBits(spark: SparkSession,
+                        vocab: Array[String]): DataFrame = {
+    import spark.implicits._
+    vocab.sorted.zipWithIndex.toSeq.toDF("tok", "bit")
   }
 
   /** Per-doc dense bitset build: bit_or per 64-bit word, zero-filled to
@@ -697,14 +767,13 @@ object Dedup {
       "(acc, v) -> acc + v)")
 
   /** Dense-bitset exact Jaccard self-join — the small-vocabulary arm of
-    * [[allPairs]] (see its scaladoc for when and why). `toks` is the
-    * exploded (doc, tok) set, `freq` its global frequency table, `tN`
-    * the threshold in ppm. */
-  private def allPairsDense(toks: DataFrame, freq: DataFrame,
-                            vocab: Int, tN: Long): DataFrame = {
+    * [[allPairs]] (see its scaladoc for when and why). `docWords` is the
+    * per-doc bitset table ([[denseDocWords]], built and
+    * signature-guarded at the dispatch site), `tN` the threshold in
+    * ppm. */
+  private def allPairsDense(docWords: DataFrame, nWords: Int,
+                            tN: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val nWords = (vocab + 63) / 64
-    val docWords = denseDocWords(toks, denseBits(freq), nWords)
     // collapse to distinct signatures; sid = smallest member (unique)
     val docSig = docWords.withColumn("sid",
       min(col("doc")).over(Window.partitionBy(col("words"))))
@@ -762,14 +831,14 @@ object Dedup {
     * ordering constraint between them. */
   def allPairsJoin(left: DataFrame, right: DataFrame, id: String,
                    text: String, threshold: Double,
-                   denseVocabMax: Long = AllPairsDenseVocabMax)
+                   denseVocabMax: Long = AllPairsDenseVocabMax,
+                   denseSigMax: Long = AllPairsDenseSigMax)
       : DataFrame = {
     require(threshold > 0 && threshold <= 1,
       s"threshold must be in (0,1]: $threshold")
     val tN = math.round(threshold * 1000000)
     require(math.abs(tN / 1e6 - threshold) < 1e-12,
       s"threshold must have at most 6 decimal places: $threshold")
-    import org.apache.spark.sql.expressions.Window
     def toksOf(df: DataFrame) = df.select(col(id).as("doc"),
       explode(array_distinct(TextAnalysis.tokens(lower(col(text)))))
         .as("tok"))
@@ -777,14 +846,30 @@ object Dedup {
     val toksR = toksOf(right)
     val freq = toksL.unionByName(toksR)
       .groupBy("tok").agg(count(lit(1)).as("gf"))
-    val vocabSize = freq.count()
-    if (vocabSize <= denseVocabMax && vocabSize > 0)
-      return allPairsJoinDense(toksL, toksR, freq, vocabSize.toInt, tN)
+    probeVocab(freq, denseVocabMax) match {
+      case Some(vocab) if vocab.nonEmpty =>
+        // same distinct-signature guard as [[allPairs]], per side: the
+        // sweep is D_L × D_R and the broadcast carries the RIGHT side's
+        // signatures
+        val nWords = (vocab.length + 63) / 64
+        val bits = denseBits(left.sparkSession, vocab)
+        val dwL = denseDocWords(toksL, bits, nWords).localCheckpoint()
+        val dwR = denseDocWords(toksR, bits, nWords).localCheckpoint()
+        val dL = dwL.select(col("words")).distinct().count()
+        val dR = dwR.select(col("words")).distinct().count()
+        if (dL <= denseSigMax && dR <= denseSigMax &&
+            dR * nWords * 8L <= AllPairsDenseBroadcastCap)
+          return allPairsJoinDense(dwL, dwR, nWords, tN)
+      case _ => ()
+    }
+    // prefix arm: the shared-order frequency table feeds both sides —
+    // checkpoint so its shuffle runs once
+    val freqC = freq.localCheckpoint()
     // prefix arm: per-side [[prefixSide]] under the SHARED rarest-first
     // order; filters identical to the self-join, minus the doc_a <
     // doc_b constraint (sides are distinct namespaces)
-    prefixSide(toksL, freq, tN).alias("pa")
-      .join(prefixSide(toksR, freq, tN).alias("pb"),
+    prefixSide(toksL, freqC, tN).alias("pa")
+      .join(prefixSide(toksR, freqC, tN).alias("pb"),
         col("pa.tok") === col("pb.tok"))
       .filter(least(col("pa.sz"), col("pb.sz")) * 1000000L >=
         lit(tN) * greatest(col("pa.sz"), col("pb.sz")))
@@ -802,18 +887,17 @@ object Dedup {
   }
 
   /** Dense-bitset arm of [[allPairsJoin]]: per-side signature collapse,
-    * D_L × D_R popcount sweep, output-bound expansion. */
-  private def allPairsJoinDense(toksL: DataFrame, toksR: DataFrame,
-                                freq: DataFrame, vocab: Int,
-                                tN: Long): DataFrame = {
+    * D_L × D_R popcount sweep, output-bound expansion. `dwL`/`dwR` are
+    * the per-side bitset tables ([[denseDocWords]], built and
+    * signature-guarded at the dispatch site). */
+  private def allPairsJoinDense(dwL: DataFrame, dwR: DataFrame,
+                                nWords: Int, tN: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val nWords = (vocab + 63) / 64
-    val bits = denseBits(freq)
-    def sigged(toks: DataFrame) =
-      denseDocWords(toks, bits, nWords).withColumn("sid",
+    def sigged(dw: DataFrame) =
+      dw.withColumn("sid",
         min(col("doc")).over(Window.partitionBy(col("words"))))
-    val dsL = sigged(toksL)
-    val dsR = sigged(toksR)
+    val dsL = sigged(dwL)
+    val dsR = sigged(dwR)
     def sigs(ds: DataFrame) = ds.groupBy(col("sid"))
       .agg(first(col("words")).as("words"), first(col("sz")).as("sz"))
     val sigPairs = sigs(dsL).select(col("sid").as("sid_a"),
@@ -1436,8 +1520,19 @@ object Dedup {
     val n = emb.count()
     if (n == 0)
       return emb.select(col(id), lit(0).as("cell"), lit(true).as("kept"))
-    val cents = Similarity.ivfTrain(emb, id, vec,
-      math.min(nlist.toLong, n).toInt)
+    semanticDedup(emb, id, vec,
+      Similarity.ivfTrain(emb, id, vec, math.min(nlist.toLong, n).toInt),
+      threshold)
+  }
+
+  /** [[semanticDedup]] with PRE-TRAINED centroids — the serving shape
+    * for incremental runs: train once offline ([[Similarity.ivfTrain]]),
+    * then every dedup pass is assignment (map-only literal expression) +
+    * the within-cell join; the corpus is never re-scanned to rebuild the
+    * model (the [[Similarity.ivfTopK]] pre-trained convention, r9). */
+  def semanticDedup(emb: DataFrame, id: String, vec: String,
+                    cents: Array[Array[Double]],
+                    threshold: Double): DataFrame = {
     val assigned = Similarity.ivfAssign(emb, id, vec, cents)
     val dropped = assigned.alias("x").join(assigned.alias("y"),
         col("x.cell") === col("y.cell") &&
@@ -1452,9 +1547,11 @@ object Dedup {
 
   /** Incremental SEMANTIC novelty — [[minhashNovelty]]'s twin in
     * embedding space: each batch vector is novel unless some INDEX
-    * vector has cosine ≥ `threshold` with it. The daily-increment
-    * serving shape: the index is assigned to trained cells once
-    * (offline at deployment — pass the same `nlist`); the batch is
+    * vector has cosine ≥ `threshold` with it. This convenience form
+    * trains and assigns the index INLINE (several full index scans) —
+    * one-shot exploration only; the daily-increment serving shape is
+    * the pre-trained overload below, where the index is assigned to
+    * trained cells once, offline at deployment. Either way the batch is
     * assigned map-only and joins only its own cell's index slice, so
     * per-batch cost is |batch|·|index|/nlist, never |batch|·|index|.
     * Exact duplicates are always found (identical vectors co-locate);
@@ -1468,8 +1565,30 @@ object Dedup {
     if (n == 0) return batch.select(col(id), lit(true).as("novel"))
     val cents = Similarity.ivfTrain(index, id, vec,
       math.min(nlist.toLong, n).toInt)
-    val idx = Similarity.ivfAssign(index, id, vec, cents)
-      .select(col("cell"), col(vec).as("__graft_iv"))
+    semanticNovelty(batch,
+      Similarity.ivfAssign(index, id, vec, cents)
+        .select(col("cell"), col(vec)),
+      id, vec, cents, threshold, multiAssign)
+  }
+
+  /** [[semanticNovelty]] with a PRE-TRAINED model — the documented
+    * serving shape made callable (r8 verdict #5: the convenience form
+    * above retrains k-means and re-assigns the whole index on EVERY
+    * call; this overload is the "index assigned once, offline at
+    * deployment" path the scaladoc sells, mirroring
+    * [[Similarity.ivfTopK]]'s pre-trained overload). `indexCells` is the
+    * pre-assigned index — (cell, `vec`) columns, from
+    * [[Similarity.ivfAssign]] over the same `cents`, written
+    * partitionBy("cell") at deployment so a batch's probe is a
+    * partition-pruned read of its own cells. Per-batch cost is then
+    * genuinely |batch|·|index|/nlist: batch assignment is map-only
+    * against the centroid literals and the only index work is the
+    * cell equi-join. */
+  def semanticNovelty(batch: DataFrame, indexCells: DataFrame,
+                      id: String, vec: String,
+                      cents: Array[Array[Double]], threshold: Double,
+                      multiAssign: Int): DataFrame = {
+    val idx = indexCells.select(col("cell"), col(vec).as("__graft_iv"))
     val assignedBatch =
       if (multiAssign <= 1) Similarity.ivfAssign(batch, id, vec, cents)
       else Similarity.ivfAssign(batch, id, vec, cents, multiAssign)

@@ -108,6 +108,70 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("allPairs dense arm: dispatch pinned both directions of the signature guard") {
+    // r9 (r8 verdict #1): the dense arm's D² sweep is guarded on MEASURED
+    // distinct-signature count, not just vocabulary. Default ceilings on
+    // the 31-token corpus → dense arm (plan carries the signature-sweep
+    // BroadcastNestedLoopJoin); denseSigMax = 0 rejects at the guard →
+    // prefix arm (equi-join only, no BNLJ anywhere), same exact result.
+    val dense = Dedup.allPairs(docs, "doc_id", "text", 0.7)
+    assert(dense.queryExecution.executedPlan.toString
+      .contains("BroadcastNestedLoopJoin"),
+      "dense arm did not engage on the small-vocab corpus")
+    val guarded = Dedup.allPairs(docs, "doc_id", "text", 0.7,
+      denseSigMax = 0)
+    assert(!guarded.queryExecution.executedPlan.toString
+      .contains("BroadcastNestedLoopJoin"),
+      "signature guard did not fall back to the prefix arm")
+    val a = dense.select($"doc_a", $"doc_b").as[(Long, Long)]
+      .collect().toSet
+    val b = guarded.select($"doc_a", $"doc_b").as[(Long, Long)]
+      .collect().toSet
+    assert(a == b, s"fallback diverges: ${a -- b} / ${b -- a}")
+    // join form: same two directions
+    val right = docs.select(($"doc_id" + 10000).as("doc_id"),
+      concat($"text", lit(" zz")).as("text"))
+    val dj = Dedup.allPairsJoin(docs, right, "doc_id", "text", 0.7)
+    assert(dj.queryExecution.executedPlan.toString
+      .contains("BroadcastNestedLoopJoin"))
+    val gj = Dedup.allPairsJoin(docs, right, "doc_id", "text", 0.7,
+      denseSigMax = 0)
+    assert(!gj.queryExecution.executedPlan.toString
+      .contains("BroadcastNestedLoopJoin"))
+    val aj = dj.select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    val bj = gj.select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(aj == bj, s"join fallback diverges: ${aj -- bj} / ${bj -- aj}")
+  }
+
+  test("semanticDedup/semanticNovelty: pre-trained serving path ≡ inline training") {
+    // r9 (r8 verdict #5): the "train once offline" overloads must
+    // reproduce the convenience forms bit-for-bit when handed the same
+    // centroids — ivfTrain is deterministic (hash-ordered sample,
+    // farthest-point init), so inline training on the same corpus
+    // yields the same model
+    val cents = Similarity.ivfTrain(emb, "vec_id", "embedding", 32)
+    val inline = Dedup.semanticDedup(emb, "vec_id", "embedding", 32, 0.95)
+      .select($"vec_id", $"kept").as[(Long, Boolean)].collect().toSet
+    val served = Dedup.semanticDedup(emb, "vec_id", "embedding", cents,
+        0.95)
+      .select($"vec_id", $"kept").as[(Long, Boolean)].collect().toSet
+    assert(inline == served)
+    val batch = emb.filter(pmod($"vec_id", lit(5)) === 0)
+      .select(($"vec_id" + 200000).as("vec_id"), $"embedding")
+      .unionByName(emb.filter(pmod($"vec_id", lit(7)) === 0)
+        .select(($"vec_id" + 300000).as("vec_id"),
+          transform($"embedding", x => -x).as("embedding")))
+    val inlineNov = Dedup.semanticNovelty(batch, emb, "vec_id",
+        "embedding", 32, 0.95)
+      .as[(Long, Boolean)].collect().toSet
+    val idxCells = Similarity.ivfAssign(emb, "vec_id", "embedding", cents)
+      .select($"cell", $"embedding")
+    val servedNov = Dedup.semanticNovelty(batch, idxCells, "vec_id",
+        "embedding", cents, 0.95, 1)
+      .as[(Long, Boolean)].collect().toSet
+    assert(inlineNov == servedNov)
+  }
+
   test("tokenDrift: ppm math integer-exact, top-k tie-broken by token") {
     val df = Seq(("p", "a a b"), ("q", "a c c c"))
       .toDF("slice", "text")

@@ -35,6 +35,42 @@ class PlanAuditSpec extends SparkSpec {
       s"cartesian products in: ${offenders.mkString(", ")}")
   }
 
+  // The ONLY queries allowed a BroadcastNestedLoopJoin (r8 verdict #5 —
+  // whitelist-tighten so the next accidental BNLJ fails a test instead
+  // of shipping):
+  //  - q22_dormant_value: the build side is a 1-row scalar aggregate
+  //    (avg account balance) — a BNLJ against one row is a broadcast
+  //    filter, legitimate at any scale;
+  //  - dd_allpairs / dd_allpairs_join: the dense arm's deliberate
+  //    signature sweep, now gated on measured distinct-signature count
+  //    and a broadcast byte cap (Dedup.AllPairsDenseSigMax /
+  //    AllPairsDenseBroadcastCap), so the broadcast side is provably
+  //    bounded before the hint is emitted;
+  //  - ta_drift: the build side is the 1-row global token-total
+  //    aggregate (t_p, t_q) — scalar-agg broadcast, same class as q22
+  //    (plan-verified r9);
+  //  - sim_bruteforce_topk / sim_pq_topk / sim_ivfpq_topk: the
+  //    brute-force baseline (and the sim_ivf*'s in-query recall gate
+  //    against it) broadcasts the bounded QUERY set against the corpus —
+  //    the documented exact-baseline shape; the build side is |queries|
+  //    rows by construction, never corpus-sized.
+  private val bnljWhitelist = Set(
+    "q22_dormant_value", "dd_allpairs", "dd_allpairs_join", "ta_drift",
+    "sim_bruteforce_topk", "sim_pq_topk", "sim_ivfpq_topk",
+    "sim_ivf_topk", "sim_ivf_multiassign")
+
+  test("no BroadcastNestedLoopJoin outside the whitelisted sites") {
+    val offenders = planQueries.flatMap { name =>
+      val plan = SparkEntry.queries(name)(spark, sf)
+        .queryExecution.executedPlan.toString
+      if (plan.contains("BroadcastNestedLoopJoin") &&
+        !bnljWhitelist.contains(name)) Some(name)
+      else None
+    }
+    assert(offenders.isEmpty,
+      s"unexpected BroadcastNestedLoopJoin in: ${offenders.mkString(", ")}")
+  }
+
   test("filters push down to the parquet scan") {
     val q = Tables.load(spark, sf, "lineitem")
       .filter(col("l_quantity") > 40)
