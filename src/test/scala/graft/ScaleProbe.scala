@@ -347,6 +347,30 @@ object ScaleProbe {
       }
       println(s"[probe]   -> $n pairs")
     }
+    // ADVERSARIAL corpus for the dense-arm signature guard (r9, r8
+    // verdict #1): small vocabulary (2,000 synthetic tokens — PASSES the
+    // vocab gate) but ~100k DISTINCT random 12-token sets (FAILS the
+    // signature gate: D ≈ n ≫ 65,536). Unguarded, the dense arm would
+    // broadcast all ~100k signatures and sweep 5·10⁹ popcount pairs for
+    // an empty result; the guard must route this to the prefix arm
+    // (plan-asserted: no BNLJ) and the prefix arm must complete —
+    // uniform random sets have bucket-bound candidate volume even
+    // though every token is "frequent".
+    {
+      val n = 100000L
+      val adv = spark.range(n).select(col("id").as("doc_id"),
+        concat_ws(" ", (0 until 12).map(i =>
+          concat(lit("w"), pmod(xxhash64(col("id") + lit(i * 7919)),
+            lit(2000)))): _*).as("text"))
+      val q = graft.llm.Dedup.allPairs(adv, "doc_id", "text", 0.8)
+      val plan = q.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin"),
+        "signature guard failed to reject the adversarial corpus")
+      val c = time(s"allPairs ADVERSARIAL 2k vocab, $n distinct sets") {
+        q.count()
+      }
+      println(s"[probe]   -> $c pairs (prefix-arm fallback engaged)")
+    }
     // SemDeDup: corpus doubles, nlist fixed → per-cell quadratic work
     // grows 4x per doubling; raising nlist with the corpus is the
     // documented scale lever, pinned here by the nlist=64 row

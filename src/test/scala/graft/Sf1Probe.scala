@@ -30,7 +30,11 @@ object Sf1Probe {
     // round-7 third-wave rows
     "op_range_join", "op_interval_overlap", "op_asof_broadcast",
     "op_salted_join", "op_heavy_hitters", "ta_tensorize",
-    "op_bucketed_join", "op_sample_per_key", "ta_chunk", "ta_bm25")
+    "op_bucketed_join", "op_sample_per_key", "ta_chunk", "ta_bm25",
+    // round-8 rows (r8 verdict #6): the exact cross-corpus join is
+    // output-bound by construction (the perturbed-snapshot pairing is
+    // dense), the two semantic rows carry k-means training inline
+    "dd_allpairs_join", "dd_semantic", "dd_semantic_novelty")
 
   def main(args: Array[String]): Unit = {
     val src = "/root/testdata/sf0.1"
