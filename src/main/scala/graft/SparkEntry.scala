@@ -602,6 +602,19 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    "op_jw_join" -> ((s, dir) => {
+      // exact Jaro-Winkler similarity join over part names. 0.935
+      // sits in a measured empty band of the sf0.01 jw distribution
+      // (no value in (0.915, 0.955)), and the oracle is DuckDB's own
+      // jaro_winkler_similarity over the brute-force quadratic join —
+      // a green row certifies BOTH the bound-derived blocking's
+      // completeness AND the scalar's engine-for-engine parity.
+      val p = t(s, dir, "part")
+      graft.operators.JaroWinklerJoin.selfJoin(
+          p, "p_partkey", "p_name", threshold = 0.935)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     "op_rolling" -> ((s, dir) =>
       // per-event trailing 7-day activity features (range frame ending
       // at EVERY event — not ev_sliding's fixed grid): one exchange on
@@ -2019,6 +2032,26 @@ object SparkEntry {
         .orderBy(col("doc"))
     }),
 
+    "dd_tfidf_pairs" -> ((s, dir) => {
+      // exact weighted-cosine near-dup over token tf·idf vectors —
+      // integer-quantized idf makes dot/norms exact BIGINTs, so the
+      // pair set is engine-decidable (Dedup.tfidfPairs scaladoc); 0.9
+      // sits in a measured empty band of the sf0.01 cosine
+      // distribution (nearest values 0.89985 / 0.90098)
+      val d = t(s, dir, "documents")
+      Dedup.tfidfPairs(d, "doc_id", "text", threshold = 0.9)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    "dd_substring_spans" -> ((s, dir) => {
+      // exact duplicated-substring spans at k=64 chars (~10.5k
+      // duplicated positions across 45 docs at sf0.01 — the corpus'
+      // templated near-dups share long literal runs)
+      val d = t(s, dir, "documents")
+      Dedup.substringSpans(d, "doc_id", "text", k = 64)
+        .orderBy(col("doc"), col("span_start"))
+    }),
+
     // ---- similarity search ----
     "sim_bruteforce_topk" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
@@ -2802,6 +2835,13 @@ object SparkEntry {
   /** Whitespace tokens, empties dropped. */
   private def toksSql(e: String): String =
     s"list_filter(string_split_regex($e, '\\s+'), x -> x != '')"
+
+  /** floor(log2(x)) of a positive integer expression as a comparison
+    * ladder — the bit-exact twin of Dedup.floorLog2 (a float log2's
+    * last ulp at power-of-two boundaries would flip the floor). */
+  private def floorLog2Sql(e: String): String =
+    (1 to 62).map(k => s"CAST($e >= ${1L << k} AS BIGINT)")
+      .mkString("(", " + ", ")")
 
   /** Word-3-gram shingle list (Dedup.shingles). */
   private val shingleSql =
@@ -3821,6 +3861,50 @@ object SparkEntry {
         |SELECT doc, min(anc) AS rep, (doc = min(anc)) AS keep
         |FROM walk GROUP BY doc ORDER BY doc""".stripMargin,
 
+    // brute-force weighted-cosine over the SAME integer tf·idf
+    // quantization as Dedup.tfidfPairs: dot and norms are exact
+    // BIGINTs, the cosine is dot / sqrt(double·double) in the
+    // identical op order, so both the pair set and the rounded value
+    // replay bit-for-bit (no prefix filter needed here — the filter
+    // only prunes, membership is the exact compare)
+    "dd_tfidf_pairs" ->
+      s"""WITH tok AS (SELECT doc_id, unnest(${toksSql("lower(text)")}) AS tok FROM documents),
+        |tf AS (SELECT doc_id, tok, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+        |dfc AS (SELECT tok, count(*)::BIGINT AS dfd FROM tf GROUP BY 1),
+        |nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+        |rr AS (SELECT doc_id, tok, tf, (SELECT n FROM nn) // dfd AS r
+        |  FROM tf JOIN dfc USING (tok)),
+        |w AS (SELECT doc_id, tok, tf * (1 + ${floorLog2Sql("r")}) AS w FROM rr),
+        |n2 AS (SELECT doc_id, sum(w*w)::BIGINT AS n2 FROM w GROUP BY 1),
+        |d AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    sum(a.w * b.w)::BIGINT AS dot
+        |  FROM w a JOIN w b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, dot, na.n2 AS n2_a, nb.n2 AS n2_b,
+        |  round(dot::DOUBLE / sqrt(na.n2::DOUBLE * nb.n2::DOUBLE), 6) AS cos
+        |FROM d JOIN n2 na ON na.doc_id = doc_a
+        |JOIN n2 nb ON nb.doc_id = doc_b
+        |WHERE dot::DOUBLE / sqrt(na.n2::DOUBLE * nb.n2::DOUBLE) >= 0.9
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // duplicated k-gram positions → gaps-and-islands span merge; pure
+    // integer/string ops, so the spans replay bit-for-bit
+    "dd_substring_spans" ->
+      s"""WITH pos AS (SELECT doc_id, g.i AS p, substr(text, g.i::INTEGER, 64) AS gram
+        |  FROM documents, LATERAL (SELECT unnest(generate_series(1, length(text) - 63)) AS i) g
+        |  WHERE length(text) >= 64),
+        |c AS (SELECT gram FROM pos GROUP BY gram HAVING count(*) > 1),
+        |dup AS (SELECT doc_id, p FROM pos JOIN c USING (gram)),
+        |m AS (SELECT doc_id, p, max(p) OVER (PARTITION BY doc_id ORDER BY p
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm FROM dup),
+        |isl AS (SELECT doc_id, p, sum(CASE WHEN pm IS NULL OR p > pm + 64
+        |    THEN 1 ELSE 0 END) OVER (PARTITION BY doc_id ORDER BY p) AS island FROM m)
+        |SELECT doc_id AS doc, island::BIGINT AS span,
+        |  min(p)::BIGINT AS span_start, (max(p) + 63)::BIGINT AS span_end,
+        |  (max(p) + 63 - min(p) + 1)::BIGINT AS len, count(*)::BIGINT AS n_grams
+        |FROM isl GROUP BY doc_id, island
+        |ORDER BY doc, span_start""".stripMargin,
+
     "sim_bruteforce_topk" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
         |c AS (SELECT vec_id, embedding AS cv FROM embeddings),
@@ -4304,6 +4388,16 @@ object SparkEntry {
         |  levenshtein(a.nm, b.nm) AS dist
         |FROM d a JOIN d b ON a.id < b.id
         |WHERE levenshtein(a.nm, b.nm) <= 1
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // brute-force with DuckDB's NATIVE jaro_winkler_similarity — the
+    // strongest possible oracle for the custom expression: blocking
+    // completeness and scalar parity in one hash
+    "op_jw_join" ->
+      """SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+        |  round(jaro_winkler_similarity(a.p_name, b.p_name), 6) AS jw
+        |FROM part a JOIN part b ON a.p_partkey < b.p_partkey
+        |WHERE jaro_winkler_similarity(a.p_name, b.p_name) >= 0.935
         |ORDER BY id_a, id_b""".stripMargin,
 
     "op_rolling" ->

@@ -1642,4 +1642,270 @@ object Dedup {
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
         coalesce(col("text"), lit("")).as("text"))
   }
+
+  // -------------------------------------------------------------------
+  // exact weighted-cosine near-dup over token TF-IDF vectors
+  // -------------------------------------------------------------------
+
+  /** floor(log2(x)) for a positive integer column, as a pure comparison
+    * ladder (Σ_{k≥1} [x ≥ 2^k]) — integer-exact and engine-portable,
+    * where a float log2 could disagree with an oracle engine in the
+    * last ulp exactly at the power-of-two boundaries the floor turns
+    * into off-by-ones. 62 codegen'd long comparisons, no branches. */
+  private[llm] def floorLog2(c: Column): Column =
+    (1 to 62).map(k => when(c >= lit(1L << k), lit(1L)).otherwise(lit(0L)))
+      .reduce(_ + _)
+
+  /** EXACT cosine-similarity self-join over token TF-IDF vectors — the
+    * weighted complement of [[allPairs]] (set/Jaccard) and the sparse
+    * complement of [[cosinePairs]] (dense embeddings): every unordered
+    * doc pair whose bag-of-words tf·idf vectors have cosine ≥
+    * `threshold`. Bayardo/Awekar AllPairs prefix filtering
+    * (WWW'07 / WWW'09), re-expressed as DataFrame ops.
+    *
+    * Weights are INTEGER-quantized so the join's pair SET is decidable
+    * identically in any engine: w(doc,tok) = tf · (1 + ⌊log2(N div
+    * df)⌋) with ⌊log2⌋ the comparison ladder above — rare tokens weigh
+    * ~log2(N), stopwords 1, and every dot product / squared norm is an
+    * exact BIGINT (bounded by 2^53 for any document under ~10^6
+    * tokens, so the final cosine — computed as
+    * dot / sqrt(double(n2_a)·double(n2_b)) with this exact op order —
+    * is the same IEEE double on every engine; the threshold compare
+    * therefore never flips across engines, even at a knife-edge).
+    *
+    * Plan shape at scale (the float bounds below do PRUNING only —
+    * conservative slack `1 - 1e-9` — while membership is always
+    * decided by the exact integer verify):
+    *   1. tf: groupBy(doc, tok) — map-side combined.
+    *   2. df + N: token-level aggregate (broadcast back), one eager
+    *      count for N ([[graft.llm.TextAnalysis.hashTfidf]]'s
+    *      convention).
+    *   3. n2 = Σw² per doc; mx(tok) = corpus max of the normalized
+    *      weight ŵ = w/√n2 — both key-compressed aggregates.
+    *   4. Global token order: mx DESC (highest-possible-contribution
+    *      first), so the per-doc REVERSE cumulative bound rb_k =
+    *      Σ_{i≥k} ŵ_i·mx_i (a doc-partitioned window) decays fast;
+    *      positions with rb_k ≥ t are the prefix. rb_1 bounds the
+    *      doc's best possible cosine against ANY partner, so docs
+    *      below t emit no join keys at all.
+    *   5. Candidates: equi-join on prefix tokens. The globally-first
+    *      shared token of a qualifying pair is provably inside BOTH
+    *      prefixes (if every shared token sat in x's suffix, cos ≤
+    *      rb_{k} < t), so each pair surfaces at that token exactly
+    *      once — the [[allPairs]] first-shared-token dedup, keyed on
+    *      the ordered token array.
+    *   6. Verify: exact integer dot via a map lookup fold over the
+    *      smaller side's (tok → w) map — map-side, after pruning.
+    *
+    * Small-vocabulary corpora (every token frequent) break the prefix
+    * filter the same way they break [[allPairs]]'s — every doc's
+    * prefix holds the same few tokens, so the equi-join approaches n²
+    * rows each CARRYING its doc's full weight map. The same cure
+    * applies, weighted: vocab ≤ `denseVocabMax` → per-doc DENSE int
+    * weight vectors, docs collapse to DISTINCT vectors, and the D²
+    * sweep runs the codegen'd [[graft.functions.DotProduct]] loop
+    * under a broadcast nested-loop join — guarded, as [[allPairs]]'s
+    * arm is, on a measured distinct-signature count and a broadcast
+    * byte cap, falling back to the prefix arm above either. (The
+    * dense table is doc-count × V ints and is localCheckpointed
+    * before the D probe — the same materialization shape as
+    * [[allPairs]]'s bitset table.) Output: (doc_a, doc_b, dot, n2_a,
+    * n2_b, cos) with doc_a < doc_b, cos rounded to 6 places. */
+  def tfidfPairs(df: DataFrame, id: String, text: String,
+                 threshold: Double,
+                 denseVocabMax: Long = AllPairsDenseVocabMax,
+                 denseSigMax: Long = AllPairsDenseSigMax): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"threshold must be in (0,1]: $threshold")
+    val n = df.count()
+    val toks = df.select(col(id).as("doc"),
+      explode(TextAnalysis.tokens(lower(col(text)))).as("tok"))
+    val tf = toks.groupBy("doc", "tok").agg(count(lit(1)).as("tf"))
+    val dfc = tf.groupBy("tok").agg(count(lit(1)).as("dfd"))
+    val w = tf.join(broadcast(dfc), Seq("tok"))
+      .select(col("doc"), col("tok"),
+        // `div`, not `/`: Spark's Divide on longs is DOUBLE division
+        (col("tf") * (lit(1L) +
+          floorLog2(expr(s"CAST($n AS BIGINT) div dfd")))).as("w"))
+    val n2 = w.groupBy("doc").agg(sum(col("w") * col("w")).as("n2"))
+    probeVocab(dfc, denseVocabMax) match {
+      case Some(vocab) if vocab.nonEmpty =>
+        val dw = w
+          .join(broadcast(denseBits(df.sparkSession, vocab)), Seq("tok"))
+          .groupBy("doc").agg(map_from_entries(collect_list(
+            struct(col("bit"), col("w").cast(IntegerType)))).as("m"))
+          .join(n2, Seq("doc"))
+          .select(col("doc"), col("n2"),
+            transform(sequence(lit(0), lit(vocab.length - 1)),
+              i => coalesce(element_at(col("m"), i), lit(0))).as("wvec"))
+          .localCheckpoint()
+        val d = dw.select(col("wvec")).distinct().count()
+        if (d <= denseSigMax &&
+            d * vocab.length * 4L <= AllPairsDenseBroadcastCap)
+          return tfidfPairsDense(dw, threshold)
+      case _ => ()
+    }
+    val wn = w.join(n2, Seq("doc"))
+      .withColumn("wh", col("w").cast(DoubleType) /
+        sqrt(col("n2").cast(DoubleType)))
+    val mx = wn.groupBy("tok").agg(max(col("wh")).as("mx"))
+    import org.apache.spark.sql.expressions.Window
+    val tl = wn.join(broadcast(mx), Seq("tok"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("doc"))
+          .orderBy(col("mx").desc, col("tok"))))
+      .withColumn("rb", sum(col("wh") * col("mx")).over(
+        Window.partitionBy(col("doc")).orderBy(col("rnk"))
+          .rowsBetween(Window.currentRow, Window.unboundedFollowing)))
+    // conservative float slack: prune only when the bound is clearly
+    // below t — a ulp of window-sum noise must never drop a true pair
+    val tSlack = threshold * (1 - 1e-9)
+    val docTab = tl.groupBy("doc").agg(
+      first(col("n2")).as("n2"),
+      transform(array_sort(collect_list(struct(col("rnk"), col("tok")))),
+        x => x.getField("tok")).as("farr"),
+      map_from_entries(collect_list(struct(col("tok"), col("w"))))
+        .as("wmap"),
+      sum(when(col("rb") >= tSlack, 1).otherwise(0)).as("plen"))
+    val prefix = docTab.select(col("doc"), col("n2"), col("farr"),
+      col("wmap"), explode(expr("slice(farr, 1, plen)")).as("tok"))
+    prefix.alias("pa").join(prefix.alias("pb"),
+        col("pa.tok") === col("pb.tok") && col("pa.doc") < col("pb.doc"))
+      .filter(element_at(expr(
+        "filter(pa.farr, x -> pb.wmap[x] IS NOT NULL)"), 1) ===
+        col("pa.tok"))
+      .withColumn("dot", expr(
+        "aggregate(map_entries(pa.wmap), 0L, " +
+          "(acc, e) -> acc + e.value * coalesce(pb.wmap[e.key], 0L))"))
+      .withColumn("cos", col("dot").cast(DoubleType) /
+        sqrt(col("pa.n2").cast(DoubleType) * col("pb.n2").cast(DoubleType)))
+      .filter(col("cos") >= threshold)
+      .select(col("pa.doc").as("doc_a"), col("pb.doc").as("doc_b"),
+        col("dot"), col("pa.n2").as("n2_a"), col("pb.n2").as("n2_b"),
+        round(col("cos"), 6).as("cos"))
+  }
+
+  /** Dense-vector arm of [[tfidfPairs]] (see its scaladoc). `dw` is
+    * (doc, n2, wvec) with wvec the dense int weight vector, built and
+    * signature-guarded at the dispatch site. Every cosine — including
+    * the identical-vector intra-signature pairs — is computed by the
+    * same `dot / sqrt(double(n2_a)·double(n2_b))` op sequence, never
+    * shortcut to a literal 1.0: at n2 beyond 2²⁶ the product rounds,
+    * and an engine comparing its own rounded value must see ours. */
+  private def tfidfPairsDense(dw: DataFrame,
+                              threshold: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docSig = dw.withColumn("sid",
+      min(col("doc")).over(Window.partitionBy(col("wvec"))))
+    val sigs = docSig.groupBy(col("sid"))
+      .agg(first(col("wvec")).as("wvec"), first(col("n2")).as("n2"))
+    def cosCol = col("dotd") /
+      sqrt(col("na2").cast(DoubleType) * col("nb2").cast(DoubleType))
+    val sigPairs = sigs.select(col("sid").as("sid_a"),
+        col("wvec").as("wa"), col("n2").as("na2"))
+      .join(broadcast(sigs.select(col("sid").as("sid_b"),
+        col("wvec").as("wb"), col("n2").as("nb2"))),
+        col("sid_a") < col("sid_b"))
+      .withColumn("dotd", graft.functions.DotProduct(col("wa"), col("wb")))
+      .withColumn("cos", cosCol)
+      .filter(col("cos") >= threshold)
+      .select(col("sid_a"), col("sid_b"), col("dotd"),
+        col("na2"), col("nb2"), col("cos"))
+    val members = docSig.select(col("sid"), col("doc"))
+    val cross = sigPairs
+      .join(members.select(col("sid").as("sid_a"), col("doc").as("da")),
+        Seq("sid_a"))
+      .join(members.select(col("sid").as("sid_b"), col("doc").as("db")),
+        Seq("sid_b"))
+      .select(least(col("da"), col("db")).as("doc_a"),
+        greatest(col("da"), col("db")).as("doc_b"),
+        col("dotd").cast(LongType).as("dot"),
+        // n2 columns follow the id swap
+        when(col("da") < col("db"), col("na2")).otherwise(col("nb2"))
+          .as("n2_a"),
+        when(col("da") < col("db"), col("nb2")).otherwise(col("na2"))
+          .as("n2_b"),
+        round(col("cos"), 6).as("cos"))
+    // identical-vector pairs: dot = n2, same filter, same op sequence
+    val intra = docSig.alias("x").join(docSig.alias("y"),
+        col("x.sid") === col("y.sid") && col("x.doc") < col("y.doc"))
+      .select(col("x.doc").as("doc_a"), col("y.doc").as("doc_b"),
+        col("x.n2").cast(DoubleType).as("dotd"),
+        col("x.n2").as("na2"), col("y.n2").as("nb2"))
+      .withColumn("cos", cosCol)
+      .filter(col("cos") >= threshold)
+      .select(col("doc_a"), col("doc_b"),
+        col("dotd").cast(LongType).as("dot"),
+        col("na2").as("n2_a"), col("nb2").as("n2_b"),
+        round(col("cos"), 6).as("cos"))
+    cross.unionByName(intra)
+  }
+
+  // -------------------------------------------------------------------
+  // exact duplicated-substring spans (suffix-array-free ExactSubstr)
+  // -------------------------------------------------------------------
+
+  /** Maximal duplicated-substring spans: for every position whose
+    * k-char gram occurs at MORE THAN ONE (doc, position) in the
+    * corpus, merge overlapping-or-adjacent positions per doc into
+    * maximal spans — the Spark-native form of exact-substring training
+    * -data dedup (Lee et al. 2022, "Deduplicating Training Data Makes
+    * Language Models Better", which builds a corpus suffix array; a
+    * suffix array is a sequential construction — the distributed
+    * equivalent is exactly this fixed-k gram partition, since any
+    * duplicated substring of length ≥ k contains a duplicated k-gram,
+    * and every maximal duplicated run is a union of duplicated
+    * k-gram positions). Within-doc repeats count: a doc repeating its
+    * own boilerplate twice is duplication. Complements
+    * [[dedupLines]] (line granularity) and
+    * [[TextAnalysis.dupSpanFraction]] (within-doc only).
+    *
+    * Plan shape at scale:
+    *   1. Position table: one map-only explode — Σ(len−k+1) rows ≈
+    *      corpus bytes.
+    *   2. Duplicated grams: groupBy(gram) count — partial aggregation
+    *      collapses each partition's repeats map-side (the skew-safe
+    *      choice over a gram-partitioned window: a boilerplate gram
+    *      occurring 10⁸ times combines before the exchange) — then a
+    *      broadcast-unfriendly but key-compressed LEFT SEMI join back.
+    *      Grams cross the shuffle as k-byte keys; at k beyond ~64
+    *      substitute the 64-bit rolling hash ([[graft.functions
+    *      .RollingHash]]) as the group key and re-verify the gram on
+    *      the survivors — collision-checked, and the exchange carries
+    *      8 bytes instead of k.
+    *   3. Spans: per-doc ordered window (partitioned by doc — never
+    *      global): a position starts a new span when it clears the
+    *      running max end by more than one char; islands then reduce
+    *      by groupBy(doc, span).
+    *
+    * Output: (doc, span, span_start, span_end, len, n_grams) — span is
+    * the 1-based per-doc island index, positions 1-based inclusive,
+    * docs shorter than k emit nothing. */
+  def substringSpans(df: DataFrame, id: String, text: String,
+                     k: Int): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    import org.apache.spark.sql.expressions.Window
+    val pos = df.filter(length(col(text)) >= k)
+      .select(col(id).as("doc"),
+        explode(sequence(lit(1), length(col(text)) - (k - 1))).as("p0"),
+        col(text).as("__t"))
+      .select(col("doc"), col("p0").cast(LongType).as("p"),
+        expr(s"substring(__t, p0, $k)").as("gram"))
+    val dupg = pos.groupBy("gram").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > 1)
+    val dup = pos.join(dupg.select("gram"), Seq("gram"), "left_semi")
+    val w = Window.partitionBy(col("doc")).orderBy(col("p"))
+    val spans = dup
+      .withColumn("pm", max(col("p")).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("new", when(col("pm").isNull ||
+        col("p") > col("pm") + k, 1L).otherwise(0L))
+      .withColumn("span", sum(col("new")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    spans.groupBy(col("doc"), col("span"))
+      .agg(min(col("p")).as("span_start"),
+        (max(col("p")) + (k - 1)).as("span_end"),
+        (max(col("p")) + (k - 1) - min(col("p")) + 1).as("len"),
+        count(lit(1)).as("n_grams"))
+  }
 }

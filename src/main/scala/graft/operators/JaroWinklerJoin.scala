@@ -1,0 +1,124 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** EXACT Jaro-Winkler similarity self-join — entity-resolution for
+  * names/titles/codes where [[EditDistJoin]]'s distance-1 bar is too
+  * strict and a Jaccard token bar is too loose. Every unordered id
+  * pair whose strings have jw ≥ `threshold` (the
+  * [[graft.functions.JaroWinkler]] definition, = DuckDB's), with NO
+  * recall loss: the blocking below is derived from provable bounds,
+  * so the candidate set provably contains every qualifying pair, and
+  * membership is decided by the exact jw compare.
+  *
+  * The pipeline is the repo's signature-collapse + prefix-filter
+  * pattern, instantiated for an EDIT-style measure:
+  *
+  *   1. Collapse to DISTINCT strings (duplicate names are k² cliques
+  *      of jw = 1 pairs — compute once, expand at the end).
+  *   2. Bound chain, all integer-ppm exact: jw ≥ t with Winkler boost
+  *      ℓ ≤ 4, p = 0.1 forces jaro ≥ j := (t−0.4)/0.6 (hence the
+  *      t > 0.7 require — below that the Winkler region bound is
+  *      void). jaro ≥ j forces, for lengths l₁ ≤ l₂,
+  *        - length band: l₁/l₂ ≥ 3j−2 (from m ≤ l₁ and the jaro sum),
+  *        - match floor: m ≥ ⌈l₁·(3j−1)/2⌉ (from m/l₁+m/l₂ ≥ 3j−1).
+  *      Matched characters are ≤ the (char, occurrence) SET overlap —
+  *      the multiset-as-set encoding — so qualifying pairs share at
+  *      least that many (char, occ) tokens.
+  *   3. AllPairs prefix filter on those tokens under the global
+  *      rarest-first order: a doc of length l keys the join only on
+  *      its first l − o + 1 tokens, where o is the match floor at the
+  *      SMALLEST partner length the band allows — the globally-first
+  *      shared token of a qualifying pair provably lands in both
+  *      prefixes, and the pair is emitted exactly there (head of
+  *      `array_intersect`, the [[graft.llm.Dedup.allPairs]] dedup).
+  *   4. Verify: one codegen'd jw per candidate, ≥ t exact.
+  *   5. Expand distinct-string pairs back to id pairs; same-string
+  *      cliques emit jw = 1 directly (jw = 1 ⟺ equality).
+  *
+  * Shuffles: the distinct-collapse groupBy, the char-level rank
+  * windows (partitioned by string), the prefix equi-join, and the two
+  * expansion joins — all key-partitioned, nothing all-pairs, no
+  * broadcast assumptions. Skewed blocks (a common rare-char bucket)
+  * behave like any hot equi-join key: AQE skew splitting applies.
+  *
+  * Output: (id_a, id_b, jw) with id_a < id_b, jw rounded to 6. */
+object JaroWinklerJoin {
+
+  def selfJoin(df: DataFrame, id: String, text: String,
+               threshold: Double): DataFrame = {
+    require(threshold > 0.7 && threshold <= 1.0,
+      s"threshold must be in (0.7, 1]: $threshold")
+    val tPpm = math.round(threshold * 1000000)
+    require(math.abs(tPpm / 1e6 - threshold) < 1e-12,
+      s"threshold must have at most 6 decimal places: $threshold")
+    // jaro floor in ppm: ceil((t − 0.4)·10⁶ / 0.6), exact in integers
+    val jmin = (10L * (tPpm - 400000L) + 5L) / 6L
+    val a3 = 3L * jmin - 1000000L // match floor: o = ⌈l_min·a3/2e6⌉
+    val b3 = 3L * jmin - 2000000L // length band: l₁·1e6 ≥ b3·l₂
+
+    val nm = df.select(col(id).as("nid"), col(text).as("nm"))
+    val dn = nm.groupBy("nm").agg(min(col("nid")).as("sid"))
+    // (char, occurrence) tokens: "c:k" for the k-th occurrence of c
+    val occ = dn
+      .select(col("sid"), col("nm"),
+        explode(sequence(lit(1), length(col("nm")))).as("i"))
+      .select(col("sid"), col("nm"), col("i"),
+        expr("substring(nm, i, 1)").as("ch"))
+      .withColumn("occ", row_number().over(
+        Window.partitionBy(col("sid"), col("ch")).orderBy(col("i"))))
+      .select(col("sid"), col("nm"),
+        concat(col("ch"), lit(":"), col("occ")).as("tok"))
+    val freq = occ.groupBy("tok").agg(count(lit(1)).as("gf"))
+    val ranked = occ.join(freq, Seq("tok"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("sid")).orderBy(col("gf"), col("tok"))))
+    val docTab = ranked.groupBy(col("sid")).agg(
+        first(col("nm")).as("nm"),
+        transform(array_sort(collect_list(struct(col("rnk"), col("tok")))),
+          x => x.getField("tok")).as("farr"))
+      .withColumn("len", length(col("nm")).cast(LongType))
+      // smallest partner length the band allows (≥ 1), then the match
+      // floor at that length — both exact ceilings in integer ppm
+      .withColumn("lp", greatest(lit(1L),
+        expr(s"CAST((len * $b3 + 999999) div 1000000 AS BIGINT)")))
+      .withColumn("o",
+        expr(s"CAST((lp * $a3 + 1999999) div 2000000 AS BIGINT)"))
+      .withColumn("plen", greatest(col("len") - col("o") + 1L, lit(0L)))
+    val prefix = docTab.select(col("sid"), col("nm"), col("len"),
+      col("farr"), explode(expr("slice(farr, 1, CAST(plen AS INT))"))
+        .as("tok"))
+    val namePairs = prefix.alias("pa").join(prefix.alias("pb"),
+        col("pa.tok") === col("pb.tok") && col("pa.sid") < col("pb.sid"))
+      .filter(least(col("pa.len"), col("pb.len")) * 1000000L >=
+        lit(b3) * greatest(col("pa.len"), col("pb.len")))
+      .withColumn("ix", array_intersect(col("pa.farr"), col("pb.farr")))
+      .filter(element_at(col("ix"), 1) === col("pa.tok"))
+      .filter(size(col("ix")).cast(LongType) * 2000000L >=
+        least(col("pa.len"), col("pb.len")) * lit(a3))
+      .withColumn("jw",
+        graft.functions.JaroWinkler(col("pa.nm"), col("pb.nm")))
+      .filter(col("jw") >= threshold)
+      .select(col("pa.sid").as("sid_a"), col("pb.sid").as("sid_b"),
+        col("jw"))
+    val members = nm.join(dn, Seq("nm")).select(col("sid"), col("nid"))
+    val cross = namePairs
+      .join(members.select(col("sid").as("sid_a"), col("nid").as("ia")),
+        Seq("sid_a"))
+      .join(members.select(col("sid").as("sid_b"), col("nid").as("ib")),
+        Seq("sid_b"))
+      .select(least(col("ia"), col("ib")).as("id_a"),
+        greatest(col("ia"), col("ib")).as("id_b"),
+        round(col("jw"), 6).as("jw"))
+    // identical strings: jw = 1 ⟺ equality, so the clique value is
+    // exact by construction and passes any valid threshold
+    val intra = members.alias("x").join(members.alias("y"),
+        col("x.sid") === col("y.sid") && col("x.nid") < col("y.nid"))
+      .select(col("x.nid").as("id_a"), col("y.nid").as("id_b"),
+        lit(1.0).as("jw"))
+    cross.unionByName(intra)
+  }
+}

@@ -994,6 +994,114 @@ class LlmSpec extends SparkSpec {
     assert(Dedup.exact(u, $"text", $"doc_id").count() == 1)
   }
 
+  test("tfidfPairs: exact cosines by hand, idf weighting, boundary kept") {
+    // vocab dfs: alpha/beta/gamma/the = 2, zeta/eta = 1; N = 4 →
+    // idfQ = 1+⌊log2(4/df)⌋: df2 → 2, df1 → 3.
+    // docs 1,2: w = (2,2,2), n2 = 12 → cos = 1.0
+    // doc 3: the·3·2=6, zeta·3 → n2 = 45; doc 4 mirror with eta
+    // cos(3,4) = 36/45 = 0.8 EXACTLY — the boundary pair at t = 0.8
+    // (unweighted tf cosine would be 9/10; the idf weighting is what
+    // produces 0.8, so the value pins weighting AND the exact compare)
+    val d = Seq((1L, "alpha beta gamma"), (2L, "alpha beta gamma"),
+      (3L, "the the the zeta"), (4L, "the the the eta"))
+      .toDF("doc_id", "text")
+    val want = Set((1L, 2L, 12L, 1.0), (3L, 4L, 36L, 0.8))
+    // 6-token vocab → dense arm dispatches; denseVocabMax = 0 forces
+    // the prefix arm — both pinned to the same hand-computed truth
+    for (vmax <- Seq(Dedup.AllPairsDenseVocabMax, 0L)) {
+      val got = Dedup.tfidfPairs(d, "doc_id", "text", 0.8,
+          denseVocabMax = vmax)
+        .select($"doc_a", $"doc_b", $"dot", $"cos")
+        .as[(Long, Long, Long, Double)].collect().toSet
+      assert(got == want, s"denseVocabMax=$vmax")
+    }
+  }
+
+  test("tfidfPairs: brute-force parity on the real corpus") {
+    val n = docs.count()
+    val toks = docs.select($"doc_id".as("doc"),
+      explode(TextAnalysis.tokens(lower($"text"))).as("tok"))
+    val tf = toks.groupBy("doc", "tok").agg(count(lit(1)).as("tf"))
+    val dfc = tf.groupBy("tok").agg(count(lit(1)).as("dfd"))
+    // independent weight derivation: float log2+floor (exact at these
+    // magnitudes) instead of the operator's comparison ladder
+    val w = tf.join(dfc, Seq("tok")).select($"doc", $"tok",
+      ($"tf" * (lit(1L) +
+        floor(log2(expr(s"CAST($n AS BIGINT) div dfd"))).cast("long")))
+        .as("w"))
+    val n2 = w.groupBy("doc").agg(sum($"w" * $"w").as("n2"))
+    val brute = w.alias("a").join(w.alias("b"),
+        col("a.tok") === col("b.tok") && col("a.doc") < col("b.doc"))
+      .groupBy(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
+      .agg(sum(col("a.w") * col("b.w")).as("dot"))
+      .join(n2.select($"doc".as("doc_a"), $"n2".as("n2_a")), Seq("doc_a"))
+      .join(n2.select($"doc".as("doc_b"), $"n2".as("n2_b")), Seq("doc_b"))
+      .filter($"dot".cast("double") >=
+        lit(0.8) * sqrt($"n2_a".cast("double") * $"n2_b".cast("double")))
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    // the 31-token corpus dispatches the dense arm; denseVocabMax = 0
+    // forces the prefix arm over the same corpus — both must equal the
+    // brute force
+    for (vmax <- Seq(Dedup.AllPairsDenseVocabMax, 0L)) {
+      val got = Dedup.tfidfPairs(docs, "doc_id", "text", 0.8,
+          denseVocabMax = vmax)
+        .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+      assert(got == brute, s"denseVocabMax=$vmax")
+      assert(got.nonEmpty)
+    }
+  }
+
+  // 70 pairwise-distinct characters: no k-gram can repeat INSIDE one
+  // copy, so span structure is exactly what each test constructs
+  private val s70: String =
+    (('a' to 'z') ++ ('A' to 'Z') ++ ('0' to '9') ++ "!@#$%^&*").mkString
+  assert(s70.length == 70 && s70.distinct.length == 70)
+
+  test("substringSpans: cross-doc shared run merges to one maximal span") {
+    val d = Seq((1L, ("A" * 10) + s70 + ("B" * 10)),
+      (2L, ("C" * 5) + s70 + ("D" * 25)),
+      (9L, "too-short")).toDF("doc_id", "text")
+    val got = Dedup.substringSpans(d, "doc_id", "text", k = 64)
+      .select($"doc", $"span", $"span_start", $"span_end", $"len",
+        $"n_grams")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+    // 7 duplicated 64-gram positions per copy, merged to one span of
+    // exactly the shared 70 chars at each doc's own offset
+    assert(got == Set((1L, 1L, 11L, 80L, 70L, 7L),
+      (2L, 1L, 6L, 75L, 70L, 7L)))
+  }
+
+  test("substringSpans: within-doc repetition splits on gaps; no dup → empty") {
+    // '.' ∉ s70 and s70's chars are pairwise distinct, so the only
+    // duplicated 64-grams are the 7 pure-s70 windows of each copy
+    val gap = "." * 30
+    val d = Seq((1L, s70 + gap + s70)).toDF("doc_id", "text")
+    val got = Dedup.substringSpans(d, "doc_id", "text", k = 64)
+      .select($"span", $"span_start", $"span_end")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 1L, 70L), (2L, 101L, 170L)))
+    val clean = Seq((1L, s70 + gap)).toDF("doc_id", "text")
+    assert(Dedup.substringSpans(clean, "doc_id", "text", 64)
+      .count() == 0)
+  }
+
+  test("substringSpans: corpus spans are disjoint, ordered, ≥ k long") {
+    val out = Dedup.substringSpans(docs, "doc_id", "text", k = 64)
+      .orderBy($"doc", $"span_start")
+      .select($"doc", $"span", $"span_start", $"span_end", $"len")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(out.nonEmpty) // the corpus ships templated near-dups
+    out.groupBy(_._1).foreach { case (_, spans) =>
+      spans.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b._3 > a._4 + 1) // disjoint, non-adjacent
+          assert(b._2 == a._2 + 1) // island ids dense
+        case _ => ()
+      }
+    }
+    assert(out.forall(s => s._5 >= 64 && s._5 == s._4 - s._3 + 1))
+  }
+
   test("text analysis: langid marker hit and quality bounds") {
     val d = Seq((0L, "the cat and the dog of the house"),
       (1L, "el perro de la casa que ladra los dias"),

@@ -295,6 +295,75 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got === brute)
   }
 
+  // ---- JaroWinklerJoin ---------------------------------------------
+
+  test("jaroWinkler: DuckDB-pinned values at full double precision") {
+    import org.apache.spark.unsafe.types.UTF8String
+    def jw(a: String, b: String): Double =
+      graft.functions.JaroWinkler.compute(
+        UTF8String.fromString(a), UTF8String.fromString(b))
+    // textbook + adversarial cases, every expected value probed from
+    // DuckDB jaro_winkler_similarity at full precision — transposition
+    // int-div, boost threshold, window edges, and empty-string
+    // semantics (either side empty → 0.0, including both-empty) all
+    // pinned to the oracle engine's exact doubles
+    val pinned = Seq(
+      ("MARTHA", "MARHTA", 0.9611111111111111),
+      ("DIXON", "DICKSONX", 0.8133333333333332),
+      ("JELLYFISH", "SMELLYFISH", 0.8962962962962964),
+      ("DWAYNE", "DUANE", 0.8400000000000001),
+      ("TRATE", "TRACE", 0.9066666666666667),
+      ("abcdxxxx", "abcdyyyyzzz", 0.6212121212121212), // no boost ≤ 0.7
+      ("abcdxy", "bcadxy", 0.9444444444444445), // 3 mismatches → t = 1
+      ("aeiou", "uoiea", 0.4666666666666666),
+      ("same", "same", 1.0),
+      ("", "", 0.0), ("a", "", 0.0), ("", "a", 0.0),
+      // random 5-letter-alphabet pairs, DuckDB-probed
+      ("aacbbbaeaed", "a", 0.6969696969696969),
+      ("bb", "eaebedbde", 0.5370370370370371),
+      ("abdcc", "bca", 0.5111111111111111),
+      ("da", "cecade", 0.5555555555555555),
+      ("da", "cecebaabc", 0.0),
+      ("ba", "cdcbccb", 0.0),
+      ("caebebbddce", "caba", 0.6742424242424242),
+      ("dcabec", "dddb", 0.611111111111111))
+    pinned.foreach { case (a, b, want) =>
+      assert(jw(a, b) == want, s"jw($a, $b)")
+      assert(jw(b, a) == want, s"jw($b, $a) symmetric")
+    }
+    // column path (codegen) agrees with the static scalar
+    val df = pinned.map { case (a, b, _) => (a, b) }.toDF("a", "b")
+    val colVals = df.select(
+        graft.functions.JaroWinkler($"a", $"b").as("jw"))
+      .as[Double].collect().toSeq
+    assert(colVals == pinned.map(_._3))
+  }
+
+  test("jaroWinklerJoin: blocking finds everything brute force finds (property)") {
+    import org.apache.spark.unsafe.types.UTF8String
+    def jw(a: String, b: String): Double =
+      graft.functions.JaroWinkler.compute(
+        UTF8String.fromString(a), UTF8String.fromString(b))
+    // random strings over a tiny alphabet (dense similarity space),
+    // WITH duplicates — exercises the distinct-collapse, the intra
+    // cliques, and the cross expansion
+    val strs = (0 until 80).map { i =>
+      val r = new scala.util.Random(i * 13 + 5)
+      (i.toLong, (0 until (3 + r.nextInt(8)))
+        .map(_ => ('a' + r.nextInt(3)).toChar).mkString)
+    }
+    val t = 0.88
+    val df = strs.toDF("id", "nm")
+    val got = graft.operators.JaroWinklerJoin.selfJoin(df, "id", "nm", t)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    val brute = (for {
+      a <- strs; b <- strs if a._1 < b._1
+      if jw(a._2, b._2) >= t
+    } yield (a._1, b._1)).toSet
+    assert(got === brute)
+    assert(got.nonEmpty)
+  }
+
   // ---- sqrtSample --------------------------------------------------
 
   test("sqrtSample: per-stratum count is exactly min(n, ceil(rate*sqrt(n)))") {

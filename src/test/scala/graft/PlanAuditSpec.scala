@@ -41,11 +41,11 @@ class PlanAuditSpec extends SparkSpec {
   //  - q22_dormant_value: the build side is a 1-row scalar aggregate
   //    (avg account balance) — a BNLJ against one row is a broadcast
   //    filter, legitimate at any scale;
-  //  - dd_allpairs / dd_allpairs_join: the dense arm's deliberate
-  //    signature sweep, now gated on measured distinct-signature count
-  //    and a broadcast byte cap (Dedup.AllPairsDenseSigMax /
-  //    AllPairsDenseBroadcastCap), so the broadcast side is provably
-  //    bounded before the hint is emitted;
+  //  - dd_allpairs / dd_allpairs_join / dd_tfidf_pairs: the dense
+  //    arms' deliberate signature sweeps, gated on measured
+  //    distinct-signature count and a broadcast byte cap
+  //    (Dedup.AllPairsDenseSigMax / AllPairsDenseBroadcastCap), so the
+  //    broadcast side is provably bounded before the hint is emitted;
   //  - ta_drift: the build side is the 1-row global token-total
   //    aggregate (t_p, t_q) — scalar-agg broadcast, same class as q22
   //    (plan-verified r9);
@@ -55,7 +55,8 @@ class PlanAuditSpec extends SparkSpec {
   //    the documented exact-baseline shape; the build side is |queries|
   //    rows by construction, never corpus-sized.
   private val bnljWhitelist = Set(
-    "q22_dormant_value", "dd_allpairs", "dd_allpairs_join", "ta_drift",
+    "q22_dormant_value", "dd_allpairs", "dd_allpairs_join",
+    "dd_tfidf_pairs", "ta_drift",
     "sim_bruteforce_topk", "sim_pq_topk", "sim_ivfpq_topk",
     "sim_ivf_topk", "sim_ivf_multiassign")
 
