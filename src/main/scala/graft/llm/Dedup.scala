@@ -583,13 +583,19 @@ object Dedup {
     val toks = df.select(col(id).as("doc"),
         explode(array_distinct(TextAnalysis.tokens(lower(col(text)))))
           .as("tok"))
-    val freq = toks.groupBy("tok").agg(count(lit(1)).as("gf"))
+    // checkpoint BEFORE the probe: the probe job materializes the
+    // (vocab-sized) frequency table once, and every later consumer —
+    // either arm — reads the blocks instead of re-running the
+    // token-scan aggregation (the r8 advice: the probe used to compute
+    // freq, then the prefix arm's checkpoint computed it again)
+    val freqC = toks.groupBy("tok").agg(count(lit(1)).as("gf"))
+      .localCheckpoint()
     // vocab probe: ONE bounded job over the (already-needed) frequency
     // table — limit(max+1) both decides the arm exactly and, when the
     // dense arm wins, IS the vocabulary (the bit codebook), so no
     // second count/collect pass. Model-sized driver action, same family
     // as the centroid/codebook collects.
-    val vocabProbe = probeVocab(freq, denseVocabMax)
+    val vocabProbe = probeVocab(freqC, denseVocabMax)
     vocabProbe match {
       case Some(vocab) if vocab.nonEmpty =>
         // The dense arm broadcasts ALL distinct signatures and sweeps
@@ -611,9 +617,9 @@ object Dedup {
           return allPairsDense(docWords, nWords, tN)
       case _ => ()
     }
-    // prefix arm: freq feeds BOTH sides of the self-join below —
-    // checkpoint so the token-frequency shuffle runs once, not twice
-    val freqC = freq.localCheckpoint()
+    // prefix arm: freqC feeds BOTH sides of the self-join below —
+    // already materialized by the probe above, so the token-frequency
+    // shuffle ran exactly once
     // PPJoin shape (r8): each doc becomes ONE row carrying its whole
     // token set as a rank-ordered array (farr); prefix tokens (the first
     // |d| - ceil(t·|d|) + 1, i.e. the RAREST) are re-exploded as join
@@ -844,9 +850,11 @@ object Dedup {
         .as("tok"))
     val toksL = toksOf(left)
     val toksR = toksOf(right)
-    val freq = toksL.unionByName(toksR)
+    // checkpoint before the probe — same rationale as [[allPairs]]
+    val freqC = toksL.unionByName(toksR)
       .groupBy("tok").agg(count(lit(1)).as("gf"))
-    probeVocab(freq, denseVocabMax) match {
+      .localCheckpoint()
+    probeVocab(freqC, denseVocabMax) match {
       case Some(vocab) if vocab.nonEmpty =>
         // same distinct-signature guard as [[allPairs]], per side: the
         // sweep is D_L × D_R and the broadcast carries the RIGHT side's
@@ -863,8 +871,7 @@ object Dedup {
       case _ => ()
     }
     // prefix arm: the shared-order frequency table feeds both sides —
-    // checkpoint so its shuffle runs once
-    val freqC = freq.localCheckpoint()
+    // already materialized by the probe's checkpoint
     // prefix arm: per-side [[prefixSide]] under the SHARED rarest-first
     // order; filters identical to the self-join, minus the doc_a <
     // doc_b constraint (sides are distinct namespaces)
@@ -1721,7 +1728,10 @@ object Dedup {
     val toks = df.select(col(id).as("doc"),
       explode(TextAnalysis.tokens(lower(col(text)))).as("tok"))
     val tf = toks.groupBy("doc", "tok").agg(count(lit(1)).as("tf"))
+    // vocab-sized; checkpointed before the probe job so the document-
+    // frequency aggregation runs once, not once per consumer
     val dfc = tf.groupBy("tok").agg(count(lit(1)).as("dfd"))
+      .localCheckpoint()
     val w = tf.join(broadcast(dfc), Seq("tok"))
       .select(col("doc"), col("tok"),
         // `div`, not `/`: Spark's Divide on longs is DOUBLE division

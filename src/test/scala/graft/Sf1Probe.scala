@@ -34,7 +34,12 @@ object Sf1Probe {
     // round-8 rows (r8 verdict #6): the exact cross-corpus join is
     // output-bound by construction (the perturbed-snapshot pairing is
     // dense), the two semantic rows carry k-means training inline
-    "dd_allpairs_join", "dd_semantic", "dd_semantic_novelty")
+    "dd_allpairs_join", "dd_semantic", "dd_semantic_novelty",
+    // round-9 rows: tfidf pairs and substring spans are output-bound
+    // on the 10× shifted corpus (each shifted copy repeats the same
+    // text, so cross-copy dups multiply); jw join expands the same
+    // name cliques 10× squared within-name
+    "dd_tfidf_pairs", "dd_substring_spans", "op_jw_join")
 
   def main(args: Array[String]): Unit = {
     val src = "/root/testdata/sf0.1"
