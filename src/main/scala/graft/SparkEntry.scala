@@ -615,6 +615,29 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    "op_triangles" -> ((s, dir) => {
+      // per-node triangle counts on the co-purchase graph (parts
+      // sharing an order). The oracle closes wedges by brute-force
+      // triple join on the value-canonical edges; triangle counts are
+      // orientation-invariant, so the degree-ordered plan must land on
+      // the identical per-node histogram. Quarter of the orders: the
+      // full co-purchase graph at sf0.1 has avg degree ~150 and wedge
+      // volume is Θ(Σ outdeg²) for ANY exact scheme — the row pins
+      // correctness on a graph that is still 100k+ triangles without
+      // making the board quadratic-heavy (the gap-fill user_id < 40
+      // convention).
+      val li = t(s, dir, "lineitem")
+        .filter(col("l_orderkey") % 4 === 0)
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val edges = li.alias("x").join(li.alias("y"),
+          col("x.l_orderkey") === col("y.l_orderkey") &&
+            col("x.l_partkey") < col("y.l_partkey"))
+        .select(col("x.l_partkey").as("src"),
+          col("y.l_partkey").as("dst"))
+      graft.operators.Triangles.perNode(edges, "src", "dst")
+        .orderBy(col("node"))
+    }),
+
     "op_rolling" -> ((s, dir) =>
       // per-event trailing 7-day activity features (range frame ending
       // at EVERY event — not ev_sliding's fixed grid): one exchange on
@@ -4399,6 +4422,25 @@ object SparkEntry {
         |FROM part a JOIN part b ON a.p_partkey < b.p_partkey
         |WHERE jaro_winkler_similarity(a.p_name, b.p_name) >= 0.935
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // brute-force wedge closure over value-canonical edges — counts
+    // are orientation-invariant, so this pins the degree-ordered plan
+    "op_triangles" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        |  WHERE l_orderkey % 4 = 0),
+        |e0 AS (SELECT x.l_partkey AS a, y.l_partkey AS b FROM li x JOIN li y
+        |  ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
+        |e AS (SELECT DISTINCT a, b FROM e0),
+        |tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        |  FROM e e1 JOIN e e2 ON e2.a = e1.b
+        |  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+        |nodes AS (SELECT a AS node FROM e UNION SELECT b FROM e),
+        |c AS (SELECT node, count(*)::BIGINT AS n_tri FROM (
+        |  SELECT x AS node FROM tri UNION ALL SELECT y FROM tri
+        |  UNION ALL SELECT z FROM tri) GROUP BY node)
+        |SELECT n.node, coalesce(c.n_tri, 0)::BIGINT AS n_tri
+        |FROM nodes n LEFT JOIN c USING (node)
+        |ORDER BY node""".stripMargin,
 
     "op_rolling" ->
       """SELECT event_id, user_id, ts, value,

@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Per-node triangle counting via DEGREE-ORDERED EDGE ORIENTATION —
+  * the classic distributed-triangle scheme (Cohen 2009 MapReduce
+  * triangles; Suri & Vassilvitskii WWW'11): orient every undirected
+  * edge from its lower-(degree, id) endpoint to its higher one, and
+  * enumerate each triangle exactly once as a wedge at its lowest
+  * corner closed by the oriented third edge. Why this and not the
+  * naive wedge join: wedges under orientation are Σ out-deg(v)² with
+  * out-degree bounded by O(√m) on ANY graph (a vertex's out-neighbors
+  * all have degree ≥ its own), so a celebrity node with degree 10⁷
+  * contributes out-wedges only toward its ≥-degree peers — the
+  * skew-killer that lets the plan survive a power-law graph at 100 TB,
+  * where the unoriented wedge join is Σ deg(v)² and dies on the first
+  * hub.
+  *
+  * Plan shape: canonicalize + dedup edges (`distinct`, map-side
+  * combined), degree aggregate (key-compressed), orientation decided
+  * per edge row after two key-partitioned degree joins, wedge
+  * equi-join on the low corner, one LEFT SEMI equi-join closing each
+  * wedge against the oriented edge set, then a three-role union into
+  * a groupBy(node). Every aggregate partial-aggregates, no window at
+  * all, nothing all-pairs; the only data-sized state in flight is
+  * edges and wedges.
+  *
+  * Input: undirected edge list (`src`, `dst`) — self-loops dropped,
+  * duplicate/reversed edges collapse. Output: (node, n_tri) for every
+  * node incident to at least one edge, n_tri = 0 rows included. */
+object Triangles {
+
+  def perNode(edges: DataFrame, src: String, dst: String): DataFrame = {
+    val e = edges
+      .select(least(col(src), col(dst)).cast(LongType).as("a"),
+        greatest(col(src), col(dst)).cast(LongType).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    val deg = e.select(col("a").as("v"))
+      .unionByName(e.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("d"))
+    // orient each edge from its lower-(degree, id) endpoint; the head
+    // rides as a (degree, id) struct so wedge pairs order in the SAME
+    // total order the orientation used, without re-joining degrees
+    val aKey = struct(col("da").as("d"), col("a").as("id"))
+    val bKey = struct(col("db").as("d"), col("b").as("id"))
+    val dirE = e
+      .join(deg.select(col("v").as("a"), col("d").as("da")), Seq("a"))
+      .join(deg.select(col("v").as("b"), col("d").as("db")), Seq("b"))
+      .select(
+        when(aKey < bKey, col("a")).otherwise(col("b")).as("u"),
+        when(aKey < bKey, bKey).otherwise(aKey).as("w"))
+    // wedges at the low corner, closed by the oriented third edge
+    // x → y (x < y in orientation order ⇒ the closing edge, if it
+    // exists, is oriented exactly that way)
+    val tri = dirE.select(col("u"), col("w").as("x"))
+      .join(dirE.select(col("u"), col("w").as("y")), Seq("u"))
+      .filter(col("x") < col("y"))
+      .join(dirE.select(col("u").as("__cu"), col("w").as("__cw")),
+        col("__cu") === col("x").getField("id") && col("__cw") === col("y"),
+        "left_semi")
+    val corners = tri.select(col("u").as("node"))
+      .unionByName(tri.select(col("x").getField("id").as("node")))
+      .unionByName(tri.select(col("y").getField("id").as("node")))
+    deg.select(col("v").as("node"))
+      .join(corners.groupBy("node").agg(count(lit(1)).as("n_tri")),
+        Seq("node"), "left")
+      .select(col("node"), coalesce(col("n_tri"), lit(0L)).as("n_tri"))
+  }
+}

@@ -81,4 +81,44 @@ class PageRankSpec extends SparkSpec {
     assert(math.abs(total - 1.0) < 1e-3, s"mass drifted: $total")
     assert(mx > mn, "a hash-derived irregular graph must not be uniform")
   }
+
+  // ---- Triangles ---------------------------------------------------
+
+  test("triangles: K4, star, path, and edge-canonicalization by hand") {
+    // K4 (4 triangles, each node in 3) + a star center 10 (0 triangles)
+    // + a dangling path 20-21; duplicate and reversed edges collapse,
+    // self-loops drop
+    val edges = (for {
+      a <- 1L to 4L; b <- 1L to 4L if a != b
+    } yield (a, b)) ++ // K4 given BOTH directions — must dedup
+      Seq((10L, 11L), (10L, 12L), (10L, 13L), (20L, 21L), (5L, 5L))
+    val got = graft.operators.Triangles
+      .perNode(edges.toDF("src", "dst"), "src", "dst")
+      .as[(Long, Long)].collect().toMap
+    val want = Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L,
+      10L -> 0L, 11L -> 0L, 12L -> 0L, 13L -> 0L, 20L -> 0L, 21L -> 0L)
+    assert(got == want) // node 5 only had a self-loop → not in output
+  }
+
+  test("triangles: random-graph parity with a driver brute force") {
+    val r = new scala.util.Random(17)
+    val edges = (0 until 400)
+      .map(_ => (r.nextInt(40).toLong, r.nextInt(40).toLong))
+    val got = graft.operators.Triangles
+      .perNode(edges.toDF("src", "dst"), "src", "dst")
+      .as[(Long, Long)].collect().toMap
+    val es = edges.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .filter { case (a, b) => a != b }.toSet
+    val nodes = es.flatMap { case (a, b) => Seq(a, b) }
+    val triCount = scala.collection.mutable.Map.empty[Long, Long]
+      .withDefaultValue(0L)
+    for {
+      Seq(x, y, z) <- nodes.toSeq.sorted.combinations(3)
+      if es((x, y)) && es((x, z)) && es((y, z))
+      n <- Seq(x, y, z)
+    } triCount(n) += 1
+    val want = nodes.map(n => n -> triCount(n)).toMap
+    assert(got == want)
+    assert(got.values.sum > 0, "random graph should contain triangles")
+  }
 }
