@@ -1547,6 +1547,23 @@ object SparkEntry {
           chunkSize = 64, overlap = 16)
         .orderBy(col("doc"), col("chunk_idx"))),
 
+    "ta_classify" -> ((s, dir) => {
+      // fasttext-style linear quality filter SERVING path: hashed
+      // unigram+bigram features × a fixed integer weight table →
+      // exact BIGINT margin. The weights come from a deterministic
+      // integer formula (a Knuth-hash ramp) rather than a trained
+      // float vector because float training isn't cross-engine
+      // replayable (TextAnalysis.trainLogistic scaladoc) — training
+      // behavior is spec-pinned, the oracle pins the serving algebra.
+      val feats = TextAnalysis.hashedFeatures(
+        t(s, dir, "documents"), "doc_id", "text", dim = 1024)
+      val weights = s.range(1024).select(col("id").as("dim"),
+        ((col("id") * lit(2654435761L)) % 1001 - 500).as("w"))
+      TextAnalysis.scoreLinear(feats, weights)
+        .select(col("doc"), col("margin"), (col("margin") > 0).as("keep"))
+        .orderBy(col("doc"))
+    }),
+
     "ta_tensorize" -> ((s, dir) =>
       // GPT-style block packing into fixed 128-token windows, compared
       // in exploded (window, pos, token) form so the oracle checks
@@ -3369,6 +3386,25 @@ object SparkEntry {
         |  array_to_string(ws[g.i*48+1 : least(g.i*48+64, n)], ' ') AS chunk
         |FROM c, LATERAL (SELECT unnest(generate_series(0, (n-1)//48)) AS i) g
         |ORDER BY doc, chunk_idx""".stripMargin,
+
+    // integer weights from the same Knuth-hash ramp, unigram+bigram
+    // rolling-hash features — margin algebra replays exactly
+    "ta_classify" ->
+      s"""WITH w0 AS (SELECT i AS dim, (i * 2654435761) % 1001 - 500 AS w
+        |  FROM (SELECT unnest(generate_series(0, 1023)) AS i)),
+        |d0 AS (SELECT doc_id, ${toksSql("lower(text)")} AS ws FROM documents),
+        |uni AS (SELECT doc_id, unnest(ws) AS f FROM d0),
+        |big AS (SELECT doc_id, ws[g.i] || '_' || ws[g.i+1] AS f
+        |  FROM d0, LATERAL (SELECT unnest(generate_series(1, len(ws) - 1)) AS i) g
+        |  WHERE len(ws) > 1),
+        |feats AS (SELECT doc_id, ${rollSql("f")} % 1024 AS dim,
+        |    count(*)::BIGINT AS cnt
+        |  FROM (SELECT * FROM uni UNION ALL SELECT * FROM big)
+        |  GROUP BY 1, 2),
+        |m AS (SELECT doc_id AS doc, sum(cnt * w)::BIGINT AS margin
+        |  FROM feats JOIN w0 USING (dim) GROUP BY 1)
+        |SELECT doc, margin, margin > 0 AS keep FROM m
+        |ORDER BY doc""".stripMargin,
 
     // the oracle rebuilds the packed token stream with window-function
     // arithmetic: per-group exclusive prefix offsets, global position →

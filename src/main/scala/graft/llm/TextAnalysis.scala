@@ -799,4 +799,94 @@ object TextAnalysis {
           (col("cum") / lit(budget)).cast(LongType)).as("shard"),
         (col("cum") % lit(budget)).as("offset"))
   }
+
+  // -------------------------------------------------------------------
+  // linear quality classifier (fasttext-style) over hashed features
+  // -------------------------------------------------------------------
+
+  /** Hashed bag-of-features: unigrams plus adjacent-token bigrams
+    * (joined with '_'), each rolled through [[tokenHash]] into `dim`
+    * buckets — the fastText featurization (Joulin et al. 2016), which
+    * is what production quality/toxicity filters for pretraining
+    * corpora actually run (CCNet's fastText quality scorer). Pure
+    * integer hashing → both the features and any integer-weight score
+    * over them replay bit-for-bit in an oracle engine.
+    *
+    * Shape at scale: one map-only explode (tokens + bigrams ≈ 2×
+    * token count) → groupBy(doc, dim) with map-side combine. No
+    * vocabulary table — the hashing trick is the point: the feature
+    * space is fixed at `dim` regardless of corpus size.
+    *
+    * Output: (doc, dim, cnt). */
+  def hashedFeatures(df: org.apache.spark.sql.DataFrame, id: String,
+                     text: String,
+                     dim: Int = 1024): org.apache.spark.sql.DataFrame = {
+    require(dim > 0, s"dim must be positive: $dim")
+    val ws = tokens(lower(col(text)))
+    val bigrams = zip_with(
+      slice(ws, lit(1), greatest(size(ws) - 1, lit(0))),
+      slice(ws, lit(2), greatest(size(ws) - 1, lit(0))),
+      (a, b) => concat(a, lit("_"), b))
+    df.select(col(id).as("doc"),
+        explode(concat(ws, bigrams)).as("f"))
+      .select(col("doc"), pmod(tokenHash(col("f")), lit(dim)).as("dim"))
+      .groupBy("doc", "dim").agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Linear score over hashed features: margin(doc) = Σ cnt·w(dim).
+    * `weights` is a (dim, w) table — model-sized, broadcast — so one
+    * broadcast join + one partial-aggregated groupBy scores any
+    * corpus; with integer weights the margin is an exact BIGINT.
+    * Docs absent from `feats` (no tokens) are absent from the output,
+    * matching the featurizer. Output: (doc, margin). */
+  def scoreLinear(feats: org.apache.spark.sql.DataFrame,
+                  weights: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    feats.join(broadcast(weights), Seq("dim"))
+      .groupBy("doc").agg(sum(col("cnt") * col("w")).as("margin"))
+
+  /** Batch-gradient logistic regression on hashed features — the
+    * training half of the quality classifier. Each iteration is two
+    * key-partitioned shuffles (margin per doc, gradient per dim) and
+    * one model-sized collect; the driver holds only the `dim`-length
+    * weight vector, never data. Labels: (doc, y) with y ∈ {0, 1}.
+    * Returns the weight vector indexed by feature bucket.
+    *
+    * Determinism note: float gradient sums reduce in partition order,
+    * so weights are reproducible only up to float-sum reordering —
+    * which is why the engine's COMPARED serving row uses fixed
+    * integer weights, and training is pinned by behavior (separable
+    * data → accuracy) in the spec, the k-means/ivfTrain convention. */
+  def trainLogistic(feats: org.apache.spark.sql.DataFrame,
+                    labels: org.apache.spark.sql.DataFrame,
+                    dim: Int, iters: Int = 20,
+                    lr: Double = 0.5): Array[Double] = {
+    val spark = feats.sparkSession
+    import spark.implicits._
+    val f = feats.join(labels, Seq("doc"))
+      .select(col("doc"), col("dim"), col("cnt").cast(DoubleType),
+        col("y").cast(DoubleType))
+      .localCheckpoint()
+    val n = math.max(f.select(col("doc")).distinct().count(), 1L)
+    var w = new Array[Double](dim)
+    for (_ <- 1 to iters) {
+      val wDf = broadcast(w.toSeq.zipWithIndex
+        .map { case (v, i) => (i, v) }.toDF("dim", "w"))
+      val grad = f.join(wDf, Seq("dim"))
+        .groupBy("doc").agg(
+          sum(col("cnt") * col("w")).as("m"),
+          first(col("y")).as("y"),
+          collect_list(struct(col("dim"), col("cnt"))).as("fs"))
+        .select(explode(col("fs")).as("f"),
+          (lit(1.0) / (lit(1.0) + exp(-col("m"))) - col("y")).as("r"))
+        .groupBy(col("f.dim").as("dim"))
+        .agg(sum(col("f.cnt") * col("r")).as("g"))
+        .collect()
+      val step = lr / n
+      grad.foreach(row =>
+        // dim arrives as the feature bucket's LONG (pmod of a long hash)
+        w(row.getAs[Long]("dim").toInt) -= step * row.getAs[Double]("g"))
+    }
+    w
+  }
 }

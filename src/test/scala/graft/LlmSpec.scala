@@ -1102,6 +1102,38 @@ class LlmSpec extends SparkSpec {
     assert(out.forall(s => s._5 >= 64 && s._5 == s._4 - s._3 + 1))
   }
 
+  test("quality classifier: features by hand; logistic training separates") {
+    // "a b" → unigrams a, b plus bigram a_b = 3 feature occurrences;
+    // "a" alone → 1 (no bigram); "" → no rows
+    val f1 = TextAnalysis.hashedFeatures(
+      Seq((1L, "a b"), (2L, "a"), (3L, "")).toDF("doc_id", "text"),
+      "doc_id", "text", dim = 1024)
+    assert(f1.groupBy($"doc").agg(sum($"cnt")).as[(Long, Long)]
+      .collect().toMap == Map(1L -> 3L, 2L -> 1L))
+    // separable corpus: two disjoint vocabularies → logistic GD must
+    // reach ~perfect train accuracy (behavior pin, not weight pin —
+    // float gradient sums reduce in partition order)
+    val r = new scala.util.Random(3)
+    val vg = Seq("good", "excellent", "clean", "clear")
+    val vb = Seq("bad", "awful", "junk", "noise")
+    val docs = (0 until 120).map { i =>
+      val v = if (i % 2 == 1) vg else vb
+      (i.toLong, (0 until 10).map(_ => v(r.nextInt(4))).mkString(" "),
+        i % 2)
+    }
+    val df = docs.toDF("doc", "text", "y")
+    val feats = TextAnalysis.hashedFeatures(df, "doc", "text", dim = 256)
+    val w = TextAnalysis.trainLogistic(feats,
+      df.select($"doc", $"y"), dim = 256, iters = 30, lr = 1.0)
+    val wDf = w.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toSeq.toDF("dim", "w")
+    val acc = TextAnalysis.scoreLinear(feats, wDf)
+      .join(df.select($"doc", $"y"), Seq("doc"))
+      .filter(($"margin" > 0) === ($"y" === 1)).count().toDouble /
+      docs.size
+    assert(acc >= 0.95, s"train accuracy $acc")
+  }
+
   test("text analysis: langid marker hit and quality bounds") {
     val d = Seq((0L, "the cat and the dog of the house"),
       (1L, "el perro de la casa que ladra los dias"),
