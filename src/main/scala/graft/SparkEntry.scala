@@ -2083,6 +2083,19 @@ object SparkEntry {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
+    "dd_tfidf_join" -> ((s, dir) => {
+      // exact cross-corpus weighted-cosine join (the dd_allpairs_join
+      // construction with the idf bar): documents vs perturbed
+      // snapshot, one shared idf space over the union. 0.9 sits in a
+      // measured empty band (0.8991 / 0.9005) at sf0.01.
+      val d = t(s, dir, "documents")
+      val right = d.select((col("doc_id") + 10000).as("doc_id"),
+        concat(col("text"), lit(" zz"),
+          pmod(col("doc_id"), lit(5)).cast(StringType)).as("text"))
+      Dedup.tfidfJoin(d, right, "doc_id", "text", threshold = 0.9)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     "dd_substring_spans" -> ((s, dir) => {
       // exact duplicated-substring spans at k=64 chars (~10.5k
       // duplicated positions across 45 docs at sf0.01 — the corpus'
@@ -3945,6 +3958,36 @@ object SparkEntry {
         |JOIN n2 nb ON nb.doc_id = doc_b
         |WHERE dot::DOUBLE / sqrt(na.n2::DOUBLE * nb.n2::DOUBLE) >= 0.9
         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // brute-force cross-corpus cosine under the shared union-idf
+    // integer quantization — same exactness contract as dd_tfidf_pairs
+    "dd_tfidf_join" ->
+      s"""WITH l0 AS (SELECT doc_id, ${toksSql("lower(text)")} AS ws FROM documents),
+        |r0 AS (SELECT doc_id + 10000 AS doc_id,
+        |    ${toksSql("lower(text || ' zz' || CAST(doc_id % 5 AS VARCHAR))")} AS ws
+        |  FROM documents),
+        |lt AS (SELECT doc_id, unnest(ws) AS tok FROM l0),
+        |rt AS (SELECT doc_id, unnest(ws) AS tok FROM r0),
+        |tfl AS (SELECT doc_id, tok, count(*)::BIGINT AS tf FROM lt GROUP BY 1, 2),
+        |tfr AS (SELECT doc_id, tok, count(*)::BIGINT AS tf FROM rt GROUP BY 1, 2),
+        |dfc AS (SELECT tok, count(*)::BIGINT AS dfd
+        |  FROM (SELECT * FROM tfl UNION ALL SELECT * FROM tfr) GROUP BY 1),
+        |nn AS (SELECT (SELECT count(*) FROM documents) * 2 AS n),
+        |wl AS (SELECT doc_id, tok, tf * (1 + ${floorLog2Sql("r")}) AS w
+        |  FROM (SELECT tfl.*, (SELECT n FROM nn) // dfd AS r
+        |    FROM tfl JOIN dfc USING (tok))),
+        |wr AS (SELECT doc_id, tok, tf * (1 + ${floorLog2Sql("r")}) AS w
+        |  FROM (SELECT tfr.*, (SELECT n FROM nn) // dfd AS r
+        |    FROM tfr JOIN dfc USING (tok))),
+        |n2l AS (SELECT doc_id, sum(w*w)::BIGINT AS n2 FROM wl GROUP BY 1),
+        |n2r AS (SELECT doc_id, sum(w*w)::BIGINT AS n2 FROM wr GROUP BY 1),
+        |d AS (SELECT a.doc_id AS da, b.doc_id AS db, sum(a.w * b.w)::BIGINT AS dot
+        |  FROM wl a JOIN wr b ON a.tok = b.tok GROUP BY 1, 2)
+        |SELECT da AS id_a, db AS id_b, dot, na.n2 AS n2_a, nb.n2 AS n2_b,
+        |  round(dot::DOUBLE / sqrt(na.n2::DOUBLE * nb.n2::DOUBLE), 6) AS cos
+        |FROM d JOIN n2l na ON na.doc_id = da JOIN n2r nb ON nb.doc_id = db
+        |WHERE dot::DOUBLE / sqrt(na.n2::DOUBLE * nb.n2::DOUBLE) >= 0.9
+        |ORDER BY id_a, id_b""".stripMargin,
 
     // duplicated k-gram positions → gaps-and-islands span merge; pure
     // integer/string ops, so the spans replay bit-for-bit

@@ -1851,6 +1851,151 @@ object Dedup {
     cross.unionByName(intra)
   }
 
+  /** EXACT cross-corpus weighted-cosine JOIN — [[tfidfPairs]]'s
+    * two-sided form, completing the family symmetry with
+    * [[allPairsJoin]] (sets) and [[fuzzyJoin]] (LSH): every (left,
+    * right) pair with tf·idf cosine ≥ `threshold`. Use cases mirror
+    * the Jaccard join's (decontamination with a weighted bar,
+    * cross-crawl audit) when stopword overlap must not count toward
+    * the similarity the way raw Jaccard counts it.
+    *
+    * One similarity space for both sides: document frequencies, N,
+    * and hence the integer idf quantization are computed over the
+    * UNION of both corpora (the shared-total-order requirement, same
+    * as [[allPairsJoin]]'s union frequency table), so a string that
+    * appears in both corpora has ONE weight. Same adaptive dispatch
+    * as [[tfidfPairs]]: small shared vocab → per-side dense int
+    * vectors, per-side distinct-signature collapse, D_L × D_R sweep
+    * broadcasting the RIGHT side under the same measured-D and byte
+    * caps; otherwise the maxweight prefix arm with the corpus-max
+    * normalized weights taken over BOTH sides. Output: (id_a from
+    * left, id_b from right, dot, n2_a, n2_b, cos). */
+  def tfidfJoin(left: DataFrame, right: DataFrame, id: String,
+                text: String, threshold: Double,
+                denseVocabMax: Long = AllPairsDenseVocabMax,
+                denseSigMax: Long = AllPairsDenseSigMax): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"threshold must be in (0,1]: $threshold")
+    val n = left.count() + right.count()
+    def toksOf(df: DataFrame) = df.select(col(id).as("doc"),
+      explode(TextAnalysis.tokens(lower(col(text)))).as("tok"))
+    def tfOf(toks: DataFrame) =
+      toks.groupBy("doc", "tok").agg(count(lit(1)).as("tf"))
+    val tfL = tfOf(toksOf(left))
+    val tfR = tfOf(toksOf(right))
+    val dfc = tfL.unionByName(tfR)
+      .groupBy("tok").agg(count(lit(1)).as("dfd"))
+      .localCheckpoint()
+    def weighted(tf: DataFrame) = tf.join(broadcast(dfc), Seq("tok"))
+      .select(col("doc"), col("tok"),
+        (col("tf") * (lit(1L) +
+          floorLog2(expr(s"CAST($n AS BIGINT) div dfd")))).as("w"))
+    val wL = weighted(tfL)
+    val wR = weighted(tfR)
+    def norm2(w: DataFrame) =
+      w.groupBy("doc").agg(sum(col("w") * col("w")).as("n2"))
+    val n2L = norm2(wL)
+    val n2R = norm2(wR)
+    probeVocab(dfc, denseVocabMax) match {
+      case Some(vocab) if vocab.nonEmpty =>
+        val bits = denseBits(left.sparkSession, vocab)
+        def denseOf(w: DataFrame, n2: DataFrame) = w
+          .join(broadcast(bits), Seq("tok"))
+          .groupBy("doc").agg(map_from_entries(collect_list(
+            struct(col("bit"), col("w").cast(IntegerType)))).as("m"))
+          .join(n2, Seq("doc"))
+          .select(col("doc"), col("n2"),
+            transform(sequence(lit(0), lit(vocab.length - 1)),
+              i => coalesce(element_at(col("m"), i), lit(0))).as("wvec"))
+          .localCheckpoint()
+        val dwL = denseOf(wL, n2L)
+        val dwR = denseOf(wR, n2R)
+        val dL = dwL.select(col("wvec")).distinct().count()
+        val dR = dwR.select(col("wvec")).distinct().count()
+        if (dL <= denseSigMax && dR <= denseSigMax &&
+            dR * vocab.length * 4L <= AllPairsDenseBroadcastCap)
+          return tfidfJoinDense(dwL, dwR, threshold)
+      case _ => ()
+    }
+    // prefix arm: corpus-max normalized weights over BOTH sides keep
+    // the suffix bound valid for cross-side partners
+    def normalized(w: DataFrame, n2: DataFrame) = w.join(n2, Seq("doc"))
+      .withColumn("wh", col("w").cast(DoubleType) /
+        sqrt(col("n2").cast(DoubleType)))
+    val whL = normalized(wL, n2L)
+    val whR = normalized(wR, n2R)
+    val mx = whL.unionByName(whR)
+      .groupBy("tok").agg(max(col("wh")).as("mx"))
+      .localCheckpoint()
+    val tSlack = threshold * (1 - 1e-9)
+    import org.apache.spark.sql.expressions.Window
+    def prefixOf(wh: DataFrame) = {
+      val tl = wh.join(broadcast(mx), Seq("tok"))
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy(col("doc"))
+            .orderBy(col("mx").desc, col("tok"))))
+        .withColumn("rb", sum(col("wh") * col("mx")).over(
+          Window.partitionBy(col("doc")).orderBy(col("rnk"))
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)))
+      tl.groupBy("doc").agg(
+          first(col("n2")).as("n2"),
+          transform(array_sort(collect_list(struct(col("rnk"), col("tok")))),
+            x => x.getField("tok")).as("farr"),
+          map_from_entries(collect_list(struct(col("tok"), col("w"))))
+            .as("wmap"),
+          sum(when(col("rb") >= tSlack, 1).otherwise(0)).as("plen"))
+        .select(col("doc"), col("n2"), col("farr"), col("wmap"),
+          explode(expr("slice(farr, 1, plen)")).as("tok"))
+    }
+    prefixOf(whL).alias("pa").join(prefixOf(whR).alias("pb"),
+        col("pa.tok") === col("pb.tok"))
+      .filter(element_at(expr(
+        "filter(pa.farr, x -> pb.wmap[x] IS NOT NULL)"), 1) ===
+        col("pa.tok"))
+      .withColumn("dot", expr(
+        "aggregate(map_entries(pa.wmap), 0L, " +
+          "(acc, e) -> acc + e.value * coalesce(pb.wmap[e.key], 0L))"))
+      .withColumn("cos", col("dot").cast(DoubleType) /
+        sqrt(col("pa.n2").cast(DoubleType) * col("pb.n2").cast(DoubleType)))
+      .filter(col("cos") >= threshold)
+      .select(col("pa.doc").as("id_a"), col("pb.doc").as("id_b"),
+        col("dot"), col("pa.n2").as("n2_a"), col("pb.n2").as("n2_b"),
+        round(col("cos"), 6).as("cos"))
+  }
+
+  /** Dense-vector arm of [[tfidfJoin]]: per-side signature collapse,
+    * D_L × D_R DotProduct sweep (right side broadcast), output-bound
+    * expansion — [[allPairsJoinDense]]'s shape with weights. */
+  private def tfidfJoinDense(dwL: DataFrame, dwR: DataFrame,
+                             threshold: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def sigged(dw: DataFrame) = dw.withColumn("sid",
+      min(col("doc")).over(Window.partitionBy(col("wvec"))))
+    val dsL = sigged(dwL)
+    val dsR = sigged(dwR)
+    def sigs(ds: DataFrame) = ds.groupBy(col("sid"))
+      .agg(first(col("wvec")).as("wvec"), first(col("n2")).as("n2"))
+    val sigPairs = sigs(dsL).select(col("sid").as("sid_a"),
+        col("wvec").as("wa"), col("n2").as("na2"))
+      .crossJoin(broadcast(sigs(dsR).select(col("sid").as("sid_b"),
+        col("wvec").as("wb"), col("n2").as("nb2"))))
+      .withColumn("dotd", graft.functions.DotProduct(col("wa"), col("wb")))
+      .withColumn("cos", col("dotd") /
+        sqrt(col("na2").cast(DoubleType) * col("nb2").cast(DoubleType)))
+      .filter(col("cos") >= threshold)
+      .select(col("sid_a"), col("sid_b"), col("dotd"),
+        col("na2"), col("nb2"), col("cos"))
+    sigPairs
+      .join(dsL.select(col("sid").as("sid_a"), col("doc").as("id_a")),
+        Seq("sid_a"))
+      .join(dsR.select(col("sid").as("sid_b"), col("doc").as("id_b")),
+        Seq("sid_b"))
+      .select(col("id_a"), col("id_b"),
+        col("dotd").cast(LongType).as("dot"),
+        col("na2").as("n2_a"), col("nb2").as("n2_b"),
+        round(col("cos"), 6).as("cos"))
+  }
+
   // -------------------------------------------------------------------
   // exact duplicated-substring spans (suffix-array-free ExactSubstr)
   // -------------------------------------------------------------------

@@ -1051,6 +1051,51 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("tfidfJoin: cross-corpus brute parity, both arms") {
+    val left = docs.select($"doc_id", $"text")
+    val right = docs.select(($"doc_id" + 10000).as("doc_id"),
+      concat($"text", lit(" zz"),
+        pmod($"doc_id", lit(5)).cast("string")).as("text"))
+    // independent brute force under the shared union-idf quantization
+    val n = left.count() + right.count()
+    def toksOf(df: org.apache.spark.sql.DataFrame) =
+      df.select($"doc_id".as("doc"),
+        explode(TextAnalysis.tokens(lower($"text"))).as("tok"))
+    def tfOf(t: org.apache.spark.sql.DataFrame) =
+      t.groupBy("doc", "tok").agg(count(lit(1)).as("tf"))
+    val tfL = tfOf(toksOf(left))
+    val tfR = tfOf(toksOf(right))
+    val dfc = tfL.unionByName(tfR).groupBy("tok")
+      .agg(count(lit(1)).as("dfd"))
+    def wOf(tf: org.apache.spark.sql.DataFrame) =
+      tf.join(dfc, Seq("tok")).select($"doc", $"tok",
+        ($"tf" * (lit(1L) +
+          floor(log2(expr(s"CAST($n AS BIGINT) div dfd"))).cast("long")))
+          .as("w"))
+    val wL = wOf(tfL)
+    val wR = wOf(tfR)
+    def n2Of(w: org.apache.spark.sql.DataFrame) =
+      w.groupBy("doc").agg(sum($"w" * $"w").as("n2"))
+    val brute = wL.alias("a").join(wR.alias("b"),
+        col("a.tok") === col("b.tok"))
+      .groupBy(col("a.doc").as("id_a"), col("b.doc").as("id_b"))
+      .agg(sum(col("a.w") * col("b.w")).as("dot"))
+      .join(n2Of(wL).select($"doc".as("id_a"), $"n2".as("n2_a")),
+        Seq("id_a"))
+      .join(n2Of(wR).select($"doc".as("id_b"), $"n2".as("n2_b")),
+        Seq("id_b"))
+      .filter($"dot".cast("double") >=
+        lit(0.9) * sqrt($"n2_a".cast("double") * $"n2_b".cast("double")))
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    for (vmax <- Seq(Dedup.AllPairsDenseVocabMax, 0L)) {
+      val got = Dedup.tfidfJoin(left, right, "doc_id", "text", 0.9,
+          denseVocabMax = vmax)
+        .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+      assert(got == brute, s"denseVocabMax=$vmax")
+      assert(got.nonEmpty)
+    }
+  }
+
   // 70 pairwise-distinct characters: no k-gram can repeat INSIDE one
   // copy, so span structure is exactly what each test constructs
   private val s70: String =

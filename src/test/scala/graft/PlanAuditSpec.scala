@@ -41,11 +41,12 @@ class PlanAuditSpec extends SparkSpec {
   //  - q22_dormant_value: the build side is a 1-row scalar aggregate
   //    (avg account balance) — a BNLJ against one row is a broadcast
   //    filter, legitimate at any scale;
-  //  - dd_allpairs / dd_allpairs_join / dd_tfidf_pairs: the dense
-  //    arms' deliberate signature sweeps, gated on measured
-  //    distinct-signature count and a broadcast byte cap
-  //    (Dedup.AllPairsDenseSigMax / AllPairsDenseBroadcastCap), so the
-  //    broadcast side is provably bounded before the hint is emitted;
+  //  - dd_allpairs / dd_allpairs_join / dd_tfidf_pairs /
+  //    dd_tfidf_join: the dense arms' deliberate signature sweeps,
+  //    gated on measured distinct-signature count and a broadcast byte
+  //    cap (Dedup.AllPairsDenseSigMax / AllPairsDenseBroadcastCap), so
+  //    the broadcast side is provably bounded before the hint is
+  //    emitted;
   //  - ta_drift: the build side is the 1-row global token-total
   //    aggregate (t_p, t_q) — scalar-agg broadcast, same class as q22
   //    (plan-verified r9);
@@ -56,7 +57,7 @@ class PlanAuditSpec extends SparkSpec {
   //    rows by construction, never corpus-sized.
   private val bnljWhitelist = Set(
     "q22_dormant_value", "dd_allpairs", "dd_allpairs_join",
-    "dd_tfidf_pairs", "ta_drift",
+    "dd_tfidf_pairs", "dd_tfidf_join", "ta_drift",
     "sim_bruteforce_topk", "sim_pq_topk", "sim_ivfpq_topk",
     "sim_ivf_topk", "sim_ivf_multiassign")
 
