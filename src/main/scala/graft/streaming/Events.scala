@@ -247,6 +247,36 @@ object Events {
       .filter(!col("contaminated"))
   }
 
+  /** Streaming quality filter — the ingestion-time form of the linear
+    * classifier ([[graft.llm.TextAnalysis.scoreLinear]]): documents
+    * below the margin bar never reach the sink. The batch serving path
+    * is featurize-groupBy + broadcast join; a stream wants NO
+    * aggregation state, so the margin here is a pure per-row FOLD over
+    * the token+bigram features with the (model-sized) weight table as
+    * a plan literal — same integers, occurrence at a time:
+    * Σ w(h(f)) = Σ cnt·w. Map-only ⇒ composes with any watermark or
+    * none, and batch DataFrames run the identical code (the
+    * decontaminateStream convention). Rows keep their columns plus
+    * `margin`; docs with margin ≤ `keepAbove` (including token-less
+    * rows at margin 0) are dropped. */
+  def classifyStream(stream: DataFrame, text: String,
+                     weights: Map[Int, Long], dim: Int,
+                     keepAbove: Long = 0L): DataFrame = {
+    require(dim > 0, s"dim must be positive: $dim")
+    val ws = graft.llm.TextAnalysis.tokens(lower(col(text)))
+    val bigrams = zip_with(
+      slice(ws, lit(1), greatest(size(ws) - 1, lit(0))),
+      slice(ws, lit(2), greatest(size(ws) - 1, lit(0))),
+      (a, b) => concat(a, lit("_"), b))
+    val wlit = typedLit(weights)
+    val margin = aggregate(concat(ws, bigrams), lit(0L),
+      (acc, f) => acc + coalesce(element_at(wlit,
+        pmod(graft.functions.RollingHash(f), lit(dim.toLong))
+          .cast("int")), lit(0L)))
+    stream.withColumn("margin", margin)
+      .filter(col("margin") > keepAbove)
+  }
+
   // -----------------------------------------------------------------
   // streaming as-of enrichment
   // -----------------------------------------------------------------

@@ -371,6 +371,76 @@ object ScaleProbe {
       }
       println(s"[probe]   -> $c pairs (prefix-arm fallback engaged)")
     }
+    // tfidfPairs (r9): self-union multiplies identical weight vectors —
+    // the dense arm's distinct-signature count stays FLAT while docs
+    // grow, so the sweep cost is constant and only the output-bound
+    // expansion grows (x copies → x² pairs per base pair)
+    for (x <- Seq(1, 2, 4)) {
+      val d = selfUnion(docs, "doc_id", x)
+      val n = time(s"tfidfPairs t=0.9 ${x}x (${x * 5000} docs) [pairs]") {
+        graft.llm.Dedup.tfidfPairs(d, "doc_id", "text", 0.9).count()
+      }
+      println(s"[probe]   -> $n pairs")
+    }
+    // ADVERSARIAL corpus for tfidfPairs' dense-arm guard — the same
+    // 2k-vocab / ~100k-distinct-sets corpus that pins allPairs': must
+    // route to the prefix arm (no BNLJ) and complete there
+    {
+      val n = 100000L
+      val adv = spark.range(n).select(col("id").as("doc_id"),
+        concat_ws(" ", (0 until 12).map(i =>
+          concat(lit("w"), pmod(xxhash64(col("id") + lit(i * 7919)),
+            lit(2000)))): _*).as("text"))
+      val q = graft.llm.Dedup.tfidfPairs(adv, "doc_id", "text", 0.9)
+      val plan = q.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin"),
+        "tfidf signature guard failed to reject the adversarial corpus")
+      val c = time(s"tfidfPairs ADVERSARIAL 2k vocab, $n distinct sets") {
+        q.count()
+      }
+      println(s"[probe]   -> $c pairs (prefix-arm fallback engaged)")
+    }
+    // substringSpans (r9): self-union turns EVERY position duplicated
+    // (each copy repeats every gram) — the worst case for span volume;
+    // positions stay linear in corpus, spans linear in docs
+    for (x <- Seq(1, 2, 4)) {
+      val d = selfUnion(docs, "doc_id", x)
+      val n = time(s"substringSpans k=64 ${x}x (${x * 5000} docs) [spans]") {
+        graft.llm.Dedup.substringSpans(d, "doc_id", "text", 64).count()
+      }
+      println(s"[probe]   -> $n spans")
+    }
+    // jw join (r9): copies grow name cliques — candidates stay
+    // distinct-name-bound (flat), output grows quadratically in copies
+    for (x <- Seq(1, 2, 4)) {
+      val p = spark.read.parquet("/root/testdata/sf0.1/part.parquet")
+      val u = (1 until x).foldLeft(p.select(col("p_partkey"), col("p_name")))(
+        (acc, i) => acc.unionByName(p.select(
+          (col("p_partkey") + lit(i * 10000000L)).as("p_partkey"),
+          col("p_name"))))
+      val n = time(s"jwJoin t=0.935 ${x}x (${x * 20000} parts) [pairs]") {
+        graft.operators.JaroWinklerJoin.selfJoin(
+          u, "p_partkey", "p_name", 0.935).count()
+      }
+      println(s"[probe]   -> $n pairs")
+    }
+    // triangles (r9): order-subset fraction doubles edge density each
+    // step — wedge volume is Θ(Σ outdeg²), the inherent exact-count
+    // cost; the curve documents how density, not node count, drives it
+    for (m <- Seq(16, 8, 4)) {
+      val li = spark.read.parquet("/root/testdata/sf0.1/lineitem.parquet")
+        .filter(col("l_orderkey") % m === 0)
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val edges = li.alias("x").join(li.alias("y"),
+          col("x.l_orderkey") === col("y.l_orderkey") &&
+            col("x.l_partkey") < col("y.l_partkey"))
+        .select(col("x.l_partkey").as("src"), col("y.l_partkey").as("dst"))
+      val n = time(s"triangles orders%$m [nodes]") {
+        graft.operators.Triangles.perNode(edges, "src", "dst")
+          .filter(col("n_tri") > 0).count()
+      }
+      println(s"[probe]   -> $n nodes in triangles")
+    }
     // SemDeDup: corpus doubles, nlist fixed → per-cell quadratic work
     // grows 4x per doubling; raising nlist with the corpus is the
     // documented scale lever, pinned here by the nlist=64 row

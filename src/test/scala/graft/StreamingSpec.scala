@@ -489,6 +489,45 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.filter($"doc" % 10 === 0).count() == 0)
   }
 
+  test("streaming quality filter: fold margins equal the batch serving path") {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    val tmp = java.nio.file.Files.createTempDirectory("graft-clf").toString
+    val inDir = java.nio.file.Paths.get(tmp, "in")
+    java.nio.file.Files.createDirectories(inDir)
+    val docs = Tables.load(spark, sf, "documents")
+      .select($"doc_id", $"text").limit(200)
+    docs.coalesce(1).write.mode("overwrite")
+      .parquet(inDir.resolve("batch").toString)
+    val wMap = (0 until 1024)
+      .map(i => i -> ((i * 2654435761L) % 1001 - 500)).toMap
+    val stream = spark.readStream
+      .schema(StructType(Seq(StructField("doc_id", LongType),
+        StructField("text", StringType))))
+      .parquet(inDir.resolve("batch").toString)
+    val q = Events.classifyStream(stream, "text", wMap, dim = 1024)
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .format("parquet")
+      .option("path", s"$tmp/out")
+      .start()
+    q.awaitTermination(120000)
+    val streamed = spark.read.parquet(s"$tmp/out")
+      .select($"doc_id".as("doc"), $"margin")
+      .as[(Long, Long)].collect().toSet
+    // batch ground truth: featurize + broadcast-join scoring
+    val wDf = wMap.toSeq.map { case (d, w) => (d.toLong, w) }
+      .toDF("dim", "w")
+    val batch = graft.llm.TextAnalysis.scoreLinear(
+        graft.llm.TextAnalysis.hashedFeatures(docs, "doc_id", "text",
+          dim = 1024), wDf)
+      .filter($"margin" > 0)
+      .as[(Long, Long)].collect().toSet
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
   test("streaming near-dup dedup by SimHash signature (map-only expression)") {
     import org.apache.spark.sql.types._
     import org.apache.spark.sql.streaming.{OutputMode, Trigger}
