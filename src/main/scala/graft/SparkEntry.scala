@@ -2083,6 +2083,15 @@ object SparkEntry {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
+    "dd_containment" -> ((s, dir) => {
+      // exact asymmetric containment (quote / partial-copy detection):
+      // ordered pairs with ≥95% of a's token set inside b's. Pure
+      // integer thresholding — no float appears in the decision
+      val d = t(s, dir, "documents")
+      Dedup.containmentJoin(d, "doc_id", "text", threshold = 0.95)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     "dd_tfidf_join" -> ((s, dir) => {
       // exact cross-corpus weighted-cosine join (the dd_allpairs_join
       // construction with the idf bar): documents vs perturbed
@@ -3958,6 +3967,22 @@ object SparkEntry {
         |JOIN n2 nb ON nb.doc_id = doc_b
         |WHERE dot::DOUBLE / sqrt(na.n2::DOUBLE * nb.n2::DOUBLE) >= 0.9
         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // brute-force ordered containment — the decision is integer-only,
+    // the reported value a division of the same two BIGINTs
+    "dd_containment" ->
+      s"""WITH d AS (SELECT doc_id,
+        |    unnest(list_distinct(${toksSql("lower(text)")})) AS tok
+        |  FROM documents),
+        |sz AS (SELECT doc_id, count(*) AS n FROM d GROUP BY 1),
+        |i AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*)::BIGINT AS inter
+        |  FROM d a JOIN d b ON a.tok = b.tok AND a.doc_id != b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT da AS id_a, db AS id_b, inter, sa.n::BIGINT AS sz_a,
+        |  inter::DOUBLE / sa.n AS containment
+        |FROM i JOIN sz sa ON sa.doc_id = da
+        |WHERE inter * 1000000 >= 950000 * sa.n
+        |ORDER BY id_a, id_b""".stripMargin,
 
     // brute-force cross-corpus cosine under the shared union-idf
     // integer quantization — same exactness contract as dd_tfidf_pairs

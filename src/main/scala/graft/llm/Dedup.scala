@@ -1851,6 +1851,128 @@ object Dedup {
     cross.unionByName(intra)
   }
 
+  /** EXACT containment self-join: every ORDERED pair (a, b), a ≠ b,
+    * with |T_a ∩ T_b| / |T_a| ≥ `threshold` over distinct word-token
+    * sets — the asymmetric complement of [[allPairs]] (Jaccard
+    * penalizes the size gap; containment doesn't), and the measure
+    * that catches what whole-doc near-dup misses: quotes, excerpts,
+    * and partial copies where a small document lives inside a large
+    * one. Training-data canon: drop-or-attribute the contained side.
+    *
+    * Pruning is integer-ppm exact end to end (no float appears
+    * anywhere): a qualifying pair shares ≥ ⌈t·|T_a|⌉ tokens, so under
+    * the global rarest-first order at least one shared token sits in
+    * a's first |T_a| − ⌈t·|T_a|⌉ + 1 tokens — a's PREFIX keys the
+    * join, while the b side indexes ALL its tokens (containment puts
+    * no bound on |T_b|, so there is no b-prefix to exploit — the
+    * candidate volume is driven by a's RARE prefix tokens against b's
+    * full posting lists, which is exactly an inverted-index probe).
+    * First-shared-token dedup and the exact `array_intersect` verify
+    * are the [[allPairs]] machinery; the final filter is
+    * inter·10⁶ ≥ t·10⁶·|T_a|.
+    *
+    * Small vocabularies degrade the prefix arm the same way they
+    * degrade [[allPairs]]'s — and the same dense-bitset arm applies
+    * verbatim (containment = popcount(a&b) against sz_a), dispatched
+    * on the identical measured vocabulary/signature/broadcast guards;
+    * the sweep covers ordered signature pairs (2× the Jaccard sweep)
+    * and identical-set signatures expand to both orders at
+    * containment 1.
+    *
+    * Output: (id_a, id_b, inter, sz_a, containment) — containment =
+    * inter / sz_a as the double both engines derive from the same two
+    * BIGINTs. */
+  def containmentJoin(df: DataFrame, id: String, text: String,
+                      threshold: Double,
+                      denseVocabMax: Long = AllPairsDenseVocabMax,
+                      denseSigMax: Long = AllPairsDenseSigMax)
+      : DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"threshold must be in (0,1]: $threshold")
+    val tN = math.round(threshold * 1000000)
+    require(math.abs(tN / 1e6 - threshold) < 1e-12,
+      s"threshold must have at most 6 decimal places: $threshold")
+    val toks = df.select(col(id).as("doc"),
+      explode(array_distinct(TextAnalysis.tokens(lower(col(text)))))
+        .as("tok"))
+    val freqC = toks.groupBy("tok").agg(count(lit(1)).as("gf"))
+      .localCheckpoint()
+    probeVocab(freqC, denseVocabMax) match {
+      case Some(vocab) if vocab.nonEmpty =>
+        val nWords = (vocab.length + 63) / 64
+        val docWords = denseDocWords(toks, denseBits(toks.sparkSession,
+            vocab), nWords)
+          .localCheckpoint()
+        val d = docWords.select(col("words")).distinct().count()
+        if (d <= denseSigMax && d * nWords * 8L <= AllPairsDenseBroadcastCap)
+          return containmentDense(docWords, nWords, tN)
+      case _ => ()
+    }
+    import org.apache.spark.sql.expressions.Window
+    val ranked = toks.join(freqC, Seq("tok"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("doc")).orderBy(col("gf"), col("tok"))))
+    val docTab = ranked.groupBy("doc").agg(
+        transform(array_sort(collect_list(struct(col("rnk"), col("tok")))),
+          x => x.getField("tok")).as("farr"))
+      .withColumn("sz", size(col("farr")).cast(LongType))
+    // a-side: prefix keys only (⌈t·sz⌉ exact in integers); b-side:
+    // every token — the inverted index
+    val prefA = docTab
+      .withColumn("plen", expr(
+        s"CAST(sz + 1 - ((CAST($tN AS BIGINT) * sz + 999999) div " +
+          "CAST(1000000 AS BIGINT)) AS INT)"))
+      .select(col("doc"), col("sz"), col("farr"),
+        explode(expr("slice(farr, 1, plen)")).as("tok"))
+    val indexB = docTab.select(col("doc"), col("farr"),
+      explode(col("farr")).as("tok"))
+    prefA.alias("pa").join(indexB.alias("pb"),
+        col("pa.tok") === col("pb.tok") && col("pa.doc") =!= col("pb.doc"))
+      .withColumn("ix", array_intersect(col("pa.farr"), col("pb.farr")))
+      .filter(element_at(col("ix"), 1) === col("pa.tok"))
+      .withColumn("inter", size(col("ix")).cast(LongType))
+      .filter(col("inter") * 1000000L >= lit(tN) * col("pa.sz"))
+      .select(col("pa.doc").as("id_a"), col("pb.doc").as("id_b"),
+        col("inter"), col("pa.sz").as("sz_a"),
+        (col("inter").cast(DoubleType) / col("pa.sz")).as("containment"))
+  }
+
+  /** Dense-bitset arm of [[containmentJoin]]: ordered signature pairs
+    * under the broadcast popcount sweep; identical-signature cliques
+    * expand to both orders at containment 1. */
+  private def containmentDense(docWords: DataFrame, nWords: Int,
+                               tN: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docSig = docWords.withColumn("sid",
+      min(col("doc")).over(Window.partitionBy(col("words"))))
+    val sigs = docSig.groupBy(col("sid"))
+      .agg(first(col("words")).as("words"), first(col("sz")).as("sz"))
+    val sigPairs = sigs.select(col("sid").as("sid_a"),
+        col("words").as("wa"), col("sz").as("sz_a"))
+      .join(broadcast(sigs.select(col("sid").as("sid_b"),
+        col("words").as("wb"), col("sz").as("sz_b"))),
+        col("sid_a") =!= col("sid_b"))
+      // cheap bound: inter ≤ min(sz_a, sz_b), so sz_b must reach t·sz_a
+      .filter(col("sz_b") * 1000000L >= lit(tN) * col("sz_a"))
+      .withColumn("inter", denseInterCol(nWords))
+      .filter(col("inter") * 1000000L >= lit(tN) * col("sz_a"))
+      .select(col("sid_a"), col("sid_b"), col("inter"), col("sz_a"))
+    val members = docSig.select(col("sid"), col("doc"))
+    val cross = sigPairs
+      .join(members.select(col("sid").as("sid_a"), col("doc").as("id_a")),
+        Seq("sid_a"))
+      .join(members.select(col("sid").as("sid_b"), col("doc").as("id_b")),
+        Seq("sid_b"))
+      .select(col("id_a"), col("id_b"), col("inter"), col("sz_a"))
+    val intra = docSig.alias("x").join(docSig.alias("y"),
+        col("x.sid") === col("y.sid") && col("x.doc") =!= col("y.doc"))
+      .select(col("x.doc").as("id_a"), col("y.doc").as("id_b"),
+        col("x.sz").as("inter"), col("x.sz").as("sz_a"))
+    cross.unionByName(intra)
+      .select(col("id_a"), col("id_b"), col("inter"), col("sz_a"),
+        (col("inter").cast(DoubleType) / col("sz_a")).as("containment"))
+  }
+
   /** EXACT cross-corpus weighted-cosine JOIN — [[tfidfPairs]]'s
     * two-sided form, completing the family symmetry with
     * [[allPairsJoin]] (sets) and [[fuzzyJoin]] (LSH): every (left,

@@ -1051,6 +1051,45 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("containmentJoin: asymmetry, boundary, identical sets — both arms") {
+    // A ⊂ B: containment(A→B) = 1.0, (B→A) = 3/6 = 0.5 EXACTLY (the
+    // boundary pair at t = 0.5 — integer compare must keep it);
+    // C disjoint; D duplicates A (identical sets → 1.0 both orders)
+    val d = Seq((1L, "a b c"), (2L, "a b c d e f"), (3L, "x y"),
+      (4L, "c b a")).toDF("doc_id", "text")
+    val want = Set(
+      (1L, 2L, 3L, 3L, 1.0), (2L, 1L, 3L, 6L, 0.5),
+      (1L, 4L, 3L, 3L, 1.0), (4L, 1L, 3L, 3L, 1.0),
+      (4L, 2L, 3L, 3L, 1.0), (2L, 4L, 3L, 6L, 0.5))
+    for (vmax <- Seq(Dedup.AllPairsDenseVocabMax, 0L)) {
+      val got = Dedup.containmentJoin(d, "doc_id", "text", 0.5,
+          denseVocabMax = vmax)
+        .as[(Long, Long, Long, Long, Double)].collect().toSet
+      assert(got == want, s"denseVocabMax=$vmax")
+    }
+  }
+
+  test("containmentJoin: brute-force parity on the real corpus, both arms") {
+    val toks = docs.select($"doc_id".as("doc"),
+      explode(array_distinct(TextAnalysis.tokens(lower($"text"))))
+        .as("tok"))
+    val sz = toks.groupBy("doc").agg(count(lit(1)).as("n"))
+    val brute = toks.alias("a").join(toks.alias("b"),
+        col("a.tok") === col("b.tok") && col("a.doc") =!= col("b.doc"))
+      .groupBy(col("a.doc").as("id_a"), col("b.doc").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sz.select($"doc".as("id_a"), $"n".as("sz_a")), Seq("id_a"))
+      .filter($"inter" * 1000000L >= $"sz_a" * 950000L)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    for (vmax <- Seq(Dedup.AllPairsDenseVocabMax, 0L)) {
+      val got = Dedup.containmentJoin(docs, "doc_id", "text", 0.95,
+          denseVocabMax = vmax)
+        .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+      assert(got == brute, s"denseVocabMax=$vmax")
+      assert(got.nonEmpty)
+    }
+  }
+
   test("tfidfJoin: cross-corpus brute parity, both arms") {
     val left = docs.select($"doc_id", $"text")
     val right = docs.select(($"doc_id" + 10000).as("doc_id"),

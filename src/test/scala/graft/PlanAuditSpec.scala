@@ -42,7 +42,8 @@ class PlanAuditSpec extends SparkSpec {
   //    (avg account balance) — a BNLJ against one row is a broadcast
   //    filter, legitimate at any scale;
   //  - dd_allpairs / dd_allpairs_join / dd_tfidf_pairs /
-  //    dd_tfidf_join: the dense arms' deliberate signature sweeps,
+  //    dd_tfidf_join / dd_containment: the dense arms' deliberate
+  //    signature sweeps,
   //    gated on measured distinct-signature count and a broadcast byte
   //    cap (Dedup.AllPairsDenseSigMax / AllPairsDenseBroadcastCap), so
   //    the broadcast side is provably bounded before the hint is
@@ -57,7 +58,7 @@ class PlanAuditSpec extends SparkSpec {
   //    rows by construction, never corpus-sized.
   private val bnljWhitelist = Set(
     "q22_dormant_value", "dd_allpairs", "dd_allpairs_join",
-    "dd_tfidf_pairs", "dd_tfidf_join", "ta_drift",
+    "dd_tfidf_pairs", "dd_tfidf_join", "dd_containment", "ta_drift",
     "sim_bruteforce_topk", "sim_pq_topk", "sim_ivfpq_topk",
     "sim_ivf_topk", "sim_ivf_multiassign")
 
