@@ -39,7 +39,8 @@ object Sf1Probe {
     // on the 10× shifted corpus (each shifted copy repeats the same
     // text, so cross-copy dups multiply); jw join expands the same
     // name cliques 10× squared within-name
-    "dd_tfidf_pairs", "dd_substring_spans", "op_jw_join")
+    "dd_tfidf_pairs", "dd_substring_spans", "op_jw_join",
+    "dd_tfidf_join", "dd_containment", "op_triangles", "ta_classify")
 
   def main(args: Array[String]): Unit = {
     val src = "/root/testdata/sf0.1"
