@@ -1760,13 +1760,15 @@ object Dedup {
         sqrt(col("n2").cast(DoubleType)))
     val mx = wn.groupBy("tok").agg(max(col("wh")).as("mx"))
     import org.apache.spark.sql.expressions.Window
+    val suffixW = Window.partitionBy(col("doc")).orderBy(col("rnk"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     val tl = wn.join(broadcast(mx), Seq("tok"))
       .withColumn("rnk", row_number().over(
         Window.partitionBy(col("doc"))
           .orderBy(col("mx").desc, col("tok"))))
-      .withColumn("rb", sum(col("wh") * col("mx")).over(
-        Window.partitionBy(col("doc")).orderBy(col("rnk"))
-          .rowsBetween(Window.currentRow, Window.unboundedFollowing)))
+      .withColumn("rb", sum(col("wh") * col("mx")).over(suffixW))
+      // suffix l2 norm — the Cauchy-Schwarz positional bound's half
+      .withColumn("rbn", sqrt(sum(col("wh") * col("wh")).over(suffixW)))
     // conservative float slack: prune only when the bound is clearly
     // below t — a ulp of window-sum noise must never drop a true pair
     val tSlack = threshold * (1 - 1e-9)
@@ -1774,19 +1776,34 @@ object Dedup {
       first(col("n2")).as("n2"),
       transform(array_sort(collect_list(struct(col("rnk"), col("tok")))),
         x => x.getField("tok")).as("farr"),
+      transform(array_sort(collect_list(struct(col("rnk"), col("rbn")))),
+        x => x.getField("rbn")).as("rbn"),
       map_from_entries(collect_list(struct(col("tok"), col("w"))))
         .as("wmap"),
       sum(when(col("rb") >= tSlack, 1).otherwise(0)).as("plen"))
     val prefix = docTab.select(col("doc"), col("n2"), col("farr"),
-      col("wmap"), explode(expr("slice(farr, 1, plen)")).as("tok"))
+        col("rbn"), col("wmap"),
+        posexplode(expr("slice(farr, 1, plen)")).as(Seq("pos0", "tok")))
+      .withColumn("rnk", col("pos0") + 1).drop("pos0")
     prefix.alias("pa").join(prefix.alias("pb"),
         col("pa.tok") === col("pb.tok") && col("pa.doc") < col("pb.doc"))
-      .filter(element_at(expr(
-        "filter(pa.farr, x -> pb.wmap[x] IS NOT NULL)"), 1) ===
-        col("pa.tok"))
+      // positional filter (Cauchy-Schwarz): at a shared token with
+      // ranks (i, j), every shared token sits at rank ≥ i in a and
+      // ≥ j in b, so dot ≤ ‖â suffix(i)‖·‖b̂ suffix(j)‖. Valid as a
+      // PAIR filter at the globally-first shared row (where i, j are
+      // minimal); earlier rows it may drop were doomed to the dedup
+      // filter anyway. Two array reads — runs BEFORE the HOF dedup
+      // and the map-fold verify, which is the point.
+      .filter(element_at(col("pa.rbn"), col("pa.rnk")) *
+        element_at(col("pb.rbn"), col("pb.rnk")) >= tSlack)
+      // first-shared dedup on the codegen'd array_intersect (the
+      // Jaccard arm's form — the lambda-filter+map-probe variant
+      // evaluated interpreted per candidate), then the exact dot folds
+      // over the INTERSECTION only (both maps contain every ix key)
+      .withColumn("ix", array_intersect(col("pa.farr"), col("pb.farr")))
+      .filter(element_at(col("ix"), 1) === col("pa.tok"))
       .withColumn("dot", expr(
-        "aggregate(map_entries(pa.wmap), 0L, " +
-          "(acc, e) -> acc + e.value * coalesce(pb.wmap[e.key], 0L))"))
+        "aggregate(ix, 0L, (acc, x) -> acc + pa.wmap[x] * pb.wmap[x])"))
       .withColumn("cos", col("dot").cast(DoubleType) /
         sqrt(col("pa.n2").cast(DoubleType) * col("pb.n2").cast(DoubleType)))
       .filter(col("cos") >= threshold)
@@ -2052,31 +2069,37 @@ object Dedup {
     val tSlack = threshold * (1 - 1e-9)
     import org.apache.spark.sql.expressions.Window
     def prefixOf(wh: DataFrame) = {
+      val suffixW = Window.partitionBy(col("doc")).orderBy(col("rnk"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
       val tl = wh.join(broadcast(mx), Seq("tok"))
         .withColumn("rnk", row_number().over(
           Window.partitionBy(col("doc"))
             .orderBy(col("mx").desc, col("tok"))))
-        .withColumn("rb", sum(col("wh") * col("mx")).over(
-          Window.partitionBy(col("doc")).orderBy(col("rnk"))
-            .rowsBetween(Window.currentRow, Window.unboundedFollowing)))
+        .withColumn("rb", sum(col("wh") * col("mx")).over(suffixW))
+        .withColumn("rbn", sqrt(sum(col("wh") * col("wh")).over(suffixW)))
       tl.groupBy("doc").agg(
           first(col("n2")).as("n2"),
           transform(array_sort(collect_list(struct(col("rnk"), col("tok")))),
             x => x.getField("tok")).as("farr"),
+          transform(array_sort(collect_list(struct(col("rnk"), col("rbn")))),
+            x => x.getField("rbn")).as("rbn"),
           map_from_entries(collect_list(struct(col("tok"), col("w"))))
             .as("wmap"),
           sum(when(col("rb") >= tSlack, 1).otherwise(0)).as("plen"))
-        .select(col("doc"), col("n2"), col("farr"), col("wmap"),
-          explode(expr("slice(farr, 1, plen)")).as("tok"))
+        .select(col("doc"), col("n2"), col("farr"), col("rbn"),
+          col("wmap"),
+          posexplode(expr("slice(farr, 1, plen)")).as(Seq("pos0", "tok")))
+        .withColumn("rnk", col("pos0") + 1).drop("pos0")
     }
     prefixOf(whL).alias("pa").join(prefixOf(whR).alias("pb"),
         col("pa.tok") === col("pb.tok"))
-      .filter(element_at(expr(
-        "filter(pa.farr, x -> pb.wmap[x] IS NOT NULL)"), 1) ===
-        col("pa.tok"))
+      // Cauchy-Schwarz positional filter — see [[tfidfPairs]]
+      .filter(element_at(col("pa.rbn"), col("pa.rnk")) *
+        element_at(col("pb.rbn"), col("pb.rnk")) >= tSlack)
+      .withColumn("ix", array_intersect(col("pa.farr"), col("pb.farr")))
+      .filter(element_at(col("ix"), 1) === col("pa.tok"))
       .withColumn("dot", expr(
-        "aggregate(map_entries(pa.wmap), 0L, " +
-          "(acc, e) -> acc + e.value * coalesce(pb.wmap[e.key], 0L))"))
+        "aggregate(ix, 0L, (acc, x) -> acc + pa.wmap[x] * pb.wmap[x])"))
       .withColumn("cos", col("dot").cast(DoubleType) /
         sqrt(col("pa.n2").cast(DoubleType) * col("pb.n2").cast(DoubleType)))
       .filter(col("cos") >= threshold)
