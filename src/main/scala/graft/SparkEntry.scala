@@ -2092,6 +2092,15 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    "dd_substring_coverage" -> ((s, dir) => {
+      // per-doc duplicated fraction — the drop-decision number over
+      // dd_substring_spans' audit trail; every doc present, zero rows
+      // included, frac an exact BIGINT/BIGINT division
+      val d = t(s, dir, "documents")
+      Dedup.substringCoverage(d, "doc_id", "text", k = 64)
+        .orderBy(col("doc"))
+    }),
+
     "dd_tfidf_join" -> ((s, dir) => {
       // exact cross-corpus weighted-cosine join (the dd_allpairs_join
       // construction with the idf bar): documents vs perturbed
@@ -3983,6 +3992,27 @@ object SparkEntry {
         |FROM i JOIN sz sa ON sa.doc_id = da
         |WHERE inter * 1000000 >= 950000 * sa.n
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // coverage over the same span CTEs as dd_substring_spans, left
+    // join back so zero-coverage docs appear
+    "dd_substring_coverage" ->
+      s"""WITH pos AS (SELECT doc_id, g.i AS p, substr(text, g.i::INTEGER, 64) AS gram
+        |  FROM documents, LATERAL (SELECT unnest(generate_series(1, length(text) - 63)) AS i) g
+        |  WHERE length(text) >= 64),
+        |c AS (SELECT gram FROM pos GROUP BY gram HAVING count(*) > 1),
+        |dup AS (SELECT doc_id, p FROM pos JOIN c USING (gram)),
+        |m AS (SELECT doc_id, p, max(p) OVER (PARTITION BY doc_id ORDER BY p
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm FROM dup),
+        |isl AS (SELECT doc_id, p, sum(CASE WHEN pm IS NULL OR p > pm + 64
+        |    THEN 1 ELSE 0 END) OVER (PARTITION BY doc_id ORDER BY p) AS island FROM m),
+        |sp AS (SELECT doc_id, (max(p) + 63 - min(p) + 1)::BIGINT AS len
+        |  FROM isl GROUP BY doc_id, island),
+        |cov AS (SELECT doc_id, sum(len)::BIGINT AS covered FROM sp GROUP BY doc_id)
+        |SELECT d.doc_id AS doc, length(d.text)::BIGINT AS n_chars,
+        |  coalesce(cov.covered, 0)::BIGINT AS covered,
+        |  coalesce(cov.covered, 0)::DOUBLE / length(d.text) AS frac
+        |FROM documents d LEFT JOIN cov ON cov.doc_id = d.doc_id
+        |ORDER BY doc""".stripMargin,
 
     // brute-force cross-corpus cosine under the shared union-idf
     // integer quantization — same exactness contract as dd_tfidf_pairs

@@ -2208,4 +2208,26 @@ object Dedup {
         (max(col("p")) + (k - 1) - min(col("p")) + 1).as("len"),
         count(lit(1)).as("n_grams"))
   }
+
+  /** Per-document duplicated-coverage summary over
+    * [[substringSpans]] — the number training pipelines actually act
+    * on (Lee et al. 2022 drop documents whose duplicated fraction
+    * crosses a bar; the spans themselves are the audit trail). One
+    * left join back to the full corpus: every doc gets a row, zero
+    * coverage included, `frac` the one double division of two exact
+    * BIGINTs. Maximal spans are disjoint by construction, so summing
+    * their lengths never double-counts. Output: (doc, n_chars,
+    * covered, frac). */
+  def substringCoverage(df: DataFrame, id: String, text: String,
+                        k: Int): DataFrame = {
+    val cov = substringSpans(df, id, text, k)
+      .groupBy("doc").agg(sum(col("len")).as("covered"))
+    df.select(col(id).as("doc"),
+        length(col(text)).cast(LongType).as("n_chars"))
+      .join(cov, Seq("doc"), "left")
+      .select(col("doc"), col("n_chars"),
+        coalesce(col("covered"), lit(0L)).as("covered"),
+        (coalesce(col("covered"), lit(0L)).cast(DoubleType) /
+          col("n_chars")).as("frac"))
+  }
 }

@@ -1169,6 +1169,27 @@ class LlmSpec extends SparkSpec {
       .count() == 0)
   }
 
+  test("substringCoverage: summed disjoint spans over doc length, zeros kept") {
+    val gap = "." * 30
+    val d = Seq(
+      (1L, ("A" * 10) + s70 + ("B" * 10)), // one 70-char span / 90
+      (2L, ("C" * 5) + s70 + ("D" * 25)),  // one 70-char span / 100
+      (3L, s70 + gap + s70),               // two 70-char spans / 170
+      // 30 dots + 30 E's + 30 dots: every 64-window has a p-dependent
+      // dot/E composition (no 64-char run repeats anywhere in the
+      // corpus — doc 3's dot run is only 30) → zero coverage
+      (7L, gap + ("E" * 30) + gap),
+      (9L, "short")).toDF("doc_id", "text")
+    val got = Dedup.substringCoverage(d, "doc_id", "text", k = 64)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L) == ((90L, 70L, 70.0 / 90)))
+    assert(got(2L) == ((100L, 70L, 0.7)))
+    assert(got(3L) == ((170L, 140L, 140.0 / 170)))
+    assert(got(7L) == ((90L, 0L, 0.0)))
+    assert(got(9L) == ((5L, 0L, 0.0)))
+  }
+
   test("substringSpans: corpus spans are disjoint, ordered, ≥ k long") {
     val out = Dedup.substringSpans(docs, "doc_id", "text", k = 64)
       .orderBy($"doc", $"span_start")
