@@ -5,14 +5,14 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
-/** EXACT Jaro-Winkler similarity self-join — entity-resolution for
+/** EXACT Jaro-Winkler similarity joins — entity-resolution for
   * names/titles/codes where [[EditDistJoin]]'s distance-1 bar is too
-  * strict and a Jaccard token bar is too loose. Every unordered id
-  * pair whose strings have jw ≥ `threshold` (the
-  * [[graft.functions.JaroWinkler]] definition, = DuckDB's), with NO
-  * recall loss: the blocking below is derived from provable bounds,
-  * so the candidate set provably contains every qualifying pair, and
-  * membership is decided by the exact jw compare.
+  * strict and a Jaccard token bar is too loose. Every qualifying pair
+  * has jw ≥ `threshold` under the [[graft.functions.JaroWinkler]]
+  * definition (= DuckDB's), with NO recall loss: the blocking below is
+  * derived from provable bounds, so the candidate set provably
+  * contains every qualifying pair, and membership is decided by the
+  * exact jw compare.
   *
   * The pipeline is the repo's signature-collapse + prefix-filter
   * pattern, instantiated for an EDIT-style measure:
@@ -39,17 +39,24 @@ import org.apache.spark.sql.types.LongType
   *   5. Expand distinct-string pairs back to id pairs; same-string
   *      cliques emit jw = 1 directly (jw = 1 ⟺ equality).
   *
-  * Shuffles: the distinct-collapse groupBy, the char-level rank
-  * windows (partitioned by string), the prefix equi-join, and the two
+  * [[crossJoin]] is the two-sided form (link a new crawl's entities
+  * against a master list): the char-frequency order — and hence every
+  * prefix the lemma reasons about — is computed over the UNION of
+  * both sides' distinct names (one shared total order, the
+  * [[graft.llm.Dedup.allPairsJoin]] requirement); identical strings
+  * across sides flow through the regular candidate path and verify at
+  * exactly 1.0.
+  *
+  * Shuffles: the distinct-collapse groupBys, the char-level rank
+  * windows (partitioned by string), the prefix equi-join, and the
   * expansion joins — all key-partitioned, nothing all-pairs, no
   * broadcast assumptions. Skewed blocks (a common rare-char bucket)
-  * behave like any hot equi-join key: AQE skew splitting applies.
-  *
-  * Output: (id_a, id_b, jw) with id_a < id_b, jw rounded to 6. */
+  * behave like any hot equi-join key: AQE skew splitting applies. */
 object JaroWinklerJoin {
 
-  def selfJoin(df: DataFrame, id: String, text: String,
-               threshold: Double): DataFrame = {
+  private final case class Bounds(t: Double, a3: Long, b3: Long)
+
+  private def boundsOf(threshold: Double): Bounds = {
     require(threshold > 0.7 && threshold <= 1.0,
       s"threshold must be in (0.7, 1]: $threshold")
     val tPpm = math.round(threshold * 1000000)
@@ -57,26 +64,32 @@ object JaroWinklerJoin {
       s"threshold must have at most 6 decimal places: $threshold")
     // jaro floor in ppm: ceil((t − 0.4)·10⁶ / 0.6), exact in integers
     val jmin = (10L * (tPpm - 400000L) + 5L) / 6L
-    val a3 = 3L * jmin - 1000000L // match floor: o = ⌈l_min·a3/2e6⌉
-    val b3 = 3L * jmin - 2000000L // length band: l₁·1e6 ≥ b3·l₂
+    Bounds(threshold,
+      3L * jmin - 1000000L, // match floor: o = ⌈l_min·a3/2e6⌉
+      3L * jmin - 2000000L) // length band: l₁·1e6 ≥ b3·l₂
+  }
 
-    val nm = df.select(col(id).as("nid"), col(text).as("nm"))
-    val dn = nm.groupBy("nm").agg(min(col("nid")).as("sid"))
-    // (char, occurrence) tokens: "c:k" for the k-th occurrence of c
-    val occ = dn
-      .select(col("sid"), col("nm"),
-        explode(sequence(lit(1), length(col("nm")))).as("i"))
-      .select(col("sid"), col("nm"), col("i"),
-        expr("substring(nm, i, 1)").as("ch"))
-      .withColumn("occ", row_number().over(
-        Window.partitionBy(col("sid"), col("ch")).orderBy(col("i"))))
-      .select(col("sid"), col("nm"),
-        concat(col("ch"), lit(":"), col("occ")).as("tok"))
-    val freq = occ.groupBy("tok").agg(count(lit(1)).as("gf"))
+  /** (char, occurrence) tokens of each distinct name: "c:k" for the
+    * k-th occurrence of c. In: (sid, nm). Out: (sid, nm, tok). */
+  private def charToks(dn: DataFrame): DataFrame = dn
+    .select(col("sid"), col("nm"),
+      explode(sequence(lit(1), length(col("nm")))).as("i"))
+    .select(col("sid"), col("nm"), col("i"),
+      expr("substring(nm, i, 1)").as("ch"))
+    .withColumn("occ", row_number().over(
+      Window.partitionBy(col("sid"), col("ch")).orderBy(col("i"))))
+    .select(col("sid"), col("nm"),
+      concat(col("ch"), lit(":"), col("occ")).as("tok"))
+
+  /** Rank tokens rarest-first under the SHARED `freq` order, build the
+    * ordered token array, and explode each name's bound-derived
+    * prefix. Out: (sid, nm, len, farr, tok). */
+  private def prefixTab(occ: DataFrame, freq: DataFrame,
+                        b: Bounds): DataFrame = {
     val ranked = occ.join(freq, Seq("tok"))
       .withColumn("rnk", row_number().over(
         Window.partitionBy(col("sid")).orderBy(col("gf"), col("tok"))))
-    val docTab = ranked.groupBy(col("sid")).agg(
+    ranked.groupBy(col("sid")).agg(
         first(col("nm")).as("nm"),
         transform(array_sort(collect_list(struct(col("rnk"), col("tok")))),
           x => x.getField("tok")).as("farr"))
@@ -84,26 +97,46 @@ object JaroWinklerJoin {
       // smallest partner length the band allows (≥ 1), then the match
       // floor at that length — both exact ceilings in integer ppm
       .withColumn("lp", greatest(lit(1L),
-        expr(s"CAST((len * $b3 + 999999) div 1000000 AS BIGINT)")))
+        expr(s"CAST((len * ${b.b3} + 999999) div 1000000 AS BIGINT)")))
       .withColumn("o",
-        expr(s"CAST((lp * $a3 + 1999999) div 2000000 AS BIGINT)"))
+        expr(s"CAST((lp * ${b.a3} + 1999999) div 2000000 AS BIGINT)"))
       .withColumn("plen", greatest(col("len") - col("o") + 1L, lit(0L)))
-    val prefix = docTab.select(col("sid"), col("nm"), col("len"),
-      col("farr"), explode(expr("slice(farr, 1, CAST(plen AS INT))"))
-        .as("tok"))
-    val namePairs = prefix.alias("pa").join(prefix.alias("pb"),
-        col("pa.tok") === col("pb.tok") && col("pa.sid") < col("pb.sid"))
+      .select(col("sid"), col("nm"), col("len"), col("farr"),
+        explode(expr("slice(farr, 1, CAST(plen AS INT))")).as("tok"))
+  }
+
+  /** Candidate join + filters + exact verify over two prefix tables.
+    * `ordered` adds sid_a < sid_b (self-join form). Out: (sid_a,
+    * sid_b, jw). */
+  private def verifyPairs(pa: DataFrame, pb: DataFrame, b: Bounds,
+                          ordered: Boolean): DataFrame = {
+    val cond = col("pa.tok") === col("pb.tok") &&
+      (if (ordered) col("pa.sid") < col("pb.sid") else lit(true))
+    pa.alias("pa").join(pb.alias("pb"), cond)
       .filter(least(col("pa.len"), col("pb.len")) * 1000000L >=
-        lit(b3) * greatest(col("pa.len"), col("pb.len")))
+        lit(b.b3) * greatest(col("pa.len"), col("pb.len")))
       .withColumn("ix", array_intersect(col("pa.farr"), col("pb.farr")))
       .filter(element_at(col("ix"), 1) === col("pa.tok"))
       .filter(size(col("ix")).cast(LongType) * 2000000L >=
-        least(col("pa.len"), col("pb.len")) * lit(a3))
+        least(col("pa.len"), col("pb.len")) * lit(b.a3))
       .withColumn("jw",
         graft.functions.JaroWinkler(col("pa.nm"), col("pb.nm")))
-      .filter(col("jw") >= threshold)
+      .filter(col("jw") >= b.t)
       .select(col("pa.sid").as("sid_a"), col("pb.sid").as("sid_b"),
         col("jw"))
+  }
+
+  /** Self-join form. Output: (id_a, id_b, jw), id_a < id_b, jw
+    * rounded to 6. */
+  def selfJoin(df: DataFrame, id: String, text: String,
+               threshold: Double): DataFrame = {
+    val b = boundsOf(threshold)
+    val nm = df.select(col(id).as("nid"), col(text).as("nm"))
+    val dn = nm.groupBy("nm").agg(min(col("nid")).as("sid"))
+    val occ = charToks(dn)
+    val freq = occ.groupBy("tok").agg(count(lit(1)).as("gf"))
+    val prefix = prefixTab(occ, freq, b)
+    val namePairs = verifyPairs(prefix, prefix, b, ordered = true)
     val members = nm.join(dn, Seq("nm")).select(col("sid"), col("nid"))
     val cross = namePairs
       .join(members.select(col("sid").as("sid_a"), col("nid").as("ia")),
@@ -120,5 +153,40 @@ object JaroWinklerJoin {
       .select(col("x.nid").as("id_a"), col("y.nid").as("id_b"),
         lit(1.0).as("jw"))
     cross.unionByName(intra)
+  }
+
+  /** Cross-corpus form: every (left, right) pair with jw ≥ t. Both
+    * inputs use the same `id`/`text` column names (the fuzzyJoin
+    * convention); ids are independent namespaces. Output: (id_a from
+    * left, id_b from right, jw rounded to 6). */
+  def crossJoin(left: DataFrame, right: DataFrame, id: String,
+                text: String, threshold: Double): DataFrame = {
+    val b = boundsOf(threshold)
+    def nmOf(df: DataFrame) =
+      df.select(col(id).as("nid"), col(text).as("nm"))
+    def dnOf(nm: DataFrame) =
+      nm.groupBy("nm").agg(min(col("nid")).as("sid"))
+    val nmL = nmOf(left)
+    val nmR = nmOf(right)
+    val dnL = dnOf(nmL)
+    val dnR = dnOf(nmR)
+    val occL = charToks(dnL)
+    val occR = charToks(dnR)
+    // ONE total order over the union — both prefixes must agree on
+    // what "rare" means or the shared-token lemma has no footing
+    val freq = occL.select(col("tok")).unionByName(occR.select(col("tok")))
+      .groupBy("tok").agg(count(lit(1)).as("gf"))
+      .localCheckpoint()
+    val namePairs = verifyPairs(
+      prefixTab(occL, freq, b), prefixTab(occR, freq, b), b,
+      ordered = false)
+    def membersOf(nm: DataFrame, dn: DataFrame) =
+      nm.join(dn, Seq("nm")).select(col("sid"), col("nid"))
+    namePairs
+      .join(membersOf(nmL, dnL).select(col("sid").as("sid_a"),
+        col("nid").as("id_a")), Seq("sid_a"))
+      .join(membersOf(nmR, dnR).select(col("sid").as("sid_b"),
+        col("nid").as("id_b")), Seq("sid_b"))
+      .select(col("id_a"), col("id_b"), round(col("jw"), 6).as("jw"))
   }
 }

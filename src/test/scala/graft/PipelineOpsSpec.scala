@@ -364,6 +364,33 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("jaroWinklerJoin.crossJoin: two-sided brute parity incl. identical names") {
+    import org.apache.spark.unsafe.types.UTF8String
+    def jw(a: String, b: String): Double =
+      graft.functions.JaroWinkler.compute(
+        UTF8String.fromString(a), UTF8String.fromString(b))
+    def gen(seed: Int, n: Int) = (0 until n).map { i =>
+      val r = new scala.util.Random(seed + i * 31)
+      (i.toLong, (0 until (3 + r.nextInt(7)))
+        .map(_ => ('a' + r.nextInt(3)).toChar).mkString)
+    }
+    val l = gen(1, 60)
+    // right side: fresh randoms plus exact copies of some left names
+    // (identical cross-side strings must verify at exactly 1.0)
+    val r = gen(1000, 40) ++ l.take(10).map { case (i, s) => (900L + i, s) }
+    val t = 0.88
+    val got = graft.operators.JaroWinklerJoin.crossJoin(
+        l.toDF("id", "nm"), r.toDF("id", "nm"), "id", "nm", t)
+      .select($"id_a", $"id_b", $"jw")
+      .as[(Long, Long, Double)].collect().toSet
+    val brute = (for {
+      a <- l; b <- r
+      v = jw(a._2, b._2) if v >= t
+    } yield (a._1, b._1, math.rint(v * 1e6) / 1e6)).toSet
+    assert(got == brute)
+    assert(got.exists(_._3 == 1.0)) // the planted identical names
+  }
+
   // ---- sqrtSample --------------------------------------------------
 
   test("sqrtSample: per-stratum count is exactly min(n, ceil(rate*sqrt(n)))") {
