@@ -2107,6 +2107,14 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    "dd_source_overlap" -> ((s, dir) => {
+      // corpus-level contamination audit: n-gram Jaccard between every
+      // source pair (20 sources → 190 rows), zero-overlap pairs kept
+      val d = t(s, dir, "documents")
+      Dedup.sourceOverlap(d, "source", "text", n = 3)
+        .orderBy(col("grp_a"), col("grp_b"))
+    }),
+
     "dd_substring_coverage" -> ((s, dir) => {
       // per-doc duplicated fraction — the drop-decision number over
       // dd_substring_spans' audit trail; every doc present, zero rows
@@ -4007,6 +4015,25 @@ object SparkEntry {
         |FROM i JOIN sz sa ON sa.doc_id = da
         |WHERE inter * 1000000 >= 950000 * sa.n
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // group-distinct shingle-hash sets → pairwise Jaccard; shares the
+    // decontaminate family's shingle + rolling-hash integers
+    "dd_source_overlap" ->
+      s"""WITH dw AS (SELECT source, ${toksSql("lower(text)")} AS ws FROM documents),
+        |s0 AS (SELECT source, unnest($shingleSql) AS sgl FROM dw),
+        |gh AS (SELECT DISTINCT source AS grp, ${rollSql("sgl")} AS sh FROM s0),
+        |sz AS (SELECT grp, count(*) AS szn FROM gh GROUP BY 1),
+        |i AS (SELECT a.grp AS grp_a, b.grp AS grp_b, count(*)::BIGINT AS inter
+        |  FROM gh a JOIN gh b ON a.sh = b.sh AND a.grp < b.grp GROUP BY 1, 2),
+        |p AS (SELECT a.grp AS grp_a, b.grp AS grp_b FROM sz a
+        |  JOIN sz b ON a.grp < b.grp)
+        |SELECT p.grp_a, p.grp_b, coalesce(i.inter, 0)::BIGINT AS inter,
+        |  (sa.szn + sb.szn - coalesce(i.inter, 0))::BIGINT AS uni,
+        |  coalesce(i.inter, 0)::DOUBLE /
+        |    (sa.szn + sb.szn - coalesce(i.inter, 0)) AS jaccard
+        |FROM p LEFT JOIN i USING (grp_a, grp_b)
+        |JOIN sz sa ON sa.grp = p.grp_a JOIN sz sb ON sb.grp = p.grp_b
+        |ORDER BY grp_a, grp_b""".stripMargin,
 
     // coverage over the same span CTEs as dd_substring_spans, left
     // join back so zero-coverage docs appear

@@ -2209,6 +2209,51 @@ object Dedup {
         count(lit(1)).as("n_grams"))
   }
 
+  /** Inter-group n-gram overlap matrix — the corpus-level
+    * contamination audit: for every unordered pair of groups
+    * (sources, snapshots, languages), the Jaccard of their DISTINCT
+    * word-n-gram-hash sets. This is the number a pipeline review asks
+    * for before mixing sources ("how much of source B is already in
+    * source A?"), the aggregate complement of the per-document
+    * [[decontaminate]] family — and it shares their shingle hashing
+    * ([[graft.functions.ShingleHashes]]) so the oracle replays the
+    * integers exactly.
+    *
+    * Shape at scale: explode shingle hashes (map-only) → ONE distinct
+    * on (group, hash) — partial aggregation collapses within-group
+    * repeats map-side, and the shuffled table is bounded by distinct
+    * (group, hash) pairs, not corpus size. Per-group sizes are a
+    * key-compressed aggregate; the intersection join shuffles the
+    * distinct-hash table against itself on hash — group-pair overlap
+    * counts come out of one groupBy. G groups → G·(G−1)/2 output
+    * rows; nothing is all-pairs over DOCUMENTS, only over groups.
+    *
+    * Output: (grp_a, grp_b, inter, uni, jaccard), grp_a < grp_b
+    * lexicographically, zero-overlap pairs included. */
+  def sourceOverlap(df: DataFrame, group: String, text: String,
+                    n: Int = 3): DataFrame = {
+    val gh = df.select(col(group).as("grp"),
+        explode(graft.functions.ShingleHashes(lower(col(text)), n))
+          .as("sh"))
+      .distinct()
+    val sizes = gh.groupBy("grp").agg(count(lit(1)).as("sz"))
+    val inter = gh.alias("a").join(gh.alias("b"),
+        col("a.sh") === col("b.sh") && col("a.grp") < col("b.grp"))
+      .groupBy(col("a.grp").as("grp_a"), col("b.grp").as("grp_b"))
+      .agg(count(lit(1)).as("inter"))
+    // every group pair appears, overlap or not
+    val pairs = sizes.select(col("grp").as("grp_a"), col("sz").as("sz_a"))
+      .join(sizes.select(col("grp").as("grp_b"), col("sz").as("sz_b")),
+        col("grp_a") < col("grp_b"))
+    pairs.join(inter, Seq("grp_a", "grp_b"), "left")
+      .select(col("grp_a"), col("grp_b"),
+        coalesce(col("inter"), lit(0L)).as("inter"),
+        (col("sz_a") + col("sz_b") - coalesce(col("inter"), lit(0L)))
+          .as("uni"))
+      .withColumn("jaccard",
+        col("inter").cast(DoubleType) / col("uni"))
+  }
+
   /** Per-document duplicated-coverage summary over
     * [[substringSpans]] — the number training pipelines actually act
     * on (Lee et al. 2022 drop documents whose duplicated fraction

@@ -1169,6 +1169,20 @@ class LlmSpec extends SparkSpec {
       .count() == 0)
   }
 
+  test("sourceOverlap: hand-computed pair matrix, zero-overlap pairs kept") {
+    // 3-gram sets: g1 = {abc, bcd}, g2 = {abc, bcx}, g3 = {qrs};
+    // within-group repeats collapse (two identical g1 docs)
+    val d = Seq((1L, "g1", "a b c d"), (2L, "g1", "a b c d"),
+      (3L, "g2", "a b c x"), (4L, "g3", "q r s"))
+      .toDF("doc_id", "source", "text")
+    val got = Dedup.sourceOverlap(d, "source", "text", n = 3)
+      .as[(String, String, Long, Long, Double)].collect().toSet
+    assert(got == Set(
+      ("g1", "g2", 1L, 3L, 1.0 / 3),
+      ("g1", "g3", 0L, 3L, 0.0),
+      ("g2", "g3", 0L, 3L, 0.0)))
+  }
+
   test("substringCoverage: summed disjoint spans over doc length, zeros kept") {
     val gap = "." * 30
     val d = Seq(
