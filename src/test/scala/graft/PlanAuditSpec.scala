@@ -51,6 +51,11 @@ class PlanAuditSpec extends SparkSpec {
   //  - ta_drift: the build side is the 1-row global token-total
   //    aggregate (t_p, t_q) — scalar-agg broadcast, same class as q22
   //    (plan-verified r9);
+  //  - dd_source_overlap: the zero-overlap pair completion joins the
+  //    per-GROUP size aggregate against itself on grp_a < grp_b — the
+  //    build side is G rows where G is the number of sources/groups,
+  //    model-sized by definition of a grouping audit (the G² output
+  //    IS the product);
   //  - sim_bruteforce_topk / sim_pq_topk / sim_ivfpq_topk: the
   //    brute-force baseline (and the sim_ivf*'s in-query recall gate
   //    against it) broadcasts the bounded QUERY set against the corpus —
@@ -58,7 +63,8 @@ class PlanAuditSpec extends SparkSpec {
   //    rows by construction, never corpus-sized.
   private val bnljWhitelist = Set(
     "q22_dormant_value", "dd_allpairs", "dd_allpairs_join",
-    "dd_tfidf_pairs", "dd_tfidf_join", "dd_containment", "ta_drift",
+    "dd_tfidf_pairs", "dd_tfidf_join", "dd_containment",
+    "dd_source_overlap", "ta_drift",
     "sim_bruteforce_topk", "sim_pq_topk", "sim_ivfpq_topk",
     "sim_ivf_topk", "sim_ivf_multiassign")
 
