@@ -2107,6 +2107,24 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    "dd_containment_join" -> ((s, dir) => {
+      // decontamination by containment: truncated snapshots (every
+      // 10th doc cut to its first half of tokens) must be found
+      // inside their originals — plus every other ≥90% cover the
+      // dense corpus yields. Integer-exact decision, like the self
+      // form.
+      val d = t(s, dir, "documents")
+      val half = d.filter(pmod(col("doc_id"), lit(10)) === 0)
+        .withColumn("__ws", TextAnalysis.tokens(col("text")))
+        .select((col("doc_id") + 20000).as("doc_id"),
+          array_join(expr(
+            "slice(__ws, 1, greatest(size(__ws) div 2, 1))"),
+            " ").as("text"))
+      Dedup.containmentCross(half, d, "doc_id", "text",
+          threshold = 0.9)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     "dd_source_overlap" -> ((s, dir) => {
       // corpus-level contamination audit: n-gram Jaccard between every
       // source pair (20 sources → 190 rows), zero-overlap pairs kept
@@ -4014,6 +4032,26 @@ object SparkEntry {
         |  inter::DOUBLE / sa.n AS containment
         |FROM i JOIN sz sa ON sa.doc_id = da
         |WHERE inter * 1000000 >= 950000 * sa.n
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // truncated-snapshot construction + brute-force ordered
+    // containment of left in right — decision integer-only
+    "dd_containment_join" ->
+      s"""WITH l0 AS (SELECT doc_id + 20000 AS doc_id,
+        |    array_to_string(ws[1:greatest(len(ws)//2, 1)], ' ') AS text
+        |  FROM (SELECT doc_id, ${toksSql("text")} AS ws FROM documents
+        |    WHERE doc_id % 10 = 0)),
+        |la AS (SELECT doc_id, unnest(list_distinct(${toksSql("lower(text)")})) AS tok
+        |  FROM l0),
+        |rb AS (SELECT doc_id, unnest(list_distinct(${toksSql("lower(text)")})) AS tok
+        |  FROM documents),
+        |sza AS (SELECT doc_id, count(*) AS n FROM la GROUP BY 1),
+        |i AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*)::BIGINT AS inter
+        |  FROM la a JOIN rb b ON a.tok = b.tok GROUP BY 1, 2)
+        |SELECT da AS id_a, db AS id_b, inter, sa.n::BIGINT AS sz_a,
+        |  inter::DOUBLE / sa.n AS containment
+        |FROM i JOIN sza sa ON sa.doc_id = da
+        |WHERE inter * 1000000 >= 900000 * sa.n
         |ORDER BY id_a, id_b""".stripMargin,
 
     // group-distinct shingle-hash sets → pairwise Jaccard; shares the

@@ -1990,6 +1990,111 @@ object Dedup {
         (col("inter").cast(DoubleType) / col("sz_a")).as("containment"))
   }
 
+  /** EXACT cross-corpus containment JOIN — [[containmentJoin]]'s
+    * two-sided form: every (left, right) pair with |T_a ∩ T_b| /
+    * |T_a| ≥ `threshold`, a from LEFT, b from RIGHT. The
+    * decontamination form of containment: "is this eval document
+    * (mostly) inside ANY training document" catches truncated,
+    * quoted, and re-wrapped leakage that exact n-gram hits
+    * ([[decontaminate]]) undercount and Jaccard ([[allPairsJoin]])
+    * misses outright when the containing side is long. Same
+    * integer-ppm decision chain as the self form; the global
+    * rarest-first order is computed over the UNION of both corpora
+    * (the shared-total-order requirement); the LEFT side keys the
+    * join on its prefix, the RIGHT side is the full inverted index.
+    * Dense dispatch mirrors [[allPairsJoin]]'s: per-side bitsets on
+    * the shared codebook, D_L × D_R sweep broadcasting the right
+    * side under the measured guards. Output: (id_a from left, id_b
+    * from right, inter, sz_a, containment). */
+  def containmentCross(left: DataFrame, right: DataFrame, id: String,
+                       text: String, threshold: Double,
+                       denseVocabMax: Long = AllPairsDenseVocabMax,
+                       denseSigMax: Long = AllPairsDenseSigMax)
+      : DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"threshold must be in (0,1]: $threshold")
+    val tN = math.round(threshold * 1000000)
+    require(math.abs(tN / 1e6 - threshold) < 1e-12,
+      s"threshold must have at most 6 decimal places: $threshold")
+    def toksOf(df: DataFrame) = df.select(col(id).as("doc"),
+      explode(array_distinct(TextAnalysis.tokens(lower(col(text)))))
+        .as("tok"))
+    val toksL = toksOf(left)
+    val toksR = toksOf(right)
+    val freqC = toksL.unionByName(toksR)
+      .groupBy("tok").agg(count(lit(1)).as("gf"))
+      .localCheckpoint()
+    probeVocab(freqC, denseVocabMax) match {
+      case Some(vocab) if vocab.nonEmpty =>
+        val nWords = (vocab.length + 63) / 64
+        val bits = denseBits(left.sparkSession, vocab)
+        val dwL = denseDocWords(toksL, bits, nWords).localCheckpoint()
+        val dwR = denseDocWords(toksR, bits, nWords).localCheckpoint()
+        val dL = dwL.select(col("words")).distinct().count()
+        val dR = dwR.select(col("words")).distinct().count()
+        if (dL <= denseSigMax && dR <= denseSigMax &&
+            dR * nWords * 8L <= AllPairsDenseBroadcastCap)
+          return containmentCrossDense(dwL, dwR, nWords, tN)
+      case _ => ()
+    }
+    import org.apache.spark.sql.expressions.Window
+    def docTabOf(toks: DataFrame) = {
+      val ranked = toks.join(freqC, Seq("tok"))
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy(col("doc")).orderBy(col("gf"), col("tok"))))
+      ranked.groupBy("doc").agg(
+          transform(array_sort(collect_list(struct(col("rnk"), col("tok")))),
+            x => x.getField("tok")).as("farr"))
+        .withColumn("sz", size(col("farr")).cast(LongType))
+    }
+    val prefA = docTabOf(toksL)
+      .withColumn("plen", expr(
+        s"CAST(sz + 1 - ((CAST($tN AS BIGINT) * sz + 999999) div " +
+          "CAST(1000000 AS BIGINT)) AS INT)"))
+      .select(col("doc"), col("sz"), col("farr"),
+        explode(expr("slice(farr, 1, plen)")).as("tok"))
+    val indexB = docTabOf(toksR).select(col("doc"), col("farr"),
+      explode(col("farr")).as("tok"))
+    prefA.alias("pa").join(indexB.alias("pb"),
+        col("pa.tok") === col("pb.tok"))
+      .withColumn("ix", array_intersect(col("pa.farr"), col("pb.farr")))
+      .filter(element_at(col("ix"), 1) === col("pa.tok"))
+      .withColumn("inter", size(col("ix")).cast(LongType))
+      .filter(col("inter") * 1000000L >= lit(tN) * col("pa.sz"))
+      .select(col("pa.doc").as("id_a"), col("pb.doc").as("id_b"),
+        col("inter"), col("pa.sz").as("sz_a"),
+        (col("inter").cast(DoubleType) / col("pa.sz")).as("containment"))
+  }
+
+  /** Dense-bitset arm of [[containmentCross]]: all D_L × D_R ordered
+    * signature pairs (right side broadcast), popcount against the
+    * LEFT size. */
+  private def containmentCrossDense(dwL: DataFrame, dwR: DataFrame,
+                                    nWords: Int, tN: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def sigged(dw: DataFrame) = dw.withColumn("sid",
+      min(col("doc")).over(Window.partitionBy(col("words"))))
+    val dsL = sigged(dwL)
+    val dsR = sigged(dwR)
+    def sigs(ds: DataFrame) = ds.groupBy(col("sid"))
+      .agg(first(col("words")).as("words"), first(col("sz")).as("sz"))
+    val sigPairs = sigs(dsL).select(col("sid").as("sid_a"),
+        col("words").as("wa"), col("sz").as("sz_a"))
+      .crossJoin(broadcast(sigs(dsR).select(col("sid").as("sid_b"),
+        col("words").as("wb"), col("sz").as("sz_b"))))
+      .filter(col("sz_b") * 1000000L >= lit(tN) * col("sz_a"))
+      .withColumn("inter", denseInterCol(nWords))
+      .filter(col("inter") * 1000000L >= lit(tN) * col("sz_a"))
+      .select(col("sid_a"), col("sid_b"), col("inter"), col("sz_a"))
+    sigPairs
+      .join(dsL.select(col("sid").as("sid_a"), col("doc").as("id_a")),
+        Seq("sid_a"))
+      .join(dsR.select(col("sid").as("sid_b"), col("doc").as("id_b")),
+        Seq("sid_b"))
+      .select(col("id_a"), col("id_b"), col("inter"), col("sz_a"),
+        (col("inter").cast(DoubleType) / col("sz_a")).as("containment"))
+  }
+
   /** EXACT cross-corpus weighted-cosine JOIN — [[tfidfPairs]]'s
     * two-sided form, completing the family symmetry with
     * [[allPairsJoin]] (sets) and [[fuzzyJoin]] (LSH): every (left,

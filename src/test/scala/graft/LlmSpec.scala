@@ -1090,6 +1090,40 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("containmentCross: planted truncations found, both arms") {
+    // left = first-half-token truncations of every 10th doc → each
+    // must be contained at EXACTLY 1.0 in its own original (distinct
+    // half-tokens ⊆ distinct full tokens, always)
+    val half = docs.filter($"doc_id" % 10 === 0)
+      .withColumn("__ws", TextAnalysis.tokens($"text"))
+      .select(($"doc_id" + 20000).as("doc_id"),
+        array_join(expr("slice(__ws, 1, greatest(size(__ws) div 2, 1))"),
+          " ").as("text"))
+    val nHalf = half.count()
+    for (vmax <- Seq(Dedup.AllPairsDenseVocabMax, 0L)) {
+      val got = Dedup.containmentCross(half, docs, "doc_id", "text",
+          0.9, denseVocabMax = vmax)
+        .select($"id_a", $"id_b", $"containment")
+        .as[(Long, Long, Double)].collect()
+      val self = got.filter { case (a, b, _) => a == b + 20000 }
+      assert(self.length == nHalf, s"denseVocabMax=$vmax")
+      assert(self.forall(_._3 == 1.0), s"denseVocabMax=$vmax")
+    }
+    // hand case incl. cross-side identical sets and the 0.5 boundary
+    val l = Seq((1L, "a b c"), (2L, "p q")).toDF("doc_id", "text")
+    val r = Seq((10L, "c b a x"), (11L, "a b"), (12L, "p z"))
+      .toDF("doc_id", "text")
+    val want = Set((1L, 10L, 3L, 3L, 1.0), (2L, 12L, 1L, 2L, 0.5))
+    for (vmax <- Seq(Dedup.AllPairsDenseVocabMax, 0L)) {
+      val got = Dedup.containmentCross(l, r, "doc_id", "text", 0.5,
+          denseVocabMax = vmax)
+        .as[(Long, Long, Long, Long, Double)].collect().toSet
+      // (1 in 11): inter 2 of 3 = 0.667 ≥ 0.5 → also present
+      assert(got == want + ((1L, 11L, 2L, 3L, 2.0 / 3)),
+        s"denseVocabMax=$vmax")
+    }
+  }
+
   test("tfidfJoin: cross-corpus brute parity, both arms") {
     val left = docs.select($"doc_id", $"text")
     val right = docs.select(($"doc_id" + 10000).as("doc_id"),

@@ -64,7 +64,7 @@ class PlanAuditSpec extends SparkSpec {
   private val bnljWhitelist = Set(
     "q22_dormant_value", "dd_allpairs", "dd_allpairs_join",
     "dd_tfidf_pairs", "dd_tfidf_join", "dd_containment",
-    "dd_source_overlap", "ta_drift",
+    "dd_containment_join", "dd_source_overlap", "ta_drift",
     "sim_bruteforce_topk", "sim_pq_topk", "sim_ivfpq_topk",
     "sim_ivf_topk", "sim_ivf_multiassign")
 
