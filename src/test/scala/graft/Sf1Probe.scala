@@ -41,7 +41,8 @@ object Sf1Probe {
     // name cliques 10× squared within-name
     "dd_tfidf_pairs", "dd_substring_spans", "op_jw_join",
     "dd_tfidf_join", "dd_containment", "op_triangles", "ta_classify",
-    "dd_substring_coverage", "dd_source_overlap", "op_jw_cross")
+    "dd_substring_coverage", "dd_source_overlap", "op_jw_cross",
+    "dd_containment_join")
 
   def main(args: Array[String]): Unit = {
     val src = "/root/testdata/sf0.1"
