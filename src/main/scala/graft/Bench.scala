@@ -43,8 +43,24 @@ object Bench {
       // and broadcast pieces only when ContextCleaner notices the GC —
       // across a 171-query board that accumulation taxes later queries
       // and widens run-to-run variance. Outside the timed region.
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
+      //
+      // RDD.unpersist logWarns "was locally checkpointed, its lineage
+      // has been truncated" on every checkpointed RDD it releases —
+      // intentional here (the plan is never re-executed), and across a
+      // 180-query board the flood buried real warnings in the bench
+      // tail (r9 verdict #5). Suppress the RDD logger ONLY around this
+      // release call, bench runner only — warnings during query
+      // execution, and everywhere in library code, stay visible.
+      locally {
+        import org.apache.logging.log4j.{Level, LogManager}
+        import org.apache.logging.log4j.core.config.Configurator
+        val rddLogger = "org.apache.spark.rdd.RDD"
+        val prev = LogManager.getLogger(rddLogger).getLevel
+        Configurator.setLevel(rddLogger, Level.ERROR)
+        try spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+        finally Configurator.setLevel(rddLogger, prev)
+      }
       System.gc()
       dt
     }

@@ -709,6 +709,41 @@ object SparkEntry {
           count(lit(1)).as("n_items"))
     }),
 
+    "q20_promo_parts" -> ((s, dir) => {
+      // TPC-H-Q20-shaped nested correlated agg subquery (the last
+      // hard-shape family member; Q20's partsupp side is absent from
+      // the testdata, so "availqty > ½·shipped" becomes its mirror on
+      // the fact table alone): suppliers who DOMINATED a promo part —
+      // shipped more than half of that part's total windowed quantity.
+      // SQL form: IN-subquery with a HAVING against a correlated
+      // per-part scalar agg. Plan form: the decorrelation Catalyst
+      // should produce — ONE windowed+promo-filtered scan feeds both
+      // the (part, supp) pre-agg and the per-part total (a
+      // partial-agg rollup of the first, NOT a second scan), joined on
+      // the part key; no per-row re-scan of lineitem. Quantities sum
+      // as exact decimals so the ½ comparison (integer-exact as
+      // 2·qps > qp) is order-independent on both engines.
+      val li = t(s, dir, "lineitem")
+      val pp = t(s, dir, "part").filter(col("p_type") === "PROMO")
+        .select(col("p_partkey"))
+      val win = li
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast(TimestampType) &&
+          col("l_shipdate") < lit("1999-01-01").cast(TimestampType))
+        .join(broadcast(pp), col("l_partkey") === col("p_partkey"), "left_semi")
+      val perPS = win.groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(sum(dec(col("l_quantity"))).as("qps"))
+      val perP = perPS.groupBy(col("l_partkey"))
+        .agg(sum(col("qps")).as("qp"))
+      val dom = perPS.join(perP, Seq("l_partkey"))
+        .filter(col("qps") * 2 > col("qp"))
+        .select(col("l_suppkey")).distinct()
+      t(s, dir, "supplier")
+        .join(dom, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .select(col("s_name"), dec(col("s_acctbal")).cast(DoubleType)
+          .as("acctbal"))
+        .orderBy(col("s_name"))
+    }),
+
     "q21_last_shipper" -> ((s, dir) => {
       // TPC-H-Q21-shaped double-correlated EXISTS/NOT-EXISTS, expressed
       // as the decorrelation Catalyst would produce: supplier s "held
@@ -1632,6 +1667,28 @@ object SparkEntry {
           TextAnalysis.langId(col("text")).as("lang_pred"))
         .orderBy(col("doc_id"))),
 
+    "ta_langid_trained" -> ((s, dir) => {
+      // trained-langid SERVING path (r9 verdict #7): char-3-gram hashed
+      // features × a per-class fixed integer weight table → exact
+      // BIGINT margins, argmax with alphabetical tie-break. Weights
+      // are a per-class Knuth-hash ramp, not trained floats, for the
+      // same reason as ta_classify (float training isn't cross-engine
+      // replayable); training behavior is pinned in LlmSpec against
+      // the marker toy on planted multilingual text.
+      val langs = Seq("de", "en", "es", "fr", "ru", "zh")
+      // generator, not crossJoin: a literal-array posexplode keeps the
+      // model-table build free of (even bounded) nested-loop joins
+      val weights = s.range(1024).select(col("id").as("dim"))
+        .select(col("dim"),
+          posexplode(typedLit(langs)).as(Seq("j", "lang")))
+        .select(col("lang"), col("dim"),
+          ((col("dim") * lit(2654435761L) + col("j") * lit(40503L))
+            % 1001 - 500).as("w"))
+      val feats = TextAnalysis.charGramFeatures(
+        t(s, dir, "documents"), "doc_id", "text", n = 3, dim = 1024)
+      TextAnalysis.langidServe(feats, weights).orderBy(col("doc"))
+    }),
+
     "ta_quality" -> ((s, dir) =>
       t(s, dir, "documents").select(
           col("doc_id"),
@@ -2104,6 +2161,19 @@ object SparkEntry {
       // integer thresholding — no float appears in the decision
       val d = t(s, dir, "documents")
       Dedup.containmentJoin(d, "doc_id", "text", threshold = 0.95)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    "dd_containment_reps" -> ((s, dir) => {
+      // clique-representative output (r9 verdict #2): the 100 TB
+      // product shape for clique-heavy similarity joins. Docs with
+      // identical token SETS collapse to (rep = min id, clique size n)
+      // BEFORE any pairing; output is one row per qualifying set pair
+      // (with n_a, n_b) plus one self row per n ≥ 2 clique at
+      // containment 1 — k copies cost one row, not k² pairs.
+      val d = t(s, dir, "documents")
+      Dedup.containmentJoin(d, "doc_id", "text", threshold = 0.95,
+          expandCliques = false)
         .orderBy(col("id_a"), col("id_b"))
     }),
 
@@ -3132,6 +3202,28 @@ object SparkEntry {
         |       ELSE 'und' END AS lang_pred
         |FROM m ORDER BY doc_id""".stripMargin,
 
+    "ta_langid_trained" ->
+      s"""WITH w0 AS (
+        |  SELECT l.lang, l.j, i AS dim,
+        |    ((i * 2654435761 + l.j * 40503) % 1001) - 500 AS w
+        |  FROM (SELECT unnest(generate_series(0, 1023)) AS i),
+        |    (VALUES ('de',0),('en',1),('es',2),('fr',3),('ru',4),('zh',5))
+        |      l(lang, j)),
+        |t0 AS (SELECT doc_id, lower(text) AS t FROM documents
+        |  WHERE length(lower(text)) >= 3),
+        |grams AS (SELECT doc_id, substring(t, p.i, 3) AS gr
+        |  FROM t0, LATERAL (SELECT unnest(generate_series(1,
+        |    length(t) - 2)) AS i) p),
+        |feats AS (SELECT doc_id, ${rollSql("gr")} % 1024 AS dim,
+        |    count(*)::BIGINT AS cnt
+        |  FROM grams GROUP BY 1, 2),
+        |m AS (SELECT doc_id AS doc, lang, sum(cnt * w)::BIGINT AS margin
+        |  FROM feats JOIN w0 USING (dim) GROUP BY 1, 2)
+        |SELECT doc, margin, lang AS lang_pred FROM m
+        |QUALIFY row_number() OVER (PARTITION BY doc
+        |  ORDER BY margin DESC, lang) = 1
+        |ORDER BY doc""".stripMargin,
+
     "ta_quality" ->
       s"""WITH b AS (SELECT doc_id,
         |  len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS n_punct,
@@ -4034,6 +4126,30 @@ object SparkEntry {
         |WHERE inter * 1000000 >= 950000 * sa.n
         |ORDER BY id_a, id_b""".stripMargin,
 
+    // clique-representative recompute: group docs by sorted distinct
+    // token set, brute-force ordered containment over DISTINCT sets,
+    // plus one self row per multi-member clique
+    "dd_containment_reps" ->
+      s"""WITH d0 AS (SELECT doc_id,
+        |    list_sort(list_distinct(${toksSql("lower(text)")})) AS ts
+        |  FROM documents),
+        |g AS (SELECT ts, min(doc_id) AS rep, count(*)::BIGINT AS n
+        |  FROM d0 GROUP BY ts),
+        |szs AS (SELECT rep, n, len(ts)::BIGINT AS sz FROM g),
+        |d AS (SELECT rep, unnest(ts) AS tok FROM g),
+        |i AS (SELECT a.rep AS ra, b.rep AS rb, count(*)::BIGINT AS inter
+        |  FROM d a JOIN d b ON a.tok = b.tok AND a.rep != b.rep
+        |  GROUP BY 1, 2),
+        |cr AS (SELECT ra AS id_a, rb AS id_b, inter, sa.sz AS sz_a,
+        |    inter::DOUBLE / sa.sz AS containment, sa.n AS n_a, sb.n AS n_b
+        |  FROM i JOIN szs sa ON sa.rep = ra JOIN szs sb ON sb.rep = rb
+        |  WHERE inter * 1000000 >= 950000 * sa.sz),
+        |se AS (SELECT rep AS id_a, rep AS id_b, sz AS inter, sz AS sz_a,
+        |    sz::DOUBLE / sz AS containment, n AS n_a, n AS n_b
+        |  FROM szs WHERE n >= 2)
+        |SELECT * FROM cr UNION ALL SELECT * FROM se
+        |ORDER BY id_a, id_b""".stripMargin,
+
     // truncated-snapshot construction + brute-force ordered
     // containment of left in right — decision integer-only
     "dd_containment_join" ->
@@ -4708,6 +4824,28 @@ object SparkEntry {
         |       AND l_quantity BETWEEN 10 AND 35)
         |   OR (p_brand = 'Brand#33' AND p_size BETWEEN 20 AND 50
         |       AND l_quantity BETWEEN 20 AND 50)""".stripMargin,
+
+    "q20_promo_parts" ->
+      """SELECT s_name,
+        |  CAST(CAST(s_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS acctbal
+        |FROM supplier
+        |WHERE s_suppkey IN (
+        |  SELECT l_suppkey
+        |  FROM lineitem l1
+        |  WHERE l_partkey IN (SELECT p_partkey FROM part
+        |                      WHERE p_type = 'PROMO')
+        |    AND l_shipdate >= TIMESTAMP '1997-01-01'
+        |    AND l_shipdate <  TIMESTAMP '1999-01-01'
+        |  GROUP BY l_partkey, l_suppkey
+        |  HAVING 2 * sum(CAST(l_quantity AS DECIMAL(18,2))) >
+        |    (SELECT sum(CAST(l2.l_quantity AS DECIMAL(18,2)))
+        |     FROM lineitem l2
+        |     WHERE l2.l_partkey = l1.l_partkey
+        |       AND l2.l_partkey IN (SELECT p_partkey FROM part
+        |                            WHERE p_type = 'PROMO')
+        |       AND l2.l_shipdate >= TIMESTAMP '1997-01-01'
+        |       AND l2.l_shipdate <  TIMESTAMP '1999-01-01'))
+        |ORDER BY s_name""".stripMargin,
 
     "q21_last_shipper" ->
       """WITH ms AS (

@@ -1,0 +1,132 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftColumnBridge}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, TernaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Verification kernel of the weighted (tf-idf) prefix-filter arm:
+  * one two-pointer merge over two rank-sorted weighted-token arrays
+  * that fuses the PPJoin first-shared-token dedup and the exact
+  * integer dot product into a single codegen'd pass.
+  *
+  * Inputs `left`/`right` are each the candidate doc's tokens as
+  * `array<struct<m: double, t: string, w: bigint>>`, sorted by the
+  * SHARED global rank order (m = the token's corpus-wide max
+  * normalized weight, descending; ties by token ascending) — the same
+  * order the prefix was built under, so within each array the sort
+  * key is a restriction of one global total order and a linear merge
+  * enumerates shared tokens in exactly that order. `tok` is the
+  * a-side prefix token this candidate row was generated at.
+  *
+  * Returns the exact dot Σ w_a·w_b over shared tokens (a BIGINT — all
+  * weights are positive integers) when the FIRST shared token equals
+  * `tok`, else NULL. Null both deduplicates (each qualifying pair
+  * survives at exactly one candidate row: its globally-first shared
+  * token, which PPJoin guarantees lies in both prefixes) and prunes
+  * disjoint pairs — a `dot IS NOT NULL` filter replaces the former
+  * `array_intersect` + `element_at` + interpreted `aggregate` HOF
+  * chain, whose per-candidate hash-set build and O(|doc|) map probes
+  * per element made weighted verification ~2.5× the Jaccard arm's on
+  * the adversarial corpus (SURVEY §8.17). The merge is O(|a| + |b|)
+  * comparisons with zero allocation.
+  */
+case class PrefixMergeDot(first: Expression, second: Expression,
+                          third: Expression)
+    extends TernaryExpression {
+
+  private val elemStruct = StructType(Seq(
+    StructField("m", DoubleType), StructField("t", StringType),
+    StructField("w", LongType)))
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(e: Expression) = e.dataType match {
+      case ArrayType(s: StructType, _) =>
+        s.length == 3 && s(0).dataType == DoubleType &&
+          s(1).dataType == StringType && s(2).dataType == LongType
+      case _ => false
+    }
+    if (ok(first) && ok(second) && third.dataType == StringType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs (${elemStruct.sql} array, same, string), got " +
+        s"${first.dataType.sql}, ${second.dataType.sql}, ${third.dataType.sql}")
+  }
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_prefix_merge_dot"
+  // null result = candidate dropped (not first-shared) — always nullable
+  override def nullable: Boolean = true
+
+  /** The merge kernel; public so generated code can call it through a
+    * codegen reference to this expression instance (whole-stage codegen
+    * keeps the surrounding operators fused; the loop itself JITs as
+    * regular bytecode). Returns null for "drop this candidate". */
+  def merge(a: ArrayData, b: ArrayData, tok: UTF8String): java.lang.Long = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var dot = 0L
+    var seenFirst = false
+    while (i < na && j < nb) {
+      val ra = a.getStruct(i, 3)
+      val rb = b.getStruct(j, 3)
+      val ma = ra.getDouble(0)
+      val mb = rb.getDouble(0)
+      // global order: m DESC, then t ASC (m is a pure function of t,
+      // so equal tokens always have equal m; ties in m across distinct
+      // tokens fall through to the string compare)
+      val cmp =
+        if (ma > mb) -1
+        else if (ma < mb) 1
+        else ra.getUTF8String(1).compareTo(rb.getUTF8String(1))
+      if (cmp == 0) {
+        if (!seenFirst) {
+          if (!ra.getUTF8String(1).equals(tok)) return null
+          seenFirst = true
+        }
+        dot += ra.getLong(2) * rb.getLong(2)
+        i += 1
+        j += 1
+      } else if (cmp < 0) i += 1
+      else j += 1
+    }
+    if (seenFirst) java.lang.Long.valueOf(dot) else null
+  }
+
+  override def nullSafeEval(a: Any, b: Any, t: Any): Any =
+    merge(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+      t.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b, t) => {
+      val ref = ctx.addReferenceObj("pmdExpr", this,
+        classOf[PrefixMergeDot].getName)
+      val boxed = ctx.freshName("pmd")
+      s"""
+         |java.lang.Long $boxed = $ref.merge($a, $b, $t);
+         |if ($boxed == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = $boxed.longValue();
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression,
+      newThird: Expression): PrefixMergeDot =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
+object PrefixMergeDot {
+  /** Column-level entry point. */
+  def apply(a: Column, b: Column, tok: Column): Column =
+    GraftColumnBridge.column(PrefixMergeDot(
+      GraftColumnBridge.expression(a), GraftColumnBridge.expression(b),
+      GraftColumnBridge.expression(tok)))
+}

@@ -570,7 +570,8 @@ object Dedup {
   def allPairs(df: DataFrame, id: String, text: String,
                threshold: Double,
                denseVocabMax: Long = AllPairsDenseVocabMax,
-               denseSigMax: Long = AllPairsDenseSigMax): DataFrame = {
+               denseSigMax: Long = AllPairsDenseSigMax,
+               expandCliques: Boolean = true): DataFrame = {
     require(threshold > 0 && threshold <= 1,
       s"threshold must be in (0,1]: $threshold")
     // threshold as an EXACT parts-per-million rational: float math at
@@ -614,7 +615,7 @@ object Dedup {
           .localCheckpoint()
         val d = docWords.select(col("words")).distinct().count()
         if (d <= denseSigMax && d * nWords * 8L <= AllPairsDenseBroadcastCap)
-          return allPairsDense(docWords, nWords, tN)
+          return allPairsDense(docWords, nWords, tN, expandCliques)
       case _ => ()
     }
     // prefix arm: freqC feeds BOTH sides of the self-join below —
@@ -647,8 +648,9 @@ object Dedup {
     // The SAME array_intersect then yields the exact intersection size
     // (tokens are distinct within a doc), so verification is a
     // map-side size() — the exact count never crosses an exchange.
-    val prefix = prefixSide(toks, freqC, tN)
-    prefix.alias("pa").join(prefix.alias("pb"),
+    val docTab = docArrTab(toks, freqC, collapse = !expandCliques)
+    val prefix = prefixExplodeTab(docTab, tN)
+    val cross = prefix.alias("pa").join(prefix.alias("pb"),
         col("pa.tok") === col("pb.tok") && col("pa.doc") < col("pb.doc"))
       .filter(least(col("pa.sz"), col("pb.sz")) * 1000000L >=
         lit(tN) * greatest(col("pa.sz"), col("pb.sz")))
@@ -664,7 +666,18 @@ object Dedup {
       .filter(col("inter") * 1000000L >= lit(tN) * col("uni"))
       .select(col("pa.doc").as("doc_a"), col("pb.doc").as("doc_b"),
         col("inter"), col("uni"),
-        (col("inter").cast(DoubleType) / col("uni")).as("jaccard"))
+        (col("inter").cast(DoubleType) / col("uni")).as("jaccard"),
+        col("pa.n").as("n_a"), col("pb.n").as("n_b"))
+    if (expandCliques) cross.drop("n_a", "n_b")
+    else {
+      // one self row per n ≥ 2 identical-set clique at J = 1
+      val intra = docTab.filter(col("n") >= 2)
+        .select(col("doc").as("doc_a"), col("doc").as("doc_b"),
+          col("sz").as("inter"), col("sz").as("uni"),
+          (col("sz").cast(DoubleType) / col("sz")).as("jaccard"),
+          col("n").as("n_a"), col("n").as("n_b"))
+      cross.unionByName(intra)
+    }
   }
 
   /** Shared prefix-side builder for [[allPairs]] and [[allPairsJoin]]:
@@ -675,23 +688,43 @@ object Dedup {
     * join forms must never diverge on it. Output columns:
     * (doc, sz, farr, tok, rnk). */
   private def prefixSide(toks: DataFrame, freq: DataFrame,
-                         tN: Long): DataFrame = {
+                         tN: Long,
+                         collapse: Boolean = false): DataFrame =
+    prefixExplodeTab(docArrTab(toks, freq, collapse), tN)
+
+  /** Per-doc rank-ordered token-array table: (doc, farr, sz, n). With
+    * `collapse`, docs with IDENTICAL token sets group to their
+    * representative (min doc id) and n = clique size — the
+    * expandCliques=false product shape, and a pre-join shrink of the
+    * quadratic candidate space; without it n = 1 per doc (constant,
+    * folded out of the plan). */
+  private def docArrTab(toks: DataFrame, freq: DataFrame,
+                        collapse: Boolean): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val ranked = toks.join(freq, Seq("tok"))
       .withColumn("rnk", row_number().over(
         Window.partitionBy(col("doc")).orderBy(col("gf"), col("tok"))))
-    ranked
+    val base = ranked
       .groupBy("doc").agg(
         transform(sort_array(collect_list(struct(col("rnk"), col("tok")))),
           x => x("tok")).as("farr"))
       .withColumn("sz", size(col("farr")).cast(LongType))
+    if (!collapse) base.withColumn("n", lit(1L))
+    else base.groupBy(col("farr")).agg(min(col("doc")).as("doc"),
+      first(col("sz")).as("sz"), count(lit(1)).as("n"))
+  }
+
+  /** Prefix-key explosion over a [[docArrTab]] — ONE copy of the
+    * ppm-integer prefix-length math (the self- and cross-join forms
+    * must never diverge on it). Output: (doc, sz, farr, n, tok, rnk). */
+  private def prefixExplodeTab(docTab: DataFrame, tN: Long): DataFrame =
+    docTab
       .withColumn("plen", expr(
         s"CAST(sz + 1 - ((CAST($tN AS BIGINT) * sz + 999999) div " +
           "CAST(1000000 AS BIGINT)) AS INT)"))
-      .select(col("doc"), col("sz"), col("farr"),
+      .select(col("doc"), col("sz"), col("farr"), col("n"),
         posexplode(expr("slice(farr, 1, plen)")).as(Seq("pos0", "tok")))
       .withColumn("rnk", (col("pos0") + 1).cast(LongType)).drop("pos0")
-  }
 
   /** Vocabulary ceiling for [[allPairs]]'s dense-bitset plan. Below it,
     * every token is frequent (prefix filtering can't prune) and bitsets
@@ -778,26 +811,43 @@ object Dedup {
     * signature-guarded at the dispatch site), `tN` the threshold in
     * ppm. */
   private def allPairsDense(docWords: DataFrame, nWords: Int,
-                            tN: Long): DataFrame = {
+                            tN: Long,
+                            expandCliques: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // collapse to distinct signatures; sid = smallest member (unique)
     val docSig = docWords.withColumn("sid",
       min(col("doc")).over(Window.partitionBy(col("words"))))
     val sigs = docSig.groupBy(col("sid"))
-      .agg(first(col("words")).as("words"), first(col("sz")).as("sz"))
+      .agg(first(col("words")).as("words"), first(col("sz")).as("sz"),
+        count(lit(1)).as("n"))
     // D² popcount sweep under a broadcast nested-loop join: distinct
     // signatures only, size-filtered before the popcounts
     val sigPairs = sigs.select(col("sid").as("sid_a"),
-        col("words").as("wa"), col("sz").as("sz_a"))
+        col("words").as("wa"), col("sz").as("sz_a"), col("n").as("n_a"))
       .join(broadcast(sigs.select(col("sid").as("sid_b"),
-        col("words").as("wb"), col("sz").as("sz_b"))),
+        col("words").as("wb"), col("sz").as("sz_b"), col("n").as("n_b"))),
         col("sid_a") < col("sid_b"))
       .filter(least(col("sz_a"), col("sz_b")) * 1000000L >=
         lit(tN) * greatest(col("sz_a"), col("sz_b")))
       .withColumn("inter", denseInterCol(nWords))
       .withColumn("uni", col("sz_a") + col("sz_b") - col("inter"))
       .filter(col("inter") * 1000000L >= lit(tN) * col("uni"))
-      .select(col("sid_a"), col("sid_b"), col("inter"), col("uni"))
+      .select(col("sid_a"), col("sid_b"), col("inter"), col("uni"),
+        col("n_a"), col("n_b"))
+    if (!expandCliques) {
+      // representative form: signature-level rows only — the
+      // member-expansion joins never run
+      val crossR = sigPairs.select(col("sid_a").as("doc_a"),
+        col("sid_b").as("doc_b"), col("inter"), col("uni"),
+        (col("inter").cast(DoubleType) / col("uni")).as("jaccard"),
+        col("n_a"), col("n_b"))
+      val intraR = sigs.filter(col("n") >= 2)
+        .select(col("sid").as("doc_a"), col("sid").as("doc_b"),
+          col("sz").as("inter"), col("sz").as("uni"),
+          (col("sz").cast(DoubleType) / col("sz")).as("jaccard"),
+          col("n").as("n_a"), col("n").as("n_b"))
+      return crossR.unionByName(intraR)
+    }
     // expand qualifying signature pairs back to doc pairs (output-bound)
     val members = docSig.select(col("sid"), col("doc"))
     val cross = sigPairs
@@ -838,7 +888,8 @@ object Dedup {
   def allPairsJoin(left: DataFrame, right: DataFrame, id: String,
                    text: String, threshold: Double,
                    denseVocabMax: Long = AllPairsDenseVocabMax,
-                   denseSigMax: Long = AllPairsDenseSigMax)
+                   denseSigMax: Long = AllPairsDenseSigMax,
+                   expandCliques: Boolean = true)
       : DataFrame = {
     require(threshold > 0 && threshold <= 1,
       s"threshold must be in (0,1]: $threshold")
@@ -867,16 +918,21 @@ object Dedup {
         val dR = dwR.select(col("words")).distinct().count()
         if (dL <= denseSigMax && dR <= denseSigMax &&
             dR * nWords * 8L <= AllPairsDenseBroadcastCap)
-          return allPairsJoinDense(dwL, dwR, nWords, tN)
+          return allPairsJoinDense(dwL, dwR, nWords, tN, expandCliques)
       case _ => ()
     }
     // prefix arm: the shared-order frequency table feeds both sides —
     // already materialized by the probe's checkpoint
     // prefix arm: per-side [[prefixSide]] under the SHARED rarest-first
     // order; filters identical to the self-join, minus the doc_a <
-    // doc_b constraint (sides are distinct namespaces)
-    prefixSide(toksL, freqC, tN).alias("pa")
-      .join(prefixSide(toksR, freqC, tN).alias("pb"),
+    // doc_b constraint (sides are distinct namespaces). With
+    // expandCliques=false each side collapses to distinct token sets
+    // first; identical cross-side sets meet as a regular J = 1
+    // candidate (reps differ across namespaces), so no intra rows.
+    val cross = prefixSide(toksL, freqC, tN, collapse = !expandCliques)
+      .alias("pa")
+      .join(prefixSide(toksR, freqC, tN, collapse = !expandCliques)
+        .alias("pb"),
         col("pa.tok") === col("pb.tok"))
       .filter(least(col("pa.sz"), col("pb.sz")) * 1000000L >=
         lit(tN) * greatest(col("pa.sz"), col("pb.sz")))
@@ -890,7 +946,9 @@ object Dedup {
       .filter(col("inter") * 1000000L >= lit(tN) * col("uni"))
       .select(col("pa.doc").as("id_a"), col("pb.doc").as("id_b"),
         col("inter"), col("uni"),
-        (col("inter").cast(DoubleType) / col("uni")).as("jaccard"))
+        (col("inter").cast(DoubleType) / col("uni")).as("jaccard"),
+        col("pa.n").as("n_a"), col("pb.n").as("n_b"))
+    if (expandCliques) cross.drop("n_a", "n_b") else cross
   }
 
   /** Dense-bitset arm of [[allPairsJoin]]: per-side signature collapse,
@@ -898,7 +956,8 @@ object Dedup {
     * the per-side bitset tables ([[denseDocWords]], built and
     * signature-guarded at the dispatch site). */
   private def allPairsJoinDense(dwL: DataFrame, dwR: DataFrame,
-                                nWords: Int, tN: Long): DataFrame = {
+                                nWords: Int, tN: Long,
+                                expandCliques: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     def sigged(dw: DataFrame) =
       dw.withColumn("sid",
@@ -906,17 +965,25 @@ object Dedup {
     val dsL = sigged(dwL)
     val dsR = sigged(dwR)
     def sigs(ds: DataFrame) = ds.groupBy(col("sid"))
-      .agg(first(col("words")).as("words"), first(col("sz")).as("sz"))
+      .agg(first(col("words")).as("words"), first(col("sz")).as("sz"),
+        count(lit(1)).as("n"))
     val sigPairs = sigs(dsL).select(col("sid").as("sid_a"),
-        col("words").as("wa"), col("sz").as("sz_a"))
+        col("words").as("wa"), col("sz").as("sz_a"), col("n").as("n_a"))
       .crossJoin(broadcast(sigs(dsR).select(col("sid").as("sid_b"),
-        col("words").as("wb"), col("sz").as("sz_b"))))
+        col("words").as("wb"), col("sz").as("sz_b"), col("n").as("n_b"))))
       .filter(least(col("sz_a"), col("sz_b")) * 1000000L >=
         lit(tN) * greatest(col("sz_a"), col("sz_b")))
       .withColumn("inter", denseInterCol(nWords))
       .withColumn("uni", col("sz_a") + col("sz_b") - col("inter"))
       .filter(col("inter") * 1000000L >= lit(tN) * col("uni"))
-      .select(col("sid_a"), col("sid_b"), col("inter"), col("uni"))
+      .select(col("sid_a"), col("sid_b"), col("inter"), col("uni"),
+        col("n_a"), col("n_b"))
+    if (!expandCliques)
+      return sigPairs
+        .select(col("sid_a").as("id_a"), col("sid_b").as("id_b"),
+          col("inter"), col("uni"),
+          (col("inter").cast(DoubleType) / col("uni")).as("jaccard"),
+          col("n_a"), col("n_b"))
     sigPairs
       .join(dsL.select(col("sid").as("sid_a"), col("doc").as("id_a")),
         Seq("sid_a"))
@@ -1701,8 +1768,10 @@ object Dedup {
     *      rb_{k} < t), so each pair surfaces at that token exactly
     *      once — the [[allPairs]] first-shared-token dedup, keyed on
     *      the ordered token array.
-    *   6. Verify: exact integer dot via a map lookup fold over the
-    *      smaller side's (tok → w) map — map-side, after pruning.
+    *   6. Verify: exact integer dot via one codegen'd two-pointer
+    *      merge over the two rank-sorted weighted-token arrays
+    *      ([[graft.functions.PrefixMergeDot]]), which also decides
+    *      the first-shared-token dedup — map-side, after pruning.
     *
     * Small-vocabulary corpora (every token frequent) break the prefix
     * filter the same way they break [[allPairs]]'s — every doc's
@@ -1721,7 +1790,8 @@ object Dedup {
   def tfidfPairs(df: DataFrame, id: String, text: String,
                  threshold: Double,
                  denseVocabMax: Long = AllPairsDenseVocabMax,
-                 denseSigMax: Long = AllPairsDenseSigMax): DataFrame = {
+                 denseSigMax: Long = AllPairsDenseSigMax,
+                 expandCliques: Boolean = true): DataFrame = {
     require(threshold > 0 && threshold <= 1,
       s"threshold must be in (0,1]: $threshold")
     val n = df.count()
@@ -1737,7 +1807,10 @@ object Dedup {
         // `div`, not `/`: Spark's Divide on longs is DOUBLE division
         (col("tf") * (lit(1L) +
           floorLog2(expr(s"CAST($n AS BIGINT) div dfd")))).as("w"))
-    val n2 = w.groupBy("doc").agg(sum(col("w") * col("w")).as("n2"))
+    // wmx rides along for the dense arm's overflow guard below; the
+    // prefix arm ignores it
+    val n2 = w.groupBy("doc").agg(sum(col("w") * col("w")).as("n2"),
+      max(col("w")).as("wmx"))
     probeVocab(dfc, denseVocabMax) match {
       case Some(vocab) if vocab.nonEmpty =>
         val dw = w
@@ -1745,17 +1818,27 @@ object Dedup {
           .groupBy("doc").agg(map_from_entries(collect_list(
             struct(col("bit"), col("w").cast(IntegerType)))).as("m"))
           .join(n2, Seq("doc"))
-          .select(col("doc"), col("n2"),
+          .select(col("doc"), col("n2"), col("wmx"),
             transform(sequence(lit(0), lit(vocab.length - 1)),
               i => coalesce(element_at(col("m"), i), lit(0))).as("wvec"))
           .localCheckpoint()
-        val d = dw.select(col("wvec")).distinct().count()
-        if (d <= denseSigMax &&
+        // ONE probe job over the checkpointed table decides both dense
+        // guards: the distinct-signature count AND the int-overflow
+        // guard — w is a LONG (tf·idf of a pathological one-token doc
+        // can exceed 2³¹), and the IntegerType cast above would wrap
+        // SILENTLY, corrupting dots while n2 (computed from longs)
+        // stays right. Such a corpus falls back to the prefix arm,
+        // whose merge kernel stays in long arithmetic.
+        val pr = dw.agg(countDistinct(col("wvec")).as("d"),
+          max(col("wmx")).as("wmx")).first()
+        val d = pr.getLong(0)
+        val wmax = if (pr.isNullAt(1)) 0L else pr.getLong(1)
+        if (d <= denseSigMax && wmax <= Int.MaxValue &&
             d * vocab.length * 4L <= AllPairsDenseBroadcastCap)
-          return tfidfPairsDense(dw, threshold)
+          return tfidfPairsDense(dw.drop("wmx"), threshold, expandCliques)
       case _ => ()
     }
-    val wn = w.join(n2, Seq("doc"))
+    val wn = w.join(n2.drop("wmx"), Seq("doc"))
       .withColumn("wh", col("w").cast(DoubleType) /
         sqrt(col("n2").cast(DoubleType)))
     val mx = wn.groupBy("tok").agg(max(col("wh")).as("mx"))
@@ -1772,44 +1855,80 @@ object Dedup {
     // conservative float slack: prune only when the bound is clearly
     // below t — a ulp of window-sum noise must never drop a true pair
     val tSlack = threshold * (1 - 1e-9)
-    val docTab = tl.groupBy("doc").agg(
+    val docTab0 = tl.groupBy("doc").agg(
       first(col("n2")).as("n2"),
       transform(array_sort(collect_list(struct(col("rnk"), col("tok")))),
         x => x.getField("tok")).as("farr"),
       transform(array_sort(collect_list(struct(col("rnk"), col("rbn")))),
         x => x.getField("rbn")).as("rbn"),
-      map_from_entries(collect_list(struct(col("tok"), col("w"))))
-        .as("wmap"),
+      // rank-ordered (m, t, w) array — [[graft.functions.PrefixMergeDot]]'s
+      // input: each doc's weighted tokens under the shared global order,
+      // so verification is one linear merge instead of map probes
+      transform(array_sort(collect_list(struct(col("rnk"),
+          struct(col("mx").as("m"), col("tok").as("t"), col("w")).as("e")))),
+        x => x.getField("e")).as("earr"),
       sum(when(col("rb") >= tSlack, 1).otherwise(0)).as("plen"))
-    val prefix = docTab.select(col("doc"), col("n2"), col("farr"),
-        col("rbn"), col("wmap"),
+    // expandCliques=false: collapse docs with IDENTICAL weighted-token
+    // arrays (same token multiset under the shared corpus-wide idf —
+    // weights were computed over the FULL corpus above, so values are
+    // unchanged) to (rep = min doc, clique size n). earr is rank-ordered
+    // and m is a pure function of t, so earr-equality ⟺ weight-map
+    // equality; farr/rbn/plen are deterministic functions of it, so
+    // first() is exact.
+    val docTab =
+      if (expandCliques) docTab0.withColumn("n", lit(1L))
+      else docTab0
+        .groupBy(col("earr"))
+        .agg(min(col("doc")).as("doc"), first(col("n2")).as("n2"),
+          first(col("farr")).as("farr"), first(col("rbn")).as("rbn"),
+          first(col("plen")).as("plen"), count(lit(1)).as("n"))
+    val prefix = docTab.select(col("doc"), col("n2"),
+        col("rbn"), col("earr"), col("n"),
         posexplode(expr("slice(farr, 1, plen)")).as(Seq("pos0", "tok")))
       .withColumn("rnk", col("pos0") + 1).drop("pos0")
-    prefix.alias("pa").join(prefix.alias("pb"),
+    val cross = prefix.alias("pa").join(prefix.alias("pb"),
         col("pa.tok") === col("pb.tok") && col("pa.doc") < col("pb.doc"))
       // positional filter (Cauchy-Schwarz): at a shared token with
       // ranks (i, j), every shared token sits at rank ≥ i in a and
       // ≥ j in b, so dot ≤ ‖â suffix(i)‖·‖b̂ suffix(j)‖. Valid as a
       // PAIR filter at the globally-first shared row (where i, j are
       // minimal); earlier rows it may drop were doomed to the dedup
-      // filter anyway. Two array reads — runs BEFORE the HOF dedup
-      // and the map-fold verify, which is the point.
+      // filter anyway. Two array reads — runs BEFORE the merge verify,
+      // which is the point.
       .filter(element_at(col("pa.rbn"), col("pa.rnk")) *
         element_at(col("pb.rbn"), col("pb.rnk")) >= tSlack)
-      // first-shared dedup on the codegen'd array_intersect (the
-      // Jaccard arm's form — the lambda-filter+map-probe variant
-      // evaluated interpreted per candidate), then the exact dot folds
-      // over the INTERSECTION only (both maps contain every ix key)
-      .withColumn("ix", array_intersect(col("pa.farr"), col("pb.farr")))
-      .filter(element_at(col("ix"), 1) === col("pa.tok"))
-      .withColumn("dot", expr(
-        "aggregate(ix, 0L, (acc, x) -> acc + pa.wmap[x] * pb.wmap[x])"))
+      // fused first-shared dedup + exact integer dot: one codegen'd
+      // two-pointer merge over the rank-sorted arrays (null = this
+      // candidate row is not the pair's globally-first shared token).
+      // Replaces array_intersect + element_at + an interpreted
+      // aggregate() whose per-element map probes were the weighted
+      // arm's residual 2.5× vs the Jaccard arm (r9 verdict #3).
+      .withColumn("dot", graft.functions.PrefixMergeDot(
+        col("pa.earr"), col("pb.earr"), col("pa.tok")))
+      .filter(col("dot").isNotNull)
       .withColumn("cos", col("dot").cast(DoubleType) /
         sqrt(col("pa.n2").cast(DoubleType) * col("pb.n2").cast(DoubleType)))
       .filter(col("cos") >= threshold)
       .select(col("pa.doc").as("doc_a"), col("pb.doc").as("doc_b"),
         col("dot"), col("pa.n2").as("n2_a"), col("pb.n2").as("n2_b"),
-        round(col("cos"), 6).as("cos"))
+        round(col("cos"), 6).as("cos"),
+        col("pa.n").as("n_a"), col("pb.n").as("n_b"))
+    if (expandCliques) cross.drop("n_a", "n_b")
+    else {
+      // self rows: dot = n2 by definition; cos computed AND filtered by
+      // the SAME op sequence as everywhere (never a literal 1.0 — at n2
+      // beyond 2²⁶ the product rounds and n2/√(n2·n2) can dip below an
+      // exact-1.0 threshold; both arms must agree on that edge)
+      val intra = docTab.filter(col("n") >= 2)
+        .withColumn("cosx", col("n2").cast(DoubleType) /
+          sqrt(col("n2").cast(DoubleType) * col("n2").cast(DoubleType)))
+        .filter(col("cosx") >= threshold)
+        .select(col("doc").as("doc_a"), col("doc").as("doc_b"),
+          col("n2").as("dot"), col("n2").as("n2_a"), col("n2").as("n2_b"),
+          round(col("cosx"), 6).as("cos"),
+          col("n").as("n_a"), col("n").as("n_b"))
+      cross.unionByName(intra)
+    }
   }
 
   /** Dense-vector arm of [[tfidfPairs]] (see its scaladoc). `dw` is
@@ -1820,24 +1939,44 @@ object Dedup {
     * shortcut to a literal 1.0: at n2 beyond 2²⁶ the product rounds,
     * and an engine comparing its own rounded value must see ours. */
   private def tfidfPairsDense(dw: DataFrame,
-                              threshold: Double): DataFrame = {
+                              threshold: Double,
+                              expandCliques: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docSig = dw.withColumn("sid",
       min(col("doc")).over(Window.partitionBy(col("wvec"))))
     val sigs = docSig.groupBy(col("sid"))
-      .agg(first(col("wvec")).as("wvec"), first(col("n2")).as("n2"))
+      .agg(first(col("wvec")).as("wvec"), first(col("n2")).as("n2"),
+        count(lit(1)).as("n"))
     def cosCol = col("dotd") /
       sqrt(col("na2").cast(DoubleType) * col("nb2").cast(DoubleType))
     val sigPairs = sigs.select(col("sid").as("sid_a"),
-        col("wvec").as("wa"), col("n2").as("na2"))
+        col("wvec").as("wa"), col("n2").as("na2"), col("n").as("n_a"))
       .join(broadcast(sigs.select(col("sid").as("sid_b"),
-        col("wvec").as("wb"), col("n2").as("nb2"))),
+        col("wvec").as("wb"), col("n2").as("nb2"), col("n").as("n_b"))),
         col("sid_a") < col("sid_b"))
       .withColumn("dotd", graft.functions.DotProduct(col("wa"), col("wb")))
       .withColumn("cos", cosCol)
       .filter(col("cos") >= threshold)
       .select(col("sid_a"), col("sid_b"), col("dotd"),
-        col("na2"), col("nb2"), col("cos"))
+        col("na2"), col("nb2"), col("cos"), col("n_a"), col("n_b"))
+    if (!expandCliques) {
+      val crossR = sigPairs.select(col("sid_a").as("doc_a"),
+        col("sid_b").as("doc_b"), col("dotd").cast(LongType).as("dot"),
+        col("na2").as("n2_a"), col("nb2").as("n2_b"),
+        round(col("cos"), 6).as("cos"), col("n_a"), col("n_b"))
+      // identical-vector cliques: dot = n2, same op sequence
+      val intraR = sigs.filter(col("n") >= 2)
+        .select(col("sid"), col("n2").cast(DoubleType).as("dotd"),
+          col("n2").as("na2"), col("n2").as("nb2"), col("n"))
+        .withColumn("cos", cosCol)
+        .filter(col("cos") >= threshold)
+        .select(col("sid").as("doc_a"), col("sid").as("doc_b"),
+          col("dotd").cast(LongType).as("dot"),
+          col("na2").as("n2_a"), col("nb2").as("n2_b"),
+          round(col("cos"), 6).as("cos"),
+          col("n").as("n_a"), col("n").as("n_b"))
+      return crossR.unionByName(intraR)
+    }
     val members = docSig.select(col("sid"), col("doc"))
     val cross = sigPairs
       .join(members.select(col("sid").as("sid_a"), col("doc").as("da")),
@@ -1902,7 +2041,8 @@ object Dedup {
   def containmentJoin(df: DataFrame, id: String, text: String,
                       threshold: Double,
                       denseVocabMax: Long = AllPairsDenseVocabMax,
-                      denseSigMax: Long = AllPairsDenseSigMax)
+                      denseSigMax: Long = AllPairsDenseSigMax,
+                      expandCliques: Boolean = true)
       : DataFrame = {
     require(threshold > 0 && threshold <= 1,
       s"threshold must be in (0,1]: $threshold")
@@ -1922,28 +2062,40 @@ object Dedup {
           .localCheckpoint()
         val d = docWords.select(col("words")).distinct().count()
         if (d <= denseSigMax && d * nWords * 8L <= AllPairsDenseBroadcastCap)
-          return containmentDense(docWords, nWords, tN)
+          return containmentDense(docWords, nWords, tN, expandCliques)
       case _ => ()
     }
     import org.apache.spark.sql.expressions.Window
     val ranked = toks.join(freqC, Seq("tok"))
       .withColumn("rnk", row_number().over(
         Window.partitionBy(col("doc")).orderBy(col("gf"), col("tok"))))
-    val docTab = ranked.groupBy("doc").agg(
+    val docTab0 = ranked.groupBy("doc").agg(
         transform(array_sort(collect_list(struct(col("rnk"), col("tok")))),
           x => x.getField("tok")).as("farr"))
       .withColumn("sz", size(col("farr")).cast(LongType))
+    // expandCliques=false: the 100 TB product shape — collapse docs
+    // with IDENTICAL token sets to (representative = min id, clique
+    // size n) BEFORE the quadratic join, emit one row per qualifying
+    // set pair plus one self row per n ≥ 2 clique. 10 copies of a
+    // boilerplate doc stop costing 100 output pairs; the prefix join
+    // itself also shrinks to distinct-set space.
+    val docTab =
+      if (expandCliques)
+        docTab0.withColumn("n", lit(1L))
+      else
+        docTab0.groupBy(col("farr")).agg(min(col("doc")).as("doc"),
+            first(col("sz")).as("sz"), count(lit(1)).as("n"))
     // a-side: prefix keys only (⌈t·sz⌉ exact in integers); b-side:
     // every token — the inverted index
     val prefA = docTab
       .withColumn("plen", expr(
         s"CAST(sz + 1 - ((CAST($tN AS BIGINT) * sz + 999999) div " +
           "CAST(1000000 AS BIGINT)) AS INT)"))
-      .select(col("doc"), col("sz"), col("farr"),
+      .select(col("doc"), col("sz"), col("farr"), col("n"),
         explode(expr("slice(farr, 1, plen)")).as("tok"))
-    val indexB = docTab.select(col("doc"), col("farr"),
+    val indexB = docTab.select(col("doc"), col("farr"), col("n"),
       explode(col("farr")).as("tok"))
-    prefA.alias("pa").join(indexB.alias("pb"),
+    val cross = prefA.alias("pa").join(indexB.alias("pb"),
         col("pa.tok") === col("pb.tok") && col("pa.doc") =!= col("pb.doc"))
       .withColumn("ix", array_intersect(col("pa.farr"), col("pb.farr")))
       .filter(element_at(col("ix"), 1) === col("pa.tok"))
@@ -1951,29 +2103,59 @@ object Dedup {
       .filter(col("inter") * 1000000L >= lit(tN) * col("pa.sz"))
       .select(col("pa.doc").as("id_a"), col("pb.doc").as("id_b"),
         col("inter"), col("pa.sz").as("sz_a"),
-        (col("inter").cast(DoubleType) / col("pa.sz")).as("containment"))
+        (col("inter").cast(DoubleType) / col("pa.sz")).as("containment"),
+        col("pa.n").as("n_a"), col("pb.n").as("n_b"))
+    if (expandCliques)
+      cross.drop("n_a", "n_b")
+    else {
+      val intra = docTab.filter(col("n") >= 2)
+        .select(col("doc").as("id_a"), col("doc").as("id_b"),
+          col("sz").as("inter"), col("sz").as("sz_a"),
+          (col("sz").cast(DoubleType) / col("sz")).as("containment"),
+          col("n").as("n_a"), col("n").as("n_b"))
+      cross.unionByName(intra)
+    }
   }
 
   /** Dense-bitset arm of [[containmentJoin]]: ordered signature pairs
-    * under the broadcast popcount sweep; identical-signature cliques
-    * expand to both orders at containment 1. */
+    * under the broadcast popcount sweep; with `expandCliques` the
+    * identical-signature cliques expand to both orders at containment
+    * 1, without it the output stays in signature space — one row per
+    * qualifying set pair carrying (representative, clique size), plus
+    * one self row per n ≥ 2 clique (the member-expansion joins never
+    * run). */
   private def containmentDense(docWords: DataFrame, nWords: Int,
-                               tN: Long): DataFrame = {
+                               tN: Long,
+                               expandCliques: Boolean): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docSig = docWords.withColumn("sid",
       min(col("doc")).over(Window.partitionBy(col("words"))))
     val sigs = docSig.groupBy(col("sid"))
-      .agg(first(col("words")).as("words"), first(col("sz")).as("sz"))
+      .agg(first(col("words")).as("words"), first(col("sz")).as("sz"),
+        count(lit(1)).as("n"))
     val sigPairs = sigs.select(col("sid").as("sid_a"),
-        col("words").as("wa"), col("sz").as("sz_a"))
+        col("words").as("wa"), col("sz").as("sz_a"), col("n").as("n_a"))
       .join(broadcast(sigs.select(col("sid").as("sid_b"),
-        col("words").as("wb"), col("sz").as("sz_b"))),
+        col("words").as("wb"), col("sz").as("sz_b"), col("n").as("n_b"))),
         col("sid_a") =!= col("sid_b"))
       // cheap bound: inter ≤ min(sz_a, sz_b), so sz_b must reach t·sz_a
       .filter(col("sz_b") * 1000000L >= lit(tN) * col("sz_a"))
       .withColumn("inter", denseInterCol(nWords))
       .filter(col("inter") * 1000000L >= lit(tN) * col("sz_a"))
-      .select(col("sid_a"), col("sid_b"), col("inter"), col("sz_a"))
+      .select(col("sid_a"), col("sid_b"), col("inter"), col("sz_a"),
+        col("n_a"), col("n_b"))
+    if (!expandCliques) {
+      val crossR = sigPairs.select(col("sid_a").as("id_a"),
+        col("sid_b").as("id_b"), col("inter"), col("sz_a"),
+        (col("inter").cast(DoubleType) / col("sz_a")).as("containment"),
+        col("n_a"), col("n_b"))
+      val intraR = sigs.filter(col("n") >= 2)
+        .select(col("sid").as("id_a"), col("sid").as("id_b"),
+          col("sz").as("inter"), col("sz").as("sz_a"),
+          (col("sz").cast(DoubleType) / col("sz")).as("containment"),
+          col("n").as("n_a"), col("n").as("n_b"))
+      return crossR.unionByName(intraR)
+    }
     val members = docSig.select(col("sid"), col("doc"))
     val cross = sigPairs
       .join(members.select(col("sid").as("sid_a"), col("doc").as("id_a")),
@@ -2009,7 +2191,8 @@ object Dedup {
   def containmentCross(left: DataFrame, right: DataFrame, id: String,
                        text: String, threshold: Double,
                        denseVocabMax: Long = AllPairsDenseVocabMax,
-                       denseSigMax: Long = AllPairsDenseSigMax)
+                       denseSigMax: Long = AllPairsDenseSigMax,
+                       expandCliques: Boolean = true)
       : DataFrame = {
     require(threshold > 0 && threshold <= 1,
       s"threshold must be in (0,1]: $threshold")
@@ -2034,7 +2217,7 @@ object Dedup {
         val dR = dwR.select(col("words")).distinct().count()
         if (dL <= denseSigMax && dR <= denseSigMax &&
             dR * nWords * 8L <= AllPairsDenseBroadcastCap)
-          return containmentCrossDense(dwL, dwR, nWords, tN)
+          return containmentCrossDense(dwL, dwR, nWords, tN, expandCliques)
       case _ => ()
     }
     import org.apache.spark.sql.expressions.Window
@@ -2042,20 +2225,26 @@ object Dedup {
       val ranked = toks.join(freqC, Seq("tok"))
         .withColumn("rnk", row_number().over(
           Window.partitionBy(col("doc")).orderBy(col("gf"), col("tok"))))
-      ranked.groupBy("doc").agg(
+      val base = ranked.groupBy("doc").agg(
           transform(array_sort(collect_list(struct(col("rnk"), col("tok")))),
             x => x.getField("tok")).as("farr"))
         .withColumn("sz", size(col("farr")).cast(LongType))
+      // expandCliques=false: per-side identical-set collapse (reps +
+      // clique sizes); identical cross-side sets meet as a regular
+      // containment-1 candidate, so no intra rows
+      if (expandCliques) base.withColumn("n", lit(1L))
+      else base.groupBy(col("farr")).agg(min(col("doc")).as("doc"),
+        first(col("sz")).as("sz"), count(lit(1)).as("n"))
     }
     val prefA = docTabOf(toksL)
       .withColumn("plen", expr(
         s"CAST(sz + 1 - ((CAST($tN AS BIGINT) * sz + 999999) div " +
           "CAST(1000000 AS BIGINT)) AS INT)"))
-      .select(col("doc"), col("sz"), col("farr"),
+      .select(col("doc"), col("sz"), col("farr"), col("n"),
         explode(expr("slice(farr, 1, plen)")).as("tok"))
-    val indexB = docTabOf(toksR).select(col("doc"), col("farr"),
+    val indexB = docTabOf(toksR).select(col("doc"), col("farr"), col("n"),
       explode(col("farr")).as("tok"))
-    prefA.alias("pa").join(indexB.alias("pb"),
+    val cross = prefA.alias("pa").join(indexB.alias("pb"),
         col("pa.tok") === col("pb.tok"))
       .withColumn("ix", array_intersect(col("pa.farr"), col("pb.farr")))
       .filter(element_at(col("ix"), 1) === col("pa.tok"))
@@ -2063,29 +2252,40 @@ object Dedup {
       .filter(col("inter") * 1000000L >= lit(tN) * col("pa.sz"))
       .select(col("pa.doc").as("id_a"), col("pb.doc").as("id_b"),
         col("inter"), col("pa.sz").as("sz_a"),
-        (col("inter").cast(DoubleType) / col("pa.sz")).as("containment"))
+        (col("inter").cast(DoubleType) / col("pa.sz")).as("containment"),
+        col("pa.n").as("n_a"), col("pb.n").as("n_b"))
+    if (expandCliques) cross.drop("n_a", "n_b") else cross
   }
 
   /** Dense-bitset arm of [[containmentCross]]: all D_L × D_R ordered
     * signature pairs (right side broadcast), popcount against the
     * LEFT size. */
   private def containmentCrossDense(dwL: DataFrame, dwR: DataFrame,
-                                    nWords: Int, tN: Long): DataFrame = {
+                                    nWords: Int, tN: Long,
+                                    expandCliques: Boolean = true)
+      : DataFrame = {
     import org.apache.spark.sql.expressions.Window
     def sigged(dw: DataFrame) = dw.withColumn("sid",
       min(col("doc")).over(Window.partitionBy(col("words"))))
     val dsL = sigged(dwL)
     val dsR = sigged(dwR)
     def sigs(ds: DataFrame) = ds.groupBy(col("sid"))
-      .agg(first(col("words")).as("words"), first(col("sz")).as("sz"))
+      .agg(first(col("words")).as("words"), first(col("sz")).as("sz"),
+        count(lit(1)).as("n"))
     val sigPairs = sigs(dsL).select(col("sid").as("sid_a"),
-        col("words").as("wa"), col("sz").as("sz_a"))
+        col("words").as("wa"), col("sz").as("sz_a"), col("n").as("n_a"))
       .crossJoin(broadcast(sigs(dsR).select(col("sid").as("sid_b"),
-        col("words").as("wb"), col("sz").as("sz_b"))))
+        col("words").as("wb"), col("sz").as("sz_b"), col("n").as("n_b"))))
       .filter(col("sz_b") * 1000000L >= lit(tN) * col("sz_a"))
       .withColumn("inter", denseInterCol(nWords))
       .filter(col("inter") * 1000000L >= lit(tN) * col("sz_a"))
-      .select(col("sid_a"), col("sid_b"), col("inter"), col("sz_a"))
+      .select(col("sid_a"), col("sid_b"), col("inter"), col("sz_a"),
+        col("n_a"), col("n_b"))
+    if (!expandCliques)
+      return sigPairs.select(col("sid_a").as("id_a"),
+        col("sid_b").as("id_b"), col("inter"), col("sz_a"),
+        (col("inter").cast(DoubleType) / col("sz_a")).as("containment"),
+        col("n_a"), col("n_b"))
     sigPairs
       .join(dsL.select(col("sid").as("sid_a"), col("doc").as("id_a")),
         Seq("sid_a"))
@@ -2117,7 +2317,8 @@ object Dedup {
   def tfidfJoin(left: DataFrame, right: DataFrame, id: String,
                 text: String, threshold: Double,
                 denseVocabMax: Long = AllPairsDenseVocabMax,
-                denseSigMax: Long = AllPairsDenseSigMax): DataFrame = {
+                denseSigMax: Long = AllPairsDenseSigMax,
+                expandCliques: Boolean = true): DataFrame = {
     require(threshold > 0 && threshold <= 1,
       s"threshold must be in (0,1]: $threshold")
     val n = left.count() + right.count()
@@ -2136,8 +2337,11 @@ object Dedup {
           floorLog2(expr(s"CAST($n AS BIGINT) div dfd")))).as("w"))
     val wL = weighted(tfL)
     val wR = weighted(tfR)
+    // wmx rides along for the dense arm's overflow guard; the prefix
+    // arm drops it
     def norm2(w: DataFrame) =
-      w.groupBy("doc").agg(sum(col("w") * col("w")).as("n2"))
+      w.groupBy("doc").agg(sum(col("w") * col("w")).as("n2"),
+        max(col("w")).as("wmx"))
     val n2L = norm2(wL)
     val n2R = norm2(wR)
     probeVocab(dfc, denseVocabMax) match {
@@ -2148,22 +2352,33 @@ object Dedup {
           .groupBy("doc").agg(map_from_entries(collect_list(
             struct(col("bit"), col("w").cast(IntegerType)))).as("m"))
           .join(n2, Seq("doc"))
-          .select(col("doc"), col("n2"),
+          .select(col("doc"), col("n2"), col("wmx"),
             transform(sequence(lit(0), lit(vocab.length - 1)),
               i => coalesce(element_at(col("m"), i), lit(0))).as("wvec"))
           .localCheckpoint()
         val dwL = denseOf(wL, n2L)
         val dwR = denseOf(wR, n2R)
-        val dL = dwL.select(col("wvec")).distinct().count()
-        val dR = dwR.select(col("wvec")).distinct().count()
+        // per-side probe jobs double as the int-overflow guard — see
+        // [[tfidfPairs]]: a long weight beyond 2³¹ would have wrapped
+        // in the IntegerType cast above, silently corrupting dots
+        def probe(dw: DataFrame): (Long, Long) = {
+          val pr = dw.agg(countDistinct(col("wvec")).as("d"),
+            max(col("wmx")).as("wmx")).first()
+          (pr.getLong(0), if (pr.isNullAt(1)) 0L else pr.getLong(1))
+        }
+        val (dL, wmxL) = probe(dwL)
+        val (dR, wmxR) = probe(dwR)
         if (dL <= denseSigMax && dR <= denseSigMax &&
+            math.max(wmxL, wmxR) <= Int.MaxValue &&
             dR * vocab.length * 4L <= AllPairsDenseBroadcastCap)
-          return tfidfJoinDense(dwL, dwR, threshold)
+          return tfidfJoinDense(dwL.drop("wmx"), dwR.drop("wmx"),
+            threshold, expandCliques)
       case _ => ()
     }
     // prefix arm: corpus-max normalized weights over BOTH sides keep
     // the suffix bound valid for cross-side partners
-    def normalized(w: DataFrame, n2: DataFrame) = w.join(n2, Seq("doc"))
+    def normalized(w: DataFrame, n2: DataFrame) =
+      w.join(n2.drop("wmx"), Seq("doc"))
       .withColumn("wh", col("w").cast(DoubleType) /
         sqrt(col("n2").cast(DoubleType)))
     val whL = normalized(wL, n2L)
@@ -2182,59 +2397,84 @@ object Dedup {
             .orderBy(col("mx").desc, col("tok"))))
         .withColumn("rb", sum(col("wh") * col("mx")).over(suffixW))
         .withColumn("rbn", sqrt(sum(col("wh") * col("wh")).over(suffixW)))
-      tl.groupBy("doc").agg(
+      val base = tl.groupBy("doc").agg(
           first(col("n2")).as("n2"),
           transform(array_sort(collect_list(struct(col("rnk"), col("tok")))),
             x => x.getField("tok")).as("farr"),
           transform(array_sort(collect_list(struct(col("rnk"), col("rbn")))),
             x => x.getField("rbn")).as("rbn"),
-          map_from_entries(collect_list(struct(col("tok"), col("w"))))
-            .as("wmap"),
+          // rank-ordered (m, t, w) merge input — see [[tfidfPairs]]
+          transform(array_sort(collect_list(struct(col("rnk"),
+              struct(col("mx").as("m"), col("tok").as("t"), col("w"))
+                .as("e")))),
+            x => x.getField("e")).as("earr"),
           sum(when(col("rb") >= tSlack, 1).otherwise(0)).as("plen"))
-        .select(col("doc"), col("n2"), col("farr"), col("rbn"),
-          col("wmap"),
+      // per-side identical-weighted-token collapse under
+      // expandCliques=false (weights already fixed by the UNION-corpus
+      // idf above, so values are unchanged); identical cross-side
+      // vectors meet as a regular cos-1 candidate, so no intra rows —
+      // see [[tfidfPairs]]
+      val docTab =
+        if (expandCliques) base.withColumn("n", lit(1L))
+        else base
+          .groupBy(col("earr"))
+          .agg(min(col("doc")).as("doc"), first(col("n2")).as("n2"),
+            first(col("farr")).as("farr"), first(col("rbn")).as("rbn"),
+            first(col("plen")).as("plen"), count(lit(1)).as("n"))
+      docTab
+        .select(col("doc"), col("n2"), col("rbn"),
+          col("earr"), col("n"),
           posexplode(expr("slice(farr, 1, plen)")).as(Seq("pos0", "tok")))
         .withColumn("rnk", col("pos0") + 1).drop("pos0")
     }
-    prefixOf(whL).alias("pa").join(prefixOf(whR).alias("pb"),
+    val cross = prefixOf(whL).alias("pa").join(prefixOf(whR).alias("pb"),
         col("pa.tok") === col("pb.tok"))
       // Cauchy-Schwarz positional filter — see [[tfidfPairs]]
       .filter(element_at(col("pa.rbn"), col("pa.rnk")) *
         element_at(col("pb.rbn"), col("pb.rnk")) >= tSlack)
-      .withColumn("ix", array_intersect(col("pa.farr"), col("pb.farr")))
-      .filter(element_at(col("ix"), 1) === col("pa.tok"))
-      .withColumn("dot", expr(
-        "aggregate(ix, 0L, (acc, x) -> acc + pa.wmap[x] * pb.wmap[x])"))
+      // fused first-shared dedup + exact integer dot — see [[tfidfPairs]]
+      .withColumn("dot", graft.functions.PrefixMergeDot(
+        col("pa.earr"), col("pb.earr"), col("pa.tok")))
+      .filter(col("dot").isNotNull)
       .withColumn("cos", col("dot").cast(DoubleType) /
         sqrt(col("pa.n2").cast(DoubleType) * col("pb.n2").cast(DoubleType)))
       .filter(col("cos") >= threshold)
       .select(col("pa.doc").as("id_a"), col("pb.doc").as("id_b"),
         col("dot"), col("pa.n2").as("n2_a"), col("pb.n2").as("n2_b"),
-        round(col("cos"), 6).as("cos"))
+        round(col("cos"), 6).as("cos"),
+        col("pa.n").as("n_a"), col("pb.n").as("n_b"))
+    if (expandCliques) cross.drop("n_a", "n_b") else cross
   }
 
   /** Dense-vector arm of [[tfidfJoin]]: per-side signature collapse,
     * D_L × D_R DotProduct sweep (right side broadcast), output-bound
     * expansion — [[allPairsJoinDense]]'s shape with weights. */
   private def tfidfJoinDense(dwL: DataFrame, dwR: DataFrame,
-                             threshold: Double): DataFrame = {
+                             threshold: Double,
+                             expandCliques: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     def sigged(dw: DataFrame) = dw.withColumn("sid",
       min(col("doc")).over(Window.partitionBy(col("wvec"))))
     val dsL = sigged(dwL)
     val dsR = sigged(dwR)
     def sigs(ds: DataFrame) = ds.groupBy(col("sid"))
-      .agg(first(col("wvec")).as("wvec"), first(col("n2")).as("n2"))
+      .agg(first(col("wvec")).as("wvec"), first(col("n2")).as("n2"),
+        count(lit(1)).as("n"))
     val sigPairs = sigs(dsL).select(col("sid").as("sid_a"),
-        col("wvec").as("wa"), col("n2").as("na2"))
+        col("wvec").as("wa"), col("n2").as("na2"), col("n").as("n_a"))
       .crossJoin(broadcast(sigs(dsR).select(col("sid").as("sid_b"),
-        col("wvec").as("wb"), col("n2").as("nb2"))))
+        col("wvec").as("wb"), col("n2").as("nb2"), col("n").as("n_b"))))
       .withColumn("dotd", graft.functions.DotProduct(col("wa"), col("wb")))
       .withColumn("cos", col("dotd") /
         sqrt(col("na2").cast(DoubleType) * col("nb2").cast(DoubleType)))
       .filter(col("cos") >= threshold)
       .select(col("sid_a"), col("sid_b"), col("dotd"),
-        col("na2"), col("nb2"), col("cos"))
+        col("na2"), col("nb2"), col("cos"), col("n_a"), col("n_b"))
+    if (!expandCliques)
+      return sigPairs.select(col("sid_a").as("id_a"),
+        col("sid_b").as("id_b"), col("dotd").cast(LongType).as("dot"),
+        col("na2").as("n2_a"), col("nb2").as("n2_b"),
+        round(col("cos"), 6).as("cos"), col("n_a"), col("n_b"))
     sigPairs
       .join(dsL.select(col("sid").as("sid_a"), col("doc").as("id_a")),
         Seq("sid_a"))

@@ -889,4 +889,78 @@ object TextAnalysis {
     }
     w
   }
+
+  // -------------------------------------------------------------------
+  // trained language ID — char n-grams × one-vs-rest linear classifier
+  // -------------------------------------------------------------------
+
+  /** Hashed char-n-gram bag — the fastText language-ID featurization
+    * (langid.py / fastText lid.176 both run on char n-grams: function
+    * words alone miss short strings and agglutinative languages).
+    * Grams are substrings of the LOWERCASED text at every position,
+    * rolled through [[tokenHash]] into `dim` buckets — pure integer
+    * hashing, replayable in the oracle engine. Texts shorter than `n`
+    * chars produce no rows (the [[hashedFeatures]] empty-doc
+    * convention).
+    *
+    * Shape at scale: one map-only position explode (≈ text bytes) →
+    * groupBy(doc, dim) with map-side combine; feature space fixed at
+    * `dim` regardless of corpus size. Output: (doc, dim, cnt). */
+  def charGramFeatures(df: org.apache.spark.sql.DataFrame, id: String,
+                       text: String, n: Int = 3,
+                       dim: Int = 1024): org.apache.spark.sql.DataFrame = {
+    require(n > 0, s"n must be positive: $n")
+    require(dim > 0, s"dim must be positive: $dim")
+    df.select(col(id).as("doc"), lower(col(text)).as("__t"))
+      .filter(length(col("__t")) >= n)
+      .select(col("doc"), col("__t"),
+        explode(sequence(lit(1), length(col("__t")) - (n - 1))).as("i"))
+      .select(col("doc"),
+        pmod(tokenHash(expr(s"substring(__t, i, $n)")), lit(dim)).as("dim"))
+      .groupBy("doc", "dim").agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Multi-class linear serving: per-(doc, class) margin = Σ cnt·w,
+    * prediction = argmax margin with ties to the alphabetically first
+    * class — min(struct(−margin, lang)) makes the argmax ONE exact
+    * comparison chain, deterministic in any engine (with integer
+    * weights the margins are exact BIGINTs). `weights` is the
+    * model-sized (lang, dim, w) table, broadcast; the corpus-sized
+    * side shuffles once on doc for the margin agg and once for the
+    * argmax — both key-partitioned, nothing collected.
+    * Output: (doc, margin, lang_pred). */
+  def langidServe(feats: org.apache.spark.sql.DataFrame,
+                  weights: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    feats.join(broadcast(weights), Seq("dim"))
+      .groupBy(col("doc"), col("lang"))
+      .agg(sum(col("cnt") * col("w")).as("margin"))
+      .groupBy(col("doc"))
+      .agg(min(struct((-col("margin")).as("nm"), col("lang"),
+        col("margin"))).as("b"))
+      .select(col("doc"), col("b.margin").as("margin"),
+        col("b.lang").as("lang_pred"))
+
+  /** One-vs-rest training over [[charGramFeatures]]: a
+    * [[trainLogistic]] run per language (label 1 = this language).
+    * Returns the (lang, dim, w) weight table [[langidServe]] consumes.
+    * Float weights — the deterministic COMPARED row serves fixed
+    * integer weights instead (the [[trainLogistic]] determinism
+    * note); training is behavior-pinned in LlmSpec against the
+    * marker-argmax toy ([[langId]]). */
+  def langidTrain(df: org.apache.spark.sql.DataFrame, id: String,
+                  text: String, label: String, langs: Seq[String],
+                  n: Int = 3, dim: Int = 256, iters: Int = 20,
+                  lr: Double = 0.5): org.apache.spark.sql.DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val feats = charGramFeatures(df, id, text, n, dim).localCheckpoint()
+    val rows = langs.flatMap { lang =>
+      val labels = df.select(col(id).as("doc"),
+        (col(label) === lang).cast("int").as("y"))
+      trainLogistic(feats, labels, dim, iters, lr)
+        .zipWithIndex.map { case (w, i) => (lang, i.toLong, w) }
+    }
+    rows.toDF("lang", "dim", "w")
+  }
 }

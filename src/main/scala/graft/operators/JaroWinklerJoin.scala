@@ -62,8 +62,16 @@ object JaroWinklerJoin {
     val tPpm = math.round(threshold * 1000000)
     require(math.abs(tPpm / 1e6 - threshold) < 1e-12,
       s"threshold must have at most 6 decimal places: $threshold")
-    // jaro floor in ppm: ceil((t − 0.4)·10⁶ / 0.6), exact in integers
-    val jmin = (10L * (tPpm - 400000L) + 5L) / 6L
+    // jaro floor in ppm, rounded DOWN: (t − 0.4)·10⁶ / 0.6 truncated.
+    // Rounding up (ceil) made the length-band and match-floor pruning
+    // ~1 ppm stricter than the provable bound and dropped pairs whose
+    // jw equals the threshold exactly (e.g. t = 0.935, |a| = 27,
+    // |b| = 40, m = 27, 0 transpositions, 4-char prefix → jw = 0.935:
+    // the ceil'd band required 27e6 ≥ 675001·40 and pruned it). Floor
+    // keeps every downstream bound valid but conservative — candidates
+    // a hair below threshold survive to the exact verify, which is the
+    // only place membership is decided.
+    val jmin = (10L * (tPpm - 400000L)) / 6L
     Bounds(threshold,
       3L * jmin - 1000000L, // match floor: o = ⌈l_min·a3/2e6⌉
       3L * jmin - 2000000L) // length band: l₁·1e6 ≥ b3·l₂
@@ -126,17 +134,42 @@ object JaroWinklerJoin {
         col("jw"))
   }
 
-  /** Self-join form. Output: (id_a, id_b, jw), id_a < id_b, jw
-    * rounded to 6. */
+  /** Self-join form. Output with `expandCliques` (default):
+    * (id_a, id_b, jw), id_a < id_b, jw rounded to 6. Without it, the
+    * 100 TB product shape: distinct-NAME pairs only — (id_a, id_b,
+    * jw, n_a, n_b) where each id is its name clique's representative
+    * (min member id) and n its clique size, plus one self row
+    * (rep, rep, 1.0, n, n) per duplicated non-empty name. k copies of
+    * a name cost one row, not k² pairs; the member-expansion joins
+    * never run. */
   def selfJoin(df: DataFrame, id: String, text: String,
-               threshold: Double): DataFrame = {
+               threshold: Double,
+               expandCliques: Boolean = true): DataFrame = {
     val b = boundsOf(threshold)
     val nm = df.select(col(id).as("nid"), col(text).as("nm"))
-    val dn = nm.groupBy("nm").agg(min(col("nid")).as("sid"))
+    val dn = nm.groupBy("nm").agg(min(col("nid")).as("sid"),
+      count(lit(1)).as("n"))
     val occ = charToks(dn)
     val freq = occ.groupBy("tok").agg(count(lit(1)).as("gf"))
     val prefix = prefixTab(occ, freq, b)
     val namePairs = verifyPairs(prefix, prefix, b, ordered = true)
+    if (!expandCliques) {
+      val szs = dn.select(col("sid"), col("n"))
+      val cross = namePairs
+        .join(szs.select(col("sid").as("sid_a"), col("n").as("n_a")),
+          Seq("sid_a"))
+        .join(szs.select(col("sid").as("sid_b"), col("n").as("n_b")),
+          Seq("sid_b"))
+        // verifyPairs(ordered = true) already guarantees sid_a < sid_b
+        .select(col("sid_a").as("id_a"), col("sid_b").as("id_b"),
+          round(col("jw"), 6).as("jw"), col("n_a"), col("n_b"))
+      // duplicated non-empty names: one self row per clique (jw = 1 ⟺
+      // equality; empty/null excluded — jw('','') is 0 by definition)
+      val intra = dn.filter(col("n") >= 2 && length(col("nm")) > 0)
+        .select(col("sid").as("id_a"), col("sid").as("id_b"),
+          lit(1.0).as("jw"), col("n").as("n_a"), col("n").as("n_b"))
+      return cross.unionByName(intra)
+    }
     val members = nm.join(dn, Seq("nm")).select(col("sid"), col("nid"))
     val cross = namePairs
       .join(members.select(col("sid").as("sid_a"), col("nid").as("ia")),
@@ -146,9 +179,16 @@ object JaroWinklerJoin {
       .select(least(col("ia"), col("ib")).as("id_a"),
         greatest(col("ia"), col("ib")).as("id_b"),
         round(col("jw"), 6).as("jw"))
-    // identical strings: jw = 1 ⟺ equality, so the clique value is
-    // exact by construction and passes any valid threshold
-    val intra = members.alias("x").join(members.alias("y"),
+    // identical strings: jw = 1 ⟺ equality for NON-EMPTY strings, so
+    // the clique value is exact by construction and passes any valid
+    // threshold. Empty and null names are excluded: the pinned
+    // definition (and DuckDB, and JaroWinkler.compute) gives 0.0 when
+    // either side is empty and NULL for nulls, so duplicated
+    // empty/null names must NOT emit jw = 1 cliques — the length
+    // filter drops both (length(null) is null → filter false).
+    val validSids = dn.filter(length(col("nm")) > 0).select(col("sid"))
+    val membersI = members.join(validSids, Seq("sid"), "left_semi")
+    val intra = membersI.alias("x").join(membersI.alias("y"),
         col("x.sid") === col("y.sid") && col("x.nid") < col("y.nid"))
       .select(col("x.nid").as("id_a"), col("y.nid").as("id_b"),
         lit(1.0).as("jw"))
@@ -160,12 +200,14 @@ object JaroWinklerJoin {
     * convention); ids are independent namespaces. Output: (id_a from
     * left, id_b from right, jw rounded to 6). */
   def crossJoin(left: DataFrame, right: DataFrame, id: String,
-                text: String, threshold: Double): DataFrame = {
+                text: String, threshold: Double,
+                expandCliques: Boolean = true): DataFrame = {
     val b = boundsOf(threshold)
     def nmOf(df: DataFrame) =
       df.select(col(id).as("nid"), col(text).as("nm"))
     def dnOf(nm: DataFrame) =
-      nm.groupBy("nm").agg(min(col("nid")).as("sid"))
+      nm.groupBy("nm").agg(min(col("nid")).as("sid"),
+        count(lit(1)).as("n"))
     val nmL = nmOf(left)
     val nmR = nmOf(right)
     val dnL = dnOf(nmL)
@@ -180,6 +222,17 @@ object JaroWinklerJoin {
     val namePairs = verifyPairs(
       prefixTab(occL, freq, b), prefixTab(occR, freq, b), b,
       ordered = false)
+    if (!expandCliques)
+      // representative form: one row per qualifying distinct-name
+      // pair, carrying each side's clique size — n_a × n_b member
+      // pairs are summarized, never materialized
+      return namePairs
+        .join(dnL.select(col("sid").as("sid_a"), col("n").as("n_a")),
+          Seq("sid_a"))
+        .join(dnR.select(col("sid").as("sid_b"), col("n").as("n_b")),
+          Seq("sid_b"))
+        .select(col("sid_a").as("id_a"), col("sid_b").as("id_b"),
+          round(col("jw"), 6).as("jw"), col("n_a"), col("n_b"))
     def membersOf(nm: DataFrame, dn: DataFrame) =
       nm.join(dn, Seq("nm")).select(col("sid"), col("nid"))
     namePairs

@@ -1287,6 +1287,74 @@ class LlmSpec extends SparkSpec {
     assert(acc >= 0.95, s"train accuracy $acc")
   }
 
+  test("charGramFeatures: grams by hand; short/empty docs absent") {
+    // "abcd" → grams abc, bcd (positions 1..len-2 of the LOWERED
+    // text); "ab" and "" are shorter than n and emit nothing
+    val f = TextAnalysis.charGramFeatures(
+      Seq((1L, "AbCd"), (2L, "ab"), (3L, "")).toDF("doc_id", "text"),
+      "doc_id", "text", n = 3, dim = 1 << 20)
+    val got = f.select($"doc", $"dim", $"cnt")
+      .as[(Long, Long, Long)].collect().toSet
+    def h(s: String) = TextAnalysis.rollLocal(s) % (1 << 20)
+    assert(got === Set((1L, h("abc"), 1L), (1L, h("bcd"), 1L)))
+    // repeated gram counts: "aaaa" → aaa ×2
+    val f2 = TextAnalysis.charGramFeatures(
+      Seq((1L, "aaaa")).toDF("doc_id", "text"), "doc_id", "text", 3, 1 << 20)
+    assert(f2.select($"cnt").as[Long].collect().toSeq == Seq(2L))
+  }
+
+  test("langidServe: argmax margins with alphabetical tie-break") {
+    val feats = Seq((1L, 0L, 2L), (1L, 1L, 1L), (2L, 0L, 1L))
+      .toDF("doc", "dim", "cnt")
+    // doc 1: en margin 2·1+1·3 = 5, fr margin 2·2+1·1 = 5 (tie → en);
+    // doc 2: en 1, fr 2 → fr
+    val w = Seq(("en", 0L, 1L), ("en", 1L, 3L), ("fr", 0L, 2L),
+      ("fr", 1L, 1L)).toDF("lang", "dim", "w")
+    val got = TextAnalysis.langidServe(feats, w)
+      .select($"doc", $"margin", $"lang_pred")
+      .as[(Long, Long, String)].collect().toSet
+    assert(got === Set((1L, 5L, "en"), (2L, 2L, "fr")))
+  }
+
+  test("trained langid: char-3-gram one-vs-rest beats the marker toy (behavior pin)") {
+    // planted multilingual corpus with language-characteristic
+    // function words AND content words whose char 3-grams are
+    // distinctive (sch/über for de, ñ/ción for es, …) — the signal a
+    // char-gram model learns and the marker toy only partially sees
+    val vocab = Map(
+      "en" -> Seq("the", "house", "dog", "quickly", "running", "with",
+        "through", "garden"),
+      "es" -> Seq("el", "perro", "casa", "rápidamente", "través",
+        "jardín", "señor", "canción"),
+      "fr" -> Seq("le", "chien", "maison", "rapidement", "à",
+        "travers", "jardin", "être"),
+      "de" -> Seq("der", "hund", "haus", "schnell", "läuft", "durch",
+        "über", "garten"))
+    val langs = vocab.keys.toSeq.sorted
+    val r = new scala.util.Random(7)
+    val docs = (0 until 160).map { i =>
+      val lang = langs(i % 4)
+      val v = vocab(lang)
+      (i.toLong, (0 until 8).map(_ => v(r.nextInt(v.size))).mkString(" "),
+        lang)
+    }
+    val df = docs.toDF("doc_id", "text", "lang")
+    val w = TextAnalysis.langidTrain(df, "doc_id", "text", "lang",
+      langs, n = 3, dim = 256, iters = 10, lr = 1.0)
+    val feats = TextAnalysis.charGramFeatures(df, "doc_id", "text", 3, 256)
+    val pred = TextAnalysis.langidServe(feats, w)
+      .select($"doc", $"lang_pred").as[(Long, String)].collect().toMap
+    val accTrained = docs.count(d => pred.get(d._1).contains(d._3))
+      .toDouble / docs.size
+    val markerPred = df.select($"doc_id", TextAnalysis.langId($"text"))
+      .as[(Long, String)].collect().toMap
+    val accMarker = docs.count(d => markerPred.get(d._1).contains(d._3))
+      .toDouble / docs.size
+    assert(accTrained >= 0.95, s"trained accuracy $accTrained")
+    assert(accTrained >= accMarker,
+      s"trained $accTrained < marker $accMarker")
+  }
+
   test("text analysis: langid marker hit and quality bounds") {
     val d = Seq((0L, "the cat and the dog of the house"),
       (1L, "el perro de la casa que ladra los dias"),

@@ -391,6 +391,41 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got.exists(_._3 == 1.0)) // the planted identical names
   }
 
+  test("jaroWinklerJoin: pair with jw EXACTLY at threshold survives the band") {
+    // r9 advice (medium): the jaro floor was rounded UP (ceil), making
+    // the length-band/match-floor pruning ~1 ppm stricter than the
+    // provable bound — a pair at jw = t exactly was pruned before the
+    // verify. IEEE-exact witness (searched over the all-matched
+    // prefix-4 family): |a| = 6, |b| = 8, m = 6, t = 0 → jaro =
+    // (1 + 6/8 + 1)/3, jw = jaro + 0.4·(1−jaro) = 0.95 EXACTLY in
+    // doubles. Old ceil'd band at t = 0.95: jmin = 916667, b3 =
+    // 750001, requires 6e6 ≥ 750001·8 = 6000008 → pruned; the floor'd
+    // band (b3 = 749998) keeps it for the exact verify.
+    val a = "abcdef"
+    val b = "abcdefgh"
+    import org.apache.spark.unsafe.types.UTF8String
+    assert(graft.functions.JaroWinkler.compute(
+      UTF8String.fromString(a), UTF8String.fromString(b)) == 0.95)
+    val df = Seq((1L, a), (2L, b)).toDF("id", "nm")
+    val got = graft.operators.JaroWinklerJoin.selfJoin(df, "id", "nm", 0.95)
+      .select($"id_a", $"id_b", $"jw").as[(Long, Long, Double)]
+      .collect().toSet
+    assert(got === Set((1L, 2L, 0.95)))
+  }
+
+  test("jaroWinklerJoin: duplicated empty/null names emit NO jw=1 cliques") {
+    // r9 advice (low): the identical-name clique shortcut emitted
+    // jw = 1 for duplicated empty (and null) names, but the pinned
+    // definition gives 0.0 for empty and NULL for null — those pairs
+    // must not exist. Non-empty duplicates still clique at 1.0.
+    val df = Seq((1L, ""), (2L, ""), (3L, null), (4L, null),
+      (5L, "alpha"), (6L, "alpha")).toDF("id", "nm")
+    val got = graft.operators.JaroWinklerJoin.selfJoin(df, "id", "nm", 0.9)
+      .select($"id_a", $"id_b", $"jw").as[(Long, Long, Double)]
+      .collect().toSet
+    assert(got === Set((5L, 6L, 1.0)))
+  }
+
   // ---- sqrtSample --------------------------------------------------
 
   test("sqrtSample: per-stratum count is exactly min(n, ceil(rate*sqrt(n)))") {

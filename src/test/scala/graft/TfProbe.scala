@@ -29,6 +29,15 @@ object TfProbe {
       println(f"[tf] adversarial round $round: $c pairs in " +
         f"${(System.nanoTime() - t0) / 1e9}%.1f s")
     }
+    // the Jaccard PPJoin arm on the SAME corpus — the comparison bar
+    // for the weighted arm (r9 verdict #3: weighted ≤ ~2× of this)
+    for (round <- 1 to 2) {
+      val t0 = System.nanoTime()
+      val c = graft.llm.Dedup.allPairs(adv, "doc_id", "text", 0.9)
+        .count()
+      println(f"[tf] jaccard arm round $round: $c pairs in " +
+        f"${(System.nanoTime() - t0) / 1e9}%.1f s")
+    }
     spark.stop()
   }
 }
