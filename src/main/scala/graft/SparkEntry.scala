@@ -615,6 +615,22 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    "op_jw_reps" -> ((s, dir) => {
+      // clique-representative form of op_jw_join (r9 verdict #2): part
+      // names are HEAVILY duplicated (64 distinct among 2000 parts at
+      // sf0.01, ~31 copies each), so the expanded join is clique-output
+      // bound — ~31² member pairs per qualifying name pair. Reps mode
+      // emits one (rep, rep, jw, n_a, n_b) row per distinct-NAME pair
+      // plus one self row per duplicated name; the member-expansion
+      // joins never run. Oracle recomputes cliques + DuckDB's native
+      // jaro_winkler over DISTINCT names only.
+      val p = t(s, dir, "part")
+      graft.operators.JaroWinklerJoin.selfJoin(
+          p, "p_partkey", "p_name", threshold = 0.935,
+          expandCliques = false)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     "op_jw_cross" -> ((s, dir) => {
       // cross-corpus entity linking: part names vs a shifted snapshot
       // where odd keys lost their first character (typo variants).
@@ -4751,6 +4767,24 @@ object SparkEntry {
         |  round(jaro_winkler_similarity(a.p_name, b.p_name), 6) AS jw
         |FROM part a JOIN part b ON a.p_partkey < b.p_partkey
         |WHERE jaro_winkler_similarity(a.p_name, b.p_name) >= 0.935
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // clique recompute over DISTINCT names: rep = min key, n = clique
+    // size; cross rows are distinct-name pairs (jw = 1 ⟺ equality, so
+    // none reaches 1.0), self rows one per duplicated non-empty name
+    "op_jw_reps" ->
+      """WITH g AS (SELECT p_name AS nm, min(p_partkey) AS rep,
+        |    count(*)::BIGINT AS n
+        |  FROM part GROUP BY p_name),
+        |cr AS (SELECT a.rep AS id_a, b.rep AS id_b,
+        |    round(jaro_winkler_similarity(a.nm, b.nm), 6) AS jw,
+        |    a.n AS n_a, b.n AS n_b
+        |  FROM g a JOIN g b ON a.rep < b.rep
+        |  WHERE jaro_winkler_similarity(a.nm, b.nm) >= 0.935),
+        |se AS (SELECT rep AS id_a, rep AS id_b, CAST(1.0 AS DOUBLE) AS jw,
+        |    n AS n_a, n AS n_b
+        |  FROM g WHERE n >= 2 AND length(nm) > 0)
+        |SELECT * FROM cr UNION ALL SELECT * FROM se
         |ORDER BY id_a, id_b""".stripMargin,
 
     "op_jw_cross" ->

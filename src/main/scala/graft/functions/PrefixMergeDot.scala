@@ -19,15 +19,22 @@ import org.apache.spark.unsafe.types.UTF8String
   * normalized weight, descending; ties by token ascending) — the same
   * order the prefix was built under, so within each array the sort
   * key is a restriction of one global total order and a linear merge
-  * enumerates shared tokens in exactly that order. `tok` is the
-  * a-side prefix token this candidate row was generated at.
+  * enumerates shared tokens in exactly that order. `rank` is the
+  * 1-based a-side rank of the prefix token this candidate row was
+  * generated at — the candidate survives iff the first shared token
+  * IS that token, checked as "first shared a-side index == rank−1"
+  * (each rank names a unique token, so the ordinal test is the token
+  * test without carrying the string through the join; the join key
+  * itself can then be a 64-bit token hash — collisions cost a wasted
+  * candidate, never a wrong accept, because the ordinal points at the
+  * real token).
   *
   * Returns the exact dot Σ w_a·w_b over shared tokens (a BIGINT — all
-  * weights are positive integers) when the FIRST shared token equals
-  * `tok`, else NULL. Null both deduplicates (each qualifying pair
-  * survives at exactly one candidate row: its globally-first shared
-  * token, which PPJoin guarantees lies in both prefixes) and prunes
-  * disjoint pairs — a `dot IS NOT NULL` filter replaces the former
+  * weights are positive integers) when the candidate survives, else
+  * NULL. Null both deduplicates (each qualifying pair survives at
+  * exactly one candidate row: its globally-first shared token, which
+  * PPJoin guarantees lies in both prefixes) and prunes disjoint
+  * pairs — a `dot IS NOT NULL` filter replaces the former
   * `array_intersect` + `element_at` + interpreted `aggregate` HOF
   * chain, whose per-candidate hash-set build and O(|doc|) map probes
   * per element made weighted verification ~2.5× the Jaccard arm's on
@@ -49,10 +56,10 @@ case class PrefixMergeDot(first: Expression, second: Expression,
           s(1).dataType == StringType && s(2).dataType == LongType
       case _ => false
     }
-    if (ok(first) && ok(second) && third.dataType == StringType)
+    if (ok(first) && ok(second) && third.dataType == IntegerType)
       TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"$prettyName needs (${elemStruct.sql} array, same, string), got " +
+      s"$prettyName needs (${elemStruct.sql} array, same, int), got " +
         s"${first.dataType.sql}, ${second.dataType.sql}, ${third.dataType.sql}")
   }
 
@@ -65,7 +72,7 @@ case class PrefixMergeDot(first: Expression, second: Expression,
     * codegen reference to this expression instance (whole-stage codegen
     * keeps the surrounding operators fused; the loop itself JITs as
     * regular bytecode). Returns null for "drop this candidate". */
-  def merge(a: ArrayData, b: ArrayData, tok: UTF8String): java.lang.Long = {
+  def merge(a: ArrayData, b: ArrayData, rank: Int): java.lang.Long = {
     val na = a.numElements()
     val nb = b.numElements()
     var i = 0
@@ -86,7 +93,9 @@ case class PrefixMergeDot(first: Expression, second: Expression,
         else ra.getUTF8String(1).compareTo(rb.getUTF8String(1))
       if (cmp == 0) {
         if (!seenFirst) {
-          if (!ra.getUTF8String(1).equals(tok)) return null
+          // first shared token must be the candidate's prefix token:
+          // its a-side index is rank−1 exactly when it is
+          if (i != rank - 1) return null
           seenFirst = true
         }
         dot += ra.getLong(2) * rb.getLong(2)
@@ -100,7 +109,7 @@ case class PrefixMergeDot(first: Expression, second: Expression,
 
   override def nullSafeEval(a: Any, b: Any, t: Any): Any =
     merge(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
-      t.asInstanceOf[UTF8String])
+      t.asInstanceOf[java.lang.Integer].intValue())
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b, t) => {

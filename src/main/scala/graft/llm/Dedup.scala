@@ -1882,12 +1882,19 @@ object Dedup {
         .agg(min(col("doc")).as("doc"), first(col("n2")).as("n2"),
           first(col("farr")).as("farr"), first(col("rbn")).as("rbn"),
           first(col("plen")).as("plen"), count(lit(1)).as("n"))
+    // join key = 64-bit token hash, not the token string: the SMJ then
+    // sorts/compares longs and the candidate rows carry no strings at
+    // all. A hash collision only wastes a candidate — the merge's
+    // ordinal first-shared check points at the REAL token, so a
+    // collision row can never be accepted for the wrong pair.
     val prefix = docTab.select(col("doc"), col("n2"),
         col("rbn"), col("earr"), col("n"),
         posexplode(expr("slice(farr, 1, plen)")).as(Seq("pos0", "tok")))
-      .withColumn("rnk", col("pos0") + 1).drop("pos0")
+      .withColumn("rnk", col("pos0") + 1)
+      .withColumn("hk", xxhash64(col("tok")))
+      .drop("pos0", "tok")
     val cross = prefix.alias("pa").join(prefix.alias("pb"),
-        col("pa.tok") === col("pb.tok") && col("pa.doc") < col("pb.doc"))
+        col("pa.hk") === col("pb.hk") && col("pa.doc") < col("pb.doc"))
       // positional filter (Cauchy-Schwarz): at a shared token with
       // ranks (i, j), every shared token sits at rank ≥ i in a and
       // ≥ j in b, so dot ≤ ‖â suffix(i)‖·‖b̂ suffix(j)‖. Valid as a
@@ -1899,12 +1906,13 @@ object Dedup {
         element_at(col("pb.rbn"), col("pb.rnk")) >= tSlack)
       // fused first-shared dedup + exact integer dot: one codegen'd
       // two-pointer merge over the rank-sorted arrays (null = this
-      // candidate row is not the pair's globally-first shared token).
-      // Replaces array_intersect + element_at + an interpreted
-      // aggregate() whose per-element map probes were the weighted
-      // arm's residual 2.5× vs the Jaccard arm (r9 verdict #3).
+      // candidate row is not the pair's globally-first shared token,
+      // checked by a-side ordinal). Replaces array_intersect +
+      // element_at + an interpreted aggregate() whose per-element map
+      // probes were the weighted arm's residual 2.5× vs the Jaccard
+      // arm (r9 verdict #3).
       .withColumn("dot", graft.functions.PrefixMergeDot(
-        col("pa.earr"), col("pb.earr"), col("pa.tok")))
+        col("pa.earr"), col("pb.earr"), col("pa.rnk")))
       .filter(col("dot").isNotNull)
       .withColumn("cos", col("dot").cast(DoubleType) /
         sqrt(col("pa.n2").cast(DoubleType) * col("pb.n2").cast(DoubleType)))
@@ -2421,20 +2429,23 @@ object Dedup {
           .agg(min(col("doc")).as("doc"), first(col("n2")).as("n2"),
             first(col("farr")).as("farr"), first(col("rbn")).as("rbn"),
             first(col("plen")).as("plen"), count(lit(1)).as("n"))
+      // hashed join key + ordinal dedup — see [[tfidfPairs]]
       docTab
         .select(col("doc"), col("n2"), col("rbn"),
           col("earr"), col("n"),
           posexplode(expr("slice(farr, 1, plen)")).as(Seq("pos0", "tok")))
-        .withColumn("rnk", col("pos0") + 1).drop("pos0")
+        .withColumn("rnk", col("pos0") + 1)
+        .withColumn("hk", xxhash64(col("tok")))
+        .drop("pos0", "tok")
     }
     val cross = prefixOf(whL).alias("pa").join(prefixOf(whR).alias("pb"),
-        col("pa.tok") === col("pb.tok"))
+        col("pa.hk") === col("pb.hk"))
       // Cauchy-Schwarz positional filter — see [[tfidfPairs]]
       .filter(element_at(col("pa.rbn"), col("pa.rnk")) *
         element_at(col("pb.rbn"), col("pb.rnk")) >= tSlack)
       // fused first-shared dedup + exact integer dot — see [[tfidfPairs]]
       .withColumn("dot", graft.functions.PrefixMergeDot(
-        col("pa.earr"), col("pb.earr"), col("pa.tok")))
+        col("pa.earr"), col("pb.earr"), col("pa.rnk")))
       .filter(col("dot").isNotNull)
       .withColumn("cos", col("dot").cast(DoubleType) /
         sqrt(col("pa.n2").cast(DoubleType) * col("pb.n2").cast(DoubleType)))

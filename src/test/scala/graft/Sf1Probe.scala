@@ -42,7 +42,13 @@ object Sf1Probe {
     "dd_tfidf_pairs", "dd_substring_spans", "op_jw_join",
     "dd_tfidf_join", "dd_containment", "op_triangles", "ta_classify",
     "dd_substring_coverage", "dd_source_overlap", "op_jw_cross",
-    "dd_containment_join")
+    "dd_containment_join",
+    // round-10 rows: the clique-representative forms — on the 10×
+    // duplicated corpus their expanded siblings' output grows ~100×
+    // (clique k → 10k ⇒ k² → 100k² pairs) while these stay in
+    // distinct-signature space; the probe pins the collapse to ~1×
+    "dd_containment_reps", "op_jw_reps", "q20_promo_parts",
+    "ta_langid_trained")
 
   def main(args: Array[String]): Unit = {
     val src = "/root/testdata/sf0.1"

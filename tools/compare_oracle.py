@@ -33,10 +33,17 @@ def main():
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     with open(f"{out_dir}/oracle_sql.json") as f:
         oracles = json.load(f)
+    # --only-present: compare only names Verify actually wrote (for
+    # SPARK_GRAFT_ONLY-filtered iteration runs); a missing output is
+    # then "skipped", not a failure. Full-gate runs keep the strict
+    # behavior: every oracle must have a Spark result.
+    only_present = "--only-present" in sys.argv
     n_pass = n_fail = 0
     for name in sorted(oracles):
         files = glob.glob(f"{out_dir}/{name}/*.parquet")
         if not files:
+            if only_present:
+                continue
             print(f"FAIL {name}: no spark output")
             n_fail += 1
             continue
