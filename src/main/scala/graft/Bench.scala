@@ -54,7 +54,10 @@ object Bench {
       locally {
         import org.apache.logging.log4j.{Level, LogManager}
         import org.apache.logging.log4j.core.config.Configurator
-        val rddLogger = "org.apache.spark.rdd.RDD"
+        // the warning is emitted by the CONCRETE RDD subclass's logger
+        // (e.g. org.apache.spark.rdd.MapPartitionsRDD), so the package
+        // logger is the one that covers them all
+        val rddLogger = "org.apache.spark.rdd"
         val prev = LogManager.getLogger(rddLogger).getLevel
         Configurator.setLevel(rddLogger, Level.ERROR)
         try spark.sparkContext.getPersistentRDDs.values

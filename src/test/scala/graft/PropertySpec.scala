@@ -365,4 +365,50 @@ class PropertySpec extends SparkSpec {
     assert(plan.contains("partial_graft_bottom_k"),
       "map-side partial aggregation must run before the exchange")
   }
+
+  test("tfidfPairs prefix arm equals brute force on random clique-heavy " +
+      "corpora (merge-kernel property)") {
+    // Random corpora from a TINY vocab: heavy rank ties, duplicate
+    // documents (clique collapse paths), empty docs, and single-token
+    // docs — the edge structure the PrefixMergeDot ordinal dedup and
+    // hashed join keys must survive. Brute force is the definitional
+    // tok-equijoin + groupBy dot; the prefix arm is forced
+    // (denseVocabMax = 0) so the merge kernel is what's under test.
+    val vocab = Vector("aa", "b", "ccc", "dd", "e", "fff", "g", "hh")
+    for (seed <- 1 to 3; t <- Seq(0.55, 0.9)) {
+      val rnd = new scala.util.Random(seed * 7919 + (t * 100).toInt)
+      val docs = (0 until 50).map { i =>
+        val len = rnd.nextInt(7) // 0..6 tokens, empties included
+        (i.toLong,
+          (0 until len).map(_ => vocab(rnd.nextInt(vocab.size)))
+            .mkString(" "))
+      } ++ Seq(50L -> "aa b ccc", 51L -> "aa b ccc", 52L -> "aa b ccc")
+      val df = docs.toDF("doc_id", "text")
+      val n = df.count()
+      val toks = df.select($"doc_id".as("doc"),
+        explode(TextAnalysis.tokens(lower($"text"))).as("tok"))
+      val tf = toks.groupBy("doc", "tok").agg(count(lit(1)).as("tf"))
+      val dfc = tf.groupBy("tok").agg(count(lit(1)).as("dfd"))
+      val w = tf.join(dfc, Seq("tok")).select($"doc", $"tok",
+        ($"tf" * (lit(1L) +
+          floor(log2(expr(s"CAST($n AS BIGINT) div dfd"))).cast("long")))
+          .as("w"))
+      val n2 = w.groupBy("doc").agg(sum($"w" * $"w").as("n2"))
+      val brute = w.alias("a").join(w.alias("b"),
+          col("a.tok") === col("b.tok") && col("a.doc") < col("b.doc"))
+        .groupBy(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
+        .agg(sum(col("a.w") * col("b.w")).as("dot"))
+        .join(n2.select($"doc".as("doc_a"), $"n2".as("n2_a")), Seq("doc_a"))
+        .join(n2.select($"doc".as("doc_b"), $"n2".as("n2_b")), Seq("doc_b"))
+        .filter($"dot".cast("double") >=
+          lit(t) * sqrt($"n2_a".cast("double") * $"n2_b".cast("double")))
+        .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+      val got = graft.llm.Dedup.tfidfPairs(df, "doc_id", "text", t,
+          denseVocabMax = 0L)
+        .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+      assert(got == brute, s"seed=$seed t=$t " +
+        s"missing=${brute -- got} extra=${got -- brute}")
+      assert(got.nonEmpty, s"seed=$seed t=$t produced no pairs")
+    }
+  }
 }
