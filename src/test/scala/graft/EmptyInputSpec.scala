@@ -96,7 +96,23 @@ class EmptyInputSpec extends SparkSpec {
         0.8, denseVocabMax = gate).count() === 0)
       assert(graft.llm.Dedup.allPairsJoin(one, noDocs, "doc_id", "text",
         0.8, denseVocabMax = gate).count() === 0)
+      // reps mode on the same degenerate inputs: no cliques, no self
+      // rows, never a throw (the collapse groupBy over an empty /
+      // token-less corpus must behave like the expanded form)
+      assert(graft.llm.Dedup.allPairs(noDocs, "doc_id", "text", 0.8,
+        denseVocabMax = gate, expandCliques = false).count() === 0)
+      assert(graft.llm.Dedup.allPairs(blank, "doc_id", "text", 0.8,
+        denseVocabMax = gate, expandCliques = false).count() === 0)
+      assert(graft.llm.Dedup.containmentJoin(noDocs, "doc_id", "text",
+        0.8, denseVocabMax = gate, expandCliques = false).count() === 0)
+      assert(graft.llm.Dedup.tfidfPairs(blank, "doc_id", "text", 0.8,
+        denseVocabMax = gate, expandCliques = false).count() === 0)
     }
+    // jw reps on empty/whitespace-only names: no cliques (jw('','')
+    // is 0 by the pinned definition), no throw
+    val blankNm = Seq((1L, ""), (2L, "")).toDF("id", "nm")
+    assert(graft.operators.JaroWinklerJoin.selfJoin(blankNm, "id", "nm",
+      0.9, expandCliques = false).count() === 0)
   }
 
   test("semanticDedup keeps a singleton and tolerates duplicate-only cells") {
