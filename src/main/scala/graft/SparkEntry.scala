@@ -1683,6 +1683,22 @@ object SparkEntry {
           TextAnalysis.langId(col("text")).as("lang_pred"))
         .orderBy(col("doc_id"))),
 
+    "ta_dsir" -> ((s, dir) => {
+      // DSIR importance weights (Xie et al. 2023): every document
+      // scored by the hashed unigram+bigram log-ratio of a TARGET
+      // model (the en subset) vs the RAW model (whole corpus), add-one
+      // smoothed over 4096 buckets. keep thresholds at −0.45, inside a
+      // measured empty band of the sf0.01 logw distribution (nearest
+      // values −0.665146 / −0.231179 — width 0.43, six orders above
+      // the 1e-6 rounding grain). Composition: the kept set is what a
+      // target-domain resample would feed the mixer.
+      val d = t(s, dir, "documents")
+      TextAnalysis.dsirWeights(d, d.filter(col("lang") === "en"),
+          "doc_id", "text", dim = 4096)
+        .withColumn("keep", col("logw") >= -0.45)
+        .orderBy(col("doc"))
+    }),
+
     "ta_langid_trained" -> ((s, dir) => {
       // trained-langid SERVING path (r9 verdict #7): char-3-gram hashed
       // features × a per-class fixed integer weight table → exact
@@ -3217,6 +3233,37 @@ object SparkEntry {
         |       WHEN s_de = mx THEN 'de' WHEN s_en = mx THEN 'en'
         |       ELSE 'und' END AS lang_pred
         |FROM m ORDER BY doc_id""".stripMargin,
+
+    // hashed unigram+bigram features, target (en) vs raw bucket
+    // models, add-one smoothed log-ratio — the exact DSIR recompute
+    "ta_dsir" ->
+      s"""WITH t0 AS (SELECT doc_id, ${toksSql("text")} AS ws FROM documents),
+        |tn AS (SELECT doc_id, ws FROM t0 WHERE len(ws) > 0),
+        |uni AS (SELECT doc_id, unnest(ws) AS g FROM tn),
+        |big AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] AS g
+        |  FROM tn, LATERAL (SELECT unnest(generate_series(1,
+        |    len(ws) - 1)) AS i) p
+        |  WHERE len(ws) >= 2),
+        |ag AS (SELECT doc_id, g FROM uni UNION ALL
+        |  SELECT doc_id, g FROM big),
+        |tfd AS (SELECT doc_id, ${rollSql("g")} % 4096 AS b,
+        |    count(*)::BIGINT AS tf
+        |  FROM ag GROUP BY 1, 2),
+        |cr AS (SELECT b, sum(tf)::BIGINT AS cr FROM tfd GROUP BY b),
+        |ct AS (SELECT b, sum(tf)::BIGINT AS ct
+        |  FROM tfd JOIN documents d USING (doc_id)
+        |  WHERE d.lang = 'en' GROUP BY b),
+        |tot AS (SELECT (SELECT sum(cr) FROM cr) AS tr,
+        |  (SELECT coalesce(sum(ct), 0) FROM ct) AS tt),
+        |sc AS (SELECT tfd.doc_id AS doc, sum(tf)::BIGINT AS n_feats,
+        |    round(sum(tf::DOUBLE *
+        |      (ln((coalesce(ct, 0)::DOUBLE + 1.0) / ((tt + 4096)::DOUBLE))
+        |        - ln((cr::DOUBLE + 1.0) / ((tr + 4096)::DOUBLE)))), 6)
+        |      AS logw
+        |  FROM tfd LEFT JOIN ct USING (b) JOIN cr USING (b), tot
+        |  GROUP BY doc, tt, tr)
+        |SELECT doc, n_feats, logw, logw >= -0.45 AS keep
+        |FROM sc ORDER BY doc""".stripMargin,
 
     "ta_langid_trained" ->
       s"""WITH w0 AS (

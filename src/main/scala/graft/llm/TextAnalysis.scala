@@ -963,4 +963,69 @@ object TextAnalysis {
     }
     rows.toDF("lang", "dim", "w")
   }
+
+  // -------------------------------------------------------------------
+  // DSIR-style importance weights — data selection by domain log-ratio
+  // -------------------------------------------------------------------
+
+  /** Importance weights for Data Selection via Importance Resampling
+    * (Xie et al. 2023): score every RAW document by how much more
+    * likely a TARGET-domain hashed n-gram model finds it than the raw
+    * model does,
+    *   logw(d) = Σ_b tf_d(b) · [ln((c_t(b)+1)/(T_t+D)) −
+    *                            ln((c_r(b)+1)/(T_r+D))]
+    * over D hash buckets of the doc's unigrams AND adjacent word
+    * bigrams (the paper's featurization), add-one smoothed. Positive
+    * logw = target-like; selection composes downstream (threshold, or
+    * [[budgetSelect]]-style top-k over logw).
+    *
+    * Shape at scale: featurization is one explode (≈ 2·tokens per doc)
+    * → groupBy(doc, bucket) with map-side combine; BOTH models are
+    * D-bounded aggregates broadcast back to the scoring join; only the
+    * two totals T_t, T_r reach the driver. The raw featurization feeds
+    * the raw model AND the scoring join inside one plan — Catalyst
+    * reuses the exchange rather than re-scanning. Docs with no tokens
+    * emit no row. Output: (doc, n_feats, logw rounded to 6 — the
+    * engine-portable [[unigramScore]] convention). */
+  def dsirWeights(raw: org.apache.spark.sql.DataFrame,
+                  target: org.apache.spark.sql.DataFrame,
+                  id: String, text: String,
+                  dim: Int = 4096): org.apache.spark.sql.DataFrame = {
+    require(dim > 0, s"dim must be positive: $dim")
+    def feats(df: org.apache.spark.sql.DataFrame)
+        : org.apache.spark.sql.DataFrame = {
+      val t0 = df.select(col(id).as("doc"), tokens(col(text)).as("__ws"))
+        .filter(size(col("__ws")) > 0)
+      val uni = t0.select(col("doc"), explode(col("__ws")).as("g"))
+      val big = t0.filter(size(col("__ws")) >= 2)
+        .select(col("doc"),
+          explode(sequence(lit(1), size(col("__ws")) - 1)).as("i"),
+          col("__ws"))
+        .select(col("doc"),
+          concat(element_at(col("__ws"), col("i")), lit(" "),
+            element_at(col("__ws"), col("i") + 1)).as("g"))
+      uni.unionByName(big)
+        .select(col("doc"), pmod(tokenHash(col("g")), lit(dim)).as("b"))
+        .groupBy("doc", "b").agg(count(lit(1)).as("tf"))
+    }
+    val rawTf = feats(raw)
+    val ct = feats(target).groupBy("b").agg(sum(col("tf")).as("ct"))
+    val cr = rawTf.groupBy("b").agg(sum(col("tf")).as("cr"))
+    // the two model totals are the only driver-side scalars (empty
+    // corpora coalesce to 0 — smoothing keeps every log finite)
+    val tT = ct.agg(coalesce(sum(col("ct")), lit(0L))).head().getLong(0)
+    val tR = cr.agg(coalesce(sum(col("cr")), lit(0L))).head().getLong(0)
+    val denT = lit((tT + dim).toDouble)
+    val denR = lit((tR + dim).toDouble)
+    rawTf
+      .join(broadcast(ct), Seq("b"), "left")
+      .join(broadcast(cr), Seq("b")) // raw model covers every raw bucket
+      .groupBy(col("doc"))
+      .agg(sum(col("tf")).as("n_feats"),
+        round(sum(col("tf").cast(DoubleType) *
+          (log((coalesce(col("ct"), lit(0L)).cast(DoubleType) + lit(1.0))
+              / denT) -
+            log((col("cr").cast(DoubleType) + lit(1.0)) / denR))), 6)
+          .as("logw"))
+  }
 }

@@ -1316,6 +1316,47 @@ class LlmSpec extends SparkSpec {
     assert(got === Set((1L, 5L, "en"), (2L, 2L, "fr")))
   }
 
+  test("dsirWeights: driver-side replica parity, edge docs, domain ordering") {
+    val dim = 1 << 16 // collision-free at this corpus size
+    val tgtTexts = Seq("alpha beta gamma", "alpha beta", "beta gamma delta")
+    val rawDocs = Map(0L -> "alpha beta gamma", 1L -> "beta gamma",
+      2L -> "omega psi chi", 3L -> "psi chi omega omega",
+      5L -> "solo")
+    val raw = (rawDocs.toSeq :+ (4L -> "")).toDF("doc_id", "text")
+    val target = tgtTexts.zipWithIndex.map { case (t, i) => (100L + i, t) }
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.dsirWeights(raw, target, "doc_id", "text", dim)
+      .select($"doc", $"n_feats", $"logw").as[(Long, Long, Double)]
+      .collect().map(r => r._1 -> (r._2, r._3)).toMap
+    // empty doc emits no row; a 1-token doc has exactly 1 feature
+    assert(!got.contains(4L))
+    assert(got(5L)._1 == 1L)
+    // replica from first principles: unigrams + adjacent bigrams,
+    // rolling-hash buckets, add-one smoothed log-ratio
+    def feats(s: String): Seq[String] = {
+      val w = s.split("\\s+").filter(_.nonEmpty).toSeq
+      w ++ w.sliding(2).filter(_.size == 2).map(_.mkString(" "))
+    }
+    def b(g: String): Long = TextAnalysis.rollLocal(g) % dim
+    val ctM = tgtTexts.flatMap(feats).groupBy(b)
+      .view.mapValues(_.size.toLong).toMap
+    val crM = rawDocs.values.toSeq.flatMap(feats).groupBy(b)
+      .view.mapValues(_.size.toLong).toMap
+    val (tT, tR) = (ctM.values.sum, crM.values.sum)
+    rawDocs.foreach { case (id, txt) =>
+      val fs = feats(txt)
+      assert(got(id)._1 == fs.size, s"n_feats at $id")
+      val exp = fs.groupBy(b).map { case (bk, gs) =>
+        gs.size * (math.log((ctM.getOrElse(bk, 0L) + 1.0) / (tT + dim)) -
+          math.log((crM(bk) + 1.0) / (tR + dim)))
+      }.sum
+      assert(math.abs(got(id)._2 - exp) < 1e-6, s"logw at $id")
+    }
+    // target-domain ordering: target-vocab docs outscore off-domain
+    for (t <- Seq(0L, 1L); o <- Seq(2L, 3L))
+      assert(got(t)._2 > got(o)._2, s"logw($t) !> logw($o)")
+  }
+
   test("trained langid: char-3-gram one-vs-rest beats the marker toy (behavior pin)") {
     // planted multilingual corpus with language-characteristic
     // function words AND content words whose char 3-grams are

@@ -48,7 +48,7 @@ object Sf1Probe {
     // (clique k → 10k ⇒ k² → 100k² pairs) while these stay in
     // distinct-signature space; the probe pins the collapse to ~1×
     "dd_containment_reps", "op_jw_reps", "q20_promo_parts",
-    "ta_langid_trained")
+    "ta_langid_trained", "ta_dsir")
 
   def main(args: Array[String]): Unit = {
     val src = "/root/testdata/sf0.1"
