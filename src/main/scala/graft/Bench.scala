@@ -53,16 +53,33 @@ object Bench {
       // execution, and everywhere in library code, stay visible.
       locally {
         import org.apache.logging.log4j.{Level, LogManager}
+        import org.apache.logging.log4j.core.LoggerContext
         import org.apache.logging.log4j.core.config.Configurator
         // the warning is emitted by the CONCRETE RDD subclass's logger
         // (e.g. org.apache.spark.rdd.MapPartitionsRDD), so the package
-        // logger is the one that covers them all
+        // logger is the one that covers them all. Restore must keep
+        // INHERITANCE intact: writing back the effective level would
+        // pin an explicit config on the package and detach it from
+        // future root-level changes — so when no explicit config
+        // existed, the temporary one is REMOVED, not overwritten.
         val rddLogger = "org.apache.spark.rdd"
-        val prev = LogManager.getLogger(rddLogger).getLevel
+        val ctx = LogManager.getContext(false).asInstanceOf[LoggerContext]
+        val hadExplicit =
+          ctx.getConfiguration.getLoggers.containsKey(rddLogger)
+        val prev =
+          if (hadExplicit)
+            ctx.getConfiguration.getLoggerConfig(rddLogger).getLevel
+          else null
         Configurator.setLevel(rddLogger, Level.ERROR)
         try spark.sparkContext.getPersistentRDDs.values
           .foreach(_.unpersist(blocking = false))
-        finally Configurator.setLevel(rddLogger, prev)
+        finally {
+          if (hadExplicit) Configurator.setLevel(rddLogger, prev)
+          else {
+            ctx.getConfiguration.removeLogger(rddLogger)
+            ctx.updateLoggers()
+          }
+        }
       }
       System.gc()
       dt

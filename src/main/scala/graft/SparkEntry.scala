@@ -4209,7 +4209,7 @@ object SparkEntry {
         |  WHERE inter * 1000000 >= 950000 * sa.sz),
         |se AS (SELECT rep AS id_a, rep AS id_b, sz AS inter, sz AS sz_a,
         |    sz::DOUBLE / sz AS containment, n AS n_a, n AS n_b
-        |  FROM szs WHERE n >= 2)
+        |  FROM szs WHERE n >= 2 AND sz > 0)
         |SELECT * FROM cr UNION ALL SELECT * FROM se
         |ORDER BY id_a, id_b""".stripMargin,
 

@@ -2,32 +2,36 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, GraftColumnBridge}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, TernaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, QuaternaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
-import org.apache.spark.unsafe.types.UTF8String
 
 /** Verification kernel of the weighted (tf-idf) prefix-filter arm:
   * one two-pointer merge over two rank-sorted weighted-token arrays
   * that fuses the PPJoin first-shared-token dedup and the exact
   * integer dot product into a single codegen'd pass.
   *
-  * Inputs `left`/`right` are each the candidate doc's tokens as
+  * Inputs `first`/`second` are each the candidate doc's tokens as
   * `array<struct<m: double, t: string, w: bigint>>`, sorted by the
   * SHARED global rank order (m = the token's corpus-wide max
   * normalized weight, descending; ties by token ascending) — the same
   * order the prefix was built under, so within each array the sort
   * key is a restriction of one global total order and a linear merge
-  * enumerates shared tokens in exactly that order. `rank` is the
-  * 1-based a-side rank of the prefix token this candidate row was
-  * generated at — the candidate survives iff the first shared token
-  * IS that token, checked as "first shared a-side index == rank−1"
-  * (each rank names a unique token, so the ordinal test is the token
-  * test without carrying the string through the join; the join key
-  * itself can then be a 64-bit token hash — collisions cost a wasted
-  * candidate, never a wrong accept, because the ordinal points at the
-  * real token).
+  * enumerates shared tokens in exactly that order. `third`/`fourth`
+  * are the 1-based a-side and b-side ranks of the prefix tokens this
+  * candidate row was generated at: the candidate survives iff the
+  * first shared token is that token ON BOTH SIDES, checked as "first
+  * shared a-index == rankA−1 AND b-index == rankB−1". Each rank names
+  * a unique token per doc, so the ordinal pair test is the token test
+  * without carrying strings through the join — which lets the join
+  * key be a 64-bit token hash. BOTH ordinals are required: a hash
+  * collision produces a candidate row whose a-side token is genuine
+  * but whose b-side token differs, and with an a-side-only check such
+  * a row would DUPLICATE the genuine row's accept (the b-ordinal
+  * points at the collision token and rejects it; the merge itself
+  * never reads the hashes, so a collision can only waste a candidate,
+  * never mis-accept or double-emit).
   *
   * Returns the exact dot Σ w_a·w_b over shared tokens (a BIGINT — all
   * weights are positive integers) when the candidate survives, else
@@ -42,8 +46,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * comparisons with zero allocation.
   */
 case class PrefixMergeDot(first: Expression, second: Expression,
-                          third: Expression)
-    extends TernaryExpression {
+                          third: Expression, fourth: Expression)
+    extends QuaternaryExpression {
 
   private val elemStruct = StructType(Seq(
     StructField("m", DoubleType), StructField("t", StringType),
@@ -56,11 +60,13 @@ case class PrefixMergeDot(first: Expression, second: Expression,
           s(1).dataType == StringType && s(2).dataType == LongType
       case _ => false
     }
-    if (ok(first) && ok(second) && third.dataType == IntegerType)
+    if (ok(first) && ok(second) && third.dataType == IntegerType &&
+        fourth.dataType == IntegerType)
       TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"$prettyName needs (${elemStruct.sql} array, same, int), got " +
-        s"${first.dataType.sql}, ${second.dataType.sql}, ${third.dataType.sql}")
+      s"$prettyName needs (${elemStruct.sql} array, same, int, int), got " +
+        s"${first.dataType.sql}, ${second.dataType.sql}, " +
+        s"${third.dataType.sql}, ${fourth.dataType.sql}")
   }
 
   override def dataType: DataType = LongType
@@ -72,7 +78,8 @@ case class PrefixMergeDot(first: Expression, second: Expression,
     * codegen reference to this expression instance (whole-stage codegen
     * keeps the surrounding operators fused; the loop itself JITs as
     * regular bytecode). Returns null for "drop this candidate". */
-  def merge(a: ArrayData, b: ArrayData, rank: Int): java.lang.Long = {
+  def merge(a: ArrayData, b: ArrayData, rankA: Int,
+            rankB: Int): java.lang.Long = {
     val na = a.numElements()
     val nb = b.numElements()
     var i = 0
@@ -93,9 +100,9 @@ case class PrefixMergeDot(first: Expression, second: Expression,
         else ra.getUTF8String(1).compareTo(rb.getUTF8String(1))
       if (cmp == 0) {
         if (!seenFirst) {
-          // first shared token must be the candidate's prefix token:
-          // its a-side index is rank−1 exactly when it is
-          if (i != rank - 1) return null
+          // the first shared token must be THIS candidate's prefix
+          // token on BOTH sides — see the scaladoc's collision note
+          if (i != rankA - 1 || j != rankB - 1) return null
           seenFirst = true
         }
         dot += ra.getLong(2) * rb.getLong(2)
@@ -107,17 +114,18 @@ case class PrefixMergeDot(first: Expression, second: Expression,
     if (seenFirst) java.lang.Long.valueOf(dot) else null
   }
 
-  override def nullSafeEval(a: Any, b: Any, t: Any): Any =
+  override def nullSafeEval(a: Any, b: Any, ra: Any, rb: Any): Any =
     merge(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
-      t.asInstanceOf[java.lang.Integer].intValue())
+      ra.asInstanceOf[java.lang.Integer].intValue(),
+      rb.asInstanceOf[java.lang.Integer].intValue())
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (a, b, t) => {
+    nullSafeCodeGen(ctx, ev, (a, b, ra, rb) => {
       val ref = ctx.addReferenceObj("pmdExpr", this,
         classOf[PrefixMergeDot].getName)
       val boxed = ctx.freshName("pmd")
       s"""
-         |java.lang.Long $boxed = $ref.merge($a, $b, $t);
+         |java.lang.Long $boxed = $ref.merge($a, $b, $ra, $rb);
          |if ($boxed == null) {
          |  ${ev.isNull} = true;
          |} else {
@@ -128,14 +136,17 @@ case class PrefixMergeDot(first: Expression, second: Expression,
 
   override protected def withNewChildrenInternal(
       newFirst: Expression, newSecond: Expression,
-      newThird: Expression): PrefixMergeDot =
-    copy(first = newFirst, second = newSecond, third = newThird)
+      newThird: Expression, newFourth: Expression): PrefixMergeDot =
+    copy(first = newFirst, second = newSecond, third = newThird,
+      fourth = newFourth)
 }
 
 object PrefixMergeDot {
   /** Column-level entry point. */
-  def apply(a: Column, b: Column, tok: Column): Column =
+  def apply(a: Column, b: Column, rankA: Column,
+            rankB: Column): Column =
     GraftColumnBridge.column(PrefixMergeDot(
       GraftColumnBridge.expression(a), GraftColumnBridge.expression(b),
-      GraftColumnBridge.expression(tok)))
+      GraftColumnBridge.expression(rankA),
+      GraftColumnBridge.expression(rankB)))
 }

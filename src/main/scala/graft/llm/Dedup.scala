@@ -1907,12 +1907,13 @@ object Dedup {
       // fused first-shared dedup + exact integer dot: one codegen'd
       // two-pointer merge over the rank-sorted arrays (null = this
       // candidate row is not the pair's globally-first shared token,
-      // checked by a-side ordinal). Replaces array_intersect +
-      // element_at + an interpreted aggregate() whose per-element map
-      // probes were the weighted arm's residual 2.5× vs the Jaccard
-      // arm (r9 verdict #3).
+      // checked by BOTH sides' ordinals — the b-ordinal is what makes
+      // a 64-bit hash collision reject instead of double-emitting).
+      // Replaces array_intersect + element_at + an interpreted
+      // aggregate() whose per-element map probes were the weighted
+      // arm's residual 2.5× vs the Jaccard arm (r9 verdict #3).
       .withColumn("dot", graft.functions.PrefixMergeDot(
-        col("pa.earr"), col("pb.earr"), col("pa.rnk")))
+        col("pa.earr"), col("pb.earr"), col("pa.rnk"), col("pb.rnk")))
       .filter(col("dot").isNotNull)
       .withColumn("cos", col("dot").cast(DoubleType) /
         sqrt(col("pa.n2").cast(DoubleType) * col("pb.n2").cast(DoubleType)))
@@ -2073,26 +2074,14 @@ object Dedup {
           return containmentDense(docWords, nWords, tN, expandCliques)
       case _ => ()
     }
-    import org.apache.spark.sql.expressions.Window
-    val ranked = toks.join(freqC, Seq("tok"))
-      .withColumn("rnk", row_number().over(
-        Window.partitionBy(col("doc")).orderBy(col("gf"), col("tok"))))
-    val docTab0 = ranked.groupBy("doc").agg(
-        transform(array_sort(collect_list(struct(col("rnk"), col("tok")))),
-          x => x.getField("tok")).as("farr"))
-      .withColumn("sz", size(col("farr")).cast(LongType))
     // expandCliques=false: the 100 TB product shape — collapse docs
     // with IDENTICAL token sets to (representative = min id, clique
     // size n) BEFORE the quadratic join, emit one row per qualifying
     // set pair plus one self row per n ≥ 2 clique. 10 copies of a
     // boilerplate doc stop costing 100 output pairs; the prefix join
-    // itself also shrinks to distinct-set space.
-    val docTab =
-      if (expandCliques)
-        docTab0.withColumn("n", lit(1L))
-      else
-        docTab0.groupBy(col("farr")).agg(min(col("doc")).as("doc"),
-            first(col("sz")).as("sz"), count(lit(1)).as("n"))
+    // itself also shrinks to distinct-set space. ONE copy of the
+    // rank/collapse semantics — [[docArrTab]], shared with allPairs.
+    val docTab = docArrTab(toks, freqC, collapse = !expandCliques)
     // a-side: prefix keys only (⌈t·sz⌉ exact in integers); b-side:
     // every token — the inverted index
     val prefA = docTab
@@ -2229,21 +2218,12 @@ object Dedup {
       case _ => ()
     }
     import org.apache.spark.sql.expressions.Window
-    def docTabOf(toks: DataFrame) = {
-      val ranked = toks.join(freqC, Seq("tok"))
-        .withColumn("rnk", row_number().over(
-          Window.partitionBy(col("doc")).orderBy(col("gf"), col("tok"))))
-      val base = ranked.groupBy("doc").agg(
-          transform(array_sort(collect_list(struct(col("rnk"), col("tok")))),
-            x => x.getField("tok")).as("farr"))
-        .withColumn("sz", size(col("farr")).cast(LongType))
-      // expandCliques=false: per-side identical-set collapse (reps +
-      // clique sizes); identical cross-side sets meet as a regular
-      // containment-1 candidate, so no intra rows
-      if (expandCliques) base.withColumn("n", lit(1L))
-      else base.groupBy(col("farr")).agg(min(col("doc")).as("doc"),
-        first(col("sz")).as("sz"), count(lit(1)).as("n"))
-    }
+    // per-side identical-set collapse under expandCliques=false (reps
+    // + clique sizes); identical cross-side sets meet as a regular
+    // containment-1 candidate, so no intra rows. ONE copy of the
+    // rank/collapse semantics — [[docArrTab]], shared with allPairs.
+    def docTabOf(toks: DataFrame) =
+      docArrTab(toks, freqC, collapse = !expandCliques)
     val prefA = docTabOf(toksL)
       .withColumn("plen", expr(
         s"CAST(sz + 1 - ((CAST($tN AS BIGINT) * sz + 999999) div " +
@@ -2445,7 +2425,7 @@ object Dedup {
         element_at(col("pb.rbn"), col("pb.rnk")) >= tSlack)
       // fused first-shared dedup + exact integer dot — see [[tfidfPairs]]
       .withColumn("dot", graft.functions.PrefixMergeDot(
-        col("pa.earr"), col("pb.earr"), col("pa.rnk")))
+        col("pa.earr"), col("pb.earr"), col("pa.rnk"), col("pb.rnk")))
       .filter(col("dot").isNotNull)
       .withColumn("cos", col("dot").cast(DoubleType) /
         sqrt(col("pa.n2").cast(DoubleType) * col("pb.n2").cast(DoubleType)))

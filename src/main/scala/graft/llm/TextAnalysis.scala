@@ -1011,10 +1011,21 @@ object TextAnalysis {
     val rawTf = feats(raw)
     val ct = feats(target).groupBy("b").agg(sum(col("tf")).as("ct"))
     val cr = rawTf.groupBy("b").agg(sum(col("tf")).as("cr"))
-    // the two model totals are the only driver-side scalars (empty
-    // corpora coalesce to 0 — smoothing keeps every log finite)
-    val tT = ct.agg(coalesce(sum(col("ct")), lit(0L))).head().getLong(0)
-    val tR = cr.agg(coalesce(sum(col("cr")), lit(0L))).head().getLong(0)
+    // The two model totals are the only driver-side scalars. Σ tf over
+    // buckets ≡ the corpus feature-instance count ≡ Σ_docs (2n − 1)
+    // for n ≥ 1 tokens (n unigrams + n−1 bigrams), so each total
+    // comes from a map-only token-count scan — the featurization
+    // shuffle never runs for a driver action, only once inside the
+    // returned plan (where Catalyst reuses rawTf's exchange between
+    // the raw model and the scoring join). Empty corpora total 0 —
+    // smoothing keeps every log finite.
+    def total(df: org.apache.spark.sql.DataFrame): Long =
+      df.select(size(tokens(col(text))).as("__n"))
+        .filter(col("__n") > 0)
+        .agg(coalesce(sum(col("__n") * 2 - 1), lit(0L)).cast(LongType))
+        .head().getLong(0)
+    val tT = total(target)
+    val tR = total(raw)
     val denT = lit((tT + dim).toDouble)
     val denR = lit((tR + dim).toDouble)
     rawTf

@@ -1316,6 +1316,36 @@ class LlmSpec extends SparkSpec {
     assert(got === Set((1L, 5L, "en"), (2L, 2L, "fr")))
   }
 
+  test("PrefixMergeDot: dual-ordinal accept — a simulated hash-collision " +
+      "candidate rejects instead of double-emitting") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    def arr(toks: (Double, String, Long)*): GenericArrayData =
+      new GenericArrayData(toks.map { case (m, t, w) =>
+        InternalRow(m, UTF8String.fromString(t), w) }.toArray[Any])
+    // A = [x, y, z], B = [x, y, q] under global order m DESC; shared
+    // tokens {x, y}, first shared = x (a-rank 1, b-rank 1)
+    val a = arr((0.9, "x", 2L), (0.8, "y", 3L), (0.5, "z", 1L))
+    val b = arr((0.9, "x", 5L), (0.8, "y", 7L), (0.4, "q", 1L))
+    val e = graft.functions.PrefixMergeDot(
+      null: org.apache.spark.sql.catalyst.expressions.Expression,
+      null, null, null)
+    // genuine first-shared row: both ordinals point at x → exact dot
+    assert(e.merge(a, b, 1, 1) == 2L * 5 + 3L * 7)
+    // non-first genuine row (generated at y on both sides): reject
+    assert(e.merge(a, b, 2, 2) == null)
+    // SIMULATED 64-bit collision row: the join matched a's x (rank 1)
+    // against b's q (rank 3) because xxhash64(x) == xxhash64(q); the
+    // merge sees first-shared x at b-index 0 ≠ rankB−1 = 2 → reject.
+    // With the a-side-only check this row would have DUPLICATED the
+    // genuine (1, 1) accept.
+    assert(e.merge(a, b, 1, 3) == null)
+    // disjoint arrays: no shared token at all
+    val c = arr((0.7, "u", 1L), (0.3, "v", 2L))
+    assert(e.merge(a, c, 1, 1) == null)
+  }
+
   test("dsirWeights: driver-side replica parity, edge docs, domain ordering") {
     val dim = 1 << 16 // collision-free at this corpus size
     val tgtTexts = Seq("alpha beta gamma", "alpha beta", "beta gamma delta")

@@ -84,14 +84,14 @@ class RepsSpec extends SparkSpec {
       } else assert(v == 1.0, s"self row at $ra not 1.0")
     }
 
-  private def runBoth(name: String)(op: Long => DataFrame)
+  private def runBoth(op: Long => DataFrame)
       : Seq[DataFrame] =
     // vocabMax 0 forces the prefix arm; a large ceiling lets the dense
     // arm dispatch (the planted vocab is tiny) — both must agree
     Seq(0L, 4096L).map(op)
 
   test("allPairs reps ≡ expanded, both arms") {
-    runBoth("allPairs") { vm =>
+    runBoth { vm =>
       Dedup.allPairs(df, "doc_id", "text", 0.5, denseVocabMax = vm,
         expandCliques = false)
     }.foreach { reps =>
@@ -111,7 +111,7 @@ class RepsSpec extends SparkSpec {
   }
 
   test("containmentJoin reps ≡ expanded, both arms") {
-    runBoth("containment") { vm =>
+    runBoth { vm =>
       Dedup.containmentJoin(df, "doc_id", "text", 0.6, denseVocabMax = vm,
         expandCliques = false)
     }.foreach { reps =>
@@ -130,7 +130,7 @@ class RepsSpec extends SparkSpec {
   }
 
   test("tfidfPairs reps ≡ expanded, both arms") {
-    runBoth("tfidf") { vm =>
+    runBoth { vm =>
       Dedup.tfidfPairs(df, "doc_id", "text", 0.5, denseVocabMax = vm,
         expandCliques = false)
     }.foreach { reps =>
