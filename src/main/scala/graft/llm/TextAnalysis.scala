@@ -1039,4 +1039,48 @@ object TextAnalysis {
             log((col("cr").cast(DoubleType) + lit(1.0)) / denR))), 6)
           .as("logw"))
   }
+
+  /** The [[dsirWeights]] model exported for SERVING: the per-bucket
+    * log-ratio map over the UNION of buckets either corpus touched,
+    * plus the unseen-bucket default (both counts 0 under the same
+    * smoothing). D-bounded — the driver-side Map is the reference
+    * object a stream scorer ([[graft.streaming.Events.dsirStream]]) or
+    * a later batch folds over without retraining, the
+    * `trainLogistic`/`classifyStream` serving convention. Scoring a
+    * raw-corpus doc through this model reproduces [[dsirWeights]]'s
+    * logw for it exactly (same per-bucket terms). */
+  def dsirModel(raw: org.apache.spark.sql.DataFrame,
+                target: org.apache.spark.sql.DataFrame,
+                id: String, text: String,
+                dim: Int = 4096): (Map[Int, Double], Double) = {
+    require(dim > 0, s"dim must be positive: $dim")
+    def counts(df: org.apache.spark.sql.DataFrame, out: String)
+        : org.apache.spark.sql.DataFrame = {
+      val t0 = df.select(col(id).as("doc"), tokens(col(text)).as("__ws"))
+        .filter(size(col("__ws")) > 0)
+      val uni = t0.select(explode(col("__ws")).as("g"))
+      val big = t0.filter(size(col("__ws")) >= 2)
+        .select(explode(sequence(lit(1), size(col("__ws")) - 1)).as("i"),
+          col("__ws"))
+        .select(concat(element_at(col("__ws"), col("i")), lit(" "),
+          element_at(col("__ws"), col("i") + 1)).as("g"))
+      uni.unionByName(big)
+        .select(pmod(tokenHash(col("g")), lit(dim)).as("b"))
+        .groupBy("b").agg(count(lit(1)).as(out))
+    }
+    val ct = counts(target, "ct")
+    val cr = counts(raw, "cr")
+    val tT = ct.agg(coalesce(sum(col("ct")), lit(0L))).head().getLong(0)
+    val tR = cr.agg(coalesce(sum(col("cr")), lit(0L))).head().getLong(0)
+    val denT = (tT + dim).toDouble
+    val denR = (tR + dim).toDouble
+    val m = ct.join(cr, Seq("b"), "full_outer")
+      .select(col("b"),
+        (log((coalesce(col("ct"), lit(0L)).cast(DoubleType) + lit(1.0))
+            / lit(denT)) -
+          log((coalesce(col("cr"), lit(0L)).cast(DoubleType) + lit(1.0))
+            / lit(denR))).as("lr"))
+      .collect().map(r => r.getLong(0).toInt -> r.getDouble(1)).toMap
+    (m, math.log(1.0 / denT) - math.log(1.0 / denR))
+  }
 }

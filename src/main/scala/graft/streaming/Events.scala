@@ -277,6 +277,39 @@ object Events {
       .filter(col("margin") > keepAbove)
   }
 
+  /** Streaming DSIR scoring — the ingestion-time sibling of
+    * [[graft.llm.TextAnalysis.dsirWeights]]: each arriving document's
+    * importance log-weight under a PRE-TRAINED per-bucket log-ratio
+    * model ([[graft.llm.TextAnalysis.dsirModel]]), folded map-only
+    * over the doc's own unigram+bigram hash buckets — no state, no
+    * shuffle, any output mode. `defaultLr` is the model's
+    * unseen-bucket value (both smoothed counts 0); rows with logw
+    * below `keepAbove` are dropped — pass Double.NegativeInfinity to
+    * score-only. Feature construction is
+    * IDENTICAL to the batch op (whitespace tokens, space-joined
+    * adjacent bigrams, shared rolling hash), so a doc scores the same
+    * on both paths. */
+  def dsirStream(stream: DataFrame, text: String,
+                 model: Map[Int, Double], defaultLr: Double, dim: Int,
+                 keepAbove: Double = Double.NegativeInfinity)
+      : DataFrame = {
+    require(dim > 0, s"dim must be positive: $dim")
+    val ws = graft.llm.TextAnalysis.tokens(col(text))
+    val bigrams = zip_with(
+      slice(ws, lit(1), greatest(size(ws) - 1, lit(0))),
+      slice(ws, lit(2), greatest(size(ws) - 1, lit(0))),
+      (a, b) => concat(a, lit(" "), b))
+    val mlit = typedLit(model)
+    val logw = aggregate(concat(ws, bigrams), lit(0.0),
+      (acc, f) => acc + coalesce(element_at(mlit,
+        pmod(graft.functions.RollingHash(f), lit(dim.toLong))
+          .cast("int")), lit(defaultLr)))
+    stream
+      .filter(size(ws) > 0)
+      .withColumn("logw", logw)
+      .filter(col("logw") >= keepAbove)
+  }
+
   // -----------------------------------------------------------------
   // streaming as-of enrichment
   // -----------------------------------------------------------------

@@ -489,6 +489,49 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.filter($"doc" % 10 === 0).count() == 0)
   }
 
+  test("streaming DSIR scoring: fold logw equals the batch importance weights") {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    val tmp = java.nio.file.Files.createTempDirectory("graft-dsir").toString
+    val inDir = java.nio.file.Paths.get(tmp, "in")
+    java.nio.file.Files.createDirectories(inDir)
+    val docs = Tables.load(spark, sf, "documents")
+      .select($"doc_id", $"text").limit(200)
+    val target = docs.filter($"doc_id" % 3 === 0)
+    docs.coalesce(1).write.mode("overwrite")
+      .parquet(inDir.resolve("batch").toString)
+    val (model, defaultLr) = graft.llm.TextAnalysis.dsirModel(
+      docs, target, "doc_id", "text", dim = 512)
+    val stream = spark.readStream
+      .schema(StructType(Seq(StructField("doc_id", LongType),
+        StructField("text", StringType))))
+      .parquet(inDir.resolve("batch").toString)
+    val q = Events.dsirStream(stream, "text", model, defaultLr, dim = 512)
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .format("parquet")
+      .option("path", s"$tmp/out")
+      .start()
+    q.awaitTermination(120000)
+    val streamed = spark.read.parquet(s"$tmp/out")
+      .select($"doc_id", $"logw").as[(Long, Double)].collect().toMap
+    val batch = graft.llm.TextAnalysis.dsirWeights(
+        docs, target, "doc_id", "text", dim = 512)
+      .select($"doc", $"logw").as[(Long, Double)].collect().toMap
+    assert(streamed.keySet == batch.keySet && streamed.nonEmpty)
+    // batch rounds to 6; the stream's fold order differs only in float
+    // addition order — parity within the rounding grain
+    batch.foreach { case (d, lw) =>
+      assert(math.abs(streamed(d) - lw) < 1e-6, s"doc $d") }
+    // a raw-only doc must score below a target-member doc on average
+    val tgtIds = batch.keySet.toSeq.filter(_ % 3 == 0)
+    val rawIds = batch.keySet.toSeq.filterNot(_ % 3 == 0)
+    assert(tgtIds.map(batch).sum / tgtIds.size >
+      rawIds.map(batch).sum / rawIds.size)
+  }
+
   test("streaming quality filter: fold margins equal the batch serving path") {
     import org.apache.spark.sql.types._
     import org.apache.spark.sql.streaming.{OutputMode, Trigger}
