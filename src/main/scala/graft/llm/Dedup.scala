@@ -556,8 +556,15 @@ object Dedup {
     *     doc pairs — output-bound, like every exact join must be.
     *
     * Output: (doc_a, doc_b, inter, uni, jaccard), doc_a < doc_b.
-    * `denseVocabMax` / `denseSigMax` override the plan-dispatch ceilings
-    * (tests pin each arm against the brute-force oracle by forcing it).
+    * With `expandCliques = false` — the clique-representative product
+    * shape — docs with identical token SETS collapse to
+    * (representative = min id, clique size) BEFORE pairing: output is
+    * one row per qualifying distinct-set pair with two extra columns
+    * (n_a, n_b), plus one SELF row (doc_a == doc_b, jaccard 1) per
+    * clique of ≥ 2 identical docs; k copies cost one row, not k²
+    * pairs. `denseVocabMax` / `denseSigMax` override the
+    * plan-dispatch ceilings (tests pin each arm against the
+    * brute-force oracle by forcing it).
     *
     * NOTE: this call runs EAGER probe jobs (vocabulary count, and —
     * small-vocab only — a distinct-signature count) to pick the plan,
@@ -680,13 +687,15 @@ object Dedup {
     }
   }
 
-  /** Shared prefix-side builder for [[allPairs]] and [[allPairsJoin]]:
+  /** Prefix-side builder for [[allPairsJoin]]'s per-side tables
+    * ([[allPairs]] composes [[docArrTab]] + [[prefixExplodeTab]]
+    * directly because it also needs the doc table for intra rows):
     * ranks each doc's tokens rarest-first under `freq`'s GLOBAL (gf,
     * tok) order, assembles the rank-ordered full token array (farr),
     * and re-explodes the first `|d| - ceil(t·|d|) + 1` tokens as join
-    * keys. One copy of the ppm-integer prefix-length math — the two
-    * join forms must never diverge on it. Output columns:
-    * (doc, sz, farr, tok, rnk). */
+    * keys; with `collapse`, identical token sets group to their
+    * representative first. Output columns:
+    * (doc, sz, farr, n, tok, rnk). */
   private def prefixSide(toks: DataFrame, freq: DataFrame,
                          tN: Long,
                          collapse: Boolean = false): DataFrame =
@@ -884,7 +893,11 @@ object Dedup {
     * Both inputs use the same `id`/`text` column names (the
     * [[fuzzyJoin]] convention). Output: (id_a from left, id_b from
     * right, inter, uni, jaccard) — ids are independent namespaces, no
-    * ordering constraint between them. */
+    * ordering constraint between them. With `expandCliques = false`
+    * each SIDE collapses to its distinct token sets (reps + clique
+    * sizes as n_a/n_b); identical cross-side sets meet as a regular
+    * J = 1 candidate, so there are no self rows — see
+    * [[allPairs]]. */
   def allPairsJoin(left: DataFrame, right: DataFrame, id: String,
                    text: String, threshold: Double,
                    denseVocabMax: Long = AllPairsDenseVocabMax,
@@ -1730,6 +1743,69 @@ object Dedup {
     (1 to 62).map(k => when(c >= lit(1L << k), lit(1L)).otherwise(lit(0L)))
       .reduce(_ + _)
 
+  /** Rank/bound table for the weighted (tf-idf) prefix arms — ONE
+    * copy for the self- and cross-corpus forms: joins the per-(doc,
+    * tok) normalized weights `wn` (doc, tok, w, n2, wh) with the
+    * corpus-max table `mx`, assigns the SHARED global rank order
+    * (mx DESC, tok ASC), and computes the two suffix bounds — rb
+    * (Σ ŵ·mx, the prefix-length bound) and rbn (the suffix l2 norm,
+    * the Cauchy-Schwarz positional bound's half). */
+  private def weightedRanked(wn: DataFrame, mx: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val suffixW = Window.partitionBy(col("doc")).orderBy(col("rnk"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    wn.join(broadcast(mx), Seq("tok"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("doc"))
+          .orderBy(col("mx").desc, col("tok"))))
+      .withColumn("rb", sum(col("wh") * col("mx")).over(suffixW))
+      .withColumn("rbn", sqrt(sum(col("wh") * col("wh")).over(suffixW)))
+  }
+
+  /** Per-doc table of the weighted prefix arms — ONE copy of the
+    * collapse semantics (the [[docArrTab]] of the weighted family):
+    * n2, the rank-indexed rbn bound array, the rank-ordered (m, t, w)
+    * merge array earr ([[graft.functions.PrefixMergeDot]]'s input —
+    * prefix tokens are SLICED FROM IT too, so it is the one per-doc
+    * array and no separate token array rides the exchange), and the
+    * prefix length. With `collapse` (expandCliques=false), docs with
+    * IDENTICAL earr — ⟺ identical token multiset under the shared
+    * corpus-wide idf, since m is a pure function of t — group to
+    * (rep = min doc, clique size n); n2/rbn/plen are deterministic
+    * functions of earr, so first() is exact. */
+  private def weightedDocTab(tl: DataFrame, tSlack: Double,
+                             collapse: Boolean): DataFrame = {
+    val docTab0 = tl.groupBy("doc").agg(
+      first(col("n2")).as("n2"),
+      transform(array_sort(collect_list(struct(col("rnk"), col("rbn")))),
+        x => x.getField("rbn")).as("rbn"),
+      transform(array_sort(collect_list(struct(col("rnk"),
+          struct(col("mx").as("m"), col("tok").as("t"), col("w")).as("e")))),
+        x => x.getField("e")).as("earr"),
+      sum(when(col("rb") >= tSlack, 1).otherwise(0)).as("plen"))
+    if (!collapse) docTab0.withColumn("n", lit(1L))
+    else docTab0
+      .groupBy(col("earr"))
+      .agg(min(col("doc")).as("doc"), first(col("n2")).as("n2"),
+        first(col("rbn")).as("rbn"), first(col("plen")).as("plen"),
+        count(lit(1)).as("n"))
+  }
+
+  /** Prefix-key explosion over a [[weightedDocTab]] with HASHED join
+    * keys — ONE copy of the weighted prefix construction: the SMJ
+    * sorts/compares longs and candidate rows carry no strings at all
+    * (a 64-bit collision only wastes a candidate — the merge kernel's
+    * dual-ordinal first-shared check rejects it; it can neither
+    * mis-accept nor double-emit). Output: (doc, n2, rbn, earr, n,
+    * rnk, hk). */
+  private def weightedPrefixTab(docTab: DataFrame): DataFrame =
+    docTab.select(col("doc"), col("n2"), col("rbn"), col("earr"),
+        col("n"),
+        posexplode(expr("slice(earr, 1, plen)")).as(Seq("pos0", "e")))
+      .withColumn("rnk", col("pos0") + 1)
+      .withColumn("hk", xxhash64(col("e").getField("t")))
+      .drop("pos0", "e")
+
   /** EXACT cosine-similarity self-join over token TF-IDF vectors — the
     * weighted complement of [[allPairs]] (set/Jaccard) and the sparse
     * complement of [[cosinePairs]] (dense embeddings): every unordered
@@ -1786,7 +1862,13 @@ object Dedup {
     * dense table is doc-count × V ints and is localCheckpointed
     * before the D probe — the same materialization shape as
     * [[allPairs]]'s bitset table.) Output: (doc_a, doc_b, dot, n2_a,
-    * n2_b, cos) with doc_a < doc_b, cos rounded to 6 places. */
+    * n2_b, cos) with doc_a < doc_b, cos rounded to 6 places. With
+    * `expandCliques = false`, docs with identical weighted-token
+    * MULTISETS (same tokens and tf under the shared corpus idf)
+    * collapse to (representative, clique size) before pairing: one
+    * row per qualifying distinct-vector pair with (n_a, n_b)
+    * appended, plus one self row (doc_a == doc_b) per ≥ 2-member
+    * clique — see [[allPairs]]. */
   def tfidfPairs(df: DataFrame, id: String, text: String,
                  threshold: Double,
                  denseVocabMax: Long = AllPairsDenseVocabMax,
@@ -1842,57 +1924,12 @@ object Dedup {
       .withColumn("wh", col("w").cast(DoubleType) /
         sqrt(col("n2").cast(DoubleType)))
     val mx = wn.groupBy("tok").agg(max(col("wh")).as("mx"))
-    import org.apache.spark.sql.expressions.Window
-    val suffixW = Window.partitionBy(col("doc")).orderBy(col("rnk"))
-      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    val tl = wn.join(broadcast(mx), Seq("tok"))
-      .withColumn("rnk", row_number().over(
-        Window.partitionBy(col("doc"))
-          .orderBy(col("mx").desc, col("tok"))))
-      .withColumn("rb", sum(col("wh") * col("mx")).over(suffixW))
-      // suffix l2 norm — the Cauchy-Schwarz positional bound's half
-      .withColumn("rbn", sqrt(sum(col("wh") * col("wh")).over(suffixW)))
+    val tl = weightedRanked(wn, mx)
     // conservative float slack: prune only when the bound is clearly
     // below t — a ulp of window-sum noise must never drop a true pair
     val tSlack = threshold * (1 - 1e-9)
-    val docTab0 = tl.groupBy("doc").agg(
-      first(col("n2")).as("n2"),
-      transform(array_sort(collect_list(struct(col("rnk"), col("tok")))),
-        x => x.getField("tok")).as("farr"),
-      transform(array_sort(collect_list(struct(col("rnk"), col("rbn")))),
-        x => x.getField("rbn")).as("rbn"),
-      // rank-ordered (m, t, w) array — [[graft.functions.PrefixMergeDot]]'s
-      // input: each doc's weighted tokens under the shared global order,
-      // so verification is one linear merge instead of map probes
-      transform(array_sort(collect_list(struct(col("rnk"),
-          struct(col("mx").as("m"), col("tok").as("t"), col("w")).as("e")))),
-        x => x.getField("e")).as("earr"),
-      sum(when(col("rb") >= tSlack, 1).otherwise(0)).as("plen"))
-    // expandCliques=false: collapse docs with IDENTICAL weighted-token
-    // arrays (same token multiset under the shared corpus-wide idf —
-    // weights were computed over the FULL corpus above, so values are
-    // unchanged) to (rep = min doc, clique size n). earr is rank-ordered
-    // and m is a pure function of t, so earr-equality ⟺ weight-map
-    // equality; farr/rbn/plen are deterministic functions of it, so
-    // first() is exact.
-    val docTab =
-      if (expandCliques) docTab0.withColumn("n", lit(1L))
-      else docTab0
-        .groupBy(col("earr"))
-        .agg(min(col("doc")).as("doc"), first(col("n2")).as("n2"),
-          first(col("farr")).as("farr"), first(col("rbn")).as("rbn"),
-          first(col("plen")).as("plen"), count(lit(1)).as("n"))
-    // join key = 64-bit token hash, not the token string: the SMJ then
-    // sorts/compares longs and the candidate rows carry no strings at
-    // all. A hash collision only wastes a candidate — the merge's
-    // ordinal first-shared check points at the REAL token, so a
-    // collision row can never be accepted for the wrong pair.
-    val prefix = docTab.select(col("doc"), col("n2"),
-        col("rbn"), col("earr"), col("n"),
-        posexplode(expr("slice(farr, 1, plen)")).as(Seq("pos0", "tok")))
-      .withColumn("rnk", col("pos0") + 1)
-      .withColumn("hk", xxhash64(col("tok")))
-      .drop("pos0", "tok")
+    val docTab = weightedDocTab(tl, tSlack, collapse = !expandCliques)
+    val prefix = weightedPrefixTab(docTab)
     val cross = prefix.alias("pa").join(prefix.alias("pb"),
         col("pa.hk") === col("pb.hk") && col("pa.doc") < col("pb.doc"))
       // positional filter (Cauchy-Schwarz): at a shared token with
@@ -1973,14 +2010,17 @@ object Dedup {
         col("sid_b").as("doc_b"), col("dotd").cast(LongType).as("dot"),
         col("na2").as("n2_a"), col("nb2").as("n2_b"),
         round(col("cos"), 6).as("cos"), col("n_a"), col("n_b"))
-      // identical-vector cliques: dot = n2, same op sequence
+      // identical-vector cliques: dot = n2 — emitted as the EXACT
+      // long (the double dotd is only for cos: beyond 2⁵³ the
+      // double round-trip would diverge from the prefix arm's exact
+      // intra dot, and the exact value is already in the row)
       val intraR = sigs.filter(col("n") >= 2)
         .select(col("sid"), col("n2").cast(DoubleType).as("dotd"),
           col("n2").as("na2"), col("n2").as("nb2"), col("n"))
         .withColumn("cos", cosCol)
         .filter(col("cos") >= threshold)
         .select(col("sid").as("doc_a"), col("sid").as("doc_b"),
-          col("dotd").cast(LongType).as("dot"),
+          col("na2").as("dot"),
           col("na2").as("n2_a"), col("nb2").as("n2_b"),
           round(col("cos"), 6).as("cos"),
           col("n").as("n_a"), col("n").as("n_b"))
@@ -2001,7 +2041,9 @@ object Dedup {
         when(col("da") < col("db"), col("nb2")).otherwise(col("na2"))
           .as("n2_b"),
         round(col("cos"), 6).as("cos"))
-    // identical-vector pairs: dot = n2, same filter, same op sequence
+    // identical-vector pairs: dot = n2 (emitted as the EXACT long —
+    // dotd only feeds cos, see the non-expand branch), same filter,
+    // same op sequence
     val intra = docSig.alias("x").join(docSig.alias("y"),
         col("x.sid") === col("y.sid") && col("x.doc") < col("y.doc"))
       .select(col("x.doc").as("doc_a"), col("y.doc").as("doc_b"),
@@ -2010,7 +2052,7 @@ object Dedup {
       .withColumn("cos", cosCol)
       .filter(col("cos") >= threshold)
       .select(col("doc_a"), col("doc_b"),
-        col("dotd").cast(LongType).as("dot"),
+        col("na2").as("dot"),
         col("na2").as("n2_a"), col("nb2").as("n2_b"),
         round(col("cos"), 6).as("cos"))
     cross.unionByName(intra)
@@ -2046,7 +2088,11 @@ object Dedup {
     *
     * Output: (id_a, id_b, inter, sz_a, containment) — containment =
     * inter / sz_a as the double both engines derive from the same two
-    * BIGINTs. */
+    * BIGINTs. With `expandCliques = false` the output stays in
+    * distinct-token-set space: one row per qualifying ORDERED set
+    * pair with (n_a, n_b) clique sizes appended, plus one self row
+    * (id_a == id_b, containment 1) per ≥ 2-member clique — see
+    * [[allPairs]]. */
   def containmentJoin(df: DataFrame, id: String, text: String,
                       threshold: Double,
                       denseVocabMax: Long = AllPairsDenseVocabMax,
@@ -2184,7 +2230,9 @@ object Dedup {
     * Dense dispatch mirrors [[allPairsJoin]]'s: per-side bitsets on
     * the shared codebook, D_L × D_R sweep broadcasting the right
     * side under the measured guards. Output: (id_a from left, id_b
-    * from right, inter, sz_a, containment). */
+    * from right, inter, sz_a, containment). With `expandCliques =
+    * false` each side collapses to distinct token sets (reps +
+    * n_a/n_b); no self rows — see [[allPairsJoin]]. */
   def containmentCross(left: DataFrame, right: DataFrame, id: String,
                        text: String, threshold: Double,
                        denseVocabMax: Long = AllPairsDenseVocabMax,
@@ -2301,7 +2349,10 @@ object Dedup {
     * broadcasting the RIGHT side under the same measured-D and byte
     * caps; otherwise the maxweight prefix arm with the corpus-max
     * normalized weights taken over BOTH sides. Output: (id_a from
-    * left, id_b from right, dot, n2_a, n2_b, cos). */
+    * left, id_b from right, dot, n2_a, n2_b, cos). With
+    * `expandCliques = false` each side collapses to distinct
+    * weighted-token multisets (reps + n_a/n_b); no self rows — see
+    * [[allPairsJoin]]. */
   def tfidfJoin(left: DataFrame, right: DataFrame, id: String,
                 text: String, threshold: Double,
                 denseVocabMax: Long = AllPairsDenseVocabMax,
@@ -2375,49 +2426,15 @@ object Dedup {
       .groupBy("tok").agg(max(col("wh")).as("mx"))
       .localCheckpoint()
     val tSlack = threshold * (1 - 1e-9)
-    import org.apache.spark.sql.expressions.Window
-    def prefixOf(wh: DataFrame) = {
-      val suffixW = Window.partitionBy(col("doc")).orderBy(col("rnk"))
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-      val tl = wh.join(broadcast(mx), Seq("tok"))
-        .withColumn("rnk", row_number().over(
-          Window.partitionBy(col("doc"))
-            .orderBy(col("mx").desc, col("tok"))))
-        .withColumn("rb", sum(col("wh") * col("mx")).over(suffixW))
-        .withColumn("rbn", sqrt(sum(col("wh") * col("wh")).over(suffixW)))
-      val base = tl.groupBy("doc").agg(
-          first(col("n2")).as("n2"),
-          transform(array_sort(collect_list(struct(col("rnk"), col("tok")))),
-            x => x.getField("tok")).as("farr"),
-          transform(array_sort(collect_list(struct(col("rnk"), col("rbn")))),
-            x => x.getField("rbn")).as("rbn"),
-          // rank-ordered (m, t, w) merge input — see [[tfidfPairs]]
-          transform(array_sort(collect_list(struct(col("rnk"),
-              struct(col("mx").as("m"), col("tok").as("t"), col("w"))
-                .as("e")))),
-            x => x.getField("e")).as("earr"),
-          sum(when(col("rb") >= tSlack, 1).otherwise(0)).as("plen"))
-      // per-side identical-weighted-token collapse under
-      // expandCliques=false (weights already fixed by the UNION-corpus
-      // idf above, so values are unchanged); identical cross-side
-      // vectors meet as a regular cos-1 candidate, so no intra rows —
-      // see [[tfidfPairs]]
-      val docTab =
-        if (expandCliques) base.withColumn("n", lit(1L))
-        else base
-          .groupBy(col("earr"))
-          .agg(min(col("doc")).as("doc"), first(col("n2")).as("n2"),
-            first(col("farr")).as("farr"), first(col("rbn")).as("rbn"),
-            first(col("plen")).as("plen"), count(lit(1)).as("n"))
-      // hashed join key + ordinal dedup — see [[tfidfPairs]]
-      docTab
-        .select(col("doc"), col("n2"), col("rbn"),
-          col("earr"), col("n"),
-          posexplode(expr("slice(farr, 1, plen)")).as(Seq("pos0", "tok")))
-        .withColumn("rnk", col("pos0") + 1)
-        .withColumn("hk", xxhash64(col("tok")))
-        .drop("pos0", "tok")
-    }
+    // per-side rank/collapse/prefix via the SHARED weighted helpers
+    // (one copy of the semantics with [[tfidfPairs]]): per-side
+    // identical-weighted-token collapse under expandCliques=false
+    // (weights already fixed by the UNION-corpus idf above, so values
+    // are unchanged); identical cross-side vectors meet as a regular
+    // cos-1 candidate, so no intra rows
+    def prefixOf(wh: DataFrame) =
+      weightedPrefixTab(weightedDocTab(weightedRanked(wh, mx), tSlack,
+        collapse = !expandCliques))
     val cross = prefixOf(whL).alias("pa").join(prefixOf(whR).alias("pb"),
         col("pa.hk") === col("pb.hk"))
       // Cauchy-Schwarz positional filter — see [[tfidfPairs]]
