@@ -81,6 +81,13 @@ object Events {
   final case class SessU(user_id: Long, start_us: Long, end_us: Long,
                          n_events: Long, sum_value: Double)
   final case class SessAcc(start: Long, last: Long, n: Long, sum: Double)
+  /** Streaming session state: the open session folded from MATURE
+    * (ts ≤ watermark) events — O(1), the structure of the mature
+    * prefix is frozen because any new arrival at ts ≤ watermark is
+    * late and dropped — plus the raw not-yet-mature events, whose
+    * session grouping can still change. */
+  final case class SessBuf(open: Option[SessAcc],
+                           buf: List[(Long, Double)])
 
   /** The session fold shared by the batch and streaming paths: feed
     * events in ts order, close a session when the gap is reached.
@@ -147,15 +154,21 @@ object Events {
   }
 
   /** Per-user sessionization, STREAMING form: `flatMapGroupsWithState`
-    * with `GroupState` carrying the open session and EVENT-TIME TIMEOUTS
-    * closing it. Each micro-batch folds its events (sorted within the
-    * batch — bounded by micro-batch size, not corpus size) into the open
-    * session; closed sessions emit immediately, the trailing session
-    * stays in state with a timeout at (last event + gap), and emits when
-    * the watermark passes it (`state.hasTimedOut`). State per key is one
-    * [[SessAcc]] — bounded. The input must carry a watermark
-    * ([[readEventStream]]); out-of-order events within the watermark
-    * merge correctly, later ones are dropped by Spark. */
+    * with WATERMARK-FINAL emission. A session [start, last+gap) is
+    * emitted only once the watermark passes last+gap — until then a
+    * valid (non-late) arrival can still extend it or merge it with a
+    * neighbor, so emitting earlier would produce sessions that can
+    * never be retracted (and cross-batch out-of-order events would
+    * corrupt the open fold). Each invocation folds events that have
+    * MATURED (ts ≤ watermark — their relative structure is frozen,
+    * because any new arrival at-or-below the watermark is late and
+    * dropped by Spark) into the open session via the shared batch
+    * fold; not-yet-mature events stay buffered raw. State per key is
+    * one [[SessAcc]] plus the above-watermark buffer — bounded by the
+    * watermark delay window, not the session length. Event-time
+    * timeouts wake the key when the open session can next finalize or
+    * a buffered event matures; a key with no state left is removed
+    * (no per-batch wakeups of historical keys). */
   def sessionsCustomStateStreaming(events: DataFrame,
                                    gapSeconds: Long = 1800): DataFrame = {
     val spark = events.sparkSession
@@ -166,31 +179,42 @@ object Events {
         col("user_id"), col("value"))
       .as[EvT]
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState[SessAcc, SessU](
+      .flatMapGroupsWithState[SessBuf, SessU](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-        (uid: Long, it: Iterator[EvT], state: GroupState[SessAcc]) =>
-          if (state.hasTimedOut) {
-            // watermark passed the open session's end → emit + clear
-            val a = state.get
-            state.remove()
-            Iterator.single(SessU(uid, a.start, a.last + gapUs, a.n, a.sum))
-          } else {
-            val evs = it.toArray.sortBy(_.ts_us)
-            val out = scala.collection.mutable.ArrayBuffer.empty[SessAcc]
-            var cur = state.getOption.orNull
-            for (e <- evs) {
-              val (closed, next) = foldSession(cur, e.ts_us, e.value, gapUs)
-              closed.foreach(out += _)
-              cur = next
-            }
-            if (cur != null) {
-              state.update(cur)
-              // timeout once the event-time watermark passes session end
-              state.setTimeoutTimestamp((cur.last + gapUs) / 1000L)
-            }
-            out.iterator.map(a =>
-              SessU(uid, a.start, a.last + gapUs, a.n, a.sum))
+        (uid: Long, it: Iterator[EvT], state: GroupState[SessBuf]) =>
+          val prev = state.getOption.getOrElse(SessBuf(None, Nil))
+          val incoming = if (state.hasTimedOut) Nil
+            else it.map(e => (e.ts_us, e.value)).toList
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val buf = (prev.buf ++ incoming).sortBy(_._1)
+          val (mature, future) = buf.partition(_._1 <= wmUs)
+          val out = scala.collection.mutable.ArrayBuffer.empty[SessAcc]
+          var cur = prev.open.orNull
+          for ((ts, v) <- mature) {
+            val (closed, next) = foldSession(cur, ts, v, gapUs)
+            closed.foreach(out += _)
+            cur = next
           }
+          // the in-progress session finalizes once no valid arrival
+          // can reach its gap window anymore
+          val open =
+            if (cur != null && cur.last + gapUs <= wmUs) {
+              out += cur; None
+            } else Option(cur)
+          if (open.isEmpty && future.isEmpty) state.remove()
+          else {
+            state.update(SessBuf(open, future))
+            // next event-time at which anything can change: the open
+            // session's finality boundary or the first buffered
+            // event's maturity — an early wake re-evaluates and emits
+            // nothing, a missing wake would delay emission forever
+            val nextUs = (open.map(_.last + gapUs).toList ++
+              future.headOption.map(_._1).toList).min
+            state.setTimeoutTimestamp(math.max(nextUs / 1000L,
+              state.getCurrentWatermarkMs() + 1))
+          }
+          out.iterator.map(a =>
+            SessU(uid, a.start, a.last + gapUs, a.n, a.sum))
       }
       .toDF()
       .select(col("user_id"),
@@ -287,8 +311,11 @@ object Events {
     * below `keepAbove` are dropped — pass Double.NegativeInfinity to
     * score-only. Feature construction is
     * IDENTICAL to the batch op (whitespace tokens, space-joined
-    * adjacent bigrams, shared rolling hash), so a doc scores the same
-    * on both paths. */
+    * adjacent bigrams, shared rolling hash) and the fold rounds to
+    * the batch op's 6-decimal grain, so a doc scores the same on both
+    * paths at that grain (fold order vs tf-grouped sums can differ in
+    * sub-grain bits — pick keep thresholds in an empty band, as the
+    * compared rows do). */
   def dsirStream(stream: DataFrame, text: String,
                  model: Map[Int, Double], defaultLr: Double, dim: Int,
                  keepAbove: Double = Double.NegativeInfinity)
@@ -306,7 +333,12 @@ object Events {
           .cast("int")), lit(defaultLr)))
     stream
       .filter(size(ws) > 0)
-      .withColumn("logw", logw)
+      // round to the batch op's 6-decimal grain BEFORE the keep
+      // decision: the stream folds per-occurrence in document order
+      // while the batch sums tf-grouped bucket terms, so unrounded
+      // values differ in the low bits and a keepAbove threshold near a
+      // doc's score could flip between the two paths
+      .withColumn("logw", round(logw, 6))
       .filter(col("logw") >= keepAbove)
   }
 
@@ -365,9 +397,24 @@ object Events {
           val prev = state.getOption.getOrElse(AsOfBuf(Nil, Nil))
           val incoming = if (state.hasTimedOut) Array.empty[AsOfTagged]
                          else it.toArray
-          val rights = (prev.rights ++
-            incoming.filter(_.side == 1).map(t => (t.ts_us, t.v)))
-            .sortBy(_._1)
+          // prev.rights is stored sorted (eviction filter preserves
+          // order) — merge the small sorted incoming batch instead of
+          // re-sorting the whole buffer each invocation
+          val newRights = incoming.filter(_.side == 1)
+            .map(t => (t.ts_us, t.v)).sortBy(_._1).toList
+          val rights = {
+            val merged = List.newBuilder[(Long, Double)]
+            var a = prev.rights
+            var b = newRights
+            while (a.nonEmpty && b.nonEmpty) {
+              if (a.head._1 <= b.head._1) { merged += a.head; a = a.tail }
+              else { merged += b.head; b = b.tail }
+            }
+            merged ++= a
+            merged ++= b
+            merged.result()
+          }
+          val rightsArr = rights.toArray
           val lefts = prev.lefts ++
             incoming.filter(_.side == 0).map(t => (t.id, t.ts_us))
           val wmUs = state.getCurrentWatermarkMs() * 1000L
@@ -375,10 +422,21 @@ object Events {
           // at-or-before it has either arrived or is late-beyond-wm
           val (ready, pending) = lefts.partition(_._2 <= wmUs)
           val out = ready.map { case (id, lts) =>
-            val m = rights.foldLeft(Option.empty[(Long, Double)]) {
-              case (acc, r) =>
-                if (r._1 <= lts && lts - r._1 <= tolUs) Some(r) else acc
+            // binary search: rightmost right at-or-before the left's
+            // ts, then the tolerance check — O(log n) per ready left
+            // instead of a full scan
+            var lo = 0
+            var hi = rightsArr.length - 1
+            var found = -1
+            while (lo <= hi) {
+              val mid = (lo + hi) >>> 1
+              if (rightsArr(mid)._1 <= lts) { found = mid; lo = mid + 1 }
+              else hi = mid - 1
             }
+            val m =
+              if (found >= 0 && lts - rightsArr(found)._1 <= tolUs)
+                Some(rightsArr(found))
+              else None
             AsOfOut(id, key, lts, m.map(_._2))
           }
           // rights older than tolerance before EVERY possible future
@@ -456,11 +514,16 @@ object Events {
             else if (buf.nonEmpty) tickOf(buf.map(_._1).min)
             else Long.MaxValue
           var carry = st0.carry
-          // a tick is final once the watermark passes it AND an
-          // observation at-or-after it exists (batch spine bound)
+          // a tick is final once the watermark passes the END of its
+          // bucket [tick, tick+step) — a valid (non-late) observation
+          // can still land inside the bucket until then, and emitting
+          // at tick <= wm would both fill with a stale value and evict
+          // that later arrival without folding it into the carry —
+          // AND an observation at-or-after it exists (batch spine
+          // bound)
           val maxObsTick = if (buf.isEmpty) Long.MinValue
                            else tickOf(buf.map(_._1).max)
-          while (tick <= wmUs && tick <= maxObsTick) {
+          while (tick + stepUs <= wmUs && tick <= maxObsTick) {
             // latest observation inside this tick (ties: (ts, id) desc)
             val inTick = buf.filter(o => tickOf(o._1) == tick)
             val observed = inTick.nonEmpty
@@ -469,15 +532,24 @@ object Events {
             tick += stepUs
           }
           // evict consumed observations: everything before the cursor
-          // tick is folded into `carry`; the rest feeds future ticks
+          // tick is folded into `carry`; the rest feeds future ticks.
+          // (No valid arrival can target an emitted bucket: its ts
+          // would be below the bucket end <= watermark, i.e. LATE, and
+          // Spark drops late rows before the state function.)
           val kept =
             if (tick == Long.MaxValue) buf else buf.filter(_._1 >= tick)
           val newNext = if (started || out.nonEmpty) tick else Long.MinValue
           state.update(GfState(newNext, carry, kept))
-          val wakeMs =
-            if (tick == Long.MaxValue) state.getCurrentWatermarkMs() + 1
-            else math.max(tick / 1000L, state.getCurrentWatermarkMs() + 1)
-          state.setTimeoutTimestamp(wakeMs)
+          // Timeout only while buffered observations are waiting on
+          // watermark finality: wake when the next bucket can close.
+          // With an empty buffer nothing can ever emit until new data
+          // arrives (which itself invokes the key), so registering a
+          // wm+1 timeout would wake every historical key on every
+          // micro-batch forever.
+          if (kept.nonEmpty)
+            state.setTimeoutTimestamp(math.max(
+              (tick + stepUs) / 1000L,
+              state.getCurrentWatermarkMs() + 1))
           out.iterator
       }
       .toDF()
@@ -540,8 +612,9 @@ object Events {
           val frameSrc = prev.hist ++ pending.map(p => (p._1, p._3))
           val out = ready.map { case (sec, id, _) =>
             val lo = sec - horizonSec
+            // count + exact BigDecimal sum are order-independent — no
+            // sort of the frame members is needed
             val in = frameSrc.filter(o => o._1 >= lo && o._1 <= sec)
-              .sortBy(_._1)
             RlOut(id, k, sec * 1000000L, in.size.toLong,
               in.map(o => BigDecimal(o._2)
                 .setScale(2, BigDecimal.RoundingMode.HALF_UP))
@@ -606,7 +679,21 @@ object Events {
     * `Tables.load` (UTC session ⇒ instant preserved). */
   def readEventStream(spark: SparkSession, dir: String,
                       watermark: String = "1 hour"): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // nanosAsLong is needed only to PROBE (and then read) parquet
+    // TIMESTAMP(NANOS) event files. It is session-global state, so it
+    // is restored immediately after the probe UNLESS the files really
+    // are nanos — then the running stream's per-batch parquet reads
+    // need it for the query's lifetime, which is the one case where
+    // leaving it set is the requirement, not a leak (callers mixing a
+    // nanos event stream with other TIMESTAMP(NANOS) batch reads in
+    // one session are opting into the flag either way).
+    val nanosKey = "spark.sql.legacy.parquet.nanosAsLong"
+    val prevNanos = spark.conf.getOption(nanosKey)
+    spark.conf.set(nanosKey, "true")
+    def restoreNanos(): Unit = prevNanos match {
+      case Some(v) => spark.conf.set(nanosKey, v)
+      case None => spark.conf.unset(nanosKey)
+    }
     // An empty landing directory is the NORMAL starting state of a file
     // stream (files arrive after the query starts), so a failed probe
     // falls back to the current driver encoding (NTZ micros) instead of
@@ -621,6 +708,7 @@ object Events {
           StructField("value", DoubleType),
           StructField("props", StringType)))
       }
+    if (physical("ts").dataType != LongType) restoreNanos()
     val tsNorm = physical("ts").dataType match {
       case LongType => timestamp_micros(expr("ts div 1000"))
       case TimestampNTZType => col("ts").cast(TimestampType)

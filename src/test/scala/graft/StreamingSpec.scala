@@ -137,6 +137,105 @@ class StreamingSpec extends SparkSpec {
     assert(batch.exceptAll(streamed).count() == 0)
   }
 
+  test("sessionizer: CROSS-BATCH out-of-order arrival merges into the right session") {
+    // r10 streaming review: the old operator emitted closed sessions
+    // immediately (before watermark finality) and folded later-batch
+    // out-of-order events into whatever was open — producing wrong,
+    // duplicate, and even end<start sessions. Regression: events at
+    // T and T+1h in batch 1, then a VALID (above-watermark) event at
+    // T+10min in batch 2 — correct output is [T, T+10min+gap) n=2 and
+    // [T+1h, T+1h+gap) n=1, which requires batch-2's arrival to merge
+    // into the FIRST session after batch 1 already saw both.
+    val tmp = java.nio.file.Files.createTempDirectory("graft-sess-ooo").toString
+    val inDir = java.nio.file.Paths.get(tmp, "in")
+    java.nio.file.Files.createDirectories(inDir)
+    val t0 = 1700000000L * 1000000 // us
+    val far = t0 + 30L * 24 * 3600 * 1000000
+    def wave(rows: Seq[(Long, Long, Long)], name: String): Unit =
+      rows.map { case (id, tsUs, uid) =>
+        (id, tsUs * 1000, uid, "e", 1.0, "{}") } // ts in NANOS
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.parquet(s"$inDir/$name")
+    wave(Seq((1L, t0, 1L), (2L, t0 + 3600L * 1000000, 1L)), "w1")
+    wave(Seq((3L, t0 + 600L * 1000000, 1L)), "w2") // out of order, valid
+    // watermark pushers on a SEPARATE key (their own sessions are
+    // correct output too, so they must not pollute the assertion)
+    wave(Seq((100L, far, 999L)), "w3")
+    wave(Seq((101L, far + 86400L * 1000000, 999L)), "w4")
+    def stage(sub: String, dst: String): Unit = {
+      val f = java.nio.file.Files.list(java.nio.file.Paths.get(s"$inDir/$sub"))
+        .filter(_.toString.endsWith(".parquet")).findFirst().get()
+      java.nio.file.Files.move(f, java.nio.file.Paths.get(s"$inDir/$dst"))
+    }
+    stage("w1", "a.parquet"); stage("w2", "b.parquet")
+    stage("w3", "c.parquet"); stage("w4", "d.parquet")
+    val q = Events.sessionsCustomStateStreaming(
+        Events.readEventStream(spark, inDir.toString), gapSeconds = 1800)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("maxFilesPerTrigger", "1")
+      .format("parquet").option("path", s"$tmp/out").start()
+    q.awaitTermination(180000)
+    val got = spark.read.parquet(s"$tmp/out")
+      .filter($"user_id" === 1L)
+      .select($"user_id", unix_micros($"sess_start"),
+        unix_micros($"sess_end"), $"n_events")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got === Set(
+      (1L, t0, t0 + (600L + 1800L) * 1000000, 2L),
+      (1L, t0 + 3600L * 1000000, t0 + (3600L + 1800L) * 1000000, 1L)),
+      s"got $got")
+  }
+
+  test("gap-fill: a tick is NOT final until the watermark passes its bucket END") {
+    // r10 streaming review: the old operator emitted a tick once the
+    // watermark passed the tick START, then silently evicted a valid
+    // later arrival inside the same bucket — corrupting the fill and
+    // the LOCF carry. Regression: obs A lands in a bucket; the
+    // watermark creeps past the bucket start (pusher keys); obs B
+    // (valid, later ts, same bucket) arrives in a LATER batch; only
+    // then does the watermark pass the bucket end. Correct fill = B.
+    val tmp = java.nio.file.Files.createTempDirectory("graft-gfs-ooo").toString
+    val inDir = java.nio.file.Paths.get(tmp, "in")
+    java.nio.file.Files.createDirectories(inDir)
+    val g0 = 1700000400L * 1000000 // us, divisible by the 600 s step
+    val far = g0 + 30L * 24 * 3600 * 1000000
+    def wave(rows: Seq[(Long, Long, Long, Double)], name: String): Unit =
+      rows.map { case (id, tsUs, key, v) =>
+        (id, tsUs * 1000, key, "e", v, "{}") }
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.parquet(s"$inDir/$name")
+    wave(Seq((1L, g0 + 10L * 1000000, 1L, 1.0),
+      (900L, g0 + 3620L * 1000000, 9001L, 0.0)), "w1") // wm → g0+20
+    wave(Seq((901L, g0 + 3625L * 1000000, 9002L, 0.0)), "w2")
+    wave(Seq((2L, g0 + 300L * 1000000, 1L, 2.0)), "w3") // same bucket!
+    wave(Seq((902L, far, 9003L, 0.0)), "w4")
+    wave(Seq((903L, far + 86400L * 1000000, 9004L, 0.0)), "w5")
+    def stage(sub: String, dst: String): Unit = {
+      val f = java.nio.file.Files.list(java.nio.file.Paths.get(s"$inDir/$sub"))
+        .filter(_.toString.endsWith(".parquet")).findFirst().get()
+      java.nio.file.Files.move(f, java.nio.file.Paths.get(s"$inDir/$dst"))
+    }
+    stage("w1", "a.parquet"); stage("w2", "b.parquet")
+    stage("w3", "c.parquet"); stage("w4", "d.parquet")
+    stage("w5", "e.parquet")
+    val q = Events.gapFillStream(
+        Events.readEventStream(spark, inDir.toString),
+        "user_id", "ts", "event_id", "value", stepSec = 600L)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("maxFilesPerTrigger", "1")
+      .format("parquet").option("path", s"$tmp/out").start()
+    q.awaitTermination(180000)
+    val got = spark.read.parquet(s"$tmp/out")
+      .filter($"key" === 1L)
+      .select(unix_micros($"tick"), $"filled", $"observed")
+      .as[(Long, Double, Boolean)].collect().toSet
+    assert(got === Set((g0, 2.0, true)), s"got $got")
+  }
+
   test("streaming as-of enrichment matches the batch as-of join " +
       "(tolerance-bounded state, watermark-final emission)") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-asofs").toString
