@@ -1826,6 +1826,14 @@ object SparkEntry {
       Dedup.exact(u, col("text"), col("doc_id")).orderBy(col("keep_id"))
     }),
 
+    "dd_soft_weights" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val u = d.select(col("doc_id"), col("text")).unionByName(
+        d.select((col("doc_id") + 10000).as("doc_id"), col("text")))
+      Dedup.softWeights(u, col("doc_id"), col("text"))
+        .orderBy(col("doc_id"))
+    }),
+
     "dd_minhash_lsh" -> ((s, dir) => {
       val d = t(s, dir, "documents")
       val u = d.select(col("doc_id"), col("text")).unionByName(
@@ -3669,6 +3677,15 @@ object SparkEntry {
         |SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
         |  count(*) AS n_dups
         |FROM u GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
+
+    "dd_soft_weights" ->
+      """WITH u AS (SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 10000, text FROM documents),
+        |c AS (SELECT doc_id,
+        |  count(*) OVER (PARTITION BY md5(text)) AS n_dups FROM u)
+        |SELECT doc_id, n_dups,
+        |  round(1.0::DOUBLE / n_dups, 6) AS weight
+        |FROM c ORDER BY doc_id""".stripMargin,
 
     "dd_minhash_lsh" ->
       s"""WITH u AS (SELECT doc_id, lower(text) AS t FROM documents

@@ -30,6 +30,28 @@ object Dedup {
     df.groupBy(md5(content.cast(StringType)).as("content_hash"))
       .agg(min(id).as("keep_id"), count(lit(1)).as("n_dups"))
 
+  /** Duplicate-aware SOFT dedup: keep every row, downweight duplicates.
+    * Each row of an n-way exact-duplicate cluster carries weight 1/n, so
+    * a weighted pass over the corpus sees the deduplicated distribution
+    * while provenance, per-source stats, and late re-dedup decisions all
+    * survive — the keep-but-reweight alternative to [[exact]]'s
+    * keep-one-drop-rest (duplicate-aware training loss weighting; same
+    * spirit as count-scaled repetition control in large-corpus training).
+    *
+    * One count-window over the content hash — the identical single
+    * hash-partitioned shuffle [[exact]] pays, with no join-back and no
+    * second scan of the corpus; at 100 TB the exchange carries the rows
+    * once, partitioned by a uniform md5 key (no skew beyond the true
+    * duplicate cliques themselves).
+    *
+    * Output: (doc_id, n_dups, weight = round(1/n, 6)). */
+  def softWeights(df: DataFrame, id: Column, content: Column): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5(content.cast(StringType)))
+    df.select(id.as("doc_id"), count(lit(1)).over(w).as("n_dups"))
+      .withColumn("weight", round(lit(1.0) / col("n_dups"), 6))
+  }
+
   // -------------------------------------------------------------------
   // shingling
   // -------------------------------------------------------------------

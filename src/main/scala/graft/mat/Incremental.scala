@@ -13,6 +13,37 @@ import org.apache.spark.sql.functions._
   */
 object Incremental {
 
+  /** Runtime guard replicating SQL MERGE's "multiple source rows matched
+    * the same target row" failure (the reference's Trino backend raises
+    * it; a silent join fan-out would instead DUPLICATE target rows —
+    * data corruption, not an error): raises at execution time when two
+    * rows of the guarded side share a fully-non-null unique-key tuple.
+    * Null-keyed rows are exempt — a NULL key never equi-matches any
+    * target row, so SQL MERGE cannot multi-match through it.
+    *
+    * Cost: one count-window on the guarded side's keys. Every caller
+    * already shuffles that side on the same keys for the join that
+    * follows, so the exchange is shared; the assert rides a filter that
+    * always passes (`assert_true` returns NULL when the predicate
+    * holds, coalesced to keep the row — it cannot be pruned out of the
+    * plan because the filter consumes it). */
+  private[mat] def uniqueKeyGuard(df: DataFrame, keys: Seq[String],
+                                  what: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*)
+    val keysNotNull = keys.map(col(_).isNotNull).reduce(_ && _)
+    val cnt = "__graft_key_count"
+    df.withColumn(cnt, count(lit(1)).over(w))
+      .filter(coalesce(
+        assert_true(!keysNotNull || col(cnt) <= 1,
+          lit(s"$what contains multiple rows for one unique key " +
+            s"(${keys.mkString(", ")}): SQL MERGE raises " +
+            "'multiple source rows matched' here — deduplicate the " +
+            "batch before merging")).cast("boolean"),
+        lit(true)))
+      .drop(cnt)
+  }
+
   /** append (incremental.sql:145-149,198-204): insert staged rows as-is.
     * Column order follows the target (`dest_columns`), matching the
     * `insert into t (cols) select cols` shape. */
@@ -112,9 +143,14 @@ object Incremental {
       excludeColumns: Seq[String] = Nil,
       predicates: Seq[Column] = Nil): DataFrame = {
     val cols = target.columns.toIndexedSeq
-    val stagedAligned = staged.select(cols.map(col): _*)
     if (uniqueKeys.isEmpty)
-      return append(target, stagedAligned)
+      return append(target, staged.select(cols.map(col): _*))
+    // duplicate staged keys would fan the inner join out and emit one
+    // UPDATED COPY of the target row per staged twin — SQL MERGE's
+    // multiple-match error case, caught at execution time instead
+    val stagedAligned =
+      uniqueKeyGuard(staged.select(cols.map(col): _*), uniqueKeys,
+        "merge staged batch")
 
     val updates: Seq[String] = {
       val base = if (updateColumns.nonEmpty) updateColumns
@@ -162,11 +198,17 @@ object Incremental {
     require(partitionCols.nonEmpty,
       "insert_overwrite without partition columns would replace the whole table")
     val stagedAligned = staged.select(target.columns.map(col).toIndexedSeq: _*)
-    val parts = stagedAligned.select(partitionCols.map(col): _*).distinct()
-    target.join(parts, partitionCols, "left_anti")
-      // USING-style joins move the join columns first; restore the
-      // target's column order
-      .select(target.columns.map(col).toIndexedSeq: _*)
+    // null-SAFE partition match (`<=>`): a NULL partition value is a
+    // real partition (Hive's __HIVE_DEFAULT_PARTITION__) and dynamic
+    // partition overwrite replaces it — a plain equi-anti-join would
+    // never match NULL against NULL and silently KEEP the target's
+    // null-partition rows alongside the staged replacements
+    val parts = stagedAligned
+      .select(partitionCols.map(c => col(c).as(s"__graft_p_$c")): _*)
+      .distinct()
+    val sameTuple = partitionCols
+      .map(c => col(c) <=> col(s"__graft_p_$c")).reduce(_ && _)
+    target.join(parts, sameTuple, "left_anti")
       .unionByName(stagedAligned)
   }
 }

@@ -59,7 +59,12 @@ object Snapshot {
       updatedAt: String,
       invalidateHardDeletes: Boolean = false,
       now: Column = current_timestamp()): DataFrame = {
-    val srcCols = source.columns.toIndexedSeq
+    // dbt requires the unique key to be unique in the source; a violation
+    // here would close the open row against one twin while BOTH twins
+    // insert as forever-open versions (two open rows per key — SCD2
+    // corruption). The reference's Trino MERGE raises on the multi-match;
+    // so do we, at execution time (Incremental.uniqueKeyGuard).
+    val src0 = Incremental.uniqueKeyGuard(source, keys, "snapshot source")
     val ua = col(updatedAt).cast("timestamp")
 
     val open = snapshot.filter(col("dbt_valid_to").isNull)
@@ -67,7 +72,7 @@ object Snapshot {
         col("dbt_updated_at").as("__snap_updated_at") :+
         col("dbt_scd_id").as("__snap_scd_id")): _*)
 
-    val src = source
+    val src = src0
       .withColumn("dbt_scd_id", scdId(keys.map(col), col(updatedAt)))
       .withColumn("dbt_updated_at", ua)
       .withColumn("dbt_valid_from", ua)
@@ -131,7 +136,8 @@ object Snapshot {
         checkCols.map(c => col(c).as(s"__snap_$c")) :+
         col("dbt_scd_id").as("__snap_scd_id")): _*)
 
-    val src = source
+    val src = Incremental
+      .uniqueKeyGuard(source, keys, "snapshot source")
       .withColumn("dbt_scd_id", scdId(keys.map(col), now))
       .withColumn("dbt_updated_at", now.cast("timestamp"))
       .withColumn("dbt_valid_from", now.cast("timestamp"))

@@ -200,6 +200,59 @@ class IncrementalSpec extends SparkSpec {
     }
   }
 
+  test("insert_overwrite: NULL partition value is a real partition and is replaced") {
+    val target = Seq(
+      (1L, Some("a"), 10.0), (2L, None, 20.0), (3L, None, 30.0)
+    ).toDF("id", "part", "amt")
+    val staged = Seq((9L, Option.empty[String], 99.0))
+      .toDF("id", "part", "amt")
+    // dynamic partition overwrite replaces the DEFAULT (null) partition;
+    // a non-null-safe anti-join would keep ids 2 and 3 alongside 9
+    val out = Incremental.insertOverwrite(target, staged, Seq("part"))
+    assert(out.orderBy("id").collect().map(_.getLong(0)).toSeq ==
+      Seq(1L, 9L))
+  }
+
+  test("merge raises on duplicate staged unique keys (SQL MERGE multi-match)") {
+    val dupStaged = Seq((2L, "B2", 22.0), (2L, "B3", 23.0), (4L, "d", 40.0))
+      .toDF("id", "name", "amt")
+    val e = intercept[Exception] {
+      Incremental.merge(target, dupStaged, Seq("id")).collect()
+    }
+    assert(e.getMessage.contains("multiple source rows matched") ||
+      (e.getCause != null &&
+        e.getCause.getMessage.contains("multiple source rows matched")))
+    // unique staged keys still merge cleanly through the guard
+    assert(Incremental.merge(target, staged, Seq("id")).count() == 4)
+  }
+
+  test("merge: duplicate NULL-keyed staged rows are exempt from the guard") {
+    val t = Seq((Some(1L), "a")).toDF("id", "name")
+    val s = Seq((Option.empty[Long], "n1"), (None, "n2"), (Some(1L), "A"))
+      .toDF("id", "name")
+    // NULL keys never equi-match → both null rows insert, no raise
+    val out = Incremental.merge(t, s, Seq("id")).collect()
+    assert(out.length == 3)
+    assert(out.count(_.isNullAt(0)) == 2)
+  }
+
+  test("snapshot stage raises on duplicate source unique keys") {
+    import java.sql.Timestamp
+    val t0 = Seq((1L, "a", Timestamp.valueOf("2024-01-01 00:00:00")))
+      .toDF("id", "v", "updated_at")
+    val snap0 = Snapshot.initial(t0, Seq("id"), "updated_at")
+    val dupSrc = Seq(
+      (1L, "b", Timestamp.valueOf("2024-01-02 00:00:00")),
+      (1L, "c", Timestamp.valueOf("2024-01-03 00:00:00"))
+    ).toDF("id", "v", "updated_at")
+    val e = intercept[Exception] {
+      Snapshot.run(snap0, dupSrc, Seq("id"), "updated_at").collect()
+    }
+    assert(e.getMessage.contains("multiple source rows matched") ||
+      (e.getCause != null &&
+        e.getCause.getMessage.contains("multiple source rows matched")))
+  }
+
   test("incremental agg: merge(aggregate(history), batch) == full recompute") {
     import graft.mat.IncrementalAgg
     import graft.mat.IncrementalAgg.Spec

@@ -18,6 +18,23 @@ class LlmSpec extends SparkSpec {
     assert(out.agg(max($"keep_id")).head.getLong(0) < 10000)
   }
 
+  test("soft dedup weights: every row kept, weight = 1/cluster size") {
+    val d = Seq((0L, "x"), (1L, "x"), (2L, "x"), (3L, "y"), (4L, "z"),
+      (5L, "z")).toDF("doc_id", "text")
+    val out = Dedup.softWeights(d, $"doc_id", $"text")
+      .orderBy($"doc_id").collect()
+    assert(out.length == 6) // nothing dropped
+    val byId = out.map(r => r.getLong(0) ->
+      (r.getLong(1), r.getDouble(2))).toMap
+    assert(byId(0L) == (3L, 0.333333) && byId(1L) == (3L, 0.333333))
+    assert(byId(3L) == (1L, 1.0))
+    assert(byId(4L) == (2L, 0.5) && byId(5L) == (2L, 0.5))
+    // weighted total == deduplicated count (the invariant training cares
+    // about): sum of weights = number of distinct texts
+    val total = out.map(_.getDouble(2)).sum
+    assert(math.abs(total - 3.0) < 1e-4)
+  }
+
   test("minhash LSH finds all exact duplicates (identical docs share every band)") {
     val u = docs.select($"doc_id", $"text").unionByName(
       docs.select(($"doc_id" + 10000).as("doc_id"), $"text"))
