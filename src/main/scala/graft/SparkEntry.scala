@@ -4512,9 +4512,10 @@ object SparkEntry {
         |SELECT media_id, width, height,
         |  (CASE WHEN width <= 224 AND height <= 160 THEN width
         |        WHEN width * 160 >= height * 224 THEN 224
-        |        ELSE (width * 160) // height END)::INTEGER AS out_w,
+        |        ELSE greatest((width * 160) // height, 1) END)::INTEGER AS out_w,
         |  (CASE WHEN width <= 224 AND height <= 160 THEN height
-        |        WHEN width * 160 >= height * 224 THEN (height * 224) // width
+        |        WHEN width * 160 >= height * 224
+        |          THEN greatest((height * 224) // width, 1)
         |        ELSE 160 END)::INTEGER AS out_h
         |FROM d ORDER BY media_id""".stripMargin,
 

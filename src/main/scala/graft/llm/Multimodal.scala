@@ -308,10 +308,15 @@ object Multimodal {
     // ⇔ w·maxH >= h·maxW.
     val fits = w <= maxW && h <= maxH
     val widthBinds = w * maxH >= h * maxW
+    // clamp the scaled side to >= 1 px (extreme aspect ratios floor to
+    // 0 otherwise) — the same clamp fitWithin/resizePixels execute, so
+    // the plan form and the pixel form stay one geometry
     val outW = when(fits, w)
-      .otherwise(when(widthBinds, lit(maxW.toLong)).otherwise(w * maxH / h))
+      .otherwise(when(widthBinds, lit(maxW.toLong))
+        .otherwise(greatest(w * maxH / h, lit(1L))))
     val outH = when(fits, h)
-      .otherwise(when(widthBinds, h * maxW / w).otherwise(lit(maxH.toLong)))
+      .otherwise(when(widthBinds, greatest(h * maxW / w, lit(1L)))
+        .otherwise(lit(maxH.toLong)))
     decoded.filter(col("media_type") === "image")
       .select(col("media_id"), col("width"), col("height"),
         outW.cast(IntegerType).as("out_w"),

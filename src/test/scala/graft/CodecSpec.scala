@@ -198,6 +198,26 @@ class CodecSpec extends AnyFunSuite {
     assert(graft.llm.Multimodal.fitWithin(16, 1, 8, 6) == (8, 1))
     assert(graft.llm.Multimodal.fitWithin(16, 12, 8, 6) == (8, 6))
     assert(graft.llm.Multimodal.fitWithin(1, 12, 8, 6) == (1, 6))
+    // extreme aspect ratio clamps to 1 px: 1×1000 into 8×6 floors the
+    // scaled width to 0 without the clamp
+    assert(graft.llm.Multimodal.fitWithin(1, 1000, 8, 6) == (1, 6))
+  }
+
+  test("resizePlan clamps extreme aspect ratios to 1 px like fitWithin") {
+    val spark = SparkSpec.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val decoded = Seq(
+      (1L, "image", 1, 480),    // height binds: out_w floors to 0 unclamped
+      (2L, "image", 640, 2),    // width binds: out_h floors to 0 unclamped
+      (3L, "image", 320, 240)   // ordinary downscale
+    ).toDF("media_id", "media_type", "width", "height")
+    val out = graft.llm.Multimodal.resizePlan(decoded, maxW = 224, maxH = 160)
+      .orderBy(col("media_id"))
+      .collect().map(r => (r.getInt(3), r.getInt(4)))
+    assert(out.toSeq == Seq((1, 160), (224, 1), (213, 160)))
+    // every output side is a valid raster dimension
+    assert(out.forall { case (w, h) => w >= 1 && h >= 1 })
   }
 
   test("real JPEG: entropy-coded bytes decode; geometry fixture does not") {

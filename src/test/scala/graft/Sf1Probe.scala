@@ -48,7 +48,10 @@ object Sf1Probe {
     // (clique k → 10k ⇒ k² → 100k² pairs) while these stay in
     // distinct-signature space; the probe pins the collapse to ~1×
     "dd_containment_reps", "op_jw_reps", "q20_promo_parts",
-    "ta_langid_trained", "ta_dsir")
+    "ta_langid_trained", "ta_dsir",
+    // round-10 late row: one count-window over the content hash —
+    // expect linear
+    "dd_soft_weights")
 
   def main(args: Array[String]): Unit = {
     val src = "/root/testdata/sf0.1"
