@@ -1169,14 +1169,18 @@ object Dedup {
   /** Banded hamming self-join over DISTINCT signatures → signature-space
     * edge list (sa, sb). The quadratic part of SimHash search runs here,
     * on ~|distinct signatures| nodes — never over documents. */
-  private[llm] def simhashSigPairs(sig: DataFrame,
+  private[graft] def simhashSigPairs(sig: DataFrame,
                                    maxHamming: Int): DataFrame = {
     val bits = SimHashBandBits
     val sigs = sig.select(col("simhash")).distinct()
+    // shiftright, not `/`: Spark's `/` on longs is DOUBLE division, and
+    // a 60-bit signature >= 2^53 loses its low bits in the conversion —
+    // band 0 (bits 0-14) would be extracted from the ROUNDED value and
+    // equal true bands could fail to meet (silent recall loss)
     val bandCols = (0 until SimHashBands).map { b =>
       concat(lit(s"$b:"),
-        ((col("simhash") / lit(1L << (b * bits))).cast(LongType)
-          % lit(1L << bits)).cast(StringType))
+        shiftright(col("simhash"), b * bits)
+          .bitwiseAND(lit((1L << bits) - 1)).cast(StringType))
     }
     val banded = sigs.select(col("simhash"),
       explode(array(bandCols: _*)).as("band"))

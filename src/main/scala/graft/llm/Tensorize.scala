@@ -50,10 +50,14 @@ object Tensorize {
     // split [s, s+n) at window boundaries: one slice per touched window
     val segStart = greatest(col("__s"), col("__w") * L)
     val segEnd = least(col("__s") + col("__n"), (col("__w") + 1) * L)
+    // `div`, not `/`: Spark's `/` on longs is DOUBLE division, and a
+    // quotient within an ulp of an integer would truncate into the
+    // wrong window at large stream offsets — integer division is exact
+    // at every offset
     val segs = base
       .withColumn("__w", explode(sequence(
-        (col("__s") / L).cast(LongType),
-        ((col("__s") + col("__n") - 1) / L).cast(LongType))))
+        expr(s"__s div ${seqLen}L"),
+        expr(s"(__s + __n - 1) div ${seqLen}L"))))
       .select(col("__grp"), col("__w"), segStart.as("__o"),
         slice(col("__ts"), (segStart - col("__s") + 1).cast("int"),
           (segEnd - segStart).cast("int")).as("__g"))

@@ -795,8 +795,11 @@ object TextAnalysis {
       .withColumn("n_tokens", tokenCountBpe(col("t")).cast(LongType))
       .withColumn("cum", sum(col("n_tokens")).over(w) - col("n_tokens"))
       .select(col("doc"), col("n_tokens"),
+        // `div`, not `/`: long `/` is DOUBLE division and a quotient an
+        // ulp under an integer would truncate into the wrong shard at
+        // large cumulative offsets (the oracle's `//` is exact)
         (col("grp").cast(LongType) * lit(4294967296L) +
-          (col("cum") / lit(budget)).cast(LongType)).as("shard"),
+          expr(s"cum div ${budget}L")).as("shard"),
         (col("cum") % lit(budget)).as("offset"))
   }
 

@@ -234,6 +234,22 @@ class LlmSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"signature plan shuffles:\n$plan")
   }
 
+  test("simhash banding is exact past 2^53 (double-division regression)") {
+    // band 0 (bits 0-14) = 100 on both sides; the three flipped bits sit
+    // one per band 1..3, so band 0 is the ONLY shared band and hamming
+    // is exactly 3. sa >= 2^59 has double-ulp 128, so the former
+    // long-DOUBLE division rounded its band 0 to 128 (sb, topping out at
+    // bit 35, stayed exact at 100) — the pair never met and the banded
+    // join silently lost a qualifying candidate.
+    val sa = (1L << 59) | 100L
+    val sb = 100L | (1L << 35) | (1L << 20)
+    val sig = Seq(sa, sb).toDF("simhash")
+    val pairs = Dedup.simhashSigPairs(sig, maxHamming = 3).collect()
+    assert(pairs.length == 1)
+    assert(pairs.head.getLong(0) == math.min(sa, sb) &&
+      pairs.head.getLong(1) == math.max(sa, sb))
+  }
+
   test("minhashClusters: signature-space CC, cap semantics, twin collapse") {
     // doubled corpus: every text appears under two ids → every signature
     // fingerprint has (at least) a twin
