@@ -35,8 +35,44 @@ object RangeJoin {
 
   private val Bucket = "__graft_rj_bucket"
 
-  private def bucketOf(c: org.apache.spark.sql.Column, width: Long) =
-    floor(c / lit(width)).cast("long")
+  import org.apache.spark.sql.types.{ByteType, DataType, IntegerType,
+    LongType, ShortType}
+
+  private def isIntegral(dt: DataType): Boolean = dt match {
+    case LongType | IntegerType | ShortType | ByteType => true
+    case _ => false
+  }
+
+  /** Integral divide via the catalyst node (`div`) — Spark's `/` on
+    * longs is DOUBLE division. */
+  private def ldiv(a: org.apache.spark.sql.Column,
+                   b: org.apache.spark.sql.Column) =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+        org.apache.spark.sql.GraftColumnBridge.expression(a),
+        org.apache.spark.sql.GraftColumnBridge.expression(b)))
+
+  /** Floor of c/width. For integral domains this is exact long
+    * arithmetic (`div` + negative-remainder adjust): the former
+    * `floor(c / width)` rode double division, which rounds ids past
+    * 2^53 (snowflake-scale keys are an advertised domain) BEFORE the
+    * floor. Within one join that corruption is survivable — rounding
+    * is monotone, the interval explode covers a contiguous bucket
+    * range, and the residual filter compares exact longs — but the
+    * bucket ids themselves were wrong: a corpus PERSISTED
+    * partitionBy(bucket) for layout-pruned probes (the operator's
+    * 100 TB story) would disagree with any exact engine's bucketing of
+    * the same domain, and mixed-type sides (long point vs double
+    * interval) lose the shared-monotone-function guarantee. Fractional
+    * domains keep the double form — their values carry double rounding
+    * by nature. */
+  private def bucketOf(c: org.apache.spark.sql.Column, width: Long,
+                       integral: Boolean) =
+    if (integral) {
+      val cc = c.cast("long")
+      val q = ldiv(cc, lit(width))
+      when(cc % lit(width) < 0, q - 1).otherwise(q)
+    } else floor(c / lit(width)).cast("long")
 
   /** Point-in-interval join: rows of `left` whose `pointCol` lies in
     * `[loCol, hiCol]` of a `right` row, optionally under extra equality
@@ -55,13 +91,17 @@ object RangeJoin {
     val clash = (left.columns ++ right.columns).contains(Bucket)
     require(!clash, s"column name $Bucket is reserved by RangeJoin")
 
-    val l = left.withColumn(Bucket, bucketOf(col(pointCol), bucketWidth))
+    val l = left.withColumn(Bucket,
+      bucketOf(col(pointCol), bucketWidth,
+        isIntegral(left.schema(pointCol).dataType)))
     // inverted/null intervals explode to nothing (sequence(a,b) with
     // a > b counts DOWN in Spark — the filter keeps it from matching)
+    val rIntegral = isIntegral(right.schema(loCol).dataType) &&
+      isIntegral(right.schema(hiCol).dataType)
     val r = right.filter(col(loCol) <= col(hiCol))
       .withColumn(Bucket, explode(sequence(
-        bucketOf(col(loCol), bucketWidth),
-        bucketOf(col(hiCol), bucketWidth))))
+        bucketOf(col(loCol), bucketWidth, rIntegral),
+        bucketOf(col(hiCol), bucketWidth, rIntegral))))
     val keyCond = extraKeys.map { case (lk, rk) => l(lk) === r(rk) }
     val cond = (l(Bucket) === r(Bucket)) +:
       (l(pointCol) >= r(loCol)) +: (l(pointCol) <= r(hiCol)) +: keyCond
@@ -84,16 +124,21 @@ object RangeJoin {
     val clash = (left.columns ++ right.columns).contains(Bucket)
     require(!clash, s"column name $Bucket is reserved by RangeJoin")
 
-    def exploded(df: DataFrame, lo: String, hi: String) =
+    def exploded(df: DataFrame, lo: String, hi: String) = {
+      val integral = isIntegral(df.schema(lo).dataType) &&
+        isIntegral(df.schema(hi).dataType)
       df.filter(col(lo) <= col(hi))
         .withColumn(Bucket, explode(sequence(
-          bucketOf(col(lo), bucketWidth),
-          bucketOf(col(hi), bucketWidth))))
+          bucketOf(col(lo), bucketWidth, integral),
+          bucketOf(col(hi), bucketWidth, integral))))
+    }
     val l = exploded(left, lLo, lHi)
     val r = exploded(right, rLo, rHi)
     val overlap = (l(lLo) <= r(rHi)) && (r(rLo) <= l(lHi))
     val firstShared =
-      l(Bucket) === bucketOf(greatest(l(lLo), r(rLo)), bucketWidth)
+      l(Bucket) === bucketOf(greatest(l(lLo), r(rLo)), bucketWidth,
+        isIntegral(left.schema(lLo).dataType) &&
+          isIntegral(right.schema(rLo).dataType))
     val keyCond = extraKeys.map { case (lk, rk) => l(lk) === r(rk) }
     val cond = ((l(Bucket) === r(Bucket)) +: overlap +: firstShared +:
       keyCond).reduce(_ && _)
