@@ -759,4 +759,71 @@ object Events {
       .format("parquet")
       .option("path", outPath)
       .start()
+
+  /** One micro-batch of the streaming upsert sink ([[startUpsertQuery]]):
+    * collapse the batch to its LAST version per unique key — `orderCol`
+    * desc, whole-row hash as the deterministic tiebreak — then MERGE
+    * into `table` ([[graft.mat.Incremental.merge]]) and swap the result
+    * in via the tmp-table rename dance (never overwrite a table from a
+    * plan that reads it — the Materializer caution). Null-keyed rows
+    * are DROPPED, loudly documented: a row with no key has no identity
+    * to upsert, and passing it through as a blind insert would
+    * re-insert it on every batch REPLAY — destroying the idempotence
+    * the sink's delivery contract rests on. First batch creates the
+    * table. Exposed for batch-mode testing; idempotent for a fixed
+    * batch content, which is what makes the streaming sink
+    * replay-safe. */
+  def upsertBatch(batch: DataFrame, table: String,
+                  uniqueKeys: Seq[String], orderCol: String): Unit = {
+    require(uniqueKeys.nonEmpty, "upsert needs unique keys")
+    if (batch.isEmpty) return
+    val spark = batch.sparkSession
+    val keysNotNull = uniqueKeys.map(col(_).isNotNull).reduce(_ && _)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(uniqueKeys.map(col): _*)
+      .orderBy(col(orderCol).desc,
+        xxhash64(batch.columns.map(col).toIndexedSeq: _*))
+    val rn = "__graft_upsert_rn"
+    val collapsed = batch.filter(keysNotNull)
+      .withColumn(rn, row_number().over(w))
+      .filter(col(rn) === 1).drop(rn)
+    if (!spark.catalog.tableExists(table)) {
+      collapsed.write.saveAsTable(table)
+    } else {
+      val merged =
+        graft.mat.Incremental.merge(spark.table(table), collapsed,
+          uniqueKeys)
+      val tmp = s"${table}__upsert_tmp"
+      val backup = s"${table}__upsert_backup"
+      spark.sql(s"DROP TABLE IF EXISTS $tmp")
+      spark.sql(s"DROP TABLE IF EXISTS $backup")
+      merged.write.saveAsTable(tmp)
+      spark.sql(s"ALTER TABLE $table RENAME TO $backup")
+      spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
+      spark.sql(s"DROP TABLE IF EXISTS $backup")
+    }
+  }
+
+  /** Streaming UPSERT sink: each micro-batch MERGEs into a catalog
+    * table on `uniqueKeys` via `foreachBatch` — the Structured
+    * Streaming pattern for keyed sinks (stream of row VERSIONS in,
+    * current-state table out). Within a batch the last version per key
+    * wins (`orderCol` desc); across batches the MERGE updates matched
+    * keys and inserts new ones. Replay safety: after a failure,
+    * foreachBatch can re-deliver a batch — the collapsed MERGE is
+    * idempotent for fixed batch content, which is the foreachBatch
+    * exactly-once contract for idempotent sinks. On vanilla parquet
+    * each batch rewrites the table (the [[graft.mat.Materializer]]
+    * swap); a MERGE-capable table format would execute the identical
+    * logical plan in place — Incremental.merge IS that plan. */
+  def startUpsertQuery(stream: DataFrame, checkpoint: String,
+                       table: String, uniqueKeys: Seq[String],
+                       orderCol: String): StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        upsertBatch(batch, table, uniqueKeys, orderCol)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
 }

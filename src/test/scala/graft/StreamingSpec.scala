@@ -709,4 +709,45 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.select($"simhash").distinct().count() ==
       streamed.count(), "near-duplicates survived the signature dedup")
   }
+
+  test("streaming upsert sink: per-batch MERGE, last version per key wins") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-upsert").toString
+    val inDir = java.nio.file.Paths.get(tmp, "in")
+    java.nio.file.Files.createDirectories(inDir)
+    def wave(rows: Seq[(Option[Long], String, Long)], name: String): Unit = {
+      rows.toDF("k", "v", "ord")
+        .coalesce(1).write.parquet(s"$inDir/stage_$name")
+      val f = java.nio.file.Files
+        .list(java.nio.file.Paths.get(s"$inDir/stage_$name"))
+        .filter(_.toString.endsWith(".parquet")).findFirst().get()
+      java.nio.file.Files.move(f,
+        java.nio.file.Paths.get(s"$inDir/$name.parquet"))
+    }
+    // batch a: two keys plus a null-keyed row (no identity → dropped);
+    // batch b: updates key 2, inserts key 3 with an IN-BATCH duplicate
+    // (ord 3 must win the within-batch collapse)
+    wave(Seq((Some(1L), "a1", 1L), (Some(2L), "b1", 1L),
+      (None, "junk", 1L)), "a")
+    wave(Seq((Some(2L), "b2", 2L), (Some(3L), "c2", 2L),
+      (Some(3L), "c3", 3L)), "b")
+    val table = "graft_upsert_sink_test"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val sch = spark.read.parquet(s"$inDir/a.parquet").schema
+    val stream = spark.readStream.schema(sch)
+      .option("maxFilesPerTrigger", "1").parquet(inDir.toString)
+    val q = Events.startUpsertQuery(stream, s"$tmp/ckpt", table,
+      Seq("k"), "ord")
+    q.awaitTermination(120000)
+    def state() = spark.table(table).orderBy($"k").collect()
+      .map(r => (if (r.isNullAt(0)) -1L else r.getLong(0),
+        r.getString(1), r.getLong(2))).toSeq
+    assert(state() == Seq((1L, "a1", 1L), (2L, "b2", 2L), (3L, "c3", 3L)))
+    // replay safety: re-applying batch b's content leaves the table
+    // unchanged (the foreachBatch re-delivery case)
+    Events.upsertBatch(
+      Seq((Some(2L), "b2", 2L), (Some(3L), "c2", 2L), (Some(3L), "c3", 3L))
+        .toDF("k", "v", "ord"), table, Seq("k"), "ord")
+    assert(state() == Seq((1L, "a1", 1L), (2L, "b2", 2L), (3L, "c3", 3L)))
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
 }
