@@ -1336,6 +1336,30 @@ object SparkEntry {
       s.table("graft_inc_drv").orderBy(col("o_orderkey"), col("src"))
     }),
 
+    "mat_upsert_batches" -> ((s, dir) => {
+      // the streaming upsert sink's batch kernel (Events.upsertBatch):
+      // batch 1 creates the table; batch 2 updates every 3rd key,
+      // carries an IN-BATCH duplicate of those keys (higher ord must
+      // win the within-batch collapse) and inserts new keys. Ords are
+      // distinct per key so the whole-row-hash tiebreak never decides.
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      s.sql("DROP TABLE IF EXISTS graft_upsert_drv")
+      val b1 = d.select(col("doc_id").as("k"), col("text").as("v"),
+        lit(1L).as("ord"))
+      val thirds = d.filter(col("doc_id") % 3 === 0)
+      val b2 = thirds
+        .select(col("doc_id").as("k"),
+          concat(col("text"), lit(" v2")).as("v"), lit(2L).as("ord"))
+        .unionByName(thirds.select(col("doc_id").as("k"),
+          concat(col("text"), lit(" v3")).as("v"), lit(3L).as("ord")))
+        .unionByName(d.filter(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 10000).as("k"), col("text").as("v"),
+            lit(2L).as("ord")))
+      Events.upsertBatch(b1, "graft_upsert_drv", Seq("k"), "ord")
+      Events.upsertBatch(b2, "graft_upsert_drv", Seq("k"), "ord")
+      s.table("graft_upsert_drv").orderBy(col("k"))
+    }),
+
     "se_append_new_cols" -> ((s, dir) => {
       // on_schema_change=append_new_columns (incremental.sql:83-86): the
       // staged frame keeps its new column when aligned to the target
@@ -2947,6 +2971,25 @@ object SparkEntry {
         |  CASE WHEN s.o_orderkey IS NOT NULL THEN s.src ELSE t.src END AS src
         |FROM target t FULL OUTER JOIN staged s ON t.o_orderkey = s.o_orderkey
         |ORDER BY o_orderkey, src""".stripMargin,
+
+    "mat_upsert_batches" ->
+      """WITH b1 AS (SELECT doc_id AS k, text AS v, 1::BIGINT AS ord
+        |  FROM documents),
+        |b2 AS (
+        |  SELECT doc_id AS k, text || ' v2' AS v, 2::BIGINT AS ord
+        |    FROM documents WHERE doc_id % 3 = 0
+        |  UNION ALL SELECT doc_id, text || ' v3', 3::BIGINT
+        |    FROM documents WHERE doc_id % 3 = 0
+        |  UNION ALL SELECT doc_id + 10000, text, 2::BIGINT
+        |    FROM documents WHERE doc_id % 7 = 0),
+        |c2 AS (SELECT k, v, ord FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY k ORDER BY ord DESC)
+        |    AS rn FROM b2) WHERE rn = 1)
+        |SELECT coalesce(c2.k, b1.k) AS k,
+        |  CASE WHEN c2.k IS NOT NULL THEN c2.v ELSE b1.v END AS v,
+        |  CASE WHEN c2.k IS NOT NULL THEN c2.ord ELSE b1.ord END AS ord
+        |FROM b1 FULL OUTER JOIN c2 ON b1.k = c2.k
+        |ORDER BY k""".stripMargin,
 
     "se_append_new_cols" ->
       """SELECT o_orderkey,
