@@ -234,6 +234,17 @@ class LlmSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"signature plan shuffles:\n$plan")
   }
 
+  test("softWeights plans exactly ONE exchange (count-window on the hash)") {
+    val d = Seq((0L, "x"), (1L, "y")).toDF("doc_id", "text")
+    val plan = Dedup.softWeights(d, $"doc_id", $"text")
+      .queryExecution.executedPlan.toString
+    // the operator's scale contract: the corpus crosses the wire ONCE,
+    // partitioned by the content hash — no join-back, no second shuffle
+    // (string count — AQE's wrapper hides the inner plan from collect)
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length == 1,
+      s"expected 1 exchange:\n$plan")
+  }
+
   test("simhash banding is exact past 2^53 (double-division regression)") {
     // band 0 (bits 0-14) = 100 on both sides; the three flipped bits sit
     // one per band 1..3, so band 0 is the ONLY shared band and hamming
