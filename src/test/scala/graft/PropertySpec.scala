@@ -179,6 +179,40 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("softWeights invariants on random corpora: weights sum to the " +
+      "distinct count, cluster-consistent, exact-dedup-consistent") {
+    val textGen = Gen.oneOf("a", "b", "c", "aa", "ab", "", "a b", "b a")
+    for (seed <- Seq(11L, 12L, 13L)) {
+      val rows = (1 to 120).map(i =>
+        (i.toLong, draw(textGen, seed * 1000 + i)))
+      val df = rows.toDF("doc_id", "text")
+      val out = graft.llm.Dedup.softWeights(df, $"doc_id", $"text")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      assert(out.length == rows.length) // nothing dropped
+      val byId = out.map(t => t._1 -> t).toMap
+      val byText = rows.groupBy(_._2)
+      // n_dups equals the true cluster size; weight = round(1/n, 6)
+      for ((text, members) <- byText; (id, _) <- members) {
+        val (_, n, w) = byId(id)
+        assert(n == members.size)
+        // Spark round() is half-up for positives; no 1/n with n <= 120
+        // lands on a 6-place halfway point, so this is exact
+        assert(w == math.round(1e6 / n) / 1e6)
+      }
+      // the training invariant: Σ weights == number of distinct texts
+      // (up to the 6-place rounding each cluster contributes)
+      val total = out.map(_._3).sum
+      assert(math.abs(total - byText.size) < 1e-3,
+        s"sum ${total} vs distinct ${byText.size}")
+      // consistency with exact dedup: same clusters, so exact's
+      // (keep_id, n_dups) pairs are exactly the min-id rows here
+      val exact = graft.llm.Dedup.exact(df, $"text", $"doc_id")
+        .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+      assert(exact == byText.values
+        .map(ms => ms.map(_._1).min -> ms.size.toLong).toMap)
+    }
+  }
+
   test("heavy hitters equals exact GROUP BY/HAVING on zipf-ish random keys") {
     val keyGen = Gen.frequency(
       (8, Gen.const(0L)), (4, Gen.const(1L)), (2, Gen.const(2L)),
