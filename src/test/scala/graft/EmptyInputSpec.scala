@@ -139,6 +139,35 @@ class EmptyInputSpec extends SparkSpec {
       .trailing(empty, "key", "ts", "value", 10L).count() === 0)
   }
 
+  test("softWeights on an empty corpus is empty; singleton weighs 1.0") {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(graft.llm.Dedup.softWeights(empty, $"doc_id", $"text")
+      .count() === 0)
+    val one = graft.llm.Dedup.softWeights(
+      Seq((7L, "x")).toDF("doc_id", "text"), $"doc_id", $"text")
+      .collect()
+    assert(one.length === 1 && one.head.getLong(1) === 1L &&
+      one.head.getDouble(2) === 1.0)
+  }
+
+  test("upsertBatch: empty batch is a no-op; all-null-key batch creates nothing") {
+    val table = "graft_upsert_empty_test"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val empty = Seq.empty[(Option[Long], String, Long)].toDF("k", "v", "ord")
+    graft.streaming.Events.upsertBatch(empty, table, Seq("k"), "ord")
+    assert(!spark.catalog.tableExists(table)) // nothing to create from
+    // a batch of only null-keyed rows collapses to nothing → the table
+    // is created EMPTY (schema known), and a later real batch upserts
+    val nulls = Seq((Option.empty[Long], "n", 1L)).toDF("k", "v", "ord")
+    graft.streaming.Events.upsertBatch(nulls, table, Seq("k"), "ord")
+    assert(spark.catalog.tableExists(table) &&
+      spark.table(table).count() === 0)
+    graft.streaming.Events.upsertBatch(
+      Seq((Some(1L), "a", 2L)).toDF("k", "v", "ord"), table, Seq("k"), "ord")
+    assert(spark.table(table).count() === 1)
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
+
   test("profile of an empty table reports zero counts and null min/max") {
     val empty = Seq.empty[(Long, String)].toDF("a", "b")
     val rows = graft.mat.Profile.profile(empty).collect()
