@@ -1599,6 +1599,17 @@ object SparkEntry {
           TextAnalysis.splitAssign(col("doc_id")).as("split"))
         .orderBy(col("doc_id"))),
 
+    "ta_split_safe" -> ((s, dir) => {
+      // leakage-safe split: duplicates (the +10000 shifted copies) must
+      // land in the SAME split as their originals — assignment hashes
+      // the exact-cluster representative, not the row id.
+      val d = t(s, dir, "documents")
+      val u = d.select(col("doc_id"), col("text")).unionByName(
+        d.select((col("doc_id") + 10000).as("doc_id"), col("text")))
+      Dedup.splitByCluster(u, col("doc_id"), col("text"))
+        .orderBy(col("doc_id"))
+    }),
+
     "ta_redact" -> ((s, dir) => {
       // synthetic PII injected deterministically (the corpus has none):
       // every 5th doc gains an email + phone; output proves the
@@ -2376,6 +2387,19 @@ object SparkEntry {
           shortlist = 100)
         .select(col("query_id"), (col("recall") >= 0.6).as("recall_ok"))
         .orderBy(col("query_id"))
+    }),
+
+    "sim_sq8_topk" -> ((s, dir) => {
+      // int8 scalar quantization — the bandwidth lever: the scan reads
+      // 4×-smaller codes and the hot loop is integer multiply-adds.
+      // Quantization (floor over IEEE doubles) and score (one double
+      // expression over exact BIGINT dots) are both engine-exact, so
+      // the whole approximate ranking is oracle-comparable, not just
+      // recall-gated. RetrievalSpec pins recall ≥ 0.9 vs brute force.
+      val e = t(s, dir, "embeddings")
+      Similarity.sq8TopK(e, e.filter(col("vec_id") < 5),
+          "vec_id", "embedding", 10)
+        .orderBy(col("query_id"), col("rank"))
     }),
 
     // ---- multimodal plumbing (stub decode — see Multimodal.FakeDecoder) ----
@@ -3197,6 +3221,23 @@ object SparkEntry {
   private def cosSql(a: String, b: String): String =
     s"round(${dotSql(a, b)} / sqrt(${dotSql(a, a)} * ${dotSql(b, b)}), 6)"
 
+  /** SQ8 quantization twin of Similarity.sq8Quantize — clamp(floor(
+    * x·127 + 0.5), ±127) per component, exact in IEEE doubles. */
+  private def sq8Sql(v: String): String =
+    s"list_transform($v, x -> CAST(greatest(-127.0, least(127.0, " +
+      s"floor(x::DOUBLE * 127.0 + 0.5))) AS BIGINT))"
+
+  /** Exact integer dot over BIGINT lists. */
+  private def idotSql(a: String, b: String): String =
+    s"list_reduce(list_prepend(0::BIGINT, list_transform(" +
+      s"range(1, len($a)+1), i -> $a[i] * $b[i])), (x, y) -> x + y)"
+
+  /** Quantized cosine: one double expression over the exact BIGINT
+    * dots — the Similarity.sq8Cosine twin. */
+  private def sq8CosSql(a: String, b: String): String =
+    s"round(${idotSql(a, b)}::DOUBLE / sqrt(${idotSql(a, a)}::DOUBLE * " +
+      s"${idotSql(b, b)}::DOUBLE), 6)"
+
   /** 16 minhash aggregate exprs over a shingle-hash column `h`: integer
     * mixes (a_i·h + b_i) mod p of ONE rolling hash per shingle — the
     * constants come from Dedup.mixA/mixB so Spark and oracle share them. */
@@ -3603,6 +3644,18 @@ object SparkEntry {
         |  ${rollSql("'split:' || CAST(doc_id AS VARCHAR)")} % 100 AS b
         |FROM documents)
         |SELECT doc_id, CASE WHEN b < 80 THEN 'train'
+        |  WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+        |FROM h ORDER BY doc_id""".stripMargin,
+
+    "ta_split_safe" ->
+      s"""WITH u AS (SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 10000, text FROM documents),
+        |c AS (SELECT doc_id,
+        |  min(doc_id) OVER (PARTITION BY md5(text)) AS rep_id FROM u),
+        |h AS (SELECT doc_id, rep_id,
+        |  ${rollSql("'split:' || CAST(rep_id AS VARCHAR)")} % 100 AS b
+        |FROM c)
+        |SELECT doc_id, rep_id, CASE WHEN b < 80 THEN 'train'
         |  WHEN b < 90 THEN 'val' ELSE 'test' END AS split
         |FROM h ORDER BY doc_id""".stripMargin,
 
@@ -4388,6 +4441,16 @@ object SparkEntry {
         |  FROM c CROSS JOIN q WHERE query_id != vec_id),
         |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank FROM scored)
         |SELECT query_id, vec_id, cos, rank FROM r WHERE rank <= 10
+        |ORDER BY query_id, rank""".stripMargin,
+
+    "sim_sq8_topk" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, ${sq8Sql("embedding")} AS qq
+        |  FROM embeddings WHERE vec_id < 5),
+        |c AS (SELECT vec_id, ${sq8Sql("embedding")} AS qc FROM embeddings),
+        |scored AS (SELECT query_id, vec_id, ${sq8CosSql("qq", "qc")} AS qcos
+        |  FROM c CROSS JOIN q WHERE query_id != vec_id),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY qcos DESC, vec_id) AS rank FROM scored)
+        |SELECT query_id, vec_id, qcos, rank FROM r WHERE rank <= 10
         |ORDER BY query_id, rank""".stripMargin,
 
     "sim_lsh_topk" ->

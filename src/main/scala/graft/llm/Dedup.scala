@@ -52,6 +52,31 @@ object Dedup {
       .withColumn("weight", round(lit(1.0) / col("n_dups"), 6))
   }
 
+  /** Leakage-safe train/val/test split: assign by the exact-duplicate
+    * cluster REPRESENTATIVE's hash, not the row's own id, so duplicate
+    * documents can never straddle splits — the classic eval
+    * contamination where a test document's twin sits in train and the
+    * held-out metric silently measures memorization. A per-row id-hash
+    * split ([[graft.llm.TextAnalysis.splitAssign]]) leaks exactly this
+    * way on any corpus with duplicates.
+    *
+    * One min-window over the content hash (the identical single
+    * hash-partitioned exchange [[exact]] pays — no join-back, no second
+    * corpus scan), then the map-only split hash of the representative.
+    * For NEAR-duplicate safety, feed a canonical key from the fuzzy
+    * stack instead of raw text (e.g. join [[minhashClusters]]' cluster
+    * id in as `content`) — the split logic is key-agnostic.
+    *
+    * Output: (doc_id, rep_id, split). */
+  def splitByCluster(df: DataFrame, id: Column, content: Column,
+                     trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5(content.cast(StringType)))
+    df.select(id.as("doc_id"), min(id).over(w).as("rep_id"))
+      .withColumn("split",
+        TextAnalysis.splitAssign(col("rep_id"), trainPct, valPct))
+  }
+
   // -------------------------------------------------------------------
   // shingling
   // -------------------------------------------------------------------

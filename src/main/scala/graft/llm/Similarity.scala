@@ -574,6 +574,96 @@ object Similarity {
         round(col("n_hits").cast(DoubleType) / k, 4).as("recall"))
   }
 
+  // -------------------------------------------------------------------
+  // Scalar quantization (SQ8 — the bandwidth lever)
+  // -------------------------------------------------------------------
+
+  /** Symmetric int8 quantization of a unit-scale embedding:
+    * q_i = clamp(floor(x_i·127 + 0.5), −127, 127). Map-only and
+    * engine-deterministic (floor over IEEE doubles — the float→double
+    * widening is exact, so any engine reproduces every q_i bit-for-bit,
+    * unlike a trained codebook).
+    *
+    * The point at 100 TB: a 64-dim float vector is 256 B, its SQ8 code
+    * 64 B — the candidate scan reads a quarter of the bytes and the
+    * score becomes an integer multiply-add loop (the SIMD/VNNI form),
+    * with the raw vectors left cold for the exact rerank. Simpler than
+    * PQ (no codebook to train, ship, or version) at much higher
+    * fidelity: per-component rounding error only, so on unit-scale
+    * embeddings the quantized ranking is near-exact (recall pinned in
+    * RetrievalSpec), where PQ's per-subspace centroids trade recall for
+    * its 32× smaller codes. Use SQ8 when bandwidth is the constraint,
+    * PQ/IVFPQ when memory is. */
+  def sq8Quantize(vec: Column): Column =
+    transform(vec, x => greatest(lit(-127.0), least(lit(127.0),
+      floor(x.cast(DoubleType) * 127.0 + 0.5))).cast(IntegerType))
+
+  /** Quantized cosine: the three dots are exact BIGINT-valued doubles
+    * (|dot| ≤ 127²·dim « 2⁵³), so the final one-double-expression value
+    * is engine-identical — the integer-core exactness pattern. */
+  def sq8Cosine(qa: Column, qb: Column): Column = {
+    def dot(x: Column, y: Column): Column = graft.functions.DotProduct(x, y)
+    round(dot(qa, qb) / sqrt(dot(qa, qa) * dot(qb, qb)), 6)
+  }
+
+  /** SQ8 approximate top-k: rank by quantized cosine over int8 codes.
+    * Same broadcast + WindowGroupLimit shape as [[bruteForceTopK]] —
+    * the win is that the corpus-side scan touches the 4×-smaller code
+    * column and the hot loop is integer multiply-adds. Deterministic
+    * end-to-end (quantization and score both exact), hence directly
+    * oracle-comparable; recall vs the exact ranking is pinned in
+    * RetrievalSpec rather than traded for here. */
+  def sq8TopK(corpus: DataFrame, queries: DataFrame, id: String,
+              vec: String, k: Int): DataFrame = {
+    val c = corpus.select(col(id).as("vec_id"),
+      sq8Quantize(col(vec)).as("qc"))
+    val q = queries.select(col(id).as("query_id"),
+      sq8Quantize(col(vec)).as("qq"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id"),
+        sq8Cosine(col("qq"), col("qc")).as("qcos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("qcos").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** [[sq8TopK]] with an exact-cosine rerank of a `shortlist`-deep
+    * quantized shortlist — the [[pqTopK]] serving shape: the full scan
+    * reads codes only; raw vectors are fetched for
+    * |queries|·shortlist rows. */
+  def sq8TopKRerank(corpus: DataFrame, queries: DataFrame, id: String,
+                    vec: String, k: Int, shortlist: Int = 50): DataFrame = {
+    val short = sq8TopK(corpus, queries, id, vec, shortlist)
+      .select(col("query_id"), col("vec_id"))
+    val rer = short
+      .join(corpus.select(col(id).as("vec_id"), col(vec).as("cv")),
+        Seq("vec_id"))
+      .join(broadcast(queries.select(col(id).as("query_id"),
+        col(vec).as("qv"))), Seq("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        Dedup.cosine(col("qv"), col("cv")).as("cos"))
+    val wk = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    rer.withColumn("rank", row_number().over(wk)).filter(col("rank") <= k)
+  }
+
+  /** Per-query recall of [[sq8TopK]] against [[bruteForceTopK]]. */
+  def sq8Recall(corpus: DataFrame, queries: DataFrame, id: String,
+                vec: String, k: Int): DataFrame = {
+    val sq = sq8TopK(corpus, queries, id, vec, k)
+      .select(col("query_id"), col("vec_id"))
+    val exact = bruteForceTopK(corpus, queries, id, vec, k)
+      .select(col("query_id"), col("vec_id"))
+    val hits = sq.intersect(exact)
+      .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
+    queries.select(col(id).as("query_id"))
+      .join(hits, Seq("query_id"), "left_outer")
+      .na.fill(0L, Seq("n_hits"))
+      .select(col("query_id"),
+        round(col("n_hits").cast(DoubleType) / k, 4).as("recall"))
+  }
+
   /** Approximate k-NN GRAPH over the whole corpus — every vector's k
     * nearest same-bucket neighbors, the input artifact of graph
     * clustering, agglomerative dedup, and label propagation.

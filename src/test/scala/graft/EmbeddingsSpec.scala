@@ -104,6 +104,31 @@ class EmbeddingsSpec extends SparkSpec {
     assert(twins.count() === emb.count())
   }
 
+  test("sq8: codes bounded, recall >= 0.9, ample-shortlist rerank == brute force") {
+    val emb = Tables.load(spark, sf, "embeddings")
+      .select($"vec_id", $"embedding")
+    // codes live in [-127, 127]
+    val outOfRange = emb.select(explode(
+        graft.llm.Similarity.sq8Quantize($"embedding")).as("q"))
+      .filter($"q" > 127 || $"q" < -127).count()
+    assert(outOfRange === 0)
+    // quantized ranking is near-exact on unit-scale vectors
+    val queries = emb.filter($"vec_id" < 20)
+    val rec = graft.llm.Similarity.sq8Recall(emb, queries,
+        "vec_id", "embedding", 10)
+      .agg(min($"recall")).as[Double].head()
+    assert(rec >= 0.9, s"sq8 min recall $rec")
+    // with a shortlist far deeper than any quantization reorder, the
+    // exact rerank reproduces the brute-force top-k EXACTLY
+    val rer = graft.llm.Similarity.sq8TopKRerank(emb, queries,
+        "vec_id", "embedding", 10, shortlist = 100)
+      .select($"query_id", $"vec_id", $"cos", $"rank")
+    val bf = graft.llm.Similarity.bruteForceTopK(emb, queries,
+        "vec_id", "embedding", 10)
+      .select($"query_id", $"vec_id", $"cos", $"rank")
+    assert(rer.exceptAll(bf).isEmpty && bf.exceptAll(rer).isEmpty)
+  }
+
   test("semanticDedup: cell-local drop equals global brute force on doubled corpus") {
     // identical copies always co-locate (same centroid distances,
     // deterministic tie-break) and no natural pair reaches 0.95, so the

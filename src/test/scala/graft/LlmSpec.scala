@@ -609,6 +609,30 @@ class LlmSpec extends SparkSpec {
     assert(dist.getOrElse("val", 0L) > 0 && dist.getOrElse("test", 0L) > 0)
   }
 
+  test("dataset assembly: splitByCluster keeps duplicate clusters in one split") {
+    val u = docs.select($"doc_id", $"text").unionByName(
+      docs.select(($"doc_id" + 10000).as("doc_id"), $"text"))
+    val got = Dedup.splitByCluster(u, $"doc_id", $"text")
+    // clusters are pure: one distinct split per representative
+    val impure = got.groupBy($"rep_id")
+      .agg(countDistinct($"split").as("k")).filter($"k" > 1).count()
+    assert(impure === 0)
+    // rep rows keep their own raw assignment (rep hashes itself)
+    val repRows = got.filter($"doc_id" === $"rep_id")
+      .select($"doc_id", $"split")
+    val raw = u.select($"doc_id",
+      TextAnalysis.splitAssign($"doc_id").as("split"))
+    assert(repRows.exceptAll(raw).count() === 0)
+    // and the fix is load-bearing here: the +10000 twins' RAW
+    // assignments straddle splits for at least one cluster — the leak
+    // splitByCluster exists to close
+    val leaky = got.select($"doc_id", $"rep_id")
+      .join(raw, "doc_id")
+      .groupBy($"rep_id").agg(countDistinct($"split").as("k"))
+      .filter($"k" > 1).count()
+    assert(leaky > 0, "fixture never leaks under raw split; weaken test")
+  }
+
   test("dataset assembly: redaction removes emails and phones") {
     val d = Seq((1L, "mail me at jo.doe+x@sub.example.org thanks"),
       (2L, "call +1 (555) 010-7788 now"),
