@@ -91,17 +91,25 @@ object RangeJoin {
     val clash = (left.columns ++ right.columns).contains(Bucket)
     require(!clash, s"column name $Bucket is reserved by RangeJoin")
 
+    // ONE bucketing function for the whole join, decided by ALL the
+    // operand types together: a mixed-type join (long point vs double
+    // bounds) bucketing each side with a DIFFERENT function loses the
+    // shared-monotone guarantee — near/above 2^53 an exact-long point
+    // bucket can fall outside the double-rounded bucket range the
+    // interval exploded into, silently dropping a true match. All
+    // integral → exact long div; any fractional operand → everyone
+    // rides the same double floor (self-consistent, as before r10).
+    val integral = isIntegral(left.schema(pointCol).dataType) &&
+      isIntegral(right.schema(loCol).dataType) &&
+      isIntegral(right.schema(hiCol).dataType)
     val l = left.withColumn(Bucket,
-      bucketOf(col(pointCol), bucketWidth,
-        isIntegral(left.schema(pointCol).dataType)))
+      bucketOf(col(pointCol), bucketWidth, integral))
     // inverted/null intervals explode to nothing (sequence(a,b) with
     // a > b counts DOWN in Spark — the filter keeps it from matching)
-    val rIntegral = isIntegral(right.schema(loCol).dataType) &&
-      isIntegral(right.schema(hiCol).dataType)
     val r = right.filter(col(loCol) <= col(hiCol))
       .withColumn(Bucket, explode(sequence(
-        bucketOf(col(loCol), bucketWidth, rIntegral),
-        bucketOf(col(hiCol), bucketWidth, rIntegral))))
+        bucketOf(col(loCol), bucketWidth, integral),
+        bucketOf(col(hiCol), bucketWidth, integral))))
     val keyCond = extraKeys.map { case (lk, rk) => l(lk) === r(rk) }
     val cond = (l(Bucket) === r(Bucket)) +:
       (l(pointCol) >= r(loCol)) +: (l(pointCol) <= r(hiCol)) +: keyCond
@@ -124,21 +132,26 @@ object RangeJoin {
     val clash = (left.columns ++ right.columns).contains(Bucket)
     require(!clash, s"column name $Bucket is reserved by RangeJoin")
 
-    def exploded(df: DataFrame, lo: String, hi: String) = {
-      val integral = isIntegral(df.schema(lo).dataType) &&
-        isIntegral(df.schema(hi).dataType)
+    // One shared bucketing function across BOTH sides and the
+    // firstShared dedup predicate (see pointInInterval): per-side
+    // integrality let a mixed-type pair explode with one function but
+    // dedup with another — failing `firstShared` on every candidate
+    // row, so the pair vanished instead of matching once.
+    val integral = isIntegral(left.schema(lLo).dataType) &&
+      isIntegral(left.schema(lHi).dataType) &&
+      isIntegral(right.schema(rLo).dataType) &&
+      isIntegral(right.schema(rHi).dataType)
+    def exploded(df: DataFrame, lo: String, hi: String) =
       df.filter(col(lo) <= col(hi))
         .withColumn(Bucket, explode(sequence(
           bucketOf(col(lo), bucketWidth, integral),
           bucketOf(col(hi), bucketWidth, integral))))
-    }
     val l = exploded(left, lLo, lHi)
     val r = exploded(right, rLo, rHi)
     val overlap = (l(lLo) <= r(rHi)) && (r(rLo) <= l(lHi))
     val firstShared =
       l(Bucket) === bucketOf(greatest(l(lLo), r(rLo)), bucketWidth,
-        isIntegral(left.schema(lLo).dataType) &&
-          isIntegral(right.schema(rLo).dataType))
+        integral)
     val keyCond = extraKeys.map { case (lk, rk) => l(lk) === r(rk) }
     val cond = ((l(Bucket) === r(Bucket)) +: overlap +: firstShared +:
       keyCond).reduce(_ && _)

@@ -760,22 +760,87 @@ object Events {
       .option("path", outPath)
       .start()
 
+  /** Simple-identifier check + backtick quoting for the upsert sink's
+    * generated DDL. `upsertBatch` interpolates the table name into
+    * DROP/ALTER statements and derives its tmp/backup scratch names by
+    * suffixing, so the name must be a plain (optionally db-qualified)
+    * identifier — anything needing quoting could break the swap or
+    * collide with the reserved `<table>__upsert_tmp` /
+    * `<table>__upsert_backup` names, which would then be silently
+    * DROPPED. Rejected loudly instead. */
+  private val SimpleIdent =
+    "^[A-Za-z_][A-Za-z0-9_]*(\\.[A-Za-z_][A-Za-z0-9_]*)?$".r
+  private def checkTableName(table: String): Unit = {
+    require(SimpleIdent.findFirstIn(table).isDefined,
+      s"upsert table name must be a simple [db.]table identifier: $table")
+    require(!table.endsWith("__upsert_tmp") &&
+      !table.endsWith("__upsert_backup"),
+      s"names ending in __upsert_tmp/__upsert_backup are reserved " +
+        s"by the upsert sink's swap: $table")
+  }
+  private def quoted(table: String): String =
+    table.split('.').map(p => s"`$p`").mkString(".")
+
+  /** Max distinct partition tuples one micro-batch may touch before the
+    * partition-scoped path falls back to the full-table merge: the
+    * touched-partition set is collected to the driver (the same
+    * metadata dynamic-partition-overwrite itself tracks per commit), so
+    * it must stay metadata-sized. A batch touching more partitions than
+    * this is effectively a full-table write anyway. */
+  private val MaxTouchedPartitions = 10000
+
   /** One micro-batch of the streaming upsert sink ([[startUpsertQuery]]):
     * collapse the batch to its LAST version per unique key — `orderCol`
     * desc, whole-row hash as the deterministic tiebreak — then MERGE
-    * into `table` ([[graft.mat.Incremental.merge]]) and swap the result
-    * in via the tmp-table rename dance (never overwrite a table from a
-    * plan that reads it — the Materializer caution). Null-keyed rows
+    * into `table` ([[graft.mat.Incremental.merge]]). Null-keyed rows
     * are DROPPED, loudly documented: a row with no key has no identity
     * to upsert, and passing it through as a blind insert would
     * re-insert it on every batch REPLAY — destroying the idempotence
     * the sink's delivery contract rests on. First batch creates the
     * table. Exposed for batch-mode testing; idempotent for a fixed
-    * batch content, which is what makes the streaming sink
-    * replay-safe. */
+    * batch content, which is what makes the streaming sink replay-safe.
+    *
+    * '''Unpartitioned''' (`partitionCols` empty): the merged result is
+    * materialized to a tmp table and rename-swapped in (never overwrite
+    * a table from a plan that reads it — the Materializer caution).
+    * Per-batch cost is O(|table|) — fine for modest tables, wrong at
+    * 100 TB.
+    *
+    * '''Partition-scoped''' (`partitionCols` nonempty): the table is
+    * created `partitionBy(partitionCols)` and each subsequent batch
+    * rewrites ONLY the partitions containing staged keys — the batch's
+    * distinct partition tuples (metadata-sized, capped at
+    * [[MaxTouchedPartitions]]) become literal partition filters on the
+    * target read (static partition pruning: untouched partitions are
+    * never READ), the scoped merge is materialized to a tmp table, and
+    * dynamic partition overwrite (`partitionOverwriteMode=dynamic` +
+    * `insertInto`) commits it (only partitions present in the merged
+    * result — exactly the touched set — are REWRITTEN). Per-batch cost
+    * is O(touched partitions), not O(|table|).
+    *
+    * Partition-scoped CONTRACT: a key's partition values must be stable
+    * across versions (derive them from the key, not from mutable
+    * attributes). A version arriving in a different partition than its
+    * predecessor cannot see the old row — the scoped merge would INSERT
+    * it, leaving the key duplicated across two partitions. This is the
+    * standard constraint of partition-local upserts (a global key index
+    * is the alternative, and a different engine).
+    *
+    * Crash recovery (replay safety): the unpartitioned swap is not
+    * atomic — a crash between the two RENAMEs leaves the target missing
+    * and its content parked in `<table>__upsert_backup` (or fully
+    * merged in `<table>__upsert_tmp`). On entry, a missing target with
+    * a surviving backup/tmp is renamed back BEFORE the
+    * create-vs-merge decision, so a foreachBatch replay re-merges into
+    * the recovered history instead of rebuilding the table from the
+    * replayed batch alone. The partition-scoped path commits through
+    * the file commit protocol (staging dir, per-job commit) and its
+    * re-merge is idempotent, so replay after any crash point converges. */
   def upsertBatch(batch: DataFrame, table: String,
-                  uniqueKeys: Seq[String], orderCol: String): Unit = {
+                  uniqueKeys: Seq[String], orderCol: String,
+                  partitionCols: Seq[String] = Nil): Unit = {
     require(uniqueKeys.nonEmpty, "upsert needs unique keys")
+    checkTableName(table)
     if (batch.isEmpty) return
     val spark = batch.sparkSession
     val keysNotNull = uniqueKeys.map(col(_).isNotNull).reduce(_ && _)
@@ -787,20 +852,78 @@ object Events {
     val collapsed = batch.filter(keysNotNull)
       .withColumn(rn, row_number().over(w))
       .filter(col(rn) === 1).drop(rn)
+    val tmp = s"${table}__upsert_tmp"
+    val backup = s"${table}__upsert_backup"
+    // crash recovery: a missing target with a surviving backup (old
+    // history, pre-merge) or tmp (fully merged) is restored first —
+    // without this, the tableExists check below would take the CREATE
+    // path on replay and rebuild the table from this batch alone,
+    // silently losing all previously merged history
     if (!spark.catalog.tableExists(table)) {
-      collapsed.write.saveAsTable(table)
-    } else {
-      val merged =
-        graft.mat.Incremental.merge(spark.table(table), collapsed,
+      if (spark.catalog.tableExists(backup))
+        spark.sql(s"ALTER TABLE ${quoted(backup)} RENAME TO ${quoted(table)}")
+      else if (spark.catalog.tableExists(tmp))
+        spark.sql(s"ALTER TABLE ${quoted(tmp)} RENAME TO ${quoted(table)}")
+    }
+    if (!spark.catalog.tableExists(table)) {
+      if (partitionCols.nonEmpty)
+        collapsed.write.partitionBy(partitionCols: _*).saveAsTable(table)
+      else collapsed.write.saveAsTable(table)
+      return
+    }
+    val target = spark.table(table)
+    // touched partitions of THIS batch (null-safe literal tuples); None
+    // when unpartitioned or over the metadata cap → full-table merge
+    val touched: Option[Array[org.apache.spark.sql.Row]] =
+      if (partitionCols.isEmpty) None
+      else {
+        val parts = collapsed.select(partitionCols.map(col): _*)
+          .distinct().limit(MaxTouchedPartitions + 1).collect()
+        if (parts.length > MaxTouchedPartitions) None else Some(parts)
+      }
+    touched match {
+      case Some(parts) =>
+        val touchedPred = parts.map { r =>
+          partitionCols.zipWithIndex
+            .map { case (c, i) => col(c) <=> lit(r.get(i)) }
+            .reduce(_ && _)
+        }.reduce(_ || _)
+        // scoped read: literal partition filters → static pruning, so
+        // untouched partitions are never read
+        val merged = graft.mat.Incremental.merge(
+          target.filter(touchedPred), collapsed, uniqueKeys)
+        spark.sql(s"DROP TABLE IF EXISTS ${quoted(tmp)}")
+        // materialize before insertInto — never overwrite partitions of
+        // a table from a plan that reads it
+        merged.write.saveAsTable(tmp)
+        val overwriteMode = "spark.sql.sources.partitionOverwriteMode"
+        val prev = spark.conf.getOption(overwriteMode)
+        spark.conf.set(overwriteMode, "dynamic")
+        try {
+          // insertInto is position-based; merged carries the target's
+          // column order (partition cols last in catalog tables), which
+          // Incremental.merge preserves
+          spark.table(tmp).write.mode("overwrite").insertInto(table)
+        } finally {
+          prev match {
+            case Some(v) => spark.conf.set(overwriteMode, v)
+            case None => spark.conf.unset(overwriteMode)
+          }
+        }
+        spark.sql(s"DROP TABLE IF EXISTS ${quoted(tmp)}")
+      case None =>
+        val merged = graft.mat.Incremental.merge(target, collapsed,
           uniqueKeys)
-      val tmp = s"${table}__upsert_tmp"
-      val backup = s"${table}__upsert_backup"
-      spark.sql(s"DROP TABLE IF EXISTS $tmp")
-      spark.sql(s"DROP TABLE IF EXISTS $backup")
-      merged.write.saveAsTable(tmp)
-      spark.sql(s"ALTER TABLE $table RENAME TO $backup")
-      spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
-      spark.sql(s"DROP TABLE IF EXISTS $backup")
+        spark.sql(s"DROP TABLE IF EXISTS ${quoted(tmp)}")
+        spark.sql(s"DROP TABLE IF EXISTS ${quoted(backup)}")
+        val writer =
+          if (partitionCols.nonEmpty)
+            merged.write.partitionBy(partitionCols: _*)
+          else merged.write
+        writer.saveAsTable(tmp)
+        spark.sql(s"ALTER TABLE ${quoted(table)} RENAME TO ${quoted(backup)}")
+        spark.sql(s"ALTER TABLE ${quoted(tmp)} RENAME TO ${quoted(table)}")
+        spark.sql(s"DROP TABLE IF EXISTS ${quoted(backup)}")
     }
   }
 
@@ -814,14 +937,20 @@ object Events {
     * idempotent for fixed batch content, which is the foreachBatch
     * exactly-once contract for idempotent sinks. On vanilla parquet
     * each batch rewrites the table (the [[graft.mat.Materializer]]
-    * swap); a MERGE-capable table format would execute the identical
-    * logical plan in place — Incremental.merge IS that plan. */
+    * swap) — UNLESS `partitionCols` is given, in which case only the
+    * partitions containing staged keys are rewritten (see
+    * [[upsertBatch]]'s partition-scoped path — the 100 TB shape: a
+    * continuous pipeline's per-batch cost tracks the batch, not the
+    * accumulated history). A MERGE-capable table format would execute
+    * the identical logical plan in place — Incremental.merge IS that
+    * plan. */
   def startUpsertQuery(stream: DataFrame, checkpoint: String,
                        table: String, uniqueKeys: Seq[String],
-                       orderCol: String): StreamingQuery =
+                       orderCol: String,
+                       partitionCols: Seq[String] = Nil): StreamingQuery =
     stream.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        upsertBatch(batch, table, uniqueKeys, orderCol)
+        upsertBatch(batch, table, uniqueKeys, orderCol, partitionCols)
       }
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())

@@ -114,4 +114,57 @@ class RangeJoinSpec extends SparkSpec {
       .select($"id", $"iv").as[(Long, Long)].collect().toSet
     assert(got === Set((1L, 10L), (4L, 12L), (3L, 13L), (2L, 13L)))
   }
+
+  test("mixed-type join near 2^53 buckets both sides with ONE function") {
+    // r10 regression (ADVICE r11): an integral point bucketed with
+    // exact long div while double interval bounds bucketed with double
+    // floor — two different monotone functions. Near 2^53 a long point
+    // just below a bucket boundary rounds UP when promoted to double,
+    // so its exact bucket (k-1) fell outside the interval's
+    // double-rounded bucket range {k} and the true match (true under
+    // Spark's promote-to-double residual compare) silently vanished.
+    // One shared function (all-double here, since one side is
+    // fractional) must agree with the naive join.
+    val base = 1L << 53
+    val w = 1000L
+    // p = k*w - 1 for a k whose multiple is ≥ 2^53: as double it
+    // rounds up across the bucket boundary
+    val k = base / w + 5
+    val p = k * w - 1       // odd, ≥ 2^53 → not double-representable
+    val pts = Seq((1L, p), (2L, base + 2L)).toDF("id", "p")
+    val ivs = Seq((10L, (k * w).toDouble, (k * w + 10).toDouble),
+                  (11L, base.toDouble, (base + 4L).toDouble))
+      .toDF("iv", "lo", "hi")
+    val got = RangeJoin.pointInInterval(pts, "p", ivs, "lo", "hi", w)
+      .select($"id", $"iv").as[(Long, Long)].collect().toSet
+    val naive = pts.as("l").join(ivs.as("r"),
+        $"l.p" >= $"r.lo" && $"l.p" <= $"r.hi")
+      .select($"id", $"iv").as[(Long, Long)].collect().toSet
+    assert(naive.contains((1L, 10L)),
+      "fixture lost its point: p must promote into the interval")
+    assert(got === naive, s"got $got want $naive")
+  }
+
+  test("mixed-type intervalOverlap: shared bucketing incl. firstShared dedup") {
+    // same class: left intervals integral longs, right doubles. The
+    // per-side integrality let the explode use one function while the
+    // firstShared dedup predicate used another — a qualifying pair
+    // could fail firstShared on EVERY candidate row and vanish.
+    val base = 1L << 53
+    val w = 1000L
+    val k = base / w + 5
+    val a = Seq((1L, k * w - 3, k * w - 1), (2L, base + 2L, base + 6L))
+      .toDF("a_id", "a_lo", "a_hi")
+    val b = Seq((10L, (k * w).toDouble - 2, (k * w).toDouble + 10),
+                (11L, base.toDouble, (base + 4L).toDouble))
+      .toDF("b_id", "b_lo", "b_hi")
+    val got = RangeJoin.intervalOverlap(a, "a_lo", "a_hi", b, "b_lo",
+        "b_hi", w)
+      .select($"a_id", $"b_id").as[(Long, Long)].collect().sorted
+    val naive = a.join(b, $"a_lo" <= $"b_hi" && $"b_lo" <= $"a_hi")
+      .select($"a_id", $"b_id").as[(Long, Long)].collect().sorted
+    assert(naive.nonEmpty)
+    // multiset equality: each qualifying pair exactly once
+    assert(got.toSeq === naive.toSeq, s"got $got want $naive")
+  }
 }

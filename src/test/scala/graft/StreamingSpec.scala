@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import graft.streaming.Events
+import scala.jdk.CollectionConverters._
 
 class StreamingSpec extends SparkSpec {
   import spark.implicits._
@@ -749,5 +750,153 @@ class StreamingSpec extends SparkSpec {
         .toDF("k", "v", "ord"), table, Seq("k"), "ord")
     assert(state() == Seq((1L, "a1", 1L), (2L, "b2", 2L), (3L, "c3", 3L)))
     spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
+
+  test("upsert rejects non-simple and reserved table names") {
+    val b = Seq((1L, "a", 1L)).toDF("k", "v", "ord")
+    // a name needing quoting would break the generated DROP/ALTER SQL
+    intercept[IllegalArgumentException] {
+      Events.upsertBatch(b, "bad name", Seq("k"), "ord")
+    }
+    intercept[IllegalArgumentException] {
+      Events.upsertBatch(b, "t; DROP TABLE x", Seq("k"), "ord")
+    }
+    // reserved scratch suffixes: the swap would silently DROP them
+    intercept[IllegalArgumentException] {
+      Events.upsertBatch(b, "t__upsert_tmp", Seq("k"), "ord")
+    }
+    intercept[IllegalArgumentException] {
+      Events.upsertBatch(b, "t__upsert_backup", Seq("k"), "ord")
+    }
+  }
+
+  test("upsert crash recovery: replay after a mid-swap crash keeps history") {
+    // ADVICE r11 (medium): the swap is two RENAMEs; a crash between
+    // them leaves the target missing and its history parked in
+    // __upsert_backup. The old code's tableExists check then took the
+    // CREATE path on foreachBatch replay — rebuilding the table from
+    // the replayed batch alone and silently dropping all prior merges.
+    val table = "graft_upsert_crash_test"
+    for (s <- Seq(table, s"${table}__upsert_tmp", s"${table}__upsert_backup"))
+      spark.sql(s"DROP TABLE IF EXISTS $s")
+    def state() = spark.table(table).orderBy($"k").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    Events.upsertBatch(Seq((1L, "a1", 1L), (2L, "b1", 1L))
+      .toDF("k", "v", "ord"), table, Seq("k"), "ord")
+    // crash point: after `table RENAME TO backup`, before `tmp RENAME
+    // TO table` — target gone, history only in backup
+    spark.sql(s"ALTER TABLE $table RENAME TO ${table}__upsert_backup")
+    Events.upsertBatch(Seq((2L, "b2", 2L), (3L, "c2", 2L))
+      .toDF("k", "v", "ord"), table, Seq("k"), "ord")
+    assert(state() == Seq((1L, "a1", 1L), (2L, "b2", 2L), (3L, "c2", 2L)),
+      "batch-1 history must survive the replay")
+    // crash point: tmp fully merged but the final rename never ran —
+    // recovery promotes tmp (it already holds the merged result)
+    spark.sql(s"ALTER TABLE $table RENAME TO ${table}__upsert_tmp")
+    Events.upsertBatch(Seq((4L, "d1", 1L)).toDF("k", "v", "ord"),
+      table, Seq("k"), "ord")
+    assert(state() == Seq((1L, "a1", 1L), (2L, "b2", 2L), (3L, "c2", 2L),
+      (4L, "d1", 1L)))
+    for (s <- Seq(table, s"${table}__upsert_tmp", s"${table}__upsert_backup"))
+      spark.sql(s"DROP TABLE IF EXISTS $s")
+  }
+
+  test("partition-scoped upsert: untouched partitions neither read nor rewritten") {
+    val table = "graft_upsert_part_test"
+    for (s <- Seq(table, s"${table}__upsert_tmp", s"${table}__upsert_backup"))
+      spark.sql(s"DROP TABLE IF EXISTS $s")
+    val b1 = (0L until 50L).map(i => (i, s"v$i", 1L, i % 5))
+      .toDF("k", "v", "ord", "p")
+    Events.upsertBatch(b1, table, Seq("k"), "ord", Seq("p"))
+    val loc = spark.sessionState.catalog
+      .getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(table))
+      .location.getPath
+    def files(p: Long): Set[String] = {
+      val d = java.nio.file.Paths.get(loc, s"p=$p")
+      if (!java.nio.file.Files.exists(d)) Set.empty
+      else {
+        val s = java.nio.file.Files.list(d)
+        try s.iterator().asScala.map(_.getFileName.toString)
+          .filter(_.endsWith(".parquet")).toSet
+        finally s.close()
+      }
+    }
+    val before = (0L to 4L).map(p => p -> files(p)).toMap
+    // capture every execution during batch 2 to audit the target scans
+    val captured =
+      new java.util.concurrent.CopyOnWriteArrayList[
+        org.apache.spark.sql.execution.QueryExecution]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          d: Long): Unit = { captured.add(qe); () }
+      override def onFailure(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      // touches ONLY p=2 (keys 7 and 52 both land there; partition
+      // value derives from the key — the stability contract)
+      val b2 = Seq((7L, "v7b", 2L, 2L), (52L, "new", 2L, 2L))
+        .toDF("k", "v", "ord", "p")
+      Events.upsertBatch(b2, table, Seq("k"), "ord", Seq("p"))
+    } finally {
+      // QueryExecutionListener delivery is async — drain before reading
+      var waited = 0
+      while (captured.isEmpty && waited < 10000) {
+        Thread.sleep(100); waited += 100
+      }
+      Thread.sleep(500)
+      spark.listenerManager.unregister(listener)
+    }
+    // rewritten: only p=2's file set changed
+    for (p <- 0L to 4L if p != 2L)
+      assert(files(p) == before(p),
+        s"untouched partition p=$p was rewritten")
+    assert(files(2L) != before(2L), "touched partition p=2 not rewritten")
+    // read: every scan of the target during the batch carried partition
+    // filters and selected only the touched partition's files
+    // AQE wraps the real plan inside AdaptiveSparkPlanExec/QueryStageExec
+    // whose children are hidden from plain collect — flatten through
+    def allNodes(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+      val inner = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          allNodes(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          allNodes(q.plan)
+        case _ => Seq.empty
+      }
+      p +: (p.children.flatMap(allNodes) ++ inner)
+    }
+    val targetScans = captured.asScala
+      .flatMap(qe => allNodes(qe.executedPlan))
+      .collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.relation.location.rootPaths.exists(_.toString.contains(table))
+            && !f.relation.location.rootPaths.exists(
+                 _.toString.contains("__upsert_tmp")) => f
+      }
+    assert(targetScans.nonEmpty, "no target scan captured")
+    for (f <- targetScans) {
+      assert(f.partitionFilters.nonEmpty,
+        s"target scan had no partition filters: ${f.metadata}")
+      val read = f.metrics.get("numFiles").map(_.value).getOrElse(-1L)
+      assert(read <= before(2L).size,
+        s"scan read $read files — more than touched partition p=2's " +
+          s"${before(2L).size}: untouched partitions were read")
+    }
+    // final state: k=7 updated, k=52 inserted, everything else intact
+    val got = spark.table(table).orderBy($"k")
+      .select($"k", $"v", $"ord").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    val want = (0L until 50L).map(i =>
+      (i, if (i == 7L) "v7b" else s"v$i", if (i == 7L) 2L else 1L)) :+
+      (52L, "new", 2L)
+    assert(got == want)
+    for (s <- Seq(table, s"${table}__upsert_tmp", s"${table}__upsert_backup"))
+      spark.sql(s"DROP TABLE IF EXISTS $s")
   }
 }
