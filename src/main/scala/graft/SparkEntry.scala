@@ -1360,6 +1360,40 @@ object SparkEntry {
       s.table("graft_upsert_drv").orderBy(col("k"))
     }),
 
+    "mat_upsert_partitioned" -> ((s, dir) => {
+      // the PARTITION-SCOPED upsert path (Events.upsertBatch with
+      // partitionCols): same two-batch fixture as mat_upsert_batches
+      // but the table is partitioned by p = k % 5 (derived from the
+      // key — the partition-stability contract) and batch 2 rewrites
+      // ONLY the partitions its keys land in, via literal partition
+      // filters + dynamic partition overwrite. The compared result is
+      // the full table — identical to what the full-table merge
+      // produces, which is the point: the scoped path changes the
+      // COST, not the answer.
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      s.sql("DROP TABLE IF EXISTS graft_upsert_part_drv")
+      val b1 = d.select(col("doc_id").as("k"), col("text").as("v"),
+        lit(1L).as("ord"), (col("doc_id") % 5).as("p"))
+      val thirds = d.filter(col("doc_id") % 3 === 0)
+      val b2 = thirds
+        .select(col("doc_id").as("k"),
+          concat(col("text"), lit(" v2")).as("v"), lit(2L).as("ord"),
+          (col("doc_id") % 5).as("p"))
+        .unionByName(thirds.select(col("doc_id").as("k"),
+          concat(col("text"), lit(" v3")).as("v"), lit(3L).as("ord"),
+          (col("doc_id") % 5).as("p")))
+        .unionByName(d.filter(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 10000).as("k"), col("text").as("v"),
+            lit(2L).as("ord"), ((col("doc_id") + 10000) % 5).as("p")))
+      Events.upsertBatch(b1, "graft_upsert_part_drv", Seq("k"), "ord",
+        Seq("p"))
+      Events.upsertBatch(b2, "graft_upsert_part_drv", Seq("k"), "ord",
+        Seq("p"))
+      s.table("graft_upsert_part_drv")
+        .select(col("k"), col("v"), col("ord"), col("p"))
+        .orderBy(col("k"))
+    }),
+
     "se_append_new_cols" -> ((s, dir) => {
       // on_schema_change=append_new_columns (incremental.sql:83-86): the
       // staged frame keeps its new column when aligned to the target
@@ -3012,6 +3046,29 @@ object SparkEntry {
         |SELECT coalesce(c2.k, b1.k) AS k,
         |  CASE WHEN c2.k IS NOT NULL THEN c2.v ELSE b1.v END AS v,
         |  CASE WHEN c2.k IS NOT NULL THEN c2.ord ELSE b1.ord END AS ord
+        |FROM b1 FULL OUTER JOIN c2 ON b1.k = c2.k
+        |ORDER BY k""".stripMargin,
+
+    "mat_upsert_partitioned" ->
+      """WITH b1 AS (SELECT doc_id AS k, text AS v, 1::BIGINT AS ord,
+        |    doc_id % 5 AS p
+        |  FROM documents),
+        |b2 AS (
+        |  SELECT doc_id AS k, text || ' v2' AS v, 2::BIGINT AS ord,
+        |      doc_id % 5 AS p
+        |    FROM documents WHERE doc_id % 3 = 0
+        |  UNION ALL SELECT doc_id, text || ' v3', 3::BIGINT, doc_id % 5
+        |    FROM documents WHERE doc_id % 3 = 0
+        |  UNION ALL SELECT doc_id + 10000, text, 2::BIGINT,
+        |      (doc_id + 10000) % 5
+        |    FROM documents WHERE doc_id % 7 = 0),
+        |c2 AS (SELECT k, v, ord, p FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY k ORDER BY ord DESC)
+        |    AS rn FROM b2) WHERE rn = 1)
+        |SELECT coalesce(c2.k, b1.k) AS k,
+        |  CASE WHEN c2.k IS NOT NULL THEN c2.v ELSE b1.v END AS v,
+        |  CASE WHEN c2.k IS NOT NULL THEN c2.ord ELSE b1.ord END AS ord,
+        |  CASE WHEN c2.k IS NOT NULL THEN c2.p ELSE b1.p END AS p
         |FROM b1 FULL OUTER JOIN c2 ON b1.k = c2.k
         |ORDER BY k""".stripMargin,
 
