@@ -1939,6 +1939,36 @@ object SparkEntry {
       graft.llm.Dedup.allPairs(t(s, dir, "documents"), "doc_id", "text", 0.8)
         .orderBy(col("doc_a"), col("doc_b"))),
 
+    "dd_allpairs_reps" -> ((s, dir) =>
+      // clique-representative form of dd_allpairs (r10 verdict #2):
+      // docs with identical token SETS collapse to (rep = min id,
+      // clique size n) BEFORE pairing — one row per qualifying
+      // distinct-set pair plus one self row per n ≥ 2 clique at J = 1;
+      // k copies cost one row, not k². sf0.01 has 21 natural
+      // multi-cliques (max size 29), so the collapse is exercised, and
+      // the oracle recomputes cliques over distinct sets in DuckDB.
+      graft.llm.Dedup.allPairs(t(s, dir, "documents"), "doc_id", "text",
+          0.8, expandCliques = false)
+        .orderBy(col("doc_a"), col("doc_b"))),
+
+    "dd_tfidf_reps" -> ((s, dir) => {
+      // clique-representative form of dd_tfidf_pairs (r10 verdict #2).
+      // The collapse key is the token MULTISET (identical bags ⇒
+      // identical weight vectors); sf0.01 has no natural bag
+      // duplicates, so the corpus plants one copy of every 4th doc
+      // (125 cliques of size 2). 0.9 sits in a measured empty band of
+      // the augmented corpus's rep-pair cosine distribution (nearest
+      // values 0.89985 / 0.90098). Self rows keep the same
+      // dot/sqrt(n2·n2) op sequence as the cross arm — never a
+      // literal 1.0.
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val docs = d.unionByName(d.filter(col("doc_id") % 4 === 0)
+        .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+      graft.llm.Dedup.tfidfPairs(docs, "doc_id", "text", threshold = 0.9,
+          expandCliques = false)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
     "dd_allpairs_join" -> ((s, dir) => {
       // EXACT cross-corpus Jaccard join (certified decontamination /
       // licensing audit): documents vs a perturbed snapshot, every pair
@@ -3907,6 +3937,80 @@ object SparkEntry {
         |JOIN sizes sa ON sa.doc_id = da
         |JOIN sizes sb ON sb.doc_id = db
         |WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // clique-representative recompute: group docs by sorted distinct
+    // token set, brute-force Jaccard over DISTINCT sets (rep = min id),
+    // plus one self row per multi-member clique at J = 1
+    "dd_allpairs_reps" ->
+      s"""WITH d0 AS (SELECT doc_id,
+        |    list_sort(list_distinct(${toksSql("lower(text)")})) AS ts
+        |  FROM documents),
+        |g AS (SELECT ts, min(doc_id) AS rep, count(*)::BIGINT AS n
+        |  FROM d0 GROUP BY ts),
+        |szs AS (SELECT rep, n, len(ts)::BIGINT AS sz FROM g),
+        |d AS (SELECT rep, unnest(ts) AS tok FROM g),
+        |i AS (SELECT a.rep AS ra, b.rep AS rb, count(*)::BIGINT AS inter
+        |  FROM d a JOIN d b ON a.tok = b.tok AND a.rep < b.rep
+        |  GROUP BY 1, 2),
+        |cr AS (SELECT ra AS doc_a, rb AS doc_b, inter,
+        |    sa.sz + sb.sz - inter AS uni,
+        |    inter::DOUBLE / (sa.sz + sb.sz - inter) AS jaccard,
+        |    sa.n AS n_a, sb.n AS n_b
+        |  FROM i JOIN szs sa ON sa.rep = ra JOIN szs sb ON sb.rep = rb
+        |  WHERE inter * 1000000 >= 800000 * (sa.sz + sb.sz - inter)),
+        |se AS (SELECT rep AS doc_a, rep AS doc_b, sz AS inter, sz AS uni,
+        |    sz::DOUBLE / sz AS jaccard, n AS n_a, n AS n_b
+        |  FROM szs WHERE n >= 2)
+        |SELECT * FROM cr UNION ALL SELECT * FROM se
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // clique-representative recompute for the weighted family: collapse
+    // key is the token MULTISET (bag ⇒ identical tf·idf vectors);
+    // weights computed over the FULL augmented corpus (df counts every
+    // clique member), reps pairs brute-forced over distinct bags, self
+    // rows via the SAME dot/sqrt op sequence (no literal 1.0)
+    "dd_tfidf_reps" ->
+      s"""WITH docs AS (SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 10000, text FROM documents
+        |    WHERE doc_id % 4 = 0),
+        |tok AS (SELECT doc_id, unnest(${toksSql("lower(text)")}) AS tok
+        |  FROM docs),
+        |tf AS (SELECT doc_id, tok, count(*)::BIGINT AS tf FROM tok
+        |  GROUP BY 1, 2),
+        |dfc AS (SELECT tok, count(*)::BIGINT AS dfd FROM tf GROUP BY 1),
+        |nn AS (SELECT count(*)::BIGINT AS n FROM docs),
+        |rr AS (SELECT doc_id, tok, tf, (SELECT n FROM nn) // dfd AS r
+        |  FROM tf JOIN dfc USING (tok)),
+        |w AS (SELECT doc_id, tok, tf * (1 + ${floorLog2Sql("r")}) AS w
+        |  FROM rr),
+        |bags AS (SELECT doc_id, list_sort(list(tok)) AS bag FROM tok
+        |  GROUP BY doc_id),
+        |g AS (SELECT bag, min(doc_id) AS rep, count(*)::BIGINT AS n
+        |  FROM bags GROUP BY bag),
+        |wr AS (SELECT w.* FROM w JOIN g ON w.doc_id = g.rep),
+        |n2 AS (SELECT doc_id, sum(w*w)::BIGINT AS n2 FROM wr GROUP BY 1),
+        |d AS (SELECT a.doc_id AS da, b.doc_id AS db,
+        |    sum(a.w * b.w)::BIGINT AS dot
+        |  FROM wr a JOIN wr b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |cr AS (SELECT da AS doc_a, db AS doc_b, dot, na.n2 AS n2_a,
+        |    nb.n2 AS n2_b,
+        |    round(dot::DOUBLE / sqrt(na.n2::DOUBLE * nb.n2::DOUBLE), 6)
+        |      AS cos,
+        |    ga.n AS n_a, gb.n AS n_b
+        |  FROM d JOIN n2 na ON na.doc_id = da
+        |  JOIN n2 nb ON nb.doc_id = db
+        |  JOIN g ga ON ga.rep = da JOIN g gb ON gb.rep = db
+        |  WHERE dot::DOUBLE / sqrt(na.n2::DOUBLE * nb.n2::DOUBLE) >= 0.9),
+        |se AS (SELECT rep AS doc_a, rep AS doc_b, n2 AS dot, n2 AS n2_a,
+        |    n2 AS n2_b,
+        |    round(n2::DOUBLE / sqrt(n2::DOUBLE * n2::DOUBLE), 6) AS cos,
+        |    n AS n_a, n AS n_b
+        |  FROM g JOIN n2 ON n2.doc_id = g.rep
+        |  WHERE n >= 2
+        |    AND n2::DOUBLE / sqrt(n2::DOUBLE * n2::DOUBLE) >= 0.9)
+        |SELECT * FROM cr UNION ALL SELECT * FROM se
         |ORDER BY doc_a, doc_b""".stripMargin,
 
     // two-sided brute force: left corpus × perturbed right, integer-ppm
