@@ -609,9 +609,17 @@ object Dedup {
     * one row per qualifying distinct-set pair with two extra columns
     * (n_a, n_b), plus one SELF row (doc_a == doc_b, jaccard 1) per
     * clique of ≥ 2 identical docs; k copies cost one row, not k²
-    * pairs. `denseVocabMax` / `denseSigMax` override the
-    * plan-dispatch ceilings (tests pin each arm against the
-    * brute-force oracle by forcing it).
+    * pairs. '''At scale set `expandCliques = false`''' — this holds
+    * uniformly for every join in the family (allPairs/containment/
+    * tfidf/Jaro-Winkler, self and cross forms): duplicate cliques make
+    * expanded output QUADRATIC in clique size (measured at sf1: 84×
+    * output blowup collapsing to ~1×), the reps form carries the same
+    * information, and expanding it back is a cheap post-join explode
+    * for the rare consumer that truly needs per-member pairs. The
+    * default stays `true` only because pair-expanded output is the
+    * definitional contract the oracles certify. `denseVocabMax` /
+    * `denseSigMax` override the plan-dispatch ceilings (tests pin each
+    * arm against the brute-force oracle by forcing it).
     *
     * NOTE: this call runs EAGER probe jobs (vocabulary count, and —
     * small-vocab only — a distinct-signature count) to pick the plan,
@@ -943,7 +951,8 @@ object Dedup {
     * ordering constraint between them. With `expandCliques = false`
     * each SIDE collapses to its distinct token sets (reps + clique
     * sizes as n_a/n_b); identical cross-side sets meet as a regular
-    * J = 1 candidate, so there are no self rows — see
+    * J = 1 candidate, so there are no self rows. '''At scale set
+    * `expandCliques = false`''' — uniform family guidance, see
     * [[allPairs]]. */
   def allPairsJoin(left: DataFrame, right: DataFrame, id: String,
                    text: String, threshold: Double,
@@ -1919,7 +1928,8 @@ object Dedup {
     * collapse to (representative, clique size) before pairing: one
     * row per qualifying distinct-vector pair with (n_a, n_b)
     * appended, plus one self row (doc_a == doc_b) per ≥ 2-member
-    * clique — see [[allPairs]]. */
+    * clique. '''At scale set `expandCliques = false`''' — uniform
+    * family guidance, see [[allPairs]]. */
   def tfidfPairs(df: DataFrame, id: String, text: String,
                  threshold: Double,
                  denseVocabMax: Long = AllPairsDenseVocabMax,
@@ -2142,8 +2152,9 @@ object Dedup {
     * BIGINTs. With `expandCliques = false` the output stays in
     * distinct-token-set space: one row per qualifying ORDERED set
     * pair with (n_a, n_b) clique sizes appended, plus one self row
-    * (id_a == id_b, containment 1) per ≥ 2-member clique — see
-    * [[allPairs]]. */
+    * (id_a == id_b, containment 1) per ≥ 2-member clique. '''At
+    * scale set `expandCliques = false`''' — uniform family guidance,
+    * see [[allPairs]]. */
   def containmentJoin(df: DataFrame, id: String, text: String,
                       threshold: Double,
                       denseVocabMax: Long = AllPairsDenseVocabMax,
@@ -2283,7 +2294,8 @@ object Dedup {
     * side under the measured guards. Output: (id_a from left, id_b
     * from right, inter, sz_a, containment). With `expandCliques =
     * false` each side collapses to distinct token sets (reps +
-    * n_a/n_b); no self rows — see [[allPairsJoin]]. */
+    * n_a/n_b); no self rows. '''At scale set `expandCliques =
+    * false`''' — uniform family guidance, see [[allPairs]]. */
   def containmentCross(left: DataFrame, right: DataFrame, id: String,
                        text: String, threshold: Double,
                        denseVocabMax: Long = AllPairsDenseVocabMax,
@@ -2402,8 +2414,8 @@ object Dedup {
     * normalized weights taken over BOTH sides. Output: (id_a from
     * left, id_b from right, dot, n2_a, n2_b, cos). With
     * `expandCliques = false` each side collapses to distinct
-    * weighted-token multisets (reps + n_a/n_b); no self rows — see
-    * [[allPairsJoin]]. */
+    * weighted-token multisets (reps + n_a/n_b); no self rows. '''At scale set `expandCliques =
+    * false`''' — uniform family guidance, see [[allPairs]]. */
   def tfidfJoin(left: DataFrame, right: DataFrame, id: String,
                 text: String, threshold: Double,
                 denseVocabMax: Long = AllPairsDenseVocabMax,

@@ -141,7 +141,9 @@ object JaroWinklerJoin {
     * (min member id) and n its clique size, plus one self row
     * (rep, rep, 1.0, n, n) per duplicated non-empty name. k copies of
     * a name cost one row, not k² pairs; the member-expansion joins
-    * never run. */
+    * never run. '''At scale set `expandCliques = false`''' — uniform
+    * guidance across the similarity-join family, see
+    * [[graft.llm.Dedup.allPairs]]. */
   def selfJoin(df: DataFrame, id: String, text: String,
                threshold: Double,
                expandCliques: Boolean = true): DataFrame = {
@@ -198,7 +200,10 @@ object JaroWinklerJoin {
   /** Cross-corpus form: every (left, right) pair with jw ≥ t. Both
     * inputs use the same `id`/`text` column names (the fuzzyJoin
     * convention); ids are independent namespaces. Output: (id_a from
-    * left, id_b from right, jw rounded to 6). */
+    * left, id_b from right, jw rounded to 6); with `expandCliques =
+    * false`, distinct-name reps + (n_a, n_b), no self rows. '''At
+    * scale set `expandCliques = false`''' — uniform guidance across
+    * the similarity-join family, see [[graft.llm.Dedup.allPairs]]. */
   def crossJoin(left: DataFrame, right: DataFrame, id: String,
                 text: String, threshold: Double,
                 expandCliques: Boolean = true): DataFrame = {
