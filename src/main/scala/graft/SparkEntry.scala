@@ -2510,6 +2510,18 @@ object SparkEntry {
           maxW = 8, maxH = 6)
         .orderBy(col("media_id"))),
 
+    "mm_phash_pairs" -> ((s, dir) =>
+      // perceptual image dedup end to end: affine-content images
+      // (PNG/BMP re-encodes + planted one-pixel edits) → REAL ImageIO
+      // decode → 64-bit dHash over the raster → banded hamming join in
+      // distinct-signature space (the SimHash machinery at 4×16-bit
+      // bands). Integer-only pixels→signature math, so the oracle
+      // replays the whole pipeline arithmetically and brute-forces the
+      // pair search over the 500-doc corpus.
+      Multimodal.imageDedupPairs(
+          Multimodal.syntheticContentImages(t(s, dir, "documents")))
+        .orderBy(col("id_a"), col("id_b"))),
+
     "mm_frames" -> ((s, dir) =>
       Multimodal.sampleFrames(
           Multimodal.decodeFeatures(
@@ -4785,6 +4797,39 @@ object SparkEntry {
         |          THEN greatest((height * 224) // width, 1)
         |        ELSE 160 END)::INTEGER AS out_h
         |FROM d ORDER BY media_id""".stripMargin,
+
+    // perceptual dedup closed form: the 18×16 raster is affine in
+    // (x, y, seed) and PNG/BMP round-trip losslessly, so each dHash
+    // grid sample (sx=2·gx, sy=2·gy) has integer gray
+    // (r+g+b)//3 with per-channel affine mod-256 values; the planted
+    // edit (+128 on red at pixel (4,6) for doc_id%5=0) hits exactly
+    // grid cell (gx=2, gy=3). The oracle packs the 64 comparison bits
+    // with bit_or (bit 63 → negative BIGINT, same two's complement as
+    // the engine) and brute-forces the ≤3-hamming pair search — the
+    // engine's banded join must reproduce it exactly.
+    "mm_phash_pairs" ->
+      """WITH d AS (SELECT doc_id, doc_id % 64 AS s,
+        |    (doc_id % 5 = 0) AS p FROM documents),
+        |g AS (SELECT d.doc_id, gy.y AS gy, gx.x AS gx,
+        |    (((CASE WHEN d.p AND gx.x = 2 AND gy.y = 3
+        |         THEN (2*gx.x*7 + 2*gy.y*13 + d.s + 128) % 256
+        |         ELSE (2*gx.x*7 + 2*gy.y*13 + d.s) % 256 END)
+        |      + (2*gx.x*3 + 2*gy.y*5 + d.s*11) % 256
+        |      + (2*gx.x*17 + 2*gy.y + d.s*29) % 256) // 3) AS gray
+        |  FROM d, range(9) gx(x), range(8) gy(y)),
+        |sig AS (SELECT a.doc_id,
+        |    bit_or(CASE WHEN NOT b.gray > a.gray THEN 0::BIGINT
+        |      WHEN a.gy*8 + a.gx = 63
+        |        THEN (-9223372036854775807 - 1)::BIGINT
+        |      ELSE (1::BIGINT << (a.gy*8 + a.gx)::INTEGER) END) AS h
+        |  FROM g a JOIN g b ON b.doc_id = a.doc_id
+        |    AND b.gy = a.gy AND b.gx = a.gx + 1
+        |  WHERE a.gx < 8 GROUP BY a.doc_id)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  bit_count(xor(a.h, b.h))::INTEGER AS dist
+        |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.h, b.h)) <= 3
+        |ORDER BY id_a, id_b""".stripMargin,
 
     "ev_tumbling" ->
       """SELECT date_trunc('hour', ts) AS win_start, event_type,

@@ -1142,9 +1142,11 @@ object Dedup {
     sums.select(col("doc"), sig.as("simhash"))
   }
 
-  /** Hamming distance between two SimHash signatures: popcount of the
-    * XOR (signatures are nonnegative, so bit_count agrees across
-    * engines). */
+  /** Hamming distance between two fixed-width signatures: popcount of
+    * the XOR. Both Spark's and DuckDB's bit_count operate on the
+    * two's-complement representation (Java `Long.bitCount` semantics),
+    * so the value agrees across engines even for negative longs
+    * (64-bit dHash signatures with bit 63 set). */
   def hamming(a: Column, b: Column): Column =
     bit_count(a.cast(LongType).bitwiseXOR(b.cast(LongType)))
       .cast(IntegerType)
@@ -1184,9 +1186,17 @@ object Dedup {
     // narrow row per document — negligible storage at any corpus size
     // (on a real cluster, prefer a reliable checkpoint dir).
     val sig = simhash(df, id, text).localCheckpoint()
-    val sigPairs = simhashSigPairs(sig, maxHamming)
+    expandSigPairs(sig, simhashSigPairs(sig, maxHamming))
+  }
 
-    // expansion back to doc pairs: linear in output size
+  /** Re-expand a signature-space edge list to doc pairs — two linear
+    * joins plus the same-signature (dist 0) self-join. `sig` is
+    * (doc, simhash); output (id_a, id_b, dist) with id_a < id_b.
+    * Shared by [[simhashPairs]] and the perceptual-image dedup
+    * ([[graft.llm.Multimodal.imageDedupPairs]]), whose 64-bit dHash
+    * signatures ride the identical machinery. */
+  private[graft] def expandSigPairs(sig: DataFrame,
+                                    sigPairs: DataFrame): DataFrame = {
     val da = sig.select(col("doc").as("doc_a"), col("simhash").as("sa"))
     val db = sig.select(col("doc").as("doc_b"), col("simhash").as("sb"))
     val cross = sigPairs.join(da, "sa").join(db, "sb")
@@ -1202,16 +1212,26 @@ object Dedup {
 
   /** Banded hamming self-join over DISTINCT signatures → signature-space
     * edge list (sa, sb). The quadratic part of SimHash search runs here,
-    * on ~|distinct signatures| nodes — never over documents. */
-  private[graft] def simhashSigPairs(sig: DataFrame,
-                                   maxHamming: Int): DataFrame = {
-    val bits = SimHashBandBits
+    * on ~|distinct signatures| nodes — never over documents.
+    *
+    * Parameterized on band geometry so other fixed-width signatures
+    * reuse it: SimHash text dedup uses the 60-bit default (4×15-bit
+    * bands), perceptual image dHash the full 64 bits as 4×16-bit
+    * bands. Pigeonhole completeness needs maxHamming < bands in both
+    * cases; callers enforce it. Negative signatures (bit 63 set on the
+    * 64-bit form) are safe: shiftright's sign extension is masked off
+    * per band, and [[hamming]]'s XOR+popcount is representation-exact
+    * on two's-complement longs in Spark and DuckDB alike. */
+  private[graft] def simhashSigPairs(sig: DataFrame, maxHamming: Int,
+                                     bandBits: Int = SimHashBandBits,
+                                     nBands: Int = SimHashBands): DataFrame = {
+    val bits = bandBits
     val sigs = sig.select(col("simhash")).distinct()
     // shiftright, not `/`: Spark's `/` on longs is DOUBLE division, and
     // a 60-bit signature >= 2^53 loses its low bits in the conversion —
     // band 0 (bits 0-14) would be extracted from the ROUNDED value and
     // equal true bands could fail to meet (silent recall loss)
-    val bandCols = (0 until SimHashBands).map { b =>
+    val bandCols = (0 until nBands).map { b =>
       concat(lit(s"$b:"),
         shiftright(col("simhash"), b * bits)
           .bitwiseAND(lit((1L << bits) - 1)).cast(StringType))

@@ -597,6 +597,52 @@ object MediaCodecs {
   def encodeJpegReal(width: Int, height: Int, seed: Int): Array[Byte] =
     encodeImageIO(renderImage(width, height, seed), "jpg")
 
+  /** Integer gray level of one pixel: (r + g + b) / 3 with integer
+    * division — the exact form an arithmetic SQL oracle can replay. */
+  def grayAt(img: java.awt.image.BufferedImage, x: Int, y: Int): Int = {
+    val rgb = img.getRGB(x, y)
+    (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3
+  }
+
+  /** 64-bit difference hash (dHash) of a decoded raster — the standard
+    * perceptual image fingerprint: sample a 9×8 gray grid, compare each
+    * horizontally adjacent pair, pack the 8×8 comparison bits into a
+    * long (bit gy*8+gx = 1 iff gray(gx+1,gy) > gray(gx,gy)). Visually
+    * identical images (same content re-encoded in another lossless
+    * format, or with a few pixels touched) land within a small hamming
+    * distance, so near-duplicate detection is a banded hamming
+    * self-join over these signatures — the same machinery as SimHash
+    * text dedup, with 4×16-bit bands instead of 4×15.
+    *
+    * Downsampling is NEAREST-NEIGHBOR point sampling (source pixel
+    * (gx*w/9, gy*h/8), integer division) rather than area averaging —
+    * deliberately: every sampled gray is a single decoded pixel value,
+    * so the whole signature is integer arithmetic over raster content
+    * and an SQL oracle replays it exactly on synthetic fixtures. Area
+    * averaging is slightly more robust to high-frequency noise but
+    * makes the signature a float function of every pixel; for the
+    * re-encode / small-edit near-dup classes targeted here the point
+    * sample is equally discriminative. */
+  def dhash64(img: java.awt.image.BufferedImage): Long = {
+    val w = img.getWidth
+    val h = img.getHeight
+    var sig = 0L
+    var gy = 0
+    while (gy < 8) {
+      val sy = gy * h / 8
+      var prev = grayAt(img, 0, sy) // gx=0 → sx = 0*w/9 = 0
+      var gx = 0
+      while (gx < 8) {
+        val next = grayAt(img, (gx + 1) * w / 9, sy)
+        if (next > prev) sig |= 1L << (gy * 8 + gx)
+        prev = next
+        gx += 1
+      }
+      gy += 1
+    }
+    sig
+  }
+
   /** Decode JPEG geometry → (width, height); None when not a JPEG or no
     * SOF before scan data. Walks marker segments from SOI (skipping fill
     * bytes and length-less RST/TEM markers) to the first SOF frame

@@ -322,4 +322,102 @@ object Multimodal {
         outW.cast(IntegerType).as("out_w"),
         outH.cast(IntegerType).as("out_h"))
   }
+
+  // ---- perceptual image dedup (dHash + banded hamming join) ----
+
+  /** Synthetic images with CONTENT, for the perceptual-dedup path: the
+    * deterministic affine raster [[MediaCodecs.renderImage]] at a fixed
+    * 18×16 geometry, seeded by `doc_id % 64` — ids sharing a seed carry
+    * visually identical content, so the corpus is full of planted
+    * duplicate cliques. Two twists make the near-dup classes real:
+    *
+    *  - FORMAT re-encode: the container alternates PNG / BMP per 64-id
+    *    generation (`(id / 64) % 2`, both via ImageIO, both lossless),
+    *    so copies of the same seed appear in BOTH containers —
+    *    duplicate detection must work across formats, which byte-level
+    *    hashing cannot do.
+    *  - SMALL EDIT: every 5th id flips the red channel's high bit at
+    *    pixel (4,6) — exactly one dHash grid sample — so the edited
+    *    copy lands 0–2 hamming bits from its clean twin: a genuine
+    *    near-duplicate, not an exact one.
+    *
+    * Because the raster is an integer affine function of (x, y, seed)
+    * and both containers round-trip losslessly, the decoded pixels —
+    * and therefore the dHash bits — have a closed form an SQL oracle
+    * replays without touching a byte. */
+  def syntheticContentImages(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val img = MediaCodecs.renderImage(18, 16, (id % 64).toInt)
+        if (id % 5 == 0) {
+          val rgb = img.getRGB(4, 6)
+          val r = (((rgb >> 16) & 0xff) + 128) & 0xff
+          img.setRGB(4, 6, (r << 16) | (rgb & 0x00ffff))
+        }
+        val payload = MediaCodecs.encodeImageIO(
+          img, if ((id / 64) % 2 == 0) "png" else "bmp")
+        MediaRow(id, "image", payload, payload.length.toLong)
+      })
+      .toDF()
+  }
+
+  final case class DHashRow(media_id: Long, dhash: Long)
+
+  /** Per-image 64-bit dHash signatures: real ImageIO decode (gated on
+    * an image magic like [[decodeAny]]) → [[MediaCodecs.dhash64]] over
+    * the actual raster. Map-only typed mapPartitions — linear in corpus
+    * bytes, no shuffle; rows whose payload no reader accepts are
+    * dropped (no signature, no dedup evidence). */
+  def dhashSignatures(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "media_type", "payload", "n_bytes")
+      .as[MediaRow]
+      .mapPartitions { it =>
+        it.grouped(BatchSize).flatMap { batch =>
+          batch.iterator.flatMap { m =>
+            val isImage = MediaCodecs.decodeBmp(m.payload)
+              .orElse(MediaCodecs.decodePng(m.payload))
+              .orElse(MediaCodecs.decodeJpeg(m.payload))
+              .orElse(MediaCodecs.decodeGif(m.payload)).isDefined
+            if (!isImage) None
+            else {
+              val img = try javax.imageio.ImageIO.read(
+                new java.io.ByteArrayInputStream(m.payload))
+              catch { case _: Exception => null }
+              if (img == null) None
+              else Some(DHashRow(m.media_id, MediaCodecs.dhash64(img)))
+            }
+          }
+        }
+      }
+      .toDF()
+  }
+
+  /** Perceptual near-duplicate image pairs: dHash signatures → banded
+    * hamming self-join in DISTINCT-SIGNATURE space → re-expand to
+    * media-id pairs — the [[Dedup.simhashPairs]] machinery verbatim,
+    * with the 64-bit signature split into 4×16-bit bands (pigeonhole
+    * completeness for maxHamming < 4). Output (id_a, id_b, dist),
+    * id_a < id_b.
+    *
+    * At 100 TB this is the scale shape: signature extraction is
+    * map-only over image bytes, the quadratic step runs over distinct
+    * signatures (re-encoded duplicate floods collapse to one node), and
+    * the only corpus-sized exchange is the band-key equi-join. Like the
+    * text pair lists, the PAIR output is quadratic per duplicate clique
+    * by definition — a production pass should feed these edges to the
+    * cluster collapse (keep/drop per image) rather than materialize
+    * pairs. */
+  def imageDedupPairs(media: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming < 4,
+      s"4×16-bit banded search complete only for maxHamming < 4")
+    val sig = dhashSignatures(media)
+      .select(col("media_id").as("doc"), col("dhash").as("simhash"))
+      .localCheckpoint()
+    Dedup.expandSigPairs(sig,
+      Dedup.simhashSigPairs(sig, maxHamming, bandBits = 16, nBands = 4))
+  }
 }

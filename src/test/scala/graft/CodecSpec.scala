@@ -256,6 +256,53 @@ class CodecSpec extends AnyFunSuite {
       ((8000, 1, 300, Multimodal.checksum(filled), Some(300L * 2 * 5 % 997))))
   }
 
+  test("dHash: format-invariant, closed-form exact, planted edit near") {
+    def decode(b: Array[Byte]) =
+      javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+    // independent reimplementation of the signature from the affine
+    // raster formula — the same closed form the DuckDB oracle replays
+    def expected(seed: Int, perturbed: Boolean): Long = {
+      def gray(sx: Int, sy: Int): Int = {
+        val r0 = (sx * 7 + sy * 13 + seed) & 0xff
+        val r = if (perturbed && sx == 4 && sy == 6) (r0 + 128) & 0xff else r0
+        val g = (sx * 3 + sy * 5 + seed * 11) & 0xff
+        val b = (sx * 17 + sy + seed * 29) & 0xff
+        (r + g + b) / 3
+      }
+      var sig = 0L
+      for (gy <- 0 until 8; gx <- 0 until 8)
+        if (gray(2 * (gx + 1), 2 * gy) > gray(2 * gx, 2 * gy))
+          sig |= 1L << (gy * 8 + gx)
+      sig
+    }
+    var anyEdited = false
+    for (seed <- 0 until 64) {
+      val img = MediaCodecs.renderImage(18, 16, seed)
+      val png = MediaCodecs.encodeImageIO(img, "png")
+      val bmp = MediaCodecs.encodeImageIO(img, "bmp")
+      val hPng = MediaCodecs.dhash64(decode(png))
+      val hBmp = MediaCodecs.dhash64(decode(bmp))
+      // lossless re-encode in another container: identical signature
+      assert(hPng == hBmp, s"seed $seed: png/bmp dhash diverge")
+      assert(hPng == expected(seed, perturbed = false),
+        s"seed $seed: dhash != affine closed form")
+      // planted one-pixel edit: the edited grid cell touches at most
+      // the two adjacent-comparison bits (gx=1,gy=3) and (gx=2,gy=3)
+      val ed = MediaCodecs.renderImage(18, 16, seed)
+      val rgb = ed.getRGB(4, 6)
+      val r = (((rgb >> 16) & 0xff) + 128) & 0xff
+      ed.setRGB(4, 6, (r << 16) | (rgb & 0x00ffff))
+      val hEd = MediaCodecs.dhash64(decode(MediaCodecs.encodeImageIO(ed, "png")))
+      assert(hEd == expected(seed, perturbed = true))
+      val dist = java.lang.Long.bitCount(hPng ^ hEd)
+      assert(dist <= 2, s"seed $seed: edit moved $dist bits")
+      if (dist > 0) anyEdited = true
+    }
+    // the perturbation is a real near-duplicate, not an exact one,
+    // for at least some seeds
+    assert(anyEdited)
+  }
+
   test("javax.sound WAV sample decode matches the data chunk bytes") {
     val wav = MediaCodecs.encodeWav(8000, 1, 300, fill = 5)
     assert(MediaCodecs.decodeWavSamples(wav).contains(300L * 2 * 5 % 997))

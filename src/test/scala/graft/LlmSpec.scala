@@ -367,6 +367,28 @@ class LlmSpec extends SparkSpec {
     assert(pairs.count() == brute)
   }
 
+  test("image dedup: banded dHash pairs complete vs brute force, planted pins") {
+    val media = Multimodal.syntheticContentImages(docs.limit(200))
+    val pairs = Multimodal.imageDedupPairs(media).cache()
+    // banded search equals brute force over the extracted signatures
+    val sig = Multimodal.dhashSignatures(media)
+    val a = sig.select($"media_id".as("id_a"), $"dhash".as("sa"))
+    val b = sig.select($"media_id".as("id_b"), $"dhash".as("sb"))
+    val brute = a.join(b, $"id_a" < $"id_b" &&
+      Dedup.hamming($"sa", $"sb") <= 3).count()
+    assert(pairs.count() == brute)
+    assert(brute > 0)
+    // cross-FORMAT exact dup: docs 2 (gen 0 → png) and 66 (gen 1 → bmp)
+    // share seed 2, neither is edited (2 % 5, 66 % 5 != 0) — the same
+    // content in two containers must surface at distance 0
+    assert(pairs.filter($"id_a" === 2 && $"id_b" === 66 && $"dist" === 0)
+      .count() == 1)
+    // doc 5 is edited (5 % 5 == 0), doc 69 is its clean seed-5 twin —
+    // present within the banded radius (CodecSpec pins dist <= 2)
+    assert(pairs.filter($"id_a" === 5 && $"id_b" === 69 && $"dist" <= 2)
+      .count() == 1)
+  }
+
   test("simhash clusters: twins collapse to min-id rep, keep iff rep") {
     val small = docs.limit(40)
     val u = small.select($"doc_id", $"text").unionByName(

@@ -61,15 +61,15 @@ class PlanAuditSpec extends SparkSpec {
   //    against it) broadcasts the bounded QUERY set against the corpus —
   //    the documented exact-baseline shape; the build side is |queries|
   //    rows by construction, never corpus-sized.
-  //  - dd_containment_reps: dd_containment's clique-representative
-  //    output form — same guarded dense signature sweep, minus the
-  //    member-expansion joins.
+  //  - dd_containment_reps / dd_allpairs_reps / dd_tfidf_reps: the
+  //    clique-representative output forms — each is its parent family's
+  //    guarded dense signature sweep, minus the member-expansion joins.
   //  - sim_sq8_topk: the brute-force shape over int8 codes — same
   //    bounded-query-broadcast class as sim_bruteforce_topk.
   private val bnljWhitelist = Set(
     "q22_dormant_value", "dd_allpairs", "dd_allpairs_join",
     "dd_tfidf_pairs", "dd_tfidf_join", "dd_containment",
-    "dd_containment_reps",
+    "dd_containment_reps", "dd_allpairs_reps", "dd_tfidf_reps",
     "dd_containment_join", "dd_source_overlap", "ta_drift",
     "sim_bruteforce_topk", "sim_sq8_topk", "sim_pq_topk",
     "sim_ivfpq_topk", "sim_ivf_topk", "sim_ivf_multiassign")
