@@ -637,7 +637,11 @@ object SparkEntry {
       // 0.945 sits in a measured empty band (0.9394 / 0.9524); the
       // oracle is DuckDB's native jaro_winkler over the full cross
       // join — blocking completeness + scalar parity in one hash.
-      val p = t(s, dir, "part")
+      // Half corpus (p_partkey % 4 < 2, board-budget treatment —
+      // NOT % 2, which would collide with the parity-keyed typo
+      // perturbation and erase one class): Jaro-Winkler is pairwise,
+      // so subsetting only removes pairs — the empty band persists.
+      val p = t(s, dir, "part").filter(col("p_partkey") % 4 < 2)
       val right = p.select((col("p_partkey") + 100000).as("p_partkey"),
         when(col("p_partkey") % 2 === 0, col("p_name"))
           .otherwise(expr("substring(p_name, 2)")).as("p_name"))
@@ -1936,7 +1940,11 @@ object SparkEntry {
       // EXACT Jaccard self-join via AllPairs prefix filtering; the
       // oracle is the definitional brute force — equality proves the
       // prefix+size pruning dropped nothing
-      graft.llm.Dedup.allPairs(t(s, dir, "documents"), "doc_id", "text", 0.8)
+      // half corpus (doc_id % 4 < 2, board-budget treatment; Jaccard
+      // is pairwise, so the subset only removes pairs)
+      graft.llm.Dedup.allPairs(
+          t(s, dir, "documents").filter(col("doc_id") % 4 < 2),
+          "doc_id", "text", 0.8)
         .orderBy(col("doc_a"), col("doc_b"))),
 
     "dd_allpairs_reps" -> ((s, dir) =>
@@ -1947,8 +1955,11 @@ object SparkEntry {
       // k copies cost one row, not k². sf0.01 has 21 natural
       // multi-cliques (max size 29), so the collapse is exercised, and
       // the oracle recomputes cliques over distinct sets in DuckDB.
-      graft.llm.Dedup.allPairs(t(s, dir, "documents"), "doc_id", "text",
-          0.8, expandCliques = false)
+      // half corpus like dd_allpairs (the subset retains natural
+      // multi-cliques — self rows below confirm the collapse runs)
+      graft.llm.Dedup.allPairs(
+          t(s, dir, "documents").filter(col("doc_id") % 4 < 2),
+          "doc_id", "text", 0.8, expandCliques = false)
         .orderBy(col("doc_a"), col("doc_b"))),
 
     "dd_tfidf_reps" -> ((s, dir) => {
@@ -1956,12 +1967,15 @@ object SparkEntry {
       // The collapse key is the token MULTISET (identical bags ⇒
       // identical weight vectors); sf0.01 has no natural bag
       // duplicates, so the corpus plants one copy of every 4th doc
-      // (125 cliques of size 2). 0.9 sits in a measured empty band of
-      // the augmented corpus's rep-pair cosine distribution (nearest
-      // values 0.89985 / 0.90098). Self rows keep the same
+      // (125 cliques of size 2 at sf0.01). Half corpus (doc_id % 4 < 2,
+      // board-budget treatment; the planted %4=0 copies all survive the
+      // subset). 0.9 sits in a measured empty band of the trimmed
+      // augmented corpus's rep-pair cosine distribution (nearest
+      // values 0.899846 / 0.903019). Self rows keep the same
       // dot/sqrt(n2·n2) op sequence as the cross arm — never a
       // literal 1.0.
-      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val d = t(s, dir, "documents").filter(col("doc_id") % 4 < 2)
+        .select(col("doc_id"), col("text"))
       val docs = d.unionByName(d.filter(col("doc_id") % 4 === 0)
         .select((col("doc_id") + 10000).as("doc_id"), col("text")))
       graft.llm.Dedup.tfidfPairs(docs, "doc_id", "text", threshold = 0.9,
@@ -1973,8 +1987,11 @@ object SparkEntry {
       // EXACT cross-corpus Jaccard join (certified decontamination /
       // licensing audit): documents vs a perturbed snapshot, every pair
       // with J ≥ 0.7 — brute-force oracle proves completeness, the
-      // property LSH (op_fuzzy_join) only approximates
-      val d = t(s, dir, "documents")
+      // property LSH (op_fuzzy_join) only approximates. Half corpus
+      // (doc_id % 4 < 2, board-budget treatment): Jaccard is pairwise,
+      // so subsetting only removes pairs — the threshold band cannot
+      // shift.
+      val d = t(s, dir, "documents").filter(col("doc_id") % 4 < 2)
       val right = d.select((col("doc_id") + 10000).as("doc_id"),
         concat(col("text"), lit(" zz"),
           pmod(col("doc_id"), lit(5)).cast(StringType)).as("text"))
@@ -2286,10 +2303,14 @@ object SparkEntry {
     "dd_tfidf_pairs" -> ((s, dir) => {
       // exact weighted-cosine near-dup over token tf·idf vectors —
       // integer-quantized idf makes dot/norms exact BIGINTs, so the
-      // pair set is engine-decidable (Dedup.tfidfPairs scaladoc); 0.9
-      // sits in a measured empty band of the sf0.01 cosine
-      // distribution (nearest values 0.89985 / 0.90098)
-      val d = t(s, dir, "documents")
+      // pair set is engine-decidable (Dedup.tfidfPairs scaladoc).
+      // Half corpus (doc_id % 4 < 2, the op_triangles board-budget
+      // treatment — same shape, ~¼ the candidate volume, consecutive
+      // near-dup ids preserved; ScaleProbe keeps the scale evidence).
+      // 0.9 re-probed into a measured empty band of the half-corpus
+      // cosine distribution (idf shifts with the corpus; nearest
+      // values 0.899846 / 0.903019).
+      val d = t(s, dir, "documents").filter(col("doc_id") % 4 < 2)
       Dedup.tfidfPairs(d, "doc_id", "text", threshold = 0.9)
         .orderBy(col("doc_a"), col("doc_b"))
     }),
@@ -2297,8 +2318,10 @@ object SparkEntry {
     "dd_containment" -> ((s, dir) => {
       // exact asymmetric containment (quote / partial-copy detection):
       // ordered pairs with ≥95% of a's token set inside b's. Pure
-      // integer thresholding — no float appears in the decision
-      val d = t(s, dir, "documents")
+      // integer thresholding — no float appears in the decision.
+      // Half corpus (doc_id % 4 < 2, board-budget treatment;
+      // containment is pairwise — subsetting only removes pairs)
+      val d = t(s, dir, "documents").filter(col("doc_id") % 4 < 2)
       Dedup.containmentJoin(d, "doc_id", "text", threshold = 0.95)
         .orderBy(col("id_a"), col("id_b"))
     }),
@@ -2310,7 +2333,8 @@ object SparkEntry {
       // BEFORE any pairing; output is one row per qualifying set pair
       // (with n_a, n_b) plus one self row per n ≥ 2 clique at
       // containment 1 — k copies cost one row, not k² pairs.
-      val d = t(s, dir, "documents")
+      // Half corpus, like dd_containment.
+      val d = t(s, dir, "documents").filter(col("doc_id") % 4 < 2)
       Dedup.containmentJoin(d, "doc_id", "text", threshold = 0.95,
           expandCliques = false)
         .orderBy(col("id_a"), col("id_b"))
@@ -2321,8 +2345,8 @@ object SparkEntry {
       // 10th doc cut to its first half of tokens) must be found
       // inside their originals — plus every other ≥90% cover the
       // dense corpus yields. Integer-exact decision, like the self
-      // form.
-      val d = t(s, dir, "documents")
+      // form. Half corpus (doc_id % 4 < 2, board-budget treatment).
+      val d = t(s, dir, "documents").filter(col("doc_id") % 4 < 2)
       val half = d.filter(pmod(col("doc_id"), lit(10)) === 0)
         .withColumn("__ws", TextAnalysis.tokens(col("text")))
         .select((col("doc_id") + 20000).as("doc_id"),
@@ -2344,9 +2368,12 @@ object SparkEntry {
 
     "dd_substring_coverage" -> ((s, dir) => {
       // per-doc duplicated fraction — the drop-decision number over
-      // dd_substring_spans' audit trail; every doc present, zero rows
-      // included, frac an exact BIGINT/BIGINT division
-      val d = t(s, dir, "documents")
+      // dd_substring_spans' audit trail; every (subset) doc present,
+      // zero rows included, frac an exact BIGINT/BIGINT division.
+      // Half corpus (doc_id % 4 < 2, board-budget treatment —
+      // duplicated grams are recomputed within the subset on both
+      // sides, so the pin stays exact).
+      val d = t(s, dir, "documents").filter(col("doc_id") % 4 < 2)
       Dedup.substringCoverage(d, "doc_id", "text", k = 64)
         .orderBy(col("doc"))
     }),
@@ -2354,9 +2381,11 @@ object SparkEntry {
     "dd_tfidf_join" -> ((s, dir) => {
       // exact cross-corpus weighted-cosine join (the dd_allpairs_join
       // construction with the idf bar): documents vs perturbed
-      // snapshot, one shared idf space over the union. 0.9 sits in a
-      // measured empty band (0.8991 / 0.9005) at sf0.01.
-      val d = t(s, dir, "documents")
+      // snapshot, one shared idf space over the union. Half corpus
+      // (doc_id % 4 < 2, board-budget treatment); 0.9 re-probed into
+      // a measured empty band of the half-corpus distribution
+      // (nearest values 0.895284 / 0.900860).
+      val d = t(s, dir, "documents").filter(col("doc_id") % 4 < 2)
       val right = d.select((col("doc_id") + 10000).as("doc_id"),
         concat(col("text"), lit(" zz"),
           pmod(col("doc_id"), lit(5)).cast(StringType)).as("text"))
@@ -2365,10 +2394,11 @@ object SparkEntry {
     }),
 
     "dd_substring_spans" -> ((s, dir) => {
-      // exact duplicated-substring spans at k=64 chars (~10.5k
-      // duplicated positions across 45 docs at sf0.01 — the corpus'
-      // templated near-dups share long literal runs)
-      val d = t(s, dir, "documents")
+      // exact duplicated-substring spans at k=64 chars (the corpus'
+      // templated near-dups share long literal runs). Half corpus
+      // (doc_id % 4 < 2, board-budget treatment) — duplication is
+      // re-decided within the subset identically on both sides.
+      val d = t(s, dir, "documents").filter(col("doc_id") % 4 < 2)
       Dedup.substringSpans(d, "doc_id", "text", k = 64)
         .orderBy(col("doc"), col("span_start"))
     }),
@@ -3937,7 +3967,7 @@ object SparkEntry {
     "dd_allpairs" ->
       s"""WITH toks AS (
         |  SELECT doc_id, unnest(list_distinct(${toksSql("lower(text)")})) AS tok
-        |  FROM documents),
+        |  FROM documents WHERE doc_id % 4 < 2),
         |sizes AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id),
         |inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
         |  FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
@@ -3957,7 +3987,7 @@ object SparkEntry {
     "dd_allpairs_reps" ->
       s"""WITH d0 AS (SELECT doc_id,
         |    list_sort(list_distinct(${toksSql("lower(text)")})) AS ts
-        |  FROM documents),
+        |  FROM documents WHERE doc_id % 4 < 2),
         |g AS (SELECT ts, min(doc_id) AS rep, count(*)::BIGINT AS n
         |  FROM d0 GROUP BY ts),
         |szs AS (SELECT rep, n, len(ts)::BIGINT AS sz FROM g),
@@ -3984,6 +4014,7 @@ object SparkEntry {
     // rows via the SAME dot/sqrt op sequence (no literal 1.0)
     "dd_tfidf_reps" ->
       s"""WITH docs AS (SELECT doc_id, text FROM documents
+        |    WHERE doc_id % 4 < 2
         |  UNION ALL SELECT doc_id + 10000, text FROM documents
         |    WHERE doc_id % 4 = 0),
         |tok AS (SELECT doc_id, unnest(${toksSql("lower(text)")}) AS tok
@@ -4030,10 +4061,10 @@ object SparkEntry {
     "dd_allpairs_join" ->
       s"""WITH l AS (
         |  SELECT doc_id, unnest(list_distinct(${toksSql("lower(text)")})) AS tok
-        |  FROM documents),
+        |  FROM documents WHERE doc_id % 4 < 2),
         |r0 AS (SELECT doc_id + 10000 AS doc_id,
         |    lower(text || ' zz' || CAST(doc_id % 5 AS VARCHAR)) AS t
-        |  FROM documents),
+        |  FROM documents WHERE doc_id % 4 < 2),
         |r AS (SELECT doc_id, unnest(list_distinct(${toksSql("t")})) AS tok
         |  FROM r0),
         |szl AS (SELECT doc_id, count(*) AS n FROM l GROUP BY doc_id),
@@ -4440,10 +4471,11 @@ object SparkEntry {
     // replay bit-for-bit (no prefix filter needed here — the filter
     // only prunes, membership is the exact compare)
     "dd_tfidf_pairs" ->
-      s"""WITH tok AS (SELECT doc_id, unnest(${toksSql("lower(text)")}) AS tok FROM documents),
+      s"""WITH tok AS (SELECT doc_id, unnest(${toksSql("lower(text)")}) AS tok
+        |  FROM documents WHERE doc_id % 4 < 2),
         |tf AS (SELECT doc_id, tok, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
         |dfc AS (SELECT tok, count(*)::BIGINT AS dfd FROM tf GROUP BY 1),
-        |nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+        |nn AS (SELECT count(*)::BIGINT AS n FROM documents WHERE doc_id % 4 < 2),
         |rr AS (SELECT doc_id, tok, tf, (SELECT n FROM nn) // dfd AS r
         |  FROM tf JOIN dfc USING (tok)),
         |w AS (SELECT doc_id, tok, tf * (1 + ${floorLog2Sql("r")}) AS w FROM rr),
@@ -4464,7 +4496,7 @@ object SparkEntry {
     "dd_containment" ->
       s"""WITH d AS (SELECT doc_id,
         |    unnest(list_distinct(${toksSql("lower(text)")})) AS tok
-        |  FROM documents),
+        |  FROM documents WHERE doc_id % 4 < 2),
         |sz AS (SELECT doc_id, count(*) AS n FROM d GROUP BY 1),
         |i AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*)::BIGINT AS inter
         |  FROM d a JOIN d b ON a.tok = b.tok AND a.doc_id != b.doc_id
@@ -4481,7 +4513,7 @@ object SparkEntry {
     "dd_containment_reps" ->
       s"""WITH d0 AS (SELECT doc_id,
         |    list_sort(list_distinct(${toksSql("lower(text)")})) AS ts
-        |  FROM documents),
+        |  FROM documents WHERE doc_id % 4 < 2),
         |g AS (SELECT ts, min(doc_id) AS rep, count(*)::BIGINT AS n
         |  FROM d0 GROUP BY ts),
         |szs AS (SELECT rep, n, len(ts)::BIGINT AS sz FROM g),
@@ -4505,11 +4537,11 @@ object SparkEntry {
       s"""WITH l0 AS (SELECT doc_id + 20000 AS doc_id,
         |    array_to_string(ws[1:greatest(len(ws)//2, 1)], ' ') AS text
         |  FROM (SELECT doc_id, ${toksSql("text")} AS ws FROM documents
-        |    WHERE doc_id % 10 = 0)),
+        |    WHERE doc_id % 10 = 0 AND doc_id % 4 < 2)),
         |la AS (SELECT doc_id, unnest(list_distinct(${toksSql("lower(text)")})) AS tok
         |  FROM l0),
         |rb AS (SELECT doc_id, unnest(list_distinct(${toksSql("lower(text)")})) AS tok
-        |  FROM documents),
+        |  FROM documents WHERE doc_id % 4 < 2),
         |sza AS (SELECT doc_id, count(*) AS n FROM la GROUP BY 1),
         |i AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*)::BIGINT AS inter
         |  FROM la a JOIN rb b ON a.tok = b.tok GROUP BY 1, 2)
@@ -4543,7 +4575,7 @@ object SparkEntry {
     "dd_substring_coverage" ->
       s"""WITH pos AS (SELECT doc_id, g.i AS p, substr(text, g.i::INTEGER, 64) AS gram
         |  FROM documents, LATERAL (SELECT unnest(generate_series(1, length(text) - 63)) AS i) g
-        |  WHERE length(text) >= 64),
+        |  WHERE length(text) >= 64 AND doc_id % 4 < 2),
         |c AS (SELECT gram FROM pos GROUP BY gram HAVING count(*) > 1),
         |dup AS (SELECT doc_id, p FROM pos JOIN c USING (gram)),
         |m AS (SELECT doc_id, p, max(p) OVER (PARTITION BY doc_id ORDER BY p
@@ -4557,22 +4589,25 @@ object SparkEntry {
         |  coalesce(cov.covered, 0)::BIGINT AS covered,
         |  coalesce(cov.covered, 0)::DOUBLE / length(d.text) AS frac
         |FROM documents d LEFT JOIN cov ON cov.doc_id = d.doc_id
+        |WHERE d.doc_id % 4 < 2
         |ORDER BY doc""".stripMargin,
 
     // brute-force cross-corpus cosine under the shared union-idf
     // integer quantization — same exactness contract as dd_tfidf_pairs
     "dd_tfidf_join" ->
-      s"""WITH l0 AS (SELECT doc_id, ${toksSql("lower(text)")} AS ws FROM documents),
+      s"""WITH l0 AS (SELECT doc_id, ${toksSql("lower(text)")} AS ws
+        |  FROM documents WHERE doc_id % 4 < 2),
         |r0 AS (SELECT doc_id + 10000 AS doc_id,
         |    ${toksSql("lower(text || ' zz' || CAST(doc_id % 5 AS VARCHAR))")} AS ws
-        |  FROM documents),
+        |  FROM documents WHERE doc_id % 4 < 2),
         |lt AS (SELECT doc_id, unnest(ws) AS tok FROM l0),
         |rt AS (SELECT doc_id, unnest(ws) AS tok FROM r0),
         |tfl AS (SELECT doc_id, tok, count(*)::BIGINT AS tf FROM lt GROUP BY 1, 2),
         |tfr AS (SELECT doc_id, tok, count(*)::BIGINT AS tf FROM rt GROUP BY 1, 2),
         |dfc AS (SELECT tok, count(*)::BIGINT AS dfd
         |  FROM (SELECT * FROM tfl UNION ALL SELECT * FROM tfr) GROUP BY 1),
-        |nn AS (SELECT (SELECT count(*) FROM documents) * 2 AS n),
+        |nn AS (SELECT (SELECT count(*) FROM documents
+        |    WHERE doc_id % 4 < 2) * 2 AS n),
         |wl AS (SELECT doc_id, tok, tf * (1 + ${floorLog2Sql("r")}) AS w
         |  FROM (SELECT tfl.*, (SELECT n FROM nn) // dfd AS r
         |    FROM tfl JOIN dfc USING (tok))),
@@ -4594,7 +4629,7 @@ object SparkEntry {
     "dd_substring_spans" ->
       s"""WITH pos AS (SELECT doc_id, g.i AS p, substr(text, g.i::INTEGER, 64) AS gram
         |  FROM documents, LATERAL (SELECT unnest(generate_series(1, length(text) - 63)) AS i) g
-        |  WHERE length(text) >= 64),
+        |  WHERE length(text) >= 64 AND doc_id % 4 < 2),
         |c AS (SELECT gram FROM pos GROUP BY gram HAVING count(*) > 1),
         |dup AS (SELECT doc_id, p FROM pos JOIN c USING (gram)),
         |m AS (SELECT doc_id, p, max(p) OVER (PARTITION BY doc_id ORDER BY p
@@ -5168,11 +5203,12 @@ object SparkEntry {
       """WITH r AS (SELECT p_partkey + 100000 AS id,
         |    CASE WHEN p_partkey % 2 = 0 THEN p_name
         |      ELSE substring(p_name, 2) END AS nm
-        |  FROM part)
+        |  FROM part WHERE p_partkey % 4 < 2)
         |SELECT a.p_partkey AS id_a, r.id AS id_b,
         |  round(jaro_winkler_similarity(a.p_name, r.nm), 6) AS jw
         |FROM part a CROSS JOIN r
-        |WHERE jaro_winkler_similarity(a.p_name, r.nm) >= 0.945
+        |WHERE p_partkey % 4 < 2
+        |  AND jaro_winkler_similarity(a.p_name, r.nm) >= 0.945
         |ORDER BY id_a, id_b""".stripMargin,
 
     // brute-force wedge closure over value-canonical edges — counts

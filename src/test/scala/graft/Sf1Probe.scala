@@ -51,7 +51,11 @@ object Sf1Probe {
     "ta_langid_trained", "ta_dsir",
     // round-10 late row: one count-window over the content hash —
     // expect linear
-    "dd_soft_weights")
+    "dd_soft_weights",
+    // round-11 rows: reps forms of the two heaviest families (expect
+    // ~1× like dd_containment_reps) and the dHash image dedup (map-only
+    // signatures + distinct-signature banded join — expect ~linear)
+    "dd_allpairs_reps", "dd_tfidf_reps", "mm_phash_pairs")
 
   def main(args: Array[String]): Unit = {
     val src = "/root/testdata/sf0.1"
