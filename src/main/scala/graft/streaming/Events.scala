@@ -865,6 +865,15 @@ object Events {
       else if (spark.catalog.tableExists(tmp))
         spark.sql(s"ALTER TABLE ${quoted(tmp)} RENAME TO ${quoted(table)}")
     }
+    // nothing staged (e.g. every row null-keyed): no-op — AFTER crash
+    // recovery, so a parked backup is still promoted. Without this, the
+    // partition-scoped path would reduce an EMPTY touched-partition set
+    // into its filter predicate (throw), and the unpartitioned path
+    // would rewrite the whole table with identical content — worse,
+    // through a plain (layout-dropping) swap if the table is
+    // partitioned. The isEmpty probe is a limit-1 job on an
+    // already-collapsed micro-batch — negligible per batch.
+    if (collapsed.isEmpty) return
     if (!spark.catalog.tableExists(table)) {
       if (partitionCols.nonEmpty)
         collapsed.write.partitionBy(partitionCols: _*).saveAsTable(table)

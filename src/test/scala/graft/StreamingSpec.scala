@@ -899,4 +899,29 @@ class StreamingSpec extends SparkSpec {
     for (s <- Seq(table, s"${table}__upsert_tmp", s"${table}__upsert_backup"))
       spark.sql(s"DROP TABLE IF EXISTS $s")
   }
+
+  test("partition-scoped upsert: all-null-key batch is a no-op, not a crash") {
+    // null-keyed rows are dropped before merging (a row with no key has
+    // no identity to upsert) — a batch consisting ONLY of them leaves
+    // nothing staged. The partition-scoped path used to reduce an EMPTY
+    // touched-partition set into the filter predicate and throw; it
+    // must no-op and leave the table byte-identical instead.
+    val table = "graft_upsert_nullkeys_test"
+    for (s <- Seq(table, s"${table}__upsert_tmp", s"${table}__upsert_backup"))
+      spark.sql(s"DROP TABLE IF EXISTS $s")
+    val b1 = Seq((1L, "a", 1L, 0L), (2L, "b", 1L, 1L))
+      .toDF("k", "v", "ord", "p")
+    Events.upsertBatch(b1, table, Seq("k"), "ord", Seq("p"))
+    val before = spark.table(table).orderBy($"k").collect().toSeq
+    val nulls = Seq((Option.empty[Long], "x", 2L, 0L),
+        (Option.empty[Long], "y", 2L, 1L))
+      .toDF("k", "v", "ord", "p")
+    Events.upsertBatch(nulls, table, Seq("k"), "ord", Seq("p")) // no throw
+    // unpartitioned path too: merge with an empty staged side must keep
+    // the table intact (and not lose rows to a swap of nothing)
+    Events.upsertBatch(nulls.drop("p"), table, Seq("k"), "ord")
+    assert(spark.table(table).orderBy($"k").collect().toSeq == before)
+    for (s <- Seq(table, s"${table}__upsert_tmp", s"${table}__upsert_backup"))
+      spark.sql(s"DROP TABLE IF EXISTS $s")
+  }
 }
