@@ -2552,6 +2552,17 @@ object SparkEntry {
           Multimodal.syntheticContentImages(t(s, dir, "documents")))
         .orderBy(col("id_a"), col("id_b"))),
 
+    "mm_phash_clusters" -> ((s, dir) =>
+      // the keep/drop product shape over the same corpus: connected
+      // components of the banded dHash graph in distinct-signature
+      // space, rep = min media id, linear per image where the pair
+      // list is quadratic per duplicate clique. The oracle recomputes
+      // the signatures arithmetically and walks the components with a
+      // recursive CTE (the dd_simhash_clusters pattern).
+      Multimodal.imageDedupClusters(
+          Multimodal.syntheticContentImages(t(s, dir, "documents")))
+        .orderBy(col("doc"))),
+
     "mm_frames" -> ((s, dir) =>
       Multimodal.sampleFrames(
           Multimodal.decodeFeatures(
@@ -4865,6 +4876,38 @@ object SparkEntry {
         |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.h, b.h)) <= 3
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // same signature closed form, then min-label component walk over the
+    // brute-forced <=3-hamming edges (the dd_simhash_clusters pattern)
+    "mm_phash_clusters" ->
+      """WITH RECURSIVE d AS (SELECT doc_id, doc_id % 64 AS s,
+        |    (doc_id % 5 = 0) AS p FROM documents),
+        |g AS (SELECT d.doc_id, gy.y AS gy, gx.x AS gx,
+        |    (((CASE WHEN d.p AND gx.x = 2 AND gy.y = 3
+        |         THEN (2*gx.x*7 + 2*gy.y*13 + d.s + 128) % 256
+        |         ELSE (2*gx.x*7 + 2*gy.y*13 + d.s) % 256 END)
+        |      + (2*gx.x*3 + 2*gy.y*5 + d.s*11) % 256
+        |      + (2*gx.x*17 + 2*gy.y + d.s*29) % 256) // 3) AS gray
+        |  FROM d, range(9) gx(x), range(8) gy(y)),
+        |sig AS (SELECT a.doc_id,
+        |    bit_or(CASE WHEN NOT b.gray > a.gray THEN 0::BIGINT
+        |      WHEN a.gy*8 + a.gx = 63
+        |        THEN (-9223372036854775807 - 1)::BIGINT
+        |      ELSE (1::BIGINT << (a.gy*8 + a.gx)::INTEGER) END) AS h
+        |  FROM g a JOIN g b ON b.doc_id = a.doc_id
+        |    AND b.gy = a.gy AND b.gx = a.gx + 1
+        |  WHERE a.gx < 8 GROUP BY a.doc_id),
+        |cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        |  WHERE bit_count(xor(a.h, b.h)) <= 3),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM cand
+        |  UNION ALL SELECT id_b, id_a FROM cand),
+        |walk(doc, anc) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT e.dst, w.anc FROM walk w JOIN edges e ON e.src = w.doc)
+        |SELECT doc, min(anc) AS rep, (doc = min(anc)) AS keep
+        |FROM walk GROUP BY doc ORDER BY doc""".stripMargin,
 
     "ev_tumbling" ->
       """SELECT date_trunc('hour', ts) AS win_start, event_type,

@@ -1291,22 +1291,37 @@ object Dedup {
     val edges = simhashSigPairs(sig, maxHamming)
       .select(col("sa").as("id_a"), col("sb").as("id_b"))
       .localCheckpoint()
+    inheritSigComponents(df.select(col(id).as("doc")).distinct(),
+      sig.select(col("doc"), col("simhash").as("sfp")),
+      edges, maxIter, driverEdgeLimit)
+  }
+
+  /** Shared tail of every signature-space cluster collapse
+    * ([[simhashClusters]] / [[minhashClusters]] / perceptual image
+    * dedup): run components over the SIGNATURE edge list, then one
+    * linear join hands each document its signature's component and the
+    * MIN ORIGINAL id per component becomes `rep`. `allDocs` is the
+    * complete (doc) universe — documents with no signature (empty
+    * text, undecodable payload) stay their own singleton clusters.
+    * `byFp` is (doc, sfp); `edges` (id_a, id_b) lives in sfp space. */
+  private[graft] def inheritSigComponents(allDocs: DataFrame,
+                                          byFp: DataFrame,
+                                          edges: DataFrame, maxIter: Int,
+                                          driverEdgeLimit: Long): DataFrame = {
     val labels = componentLabels(edges, maxIter, driverEdgeLimit)
-    val sigLabel = sig.select(col("simhash")).distinct()
-      .join(labels.withColumnRenamed("doc", "simhash"),
-        Seq("simhash"), "left_outer")
-      .select(col("simhash"),
-        coalesce(col("label"), col("simhash")).as("slabel"))
+    val sigLabel = byFp.select(col("sfp")).distinct()
+      .join(labels.withColumnRenamed("doc", "sfp"),
+        Seq("sfp"), "left_outer")
+      .select(col("sfp"),
+        coalesce(col("label"), col("sfp")).as("slabel"))
     // doc → its signature's component; rep = MIN ORIGINAL id per
     // component (any orderable id type — numeric or string)
-    val byDoc = sig.join(sigLabel, Seq("simhash"))
+    val byDoc = byFp.join(sigLabel, Seq("sfp"))
       .select(col("doc"), col("slabel"))
     val reps = byDoc.groupBy("slabel").agg(min(col("doc")).as("rep"))
     val docRep = byDoc.join(reps, Seq("slabel"))
       .select(col("doc"), col("rep"))
-    // docs the tokenizer produced no signature for (empty text) stay
-    // their own singleton clusters
-    df.select(col(id).as("doc")).distinct()
+    allDocs
       .join(docRep, Seq("doc"), "left_outer")
       .select(col("doc"), coalesce(col("rep"), col("doc")).as("rep"))
       .withColumn("keep", col("doc") === col("rep"))
@@ -1362,19 +1377,8 @@ object Dedup {
       .select(col("a.sfp").as("id_a"), col("b.sfp").as("id_b"))
       .distinct()
       .localCheckpoint()
-    val labels = componentLabels(edges, maxIter, driverEdgeLimit)
-    val sigLabel = docSig.select(col("sfp")).distinct()
-      .join(labels.withColumnRenamed("doc", "sfp"), Seq("sfp"), "left_outer")
-      .select(col("sfp"), coalesce(col("label"), col("sfp")).as("slabel"))
-    val byDoc = docSig.join(sigLabel, Seq("sfp"))
-      .select(col("doc"), col("slabel"))
-    val reps = byDoc.groupBy("slabel").agg(min(col("doc")).as("rep"))
-    val docRep = byDoc.join(reps, Seq("slabel"))
-      .select(col("doc"), col("rep"))
-    df.select(col(id).as("doc")).distinct()
-      .join(docRep, Seq("doc"), "left_outer")
-      .select(col("doc"), coalesce(col("rep"), col("doc")).as("rep"))
-      .withColumn("keep", col("doc") === col("rep"))
+    inheritSigComponents(df.select(col(id).as("doc")).distinct(),
+      docSig, edges, maxIter, driverEdgeLimit)
   }
 
   /** Connected-component collapse shared by the dedup families: every

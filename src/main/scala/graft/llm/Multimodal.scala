@@ -420,4 +420,31 @@ object Multimodal {
     Dedup.expandSigPairs(sig,
       Dedup.simhashSigPairs(sig, maxHamming, bandBits = 16, nBands = 4))
   }
+
+  /** Perceptual image dedup CLUSTERS — the per-image keep/drop decision
+    * a 100 TB media pass actually wants (the pair list is quadratic per
+    * duplicate clique; this is linear per image): connected components
+    * over the banded dHash signature graph, each image inheriting its
+    * signature's component, rep = MIN media id. Output (doc, rep, keep)
+    * like [[Dedup.simhashClusters]], whose signature-space machinery
+    * this reuses end to end (distinct-signature nodes — a re-encoded
+    * duplicate flood is ONE node regardless of multiplicity; images no
+    * reader decodes stay singleton clusters). */
+  def imageDedupClusters(media: DataFrame, maxHamming: Int = 3,
+                         maxIter: Int = 20,
+                         driverEdgeLimit: Long = 1000000L): DataFrame = {
+    require(maxHamming < 4,
+      s"4×16-bit banded search complete only for maxHamming < 4")
+    val sig = dhashSignatures(media)
+      .select(col("media_id").as("doc"), col("dhash").as("sfp"))
+      .localCheckpoint()
+    val edges = Dedup.simhashSigPairs(
+        sig.select(col("doc"), col("sfp").as("simhash")),
+        maxHamming, bandBits = 16, nBands = 4)
+      .select(col("sa").as("id_a"), col("sb").as("id_b"))
+      .localCheckpoint()
+    Dedup.inheritSigComponents(
+      media.select(col("media_id").as("doc")).distinct(),
+      sig, edges, maxIter, driverEdgeLimit)
+  }
 }

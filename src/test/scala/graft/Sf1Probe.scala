@@ -55,7 +55,8 @@ object Sf1Probe {
     // round-11 rows: reps forms of the two heaviest families (expect
     // ~1× like dd_containment_reps) and the dHash image dedup (map-only
     // signatures + distinct-signature banded join — expect ~linear)
-    "dd_allpairs_reps", "dd_tfidf_reps", "mm_phash_pairs")
+    "dd_allpairs_reps", "dd_tfidf_reps", "mm_phash_pairs",
+    "mm_phash_clusters")
 
   def main(args: Array[String]): Unit = {
     val src = "/root/testdata/sf0.1"
