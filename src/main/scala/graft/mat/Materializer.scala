@@ -395,6 +395,24 @@ final class Materializer(spark: SparkSession, val catalog: CatalogOps) {
       config: ModelConfig = ModelConfig.empty,
       partitionCols: Seq[String] = Nil): Unit = {
     val name = rel.render
+    // crash recovery (the same hole the streaming upsert sink closed,
+    // r11): the tmp/backup swap below is not atomic — a crash between
+    // the two RENAMEs leaves the target missing with its accumulated
+    // history parked in __dbt_backup (or the fully rewritten result in
+    // __dbt_tmp). Unlike the `table` materialization (whose re-run
+    // rebuilds the same full model — nothing irreplaceable), an
+    // incremental model's history is NOT derivable from one staged
+    // batch: without restoring first, the exists check below takes the
+    // CREATE path on the re-run and silently rebuilds the table from
+    // this run's batch alone.
+    if (!spark.catalog.tableExists(name)) {
+      val backup0 = rel.suffixed("__dbt_backup")
+      val tmp0 = rel.suffixed("__dbt_tmp")
+      if (spark.catalog.tableExists(backup0.render))
+        spark.sql(s"ALTER TABLE ${backup0.render} RENAME TO $name")
+      else if (spark.catalog.tableExists(tmp0.render))
+        spark.sql(s"ALTER TABLE ${tmp0.render} RENAME TO $name")
+    }
     val exists = spark.catalog.tableExists(name)
     runHooks(config.preHooks) // incremental.sql:46
     // incremental's tail order differs from table's: post-hooks →

@@ -133,6 +133,33 @@ class MaterializerSpec extends SparkSpec {
     assert(spark.table("inc1").count() == 1)
   }
 
+  test("incremental crash recovery: re-run after a mid-swap crash keeps history") {
+    // the tmp/backup swap is not atomic — simulate a crash between the
+    // two RENAMEs (target gone, history parked in __dbt_backup) and a
+    // crash after the merge materialized but before the final rename
+    // (result parked in __dbt_tmp). Without recovery, the re-run's
+    // exists check takes the CREATE path and rebuilds the table from
+    // the re-run's staged batch alone, silently losing history.
+    val rel = Relation("inc_crash")
+    for (s <- Seq("inc_crash", "inc_crash__dbt_tmp", "inc_crash__dbt_backup"))
+      spark.sql(s"DROP TABLE IF EXISTS $s")
+    mat.incremental(rel, Seq((1L, "a"), (2L, "b")).toDF("id", "v"),
+      strategy = "merge", uniqueKeys = Seq("id"))
+    spark.sql("ALTER TABLE inc_crash RENAME TO inc_crash__dbt_backup")
+    mat.incremental(rel, Seq((2L, "B"), (3L, "c")).toDF("id", "v"),
+      strategy = "merge", uniqueKeys = Seq("id"))
+    assert(spark.table("inc_crash").orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "a"), (2L, "B"), (3L, "c")),
+      "batch-1 history must survive the re-run")
+    spark.sql("ALTER TABLE inc_crash RENAME TO inc_crash__dbt_tmp")
+    mat.incremental(rel, Seq((4L, "d")).toDF("id", "v"),
+      strategy = "merge", uniqueKeys = Seq("id"))
+    assert(spark.table("inc_crash").count() == 4)
+    for (s <- Seq("inc_crash", "inc_crash__dbt_tmp", "inc_crash__dbt_backup"))
+      spark.sql(s"DROP TABLE IF EXISTS $s")
+  }
+
   test("incremental insert_overwrite strategy replaces staged partitions only") {
     val rel = Relation("inc_ovr")
     mat.incremental(rel,
