@@ -2563,6 +2563,25 @@ object SparkEntry {
           Multimodal.syntheticContentImages(t(s, dir, "documents")))
         .orderBy(col("doc"))),
 
+    "mm_phash_novelty" -> ((s, dir) => {
+      // ingestion-time image dedup (Events.imageNoveltyStream evaluated
+      // in batch — identical code runs under readStream): the first 30
+      // images' signatures form the model-sized index (seeds 0–29 of
+      // 64, so BOTH outcomes are populated: later copies of indexed
+      // seeds — including their one-pixel edits — are dropped, unseen
+      // seeds pass); arriving images within hamming ≤ 3 of any indexed
+      // signature are dropped via a plan-literal band-bucketed lookup —
+      // no join, no state. The oracle recomputes signatures
+      // arithmetically and brute-forces the NOT EXISTS.
+      val media = Multimodal.syntheticContentImages(t(s, dir, "documents"))
+      val idx = Multimodal.dhashSignatures(
+          media.filter(col("media_id") < 30))
+        .select(col("dhash")).collect().map(_.getLong(0)).toSeq
+      graft.streaming.Events.imageNoveltyStream(media, idx)
+        .select(col("media_id"), col("dhash"), col("novel"))
+        .orderBy(col("media_id"))
+    }),
+
     "mm_frames" -> ((s, dir) =>
       Multimodal.sampleFrames(
           Multimodal.decodeFeatures(
@@ -4908,6 +4927,32 @@ object SparkEntry {
         |  SELECT e.dst, w.anc FROM walk w JOIN edges e ON e.src = w.doc)
         |SELECT doc, min(anc) AS rep, (doc = min(anc)) AS keep
         |FROM walk GROUP BY doc ORDER BY doc""".stripMargin,
+
+    // same signature closed form; novelty = no indexed (doc_id < 30)
+    // signature within hamming 3
+    "mm_phash_novelty" ->
+      """WITH d AS (SELECT doc_id, doc_id % 64 AS s,
+        |    (doc_id % 5 = 0) AS p FROM documents),
+        |g AS (SELECT d.doc_id, gy.y AS gy, gx.x AS gx,
+        |    (((CASE WHEN d.p AND gx.x = 2 AND gy.y = 3
+        |         THEN (2*gx.x*7 + 2*gy.y*13 + d.s + 128) % 256
+        |         ELSE (2*gx.x*7 + 2*gy.y*13 + d.s) % 256 END)
+        |      + (2*gx.x*3 + 2*gy.y*5 + d.s*11) % 256
+        |      + (2*gx.x*17 + 2*gy.y + d.s*29) % 256) // 3) AS gray
+        |  FROM d, range(9) gx(x), range(8) gy(y)),
+        |sig AS (SELECT a.doc_id,
+        |    bit_or(CASE WHEN NOT b.gray > a.gray THEN 0::BIGINT
+        |      WHEN a.gy*8 + a.gx = 63
+        |        THEN (-9223372036854775807 - 1)::BIGINT
+        |      ELSE (1::BIGINT << (a.gy*8 + a.gx)::INTEGER) END) AS h
+        |  FROM g a JOIN g b ON b.doc_id = a.doc_id
+        |    AND b.gy = a.gy AND b.gx = a.gx + 1
+        |  WHERE a.gx < 8 GROUP BY a.doc_id)
+        |SELECT a.doc_id AS media_id, a.h AS dhash, TRUE AS novel
+        |FROM sig a
+        |WHERE NOT EXISTS (SELECT 1 FROM sig b WHERE b.doc_id < 30
+        |  AND bit_count(xor(a.h, b.h)) <= 3)
+        |ORDER BY media_id""".stripMargin,
 
     "ev_tumbling" ->
       """SELECT date_trunc('hour', ts) AS win_start, event_type,

@@ -421,6 +421,58 @@ object Multimodal {
       Dedup.simhashSigPairs(sig, maxHamming, bandBits = 16, nBands = 4))
   }
 
+  final case class MediaDHashRow(media_id: Long, media_type: String,
+                                 payload: Array[Byte], n_bytes: Long,
+                                 dhash: Option[Long])
+
+  /** Append a nullable `dhash` column to a media frame (all original
+    * columns kept): real ImageIO decode gated on an image magic, null
+    * for payloads no reader accepts. Map-only — works identically on
+    * batch and STREAMING frames (no shuffle, no state), which is what
+    * [[graft.streaming.Events.imageNoveltyStream]] builds on. */
+  def withDhash(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "media_type", "payload", "n_bytes")
+      .as[MediaRow]
+      .mapPartitions { it =>
+        it.grouped(BatchSize).flatMap { batch =>
+          batch.iterator.map { m =>
+            val isImage = MediaCodecs.decodeBmp(m.payload)
+              .orElse(MediaCodecs.decodePng(m.payload))
+              .orElse(MediaCodecs.decodeJpeg(m.payload))
+              .orElse(MediaCodecs.decodeGif(m.payload)).isDefined
+            val h =
+              if (!isImage) None
+              else {
+                val img = try javax.imageio.ImageIO.read(
+                  new java.io.ByteArrayInputStream(m.payload))
+                catch { case _: Exception => null }
+                if (img == null) None else Some(MediaCodecs.dhash64(img))
+              }
+            MediaDHashRow(m.media_id, m.media_type, m.payload,
+              m.n_bytes, h)
+          }
+        }
+      }
+      .toDF()
+  }
+
+  /** Band-bucketed lookup index over a (model-sized) signature set, for
+    * serving-time near-duplicate checks without a join: key =
+    * band·2¹⁶ + 16-bit band value, value = the signatures carrying it.
+    * By pigeonhole any signature within hamming < 4 of an indexed one
+    * shares at least one of the 4 bands, so a per-row lookup of the 4
+    * band keys followed by an exact popcount verify is COMPLETE for
+    * maxHamming ≤ 3 — O(1)-ish per row against a broadcast/plan-literal
+    * map, the same serving shape as the DSIR model and the classifier
+    * weight table. */
+  def dhashBandIndex(sigs: Seq[Long]): Map[Long, Seq[Long]] =
+    sigs.distinct
+      .flatMap(s => (0 until 4).map(b =>
+        (b.toLong << 16 | ((s >>> (b * 16)) & 0xffffL), s)))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+
   /** Perceptual image dedup CLUSTERS — the per-image keep/drop decision
     * a 100 TB media pass actually wants (the pair list is quadratic per
     * duplicate clique; this is linear per image): connected components

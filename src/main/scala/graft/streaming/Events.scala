@@ -253,6 +253,41 @@ object Events {
     dedup.unionByName(signed.filter(col("simhash").isNull))
   }
 
+  /** Streaming IMAGE novelty: drop incoming images that are perceptual
+    * near-duplicates of a pre-built dHash signature index — the
+    * multimodal sibling of [[decontaminateStream]], applied at
+    * ingestion. Per row: real decode → 64-bit dHash (map-only typed
+    * mapPartitions, [[graft.llm.Multimodal.withDhash]]), then the 4
+    * band keys probe a plan-literal band-bucketed index
+    * ([[graft.llm.Multimodal.dhashBandIndex]] over a MODEL-SIZED
+    * signature set — the decontaminateSet contract) and an exact
+    * popcount verifies the candidates. Pigeonhole-complete for
+    * maxHamming ≤ 3; no join, no state, no watermark — batch frames
+    * run the identical code. Rows keep their columns plus `novel`;
+    * known near-dups are dropped. Payloads no reader decodes are KEPT
+    * (novel = true): absence of a signature is absence of duplicate
+    * evidence, not proof of duplication. */
+  def imageNoveltyStream(stream: DataFrame, indexSigs: Seq[Long],
+                         maxHamming: Int = 3): DataFrame = {
+    require(maxHamming < 4,
+      "4×16-bit band lookup complete only for maxHamming < 4")
+    val idx = graft.llm.Multimodal.dhashBandIndex(indexSigs)
+    val mLit = typedLit(idx)
+    val sig = col("dhash")
+    val cands = flatten(array((0 until 4).map { b =>
+      coalesce(
+        element_at(mLit, lit(b.toLong << 16) +
+          shiftright(sig, b * 16).bitwiseAND(lit(0xffffL))),
+        typedLit(Seq.empty[Long]))
+    }: _*))
+    val dup = sig.isNotNull &&
+      exists(cands, c =>
+        bit_count(c.bitwiseXOR(sig)) <= lit(maxHamming))
+    graft.llm.Multimodal.withDhash(stream)
+      .withColumn("novel", !dup)
+      .filter(col("novel"))
+  }
+
   /** Streaming benchmark decontamination: drop documents sharing any
     * word n-gram with a fixed contamination set as they ARRIVE — the
     * eval-leakage guard applied at ingestion instead of as a batch
@@ -865,21 +900,23 @@ object Events {
       else if (spark.catalog.tableExists(tmp))
         spark.sql(s"ALTER TABLE ${quoted(tmp)} RENAME TO ${quoted(table)}")
     }
-    // nothing staged (e.g. every row null-keyed): no-op — AFTER crash
-    // recovery, so a parked backup is still promoted. Without this, the
-    // partition-scoped path would reduce an EMPTY touched-partition set
-    // into its filter predicate (throw), and the unpartitioned path
-    // would rewrite the whole table with identical content — worse,
-    // through a plain (layout-dropping) swap if the table is
-    // partitioned. The isEmpty probe is a limit-1 job on an
-    // already-collapsed micro-batch — negligible per batch.
-    if (collapsed.isEmpty) return
     if (!spark.catalog.tableExists(table)) {
+      // first batch: create — possibly EMPTY when every row was
+      // null-keyed (the schema is still known and downstream readers
+      // get a stable table; EmptyInputSpec pins this)
       if (partitionCols.nonEmpty)
         collapsed.write.partitionBy(partitionCols: _*).saveAsTable(table)
       else collapsed.write.saveAsTable(table)
       return
     }
+    // nothing staged against an EXISTING table (e.g. every row
+    // null-keyed): no-op. Without this, the partition-scoped path would
+    // reduce an EMPTY touched-partition set into its filter predicate
+    // (throw), and the unpartitioned path would rewrite the whole table
+    // with identical content — worse, through a plain (layout-dropping)
+    // swap if the table is partitioned. The isEmpty probe is a limit-1
+    // job on an already-collapsed micro-batch — negligible per batch.
+    if (collapsed.isEmpty) return
     val target = spark.table(table)
     // touched partitions of THIS batch (null-safe literal tuples); None
     // when unpartitioned or over the metadata cap → full-table merge

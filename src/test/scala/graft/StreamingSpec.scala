@@ -900,6 +900,51 @@ class StreamingSpec extends SparkSpec {
       spark.sql(s"DROP TABLE IF EXISTS $s")
   }
 
+  test("streaming image novelty: stream equals batch, planted dups dropped") {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    val tmp = java.nio.file.Files.createTempDirectory("graft-imgnov").toString
+    val docs = Tables.load(spark, sf, "documents").limit(200)
+    val media = graft.llm.Multimodal.syntheticContentImages(docs)
+    media.coalesce(1).write.mode("overwrite").parquet(s"$tmp/in")
+    val idx = graft.llm.Multimodal
+      .dhashSignatures(media.filter($"media_id" < 30))
+      .select($"dhash").collect().map(_.getLong(0)).toSeq
+    val stream = spark.readStream
+      .schema(StructType(Seq(StructField("media_id", LongType),
+        StructField("media_type", StringType),
+        StructField("payload", BinaryType),
+        StructField("n_bytes", LongType))))
+      .parquet(s"$tmp/in")
+    val q = Events.imageNoveltyStream(stream, idx)
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .format("parquet")
+      .option("path", s"$tmp/out")
+      .start()
+    q.awaitTermination(120000)
+    val streamed = spark.read.parquet(s"$tmp/out")
+    val batch = Events.imageNoveltyStream(media, idx)
+    assert(streamed.count() == batch.count())
+    assert(streamed.select($"media_id")
+      .exceptAll(batch.select($"media_id")).count() == 0)
+    // band-lookup serving equals the brute-force definition
+    val sigs = graft.llm.Multimodal.dhashSignatures(media)
+      .select($"media_id", $"dhash").as[(Long, Long)].collect()
+    val expected = sigs.collect { case (id, h)
+      if !idx.exists(i => java.lang.Long.bitCount(i ^ h) <= 3) => id
+    }.toSet
+    assert(streamed.select($"media_id").as[Long].collect().toSet
+      == expected)
+    // indexed seeds' later copies are known dups: media 64..93 re-carry
+    // seeds 0..29 (the other container generation) and must be dropped,
+    // including the one-pixel edits (CodecSpec pins edit dist <= 2)
+    assert(!expected.exists(id => id >= 64 && id < 94))
+    assert(expected.nonEmpty)
+  }
+
   test("partition-scoped upsert: all-null-key batch is a no-op, not a crash") {
     // null-keyed rows are dropped before merging (a row with no key has
     // no identity to upsert) — a batch consisting ONLY of them leaves
