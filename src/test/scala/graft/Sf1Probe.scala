@@ -56,7 +56,7 @@ object Sf1Probe {
     // ~1× like dd_containment_reps) and the dHash image dedup (map-only
     // signatures + distinct-signature banded join — expect ~linear)
     "dd_allpairs_reps", "dd_tfidf_reps", "mm_phash_pairs",
-    "mm_phash_clusters")
+    "mm_phash_clusters", "mm_phash_novelty")
 
   def main(args: Array[String]): Unit = {
     val src = "/root/testdata/sf0.1"
