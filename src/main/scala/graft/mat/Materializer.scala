@@ -104,7 +104,8 @@ final class Materializer(spark: SparkSession, val catalog: CatalogOps) {
     */
   def table(rel: Relation, df: DataFrame,
             onTableExists: String = "rename",
-            config: ModelConfig = ModelConfig.empty): Unit = {
+            config: ModelConfig = ModelConfig.empty,
+            partitionCols: Seq[String] = Nil): Unit = {
     val mode = onTableExists match {
       case "rename" | "drop" => onTableExists
       case other =>
@@ -113,21 +114,27 @@ final class Materializer(spark: SparkSession, val catalog: CatalogOps) {
           s"[graft] invalid on_table_exists '$other', falling back to rename")
         "rename"
     }
+    // partitioned CTAS (the `partitioned_by` table config of partitioned
+    // warehouses): downstream incremental runs on this table take the
+    // partition-scoped rewrite path instead of the full-table swap
+    def writer(d: DataFrame) =
+      if (partitionCols.nonEmpty) d.write.partitionBy(partitionCols: _*)
+      else d.write
     val name = rel.render
     val existed = spark.catalog.tableExists(name)
     runHooks(config.preHooks) // table.sql:30
     if (!existed) {
-      df.write.saveAsTable(name)
+      writer(df).saveAsTable(name)
     } else if (mode == "drop") {
       dropRelation(rel)
-      df.write.saveAsTable(name)
+      writer(df).saveAsTable(name)
     } else {
       val tmp = rel.suffixed("__dbt_tmp")
       val backup = rel.suffixed("__dbt_backup")
       dropRelation(tmp); dropRelation(backup)
-      df.write.saveAsTable(tmp.render)
-      spark.sql(s"ALTER TABLE ${name} RENAME TO ${backup.render}")
-      spark.sql(s"ALTER TABLE ${tmp.render} RENAME TO ${name}")
+      writer(df).saveAsTable(tmp.render)
+      PartitionScoped.renameTable(spark, name, backup.render)
+      PartitionScoped.renameTable(spark, tmp.render, name)
       dropRelation(backup)
     }
     if (existed) catalog.clearGrants(rel) // grants never copy on replace
@@ -409,9 +416,9 @@ final class Materializer(spark: SparkSession, val catalog: CatalogOps) {
       val backup0 = rel.suffixed("__dbt_backup")
       val tmp0 = rel.suffixed("__dbt_tmp")
       if (spark.catalog.tableExists(backup0.render))
-        spark.sql(s"ALTER TABLE ${backup0.render} RENAME TO $name")
+        PartitionScoped.renameTable(spark, backup0.render, name)
       else if (spark.catalog.tableExists(tmp0.render))
-        spark.sql(s"ALTER TABLE ${tmp0.render} RENAME TO $name")
+        PartitionScoped.renameTable(spark, tmp0.render, name)
     }
     val exists = spark.catalog.tableExists(name)
     runHooks(config.preHooks) // incremental.sql:46
@@ -425,7 +432,10 @@ final class Materializer(spark: SparkSession, val catalog: CatalogOps) {
       persistDocs(rel, config) // incremental.sql:106
     }
     if (!exists || fullRefresh) {
-      table(rel, model) // incremental.sql:48-66 (replace wipes grants)
+      // incremental.sql:48-66 (replace wipes grants); partitionCols → a
+      // partitioned CTAS, so every later run takes the partition-scoped
+      // rewrite below instead of the full-table swap
+      table(rel, model, partitionCols = partitionCols)
       tail()
       return
     }
@@ -447,29 +457,120 @@ final class Materializer(spark: SparkSession, val catalog: CatalogOps) {
       else
         org.apache.spark.sql.functions.lit(null).cast(f.dataType).as(f.name)
     }.toIndexedSeq: _*)
-    val result = strategy match {
-      case "append" => Incremental.append(target, staged)
+    // ---- physical write planning ------------------------------------
+    // The LOGICAL strategies above are fixed; HOW they hit disk depends
+    // on the table's layout and whether this run changes the schema:
+    //  - append + unchanged schema: plain INSERT INTO (O(|batch|), the
+    //    reference's actual SQL shape, incremental.sql:145-149) — the
+    //    target is never read;
+    //  - merge / delete+insert on a PARTITIONED table + unchanged
+    //    schema: partition-scoped rewrite (read only the partitions the
+    //    staged batch touches, commit via dynamic partition overwrite) —
+    //    per-run cost is O(touched partitions), not O(|table|). CONTRACT
+    //    (PartitionScoped): a key's partition values must be stable
+    //    across versions. delete+insert scopes only for a SINGLE-column
+    //    key: its columnwise-IN delete condition can match a target row
+    //    whose key columns combine values from DIFFERENT staged rows, and
+    //    such a row may live in an untouched partition (single-column
+    //    keys have no cross-combinations — columnwise ≡ tuple there);
+    //  - insert_overwrite on a table partitioned by the same columns:
+    //    dynamic partition overwrite of the staged batch alone — the
+    //    metadata-only form the strategy's scaladoc promises;
+    //  - anything else (schema-changing run, unpartitioned keyed
+    //    strategies, over-cap batches): full rewrite + tmp/backup swap,
+    //    preserving the table's partition layout across the swap.
+    val tablePartCols: Seq[String] =
+      try spark.sessionState.catalog.getTableMetadata(
+        spark.sessionState.sqlParser.parseTableIdentifier(name))
+        .partitionColumnNames
+      catch { case scala.util.control.NonFatal(_) => Nil }
+    val cur = spark.table(name)
+    def sig(st: StructType) =
+      st.fields.map(f => (f.name.toLowerCase, f.dataType)).toSeq.sortBy(_._1)
+    val schemaUnchanged = sig(staged.schema) == sig(cur.schema)
+    // table's physical column order (partition columns last) for
+    // position-based insertInto
+    def aligned(df: DataFrame) =
+      df.select(cur.columns.map(org.apache.spark.sql.functions.col)
+        .toIndexedSeq: _*)
+
+    def fullRewrite(result: DataFrame): Unit = {
+      // materialize the rewritten plan before replacing its own input.
+      // Keep the table's partition layout across the swap (a schema-
+      // changing run may carry columns the old table lacks, so the
+      // result's OWN schema is written — never projected to the old
+      // one; partitionBy places partition columns last itself). A
+      // sync_all_columns run that removed a partition column rewrites
+      // unpartitioned — the layout column no longer exists.
+      val tmp = rel.suffixed("__dbt_tmp")
+      dropRelation(tmp)
+      val keepParts = tablePartCols.filter(c =>
+        result.columns.exists(_.equalsIgnoreCase(c)))
+      val w = if (keepParts.nonEmpty)
+        result.write.partitionBy(keepParts: _*)
+      else result.write
+      w.saveAsTable(tmp.render)
+      val backup = rel.suffixed("__dbt_backup")
+      dropRelation(backup)
+      PartitionScoped.renameTable(spark, name, backup.render)
+      PartitionScoped.renameTable(spark, tmp.render, name)
+      dropRelation(backup)
+    }
+    // scoped commits use their own tmp suffix: the crash-recovery
+    // promotion above must never mistake a PARTIAL (touched-partitions-
+    // only) result for a full rewrite
+    def scopedCommit(result: DataFrame): Unit =
+      PartitionScoped.overwriteTouched(spark, name,
+        rel.suffixed("__dbt_scoped_tmp").render, aligned(result),
+        t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    // scoped path: rewrite only the touched partitions; empty batch →
+    // no-op (the strategies are identities on an empty staged frame)
+    def scoped(rewrite: DataFrame => DataFrame): Unit =
+      if (!staged.isEmpty)
+        PartitionScoped.touchedPredicate(staged, tablePartCols) match {
+          case Some(pred) => scopedCommit(rewrite(target.filter(pred)))
+          case None => fullRewrite(rewrite(target)) // over the cap
+        }
+
+    val scopable = tablePartCols.nonEmpty && schemaUnchanged
+    def fastAppend(): Unit =
+      if (schemaUnchanged)
+        aligned(staged).write.mode("append").insertInto(name)
+      else fullRewrite(Incremental.append(target, staged))
+    strategy match {
+      case "append" => fastAppend()
       case "delete+insert" =>
-        if (uniqueKeys.isEmpty) Incremental.append(target, staged)
-        else Incremental.deleteInsert(target, staged, uniqueKeys, predicates)
+        if (uniqueKeys.isEmpty) fastAppend()
+        else if (scopable && uniqueKeys.size == 1)
+          scoped(t => Incremental.deleteInsert(t, staged, uniqueKeys,
+            predicates))
+        else fullRewrite(
+          Incremental.deleteInsert(target, staged, uniqueKeys, predicates))
       case "merge" =>
-        Incremental.merge(target, staged, uniqueKeys, predicates = predicates)
+        if (uniqueKeys.isEmpty) fastAppend() // incremental.sql:198-204
+        else if (scopable)
+          scoped(t => Incremental.merge(t, staged, uniqueKeys,
+            predicates = predicates))
+        else fullRewrite(
+          Incremental.merge(target, staged, uniqueKeys,
+            predicates = predicates))
       case "insert_overwrite" => // extension beyond impl.py:80-81 — the
         // partitioned-warehouse strategy (see Incremental.insertOverwrite)
-        Incremental.insertOverwrite(target, staged, partitionCols)
+        if (scopable &&
+            tablePartCols.map(_.toLowerCase) ==
+              partitionCols.map(_.toLowerCase))
+          // the staged batch alone, committed via dynamic partition
+          // overwrite: replaces exactly the partitions present in the
+          // batch; the target is never read
+          PartitionScoped.dynamicOverwrite(spark) {
+            aligned(staged).write.mode("overwrite").insertInto(name)
+          }
+        else fullRewrite(
+          Incremental.insertOverwrite(target, staged, partitionCols))
       case other =>
         throw new IllegalArgumentException(
           s"invalid incremental strategy: $other") // impl.py:80-81
     }
-    // materialize the rewritten plan before replacing its own input
-    val tmp = rel.suffixed("__dbt_tmp")
-    dropRelation(tmp)
-    result.write.saveAsTable(tmp.render)
-    val backup = rel.suffixed("__dbt_backup")
-    dropRelation(backup)
-    spark.sql(s"ALTER TABLE $name RENAME TO ${backup.render}")
-    spark.sql(s"ALTER TABLE ${tmp.render} RENAME TO $name")
-    dropRelation(backup)
     tail()
   }
 
@@ -488,7 +589,7 @@ final class Materializer(spark: SparkSession, val catalog: CatalogOps) {
 
   /** alter {type} x rename to y (adapters.sql:188-193). */
   def renameRelation(from: Relation, to: Relation): Unit =
-    spark.sql(s"ALTER TABLE ${from.render} RENAME TO ${to.render}")
+    PartitionScoped.renameTable(spark, from.render, to.render)
 }
 
 object Materializer {

@@ -816,13 +816,11 @@ object Events {
   private def quoted(table: String): String =
     table.split('.').map(p => s"`$p`").mkString(".")
 
-  /** Max distinct partition tuples one micro-batch may touch before the
-    * partition-scoped path falls back to the full-table merge: the
-    * touched-partition set is collected to the driver (the same
-    * metadata dynamic-partition-overwrite itself tracks per commit), so
-    * it must stay metadata-sized. A batch touching more partitions than
-    * this is effectively a full-table write anyway. */
-  private val MaxTouchedPartitions = 10000
+  /** Max touched partitions before falling back to the full merge —
+    * shared with the batch incremental materializer, see
+    * [[graft.mat.PartitionScoped.MaxTouchedPartitions]]. */
+  private def MaxTouchedPartitions: Int =
+    graft.mat.PartitionScoped.MaxTouchedPartitions
 
   /** One micro-batch of the streaming upsert sink ([[startUpsertQuery]]):
     * collapse the batch to its LAST version per unique key — `orderCol`
@@ -896,9 +894,11 @@ object Events {
     // silently losing all previously merged history
     if (!spark.catalog.tableExists(table)) {
       if (spark.catalog.tableExists(backup))
-        spark.sql(s"ALTER TABLE ${quoted(backup)} RENAME TO ${quoted(table)}")
+        graft.mat.PartitionScoped.renameTable(spark, quoted(backup),
+          quoted(table))
       else if (spark.catalog.tableExists(tmp))
-        spark.sql(s"ALTER TABLE ${quoted(tmp)} RENAME TO ${quoted(table)}")
+        graft.mat.PartitionScoped.renameTable(spark, quoted(tmp),
+          quoted(table))
     }
     if (!spark.catalog.tableExists(table)) {
       // first batch: create — possibly EMPTY when every row was
@@ -920,43 +920,23 @@ object Events {
     val target = spark.table(table)
     // touched partitions of THIS batch (null-safe literal tuples); None
     // when unpartitioned or over the metadata cap → full-table merge
-    val touched: Option[Array[org.apache.spark.sql.Row]] =
+    val touched: Option[org.apache.spark.sql.Column] =
       if (partitionCols.isEmpty) None
-      else {
-        val parts = collapsed.select(partitionCols.map(col): _*)
-          .distinct().limit(MaxTouchedPartitions + 1).collect()
-        if (parts.length > MaxTouchedPartitions) None else Some(parts)
-      }
+      else graft.mat.PartitionScoped.touchedPredicate(collapsed,
+        partitionCols)
     touched match {
-      case Some(parts) =>
-        val touchedPred = parts.map { r =>
-          partitionCols.zipWithIndex
-            .map { case (c, i) => col(c) <=> lit(r.get(i)) }
-            .reduce(_ && _)
-        }.reduce(_ || _)
+      case Some(touchedPred) =>
         // scoped read: literal partition filters → static pruning, so
-        // untouched partitions are never read
+        // untouched partitions are never read. The commit materializes
+        // to tmp first (never overwrite partitions of a table from a
+        // plan that reads it), then dynamic-partition-overwrites —
+        // insertInto is position-based; merged carries the target's
+        // column order (partition cols last in catalog tables), which
+        // Incremental.merge preserves
         val merged = graft.mat.Incremental.merge(
           target.filter(touchedPred), collapsed, uniqueKeys)
-        spark.sql(s"DROP TABLE IF EXISTS ${quoted(tmp)}")
-        // materialize before insertInto — never overwrite partitions of
-        // a table from a plan that reads it
-        merged.write.saveAsTable(tmp)
-        val overwriteMode = "spark.sql.sources.partitionOverwriteMode"
-        val prev = spark.conf.getOption(overwriteMode)
-        spark.conf.set(overwriteMode, "dynamic")
-        try {
-          // insertInto is position-based; merged carries the target's
-          // column order (partition cols last in catalog tables), which
-          // Incremental.merge preserves
-          spark.table(tmp).write.mode("overwrite").insertInto(table)
-        } finally {
-          prev match {
-            case Some(v) => spark.conf.set(overwriteMode, v)
-            case None => spark.conf.unset(overwriteMode)
-          }
-        }
-        spark.sql(s"DROP TABLE IF EXISTS ${quoted(tmp)}")
+        graft.mat.PartitionScoped.overwriteTouched(spark, table, tmp,
+          merged, t => spark.sql(s"DROP TABLE IF EXISTS ${quoted(t)}"))
       case None =>
         val merged = graft.mat.Incremental.merge(target, collapsed,
           uniqueKeys)
@@ -967,8 +947,10 @@ object Events {
             merged.write.partitionBy(partitionCols: _*)
           else merged.write
         writer.saveAsTable(tmp)
-        spark.sql(s"ALTER TABLE ${quoted(table)} RENAME TO ${quoted(backup)}")
-        spark.sql(s"ALTER TABLE ${quoted(tmp)} RENAME TO ${quoted(table)}")
+        graft.mat.PartitionScoped.renameTable(spark, quoted(table),
+          quoted(backup))
+        graft.mat.PartitionScoped.renameTable(spark, quoted(tmp),
+          quoted(table))
         spark.sql(s"DROP TABLE IF EXISTS ${quoted(backup)}")
     }
   }

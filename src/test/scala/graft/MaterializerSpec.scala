@@ -168,10 +168,18 @@ class MaterializerSpec extends SparkSpec {
     mat.incremental(rel,
       Seq((9L, "p1", "A")).toDF("id", "part", "v"),
       strategy = "insert_overwrite", partitionCols = Seq("part"))
-    val rows = spark.table("inc_ovr").orderBy("id").collect()
+    // partitioned CTAS puts the partition column physically LAST — select
+    // by name (the r11 scoped path creates the table partitioned by part)
+    val rows = spark.table("inc_ovr").orderBy("id")
+      .select($"id", $"v").collect()
     // p1 replaced wholesale, p2 untouched
-    assert(rows.map(r => (r.getLong(0), r.getString(2))).toSeq ==
+    assert(rows.map(r => (r.getLong(0), r.getString(1))).toSeq ==
       Seq((2L, "b"), (9L, "A")))
+    // and the physical layout IS partitioned: the scoped commit path
+    // (dynamic partition overwrite, no target read) is what ran above
+    assert(spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier("inc_ovr"))
+      .partitionColumnNames == Seq("part"))
   }
 
   test("catalog ops: columns, relations, schemas, comments, grants") {
@@ -423,5 +431,222 @@ class MaterializerSpec extends SparkSpec {
       Seq(0xDE.toByte, 0xAD.toByte))
     assert(t(0).getAs[String]("meta") == """{"x":true}""")
     assert(t(1).getAs[String]("meta") == "plain")
+  }
+
+  // ---- r11: partition-scoped incremental physical paths ----------------
+
+  /** Parquet file names per partition dir of a catalog table. */
+  private def partFiles(table: String, p: Long): Set[String] = {
+    import scala.jdk.CollectionConverters._
+    val loc = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(table)).location.getPath
+    val d = java.nio.file.Paths.get(loc, s"p=$p")
+    if (!java.nio.file.Files.exists(d)) Set.empty
+    else {
+      val s = java.nio.file.Files.list(d)
+      try s.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.endsWith(".parquet")).toSet
+      finally s.close()
+    }
+  }
+
+  /** Run `body` capturing every QueryExecution, return the target-table
+    * FileSourceScanExec nodes observed (AQE stages flattened through). */
+  private def capturedTargetScans(table: String)(body: => Unit)
+      : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = {
+    import scala.jdk.CollectionConverters._
+    val captured = new java.util.concurrent.CopyOnWriteArrayList[
+      org.apache.spark.sql.execution.QueryExecution]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          d: Long): Unit = { captured.add(qe); () }
+      override def onFailure(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try body
+    finally {
+      var waited = 0
+      while (captured.isEmpty && waited < 10000) {
+        Thread.sleep(100); waited += 100
+      }
+      Thread.sleep(500)
+      spark.listenerManager.unregister(listener)
+    }
+    def allNodes(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+      val inner = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          allNodes(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          allNodes(q.plan)
+        case _ => Seq.empty
+      }
+      p +: (p.children.flatMap(allNodes) ++ inner)
+    }
+    captured.asScala.toSeq
+      .flatMap(qe => allNodes(qe.executedPlan))
+      .collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.relation.location.rootPaths.exists(_.toString.contains(table))
+            && !f.relation.location.rootPaths.exists(p =>
+                 p.toString.contains("__dbt_scoped_tmp") ||
+                 p.toString.contains("__dbt_tmp")) => f
+      }
+  }
+
+  test("partition-scoped incremental merge: untouched partitions neither read nor rewritten") {
+    val rel = Relation("inc_part_merge")
+    for (s <- Seq("inc_part_merge", "inc_part_merge__dbt_tmp",
+        "inc_part_merge__dbt_backup", "inc_part_merge__dbt_scoped_tmp"))
+      spark.sql(s"DROP TABLE IF EXISTS $s")
+    val b1 = (0L until 50L).map(i => (i, s"v$i", i % 5))
+      .toDF("k", "v", "p")
+    mat.incremental(rel, b1, strategy = "merge", uniqueKeys = Seq("k"),
+      partitionCols = Seq("p"))
+    assert(spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier("inc_part_merge"))
+      .partitionColumnNames == Seq("p"))
+    val before = (0L to 4L).map(p => p -> partFiles("inc_part_merge", p)).toMap
+    // batch 2 touches ONLY p=2 (keys 7 update, 52 insert; p = k % 5 —
+    // the partition-stability contract)
+    val b2 = Seq((7L, "v7b", 2L), (52L, "new", 2L)).toDF("k", "v", "p")
+    val scans = capturedTargetScans("inc_part_merge") {
+      mat.incremental(rel, b2, strategy = "merge", uniqueKeys = Seq("k"),
+        partitionCols = Seq("p"))
+    }
+    for (p <- 0L to 4L if p != 2L)
+      assert(partFiles("inc_part_merge", p) == before(p),
+        s"untouched partition p=$p was rewritten")
+    assert(partFiles("inc_part_merge", 2L) != before(2L))
+    assert(scans.nonEmpty, "no target scan captured")
+    for (f <- scans) {
+      assert(f.partitionFilters.nonEmpty,
+        s"target scan had no partition filters: ${f.metadata}")
+      val read = f.metrics.get("numFiles").map(_.value).getOrElse(-1L)
+      assert(read <= before(2L).size,
+        s"scan read $read files — untouched partitions were read")
+    }
+    val got = spark.table("inc_part_merge").orderBy($"k")
+      .select($"k", $"v").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val want = (0L until 50L).map(i =>
+      (i, if (i == 7L) "v7b" else s"v$i")) :+ (52L, "new")
+    assert(got == want)
+    // no scratch tables leak
+    assert(!spark.catalog.tableExists("inc_part_merge__dbt_scoped_tmp"))
+  }
+
+  test("incremental append never reads the target (INSERT INTO shape)") {
+    val rel = Relation("inc_fast_app")
+    spark.sql("DROP TABLE IF EXISTS inc_fast_app")
+    mat.incremental(rel, Seq((1L, "a"), (2L, "b")).toDF("id", "v"),
+      strategy = "append")
+    val loc = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier("inc_fast_app"))
+      .location.getPath
+    def files(): Set[String] = {
+      import scala.jdk.CollectionConverters._
+      val s = java.nio.file.Files.list(java.nio.file.Paths.get(loc))
+      try s.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.endsWith(".parquet")).toSet
+      finally s.close()
+    }
+    val before = files()
+    val scans = capturedTargetScans("inc_fast_app") {
+      mat.incremental(rel, Seq((3L, "c")).toDF("id", "v"),
+        strategy = "append")
+    }
+    assert(scans.isEmpty,
+      s"append read the target: ${scans.map(_.metadata)}")
+    val after = files()
+    assert(before.subsetOf(after) && after.size > before.size,
+      "append must ADD files, never rewrite existing ones")
+    assert(spark.table("inc_fast_app").orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    // schema-changing append still works (falls back to the full swap)
+    mat.incremental(rel, Seq((4L, "d", 1.5)).toDF("id", "v", "score"),
+      strategy = "append", onSchemaChange = "append_new_columns")
+    val rows = spark.table("inc_fast_app").orderBy("id").collect()
+    assert(rows.length == 4 && rows(3).getDouble(2) == 1.5 &&
+      rows.take(3).forall(_.isNullAt(2)))
+  }
+
+  test("partitioned incremental: schema-change run preserves the partition layout") {
+    val rel = Relation("inc_part_se")
+    spark.sql("DROP TABLE IF EXISTS inc_part_se")
+    mat.incremental(rel, Seq((1L, "a", 0L), (2L, "b", 1L))
+        .toDF("k", "v", "p"),
+      strategy = "merge", uniqueKeys = Seq("k"), partitionCols = Seq("p"))
+    // new column → full rewrite; the swap must keep the table partitioned
+    mat.incremental(rel, Seq((2L, "B", 1L, 9.0), (3L, "c", 0L, 7.0))
+        .toDF("k", "v", "p", "score"),
+      strategy = "merge", uniqueKeys = Seq("k"),
+      onSchemaChange = "append_new_columns", partitionCols = Seq("p"))
+    assert(spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier("inc_part_se"))
+      .partitionColumnNames == Seq("p"))
+    val got = spark.table("inc_part_se").orderBy("k")
+      .select($"k", $"v", $"score").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSeq
+    assert(got == Seq((1L, "a", None), (2L, "B", Some(9.0)),
+      (3L, "c", Some(7.0))))
+  }
+
+  test("composite-key delete+insert on a partitioned table keeps columnwise-IN semantics") {
+    // columnwise IN can match a target row whose key columns combine
+    // values from DIFFERENT staged rows — such a row may live in a
+    // partition the staged batch never touches, so the scoped path is
+    // WRONG for composite keys and must fall back to the full rewrite.
+    // target (1,4) in p=3: staged has k1=1 (in p=0) and k2=4 (in p=1),
+    // so columnwise IN deletes it even though p=3 is untouched.
+    val rel = Relation("inc_part_di")
+    spark.sql("DROP TABLE IF EXISTS inc_part_di")
+    val target = Seq((1L, 2L, "t12", 0L), (3L, 4L, "t34", 1L),
+      (1L, 4L, "t14", 3L), (5L, 6L, "t56", 2L))
+      .toDF("k1", "k2", "v", "p")
+    mat.incremental(rel, target, strategy = "delete+insert",
+      uniqueKeys = Seq("k1", "k2"), partitionCols = Seq("p"))
+    val staged = Seq((1L, 2L, "s12", 0L), (3L, 4L, "s34", 1L))
+      .toDF("k1", "k2", "v", "p")
+    mat.incremental(rel, staged, strategy = "delete+insert",
+      uniqueKeys = Seq("k1", "k2"), partitionCols = Seq("p"))
+    val got = spark.table("inc_part_di").orderBy("k1", "k2")
+      .select($"k1", $"k2", $"v").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    // (1,4) deleted by columnwise IN despite living in untouched p=3;
+    // (5,6) survives; staged rows inserted
+    assert(got == Seq((1L, 2L, "s12"), (3L, 4L, "s34"), (5L, 6L, "t56")))
+  }
+
+  test("partition-scoped single-key delete+insert rewrites only touched partitions") {
+    val rel = Relation("inc_part_di1")
+    for (s <- Seq("inc_part_di1", "inc_part_di1__dbt_scoped_tmp"))
+      spark.sql(s"DROP TABLE IF EXISTS $s")
+    val b1 = (0L until 30L).map(i => (i, s"v$i", i % 3)).toDF("k", "v", "p")
+    mat.incremental(rel, b1, strategy = "delete+insert",
+      uniqueKeys = Seq("k"), partitionCols = Seq("p"))
+    val before = (0L to 2L).map(p => p -> partFiles("inc_part_di1", p)).toMap
+    // touches only p=1 (keys 7 replace, 31 insert)
+    val b2 = Seq((7L, "v7b", 1L), (31L, "new", 1L)).toDF("k", "v", "p")
+    val scans = capturedTargetScans("inc_part_di1") {
+      mat.incremental(rel, b2, strategy = "delete+insert",
+        uniqueKeys = Seq("k"), partitionCols = Seq("p"))
+    }
+    for (p <- Seq(0L, 2L))
+      assert(partFiles("inc_part_di1", p) == before(p),
+        s"untouched partition p=$p was rewritten")
+    assert(scans.nonEmpty && scans.forall(_.partitionFilters.nonEmpty),
+      "single-key delete+insert target scans must be partition-pruned")
+    val got = spark.table("inc_part_di1").orderBy($"k")
+      .select($"k", $"v").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val want = (0L until 30L).map(i =>
+      (i, if (i == 7L) "v7b" else s"v$i")) :+ (31L, "new")
+    assert(got == want)
   }
 }
