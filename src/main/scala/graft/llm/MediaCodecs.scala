@@ -643,6 +643,105 @@ object MediaCodecs {
     sig
   }
 
+  // ---- audio fingerprint (the dHash idea on the time axis) ----------
+
+  /** Encode a MONO 16-bit PCM WAV carrying REAL sample content
+    * (little-endian data chunk) — the content-bearing twin of
+    * [[encodeWav]]'s constant-fill fixture. Samples are 16-bit signed. */
+  def encodeWavPcm16(sampleRate: Int, samples: Array[Int]): Array[Byte] = {
+    val data = samples.length * 2
+    val out = new java.io.ByteArrayOutputStream(44 + data)
+    out.write("RIFF".getBytes); out.write(le32(36 + data))
+    out.write("WAVE".getBytes)
+    out.write("fmt ".getBytes); out.write(le32(16))
+    out.write(le16(1)); out.write(le16(1)); out.write(le32(sampleRate))
+    out.write(le32(sampleRate * 2)); out.write(le16(2)); out.write(le16(16))
+    out.write("data".getBytes); out.write(le32(data))
+    samples.foreach(s => out.write(le16(s & 0xffff)))
+    out.toByteArray
+  }
+
+  /** Encode a MONO 16-bit PCM AIFF of the same samples (big-endian SSND
+    * bytes — the AIFF/WAV pair carries IDENTICAL PCM in two containers,
+    * which is what makes cross-format audio dedup a real test: byte
+    * hashing cannot match them). */
+  def encodeAiffPcm16(sampleRate: Int, samples: Array[Int]): Array[Byte] = {
+    val data = samples.length * 2
+    val out = new java.io.ByteArrayOutputStream(54 + data)
+    out.write("FORM".getBytes); out.write(be32(4 + 26 + 16 + data))
+    out.write("AIFF".getBytes)
+    out.write("COMM".getBytes); out.write(be32(18))
+    out.write(be16(1)); out.write(be32(samples.length))
+    out.write(be16(16)); out.write(ext80(sampleRate))
+    out.write("SSND".getBytes); out.write(be32(8 + data))
+    out.write(be32(0)); out.write(be32(0))
+    samples.foreach(s => out.write(be16(s & 0xffff)))
+    out.toByteArray
+  }
+
+  /** REAL PCM decode via javax.sound.sampled → channel-0 16-bit signed
+    * samples. Handles both endiannesses (WAV is LE, AIFF BE) and any
+    * channel count (channel 0 taken per frame). None when the bytes
+    * aren't a supported 16-bit PCM audio file. */
+  def decodePcm16(b: Array[Byte]): Option[Array[Int]] =
+    try {
+      val ais = javax.sound.sampled.AudioSystem
+        .getAudioInputStream(new java.io.ByteArrayInputStream(b))
+      try {
+        val f = ais.getFormat
+        if (f.getSampleSizeInBits != 16 ||
+            f.getEncoding !=
+              javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED) None
+        else {
+          val frameBytes = f.getFrameSize
+          val raw = ais.readAllBytes()
+          val n = raw.length / frameBytes
+          val outArr = new Array[Int](n)
+          var i = 0
+          while (i < n) {
+            val off = i * frameBytes // channel 0 leads each frame
+            outArr(i) =
+              if (f.isBigEndian) (raw(off) << 8) | (raw(off + 1) & 0xff)
+              else (raw(off + 1) << 8) | (raw(off) & 0xff)
+            i += 1
+          }
+          Some(outArr)
+        }
+      } finally ais.close()
+    } catch { case _: Exception => None }
+
+  /** 64-bit audio fingerprint (aFP) — [[dhash64]]'s construction on the
+    * time axis: split the sample stream into 65 equal frames of
+    * ⌊n/65⌋ samples, compute each frame's energy (sum of squared
+    * samples, exact Long arithmetic), compare adjacent frames and pack
+    * the 64 comparison bits (bit f = 1 iff energy(f+1) > energy(f)).
+    * The same re-encode (WAV ↔ AIFF, identical PCM → distance 0) and
+    * small-edit (one touched sample moves one frame's energy → ≤ 2
+    * bits) near-dup classes as the image hash, and the same
+    * integer-only math an SQL oracle replays exactly. None when fewer
+    * than 65 samples. */
+  def afp64(samples: Array[Int]): Option[Long] = {
+    val flen = samples.length / 65
+    if (flen == 0) return None
+    def energy(f: Int): Long = {
+      var e = 0L
+      var i = f * flen
+      val end = i + flen
+      while (i < end) { e += samples(i).toLong * samples(i); i += 1 }
+      e
+    }
+    var sig = 0L
+    var prev = energy(0)
+    var f = 0
+    while (f < 64) {
+      val next = energy(f + 1)
+      if (next > prev) sig |= 1L << f
+      prev = next
+      f += 1
+    }
+    Some(sig)
+  }
+
   /** Decode JPEG geometry → (width, height); None when not a JPEG or no
     * SOF before scan data. Walks marker segments from SOI (skipping fill
     * bytes and length-less RST/TEM markers) to the first SOF frame

@@ -473,6 +473,81 @@ object Multimodal {
         (b.toLong << 16 | ((s >>> (b * 16)) & 0xffffL), s)))
       .groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
 
+  // ---- perceptual AUDIO dedup (the image stack on the time axis) -----
+
+  /** Synthetic content-bearing AUDIO corpus over `documents`: mono
+    * 16-bit PCM of 1040 samples (65 aFP frames × 16), seeded by
+    * `doc_id % 48` — ids sharing a seed carry identical sample content,
+    * planted duplicate cliques like [[syntheticContentImages]]. Same two
+    * twists: the CONTAINER alternates WAV / AIFF per 48-id generation
+    * (identical PCM, little- vs big-endian bytes — byte hashing cannot
+    * match them); every 5th id shifts ONE sample (+512 at i=100, frame
+    * 6), landing the edited copy ≤ 2 hamming bits from its clean twin.
+    * Sample i of seed s is the integer closed form
+    * `((i·(s+3) + (i%17)·41 + s²) mod 509) − 254`, so frame energies —
+    * and the aFP bits — are SQL-replayable without touching a byte. */
+  def syntheticContentAudio(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val s = (id % 48).toInt
+        val samples = Array.tabulate(1040) { i =>
+          val base = (i * (s + 3) + (i % 17) * 41 + s * s) % 509 - 254
+          if (id % 5 == 0 && i == 100) base + 512 else base
+        }
+        val payload =
+          if ((id / 48) % 2 == 0) MediaCodecs.encodeWavPcm16(8000, samples)
+          else MediaCodecs.encodeAiffPcm16(8000, samples)
+        MediaRow(id, "audio", payload, payload.length.toLong)
+      })
+      .toDF()
+  }
+
+  final case class AfpRow(media_id: Long, afp: Long)
+
+  /** Per-audio 64-bit fingerprints: real javax.sound PCM decode (gated
+    * on a RIFF/FORM magic like [[dhashSignatures]]' image gate) →
+    * [[MediaCodecs.afp64]] over the actual samples. Map-only — linear
+    * in corpus bytes, no shuffle; undecodable or too-short payloads are
+    * dropped (no signature, no dedup evidence). */
+  def audioFingerprints(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "media_type", "payload", "n_bytes")
+      .as[MediaRow]
+      .mapPartitions { it =>
+        it.grouped(BatchSize).flatMap { batch =>
+          batch.iterator.flatMap { m =>
+            val isAudio = MediaCodecs.decodeWav(m.payload)
+              .orElse(MediaCodecs.decodeAiff(m.payload)).isDefined
+            if (!isAudio) None
+            else MediaCodecs.decodePcm16(m.payload)
+              .flatMap(MediaCodecs.afp64)
+              .map(AfpRow(m.media_id, _))
+          }
+        }
+      }
+      .toDF()
+  }
+
+  /** Perceptual near-duplicate AUDIO pairs: aFP fingerprints → banded
+    * hamming self-join in DISTINCT-SIGNATURE space → re-expand to media
+    * ids — [[imageDedupPairs]]' machinery verbatim (4×16-bit bands,
+    * pigeonhole-complete for maxHamming < 4). Output (id_a, id_b,
+    * dist), id_a < id_b. Same 100 TB shape as the image form:
+    * extraction map-only, quadratic step over distinct signatures,
+    * band-key equi-join the only corpus-sized exchange. */
+  def audioDedupPairs(media: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming < 4,
+      s"4×16-bit banded search complete only for maxHamming < 4")
+    val sig = audioFingerprints(media)
+      .select(col("media_id").as("doc"), col("afp").as("simhash"))
+      .localCheckpoint()
+    Dedup.expandSigPairs(sig,
+      Dedup.simhashSigPairs(sig, maxHamming, bandBits = 16, nBands = 4))
+  }
+
   /** Perceptual image dedup CLUSTERS — the per-image keep/drop decision
     * a 100 TB media pass actually wants (the pair list is quadratic per
     * duplicate clique; this is linear per image): connected components

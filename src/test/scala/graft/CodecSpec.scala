@@ -303,6 +303,50 @@ class CodecSpec extends AnyFunSuite {
     assert(anyEdited)
   }
 
+  test("aFP: WAV/AIFF-invariant, closed-form exact, planted edit near") {
+    // independent reimplementation of the fingerprint from the sample
+    // closed form — the same arithmetic the DuckDB oracle replays
+    def sample(s: Int, i: Int, perturbed: Boolean): Int = {
+      val base = (i * (s + 3) + (i % 17) * 41 + s * s) % 509 - 254
+      if (perturbed && i == 100) base + 512 else base
+    }
+    def expected(s: Int, perturbed: Boolean): Long = {
+      def e(f: Int): Long = (0 until 16).map { j =>
+        val v = sample(s, f * 16 + j, perturbed).toLong; v * v
+      }.sum
+      var sig = 0L
+      for (f <- 0 until 64) if (e(f + 1) > e(f)) sig |= 1L << f
+      sig
+    }
+    var anyEdited = false
+    for (s <- 0 until 48) {
+      val clean = Array.tabulate(1040)(sample(s, _, perturbed = false))
+      val wav = MediaCodecs.encodeWavPcm16(8000, clean)
+      val aiff = MediaCodecs.encodeAiffPcm16(8000, clean)
+      // both containers decode to the IDENTICAL PCM stream
+      assert(MediaCodecs.decodePcm16(wav).map(_.toSeq)
+        .contains(clean.toSeq), s"seed $s: wav pcm roundtrip")
+      assert(MediaCodecs.decodePcm16(aiff).map(_.toSeq)
+        .contains(clean.toSeq), s"seed $s: aiff pcm roundtrip")
+      val hWav = MediaCodecs.decodePcm16(wav).flatMap(MediaCodecs.afp64).get
+      val hAiff = MediaCodecs.decodePcm16(aiff).flatMap(MediaCodecs.afp64).get
+      assert(hWav == hAiff, s"seed $s: wav/aiff afp diverge")
+      assert(hWav == expected(s, perturbed = false),
+        s"seed $s: afp != sample closed form")
+      // one-sample edit (frame 6): touches at most bits 5 and 6
+      val ed = Array.tabulate(1040)(sample(s, _, perturbed = true))
+      val hEd = MediaCodecs.decodePcm16(
+        MediaCodecs.encodeWavPcm16(8000, ed)).flatMap(MediaCodecs.afp64).get
+      assert(hEd == expected(s, perturbed = true))
+      val dist = java.lang.Long.bitCount(hWav ^ hEd)
+      assert(dist <= 2, s"seed $s: edit moved $dist bits")
+      if (dist > 0) anyEdited = true
+    }
+    assert(anyEdited)
+    // too-short streams carry no fingerprint
+    assert(MediaCodecs.afp64(Array.fill(64)(1)).isEmpty)
+  }
+
   test("javax.sound WAV sample decode matches the data chunk bytes") {
     val wav = MediaCodecs.encodeWav(8000, 1, 300, fill = 5)
     assert(MediaCodecs.decodeWavSamples(wav).contains(300L * 2 * 5 % 997))

@@ -403,6 +403,28 @@ class LlmSpec extends SparkSpec {
         assert(r.getLong(2) == 1, "not exactly one keep per cluster") }
   }
 
+  test("audio dedup: banded aFP pairs complete vs brute force, planted pins") {
+    val media = Multimodal.syntheticContentAudio(docs.limit(200))
+    val pairs = Multimodal.audioDedupPairs(media).cache()
+    // banded search equals brute force over the extracted fingerprints
+    val sig = Multimodal.audioFingerprints(media)
+    val a = sig.select($"media_id".as("id_a"), $"afp".as("sa"))
+    val b = sig.select($"media_id".as("id_b"), $"afp".as("sb"))
+    val brute = a.join(b, $"id_a" < $"id_b" &&
+      Dedup.hamming($"sa", $"sb") <= 3).count()
+    assert(pairs.count() == brute)
+    assert(brute > 0)
+    // cross-FORMAT exact dup: docs 3 (gen 0 → wav) and 51 (gen 1 →
+    // aiff) share seed 3, neither edited (3 % 5, 51 % 5 != 0) — the
+    // same PCM in two containers must surface at distance 0
+    assert(pairs.filter($"id_a" === 3 && $"id_b" === 51 && $"dist" === 0)
+      .count() == 1)
+    // doc 5 is edited (5 % 5 == 0), doc 53 is its clean seed-5 twin —
+    // present within the banded radius (CodecSpec pins dist <= 2)
+    assert(pairs.filter($"id_a" === 5 && $"id_b" === 53 && $"dist" <= 2)
+      .count() == 1)
+  }
+
   test("simhash clusters: twins collapse to min-id rep, keep iff rep") {
     val small = docs.limit(40)
     val u = small.select($"doc_id", $"text").unionByName(
