@@ -1398,6 +1398,34 @@ object SparkEntry {
         .orderBy(col("k"))
     }),
 
+    "mat_incremental_partitioned" -> ((s, dir) => {
+      // the BATCH materializer's partition-scoped merge (r11): the first
+      // run creates the table partitioned by p = o_orderkey % 2
+      // (key-derived — the partition-stability contract); the second run
+      // rewrites ONLY partitions containing staged keys (staged = even
+      // keys → p=0; the odd-key partition p=1 is neither read nor
+      // rewritten — MaterializerSpec pins the plan/files). The compared
+      // result is the full table: identical to the full-table merge,
+      // which is the point — the scoped path changes the COST, not the
+      // answer.
+      val m = new graft.mat.Materializer(s)
+      val rel = graft.model.Relation("graft_inc_part_drv")
+      for (t0 <- Seq("graft_inc_part_drv", "graft_inc_part_drv__dbt_tmp",
+          "graft_inc_part_drv__dbt_backup",
+          "graft_inc_part_drv__dbt_scoped_tmp"))
+        s.sql(s"DROP TABLE IF EXISTS $t0")
+      val (target, staged) = incFixture(s, dir)
+      def withP(df: DataFrame): DataFrame =
+        df.withColumn("p", pmod(col("o_orderkey"), lit(2)))
+      m.incremental(rel, withP(target), "merge", Seq("o_orderkey"),
+        partitionCols = Seq("p"))
+      m.incremental(rel, withP(staged), "merge", Seq("o_orderkey"),
+        partitionCols = Seq("p"))
+      s.table("graft_inc_part_drv")
+        .select(col("o_orderkey"), col("price"), col("src"), col("p"))
+        .orderBy(col("o_orderkey"), col("src"))
+    }),
+
     "se_append_new_cols" -> ((s, dir) => {
       // on_schema_change=append_new_columns (incremental.sql:83-86): the
       // staged frame keeps its new column when aligned to the target
@@ -2582,6 +2610,18 @@ object SparkEntry {
         .orderBy(col("media_id"))
     }),
 
+    "mm_audio_pairs" -> ((s, dir) =>
+      // perceptual AUDIO dedup end to end (r11): 16-bit PCM with a
+      // closed-form sample stream (WAV/AIFF re-encodes of IDENTICAL
+      // samples + planted one-sample edits) → REAL javax.sound decode →
+      // 64-bit aFP (adjacent-frame energy comparisons — dHash on the
+      // time axis) → banded hamming join in distinct-signature space.
+      // Integer-only samples→signature math: the oracle recomputes every
+      // frame energy arithmetically and brute-forces the pair search.
+      Multimodal.audioDedupPairs(
+          Multimodal.syntheticContentAudio(t(s, dir, "documents")))
+        .orderBy(col("id_a"), col("id_b"))),
+
     "mm_frames" -> ((s, dir) =>
       Multimodal.sampleFrames(
           Multimodal.decodeFeatures(
@@ -3173,6 +3213,15 @@ object SparkEntry {
         |  CASE WHEN c2.k IS NOT NULL THEN c2.p ELSE b1.p END AS p
         |FROM b1 FULL OUTER JOIN c2 ON b1.k = c2.k
         |ORDER BY k""".stripMargin,
+
+    "mat_incremental_partitioned" ->
+      s"""$incFixtureSql
+        |SELECT coalesce(t.o_orderkey, s.o_orderkey) AS o_orderkey,
+        |  CASE WHEN s.o_orderkey IS NOT NULL THEN s.price ELSE t.price END AS price,
+        |  CASE WHEN s.o_orderkey IS NOT NULL THEN s.src ELSE t.src END AS src,
+        |  coalesce(t.o_orderkey, s.o_orderkey) % 2 AS p
+        |FROM target t FULL OUTER JOIN staged s ON t.o_orderkey = s.o_orderkey
+        |ORDER BY o_orderkey, src""".stripMargin,
 
     "se_append_new_cols" ->
       """SELECT o_orderkey,
@@ -4953,6 +5002,32 @@ object SparkEntry {
         |WHERE NOT EXISTS (SELECT 1 FROM sig b WHERE b.doc_id < 30
         |  AND bit_count(xor(a.h, b.h)) <= 3)
         |ORDER BY media_id""".stripMargin,
+
+    // audio fingerprint closed form: sample i of seed s = doc_id % 48 is
+    // ((i*(s+3) + (i%17)*41 + s*s) % 509) - 254 (+512 at i=100 for
+    // doc_id%5=0 — one touched sample, frame 6); 65 frames of 16 samples,
+    // energy = sum of squares, bit f = e(f+1) > e(f), packed like the
+    // dHash oracle (bit 63 via the BIGINT minimum literal)
+    "mm_audio_pairs" ->
+      """WITH d AS (SELECT doc_id, doc_id % 48 AS s,
+        |    (doc_id % 5 = 0) AS p FROM documents),
+        |sm AS (SELECT d.doc_id, i.i // 16 AS f,
+        |    (((i.i*(d.s+3) + (i.i % 17)*41 + d.s*d.s) % 509) - 254
+        |     + CASE WHEN d.p AND i.i = 100 THEN 512 ELSE 0 END)::BIGINT AS v
+        |  FROM d, range(1040) i(i)),
+        |e AS (SELECT doc_id, f, sum(v*v) AS en FROM sm
+        |  GROUP BY doc_id, f),
+        |sig AS (SELECT a.doc_id,
+        |    bit_or(CASE WHEN NOT b.en > a.en THEN 0::BIGINT
+        |      WHEN a.f = 63 THEN (-9223372036854775807 - 1)::BIGINT
+        |      ELSE (1::BIGINT << a.f::INTEGER) END) AS h
+        |  FROM e a JOIN e b ON b.doc_id = a.doc_id AND b.f = a.f + 1
+        |  WHERE a.f < 64 GROUP BY a.doc_id)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  bit_count(xor(a.h, b.h))::INTEGER AS dist
+        |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.h, b.h)) <= 3
+        |ORDER BY id_a, id_b""".stripMargin,
 
     "ev_tumbling" ->
       """SELECT date_trunc('hour', ts) AS win_start, event_type,

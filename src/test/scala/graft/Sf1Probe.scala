@@ -56,7 +56,12 @@ object Sf1Probe {
     // ~1× like dd_containment_reps) and the dHash image dedup (map-only
     // signatures + distinct-signature banded join — expect ~linear)
     "dd_allpairs_reps", "dd_tfidf_reps", "mm_phash_pairs",
-    "mm_phash_clusters", "mm_phash_novelty")
+    "mm_phash_clusters", "mm_phash_novelty",
+    // round-11 third session: the aFP audio twin of mm_phash_pairs
+    // (map-only decode + distinct-signature banded join — expect
+    // ~linear modulo clique-squared output) and the partition-scoped
+    // batch merge (expect ~touched-partition cost, like the upsert row)
+    "mm_audio_pairs", "mat_incremental_partitioned")
 
   def main(args: Array[String]): Unit = {
     val src = "/root/testdata/sf0.1"
