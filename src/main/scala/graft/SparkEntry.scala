@@ -2622,6 +2622,16 @@ object SparkEntry {
           Multimodal.syntheticContentAudio(t(s, dir, "documents")))
         .orderBy(col("id_a"), col("id_b"))),
 
+    "mm_audio_clusters" -> ((s, dir) =>
+      // the keep/drop product shape over the audio corpus: connected
+      // components of the banded aFP graph in distinct-signature space,
+      // rep = min media id — the same machinery as mm_phash_clusters.
+      // The oracle recomputes the frame energies arithmetically and
+      // walks components with a recursive min-label CTE.
+      Multimodal.audioDedupClusters(
+          Multimodal.syntheticContentAudio(t(s, dir, "documents")))
+        .orderBy(col("doc"))),
+
     "mm_frames" -> ((s, dir) =>
       Multimodal.sampleFrames(
           Multimodal.decodeFeatures(
@@ -5028,6 +5038,35 @@ object SparkEntry {
         |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.h, b.h)) <= 3
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // same aFP closed form, then min-label component walk over the
+    // brute-forced <=3-hamming edges (the mm_phash_clusters pattern)
+    "mm_audio_clusters" ->
+      """WITH RECURSIVE d AS (SELECT doc_id, doc_id % 48 AS s,
+        |    (doc_id % 5 = 0) AS p FROM documents),
+        |sm AS (SELECT d.doc_id, i.i // 16 AS f,
+        |    (((i.i*(d.s+3) + (i.i % 17)*41 + d.s*d.s) % 509) - 254
+        |     + CASE WHEN d.p AND i.i = 100 THEN 512 ELSE 0 END)::BIGINT AS v
+        |  FROM d, range(1040) i(i)),
+        |e AS (SELECT doc_id, f, sum(v*v) AS en FROM sm
+        |  GROUP BY doc_id, f),
+        |sig AS (SELECT a.doc_id,
+        |    bit_or(CASE WHEN NOT b.en > a.en THEN 0::BIGINT
+        |      WHEN a.f = 63 THEN (-9223372036854775807 - 1)::BIGINT
+        |      ELSE (1::BIGINT << a.f::INTEGER) END) AS h
+        |  FROM e a JOIN e b ON b.doc_id = a.doc_id AND b.f = a.f + 1
+        |  WHERE a.f < 64 GROUP BY a.doc_id),
+        |cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        |  WHERE bit_count(xor(a.h, b.h)) <= 3),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM cand
+        |  UNION ALL SELECT id_b, id_a FROM cand),
+        |walk(doc, anc) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT e.dst, w.anc FROM walk w JOIN edges e ON e.src = w.doc)
+        |SELECT doc, min(anc) AS rep, (doc = min(anc)) AS keep
+        |FROM walk GROUP BY doc ORDER BY doc""".stripMargin,
 
     "ev_tumbling" ->
       """SELECT date_trunc('hour', ts) AS win_start, event_type,

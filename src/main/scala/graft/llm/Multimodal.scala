@@ -548,6 +548,29 @@ object Multimodal {
       Dedup.simhashSigPairs(sig, maxHamming, bandBits = 16, nBands = 4))
   }
 
+  /** Perceptual audio dedup CLUSTERS — the per-clip keep/drop decision,
+    * [[imageDedupClusters]]' machinery over aFP fingerprints: connected
+    * components of the banded hamming graph in distinct-signature
+    * space, rep = MIN media id, keep iff rep. Clips no decoder accepts
+    * stay singleton clusters. */
+  def audioDedupClusters(media: DataFrame, maxHamming: Int = 3,
+                         maxIter: Int = 20,
+                         driverEdgeLimit: Long = 1000000L): DataFrame = {
+    require(maxHamming < 4,
+      s"4×16-bit banded search complete only for maxHamming < 4")
+    val sig = audioFingerprints(media)
+      .select(col("media_id").as("doc"), col("afp").as("sfp"))
+      .localCheckpoint()
+    val edges = Dedup.simhashSigPairs(
+        sig.select(col("doc"), col("sfp").as("simhash")),
+        maxHamming, bandBits = 16, nBands = 4)
+      .select(col("sa").as("id_a"), col("sb").as("id_b"))
+      .localCheckpoint()
+    Dedup.inheritSigComponents(
+      media.select(col("media_id").as("doc")).distinct(),
+      sig, edges, maxIter, driverEdgeLimit)
+  }
+
   /** Perceptual image dedup CLUSTERS — the per-image keep/drop decision
     * a 100 TB media pass actually wants (the pair list is quadratic per
     * duplicate clique; this is linear per image): connected components

@@ -423,6 +423,20 @@ class LlmSpec extends SparkSpec {
     // present within the banded radius (CodecSpec pins dist <= 2)
     assert(pairs.filter($"id_a" === 5 && $"id_b" === 53 && $"dist" <= 2)
       .count() == 1)
+    // clusters form: components of the SAME pair graph — every pair's
+    // endpoints share a rep, reps are component minima, keep iff rep
+    val cl = Multimodal.audioDedupClusters(media).cache()
+    assert(cl.count() == 200)
+    val rep = cl.select($"doc", $"rep").as[(Long, Long)].collect().toMap
+    pairs.select($"id_a", $"id_b").as[(Long, Long)].collect()
+      .foreach { case (x, y) =>
+        assert(rep(x) == rep(y), s"pair ($x,$y) split across clusters") }
+    assert(rep(3L) == rep(51L) && rep(5L) == rep(53L))
+    cl.groupBy($"rep").agg(min($"doc").as("mn"),
+        sum(when($"keep", 1).otherwise(0)).as("nk"))
+      .collect().foreach { r =>
+        assert(r.getLong(0) == r.getLong(1), "rep is not the component min")
+        assert(r.getLong(2) == 1, "not exactly one keep per cluster") }
   }
 
   test("simhash clusters: twins collapse to min-id rep, keep iff rep") {
