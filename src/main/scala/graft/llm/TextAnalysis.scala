@@ -634,8 +634,13 @@ object TextAnalysis {
     require(queryTerms.nonEmpty, "bm25 needs at least one query term")
     val toks = df.select(col(id).as("doc"), tokens(col(text)).as("__ws"))
     // one stats job: N and avgdl from a count/avg aggregate, per-term
-    // df from a distinct-token explode filtered to the query terms
-    val g = toks.agg(count(lit(1)), avg(size(col("__ws")))).head()
+    // df from a distinct-token explode filtered to the query terms.
+    // avg over an EMPTY corpus is NULL — coalesce to 1 so the degenerate
+    // input scores an empty frame instead of NPE-ing at train time (the
+    // EmptyInputSpec contract: the first partition of a 100 TB run is
+    // routinely empty)
+    val g = toks.agg(count(lit(1)),
+      coalesce(avg(size(col("__ws"))), lit(1.0))).head()
     val n = g.getLong(0)
     val avgdl = g.getDouble(1)
     val dfs: Map[String, Long] = toks

@@ -59,6 +59,11 @@ class EmptyInputSpec extends SparkSpec {
       .count() === 0)
     assert(graft.operators.Winsorize
       .winsorize(noW, Seq("doc_id"), "w", 0.05, 0.95).count() === 0)
+    // bm25's stats job reads N and avgdl from one aggregate row — an
+    // empty corpus must yield an empty scoring frame, not an NPE on the
+    // null avg (r11 sweep finding)
+    assert(graft.llm.TextAnalysis.bm25(noDocs, "doc_id", "text",
+      Seq("the")).count() === 0)
   }
 
   test("fuzzy join with an empty side is empty on both paths") {
