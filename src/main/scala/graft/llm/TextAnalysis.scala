@@ -522,11 +522,21 @@ object TextAnalysis {
     // (histogram + both selection branches) — materialize the narrow
     // (doc, quality, n_tokens, qb) form once; blocks are released by the
     // ContextCleaner when the result is dropped
-    val scored = df.select(col(id).as("doc"),
+    val scoredAll = df.select(col(id).as("doc"),
       qualityScore(col(text)).as("quality"),
       tokenCountBpe(col(text)).cast(LongType).as("n_tokens"))
       .withColumn("qb", floor(col("quality") * 1000).cast(IntegerType))
       .localCheckpoint()
+    // a NULL-text row has no token count (and least() quietly skips the
+    // null quality components, so qb alone is NOT a null marker): it
+    // cannot be selected and must not reach the histogram — the driver
+    // read of the null bucket sum NPE'd (r11 sweep finding). It
+    // re-enters the output below with selected = false so the flag
+    // stays one row per input
+    val ok = col("qb").isNotNull && col("n_tokens").isNotNull
+    val scored = scoredAll.filter(ok)
+    val nullRows = scoredAll.filter(!ok)
+      .withColumn("selected", lit(false))
     val hist = scored.groupBy("qb").agg(sum("n_tokens").as("toks"))
       .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(-_._1)
     var acc = 0L
@@ -582,7 +592,8 @@ object TextAnalysis {
           .withColumn("selected", col("qb") > cut)
           .unionByName(residual)
       }
-    out.select(col("doc"), col("quality"), col("n_tokens"), col("selected"))
+    out.unionByName(nullRows)
+      .select(col("doc"), col("quality"), col("n_tokens"), col("selected"))
   }
 
   /** PII patterns — email addresses and phone-like digit runs. Both are

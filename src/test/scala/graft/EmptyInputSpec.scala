@@ -66,6 +66,27 @@ class EmptyInputSpec extends SparkSpec {
       Seq("the")).count() === 0)
   }
 
+  test("budgetSelect: NULL-text rows are unselectable, never a crash") {
+    // a null text has no quality bucket — it used to NPE the driver's
+    // histogram read (r11 sweep finding); it must come back flagged
+    // selected = false, one row per input like every other doc
+    val d = Seq((1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, null.asInstanceOf[String]),
+      (3L, "another document with several words in it")).toDF("doc_id", "text")
+    val r = graft.llm.TextAnalysis.budgetSelect(d, "doc_id", "text", 1000L)
+      .orderBy($"doc").collect()
+    assert(r.length === 3)
+    // least() skips nulls so quality is non-null even for null text —
+    // the null marker is n_tokens; either way the row is unselectable
+    assert(r(1).isNullAt(2) && !r(1).getBoolean(3))
+    assert(r(0).getBoolean(3) && r(2).getBoolean(3)) // budget fits both
+    // all-null corpus: empty histogram, nothing selected, no crash
+    val allNull = Seq((1L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val r2 = graft.llm.TextAnalysis.budgetSelect(allNull, "doc_id", "text", 10L)
+      .collect()
+    assert(r2.length === 1 && !r2(0).getBoolean(3))
+  }
+
   test("fuzzy join with an empty side is empty on both paths") {
     val noDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
     val someDocs = Seq((1L, "a b c d")).toDF("doc_id", "text")
