@@ -2632,6 +2632,23 @@ object SparkEntry {
           Multimodal.syntheticContentAudio(t(s, dir, "documents")))
         .orderBy(col("doc"))),
 
+    "mm_audio_novelty" -> ((s, dir) => {
+      // ingestion-time audio dedup (Events.audioNoveltyStream evaluated
+      // in batch — identical code runs under readStream, machinery
+      // pinned by the image novelty stream test): the first 30 clips'
+      // fingerprints form the index (seeds 0–29 of 48, both outcomes
+      // populated); arriving clips within hamming ≤ 3 are dropped via
+      // the plan-literal band lookup. Oracle recomputes fingerprints
+      // arithmetically and brute-forces the NOT EXISTS.
+      val media = Multimodal.syntheticContentAudio(t(s, dir, "documents"))
+      val idx = Multimodal.audioFingerprints(
+          media.filter(col("media_id") < 30))
+        .select(col("afp")).collect().map(_.getLong(0)).toSeq
+      graft.streaming.Events.audioNoveltyStream(media, idx)
+        .select(col("media_id"), col("afp"), col("novel"))
+        .orderBy(col("media_id"))
+    }),
+
     "mm_frames" -> ((s, dir) =>
       Multimodal.sampleFrames(
           Multimodal.decodeFeatures(
@@ -5067,6 +5084,29 @@ object SparkEntry {
         |  SELECT e.dst, w.anc FROM walk w JOIN edges e ON e.src = w.doc)
         |SELECT doc, min(anc) AS rep, (doc = min(anc)) AS keep
         |FROM walk GROUP BY doc ORDER BY doc""".stripMargin,
+
+    // same aFP closed form; novelty = no indexed (doc_id < 30)
+    // fingerprint within hamming 3
+    "mm_audio_novelty" ->
+      """WITH d AS (SELECT doc_id, doc_id % 48 AS s,
+        |    (doc_id % 5 = 0) AS p FROM documents),
+        |sm AS (SELECT d.doc_id, i.i // 16 AS f,
+        |    (((i.i*(d.s+3) + (i.i % 17)*41 + d.s*d.s) % 509) - 254
+        |     + CASE WHEN d.p AND i.i = 100 THEN 512 ELSE 0 END)::BIGINT AS v
+        |  FROM d, range(1040) i(i)),
+        |e AS (SELECT doc_id, f, sum(v*v) AS en FROM sm
+        |  GROUP BY doc_id, f),
+        |sig AS (SELECT a.doc_id,
+        |    bit_or(CASE WHEN NOT b.en > a.en THEN 0::BIGINT
+        |      WHEN a.f = 63 THEN (-9223372036854775807 - 1)::BIGINT
+        |      ELSE (1::BIGINT << a.f::INTEGER) END) AS h
+        |  FROM e a JOIN e b ON b.doc_id = a.doc_id AND b.f = a.f + 1
+        |  WHERE a.f < 64 GROUP BY a.doc_id)
+        |SELECT a.doc_id AS media_id, a.h AS afp, TRUE AS novel
+        |FROM sig a
+        |WHERE NOT EXISTS (SELECT 1 FROM sig b WHERE b.doc_id < 30
+        |  AND bit_count(xor(a.h, b.h)) <= 3)
+        |ORDER BY media_id""".stripMargin,
 
     "ev_tumbling" ->
       """SELECT date_trunc('hour', ts) AS win_start, event_type,

@@ -548,6 +548,36 @@ object Multimodal {
       Dedup.simhashSigPairs(sig, maxHamming, bandBits = 16, nBands = 4))
   }
 
+  final case class MediaAfpRow(media_id: Long, media_type: String,
+                               payload: Array[Byte], n_bytes: Long,
+                               afp: Option[Long])
+
+  /** Append a nullable `afp` column to a media frame (all original
+    * columns kept) — [[withDhash]]'s audio twin: real javax.sound PCM
+    * decode gated on a RIFF/FORM magic, null for payloads no decoder
+    * accepts. Map-only — identical on batch and STREAMING frames, which
+    * is what [[graft.streaming.Events.audioNoveltyStream]] builds on. */
+  def withAfp(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "media_type", "payload", "n_bytes")
+      .as[MediaRow]
+      .mapPartitions { it =>
+        it.grouped(BatchSize).flatMap { batch =>
+          batch.iterator.map { m =>
+            val isAudio = MediaCodecs.decodeWav(m.payload)
+              .orElse(MediaCodecs.decodeAiff(m.payload)).isDefined
+            val h =
+              if (!isAudio) None
+              else MediaCodecs.decodePcm16(m.payload)
+                .flatMap(MediaCodecs.afp64)
+            MediaAfpRow(m.media_id, m.media_type, m.payload, m.n_bytes, h)
+          }
+        }
+      }
+      .toDF()
+  }
+
   /** Perceptual audio dedup CLUSTERS — the per-clip keep/drop decision,
     * [[imageDedupClusters]]' machinery over aFP fingerprints: connected
     * components of the banded hamming graph in distinct-signature

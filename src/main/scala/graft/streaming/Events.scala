@@ -268,24 +268,45 @@ object Events {
     * (novel = true): absence of a signature is absence of duplicate
     * evidence, not proof of duplication. */
   def imageNoveltyStream(stream: DataFrame, indexSigs: Seq[Long],
-                         maxHamming: Int = 3): DataFrame = {
+                         maxHamming: Int = 3): DataFrame =
+    graft.llm.Multimodal.withDhash(stream)
+      .withColumn("novel", !bandIndexDup(col("dhash"), indexSigs,
+        maxHamming))
+      .filter(col("novel"))
+
+  /** Streaming AUDIO novelty — [[imageNoveltyStream]]'s twin over aFP
+    * fingerprints ([[graft.llm.Multimodal.withAfp]]): drop arriving
+    * clips within `maxHamming` of a model-sized fingerprint index via
+    * the same 4-band plan-literal lookup. Map-only — no join, no
+    * state, no watermark. */
+  def audioNoveltyStream(stream: DataFrame, indexSigs: Seq[Long],
+                         maxHamming: Int = 3): DataFrame =
+    graft.llm.Multimodal.withAfp(stream)
+      .withColumn("novel", !bandIndexDup(col("afp"), indexSigs,
+        maxHamming))
+      .filter(col("novel"))
+
+  /** Shared band-bucketed duplicate test for a 64-bit signature column
+    * against a model-sized index: 4 band-key lookups into a
+    * plan-literal map ([[graft.llm.Multimodal.dhashBandIndex]] —
+    * geometry-generic over any 64-bit signature) + exact popcount
+    * verify; pigeonhole-complete for maxHamming < 4. NULL signatures
+    * (undecodable payloads) are never duplicates. */
+  private def bandIndexDup(sig: Column, indexSigs: Seq[Long],
+                           maxHamming: Int): Column = {
     require(maxHamming < 4,
       "4×16-bit band lookup complete only for maxHamming < 4")
     val idx = graft.llm.Multimodal.dhashBandIndex(indexSigs)
     val mLit = typedLit(idx)
-    val sig = col("dhash")
     val cands = flatten(array((0 until 4).map { b =>
       coalesce(
         element_at(mLit, lit(b.toLong << 16) +
           shiftright(sig, b * 16).bitwiseAND(lit(0xffffL))),
         typedLit(Seq.empty[Long]))
     }: _*))
-    val dup = sig.isNotNull &&
+    sig.isNotNull &&
       exists(cands, c =>
         bit_count(c.bitwiseXOR(sig)) <= lit(maxHamming))
-    graft.llm.Multimodal.withDhash(stream)
-      .withColumn("novel", !dup)
-      .filter(col("novel"))
   }
 
   /** Streaming benchmark decontamination: drop documents sharing any

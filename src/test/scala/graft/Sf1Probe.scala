@@ -61,7 +61,8 @@ object Sf1Probe {
     // (map-only decode + distinct-signature banded join — expect
     // ~linear modulo clique-squared output) and the partition-scoped
     // batch merge (expect ~touched-partition cost, like the upsert row)
-    "mm_audio_pairs", "mm_audio_clusters", "mat_incremental_partitioned")
+    "mm_audio_pairs", "mm_audio_clusters", "mm_audio_novelty",
+    "mat_incremental_partitioned")
 
   def main(args: Array[String]): Unit = {
     val src = "/root/testdata/sf0.1"
