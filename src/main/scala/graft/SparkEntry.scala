@@ -1398,6 +1398,40 @@ object SparkEntry {
         .orderBy(col("k"))
     }),
 
+    "mat_snapshot_bucketed" -> ((s, dir) => {
+      // the snapshot MATERIALIZATION state machine end-to-end on the
+      // bucketed (partition-scoped) path: first run builds the SCD2
+      // table partitioned by dbt_bucket = pmod(xxhash64(id), 8); the
+      // second run stages the same v0→v1 delta as snapshot_scd2 and
+      // rewrites ONLY buckets containing changed keys (MaterializerSpec
+      // pins files/scans). Compared content = the SCD2 columns —
+      // identical to the logical Snapshot.run, which is the point; the
+      // bucket column is physical layout (xxhash64 — engine-side
+      // deterministic, not oracle-replayable) and is not projected.
+      val m = new graft.mat.Materializer(s)
+      val rel = graft.model.Relation("graft_snap_bucketed")
+      for (t0 <- Seq("graft_snap_bucketed", "graft_snap_bucketed__dbt_tmp",
+          "graft_snap_bucketed__dbt_backup",
+          "graft_snap_bucketed__dbt_scoped_tmp"))
+        s.sql(s"DROP TABLE IF EXISTS $t0")
+      val o = t(s, dir, "orders").select(
+        col("o_orderkey").as("id"),
+        col("o_orderstatus").as("v"),
+        col("o_orderdate").cast(TimestampType).as("updated_at"))
+      val v0 = o.filter(pmod(col("id"), lit(10)) < 5)
+      val changed = pmod(col("id"), lit(10)) < 2
+      val v1 = o.select(col("id"),
+        when(changed, lit("XX")).otherwise(col("v")).as("v"),
+        when(changed, col("updated_at") + expr("interval 10 days"))
+          .otherwise(col("updated_at")).as("updated_at"))
+      m.snapshot(rel, v0, Seq("id"), "updated_at", buckets = 8)
+      m.snapshot(rel, v1, Seq("id"), "updated_at", buckets = 8)
+      s.table("graft_snap_bucketed")
+        .select(col("id"), col("v"), col("dbt_valid_from"),
+          col("dbt_valid_to"))
+        .orderBy(col("id"), col("dbt_valid_from"))
+    }),
+
     "mat_incremental_partitioned" -> ((s, dir) => {
       // the BATCH materializer's partition-scoped merge (r11): the first
       // run creates the table partitioned by p = o_orderkey % 2
@@ -3127,6 +3161,22 @@ object SparkEntry {
         |FROM target t FULL OUTER JOIN staged s
         |  ON t.o_orderkey = s.o_orderkey AND t.price < 200000
         |ORDER BY o_orderkey, src""".stripMargin,
+
+    // same fixture and SCD2 semantics as snapshot_scd2 — the bucketed
+    // MATERIALIZATION must not change the answer, only the write cost
+    "mat_snapshot_bucketed" ->
+      """WITH o AS (SELECT o_orderkey AS id, o_orderstatus AS v,
+        |                  CAST(o_orderdate AS TIMESTAMP) AS ua FROM orders)
+        |SELECT id, v, ua AS dbt_valid_from, CAST(NULL AS TIMESTAMP) AS dbt_valid_to
+        |FROM o WHERE id % 10 BETWEEN 2 AND 4
+        |UNION ALL
+        |SELECT id, v, ua, ua + INTERVAL 10 DAY FROM o WHERE id % 10 < 2
+        |UNION ALL
+        |SELECT id, 'XX', ua + INTERVAL 10 DAY, CAST(NULL AS TIMESTAMP)
+        |FROM o WHERE id % 10 < 2
+        |UNION ALL
+        |SELECT id, v, ua, CAST(NULL AS TIMESTAMP) FROM o WHERE id % 10 >= 5
+        |ORDER BY id, dbt_valid_from""".stripMargin,
 
     "snapshot_hard_delete" ->
       """WITH o AS (SELECT o_orderkey AS id, o_orderstatus AS v,

@@ -391,6 +391,69 @@ final class Materializer(spark: SparkSession, val catalog: CatalogOps) {
     * whole table; the write goes to a tmp table then swaps (never
     * overwrite a table from a plan that reads it — SURVEY §7.3 caution).
     */
+  // ------------------------------------------------------------------
+  // physical-write helpers shared by the incremental and snapshot
+  // materializations (and their crash-recovery contracts)
+  // ------------------------------------------------------------------
+
+  /** The catalog's partition columns for a table (Nil when
+    * unpartitioned or unresolvable). */
+  private def tablePartColsOf(name: String): Seq[String] =
+    try spark.sessionState.catalog.getTableMetadata(
+      spark.sessionState.sqlParser.parseTableIdentifier(name))
+      .partitionColumnNames
+    catch { case scala.util.control.NonFatal(_) => Nil }
+
+  /** Restore a crash-parked swap: a missing target with a surviving
+    * `__dbt_backup` (pre-rewrite history) or `__dbt_tmp` (fully
+    * rewritten result) is renamed back BEFORE any exists decision, so a
+    * re-run re-merges into recovered history instead of rebuilding the
+    * table from one staged batch. Scoped commits use a different
+    * suffix (`__dbt_scoped_tmp`) precisely so a PARTIAL result can
+    * never be promoted here. */
+  private def recoverSwap(rel: Relation): Unit =
+    if (!spark.catalog.tableExists(rel.render)) {
+      val backup0 = rel.suffixed("__dbt_backup")
+      val tmp0 = rel.suffixed("__dbt_tmp")
+      if (spark.catalog.tableExists(backup0.render))
+        PartitionScoped.renameTable(spark, backup0.render, rel.render)
+      else if (spark.catalog.tableExists(tmp0.render))
+        PartitionScoped.renameTable(spark, tmp0.render, rel.render)
+    }
+
+  /** Full rewrite + tmp/backup swap: materialize the result before
+    * replacing its own input, preserving the table's partition layout
+    * across the swap (a schema-changing run may carry columns the old
+    * table lacks, so the result's OWN schema is written — never
+    * projected to the old one; partitionBy places partition columns
+    * last itself; a sync_all_columns run that removed a partition
+    * column rewrites unpartitioned). */
+  private def swapRewrite(rel: Relation, result: DataFrame,
+                          tablePartCols: Seq[String]): Unit = {
+    val tmp = rel.suffixed("__dbt_tmp")
+    dropRelation(tmp)
+    val keepParts = tablePartCols.filter(c =>
+      result.columns.exists(_.equalsIgnoreCase(c)))
+    val w = if (keepParts.nonEmpty)
+      result.write.partitionBy(keepParts: _*)
+    else result.write
+    w.saveAsTable(tmp.render)
+    val backup = rel.suffixed("__dbt_backup")
+    dropRelation(backup)
+    PartitionScoped.renameTable(spark, rel.render, backup.render)
+    PartitionScoped.renameTable(spark, tmp.render, rel.render)
+    dropRelation(backup)
+  }
+
+  /** Commit a partition-scoped rewrite through the scoped tmp (its own
+    * suffix — see [[recoverSwap]]) and dynamic partition overwrite.
+    * `result` must already be aligned to the table's physical column
+    * order. */
+  private def scopedOverwrite(rel: Relation, result: DataFrame): Unit =
+    PartitionScoped.overwriteTouched(spark, rel.render,
+      rel.suffixed("__dbt_scoped_tmp").render, result,
+      t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+
   def incremental(
       rel: Relation,
       model: DataFrame,
@@ -412,14 +475,7 @@ final class Materializer(spark: SparkSession, val catalog: CatalogOps) {
     // batch: without restoring first, the exists check below takes the
     // CREATE path on the re-run and silently rebuilds the table from
     // this run's batch alone.
-    if (!spark.catalog.tableExists(name)) {
-      val backup0 = rel.suffixed("__dbt_backup")
-      val tmp0 = rel.suffixed("__dbt_tmp")
-      if (spark.catalog.tableExists(backup0.render))
-        PartitionScoped.renameTable(spark, backup0.render, name)
-      else if (spark.catalog.tableExists(tmp0.render))
-        PartitionScoped.renameTable(spark, tmp0.render, name)
-    }
+    recoverSwap(rel)
     val exists = spark.catalog.tableExists(name)
     runHooks(config.preHooks) // incremental.sql:46
     // incremental's tail order differs from table's: post-hooks →
@@ -479,11 +535,7 @@ final class Materializer(spark: SparkSession, val catalog: CatalogOps) {
     //  - anything else (schema-changing run, unpartitioned keyed
     //    strategies, over-cap batches): full rewrite + tmp/backup swap,
     //    preserving the table's partition layout across the swap.
-    val tablePartCols: Seq[String] =
-      try spark.sessionState.catalog.getTableMetadata(
-        spark.sessionState.sqlParser.parseTableIdentifier(name))
-        .partitionColumnNames
-      catch { case scala.util.control.NonFatal(_) => Nil }
+    val tablePartCols: Seq[String] = tablePartColsOf(name)
     val cur = spark.table(name)
     def sig(st: StructType) =
       st.fields.map(f => (f.name.toLowerCase, f.dataType)).toSeq.sortBy(_._1)
@@ -494,35 +546,10 @@ final class Materializer(spark: SparkSession, val catalog: CatalogOps) {
       df.select(cur.columns.map(org.apache.spark.sql.functions.col)
         .toIndexedSeq: _*)
 
-    def fullRewrite(result: DataFrame): Unit = {
-      // materialize the rewritten plan before replacing its own input.
-      // Keep the table's partition layout across the swap (a schema-
-      // changing run may carry columns the old table lacks, so the
-      // result's OWN schema is written — never projected to the old
-      // one; partitionBy places partition columns last itself). A
-      // sync_all_columns run that removed a partition column rewrites
-      // unpartitioned — the layout column no longer exists.
-      val tmp = rel.suffixed("__dbt_tmp")
-      dropRelation(tmp)
-      val keepParts = tablePartCols.filter(c =>
-        result.columns.exists(_.equalsIgnoreCase(c)))
-      val w = if (keepParts.nonEmpty)
-        result.write.partitionBy(keepParts: _*)
-      else result.write
-      w.saveAsTable(tmp.render)
-      val backup = rel.suffixed("__dbt_backup")
-      dropRelation(backup)
-      PartitionScoped.renameTable(spark, name, backup.render)
-      PartitionScoped.renameTable(spark, tmp.render, name)
-      dropRelation(backup)
-    }
-    // scoped commits use their own tmp suffix: the crash-recovery
-    // promotion above must never mistake a PARTIAL (touched-partitions-
-    // only) result for a full rewrite
+    def fullRewrite(result: DataFrame): Unit =
+      swapRewrite(rel, result, tablePartCols)
     def scopedCommit(result: DataFrame): Unit =
-      PartitionScoped.overwriteTouched(spark, name,
-        rel.suffixed("__dbt_scoped_tmp").render, aligned(result),
-        t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+      scopedOverwrite(rel, aligned(result))
     // scoped path: rewrite only the touched partitions; empty batch →
     // no-op (the strategies are identities on an empty staged frame)
     def scoped(rewrite: DataFrame => DataFrame): Unit =
@@ -571,6 +598,101 @@ final class Materializer(spark: SparkSession, val catalog: CatalogOps) {
         throw new IllegalArgumentException(
           s"invalid incremental strategy: $other") // impl.py:80-81
     }
+    tail()
+  }
+
+  // ------------------------------------------------------------------
+  // snapshot materialization (dbt-core's snapshot state machine; the
+  // reference supplies the MERGE applier, snapshot.sql:13-34)
+  // ------------------------------------------------------------------
+
+  /** The `dbt snapshot` state machine driven against a catalog table:
+    * first run → build the initial SCD2 table ([[Snapshot.initial]]);
+    * later runs → stage changes against the CURRENT table
+    * ([[Snapshot.stage]] — timestamp strategy) and apply them
+    * ([[Snapshot.applyChanges]]). Crash recovery and hook/grant/docs
+    * order follow the incremental materialization.
+    *
+    * '''Unbucketed''' (`buckets` = 0): each run rewrites the whole
+    * history table through the tmp/backup swap — O(|history|) per run,
+    * wrong at 100 TB (an SCD2 table only grows).
+    *
+    * '''Bucketed''' (`buckets` > 0): the table is created partitioned
+    * by `dbt_bucket = pmod(xxhash64(keys), buckets)` and each run
+    * rewrites ONLY buckets containing staged keys. Scoping is COMPLETE
+    * by construction — every staged row (insert / new version / close /
+    * hard delete) carries the key it changes, the bucket derives from
+    * the key alone, and the superseded open row of key k lives in
+    * bucket(k): unlike the incremental strategies there is no
+    * partition-stability contract to impose, the bucket function IS
+    * key-derived. Per-run cost model (MaterializerSpec-pinned):
+    * STAGING reads the OPEN rows only (`dbt_valid_to IS NULL` is
+    * pushed to the scan — O(live entities), not O(history)); the APPLY
+    * reads and rewrites only the touched buckets. The accumulated
+    * closed-row history — the part of an SCD2 table that grows without
+    * bound — is neither read nor rewritten outside touched buckets.
+    * `dbt_bucket` is reserved; a source column of that name is
+    * rejected. */
+  def snapshot(rel: Relation, source: DataFrame, keys: Seq[String],
+               updatedAt: String, invalidateHardDeletes: Boolean = false,
+               now: org.apache.spark.sql.Column =
+                 org.apache.spark.sql.functions.current_timestamp(),
+               buckets: Int = 0,
+               config: ModelConfig = ModelConfig.empty): Unit = {
+    import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
+    require(keys.nonEmpty, "snapshot needs unique keys")
+    require(buckets >= 0, s"buckets must be >= 0: $buckets")
+    val BucketCol = "dbt_bucket"
+    require(!source.columns.exists(_.equalsIgnoreCase(BucketCol)),
+      s"$BucketCol is reserved by the bucketed snapshot materialization")
+    val name = rel.render
+    def bucketOf = pmod(xxhash64(keys.map(col): _*), lit(buckets))
+    // an SCD2 history is the least re-derivable table of all — restore
+    // a crash-parked swap before the exists decision
+    recoverSwap(rel)
+    val exists = spark.catalog.tableExists(name)
+    runHooks(config.preHooks)
+    def tail(): Unit = {
+      setProperties(rel, config.properties)
+      runHooks(config.postHooks)
+      applyGrantsCfg(rel, config,
+        revoke = shouldRevoke(exists, fullRefresh = false))
+      persistDocs(rel, config)
+    }
+    if (!exists) {
+      val init = Snapshot.initial(source, keys, updatedAt)
+      val w =
+        if (buckets > 0) init.withColumn(BucketCol, bucketOf)
+          .write.partitionBy(BucketCol)
+        else init.write
+      w.saveAsTable(name)
+      tail()
+      return
+    }
+    val snap = spark.table(name)
+    val staged0 = Snapshot.stage(
+      snap, source, keys, updatedAt, invalidateHardDeletes, now)
+    // every staged row carries its key columns (hard-delete rows come
+    // from the snapshot's own open rows), so the bucket column is one
+    // map-side projection for all change types
+    val tablePartCols = tablePartColsOf(name)
+    val bucketed = tablePartCols == Seq(BucketCol)
+    val staged = if (bucketed)
+      staged0.withColumn(BucketCol, bucketOf) else staged0
+    def aligned(df: DataFrame) =
+      df.select(snap.columns.map(col).toIndexedSeq: _*)
+    if (staged.isEmpty) { tail(); return } // nothing changed: no-op
+    if (bucketed)
+      PartitionScoped.touchedPredicate(staged, Seq(BucketCol)) match {
+        case Some(pred) =>
+          scopedOverwrite(rel, aligned(
+            Snapshot.applyChanges(snap.filter(pred), staged)))
+        case None => // over the metadata cap
+          swapRewrite(rel, aligned(Snapshot.applyChanges(snap, staged)),
+            tablePartCols)
+      }
+    else
+      swapRewrite(rel, Snapshot.applyChanges(snap, staged), tablePartCols)
     tail()
   }
 

@@ -623,6 +623,119 @@ class MaterializerSpec extends SparkSpec {
     assert(got == Seq((1L, 2L, "s12"), (3L, 4L, "s34"), (5L, 6L, "t56")))
   }
 
+  test("bucketed snapshot materialization: untouched buckets neither read nor rewritten") {
+    import org.apache.spark.sql.functions.{xxhash64, pmod}
+    val rel = Relation("snap_bucketed")
+    for (s <- Seq("snap_bucketed", "snap_bucketed__dbt_tmp",
+        "snap_bucketed__dbt_backup", "snap_bucketed__dbt_scoped_tmp"))
+      spark.sql(s"DROP TABLE IF EXISTS $s")
+    val t0 = java.sql.Timestamp.valueOf("2020-01-01 00:00:00")
+    val t1 = java.sql.Timestamp.valueOf("2020-02-01 00:00:00")
+    val v0 = (0L until 40L).map(i => (i, s"v$i", t0)).toDF("id", "v", "updated_at")
+    mat.snapshot(rel, v0, Seq("id"), "updated_at", buckets = 8)
+    assert(spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier("snap_bucketed"))
+      .partitionColumnNames == Seq("dbt_bucket"))
+    // which bucket does id=7 land in? (xxhash64 is engine-deterministic)
+    val b7 = v0.filter($"id" === 7L)
+      .select(pmod(xxhash64($"id"), lit(8L))).head().getLong(0)
+    def bFiles(p: Long): Set[String] = {
+      import scala.jdk.CollectionConverters._
+      val loc = spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier("snap_bucketed"))
+        .location.getPath
+      val d = java.nio.file.Paths.get(loc, s"dbt_bucket=$p")
+      if (!java.nio.file.Files.exists(d)) Set.empty
+      else {
+        val s = java.nio.file.Files.list(d)
+        try s.iterator().asScala.map(_.getFileName.toString)
+          .filter(_.endsWith(".parquet")).toSet
+        finally s.close()
+      }
+    }
+    val before = (0L until 8L).map(p => p -> bFiles(p)).toMap
+    // run 2: ONLY id=7 changes (new version at t1)
+    val v1 = v0.withColumn("v",
+        when($"id" === 7L, lit("v7b")).otherwise($"v"))
+      .withColumn("updated_at",
+        when($"id" === 7L, lit(t1)).otherwise($"updated_at"))
+    val scans = capturedTargetScans("snap_bucketed") {
+      mat.snapshot(rel, v1, Seq("id"), "updated_at", buckets = 8)
+    }
+    for (p <- 0L until 8L if p != b7)
+      assert(bFiles(p) == before(p), s"untouched bucket $p was rewritten")
+    assert(bFiles(b7) != before(b7), "touched bucket not rewritten")
+    // cost model: STAGING reads open rows only (the IsNull(dbt_valid_to)
+    // filter is pushed to the scan — O(live entities), not O(history));
+    // the APPLY reads only touched buckets (partition filters). Every
+    // target scan must be one of the two shapes, and the bucket-pruned
+    // apply read must actually occur.
+    assert(scans.nonEmpty, "no target scan captured")
+    for (f <- scans)
+      assert(f.partitionFilters.nonEmpty ||
+        f.metadata.get("PushedFilters").exists(
+          _.contains("IsNull(dbt_valid_to)")),
+        s"full-history scan with no bucket pruning: ${f.metadata}")
+    assert(scans.exists(_.partitionFilters.nonEmpty),
+      "no bucket-pruned apply scan observed")
+    // SCD2 content: id=7 has a closed row and a new open row
+    val rows7 = spark.table("snap_bucketed").filter($"id" === 7L)
+      .orderBy($"dbt_valid_from")
+      .select($"v", $"dbt_valid_to").collect()
+    assert(rows7.length == 2)
+    assert(rows7(0).getString(0) == "v7" && !rows7(0).isNullAt(1))
+    assert(rows7(1).getString(0) == "v7b" && rows7(1).isNullAt(1))
+    // everyone else: exactly one forever-open row
+    assert(spark.table("snap_bucketed").count() == 41)
+    assert(spark.table("snap_bucketed")
+      .filter($"dbt_valid_to".isNull).count() == 40)
+    // run 3: nothing changes → no-op, file sets identical everywhere
+    val mid = (0L until 8L).map(p => p -> bFiles(p)).toMap
+    mat.snapshot(rel, v1, Seq("id"), "updated_at", buckets = 8)
+    for (p <- 0L until 8L)
+      assert(bFiles(p) == mid(p), s"no-change run rewrote bucket $p")
+    // crash recovery: park history in backup, re-run restores + applies
+    spark.sql("ALTER TABLE snap_bucketed RENAME TO snap_bucketed__dbt_backup")
+    val v2 = v1.withColumn("v",
+        when($"id" === 9L, lit("v9b")).otherwise($"v"))
+      .withColumn("updated_at",
+        when($"id" === 9L, lit(java.sql.Timestamp.valueOf(
+          "2020-03-01 00:00:00"))).otherwise($"updated_at"))
+    mat.snapshot(rel, v2, Seq("id"), "updated_at", buckets = 8)
+    assert(spark.table("snap_bucketed").count() == 42,
+      "history must survive the crash-recovery re-run")
+    assert(spark.table("snap_bucketed").filter($"id" === 7L).count() == 2)
+    for (s <- Seq("snap_bucketed", "snap_bucketed__dbt_tmp",
+        "snap_bucketed__dbt_backup", "snap_bucketed__dbt_scoped_tmp"))
+      spark.sql(s"DROP TABLE IF EXISTS $s")
+  }
+
+  test("unbucketed snapshot materialization matches the logical two-step run") {
+    val rel = Relation("snap_plain")
+    spark.sql("DROP TABLE IF EXISTS snap_plain")
+    val t0 = java.sql.Timestamp.valueOf("2020-01-01 00:00:00")
+    val t1 = java.sql.Timestamp.valueOf("2020-02-01 00:00:00")
+    val v0 = Seq((1L, "a", t0), (2L, "b", t0)).toDF("id", "v", "updated_at")
+    val v1 = Seq((1L, "a2", t1), (2L, "b", t0), (3L, "c", t1))
+      .toDF("id", "v", "updated_at")
+    mat.snapshot(rel, v0, Seq("id"), "updated_at")
+    mat.snapshot(rel, v1, Seq("id"), "updated_at")
+    val got = spark.table("snap_plain")
+      .select($"id", $"v", $"dbt_valid_to".isNull.as("open"))
+      .orderBy($"id", $"v").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getBoolean(2))).toSeq
+    val want = graft.mat.Snapshot.run(
+        graft.mat.Snapshot.initial(v0, Seq("id"), "updated_at"),
+        v1, Seq("id"), "updated_at")
+      .select($"id", $"v", $"dbt_valid_to".isNull.as("open"))
+      .orderBy($"id", $"v").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getBoolean(2))).toSeq
+    assert(got == want)
+    assert(got == Seq((1L, "a", false), (1L, "a2", true),
+      (2L, "b", true), (3L, "c", true)))
+    spark.sql("DROP TABLE IF EXISTS snap_plain")
+  }
+
   test("partition-scoped single-key delete+insert rewrites only touched partitions") {
     val rel = Relation("inc_part_di1")
     for (s <- Seq("inc_part_di1", "inc_part_di1__dbt_scoped_tmp"))

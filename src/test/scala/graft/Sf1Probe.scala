@@ -62,7 +62,7 @@ object Sf1Probe {
     // ~linear modulo clique-squared output) and the partition-scoped
     // batch merge (expect ~touched-partition cost, like the upsert row)
     "mm_audio_pairs", "mm_audio_clusters", "mm_audio_novelty",
-    "mat_incremental_partitioned")
+    "mat_incremental_partitioned", "mat_snapshot_bucketed")
 
   def main(args: Array[String]): Unit = {
     val src = "/root/testdata/sf0.1"
