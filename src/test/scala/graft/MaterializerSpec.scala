@@ -710,6 +710,35 @@ class MaterializerSpec extends SparkSpec {
       spark.sql(s"DROP TABLE IF EXISTS $s")
   }
 
+  test("bucketed snapshot: hard deletes close rows in their key's bucket only") {
+    val rel = Relation("snap_hd_bucketed")
+    for (s <- Seq("snap_hd_bucketed", "snap_hd_bucketed__dbt_scoped_tmp"))
+      spark.sql(s"DROP TABLE IF EXISTS $s")
+    val t0 = java.sql.Timestamp.valueOf("2020-01-01 00:00:00")
+    val now1 = lit(java.sql.Timestamp.valueOf("2020-06-01 00:00:00"))
+    val v0 = (0L until 20L).map(i => (i, s"v$i", t0)).toDF("id", "v", "updated_at")
+    mat.snapshot(rel, v0, Seq("id"), "updated_at",
+      invalidateHardDeletes = true, buckets = 4)
+    // id=7 vanishes from the source: its open row must close at now1 —
+    // the staged delete row comes from the SNAPSHOT side and must still
+    // derive its bucket from the key (one scoped bucket rewritten)
+    val v1 = v0.filter($"id" =!= 7L)
+    mat.snapshot(rel, v1, Seq("id"), "updated_at",
+      invalidateHardDeletes = true, now = now1, buckets = 4)
+    val got = spark.table("snap_hd_bucketed")
+      .select($"id", $"dbt_valid_to").orderBy($"id").collect()
+      .map(r => (r.getLong(0), r.isNullAt(1))).toSeq
+    assert(got == (0L until 20L).map(i => (i, i != 7L)))
+    // and the closed row still lives in bucket(7)
+    import org.apache.spark.sql.functions.{xxhash64, pmod}
+    val b7 = v0.filter($"id" === 7L)
+      .select(pmod(xxhash64($"id"), lit(4L))).head().getLong(0)
+    assert(spark.table("snap_hd_bucketed")
+      .filter($"id" === 7L && $"dbt_bucket" === b7).count() == 1)
+    for (s <- Seq("snap_hd_bucketed", "snap_hd_bucketed__dbt_scoped_tmp"))
+      spark.sql(s"DROP TABLE IF EXISTS $s")
+  }
+
   test("unbucketed snapshot materialization matches the logical two-step run") {
     val rel = Relation("snap_plain")
     spark.sql("DROP TABLE IF EXISTS snap_plain")
