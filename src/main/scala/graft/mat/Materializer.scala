@@ -638,7 +638,8 @@ final class Materializer(spark: SparkSession, val catalog: CatalogOps) {
                now: org.apache.spark.sql.Column =
                  org.apache.spark.sql.functions.current_timestamp(),
                buckets: Int = 0,
-               config: ModelConfig = ModelConfig.empty): Unit = {
+               config: ModelConfig = ModelConfig.empty,
+               checkCols: Seq[String] = Nil): Unit = {
     import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
     require(keys.nonEmpty, "snapshot needs unique keys")
     require(buckets >= 0, s"buckets must be >= 0: $buckets")
@@ -660,7 +661,11 @@ final class Materializer(spark: SparkSession, val catalog: CatalogOps) {
       persistDocs(rel, config)
     }
     if (!exists) {
-      val init = Snapshot.initial(source, keys, updatedAt)
+      // checkCols nonEmpty selects the check_cols strategy (no source
+      // updated_at; validity starts at the snapshot time `now`)
+      val init =
+        if (checkCols.nonEmpty) Snapshot.initialCheck(source, keys, now)
+        else Snapshot.initial(source, keys, updatedAt)
       val w =
         if (buckets > 0) init.withColumn(BucketCol, bucketOf)
           .write.partitionBy(BucketCol)
@@ -670,8 +675,11 @@ final class Materializer(spark: SparkSession, val catalog: CatalogOps) {
       return
     }
     val snap = spark.table(name)
-    val staged0 = Snapshot.stage(
-      snap, source, keys, updatedAt, invalidateHardDeletes, now)
+    val staged0 =
+      if (checkCols.nonEmpty) Snapshot.stageCheck(
+        snap, source, keys, checkCols, now, invalidateHardDeletes)
+      else Snapshot.stage(
+        snap, source, keys, updatedAt, invalidateHardDeletes, now)
     // every staged row carries its key columns (hard-delete rows come
     // from the snapshot's own open rows), so the bucket column is one
     // map-side projection for all change types

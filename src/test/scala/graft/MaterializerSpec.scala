@@ -739,6 +739,30 @@ class MaterializerSpec extends SparkSpec {
       spark.sql(s"DROP TABLE IF EXISTS $s")
   }
 
+  test("snapshot materialization check_cols strategy (bucketed)") {
+    val rel = Relation("snap_cc_bucketed")
+    for (s <- Seq("snap_cc_bucketed", "snap_cc_bucketed__dbt_scoped_tmp"))
+      spark.sql(s"DROP TABLE IF EXISTS $s")
+    val n0 = lit(java.sql.Timestamp.valueOf("2020-01-01 00:00:00"))
+    val n1 = lit(java.sql.Timestamp.valueOf("2020-02-01 00:00:00"))
+    val v0 = Seq((1L, "a", "x"), (2L, "b", "y")).toDF("id", "v", "w")
+    val v1 = Seq((1L, "a2", "x"), (2L, "b", "y"), (3L, "c", "z"))
+      .toDF("id", "v", "w")
+    mat.snapshot(rel, v0, Seq("id"), updatedAt = null, now = n0,
+      buckets = 4, checkCols = Seq("v", "w"))
+    mat.snapshot(rel, v1, Seq("id"), updatedAt = null, now = n1,
+      buckets = 4, checkCols = Seq("v", "w"))
+    val got = spark.table("snap_cc_bucketed")
+      .select($"id", $"v", $"dbt_valid_to".isNull.as("open"))
+      .orderBy($"id", $"v").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getBoolean(2))).toSeq
+    // id=1 changed (closed old + new open), id=2 unchanged, id=3 inserted
+    assert(got == Seq((1L, "a", false), (1L, "a2", true),
+      (2L, "b", true), (3L, "c", true)))
+    for (s <- Seq("snap_cc_bucketed", "snap_cc_bucketed__dbt_scoped_tmp"))
+      spark.sql(s"DROP TABLE IF EXISTS $s")
+  }
+
   test("unbucketed snapshot materialization matches the logical two-step run") {
     val rel = Relation("snap_plain")
     spark.sql("DROP TABLE IF EXISTS snap_plain")
