@@ -53,7 +53,18 @@ object PartitionScoped {
     require(parts.nonEmpty,
       "touchedPredicate on an empty staged batch — caller must no-op")
     if (parts.length > MaxTouchedPartitions) None
-    else Some(parts.map { r =>
+    else if (partitionCols.size == 1) {
+      // single partition column — the common case: ONE In node instead
+      // of a |touched|-term OR tree (a 10k-term OR is real Catalyst
+      // analysis cost at the cap; In is one node and still statically
+      // prunable). `IN` is null-VOIDING, not null-safe, so a NULL
+      // partition value (a real partition) gets its own isNull disjunct.
+      val c = col(partitionCols.head)
+      val (nulls, vals) = parts.map(_.get(0)).partition(_ == null)
+      val in = if (vals.nonEmpty) Some(c.isin(vals.toIndexedSeq: _*)) else None
+      val nn = if (nulls.nonEmpty) Some(c.isNull) else None
+      Some((in.toSeq ++ nn.toSeq).reduce(_ || _))
+    } else Some(parts.map { r =>
       partitionCols.zipWithIndex
         .map { case (c, i) => col(c) <=> lit(r.get(i)) }
         .reduce(_ && _)
