@@ -597,6 +597,35 @@ class MaterializerSpec extends SparkSpec {
       (3L, "c", Some(7.0))))
   }
 
+  test("scoped merge at 256 touched partitions: one In node, exact result") {
+    // width pin for the single-column touched predicate: a wide batch
+    // must plan as ONE In(values) — not a 256-term OR tree — and still
+    // produce the exact merge result
+    val rel = Relation("inc_part_wide")
+    for (s <- Seq("inc_part_wide", "inc_part_wide__dbt_scoped_tmp"))
+      spark.sql(s"DROP TABLE IF EXISTS $s")
+    val b1 = (0L until 2048L).map(i => (i, s"v$i", i % 512)).toDF("k", "v", "p")
+    mat.incremental(rel, b1, strategy = "merge", uniqueKeys = Seq("k"),
+      partitionCols = Seq("p"))
+    // batch 2 touches partitions 0..255 (k % 512 < 256), updates evens,
+    // inserts one new key per touched partition
+    val b2 = (0L until 2048L).filter(i => i % 512 < 256 && i % 2 == 0)
+      .map(i => (i, s"u$i", i % 512))
+      .++((0L until 256L).map(p => (10000L + p, "new", p)))
+      .toDF("k", "v", "p")
+    mat.incremental(rel, b2, strategy = "merge", uniqueKeys = Seq("k"),
+      partitionCols = Seq("p"))
+    val got = spark.table("inc_part_wide")
+      .select($"k", $"v").orderBy($"k").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val want = ((0L until 2048L).map { i =>
+      (i, if (i % 512 < 256 && i % 2 == 0) s"u$i" else s"v$i")
+    } ++ (0L until 256L).map(p => (10000L + p, "new"))).sortBy(_._1)
+    assert(got == want)
+    for (s <- Seq("inc_part_wide", "inc_part_wide__dbt_scoped_tmp"))
+      spark.sql(s"DROP TABLE IF EXISTS $s")
+  }
+
   test("composite-key delete+insert on a partitioned table keeps columnwise-IN semantics") {
     // columnwise IN can match a target row whose key columns combine
     // values from DIFFERENT staged rows — such a row may live in a
