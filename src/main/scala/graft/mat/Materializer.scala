@@ -397,12 +397,21 @@ final class Materializer(spark: SparkSession, val catalog: CatalogOps) {
   // ------------------------------------------------------------------
 
   /** The catalog's partition columns for a table (Nil when
-    * unpartitioned or unresolvable). */
+    * unpartitioned or the name doesn't resolve — a missing table or an
+    * unparseable identifier only; any OTHER metadata failure
+    * propagates. Swallowing a transient catalog error here would
+    * silently degrade a partitioned table to the unpartitioned swap
+    * path — layout loss that costs every later run its partition
+    * scoping). */
   private def tablePartColsOf(name: String): Seq[String] =
     try spark.sessionState.catalog.getTableMetadata(
       spark.sessionState.sqlParser.parseTableIdentifier(name))
       .partitionColumnNames
-    catch { case scala.util.control.NonFatal(_) => Nil }
+    catch {
+      case _: org.apache.spark.sql.catalyst.analysis.NoSuchTableException |
+           _: org.apache.spark.sql.catalyst.analysis.NoSuchDatabaseException |
+           _: org.apache.spark.sql.catalyst.parser.ParseException => Nil
+    }
 
   /** Restore a crash-parked swap: a missing target with a surviving
     * `__dbt_backup` (pre-rewrite history) or `__dbt_tmp` (fully
@@ -647,7 +656,7 @@ final class Materializer(spark: SparkSession, val catalog: CatalogOps) {
     require(!source.columns.exists(_.equalsIgnoreCase(BucketCol)),
       s"$BucketCol is reserved by the bucketed snapshot materialization")
     val name = rel.render
-    def bucketOf = pmod(xxhash64(keys.map(col): _*), lit(buckets))
+    def bucketOf(n: Int) = pmod(xxhash64(keys.map(col): _*), lit(n))
     // an SCD2 history is the least re-derivable table of all — restore
     // a crash-parked swap before the exists decision
     recoverSwap(rel)
@@ -667,10 +676,20 @@ final class Materializer(spark: SparkSession, val catalog: CatalogOps) {
         if (checkCols.nonEmpty) Snapshot.initialCheck(source, keys, now)
         else Snapshot.initial(source, keys, updatedAt)
       val w =
-        if (buckets > 0) init.withColumn(BucketCol, bucketOf)
+        if (buckets > 0) init.withColumn(BucketCol, bucketOf(buckets))
           .write.partitionBy(BucketCol)
         else init.write
       w.saveAsTable(name)
+      // persist the bucket count: the bucket FUNCTION is part of the
+      // table's physical contract — a later run bucketing staged rows
+      // with a different modulus would scope them outside their key's
+      // existing bucket, and the superseded open row (in the ORIGINAL
+      // bucket, outside the touched read) would never close: silent
+      // SCD2 corruption. Later runs derive the count from here and
+      // reject a conflicting parameter.
+      if (buckets > 0)
+        setProperties(rel,
+          Map(Materializer.SnapshotBucketsKey -> buckets.toString))
       tail()
       return
     }
@@ -685,8 +704,36 @@ final class Materializer(spark: SparkSession, val catalog: CatalogOps) {
     // map-side projection for all change types
     val tablePartCols = tablePartColsOf(name)
     val bucketed = tablePartCols == Seq(BucketCol)
+    // derive the bucket count from the table, not the call: the count
+    // was fixed at create time (persisted as TBLPROPERTIES) and every
+    // later run MUST bucket staged rows with the same modulus or the
+    // scoped apply silently corrupts the history (see the create-path
+    // comment). A conflicting parameter fails fast; a legacy bucketed
+    // table with no persisted count requires the parameter (> 0 —
+    // pmod(x, 0) is NULL, which would route every staged row to the
+    // null bucket) and heals the property for future runs.
+    val effBuckets: Int =
+      if (!bucketed) buckets
+      else rawProperties(rel).get(Materializer.SnapshotBucketsKey)
+        .map(_.trim.toInt) match {
+        case Some(p) =>
+          require(buckets == 0 || buckets == p,
+            s"snapshot bucket-count mismatch on $name: created with $p " +
+              s"buckets, this run passed $buckets — a different bucket " +
+              "function would stage rows outside their key's existing " +
+              "bucket and corrupt the SCD2 history")
+          p
+        case None =>
+          require(buckets > 0,
+            s"$name is partitioned by $BucketCol but its bucket count " +
+              "is neither persisted nor passed — cannot derive the " +
+              "bucket function")
+          setProperties(rel,
+            Map(Materializer.SnapshotBucketsKey -> buckets.toString))
+          buckets
+      }
     val staged = if (bucketed)
-      staged0.withColumn(BucketCol, bucketOf) else staged0
+      staged0.withColumn(BucketCol, bucketOf(effBuckets)) else staged0
     def aligned(df: DataFrame) =
       df.select(snap.columns.map(col).toIndexedSeq: _*)
     if (staged.isEmpty) { tail(); return } // nothing changed: no-op
@@ -730,4 +777,8 @@ object Materializer {
   val MvSqlKey: String = GraftKeyPrefix + "mv.sql"
   val MvActionsKey: String = GraftKeyPrefix + "mv.actions"
   val ViewSecurityKey: String = GraftKeyPrefix + "view.security"
+  /** Bucket count of a bucketed SCD2 snapshot table — persisted at
+    * create time because the bucket function is part of the table's
+    * physical contract (see [[Materializer.snapshot]]). */
+  val SnapshotBucketsKey: String = GraftKeyPrefix + "snapshot.buckets"
 }

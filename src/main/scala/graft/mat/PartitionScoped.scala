@@ -100,11 +100,19 @@ object PartitionScoped {
     * are interpolated as given — callers quote if needed. */
   def renameTable(spark: SparkSession, from: String, to: String): Unit = {
     spark.sql(s"ALTER TABLE $from RENAME TO $to")
+    // only the identifier-shaped failures may degrade to "no partition
+    // columns" (a VIEW rename lands here — views have none); a transient
+    // metadata error must propagate, or the MSCK repair the swap depends
+    // on is silently skipped and the renamed table reads as 0 rows
     val partCols =
       try spark.sessionState.catalog.getTableMetadata(
         spark.sessionState.sqlParser.parseTableIdentifier(to))
         .partitionColumnNames
-      catch { case scala.util.control.NonFatal(_) => Nil }
+      catch {
+        case _: org.apache.spark.sql.catalyst.analysis.NoSuchTableException |
+             _: org.apache.spark.sql.catalyst.analysis.NoSuchDatabaseException |
+             _: org.apache.spark.sql.catalyst.parser.ParseException => Nil
+      }
     if (partCols.nonEmpty) spark.sql(s"MSCK REPAIR TABLE $to")
   }
 

@@ -768,6 +768,43 @@ class MaterializerSpec extends SparkSpec {
       spark.sql(s"DROP TABLE IF EXISTS $s")
   }
 
+  test("bucketed snapshot: bucket count is persisted, derived, and validated") {
+    val rel = Relation("snap_bcount")
+    for (s <- Seq("snap_bcount", "snap_bcount__dbt_scoped_tmp"))
+      spark.sql(s"DROP TABLE IF EXISTS $s")
+    val t0 = java.sql.Timestamp.valueOf("2020-01-01 00:00:00")
+    val t1 = java.sql.Timestamp.valueOf("2020-02-01 00:00:00")
+    val v0 = (0L until 20L).map(i => (i, s"v$i", t0)).toDF("id", "v", "updated_at")
+    mat.snapshot(rel, v0, Seq("id"), "updated_at", buckets = 8)
+    // the count is persisted at create time
+    val prop = spark.sql("SHOW TBLPROPERTIES snap_bcount").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+      .get(Materializer.SnapshotBucketsKey)
+    assert(prop.contains("8"))
+    // a later run with the DEFAULT buckets=0 derives 8 from the table —
+    // before persistence this would have bucketed staged rows with
+    // pmod(x, 0) = NULL, missed the superseded open row in bucket(7),
+    // and left id=7 with two open rows
+    val v1 = v0.withColumn("v",
+        when($"id" === 7L, lit("v7b")).otherwise($"v"))
+      .withColumn("updated_at",
+        when($"id" === 7L, lit(t1)).otherwise($"updated_at"))
+    mat.snapshot(rel, v1, Seq("id"), "updated_at")
+    val open7 = spark.table("snap_bcount")
+      .filter($"id" === 7L && $"dbt_valid_to".isNull)
+    assert(open7.count() == 1, "superseded open row was not closed")
+    assert(open7.select($"v").head().getString(0) == "v7b")
+    // a conflicting explicit count fails fast instead of corrupting
+    val e = intercept[IllegalArgumentException] {
+      mat.snapshot(rel, v1, Seq("id"), "updated_at", buckets = 4)
+    }
+    assert(e.getMessage.contains("bucket-count mismatch"))
+    // a matching explicit count still runs
+    mat.snapshot(rel, v1, Seq("id"), "updated_at", buckets = 8)
+    for (s <- Seq("snap_bcount", "snap_bcount__dbt_scoped_tmp"))
+      spark.sql(s"DROP TABLE IF EXISTS $s")
+  }
+
   test("snapshot materialization check_cols strategy (bucketed)") {
     val rel = Relation("snap_cc_bucketed")
     for (s <- Seq("snap_cc_bucketed", "snap_cc_bucketed__dbt_scoped_tmp"))
