@@ -421,42 +421,50 @@ object Multimodal {
       Dedup.simhashSigPairs(sig, maxHamming, bandBits = 16, nBands = 4))
   }
 
-  final case class MediaDHashRow(media_id: Long, media_type: String,
-                                 payload: Array[Byte], n_bytes: Long,
-                                 dhash: Option[Long])
-
-  /** Append a nullable `dhash` column to a media frame (all original
-    * columns kept): real ImageIO decode gated on an image magic, null
-    * for payloads no reader accepts. Map-only — works identically on
-    * batch and STREAMING frames (no shuffle, no state), which is what
-    * [[graft.streaming.Events.imageNoveltyStream]] builds on. */
-  def withDhash(media: DataFrame): DataFrame = {
-    val spark = media.sparkSession
-    import spark.implicits._
-    media.select("media_id", "media_type", "payload", "n_bytes")
-      .as[MediaRow]
-      .mapPartitions { it =>
-        it.grouped(BatchSize).flatMap { batch =>
-          batch.iterator.map { m =>
-            val isImage = MediaCodecs.decodeBmp(m.payload)
-              .orElse(MediaCodecs.decodePng(m.payload))
-              .orElse(MediaCodecs.decodeJpeg(m.payload))
-              .orElse(MediaCodecs.decodeGif(m.payload)).isDefined
-            val h =
-              if (!isImage) None
-              else {
-                val img = try javax.imageio.ImageIO.read(
-                  new java.io.ByteArrayInputStream(m.payload))
-                catch { case _: Exception => null }
-                if (img == null) None else Some(MediaCodecs.dhash64(img))
-              }
-            MediaDHashRow(m.media_id, m.media_type, m.payload,
-              m.n_bytes, h)
-          }
-        }
-      }
-      .toDF()
+  /** The dHash of one payload: real ImageIO decode gated on an image
+    * magic, None for payloads no reader accepts. */
+  private def dhashOf(payload: Array[Byte]): Option[Long] = {
+    val isImage = MediaCodecs.decodeBmp(payload)
+      .orElse(MediaCodecs.decodePng(payload))
+      .orElse(MediaCodecs.decodeJpeg(payload))
+      .orElse(MediaCodecs.decodeGif(payload)).isDefined
+    if (!isImage) None
+    else {
+      val img = try javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload))
+      catch { case _: Exception => null }
+      if (img == null) None else Some(MediaCodecs.dhash64(img))
+    }
   }
+
+  /** Append a nullable signature column computed per-row from the
+    * binary `payload` column, keeping EVERY caller column (a streaming
+    * caller's event-time column must survive for downstream
+    * watermarking — the novelty streams depend on this). Row-encoded
+    * mapPartitions over the caller's own schema — map-only, identical
+    * on batch and streaming frames. */
+  private def withSignature(media: DataFrame, outCol: String)
+                           (sigOf: Array[Byte] => Option[Long]): DataFrame = {
+    require(!media.columns.exists(_.equalsIgnoreCase(outCol)),
+      s"$outCol already exists on the input frame")
+    val pIdx = media.schema.fieldIndex("payload")
+    val outSchema = media.schema.add(outCol, LongType, nullable = true)
+    media.mapPartitions { it =>
+      it.map { r =>
+        val sig: Any = sigOf(r.getAs[Array[Byte]](pIdx)).orNull
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ sig)
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+  }
+
+  /** Append a nullable `dhash` column to a media frame (ALL original
+    * columns kept — an extra event-time or metadata column survives):
+    * real ImageIO decode gated on an image magic, null for payloads no
+    * reader accepts. Map-only — works identically on batch and
+    * STREAMING frames (no shuffle, no state), which is what
+    * [[graft.streaming.Events.imageNoveltyStream]] builds on. */
+  def withDhash(media: DataFrame): DataFrame =
+    withSignature(media, "dhash")(dhashOf)
 
   /** Band-bucketed lookup index over a (model-sized) signature set, for
     * serving-time near-duplicate checks without a join: key =
@@ -548,35 +556,23 @@ object Multimodal {
       Dedup.simhashSigPairs(sig, maxHamming, bandBits = 16, nBands = 4))
   }
 
-  final case class MediaAfpRow(media_id: Long, media_type: String,
-                               payload: Array[Byte], n_bytes: Long,
-                               afp: Option[Long])
-
-  /** Append a nullable `afp` column to a media frame (all original
-    * columns kept) — [[withDhash]]'s audio twin: real javax.sound PCM
-    * decode gated on a RIFF/FORM magic, null for payloads no decoder
-    * accepts. Map-only — identical on batch and STREAMING frames, which
-    * is what [[graft.streaming.Events.audioNoveltyStream]] builds on. */
-  def withAfp(media: DataFrame): DataFrame = {
-    val spark = media.sparkSession
-    import spark.implicits._
-    media.select("media_id", "media_type", "payload", "n_bytes")
-      .as[MediaRow]
-      .mapPartitions { it =>
-        it.grouped(BatchSize).flatMap { batch =>
-          batch.iterator.map { m =>
-            val isAudio = MediaCodecs.decodeWav(m.payload)
-              .orElse(MediaCodecs.decodeAiff(m.payload)).isDefined
-            val h =
-              if (!isAudio) None
-              else MediaCodecs.decodePcm16(m.payload)
-                .flatMap(MediaCodecs.afp64)
-            MediaAfpRow(m.media_id, m.media_type, m.payload, m.n_bytes, h)
-          }
-        }
-      }
-      .toDF()
+  /** The aFP of one payload: real javax.sound PCM decode gated on a
+    * RIFF/FORM magic, None for payloads no decoder accepts. */
+  private def afpOf(payload: Array[Byte]): Option[Long] = {
+    val isAudio = MediaCodecs.decodeWav(payload)
+      .orElse(MediaCodecs.decodeAiff(payload)).isDefined
+    if (!isAudio) None
+    else MediaCodecs.decodePcm16(payload).flatMap(MediaCodecs.afp64)
   }
+
+  /** Append a nullable `afp` column to a media frame (ALL original
+    * columns kept — see [[withDhash]]) — its audio twin: real
+    * javax.sound PCM decode gated on a RIFF/FORM magic, null for
+    * payloads no decoder accepts. Map-only — identical on batch and
+    * STREAMING frames, which is what
+    * [[graft.streaming.Events.audioNoveltyStream]] builds on. */
+  def withAfp(media: DataFrame): DataFrame =
+    withSignature(media, "afp")(afpOf)
 
   /** Perceptual audio dedup CLUSTERS — the per-clip keep/drop decision,
     * [[imageDedupClusters]]' machinery over aFP fingerprints: connected

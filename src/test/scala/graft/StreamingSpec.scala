@@ -900,6 +900,32 @@ class StreamingSpec extends SparkSpec {
       spark.sql(s"DROP TABLE IF EXISTS $s")
   }
 
+  test("withDhash/withAfp keep every caller column (event-time survives)") {
+    val docs = Tables.load(spark, sf, "documents").limit(40)
+    val img = graft.llm.Multimodal.syntheticContentImages(docs)
+      .withColumn("event_time", to_timestamp(lit("2024-01-01 00:00:00")))
+      .withColumn("source", lit("cam-1"))
+    val d = graft.llm.Multimodal.withDhash(img)
+    assert(d.columns.toSeq == Seq("media_id", "media_type", "payload",
+      "n_bytes", "event_time", "source", "dhash"))
+    assert(d.filter($"dhash".isNotNull && $"source" === "cam-1")
+      .count() == 40)
+    // and the novelty stream passes them through to the kept rows
+    val idx = graft.llm.Multimodal
+      .dhashSignatures(img.filter($"media_id" < 10))
+      .select($"dhash").collect().map(_.getLong(0)).toSeq
+    val kept = Events.imageNoveltyStream(img, idx)
+    assert(kept.columns.contains("event_time"))
+    assert(kept.filter($"event_time".isNull).count() == 0)
+    val aud = graft.llm.Multimodal.syntheticContentAudio(docs)
+      .withColumn("event_time", to_timestamp(lit("2024-01-01 00:00:00")))
+    val a = graft.llm.Multimodal.withAfp(aud)
+    assert(a.columns.toSeq == Seq("media_id", "media_type", "payload",
+      "n_bytes", "event_time", "afp"))
+    assert(a.filter($"afp".isNotNull && $"event_time".isNotNull)
+      .count() == 40)
+  }
+
   test("streaming image novelty: stream equals batch, planted dups dropped") {
     import org.apache.spark.sql.types._
     import org.apache.spark.sql.streaming.{OutputMode, Trigger}
