@@ -2644,6 +2644,47 @@ object SparkEntry {
         .orderBy(col("media_id"))
     }),
 
+    "mm_phash_novelty_join" -> ((s, dir) => {
+      // the JOIN form of mm_phash_novelty — the index lives in a
+      // DataFrame (at scale: a table) and the arrivals probe it via 4
+      // stream-static banded equi-joins instead of a plan-literal map;
+      // decisions are identical (StreamingSpec pins parity), so the
+      // oracle is the same brute-forced NOT EXISTS. No driver collect:
+      // the index never leaves the cluster.
+      val media = Multimodal.syntheticContentImages(t(s, dir, "documents"))
+      val idx = Multimodal.dhashSignatures(
+          media.filter(col("media_id") < 30))
+        .select(col("dhash").as("sig"))
+      graft.streaming.Events.imageNoveltyJoin(media, idx)
+        .select(col("media_id"), col("dhash"), col("novel"))
+        .orderBy(col("media_id"))
+    }),
+
+    "mm_phash_novelty_grow" -> ((s, dir) => {
+      // the MAINTAINED-index ingestion loop across two batches
+      // (Events.imageNoveltyIngestBatch — exactly what the streaming
+      // sink runs per micro-batch): seed index = sigs of ids < 30;
+      // batch 0 = ids 30..59, batch 1 = the rest. Batch 0's novel
+      // signatures JOIN the index, so batch 1 drops later copies of
+      // seeds first seen in batch 0 — a static index would keep them.
+      // The oracle replays the growing index arithmetically.
+      val media = Multimodal.syntheticContentImages(t(s, dir, "documents"))
+        .localCheckpoint()
+      val idxT = "mm_nov_grow_idx"; val sinkT = "mm_nov_grow_sink"
+      for (tb <- Seq(idxT, sinkT)) s.sql(s"DROP TABLE IF EXISTS $tb")
+      graft.streaming.Events.createSignatureIndex(s, idxT,
+        Multimodal.dhashSignatures(media.filter(col("media_id") < 30))
+          .select(col("dhash").as("sig")), "sig")
+      graft.streaming.Events.imageNoveltyIngestBatch(
+        media.filter(col("media_id") >= 30 && col("media_id") < 60),
+        0L, idxT, sinkT)
+      graft.streaming.Events.imageNoveltyIngestBatch(
+        media.filter(col("media_id") >= 60), 1L, idxT, sinkT)
+      s.table(sinkT)
+        .select(col("media_id"), col("dhash"), col("batch_id"))
+        .orderBy(col("media_id"))
+    }),
+
     "mm_audio_pairs" -> ((s, dir) =>
       // perceptual AUDIO dedup end to end (r11): 16-bit PCM with a
       // closed-form sample stream (WAV/AIFF re-encodes of IDENTICAL
@@ -5078,6 +5119,67 @@ object SparkEntry {
         |FROM sig a
         |WHERE NOT EXISTS (SELECT 1 FROM sig b WHERE b.doc_id < 30
         |  AND bit_count(xor(a.h, b.h)) <= 3)
+        |ORDER BY media_id""".stripMargin,
+
+    // join form: identical decisions to mm_phash_novelty (same oracle)
+    "mm_phash_novelty_join" ->
+      """WITH d AS (SELECT doc_id, doc_id % 64 AS s,
+        |    (doc_id % 5 = 0) AS p FROM documents),
+        |g AS (SELECT d.doc_id, gy.y AS gy, gx.x AS gx,
+        |    (((CASE WHEN d.p AND gx.x = 2 AND gy.y = 3
+        |         THEN (2*gx.x*7 + 2*gy.y*13 + d.s + 128) % 256
+        |         ELSE (2*gx.x*7 + 2*gy.y*13 + d.s) % 256 END)
+        |      + (2*gx.x*3 + 2*gy.y*5 + d.s*11) % 256
+        |      + (2*gx.x*17 + 2*gy.y + d.s*29) % 256) // 3) AS gray
+        |  FROM d, range(9) gx(x), range(8) gy(y)),
+        |sig AS (SELECT a.doc_id,
+        |    bit_or(CASE WHEN NOT b.gray > a.gray THEN 0::BIGINT
+        |      WHEN a.gy*8 + a.gx = 63
+        |        THEN (-9223372036854775807 - 1)::BIGINT
+        |      ELSE (1::BIGINT << (a.gy*8 + a.gx)::INTEGER) END) AS h
+        |  FROM g a JOIN g b ON b.doc_id = a.doc_id
+        |    AND b.gy = a.gy AND b.gx = a.gx + 1
+        |  WHERE a.gx < 8 GROUP BY a.doc_id)
+        |SELECT a.doc_id AS media_id, a.h AS dhash, TRUE AS novel
+        |FROM sig a
+        |WHERE NOT EXISTS (SELECT 1 FROM sig b WHERE b.doc_id < 30
+        |  AND bit_count(xor(a.h, b.h)) <= 3)
+        |ORDER BY media_id""".stripMargin,
+
+    // the growing index replayed arithmetically: batch 0 = ids 30..59
+    // vs the seed sigs (ids < 30); batch 1 = ids >= 60 vs seed ∪
+    // batch-0 novel sigs
+    "mm_phash_novelty_grow" ->
+      """WITH d AS (SELECT doc_id, doc_id % 64 AS s,
+        |    (doc_id % 5 = 0) AS p FROM documents),
+        |g AS (SELECT d.doc_id, gy.y AS gy, gx.x AS gx,
+        |    (((CASE WHEN d.p AND gx.x = 2 AND gy.y = 3
+        |         THEN (2*gx.x*7 + 2*gy.y*13 + d.s + 128) % 256
+        |         ELSE (2*gx.x*7 + 2*gy.y*13 + d.s) % 256 END)
+        |      + (2*gx.x*3 + 2*gy.y*5 + d.s*11) % 256
+        |      + (2*gx.x*17 + 2*gy.y + d.s*29) % 256) // 3) AS gray
+        |  FROM d, range(9) gx(x), range(8) gy(y)),
+        |sig AS (SELECT a.doc_id,
+        |    bit_or(CASE WHEN NOT b.gray > a.gray THEN 0::BIGINT
+        |      WHEN a.gy*8 + a.gx = 63
+        |        THEN (-9223372036854775807 - 1)::BIGINT
+        |      ELSE (1::BIGINT << (a.gy*8 + a.gx)::INTEGER) END) AS h
+        |  FROM g a JOIN g b ON b.doc_id = a.doc_id
+        |    AND b.gy = a.gy AND b.gx = a.gx + 1
+        |  WHERE a.gx < 8 GROUP BY a.doc_id),
+        |n1 AS (SELECT a.doc_id, a.h FROM sig a
+        |  WHERE a.doc_id >= 30 AND a.doc_id < 60
+        |  AND NOT EXISTS (SELECT 1 FROM sig b WHERE b.doc_id < 30
+        |    AND bit_count(xor(a.h, b.h)) <= 3)),
+        |i2 AS (SELECT h FROM sig WHERE doc_id < 30
+        |  UNION ALL SELECT h FROM n1),
+        |n2 AS (SELECT a.doc_id, a.h FROM sig a WHERE a.doc_id >= 60
+        |  AND NOT EXISTS (SELECT 1 FROM i2 i
+        |    WHERE bit_count(xor(a.h, i.h)) <= 3))
+        |SELECT doc_id AS media_id, h AS dhash, 0::BIGINT AS batch_id
+        |FROM n1
+        |UNION ALL
+        |SELECT doc_id, h, 1::BIGINT FROM n2
         |ORDER BY media_id""".stripMargin,
 
     // audio fingerprint closed form: sample i of seed s = doc_id % 48 is

@@ -481,6 +481,26 @@ object Multimodal {
         (b.toLong << 16 | ((s >>> (b * 16)) & 0xffffL), s)))
       .groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
 
+  /** [[dhashBandIndex]]'s DISTRIBUTED twin: the band-exploded form of a
+    * 64-bit signature index as a DataFrame — each distinct signature
+    * becomes 4 `(band_key, sig)` rows, band_key = band << 16 | the
+    * band's 16 bits (geometry-generic over any 64-bit signature: dHash,
+    * aFP, SimHash64). This is the shape a corpus-scale index lives in —
+    * a table, probed by equi-join on `band_key`
+    * ([[graft.streaming.Events.imageNoveltyJoin]]) — where the
+    * plan-literal map form is bounded to model-sized indexes. NULL and
+    * duplicate signatures collapse away (duplicates cannot change a
+    * near-duplicate decision). */
+  def bandIndexRows(index: DataFrame, sigCol: String): DataFrame = {
+    val sig = col(sigCol).cast(LongType)
+    index.select(sig.as("sig")).filter(col("sig").isNotNull).distinct()
+      .select(col("sig"), explode(array((0 until 4).map { b =>
+        lit(b.toLong << 16) +
+          shiftright(col("sig"), b * 16).bitwiseAND(lit(0xffffL))
+      }: _*)).as("band_key"))
+      .select(col("band_key"), col("sig"))
+  }
+
   // ---- perceptual AUDIO dedup (the image stack on the time axis) -----
 
   /** Synthetic content-bearing AUDIO corpus over `documents`: mono

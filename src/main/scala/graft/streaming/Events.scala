@@ -286,16 +286,31 @@ object Events {
         maxHamming))
       .filter(col("novel"))
 
+  /** Max signatures the plan-literal novelty index may hold. The
+    * `typedLit` form embeds the entire band-bucketed index into the
+    * query plan — plan size, analysis time, and task-binary size all
+    * grow linearly with it — so it is bounded to model-sized indexes
+    * (the decontaminateSet contract); a corpus-scale index lives in a
+    * TABLE and is probed by the stream-static banded equi-join form
+    * ([[imageNoveltyJoin]] / [[audioNoveltyJoin]]), whose cost is flat
+    * in plan terms regardless of index size. */
+  val MaxLiteralIndexSigs = 65536
+
   /** Shared band-bucketed duplicate test for a 64-bit signature column
     * against a model-sized index: 4 band-key lookups into a
     * plan-literal map ([[graft.llm.Multimodal.dhashBandIndex]] —
     * geometry-generic over any 64-bit signature) + exact popcount
     * verify; pigeonhole-complete for maxHamming < 4. NULL signatures
-    * (undecodable payloads) are never duplicates. */
+    * (undecodable payloads) are never duplicates. Index size is
+    * guarded by [[MaxLiteralIndexSigs]]. */
   private def bandIndexDup(sig: Column, indexSigs: Seq[Long],
                            maxHamming: Int): Column = {
     require(maxHamming < 4,
       "4×16-bit band lookup complete only for maxHamming < 4")
+    require(indexSigs.size <= MaxLiteralIndexSigs,
+      s"plan-literal novelty index holds ${indexSigs.size} signatures " +
+        s"(max $MaxLiteralIndexSigs) — a corpus-scale index belongs in " +
+        "a table, probed via imageNoveltyJoin/audioNoveltyJoin")
     val idx = graft.llm.Multimodal.dhashBandIndex(indexSigs)
     val mLit = typedLit(idx)
     val cands = flatten(array((0 until 4).map { b =>
@@ -308,6 +323,72 @@ object Events {
       exists(cands, c =>
         bit_count(c.bitwiseXOR(sig)) <= lit(maxHamming))
   }
+
+  /** JOIN-form novelty filter — [[bandIndexDup]] against an index that
+    * lives in a DataFrame/table instead of the query plan, for indexes
+    * beyond [[MaxLiteralIndexSigs]]: the arriving frame (already
+    * carrying `sigCol`) takes 4 stream-static LEFT equi-joins, one per
+    * 16-bit band, against the band-grouped index
+    * ([[graft.llm.Multimodal.bandIndexRows]] → groupBy band_key →
+    * collect_list), then an exact popcount verifies the gathered
+    * candidates — pigeonhole-complete for maxHamming < 4, identical
+    * decisions to the literal form (StreamingSpec pins parity).
+    *
+    * Scale shape: 4 stateless equi-joins (append-mode legal — no
+    * watermark, no state; Spark broadcasts the grouped index when it
+    * fits, shuffled-hash otherwise), exactly one output row per
+    * arrival — no explode of the stream side, no re-aggregation. A
+    * pathological band bucket (many signatures sharing 16 bits) is a
+    * data-skew concern for collect_list; real perceptual-hash corpora
+    * spread bands, and the verify step is a linear scan per candidate
+    * list either way. NULL signatures never match (undecodable
+    * payloads stay novel). */
+  private def noveltySigJoin(signed: DataFrame, sigCol: String,
+                             index: DataFrame, idxSigCol: String,
+                             maxHamming: Int): DataFrame = {
+    require(maxHamming < 4,
+      "4×16-bit band lookup complete only for maxHamming < 4")
+    val grouped = graft.llm.Multimodal.bandIndexRows(index, idxSigCol)
+      .groupBy("band_key").agg(collect_list("sig").as("sigs"))
+    val sig = col(sigCol)
+    var df = signed
+    val sigsCols = (0 until 4).map { b =>
+      val bk = s"__graft_bk$b"
+      val sc = s"__graft_sigs$b"
+      val g = grouped.select(col("band_key").as(bk), col("sigs").as(sc))
+      df = df.withColumn(bk, lit(b.toLong << 16) +
+          shiftright(sig, b * 16).bitwiseAND(lit(0xffffL)))
+        .join(g, Seq(bk), "left_outer")
+      sc
+    }
+    val cands = flatten(array(sigsCols.map(c =>
+      coalesce(col(c), typedLit(Seq.empty[Long]))): _*))
+    val dup = sig.isNotNull &&
+      exists(cands, c => bit_count(c.bitwiseXOR(sig)) <= lit(maxHamming))
+    df.withColumn("novel", !dup)
+      .drop((0 until 4).flatMap(b =>
+        Seq(s"__graft_bk$b", s"__graft_sigs$b")): _*)
+      .filter(col("novel"))
+  }
+
+  /** [[imageNoveltyStream]] with the index in a DataFrame/TABLE — the
+    * corpus-scale form: arriving images are decoded to dHash (map-only,
+    * all caller columns kept) and tested against the banded index via
+    * [[noveltySigJoin]]. `index` carries one 64-bit signature per row in
+    * `idxSigCol`. Batch frames run the identical code. */
+  def imageNoveltyJoin(stream: DataFrame, index: DataFrame,
+                       idxSigCol: String = "sig",
+                       maxHamming: Int = 3): DataFrame =
+    noveltySigJoin(graft.llm.Multimodal.withDhash(stream), "dhash",
+      index, idxSigCol, maxHamming)
+
+  /** [[audioNoveltyStream]] with the index in a DataFrame/TABLE — see
+    * [[imageNoveltyJoin]]. */
+  def audioNoveltyJoin(stream: DataFrame, index: DataFrame,
+                       idxSigCol: String = "sig",
+                       maxHamming: Int = 3): DataFrame =
+    noveltySigJoin(graft.llm.Multimodal.withAfp(stream), "afp",
+      index, idxSigCol, maxHamming)
 
   /** Streaming benchmark decontamination: drop documents sharing any
     * word n-gram with a fixed contamination set as they ARRIVE — the
@@ -1000,6 +1081,148 @@ object Events {
     stream.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         upsertBatch(batch, table, uniqueKeys, orderCol, partitionCols)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  // ------------------------------------------------------------------
+  // maintained media-signature novelty index: the ingestion-dedup loop
+  // a continuous multimodal pipeline actually runs — arrivals are
+  // tested against an index TABLE, novel ones land in the sink, and
+  // their signatures JOIN the index so the next batch dedups against
+  // everything before it
+  // ------------------------------------------------------------------
+
+  /** Create (replacing) a signature-index table for the novelty-ingest
+    * loop: schema `(sig BIGINT, batch_id BIGINT)` partitioned by
+    * `batch_id` (the partition makes the ingest loop's replay probe a
+    * metadata-pruned read, and per-batch appends land in their own
+    * partition — no rewrite of prior batches, ever). `seed` supplies
+    * the starting signatures (e.g.
+    * [[graft.llm.Multimodal.dhashSignatures]] over the existing
+    * corpus), recorded under batch_id = -1; an EMPTY seed makes a
+    * cold-start index. */
+  def createSignatureIndex(spark: SparkSession, table: String,
+                           seed: DataFrame, sigCol: String): Unit = {
+    checkTableName(table)
+    spark.sql(s"DROP TABLE IF EXISTS ${quoted(table)}")
+    seed.select(col(sigCol).cast(LongType).as("sig"))
+      .filter(col("sig").isNotNull).distinct()
+      .withColumn("batch_id", lit(-1L))
+      .write.partitionBy("batch_id").saveAsTable(table)
+  }
+
+  /** One micro-batch of the novelty-ingest loop (exposed for batch-mode
+    * testing — [[startImageNoveltyIngest]] wires it into foreachBatch):
+    *
+    *  1. decode arrivals to signatures (`sign`, map-only, all caller
+    *     columns kept);
+    *  2. test them against the index AS OF BATCH START via the banded
+    *     stream-static join ([[noveltySigJoin]] — the index is a table,
+    *     never a plan literal, so it may grow without bound);
+    *  3. append the novel rows (+ `batch_id`) to the sink;
+    *  4. append their distinct signatures to the index under this
+    *     `batch_id`, plus one NULL-sig marker row — so batch N+1
+    *     dedups against batch N.
+    *
+    * Replay safety (foreachBatch may re-deliver a batch): the index
+    * append is the LAST write and always contains the marker row, so
+    * its presence proves the batch fully committed → re-delivery is a
+    * partition-pruned probe and a no-op. A crash between sink and
+    * index appends re-runs the batch; the sink probe (also
+    * partition-pruned — both tables are partitioned by batch_id) skips
+    * the already-committed sink append, and the novelty decisions are
+    * unchanged because the index still lacks this batch's rows. NULL
+    * signatures (undecodable payloads) are KEPT in the sink — absence
+    * of a signature is absence of duplicate evidence — and never enter
+    * the index. Arrivals within one batch are tested against the index
+    * only, NOT against each other: intra-batch near-duplicates pass
+    * together (collapse them upstream with
+    * [[graft.llm.Multimodal.imageDedupClusters]] when that matters).
+    *
+    * Per-batch cost at 100 TB: decode O(|batch|), one banded equi-join
+    * batch × index (the unavoidable probe), two metadata-pruned
+    * existence probes, and appends sized to the batch — prior batches
+    * are never read or rewritten. */
+  private def noveltyIngestBatch(batch: DataFrame, batchId: Long,
+                                 indexTable: String, sinkTable: String,
+                                 maxHamming: Int,
+                                 sign: DataFrame => DataFrame,
+                                 sigCol: String): Unit = {
+    require(batchId >= 0, s"batch_id must be >= 0 (got $batchId; -1 is " +
+      "reserved for the index seed)")
+    checkTableName(indexTable)
+    checkTableName(sinkTable)
+    if (batch.isEmpty) return
+    val spark = batch.sparkSession
+    val idx = spark.table(indexTable)
+    // fully-committed replay: the index partition (written last, never
+    // empty thanks to the marker row) is the commit record
+    if (!idx.filter(col("batch_id") === batchId).isEmpty) return
+    val novel = noveltySigJoin(sign(batch), sigCol, idx, "sig",
+      maxHamming).withColumn("batch_id", lit(batchId))
+    if (!spark.catalog.tableExists(sinkTable))
+      novel.write.partitionBy("batch_id").saveAsTable(sinkTable)
+    else if (spark.table(sinkTable).filter(col("batch_id") === batchId)
+        .isEmpty) {
+      val cols = spark.table(sinkTable).columns
+      novel.select(cols.map(col).toIndexedSeq: _*)
+        .write.mode("append").insertInto(sinkTable)
+    }
+    // index append reads the novel signatures BACK from the sink's
+    // batch partition (column- and partition-pruned — no second decode
+    // or join), then commits the marker row with them
+    val sigs = spark.table(sinkTable)
+      .filter(col("batch_id") === batchId)
+      .select(col(sigCol).cast(LongType).as("sig"))
+      .filter(col("sig").isNotNull).distinct()
+    sigs.unionByName(spark.range(1).select(lit(null).cast(LongType)
+        .as("sig")))
+      .withColumn("batch_id", lit(batchId))
+      .select(idx.columns.map(col).toIndexedSeq: _*)
+      .write.mode("append").insertInto(indexTable)
+  }
+
+  /** [[noveltyIngestBatch]] over image payloads: dHash signatures. */
+  def imageNoveltyIngestBatch(batch: DataFrame, batchId: Long,
+                              indexTable: String, sinkTable: String,
+                              maxHamming: Int = 3): Unit =
+    noveltyIngestBatch(batch, batchId, indexTable, sinkTable, maxHamming,
+      graft.llm.Multimodal.withDhash, "dhash")
+
+  /** [[noveltyIngestBatch]] over audio payloads: aFP fingerprints. */
+  def audioNoveltyIngestBatch(batch: DataFrame, batchId: Long,
+                              indexTable: String, sinkTable: String,
+                              maxHamming: Int = 3): Unit =
+    noveltyIngestBatch(batch, batchId, indexTable, sinkTable, maxHamming,
+      graft.llm.Multimodal.withAfp, "afp")
+
+  /** Streaming IMAGE novelty-ingest sink: each micro-batch runs
+    * [[imageNoveltyIngestBatch]] — novel arrivals land in `sinkTable`,
+    * their signatures join `indexTable` (create it first with
+    * [[createSignatureIndex]]), so the stream continuously dedups
+    * against its own history. */
+  def startImageNoveltyIngest(stream: DataFrame, checkpoint: String,
+                              indexTable: String, sinkTable: String,
+                              maxHamming: Int = 3): StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        imageNoveltyIngestBatch(batch, batchId, indexTable, sinkTable,
+          maxHamming)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  /** [[startImageNoveltyIngest]]'s audio twin. */
+  def startAudioNoveltyIngest(stream: DataFrame, checkpoint: String,
+                              indexTable: String, sinkTable: String,
+                              maxHamming: Int = 3): StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        audioNoveltyIngestBatch(batch, batchId, indexTable, sinkTable,
+          maxHamming)
       }
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())

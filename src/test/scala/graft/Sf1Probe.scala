@@ -62,7 +62,11 @@ object Sf1Probe {
     // ~linear modulo clique-squared output) and the partition-scoped
     // batch merge (expect ~touched-partition cost, like the upsert row)
     "mm_audio_pairs", "mm_audio_clusters", "mm_audio_novelty",
-    "mat_incremental_partitioned", "mat_snapshot_bucketed")
+    "mat_incremental_partitioned", "mat_snapshot_bucketed",
+    // round-12 rows: the join-form novelty (index as a table — expect
+    // ~decode-linear; the join side is flat in plan terms) and the
+    // maintained-index ingest loop (two batches, index grows)
+    "mm_phash_novelty_join", "mm_phash_novelty_grow")
 
   def main(args: Array[String]): Unit = {
     val src = "/root/testdata/sf0.1"

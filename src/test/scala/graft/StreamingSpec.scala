@@ -900,6 +900,141 @@ class StreamingSpec extends SparkSpec {
       spark.sql(s"DROP TABLE IF EXISTS $s")
   }
 
+  test("novelty join form: decisions identical to the plan-literal form") {
+    val docs = Tables.load(spark, sf, "documents").limit(150)
+    val media = graft.llm.Multimodal.syntheticContentImages(docs)
+    val idxDf = graft.llm.Multimodal
+      .dhashSignatures(media.filter($"media_id" < 30))
+      .select($"dhash".as("sig"))
+    val idxSeq = idxDf.collect().map(_.getLong(0)).toSeq
+    val lit0 = Events.imageNoveltyStream(media, idxSeq)
+      .select($"media_id", $"dhash", $"novel")
+    val join0 = Events.imageNoveltyJoin(media, idxDf)
+      .select($"media_id", $"dhash", $"novel")
+    assert(lit0.exceptAll(join0).isEmpty && join0.exceptAll(lit0).isEmpty)
+    assert(join0.count() > 0 && join0.count() < media.count())
+    // audio twin
+    val aud = graft.llm.Multimodal.syntheticContentAudio(docs)
+    val aidxDf = graft.llm.Multimodal
+      .audioFingerprints(aud.filter($"media_id" < 30))
+      .select($"afp".as("sig"))
+    val aidxSeq = aidxDf.collect().map(_.getLong(0)).toSeq
+    val alit = Events.audioNoveltyStream(aud, aidxSeq)
+      .select($"media_id", $"afp", $"novel")
+    val ajoin = Events.audioNoveltyJoin(aud, aidxDf)
+      .select($"media_id", $"afp", $"novel")
+    assert(alit.exceptAll(ajoin).isEmpty && ajoin.exceptAll(alit).isEmpty)
+    // the literal form is size-guarded: an index beyond the cap is
+    // rejected with a pointer at the join form
+    val e = intercept[IllegalArgumentException] {
+      Events.imageNoveltyStream(media,
+        (0L to Events.MaxLiteralIndexSigs.toLong).toSeq)
+    }
+    assert(e.getMessage.contains("NoveltyJoin"))
+  }
+
+  test("novelty ingest: index grows per batch, replay is a no-op") {
+    val idxT = "nov_idx_g"; val sinkT = "nov_sink_g"
+    for (t <- Seq(idxT, sinkT)) spark.sql(s"DROP TABLE IF EXISTS $t")
+    val docs = Tables.load(spark, sf, "documents").limit(120)
+    val media = graft.llm.Multimodal.syntheticContentImages(docs)
+      .localCheckpoint()
+    Events.createSignatureIndex(spark, idxT,
+      graft.llm.Multimodal.dhashSignatures(media.filter($"media_id" < 30))
+        .select($"dhash".as("sig")), "sig")
+    assert(spark.table(idxT).count() > 0)
+    val b1 = media.filter($"media_id" >= 30 && $"media_id" < 60)
+    val b2 = media.filter($"media_id" >= 60 && $"media_id" < 120)
+    // brute-force ground truth for the growing index (cross-seed
+    // near-collisions exist in the synthetic corpus — the expected sets
+    // must be computed, not assumed from the seed layout)
+    val allSigs = graft.llm.Multimodal.dhashSignatures(media)
+      .select($"media_id", $"dhash").as[(Long, Long)].collect().toMap
+    def near(h: Long, s: Iterable[Long]) =
+      s.exists(x => java.lang.Long.bitCount(x ^ h) <= 3)
+    val seedSigs = (0L until 30L).map(allSigs)
+    val novel1 = (30L until 60L).filter(id => !near(allSigs(id), seedSigs))
+    val idx2 = seedSigs ++ novel1.map(allSigs)
+    val expected2 = (60L until 120L).filter(id =>
+      !near(allSigs(id), idx2)).toSet
+    // growth must be OBSERVABLE: some batch-2 arrival is dropped only
+    // because batch 1 grew the index (a static index would keep it)
+    assert((60L until 120L).exists(id =>
+      near(allSigs(id), novel1.map(allSigs)) &&
+        !near(allSigs(id), seedSigs)))
+    assert(expected2.nonEmpty)
+    Events.imageNoveltyIngestBatch(b1, 0L, idxT, sinkT)
+    assert(spark.table(sinkT).filter($"batch_id" === 0L)
+      .select($"media_id").as[Long].collect().toSet == novel1.toSet)
+    val idxAfter1 = spark.table(idxT).filter($"sig".isNotNull).count()
+    Events.imageNoveltyIngestBatch(b2, 1L, idxT, sinkT)
+    val kept2 = spark.table(sinkT).filter($"batch_id" === 1L)
+      .select($"media_id").as[Long].collect().toSet
+    assert(kept2 == expected2)
+    // replay of batch 1 after full commit: pure no-op (probe hits the
+    // marker row in the index's batch partition)
+    val sinkBefore = spark.table(sinkT).count()
+    val idxBefore = spark.table(idxT).count()
+    Events.imageNoveltyIngestBatch(b1, 0L, idxT, sinkT)
+    assert(spark.table(sinkT).count() == sinkBefore)
+    assert(spark.table(idxT).count() == idxBefore)
+    assert(spark.table(idxT).filter($"sig".isNotNull).count()
+      == idxAfter1 + expected2.map(allSigs).size)
+    // crash between sink and index appends: simulate by deleting the
+    // index's batch-1 partition rows, then replay — decisions converge
+    // (sink unchanged, index repaired)
+    spark.sql(s"ALTER TABLE $idxT DROP IF EXISTS PARTITION (batch_id=1)")
+    Events.imageNoveltyIngestBatch(b2, 1L, idxT, sinkT)
+    assert(spark.table(sinkT).count() == sinkBefore)
+    assert(spark.table(idxT).count() == idxBefore)
+    for (t <- Seq(idxT, sinkT)) spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
+  test("novelty ingest: streaming foreachBatch equals sequential batches") {
+    import org.apache.spark.sql.types._
+    val idxT = "nov_idx_s"; val sinkT = "nov_sink_s"
+    for (t <- Seq(idxT, sinkT)) spark.sql(s"DROP TABLE IF EXISTS $t")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-novin").toString
+    val docs = Tables.load(spark, sf, "documents").limit(120)
+    val media = graft.llm.Multimodal.syntheticContentImages(docs)
+      .localCheckpoint()
+    // two source files → two AvailableNow micro-batches
+    media.filter($"media_id" >= 30 && $"media_id" < 60)
+      .coalesce(1).write.parquet(s"$tmp/in")
+    media.filter($"media_id" >= 60 && $"media_id" < 120)
+      .coalesce(1).write.mode("append").parquet(s"$tmp/in")
+    Events.createSignatureIndex(spark, idxT,
+      graft.llm.Multimodal.dhashSignatures(media.filter($"media_id" < 30))
+        .select($"dhash".as("sig")), "sig")
+    val stream = spark.readStream
+      .schema(StructType(Seq(StructField("media_id", LongType),
+        StructField("media_type", StringType),
+        StructField("payload", BinaryType),
+        StructField("n_bytes", LongType))))
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$tmp/in")
+    val q = Events.startImageNoveltyIngest(stream, s"$tmp/ckpt",
+      idxT, sinkT)
+    q.awaitTermination(120000)
+    val kept = spark.table(sinkT).select($"media_id").as[Long]
+      .collect().toSet
+    // micro-batch order is file order: the growth decisions match the
+    // sequential batch-mode ground truth — first occurrences pass,
+    // later copies are dropped against the GROWN index
+    val allSigs = graft.llm.Multimodal.dhashSignatures(media)
+      .select($"media_id", $"dhash").as[(Long, Long)].collect().toMap
+    def near(h: Long, s: Iterable[Long]) =
+      s.exists(x => java.lang.Long.bitCount(x ^ h) <= 3)
+    val seedSigs = (0L until 30L).map(allSigs)
+    val novel1 = (30L until 60L).filter(id => !near(allSigs(id), seedSigs))
+    val idx2 = seedSigs ++ novel1.map(allSigs)
+    val novel2 = (60L until 120L).filter(id => !near(allSigs(id), idx2))
+    assert(kept == (novel1 ++ novel2).toSet)
+    assert(spark.table(idxT).select(max($"batch_id")).head().getLong(0)
+      >= 1L)
+    for (t <- Seq(idxT, sinkT)) spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
   test("withDhash/withAfp keep every caller column (event-time survives)") {
     val docs = Tables.load(spark, sf, "documents").limit(40)
     val img = graft.llm.Multimodal.syntheticContentImages(docs)
