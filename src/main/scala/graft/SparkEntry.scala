@@ -1460,6 +1460,33 @@ object SparkEntry {
         .orderBy(col("o_orderkey"), col("src"))
     }),
 
+    "mat_di_scoped" -> ((s, dir) => {
+      // partition-scoped COMPOSITE-key delete+insert (r12): when the
+      // single partition column is itself one of the unique keys, the
+      // columnwise-IN delete set is provably confined to staged
+      // partitions of that column, so the planner takes the scoped
+      // path instead of the full swap (MaterializerSpec pins the
+      // untouched partition's files and the partition-filtered scans).
+      // Compared result = the full table; the oracle applies the
+      // columnwise delete semantics directly.
+      val m = new graft.mat.Materializer(s)
+      val rel = graft.model.Relation("graft_di_scoped_drv")
+      for (t0 <- Seq("graft_di_scoped_drv", "graft_di_scoped_drv__dbt_tmp",
+          "graft_di_scoped_drv__dbt_backup",
+          "graft_di_scoped_drv__dbt_scoped_tmp"))
+        s.sql(s"DROP TABLE IF EXISTS $t0")
+      val (target, staged) = incFixture(s, dir)
+      def withP(df: DataFrame): DataFrame =
+        df.withColumn("p", pmod(col("o_orderkey"), lit(2)))
+      m.incremental(rel, withP(target), "delete+insert",
+        Seq("p", "o_orderkey"), partitionCols = Seq("p"))
+      m.incremental(rel, withP(staged), "delete+insert",
+        Seq("p", "o_orderkey"), partitionCols = Seq("p"))
+      s.table("graft_di_scoped_drv")
+        .select(col("o_orderkey"), col("price"), col("src"), col("p"))
+        .orderBy(col("o_orderkey"), col("src"))
+    }),
+
     "se_append_new_cols" -> ((s, dir) => {
       // on_schema_change=append_new_columns (incremental.sql:83-86): the
       // staged frame keeps its new column when aligned to the target
@@ -3339,6 +3366,17 @@ object SparkEntry {
         |  CASE WHEN s.o_orderkey IS NOT NULL THEN s.src ELSE t.src END AS src,
         |  coalesce(t.o_orderkey, s.o_orderkey) % 2 AS p
         |FROM target t FULL OUTER JOIN staged s ON t.o_orderkey = s.o_orderkey
+        |ORDER BY o_orderkey, src""".stripMargin,
+
+    // columnwise delete semantics with keys (p, o_orderkey): a target
+    // row deletes iff p ∈ staged ps AND o_orderkey ∈ staged keys
+    "mat_di_scoped" ->
+      s"""$incFixtureSql
+        |SELECT o_orderkey, price, src, o_orderkey % 2 AS p FROM target
+        |WHERE NOT (o_orderkey % 2 IN (SELECT o_orderkey % 2 FROM staged)
+        |  AND o_orderkey IN (SELECT o_orderkey FROM staged))
+        |UNION ALL
+        |SELECT o_orderkey, price, src, o_orderkey % 2 AS p FROM staged
         |ORDER BY o_orderkey, src""".stripMargin,
 
     "se_append_new_cols" ->

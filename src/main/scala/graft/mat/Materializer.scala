@@ -533,11 +533,14 @@ final class Materializer(spark: SparkSession, val catalog: CatalogOps) {
     //    staged batch touches, commit via dynamic partition overwrite) —
     //    per-run cost is O(touched partitions), not O(|table|). CONTRACT
     //    (PartitionScoped): a key's partition values must be stable
-    //    across versions. delete+insert scopes only for a SINGLE-column
-    //    key: its columnwise-IN delete condition can match a target row
-    //    whose key columns combine values from DIFFERENT staged rows, and
-    //    such a row may live in an untouched partition (single-column
-    //    keys have no cross-combinations — columnwise ≡ tuple there);
+    //    across versions. delete+insert scopes for a SINGLE-column key
+    //    (columnwise ≡ tuple there) and for a composite key whose
+    //    (single) partition column is itself a key (deletable rows'
+    //    partition values are then staged values by definition — see
+    //    the strategy dispatch below); other composite-key runs fall
+    //    back, because the columnwise-IN delete condition can match a
+    //    target row combining values from DIFFERENT staged rows, and
+    //    such a row may live in an untouched partition;
     //  - insert_overwrite on a table partitioned by the same columns:
     //    dynamic partition overwrite of the staged batch alone — the
     //    metadata-only form the strategy's scaladoc promises;
@@ -576,8 +579,31 @@ final class Materializer(spark: SparkSession, val catalog: CatalogOps) {
     strategy match {
       case "append" => fastAppend()
       case "delete+insert" =>
+        // columnwise-IN deletes scope safely in two cases:
+        //  - SINGLE key: columnwise ≡ tuple membership, so deletes hit
+        //    only staged keys' rows, whose partitions are touched by
+        //    the stability contract;
+        //  - COMPOSITE key where the table's (single) partition column
+        //    is ITSELF one of the keys: a deletable row needs EVERY key
+        //    column's value in the staged per-column set — in
+        //    particular its partition value ∈ the staged partition
+        //    values, which IS the touched set. Complete by
+        //    construction, no stability contract needed (the partition
+        //    column is a key). Every touched partition also receives
+        //    staged rows (each staged row lands in its own partition
+        //    value), so the dynamic overwrite rewrites every partition
+        //    the scoped read opened — a fully-deleted partition cannot
+        //    be silently skipped.
+        //  MULTI-column partitioning stays on the full swap even when
+        //  partitionCols ⊆ keys: the touched set is TUPLE-based while
+        //  columnwise deletes cross-combine per column — a deletable
+        //  row may sit in an untouched tuple (the spec pins the
+        //  counterexample).
+        val diScopable = scopable && (uniqueKeys.size == 1 ||
+          (tablePartCols.size == 1 &&
+            uniqueKeys.exists(_.equalsIgnoreCase(tablePartCols.head))))
         if (uniqueKeys.isEmpty) fastAppend()
-        else if (scopable && uniqueKeys.size == 1)
+        else if (diScopable)
           scoped(t => Incremental.deleteInsert(t, staged, uniqueKeys,
             predicates))
         else fullRewrite(

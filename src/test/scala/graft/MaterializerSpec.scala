@@ -652,6 +652,44 @@ class MaterializerSpec extends SparkSpec {
     assert(got == Seq((1L, 2L, "s12"), (3L, 4L, "s34"), (5L, 6L, "t56")))
   }
 
+  test("delete+insert scopes when the single partition column is a unique key") {
+    val rel = Relation("inc_di_pkey")
+    for (s <- Seq("inc_di_pkey", "inc_di_pkey__dbt_tmp",
+        "inc_di_pkey__dbt_backup", "inc_di_pkey__dbt_scoped_tmp"))
+      spark.sql(s"DROP TABLE IF EXISTS $s")
+    val target = Seq((0L, 1L, "a"), (0L, 2L, "b"), (1L, 1L, "c"),
+      (1L, 2L, "d"), (2L, 9L, "e")).toDF("p", "id", "v")
+    mat.incremental(rel, target, strategy = "delete+insert",
+      uniqueKeys = Seq("p", "id"), partitionCols = Seq("p"))
+    val before = (0L to 2L).map(q => q -> partFiles("inc_di_pkey", q)).toMap
+    // staged (0,2) and (1,1): the columnwise-IN delete set is
+    // p ∈ {0,1} AND id ∈ {1,2} — FOUR target rows including the
+    // cross-combinations (0,1) and (1,2), all provably inside the
+    // touched partitions {0,1} because p is itself a key; partition 2
+    // must be neither read nor rewritten
+    val staged = Seq((0L, 2L, "B"), (1L, 1L, "C")).toDF("p", "id", "v")
+    val scans = capturedTargetScans("inc_di_pkey") {
+      mat.incremental(rel, staged, strategy = "delete+insert",
+        uniqueKeys = Seq("p", "id"), partitionCols = Seq("p"))
+    }
+    assert(partFiles("inc_di_pkey", 2L) == before(2L),
+      "untouched partition p=2 was rewritten")
+    assert(partFiles("inc_di_pkey", 0L) != before(0L))
+    assert(scans.nonEmpty, "no target scan captured")
+    for (f <- scans)
+      assert(f.partitionFilters.nonEmpty,
+        s"unscoped target scan: ${f.metadata}")
+    val got = spark.table("inc_di_pkey").orderBy($"p", $"id")
+      .select($"p", $"id", $"v").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    // cross-combined rows (0,1) and (1,2) deleted; (2,9) untouched
+    assert(got == Seq((0L, 2L, "B"), (1L, 1L, "C"), (2L, 9L, "e")))
+    assert(!spark.catalog.tableExists("inc_di_pkey__dbt_scoped_tmp"))
+    for (s <- Seq("inc_di_pkey", "inc_di_pkey__dbt_tmp",
+        "inc_di_pkey__dbt_backup", "inc_di_pkey__dbt_scoped_tmp"))
+      spark.sql(s"DROP TABLE IF EXISTS $s")
+  }
+
   test("bucketed snapshot materialization: untouched buckets neither read nor rewritten") {
     import org.apache.spark.sql.functions.{xxhash64, pmod}
     val rel = Relation("snap_bucketed")
