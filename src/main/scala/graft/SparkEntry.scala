@@ -1460,6 +1460,16 @@ object SparkEntry {
         .orderBy(col("o_orderkey"), col("src"))
     }),
 
+    "mat_verify_partitions" -> ((s, dir) =>
+      // the partition-stability VERIFIER behind the scoped-rewrite
+      // contract (PartitionScoped.verifyPartitionKeys): keys whose rows
+      // span >1 partition tuple — on orders, customers whose orders
+      // cross order-status "partitions". One groupBy + distinct-count;
+      // the maintenance data test a scoped-upsert target runs offline.
+      graft.mat.PartitionScoped.verifyPartitionKeys(
+          t(s, dir, "orders"), Seq("o_custkey"), Seq("o_orderstatus"))
+        .orderBy(col("o_custkey"))),
+
     "mat_di_scoped" -> ((s, dir) => {
       // partition-scoped COMPOSITE-key delete+insert (r12): when the
       // single partition column is itself one of the unique keys, the
@@ -3367,6 +3377,13 @@ object SparkEntry {
         |  coalesce(t.o_orderkey, s.o_orderkey) % 2 AS p
         |FROM target t FULL OUTER JOIN staged s ON t.o_orderkey = s.o_orderkey
         |ORDER BY o_orderkey, src""".stripMargin,
+
+    "mat_verify_partitions" ->
+      """SELECT o_custkey,
+        |  count(DISTINCT o_orderstatus) AS n_partitions
+        |FROM orders WHERE o_custkey IS NOT NULL
+        |GROUP BY o_custkey HAVING count(DISTINCT o_orderstatus) > 1
+        |ORDER BY o_custkey""".stripMargin,
 
     // columnwise delete semantics with keys (p, o_orderkey): a target
     // row deletes iff p ∈ staged ps AND o_orderkey ∈ staged keys

@@ -28,7 +28,9 @@ import org.apache.spark.sql.functions._
   * predecessor cannot see the old row: the scoped rewrite INSERTs it,
   * leaving the key duplicated across two partitions. This is the standard
   * constraint of partition-local upserts (the alternative is a global key
-  * index, i.e. a different engine).
+  * index, i.e. a different engine). The contract is verifiable after the
+  * fact: [[verifyPartitionKeys]] detects keys that leaked across
+  * partitions — run it offline as a data test on any scoped target.
   */
 object PartitionScoped {
 
@@ -114,6 +116,40 @@ object PartitionScoped {
              _: org.apache.spark.sql.catalyst.parser.ParseException => Nil
       }
     if (partCols.nonEmpty) spark.sql(s"MSCK REPAIR TABLE $to")
+  }
+
+  /** Partition-stability VERIFIER for the scoped-rewrite contract (see
+    * the object scaladoc): returns the keys whose rows span MORE THAN
+    * ONE partition tuple — exactly the rows a scoped rewrite can no
+    * longer see together, i.e. silently duplicated keys. One
+    * hash-partitioned groupBy on the keys with a distinct-count of the
+    * partition tuple — O(|table|) once, runnable offline as a data
+    * test (the violation is otherwise undetectable short of a manual
+    * query). Null-keyed rows are excluded: the scoped writers drop
+    * them, so they carry no upsert identity. Output: the key columns +
+    * `n_partitions` (only rows with n_partitions > 1); an empty result
+    * means the contract holds. */
+  def verifyPartitionKeys(df: DataFrame, keys: Seq[String],
+                          partitionCols: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "verifyPartitionKeys needs key columns")
+    require(partitionCols.nonEmpty,
+      "verifyPartitionKeys needs partition columns")
+    df.filter(keys.map(col(_).isNotNull).reduce(_ && _))
+      .groupBy(keys.map(col): _*)
+      .agg(countDistinct(struct(partitionCols.map(col): _*))
+        .as("n_partitions"))
+      .filter(col("n_partitions") > 1)
+  }
+
+  /** [[verifyPartitionKeys]] against a catalog table, partition columns
+    * taken from the table's own metadata. */
+  def verifyPartitionKeys(spark: SparkSession, table: String,
+                          keys: Seq[String]): DataFrame = {
+    val partCols = spark.sessionState.catalog.getTableMetadata(
+      spark.sessionState.sqlParser.parseTableIdentifier(table))
+      .partitionColumnNames
+    require(partCols.nonEmpty, s"$table is not partitioned")
+    verifyPartitionKeys(spark.table(table), keys, partCols)
   }
 
   /** Run `body` with `partitionOverwriteMode=dynamic` (overwrite replaces

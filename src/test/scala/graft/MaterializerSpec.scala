@@ -806,6 +806,38 @@ class MaterializerSpec extends SparkSpec {
       spark.sql(s"DROP TABLE IF EXISTS $s")
   }
 
+  test("verifyPartitionKeys detects a violated stability contract") {
+    val tbl = "ups_unstable"
+    for (s <- Seq(tbl, s"${tbl}__upsert_tmp", s"${tbl}__upsert_backup"))
+      spark.sql(s"DROP TABLE IF EXISTS $s")
+    // batch 1: key 1 lives in p=0
+    graft.streaming.Events.upsertBatch(
+      Seq((1L, "a", 0L, 1L), (2L, "x", 0L, 1L)).toDF("k", "v", "p", "ver"),
+      tbl, Seq("k"), "ver", partitionCols = Seq("p"))
+    // batch 2 VIOLATES the contract: key 1 arrives in p=1 — the scoped
+    // merge cannot see the old row and INSERTs, silently duplicating
+    // the key across two partitions
+    graft.streaming.Events.upsertBatch(
+      Seq((1L, "b", 1L, 2L)).toDF("k", "v", "p", "ver"),
+      tbl, Seq("k"), "ver", partitionCols = Seq("p"))
+    assert(spark.table(tbl).filter($"k" === 1L).count() == 2)
+    // the verifier is the detection path for exactly that state
+    val bad = graft.mat.PartitionScoped.verifyPartitionKeys(spark, tbl, Seq("k"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(bad == Seq((1L, 2L)))
+    // a stable producer comes back clean
+    assert(graft.mat.PartitionScoped.verifyPartitionKeys(
+      spark.table(tbl).filter($"p" === 0L), Seq("k"), Seq("p")).isEmpty)
+    // null-keyed rows carry no upsert identity and are ignored
+    val withNull = spark.table(tbl).unionByName(
+      Seq((Option.empty[Long], "n", 5L, 9L)).toDF("k", "v", "p", "ver"))
+    assert(graft.mat.PartitionScoped
+      .verifyPartitionKeys(withNull, Seq("k"), Seq("p"))
+      .collect().map(_.getLong(0)).toSeq == Seq(1L))
+    for (s <- Seq(tbl, s"${tbl}__upsert_tmp", s"${tbl}__upsert_backup"))
+      spark.sql(s"DROP TABLE IF EXISTS $s")
+  }
+
   test("bucketed snapshot: bucket count is persisted, derived, and validated") {
     val rel = Relation("snap_bcount")
     for (s <- Seq("snap_bcount", "snap_bcount__dbt_scoped_tmp"))
