@@ -143,8 +143,13 @@ object Multimodal {
 
   /** STUB decoder — deterministic fake in place of a real codec, used
     * only for payloads no real parser here understands (see
-    * [[decodeAny]]). A real implementation would decode `payload` with
-    * an image/audio library inside the same batch loop. */
+    * [[decodeAny]]). PERMANENT CONTRACT (SURVEY §8.13, r9): header
+    * walks are real for all 8 containers and content decode is real
+    * for BMP/PNG/GIF/JPEG pixels and WAV/AIFF PCM; MP3/MP4 PAYLOAD
+    * decode is out of scope by design (no JDK codec; a compressed-AV
+    * codec is a library, not an analytics operator) — a production
+    * deployment plugs a JNI/FFI codec into the same batched
+    * mapPartitions loop here without touching any plan shape. */
   object FakeDecoder {
     def decode(mediaType: String, payload: Array[Byte])
         : (Int, Int, Int, Long) = {
