@@ -347,6 +347,42 @@ class CodecSpec extends AnyFunSuite {
     assert(MediaCodecs.afp64(Array.fill(64)(1)).isEmpty)
   }
 
+  test("decodePcm16Fast is sample-identical to the javax.sound path") {
+    // the lock-free hand parse must return byte-identical channel-0
+    // samples on every payload shape the engine produces, plus the
+    // conservative-fallback shapes (non-PCM, truncation, garbage)
+    def samples(seed: Int, edit: Boolean): Array[Int] =
+      Array.tabulate(1040) { i =>
+        val base = (i * (seed + 3) + (i % 17) * 41 + seed * seed) % 509 - 254
+        if (edit && i == 100) base + 512 else base
+      }
+    val payloads: Seq[Array[Byte]] =
+      (for (s <- 0 until 8; e <- Seq(false, true)) yield Seq(
+        MediaCodecs.encodeWavPcm16(8000, samples(s, e)),
+        MediaCodecs.encodeAiffPcm16(8000, samples(s, e)))).flatten ++
+      Seq(
+        MediaCodecs.encodeWav(8000, 1, 300, fill = 5),   // constant fill
+        MediaCodecs.encodeWav(44100, 2, 64, fill = -3),  // multi-channel
+        MediaCodecs.encodeAiff(22050, 2, 64, fill = 7),  // BE multi-channel
+        MediaCodecs.encodeWav(8000, 1, 0))               // zero frames
+    for (p <- payloads) {
+      val fast = MediaCodecs.decodePcm16Fast(p).map(_.toSeq)
+      val jdk = MediaCodecs.decodePcm16Jdk(p).map(_.toSeq)
+      assert(fast == jdk, s"fast/jdk divergence on ${p.length}-byte payload")
+      assert(fast.nonEmpty)
+    }
+    // truncated data chunk: both clamp to the available frames
+    val whole = MediaCodecs.encodeWavPcm16(8000, samples(3, false))
+    val cut = whole.take(whole.length - 11)
+    assert(MediaCodecs.decodePcm16Fast(cut).map(_.toSeq) ==
+      MediaCodecs.decodePcm16Jdk(cut).map(_.toSeq))
+    // garbage and non-PCM shapes return None from the fast path
+    assert(MediaCodecs.decodePcm16Fast("RIFFxxxxJUNK".getBytes).isEmpty)
+    assert(MediaCodecs.decodePcm16Fast(Array.emptyByteArray).isEmpty)
+    assert(MediaCodecs.decodePcm16Fast(
+      MediaCodecs.encodeMp3(44100, 2, 3)).isEmpty)
+  }
+
   test("javax.sound WAV sample decode matches the data chunk bytes") {
     val wav = MediaCodecs.encodeWav(8000, 1, 300, fill = 5)
     assert(MediaCodecs.decodeWavSamples(wav).contains(300L * 2 * 5 % 997))

@@ -118,22 +118,101 @@ object Sf1Probe {
       java.nio.file.Files.createFile(marker)
     println("[sf1] corpus ready")
 
-    def run(name: String, dir: String): Double = {
+    def timeDf(mk: => DataFrame): Double = {
       def once(): Double = {
         val t0 = System.nanoTime()
-        SparkEntry.queries(name)(spark, dir)
-          .write.format("noop").mode("overwrite").save()
+        mk.write.format("noop").mode("overwrite").save()
         (System.nanoTime() - t0) / 1e9
       }
       once() // warm-up
       math.min(once(), once())
     }
+    def run(name: String, dir: String): Double =
+      timeDf(SparkEntry.queries(name)(spark, dir))
     println(f"[sf1] ${"query"}%-22s ${"sf0.1"}%8s ${"sf1"}%8s ${"ratio"}%7s")
     Queries.filter(q => only.forall(_.exists(q.startsWith))).foreach { q =>
       val a = run(q, src)
       val b = run(q, dst)
       println(f"[sf1] $q%-22s $a%8.2f $b%8.2f ${b / a}%7.1fx")
     }
+
+    // ---- attribution arms (r11 verdict #2): parameter-scaled or
+    // component-isolated variants of the superlinear-tail rows. These
+    // are NOT compared rows — each isolates one candidate cause so the
+    // headline ratio can be attributed to a measured sentence.
+    import graft.llm.{Dedup, Multimodal, TextAnalysis}
+    def doubledEmb(dir: String) = {
+      val e = Tables.load(spark, dir, "embeddings")
+      e.select(col("vec_id"), col("embedding")).unionByName(
+        e.select((col("vec_id") + 100000).as("vec_id"), col("embedding")))
+    }
+    lazy val centsSrc = graft.llm.Similarity.ivfTrain(doubledEmb(src),
+      "vec_id", "embedding", 32)
+    lazy val centsDst = graft.llm.Similarity.ivfTrain(doubledEmb(dst),
+      "vec_id", "embedding", 320)
+    // the fixed audio index: built ONCE from the sf0.1 corpus, so the
+    // *_fixedidx arm excludes per-run index construction entirely
+    lazy val fixedAudioIdx: Seq[Long] = {
+      val m = Multimodal.syntheticContentAudio(
+        Tables.load(spark, src, "documents"))
+      Multimodal.audioFingerprints(m.filter(col("media_id") < 30))
+        .select(col("afp")).collect().map(_.getLong(0)).toSeq
+    }
+    val arms: Seq[(String, (String, Int) => DataFrame)] = Seq(
+      // dd_semantic with the DOCUMENTED mitigation applied: nlist
+      // scales with the corpus, so per-cell population — and the
+      // n²/nlist within-cell quadratic — stays constant
+      "dd_semantic_nscaled" -> ((dir, m) =>
+        Dedup.semanticDedup(doubledEmb(dir), "vec_id", "embedding",
+            nlist = 32 * m, threshold = 0.95)
+          .select(col("vec_id"), col("kept")).orderBy(col("vec_id"))),
+      "dd_semantic_nov_nscaled" -> ((dir, m) => {
+        val e = Tables.load(spark, dir, "embeddings")
+        val copies = e.filter(pmod(col("vec_id"), lit(5)) === 0)
+          .select((col("vec_id") + 200000).as("vec_id"), col("embedding"))
+        val fresh = e.filter(pmod(col("vec_id"), lit(7)) === 0)
+          .select((col("vec_id") + 300000).as("vec_id"),
+            transform(col("embedding"), x => -x).as("embedding"))
+        Dedup.semanticNovelty(copies.unionByName(fresh), e,
+            "vec_id", "embedding", nlist = 32 * m, threshold = 0.95)
+          .orderBy(col("vec_id"))
+      }),
+      // dd_semantic SERVING shape: centroids pre-trained ONCE (the
+      // documented train-once convention — the lazy vals force on the
+      // un-timed warm-up run), nlist still ∝ corpus — isolates map-only
+      // assignment + within-cell join from inline training
+      "dd_semantic_serve" -> ((dir, m) => {
+        val cents = if (m == 1) centsSrc else centsDst
+        Dedup.semanticDedup(doubledEmb(dir), "vec_id", "embedding",
+            cents, 0.95)
+          .select(col("vec_id"), col("kept")).orderBy(col("vec_id"))
+      }),
+      // ta_select without a binding budget: the residual
+      // range-partitioned cumsum phase never runs — isolates the
+      // scoring projection + histogram
+      "ta_select_nocut" -> ((dir, _) =>
+        TextAnalysis.budgetSelect(Tables.load(spark, dir, "documents"),
+            "doc_id", "text", budgetTokens = Long.MaxValue / 4)
+          .orderBy(col("doc"))),
+      // audio novelty decomposed: synthesis+decode alone (the claimed
+      // linear part) and serving against a FIXED prebuilt index (no
+      // per-run index build — the registered row re-synthesizes the
+      // whole corpus a second time just to fingerprint ids < 30)
+      "mm_audio_fp_only" -> ((dir, _) =>
+        Multimodal.audioFingerprints(Multimodal.syntheticContentAudio(
+          Tables.load(spark, dir, "documents")))),
+      "mm_audio_nov_fixedidx" -> ((dir, _) =>
+        graft.streaming.Events.audioNoveltyStream(
+            Multimodal.syntheticContentAudio(
+              Tables.load(spark, dir, "documents")), fixedAudioIdx)
+          .select(col("media_id"), col("afp"), col("novel"))
+          .orderBy(col("media_id"))))
+    arms.filter { case (n, _) => only.forall(_.exists(n.startsWith)) }
+      .foreach { case (n, f) =>
+        val a = timeDf(f(src, 1))
+        val b = timeDf(f(dst, X))
+        println(f"[sf1] $n%-22s $a%8.2f $b%8.2f ${b / a}%7.1fx")
+      }
     spark.stop()
   }
 }
