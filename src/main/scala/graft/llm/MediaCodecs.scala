@@ -469,15 +469,30 @@ object MediaCodecs {
     cs
   }
 
+  /** ImageIO's ImageInputStream defaults to a DISK-backed cache — a
+    * temp file per decode, which costs ~5× single-thread and caps
+    * concurrent scaling (ImageDecodeProbe: 32 threads at 39k decodes/s
+    * with the cache vs 388k/s without — the javax.sound lock's little
+    * sibling). In-memory byte-array decodes never need it; disabled
+    * once, process-wide, before the first decode. */
+  private lazy val imageIoNoCache: Unit =
+    javax.imageio.ImageIO.setUseCache(false)
+
+  /** All ImageIO decodes route through here: cache disabled (see
+    * [[imageIoNoCache]]), null when no reader accepts the bytes. */
+  def readImage(b: Array[Byte]): java.awt.image.BufferedImage = {
+    imageIoNoCache
+    try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+    catch { case _: Exception => null }
+  }
+
   /** REAL image decode via the JDK's ImageIO: full raster read →
     * (width, height, pixelChecksum). None when no reader accepts the
     * bytes — geometry-only fixtures (JPEG without scan data, GIF
     * without an image descriptor) land here and keep their header-walk
     * geometry with no pixel evidence. */
   def decodeImagePixels(b: Array[Byte]): Option[(Int, Int, Long)] = {
-    val img =
-      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
-      catch { case _: Exception => null }
+    val img = readImage(b)
     if (img == null) None
     else Some((img.getWidth, img.getHeight, pixelChecksum(img)))
   }
@@ -493,9 +508,7 @@ object MediaCodecs {
     * instead). None when the bytes aren't a decodable image. */
   def resizeImagePixels(b: Array[Byte], outW: Int,
                         outH: Int): Option[Long] = {
-    val img =
-      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
-      catch { case _: Exception => null }
+    val img = readImage(b)
     if (img == null || outW < 1 || outH < 1) None
     else {
       val dst = new java.awt.image.BufferedImage(

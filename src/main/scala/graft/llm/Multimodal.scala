@@ -389,9 +389,7 @@ object Multimodal {
               .orElse(MediaCodecs.decodeGif(m.payload)).isDefined
             if (!isImage) None
             else {
-              val img = try javax.imageio.ImageIO.read(
-                new java.io.ByteArrayInputStream(m.payload))
-              catch { case _: Exception => null }
+              val img = MediaCodecs.readImage(m.payload)
               if (img == null) None
               else Some(DHashRow(m.media_id, MediaCodecs.dhash64(img)))
             }
@@ -435,9 +433,7 @@ object Multimodal {
       .orElse(MediaCodecs.decodeGif(payload)).isDefined
     if (!isImage) None
     else {
-      val img = try javax.imageio.ImageIO.read(
-        new java.io.ByteArrayInputStream(payload))
-      catch { case _: Exception => null }
+      val img = MediaCodecs.readImage(payload)
       if (img == null) None else Some(MediaCodecs.dhash64(img))
     }
   }
