@@ -132,9 +132,64 @@ object Layout {
     val hconf = spark.sparkContext.hadoopConfiguration
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(hconf)
+    // crash recovery FIRST (r12 sweep finding): the per-leaf swap is two
+    // renames, and a crash between them leaves the leaf MISSING with its
+    // only copy parked in a hidden `.X__precompact` sibling — hidden
+    // dirs are invisible to Spark's listing AND to leafDataDirs, so
+    // without this the partition silently vanished with no path back.
+    // A flat table's hidden survivors live BESIDE the root (outside the
+    // scanned tree), so the root recovers explicitly before the walk.
+    recoverLeaf(fs, root)
+    recoverTree(fs, root)
     val results = leafDataDirs(fs, root)
       .map(leaf => compactLeaf(spark, fs, leaf, targetBytes))
     (results.map(_._1).sum, results.map(_._2).sum)
+  }
+
+  /** Restore one leaf's crash-parked compaction state: a surviving
+    * `.X__precompact` is the ORIGINAL data — renamed back when X is
+    * missing (crash between the two swap renames), deleted when X
+    * exists (crash after the swap, before cleanup). A surviving
+    * `.X__compacting` tmp is always discarded (either partial, or a
+    * completed rewrite superseded by restoring the original — the
+    * re-run recompacts). */
+  private def recoverLeaf(fs: org.apache.hadoop.fs.FileSystem,
+                          leaf: org.apache.hadoop.fs.Path): Unit = {
+    val parent = leaf.getParent
+    if (parent == null) return
+    val old = new org.apache.hadoop.fs.Path(parent,
+      "." + leaf.getName + "__precompact")
+    val tmp = new org.apache.hadoop.fs.Path(parent,
+      "." + leaf.getName + "__compacting")
+    if (fs.exists(old)) {
+      if (!fs.exists(leaf))
+        require(fs.rename(old, leaf),
+          s"compact recovery: could not restore $leaf from $old")
+      else fs.delete(old, true)
+    }
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+  }
+
+  /** Walk the partition tree restoring crash-parked leaves — hidden
+    * `__precompact`/`__compacting` entries are found by NAME in their
+    * parent listing, because a mid-swap crash leaves no visible leaf to
+    * enumerate. */
+  private def recoverTree(fs: org.apache.hadoop.fs.FileSystem,
+                          dir: org.apache.hadoop.fs.Path): Unit = {
+    if (!fs.exists(dir)) return
+    val entries = fs.listStatus(dir).toSeq.filter(_.isDirectory)
+    entries.foreach { s =>
+      val n = s.getPath.getName
+      if (n.startsWith(".") && n.endsWith("__precompact"))
+        recoverLeaf(fs, new org.apache.hadoop.fs.Path(dir,
+          n.substring(1, n.length - "__precompact".length)))
+      else if (n.startsWith(".") && n.endsWith("__compacting"))
+        fs.delete(s.getPath, true)
+    }
+    entries.filter { s =>
+      val n = s.getPath.getName
+      !n.startsWith(".") && !n.startsWith("_")
+    }.foreach(s => recoverTree(fs, s.getPath))
   }
 
   /** Leaf data directories under `dir`: directories with no visible

@@ -135,6 +135,49 @@ class LayoutSpec extends SparkSpec {
     assert(Layout.compact(spark, dir, targetBytes = 1L << 30) == (5, 5))
   }
 
+  test("compact recovers a crash-parked swap before compacting") {
+    import org.apache.hadoop.fs.Path
+    val dir = "target/graft_compact_crash_test"
+    val n = Tables.load(spark, sf, "nation")
+    n.repartition(3).write.mode("overwrite")
+      .partitionBy("n_regionkey").parquet(dir)
+    val fs = new Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val want = spark.read.parquet(dir).count()
+    // crash between the two swap renames: a leaf is MISSING, its only
+    // copy parked in the hidden `.X__precompact` sibling (invisible to
+    // Spark's listing — before recovery this partition silently
+    // vanished)
+    val leaf = new Path(dir, "n_regionkey=1")
+    val parked = new Path(dir, ".n_regionkey=1__precompact")
+    assert(fs.rename(leaf, parked))
+    assert(spark.read.parquet(dir).count() < want, "fixture not parked")
+    // plus a leftover tmp from a crash mid-rewrite on another leaf
+    val tmp = new Path(dir, ".n_regionkey=2__compacting")
+    fs.mkdirs(tmp)
+    Layout.compact(spark, dir, targetBytes = 1L << 30)
+    assert(spark.read.parquet(dir).count() == want,
+      "parked partition not restored")
+    assert(!fs.exists(parked) && !fs.exists(tmp))
+    // crash AFTER the swap (stale precompact beside a live leaf): the
+    // survivor is a superseded copy and is discarded, the leaf kept
+    val stale = new Path(dir, ".n_regionkey=0__precompact")
+    fs.mkdirs(stale)
+    Layout.compact(spark, dir, targetBytes = 1L << 30)
+    assert(!fs.exists(stale))
+    assert(spark.read.parquet(dir).count() == want)
+    // flat table: the hidden survivor lives BESIDE the root
+    val flat = "target/graft_compact_crash_flat"
+    n.write.mode("overwrite").parquet(flat)
+    val froot = new Path(flat)
+    val fparked = new Path(froot.getParent, "." + froot.getName +
+      "__precompact")
+    fs.delete(fparked, true)
+    assert(fs.rename(froot, fparked))
+    Layout.compact(spark, flat, targetBytes = 1L << 30)
+    assert(spark.read.parquet(flat).count() == n.count())
+  }
+
   test("writeZOrdered never swallows a user column named __graft_z") {
     val dir = "target/graft_zorder_collision"
     val df = spark.range(100)
