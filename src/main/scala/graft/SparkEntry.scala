@@ -2388,6 +2388,34 @@ object SparkEntry {
         .orderBy(col("vec_id"))
     }),
 
+    "dd_simhash_novelty_grow" -> ((s, dir) => {
+      // the TEXT member of the maintained-index ingest family
+      // (Events.textNoveltyIngestBatch — mm_phash_novelty_grow's twin
+      // over SimHash60): seed index = sigs of doc_id < 100; batch 0 =
+      // the remaining originals, batch 1 = full-corpus COPIES
+      // (doc_id + 10000, same text). Batch 1's copies of ids >= 100
+      // are dropped ONLY because batch 0 grew the index — a static
+      // seed index would keep every one of them. Token-less texts
+      // carry no signature and stay novel. The oracle replays the
+      // SimHash closed form and the two-step index growth.
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        .localCheckpoint()
+      val idxT = "dd_simnov_grow_idx"; val sinkT = "dd_simnov_grow_sink"
+      for (tb <- Seq(idxT, sinkT)) s.sql(s"DROP TABLE IF EXISTS $tb")
+      graft.streaming.Events.createSignatureIndex(s, idxT,
+        d.filter(col("doc_id") < 100)
+          .select(graft.functions.SimHash60(lower(col("text")))
+            .as("sig")), "sig")
+      graft.streaming.Events.textNoveltyIngestBatch(
+        d.filter(col("doc_id") >= 100), 0L, idxT, sinkT)
+      graft.streaming.Events.textNoveltyIngestBatch(
+        d.select((col("doc_id") + 10000).as("doc_id"), col("text")),
+        1L, idxT, sinkT)
+      s.table(sinkT)
+        .select(col("doc_id"), col("simhash"), col("batch_id"))
+        .orderBy(col("doc_id"))
+    }),
+
     "dd_cosine_clusters" -> ((s, dir) => {
       // embedding near-dup end to end: LSH-bucket candidates → exact
       // cosine verify → per-vector keep/drop (doubled corpus: exact
@@ -4599,6 +4627,33 @@ object SparkEntry {
         |sums AS (SELECT doc_id, ${simhashSumSqls.mkString(", ")} FROM mx GROUP BY doc_id)
         |SELECT doc_id AS doc, ($simhashCombineSql)::BIGINT AS simhash
         |FROM sums ORDER BY doc""".stripMargin,
+
+    // the growing SimHash index replayed arithmetically: batch 0 = ids
+    // >= 100 vs the seed sigs (ids < 100); batch 1 = the +10000 copies
+    // vs seed ∪ batch-0 novel sigs. Token-less docs (no rows in sums)
+    // keep a NULL sig and are always novel.
+    "dd_simhash_novelty_grow" ->
+      s"""WITH tok AS (SELECT doc_id, unnest(${toksSql("lower(text)")}) AS tok FROM documents),
+        |th AS (SELECT doc_id, ${rollSql("tok")} AS h FROM tok),
+        |mx AS (SELECT doc_id, ${simhashMixSqls.mkString(", ")} FROM th),
+        |sums AS (SELECT doc_id, ${simhashSumSqls.mkString(", ")} FROM mx GROUP BY doc_id),
+        |sig0 AS (SELECT doc_id AS doc, ($simhashCombineSql)::BIGINT AS simhash FROM sums),
+        |sig AS (SELECT d.doc_id AS doc, s.simhash FROM documents d
+        |  LEFT JOIN sig0 s ON s.doc = d.doc_id),
+        |n0 AS (SELECT doc, simhash FROM sig a WHERE doc >= 100
+        |  AND (simhash IS NULL OR NOT EXISTS (
+        |    SELECT 1 FROM sig b WHERE b.doc < 100 AND b.simhash IS NOT NULL
+        |      AND bit_count(xor(a.simhash, b.simhash)) <= 3))),
+        |i2 AS (SELECT simhash FROM sig
+        |    WHERE doc < 100 AND simhash IS NOT NULL
+        |  UNION ALL SELECT DISTINCT simhash FROM n0
+        |    WHERE simhash IS NOT NULL),
+        |n1 AS (SELECT a.doc + 10000 AS doc, a.simhash FROM sig a
+        |  WHERE a.simhash IS NULL OR NOT EXISTS (
+        |    SELECT 1 FROM i2 i WHERE bit_count(xor(a.simhash, i.simhash)) <= 3))
+        |SELECT doc AS doc_id, simhash, 0::BIGINT AS batch_id FROM n0
+        |UNION ALL SELECT doc, simhash, 1::BIGINT FROM n1
+        |ORDER BY doc_id""".stripMargin,
 
     "dd_simhash_pairs" ->
       s"""WITH u AS (SELECT doc_id, text FROM documents

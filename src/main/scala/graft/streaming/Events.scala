@@ -390,6 +390,23 @@ object Events {
     noveltySigJoin(graft.llm.Multimodal.withAfp(stream), "afp",
       index, idxSigCol, maxHamming)
 
+  /** TEXT novelty against a SimHash index table — the text member of
+    * the join-form family ([[imageNoveltyJoin]]): arrivals are
+    * SimHash60-signed (native codegen expression, map-only, all caller
+    * columns kept) and probed via the same banded join — a 60-bit
+    * signature splits into the identical 4×16-bit bands (the top band
+    * just carries constant-zero high bits on both sides), so
+    * pigeonhole completeness for maxHamming < 4 holds unchanged.
+    * Token-less/NULL texts have no signature and are KEPT (absence of
+    * a signature is absence of duplicate evidence). */
+  def textNoveltyJoin(stream: DataFrame, index: DataFrame,
+                      textCol: String = "text",
+                      idxSigCol: String = "sig",
+                      maxHamming: Int = 3): DataFrame =
+    noveltySigJoin(stream.withColumn("simhash",
+        graft.functions.SimHash60(lower(col(textCol)))),
+      "simhash", index, idxSigCol, maxHamming)
+
   /** Streaming benchmark decontamination: drop documents sharing any
     * word n-gram with a fixed contamination set as they ARRIVE — the
     * eval-leakage guard applied at ingestion instead of as a batch
@@ -1210,6 +1227,35 @@ object Events {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         imageNoveltyIngestBatch(batch, batchId, indexTable, sinkTable,
           maxHamming)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  /** [[noveltyIngestBatch]] over text: SimHash60 signatures — the
+    * continuous near-duplicate-text guard (each micro-batch dedups
+    * against every document before it, the index is a growing table).
+    * Complements [[decontaminateStream]] (fixed benchmark set) and
+    * [[dedupStreamBySignature]] (intra-stream exact-signature state):
+    * this one is cross-batch, near-duplicate, and unbounded-index. */
+  def textNoveltyIngestBatch(batch: DataFrame, batchId: Long,
+                             indexTable: String, sinkTable: String,
+                             textCol: String = "text",
+                             maxHamming: Int = 3): Unit =
+    noveltyIngestBatch(batch, batchId, indexTable, sinkTable, maxHamming,
+      df => df.withColumn("simhash",
+        graft.functions.SimHash60(lower(col(textCol)))),
+      "simhash")
+
+  /** [[startImageNoveltyIngest]]'s text twin. */
+  def startTextNoveltyIngest(stream: DataFrame, checkpoint: String,
+                             indexTable: String, sinkTable: String,
+                             textCol: String = "text",
+                             maxHamming: Int = 3): StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        textNoveltyIngestBatch(batch, batchId, indexTable, sinkTable,
+          textCol, maxHamming)
       }
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())

@@ -66,7 +66,8 @@ object Sf1Probe {
     // round-12 rows: the join-form novelty (index as a table — expect
     // ~decode-linear; the join side is flat in plan terms) and the
     // maintained-index ingest loop (two batches, index grows)
-    "mm_phash_novelty_join", "mm_phash_novelty_grow")
+    "mm_phash_novelty_join", "mm_phash_novelty_grow",
+    "dd_simhash_novelty_grow")
 
   def main(args: Array[String]): Unit = {
     val src = "/root/testdata/sf0.1"

@@ -1035,6 +1035,41 @@ class StreamingSpec extends SparkSpec {
     for (t <- Seq(idxT, sinkT)) spark.sql(s"DROP TABLE IF EXISTS $t")
   }
 
+  test("text novelty ingest: SimHash index grows, null-sig texts pass") {
+    val idxT = "nov_idx_t"; val sinkT = "nov_sink_t"
+    for (t <- Seq(idxT, sinkT)) spark.sql(s"DROP TABLE IF EXISTS $t")
+    val docs = Tables.load(spark, sf, "documents")
+      .select($"doc_id", $"text").limit(80).localCheckpoint()
+    Events.createSignatureIndex(spark, idxT,
+      docs.filter($"doc_id" < 20)
+        .select(graft.functions.SimHash60(lower($"text")).as("sig")),
+      "sig")
+    // batch 0: the remaining originals + one token-less row (no
+    // signature — must be KEPT and must not enter the index)
+    val b0 = docs.filter($"doc_id" >= 20).unionByName(
+      Seq((999L, "   ")).toDF("doc_id", "text"))
+    Events.textNoveltyIngestBatch(b0, 0L, idxT, sinkT)
+    val kept0 = spark.table(sinkT).filter($"batch_id" === 0L)
+    assert(kept0.filter($"doc_id" === 999L && $"simhash".isNull)
+      .count() == 1)
+    assert(spark.table(idxT)
+      .filter($"batch_id" === 0L && $"sig".isNull).count() == 1,
+      "marker row expected") // the commit marker, not a signature
+    // batch 1: exact copies of EVERY original — copies of ids >= 20
+    // are dropped only because batch 0 grew the index
+    val b1 = docs.select(($"doc_id" + 10000).as("doc_id"), $"text")
+    Events.textNoveltyIngestBatch(b1, 1L, idxT, sinkT)
+    val kept1 = spark.table(sinkT).filter($"batch_id" === 1L)
+      .select($"doc_id").as[Long].collect().toSet
+    // only copies of docs with no signature may survive batch 1
+    val nullSigDocs = docs
+      .select($"doc_id", graft.functions.SimHash60(lower($"text"))
+        .as("sh"))
+      .filter($"sh".isNull).select($"doc_id").as[Long].collect().toSet
+    assert(kept1 == nullSigDocs.map(_ + 10000L))
+    for (t <- Seq(idxT, sinkT)) spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
   test("withDhash/withAfp keep every caller column (event-time survives)") {
     val docs = Tables.load(spark, sf, "documents").limit(40)
     val img = graft.llm.Multimodal.syntheticContentImages(docs)
