@@ -2364,6 +2364,11 @@ object SparkEntry {
       val doubled = e.select(col("vec_id"), col("embedding"))
         .unionByName(e.select((col("vec_id") + 100000).as("vec_id"),
           col("embedding")))
+      // nlist stays 32 (r12 probe): the RESULT is nlist-independent by
+      // construction (copies co-locate at any nlist, no natural pair
+      // reaches the threshold), but nlist=64 measured 10.3 s vs 4.1 —
+      // at this corpus size inline training + assignment dominate the
+      // within-cell quadratic, so raising nlist costs more than it saves
       Dedup.semanticDedup(doubled, "vec_id", "embedding",
           nlist = 32, threshold = 0.95)
         .select(col("vec_id"), col("kept"))

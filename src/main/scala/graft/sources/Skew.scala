@@ -31,6 +31,13 @@ object Skew {
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
                  salts: Int = 16): DataFrame = {
     require(salts > 0)
+    // a caller column named __salt would be silently overwritten, fed
+    // into its own content hash, and dropped from the output — reject
+    // loudly (r12 sweep; the zOrder writer's suffix-until-free dodge
+    // doesn't compose with a two-sided join key tuple)
+    require(!big.columns.contains("__salt") &&
+      !small.columns.contains("__salt"),
+      "saltedJoin: __salt is reserved by the salting machinery")
     val salted = big.withColumn("__salt", contentSalt(big, salts))
     val replicated = small.withColumn("__salt",
       explode(array((0 until salts).map(lit): _*)))
@@ -69,6 +76,8 @@ object Skew {
   def saltedAgg(df: DataFrame, keys: Seq[String], salts: Int)(
       partials: Seq[Column], merges: Seq[Column]): DataFrame = {
     require(salts > 0 && keys.nonEmpty)
+    require(!df.columns.contains("__salt"),
+      "saltedAgg: __salt is reserved by the salting machinery")
     val salted = df.withColumn("__salt", contentSalt(df, salts))
     val phase1 = salted
       .groupBy((keys.map(col) :+ col("__salt")): _*)

@@ -246,6 +246,18 @@ class LayoutSpec extends SparkSpec {
       .count() == 0)
   }
 
+  test("salting rejects a caller column named __salt instead of clobbering") {
+    val d = Seq((1L, 2L)).toDF("k", "__salt")
+    val ok = Seq((1L, "x")).toDF("k", "v")
+    assert(intercept[IllegalArgumentException](
+      graft.sources.Skew.saltedJoin(d, ok, "k")).getMessage.contains("__salt"))
+    assert(intercept[IllegalArgumentException](
+      graft.sources.Skew.saltedJoin(ok, d, "k")).getMessage.contains("__salt"))
+    assert(intercept[IllegalArgumentException](
+      graft.sources.Skew.saltedAgg(d, Seq("k"), 4)(Seq(count(lit(1)).as("n")),
+        Seq(sum($"n").as("n")))).getMessage.contains("__salt"))
+  }
+
   test("salted two-phase aggregation is exact for re-aggregable functions") {
     val li = Tables.load(spark, sf, "lineitem")
     val plain = li.groupBy($"l_orderkey")
