@@ -2393,6 +2393,29 @@ object SparkEntry {
         .orderBy(col("vec_id"))
     }),
 
+    "dd_semantic_coarse" -> ((s, dir) => {
+      // SemDeDup served through the TWO-LEVEL coarse quantizer (r12):
+      // assignment = nearest super-cell (ncoarse dots) then argmin
+      // among only that group's member centroids — the 100 TB lever
+      // for the n×nlist assignment term once nlist scales with the
+      // corpus. SAME global brute-force oracle as dd_semantic: the
+      // correctness construction is assignment-independent (all
+      // qualifying pairs are exact copies, which co-locate under ANY
+      // deterministic assignment; no natural pair reaches 0.95), so
+      // re-drawn cell boundaries cannot change the answer — only the
+      // per-row assignment cost.
+      val e = t(s, dir, "embeddings")
+      val doubled = e.select(col("vec_id"), col("embedding"))
+        .unionByName(e.select((col("vec_id") + 100000).as("vec_id"),
+          col("embedding")))
+        .localCheckpoint()
+      val cents = Similarity.ivfTrain(doubled, "vec_id", "embedding", 32)
+      Dedup.semanticDedupCoarse(doubled, "vec_id", "embedding", cents,
+          ncoarse = 6, threshold = 0.95)
+        .select(col("vec_id"), col("kept"))
+        .orderBy(col("vec_id"))
+    }),
+
     "dd_simhash_novelty_grow" -> ((s, dir) => {
       // the TEXT member of the maintained-index ingest family
       // (Events.textNoveltyIngestBatch — mm_phash_novelty_grow's twin
@@ -4748,6 +4771,18 @@ object SparkEntry {
 
     // GLOBAL brute-force drop rule — the cell-local SemDeDup result
     // must equal it (copies co-locate, no natural pair ≥ 0.95)
+    // identical oracle to dd_semantic — assignment-independent by
+    // construction (see the query comment)
+    "dd_semantic_coarse" ->
+      s"""WITH u AS (SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL SELECT vec_id + 100000, embedding FROM embeddings),
+        |drp AS (SELECT DISTINCT b.vec_id
+        |  FROM u a JOIN u b ON a.vec_id < b.vec_id
+        |  WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.95)
+        |SELECT u.vec_id, d.vec_id IS NULL AS kept
+        |FROM u LEFT JOIN drp d ON u.vec_id = d.vec_id
+        |ORDER BY u.vec_id""".stripMargin,
+
     "dd_semantic" ->
       s"""WITH u AS (SELECT vec_id, embedding FROM embeddings
         |  UNION ALL SELECT vec_id + 100000, embedding FROM embeddings),

@@ -1703,8 +1703,31 @@ object Dedup {
     * model (the [[Similarity.ivfTopK]] pre-trained convention, r9). */
   def semanticDedup(emb: DataFrame, id: String, vec: String,
                     cents: Array[Array[Double]],
-                    threshold: Double): DataFrame = {
-    val assigned = Similarity.ivfAssign(emb, id, vec, cents)
+                    threshold: Double): DataFrame =
+    dedupAssigned(Similarity.ivfAssign(emb, id, vec, cents), id, vec,
+      threshold)
+
+  /** [[semanticDedup]] (pre-trained form) through the TWO-LEVEL coarse
+    * quantizer ([[Similarity.ivfAssignTwoLevel]]) — the 100 TB serving
+    * shape once nlist has been scaled with the corpus: assignment costs
+    * ncoarse + nlist/ncoarse distance evaluations per row (2·√nlist at
+    * the balanced point) instead of nlist. Cell boundaries move
+    * (boundary-approximate, like any coarse quantizer), but the dedup
+    * guarantee that matters is preserved EXACTLY: identical vectors
+    * always co-locate (deterministic assignment), so exact duplicates
+    * are never missed; near-dup pairs straddling the re-drawn
+    * boundaries can be, the same caveat the flat cells already carry. */
+  def semanticDedupCoarse(emb: DataFrame, id: String, vec: String,
+                          cents: Array[Array[Double]], ncoarse: Int,
+                          threshold: Double): DataFrame =
+    dedupAssigned(
+      Similarity.ivfAssignTwoLevel(emb, id, vec, cents, ncoarse), id,
+      vec, threshold)
+
+  /** Within-cell min-id greedy dedup over an ASSIGNED frame — the
+    * shared tail of the semanticDedup family. */
+  private def dedupAssigned(assigned: DataFrame, id: String, vec: String,
+                            threshold: Double): DataFrame = {
     val dropped = assigned.alias("x").join(assigned.alias("y"),
         col("x.cell") === col("y.cell") &&
           col(s"x.$id") < col(s"y.$id"))

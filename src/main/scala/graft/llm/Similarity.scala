@@ -225,6 +225,145 @@ object Similarity {
     corpus.select(col(id), col(vec),
       nearestCell(col(vec), centroids).as("cell"))
 
+  // ------------------------------------------------------------------
+  // two-level (coarse-quantized) assignment — the flat-assignment term
+  // is n × nlist distance evaluations, and with the SemDeDup guidance
+  // "nlist ∝ corpus" that term grows quadratically in total compute;
+  // grouping the centroids under ~√nlist super-centroids cuts the
+  // per-row work to ncoarse + nlist/ncoarse evaluations (2√nlist at
+  // the balanced point) at the cost of boundary-approximate assignment
+  // — the standard IVF lever (the coarse quantizer of IVFADC)
+  // ------------------------------------------------------------------
+
+  /** Group trained centroids under `ncoarse` super-centroids: a
+    * driver-side Lloyd's k-means over the CENTROIDS (model-sized — no
+    * data pass), deterministic farthest-point init like [[ivfTrain]].
+    * Returns (super-centroid matrix, member GLOBAL-index lists);
+    * super-cells that lose all members are dropped, so every returned
+    * group is non-empty. */
+  def coarseCentroids(centroids: Array[Array[Double]], ncoarse: Int,
+                      iters: Int = 5)
+      : (Array[Array[Double]], Array[Array[Int]]) = {
+    require(ncoarse >= 1 && ncoarse <= centroids.length,
+      s"ncoarse must be in [1, ${centroids.length}]: $ncoarse")
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    // deterministic farthest-point seed over the centroids
+    val minD = Array.fill(centroids.length)(Double.MaxValue)
+    val chosen = Array.ofDim[Int](ncoarse)
+    var n = 1
+    while (n < ncoarse) {
+      val last = centroids(chosen(n - 1))
+      var best = -1; var bestD = -1.0
+      var i = 0
+      while (i < centroids.length) {
+        val d = math.min(minD(i), d2(centroids(i), last))
+        minD(i) = d
+        if (d > bestD) { bestD = d; best = i }
+        i += 1
+      }
+      chosen(n) = best
+      n += 1
+    }
+    var coarse = chosen.map(centroids)
+    var assign = Array.ofDim[Int](centroids.length)
+    for (_ <- 0 until iters) {
+      var i = 0
+      while (i < centroids.length) {
+        var best = 0; var bestD = Double.MaxValue
+        var g = 0
+        while (g < coarse.length) {
+          val d = d2(centroids(i), coarse(g))
+          if (d < bestD) { bestD = d; best = g }
+          g += 1
+        }
+        assign(i) = best
+        i += 1
+      }
+      coarse = coarse.indices.map { g =>
+        val mem = centroids.indices.filter(assign(_) == g)
+        if (mem.isEmpty) coarse(g)
+        else {
+          val dim = centroids.head.length
+          val acc = new Array[Double](dim)
+          mem.foreach(m => (0 until dim).foreach(d =>
+            acc(d) += centroids(m)(d)))
+          acc.map(_ / mem.length)
+        }
+      }.toArray
+    }
+    val groups = coarse.indices.map(g =>
+      centroids.indices.filter(assign(_) == g).toArray)
+    val keep = groups.indices.filter(groups(_).nonEmpty)
+    (keep.map(coarse).toArray, keep.map(groups).toArray)
+  }
+
+  /** Two-level nearest-cell id: nearest SUPER-cell first (ncoarse
+    * literal dot products), then exact argmin among only that group's
+    * member centroids — per-row work ncoarse + |members| evaluations
+    * instead of nlist. The returned id is the GLOBAL centroid index,
+    * so downstream cell semantics are unchanged. Boundary-approximate:
+    * a vector whose true nearest centroid lives in a different
+    * super-cell gets its group-local argmin instead — identical
+    * vectors still always land in the same cell (deterministic), which
+    * is the property [[graft.llm.Dedup.semanticDedup]]'s exactness
+    * construction needs. */
+  /** The group-local argmin given an ALREADY-COMPUTED super-cell id —
+    * the second level of the two-level assignment. Kept separate from
+    * the super-cell expression on purpose: inlining `nearestCell(vec,
+    * coarse)` into every when-condition re-evaluates it per branch
+    * (Catalyst's subexpression elimination does not hoist across
+    * conditional branches — measured: the fused form ran SLOWER than
+    * the flat nlist-dot argmin), so the caller must materialize the
+    * super-cell in its own projection first. */
+  private def cellWithinSuper(vec: Column, sup: Column,
+                              centroids: Array[Array[Double]],
+                              members: Array[Array[Int]]): Column =
+    members.indices.foldLeft(lit(-1)) { (acc, g) =>
+      val mem = members(g)
+      val s = centroidScores(vec, mem.map(centroids))
+      val local = array_position(s, array_min(s)).cast(IntegerType)
+      when(sup === g,
+        element_at(typedLit(mem.toSeq), local)).otherwise(acc)
+    }
+
+  /** Two-level nearest-cell id as one Column — convenience form;
+    * prefer [[ivfAssignTwoLevel]], which stages the super-cell in its
+    * own projection so it is computed ONCE per row (see
+    * [[cellWithinSuper]]'s caveat). The returned id is the GLOBAL
+    * centroid index, so downstream cell semantics are unchanged.
+    * Boundary-approximate: a vector whose true nearest centroid lives
+    * in a different super-cell gets its group-local argmin instead —
+    * identical vectors still always land in the same cell
+    * (deterministic), which is the property
+    * [[graft.llm.Dedup.semanticDedup]]'s exactness construction
+    * needs. */
+  def nearestCellTwoLevel(vec: Column, centroids: Array[Array[Double]],
+                          coarse: Array[Array[Double]],
+                          members: Array[Array[Int]]): Column =
+    cellWithinSuper(vec, nearestCell(vec, coarse), centroids, members)
+
+  /** [[ivfAssign]] through the two-level quantizer — the serving shape
+    * when nlist has been scaled with the corpus and the flat
+    * assignment's n × nlist term is the bottleneck. The super-cell is
+    * a separate projection (an alias used `ncoarse` times —
+    * CollapseProject keeps it staged, so the `ncoarse`-dot argmin runs
+    * once per row, not once per when-branch). */
+  def ivfAssignTwoLevel(corpus: DataFrame, id: String, vec: String,
+                        centroids: Array[Array[Double]],
+                        ncoarse: Int): DataFrame = {
+    val (coarse, members) = coarseCentroids(centroids, ncoarse)
+    corpus
+      .select(col(id), col(vec),
+        nearestCell(col(vec), coarse).as("__graft_super"))
+      .select(col(id), col(vec),
+        cellWithinSuper(col(vec), col("__graft_super"), centroids,
+          members).as("cell"))
+  }
+
   /** Corpus-side MULTIPLE ASSIGNMENT: each vector is indexed under its
     * `multiAssign` nearest cells (the classic IVF recall lever — see
     * the multiple-assignment variant in the IVFADC literature). Storage

@@ -189,6 +189,46 @@ class LlmSpec extends SparkSpec {
     assert(inlineNov == servedNov)
   }
 
+  test("two-level IVF assignment: exact within the chosen super-cell") {
+    val cents = Similarity.ivfTrain(emb, "vec_id", "embedding", 32)
+    val (coarse, members) = Similarity.coarseCentroids(cents, 6)
+    // every centroid belongs to exactly one non-empty group
+    assert(members.forall(_.nonEmpty))
+    assert(members.flatten.sorted.toSeq == (0 until 32))
+    val assigned = Similarity
+      .ivfAssignTwoLevel(emb, "vec_id", "embedding", cents, 6)
+      .select($"vec_id", $"embedding", $"cell")
+      .as[(Long, Seq[Double], Int)].collect()
+    assert(assigned.map(_._3).forall(c => c >= 0 && c < 32))
+    // brute-force the definition per row: nearest super-cell, then
+    // argmin among ONLY that group's members (first index on ties)
+    def d2(a: Seq[Double], b: Array[Double]): Double =
+      a.indices.map(i => (a(i) - b(i)) * (a(i) - b(i))).sum
+    for ((_, v, cell) <- assigned.take(200)) {
+      val g = coarse.indices.minBy(gi => d2(v, coarse(gi)))
+      val want = members(g).minBy(m => d2(v, cents(m)))
+      assert(cell == want, s"cell $cell != $want")
+    }
+    // identical vectors co-locate (the semanticDedup exactness hook):
+    // a duplicated corpus assigns each copy to its original's cell
+    val doubled = emb.select($"vec_id", $"embedding").unionByName(
+      emb.select(($"vec_id" + 100000).as("vec_id"), $"embedding"))
+    val cells = Similarity
+      .ivfAssignTwoLevel(doubled, "vec_id", "embedding", cents, 6)
+      .select($"vec_id", $"cell").as[(Long, Int)].collect().toMap
+    assert(cells.forall { case (id, c) =>
+      id >= 100000 || cells(id + 100000) == c })
+    // and the coarse dedup keeps/drops exactly like the flat one on
+    // the duplicated corpus (assignment-independent construction)
+    val flat = Dedup.semanticDedup(doubled, "vec_id", "embedding",
+        cents, 0.95)
+      .select($"vec_id", $"kept").as[(Long, Boolean)].collect().toSet
+    val coarseD = Dedup.semanticDedupCoarse(doubled, "vec_id",
+        "embedding", cents, 6, 0.95)
+      .select($"vec_id", $"kept").as[(Long, Boolean)].collect().toSet
+    assert(flat == coarseD)
+  }
+
   test("tokenDrift: ppm math integer-exact, top-k tie-broken by token") {
     val df = Seq(("p", "a a b"), ("q", "a c c c"))
       .toDF("slice", "text")

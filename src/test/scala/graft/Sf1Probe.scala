@@ -188,6 +188,31 @@ object Sf1Probe {
             cents, 0.95)
           .select(col("vec_id"), col("kept")).orderBy(col("vec_id"))
       }),
+      // dd_semantic serving through the TWO-LEVEL coarse quantizer
+      // (r12): same pre-trained centroids as dd_semantic_serve, but
+      // assignment costs ncoarse + nlist/ncoarse dots instead of nlist
+      // — the measured form of the "assignment term" mitigation
+      "dd_semantic_coarse2l" -> ((dir, m) => {
+        val cents = if (m == 1) centsSrc else centsDst
+        Dedup.semanticDedupCoarse(doubledEmb(dir), "vec_id",
+            "embedding", cents, ncoarse = if (m == 1) 6 else 18, 0.95)
+          .select(col("vec_id"), col("kept")).orderBy(col("vec_id"))
+      }),
+      // assignment COST isolated (no within-cell join): flat nlist-dot
+      // argmin vs the two-level form — attributes where the coarse2l
+      // row's time goes
+      "dd_assign_flat" -> ((dir, m) => {
+        val cents = if (m == 1) centsSrc else centsDst
+        graft.llm.Similarity.ivfAssign(doubledEmb(dir), "vec_id",
+            "embedding", cents)
+          .groupBy(col("cell")).agg(count(lit(1)).as("n"))
+      }),
+      "dd_assign_2l" -> ((dir, m) => {
+        val cents = if (m == 1) centsSrc else centsDst
+        graft.llm.Similarity.ivfAssignTwoLevel(doubledEmb(dir), "vec_id",
+            "embedding", cents, if (m == 1) 6 else 18)
+          .groupBy(col("cell")).agg(count(lit(1)).as("n"))
+      }),
       // ta_select without a binding budget: the residual
       // range-partitioned cumsum phase never runs — isolates the
       // scoring projection + histogram
