@@ -2817,6 +2817,29 @@ object SparkEntry {
         .orderBy(col("media_id"))
     }),
 
+    "mm_audio_novelty_grow" -> ((s, dir) => {
+      // the audio member of the maintained-index ingest family
+      // (mm_phash_novelty_grow's aFP twin): seed index = fingerprints
+      // of ids < 30; batch 0 = ids 30..59, batch 1 = the rest. The
+      // oracle replays the frame-energy closed form and the two-step
+      // index growth.
+      val media = Multimodal.syntheticContentAudio(t(s, dir, "documents"))
+        .localCheckpoint()
+      val idxT = "mm_anov_grow_idx"; val sinkT = "mm_anov_grow_sink"
+      for (tb <- Seq(idxT, sinkT)) s.sql(s"DROP TABLE IF EXISTS $tb")
+      graft.streaming.Events.createSignatureIndex(s, idxT,
+        Multimodal.audioFingerprints(media.filter(col("media_id") < 30))
+          .select(col("afp").as("sig")), "sig")
+      graft.streaming.Events.audioNoveltyIngestBatch(
+        media.filter(col("media_id") >= 30 && col("media_id") < 60),
+        0L, idxT, sinkT)
+      graft.streaming.Events.audioNoveltyIngestBatch(
+        media.filter(col("media_id") >= 60), 1L, idxT, sinkT)
+      s.table(sinkT)
+        .select(col("media_id"), col("afp"), col("batch_id"))
+        .orderBy(col("media_id"))
+    }),
+
     "mm_frames" -> ((s, dir) =>
       Multimodal.sampleFrames(
           Multimodal.decodeFeatures(
@@ -5357,6 +5380,38 @@ object SparkEntry {
         |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.h, b.h)) <= 3
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // the growing aFP index replayed arithmetically (the
+    // mm_phash_novelty_grow pattern on the audio closed form)
+    "mm_audio_novelty_grow" ->
+      """WITH d AS (SELECT doc_id, doc_id % 48 AS s,
+        |    (doc_id % 5 = 0) AS p FROM documents),
+        |sm AS (SELECT d.doc_id, i.i // 16 AS f,
+        |    (((i.i*(d.s+3) + (i.i % 17)*41 + d.s*d.s) % 509) - 254
+        |     + CASE WHEN d.p AND i.i = 100 THEN 512 ELSE 0 END)::BIGINT AS v
+        |  FROM d, range(1040) i(i)),
+        |e AS (SELECT doc_id, f, sum(v*v) AS en FROM sm
+        |  GROUP BY doc_id, f),
+        |sig AS (SELECT a.doc_id,
+        |    bit_or(CASE WHEN NOT b.en > a.en THEN 0::BIGINT
+        |      WHEN a.f = 63 THEN (-9223372036854775807 - 1)::BIGINT
+        |      ELSE (1::BIGINT << a.f::INTEGER) END) AS h
+        |  FROM e a JOIN e b ON b.doc_id = a.doc_id AND b.f = a.f + 1
+        |  WHERE a.f < 64 GROUP BY a.doc_id),
+        |n0 AS (SELECT a.doc_id, a.h FROM sig a
+        |  WHERE a.doc_id >= 30 AND a.doc_id < 60
+        |  AND NOT EXISTS (SELECT 1 FROM sig b WHERE b.doc_id < 30
+        |    AND bit_count(xor(a.h, b.h)) <= 3)),
+        |i2 AS (SELECT h FROM sig WHERE doc_id < 30
+        |  UNION ALL SELECT h FROM n0),
+        |n1 AS (SELECT a.doc_id, a.h FROM sig a WHERE a.doc_id >= 60
+        |  AND NOT EXISTS (SELECT 1 FROM i2 i
+        |    WHERE bit_count(xor(a.h, i.h)) <= 3))
+        |SELECT doc_id AS media_id, h AS afp, 0::BIGINT AS batch_id
+        |FROM n0
+        |UNION ALL
+        |SELECT doc_id, h, 1::BIGINT FROM n1
+        |ORDER BY media_id""".stripMargin,
 
     // same aFP closed form, then min-label component walk over the
     // brute-forced <=3-hamming edges (the mm_phash_clusters pattern)

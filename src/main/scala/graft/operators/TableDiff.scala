@@ -29,6 +29,11 @@ object TableDiff {
     require(keys.nonEmpty, "diff requires at least one key column")
     require(oldDf.columns.sorted.sameElements(newDf.columns.sorted),
       s"snapshots must share a schema: ${oldDf.columns.toSeq} vs ${newDf.columns.toSeq}")
+    // a caller column with a marker name would be silently overwritten
+    // and every row misclassified (r12 sweep — the __salt lesson)
+    require(!oldDf.columns.exists(c =>
+        c == "__graft_old" || c == "__graft_new"),
+      "diff: __graft_old/__graft_new are reserved by the presence markers")
     val valueCols = oldDf.columns.filterNot(keys.contains).sorted.toSeq
     val o = oldDf.alias("o")
     val n = newDf.alias("n")

@@ -598,6 +598,13 @@ class PipelineOpsSpec extends SparkSpec {
 
   // ---- TableDiff -----------------------------------------------------
 
+  test("table diff rejects the reserved presence-marker column names") {
+    val bad = Seq((1L, true)).toDF("id", "__graft_old")
+    assert(intercept[IllegalArgumentException](
+      graft.operators.TableDiff.diff(bad, bad, Seq("id")))
+      .getMessage.contains("__graft_old"))
+  }
+
   test("table diff: added/removed/changed with null-safe column lists") {
     import graft.operators.TableDiff
     val old = Seq((1L, Some("a"), Some(1.0)), (2L, Some("b"), Some(2.0)),

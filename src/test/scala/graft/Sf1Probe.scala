@@ -67,7 +67,7 @@ object Sf1Probe {
     // ~decode-linear; the join side is flat in plan terms) and the
     // maintained-index ingest loop (two batches, index grows)
     "mm_phash_novelty_join", "mm_phash_novelty_grow",
-    "dd_simhash_novelty_grow")
+    "dd_simhash_novelty_grow", "mm_audio_novelty_grow")
 
   def main(args: Array[String]): Unit = {
     val src = "/root/testdata/sf0.1"
