@@ -560,6 +560,25 @@ object SparkEntry {
         .orderBy(col("o_orderstatus"))
     }),
 
+    "op_quantile_rollup" -> ((s, dir) => {
+      // mergeable quantile-sample rollup (r12 — the quantile twin of
+      // op_sketch_rollup): monthly bottom-k (KMV) samples of
+      // o_totalprice merged up to order-status grain, quantiles from
+      // the merged sample. Unlike HLL/t-digest the WHOLE pipeline is
+      // deterministic (shared rolling-hash ranks, lexicographic
+      // bottom-k, fixed index pick), so the oracle recomputes every
+      // rank and both bottom-k passes and the compared values are the
+      // actual estimates — no gate needed.
+      val o = t(s, dir, "orders")
+        .withColumn("mon", date_trunc("month", col("o_orderdate")))
+      graft.operators.QuantileRollup.estimateAcross(
+          graft.operators.QuantileRollup.buildRollup(o,
+            Seq("o_orderstatus"), "mon", "o_orderkey", "o_totalprice",
+            k = 64),
+          Seq("o_orderstatus"), Seq(0.5, 0.99), k = 64)
+        .orderBy(col("o_orderstatus"))
+    }),
+
     "dd_canonical" -> ((s, dir) => {
       // best-copy election over the MinHash near-dup clusters: keep the
       // NEWEST copy (score = doc_id, the crawl-recency convention)
@@ -5697,6 +5716,28 @@ object SparkEntry {
     // compared values (q11 pattern): exact distinct recomputed here,
     // both booleans pinned literally true — a sketch drift on the Spark
     // side hash-mismatches
+    // the deterministic KMV pipeline replayed end to end: hash ranks,
+    // per-(status, month) bottom-64 by (rank, value), re-merged
+    // bottom-64 per status, nearest-rank index pick
+    "op_quantile_rollup" ->
+      s"""WITH r AS (SELECT o_orderstatus AS k,
+        |    date_trunc('month', o_orderdate) AS b,
+        |    CAST(o_totalprice AS DOUBLE) AS v,
+        |    ${rollSql("'qs:' || o_orderkey")} AS rk FROM orders),
+        |s AS (SELECT k, b, rk, v, row_number()
+        |    OVER (PARTITION BY k, b ORDER BY rk, v) AS rn FROM r),
+        |samp AS (SELECT k, rk, v FROM s WHERE rn <= 64),
+        |m AS (SELECT k, rk, v, row_number()
+        |    OVER (PARTITION BY k ORDER BY rk, v) AS rn FROM samp),
+        |mm AS (SELECT k, v FROM m WHERE rn <= 64),
+        |ob AS (SELECT k, v, row_number()
+        |    OVER (PARTITION BY k ORDER BY v) AS i,
+        |    count(*) OVER (PARTITION BY k) AS n FROM mm)
+        |SELECT k AS o_orderstatus,
+        |  max(CASE WHEN i = floor(0.5*(n-1))::BIGINT + 1 THEN v END) AS p50,
+        |  max(CASE WHEN i = floor(0.99*(n-1))::BIGINT + 1 THEN v END) AS p99
+        |FROM ob GROUP BY k ORDER BY o_orderstatus""".stripMargin,
+
     "op_sketch_rollup" ->
       """SELECT o_orderstatus, count(DISTINCT o_custkey) AS exact_cust,
         |  true AS union_eq_direct, true AS within_2pct

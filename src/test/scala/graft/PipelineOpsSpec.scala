@@ -662,6 +662,61 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("quantile rollup: bucketed merge equals the single-pass sample exactly") {
+    import graft.operators.QuantileRollup
+    val o = Tables.load(spark, sf, "orders")
+      .withColumn("mon", date_trunc("month", $"o_orderdate"))
+      .withColumn("all", lit(0))
+    // bucketed by month, merged back up — must equal the sample one
+    // direct pass over the whole group would produce (bottom-k merges
+    // losslessly), so the quantile estimates are BIT-identical
+    val byMon = QuantileRollup.buildRollup(o, Seq("o_orderstatus"),
+      "mon", "o_orderkey", "o_totalprice", k = 64)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-qr").toString
+    byMon.write.parquet(s"$tmp/rollup")
+    val merged = QuantileRollup.estimateAcross(
+        spark.read.parquet(s"$tmp/rollup"), Seq("o_orderstatus"),
+        Seq(0.5, 0.99), k = 64)
+      .orderBy($"o_orderstatus")
+      .as[(String, Option[Double], Option[Double])].collect().toSeq
+    val direct = QuantileRollup.estimateAcross(
+        QuantileRollup.buildRollup(o, Seq("o_orderstatus"), "all",
+          "o_orderkey", "o_totalprice", k = 64),
+        Seq("o_orderstatus"), Seq(0.5, 0.99), k = 64)
+      .orderBy($"o_orderstatus")
+      .as[(String, Option[Double], Option[Double])].collect().toSeq
+    assert(merged == direct)
+    // the sample median lands near the exact median (uniform k-sample,
+    // k=64 → generous tolerance band)
+    val exact = o.groupBy($"o_orderstatus")
+      .agg(expr("percentile(o_totalprice, 0.5)").as("m"))
+      .orderBy($"o_orderstatus").as[(String, Double)].collect().toMap
+    merged.foreach { case (k, p50, _) =>
+      assert(math.abs(p50.get - exact(k)) <= 0.3 * exact(k),
+        s"$k: sample p50 ${p50.get} vs exact ${exact(k)}")
+    }
+    // bottom-k is the deterministic KMV rule: recompute it brute-force
+    // with the same rank expression
+    val want = o.filter($"o_orderstatus" === "F")
+      .select(QuantileRollup.sampleRank($"o_orderkey").as("r"),
+        $"o_totalprice".cast("double").as("v"))
+      .orderBy($"r", $"v").limit(64)
+      .as[(Long, Double)].collect().toSeq
+    val got = QuantileRollup.buildRollup(
+        o.filter($"o_orderstatus" === "F"), Seq("o_orderstatus"), "all",
+        "o_orderkey", "o_totalprice", k = 64)
+      .select(explode($"qsample").as("p"))
+      .select($"p.r", $"p.v").as[(Long, Double)].collect().toSeq
+    assert(got == want)
+    // all-null values → empty sample → null estimates, group kept
+    val nulls = Seq(("g", 1L, Option.empty[Double]),
+      ("g", 2L, None)).toDF("k", "id", "v").withColumn("b", lit(0))
+    val ne = QuantileRollup.estimateAcross(
+      QuantileRollup.buildRollup(nulls, Seq("k"), "b", "id", "v", 8),
+      Seq("k"), Seq(0.5), 8).as[(String, Option[Double])].collect().toSeq
+    assert(ne == Seq(("g", None)))
+  }
+
   test("HLL sketch aggregate is map-side partial (sketches cross the exchange, not rows)") {
     import graft.operators.Sketches
     val df = Seq(("a", 1L), ("a", 2L), ("b", 1L)).toDF("k", "v")

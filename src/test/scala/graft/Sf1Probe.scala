@@ -67,7 +67,10 @@ object Sf1Probe {
     // ~decode-linear; the join side is flat in plan terms) and the
     // maintained-index ingest loop (two batches, index grows)
     "mm_phash_novelty_join", "mm_phash_novelty_grow",
-    "dd_simhash_novelty_grow", "mm_audio_novelty_grow")
+    "dd_simhash_novelty_grow", "mm_audio_novelty_grow",
+    // r12 third wave: mergeable KMV quantile rollup — one
+    // ObjectHashAggregate, k pairs per cell on the exchange
+    "op_quantile_rollup")
 
   def main(args: Array[String]): Unit = {
     val src = "/root/testdata/sf0.1"
