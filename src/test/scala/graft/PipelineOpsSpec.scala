@@ -717,6 +717,19 @@ class PipelineOpsSpec extends SparkSpec {
     assert(ne == Seq(("g", None)))
   }
 
+  test("bottom-k pair aggregate is map-side partial (k pairs cross the exchange)") {
+    val df = Seq(("a", 1L, 1.0), ("a", 2L, 2.0), ("b", 3L, 3.0))
+      .toDF("k", "id", "v")
+    val plan = df.groupBy($"k")
+      .agg(graft.functions.BottomKPair.bottomKPair(
+        graft.operators.QuantileRollup.sampleRank($"id"), $"v", 4)
+        .as("s"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"), s"plan:\n$plan")
+    assert(plan.toLowerCase.contains("partial_graft_bottom_k_pair"),
+      s"map-side partial sample build must precede the exchange:\n$plan")
+  }
+
   test("HLL sketch aggregate is map-side partial (sketches cross the exchange, not rows)") {
     import graft.operators.Sketches
     val df = Seq(("a", 1L), ("a", 2L), ("b", 1L)).toDF("k", "v")
