@@ -1035,6 +1035,48 @@ class StreamingSpec extends SparkSpec {
     for (t <- Seq(idxT, sinkT)) spark.sql(s"DROP TABLE IF EXISTS $t")
   }
 
+  test("text novelty ingest: streaming wiring equals batch calls") {
+    import org.apache.spark.sql.types._
+    val idxT = "nov_idx_ts"; val sinkT = "nov_sink_ts"
+    for (t <- Seq(idxT, sinkT)) spark.sql(s"DROP TABLE IF EXISTS $t")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-novtxt").toString
+    val docs = Tables.load(spark, sf, "documents")
+      .select($"doc_id", $"text").limit(60).localCheckpoint()
+    docs.filter($"doc_id" >= 20 && $"doc_id" < 40)
+      .coalesce(1).write.parquet(s"$tmp/in")
+    docs.select(($"doc_id" + 10000).as("doc_id"), $"text")
+      .coalesce(1).write.mode("append").parquet(s"$tmp/in")
+    Events.createSignatureIndex(spark, idxT,
+      docs.filter($"doc_id" < 20)
+        .select(graft.functions.SimHash60(lower($"text")).as("sig")),
+      "sig")
+    val stream = spark.readStream
+      .schema(StructType(Seq(StructField("doc_id", LongType),
+        StructField("text", StringType))))
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$tmp/in")
+    val q = Events.startTextNoveltyIngest(stream, s"$tmp/ckpt",
+      idxT, sinkT)
+    q.awaitTermination(120000)
+    // ground truth via the signatures themselves: batch-1 copies of
+    // ids 20..39 are dropped only because batch 0 grew the index
+    val sigs = docs.select($"doc_id",
+        graft.functions.SimHash60(lower($"text")).as("sh"))
+      .as[(Long, Option[Long])].collect().toMap
+    def near(h: Long, s: Iterable[Long]) =
+      s.exists(x => java.lang.Long.bitCount(x ^ h) <= 3)
+    val seed = (0L until 20L).flatMap(sigs(_))
+    val n0 = (20L until 40L).filter(id =>
+      sigs(id).forall(h => !near(h, seed)))
+    val i2 = seed ++ n0.flatMap(sigs(_))
+    val n1 = (0L until 60L).filter(id =>
+      sigs(id).forall(h => !near(h, i2))).map(_ + 10000L)
+    val kept = spark.table(sinkT).select($"doc_id").as[Long]
+      .collect().toSet
+    assert(kept == (n0 ++ n1).toSet)
+    for (t <- Seq(idxT, sinkT)) spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
   test("text novelty ingest: SimHash index grows, null-sig texts pass") {
     val idxT = "nov_idx_t"; val sinkT = "nov_sink_t"
     for (t <- Seq(idxT, sinkT)) spark.sql(s"DROP TABLE IF EXISTS $t")
