@@ -301,16 +301,6 @@ object Similarity {
     (keep.map(coarse).toArray, keep.map(groups).toArray)
   }
 
-  /** Two-level nearest-cell id: nearest SUPER-cell first (ncoarse
-    * literal dot products), then exact argmin among only that group's
-    * member centroids — per-row work ncoarse + |members| evaluations
-    * instead of nlist. The returned id is the GLOBAL centroid index,
-    * so downstream cell semantics are unchanged. Boundary-approximate:
-    * a vector whose true nearest centroid lives in a different
-    * super-cell gets its group-local argmin instead — identical
-    * vectors still always land in the same cell (deterministic), which
-    * is the property [[graft.llm.Dedup.semanticDedup]]'s exactness
-    * construction needs. */
   /** The group-local argmin given an ALREADY-COMPUTED super-cell id —
     * the second level of the two-level assignment. Kept separate from
     * the super-cell expression on purpose: inlining `nearestCell(vec,
@@ -318,16 +308,21 @@ object Similarity {
     * (Catalyst's subexpression elimination does not hoist across
     * conditional branches — measured: the fused form ran SLOWER than
     * the flat nlist-dot argmin), so the caller must materialize the
-    * super-cell in its own projection first. */
+    * super-cell in its own projection first. A NULL super-cell (null
+    * embedding) yields a NULL cell id, matching the flat
+    * [[nearestCell]]/[[ivfAssign]] path — the fold seed handles it, so
+    * null vectors never collect in a sentinel cell. */
   private def cellWithinSuper(vec: Column, sup: Column,
                               centroids: Array[Array[Double]],
                               members: Array[Array[Int]]): Column =
-    members.indices.foldLeft(lit(-1)) { (acc, g) =>
-      val mem = members(g)
-      val s = centroidScores(vec, mem.map(centroids))
-      val local = array_position(s, array_min(s)).cast(IntegerType)
-      when(sup === g,
-        element_at(typedLit(mem.toSeq), local)).otherwise(acc)
+    members.indices.foldLeft(
+      when(sup.isNull, lit(null).cast(IntegerType)).otherwise(lit(-1))) {
+      (acc, g) =>
+        val mem = members(g)
+        val s = centroidScores(vec, mem.map(centroids))
+        val local = array_position(s, array_min(s)).cast(IntegerType)
+        when(sup === g,
+          element_at(typedLit(mem.toSeq), local)).otherwise(acc)
     }
 
   /** Two-level nearest-cell id as one Column — convenience form;

@@ -39,27 +39,90 @@ object QuantileRollup {
     * cell. `idCol` must be row-unique (it seeds the sample rank);
     * NULL values are excluded from the sample (they carry no
     * quantile information). Persist with `.write.parquet` and answer
-    * coarser quantile questions from it. */
+    * coarser quantile questions from it. The build-time k travels WITH
+    * the rollup (a `qsample_k` column — constant, so it compresses to
+    * nothing in parquet): [[estimateAcross]] derives and validates it,
+    * because merging with a LARGER k than the samples were built with
+    * would silently produce a bottom-K of concatenated bottom-ks that
+    * is no longer a uniform sample of the union. */
   def buildRollup(df: DataFrame, keyCols: Seq[String], bucketCol: String,
                   idCol: String, valueCol: String,
-                  k: Int = 1024): DataFrame =
+                  k: Int = 1024): DataFrame = {
+    require(k > 0, s"sample size k must be positive: $k")
     df.groupBy((keyCols :+ bucketCol).map(col): _*)
       .agg(graft.functions.BottomKPair.bottomKPair(
         sampleRank(col(idCol)), col(valueCol).cast(DoubleType), k)
         .as("qsample"))
+      .withColumn("qsample_k", lit(k))
+  }
+
+  /** Percentile column label for q ∈ [0, 1] without lossy rounding:
+    * integral q·100 stays `p50`/`p99`; fractional percentiles keep
+    * their exact decimal with `_` for the point (`p12_5`, `p99_95`) —
+    * a rounded label (`p13` for q=0.125) would mislabel the estimate
+    * even when no collision trips the distinct-names check. */
+  private[operators] def quantileLabel(q: Double): String = {
+    // BigDecimal(q) uses the double's shortest decimal form, so the
+    // label matches what the caller typed (0.125 → "12.5", never
+    // 12.50000000000000017...)
+    val s = (BigDecimal(q) * 100).underlying.stripTrailingZeros
+      .toPlainString
+    "p" + s.replace(".", "_")
+  }
 
   /** Merge the bucket samples within each `groupCols` group (the same
     * bottom-k aggregate — so the merged sample is EXACTLY the sample a
     * single pass over the union would have produced) and estimate the
     * requested quantiles: sorted sample values, element at
     * ⌊q·(m−1)⌋ (0-based) — the deterministic nearest-rank rule.
-    * Output columns `p<q·100>`; empty merged samples yield NULLs. */
+    * Output columns per [[quantileLabel]]; empty merged samples yield
+    * NULLs.
+    *
+    * The merge k defaults to the BUILD-time k recorded in the rollup's
+    * `qsample_k` column (one metadata-sized aggregate over the sample
+    * table derives it; mixed build ks are rejected — their union is
+    * not a uniform sample). An explicit `k` must be ≤ the build k:
+    * the bottom-k' (k' ≤ k) of concatenated bottom-ks IS the
+    * bottom-k' of the union, but a LARGER k' silently biases the
+    * sample, contradicting the single-pass guarantee above. Rollups
+    * written before the k column existed must pass their build k
+    * explicitly. */
   def estimateAcross(rollup: DataFrame, groupCols: Seq[String],
-                     qs: Seq[Double], k: Int = 1024,
+                     qs: Seq[Double], k: Int = 0,
                      sampleCol: String = "qsample"): DataFrame = {
     require(qs.nonEmpty && qs.forall(q => q >= 0.0 && q <= 1.0),
       s"quantiles must be in [0, 1]: $qs")
-    val names = qs.map(q => f"p${q * 100}%.0f")
+    val kCol = sampleCol + "_k"
+    val buildK: Option[Int] =
+      if (!rollup.columns.contains(kCol)) None
+      else {
+        val r = rollup.agg(min(col(kCol)), max(col(kCol))).head()
+        if (r.isNullAt(0)) None // empty rollup: any k merges to empty
+        else {
+          require(r.getInt(0) == r.getInt(1),
+            s"rollup mixes build-time sample sizes ($kCol " +
+              s"${r.getInt(0)}..${r.getInt(1)}) — their union is not " +
+              "a uniform sample; rebuild at one k")
+          Some(r.getInt(0))
+        }
+      }
+    val useK = (k, buildK) match {
+      case (0, Some(bk)) => bk
+      case (0, None) =>
+        require(rollup.columns.contains(kCol),
+          s"rollup carries no $kCol column — pass the build-time k " +
+            "explicitly")
+        1 // empty rollup with the column present: output is empty
+      case (ek, Some(bk)) =>
+        require(ek <= bk, s"estimate k=$ek exceeds the rollup's " +
+          s"build-time k=$bk — the merged sample would no longer be " +
+          "a uniform sample of the union (k <= build k required)")
+        ek
+      case (ek, None) =>
+        require(ek > 0, s"sample size k must be positive: $ek")
+        ek
+    }
+    val names = qs.map(quantileLabel)
     require(names.distinct.size == names.size,
       s"quantile labels collide: $names — space the requested qs out")
     // explode_outer: a cell whose sample is EMPTY (all-null values)
@@ -71,7 +134,7 @@ object QuantileRollup {
         explode_outer(col(sampleCol)).as("__p")): _*)
       .groupBy(groupCols.map(col): _*)
       .agg(graft.functions.BottomKPair.bottomKPair(
-        col("__p.r"), col("__p.v"), k).as("__s"))
+        col("__p.r"), col("__p.v"), useK).as("__s"))
     val vals = array_sort(transform(col("__s"), p => p.getField("v")))
     val m = size(vals)
     val ests = qs.zip(names).map { case (q, nm) =>

@@ -200,6 +200,17 @@ class LlmSpec extends SparkSpec {
       .select($"vec_id", $"embedding", $"cell")
       .as[(Long, Seq[Double], Int)].collect()
     assert(assigned.map(_._3).forall(c => c >= 0 && c < 32))
+    // NULL embedding → NULL cell, matching the flat path (no -1
+    // sentinel quietly co-locating every null vector in one cell)
+    val withNull = emb.select($"vec_id", $"embedding").limit(5)
+      .unionByName(Seq((999999L, Option.empty[Seq[Double]]))
+        .toDF("vec_id", "embedding"))
+    val nullCells = Similarity
+      .ivfAssignTwoLevel(withNull, "vec_id", "embedding", cents, 6)
+      .select($"vec_id", $"cell").as[(Long, Option[Int])].collect().toMap
+    assert(nullCells(999999L).isEmpty)
+    assert(nullCells.collect {
+      case (id, c) if id != 999999L => c }.forall(_.nonEmpty))
     // brute-force the definition per row: nearest super-cell, then
     // argmin among ONLY that group's members (first index on ties)
     def d2(a: Seq[Double], b: Array[Double]): Double =

@@ -686,6 +686,24 @@ class PipelineOpsSpec extends SparkSpec {
       .orderBy($"o_orderstatus")
       .as[(String, Option[Double], Option[Double])].collect().toSeq
     assert(merged == direct)
+    // k is PERSISTED in the rollup (qsample_k): omitting it derives the
+    // build-time k, and a larger merge k is rejected loudly (a
+    // bottom-128 of concatenated bottom-64s is not a uniform sample)
+    val derived = QuantileRollup.estimateAcross(
+        spark.read.parquet(s"$tmp/rollup"), Seq("o_orderstatus"),
+        Seq(0.5, 0.99))
+      .orderBy($"o_orderstatus")
+      .as[(String, Option[Double], Option[Double])].collect().toSeq
+    assert(derived == merged)
+    val tooBig = intercept[IllegalArgumentException] {
+      QuantileRollup.estimateAcross(byMon, Seq("o_orderstatus"),
+        Seq(0.5), k = 128)
+    }
+    assert(tooBig.getMessage.contains("build-time k"))
+    // fractional percentiles keep exact labels instead of rounding
+    assert(QuantileRollup.estimateAcross(byMon, Seq("o_orderstatus"),
+      Seq(0.125, 0.995)).columns.toSeq
+      == Seq("o_orderstatus", "p12_5", "p99_5"))
     // the sample median lands near the exact median (uniform k-sample,
     // k=64 → generous tolerance band)
     val exact = o.groupBy($"o_orderstatus")
