@@ -2435,6 +2435,27 @@ object SparkEntry {
         .orderBy(col("vec_id"))
     }),
 
+    "dd_semantic_serve" -> ((s, dir) => {
+      // the train-once/serve-many convention as a COMPARED row (r13 —
+      // the sf1 probes' serving arms had no oracle-checked sibling):
+      // centroids pre-trained once (ivfTrain over the corpus), then the
+      // dedup pass is map-only assignment against the broadcast
+      // centroid literals + the within-cell join — the corpus is never
+      // re-scanned to rebuild the model. SAME global brute-force oracle
+      // as dd_semantic: the construction is assignment-independent
+      // (exact copies co-locate under ANY deterministic assignment; no
+      // natural pair reaches 0.95).
+      val e = t(s, dir, "embeddings")
+      val doubled = e.select(col("vec_id"), col("embedding"))
+        .unionByName(e.select((col("vec_id") + 100000).as("vec_id"),
+          col("embedding")))
+        .localCheckpoint()
+      val cents = Similarity.ivfTrain(doubled, "vec_id", "embedding", 32)
+      Dedup.semanticDedup(doubled, "vec_id", "embedding", cents, 0.95)
+        .select(col("vec_id"), col("kept"))
+        .orderBy(col("vec_id"))
+    }),
+
     "dd_simhash_novelty_grow" -> ((s, dir) => {
       // the TEXT member of the maintained-index ingest family
       // (Events.textNoveltyIngestBatch — mm_phash_novelty_grow's twin
@@ -2792,6 +2813,29 @@ object SparkEntry {
         0L, idxT, sinkT)
       graft.streaming.Events.imageNoveltyIngestBatch(
         media.filter(col("media_id") >= 60), 1L, idxT, sinkT)
+      s.table(sinkT)
+        .select(col("media_id"), col("dhash"), col("batch_id"))
+        .orderBy(col("media_id"))
+    }),
+
+    "mm_phash_novelty_collapse" -> ((s, dir) => {
+      // the INTRA-BATCH collapse arm of the maintained-index ingest
+      // (r13): cold-start index, ONE batch of the whole image corpus
+      // with collapseIntraBatch = true — same-batch near-duplicate
+      // signatures (the planted re-encodes at hamming 0 and one-pixel
+      // edits at hamming <= 2) collapse to their component's MIN
+      // signature BEFORE the index probe, so the sink holds one
+      // representative per signature component instead of the whole
+      // flood. The oracle replays the signature closed form and walks
+      // components in SIGNATURE space with the recursive min-label CTE.
+      val media = Multimodal.syntheticContentImages(t(s, dir, "documents"))
+        .localCheckpoint()
+      val idxT = "mm_nov_col_idx"; val sinkT = "mm_nov_col_sink"
+      for (tb <- Seq(idxT, sinkT)) s.sql(s"DROP TABLE IF EXISTS $tb")
+      graft.streaming.Events.createSignatureIndex(s, idxT,
+        s.range(0).select(col("id").as("sig")), "sig")
+      graft.streaming.Events.imageNoveltyIngestBatch(media, 0L, idxT,
+        sinkT, collapseIntraBatch = true)
       s.table(sinkT)
         .select(col("media_id"), col("dhash"), col("batch_id"))
         .orderBy(col("media_id"))
@@ -4835,6 +4879,19 @@ object SparkEntry {
         |FROM u LEFT JOIN drp d ON u.vec_id = d.vec_id
         |ORDER BY u.vec_id""".stripMargin,
 
+    // identical oracle to dd_semantic — the serving path changes WHERE
+    // the centroids come from (pre-trained input vs inline training),
+    // never the keep/drop answer (assignment-independent construction)
+    "dd_semantic_serve" ->
+      s"""WITH u AS (SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL SELECT vec_id + 100000, embedding FROM embeddings),
+        |drp AS (SELECT DISTINCT b.vec_id
+        |  FROM u a JOIN u b ON a.vec_id < b.vec_id
+        |  WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.95)
+        |SELECT u.vec_id, d.vec_id IS NULL AS kept
+        |FROM u LEFT JOIN drp d ON u.vec_id = d.vec_id
+        |ORDER BY u.vec_id""".stripMargin,
+
     // LSH-bucket blocking (the 16 shared hyperplanes), exact cosine
     // verify, then connected components via the recursive-CTE walk —
     // the same fixpoint the Spark label-propagation loop converges to
@@ -5372,6 +5429,44 @@ object SparkEntry {
         |FROM n1
         |UNION ALL
         |SELECT doc_id, h, 1::BIGINT FROM n2
+        |ORDER BY media_id""".stripMargin,
+
+    // the intra-batch collapse on a cold-start index: components of the
+    // hamming<=3 graph over DISTINCT signatures (recursive min-label
+    // walk in signature space), rows kept iff their signature IS its
+    // component's minimum — the empty index contributes no drops
+    "mm_phash_novelty_collapse" ->
+      """WITH RECURSIVE d AS (SELECT doc_id, doc_id % 64 AS s,
+        |    (doc_id % 5 = 0) AS p FROM documents),
+        |g AS (SELECT d.doc_id, gy.y AS gy, gx.x AS gx,
+        |    (((CASE WHEN d.p AND gx.x = 2 AND gy.y = 3
+        |         THEN (2*gx.x*7 + 2*gy.y*13 + d.s + 128) % 256
+        |         ELSE (2*gx.x*7 + 2*gy.y*13 + d.s) % 256 END)
+        |      + (2*gx.x*3 + 2*gy.y*5 + d.s*11) % 256
+        |      + (2*gx.x*17 + 2*gy.y + d.s*29) % 256) // 3) AS gray
+        |  FROM d, range(9) gx(x), range(8) gy(y)),
+        |sig AS (SELECT a.doc_id,
+        |    bit_or(CASE WHEN NOT b.gray > a.gray THEN 0::BIGINT
+        |      WHEN a.gy*8 + a.gx = 63
+        |        THEN (-9223372036854775807 - 1)::BIGINT
+        |      ELSE (1::BIGINT << (a.gy*8 + a.gx)::INTEGER) END) AS h
+        |  FROM g a JOIN g b ON b.doc_id = a.doc_id
+        |    AND b.gy = a.gy AND b.gx = a.gx + 1
+        |  WHERE a.gx < 8 GROUP BY a.doc_id),
+        |hs AS (SELECT DISTINCT h FROM sig),
+        |cand AS (SELECT a.h AS ha, b.h AS hb
+        |  FROM hs a JOIN hs b ON a.h < b.h
+        |  WHERE bit_count(xor(a.h, b.h)) <= 3),
+        |edges AS (SELECT ha AS src, hb AS dst FROM cand
+        |  UNION ALL SELECT hb, ha FROM cand),
+        |walk(h, anc) AS (
+        |  SELECT h, h FROM hs
+        |  UNION
+        |  SELECT e.dst, w.anc FROM walk w JOIN edges e ON e.src = w.h),
+        |rep AS (SELECT h, min(anc) AS r FROM walk GROUP BY h)
+        |SELECT s.doc_id AS media_id, s.h AS dhash, 0::BIGINT AS batch_id
+        |FROM sig s JOIN rep r ON r.h = s.h
+        |WHERE s.h = r.r
         |ORDER BY media_id""".stripMargin,
 
     // audio fingerprint closed form: sample i of seed s = doc_id % 48 is

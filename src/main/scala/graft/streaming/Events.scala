@@ -324,51 +324,179 @@ object Events {
         bit_count(c.bitwiseXOR(sig)) <= lit(maxHamming))
   }
 
-  /** JOIN-form novelty filter — [[bandIndexDup]] against an index that
-    * lives in a DataFrame/table instead of the query plan, for indexes
-    * beyond [[MaxLiteralIndexSigs]]: the arriving frame (already
-    * carrying `sigCol`) takes 4 stream-static LEFT equi-joins, one per
-    * 16-bit band, against the band-grouped index
-    * ([[graft.llm.Multimodal.bandIndexRows]] → groupBy band_key →
-    * collect_list), then an exact popcount verifies the gathered
-    * candidates — pigeonhole-complete for maxHamming < 4, identical
-    * decisions to the literal form (StreamingSpec pins parity).
+  /** Default per-band candidate cap for the join-form novelty probes:
+    * at most this many index signatures (the DETERMINISTIC smallest-k
+    * by signature value) are considered per 16-bit band bucket. Real
+    * perceptual-hash/SimHash corpora spread bands, so the cap never
+    * trips outside pathological skew (a constant image flood hashing
+    * to one band value); above it, decisions can only err toward
+    * FALSE-NOVEL (a true near-dup whose every shared band is capped
+    * past its candidates is kept), never false-drop. Monitor with
+    * [[cappedBandBuckets]]; pass `maxBucket = Int.MaxValue` to
+    * disable. The rule (sort by sig, keep the first k) is identical
+    * in the streaming-grouped and batch forms, so cross-form parity
+    * holds capped or not. */
+  val DefaultMaxBandBucket = 4096
+
+  /** The 4 16-bit band keys of a 64-bit signature column —
+    * band·2¹⁶ + the band's bits, the shared geometry of every banded
+    * novelty form ([[graft.llm.Multimodal.bandIndexRows]] emits the
+    * identical keys on the index side). */
+  private def bandKeyCols(sig: Column): Seq[Column] =
+    (0 until 4).map(b => lit(b.toLong << 16) +
+      shiftright(sig, b * 16).bitwiseAND(lit(0xffffL)))
+
+  /** Count of band buckets in a band-exploded index whose population
+    * exceeds `maxBucket` — the LOUD metric for the novelty-probe cap:
+    * nonzero means [[noveltyBandedJoin]] is dropping candidates in
+    * those buckets (false-novel possible there) and the index data is
+    * pathologically skewed in signature space. One hash aggregate;
+    * on a band-bucketed index table it runs without an exchange. */
+  def cappedBandBuckets(banded: DataFrame,
+                        maxBucket: Int = DefaultMaxBandBucket): Long =
+    banded.filter(col("sig").isNotNull)
+      .groupBy("band_key").agg(count(lit(1)).as("n"))
+      .filter(col("n") > maxBucket).count()
+
+  /** JOIN-form novelty filter against a BAND-EXPLODED signature index
+    * (`banded`: one `(band_key, sig)` row per signature per band — the
+    * shape [[createSignatureIndex]] persists, bucketed by `band_key`).
+    * Decisions are identical to the plan-literal [[bandIndexDup]] form
+    * (StreamingSpec pins parity): a signature is a duplicate iff some
+    * index signature within `maxHamming` shares a 16-bit band
+    * (pigeonhole-complete for maxHamming < 4); NULL signatures never
+    * match (undecodable payloads stay novel). Rows keep every caller
+    * column plus `novel`; known near-dups are dropped.
     *
-    * Scale shape: 4 stateless equi-joins (append-mode legal — no
-    * watermark, no state; Spark broadcasts the grouped index when it
-    * fits, shuffled-hash otherwise), exactly one output row per
-    * arrival — no explode of the stream side, no re-aggregation. A
-    * pathological band bucket (many signatures sharing 16 bits) is a
-    * data-skew concern for collect_list; real perceptual-hash corpora
-    * spread bands, and the verify step is a linear scan per candidate
-    * list either way. NULL signatures never match (undecodable
-    * payloads stay novel). */
-  private def noveltySigJoin(signed: DataFrame, sigCol: String,
-                             index: DataFrame, idxSigCol: String,
-                             maxHamming: Int): DataFrame = {
+    * Two physical forms, same decisions:
+    *
+    *  - '''Batch''' (the ingest loop's per-micro-batch shape): the
+    *    frame's distinct signatures explode to their 4 band keys and
+    *    equi-join the index ONCE on `band_key`; an exact popcount
+    *    verifies each candidate pair, and the surviving duplicate
+    *    signatures anti-join the frame. On a `band_key`-bucketed index
+    *    table the index side satisfies the join's distribution straight
+    *    off the scan — NO exchange, no groupBy, no collect_list on the
+    *    index side (LayoutSpec pins the plan); only the (small)
+    *    batch-side signature set shuffles. A hot band bucket becomes
+    *    many join ROWS (streamed, AQE-splittable), never an unbounded
+    *    in-memory array.
+    *  - '''Streaming''' (stream-static, append-mode legal — no
+    *    watermark, no state): the static index groups to per-band
+    *    candidate arrays and the stream takes 4 stateless LEFT
+    *    equi-joins, one per band — the stream side is never exploded
+    *    or re-aggregated (a streaming frame cannot legally aggregate).
+    *
+    * Both forms apply the deterministic `maxBucket` candidate cap —
+    * see [[DefaultMaxBandBucket]]. */
+  def noveltyBandedJoin(signed: DataFrame, sigCol: String,
+                        banded: DataFrame, maxHamming: Int,
+                        maxBucket: Int = DefaultMaxBandBucket)
+      : DataFrame = {
     require(maxHamming < 4,
       "4×16-bit band lookup complete only for maxHamming < 4")
-    val grouped = graft.llm.Multimodal.bandIndexRows(index, idxSigCol)
-      .groupBy("band_key").agg(collect_list("sig").as("sigs"))
+    require(maxBucket > 0, s"maxBucket must be positive: $maxBucket")
+    // the probe's scratch names must not collide with caller columns
+    // (the r12 reserved-name sweep rule: a silent clobber or an
+    // ambiguous-reference error later is worse than a loud reject)
+    val reserved = Seq("__graft_bsig") ++
+      (0 until 4).flatMap(b => Seq(s"__graft_bk$b", s"__graft_sigs$b"))
+    reserved.filter(signed.columns.contains).foreach(c =>
+      throw new IllegalArgumentException(
+        s"column name $c is reserved by noveltyBandedJoin's probe"))
     val sig = col(sigCol)
-    var df = signed
-    val sigsCols = (0 until 4).map { b =>
-      val bk = s"__graft_bk$b"
-      val sc = s"__graft_sigs$b"
-      val g = grouped.select(col("band_key").as(bk), col("sigs").as(sc))
-      df = df.withColumn(bk, lit(b.toLong << 16) +
-          shiftright(sig, b * 16).bitwiseAND(lit(0xffffL)))
-        .join(g, Seq(bk), "left_outer")
-      sc
+    val idx = banded
+      .select(col("band_key").cast(LongType).as("band_key"),
+        col("sig").cast(LongType).as("sig"))
+      .filter(col("sig").isNotNull)
+    if (signed.isStreaming) {
+      val grouped = idx.groupBy("band_key")
+        .agg(slice(array_sort(collect_list(col("sig"))), 1, maxBucket)
+          .as("sigs"))
+      var df = signed
+      val sigsCols = (0 until 4).map { b =>
+        val bk = s"__graft_bk$b"
+        val sc = s"__graft_sigs$b"
+        val g = grouped.select(col("band_key").as(bk), col("sigs").as(sc))
+        df = df.withColumn(bk, bandKeyCols(sig)(b))
+          .join(g, Seq(bk), "left_outer")
+        sc
+      }
+      val cands = flatten(array(sigsCols.map(c =>
+        coalesce(col(c), typedLit(Seq.empty[Long]))): _*))
+      val dup = sig.isNotNull &&
+        exists(cands, c => bit_count(c.bitwiseXOR(sig)) <= lit(maxHamming))
+      df.withColumn("novel", !dup)
+        .drop((0 until 4).flatMap(b =>
+          Seq(s"__graft_bk$b", s"__graft_sigs$b")): _*)
+        .filter(col("novel"))
+    } else {
+      val capped =
+        if (maxBucket == Int.MaxValue) idx
+        else idx.withColumn("__graft_rn",
+            row_number().over(org.apache.spark.sql.expressions.Window
+              .partitionBy("band_key").orderBy("sig")))
+          .filter(col("__graft_rn") <= maxBucket).drop("__graft_rn")
+      val bsig = col("__graft_bsig")
+      val batchSigs = signed.select(sig.cast(LongType).as("__graft_bsig"))
+        .filter(bsig.isNotNull).distinct()
+      val dupSigs = batchSigs
+        .select(bsig, explode(array(bandKeyCols(bsig): _*)).as("band_key"))
+        .join(capped, Seq("band_key"))
+        .filter(bit_count(col("sig").bitwiseXOR(bsig)) <= lit(maxHamming))
+        .select(bsig).distinct()
+      signed.join(dupSigs, sig.cast(LongType) === bsig, "left_anti")
+        .withColumn("novel", lit(true))
     }
-    val cands = flatten(array(sigsCols.map(c =>
-      coalesce(col(c), typedLit(Seq.empty[Long]))): _*))
-    val dup = sig.isNotNull &&
-      exists(cands, c => bit_count(c.bitwiseXOR(sig)) <= lit(maxHamming))
-    df.withColumn("novel", !dup)
-      .drop((0 until 4).flatMap(b =>
-        Seq(s"__graft_bk$b", s"__graft_sigs$b")): _*)
-      .filter(col("novel"))
+  }
+
+  /** [[noveltyBandedJoin]] over a RAW signature index (one signature
+    * per row in `idxSigCol`): derives the band-exploded form first
+    * ([[graft.llm.Multimodal.bandIndexRows]] — distinct + explode, one
+    * index-sized shuffle per call). Callers probing repeatedly should
+    * persist the banded form once ([[createSignatureIndex]]) and probe
+    * it via [[noveltyBandedJoin]] directly. */
+  private def noveltySigJoin(signed: DataFrame, sigCol: String,
+                             index: DataFrame, idxSigCol: String,
+                             maxHamming: Int): DataFrame =
+    noveltyBandedJoin(signed, sigCol,
+      graft.llm.Multimodal.bandIndexRows(index, idxSigCol), maxHamming)
+
+  /** Collapse a frame's NEAR-DUPLICATE signatures to one representative
+    * each: connected components of the intra-frame banded hamming graph
+    * in distinct-signature space (the [[graft.llm.Dedup.simhashClusters]]
+    * machinery), rep = MIN signature per component; rows whose
+    * signature is not its component's representative are dropped,
+    * NULL-signature rows pass through. This is the opt-in INTRA-BATCH
+    * arm of the novelty-ingest loop ([[noveltyIngestBatch]]'s
+    * `collapseIntraBatch`): the index probe tests arrivals against
+    * HISTORY only, so same-batch near-dups would otherwise all pass.
+    * Note the granularity is the signature, not the row: rows SHARING
+    * the representative signature still pass together (exact-payload
+    * row dedup is upstream's job — it needs a row identity this
+    * generic loop doesn't have). */
+  def collapseBySignature(signed: DataFrame, sigCol: String,
+                          maxHamming: Int, maxIter: Int = 20,
+                          driverEdgeLimit: Long = 1000000L): DataFrame = {
+    require(maxHamming < 4,
+      "4×16-bit band lookup complete only for maxHamming < 4")
+    require(!signed.columns.contains("__graft_repsig"),
+      "column name __graft_repsig is reserved by collapseBySignature")
+    val sig = col(sigCol).cast(LongType)
+    val sigs = signed.select(sig.as("simhash"))
+      .filter(col("simhash").isNotNull).distinct()
+      .localCheckpoint()
+    val edges = graft.llm.Dedup.simhashSigPairs(sigs, maxHamming,
+        bandBits = 16, nBands = 4)
+      .select(col("sa").as("id_a"), col("sb").as("id_b"))
+      .localCheckpoint()
+    val repSigs = graft.llm.Dedup.inheritSigComponents(
+        sigs.select(col("simhash").as("doc")),
+        sigs.select(col("simhash").as("doc"), col("simhash").as("sfp")),
+        edges, maxIter, driverEdgeLimit)
+      .filter(col("keep")).select(col("doc").as("__graft_repsig"))
+    signed.join(repSigs, sig === col("__graft_repsig"), "left_semi")
+      .unionByName(signed.filter(sig.isNull))
   }
 
   /** [[imageNoveltyStream]] with the index in a DataFrame/TABLE — the
@@ -931,6 +1059,10 @@ object Events {
       !table.endsWith("__upsert_backup"),
       s"names ending in __upsert_tmp/__upsert_backup are reserved " +
         s"by the upsert sink's swap: $table")
+    require(!table.endsWith("__compact_tmp") &&
+      !table.endsWith("__compact_backup"),
+      s"names ending in __compact_tmp/__compact_backup are reserved " +
+        s"by compactBatchTable's swap: $table")
   }
   private def quoted(table: String): String =
     table.split('.').map(p => s"`$p`").mkString(".")
@@ -1111,24 +1243,184 @@ object Events {
   // everything before it
   // ------------------------------------------------------------------
 
+  /** Default `band_key` bucket count for a new signature index. On a
+    * real cluster size this to the executor count scale (buckets are
+    * the probe join's parallelism ceiling on the index side); 32
+    * matches the local[32] test geometry. */
+  val DefaultIndexBuckets = 32
+
   /** Create (replacing) a signature-index table for the novelty-ingest
-    * loop: schema `(sig BIGINT, batch_id BIGINT)` partitioned by
-    * `batch_id` (the partition makes the ingest loop's replay probe a
-    * metadata-pruned read, and per-batch appends land in their own
-    * partition — no rewrite of prior batches, ever). `seed` supplies
-    * the starting signatures (e.g.
+    * loop, PRE-BAND-EXPLODED and BUCKETED: schema
+    * `(band_key BIGINT, sig BIGINT, batch_id BIGINT)` — 4 rows per
+    * signature ([[graft.llm.Multimodal.bandIndexRows]] geometry) —
+    * hash-bucketed by `band_key` and partitioned by `batch_id`.
+    *
+    * The layout is the r12→r13 scale fix: the per-micro-batch probe
+    * ([[noveltyBandedJoin]]) joins on `band_key`, and the bucketed
+    * scan satisfies that join's distribution directly — the index side
+    * is NEVER exploded, grouped, or shuffled at probe time (the r12
+    * form rebuilt groupBy(band_key)+collect_list from raw signatures
+    * every batch — a full index shuffle per micro-batch). Per-batch
+    * appends stay bucket-local files inside their own `batch_id`
+    * partition (no rewrite of prior batches); the `batch_id` partition
+    * makes the replay probe metadata-pruned; partition GROWTH is
+    * bounded by [[compactBatchTable]] on a maintenance cadence.
+    *
+    * `seed` supplies the starting signatures (e.g.
     * [[graft.llm.Multimodal.dhashSignatures]] over the existing
     * corpus), recorded under batch_id = -1; an EMPTY seed makes a
     * cold-start index. */
   def createSignatureIndex(spark: SparkSession, table: String,
-                           seed: DataFrame, sigCol: String): Unit = {
+                           seed: DataFrame, sigCol: String,
+                           buckets: Int = DefaultIndexBuckets): Unit = {
     checkTableName(table)
+    require(buckets > 0, s"bucket count must be positive: $buckets")
     spark.sql(s"DROP TABLE IF EXISTS ${quoted(table)}")
-    seed.select(col(sigCol).cast(LongType).as("sig"))
-      .filter(col("sig").isNotNull).distinct()
+    graft.llm.Multimodal.bandIndexRows(
+        seed.select(col(sigCol).cast(LongType).as("sig")), "sig")
       .withColumn("batch_id", lit(-1L))
-      .write.partitionBy("batch_id").saveAsTable(table)
+      .write.partitionBy("batch_id")
+      .bucketBy(buckets, "band_key").sortBy("band_key", "sig")
+      .saveAsTable(table)
   }
+
+  /** The catalog bucket spec of `table`, required for bucket-preserving
+    * appends (an append with a different spec would corrupt the
+    * bucketing the probe's shuffle-free plan rests on). */
+  private def bucketSpecOf(spark: SparkSession, table: String)
+      : Option[org.apache.spark.sql.catalyst.catalog.BucketSpec] =
+    spark.sessionState.catalog.getTableMetadata(
+      spark.sessionState.sqlParser.parseTableIdentifier(table)).bucketSpec
+
+  // ------------------------------------------------------------------
+  // batch_id-partitioned table maintenance (compaction)
+  // ------------------------------------------------------------------
+
+  /** Restore a `batch_id`-partitioned table from a crash mid-
+    * [[compactBatchTable]] swap: a missing target with a surviving
+    * `__compact_tmp` (the COMPLETE compacted result — the first swap
+    * rename only runs after the tmp write committed) or
+    * `__compact_backup` (the pre-compaction original) is renamed back;
+    * leftover scratch from a completed or abandoned swap is dropped.
+    * Idempotent; called on entry by [[compactBatchTable]] AND by the
+    * ingest loop, so a batch replay arriving after a compaction crash
+    * heals the table before probing it. */
+  def recoverCompacted(spark: SparkSession, table: String): Unit = {
+    val tmp = s"${table}__compact_tmp"
+    val backup = s"${table}__compact_backup"
+    if (!spark.catalog.tableExists(table)) {
+      if (spark.catalog.tableExists(tmp)) {
+        graft.mat.PartitionScoped.renameTable(spark, quoted(tmp),
+          quoted(table))
+        spark.sql(s"DROP TABLE IF EXISTS ${quoted(backup)}")
+      } else if (spark.catalog.tableExists(backup))
+        graft.mat.PartitionScoped.renameTable(spark, quoted(backup),
+          quoted(table))
+    } else {
+      if (spark.catalog.tableExists(tmp) &&
+          !spark.catalog.tableExists(backup))
+        // pre-swap crash: tmp may be partial — the re-run rewrites it
+        spark.sql(s"DROP TABLE IF EXISTS ${quoted(tmp)}")
+      else if (spark.catalog.tableExists(backup) &&
+          !spark.catalog.tableExists(tmp))
+        // post-swap crash: target is the compacted table, drop leftovers
+        spark.sql(s"DROP TABLE IF EXISTS ${quoted(backup)}")
+    }
+  }
+
+  /** Fold a `batch_id`-partitioned ingest table's COMMITTED batch
+    * partitions into the base partition (batch_id = -1), bounding
+    * partition growth: without maintenance the novelty-ingest loop
+    * accumulates one partition per micro-batch forever, and after 10⁵
+    * batches partition LISTING alone is a per-batch cost. Run on a
+    * maintenance cadence against both the index and the sink.
+    *
+    * Replay safety: micro-batches execute serially and batch N+1 only
+    * starts after batch N's checkpoint commit, so any batch with an id
+    * BELOW the maximum present can never be re-delivered — the maximum
+    * batch partition (the only possibly-replayable one, whose presence
+    * is the ingest loop's commit record) is PRESERVED verbatim, and
+    * everything else folds. A replay of the preserved batch still hits
+    * its partition probe and no-ops; folded batches have no replay to
+    * meet. Stale commit-marker rows (NULL sig) of folded index batches
+    * are dropped in the same pass.
+    *
+    * Physical shape: the folded table is staged to `__compact_tmp`
+    * with the SAME layout (partitioning + bucket spec — a bucketed
+    * index keeps its shuffle-free probe), then rename-swapped in via
+    * `__compact_backup` (never overwrite a table from a plan that
+    * reads it); every crash window is healed by [[recoverCompacted]].
+    * The fold rewrites O(table) once per maintenance run — the
+    * amortized answer to unbounded partition growth, not a per-batch
+    * cost. Sink rows keep their content but their `batch_id` coarsens
+    * to -1 (it is ingest provenance, not data).
+    *
+    * SINGLE-WRITER contract: run from the ingest's own serial context
+    * (the streaming sinks' `compactEvery` hook runs it inside
+    * foreachBatch, strictly between batches) or with the stream
+    * stopped — a compaction racing a live writer could fold the batch
+    * that writer is mid-committing. Returns (partitions before,
+    * partitions after). */
+  def compactBatchTable(spark: SparkSession, table: String): (Int, Int) = {
+    checkTableName(table)
+    recoverCompacted(spark, table)
+    require(spark.catalog.tableExists(table),
+      s"compactBatchTable: no such table $table (and no crash-parked " +
+        "__compact_tmp/__compact_backup to recover)")
+    val ids = spark.sql(s"SHOW PARTITIONS ${quoted(table)}")
+      .collect().map(_.getString(0))
+      .map(p => p.substring(p.indexOf('=') + 1).toLong)
+    val live = ids.filter(_ >= 0L)
+    if (live.length <= 1) return (ids.length, ids.length)
+    val maxId = live.max
+    val isIndexSchema = spark.table(table).columns.toSeq ==
+      Seq("band_key", "sig", "batch_id")
+    val folded0 = spark.table(table).withColumn("batch_id",
+      when(col("batch_id") === maxId, lit(maxId)).otherwise(lit(-1L)))
+    val folded =
+      if (isIndexSchema)
+        folded0.filter(!(col("sig").isNull && col("batch_id") === -1L))
+      else folded0
+    val tmp = s"${table}__compact_tmp"
+    val backup = s"${table}__compact_backup"
+    spark.sql(s"DROP TABLE IF EXISTS ${quoted(tmp)}")
+    spark.sql(s"DROP TABLE IF EXISTS ${quoted(backup)}")
+    val w0 = folded.write.partitionBy("batch_id")
+    val w = bucketSpecOf(spark, table) match {
+      case Some(bs) =>
+        val wb = w0.bucketBy(bs.numBuckets, bs.bucketColumnNames.head,
+          bs.bucketColumnNames.tail: _*)
+        if (bs.sortColumnNames.nonEmpty)
+          wb.sortBy(bs.sortColumnNames.head, bs.sortColumnNames.tail: _*)
+        else wb
+      case None => w0
+    }
+    w.saveAsTable(tmp)
+    graft.mat.PartitionScoped.renameTable(spark, quoted(table),
+      quoted(backup))
+    graft.mat.PartitionScoped.renameTable(spark, quoted(tmp),
+      quoted(table))
+    spark.sql(s"DROP TABLE IF EXISTS ${quoted(backup)}")
+    (ids.length,
+      spark.sql(s"SHOW PARTITIONS ${quoted(table)}").count().toInt)
+  }
+
+  /** The streaming sinks' maintenance hook: every `compactEvery`
+    * micro-batches (0 disables), fold committed batch partitions of
+    * the index and sink via [[compactBatchTable]] — the wiring that
+    * keeps a CONTINUOUS ingest's partition count bounded instead of
+    * growing one partition per batch forever. The just-committed batch
+    * is the maximum present, so it is preserved and its replay probe
+    * still works. */
+  private def maybeCompact(spark: SparkSession, batchId: Long,
+                           compactEvery: Int, indexTable: String,
+                           sinkTable: String): Unit =
+    if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
+      compactBatchTable(spark, indexTable)
+      // the sink may not exist yet (no novel row has ever landed)
+      if (spark.catalog.tableExists(sinkTable))
+        compactBatchTable(spark, sinkTable)
+    }
 
   /** One micro-batch of the novelty-ingest loop (exposed for batch-mode
     * testing — [[startImageNoveltyIngest]] wires it into foreachBatch):
@@ -1154,66 +1446,103 @@ object Events {
     * signatures (undecodable payloads) are KEPT in the sink — absence
     * of a signature is absence of duplicate evidence — and never enter
     * the index. Arrivals within one batch are tested against the index
-    * only, NOT against each other: intra-batch near-duplicates pass
-    * together (collapse them upstream with
-    * [[graft.llm.Multimodal.imageDedupClusters]] when that matters).
+    * only, NOT against each other, UNLESS `collapseIntraBatch` is set:
+    * then [[collapseBySignature]] first collapses the batch's own
+    * near-duplicate signatures to one representative each (min sig per
+    * connected component), so a same-batch duplicate flood contributes
+    * ONE representative instead of all passing together.
     *
-    * Per-batch cost at 100 TB: decode O(|batch|), one banded equi-join
-    * batch × index (the unavoidable probe), two metadata-pruned
-    * existence probes, and appends sized to the batch — prior batches
-    * are never read or rewritten. */
+    * Per-batch cost at 100 TB: decode O(|batch|) (the signed batch is
+    * cached for the batch's lifetime — the probe's duplicate-signature
+    * set and the sink write both read it), ONE banded equi-join
+    * batch × index whose index side comes straight off the bucketed
+    * scan with no exchange (the unavoidable O(index) scan — but never
+    * an index shuffle), two metadata-pruned existence probes, and
+    * appends sized to the batch landing bucket-local in their own
+    * partition — prior batches are never read or rewritten. Partition
+    * growth is bounded by [[compactBatchTable]] on a maintenance
+    * cadence (both tables recover from a mid-compaction crash on
+    * entry here). */
   private def noveltyIngestBatch(batch: DataFrame, batchId: Long,
                                  indexTable: String, sinkTable: String,
                                  maxHamming: Int,
                                  sign: DataFrame => DataFrame,
-                                 sigCol: String): Unit = {
+                                 sigCol: String,
+                                 collapseIntraBatch: Boolean): Unit = {
     require(batchId >= 0, s"batch_id must be >= 0 (got $batchId; -1 is " +
       "reserved for the index seed)")
     checkTableName(indexTable)
     checkTableName(sinkTable)
     if (batch.isEmpty) return
     val spark = batch.sparkSession
+    recoverCompacted(spark, indexTable)
+    recoverCompacted(spark, sinkTable)
+    val bspec = bucketSpecOf(spark, indexTable).getOrElse(
+      throw new IllegalArgumentException(s"$indexTable is not a " +
+        "band-bucketed signature index — (re)create it with " +
+        "createSignatureIndex"))
     val idx = spark.table(indexTable)
     // fully-committed replay: the index partition (written last, never
     // empty thanks to the marker row) is the commit record
     if (!idx.filter(col("batch_id") === batchId).isEmpty) return
-    val novel = noveltySigJoin(sign(batch), sigCol, idx, "sig",
-      maxHamming).withColumn("batch_id", lit(batchId))
-    if (!spark.catalog.tableExists(sinkTable))
-      novel.write.partitionBy("batch_id").saveAsTable(sinkTable)
-    else if (spark.table(sinkTable).filter(col("batch_id") === batchId)
-        .isEmpty) {
-      val cols = spark.table(sinkTable).columns
-      novel.select(cols.map(col).toIndexedSeq: _*)
-        .write.mode("append").insertInto(sinkTable)
-    }
-    // index append reads the novel signatures BACK from the sink's
-    // batch partition (column- and partition-pruned — no second decode
-    // or join), then commits the marker row with them
-    val sigs = spark.table(sinkTable)
-      .filter(col("batch_id") === batchId)
-      .select(col(sigCol).cast(LongType).as("sig"))
-      .filter(col("sig").isNotNull).distinct()
-    sigs.unionByName(spark.range(1).select(lit(null).cast(LongType)
-        .as("sig")))
-      .withColumn("batch_id", lit(batchId))
-      .select(idx.columns.map(col).toIndexedSeq: _*)
-      .write.mode("append").insertInto(indexTable)
+    val signed0 = sign(batch)
+    val signed =
+      if (collapseIntraBatch)
+        collapseBySignature(signed0, sigCol, maxHamming)
+      else signed0
+    // cache the signed batch: the probe's duplicate-signature set and
+    // the sink write are two plan branches over it, and decode is the
+    // expensive per-row step — batch-sized, dropped before return
+    val cached = signed.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val novel = noveltyBandedJoin(cached, sigCol, idx, maxHamming)
+        .withColumn("batch_id", lit(batchId))
+      if (!spark.catalog.tableExists(sinkTable))
+        novel.write.partitionBy("batch_id").saveAsTable(sinkTable)
+      else if (spark.table(sinkTable).filter(col("batch_id") === batchId)
+          .isEmpty) {
+        val cols = spark.table(sinkTable).columns
+        novel.select(cols.map(col).toIndexedSeq: _*)
+          .write.mode("append").insertInto(sinkTable)
+      }
+      // index append reads the novel signatures BACK from the sink's
+      // batch partition (column- and partition-pruned — no second
+      // decode or join), band-explodes them, and commits the marker
+      // row with them — bucket-preserving append (same spec as the
+      // table, so the probe's shuffle-free plan survives growth)
+      val sigs = spark.table(sinkTable)
+        .filter(col("batch_id") === batchId)
+        .select(col(sigCol).cast(LongType).as("sig"))
+        .filter(col("sig").isNotNull).distinct()
+      val marker = spark.range(1).select(
+        lit(null).cast(LongType).as("band_key"),
+        lit(null).cast(LongType).as("sig"))
+      graft.llm.Multimodal.bandIndexRows(sigs, "sig")
+        .unionByName(marker)
+        .withColumn("batch_id", lit(batchId))
+        .write.mode("append").partitionBy("batch_id")
+        .bucketBy(bspec.numBuckets, "band_key")
+        .sortBy("band_key", "sig")
+        .saveAsTable(indexTable)
+    } finally cached.unpersist()
   }
 
   /** [[noveltyIngestBatch]] over image payloads: dHash signatures. */
   def imageNoveltyIngestBatch(batch: DataFrame, batchId: Long,
                               indexTable: String, sinkTable: String,
-                              maxHamming: Int = 3): Unit =
+                              maxHamming: Int = 3,
+                              collapseIntraBatch: Boolean = false): Unit =
     noveltyIngestBatch(batch, batchId, indexTable, sinkTable, maxHamming,
-      graft.llm.Multimodal.withDhash, "dhash")
+      graft.llm.Multimodal.withDhash, "dhash", collapseIntraBatch)
 
   /** [[noveltyIngestBatch]] over audio payloads: aFP fingerprints. */
   def audioNoveltyIngestBatch(batch: DataFrame, batchId: Long,
                               indexTable: String, sinkTable: String,
-                              maxHamming: Int = 3): Unit =
+                              maxHamming: Int = 3,
+                              collapseIntraBatch: Boolean = false): Unit =
     noveltyIngestBatch(batch, batchId, indexTable, sinkTable, maxHamming,
-      graft.llm.Multimodal.withAfp, "afp")
+      graft.llm.Multimodal.withAfp, "afp", collapseIntraBatch)
 
   /** Streaming IMAGE novelty-ingest sink: each micro-batch runs
     * [[imageNoveltyIngestBatch]] — novel arrivals land in `sinkTable`,
@@ -1222,11 +1551,16 @@ object Events {
     * against its own history. */
   def startImageNoveltyIngest(stream: DataFrame, checkpoint: String,
                               indexTable: String, sinkTable: String,
-                              maxHamming: Int = 3): StreamingQuery =
+                              maxHamming: Int = 3,
+                              collapseIntraBatch: Boolean = false,
+                              compactEvery: Int = 0)
+      : StreamingQuery =
     stream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         imageNoveltyIngestBatch(batch, batchId, indexTable, sinkTable,
-          maxHamming)
+          maxHamming, collapseIntraBatch)
+        maybeCompact(batch.sparkSession, batchId, compactEvery,
+          indexTable, sinkTable)
       }
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
@@ -1241,21 +1575,27 @@ object Events {
   def textNoveltyIngestBatch(batch: DataFrame, batchId: Long,
                              indexTable: String, sinkTable: String,
                              textCol: String = "text",
-                             maxHamming: Int = 3): Unit =
+                             maxHamming: Int = 3,
+                             collapseIntraBatch: Boolean = false): Unit =
     noveltyIngestBatch(batch, batchId, indexTable, sinkTable, maxHamming,
       df => df.withColumn("simhash",
         graft.functions.SimHash60(lower(col(textCol)))),
-      "simhash")
+      "simhash", collapseIntraBatch)
 
   /** [[startImageNoveltyIngest]]'s text twin. */
   def startTextNoveltyIngest(stream: DataFrame, checkpoint: String,
                              indexTable: String, sinkTable: String,
                              textCol: String = "text",
-                             maxHamming: Int = 3): StreamingQuery =
+                             maxHamming: Int = 3,
+                             collapseIntraBatch: Boolean = false,
+                             compactEvery: Int = 0)
+      : StreamingQuery =
     stream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         textNoveltyIngestBatch(batch, batchId, indexTable, sinkTable,
-          textCol, maxHamming)
+          textCol, maxHamming, collapseIntraBatch)
+        maybeCompact(batch.sparkSession, batchId, compactEvery,
+          indexTable, sinkTable)
       }
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
@@ -1264,11 +1604,16 @@ object Events {
   /** [[startImageNoveltyIngest]]'s audio twin. */
   def startAudioNoveltyIngest(stream: DataFrame, checkpoint: String,
                               indexTable: String, sinkTable: String,
-                              maxHamming: Int = 3): StreamingQuery =
+                              maxHamming: Int = 3,
+                              collapseIntraBatch: Boolean = false,
+                              compactEvery: Int = 0)
+      : StreamingQuery =
     stream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         audioNoveltyIngestBatch(batch, batchId, indexTable, sinkTable,
-          maxHamming)
+          maxHamming, collapseIntraBatch)
+        maybeCompact(batch.sparkSession, batchId, compactEvery,
+          indexTable, sinkTable)
       }
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())

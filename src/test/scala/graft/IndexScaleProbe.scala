@@ -34,20 +34,39 @@ object IndexScaleProbe {
     def time(body: => Unit): Double = {
       val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
     }
-    println(f"[isp] ${"index size"}%10s ${"literal"}%8s ${"join"}%8s")
-    for (n <- Seq(1000, 8000, 32000, 64000)) {
+    println(f"[isp] ${"index size"}%10s ${"literal"}%8s ${"join"}%8s ${"bucketed"}%9s")
+    for (n <- Seq(1000, 8000, 32000, 64000, 256000, 1000000)) {
       val table = idx(n)
-      val sigs = table.as[Long].collect().toSeq
-      def runLit(): Unit = graft.streaming.Events
-        .imageNoveltyStream(media, sigs)
-        .write.format("noop").mode("overwrite").save()
+      // literal arm only under the plan-size guard
+      val tl: Option[Double] =
+        if (n <= graft.streaming.Events.MaxLiteralIndexSigs) {
+          val sigs = table.as[Long].collect().toSeq
+          def runLit(): Unit = graft.streaming.Events
+            .imageNoveltyStream(media, sigs)
+            .write.format("noop").mode("overwrite").save()
+          runLit() // warm-up
+          Some(math.min(time(runLit()), time(runLit())))
+        } else None
       def runJoin(): Unit = graft.streaming.Events
         .imageNoveltyJoin(media, table)
         .write.format("noop").mode("overwrite").save()
-      runLit(); runJoin() // warm-up
-      val tl = math.min(time(runLit()), time(runLit()))
+      runJoin() // warm-up
       val tj = math.min(time(runJoin()), time(runJoin()))
-      println(f"[isp] $n%10d $tl%8.2f $tj%8.2f")
+      // bucketed-table arm: the ingest loop's per-batch probe shape —
+      // band-exploded index persisted bucketed by band_key, probed via
+      // noveltyBandedJoin (index side comes straight off the scan)
+      val bktT = s"isp_idx_$n"
+      spark.sql(s"DROP TABLE IF EXISTS $bktT")
+      graft.streaming.Events.createSignatureIndex(spark, bktT, table,
+        "sig")
+      val signed = graft.llm.Multimodal.withDhash(media).localCheckpoint()
+      def runBkt(): Unit = graft.streaming.Events
+        .noveltyBandedJoin(signed, "dhash", spark.table(bktT), 3)
+        .write.format("noop").mode("overwrite").save()
+      runBkt() // warm-up
+      val tb = math.min(time(runBkt()), time(runBkt()))
+      spark.sql(s"DROP TABLE IF EXISTS $bktT")
+      println(f"[isp] $n%10d ${tl.map(t => f"$t%8.2f").getOrElse("       -")}%s $tj%8.2f $tb%9.2f")
     }
     spark.stop()
   }

@@ -70,7 +70,12 @@ object Sf1Probe {
     "dd_simhash_novelty_grow", "mm_audio_novelty_grow",
     // r12 third wave: mergeable KMV quantile rollup — one
     // ObjectHashAggregate, k pairs per cell on the exchange
-    "op_quantile_rollup")
+    "op_quantile_rollup",
+    // round-13 rows: the serving-mode semantic dedup (pre-trained
+    // centroids, map-only assignment) and the intra-batch collapse
+    // ingest (signature components like mm_phash_clusters — expect
+    // ~its growth)
+    "dd_semantic_serve", "mm_phash_novelty_collapse")
 
   def main(args: Array[String]): Unit = {
     val src = "/root/testdata/sf0.1"
@@ -154,6 +159,10 @@ object Sf1Probe {
       "vec_id", "embedding", 32)
     lazy val centsDst = graft.llm.Similarity.ivfTrain(doubledEmb(dst),
       "vec_id", "embedding", 320)
+    // r13 crossover regime: nlist scaled past the point where the
+    // two-level FLOP win must pay (ncoarse 56 ~ sqrt(3200))
+    lazy val centsBig = graft.llm.Similarity.ivfTrain(doubledEmb(dst),
+      "vec_id", "embedding", 3200)
     // the fixed audio index: built ONCE from the sf0.1 corpus, so the
     // *_fixedidx arm excludes per-run index construction entirely
     lazy val fixedAudioIdx: Seq[Long] = {
@@ -216,6 +225,20 @@ object Sf1Probe {
             "embedding", cents, if (m == 1) 6 else 18)
           .groupBy(col("cell")).agg(count(lit(1)).as("n"))
       }),
+      // r13 (r12 verdict #6): the two-level crossover probe — at
+      // nlist=320 the isolated FLOP win did NOT pay (codegen branch
+      // overhead); these arms measure the nlist=3200 regime where the
+      // flat form's n x nlist term must lose. Both scales use the same
+      // sf1-trained centroids: the assignment cost under test depends
+      // on nlist, not on where the corpus came from.
+      "dd_assign_flat_3200" -> ((dir, _) =>
+        graft.llm.Similarity.ivfAssign(doubledEmb(dir), "vec_id",
+            "embedding", centsBig)
+          .groupBy(col("cell")).agg(count(lit(1)).as("n"))),
+      "dd_assign_2l_3200" -> ((dir, _) =>
+        graft.llm.Similarity.ivfAssignTwoLevel(doubledEmb(dir), "vec_id",
+            "embedding", centsBig, 56)
+          .groupBy(col("cell")).agg(count(lit(1)).as("n"))),
       // ta_select without a binding budget: the residual
       // range-partitioned cumsum phase never runs — isolates the
       // scoring projection + histogram
@@ -242,6 +265,49 @@ object Sf1Probe {
         val b = timeDf(f(dst, X))
         println(f"[sf1] $n%-22s $a%8.2f $b%8.2f ${b / a}%7.1fx")
       }
+
+    // bucketed-snapshot decomposition (r12 verdict #7): the compared
+    // row's sf1 growth blamed the first-build CTAS without isolating
+    // it — time the BUILD (full-corpus SCD2 CTAS) and the incremental
+    // bucket-scoped APPLY separately at both scales. Side-effecting
+    // materializer runs don't fit timeDf's re-evaluation, so each
+    // phase is timed once on a fresh table.
+    if (only.forall(_.exists(pfx => "mat_snap_split".startsWith(pfx)))) {
+      def snapSplit(dir: String): (Double, Double) = {
+        val m = new graft.mat.Materializer(spark)
+        val rel = graft.model.Relation("sf1_snap_bkt")
+        for (t0 <- Seq("sf1_snap_bkt", "sf1_snap_bkt__dbt_tmp",
+            "sf1_snap_bkt__dbt_backup", "sf1_snap_bkt__dbt_scoped_tmp"))
+          spark.sql(s"DROP TABLE IF EXISTS $t0")
+        val o = Tables.load(spark, dir, "orders").select(
+          col("o_orderkey").as("id"),
+          col("o_orderstatus").as("v"),
+          col("o_orderdate").cast("timestamp").as("updated_at"))
+        val v0 = o.filter(pmod(col("id"), lit(10)) < 5)
+        val changed = pmod(col("id"), lit(10)) < 2
+        val v1 = o.select(col("id"),
+          when(changed, lit("XX")).otherwise(col("v")).as("v"),
+          when(changed, col("updated_at") + expr("interval 10 days"))
+            .otherwise(col("updated_at")).as("updated_at"))
+        def once(body: => Unit): Double = {
+          val t0 = System.nanoTime(); body
+          (System.nanoTime() - t0) / 1e9
+        }
+        val tb = once(m.snapshot(rel, v0, Seq("id"), "updated_at",
+          buckets = 8))
+        val ta = once(m.snapshot(rel, v1, Seq("id"), "updated_at",
+          buckets = 8))
+        for (t0 <- Seq("sf1_snap_bkt", "sf1_snap_bkt__dbt_tmp",
+            "sf1_snap_bkt__dbt_backup", "sf1_snap_bkt__dbt_scoped_tmp"))
+          spark.sql(s"DROP TABLE IF EXISTS $t0")
+        (tb, ta)
+      }
+      snapSplit(src) // warm-up (JIT + shuffle service)
+      val (b1, a1) = snapSplit(src)
+      val (b10, a10) = snapSplit(dst)
+      println(f"[sf1] mat_snap_build         $b1%8.2f $b10%8.2f ${b10 / b1}%7.1fx")
+      println(f"[sf1] mat_snap_apply         $a1%8.2f $a10%8.2f ${a10 / a1}%7.1fx")
+    }
     spark.stop()
   }
 }

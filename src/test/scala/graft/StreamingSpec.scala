@@ -966,7 +966,14 @@ class StreamingSpec extends SparkSpec {
     Events.imageNoveltyIngestBatch(b1, 0L, idxT, sinkT)
     assert(spark.table(sinkT).filter($"batch_id" === 0L)
       .select($"media_id").as[Long].collect().toSet == novel1.toSet)
-    val idxAfter1 = spark.table(idxT).filter($"sig".isNotNull).count()
+    // the index is BAND-EXPLODED (4 rows per signature + 1 marker per
+    // batch) — growth assertions count DISTINCT signatures
+    def idxSigs() = spark.table(idxT).filter($"sig".isNotNull)
+      .select($"sig").distinct().count()
+    val idxAfter1 = idxSigs()
+    // every index signature carries exactly its 4 band rows
+    assert(spark.table(idxT).filter($"sig".isNotNull).count()
+      == 4 * idxAfter1)
     Events.imageNoveltyIngestBatch(b2, 1L, idxT, sinkT)
     val kept2 = spark.table(sinkT).filter($"batch_id" === 1L)
       .select($"media_id").as[Long].collect().toSet
@@ -978,8 +985,7 @@ class StreamingSpec extends SparkSpec {
     Events.imageNoveltyIngestBatch(b1, 0L, idxT, sinkT)
     assert(spark.table(sinkT).count() == sinkBefore)
     assert(spark.table(idxT).count() == idxBefore)
-    assert(spark.table(idxT).filter($"sig".isNotNull).count()
-      == idxAfter1 + expected2.map(allSigs).size)
+    assert(idxSigs() == idxAfter1 + expected2.map(allSigs).size)
     // crash between sink and index appends: simulate by deleting the
     // index's batch-1 partition rows, then replay — decisions converge
     // (sink unchanged, index repaired)
@@ -1032,6 +1038,55 @@ class StreamingSpec extends SparkSpec {
     assert(kept == (novel1 ++ novel2).toSet)
     assert(spark.table(idxT).select(max($"batch_id")).head().getLong(0)
       >= 1L)
+    for (t <- Seq(idxT, sinkT)) spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
+  test("novelty ingest: compactEvery bounds partitions, decisions unchanged") {
+    import org.apache.spark.sql.types._
+    val idxT = "nov_idx_ce"; val sinkT = "nov_sink_ce"
+    for (t <- Seq(idxT, sinkT)) spark.sql(s"DROP TABLE IF EXISTS $t")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-novce").toString
+    val docs = Tables.load(spark, sf, "documents").limit(120)
+    val media = graft.llm.Multimodal.syntheticContentImages(docs)
+      .localCheckpoint()
+    // three source files -> three AvailableNow micro-batches
+    media.filter($"media_id" >= 30 && $"media_id" < 60)
+      .coalesce(1).write.parquet(s"$tmp/in")
+    media.filter($"media_id" >= 60 && $"media_id" < 90)
+      .coalesce(1).write.mode("append").parquet(s"$tmp/in")
+    media.filter($"media_id" >= 90 && $"media_id" < 120)
+      .coalesce(1).write.mode("append").parquet(s"$tmp/in")
+    Events.createSignatureIndex(spark, idxT,
+      graft.llm.Multimodal.dhashSignatures(media.filter($"media_id" < 30))
+        .select($"dhash".as("sig")), "sig")
+    val stream = spark.readStream
+      .schema(StructType(Seq(StructField("media_id", LongType),
+        StructField("media_type", StringType),
+        StructField("payload", BinaryType),
+        StructField("n_bytes", LongType))))
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$tmp/in")
+    val q = Events.startImageNoveltyIngest(stream, s"$tmp/ckpt",
+      idxT, sinkT, compactEvery = 1)
+    q.awaitTermination(180000)
+    // maintenance ran between batches: base + at most the last batch
+    assert(spark.sql(s"SHOW PARTITIONS $idxT").count() <= 2)
+    assert(spark.sql(s"SHOW PARTITIONS $sinkT").count() <= 2)
+    // growth decisions equal the sequential ground truth — compaction
+    // folded history without changing a single keep/drop
+    val allSigs = graft.llm.Multimodal.dhashSignatures(media)
+      .select($"media_id", $"dhash").as[(Long, Long)].collect().toMap
+    def near(h: Long, s: Iterable[Long]) =
+      s.exists(x => java.lang.Long.bitCount(x ^ h) <= 3)
+    var idxSigs = (0L until 30L).map(allSigs).toSeq
+    val expected = Seq((30L, 60L), (60L, 90L), (90L, 120L)).flatMap {
+      case (lo, hi) =>
+        val nov = (lo until hi).filter(id => !near(allSigs(id), idxSigs))
+        idxSigs = idxSigs ++ nov.map(allSigs)
+        nov
+    }.toSet
+    assert(spark.table(sinkT).select($"media_id").as[Long]
+      .collect().toSet == expected)
     for (t <- Seq(idxT, sinkT)) spark.sql(s"DROP TABLE IF EXISTS $t")
   }
 
@@ -1206,5 +1261,222 @@ class StreamingSpec extends SparkSpec {
     assert(spark.table(table).orderBy($"k").collect().toSeq == before)
     for (s <- Seq(table, s"${table}__upsert_tmp", s"${table}__upsert_backup"))
       spark.sql(s"DROP TABLE IF EXISTS $s")
+  }
+
+  private def withConf(kv: (String, String))(body: => Unit): Unit = {
+    val (k, v) = kv
+    val old = spark.conf.getOption(k)
+    spark.conf.set(k, v)
+    try body
+    finally old match {
+      case Some(o) => spark.conf.set(k, o)
+      case None => spark.conf.unset(k)
+    }
+  }
+
+  test("banded novelty probe: bucketed index side runs with no exchange") {
+    val idxT = "nov_idx_plan"
+    spark.sql(s"DROP TABLE IF EXISTS $idxT")
+    Events.createSignatureIndex(spark, idxT,
+      spark.range(20000).select(xxhash64($"id").as("sig")), "sig")
+    val docs = Tables.load(spark, sf, "documents").limit(80)
+    val media = graft.llm.Multimodal.syntheticContentImages(docs)
+      .localCheckpoint()
+    withConf("spark.sql.adaptive.enabled" -> "false") {
+      val probe = Events.noveltyBandedJoin(
+        graft.llm.Multimodal.withDhash(media), "dhash",
+        spark.table(idxT), 3)
+      val plan = probe.queryExecution.executedPlan
+      import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+      def idxScans(p: SparkPlan) = p.collect {
+        case f: FileSourceScanExec
+            if f.tableIdentifier.exists(_.table == idxT) => f }
+      assert(idxScans(plan).nonEmpty, s"no index scan in:\n$plan")
+      // no exchange on the scan→join path of the index branch: an
+      // exchange whose subtree holds the index scan but no join yet
+      // would be shuffling the index itself (post-join exchanges only
+      // move batch-sized data)
+      def joins(p: SparkPlan) = p.collect {
+        case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j }
+      val shuffledIdx = plan.collect {
+        case e: ShuffleExchangeExec
+            if idxScans(e.child).nonEmpty && joins(e.child).isEmpty => e }
+      assert(shuffledIdx.isEmpty,
+        s"index side of the novelty probe shuffles:\n$plan")
+      // and the decisions equal the plan-literal form's
+      val sigs = spark.range(20000).select(xxhash64($"id").as("sig"))
+        .as[Long].collect().toSeq
+      val lit0 = Events.imageNoveltyStream(media, sigs)
+        .select($"media_id").as[Long].collect().toSet
+      assert(probe.select($"media_id").as[Long].collect().toSet == lit0)
+    }
+    spark.sql(s"DROP TABLE IF EXISTS $idxT")
+  }
+
+  test("join-form novelty under a real stream equals batch decisions") {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    val tmp = java.nio.file.Files.createTempDirectory("graft-jnov").toString
+    val docs = Tables.load(spark, sf, "documents").limit(150)
+    val media = graft.llm.Multimodal.syntheticContentImages(docs)
+      .localCheckpoint()
+    media.coalesce(1).write.mode("overwrite").parquet(s"$tmp/in")
+    val idxDf = graft.llm.Multimodal
+      .dhashSignatures(media.filter($"media_id" < 30))
+      .select($"dhash".as("sig")).localCheckpoint()
+    val stream = spark.readStream
+      .schema(StructType(Seq(StructField("media_id", LongType),
+        StructField("media_type", StringType),
+        StructField("payload", BinaryType),
+        StructField("n_bytes", LongType))))
+      .parquet(s"$tmp/in")
+    val q = Events.imageNoveltyJoin(stream, idxDf)
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .format("parquet")
+      .option("path", s"$tmp/out")
+      .start()
+    q.awaitTermination(120000)
+    val streamed = spark.read.parquet(s"$tmp/out")
+      .select($"media_id").as[Long].collect().toSet
+    val batch = Events.imageNoveltyJoin(media, idxDf)
+      .select($"media_id").as[Long].collect().toSet
+    assert(streamed == batch)
+    assert(batch.nonEmpty && batch.size < media.count())
+  }
+
+  test("compactBatchTable bounds ingest partitions; replay and decisions survive") {
+    val idxT = "nov_idx_cp"; val sinkT = "nov_sink_cp"
+    val idxU = "nov_idx_cu"; val sinkU = "nov_sink_cu"
+    for (t <- Seq(idxT, sinkT, idxU, sinkU))
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+    val d = Tables.load(spark, sf, "documents").limit(150)
+      .select($"doc_id", $"text").localCheckpoint()
+    def seed(t: String) = Events.createSignatureIndex(spark, t,
+      d.filter($"doc_id" < 30)
+        .select(graft.functions.SimHash60(lower($"text")).as("sig")), "sig")
+    seed(idxT); seed(idxU)
+    val slices = (0 until 4).map(i =>
+      d.filter($"doc_id" >= 30 * (i + 1) && $"doc_id" < 30 * (i + 2)))
+    slices.zipWithIndex.foreach { case (b, i) =>
+      Events.textNoveltyIngestBatch(b, i.toLong, idxT, sinkT)
+      Events.textNoveltyIngestBatch(b, i.toLong, idxU, sinkU)
+    }
+    assert(spark.sql(s"SHOW PARTITIONS $idxT").count() == 5)
+    val sigsBefore = spark.table(idxT).filter($"sig".isNotNull)
+      .select($"sig").distinct().count()
+    val sinkBefore = spark.table(sinkT).select($"doc_id").as[Long]
+      .collect().toSet
+    val (ib, ia) = Events.compactBatchTable(spark, idxT)
+    val (sb, sa) = Events.compactBatchTable(spark, sinkT)
+    assert(ib == 5 && ia == 2, s"index partitions $ib -> $ia")
+    assert(sb >= sa && sa <= 2, s"sink partitions $sb -> $sa")
+    // content preserved (signatures and sink rows; batch_id coarsens)
+    assert(spark.table(idxT).filter($"sig".isNotNull)
+      .select($"sig").distinct().count() == sigsBefore)
+    assert(spark.table(sinkT).select($"doc_id").as[Long].collect().toSet
+      == sinkBefore)
+    // bucket spec survived the swap (the probe stays shuffle-free)
+    assert(spark.sessionState.catalog.getTableMetadata(
+      spark.sessionState.sqlParser.parseTableIdentifier(idxT))
+      .bucketSpec.exists(_.bucketColumnNames == Seq("band_key")))
+    // replay of the PRESERVED max batch: still a pure no-op
+    val sn = spark.table(sinkT).count()
+    val in2 = spark.table(idxT).count()
+    Events.textNoveltyIngestBatch(slices(3), 3L, idxT, sinkT)
+    assert(spark.table(sinkT).count() == sn)
+    assert(spark.table(idxT).count() == in2)
+    // a NEW batch decides identically to the uncompacted twin
+    val b4 = d.select(($"doc_id" + 10000).as("doc_id"), $"text")
+    Events.textNoveltyIngestBatch(b4, 4L, idxT, sinkT)
+    Events.textNoveltyIngestBatch(b4, 4L, idxU, sinkU)
+    def batch4(t: String) = spark.table(t).filter($"batch_id" === 4L)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(batch4(sinkT) == batch4(sinkU))
+    // mid-swap crash: target gone, backup holds the original — heals
+    graft.mat.PartitionScoped.renameTable(spark, s"`$idxT`",
+      s"`${idxT}__compact_backup`")
+    Events.recoverCompacted(spark, idxT)
+    assert(spark.catalog.tableExists(idxT) &&
+      !spark.catalog.tableExists(s"${idxT}__compact_backup"))
+    for (t <- Seq(idxT, sinkT, idxU, sinkU))
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
+  test("collapseIntraBatch: same-batch near-dup signatures collapse to a rep") {
+    val idxC = "nov_idx_ib"; val sinkC = "nov_sink_ib"
+    val idxN = "nov_idx_nb"; val sinkN = "nov_sink_nb"
+    for (t <- Seq(idxC, sinkC, idxN, sinkN))
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+    val docs = Tables.load(spark, sf, "documents").limit(120)
+    val media = graft.llm.Multimodal.syntheticContentImages(docs)
+      .localCheckpoint()
+    // cold-start indexes: every arrival is index-novel, so kept rows
+    // are decided purely by the intra-batch rule
+    val empty = spark.range(0).select($"id".as("sig"))
+    Events.createSignatureIndex(spark, idxC, empty, "sig")
+    Events.createSignatureIndex(spark, idxN, empty, "sig")
+    Events.imageNoveltyIngestBatch(media, 0L, idxC, sinkC,
+      collapseIntraBatch = true)
+    Events.imageNoveltyIngestBatch(media, 0L, idxN, sinkN)
+    // without collapse the whole batch passes together
+    assert(spark.table(sinkN).count() == media.count())
+    // brute-force the expected reps: components of the hamming<=3
+    // signature graph, rep = MIN signature; rows keep iff sig == rep
+    val sigs = graft.llm.Multimodal.dhashSignatures(media)
+      .select($"media_id", $"dhash").as[(Long, Long)].collect()
+    val uniq = sigs.map(_._2).distinct
+    val parent = scala.collection.mutable.Map(uniq.map(x => x -> x): _*)
+    def find(x: Long): Long =
+      if (parent(x) == x) x
+      else { val r = find(parent(x)); parent(x) = r; r }
+    for (a <- uniq; b <- uniq
+         if a < b && java.lang.Long.bitCount(a ^ b) <= 3) {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = sigs.collect {
+      case (id, h) if find(h) == h => id }.toSet
+    val kept = spark.table(sinkC).select($"media_id").as[Long]
+      .collect().toSet
+    assert(kept == expected)
+    assert(kept.size < media.count(), "planted dups did not collapse")
+    // the index holds exactly the representative signatures
+    assert(spark.table(idxC).filter($"sig".isNotNull).select($"sig")
+      .distinct().as[Long].collect().toSet
+      == uniq.filter(h => find(h) == h).toSet)
+    for (t <- Seq(idxC, sinkC, idxN, sinkN))
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
+  test("band-bucket cap: deterministic bottom-k, loud metric, false-novel only above cap") {
+    // pathological index: 5001 signatures identical in bands 0, 2, 3
+    // (low 16 bits fixed, high 32 bits zero), spread only in band 1 —
+    // a dense id run 1..5000 plus one isolated top member far from the
+    // run in hamming space (id 0xF000)
+    val hot = spark.range(1, 5001)
+      .select(($"id" * 65536 + lit(0x1234)).cast("long").as("sig"))
+      .unionByName(Seq(61440L * 65536 + 0x1234L).toDF("sig"))
+    val banded = graft.llm.Multimodal.bandIndexRows(hot, "sig")
+      .localCheckpoint()
+    // the loud metric: exactly the 3 hot buckets exceed the cap
+    assert(Events.cappedBandBuckets(banded) == 3)
+    assert(Events.cappedBandBuckets(banded, 6000) == 0)
+    // probe 1 hamming bit from the TOP index signature: its shared
+    // bands are all capped (it sorts above the kept bottom-4096, and
+    // every kept id 1..4096 is >= 4 bits away) and its band-1 value
+    // matches nothing, so under the cap it is (falsely) novel; with
+    // the cap lifted the hamming-1 twin is found
+    val top = 61440L * 65536 + 0x1234L
+    val probe = Seq((1L, top | (1L << 16))).toDF("media_id", "s")
+    assert(Events.noveltyBandedJoin(probe, "s", banded, 3).count() == 1)
+    assert(Events.noveltyBandedJoin(probe, "s", banded, 3,
+      maxBucket = Int.MaxValue).count() == 0)
+    // a probe equal to a bottom-k signature is caught capped or not
+    val low = Seq((2L, 1L * 65536 + 0x1234L)).toDF("media_id", "s")
+    assert(Events.noveltyBandedJoin(low, "s", banded, 3).count() == 0)
   }
 }
