@@ -2435,6 +2435,47 @@ object SparkEntry {
         .orderBy(col("vec_id"))
     }),
 
+    "dd_semantic_novelty_grow" -> ((s, dir) => {
+      // the EMBEDDING member of the maintained-index ingest family
+      // (r13 — mm_phash_novelty_grow's cosine twin): IVF
+      // cell-partitioned vector index table, per-batch probe
+      // partition-pruned to the batch's touched cells. Batch 0 =
+      // exact copies of %5 ids (dropped against the seed) + negated
+      // %7 ids (novel — their vectors JOIN the index); batch 1 =
+      // copies of batch-0's novelties (dropped ONLY because batch 0
+      // grew the index — a static index would keep every one) + fresh
+      // negated %11∖%7 ids (novel). The oracle replays the two-step
+      // growth with brute-force cosine — assignment-independent by
+      // the dd_semantic construction (every qualifying pair is an
+      // exact copy, which co-locates; nothing natural reaches 0.95).
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding")).localCheckpoint()
+      val idxT = "dd_semnov_grow_idx"; val sinkT = "dd_semnov_grow_sink"
+      for (tb <- Seq(idxT, s"${idxT}__cents", sinkT))
+        s.sql(s"DROP TABLE IF EXISTS $tb")
+      val cents = Similarity.ivfTrain(e, "vec_id", "embedding", 32)
+      graft.streaming.Events.createEmbeddingIndex(s, idxT, e,
+        "embedding", cents)
+      val b0 = e.filter(pmod(col("vec_id"), lit(5)) === 0)
+        .select((col("vec_id") + 200000).as("vec_id"), col("embedding"))
+        .unionByName(e.filter(pmod(col("vec_id"), lit(7)) === 0)
+          .select((col("vec_id") + 300000).as("vec_id"),
+            transform(col("embedding"), x => -x).as("embedding")))
+      val b1 = e.filter(pmod(col("vec_id"), lit(7)) === 0)
+        .select((col("vec_id") + 400000).as("vec_id"),
+          transform(col("embedding"), x => -x).as("embedding"))
+        .unionByName(e.filter(pmod(col("vec_id"), lit(11)) === 0 &&
+            pmod(col("vec_id"), lit(7)) =!= 0)
+          .select((col("vec_id") + 500000).as("vec_id"),
+            transform(col("embedding"), x => -x).as("embedding")))
+      graft.streaming.Events.embeddingNoveltyIngestBatch(b0, 0L, idxT,
+        sinkT, "embedding", 0.95)
+      graft.streaming.Events.embeddingNoveltyIngestBatch(b1, 1L, idxT,
+        sinkT, "embedding", 0.95)
+      s.table(sinkT).select(col("vec_id"), col("batch_id"))
+        .orderBy(col("vec_id"))
+    }),
+
     "dd_semantic_serve" -> ((s, dir) => {
       // the train-once/serve-many convention as a COMPARED row (r13 —
       // the sf1 probes' serving arms had no oracle-checked sibling):
@@ -4878,6 +4919,34 @@ object SparkEntry {
         |SELECT u.vec_id, d.vec_id IS NULL AS kept
         |FROM u LEFT JOIN drp d ON u.vec_id = d.vec_id
         |ORDER BY u.vec_id""".stripMargin,
+
+    // the growing embedding index replayed with brute-force cosine:
+    // batch 0 vs the seed corpus, batch 1 vs seed ∪ batch-0 novelties
+    "dd_semantic_novelty_grow" ->
+      s"""WITH b0 AS (
+        |  SELECT vec_id + 200000 AS vec_id, embedding FROM embeddings
+        |  WHERE vec_id % 5 = 0
+        |  UNION ALL
+        |  SELECT vec_id + 300000, list_transform(embedding, x -> -x)
+        |  FROM embeddings WHERE vec_id % 7 = 0),
+        |n0 AS (SELECT b.vec_id, b.embedding FROM b0 b
+        |  WHERE NOT EXISTS (SELECT 1 FROM embeddings ix
+        |    WHERE ${cosSql("b.embedding", "ix.embedding")} >= 0.95)),
+        |i1 AS (SELECT embedding FROM embeddings
+        |  UNION ALL SELECT embedding FROM n0),
+        |b1 AS (
+        |  SELECT vec_id + 400000 AS vec_id,
+        |    list_transform(embedding, x -> -x) AS embedding
+        |  FROM embeddings WHERE vec_id % 7 = 0
+        |  UNION ALL
+        |  SELECT vec_id + 500000, list_transform(embedding, x -> -x)
+        |  FROM embeddings WHERE vec_id % 11 = 0 AND vec_id % 7 <> 0),
+        |n1 AS (SELECT b.vec_id FROM b1 b
+        |  WHERE NOT EXISTS (SELECT 1 FROM i1 ix
+        |    WHERE ${cosSql("b.embedding", "ix.embedding")} >= 0.95))
+        |SELECT vec_id, 0::BIGINT AS batch_id FROM n0
+        |UNION ALL SELECT vec_id, 1::BIGINT FROM n1
+        |ORDER BY vec_id""".stripMargin,
 
     // identical oracle to dd_semantic — the serving path changes WHERE
     // the centroids come from (pre-trained input vs inline training),

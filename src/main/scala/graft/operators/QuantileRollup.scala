@@ -93,35 +93,46 @@ object QuantileRollup {
     require(qs.nonEmpty && qs.forall(q => q >= 0.0 && q <= 1.0),
       s"quantiles must be in [0, 1]: $qs")
     val kCol = sampleCol + "_k"
-    val buildK: Option[Int] =
-      if (!rollup.columns.contains(kCol)) None
-      else {
+    val hasK = rollup.columns.contains(kCol)
+    val useK =
+      if (k == 0) {
+        // derive: one metadata-sized aggregate over the sample table
+        // (|cells| rows); mixed build ks are rejected — their union is
+        // not a uniform sample at any single k
+        require(hasK, s"rollup carries no $kCol column — pass the " +
+          "build-time k explicitly")
         val r = rollup.agg(min(col(kCol)), max(col(kCol))).head()
-        if (r.isNullAt(0)) None // empty rollup: any k merges to empty
+        if (r.isNullAt(0)) 1 // empty rollup: output is empty anyway
         else {
           require(r.getInt(0) == r.getInt(1),
             s"rollup mixes build-time sample sizes ($kCol " +
               s"${r.getInt(0)}..${r.getInt(1)}) — their union is not " +
-              "a uniform sample; rebuild at one k")
-          Some(r.getInt(0))
+              "a uniform sample; rebuild at one k or pass an explicit " +
+              "k <= the smallest build k")
+          r.getInt(0)
         }
+      } else {
+        require(k > 0, s"sample size k must be positive: $k")
+        k
       }
-    val useK = (k, buildK) match {
-      case (0, Some(bk)) => bk
-      case (0, None) =>
-        require(rollup.columns.contains(kCol),
-          s"rollup carries no $kCol column — pass the build-time k " +
-            "explicitly")
-        1 // empty rollup with the column present: output is empty
-      case (ek, Some(bk)) =>
-        require(ek <= bk, s"estimate k=$ek exceeds the rollup's " +
-          s"build-time k=$bk — the merged sample would no longer be " +
-          "a uniform sample of the union (k <= build k required)")
-        ek
-      case (ek, None) =>
-        require(ek > 0, s"sample size k must be positive: $ek")
-        ek
-    }
+    // explicit k is validated ROW-LEVEL instead of with an extra pass:
+    // a cell built with k' < useK cannot honestly contribute (its
+    // sample may already have dropped rows a bottom-useK of the union
+    // would keep — merging would silently bias the estimate), so it
+    // fails loudly at scan time; cells with k' >= useK are fine — the
+    // bottom-useK of concatenated bottom-k's is exact whenever every
+    // k' >= useK, so MIXED (all-large-enough) builds merge honestly
+    // under an explicit k
+    val checked =
+      if (hasK && k > 0)
+        rollup.withColumn(sampleCol,
+          when(col(kCol) < useK, raise_error(concat(
+            lit(s"estimate k=$useK exceeds a cell's build-time "),
+            lit(s"$kCol="), col(kCol).cast(StringType),
+            lit(" — the merged sample would no longer be uniform " +
+              "(k <= build k required)"))))
+            .otherwise(col(sampleCol)))
+      else rollup
     val names = qs.map(quantileLabel)
     require(names.distinct.size == names.size,
       s"quantile labels collide: $names — space the requested qs out")
@@ -129,7 +140,7 @@ object QuantileRollup {
     // must still surface in the output with null estimates — plain
     // explode would silently drop the whole group; the aggregate skips
     // the resulting null pair
-    val merged = rollup
+    val merged = checked
       .select((groupCols.map(col) :+
         explode_outer(col(sampleCol)).as("__p")): _*)
       .groupBy(groupCols.map(col): _*)

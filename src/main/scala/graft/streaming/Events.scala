@@ -1063,6 +1063,9 @@ object Events {
       !table.endsWith("__compact_backup"),
       s"names ending in __compact_tmp/__compact_backup are reserved " +
         s"by compactBatchTable's swap: $table")
+    require(!table.endsWith("__cents"),
+      s"names ending in __cents are reserved for the embedding " +
+        s"index's centroid sidecar: $table")
   }
   private def quoted(table: String): String =
     table.split('.').map(p => s"`$p`").mkString(".")
@@ -1367,25 +1370,40 @@ object Events {
     require(spark.catalog.tableExists(table),
       s"compactBatchTable: no such table $table (and no crash-parked " +
         "__compact_tmp/__compact_backup to recover)")
-    val ids = spark.sql(s"SHOW PARTITIONS ${quoted(table)}")
+    // leaf partition names look like "batch_id=N" (the signature
+    // index/sink) or "batch_id=N/cell=K" (the embedding index) — the
+    // fold key is the batch_id component wherever it sits
+    val parts = spark.sql(s"SHOW PARTITIONS ${quoted(table)}")
       .collect().map(_.getString(0))
-      .map(p => p.substring(p.indexOf('=') + 1).toLong)
-    val live = ids.filter(_ >= 0L)
-    if (live.length <= 1) return (ids.length, ids.length)
+    val ids = parts.flatMap(_.split('/')
+      .find(_.startsWith("batch_id="))
+      .map(_.stripPrefix("batch_id=").toLong))
+    val live = ids.distinct.filter(_ >= 0L)
+    if (live.length <= 1) return (parts.length, parts.length)
     val maxId = live.max
-    val isIndexSchema = spark.table(table).columns.toSeq ==
-      Seq("band_key", "sig", "batch_id")
+    // stale commit-marker rows of FOLDED batches are dropped with the
+    // fold (their commit role is over; folded batches can never
+    // replay) — schema-targeted so sink data rows are never touched
+    // (set comparison — the catalog reorders partition columns last,
+    // so the embedding index reads back as (vec, batch_id, cell))
+    val cols = spark.table(table).columns.toSet
+    val isSigIndex = cols == Set("band_key", "sig", "batch_id")
+    val isVecIndex = cols == Set("cell", "vec", "batch_id")
     val folded0 = spark.table(table).withColumn("batch_id",
       when(col("batch_id") === maxId, lit(maxId)).otherwise(lit(-1L)))
     val folded =
-      if (isIndexSchema)
+      if (isSigIndex)
         folded0.filter(!(col("sig").isNull && col("batch_id") === -1L))
+      else if (isVecIndex)
+        folded0.filter(!(col("vec").isNull && col("batch_id") === -1L))
       else folded0
     val tmp = s"${table}__compact_tmp"
     val backup = s"${table}__compact_backup"
     spark.sql(s"DROP TABLE IF EXISTS ${quoted(tmp)}")
     spark.sql(s"DROP TABLE IF EXISTS ${quoted(backup)}")
-    val w0 = folded.write.partitionBy("batch_id")
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      spark.sessionState.sqlParser.parseTableIdentifier(table))
+    val w0 = folded.write.partitionBy(meta.partitionColumnNames: _*)
     val w = bucketSpecOf(spark, table) match {
       case Some(bs) =>
         val wb = w0.bucketBy(bs.numBuckets, bs.bucketColumnNames.head,
@@ -1401,7 +1419,7 @@ object Events {
     graft.mat.PartitionScoped.renameTable(spark, quoted(tmp),
       quoted(table))
     spark.sql(s"DROP TABLE IF EXISTS ${quoted(backup)}")
-    (ids.length,
+    (parts.length,
       spark.sql(s"SHOW PARTITIONS ${quoted(table)}").count().toInt)
   }
 
@@ -1485,18 +1503,18 @@ object Events {
     // fully-committed replay: the index partition (written last, never
     // empty thanks to the marker row) is the commit record
     if (!idx.filter(col("batch_id") === batchId).isEmpty) return
-    val signed0 = sign(batch)
-    val signed =
-      if (collapseIntraBatch)
-        collapseBySignature(signed0, sigCol, maxHamming)
-      else signed0
-    // cache the signed batch: the probe's duplicate-signature set and
-    // the sink write are two plan branches over it, and decode is the
-    // expensive per-row step — batch-sized, dropped before return
-    val cached = signed.persist(
+    // cache the signed batch FIRST: the intra-batch collapse, the
+    // probe's duplicate-signature set, and the sink write are all plan
+    // branches over it, and decode is the expensive per-row step —
+    // batch-sized, dropped before return
+    val cached = sign(batch).persist(
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val novel = noveltyBandedJoin(cached, sigCol, idx, maxHamming)
+      val signed =
+        if (collapseIntraBatch)
+          collapseBySignature(cached, sigCol, maxHamming)
+        else cached
+      val novel = noveltyBandedJoin(signed, sigCol, idx, maxHamming)
         .withColumn("batch_id", lit(batchId))
       if (!spark.catalog.tableExists(sinkTable))
         novel.write.partitionBy("batch_id").saveAsTable(sinkTable)
@@ -1612,6 +1630,194 @@ object Events {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         audioNoveltyIngestBatch(batch, batchId, indexTable, sinkTable,
           maxHamming, collapseIntraBatch)
+        maybeCompact(batch.sparkSession, batchId, compactEvery,
+          indexTable, sinkTable)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  // ------------------------------------------------------------------
+  // maintained EMBEDDING novelty index — the semantic member of the
+  // ingest family: arrivals are tested by exact cosine against an IVF
+  // cell-partitioned vector index TABLE, novel ones land in the sink,
+  // and their vectors JOIN the index so the next batch dedups against
+  // everything before it
+  // ------------------------------------------------------------------
+
+  /** Create (replacing) an embedding novelty index for
+    * [[embeddingNoveltyIngestBatch]]: rows `(cell, vec, batch_id)`
+    * partitioned by `(batch_id, cell)` — `batch_id` is the replay
+    * probe's metadata-pruned key, and `cell` is what makes the
+    * per-batch PROBE partition-pruned: the batch's touched cells
+    * become literal partition filters, so only |probed cells| / nlist
+    * of the index is ever READ per batch. That is sub-O(index) —
+    * a scale shape the signature index cannot offer (a hamming ball
+    * has no cell; its probe scans the whole — shuffle-free — index).
+    * The serving model (pre-trained centroids, e.g.
+    * [[graft.llm.Similarity.ivfTrain]] over the seed or a sample)
+    * persists beside the index in `<table>__cents` so later sessions
+    * reload it. `seed` vectors are assigned to their cells and
+    * recorded under batch_id = -1; an empty seed makes a cold-start
+    * index; NULL seed vectors are skipped (no cell, no cosine). */
+  def createEmbeddingIndex(spark: SparkSession, table: String,
+                           seed: DataFrame, vecCol: String,
+                           cents: Array[Array[Double]]): Unit = {
+    checkTableName(table)
+    require(cents.nonEmpty, "centroids must be non-empty — train with " +
+      "Similarity.ivfTrain over the seed or a sample")
+    spark.sql(s"DROP TABLE IF EXISTS ${quoted(table)}")
+    spark.sql(s"DROP TABLE IF EXISTS ${quoted(table + "__cents")}")
+    import spark.implicits._
+    cents.zipWithIndex.map { case (w, i) => (i, w.toSeq) }.toSeq
+      .toDF("cell", "w").write.saveAsTable(table + "__cents")
+    seed.select(col(vecCol).as("vec")).filter(col("vec").isNotNull)
+      .withColumn("cell",
+        graft.llm.Similarity.nearestCell(col("vec"), cents))
+      .withColumn("batch_id", lit(-1L))
+      .select(col("cell"), col("vec"), col("batch_id"))
+      .write.partitionBy("batch_id", "cell").saveAsTable(table)
+  }
+
+  /** One micro-batch of the EMBEDDING novelty-ingest loop — the
+    * [[noveltyIngestBatch]] machinery in cosine space:
+    *
+    *  1. the batch's distinct non-null vectors are assigned map-only
+    *     to their `multiProbe` nearest cells (centroids reloaded from
+    *     `<indexTable>__cents` — model-sized);
+    *  2. the touched cells (metadata-sized, ≤ nlist·multiProbe
+    *     values) become LITERAL partition filters on the index read —
+    *     static partition pruning, only probed cells are read
+    *     (StreamingSpec pins the PartitionFilters) — and the cell
+    *     equi-join + exact cosine ≥ `threshold`
+    *     ([[graft.llm.Dedup.cosine]], 6-decimal grain) yields the
+    *     duplicate VECTORS, which anti-join the batch (vectors are
+    *     joinable values; the loop needs no row identity, exactly as
+    *     the signature loop anti-joins on the signature);
+    *  3. novel rows (+ `batch_id`) append to the sink; NULL-vector
+    *     rows are KEPT (absence of a vector is absence of duplicate
+    *     evidence) and never indexed;
+    *  4. the novel vectors are read BACK from the sink partition,
+    *     assigned to their single nearest cell (the index side is
+    *     single-assigned; `multiProbe` is the batch-side recall
+    *     lever — the standard IVF convention), and appended under
+    *     this `batch_id` together with the marker row (cell = -1,
+    *     vec = NULL) that commits the batch.
+    *
+    * Replay/crash safety, compaction ([[compactBatchTable]] folds
+    * committed `(batch_id, cell)` partitions; both tables auto-heal
+    * from a mid-compaction crash on entry here), and the intra-batch
+    * contract (history-only — same-batch near-dups pass together;
+    * collapse upstream with [[graft.llm.Dedup.semanticDedup]] when
+    * that matters) are the signature loop's, unchanged. Exact
+    * duplicates are ALWAYS found (identical vectors co-locate under
+    * the deterministic assignment); near-dups straddling unprobed
+    * cell boundaries can be missed — raise `multiProbe`. */
+  /** Max touched-cell count the embedding probe turns into a literal
+    * IN partition filter — past this the filter list is itself a
+    * plan-size cost and the batch touches most cells anyway, so the
+    * probe falls back to the plain cell equi-join (prune nothing,
+    * decide identically). */
+  val MaxProbedCellFilters = 10000
+
+  def embeddingNoveltyIngestBatch(batch: DataFrame, batchId: Long,
+                                  indexTable: String, sinkTable: String,
+                                  vecCol: String, threshold: Double,
+                                  multiProbe: Int = 1): Unit = {
+    require(batchId >= 0, s"batch_id must be >= 0 (got $batchId; -1 is " +
+      "reserved for the index seed)")
+    require(multiProbe >= 1, s"multiProbe must be >= 1: $multiProbe")
+    checkTableName(indexTable)
+    checkTableName(sinkTable)
+    if (batch.isEmpty) return
+    val spark = batch.sparkSession
+    recoverCompacted(spark, indexTable)
+    recoverCompacted(spark, sinkTable)
+    val cents = spark.table(indexTable + "__cents")
+      .collect().sortBy(_.getInt(0))
+      .map(_.getSeq[Double](1).toArray)
+    val idx = spark.table(indexTable)
+    if (!idx.filter(col("batch_id") === batchId).isEmpty) return
+    Seq("__graft_bvec", "__graft_iv", "__graft_pv")
+      .filter(batch.columns.contains).foreach(c =>
+        throw new IllegalArgumentException(
+          s"column name $c is reserved by embeddingNoveltyIngestBatch"))
+    val bvec = col("__graft_bvec")
+    val batchVecs = batch.select(col(vecCol).as("__graft_bvec"))
+      .filter(bvec.isNotNull).distinct()
+      .localCheckpoint() // cells are both collected and joined below
+    val probed =
+      if (multiProbe <= 1)
+        batchVecs.withColumn("cell",
+          graft.llm.Similarity.nearestCell(bvec, cents))
+      else
+        graft.llm.Similarity.ivfAssign(
+            batchVecs.withColumn("__graft_pv", bvec),
+            "__graft_bvec", "__graft_pv", cents, multiProbe)
+          .select(bvec, col("cell"))
+    // touched cells → literal partition filters (metadata-sized —
+    // bounded by nlist·multiProbe, the PartitionScoped convention).
+    // Past the cap the IN-list itself becomes a plan-size cost and the
+    // batch is touching most cells anyway — fall back to the plain
+    // cell equi-join over the full index (correctness unchanged; the
+    // filter is purely a pruning hint)
+    val touched = probed.select(col("cell")).distinct()
+      .collect().map(_.getInt(0))
+    val slice0 =
+      if (touched.isEmpty) idx.filter(lit(false))
+      else if (touched.length <= MaxProbedCellFilters)
+        idx.filter(col("cell").isin(touched.map(c => c: Any).toSeq: _*))
+      else idx
+    val slice = slice0.filter(col("vec").isNotNull)
+    val dupVecs = probed
+      .join(slice.select(col("cell"), col("vec").as("__graft_iv")),
+        Seq("cell"))
+      .filter(graft.llm.Dedup.cosine(bvec, col("__graft_iv"))
+        >= threshold)
+      .select(bvec).distinct()
+    val novel = batch.join(dupVecs, col(vecCol) === bvec, "left_anti")
+      .withColumn("novel", lit(true))
+      .withColumn("batch_id", lit(batchId))
+    if (!spark.catalog.tableExists(sinkTable))
+      novel.write.partitionBy("batch_id").saveAsTable(sinkTable)
+    else if (spark.table(sinkTable).filter(col("batch_id") === batchId)
+        .isEmpty) {
+      val cols = spark.table(sinkTable).columns
+      novel.select(cols.map(col).toIndexedSeq: _*)
+        .write.mode("append").insertInto(sinkTable)
+    }
+    // index append reads the novel vectors BACK from the sink's batch
+    // partition (column- and partition-pruned), assigns their single
+    // cell map-only, and commits the marker row with them
+    val vecs = spark.table(sinkTable)
+      .filter(col("batch_id") === batchId)
+      .select(col(vecCol).as("vec"))
+      .filter(col("vec").isNotNull).distinct()
+    val marker = spark.range(1).select(lit(-1).as("cell"),
+      lit(null).cast(idx.schema("vec").dataType).as("vec"))
+    vecs.withColumn("cell",
+        graft.llm.Similarity.nearestCell(col("vec"), cents))
+      .select(col("cell"), col("vec"))
+      .unionByName(marker)
+      .withColumn("batch_id", lit(batchId))
+      .select(idx.columns.map(col).toIndexedSeq: _*)
+      .write.mode("append").insertInto(indexTable)
+  }
+
+  /** [[startImageNoveltyIngest]]'s EMBEDDING sibling: each micro-batch
+    * runs [[embeddingNoveltyIngestBatch]] (create the index first with
+    * [[createEmbeddingIndex]]); `compactEvery` wires the same
+    * partition-growth maintenance. */
+  def startEmbeddingNoveltyIngest(stream: DataFrame, checkpoint: String,
+                                  indexTable: String, sinkTable: String,
+                                  vecCol: String, threshold: Double,
+                                  multiProbe: Int = 1,
+                                  compactEvery: Int = 0)
+      : StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        embeddingNoveltyIngestBatch(batch, batchId, indexTable,
+          sinkTable, vecCol, threshold, multiProbe)
         maybeCompact(batch.sparkSession, batchId, compactEvery,
           indexTable, sinkTable)
       }

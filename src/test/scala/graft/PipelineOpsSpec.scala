@@ -695,11 +695,17 @@ class PipelineOpsSpec extends SparkSpec {
       .orderBy($"o_orderstatus")
       .as[(String, Option[Double], Option[Double])].collect().toSeq
     assert(derived == merged)
-    val tooBig = intercept[IllegalArgumentException] {
+    // row-level guard (no extra pass over the rollup): fires on action
+    val tooBig = intercept[Exception] {
       QuantileRollup.estimateAcross(byMon, Seq("o_orderstatus"),
-        Seq(0.5), k = 128)
+        Seq(0.5), k = 128).collect()
     }
-    assert(tooBig.getMessage.contains("build-time k"))
+    def msgs(t: Throwable): String =
+      if (t == null) "" else t.getMessage + "|" + msgs(t.getCause)
+    assert(msgs(tooBig).contains("build-time"))
+    // a SMALLER explicit k is a legal uniform subsample
+    assert(QuantileRollup.estimateAcross(byMon, Seq("o_orderstatus"),
+      Seq(0.5), k = 32).count() > 0)
     // fractional percentiles keep exact labels instead of rounding
     assert(QuantileRollup.estimateAcross(byMon, Seq("o_orderstatus"),
       Seq(0.125, 0.995)).columns.toSeq

@@ -75,7 +75,10 @@ object Sf1Probe {
     // centroids, map-only assignment) and the intra-batch collapse
     // ingest (signature components like mm_phash_clusters — expect
     // ~its growth)
-    "dd_semantic_serve", "mm_phash_novelty_collapse")
+    "dd_semantic_serve", "mm_phash_novelty_collapse",
+    // r13 embedding ingest: cell-pruned probe — expect ~linear in the
+    // batch (the index read is |probed cells|/nlist of the corpus)
+    "dd_semantic_novelty_grow")
 
   def main(args: Array[String]): Unit = {
     val src = "/root/testdata/sf0.1"

@@ -1090,6 +1090,90 @@ class StreamingSpec extends SparkSpec {
     for (t <- Seq(idxT, sinkT)) spark.sql(s"DROP TABLE IF EXISTS $t")
   }
 
+  test("embedding novelty ingest: cell-pruned probe, growth, replay, compaction") {
+    val idxT = "emb_idx_g"; val sinkT = "emb_sink_g"
+    val idxM = "emb_idx_m"; val sinkM = "emb_sink_m"
+    for (t <- Seq(idxT, s"${idxT}__cents", sinkT,
+        idxM, s"${idxM}__cents", sinkM))
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+    val e = Tables.load(spark, sf, "embeddings")
+      .select($"vec_id", $"embedding").localCheckpoint()
+    val cents = graft.llm.Similarity.ivfTrain(e, "vec_id", "embedding", 8)
+    Events.createEmbeddingIndex(spark, idxT, e, "embedding", cents)
+    // batch 0: exact copies (non-novel — co-locate with originals) +
+    // negated vectors (novel: cos(-v, u) = -cos(v, u), nothing natural
+    // reaches 0.95)
+    val b0 = e.filter(pmod($"vec_id", lit(5)) === 0)
+      .select(($"vec_id" + 200000).as("vec_id"), $"embedding")
+      .unionByName(e.filter(pmod($"vec_id", lit(7)) === 0)
+        .select(($"vec_id" + 300000).as("vec_id"),
+          transform($"embedding", x => -x).as("embedding")))
+    Events.embeddingNoveltyIngestBatch(b0, 0L, idxT, sinkT,
+      "embedding", 0.95)
+    val kept0 = spark.table(sinkT).filter($"batch_id" === 0)
+      .select($"vec_id").as[Long].collect().toSet
+    val want0 = e.filter(pmod($"vec_id", lit(7)) === 0)
+      .select($"vec_id").as[Long].collect().map(_ + 300000).toSet
+    assert(kept0 == want0 && want0.nonEmpty)
+    // batch 1: copies of batch-0 NOVELTIES — dropped ONLY because
+    // batch 0 grew the index — plus fresh negated %11 \ %7 — kept
+    val b1 = e.filter(pmod($"vec_id", lit(7)) === 0)
+      .select(($"vec_id" + 400000).as("vec_id"),
+        transform($"embedding", x => -x).as("embedding"))
+      .unionByName(e.filter(pmod($"vec_id", lit(11)) === 0 &&
+          pmod($"vec_id", lit(7)) =!= 0)
+        .select(($"vec_id" + 500000).as("vec_id"),
+          transform($"embedding", x => -x).as("embedding")))
+    Events.embeddingNoveltyIngestBatch(b1, 1L, idxT, sinkT,
+      "embedding", 0.95)
+    val kept1 = spark.table(sinkT).filter($"batch_id" === 1)
+      .select($"vec_id").as[Long].collect().toSet
+    val want1 = e.filter(pmod($"vec_id", lit(11)) === 0 &&
+        pmod($"vec_id", lit(7)) =!= 0)
+      .select($"vec_id").as[Long].collect().map(_ + 500000).toSet
+    assert(kept1 == want1 && want1.nonEmpty)
+    // the probe's index read is PARTITION-PRUNED to the touched cells
+    // (the exact filter shape the ingest builds)
+    val slicePlan = spark.table(idxT)
+      .filter($"cell".isin(0, 1) && $"vec".isNotNull)
+      .queryExecution.executedPlan.toString
+    assert(slicePlan.contains("PartitionFilters") &&
+      slicePlan.contains("cell"), s"no cell pruning in:\n$slicePlan")
+    // multiProbe (the recall lever) cannot change this construction's
+    // decisions — exact copies co-locate under any probe width
+    Events.createEmbeddingIndex(spark, idxM, e, "embedding", cents)
+    Events.embeddingNoveltyIngestBatch(b0, 0L, idxM, sinkM,
+      "embedding", 0.95, multiProbe = 3)
+    assert(spark.table(sinkM).filter($"batch_id" === 0)
+      .select($"vec_id").as[Long].collect().toSet == want0)
+    // replay of batch 1: pure no-op
+    val sn = spark.table(sinkT).count()
+    val in2 = spark.table(idxT).count()
+    Events.embeddingNoveltyIngestBatch(b1, 1L, idxT, sinkT,
+      "embedding", 0.95)
+    assert(spark.table(sinkT).count() == sn)
+    assert(spark.table(idxT).count() == in2)
+    // compaction folds the (batch_id, cell) partitions; only base and
+    // the max batch remain; indexed vector set unchanged; replay of
+    // the preserved batch still a no-op
+    val vecsBefore = spark.table(idxT).filter($"vec".isNotNull)
+      .select($"vec").distinct().count()
+    val (pb, pa) = Events.compactBatchTable(spark, idxT)
+    assert(pa < pb, s"compaction did not fold: $pb -> $pa")
+    val left = spark.sql(s"SHOW PARTITIONS $idxT").collect()
+      .map(_.getString(0).split('/').head.stripPrefix("batch_id=").toLong)
+      .distinct.sorted
+    assert(left.toSeq == Seq(-1L, 1L))
+    assert(spark.table(idxT).filter($"vec".isNotNull)
+      .select($"vec").distinct().count() == vecsBefore)
+    Events.embeddingNoveltyIngestBatch(b1, 1L, idxT, sinkT,
+      "embedding", 0.95)
+    assert(spark.table(sinkT).count() == sn)
+    for (t <- Seq(idxT, s"${idxT}__cents", sinkT,
+        idxM, s"${idxM}__cents", sinkM))
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
   test("text novelty ingest: streaming wiring equals batch calls") {
     import org.apache.spark.sql.types._
     val idxT = "nov_idx_ts"; val sinkT = "nov_sink_ts"
