@@ -115,21 +115,66 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Past this many centroids the UNROLLED per-centroid score
+    * expression is replaced by the loop form
+    * ([[centroidScoresLoop]]): the unrolled form's generated code
+    * grows linearly with nlist — measured (Sf1Probe r13): ~20 s of
+    * janino compile time at nlist = 3,200 on the flat path, and a hard
+    * "Code grows beyond 64 KB" failure on the two-level path — while
+    * the loop form's code size is CONSTANT in nlist (a runtime fold
+    * over a centroid-array literal). Below the threshold the unrolled
+    * form's whole-stage-codegen'd dots are faster per row; the switch
+    * keeps every assignment API safe at any nlist. */
+  val MaxUnrolledCentroids = 1024
+
   /** Squared-distance ranking expression to each TRAINED centroid:
     * argmin_c |v - c|² = argmin_c (c·c - 2·v·c) since v·v is constant
     * per row. One codegen'd DotProduct per centroid against a literal
     * weight array — the same flat-literal pattern as [[bucketCode]]. */
-  private def centroidScores(vec: Column,
-                             centroids: Array[Array[Double]]): Column =
+  private def centroidScoresUnrolled(vec: Column,
+                                     centroids: Array[Array[Double]])
+      : Column =
     array(centroids.map { c =>
       val c2 = c.map(x => x * x).sum
       graft.functions.DotProduct(vec, typedLit(c.toSeq)) * -2.0 + lit(c2)
     }.toIndexedSeq: _*)
 
+  /** [[centroidScoresUnrolled]] in LOOP form: one `transform` over a
+    * literal array of (weights, |c|²) structs — the score arithmetic
+    * is the identical expression tree per element (same DotProduct,
+    * same op order, bit-equal doubles; LlmSpec pins assignment
+    * equality), but the generated code no longer grows with nlist. */
+  private[graft] def centroidScoresLoop(vec: Column,
+                                        centroids: Array[Array[Double]])
+      : Column = {
+    val cl = typedLit(centroids.map(c =>
+      (c.toSeq, c.map(x => x * x).sum)).toSeq)
+    transform(cl, c =>
+      graft.functions.DotProduct(vec, c.getField("_1")) * -2.0 +
+        c.getField("_2"))
+  }
+
+  private def centroidScores(vec: Column,
+                             centroids: Array[Array[Double]]): Column =
+    if (centroids.length <= MaxUnrolledCentroids)
+      centroidScoresUnrolled(vec, centroids)
+    else centroidScoresLoop(vec, centroids)
+
   /** Nearest-centroid cell id (0-based). Ties take the first centroid —
-    * deterministic. */
+    * deterministic. Auto-switches to the loop score form past
+    * [[MaxUnrolledCentroids]]. */
   def nearestCell(vec: Column, centroids: Array[Array[Double]]): Column = {
     val s = centroidScores(vec, centroids)
+    (array_position(s, array_min(s)) - 1).cast(IntegerType)
+  }
+
+  /** [[nearestCell]] forced onto the loop score form (exposed for the
+    * equality pin and for callers who want constant plan size below
+    * the auto threshold). */
+  private[graft] def nearestCellLoop(vec: Column,
+                                     centroids: Array[Array[Double]])
+      : Column = {
+    val s = centroidScoresLoop(vec, centroids)
     (array_position(s, array_min(s)) - 1).cast(IntegerType)
   }
 
@@ -339,24 +384,88 @@ object Similarity {
   def nearestCellTwoLevel(vec: Column, centroids: Array[Array[Double]],
                           coarse: Array[Array[Double]],
                           members: Array[Array[Int]]): Column =
-    cellWithinSuper(vec, nearestCell(vec, coarse), centroids, members)
+    if (centroids.length <= MaxUnrolledCentroids)
+      cellWithinSuper(vec, nearestCell(vec, coarse), centroids, members)
+    else
+      // loop form inline (no projection to stage into, so the group
+      // lookup — and through it the ncoarse-dot super argmin — is
+      // evaluated once per reference; prefer ivfAssignTwoLevel, which
+      // stages both)
+      cellInGroupLoop(vec, element_at(memberGroupsLit(centroids, members),
+        nearestCell(vec, coarse) + 1))
+
+  /** The group-local argmin in LOOP form: the member groups live in
+    * one literal array-of-arrays of (global cell id, weights, |c|²)
+    * structs; the super-cell id picks its group with `element_at` (one
+    * lookup, not an ncoarse-branch when-ladder) and a `transform` fold
+    * scores only that group's centroids. Identical score arithmetic
+    * and first-min tie rule as [[cellWithinSuper]] (LlmSpec pins
+    * assignment equality); generated code size is CONSTANT in nlist,
+    * where the unrolled when-ladder hard-fails janino's 64 KB method
+    * limit near nlist ≈ 3,000 (measured, Sf1Probe r13). A NULL
+    * super-cell (null embedding) null-propagates to a NULL cell like
+    * the flat path. `grp` must be the already-materialized group
+    * column (the staged-projection caveat of [[cellWithinSuper]]
+    * applies to the element_at lookup the same way). */
+  private def cellInGroupLoop(vec: Column, grp: Column): Column = {
+    val scores = transform(grp, g =>
+      graft.functions.DotProduct(vec, g.getField("_2")) * -2.0 +
+        g.getField("_3"))
+    element_at(grp,
+      array_position(scores, array_min(scores)).cast(IntegerType))
+      .getField("_1")
+  }
+
+  private def memberGroupsLit(centroids: Array[Array[Double]],
+                              members: Array[Array[Int]]): Column =
+    typedLit(members.map(mem => mem.map(m =>
+      (m, centroids(m).toSeq,
+        centroids(m).map(x => x * x).sum)).toSeq).toSeq)
 
   /** [[ivfAssign]] through the two-level quantizer — the serving shape
     * when nlist has been scaled with the corpus and the flat
     * assignment's n × nlist term is the bottleneck. The super-cell is
     * a separate projection (an alias used `ncoarse` times —
     * CollapseProject keeps it staged, so the `ncoarse`-dot argmin runs
-    * once per row, not once per when-branch). */
+    * once per row, not once per when-branch). Past
+    * [[MaxUnrolledCentroids]] the group argmin switches to the loop
+    * form ([[cellInGroupLoop]]) — the unrolled when-ladder's generated
+    * code grows with nlist and hard-fails at ≈ 3,000 centroids. */
   def ivfAssignTwoLevel(corpus: DataFrame, id: String, vec: String,
                         centroids: Array[Array[Double]],
                         ncoarse: Int): DataFrame = {
     val (coarse, members) = coarseCentroids(centroids, ncoarse)
-    corpus
+    val staged = corpus
       .select(col(id), col(vec),
         nearestCell(col(vec), coarse).as("__graft_super"))
-      .select(col(id), col(vec),
+    if (centroids.length <= MaxUnrolledCentroids)
+      staged.select(col(id), col(vec),
         cellWithinSuper(col(vec), col("__graft_super"), centroids,
           members).as("cell"))
+    else
+      staged
+        .select(col(id), col(vec),
+          element_at(memberGroupsLit(centroids, members),
+            col("__graft_super") + 1).as("__graft_grp"))
+        .select(col(id), col(vec),
+          cellInGroupLoop(col(vec), col("__graft_grp")).as("cell"))
+  }
+
+  /** [[ivfAssignTwoLevel]] forced onto the loop forms (exposed for the
+    * equality pin below the auto threshold). */
+  private[graft] def ivfAssignTwoLevelLoop(corpus: DataFrame, id: String,
+                                           vec: String,
+                                           centroids: Array[Array[Double]],
+                                           ncoarse: Int): DataFrame = {
+    val (coarse, members) = coarseCentroids(centroids, ncoarse)
+    corpus
+      .select(col(id), col(vec),
+        nearestCellLoop(col(vec), coarse).as("__graft_super"))
+      .select(col(id), col(vec),
+        element_at(memberGroupsLit(centroids, members),
+          col("__graft_super") + 1).as("__graft_grp"))
+      .select(col(id), col(vec),
+        cellInGroupLoop(col(vec), col("__graft_grp")).as("cell"))
   }
 
   /** Corpus-side MULTIPLE ASSIGNMENT: each vector is indexed under its

@@ -240,6 +240,40 @@ class LlmSpec extends SparkSpec {
     assert(flat == coarseD)
   }
 
+  test("loop-form assignment equals the unrolled form cell-for-cell") {
+    // the forms share the exact score arithmetic (same DotProduct
+    // expression per element, same first-min tie rule), so the
+    // assignment must be BIT-equal — this is what lets nearestCell /
+    // ivfAssignTwoLevel auto-switch past MaxUnrolledCentroids without
+    // changing any caller's semantics
+    val cents = Similarity.ivfTrain(emb, "vec_id", "embedding", 32)
+    val flatCells = emb.select($"vec_id",
+        Similarity.nearestCell($"embedding", cents).as("cell"))
+      .as[(Long, Int)].collect().toMap
+    val loopCells = emb.select($"vec_id",
+        Similarity.nearestCellLoop($"embedding", cents).as("cell"))
+      .as[(Long, Int)].collect().toMap
+    assert(flatCells == loopCells)
+    val tl = Similarity
+      .ivfAssignTwoLevel(emb, "vec_id", "embedding", cents, 6)
+      .select($"vec_id", $"cell").as[(Long, Int)].collect().toMap
+    val tlLoop = Similarity
+      .ivfAssignTwoLevelLoop(emb, "vec_id", "embedding", cents, 6)
+      .select($"vec_id", $"cell").as[(Long, Int)].collect().toMap
+    assert(tl == tlLoop)
+    // NULL embedding → NULL cell on the loop paths too
+    val withNull = emb.select($"vec_id", $"embedding").limit(3)
+      .unionByName(Seq((999999L, Option.empty[Seq[Double]]))
+        .toDF("vec_id", "embedding"))
+    assert(withNull.select($"vec_id",
+        Similarity.nearestCellLoop($"embedding", cents).as("c"))
+      .as[(Long, Option[Int])].collect().toMap.apply(999999L).isEmpty)
+    assert(Similarity
+      .ivfAssignTwoLevelLoop(withNull, "vec_id", "embedding", cents, 6)
+      .select($"vec_id", $"cell").as[(Long, Option[Int])]
+      .collect().toMap.apply(999999L).isEmpty)
+  }
+
   test("tokenDrift: ppm math integer-exact, top-k tie-broken by token") {
     val df = Seq(("p", "a a b"), ("q", "a c c c"))
       .toDF("slice", "text")

@@ -271,24 +271,29 @@ object Sf1Probe {
 
     // bucketed-snapshot decomposition (r12 verdict #7): the compared
     // row's sf1 growth blamed the first-build CTAS without isolating
-    // it — time the BUILD (full-corpus SCD2 CTAS) and the incremental
-    // bucket-scoped APPLY separately at both scales. Side-effecting
-    // materializer runs don't fit timeDf's re-evaluation, so each
-    // phase is timed once on a fresh table.
+    // it. Three timings per scale, each on a fresh table: the BUILD
+    // (full-corpus SCD2 CTAS), an apply with a FIXED-COUNT delta whose
+    // keys SPREAD across all 8 hash buckets, and the same-sized delta
+    // concentrated in ONE bucket — the bucket-scoped apply must read
+    // only that bucket's history, so the 1-bucket apply pins
+    // bucket-boundness directly (the spread apply legitimately reads
+    // everything: with hash bucketing any spread key set touches all
+    // buckets).
     if (only.forall(_.exists(pfx => "mat_snap_split".startsWith(pfx)))) {
-      def snapSplit(dir: String): (Double, Double) = {
-        val m = new graft.mat.Materializer(spark)
-        val rel = graft.model.Relation("sf1_snap_bkt")
-        for (t0 <- Seq("sf1_snap_bkt", "sf1_snap_bkt__dbt_tmp",
-            "sf1_snap_bkt__dbt_backup", "sf1_snap_bkt__dbt_scoped_tmp"))
-          spark.sql(s"DROP TABLE IF EXISTS $t0")
-        val o = Tables.load(spark, dir, "orders").select(
+      def snapSplit(dir: String): (Double, Double, Double) = {
+        val o0 = Tables.load(spark, dir, "orders").select(
           col("o_orderkey").as("id"),
           col("o_orderstatus").as("v"),
           col("o_orderdate").cast("timestamp").as("updated_at"))
-        val v0 = o.filter(pmod(col("id"), lit(10)) < 5)
-        val changed = pmod(col("id"), lit(10)) < 2
-        val v1 = o.select(col("id"),
+          .filter(pmod(col("id"), lit(10)) < 5)
+          .localCheckpoint()
+        // fixed-count key sets present identically at both scales
+        // (the sf1 synthesis shifts ADDITIONAL copies far above)
+        val spreadChanged = col("id") < 40000 &&
+          pmod(col("id"), lit(10)) === 2
+        val oneBktChanged = col("id") < 40000 &&
+          pmod(xxhash64(col("id")), lit(8)) === 0
+        def vOf(changed: org.apache.spark.sql.Column) = o0.select(col("id"),
           when(changed, lit("XX")).otherwise(col("v")).as("v"),
           when(changed, col("updated_at") + expr("interval 10 days"))
             .otherwise(col("updated_at")).as("updated_at"))
@@ -296,20 +301,32 @@ object Sf1Probe {
           val t0 = System.nanoTime(); body
           (System.nanoTime() - t0) / 1e9
         }
-        val tb = once(m.snapshot(rel, v0, Seq("id"), "updated_at",
-          buckets = 8))
-        val ta = once(m.snapshot(rel, v1, Seq("id"), "updated_at",
-          buckets = 8))
-        for (t0 <- Seq("sf1_snap_bkt", "sf1_snap_bkt__dbt_tmp",
-            "sf1_snap_bkt__dbt_backup", "sf1_snap_bkt__dbt_scoped_tmp"))
-          spark.sql(s"DROP TABLE IF EXISTS $t0")
-        (tb, ta)
+        def buildAndApply(changed: org.apache.spark.sql.Column)
+            : (Double, Double) = {
+          val m = new graft.mat.Materializer(spark)
+          val rel = graft.model.Relation("sf1_snap_bkt")
+          for (t0 <- Seq("sf1_snap_bkt", "sf1_snap_bkt__dbt_tmp",
+              "sf1_snap_bkt__dbt_backup", "sf1_snap_bkt__dbt_scoped_tmp"))
+            spark.sql(s"DROP TABLE IF EXISTS $t0")
+          val tb = once(m.snapshot(rel, o0, Seq("id"), "updated_at",
+            buckets = 8))
+          val ta = once(m.snapshot(rel, vOf(changed), Seq("id"),
+            "updated_at", buckets = 8))
+          for (t0 <- Seq("sf1_snap_bkt", "sf1_snap_bkt__dbt_tmp",
+              "sf1_snap_bkt__dbt_backup", "sf1_snap_bkt__dbt_scoped_tmp"))
+            spark.sql(s"DROP TABLE IF EXISTS $t0")
+          (tb, ta)
+        }
+        val (tb, taSpread) = buildAndApply(spreadChanged)
+        val (_, ta1) = buildAndApply(oneBktChanged)
+        (tb, taSpread, ta1)
       }
       snapSplit(src) // warm-up (JIT + shuffle service)
-      val (b1, a1) = snapSplit(src)
-      val (b10, a10) = snapSplit(dst)
+      val (b1, as1, a11) = snapSplit(src)
+      val (b10, as10, a110) = snapSplit(dst)
       println(f"[sf1] mat_snap_build         $b1%8.2f $b10%8.2f ${b10 / b1}%7.1fx")
-      println(f"[sf1] mat_snap_apply         $a1%8.2f $a10%8.2f ${a10 / a1}%7.1fx")
+      println(f"[sf1] mat_snap_apply_spread  $as1%8.2f $as10%8.2f ${as10 / as1}%7.1fx")
+      println(f"[sf1] mat_snap_apply_1bkt    $a11%8.2f $a110%8.2f ${a110 / a11}%7.1fx")
     }
     spark.stop()
   }
