@@ -1174,6 +1174,65 @@ class StreamingSpec extends SparkSpec {
       spark.sql(s"DROP TABLE IF EXISTS $t")
   }
 
+  test("embedding novelty ingest: streaming wiring equals batch calls") {
+    import org.apache.spark.sql.types._
+    val idxT = "emb_idx_s"; val sinkT = "emb_sink_s"
+    val idxB = "emb_idx_sb"; val sinkB = "emb_sink_sb"
+    for (t <- Seq(idxT, s"${idxT}__cents", sinkT,
+        idxB, s"${idxB}__cents", sinkB))
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-embs").toString
+    val e = Tables.load(spark, sf, "embeddings")
+      .select($"vec_id", $"embedding").localCheckpoint()
+    val cents = graft.llm.Similarity.ivfTrain(e, "vec_id", "embedding", 8)
+    // two source files -> two AvailableNow micro-batches: batch 0 =
+    // copies + negated %7; batch 1 = copies of batch-0 novelties
+    val b0 = e.filter(pmod($"vec_id", lit(5)) === 0)
+      .select(($"vec_id" + 200000).as("vec_id"), $"embedding")
+      .unionByName(e.filter(pmod($"vec_id", lit(7)) === 0)
+        .select(($"vec_id" + 300000).as("vec_id"),
+          transform($"embedding", x => -x).as("embedding")))
+      .localCheckpoint()
+    val b1 = e.filter(pmod($"vec_id", lit(7)) === 0)
+      .select(($"vec_id" + 400000).as("vec_id"),
+        transform($"embedding", x => -x).as("embedding"))
+      .localCheckpoint()
+    b0.coalesce(1).write.parquet(s"$tmp/in")
+    b1.coalesce(1).write.mode("append").parquet(s"$tmp/in")
+    Events.createEmbeddingIndex(spark, idxT, e, "embedding", cents)
+    Events.createEmbeddingIndex(spark, idxB, e, "embedding", cents)
+    val elemT = e.schema("embedding").dataType
+    val stream = spark.readStream
+      .schema(StructType(Seq(StructField("vec_id", LongType),
+        StructField("embedding", elemT))))
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$tmp/in")
+    val q = Events.startEmbeddingNoveltyIngest(stream, s"$tmp/ckpt",
+      idxT, sinkT, "embedding", 0.95, compactEvery = 1)
+    q.awaitTermination(120000)
+    // sequential batch-mode twin
+    Events.embeddingNoveltyIngestBatch(b0, 0L, idxB, sinkB,
+      "embedding", 0.95)
+    Events.embeddingNoveltyIngestBatch(b1, 1L, idxB, sinkB,
+      "embedding", 0.95)
+    val streamed = spark.table(sinkT).select($"vec_id").as[Long]
+      .collect().toSet
+    val batched = spark.table(sinkB).select($"vec_id").as[Long]
+      .collect().toSet
+    assert(streamed == batched && batched.nonEmpty)
+    // batch-0 novelties exist and their batch-1 copies were dropped
+    assert(streamed.exists(_ >= 300000) && !streamed.exists(_ >= 400000))
+    // compactEvery kept batch_id partitions bounded (cells multiply
+    // leaves, so compare DISTINCT batch ids)
+    val batchIds = spark.sql(s"SHOW PARTITIONS $idxT").collect()
+      .map(_.getString(0).split('/').head.stripPrefix("batch_id=").toLong)
+      .distinct
+    assert(batchIds.length <= 2, s"unbounded batch ids: ${batchIds.toSeq}")
+    for (t <- Seq(idxT, s"${idxT}__cents", sinkT,
+        idxB, s"${idxB}__cents", sinkB))
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
   test("text novelty ingest: streaming wiring equals batch calls") {
     import org.apache.spark.sql.types._
     val idxT = "nov_idx_ts"; val sinkT = "nov_sink_ts"
