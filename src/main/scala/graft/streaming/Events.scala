@@ -380,7 +380,12 @@ object Events {
     *    index side (LayoutSpec pins the plan); only the (small)
     *    batch-side signature set shuffles. A hot band bucket becomes
     *    many join ROWS (streamed, AQE-splittable), never an unbounded
-    *    in-memory array.
+    *    in-memory array. Catalyst's runtime bloom filter additionally
+    *    injects a batch-derived `band_key` bloom on the index side
+    *    (BloomProbe verifies it fires), dropping non-matching band
+    *    buckets before the join — and since the bloom keys the band,
+    *    buckets are kept or dropped WHOLE, so the `maxBucket` cap's
+    *    per-bucket ranking is unaffected.
     *  - '''Streaming''' (stream-static, append-mode legal — no
     *    watermark, no state): the static index groups to per-band
     *    candidate arrays and the stream takes 4 stateless LEFT
