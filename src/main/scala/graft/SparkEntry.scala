@@ -2435,6 +2435,37 @@ object SparkEntry {
         .orderBy(col("vec_id"))
     }),
 
+    "dd_minhash_novelty_grow" -> ((s, dir) => {
+      // the JACCARD member of the maintained-index ingest family
+      // (r13 — the 5th geometry): arrivals are near-dups iff they
+      // SHARE AN LSH BAND with an indexed document (the
+      // minhashNovelty rule); novel documents' band keys join the
+      // band-bucketed index table. Seed = bands of doc_id < 100;
+      // batch 0 = the remaining originals (its seed-novel docs grow
+      // the index); batch 1 = full-corpus copies — every copy shares
+      // all 4 bands with its original, indexed via seed OR batch-0
+      // growth, so nothing passes where a static seed index would
+      // have kept every copy of a batch-0 novelty. The oracle replays
+      // the minhash closed form and the two-step band growth.
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        .localCheckpoint()
+      val idxT = "dd_mhnov_grow_idx"; val sinkT = "dd_mhnov_grow_sink"
+      for (tb <- Seq(idxT, sinkT)) s.sql(s"DROP TABLE IF EXISTS $tb")
+      graft.streaming.Events.createBandIndex(s, idxT,
+        d.filter(col("doc_id") < 100)
+          .withColumn("arr",
+            graft.functions.MinHashSig(lower(col("text")), 3, 16))
+          .select(Dedup.minhashBandArray(col("arr"), 16, 4).as("b")),
+        "b")
+      graft.streaming.Events.minhashNoveltyIngestBatch(
+        d.filter(col("doc_id") >= 100), 0L, idxT, sinkT)
+      graft.streaming.Events.minhashNoveltyIngestBatch(
+        d.select((col("doc_id") + 10000).as("doc_id"), col("text")),
+        1L, idxT, sinkT)
+      s.table(sinkT).select(col("doc_id"), col("batch_id"))
+        .orderBy(col("doc_id"))
+    }),
+
     "dd_semantic_novelty_grow" -> ((s, dir) => {
       // the EMBEDDING member of the maintained-index ingest family
       // (r13 — mm_phash_novelty_grow's cosine twin): IVF
@@ -2453,7 +2484,13 @@ object SparkEntry {
       val idxT = "dd_semnov_grow_idx"; val sinkT = "dd_semnov_grow_sink"
       for (tb <- Seq(idxT, s"${idxT}__cents", sinkT))
         s.sql(s"DROP TABLE IF EXISTS $tb")
-      val cents = Similarity.ivfTrain(e, "vec_id", "embedding", 32)
+      // nlist 16 / one Lloyd iteration: the keep/drop answer is
+      // assignment-independent by construction (only exact copies
+      // qualify, and they co-locate under ANY deterministic cells), so
+      // training depth buys nothing here — it is the row's dominant
+      // cost otherwise (each iteration is a full corpus assign+agg)
+      val cents = Similarity.ivfTrain(e, "vec_id", "embedding", 16,
+        iters = 1)
       graft.streaming.Events.createEmbeddingIndex(s, idxT, e,
         "embedding", cents)
       val b0 = e.filter(pmod(col("vec_id"), lit(5)) === 0)
@@ -4919,6 +4956,35 @@ object SparkEntry {
         |SELECT u.vec_id, d.vec_id IS NULL AS kept
         |FROM u LEFT JOIN drp d ON u.vec_id = d.vec_id
         |ORDER BY u.vec_id""".stripMargin,
+
+    // the growing BAND index replayed from the minhash closed form:
+    // a doc is novel iff none of its 4 md5 band keys is indexed;
+    // batch 0 (originals >= 100) vs the seed bands, batch 1 (copies)
+    // vs seed ∪ batch-0-novel bands. Docs absent from the band CTE
+    // (null text) trivially pass NOT EXISTS — kept, like the engine.
+    "dd_minhash_novelty_grow" ->
+      s"""WITH u AS (SELECT doc_id, lower(text) AS t FROM documents),
+        |w AS (SELECT doc_id, ${toksSql("t")} AS ws FROM u),
+        |sh AS (SELECT doc_id, $shingleSql AS shl FROM w),
+        |sx AS (SELECT doc_id, unnest(shl) AS sgl FROM sh),
+        |hx AS (SELECT doc_id, ${rollSql("sgl")} AS h FROM sx),
+        |sig AS (SELECT doc_id, ${minhashAggSqls.mkString(", ")}
+        |  FROM hx GROUP BY doc_id),
+        |bnd AS (SELECT doc_id, unnest($bandListSql) AS band FROM sig),
+        |n0 AS (SELECT d.doc_id FROM documents d
+        |  WHERE d.doc_id >= 100 AND NOT EXISTS (
+        |    SELECT 1 FROM bnd a JOIN bnd s2
+        |      ON s2.band = a.band AND s2.doc_id < 100
+        |    WHERE a.doc_id = d.doc_id)),
+        |i1 AS (SELECT band FROM bnd WHERE doc_id < 100
+        |  UNION SELECT a.band FROM bnd a JOIN n0 ON n0.doc_id = a.doc_id),
+        |n1 AS (SELECT d.doc_id + 10000 AS doc_id FROM documents d
+        |  WHERE NOT EXISTS (
+        |    SELECT 1 FROM bnd a JOIN i1 ON i1.band = a.band
+        |    WHERE a.doc_id = d.doc_id))
+        |SELECT doc_id, 0::BIGINT AS batch_id FROM n0
+        |UNION ALL SELECT doc_id, 1::BIGINT FROM n1
+        |ORDER BY doc_id""".stripMargin,
 
     // the growing embedding index replayed with brute-force cosine:
     // batch 0 vs the seed corpus, batch 1 vs seed ∪ batch-0 novelties

@@ -242,6 +242,27 @@ object Dedup {
     * pairs is never what a 100 TB pipeline wants). None = no cap, which
     * keeps the operator exact (the oracle-checked default). */
   /** LSH band-key columns over a signature frame's mh0..mh{k-1}. */
+  /** Per-row LSH band-key ARRAY of a text column — the signature the
+    * maintained MinHash novelty ingest
+    * ([[graft.streaming.Events.minhashNoveltyIngestBatch]]) stores and
+    * probes: the map-only [[graft.functions.MinHashSig]] signature,
+    * sliced into `bands` md5 band keys (bit-identical to
+    * [[sigBandCols]] over [[minhashSignature]] — the md5 input is the
+    * same "b:" prefix + "|"-joined decimal values, so the DuckDB
+    * oracle replays it). NULL text → NULL band array (no signature, no
+    * duplicate evidence). Callers should stage the raw signature array
+    * in its own projection when referencing this per band (the
+    * ingest's `sign` step does). */
+  def minhashBandArray(sigArr: Column, k: Int = 16,
+                       bands: Int = 4): Column = {
+    val r = k / bands
+    array((0 until bands).map { b =>
+      concat(lit(s"$b:"),
+        md5(concat_ws("|", (b * r until (b + 1) * r)
+          .map(i => element_at(sigArr, i + 1).cast(StringType)): _*)))
+    }: _*)
+  }
+
   private def sigBandCols(k: Int, bands: Int): Seq[Column] = {
     val r = k / bands
     (0 until bands).map { b =>

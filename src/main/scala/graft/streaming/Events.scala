@@ -1394,6 +1394,7 @@ object Events {
     val cols = spark.table(table).columns.toSet
     val isSigIndex = cols == Set("band_key", "sig", "batch_id")
     val isVecIndex = cols == Set("cell", "vec", "batch_id")
+    val isBandIndex = cols == Set("band", "batch_id")
     val folded0 = spark.table(table).withColumn("batch_id",
       when(col("batch_id") === maxId, lit(maxId)).otherwise(lit(-1L)))
     val folded =
@@ -1401,6 +1402,8 @@ object Events {
         folded0.filter(!(col("sig").isNull && col("batch_id") === -1L))
       else if (isVecIndex)
         folded0.filter(!(col("vec").isNull && col("batch_id") === -1L))
+      else if (isBandIndex)
+        folded0.filter(!(col("band").isNull && col("batch_id") === -1L))
       else folded0
     val tmp = s"${table}__compact_tmp"
     val backup = s"${table}__compact_backup"
@@ -1823,6 +1826,156 @@ object Events {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         embeddingNoveltyIngestBatch(batch, batchId, indexTable,
           sinkTable, vecCol, threshold, multiProbe)
+        maybeCompact(batch.sparkSession, batchId, compactEvery,
+          indexTable, sinkTable)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  // ------------------------------------------------------------------
+  // maintained MINHASH (Jaccard) novelty index — the 5th geometry of
+  // the ingest family: a document is a near-duplicate of history iff
+  // it SHARES AN LSH BAND with an indexed document (the
+  // Dedup.minhashNovelty rule), and novel documents' band keys join
+  // the index so the next batch dedups against them
+  // ------------------------------------------------------------------
+
+  /** Band-EXISTENCE novelty probe: a signed frame (carrying a band-key
+    * ARRAY column) against a one-band-per-row index. The frame's
+    * distinct band arrays explode and semi-join the index on `band`;
+    * arrays with ANY indexed band are duplicates and anti-join the
+    * frame (band arrays are joinable values — all copies of a text
+    * share the array, the ingest family's no-row-identity convention).
+    * NULL band arrays pass through novel. Unlike the hamming probes
+    * there is no candidate list and no verify step — band equality IS
+    * the decision — so no bucket cap is needed: a hot band costs join
+    * rows (AQE-splittable), never memory. On a `band`-bucketed index
+    * table the index side joins straight off the scan, no exchange
+    * (the bucketed-probe plan pin covers the same shape). */
+  def noveltyBandExistsJoin(signed: DataFrame, bandsCol: String,
+                            index: DataFrame): DataFrame = {
+    Seq("__graft_barr", "__graft_band")
+      .filter(signed.columns.contains).foreach(c =>
+        throw new IllegalArgumentException(
+          s"column name $c is reserved by noveltyBandExistsJoin"))
+    val barr = col("__graft_barr")
+    val arrs = signed.select(col(bandsCol).as("__graft_barr"))
+      .filter(barr.isNotNull).distinct()
+    val dupArrs = arrs
+      .select(barr, explode(barr).as("__graft_band"))
+      .join(index.select(col("band").as("__graft_band"))
+        .filter(col("__graft_band").isNotNull), Seq("__graft_band"))
+      .select(barr).distinct()
+    signed.join(dupArrs, col(bandsCol) === barr, "left_anti")
+      .withColumn("novel", lit(true))
+  }
+
+  /** Create (replacing) a BAND-KEY index table for the MinHash ingest:
+    * schema `(band STRING, batch_id BIGINT)` — one row per distinct
+    * band key — bucketed by `band`, partitioned by `batch_id` (same
+    * replay/maintenance layout as [[createSignatureIndex]]). `seed`
+    * carries a band-key ARRAY column (e.g.
+    * [[graft.llm.Dedup.minhashBandArray]] over the existing corpus). */
+  def createBandIndex(spark: SparkSession, table: String,
+                      seed: DataFrame, bandsCol: String,
+                      buckets: Int = DefaultIndexBuckets): Unit = {
+    checkTableName(table)
+    require(buckets > 0, s"bucket count must be positive: $buckets")
+    spark.sql(s"DROP TABLE IF EXISTS ${quoted(table)}")
+    seed.select(explode(col(bandsCol)).as("band"))
+      .filter(col("band").isNotNull).distinct()
+      .withColumn("batch_id", lit(-1L))
+      .write.partitionBy("batch_id")
+      .bucketBy(buckets, "band").sortBy("band")
+      .saveAsTable(table)
+  }
+
+  /** One micro-batch of the MINHASH novelty-ingest loop — the
+    * [[noveltyIngestBatch]] machinery under the Jaccard/LSH rule:
+    * arrivals are signed map-only (the native
+    * [[graft.functions.MinHashSig]] sliding window → `bands` md5 band
+    * keys, staged so the signature computes once per row), tested for
+    * a shared band against the index table ([[noveltyBandExistsJoin]]
+    * — bucketed scan, no index-side exchange), and the novel rows'
+    * distinct band keys append under this `batch_id` with the NULL
+    * marker row. Rows keep every caller column plus `mh_bands` and
+    * `novel`; NULL-text rows carry NULL bands and are KEPT in the sink
+    * (absence of a signature is absence of duplicate evidence), never
+    * indexed. Replay safety, crash recovery, and
+    * [[compactBatchTable]] maintenance are the signature loop's,
+    * unchanged. Intra-batch near-dups pass together (history-only
+    * contract; collapse upstream with
+    * [[graft.llm.Dedup.minhashClusters]] when that matters). */
+  def minhashNoveltyIngestBatch(batch: DataFrame, batchId: Long,
+                                indexTable: String, sinkTable: String,
+                                textCol: String = "text",
+                                n: Int = 3, k: Int = 16,
+                                bands: Int = 4): Unit = {
+    require(batchId >= 0, s"batch_id must be >= 0 (got $batchId; -1 is " +
+      "reserved for the index seed)")
+    require(k % bands == 0, s"bands must divide k: k=$k bands=$bands")
+    checkTableName(indexTable)
+    checkTableName(sinkTable)
+    if (batch.isEmpty) return
+    val spark = batch.sparkSession
+    recoverCompacted(spark, indexTable)
+    recoverCompacted(spark, sinkTable)
+    val bspec = bucketSpecOf(spark, indexTable).getOrElse(
+      throw new IllegalArgumentException(s"$indexTable is not a " +
+        "band-bucketed index — (re)create it with createBandIndex"))
+    val idx = spark.table(indexTable)
+    if (!idx.filter(col("batch_id") === batchId).isEmpty) return
+    require(!batch.columns.contains("__graft_mharr"),
+      "column name __graft_mharr is reserved by minhashNoveltyIngestBatch")
+    // sign map-only: stage the raw signature array in its own
+    // projection (referenced once per band — CollapseProject keeps
+    // multi-referenced aliases staged, so MinHashSig runs once per row)
+    val signed = batch
+      .withColumn("__graft_mharr",
+        graft.functions.MinHashSig(lower(col(textCol)), n, k))
+      .withColumn("mh_bands", when(col(textCol).isNotNull,
+        graft.llm.Dedup.minhashBandArray(col("__graft_mharr"), k, bands)))
+      .drop("__graft_mharr")
+    val cached = signed.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val novel = noveltyBandExistsJoin(cached, "mh_bands", idx)
+        .withColumn("batch_id", lit(batchId))
+      if (!spark.catalog.tableExists(sinkTable))
+        novel.write.partitionBy("batch_id").saveAsTable(sinkTable)
+      else if (spark.table(sinkTable).filter(col("batch_id") === batchId)
+          .isEmpty) {
+        val cols = spark.table(sinkTable).columns
+        novel.select(cols.map(col).toIndexedSeq: _*)
+          .write.mode("append").insertInto(sinkTable)
+      }
+      val bandsNew = spark.table(sinkTable)
+        .filter(col("batch_id") === batchId)
+        .select(explode(col("mh_bands")).as("band"))
+        .filter(col("band").isNotNull).distinct()
+      val marker = spark.range(1).select(
+        lit(null).cast(StringType).as("band"))
+      bandsNew.unionByName(marker)
+        .withColumn("batch_id", lit(batchId))
+        .write.mode("append").partitionBy("batch_id")
+        .bucketBy(bspec.numBuckets, "band").sortBy("band")
+        .saveAsTable(indexTable)
+    } finally cached.unpersist()
+  }
+
+  /** [[startImageNoveltyIngest]]'s MINHASH sibling (create the index
+    * first with [[createBandIndex]]); `compactEvery` wires the same
+    * partition-growth maintenance. */
+  def startMinhashNoveltyIngest(stream: DataFrame, checkpoint: String,
+                                indexTable: String, sinkTable: String,
+                                textCol: String = "text",
+                                n: Int = 3, k: Int = 16, bands: Int = 4,
+                                compactEvery: Int = 0): StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        minhashNoveltyIngestBatch(batch, batchId, indexTable, sinkTable,
+          textCol, n, k, bands)
         maybeCompact(batch.sparkSession, batchId, compactEvery,
           indexTable, sinkTable)
       }

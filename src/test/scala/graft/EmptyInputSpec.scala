@@ -203,4 +203,48 @@ class EmptyInputSpec extends SparkSpec {
         && r.getLong(3) === 0L && r.isNullAt(4) && r.isNullAt(5))
     }
   }
+
+  test("r13 novelty machinery tolerates empty batches, indexes, rollups") {
+    import graft.streaming.Events
+    // empty banded index: every signed row is novel
+    val emptyBanded = Seq.empty[(Long, Long)].toDF("band_key", "sig")
+    val signed = Seq((1L, 42L), (2L, 0L)).toDF("media_id", "s")
+      .withColumn("s",
+        when($"media_id" === 2L, lit(null)).otherwise($"s"))
+    assert(Events.noveltyBandedJoin(signed, "s", emptyBanded, 3)
+      .count() === 2)
+    // empty signed frame against a non-empty banded index: empty out
+    val banded = graft.llm.Multimodal.bandIndexRows(
+      Seq(7L).toDF("sig"), "sig")
+    assert(Events.noveltyBandedJoin(signed.limit(0), "s", banded, 3)
+      .count() === 0)
+    // collapseBySignature on an empty frame is empty; on an all-null
+    // signature frame it passes every row through
+    assert(Events.collapseBySignature(signed.limit(0), "s", 3)
+      .count() === 0)
+    val allNull = Seq(1L, 2L).toDF("media_id")
+      .withColumn("s", lit(null).cast("long"))
+    assert(Events.collapseBySignature(allNull, "s", 3).count() === 2)
+    // cappedBandBuckets of an empty index is zero
+    assert(Events.cappedBandBuckets(emptyBanded) === 0L)
+    // embedding ingest: an empty batch is a pure no-op (no tables read)
+    val emptyEmb = Seq.empty[(Long, Seq[Double])]
+      .toDF("vec_id", "embedding")
+    Events.embeddingNoveltyIngestBatch(emptyEmb, 0L, "no_such_idx",
+      "no_such_sink", "embedding", 0.95)
+    assert(!spark.catalog.tableExists("no_such_sink"))
+    // signature ingest: same contract
+    Events.imageNoveltyIngestBatch(
+      Seq.empty[(Long, Array[Byte])].toDF("media_id", "payload"),
+      0L, "no_such_idx2", "no_such_sink2")
+    assert(!spark.catalog.tableExists("no_such_sink2"))
+    // quantile rollup: deriving k from an EMPTY rollup yields empty
+    // estimates, never a crash
+    val emptyRollup = graft.operators.QuantileRollup.buildRollup(
+      Seq.empty[(String, Long, Double)].toDF("k", "id", "v")
+        .withColumn("b", lit(0)),
+      Seq("k"), "b", "id", "v", 8)
+    assert(graft.operators.QuantileRollup
+      .estimateAcross(emptyRollup, Seq("k"), Seq(0.5)).count() === 0)
+  }
 }

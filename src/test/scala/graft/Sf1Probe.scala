@@ -78,7 +78,10 @@ object Sf1Probe {
     "dd_semantic_serve", "mm_phash_novelty_collapse",
     // r13 embedding ingest: cell-pruned probe — expect ~linear in the
     // batch (the index read is |probed cells|/nlist of the corpus)
-    "dd_semantic_novelty_grow")
+    "dd_semantic_novelty_grow",
+    // r13 5th geometry: band-existence ingest — map-only MinHashSig +
+    // a band semi-join; expect ~corpus-linear
+    "dd_minhash_novelty_grow")
 
   def main(args: Array[String]): Unit = {
     val src = "/root/testdata/sf0.1"

@@ -1233,6 +1233,63 @@ class StreamingSpec extends SparkSpec {
       spark.sql(s"DROP TABLE IF EXISTS $t")
   }
 
+  test("minhash novelty ingest: band index grows, replay no-op, compaction") {
+    val idxT = "mh_idx_g"; val sinkT = "mh_sink_g"
+    for (t <- Seq(idxT, sinkT)) spark.sql(s"DROP TABLE IF EXISTS $t")
+    val d = Tables.load(spark, sf, "documents").limit(200)
+      .select($"doc_id", $"text").localCheckpoint()
+    val withBands = d.withColumn("arr",
+        graft.functions.MinHashSig(lower($"text"), 3, 16))
+      .withColumn("b", graft.llm.Dedup.minhashBandArray($"arr", 16, 4))
+    val bandsOf = withBands.select($"doc_id", $"b")
+      .as[(Long, Seq[String])].collect().toMap
+    Events.createBandIndex(spark, idxT,
+      withBands.filter($"doc_id" < 100).select($"b"), "b")
+    Events.minhashNoveltyIngestBatch(d.filter($"doc_id" >= 100), 0L,
+      idxT, sinkT)
+    val seedBands = bandsOf.filter(_._1 < 100).values.flatten.toSet
+    val novel0 = bandsOf.keys.filter(id => id >= 100 &&
+      !bandsOf(id).exists(seedBands)).toSet
+    assert(novel0.nonEmpty, "need seed-novel docs for the growth pin")
+    assert(spark.table(sinkT).filter($"batch_id" === 0)
+      .select($"doc_id").as[Long].collect().toSet == novel0)
+    // batch 1 = full-corpus COPIES: every copy shares all 4 bands with
+    // its original, whose bands are in the index either via the seed
+    // or via batch 0's growth — so NOTHING passes, where a static
+    // seed-only index would have kept every copy of a batch-0 novelty
+    Events.minhashNoveltyIngestBatch(
+      d.select(($"doc_id" + 10000).as("doc_id"), $"text"), 1L,
+      idxT, sinkT)
+    val idx1 = seedBands ++ novel0.flatMap(bandsOf)
+    val novel1 = bandsOf.keys.filter(id => !bandsOf(id).exists(idx1))
+      .map(_ + 10000).toSet
+    assert(spark.table(sinkT).filter($"batch_id" === 1)
+      .select($"doc_id").as[Long].collect().toSet == novel1)
+    // the growth is what dropped the copies of batch-0 novelties
+    assert(novel0.forall(id => !bandsOf(id).exists(seedBands)))
+    // replay of batch 1: pure no-op (marker committed even though the
+    // sink batch partition may be empty)
+    val sn = spark.table(sinkT).count()
+    val in2 = spark.table(idxT).count()
+    Events.minhashNoveltyIngestBatch(
+      d.select(($"doc_id" + 10000).as("doc_id"), $"text"), 1L,
+      idxT, sinkT)
+    assert(spark.table(sinkT).count() == sn)
+    assert(spark.table(idxT).count() == in2)
+    // compaction folds to base + max batch; distinct bands preserved;
+    // bucket spec survives
+    val bandsBefore = spark.table(idxT).filter($"band".isNotNull)
+      .select($"band").distinct().count()
+    val (pb, pa) = Events.compactBatchTable(spark, idxT)
+    assert(pb >= 3 && pa == 2, s"$pb -> $pa")
+    assert(spark.table(idxT).filter($"band".isNotNull)
+      .select($"band").distinct().count() == bandsBefore)
+    assert(spark.sessionState.catalog.getTableMetadata(
+      spark.sessionState.sqlParser.parseTableIdentifier(idxT))
+      .bucketSpec.exists(_.bucketColumnNames == Seq("band")))
+    for (t <- Seq(idxT, sinkT)) spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
   test("text novelty ingest: streaming wiring equals batch calls") {
     import org.apache.spark.sql.types._
     val idxT = "nov_idx_ts"; val sinkT = "nov_sink_ts"
