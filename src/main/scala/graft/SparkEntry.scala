@@ -2466,6 +2466,64 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "dd_minhash_novelty_collapse" -> ((s, dir) => {
+      // the INTRA-BATCH collapse arm of the MinHash ingest loop (r14,
+      // mm_phash_novelty_collapse's Jaccard twin): cold-start band
+      // index, ONE batch of the corpus PLUS full copies — same-batch
+      // band-sharing documents collapse to their component's MIN band
+      // ARRAY before the (empty-history) probe, so exact copies pass
+      // together with their original while near-dup texts sharing an
+      // LSH band contribute one representative array. The oracle
+      // replays the minhash closed form and walks components over
+      // distinct band arrays (as fixed-width joined strings — band
+      // keys are exactly 34 chars, so string order == array order)
+      // with the recursive min-label CTE; band-less docs pass.
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        .localCheckpoint()
+      val idxT = "dd_mhnov_col_idx"; val sinkT = "dd_mhnov_col_sink"
+      for (tb <- Seq(idxT, sinkT)) s.sql(s"DROP TABLE IF EXISTS $tb")
+      graft.streaming.Events.createBandIndex(s, idxT,
+        s.range(0).select(lit(null).cast("array<string>").as("b")), "b")
+      graft.streaming.Events.minhashNoveltyIngestBatch(
+        d.unionByName(d.select((col("doc_id") + 10000).as("doc_id"),
+          col("text"))),
+        0L, idxT, sinkT, collapseIntraBatch = true)
+      s.table(sinkT).select(col("doc_id"), col("batch_id"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "dd_semantic_novelty_collapse" -> ((s, dir) => {
+      // the INTRA-BATCH collapse arm of the EMBEDDING ingest loop
+      // (r14): cold-start index with ONE zero centroid — a single cell
+      // makes the within-cell collapse globally exact, so the oracle
+      // replays it with brute-force cosine and no cell structure to
+      // mirror. The batch is the corpus plus PERTURBED copies (first
+      // component ×1.01f: distinct vectors at cosine ≈ 1, while no
+      // natural pair reaches 0.95 — measured nearest 0.512837, and
+      // perturbed cross-pairs top out at 0.51315). Collapse =
+      // components over distinct vectors, rep = MIN vector
+      // (lexicographic — identical float compare in both engines);
+      // every arrival is index-novel against the empty seed, so the
+      // sink holds exactly the representative vectors' rows.
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      val pert = e.select((col("vec_id") + 100000).as("vec_id"),
+        concat(array(col("embedding").getItem(0) * lit(1.01f)),
+          slice(col("embedding"), 2, 1 << 20)).as("embedding"))
+      val batch = e.unionByName(pert).localCheckpoint()
+      val idxT = "dd_semnov_col_idx"; val sinkT = "dd_semnov_col_sink"
+      for (tb <- Seq(idxT, s"${idxT}__cents", sinkT))
+        s.sql(s"DROP TABLE IF EXISTS $tb")
+      val dim = e.select(size(col("embedding"))).first().getInt(0)
+      graft.streaming.Events.createEmbeddingIndex(s, idxT,
+        s.range(0).select(lit(null).cast("array<float>").as("embedding")),
+        "embedding", Array(Array.fill(dim)(0.0)))
+      graft.streaming.Events.embeddingNoveltyIngestBatch(batch, 0L,
+        idxT, sinkT, "embedding", 0.95, collapseIntraBatch = true)
+      s.table(sinkT).select(col("vec_id"), col("batch_id"))
+        .orderBy(col("vec_id"))
+    }),
+
     "dd_semantic_novelty_grow" -> ((s, dir) => {
       // the EMBEDDING member of the maintained-index ingest family
       // (r13 — mm_phash_novelty_grow's cosine twin): IVF
@@ -4985,6 +5043,65 @@ object SparkEntry {
         |SELECT doc_id, 0::BIGINT AS batch_id FROM n0
         |UNION ALL SELECT doc_id, 1::BIGINT FROM n1
         |ORDER BY doc_id""".stripMargin,
+
+    // intra-batch collapse over band ARRAYS replayed as a recursive
+    // min-label walk: nodes are distinct band arrays (joined to a
+    // fixed-width string — every band key is exactly 34 chars, so
+    // string order == array order and the min-label rep matches the
+    // engine's min-array rep), edges connect arrays sharing a band;
+    // rows keep iff their array is its component's rep. Band-less
+    // docs (no signature) pass through. Cold index ⇒ no history drops.
+    "dd_minhash_novelty_collapse" ->
+      s"""WITH RECURSIVE u AS (SELECT doc_id, lower(text) AS t FROM documents
+        |    UNION ALL SELECT doc_id + 10000, lower(text) FROM documents),
+        |w AS (SELECT doc_id, ${toksSql("t")} AS ws FROM u),
+        |sh AS (SELECT doc_id, $shingleSql AS shl FROM w),
+        |sx AS (SELECT doc_id, unnest(shl) AS sgl FROM sh),
+        |hx AS (SELECT doc_id, ${rollSql("sgl")} AS h FROM sx),
+        |sig AS (SELECT doc_id, ${minhashAggSqls.mkString(", ")}
+        |  FROM hx GROUP BY doc_id),
+        |ba AS (SELECT doc_id, array_to_string($bandListSql, '|') AS bk
+        |  FROM sig),
+        |da AS (SELECT DISTINCT bk FROM ba),
+        |ex AS (SELECT bk, unnest(string_split(bk, '|')) AS band FROM da),
+        |cand AS (SELECT DISTINCT a.bk AS xa, b.bk AS xb
+        |  FROM ex a JOIN ex b ON a.band = b.band AND a.bk < b.bk),
+        |edges AS (SELECT xa AS src, xb AS dst FROM cand
+        |  UNION SELECT xb, xa FROM cand),
+        |walk(x, anc) AS (SELECT bk, bk FROM da
+        |  UNION SELECT e.dst, w2.anc FROM walk w2 JOIN edges e
+        |    ON e.src = w2.x),
+        |rep AS (SELECT x, min(anc) AS r FROM walk GROUP BY x)
+        |SELECT b.doc_id, 0::BIGINT AS batch_id FROM ba b
+        |JOIN rep ON rep.x = b.bk WHERE b.bk = rep.r
+        |UNION ALL
+        |SELECT u.doc_id, 0::BIGINT FROM u
+        |WHERE u.doc_id NOT IN (SELECT doc_id FROM ba)
+        |ORDER BY doc_id""".stripMargin,
+
+    // intra-batch collapse over VECTORS replayed globally (the engine's
+    // single zero-centroid cell makes within-cell == global): nodes are
+    // distinct vectors, edges cos >= 0.95, rep = min vector
+    // (lexicographic float lists — identical compare in both engines)
+    "dd_semantic_novelty_collapse" ->
+      s"""WITH RECURSIVE u AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 100000,
+        |    list_prepend(embedding[1] * 1.01::FLOAT, embedding[2:])
+        |  FROM embeddings),
+        |dv AS (SELECT DISTINCT embedding AS v FROM u),
+        |e0 AS (SELECT a.v AS va, b.v AS vb FROM dv a JOIN dv b
+        |  ON a.v < b.v WHERE ${cosSql("a.v", "b.v")} >= 0.95),
+        |edges AS (SELECT va AS src, vb AS dst FROM e0
+        |  UNION SELECT vb, va FROM e0),
+        |walk(v, anc) AS (SELECT v, v FROM dv
+        |  UNION SELECT e.dst, w.anc FROM walk w JOIN edges e
+        |    ON e.src = w.v),
+        |rep AS (SELECT v, min(anc) AS r FROM walk GROUP BY v)
+        |SELECT u.vec_id, 0::BIGINT AS batch_id FROM u
+        |JOIN rep ON rep.v = u.embedding WHERE u.embedding = rep.r
+        |ORDER BY vec_id""".stripMargin,
 
     // the growing embedding index replayed with brute-force cosine:
     // batch 0 vs the seed corpus, batch 1 vs seed ∪ batch-0 novelties

@@ -1745,6 +1745,26 @@ object Dedup {
       Similarity.ivfAssignTwoLevel(emb, id, vec, cents, ncoarse), id,
       vec, threshold)
 
+  /** The SERVING-MODE semantic dedup entry point (r13 verdict #4):
+    * pre-trained centroids sized by the
+    * [[graft.llm.Similarity.servingNlist]] rule, assignment
+    * auto-switched to the two-level coarse quantizer (ncoarse ≈
+    * √nlist) past [[graft.llm.Similarity.MaxUnrolledCentroids]] —
+    * wiring the measured crossover (at nlist=3,200 the two-level loop
+    * form beat flat 2.8×; at nlist=320 flat codegen'd dots still won,
+    * so the unrolled-vs-loop threshold is also roughly the economic
+    * one) as the default instead of SURVEY prose. Same keep/drop
+    * contract as [[semanticDedup]]: exact duplicates always co-locate;
+    * boundary near-dups are the standard coarse-quantizer trade. */
+  def semanticDedupServe(emb: DataFrame, id: String, vec: String,
+                         cents: Array[Array[Double]],
+                         threshold: Double): DataFrame =
+    if (cents.length <= Similarity.MaxUnrolledCentroids)
+      semanticDedup(emb, id, vec, cents, threshold)
+    else semanticDedupCoarse(emb, id, vec, cents,
+      ncoarse = math.max(2, math.round(math.sqrt(cents.length)).toInt),
+      threshold = threshold)
+
   /** Within-cell min-id greedy dedup over an ASSIGNED frame — the
     * shared tail of the semanticDedup family. */
   private def dedupAssigned(assigned: DataFrame, id: String, vec: String,

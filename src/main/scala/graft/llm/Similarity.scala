@@ -270,6 +270,26 @@ object Similarity {
     corpus.select(col(id), col(vec),
       nearestCell(col(vec), centroids).as("cell"))
 
+  /** Serving-mode nlist SIZING RULE (r13 verdict #4 — previously SURVEY
+    * prose, now the callable default): size cells to a constant mean
+    * population `targetCell`, i.e. nlist = n / targetCell (clamped to
+    * [1, n]). This keeps the within-cell quadratic — Σ(n/nlist)²·nlist
+    * = n·targetCell comparisons — CORPUS-LINEAR as the corpus grows
+    * (the fixed-nlist form measured 3.7–4.8× on 10× data; this rule's
+    * probe arm measures ~linear). The flat assignment term n·nlist
+    * then grows quadratically in total — which is exactly why
+    * [[nearestCellTwoLevel]] / the loop-form auto-switch past
+    * [[MaxUnrolledCentroids]] exists: serving callers past that
+    * threshold should assign two-level (ncoarse ≈ √nlist — see
+    * [[graft.llm.Dedup.semanticDedupServe]], which wires the switch).
+    * Training cost (ivfTrain is O(n·nlist) per iteration) is the
+    * train-ONCE offline step of the serving convention, not a
+    * per-pass cost. */
+  def servingNlist(n: Long, targetCell: Int = 128): Int = {
+    require(targetCell > 0, s"targetCell must be positive: $targetCell")
+    math.max(1L, math.min(n, n / targetCell)).toInt
+  }
+
   // ------------------------------------------------------------------
   // two-level (coarse-quantized) assignment — the flat-assignment term
   // is n × nlist distance evaluations, and with the SemDeDup guidance

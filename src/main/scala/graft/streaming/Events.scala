@@ -382,7 +382,10 @@ object Events {
     *    many join ROWS (streamed, AQE-splittable), never an unbounded
     *    in-memory array. Catalyst's runtime bloom filter additionally
     *    injects a batch-derived `band_key` bloom on the index side
-    *    (BloomProbe verifies it fires), dropping non-matching band
+    *    (the BloomProbe main REPORTS the injection under current conf
+    *    defaults — a manual probe, not an asserted invariant; the
+    *    shuffle-free plan and the band_pfx partition pruning are the
+    *    spec-pinned guarantees), dropping non-matching band
     *    buckets before the join — and since the bloom keys the band,
     *    buckets are kept or dropped WHOLE, so the `maxBucket` cap's
     *    per-bucket ranking is unaffected.
@@ -403,8 +406,10 @@ object Events {
     require(maxBucket > 0, s"maxBucket must be positive: $maxBucket")
     // the probe's scratch names must not collide with caller columns
     // (the r12 reserved-name sweep rule: a silent clobber or an
-    // ambiguous-reference error later is worse than a loud reject)
-    val reserved = Seq("__graft_bsig") ++
+    // ambiguous-reference error later is worse than a loud reject) —
+    // and neither may the OUTPUT column `novel` (r13 ADVICE: a caller
+    // frame already carrying `novel` was silently overwritten)
+    val reserved = Seq("__graft_bsig", "novel") ++
       (0 until 4).flatMap(b => Seq(s"__graft_bk$b", s"__graft_sigs$b"))
     reserved.filter(signed.columns.contains).foreach(c =>
       throw new IllegalArgumentException(
@@ -436,15 +441,39 @@ object Events {
           Seq(s"__graft_bk$b", s"__graft_sigs$b")): _*)
         .filter(col("novel"))
     } else {
+      val bsig = col("__graft_bsig")
+      val hasPfx = banded.columns.contains("band_pfx")
+      val batchSigs0 = signed.select(sig.cast(LongType).as("__graft_bsig"))
+        .filter(bsig.isNotNull).distinct()
+      // prefix pruning (r14, verdict #1): on a band_pfx-partitioned
+      // index ([[createSignatureIndex]]'s layout) the batch's touched
+      // prefixes — metadata-sized, ≤ 2^(18-BandPfxShift) values after
+      // distinct — become LITERAL partition filters on the index read:
+      // static partition pruning, only the touched fraction of the
+      // index is ever read. The signature set is consumed twice
+      // (prefix collection + the join), so it is pinned first.
+      val batchSigs =
+        if (hasPfx) batchSigs0.localCheckpoint() else batchSigs0
+      val pruned =
+        if (!hasPfx) idx
+        else {
+          val pfx = batchSigs
+            .select(explode(array(bandKeyCols(bsig)
+              .map(k => shiftright(k, BandPfxShift)): _*)).as("p"))
+            .distinct().collect().map(_.getLong(0))
+          if (pfx.isEmpty) idx.filter(lit(false))
+          else banded
+            .filter(col("band_pfx").isin(pfx.map(p => p: Any).toSeq: _*))
+            .select(col("band_key").cast(LongType).as("band_key"),
+              col("sig").cast(LongType).as("sig"))
+            .filter(col("sig").isNotNull)
+        }
       val capped =
-        if (maxBucket == Int.MaxValue) idx
-        else idx.withColumn("__graft_rn",
+        if (maxBucket == Int.MaxValue) pruned
+        else pruned.withColumn("__graft_rn",
             row_number().over(org.apache.spark.sql.expressions.Window
               .partitionBy("band_key").orderBy("sig")))
           .filter(col("__graft_rn") <= maxBucket).drop("__graft_rn")
-      val bsig = col("__graft_bsig")
-      val batchSigs = signed.select(sig.cast(LongType).as("__graft_bsig"))
-        .filter(bsig.isNotNull).distinct()
       val dupSigs = batchSigs
         .select(bsig, explode(array(bandKeyCols(bsig): _*)).as("band_key"))
         .join(capped, Seq("band_key"))
@@ -502,6 +531,70 @@ object Events {
       .filter(col("keep")).select(col("doc").as("__graft_repsig"))
     signed.join(repSigs, sig === col("__graft_repsig"), "left_semi")
       .unionByName(signed.filter(sig.isNull))
+  }
+
+  /** Collapse a frame's near-duplicate BAND ARRAYS to one
+    * representative each — [[collapseBySignature]]'s MinHash-geometry
+    * twin (r14, verdict #5): nodes are the frame's DISTINCT band
+    * arrays, edges connect arrays SHARING an LSH band (the
+    * minhashNovelty rule applied inside the batch), rep = the
+    * component's MINIMUM array (lexicographic — deterministic and
+    * engine-portable); rows keep iff their array is its component's
+    * rep, NULL-array rows pass through. Granularity is the band array,
+    * not the row: rows sharing a rep array pass together (row identity
+    * is upstream's job — the ingest family's convention). */
+  def collapseByBands(signed: DataFrame, bandsCol: String,
+                      maxIter: Int = 20,
+                      driverEdgeLimit: Long = 1000000L): DataFrame = {
+    require(!signed.columns.contains("__graft_repbar"),
+      "column name __graft_repbar is reserved by collapseByBands")
+    val barr = col(bandsCol)
+    val arrs = signed.select(barr.as("doc")).filter(col("doc").isNotNull)
+      .distinct().localCheckpoint()
+    val exploded = arrs.select(col("doc"), explode(col("doc")).as("band"))
+    val edges = exploded.alias("a").join(exploded.alias("b"),
+        col("a.band") === col("b.band") && col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("id_a"), col("b.doc").as("id_b"))
+      .distinct().localCheckpoint()
+    val reps = graft.llm.Dedup.connectedComponents(arrs, "doc", edges,
+        maxIter, driverEdgeLimit)
+      .filter(col("keep")).select(col("doc").as("__graft_repbar"))
+    signed.join(reps, barr === col("__graft_repbar"), "left_semi")
+      .unionByName(signed.filter(barr.isNull))
+  }
+
+  /** Collapse a frame's near-duplicate VECTORS to one representative
+    * each — [[collapseBySignature]]'s embedding twin (r14, verdict #5):
+    * nodes are the frame's DISTINCT vectors, edges connect same-cell
+    * vectors with exact cosine ≥ `threshold` (cells from `cents` — the
+    * SemDeDup within-cell bound, so the collapse is never all-pairs;
+    * near-dups straddling a cell boundary can be missed, the standard
+    * IVF caveat, and exact duplicates never are), rep = the
+    * component's MINIMUM vector (lexicographic); rows keep iff their
+    * vector is its component's rep, NULL-vector rows pass. Granularity
+    * is the vector: rows sharing a rep vector pass together. */
+  def collapseByVector(batch: DataFrame, vecCol: String,
+                       cents: Array[Array[Double]], threshold: Double,
+                       maxIter: Int = 20,
+                       driverEdgeLimit: Long = 1000000L): DataFrame = {
+    require(!batch.columns.contains("__graft_repvec"),
+      "column name __graft_repvec is reserved by collapseByVector")
+    val v = col(vecCol)
+    val vecs = batch.select(v.as("doc")).filter(col("doc").isNotNull)
+      .distinct().localCheckpoint()
+    val assigned = vecs.withColumn("cell",
+      graft.llm.Similarity.nearestCell(col("doc"), cents))
+    val edges = assigned.alias("a").join(assigned.alias("b"),
+        col("a.cell") === col("b.cell") && col("a.doc") < col("b.doc"))
+      .filter(graft.llm.Dedup.cosine(col("a.doc"), col("b.doc"))
+        >= threshold)
+      .select(col("a.doc").as("id_a"), col("b.doc").as("id_b"))
+      .localCheckpoint()
+    val reps = graft.llm.Dedup.connectedComponents(vecs, "doc", edges,
+        maxIter, driverEdgeLimit)
+      .filter(col("keep")).select(col("doc").as("__graft_repvec"))
+    batch.join(reps, v === col("__graft_repvec"), "left_semi")
+      .unionByName(batch.filter(v.isNull))
   }
 
   /** [[imageNoveltyStream]] with the index in a DataFrame/TABLE — the
@@ -1071,9 +1164,37 @@ object Events {
     require(!table.endsWith("__cents"),
       s"names ending in __cents are reserved for the embedding " +
         s"index's centroid sidecar: $table")
+    require(!table.endsWith("__capped"),
+      s"names ending in __capped are reserved for the signature " +
+        s"index's capped companion: $table")
   }
   private def quoted(table: String): String =
     table.split('.').map(p => s"`$p`").mkString(".")
+
+  /** Table property naming the ingest-index geometry of a
+    * `batch_id`-partitioned table — written by
+    * [[createSignatureIndex]] (`signature`), [[createBandIndex]]
+    * (`band`), and [[createEmbeddingIndex]] (`embedding`), read by
+    * [[compactBatchTable]] to decide marker-row handling. The r13 form
+    * sniffed the geometry from the exact column SET, which would have
+    * silently treated a user table that coincidentally matched an index
+    * schema as an index (dropping its NULL rows as stale markers) and
+    * silently skipped marker cleanup on any sixth geometry; a declared
+    * property fails LOUDLY on an unknown value instead. Absent property
+    * = not an index (sink tables, user tables): plain fold, no rows
+    * dropped. */
+  val IndexKindProp = "graft.index.kind"
+
+  private def setTableProps(spark: SparkSession, table: String,
+                            props: Map[String, String]): Unit =
+    if (props.nonEmpty)
+      spark.sql(s"ALTER TABLE ${quoted(table)} SET TBLPROPERTIES (" +
+        props.map { case (k, v) => s"'$k'='$v'" }.mkString(", ") + ")")
+
+  private def tablePropsOf(spark: SparkSession, table: String)
+      : Map[String, String] =
+    spark.sessionState.catalog.getTableMetadata(
+      spark.sessionState.sqlParser.parseTableIdentifier(table)).properties
 
   /** Max touched partitions before falling back to the full merge —
     * shared with the batch incremental materializer, see
@@ -1257,22 +1378,71 @@ object Events {
     * matches the local[32] test geometry. */
   val DefaultIndexBuckets = 32
 
+  /** Right-shift that maps a signature-index `band_key` (∈ [0, 2¹⁸):
+    * band·2¹⁶ + 16-bit value) to its `band_pfx` partition value —
+    * 2¹⁸⁻¹² = 64 prefix partitions per batch_id. The prefix is the r14
+    * sub-O(index) lever (verdict #1): the per-batch probe collects the
+    * batch's touched prefixes (metadata-sized, ≤ 64 values) into
+    * LITERAL partition filters, so a batch reads only
+    * |touched prefixes|/64 of the index — the
+    * [[embeddingNoveltyIngestBatch]] cell-pruning machinery applied to
+    * hamming space. The pruning regime is honest: band keys are
+    * hash-spread, so a batch with ≥ a few hundred distinct signatures
+    * touches every prefix (full — still shuffle-free and
+    * bloom-filtered — scan, amortized over the large batch), while the
+    * TRICKLE regime (small continuous batches, where a full scan per
+    * batch is the 100 TB killer) prunes hardest — the two regimes
+    * cover each other. 64 also bounds the file-count cost of a
+    * bucketed append (≤ prefixes × buckets files per batch, folded by
+    * [[compactBatchTable]] on the maintenance cadence). */
+  val BandPfxShift = 12
+
+  /** `band_pfx` of a signature-index band key; commit-marker rows
+    * (NULL band_key) land in their own -1 prefix partition, which no
+    * probe filter ever selects. */
+  private def sigBandPfx(bandKey: Column): Column =
+    when(bandKey.isNull, lit(-1L))
+      .otherwise(shiftright(bandKey, BandPfxShift))
+
+  /** `band_pfx` of a MinHash band index's md5-hex band key: the first
+    * hex character — 16 prefix partitions (the string geometry's
+    * [[sigBandPfx]]); NULL markers land in "-". */
+  private def bandStrPfx(band: Column): Column =
+    when(band.isNull, lit("-")).otherwise(substring(band, 1, 1))
+
+  /** Group an index append by (partition, bucket) before the bucketed
+    * write: without this every write task emits one file per
+    * (prefix, bucket) combo it happens to hold (tasks × prefixes ×
+    * buckets tiny files per batch); grouped, the file count is exactly
+    * the number of NON-EMPTY (prefix, bucket) combos. `bucketExpr`
+    * must hash like Spark's bucketing (murmur3 seed 42 = `hash()`). */
+  private def groupForBucketedWrite(df: DataFrame, pfxCol: String,
+                                    bucketCol: String,
+                                    buckets: Int): DataFrame =
+    df.repartition(col(pfxCol),
+      pmod(hash(col(bucketCol)), lit(buckets)))
+
   /** Create (replacing) a signature-index table for the novelty-ingest
-    * loop, PRE-BAND-EXPLODED and BUCKETED: schema
-    * `(band_key BIGINT, sig BIGINT, batch_id BIGINT)` — 4 rows per
-    * signature ([[graft.llm.Multimodal.bandIndexRows]] geometry) —
-    * hash-bucketed by `band_key` and partitioned by `batch_id`.
+    * loop, PRE-BAND-EXPLODED, PREFIX-PARTITIONED and BUCKETED: schema
+    * `(band_key BIGINT, sig BIGINT, band_pfx BIGINT, batch_id BIGINT)`
+    * — 4 rows per signature ([[graft.llm.Multimodal.bandIndexRows]]
+    * geometry) — hash-bucketed by `band_key` and partitioned by
+    * `(batch_id, band_pfx)`.
     *
-    * The layout is the r12→r13 scale fix: the per-micro-batch probe
+    * The bucketing is the r12→r13 scale fix: the per-micro-batch probe
     * ([[noveltyBandedJoin]]) joins on `band_key`, and the bucketed
     * scan satisfies that join's distribution directly — the index side
     * is NEVER exploded, grouped, or shuffled at probe time (the r12
     * form rebuilt groupBy(band_key)+collect_list from raw signatures
-    * every batch — a full index shuffle per micro-batch). Per-batch
-    * appends stay bucket-local files inside their own `batch_id`
-    * partition (no rewrite of prior batches); the `batch_id` partition
-    * makes the replay probe metadata-pruned; partition GROWTH is
-    * bounded by [[compactBatchTable]] on a maintenance cadence.
+    * every batch — a full index shuffle per micro-batch). The
+    * `band_pfx` partition is the r13→r14 fix ([[BandPfxShift]]): the
+    * probe pushes the batch's touched prefixes as literal partition
+    * filters, so a small batch READS only its prefixes' fraction of
+    * the index instead of scanning all of it. Per-batch appends stay
+    * bucket-local files inside their own `batch_id` partition (no
+    * rewrite of prior batches); the `batch_id` partition makes the
+    * replay probe metadata-pruned; partition GROWTH is bounded by
+    * [[compactBatchTable]] on a maintenance cadence.
     *
     * `seed` supplies the starting signatures (e.g.
     * [[graft.llm.Multimodal.dhashSignatures]] over the existing
@@ -1280,17 +1450,45 @@ object Events {
     * cold-start index. */
   def createSignatureIndex(spark: SparkSession, table: String,
                            seed: DataFrame, sigCol: String,
-                           buckets: Int = DefaultIndexBuckets): Unit = {
+                           buckets: Int = DefaultIndexBuckets,
+                           maxBucket: Int = DefaultMaxBandBucket): Unit = {
     checkTableName(table)
     require(buckets > 0, s"bucket count must be positive: $buckets")
+    require(maxBucket > 0, s"maxBucket must be positive: $maxBucket")
     spark.sql(s"DROP TABLE IF EXISTS ${quoted(table)}")
-    graft.llm.Multimodal.bandIndexRows(
+    spark.sql(s"DROP TABLE IF EXISTS ${quoted(table + "__capped")}")
+    val rows = graft.llm.Multimodal.bandIndexRows(
         seed.select(col(sigCol).cast(LongType).as("sig")), "sig")
+      .withColumn("band_pfx", sigBandPfx(col("band_key")))
       .withColumn("batch_id", lit(-1L))
-      .write.partitionBy("batch_id")
+    groupForBucketedWrite(rows, "band_pfx", "band_key", buckets)
+      .write.partitionBy("batch_id", "band_pfx")
       .bucketBy(buckets, "band_key").sortBy("band_key", "sig")
       .saveAsTable(table)
+    setTableProps(spark, table, Map(IndexKindProp -> "signature"))
+    // the CAPPED companion (r14, verdict #2): the ingest probe's
+    // candidate source, holding per band bucket the deterministic
+    // bottom-maxBucket signatures — maintained at append/compaction
+    // time so no probe ever pays a Window over the index. Seed form =
+    // exact bottom-k per bucket (one creation-time window).
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("band_key").orderBy("sig")
+    val capped = rows.withColumn("__graft_rn", row_number().over(w))
+      .filter(col("__graft_rn") <= maxBucket).drop("__graft_rn")
+    groupForBucketedWrite(capped, "band_pfx", "band_key", buckets)
+      .write.partitionBy("batch_id", "band_pfx")
+      .bucketBy(buckets, "band_key").sortBy("band_key", "sig")
+      .saveAsTable(table + "__capped")
+    setTableProps(spark, table + "__capped",
+      Map(IndexKindProp -> "capped-signature",
+        CappedKProp -> maxBucket.toString))
   }
+
+  /** Table property on a `__capped` companion recording the per-bucket
+    * cap k it was built with ([[createSignatureIndex]]'s `maxBucket`);
+    * [[compactBatchTable]] re-tightens the folded base to exactly this
+    * bottom-k per bucket. */
+  val CappedKProp = "graft.capped.k"
 
   /** The catalog bucket spec of `table`, required for bucket-preserving
     * appends (an append with a different spec would corrupt the
@@ -1370,7 +1568,16 @@ object Events {
     * that writer is mid-committing. Returns (partitions before,
     * partitions after). */
   def compactBatchTable(spark: SparkSession, table: String): (Int, Int) = {
-    checkTableName(table)
+    // the full reservation check would reject the __capped companion,
+    // which IS a batch_id-partitioned table this maintenance must
+    // cover; only the identifier shape and this function's own scratch
+    // suffixes are enforced here
+    require(SimpleIdent.findFirstIn(table).isDefined,
+      s"compactBatchTable needs a simple [db.]table identifier: $table")
+    require(!table.endsWith("__compact_tmp") &&
+      !table.endsWith("__compact_backup"),
+      s"names ending in __compact_tmp/__compact_backup are reserved " +
+        s"by compactBatchTable's swap: $table")
     recoverCompacted(spark, table)
     require(spark.catalog.tableExists(table),
       s"compactBatchTable: no such table $table (and no crash-parked " +
@@ -1388,31 +1595,59 @@ object Events {
     val maxId = live.max
     // stale commit-marker rows of FOLDED batches are dropped with the
     // fold (their commit role is over; folded batches can never
-    // replay) — schema-targeted so sink data rows are never touched
-    // (set comparison — the catalog reorders partition columns last,
-    // so the embedding index reads back as (vec, batch_id, cell))
-    val cols = spark.table(table).columns.toSet
-    val isSigIndex = cols == Set("band_key", "sig", "batch_id")
-    val isVecIndex = cols == Set("cell", "vec", "batch_id")
-    val isBandIndex = cols == Set("band", "batch_id")
+    // replay) — gated on the DECLARED geometry ([[IndexKindProp]],
+    // written by the create* functions), never on schema shape: a user
+    // table that merely looks like an index keeps every row, and an
+    // unknown declared kind fails loudly here (batch partitions are
+    // present at this point) instead of silently skipping cleanup
+    val props = tablePropsOf(spark, table)
+    val kind = props.get(IndexKindProp)
     val folded0 = spark.table(table).withColumn("batch_id",
       when(col("batch_id") === maxId, lit(maxId)).otherwise(lit(-1L)))
-    val folded =
-      if (isSigIndex)
+    val folded = kind match {
+      case Some("signature") =>
         folded0.filter(!(col("sig").isNull && col("batch_id") === -1L))
-      else if (isVecIndex)
+      case Some("embedding") =>
         folded0.filter(!(col("vec").isNull && col("batch_id") === -1L))
-      else if (isBandIndex)
+      case Some("band") =>
         folded0.filter(!(col("band").isNull && col("batch_id") === -1L))
-      else folded0
+      case Some("capped-signature") =>
+        // re-tighten the folded base to exactly bottom-k per bucket:
+        // between compactions each batch contributes at most k per
+        // bucket (up to k·batches candidates), and bottom-k of a union
+        // of per-set bottom-ks IS the union's bottom-k — so the folded
+        // base equals a from-scratch rebuild of the companion. The
+        // preserved max batch keeps its per-batch contribution.
+        val k = props(CappedKProp).toInt
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("batch_id", "band_key").orderBy("sig")
+        folded0.withColumn("__graft_rn", row_number().over(w))
+          .filter(col("__graft_rn") <= k).drop("__graft_rn")
+      case None => folded0
+      case Some(other) => throw new IllegalArgumentException(
+        s"compactBatchTable: $table declares unknown $IndexKindProp " +
+          s"'$other' with batch partitions present — marker-row " +
+          "handling for this geometry is undefined; register it here")
+    }
     val tmp = s"${table}__compact_tmp"
     val backup = s"${table}__compact_backup"
     spark.sql(s"DROP TABLE IF EXISTS ${quoted(tmp)}")
     spark.sql(s"DROP TABLE IF EXISTS ${quoted(backup)}")
     val meta = spark.sessionState.catalog.getTableMetadata(
       spark.sessionState.sqlParser.parseTableIdentifier(table))
-    val w0 = folded.write.partitionBy(meta.partitionColumnNames: _*)
-    val w = bucketSpecOf(spark, table) match {
+    val bspec = bucketSpecOf(spark, table)
+    // group the rewrite by (partition cols, bucket) so the folded table
+    // lands as one file per non-empty (partition, bucket) combo — the
+    // compaction IS the answer to append-time file fragmentation
+    val grouped = bspec match {
+      case Some(bs) => folded.repartition(
+        meta.partitionColumnNames.map(col) :+
+          pmod(hash(bs.bucketColumnNames.map(col): _*),
+            lit(bs.numBuckets)): _*)
+      case None => folded
+    }
+    val w0 = grouped.write.partitionBy(meta.partitionColumnNames: _*)
+    val w = bspec match {
       case Some(bs) =>
         val wb = w0.bucketBy(bs.numBuckets, bs.bucketColumnNames.head,
           bs.bucketColumnNames.tail: _*)
@@ -1422,6 +1657,11 @@ object Events {
       case None => w0
     }
     w.saveAsTable(tmp)
+    // the swap must not strip the graft.* table properties (the
+    // geometry declaration above, the capped index's k) — saveAsTable
+    // writes a fresh catalog entry, so carry them onto tmp explicitly
+    setTableProps(spark, tmp,
+      tablePropsOf(spark, table).filter(_._1.startsWith("graft.")))
     graft.mat.PartitionScoped.renameTable(spark, quoted(table),
       quoted(backup))
     graft.mat.PartitionScoped.renameTable(spark, quoted(tmp),
@@ -1443,6 +1683,23 @@ object Events {
                            sinkTable: String): Unit =
     if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
       compactBatchTable(spark, indexTable)
+      val cappedT = s"${indexTable}__capped"
+      if (spark.catalog.tableExists(cappedT)) {
+        compactBatchTable(spark, cappedT)
+        // surface the cap metric on the maintenance cadence (r13
+        // ADVICE): a nonzero count means those buckets' probes can err
+        // false-novel — pathological signature skew, worth an operator
+        // signal instead of out-of-band monitoring. One exchange-free
+        // aggregate over the freshly compacted index.
+        val k = tablePropsOf(spark, cappedT)(CappedKProp).toInt
+        val over = cappedBandBuckets(spark.table(indexTable), k)
+        if (over > 0)
+          System.err.println(s"[graft] novelty index $indexTable: " +
+            s"$over band buckets exceed the $k-candidate cap — " +
+            "duplicates there can pass as (false-)novel; raise " +
+            "maxBucket on createSignatureIndex or investigate " +
+            "signature skew")
+      }
       // the sink may not exist yet (no novel row has ever landed)
       if (spark.catalog.tableExists(sinkTable))
         compactBatchTable(spark, sinkTable)
@@ -1499,10 +1756,20 @@ object Events {
       "reserved for the index seed)")
     checkTableName(indexTable)
     checkTableName(sinkTable)
+    // the loop WRITES batch_id (ingest provenance; `novel` is guarded
+    // inside the probe) — a caller frame already carrying it would be
+    // silently clobbered in the sink (r13 ADVICE: loud reject instead)
+    require(!batch.columns.contains("batch_id"),
+      "column name batch_id is reserved by the novelty-ingest loop")
     if (batch.isEmpty) return
     val spark = batch.sparkSession
     recoverCompacted(spark, indexTable)
     recoverCompacted(spark, sinkTable)
+    val cappedT = s"${indexTable}__capped"
+    val hasCapped = {
+      recoverCompacted(spark, cappedT)
+      spark.catalog.tableExists(cappedT)
+    }
     val bspec = bucketSpecOf(spark, indexTable).getOrElse(
       throw new IllegalArgumentException(s"$indexTable is not a " +
         "band-bucketed signature index — (re)create it with " +
@@ -1522,7 +1789,16 @@ object Events {
         if (collapseIntraBatch)
           collapseBySignature(cached, sigCol, maxHamming)
         else cached
-      val novel = noveltyBandedJoin(signed, sigCol, idx, maxHamming)
+      // probe the CAPPED companion when the index carries one (r14,
+      // verdict #2): candidates are pre-capped at append/compaction
+      // time, so the probe plan has NO Window over the index — and the
+      // companion's band_pfx partitions give the prefix-pruned read.
+      // A pre-r14 index without a companion keeps the per-probe cap.
+      val novel = (
+        if (hasCapped)
+          noveltyBandedJoin(signed, sigCol, spark.table(cappedT),
+            maxHamming, maxBucket = Int.MaxValue)
+        else noveltyBandedJoin(signed, sigCol, idx, maxHamming))
         .withColumn("batch_id", lit(batchId))
       if (!spark.catalog.tableExists(sinkTable))
         novel.write.partitionBy("batch_id").saveAsTable(sinkTable)
@@ -1541,13 +1817,49 @@ object Events {
         .filter(col("batch_id") === batchId)
         .select(col(sigCol).cast(LongType).as("sig"))
         .filter(col("sig").isNotNull).distinct()
+      // capped-companion append (BEFORE the index commit marker, so a
+      // crash in between is healed by the replay: sink and companion
+      // partition probes skip their committed appends, and the index
+      // append still derives from the sink read-back): this batch's
+      // contribution is its own bottom-k per band bucket — a window
+      // over BATCH-sized data, never over the index. Between
+      // compactions a bucket may hold up to k·batches candidates
+      // (decisions err strictly TOWARD the uncapped truth);
+      // compactBatchTable re-tightens the base to exactly bottom-k.
+      if (hasCapped && spark.table(cappedT)
+          .filter(col("batch_id") === batchId).isEmpty) {
+        val k = tablePropsOf(spark, cappedT)(CappedKProp).toInt
+        val wc = org.apache.spark.sql.expressions.Window
+          .partitionBy("band_key").orderBy("sig")
+        val contrib = graft.llm.Multimodal.bandIndexRows(sigs, "sig")
+          .withColumn("__graft_rn", row_number().over(wc))
+          .filter(col("__graft_rn") <= k).drop("__graft_rn")
+          .withColumn("band_pfx", sigBandPfx(col("band_key")))
+          .withColumn("batch_id", lit(batchId))
+        groupForBucketedWrite(contrib, "band_pfx", "band_key",
+            bspec.numBuckets)
+          .write.mode("append").partitionBy("batch_id", "band_pfx")
+          .bucketBy(bspec.numBuckets, "band_key")
+          .sortBy("band_key", "sig")
+          .saveAsTable(cappedT)
+      }
       val marker = spark.range(1).select(
         lit(null).cast(LongType).as("band_key"),
         lit(null).cast(LongType).as("sig"))
-      graft.llm.Multimodal.bandIndexRows(sigs, "sig")
+      val rows = graft.llm.Multimodal.bandIndexRows(sigs, "sig")
         .unionByName(marker)
-        .withColumn("batch_id", lit(batchId))
-        .write.mode("append").partitionBy("batch_id")
+      // prefix-partitioned layout when the table carries it (r14);
+      // a pre-r14 index without band_pfx appends in its own layout
+      val hasPfx = spark.table(indexTable).columns.contains("band_pfx")
+      val rowsP =
+        if (hasPfx) rows.withColumn("band_pfx", sigBandPfx(col("band_key")))
+        else rows
+      val partCols =
+        if (hasPfx) Seq("batch_id", "band_pfx") else Seq("batch_id")
+      groupForBucketedWrite(rowsP.withColumn("batch_id", lit(batchId)),
+          if (hasPfx) "band_pfx" else "batch_id", "band_key",
+          bspec.numBuckets)
+        .write.mode("append").partitionBy(partCols: _*)
         .bucketBy(bspec.numBuckets, "band_key")
         .sortBy("band_key", "sig")
         .saveAsTable(indexTable)
@@ -1685,6 +1997,7 @@ object Events {
       .withColumn("batch_id", lit(-1L))
       .select(col("cell"), col("vec"), col("batch_id"))
       .write.partitionBy("batch_id", "cell").saveAsTable(table)
+    setTableProps(spark, table, Map(IndexKindProp -> "embedding"))
   }
 
   /** One micro-batch of the EMBEDDING novelty-ingest loop — the
@@ -1715,9 +2028,9 @@ object Events {
     * Replay/crash safety, compaction ([[compactBatchTable]] folds
     * committed `(batch_id, cell)` partitions; both tables auto-heal
     * from a mid-compaction crash on entry here), and the intra-batch
-    * contract (history-only — same-batch near-dups pass together;
-    * collapse upstream with [[graft.llm.Dedup.semanticDedup]] when
-    * that matters) are the signature loop's, unchanged. Exact
+    * contract (history-only by default — same-batch near-dups pass
+    * together; `collapseIntraBatch` runs [[collapseByVector]] first,
+    * the signature loop's opt-in) are the signature loop's. Exact
     * duplicates are ALWAYS found (identical vectors co-locate under
     * the deterministic assignment); near-dups straddling unprobed
     * cell boundaries can be missed — raise `multiProbe`. */
@@ -1731,12 +2044,19 @@ object Events {
   def embeddingNoveltyIngestBatch(batch: DataFrame, batchId: Long,
                                   indexTable: String, sinkTable: String,
                                   vecCol: String, threshold: Double,
-                                  multiProbe: Int = 1): Unit = {
+                                  multiProbe: Int = 1,
+                                  collapseIntraBatch: Boolean = false)
+      : Unit = {
     require(batchId >= 0, s"batch_id must be >= 0 (got $batchId; -1 is " +
       "reserved for the index seed)")
     require(multiProbe >= 1, s"multiProbe must be >= 1: $multiProbe")
     checkTableName(indexTable)
     checkTableName(sinkTable)
+    // the loop WRITES novel and batch_id — reject caller columns of
+    // those names instead of silently clobbering them (r13 ADVICE)
+    Seq("novel", "batch_id").filter(batch.columns.contains).foreach(c =>
+      throw new IllegalArgumentException(
+        s"column name $c is reserved by embeddingNoveltyIngestBatch"))
     if (batch.isEmpty) return
     val spark = batch.sparkSession
     recoverCompacted(spark, indexTable)
@@ -1750,8 +2070,16 @@ object Events {
       .filter(batch.columns.contains).foreach(c =>
         throw new IllegalArgumentException(
           s"column name $c is reserved by embeddingNoveltyIngestBatch"))
+    // opt-in INTRA-BATCH collapse (r14, verdict #5): the index probe
+    // tests arrivals against HISTORY only, so same-batch near-dup
+    // vectors would all pass together — collapse them to one
+    // representative vector each first (same cells, same threshold)
+    val work =
+      if (collapseIntraBatch)
+        collapseByVector(batch, vecCol, cents, threshold)
+      else batch
     val bvec = col("__graft_bvec")
-    val batchVecs = batch.select(col(vecCol).as("__graft_bvec"))
+    val batchVecs = work.select(col(vecCol).as("__graft_bvec"))
       .filter(bvec.isNotNull).distinct()
       .localCheckpoint() // cells are both collected and joined below
     val probed =
@@ -1783,7 +2111,7 @@ object Events {
       .filter(graft.llm.Dedup.cosine(bvec, col("__graft_iv"))
         >= threshold)
       .select(bvec).distinct()
-    val novel = batch.join(dupVecs, col(vecCol) === bvec, "left_anti")
+    val novel = work.join(dupVecs, col(vecCol) === bvec, "left_anti")
       .withColumn("novel", lit(true))
       .withColumn("batch_id", lit(batchId))
     if (!spark.catalog.tableExists(sinkTable))
@@ -1820,12 +2148,13 @@ object Events {
                                   indexTable: String, sinkTable: String,
                                   vecCol: String, threshold: Double,
                                   multiProbe: Int = 1,
+                                  collapseIntraBatch: Boolean = false,
                                   compactEvery: Int = 0)
       : StreamingQuery =
     stream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         embeddingNoveltyIngestBatch(batch, batchId, indexTable,
-          sinkTable, vecCol, threshold, multiProbe)
+          sinkTable, vecCol, threshold, multiProbe, collapseIntraBatch)
         maybeCompact(batch.sparkSession, batchId, compactEvery,
           indexTable, sinkTable)
       }
@@ -1855,16 +2184,32 @@ object Events {
     * (the bucketed-probe plan pin covers the same shape). */
   def noveltyBandExistsJoin(signed: DataFrame, bandsCol: String,
                             index: DataFrame): DataFrame = {
-    Seq("__graft_barr", "__graft_band")
+    Seq("__graft_barr", "__graft_band", "novel")
       .filter(signed.columns.contains).foreach(c =>
         throw new IllegalArgumentException(
           s"column name $c is reserved by noveltyBandExistsJoin"))
     val barr = col("__graft_barr")
-    val arrs = signed.select(col(bandsCol).as("__graft_barr"))
+    val arrs0 = signed.select(col(bandsCol).as("__graft_barr"))
       .filter(barr.isNotNull).distinct()
+    // prefix pruning (r14, verdict #1 — the string-geometry twin of
+    // noveltyBandedJoin's): on a band_pfx-partitioned index
+    // ([[createBandIndex]]'s layout) the batch's touched first-hex
+    // prefixes (≤ 16 after distinct) become literal partition filters
+    val hasPfx = index.columns.contains("band_pfx")
+    val arrs = if (hasPfx) arrs0.localCheckpoint() else arrs0
+    val idxSide =
+      if (!hasPfx) index
+      else {
+        val pfx = arrs.select(explode(barr).as("b"))
+          .select(substring(col("b"), 1, 1).as("p"))
+          .distinct().collect().map(_.getString(0))
+        if (pfx.isEmpty) index.filter(lit(false))
+        else index
+          .filter(col("band_pfx").isin(pfx.map(p => p: Any).toSeq: _*))
+      }
     val dupArrs = arrs
       .select(barr, explode(barr).as("__graft_band"))
-      .join(index.select(col("band").as("__graft_band"))
+      .join(idxSide.select(col("band").as("__graft_band"))
         .filter(col("__graft_band").isNotNull), Seq("__graft_band"))
       .select(barr).distinct()
     signed.join(dupArrs, col(bandsCol) === barr, "left_anti")
@@ -1872,23 +2217,30 @@ object Events {
   }
 
   /** Create (replacing) a BAND-KEY index table for the MinHash ingest:
-    * schema `(band STRING, batch_id BIGINT)` — one row per distinct
-    * band key — bucketed by `band`, partitioned by `batch_id` (same
-    * replay/maintenance layout as [[createSignatureIndex]]). `seed`
-    * carries a band-key ARRAY column (e.g.
-    * [[graft.llm.Dedup.minhashBandArray]] over the existing corpus). */
+    * schema `(band STRING, band_pfx STRING, batch_id BIGINT)` — one
+    * row per distinct band key — bucketed by `band`, partitioned by
+    * `(batch_id, band_pfx)` where the prefix is the band's first hex
+    * character (16 partitions — the string geometry of
+    * [[createSignatureIndex]]'s band_pfx: the probe pushes the batch's
+    * touched prefixes as literal partition filters). Same
+    * replay/maintenance layout otherwise. `seed` carries a band-key
+    * ARRAY column (e.g. [[graft.llm.Dedup.minhashBandArray]] over the
+    * existing corpus). */
   def createBandIndex(spark: SparkSession, table: String,
                       seed: DataFrame, bandsCol: String,
                       buckets: Int = DefaultIndexBuckets): Unit = {
     checkTableName(table)
     require(buckets > 0, s"bucket count must be positive: $buckets")
     spark.sql(s"DROP TABLE IF EXISTS ${quoted(table)}")
-    seed.select(explode(col(bandsCol)).as("band"))
+    val rows = seed.select(explode(col(bandsCol)).as("band"))
       .filter(col("band").isNotNull).distinct()
+      .withColumn("band_pfx", bandStrPfx(col("band")))
       .withColumn("batch_id", lit(-1L))
-      .write.partitionBy("batch_id")
+    groupForBucketedWrite(rows, "band_pfx", "band", buckets)
+      .write.partitionBy("batch_id", "band_pfx")
       .bucketBy(buckets, "band").sortBy("band")
       .saveAsTable(table)
+    setTableProps(spark, table, Map(IndexKindProp -> "band"))
   }
 
   /** One micro-batch of the MINHASH novelty-ingest loop — the
@@ -1904,19 +2256,28 @@ object Events {
     * (absence of a signature is absence of duplicate evidence), never
     * indexed. Replay safety, crash recovery, and
     * [[compactBatchTable]] maintenance are the signature loop's,
-    * unchanged. Intra-batch near-dups pass together (history-only
-    * contract; collapse upstream with
-    * [[graft.llm.Dedup.minhashClusters]] when that matters). */
+    * unchanged. Intra-batch near-dups pass together by default
+    * (history-only contract); `collapseIntraBatch` runs
+    * [[collapseByBands]] first — same-batch band-sharing arrays
+    * collapse to one representative each. */
   def minhashNoveltyIngestBatch(batch: DataFrame, batchId: Long,
                                 indexTable: String, sinkTable: String,
                                 textCol: String = "text",
                                 n: Int = 3, k: Int = 16,
-                                bands: Int = 4): Unit = {
+                                bands: Int = 4,
+                                collapseIntraBatch: Boolean = false)
+      : Unit = {
     require(batchId >= 0, s"batch_id must be >= 0 (got $batchId; -1 is " +
       "reserved for the index seed)")
     require(k % bands == 0, s"bands must divide k: k=$k bands=$bands")
     checkTableName(indexTable)
     checkTableName(sinkTable)
+    // the loop WRITES mh_bands and batch_id (`novel` is guarded inside
+    // the probe) — loud reject instead of silent clobber (r13 ADVICE)
+    Seq("mh_bands", "batch_id", "__graft_mharr")
+      .filter(batch.columns.contains).foreach(c =>
+        throw new IllegalArgumentException(
+          s"column name $c is reserved by minhashNoveltyIngestBatch"))
     if (batch.isEmpty) return
     val spark = batch.sparkSession
     recoverCompacted(spark, indexTable)
@@ -1926,8 +2287,6 @@ object Events {
         "band-bucketed index — (re)create it with createBandIndex"))
     val idx = spark.table(indexTable)
     if (!idx.filter(col("batch_id") === batchId).isEmpty) return
-    require(!batch.columns.contains("__graft_mharr"),
-      "column name __graft_mharr is reserved by minhashNoveltyIngestBatch")
     // sign map-only: stage the raw signature array in its own
     // projection (referenced once per band — CollapseProject keeps
     // multi-referenced aliases staged, so MinHashSig runs once per row)
@@ -1940,7 +2299,13 @@ object Events {
     val cached = signed.persist(
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val novel = noveltyBandExistsJoin(cached, "mh_bands", idx)
+      // opt-in INTRA-BATCH collapse (r14, verdict #5): same-batch
+      // band-sharing near-dups collapse to one representative array
+      // each before the history probe
+      val work =
+        if (collapseIntraBatch) collapseByBands(cached, "mh_bands")
+        else cached
+      val novel = noveltyBandExistsJoin(work, "mh_bands", idx)
         .withColumn("batch_id", lit(batchId))
       if (!spark.catalog.tableExists(sinkTable))
         novel.write.partitionBy("batch_id").saveAsTable(sinkTable)
@@ -1956,9 +2321,17 @@ object Events {
         .filter(col("band").isNotNull).distinct()
       val marker = spark.range(1).select(
         lit(null).cast(StringType).as("band"))
-      bandsNew.unionByName(marker)
-        .withColumn("batch_id", lit(batchId))
-        .write.mode("append").partitionBy("batch_id")
+      val rows = bandsNew.unionByName(marker)
+      val hasPfx = spark.table(indexTable).columns.contains("band_pfx")
+      val rowsP =
+        if (hasPfx) rows.withColumn("band_pfx", bandStrPfx(col("band")))
+        else rows
+      val partCols =
+        if (hasPfx) Seq("batch_id", "band_pfx") else Seq("batch_id")
+      groupForBucketedWrite(rowsP.withColumn("batch_id", lit(batchId)),
+          if (hasPfx) "band_pfx" else "batch_id", "band",
+          bspec.numBuckets)
+        .write.mode("append").partitionBy(partCols: _*)
         .bucketBy(bspec.numBuckets, "band").sortBy("band")
         .saveAsTable(indexTable)
     } finally cached.unpersist()
@@ -1971,11 +2344,12 @@ object Events {
                                 indexTable: String, sinkTable: String,
                                 textCol: String = "text",
                                 n: Int = 3, k: Int = 16, bands: Int = 4,
+                                collapseIntraBatch: Boolean = false,
                                 compactEvery: Int = 0): StreamingQuery =
     stream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         minhashNoveltyIngestBatch(batch, batchId, indexTable, sinkTable,
-          textCol, n, k, bands)
+          textCol, n, k, bands, collapseIntraBatch)
         maybeCompact(batch.sparkSession, batchId, compactEvery,
           indexTable, sinkTable)
       }

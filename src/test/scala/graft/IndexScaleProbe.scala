@@ -3,11 +3,20 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Index-size scaling probe for the novelty forms (SURVEY §8.21): a
-  * FIXED arrival batch tested against signature indexes of growing
+/** Index-size scaling probe for the novelty forms (SURVEY §8.21/§8.23):
+  * a FIXED arrival batch tested against signature indexes of growing
   * size — the plan-literal form's cost grows with the index (plan
-  * construction/analysis embeds it), the join form's stays ~flat (the
-  * index is data on the other side of an equi-join). Run:
+  * construction/analysis embeds it), the join forms' stay ~flat (the
+  * index is data on the other side of an equi-join).
+  *
+  * r14 (verdict #1 done-criterion): sizes extend to 10M signatures, a
+  * SMALL-batch arm exercises the band_pfx partition pruning (the
+  * trickle-ingest regime where per-batch index IO is the binding
+  * cost), and each bucketed probe reports the index scan's measured
+  * partitions/files/bytes — the IO evidence, not just wall time. Two
+  * bucketed shapes are timed: the r13 ingest probe (index table +
+  * per-probe cap window) and the r14 one (pre-capped __capped
+  * companion, windowless). Run:
   * `sbt "Test/runMain graft.IndexScaleProbe"` */
 object IndexScaleProbe {
   def main(args: Array[String]): Unit = {
@@ -18,6 +27,9 @@ object IndexScaleProbe {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.warehouse.dir", wh)
       .config("spark.ui.enabled", "false")
+      // final physical plans up front: the probe reads scan metrics
+      // off the executed DataFrame's plan after the run
+      .config("spark.sql.adaptive.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
@@ -26,16 +38,32 @@ object IndexScaleProbe {
       .limit(2000)
     val media = graft.llm.Multimodal.syntheticContentImages(docs)
       .localCheckpoint()
+    val mediaSmall = media.limit(50).localCheckpoint()
     // synthetic signature indexes: iid 64-bit values (spread like real
     // perceptual-hash corpora), deterministic
     def idx(n: Int): DataFrame =
       spark.range(n.toLong).select(xxhash64(col("id")).as("sig"))
-        .localCheckpoint()
+        .localCheckpoint(false)
     def time(body: => Unit): Double = {
       val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
     }
-    println(f"[isp] ${"index size"}%10s ${"literal"}%8s ${"join"}%8s ${"bucketed"}%9s")
-    for (n <- Seq(1000, 8000, 32000, 64000, 256000, 1000000)) {
+    // IO evidence off the executed plan: the index scan's partition /
+    // file / byte metrics (static band_pfx pruning shows up here)
+    def scanIo(df: DataFrame, table: String): String = {
+      import org.apache.spark.sql.execution.FileSourceScanExec
+      df.queryExecution.executedPlan.collect {
+        case f: FileSourceScanExec
+            if f.tableIdentifier.exists(_.table == table) => f
+      }.headOption.map { f =>
+        def m(k: String) = f.metrics.get(k).map(_.value.toString)
+          .getOrElse("-")
+        s"parts=${m("numPartitions")} files=${m("numFiles")} " +
+          s"bytes=${m("filesSize")}"
+      }.getOrElse("no-scan")
+    }
+    println(f"[isp] ${"index"}%10s ${"literal"}%8s ${"join"}%8s " +
+      f"${"bkt"}%7s ${"capped"}%7s ${"capped50"}%9s  io(capped50)")
+    for (n <- Seq(1000, 64000, 1000000, 10000000)) {
       val table = idx(n)
       // literal arm only under the plan-size guard
       val tl: Option[Double] =
@@ -52,21 +80,38 @@ object IndexScaleProbe {
         .write.format("noop").mode("overwrite").save()
       runJoin() // warm-up
       val tj = math.min(time(runJoin()), time(runJoin()))
-      // bucketed-table arm: the ingest loop's per-batch probe shape —
-      // band-exploded index persisted bucketed by band_key, probed via
-      // noveltyBandedJoin (index side comes straight off the scan)
+      // bucketed-table arms: the ingest loop's per-batch probe shapes
       val bktT = s"isp_idx_$n"
       spark.sql(s"DROP TABLE IF EXISTS $bktT")
+      spark.sql(s"DROP TABLE IF EXISTS ${bktT}__capped")
       graft.streaming.Events.createSignatureIndex(spark, bktT, table,
         "sig")
       val signed = graft.llm.Multimodal.withDhash(media).localCheckpoint()
+      val signedSmall = graft.llm.Multimodal.withDhash(mediaSmall)
+        .localCheckpoint()
+      // r13 shape: index table + per-probe cap window
       def runBkt(): Unit = graft.streaming.Events
         .noveltyBandedJoin(signed, "dhash", spark.table(bktT), 3)
         .write.format("noop").mode("overwrite").save()
       runBkt() // warm-up
       val tb = math.min(time(runBkt()), time(runBkt()))
+      // r14 shape: pre-capped companion, windowless + prefix-pruned
+      def capped(s0: DataFrame): DataFrame = graft.streaming.Events
+        .noveltyBandedJoin(s0, "dhash", spark.table(s"${bktT}__capped"),
+          3, maxBucket = Int.MaxValue)
+      def runCap(): Unit =
+        capped(signed).write.format("noop").mode("overwrite").save()
+      runCap() // warm-up
+      val tc = math.min(time(runCap()), time(runCap()))
+      val smallDf = capped(signedSmall)
+      def runCapSmall(): Unit =
+        smallDf.write.format("noop").mode("overwrite").save()
+      runCapSmall() // warm-up
+      val ts = math.min(time(runCapSmall()), time(runCapSmall()))
+      val io = scanIo(smallDf, s"${bktT}__capped")
       spark.sql(s"DROP TABLE IF EXISTS $bktT")
-      println(f"[isp] $n%10d ${tl.map(t => f"$t%8.2f").getOrElse("       -")}%s $tj%8.2f $tb%9.2f")
+      spark.sql(s"DROP TABLE IF EXISTS ${bktT}__capped")
+      println(f"[isp] $n%10d ${tl.map(t => f"$t%8.2f").getOrElse("       -")}%s $tj%8.2f $tb%7.2f $tc%7.2f $ts%9.2f  $io")
     }
     spark.stop()
   }

@@ -240,6 +240,35 @@ class LlmSpec extends SparkSpec {
     assert(flat == coarseD)
   }
 
+  test("semanticDedupServe: sizing rule values and flat/two-level dispatch parity") {
+    // the rule: constant mean cell population, clamped to [1, n]
+    assert(Similarity.servingNlist(1000) == 7)
+    assert(Similarity.servingNlist(50) == 1)
+    assert(Similarity.servingNlist(1280000) == 10000)
+    assert(Similarity.servingNlist(1000, targetCell = 100) == 10)
+    // dispatch: past MaxUnrolledCentroids the serve entry point runs the
+    // two-level assignment — on an exact-copy corpus (copies co-locate
+    // under ANY deterministic assignment; the far-apart bases never
+    // reach 0.95) both paths keep exactly the min id per copy group
+    val dim = 8
+    val bases = (0 until 6).map(b =>
+      Array.tabulate(dim)(d => if (d == b) 1.0 else 0.0))
+    val corpus = bases.zipWithIndex.flatMap { case (v, i) =>
+      Seq((i.toLong, v.toSeq), (i + 100L, v.toSeq)) }
+      .toDF("vec_id", "embedding")
+    val bigCents = Array.tabulate(
+      Similarity.MaxUnrolledCentroids + 1)(i =>
+        Array.tabulate(dim)(d => math.sin(i * dim + d)))
+    val served = Dedup.semanticDedupServe(corpus, "vec_id", "embedding",
+        bigCents, 0.95)
+      .select($"vec_id", $"kept").as[(Long, Boolean)].collect().toMap
+    val flat = Dedup.semanticDedup(corpus, "vec_id", "embedding",
+        bigCents.take(32), 0.95)
+      .select($"vec_id", $"kept").as[(Long, Boolean)].collect().toMap
+    assert(served == flat)
+    assert((0 until 6).forall(i => served(i.toLong) && !served(i + 100L)))
+  }
+
   test("loop-form assignment equals the unrolled form cell-for-cell") {
     // the forms share the exact score arithmetic (same DotProduct
     // expression per element, same first-min tie rule), so the

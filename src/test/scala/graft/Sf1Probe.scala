@@ -81,7 +81,15 @@ object Sf1Probe {
     "dd_semantic_novelty_grow",
     // r13 5th geometry: band-existence ingest — map-only MinHashSig +
     // a band semi-join; expect ~corpus-linear
-    "dd_minhash_novelty_grow")
+    "dd_minhash_novelty_grow",
+    // r14 intra-batch collapse arm: band-array components inside one
+    // batch — expect ~the clusters rows' growth. Its semantic sibling
+    // (dd_semantic_novelty_collapse) is deliberately SINGLE-CELL so
+    // the DuckDB oracle can replay it globally — a correctness
+    // construction whose within-cell quadratic is the documented
+    // worst case, not the production shape (real cents bound it);
+    // probing it at sf1 would measure the construction, not the op.
+    "dd_minhash_novelty_collapse")
 
   def main(args: Array[String]): Unit = {
     val src = "/root/testdata/sf0.1"
@@ -169,6 +177,18 @@ object Sf1Probe {
     // two-level FLOP win must pay (ncoarse 56 ~ sqrt(3200))
     lazy val centsBig = graft.llm.Similarity.ivfTrain(doubledEmb(dst),
       "vec_id", "embedding", 3200)
+    // r14 (r13 verdict #4): centroids sized by the SHIPPED serving
+    // rule (constant mean cell population) per corpus
+    lazy val centsRuleSrc = {
+      val e = doubledEmb(src).localCheckpoint()
+      graft.llm.Similarity.ivfTrain(e, "vec_id", "embedding",
+        graft.llm.Similarity.servingNlist(e.count()))
+    }
+    lazy val centsRuleDst = {
+      val e = doubledEmb(dst).localCheckpoint()
+      graft.llm.Similarity.ivfTrain(e, "vec_id", "embedding",
+        graft.llm.Similarity.servingNlist(e.count()))
+    }
     // the fixed audio index: built ONCE from the sf0.1 corpus, so the
     // *_fixedidx arm excludes per-run index construction entirely
     lazy val fixedAudioIdx: Seq[Long] = {
@@ -204,6 +224,15 @@ object Sf1Probe {
         val cents = if (m == 1) centsSrc else centsDst
         Dedup.semanticDedup(doubledEmb(dir), "vec_id", "embedding",
             cents, 0.95)
+          .select(col("vec_id"), col("kept")).orderBy(col("vec_id"))
+      }),
+      // r14: the serving-mode rule AS SHIPPED — servingNlist sizing +
+      // semanticDedupServe's flat/two-level auto-switch, centroids
+      // pre-trained per corpus (lazy vals force on the untimed warm-up)
+      "dd_semantic_serve_rule" -> ((dir, m) => {
+        val cents = if (m == 1) centsRuleSrc else centsRuleDst
+        graft.llm.Dedup.semanticDedupServe(doubledEmb(dir), "vec_id",
+            "embedding", cents, 0.95)
           .select(col("vec_id"), col("kept")).orderBy(col("vec_id"))
       }),
       // dd_semantic serving through the TWO-LEVEL coarse quantizer

@@ -1070,7 +1070,14 @@ class StreamingSpec extends SparkSpec {
       idxT, sinkT, compactEvery = 1)
     q.awaitTermination(180000)
     // maintenance ran between batches: base + at most the last batch
-    assert(spark.sql(s"SHOW PARTITIONS $idxT").count() <= 2)
+    // (the index counts BATCH ids — its leaf partitions are
+    // batch_id × band_pfx under the r14 prefix layout)
+    def batchIds(t: String) = spark.sql(s"SHOW PARTITIONS $t")
+      .collect().map(_.getString(0))
+      .flatMap(_.split('/').find(_.startsWith("batch_id="))
+        .map(_.stripPrefix("batch_id=").toLong)).distinct
+    assert(batchIds(idxT).length <= 2)
+    assert(batchIds(s"${idxT}__capped").length <= 2)
     assert(spark.sql(s"SHOW PARTITIONS $sinkT").count() <= 2)
     // growth decisions equal the sequential ground truth — compaction
     // folded history without changing a single keep/drop
@@ -1281,7 +1288,9 @@ class StreamingSpec extends SparkSpec {
     val bandsBefore = spark.table(idxT).filter($"band".isNotNull)
       .select($"band").distinct().count()
     val (pb, pa) = Events.compactBatchTable(spark, idxT)
-    assert(pb >= 3 && pa == 2, s"$pb -> $pa")
+    assert(pa <= pb, s"$pb -> $pa")
+    assert(spark.table(idxT).select($"batch_id").distinct()
+      .as[Long].collect().toSet == Set(-1L, 1L))
     assert(spark.table(idxT).filter($"band".isNotNull)
       .select($"band").distinct().count() == bandsBefore)
     assert(spark.sessionState.catalog.getTableMetadata(
@@ -1504,6 +1513,13 @@ class StreamingSpec extends SparkSpec {
             if idxScans(e.child).nonEmpty && joins(e.child).isEmpty => e }
       assert(shuffledIdx.isEmpty,
         s"index side of the novelty probe shuffles:\n$plan")
+      // r14 (verdict #1): the probe pushes the batch's touched band
+      // prefixes as LITERAL partition filters — static partition
+      // pruning on the index scan, the sub-O(index) read
+      val scan = idxScans(plan).head
+      assert(scan.partitionFilters.exists(
+          _.references.exists(_.name == "band_pfx")),
+        s"no band_pfx partition filter on the index scan:\n$plan")
       // and the decisions equal the plan-literal form's
       val sigs = spark.range(20000).select(xxhash64($"id").as("sig"))
         .as[Long].collect().toSeq
@@ -1511,6 +1527,45 @@ class StreamingSpec extends SparkSpec {
         .select($"media_id").as[Long].collect().toSet
       assert(probe.select($"media_id").as[Long].collect().toSet == lit0)
     }
+    spark.sql(s"DROP TABLE IF EXISTS $idxT")
+  }
+
+  test("minhash band probe: touched prefixes become partition filters") {
+    // the string-geometry twin of the band_pfx pin above: a SMALL batch
+    // touches few first-hex prefixes, and the index scan carries them
+    // as partition filters (reads a fraction of the 16 prefix
+    // partitions) while deciding exactly like an unpartitioned index
+    val idxT = "mh_pfx_idx"
+    spark.sql(s"DROP TABLE IF EXISTS $idxT")
+    val d = Tables.load(spark, sf, "documents").limit(200)
+      .select($"doc_id", $"text").localCheckpoint()
+    def bandsOf(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("arr", graft.functions.MinHashSig(lower($"text"), 3, 16))
+      .withColumn("mh_bands",
+        when($"text".isNotNull,
+          graft.llm.Dedup.minhashBandArray($"arr", 16, 4)))
+      .drop("arr")
+    Events.createBandIndex(spark, idxT,
+      bandsOf(d.filter($"doc_id" < 150)).select($"mh_bands".as("b")), "b")
+    val batch = bandsOf(d.filter($"doc_id" >= 150 && $"doc_id" < 155))
+    val probe = Events.noveltyBandExistsJoin(batch, "mh_bands",
+      spark.table(idxT))
+    withConf("spark.sql.adaptive.enabled" -> "false") {
+      val probeP = Events.noveltyBandExistsJoin(batch, "mh_bands",
+        spark.table(idxT))
+      import org.apache.spark.sql.execution.FileSourceScanExec
+      val scans = probeP.queryExecution.executedPlan.collect {
+        case f: FileSourceScanExec
+            if f.tableIdentifier.exists(_.table == idxT) => f }
+      assert(scans.nonEmpty)
+      assert(scans.head.partitionFilters.exists(
+        _.references.exists(_.name == "band_pfx")))
+    }
+    // decisions equal the raw (unpartitioned DataFrame) index's
+    val rawIdx = spark.table(idxT).select($"band", $"batch_id")
+    val rawKeep = Events.noveltyBandExistsJoin(batch, "mh_bands", rawIdx)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(probe.select($"doc_id").as[Long].collect().toSet == rawKeep)
     spark.sql(s"DROP TABLE IF EXISTS $idxT")
   }
 
@@ -1565,14 +1620,21 @@ class StreamingSpec extends SparkSpec {
       Events.textNoveltyIngestBatch(b, i.toLong, idxT, sinkT)
       Events.textNoveltyIngestBatch(b, i.toLong, idxU, sinkU)
     }
-    assert(spark.sql(s"SHOW PARTITIONS $idxT").count() == 5)
+    // batch-id partitions (leaf partitions are batch_id × band_pfx
+    // under the r14 prefix layout): seed + 4 batches before the fold
+    def liveBatchIds(t: String) = spark.sql(s"SHOW PARTITIONS $t")
+      .collect().map(_.getString(0))
+      .flatMap(_.split('/').find(_.startsWith("batch_id="))
+        .map(_.stripPrefix("batch_id=").toLong)).distinct.sorted.toSeq
+    assert(liveBatchIds(idxT) == Seq(-1L, 0L, 1L, 2L, 3L))
     val sigsBefore = spark.table(idxT).filter($"sig".isNotNull)
       .select($"sig").distinct().count()
     val sinkBefore = spark.table(sinkT).select($"doc_id").as[Long]
       .collect().toSet
     val (ib, ia) = Events.compactBatchTable(spark, idxT)
     val (sb, sa) = Events.compactBatchTable(spark, sinkT)
-    assert(ib == 5 && ia == 2, s"index partitions $ib -> $ia")
+    assert(liveBatchIds(idxT) == Seq(-1L, 3L), s"batch ids after fold")
+    assert(ia < ib, s"index leaf partitions $ib -> $ia")
     assert(sb >= sa && sa <= 2, s"sink partitions $sb -> $sa")
     // content preserved (signatures and sink rows; batch_id coarsens)
     assert(spark.table(idxT).filter($"sig".isNotNull)
@@ -1649,6 +1711,180 @@ class StreamingSpec extends SparkSpec {
       .distinct().as[Long].collect().toSet
       == uniq.filter(h => find(h) == h).toSet)
     for (t <- Seq(idxC, sinkC, idxN, sinkN))
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
+  test("capped companion: windowless probe, exact bottom-k, fold re-tightens") {
+    // r14 (verdict #2): the per-bucket candidate cap is MATERIALIZED in
+    // a __capped companion at create/append/compaction time instead of
+    // a row_number window paid on every probe
+    val idxT = "cap_comp_idx"
+    for (t <- Seq(idxT, s"${idxT}__capped"))
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+    val top = 61440L * 65536 + 0x1234L
+    val hot = spark.range(1, 5001)
+      .select(($"id" * 65536 + lit(0x1234)).cast("long").as("sig"))
+      .unionByName(Seq(top).toDF("sig"))
+    Events.createSignatureIndex(spark, idxT, hot, "sig")
+    val capped = spark.table(s"${idxT}__capped")
+    // creation-time companion = EXACT bottom-k per bucket: the 3 hot
+    // buckets hold exactly 4096 (of 5001) signatures
+    val hotCounts = capped.filter($"sig".isNotNull)
+      .groupBy($"band_key").count().filter($"count" > 1)
+      .select($"count").as[Long].collect()
+    assert(hotCounts.length == 3 && hotCounts.forall(_ == 4096L))
+    // decisions equal the r13 per-probe-window form on the full index:
+    // the hamming-1 twin of the capped-out top member is falsely novel,
+    // the bottom-member twin is caught
+    val probe = Seq((1L, top | (1L << 16)), (2L, 1L * 65536 + 0x1234L))
+      .toDF("media_id", "s")
+    val viaCompanion = Events.noveltyBandedJoin(probe, "s", capped, 3,
+      maxBucket = Int.MaxValue)
+    val viaWindow = Events.noveltyBandedJoin(probe, "s",
+      spark.table(idxT), 3)
+    assert(viaCompanion.select($"media_id").as[Long].collect().toSet ==
+      viaWindow.select($"media_id").as[Long].collect().toSet)
+    assert(viaCompanion.select($"media_id").as[Long].collect().toSet ==
+      Set(1L))
+    // ... and the companion probe plans WITHOUT any Window
+    import org.apache.spark.sql.execution.window.WindowExec
+    assert(viaCompanion.queryExecution.executedPlan.collect {
+      case w: WindowExec => w }.isEmpty)
+    // the capped-signature FOLD re-tightens the base to bottom-k of the
+    // union of per-batch bottom-ks (== the union's true bottom-k),
+    // preserving the max batch verbatim
+    val t3 = "cap_fold_t"
+    for (t <- Seq(t3)) spark.sql(s"DROP TABLE IF EXISTS $t")
+    Seq((100L, 10L, -1L), (100L, 20L, -1L), (100L, 30L, -1L),
+        (100L, 1L, 0L), (100L, 2L, 0L), (100L, 40L, 0L),
+        (100L, 50L, 1L)).toDF("band_key", "sig", "batch_id")
+      .write.partitionBy("batch_id").saveAsTable(t3)
+    spark.sql(s"ALTER TABLE $t3 SET TBLPROPERTIES(" +
+      "'graft.index.kind'='capped-signature','graft.capped.k'='3')")
+    Events.compactBatchTable(spark, t3)
+    assert(spark.table(t3).filter($"batch_id" === -1L)
+      .select($"sig").as[Long].collect().toSet == Set(1L, 2L, 10L))
+    assert(spark.table(t3).filter($"batch_id" === 1L)
+      .select($"sig").as[Long].collect().toSet == Set(50L))
+    // the INGEST loop end to end: appends keep the companion in sync
+    // (≤ k per bucket per batch) and after compacting BOTH tables the
+    // companion equals the index's non-marker rows here (no bucket
+    // exceeds the cap on real text signatures)
+    val idx2 = "cap_comp_idx2"; val sink2 = "cap_comp_sink2"
+    for (t <- Seq(idx2, s"${idx2}__capped", sink2))
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+    val d = Tables.load(spark, sf, "documents").limit(150)
+      .select($"doc_id", $"text").localCheckpoint()
+    Events.createSignatureIndex(spark, idx2,
+      d.filter($"doc_id" < 50)
+        .select(graft.functions.SimHash60(lower($"text")).as("sig")),
+      "sig")
+    Events.textNoveltyIngestBatch(d.filter($"doc_id" >= 50 &&
+      $"doc_id" < 100), 0L, idx2, sink2)
+    Events.textNoveltyIngestBatch(d.filter($"doc_id" >= 100), 1L,
+      idx2, sink2)
+    // companion tracked both batches (one partition per batch)
+    assert(spark.table(s"${idx2}__capped")
+      .select($"batch_id").distinct().as[Long].collect().toSet ==
+      Set(-1L, 0L, 1L))
+    Events.compactBatchTable(spark, idx2)
+    Events.compactBatchTable(spark, s"${idx2}__capped")
+    def pairs(t: String) = spark.table(t)
+      .filter($"sig".isNotNull).select($"band_key", $"sig")
+      .as[(Long, Long)].collect().toSet
+    assert(pairs(s"${idx2}__capped") == pairs(idx2))
+    // and a post-compaction batch still decides like a fresh twin
+    val idx3 = "cap_comp_idx3"; val sink3 = "cap_comp_sink3"
+    for (t <- Seq(idx3, s"${idx3}__capped", sink3))
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+    Events.createSignatureIndex(spark, idx3,
+      spark.table(idx2).filter($"sig".isNotNull)
+        .select($"sig").distinct(), "sig")
+    val b2 = d.select(($"doc_id" + 9000).as("doc_id"), $"text")
+    Events.textNoveltyIngestBatch(b2, 2L, idx2, sink2)
+    Events.textNoveltyIngestBatch(b2, 0L, idx3, sink3)
+    assert(spark.table(sink2).filter($"batch_id" === 2L)
+      .select($"doc_id").as[Long].collect().toSet ==
+      spark.table(sink3).select($"doc_id").as[Long].collect().toSet)
+    for (t <- Seq(idxT, s"${idxT}__capped", t3, idx2, s"${idx2}__capped",
+        sink2, idx3, s"${idx3}__capped", sink3))
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
+  test("ingest loops loudly reject reserved output column names") {
+    // r13 ADVICE: novel/batch_id/mh_bands were silently clobbered
+    val d = Seq((1L, "some text", 0L)).toDF("doc_id", "text", "batch_id")
+    intercept[IllegalArgumentException] {
+      Events.textNoveltyIngestBatch(d, 0L, "rn_idx", "rn_sink")
+    }
+    intercept[IllegalArgumentException] {
+      Events.minhashNoveltyIngestBatch(
+        Seq((1L, "t", "x")).toDF("doc_id", "text", "mh_bands"),
+        0L, "rn_idx", "rn_sink")
+    }
+    intercept[IllegalArgumentException] {
+      Events.embeddingNoveltyIngestBatch(
+        Seq((1L, true)).toDF("vec_id", "novel"), 0L, "rn_idx",
+        "rn_sink", "vec", 0.9)
+    }
+    intercept[IllegalArgumentException] {
+      Events.noveltyBandedJoin(Seq((1L, true)).toDF("s", "novel"), "s",
+        Seq((1L, 2L)).toDF("band_key", "sig"), 3)
+    }
+    intercept[IllegalArgumentException] {
+      Events.noveltyBandExistsJoin(
+        Seq((Seq("a"), true)).toDF("mh_bands", "novel"), "mh_bands",
+        Seq("a").toDF("band"))
+    }
+  }
+
+  test("compactBatchTable: geometry by declared property, not schema shape") {
+    // r14 (verdict #3 / ADVICE): marker-row deletion is gated on the
+    // graft.index.kind TBLPROPERTIES written by the create* functions.
+    // A user table whose column set HAPPENS to match an index schema
+    // keeps its NULL rows; an unknown declared kind fails loudly.
+    val plain = "cp_kind_plain"; val idxT = "cp_kind_idx"
+    for (t <- Seq(plain, idxT)) spark.sql(s"DROP TABLE IF EXISTS $t")
+    Seq((1L, Option(5L), 0L), (2L, Option.empty[Long], 0L),
+        (3L, Option(7L), 1L), (4L, Option.empty[Long], 1L),
+        (5L, Option(9L), 2L), (6L, Option.empty[Long], 2L))
+      .toDF("band_key", "sig", "batch_id")
+      .write.partitionBy("batch_id").saveAsTable(plain)
+    val before = spark.table(plain).count()
+    Events.compactBatchTable(spark, plain)
+    // the r13 column-set sniff would have dropped the folded NULL-sig
+    // rows as stale markers; a plain table keeps every row
+    assert(spark.table(plain).count() == before)
+    // unknown declared kind + live batch partitions (the fold preserved
+    // batch 2 and folded the rest to -1; add another batch to have two
+    // live ids again) → loud reject, nothing folded
+    spark.sql(s"INSERT INTO $plain VALUES (7, 11, 3)")
+    spark.sql(
+      s"ALTER TABLE $plain SET TBLPROPERTIES('graft.index.kind'='mystery')")
+    val err = intercept[IllegalArgumentException] {
+      Events.compactBatchTable(spark, plain)
+    }
+    assert(err.getMessage.contains("mystery"))
+    // a real index declares its kind and the property SURVIVES the
+    // compaction swap (saveAsTable writes a fresh catalog entry)
+    Events.createSignatureIndex(spark, idxT,
+      spark.range(50).select(xxhash64($"id").as("sig")), "sig")
+    def kindOf(t: String) = spark.sessionState.catalog.getTableMetadata(
+      spark.sessionState.sqlParser.parseTableIdentifier(t))
+      .properties.get("graft.index.kind")
+    assert(kindOf(idxT).contains("signature"))
+    val d = Tables.load(spark, sf, "documents").limit(90)
+      .select($"doc_id", $"text")
+    Events.textNoveltyIngestBatch(d.filter($"doc_id" < 40), 0L, idxT,
+      "cp_kind_sink")
+    Events.textNoveltyIngestBatch(d.filter($"doc_id" >= 40), 1L, idxT,
+      "cp_kind_sink")
+    Events.compactBatchTable(spark, idxT)
+    assert(kindOf(idxT).contains("signature"))
+    // and the folded index dropped exactly the folded batch's marker
+    assert(spark.table(idxT).filter($"sig".isNull && $"batch_id" === -1L)
+      .count() == 0)
+    for (t <- Seq(plain, idxT, "cp_kind_sink"))
       spark.sql(s"DROP TABLE IF EXISTS $t")
   }
 

@@ -38,6 +38,16 @@ def main(cur_path: str, prev_path: str) -> None:
                  if k in sent_p]
         print("sentinels     : " + "  ".join(
             f"{k}={c:.2f}/{p:.2f}({c / p:.2f}x)" for k, c, p in pairs))
+        # r14 (verdict #6): the de-noised cross-round signal — shared-raw
+        # divided by the mean sentinel ratio. The box drifts 0.9-1.5x
+        # across a day (r13: driver 268.0 s vs builder 217.9 s on the
+        # SAME commit); the sentinels are untouched map-only rows, so
+        # their mean ratio estimates the box factor and the normalized
+        # figure is the code-attributable movement.
+        mean_sent = sum(c / p for _, c, p in pairs) / len(pairs)
+        print(f"normalized    : shared {sc / sp:.3f}x raw / "
+              f"{mean_sent:.3f}x sentinel-mean = "
+              f"{sc / sp / mean_sent:.3f}x code-attributable")
     movers = sorted(((qc[k] / qp[k], k) for k in shared
                      if qp[k] > 0.3 and qc[k] / qp[k] > 1.25),
                     reverse=True)
