@@ -2504,8 +2504,13 @@ object SparkEntry {
       // components over distinct vectors, rep = MIN vector
       // (lexicographic — identical float compare in both engines);
       // every arrival is index-novel against the empty seed, so the
-      // sink holds exactly the representative vectors' rows.
+      // sink holds exactly the representative vectors' rows. Quarter
+      // corpus (vec_id % 4 = 0, the board-budget treatment): the
+      // single cell makes the collapse quadratic in distinct vectors
+      // BY CONSTRUCTION — the price of a globally-replayable oracle,
+      // not the production shape (real cents bound cells).
       val e = t(s, dir, "embeddings")
+        .filter(pmod(col("vec_id"), lit(4)) === 0)
         .select(col("vec_id"), col("embedding"))
       val pert = e.select((col("vec_id") + 100000).as("vec_id"),
         concat(array(col("embedding").getItem(0) * lit(1.01f)),
@@ -5085,11 +5090,11 @@ object SparkEntry {
     // (lexicographic float lists — identical compare in both engines)
     "dd_semantic_novelty_collapse" ->
       s"""WITH RECURSIVE u AS (
-        |  SELECT vec_id, embedding FROM embeddings
+        |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 4 = 0
         |  UNION ALL
         |  SELECT vec_id + 100000,
         |    list_prepend(embedding[1] * 1.01::FLOAT, embedding[2:])
-        |  FROM embeddings),
+        |  FROM embeddings WHERE vec_id % 4 = 0),
         |dv AS (SELECT DISTINCT embedding AS v FROM u),
         |e0 AS (SELECT a.v AS va, b.v AS vb FROM dv a JOIN dv b
         |  ON a.v < b.v WHERE ${cosSql("a.v", "b.v")} >= 0.95),

@@ -350,8 +350,9 @@ object Events {
     * exceeds `maxBucket` — the LOUD metric for the novelty-probe cap:
     * nonzero means [[noveltyBandedJoin]] is dropping candidates in
     * those buckets (false-novel possible there) and the index data is
-    * pathologically skewed in signature space. One hash aggregate;
-    * on a band-bucketed index table it runs without an exchange. */
+    * pathologically skewed in signature space. One hash aggregate
+    * over the index — a maintenance-cadence metric, not a per-batch
+    * cost (the ingest loops log it from `maybeCompact`). */
   def cappedBandBuckets(banded: DataFrame,
                         maxBucket: Int = DefaultMaxBandBucket): Long =
     banded.filter(col("sig").isNotNull)
@@ -360,13 +361,14 @@ object Events {
 
   /** JOIN-form novelty filter against a BAND-EXPLODED signature index
     * (`banded`: one `(band_key, sig)` row per signature per band — the
-    * shape [[createSignatureIndex]] persists, bucketed by `band_key`).
-    * Decisions are identical to the plan-literal [[bandIndexDup]] form
-    * (StreamingSpec pins parity): a signature is a duplicate iff some
-    * index signature within `maxHamming` shares a 16-bit band
-    * (pigeonhole-complete for maxHamming < 4); NULL signatures never
-    * match (undecodable payloads stay novel). Rows keep every caller
-    * column plus `novel`; known near-dups are dropped.
+    * shape [[createSignatureIndex]] persists, partitioned by
+    * `band_pfx`). Decisions are identical to the plan-literal
+    * [[bandIndexDup]] form (StreamingSpec pins parity): a signature is
+    * a duplicate iff some index signature within `maxHamming` shares a
+    * 16-bit band (pigeonhole-complete for maxHamming < 4); NULL
+    * signatures never match (undecodable payloads stay novel). Rows
+    * keep every caller column plus `novel`; known near-dups are
+    * dropped.
     *
     * Two physical forms, same decisions:
     *
@@ -374,29 +376,36 @@ object Events {
     *    frame's distinct signatures explode to their 4 band keys and
     *    equi-join the index ONCE on `band_key`; an exact popcount
     *    verifies each candidate pair, and the surviving duplicate
-    *    signatures anti-join the frame. On a `band_key`-bucketed index
-    *    table the index side satisfies the join's distribution straight
-    *    off the scan — NO exchange, no groupBy, no collect_list on the
-    *    index side (LayoutSpec pins the plan); only the (small)
-    *    batch-side signature set shuffles. A hot band bucket becomes
-    *    many join ROWS (streamed, AQE-splittable), never an unbounded
-    *    in-memory array. Catalyst's runtime bloom filter additionally
-    *    injects a batch-derived `band_key` bloom on the index side
-    *    (the BloomProbe main REPORTS the injection under current conf
-    *    defaults — a manual probe, not an asserted invariant; the
-    *    shuffle-free plan and the band_pfx partition pruning are the
-    *    spec-pinned guarantees), dropping non-matching band
-    *    buckets before the join — and since the bloom keys the band,
-    *    buckets are kept or dropped WHOLE, so the `maxBucket` cap's
-    *    per-bucket ranking is unaffected.
+    *    signatures anti-join the frame. On a `band_pfx`-partitioned
+    *    index the batch's touched prefixes become LITERAL partition
+    *    filters first (r14 — static pruning: a small batch READS only
+    *    its fraction of the index; StreamingSpec pins the
+    *    PartitionFilters), and because the batch-side signature set is
+    *    micro-batch-sized it builds the join's hash side, so the index
+    *    streams off the pruned scan with NO exchange (spec-pinned). A
+    *    hot band bucket becomes many join ROWS (streamed,
+    *    AQE-splittable), never an unbounded in-memory array.
+    *    Catalyst's runtime bloom filter additionally injects a
+    *    batch-derived `band_key` bloom on the index side (the
+    *    BloomProbe main REPORTS the injection under current conf
+    *    defaults — a manual probe, not an asserted invariant),
+    *    dropping non-matching rows at the scan — and since the bloom
+    *    keys the band, buckets are kept or dropped WHOLE, so the
+    *    `maxBucket` cap's per-bucket ranking is unaffected.
     *  - '''Streaming''' (stream-static, append-mode legal — no
     *    watermark, no state): the static index groups to per-band
     *    candidate arrays and the stream takes 4 stateless LEFT
     *    equi-joins, one per band — the stream side is never exploded
     *    or re-aggregated (a streaming frame cannot legally aggregate).
+    *    This form re-aggregates the index each micro-batch (the
+    *    stream-static contract re-executes the static side); a
+    *    corpus-scale CONTINUOUS ingest belongs on the foreachBatch
+    *    loops, which probe batch-form.
     *
     * Both forms apply the deterministic `maxBucket` candidate cap —
-    * see [[DefaultMaxBandBucket]]. */
+    * see [[DefaultMaxBandBucket]]; the INGEST loops' index tables are
+    * pre-capped at write time ([[createSignatureIndex]]), so their
+    * probes disable the cap here and carry no Window at all (r14). */
   def noveltyBandedJoin(signed: DataFrame, sigCol: String,
                         banded: DataFrame, maxHamming: Int,
                         maxBucket: Int = DefaultMaxBandBucket)
@@ -1164,9 +1173,6 @@ object Events {
     require(!table.endsWith("__cents"),
       s"names ending in __cents are reserved for the embedding " +
         s"index's centroid sidecar: $table")
-    require(!table.endsWith("__capped"),
-      s"names ending in __capped are reserved for the signature " +
-        s"index's capped companion: $table")
   }
   private def quoted(table: String): String =
     table.split('.').map(p => s"`$p`").mkString(".")
@@ -1372,12 +1378,6 @@ object Events {
   // everything before it
   // ------------------------------------------------------------------
 
-  /** Default `band_key` bucket count for a new signature index. On a
-    * real cluster size this to the executor count scale (buckets are
-    * the probe join's parallelism ceiling on the index side); 32
-    * matches the local[32] test geometry. */
-  val DefaultIndexBuckets = 32
-
   /** Right-shift that maps a signature-index `band_key` (∈ [0, 2¹⁸):
     * band·2¹⁶ + 16-bit value) to its `band_pfx` partition value —
     * 2¹⁸⁻¹² = 64 prefix partitions per batch_id. The prefix is the r14
@@ -1388,12 +1388,12 @@ object Events {
     * [[embeddingNoveltyIngestBatch]] cell-pruning machinery applied to
     * hamming space. The pruning regime is honest: band keys are
     * hash-spread, so a batch with ≥ a few hundred distinct signatures
-    * touches every prefix (full — still shuffle-free and
+    * touches every prefix (full — still exchange-free and
     * bloom-filtered — scan, amortized over the large batch), while the
     * TRICKLE regime (small continuous batches, where a full scan per
     * batch is the 100 TB killer) prunes hardest — the two regimes
-    * cover each other. 64 also bounds the file-count cost of a
-    * bucketed append (≤ prefixes × buckets files per batch, folded by
+    * cover each other. 64 also bounds the file-count cost of an
+    * append (one file per touched prefix per batch, folded further by
     * [[compactBatchTable]] on the maintenance cadence). */
   val BandPfxShift = 12
 
@@ -1410,38 +1410,41 @@ object Events {
   private def bandStrPfx(band: Column): Column =
     when(band.isNull, lit("-")).otherwise(substring(band, 1, 1))
 
-  /** Group an index append by (partition, bucket) before the bucketed
-    * write: without this every write task emits one file per
-    * (prefix, bucket) combo it happens to hold (tasks × prefixes ×
-    * buckets tiny files per batch); grouped, the file count is exactly
-    * the number of NON-EMPTY (prefix, bucket) combos. `bucketExpr`
-    * must hash like Spark's bucketing (murmur3 seed 42 = `hash()`). */
-  private def groupForBucketedWrite(df: DataFrame, pfxCol: String,
-                                    bucketCol: String,
-                                    buckets: Int): DataFrame =
-    df.repartition(col(pfxCol),
-      pmod(hash(col(bucketCol)), lit(buckets)))
+  /** Group an index write by its prefix partition: without this every
+    * write task emits one file per partition directory it happens to
+    * hold (tasks × prefixes tiny files per batch — measured 5–10×
+    * slower purely in file commits); grouped, the file count is the
+    * number of NON-EMPTY prefixes (≤ 64 long / 16 hex per batch).
+    * This is also why the r13 `bucketBy` was DROPPED from these
+    * layouts in r14: buckets multiply the floor to prefixes × buckets
+    * files per append (measured 11.4 s vs 1.4 s for one batch-sized
+    * append), while the exchange-freedom they bought comes free from
+    * the broadcast-sized batch side of the probe join. */
+  private def groupForPartitionedWrite(df: DataFrame,
+                                       pfxCol: String): DataFrame =
+    df.repartition(col(pfxCol))
 
   /** Create (replacing) a signature-index table for the novelty-ingest
-    * loop, PRE-BAND-EXPLODED, PREFIX-PARTITIONED and BUCKETED: schema
+    * loop, PRE-BAND-EXPLODED and PREFIX-PARTITIONED: schema
     * `(band_key BIGINT, sig BIGINT, band_pfx BIGINT, batch_id BIGINT)`
     * — 4 rows per signature ([[graft.llm.Multimodal.bandIndexRows]]
-    * geometry) — hash-bucketed by `band_key` and partitioned by
-    * `(batch_id, band_pfx)`.
+    * geometry) — partitioned by `(batch_id, band_pfx)`.
     *
-    * The bucketing is the r12→r13 scale fix: the per-micro-batch probe
-    * ([[noveltyBandedJoin]]) joins on `band_key`, and the bucketed
-    * scan satisfies that join's distribution directly — the index side
-    * is NEVER exploded, grouped, or shuffled at probe time (the r12
-    * form rebuilt groupBy(band_key)+collect_list from raw signatures
-    * every batch — a full index shuffle per micro-batch). The
-    * `band_pfx` partition is the r13→r14 fix ([[BandPfxShift]]): the
-    * probe pushes the batch's touched prefixes as literal partition
-    * filters, so a small batch READS only its prefixes' fraction of
-    * the index instead of scanning all of it. Per-batch appends stay
-    * bucket-local files inside their own `batch_id` partition (no
-    * rewrite of prior batches); the `batch_id` partition makes the
-    * replay probe metadata-pruned; partition GROWTH is bounded by
+    * The `band_pfx` partition is the r13→r14 scale fix
+    * ([[BandPfxShift]]): the probe pushes the batch's touched prefixes
+    * as LITERAL partition filters, so a small batch READS only its
+    * prefixes' fraction of the index instead of scanning all of it.
+    * The r13 `bucketBy(band_key)` is GONE: combined with prefix
+    * partitions it multiplied every append into prefixes × buckets
+    * tiny files (measured 8× slower purely in file commits), and the
+    * exchange-freedom it bought is already provided by the probe's
+    * batch side being broadcast-sized (a micro-batch's distinct
+    * signature set — the join builds a hash side from the batch, and
+    * the index streams off the pruned scan with no exchange; the
+    * probe plan spec pins this). Per-batch appends are one file per
+    * touched prefix inside their own `batch_id` partition (no rewrite
+    * of prior batches); the `batch_id` partition makes the replay
+    * probe metadata-pruned; partition GROWTH is bounded by
     * [[compactBatchTable]] on a maintenance cadence.
     *
     * `seed` supplies the starting signatures (e.g.
@@ -1450,43 +1453,38 @@ object Events {
     * cold-start index. */
   def createSignatureIndex(spark: SparkSession, table: String,
                            seed: DataFrame, sigCol: String,
-                           buckets: Int = DefaultIndexBuckets,
                            maxBucket: Int = DefaultMaxBandBucket): Unit = {
     checkTableName(table)
-    require(buckets > 0, s"bucket count must be positive: $buckets")
     require(maxBucket > 0, s"maxBucket must be positive: $maxBucket")
     spark.sql(s"DROP TABLE IF EXISTS ${quoted(table)}")
-    spark.sql(s"DROP TABLE IF EXISTS ${quoted(table + "__capped")}")
     val rows = graft.llm.Multimodal.bandIndexRows(
         seed.select(col(sigCol).cast(LongType).as("sig")), "sig")
       .withColumn("band_pfx", sigBandPfx(col("band_key")))
       .withColumn("batch_id", lit(-1L))
-    groupForBucketedWrite(rows, "band_pfx", "band_key", buckets)
-      .write.partitionBy("batch_id", "band_pfx")
-      .bucketBy(buckets, "band_key").sortBy("band_key", "sig")
-      .saveAsTable(table)
-    setTableProps(spark, table, Map(IndexKindProp -> "signature"))
-    // the CAPPED companion (r14, verdict #2): the ingest probe's
-    // candidate source, holding per band bucket the deterministic
-    // bottom-maxBucket signatures — maintained at append/compaction
-    // time so no probe ever pays a Window over the index. Seed form =
-    // exact bottom-k per bucket (one creation-time window).
+    // the index IS the capped probe structure (r14, verdict #2): the
+    // per-bucket candidate cap is applied AT WRITE TIME — exact
+    // bottom-maxBucket per band bucket here at creation, per-batch
+    // bottom-k on appends, re-tightened to exact bottom-k at every
+    // compaction — so no probe ever pays a Window over the index. The
+    // SINK keeps every raw signature (the loop's truth table); capped-
+    // out signatures simply never become probe candidates, the same
+    // deterministic false-novel-only error the r13 per-probe cap had.
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("band_key").orderBy("sig")
     val capped = rows.withColumn("__graft_rn", row_number().over(w))
       .filter(col("__graft_rn") <= maxBucket).drop("__graft_rn")
-    groupForBucketedWrite(capped, "band_pfx", "band_key", buckets)
+    groupForPartitionedWrite(capped, "band_pfx")
       .write.partitionBy("batch_id", "band_pfx")
-      .bucketBy(buckets, "band_key").sortBy("band_key", "sig")
-      .saveAsTable(table + "__capped")
-    setTableProps(spark, table + "__capped",
-      Map(IndexKindProp -> "capped-signature",
+      .saveAsTable(table)
+    setTableProps(spark, table,
+      Map(IndexKindProp -> "signature",
         CappedKProp -> maxBucket.toString))
   }
 
-  /** Table property on a `__capped` companion recording the per-bucket
-    * cap k it was built with ([[createSignatureIndex]]'s `maxBucket`);
-    * [[compactBatchTable]] re-tightens the folded base to exactly this
+  /** Table property on a signature index recording the per-bucket
+    * candidate cap k it was built with ([[createSignatureIndex]]'s
+    * `maxBucket`); appends cap their contribution at k and
+    * [[compactBatchTable]] re-tightens the folded base to exactly
     * bottom-k per bucket. */
   val CappedKProp = "graft.capped.k"
 
@@ -1552,8 +1550,9 @@ object Events {
     * are dropped in the same pass.
     *
     * Physical shape: the folded table is staged to `__compact_tmp`
-    * with the SAME layout (partitioning + bucket spec — a bucketed
-    * index keeps its shuffle-free probe), then rename-swapped in via
+    * with the SAME layout (partitioning, plus bucket spec where one
+    * exists), grouped so the rewrite also FOLDS the per-append file
+    * fragmentation, then rename-swapped in via
     * `__compact_backup` (never overwrite a table from a plan that
     * reads it); every crash window is healed by [[recoverCompacted]].
     * The fold rewrites O(table) once per maintenance run — the
@@ -1568,16 +1567,7 @@ object Events {
     * that writer is mid-committing. Returns (partitions before,
     * partitions after). */
   def compactBatchTable(spark: SparkSession, table: String): (Int, Int) = {
-    // the full reservation check would reject the __capped companion,
-    // which IS a batch_id-partitioned table this maintenance must
-    // cover; only the identifier shape and this function's own scratch
-    // suffixes are enforced here
-    require(SimpleIdent.findFirstIn(table).isDefined,
-      s"compactBatchTable needs a simple [db.]table identifier: $table")
-    require(!table.endsWith("__compact_tmp") &&
-      !table.endsWith("__compact_backup"),
-      s"names ending in __compact_tmp/__compact_backup are reserved " +
-        s"by compactBatchTable's swap: $table")
+    checkTableName(table)
     recoverCompacted(spark, table)
     require(spark.catalog.tableExists(table),
       s"compactBatchTable: no such table $table (and no crash-parked " +
@@ -1606,23 +1596,28 @@ object Events {
       when(col("batch_id") === maxId, lit(maxId)).otherwise(lit(-1L)))
     val folded = kind match {
       case Some("signature") =>
-        folded0.filter(!(col("sig").isNull && col("batch_id") === -1L))
+        val noMarkers =
+          folded0.filter(!(col("sig").isNull && col("batch_id") === -1L))
+        props.get(CappedKProp).map(_.toInt) match {
+          case Some(k) =>
+            // re-tighten the folded base to exactly bottom-k per
+            // bucket: between compactions each batch contributes at
+            // most k per bucket (up to k·batches candidates), and
+            // bottom-k of a union of per-set bottom-ks IS the union's
+            // bottom-k — so the folded base equals a from-scratch
+            // rebuild. The preserved max batch keeps its per-batch
+            // contribution; its NULL-sig marker rides its own NULL
+            // band_key window partition at rn=1, so it survives.
+            val w = org.apache.spark.sql.expressions.Window
+              .partitionBy("batch_id", "band_key").orderBy("sig")
+            noMarkers.withColumn("__graft_rn", row_number().over(w))
+              .filter(col("__graft_rn") <= k).drop("__graft_rn")
+          case None => noMarkers
+        }
       case Some("embedding") =>
         folded0.filter(!(col("vec").isNull && col("batch_id") === -1L))
       case Some("band") =>
         folded0.filter(!(col("band").isNull && col("batch_id") === -1L))
-      case Some("capped-signature") =>
-        // re-tighten the folded base to exactly bottom-k per bucket:
-        // between compactions each batch contributes at most k per
-        // bucket (up to k·batches candidates), and bottom-k of a union
-        // of per-set bottom-ks IS the union's bottom-k — so the folded
-        // base equals a from-scratch rebuild of the companion. The
-        // preserved max batch keeps its per-batch contribution.
-        val k = props(CappedKProp).toInt
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy("batch_id", "band_key").orderBy("sig")
-        folded0.withColumn("__graft_rn", row_number().over(w))
-          .filter(col("__graft_rn") <= k).drop("__graft_rn")
       case None => folded0
       case Some(other) => throw new IllegalArgumentException(
         s"compactBatchTable: $table declares unknown $IndexKindProp " +
@@ -1636,14 +1631,16 @@ object Events {
     val meta = spark.sessionState.catalog.getTableMetadata(
       spark.sessionState.sqlParser.parseTableIdentifier(table))
     val bspec = bucketSpecOf(spark, table)
-    // group the rewrite by (partition cols, bucket) so the folded table
-    // lands as one file per non-empty (partition, bucket) combo — the
+    // group the rewrite by its layout keys so the folded table lands
+    // as one file per non-empty (partition[, bucket]) combo — the
     // compaction IS the answer to append-time file fragmentation
     val grouped = bspec match {
       case Some(bs) => folded.repartition(
         meta.partitionColumnNames.map(col) :+
           pmod(hash(bs.bucketColumnNames.map(col): _*),
             lit(bs.numBuckets)): _*)
+      case None if meta.partitionColumnNames.nonEmpty =>
+        folded.repartition(meta.partitionColumnNames.map(col): _*)
       case None => folded
     }
     val w0 = grouped.write.partitionBy(meta.partitionColumnNames: _*)
@@ -1682,24 +1679,26 @@ object Events {
                            compactEvery: Int, indexTable: String,
                            sinkTable: String): Unit =
     if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
+      // surface the cap metric on the maintenance cadence (r13
+      // ADVICE), BEFORE the fold trims the over-cap rows: a nonzero
+      // count means those buckets accumulated more than k candidates
+      // across batches and the re-tighten below will drop some —
+      // duplicates of the dropped signatures err false-novel from now
+      // on. Pathological signature skew, worth an operator signal
+      // instead of out-of-band monitoring; one aggregate per
+      // maintenance run. (Within-batch overflow is trimmed at append
+      // and never visible here — same error direction, documented.)
+      tablePropsOf(spark, indexTable).get(CappedKProp).map(_.toInt)
+        .foreach { k =>
+          val over = cappedBandBuckets(spark.table(indexTable), k)
+          if (over > 0)
+            System.err.println(s"[graft] novelty index $indexTable: " +
+              s"$over band buckets exceed the $k-candidate cap — " +
+              "duplicates there can pass as (false-)novel; raise " +
+              "maxBucket on createSignatureIndex or investigate " +
+              "signature skew")
+        }
       compactBatchTable(spark, indexTable)
-      val cappedT = s"${indexTable}__capped"
-      if (spark.catalog.tableExists(cappedT)) {
-        compactBatchTable(spark, cappedT)
-        // surface the cap metric on the maintenance cadence (r13
-        // ADVICE): a nonzero count means those buckets' probes can err
-        // false-novel — pathological signature skew, worth an operator
-        // signal instead of out-of-band monitoring. One exchange-free
-        // aggregate over the freshly compacted index.
-        val k = tablePropsOf(spark, cappedT)(CappedKProp).toInt
-        val over = cappedBandBuckets(spark.table(indexTable), k)
-        if (over > 0)
-          System.err.println(s"[graft] novelty index $indexTable: " +
-            s"$over band buckets exceed the $k-candidate cap — " +
-            "duplicates there can pass as (false-)novel; raise " +
-            "maxBucket on createSignatureIndex or investigate " +
-            "signature skew")
-      }
       // the sink may not exist yet (no novel row has ever landed)
       if (spark.catalog.tableExists(sinkTable))
         compactBatchTable(spark, sinkTable)
@@ -1738,7 +1737,8 @@ object Events {
     * Per-batch cost at 100 TB: decode O(|batch|) (the signed batch is
     * cached for the batch's lifetime — the probe's duplicate-signature
     * set and the sink write both read it), ONE banded equi-join
-    * batch × index whose index side comes straight off the bucketed
+    * batch × capped-companion slice whose index side comes straight
+    * off the prefix-pruned
     * scan with no exchange (the unavoidable O(index) scan — but never
     * an index shuffle), two metadata-pruned existence probes, and
     * appends sized to the batch landing bucket-local in their own
@@ -1765,15 +1765,16 @@ object Events {
     val spark = batch.sparkSession
     recoverCompacted(spark, indexTable)
     recoverCompacted(spark, sinkTable)
-    val cappedT = s"${indexTable}__capped"
-    val hasCapped = {
-      recoverCompacted(spark, cappedT)
-      spark.catalog.tableExists(cappedT)
-    }
-    val bspec = bucketSpecOf(spark, indexTable).getOrElse(
-      throw new IllegalArgumentException(s"$indexTable is not a " +
-        "band-bucketed signature index — (re)create it with " +
-        "createSignatureIndex"))
+    require(spark.sessionState.catalog.getTableMetadata(
+        spark.sessionState.sqlParser.parseTableIdentifier(indexTable))
+        .partitionColumnNames.contains("batch_id"),
+      s"$indexTable is not a batch_id-partitioned signature index — " +
+        "(re)create it with createSignatureIndex")
+    // a CappedKProp-declared index is pre-capped at write time — the
+    // probe runs windowless; a raw/pre-r14 table keeps the per-probe
+    // cap as a fallback
+    val cappedK = tablePropsOf(spark, indexTable).get(CappedKProp)
+      .map(_.toInt)
     val idx = spark.table(indexTable)
     // fully-committed replay: the index partition (written last, never
     // empty thanks to the marker row) is the commit record
@@ -1789,15 +1790,14 @@ object Events {
         if (collapseIntraBatch)
           collapseBySignature(cached, sigCol, maxHamming)
         else cached
-      // probe the CAPPED companion when the index carries one (r14,
-      // verdict #2): candidates are pre-capped at append/compaction
-      // time, so the probe plan has NO Window over the index — and the
-      // companion's band_pfx partitions give the prefix-pruned read.
-      // A pre-r14 index without a companion keeps the per-probe cap.
+      // pre-capped index (r14, verdict #2): candidates were capped at
+      // append/compaction time, so the probe plan has NO Window over
+      // the index — and the band_pfx partitions give the prefix-pruned
+      // read
       val novel = (
-        if (hasCapped)
-          noveltyBandedJoin(signed, sigCol, spark.table(cappedT),
-            maxHamming, maxBucket = Int.MaxValue)
+        if (cappedK.isDefined)
+          noveltyBandedJoin(signed, sigCol, idx, maxHamming,
+            maxBucket = Int.MaxValue)
         else noveltyBandedJoin(signed, sigCol, idx, maxHamming))
         .withColumn("batch_id", lit(batchId))
       if (!spark.catalog.tableExists(sinkTable))
@@ -1817,51 +1817,29 @@ object Events {
         .filter(col("batch_id") === batchId)
         .select(col(sigCol).cast(LongType).as("sig"))
         .filter(col("sig").isNotNull).distinct()
-      // capped-companion append (BEFORE the index commit marker, so a
-      // crash in between is healed by the replay: sink and companion
-      // partition probes skip their committed appends, and the index
-      // append still derives from the sink read-back): this batch's
-      // contribution is its own bottom-k per band bucket — a window
-      // over BATCH-sized data, never over the index. Between
-      // compactions a bucket may hold up to k·batches candidates
-      // (decisions err strictly TOWARD the uncapped truth);
-      // compactBatchTable re-tightens the base to exactly bottom-k.
-      if (hasCapped && spark.table(cappedT)
-          .filter(col("batch_id") === batchId).isEmpty) {
-        val k = tablePropsOf(spark, cappedT)(CappedKProp).toInt
-        val wc = org.apache.spark.sql.expressions.Window
-          .partitionBy("band_key").orderBy("sig")
-        val contrib = graft.llm.Multimodal.bandIndexRows(sigs, "sig")
-          .withColumn("__graft_rn", row_number().over(wc))
-          .filter(col("__graft_rn") <= k).drop("__graft_rn")
-          .withColumn("band_pfx", sigBandPfx(col("band_key")))
-          .withColumn("batch_id", lit(batchId))
-        groupForBucketedWrite(contrib, "band_pfx", "band_key",
-            bspec.numBuckets)
-          .write.mode("append").partitionBy("batch_id", "band_pfx")
-          .bucketBy(bspec.numBuckets, "band_key")
-          .sortBy("band_key", "sig")
-          .saveAsTable(cappedT)
-      }
       val marker = spark.range(1).select(
         lit(null).cast(LongType).as("band_key"),
         lit(null).cast(LongType).as("sig"))
-      val rows = graft.llm.Multimodal.bandIndexRows(sigs, "sig")
+      // the batch's contribution is its own bottom-k per band bucket —
+      // a window over BATCH-sized data, never over the index. Between
+      // compactions a bucket may hold up to k·batches candidates
+      // (decisions err strictly TOWARD the uncapped truth);
+      // compactBatchTable re-tightens the base to exactly bottom-k.
+      val banded0 = graft.llm.Multimodal.bandIndexRows(sigs, "sig")
+      val banded = cappedK match {
+        case Some(k) =>
+          val wc = org.apache.spark.sql.expressions.Window
+            .partitionBy("band_key").orderBy("sig")
+          banded0.withColumn("__graft_rn", row_number().over(wc))
+            .filter(col("__graft_rn") <= k).drop("__graft_rn")
+        case None => banded0
+      }
+      val rows = banded
         .unionByName(marker)
-      // prefix-partitioned layout when the table carries it (r14);
-      // a pre-r14 index without band_pfx appends in its own layout
-      val hasPfx = spark.table(indexTable).columns.contains("band_pfx")
-      val rowsP =
-        if (hasPfx) rows.withColumn("band_pfx", sigBandPfx(col("band_key")))
-        else rows
-      val partCols =
-        if (hasPfx) Seq("batch_id", "band_pfx") else Seq("batch_id")
-      groupForBucketedWrite(rowsP.withColumn("batch_id", lit(batchId)),
-          if (hasPfx) "band_pfx" else "batch_id", "band_key",
-          bspec.numBuckets)
-        .write.mode("append").partitionBy(partCols: _*)
-        .bucketBy(bspec.numBuckets, "band_key")
-        .sortBy("band_key", "sig")
+        .withColumn("band_pfx", sigBandPfx(col("band_key")))
+        .withColumn("batch_id", lit(batchId))
+      groupForPartitionedWrite(rows, "band_pfx")
+        .write.mode("append").partitionBy("batch_id", "band_pfx")
         .saveAsTable(indexTable)
     } finally cached.unpersist()
   }
@@ -2179,9 +2157,11 @@ object Events {
     * NULL band arrays pass through novel. Unlike the hamming probes
     * there is no candidate list and no verify step — band equality IS
     * the decision — so no bucket cap is needed: a hot band costs join
-    * rows (AQE-splittable), never memory. On a `band`-bucketed index
-    * table the index side joins straight off the scan, no exchange
-    * (the bucketed-probe plan pin covers the same shape). */
+    * rows (AQE-splittable), never memory. On a `band_pfx`-partitioned
+    * index ([[createBandIndex]]'s layout) the batch's touched
+    * prefixes become literal partition filters (r14 — spec-pinned),
+    * and the batch-sized frame builds the join's hash side, so the
+    * index streams off the pruned scan with no exchange. */
   def noveltyBandExistsJoin(signed: DataFrame, bandsCol: String,
                             index: DataFrame): DataFrame = {
     Seq("__graft_barr", "__graft_band", "novel")
@@ -2218,27 +2198,26 @@ object Events {
 
   /** Create (replacing) a BAND-KEY index table for the MinHash ingest:
     * schema `(band STRING, band_pfx STRING, batch_id BIGINT)` — one
-    * row per distinct band key — bucketed by `band`, partitioned by
-    * `(batch_id, band_pfx)` where the prefix is the band's first hex
-    * character (16 partitions — the string geometry of
-    * [[createSignatureIndex]]'s band_pfx: the probe pushes the batch's
-    * touched prefixes as literal partition filters). Same
-    * replay/maintenance layout otherwise. `seed` carries a band-key
-    * ARRAY column (e.g. [[graft.llm.Dedup.minhashBandArray]] over the
-    * existing corpus). */
+    * row per distinct band key — partitioned by `(batch_id, band_pfx)`
+    * where the prefix is the band's first hex character (16
+    * partitions — the string geometry of [[createSignatureIndex]]'s
+    * band_pfx: the probe pushes the batch's touched prefixes as
+    * literal partition filters). Same replay/maintenance layout
+    * otherwise; like the signature index, unbucketed (the probe's
+    * batch side is broadcast-sized, and prefix × bucket file
+    * fragmentation was the measured r14 append cost). `seed` carries
+    * a band-key ARRAY column (e.g.
+    * [[graft.llm.Dedup.minhashBandArray]] over the existing corpus). */
   def createBandIndex(spark: SparkSession, table: String,
-                      seed: DataFrame, bandsCol: String,
-                      buckets: Int = DefaultIndexBuckets): Unit = {
+                      seed: DataFrame, bandsCol: String): Unit = {
     checkTableName(table)
-    require(buckets > 0, s"bucket count must be positive: $buckets")
     spark.sql(s"DROP TABLE IF EXISTS ${quoted(table)}")
     val rows = seed.select(explode(col(bandsCol)).as("band"))
       .filter(col("band").isNotNull).distinct()
       .withColumn("band_pfx", bandStrPfx(col("band")))
       .withColumn("batch_id", lit(-1L))
-    groupForBucketedWrite(rows, "band_pfx", "band", buckets)
+    groupForPartitionedWrite(rows, "band_pfx")
       .write.partitionBy("batch_id", "band_pfx")
-      .bucketBy(buckets, "band").sortBy("band")
       .saveAsTable(table)
     setTableProps(spark, table, Map(IndexKindProp -> "band"))
   }
@@ -2249,7 +2228,7 @@ object Events {
     * [[graft.functions.MinHashSig]] sliding window → `bands` md5 band
     * keys, staged so the signature computes once per row), tested for
     * a shared band against the index table ([[noveltyBandExistsJoin]]
-    * — bucketed scan, no index-side exchange), and the novel rows'
+    * — prefix-pruned scan, no index-side exchange), and the novel rows'
     * distinct band keys append under this `batch_id` with the NULL
     * marker row. Rows keep every caller column plus `mh_bands` and
     * `novel`; NULL-text rows carry NULL bands and are KEPT in the sink
@@ -2282,9 +2261,11 @@ object Events {
     val spark = batch.sparkSession
     recoverCompacted(spark, indexTable)
     recoverCompacted(spark, sinkTable)
-    val bspec = bucketSpecOf(spark, indexTable).getOrElse(
-      throw new IllegalArgumentException(s"$indexTable is not a " +
-        "band-bucketed index — (re)create it with createBandIndex"))
+    require(spark.sessionState.catalog.getTableMetadata(
+        spark.sessionState.sqlParser.parseTableIdentifier(indexTable))
+        .partitionColumnNames.contains("batch_id"),
+      s"$indexTable is not a batch_id-partitioned band index — " +
+        "(re)create it with createBandIndex")
     val idx = spark.table(indexTable)
     if (!idx.filter(col("batch_id") === batchId).isEmpty) return
     // sign map-only: stage the raw signature array in its own
@@ -2322,17 +2303,10 @@ object Events {
       val marker = spark.range(1).select(
         lit(null).cast(StringType).as("band"))
       val rows = bandsNew.unionByName(marker)
-      val hasPfx = spark.table(indexTable).columns.contains("band_pfx")
-      val rowsP =
-        if (hasPfx) rows.withColumn("band_pfx", bandStrPfx(col("band")))
-        else rows
-      val partCols =
-        if (hasPfx) Seq("batch_id", "band_pfx") else Seq("batch_id")
-      groupForBucketedWrite(rowsP.withColumn("batch_id", lit(batchId)),
-          if (hasPfx) "band_pfx" else "batch_id", "band",
-          bspec.numBuckets)
-        .write.mode("append").partitionBy(partCols: _*)
-        .bucketBy(bspec.numBuckets, "band").sortBy("band")
+        .withColumn("band_pfx", bandStrPfx(col("band")))
+        .withColumn("batch_id", lit(batchId))
+      groupForPartitionedWrite(rows, "band_pfx")
+        .write.mode("append").partitionBy("batch_id", "band_pfx")
         .saveAsTable(indexTable)
     } finally cached.unpersist()
   }

@@ -12,12 +12,11 @@ import org.apache.spark.sql.functions._
   * r14 (verdict #1 done-criterion): sizes extend to 10M signatures, a
   * SMALL-batch arm exercises the band_pfx partition pruning (the
   * trickle-ingest regime where per-batch index IO is the binding
-  * cost), and each bucketed probe reports the index scan's measured
+  * cost), and each table probe reports the index scan's measured
   * partitions/files/bytes — the IO evidence, not just wall time. Two
-  * bucketed shapes are timed: the r13 ingest probe (index table +
-  * per-probe cap window) and the r14 one (pre-capped __capped
-  * companion, windowless). Run:
-  * `sbt "Test/runMain graft.IndexScaleProbe"` */
+  * table shapes are timed: the r13-style per-probe cap window and the
+  * r14 ingest shape (pre-capped index, windowless + prefix-pruned).
+  * Run: `sbt "Test/runMain graft.IndexScaleProbe"` */
 object IndexScaleProbe {
   def main(args: Array[String]): Unit = {
     val wh = java.nio.file.Files.createTempDirectory("graft-wh").toString
@@ -80,24 +79,23 @@ object IndexScaleProbe {
         .write.format("noop").mode("overwrite").save()
       runJoin() // warm-up
       val tj = math.min(time(runJoin()), time(runJoin()))
-      // bucketed-table arms: the ingest loop's per-batch probe shapes
+      // table arms: the ingest loop's per-batch probe shapes
       val bktT = s"isp_idx_$n"
       spark.sql(s"DROP TABLE IF EXISTS $bktT")
-      spark.sql(s"DROP TABLE IF EXISTS ${bktT}__capped")
       graft.streaming.Events.createSignatureIndex(spark, bktT, table,
         "sig")
       val signed = graft.llm.Multimodal.withDhash(media).localCheckpoint()
       val signedSmall = graft.llm.Multimodal.withDhash(mediaSmall)
         .localCheckpoint()
-      // r13 shape: index table + per-probe cap window
+      // r13 shape: per-probe cap window over the table
       def runBkt(): Unit = graft.streaming.Events
         .noveltyBandedJoin(signed, "dhash", spark.table(bktT), 3)
         .write.format("noop").mode("overwrite").save()
       runBkt() // warm-up
       val tb = math.min(time(runBkt()), time(runBkt()))
-      // r14 shape: pre-capped companion, windowless + prefix-pruned
+      // r14 ingest shape: pre-capped index, windowless + prefix-pruned
       def capped(s0: DataFrame): DataFrame = graft.streaming.Events
-        .noveltyBandedJoin(s0, "dhash", spark.table(s"${bktT}__capped"),
+        .noveltyBandedJoin(s0, "dhash", spark.table(bktT),
           3, maxBucket = Int.MaxValue)
       def runCap(): Unit =
         capped(signed).write.format("noop").mode("overwrite").save()
@@ -108,9 +106,8 @@ object IndexScaleProbe {
         smallDf.write.format("noop").mode("overwrite").save()
       runCapSmall() // warm-up
       val ts = math.min(time(runCapSmall()), time(runCapSmall()))
-      val io = scanIo(smallDf, s"${bktT}__capped")
+      val io = scanIo(smallDf, bktT)
       spark.sql(s"DROP TABLE IF EXISTS $bktT")
-      spark.sql(s"DROP TABLE IF EXISTS ${bktT}__capped")
       println(f"[isp] $n%10d ${tl.map(t => f"$t%8.2f").getOrElse("       -")}%s $tj%8.2f $tb%7.2f $tc%7.2f $ts%9.2f  $io")
     }
     spark.stop()

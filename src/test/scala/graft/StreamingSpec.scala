@@ -1077,7 +1077,6 @@ class StreamingSpec extends SparkSpec {
       .flatMap(_.split('/').find(_.startsWith("batch_id="))
         .map(_.stripPrefix("batch_id=").toLong)).distinct
     assert(batchIds(idxT).length <= 2)
-    assert(batchIds(s"${idxT}__capped").length <= 2)
     assert(spark.sql(s"SHOW PARTITIONS $sinkT").count() <= 2)
     // growth decisions equal the sequential ground truth — compaction
     // folded history without changing a single keep/drop
@@ -1295,7 +1294,7 @@ class StreamingSpec extends SparkSpec {
       .select($"band").distinct().count() == bandsBefore)
     assert(spark.sessionState.catalog.getTableMetadata(
       spark.sessionState.sqlParser.parseTableIdentifier(idxT))
-      .bucketSpec.exists(_.bucketColumnNames == Seq("band")))
+      .partitionColumnNames == Seq("batch_id", "band_pfx"))
     for (t <- Seq(idxT, sinkT)) spark.sql(s"DROP TABLE IF EXISTS $t")
   }
 
@@ -1492,9 +1491,12 @@ class StreamingSpec extends SparkSpec {
     val media = graft.llm.Multimodal.syntheticContentImages(docs)
       .localCheckpoint()
     withConf("spark.sql.adaptive.enabled" -> "false") {
+      // the ingest shape: the table is PRE-CAPPED at write time, so
+      // the loop probes windowless (maxBucket disabled) — the plan
+      // under pin here
       val probe = Events.noveltyBandedJoin(
         graft.llm.Multimodal.withDhash(media), "dhash",
-        spark.table(idxT), 3)
+        spark.table(idxT), 3, maxBucket = Int.MaxValue)
       val plan = probe.queryExecution.executedPlan
       import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
       import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
@@ -1641,10 +1643,10 @@ class StreamingSpec extends SparkSpec {
       .select($"sig").distinct().count() == sigsBefore)
     assert(spark.table(sinkT).select($"doc_id").as[Long].collect().toSet
       == sinkBefore)
-    // bucket spec survived the swap (the probe stays shuffle-free)
+    // the prefix layout survived the swap (the probe stays pruned)
     assert(spark.sessionState.catalog.getTableMetadata(
       spark.sessionState.sqlParser.parseTableIdentifier(idxT))
-      .bucketSpec.exists(_.bucketColumnNames == Seq("band_key")))
+      .partitionColumnNames == Seq("batch_id", "band_pfx"))
     // replay of the PRESERVED max batch: still a pure no-op
     val sn = spark.table(sinkT).count()
     val in2 = spark.table(idxT).count()
@@ -1714,64 +1716,67 @@ class StreamingSpec extends SparkSpec {
       spark.sql(s"DROP TABLE IF EXISTS $t")
   }
 
-  test("capped companion: windowless probe, exact bottom-k, fold re-tightens") {
+  test("pre-capped index: windowless probe, exact bottom-k, fold re-tightens") {
     // r14 (verdict #2): the per-bucket candidate cap is MATERIALIZED in
-    // a __capped companion at create/append/compaction time instead of
-    // a row_number window paid on every probe
-    val idxT = "cap_comp_idx"
-    for (t <- Seq(idxT, s"${idxT}__capped"))
-      spark.sql(s"DROP TABLE IF EXISTS $t")
+    // the index itself at create/append/compaction time instead of a
+    // row_number window paid on every probe (the sink keeps every raw
+    // signature — the index is the probe structure, not the truth)
+    val idxT = "cap_idx"
+    spark.sql(s"DROP TABLE IF EXISTS $idxT")
     val top = 61440L * 65536 + 0x1234L
     val hot = spark.range(1, 5001)
       .select(($"id" * 65536 + lit(0x1234)).cast("long").as("sig"))
       .unionByName(Seq(top).toDF("sig"))
     Events.createSignatureIndex(spark, idxT, hot, "sig")
-    val capped = spark.table(s"${idxT}__capped")
-    // creation-time companion = EXACT bottom-k per bucket: the 3 hot
+    // creation-time index = EXACT bottom-k per bucket: the 3 hot
     // buckets hold exactly 4096 (of 5001) signatures
-    val hotCounts = capped.filter($"sig".isNotNull)
+    val hotCounts = spark.table(idxT).filter($"sig".isNotNull)
       .groupBy($"band_key").count().filter($"count" > 1)
       .select($"count").as[Long].collect()
     assert(hotCounts.length == 3 && hotCounts.forall(_ == 4096L))
-    // decisions equal the r13 per-probe-window form on the full index:
-    // the hamming-1 twin of the capped-out top member is falsely novel,
-    // the bottom-member twin is caught
+    // the windowless probe of the pre-capped index decides exactly
+    // like the r13 per-probe-window form over the RAW banded rows:
+    // the hamming-1 twin of the capped-out top member is falsely
+    // novel, the bottom-member twin is caught
     val probe = Seq((1L, top | (1L << 16)), (2L, 1L * 65536 + 0x1234L))
       .toDF("media_id", "s")
-    val viaCompanion = Events.noveltyBandedJoin(probe, "s", capped, 3,
-      maxBucket = Int.MaxValue)
+    val viaIndex = Events.noveltyBandedJoin(probe, "s",
+      spark.table(idxT), 3, maxBucket = Int.MaxValue)
     val viaWindow = Events.noveltyBandedJoin(probe, "s",
-      spark.table(idxT), 3)
-    assert(viaCompanion.select($"media_id").as[Long].collect().toSet ==
+      graft.llm.Multimodal.bandIndexRows(hot, "sig"), 3)
+    assert(viaIndex.select($"media_id").as[Long].collect().toSet ==
       viaWindow.select($"media_id").as[Long].collect().toSet)
-    assert(viaCompanion.select($"media_id").as[Long].collect().toSet ==
+    assert(viaIndex.select($"media_id").as[Long].collect().toSet ==
       Set(1L))
-    // ... and the companion probe plans WITHOUT any Window
+    // ... and the pre-capped probe plans WITHOUT any Window
     import org.apache.spark.sql.execution.window.WindowExec
-    assert(viaCompanion.queryExecution.executedPlan.collect {
+    assert(viaIndex.queryExecution.executedPlan.collect {
       case w: WindowExec => w }.isEmpty)
-    // the capped-signature FOLD re-tightens the base to bottom-k of the
-    // union of per-batch bottom-ks (== the union's true bottom-k),
-    // preserving the max batch verbatim
+    // the capped FOLD re-tightens the base to bottom-k of the union of
+    // per-batch bottom-ks (== the union's true bottom-k), preserving
+    // the max batch — including its NULL-sig commit marker
     val t3 = "cap_fold_t"
-    for (t <- Seq(t3)) spark.sql(s"DROP TABLE IF EXISTS $t")
-    Seq((100L, 10L, -1L), (100L, 20L, -1L), (100L, 30L, -1L),
-        (100L, 1L, 0L), (100L, 2L, 0L), (100L, 40L, 0L),
-        (100L, 50L, 1L)).toDF("band_key", "sig", "batch_id")
+    spark.sql(s"DROP TABLE IF EXISTS $t3")
+    Seq((Some(100L), Some(10L), -1L), (Some(100L), Some(20L), -1L),
+        (Some(100L), Some(30L), -1L), (Some(100L), Some(1L), 0L),
+        (Some(100L), Some(2L), 0L), (Some(100L), Some(40L), 0L),
+        (Some(100L), Some(50L), 1L),
+        (Option.empty[Long], Option.empty[Long], 1L))
+      .toDF("band_key", "sig", "batch_id")
       .write.partitionBy("batch_id").saveAsTable(t3)
     spark.sql(s"ALTER TABLE $t3 SET TBLPROPERTIES(" +
-      "'graft.index.kind'='capped-signature','graft.capped.k'='3')")
+      "'graft.index.kind'='signature','graft.capped.k'='3')")
     Events.compactBatchTable(spark, t3)
     assert(spark.table(t3).filter($"batch_id" === -1L)
       .select($"sig").as[Long].collect().toSet == Set(1L, 2L, 10L))
     assert(spark.table(t3).filter($"batch_id" === 1L)
-      .select($"sig").as[Long].collect().toSet == Set(50L))
-    // the INGEST loop end to end: appends keep the companion in sync
-    // (≤ k per bucket per batch) and after compacting BOTH tables the
-    // companion equals the index's non-marker rows here (no bucket
-    // exceeds the cap on real text signatures)
-    val idx2 = "cap_comp_idx2"; val sink2 = "cap_comp_sink2"
-    for (t <- Seq(idx2, s"${idx2}__capped", sink2))
+      .select($"sig").as[Option[Long]].collect().toSet ==
+      Set(Some(50L), None))
+    // the INGEST loop end to end: a post-compaction index decides
+    // exactly like a freshly created twin of the same signatures
+    val idx2 = "cap_idx2"; val sink2 = "cap_sink2"
+    val idx3 = "cap_idx3"; val sink3 = "cap_sink3"
+    for (t <- Seq(idx2, sink2, idx3, sink3))
       spark.sql(s"DROP TABLE IF EXISTS $t")
     val d = Tables.load(spark, sf, "documents").limit(150)
       .select($"doc_id", $"text").localCheckpoint()
@@ -1783,20 +1788,7 @@ class StreamingSpec extends SparkSpec {
       $"doc_id" < 100), 0L, idx2, sink2)
     Events.textNoveltyIngestBatch(d.filter($"doc_id" >= 100), 1L,
       idx2, sink2)
-    // companion tracked both batches (one partition per batch)
-    assert(spark.table(s"${idx2}__capped")
-      .select($"batch_id").distinct().as[Long].collect().toSet ==
-      Set(-1L, 0L, 1L))
     Events.compactBatchTable(spark, idx2)
-    Events.compactBatchTable(spark, s"${idx2}__capped")
-    def pairs(t: String) = spark.table(t)
-      .filter($"sig".isNotNull).select($"band_key", $"sig")
-      .as[(Long, Long)].collect().toSet
-    assert(pairs(s"${idx2}__capped") == pairs(idx2))
-    // and a post-compaction batch still decides like a fresh twin
-    val idx3 = "cap_comp_idx3"; val sink3 = "cap_comp_sink3"
-    for (t <- Seq(idx3, s"${idx3}__capped", sink3))
-      spark.sql(s"DROP TABLE IF EXISTS $t")
     Events.createSignatureIndex(spark, idx3,
       spark.table(idx2).filter($"sig".isNotNull)
         .select($"sig").distinct(), "sig")
@@ -1806,8 +1798,7 @@ class StreamingSpec extends SparkSpec {
     assert(spark.table(sink2).filter($"batch_id" === 2L)
       .select($"doc_id").as[Long].collect().toSet ==
       spark.table(sink3).select($"doc_id").as[Long].collect().toSet)
-    for (t <- Seq(idxT, s"${idxT}__capped", t3, idx2, s"${idx2}__capped",
-        sink2, idx3, s"${idx3}__capped", sink3))
+    for (t <- Seq(idxT, t3, idx2, sink2, idx3, sink3))
       spark.sql(s"DROP TABLE IF EXISTS $t")
   }
 
