@@ -47,9 +47,13 @@ object IndexScaleProbe {
       val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
     }
     // IO evidence off the executed plan: the index scan's partition /
-    // file / byte metrics (static band_pfx pruning shows up here)
+    // file / byte metrics (static band_pfx pruning shows up here).
+    // The timed runs go through the noop WRITE path, which re-plans —
+    // so this executes the DataFrame's own plan (collect; results are
+    // batch-sized) and reads the metrics that run populated.
     def scanIo(df: DataFrame, table: String): String = {
       import org.apache.spark.sql.execution.FileSourceScanExec
+      df.collect()
       df.queryExecution.executedPlan.collect {
         case f: FileSourceScanExec
             if f.tableIdentifier.exists(_.table == table) => f
@@ -107,8 +111,9 @@ object IndexScaleProbe {
       runCapSmall() // warm-up
       val ts = math.min(time(runCapSmall()), time(runCapSmall()))
       val io = scanIo(smallDf, bktT)
+      val ioBig = scanIo(capped(signed), bktT)
       spark.sql(s"DROP TABLE IF EXISTS $bktT")
-      println(f"[isp] $n%10d ${tl.map(t => f"$t%8.2f").getOrElse("       -")}%s $tj%8.2f $tb%7.2f $tc%7.2f $ts%9.2f  $io")
+      println(f"[isp] $n%10d ${tl.map(t => f"$t%8.2f").getOrElse("       -")}%s $tj%8.2f $tb%7.2f $tc%7.2f $ts%9.2f  small[$io] big[$ioBig]")
     }
     spark.stop()
   }
