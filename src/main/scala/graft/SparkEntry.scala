@@ -2466,6 +2466,34 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "dd_key_novelty_grow" -> ((s, dir) => {
+      // the EXACT-KEY member of the maintained-index ingest family
+      // (r14 — the 6th geometry, the url-seen-before filter every
+      // crawl pipeline runs first): arrivals whose key (here
+      // md5(lower(text)) — a content hash) was seen in any prior
+      // batch or the seed are dropped; novel keys join the
+      // key_pfx-partitioned index. Seed = keys of doc_id < 100;
+      // batch 0 = remaining originals (corpus-planted exact-dup texts
+      // drop against the seed, the rest grow the index); batch 1 =
+      // full-corpus copies — every copy's key is indexed via seed or
+      // batch-0 growth, so only NULL-text copies pass (no key, no
+      // duplicate evidence). The oracle replays the two-step growth.
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        .withColumn("k", md5(lower(col("text")).cast("binary")))
+        .localCheckpoint()
+      val idxT = "dd_keynov_grow_idx"; val sinkT = "dd_keynov_grow_sink"
+      for (tb <- Seq(idxT, sinkT)) s.sql(s"DROP TABLE IF EXISTS $tb")
+      graft.streaming.Events.createKeyIndex(s, idxT,
+        d.filter(col("doc_id") < 100).select(col("k")), "k")
+      graft.streaming.Events.keyNoveltyIngestBatch(
+        d.filter(col("doc_id") >= 100), 0L, idxT, sinkT, "k")
+      graft.streaming.Events.keyNoveltyIngestBatch(
+        d.select((col("doc_id") + 10000).as("doc_id"), col("text"),
+          col("k")), 1L, idxT, sinkT, "k")
+      s.table(sinkT).select(col("doc_id"), col("batch_id"))
+        .orderBy(col("doc_id"))
+    }),
+
     "dd_minhash_novelty_collapse" -> ((s, dir) => {
       // the INTRA-BATCH collapse arm of the MinHash ingest loop (r14,
       // mm_phash_novelty_collapse's Jaccard twin): cold-start band
@@ -5045,6 +5073,22 @@ object SparkEntry {
         |  WHERE NOT EXISTS (
         |    SELECT 1 FROM bnd a JOIN i1 ON i1.band = a.band
         |    WHERE a.doc_id = d.doc_id))
+        |SELECT doc_id, 0::BIGINT AS batch_id FROM n0
+        |UNION ALL SELECT doc_id, 1::BIGINT FROM n1
+        |ORDER BY doc_id""".stripMargin,
+
+    // the growing KEY index replayed: a doc is novel iff its content
+    // hash (or NULL — no key, no duplicate evidence) is unseen; batch
+    // 0 vs the seed keys, batch 1 (copies) vs seed ∪ batch-0 growth
+    "dd_key_novelty_grow" ->
+      """WITH u AS (SELECT doc_id, md5(lower(text)) AS k FROM documents),
+        |n0 AS (SELECT doc_id, k FROM u
+        |  WHERE doc_id >= 100 AND (k IS NULL OR NOT EXISTS (
+        |    SELECT 1 FROM u s WHERE s.doc_id < 100 AND s.k = u.k))),
+        |i1 AS (SELECT DISTINCT k FROM u WHERE doc_id < 100 AND k IS NOT NULL
+        |  UNION SELECT k FROM n0 WHERE k IS NOT NULL),
+        |n1 AS (SELECT doc_id + 10000 AS doc_id FROM u
+        |  WHERE k IS NULL OR k NOT IN (SELECT k FROM i1))
         |SELECT doc_id, 0::BIGINT AS batch_id FROM n0
         |UNION ALL SELECT doc_id, 1::BIGINT FROM n1
         |ORDER BY doc_id""".stripMargin,

@@ -1380,7 +1380,7 @@ object Events {
 
   /** Right-shift that maps a signature-index `band_key` (∈ [0, 2¹⁸):
     * band·2¹⁶ + 16-bit value) to its `band_pfx` partition value —
-    * 2¹⁸⁻¹² = 64 prefix partitions per batch_id. The prefix is the r14
+    * 2¹⁸⁻¹⁰ = 256 prefix partitions per batch_id. The prefix is the r14
     * sub-O(index) lever (verdict #1): the per-batch probe collects the
     * batch's touched prefixes (metadata-sized, ≤ 64 values) into
     * LITERAL partition filters, so a batch reads only
@@ -1391,10 +1391,15 @@ object Events {
     * touches every prefix (full — still exchange-free and
     * bloom-filtered — scan, amortized over the large batch), while the
     * TRICKLE regime (small continuous batches, where a full scan per
-    * batch is the 100 TB killer) prunes hardest — the two regimes
-    * cover each other. 64 also bounds the file-count cost of an
-    * append (one file per touched prefix per batch, folded further by
-    * [[compactBatchTable]] on the maintenance cadence). */
+    * batch is the 100 TB killer) prunes hardest; the two regimes cover
+    * each other. The grain is a measured trade: finer prefixes prune
+    * trickles harder but every append writes one file per touched
+    * prefix — 256 prefixes cost the signature rows +1.7–2.6 s each on
+    * the sf0.1 board (4 band rows per signature touch most prefixes),
+    * 64 is the sweet spot; the one-row-per-band MinHash index takes
+    * 256 (two hex chars) at no measured cost. Appends are grouped by
+    * the partition column and folded by [[compactBatchTable]] on the
+    * maintenance cadence. */
   val BandPfxShift = 12
 
   /** `band_pfx` of a signature-index band key; commit-marker rows
@@ -1405,10 +1410,10 @@ object Events {
       .otherwise(shiftright(bandKey, BandPfxShift))
 
   /** `band_pfx` of a MinHash band index's md5-hex band key: the first
-    * hex character — 16 prefix partitions (the string geometry's
+    * TWO hex characters — 256 prefix partitions (the string geometry's
     * [[sigBandPfx]]); NULL markers land in "-". */
   private def bandStrPfx(band: Column): Column =
-    when(band.isNull, lit("-")).otherwise(substring(band, 1, 1))
+    when(band.isNull, lit("-")).otherwise(substring(band, 1, 2))
 
   /** Group an index write by its prefix partition: without this every
     * write task emits one file per partition directory it happens to
@@ -1618,6 +1623,8 @@ object Events {
         folded0.filter(!(col("vec").isNull && col("batch_id") === -1L))
       case Some("band") =>
         folded0.filter(!(col("band").isNull && col("batch_id") === -1L))
+      case Some("key") =>
+        folded0.filter(!(col("key").isNull && col("batch_id") === -1L))
       case None => folded0
       case Some(other) => throw new IllegalArgumentException(
         s"compactBatchTable: $table declares unknown $IndexKindProp " +
@@ -2173,15 +2180,15 @@ object Events {
       .filter(barr.isNotNull).distinct()
     // prefix pruning (r14, verdict #1 — the string-geometry twin of
     // noveltyBandedJoin's): on a band_pfx-partitioned index
-    // ([[createBandIndex]]'s layout) the batch's touched first-hex
-    // prefixes (≤ 16 after distinct) become literal partition filters
+    // ([[createBandIndex]]'s layout) the batch's touched two-hex
+    // prefixes (≤ 256 after distinct) become literal partition filters
     val hasPfx = index.columns.contains("band_pfx")
     val arrs = if (hasPfx) arrs0.localCheckpoint() else arrs0
     val idxSide =
       if (!hasPfx) index
       else {
         val pfx = arrs.select(explode(barr).as("b"))
-          .select(substring(col("b"), 1, 1).as("p"))
+          .select(substring(col("b"), 1, 2).as("p"))
           .distinct().collect().map(_.getString(0))
         if (pfx.isEmpty) index.filter(lit(false))
         else index
@@ -2199,7 +2206,7 @@ object Events {
   /** Create (replacing) a BAND-KEY index table for the MinHash ingest:
     * schema `(band STRING, band_pfx STRING, batch_id BIGINT)` — one
     * row per distinct band key — partitioned by `(batch_id, band_pfx)`
-    * where the prefix is the band's first hex character (16
+    * where the prefix is the band's first two hex characters (256
     * partitions — the string geometry of [[createSignatureIndex]]'s
     * band_pfx: the probe pushes the batch's touched prefixes as
     * literal partition filters). Same replay/maintenance layout
@@ -2310,6 +2317,149 @@ object Events {
         .saveAsTable(indexTable)
     } finally cached.unpersist()
   }
+
+  // ------------------------------------------------------------------
+  // maintained EXACT-KEY novelty index — the 6th (and simplest)
+  // geometry of the ingest family: an arrival is a duplicate iff its
+  // KEY (url, content hash, external id) was seen in ANY prior batch.
+  // The url-seen-before filter every crawl pipeline runs first.
+  // ------------------------------------------------------------------
+
+  /** `key_pfx` of a key index entry: pmod(xxhash64(key), 64) — 64
+    * hash partitions (the exact-key geometry of [[sigBandPfx]], at the
+    * measured append-cost sweet spot); NULL markers land in -1. */
+  private def keyPfx(key: Column): Column =
+    when(key.isNull, lit(-1L)).otherwise(pmod(xxhash64(key), lit(64L)))
+
+  /** Create (replacing) a KEY index table for the exact-key novelty
+    * ingest: schema `(key <seed key type>, key_pfx BIGINT,
+    * batch_id BIGINT)` — one row per distinct key — partitioned by
+    * `(batch_id, key_pfx)` where the prefix is `pmod(xxhash64(key),
+    * 64)`: the probe pushes the batch's touched prefixes as literal
+    * partition filters, so a trickle batch reads ≤ |batch|/64 of the
+    * index. Same replay/maintenance layout as the other geometries.
+    * `seed` carries the already-seen keys in `keyCol`. */
+  def createKeyIndex(spark: SparkSession, table: String,
+                     seed: DataFrame, keyCol: String): Unit = {
+    checkTableName(table)
+    val rows = seed.select(col(keyCol).as("key"))
+      .filter(col("key").isNotNull).distinct()
+      .withColumn("key_pfx", keyPfx(col("key")))
+      .withColumn("batch_id", lit(-1L))
+    spark.sql(s"DROP TABLE IF EXISTS ${quoted(table)}")
+    groupForPartitionedWrite(rows, "key_pfx")
+      .write.partitionBy("batch_id", "key_pfx")
+      .saveAsTable(table)
+    setTableProps(spark, table, Map(IndexKindProp -> "key"))
+  }
+
+  /** Exact-KEY novelty probe: rows whose `keyCol` equals ANY indexed
+    * key are duplicates and dropped; NULL keys pass through novel
+    * (absence of a key is absence of duplicate evidence — the family
+    * convention). On a `key_pfx`-partitioned index
+    * ([[createKeyIndex]]'s layout) the batch's touched prefixes become
+    * literal partition filters, and the batch-sized distinct key set
+    * builds the join's hash side — pruned, exchange-free, no state. */
+  def noveltyKeyExistsJoin(frame: DataFrame, keyCol: String,
+                           index: DataFrame): DataFrame = {
+    Seq("__graft_key", "novel")
+      .filter(frame.columns.contains).foreach(c =>
+        throw new IllegalArgumentException(
+          s"column name $c is reserved by noveltyKeyExistsJoin"))
+    val k = col("__graft_key")
+    val hasPfx = index.columns.contains("key_pfx")
+    val keys0 = frame.select(col(keyCol).as("__graft_key"))
+      .filter(k.isNotNull).distinct()
+    val keys = if (hasPfx) keys0.localCheckpoint() else keys0
+    val idxSide =
+      if (!hasPfx) index
+      else {
+        val pfx = keys.select(keyPfx(k).as("p")).distinct()
+          .collect().map(_.getLong(0))
+        if (pfx.isEmpty) index.filter(lit(false))
+        else index
+          .filter(col("key_pfx").isin(pfx.map(p => p: Any).toSeq: _*))
+      }
+    val dupKeys = keys
+      .join(idxSide.select(col("key").as("__graft_key"))
+        .filter(col("__graft_key").isNotNull), Seq("__graft_key"),
+        "left_semi")
+    frame.join(dupKeys, col(keyCol) === k, "left_anti")
+      .withColumn("novel", lit(true))
+  }
+
+  /** One micro-batch of the EXACT-KEY novelty-ingest loop — the
+    * [[noveltyIngestBatch]] machinery under key equality: arrivals
+    * whose `keyCol` was seen in any prior batch (or the seed) are
+    * dropped, novel rows land in the sink, and their distinct keys
+    * append under this `batch_id` with the NULL marker row. NULL-key
+    * rows are KEPT in the sink and never indexed. Rows sharing a key
+    * pass together within one batch (history-only contract — for
+    * exact keys an intra-batch collapse IS `dropDuplicates(keyCol)`
+    * upstream, which needs a row identity this loop doesn't). Replay
+    * safety, crash recovery, and [[compactBatchTable]] maintenance
+    * are the signature loop's, unchanged. */
+  def keyNoveltyIngestBatch(batch: DataFrame, batchId: Long,
+                            indexTable: String, sinkTable: String,
+                            keyCol: String): Unit = {
+    require(batchId >= 0, s"batch_id must be >= 0 (got $batchId; -1 is " +
+      "reserved for the index seed)")
+    checkTableName(indexTable)
+    checkTableName(sinkTable)
+    require(!batch.columns.contains("batch_id"),
+      "column name batch_id is reserved by the novelty-ingest loop")
+    if (batch.isEmpty) return
+    val spark = batch.sparkSession
+    recoverCompacted(spark, indexTable)
+    recoverCompacted(spark, sinkTable)
+    require(spark.sessionState.catalog.getTableMetadata(
+        spark.sessionState.sqlParser.parseTableIdentifier(indexTable))
+        .partitionColumnNames.contains("batch_id"),
+      s"$indexTable is not a batch_id-partitioned key index — " +
+        "(re)create it with createKeyIndex")
+    val idx = spark.table(indexTable)
+    if (!idx.filter(col("batch_id") === batchId).isEmpty) return
+    val novel = noveltyKeyExistsJoin(batch, keyCol, idx)
+      .withColumn("batch_id", lit(batchId))
+    if (!spark.catalog.tableExists(sinkTable))
+      novel.write.partitionBy("batch_id").saveAsTable(sinkTable)
+    else if (spark.table(sinkTable).filter(col("batch_id") === batchId)
+        .isEmpty) {
+      val cols = spark.table(sinkTable).columns
+      novel.select(cols.map(col).toIndexedSeq: _*)
+        .write.mode("append").insertInto(sinkTable)
+    }
+    val keysNew = spark.table(sinkTable)
+      .filter(col("batch_id") === batchId)
+      .select(col(keyCol).as("key"))
+      .filter(col("key").isNotNull).distinct()
+    val marker = spark.range(1).select(
+      lit(null).cast(idx.schema("key").dataType).as("key"))
+    val rows = keysNew.unionByName(marker)
+      .withColumn("key_pfx", keyPfx(col("key")))
+      .withColumn("batch_id", lit(batchId))
+    groupForPartitionedWrite(rows, "key_pfx")
+      .write.mode("append").partitionBy("batch_id", "key_pfx")
+      .saveAsTable(indexTable)
+  }
+
+  /** [[startImageNoveltyIngest]]'s EXACT-KEY sibling (create the index
+    * first with [[createKeyIndex]]); `compactEvery` wires the same
+    * partition-growth maintenance. */
+  def startKeyNoveltyIngest(stream: DataFrame, checkpoint: String,
+                            indexTable: String, sinkTable: String,
+                            keyCol: String,
+                            compactEvery: Int = 0): StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        keyNoveltyIngestBatch(batch, batchId, indexTable, sinkTable,
+          keyCol)
+        maybeCompact(batch.sparkSession, batchId, compactEvery,
+          indexTable, sinkTable)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
 
   /** [[startImageNoveltyIngest]]'s MINHASH sibling (create the index
     * first with [[createBandIndex]]); `compactEvery` wires the same

@@ -89,7 +89,10 @@ object Sf1Probe {
     // construction whose within-cell quadratic is the documented
     // worst case, not the production shape (real cents bound it);
     // probing it at sf1 would measure the construction, not the op.
-    "dd_minhash_novelty_collapse")
+    "dd_minhash_novelty_collapse",
+    // r14 6th geometry: exact-key novelty — map-only hash + pruned
+    // key semi-join; expect ~corpus-linear
+    "dd_key_novelty_grow")
 
   def main(args: Array[String]): Unit = {
     val src = "/root/testdata/sf0.1"

@@ -1802,6 +1802,115 @@ class StreamingSpec extends SparkSpec {
       spark.sql(s"DROP TABLE IF EXISTS $t")
   }
 
+  test("key novelty ingest: exact-key growth, replay no-op, compaction, prefix pin") {
+    val idxT = "key_idx_g"; val sinkT = "key_sink_g"
+    for (t <- Seq(idxT, sinkT)) spark.sql(s"DROP TABLE IF EXISTS $t")
+    val d = Tables.load(spark, sf, "documents").limit(200)
+      .select($"doc_id", $"text")
+      .withColumn("k", md5(lower($"text").cast("binary")))
+      .localCheckpoint()
+    val keyOf = d.select($"doc_id", $"k").as[(Long, Option[String])]
+      .collect().toMap
+    Events.createKeyIndex(spark, idxT,
+      d.filter($"doc_id" < 100).select($"k"), "k")
+    Events.keyNoveltyIngestBatch(d.filter($"doc_id" >= 100), 0L,
+      idxT, sinkT, "k")
+    val seedKeys = keyOf.filter(_._1 < 100).values.flatten.toSet
+    val novel0 = keyOf.keys.filter(id => id >= 100 &&
+      keyOf(id).forall(!seedKeys.contains(_))).toSet
+    assert(spark.table(sinkT).filter($"batch_id" === 0)
+      .select($"doc_id").as[Long].collect().toSet == novel0)
+    // batch 1 = full copies: only keyless (null-text) copies pass
+    Events.keyNoveltyIngestBatch(
+      d.select(($"doc_id" + 10000).as("doc_id"), $"text", $"k"), 1L,
+      idxT, sinkT, "k")
+    val idx1 = seedKeys ++ novel0.flatMap(keyOf)
+    val novel1 = keyOf.keys.filter(id => keyOf(id).forall(
+      !idx1.contains(_))).map(_ + 10000).toSet
+    assert(spark.table(sinkT).filter($"batch_id" === 1)
+      .select($"doc_id").as[Long].collect().toSet == novel1)
+    // replay = no-op
+    val sn = spark.table(sinkT).count()
+    Events.keyNoveltyIngestBatch(
+      d.select(($"doc_id" + 10000).as("doc_id"), $"text", $"k"), 1L,
+      idxT, sinkT, "k")
+    assert(spark.table(sinkT).count() == sn)
+    // the probe prunes by key_pfx partition filters
+    withConf("spark.sql.adaptive.enabled" -> "false") {
+      val probe = Events.noveltyKeyExistsJoin(
+        d.filter($"doc_id" >= 195), "k", spark.table(idxT))
+      import org.apache.spark.sql.execution.FileSourceScanExec
+      val scans = probe.queryExecution.executedPlan.collect {
+        case f: FileSourceScanExec
+            if f.tableIdentifier.exists(_.table == idxT) => f }
+      assert(scans.nonEmpty && scans.head.partitionFilters.exists(
+        _.references.exists(_.name == "key_pfx")))
+    }
+    // compaction folds to base + max batch; keys preserved, markers of
+    // folded batches dropped (the declared "key" geometry)
+    val keysBefore = spark.table(idxT).filter($"key".isNotNull)
+      .select($"key").distinct().count()
+    val (pb, pa) = Events.compactBatchTable(spark, idxT)
+    assert(pa <= pb)
+    assert(spark.table(idxT).select($"batch_id").distinct()
+      .as[Long].collect().toSet == Set(-1L, 1L))
+    assert(spark.table(idxT).filter($"key".isNotNull)
+      .select($"key").distinct().count() == keysBefore)
+    assert(spark.table(idxT).filter($"key".isNull && $"batch_id" === -1L)
+      .count() == 0)
+    for (t <- Seq(idxT, sinkT)) spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
+  test("novelty ingest: crash between sink and index appends heals on replay") {
+    // the claimed crash contract (noveltyIngestBatch scaladoc): the
+    // index append (with its commit marker) is the LAST write, so a
+    // crash after the sink append re-runs the batch — the sink probe
+    // skips the committed append, and the index append derives from
+    // the sink READ-BACK, so the restored index equals the uncrashed
+    // one row-for-row
+    val idxT = "crash_idx"; val sinkT = "crash_sink"
+    for (t <- Seq(idxT, sinkT)) spark.sql(s"DROP TABLE IF EXISTS $t")
+    val d = Tables.load(spark, sf, "documents").limit(120)
+      .select($"doc_id", $"text").localCheckpoint()
+    Events.createSignatureIndex(spark, idxT,
+      d.filter($"doc_id" < 40)
+        .select(graft.functions.SimHash60(lower($"text")).as("sig")),
+      "sig")
+    Events.textNoveltyIngestBatch(d.filter($"doc_id" >= 40 &&
+      $"doc_id" < 80), 0L, idxT, sinkT)
+    Events.textNoveltyIngestBatch(d.filter($"doc_id" >= 80), 1L,
+      idxT, sinkT)
+    val idxBefore = spark.table(idxT).filter($"batch_id" === 1L)
+      .select($"band_key", $"sig").as[(Option[Long], Option[Long])]
+      .collect().toSet
+    val sinkBefore = spark.table(sinkT).select($"doc_id", $"batch_id")
+      .as[(Long, Long)].collect().toSet
+    // simulate the crash window: batch 1's sink append committed, its
+    // index append (all sub-partitions) lost — datasource tables
+    // discover partitions from the filesystem, so remove the directory
+    val loc = java.nio.file.Paths.get(new java.net.URI(
+      spark.sessionState.catalog.getTableMetadata(
+        spark.sessionState.sqlParser.parseTableIdentifier(idxT))
+        .location.toString))
+    def rmRf(p: java.nio.file.Path): Unit = {
+      if (java.nio.file.Files.isDirectory(p))
+        java.nio.file.Files.list(p).forEach(rmRf(_))
+      java.nio.file.Files.deleteIfExists(p)
+    }
+    rmRf(loc.resolve("batch_id=1"))
+    spark.sql(s"REFRESH TABLE $idxT")
+    assert(spark.table(idxT).filter($"batch_id" === 1L).count() == 0)
+    // replay heals: sink untouched, index restored row-for-row
+    Events.textNoveltyIngestBatch(d.filter($"doc_id" >= 80), 1L,
+      idxT, sinkT)
+    assert(spark.table(sinkT).select($"doc_id", $"batch_id")
+      .as[(Long, Long)].collect().toSet == sinkBefore)
+    assert(spark.table(idxT).filter($"batch_id" === 1L)
+      .select($"band_key", $"sig").as[(Option[Long], Option[Long])]
+      .collect().toSet == idxBefore)
+    for (t <- Seq(idxT, sinkT)) spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
   test("ingest loops loudly reject reserved output column names") {
     // r13 ADVICE: novel/batch_id/mh_bands were silently clobbered
     val d = Seq((1L, "some text", 0L)).toDF("doc_id", "text", "batch_id")
