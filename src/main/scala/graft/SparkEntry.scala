@@ -2782,6 +2782,18 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    "sim_rp_topk" -> ((s, dir) => {
+      // Johnson–Lindenstrauss sign projection (64 → 16 dims): candidate
+      // ranking in the projected space at a quarter of the FLOPs and
+      // bandwidth, exact rerank only on the per-query shortlist — fully
+      // deterministic (literal ±1 matrix shared with the oracle), so the
+      // whole approximate pipeline hash-compares, not just a recall gate
+      val e = t(s, dir, "embeddings")
+      Similarity.rpTopK(e, e.filter(col("vec_id") < 5),
+          "vec_id", "embedding", 10, shortlist = 40)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     "sim_ivf_topk" -> ((s, dir) => {
       // trained-cell IVF (k-means centroids) gated on recall vs the
       // exact brute-force baseline: the result is the per-query recall
@@ -3977,6 +3989,18 @@ object SparkEntry {
   private def planeLiteral(p: Int): String =
     Similarity.planeMatrix(Similarity.Planes, Similarity.Dim)(p)
       .map(_.toString).mkString("[", ", ", "]::DOUBLE[]")
+
+  /** ±1 JL projection rows from Similarity.rpMatrix — shared constants,
+    * the planeLiteral convention. */
+  private def rpLiteral(t: Int): String =
+    Similarity.rpMatrix(Similarity.RpDim, Similarity.Dim)(t)
+      .map(_.toString).mkString("[", ", ", "]::DOUBLE[]")
+
+  /** The RpDim-component projected list of vector column `v` (mirrors
+    * Similarity.rpProject: ordered double dots against literal rows). */
+  private def rpProjSql(v: String): String =
+    (0 until Similarity.RpDim).map(t =>
+      dotSql(v, s"(${rpLiteral(t)})")).mkString("[", ", ", "]")
 
   /** 16-bit bucket code of list column `v` using the precomputed planes. */
   private def bucketSql(v: String): String =
@@ -5417,6 +5441,21 @@ object SparkEntry {
         |scored AS (SELECT query_id, c.vec_id, ${cosSql("qv", "cv")} AS cos
         |  FROM c JOIN q ON bit_count(xor(c.bucket, q.qbucket)) <= 2
         |  WHERE query_id != c.vec_id),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank FROM scored)
+        |SELECT query_id, vec_id, cos, rank FROM r WHERE rank <= 10
+        |ORDER BY query_id, rank""".stripMargin,
+
+    "sim_rp_topk" ->
+      // the full JL pipeline replays in SQL: literal ±1 projection rows
+      // (rpLiteral = Similarity.rpMatrix), projected-cosine shortlist of
+      // 40 per query, exact-cosine rerank to top 10 — ties broken by
+      // vec_id at both ranks in both engines
+      s"""WITH c AS (SELECT vec_id, embedding AS cv, ${rpProjSql("embedding")} AS cp FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, cv AS qv, cp AS qp FROM c WHERE vec_id < 5),
+        |ps AS (SELECT query_id, vec_id, qv, cv, ${cosSql("qp", "cp")} AS pcos
+        |  FROM c CROSS JOIN q WHERE query_id != vec_id),
+        |sl AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY pcos DESC, vec_id) AS prank FROM ps),
+        |scored AS (SELECT query_id, vec_id, ${cosSql("qv", "cv")} AS cos FROM sl WHERE prank <= 40),
         |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank FROM scored)
         |SELECT query_id, vec_id, cos, rank FROM r WHERE rank <= 10
         |ORDER BY query_id, rank""".stripMargin,

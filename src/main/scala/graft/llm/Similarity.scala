@@ -115,6 +115,82 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  // ------------------------------------------------------------------
+  // random-projection (Johnson–Lindenstrauss) candidate generation —
+  // the dimensionality lever: a deterministic ±1 sign projection
+  // (Achlioptas, JCSS 66(4) 2003 — database-friendly random
+  // projections) maps the dIn-dim raw vector to dOut ≪ dIn doubles
+  // once, map-only, and candidate ranking runs in the projected space
+  // at dOut/dIn of the FLOPs and memory bandwidth per pair; only the
+  // per-query shortlist pays exact-cosine rerank on raw vectors. At
+  // 100 TB the projected column is what the candidate stage scans
+  // (4× smaller at 16/64), and the projection composes with the other
+  // ANN paths (project-then-cell, project-then-bucket).
+  // ------------------------------------------------------------------
+
+  /** Default JL projection width (16 doubles for the 64-dim corpus). */
+  val RpDim = 16
+
+  /** Deterministic ±1 sign-projection matrix: rp(t)(d) = +1 iff the
+    * first byte of md5("rp:t:d") is even — computed ONCE driver-side
+    * and embedded as literals, reproducible by any engine from the
+    * formula (md5 is everywhere). md5 and not the shared rolling hash:
+    * rollLocal's low bit is the string's character-parity (odd base,
+    * so a parity rule gave a perfectly alternating RANK-1 matrix —
+    * recall collapsed to chance), and even its mod-2001 residue left
+    * near-duplicate rows over these short keys (measured mean
+    * |row·row|/dIn = 0.70); the md5 matrix measures 0.11, the
+    * random-sign expectation at dIn = 64. Sign entries keep the
+    * projected dot an EXACT ±sum of input components, so engine parity
+    * needs only ordered double accumulation. */
+  def rpMatrix(dOut: Int, dIn: Int): Array[Array[Double]] =
+    Array.tabulate(dOut, dIn) { (t, d) =>
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"rp:$t:$d".getBytes("UTF-8"))
+      if ((h(0) & 1) == 0) 1.0 else -1.0
+    }
+
+  /** The `dOut`-component JL projection of `vec`: one codegen'd
+    * [[graft.functions.DotProduct]] per component against a literal ±1
+    * row — map-only, no shuffle, constant expression-tree size. Store
+    * the result next to the raw vector and the candidate stage never
+    * touches the wide column. */
+  def rpProject(vec: Column, dOut: Int = RpDim, dIn: Int = Dim): Column = {
+    val m = rpMatrix(dOut, dIn)
+    array((0 until dOut).map(t =>
+      graft.functions.DotProduct(vec, typedLit(m(t).toSeq))): _*)
+  }
+
+  /** Random-projection approximate top-k: rank the corpus per query by
+    * cosine in the PROJECTED space (dOut-dim — cosine needs no JL
+    * rescale, the projection scale cancels), keep the top `shortlist`
+    * candidates, re-rank exactly on the raw vectors, return top `k`
+    * with the exact scores. Same broadcast shape as [[bruteForceTopK]]
+    * (queries small, corpus never shuffled); recall is the
+    * shortlist-vs-k margin, measured in LlmSpec. */
+  def rpTopK(corpus: DataFrame, queries: DataFrame, id: String,
+             vec: String, k: Int, shortlist: Int = 40,
+             dOut: Int = RpDim, dIn: Int = Dim): DataFrame = {
+    require(shortlist >= k, s"shortlist ($shortlist) must be >= k ($k)")
+    val c = corpus.select(col(id).as("vec_id"), col(vec).as("cv"))
+      .withColumn("cp", rpProject(col("cv"), dOut, dIn))
+    val q = queries.select(col(id).as("query_id"), col(vec).as("qv"))
+      .withColumn("qp", rpProject(col("qv"), dOut, dIn))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id"), col("qv"), col("cv"),
+        Dedup.cosine(col("qp"), col("cp")).as("pcos"))
+    val wp = Window.partitionBy(col("query_id"))
+      .orderBy(col("pcos").desc, col("vec_id"))
+    val short = scored.withColumn("prank", row_number().over(wp))
+      .filter(col("prank") <= shortlist)
+    val exact = short.select(col("query_id"), col("vec_id"),
+      Dedup.cosine(col("qv"), col("cv")).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    exact.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** Past this many centroids the UNROLLED per-centroid score
     * expression is replaced by the loop form
     * ([[centroidScoresLoop]]): the unrolled form's generated code

@@ -2359,7 +2359,13 @@ object Events {
     * convention). On a `key_pfx`-partitioned index
     * ([[createKeyIndex]]'s layout) the batch's touched prefixes become
     * literal partition filters, and the batch-sized distinct key set
-    * builds the join's hash side — pruned, exchange-free, no state. */
+    * builds the join's hash side — pruned, exchange-free, no state.
+    *
+    * The probe's key type must EQUAL the index key type: `key_pfx`
+    * was computed from `xxhash64` of the INDEX's representation, and
+    * xxhash64 is type-dependent (string '5' and int 5 hash apart), so
+    * a coerced equality join under mismatched pruning would silently
+    * mark true duplicates novel — rejected loudly instead. */
   def noveltyKeyExistsJoin(frame: DataFrame, keyCol: String,
                            index: DataFrame): DataFrame = {
     Seq("__graft_key", "novel")
@@ -2368,6 +2374,16 @@ object Events {
           s"column name $c is reserved by noveltyKeyExistsJoin"))
     val k = col("__graft_key")
     val hasPfx = index.columns.contains("key_pfx")
+    if (hasPfx) {
+      val idxType = index.schema("key").dataType
+      val frameType = frame.schema(keyCol).dataType
+      require(frameType == idxType,
+        s"noveltyKeyExistsJoin: batch key '$keyCol' is $frameType but " +
+          s"the key index was built over $idxType — xxhash64 prefix " +
+          "pruning is type-dependent, so a coerced join would silently " +
+          "false-novel true duplicates; cast the batch key to the " +
+          "index's type (or rebuild the index) first")
+    }
     val keys0 = frame.select(col(keyCol).as("__graft_key"))
       .filter(k.isNotNull).distinct()
     val keys = if (hasPfx) keys0.localCheckpoint() else keys0

@@ -115,6 +115,37 @@ object IndexScaleProbe {
       spark.sql(s"DROP TABLE IF EXISTS $bktT")
       println(f"[isp] $n%10d ${tl.map(t => f"$t%8.2f").getOrElse("       -")}%s $tj%8.2f $tb%7.2f $tc%7.2f $ts%9.2f  small[$io] big[$ioBig]")
     }
+
+    // ---- key geometry (r14 6th geometry): fixed batches against a
+    // growing exact-key index — the probe is one pruned semi/anti join,
+    // so time should stay flat and the trickle batch's IO sub-linear
+    // (key_pfx partition pruning, 64 string-hash prefixes)
+    println(f"[isp:key] ${"index"}%10s ${"big2000"}%8s ${"small50"}%8s  io")
+    val keyBatch = spark.range(2000)
+      .select(md5(concat(lit("k"), col("id"))).as("k")).localCheckpoint()
+    val keyBatchSmall = keyBatch.limit(50).localCheckpoint()
+    for (n <- Seq(1000, 64000, 1000000, 10000000)) {
+      val kt = s"isp_key_$n"
+      spark.sql(s"DROP TABLE IF EXISTS $kt")
+      graft.streaming.Events.createKeyIndex(spark, kt,
+        spark.range(n.toLong)
+          .select(md5(concat(lit("i"), col("id"))).as("k")), "k")
+      def probe(b: DataFrame): DataFrame = graft.streaming.Events
+        .noveltyKeyExistsJoin(b, "k", spark.table(kt))
+      def runBig(): Unit =
+        probe(keyBatch).write.format("noop").mode("overwrite").save()
+      runBig() // warm-up
+      val tb2 = math.min(time(runBig()), time(runBig()))
+      val smallDf = probe(keyBatchSmall)
+      def runSmall(): Unit =
+        smallDf.write.format("noop").mode("overwrite").save()
+      runSmall() // warm-up
+      val ts2 = math.min(time(runSmall()), time(runSmall()))
+      val io = scanIo(smallDf, kt)
+      val ioBig = scanIo(probe(keyBatch), kt)
+      spark.sql(s"DROP TABLE IF EXISTS $kt")
+      println(f"[isp:key] $n%10d $tb2%8.2f $ts2%8.2f  small[$io] big[$ioBig]")
+    }
     spark.stop()
   }
 }

@@ -1861,6 +1861,33 @@ class StreamingSpec extends SparkSpec {
     for (t <- Seq(idxT, sinkT)) spark.sql(s"DROP TABLE IF EXISTS $t")
   }
 
+  test("key novelty probe rejects a batch key type that differs from the index") {
+    // xxhash64 prefix pruning is type-dependent: an int-typed batch key
+    // probed against a string-keyed index would prune to the WRONG
+    // partitions and silently false-novel true duplicates — the probe
+    // must fail loudly instead
+    val idxT = "key_idx_ty"
+    spark.sql(s"DROP TABLE IF EXISTS $idxT")
+    Events.createKeyIndex(spark, idxT,
+      Seq("5", "7").toDF("k"), "k")
+    val intBatch = Seq(5L, 6L).toDF("k")
+    val e = intercept[IllegalArgumentException] {
+      Events.noveltyKeyExistsJoin(intBatch, "k", spark.table(idxT))
+    }
+    assert(e.getMessage.contains("type"))
+    // and through the ingest loop entry point too
+    val e2 = intercept[IllegalArgumentException] {
+      Events.keyNoveltyIngestBatch(intBatch, 0L, idxT, "key_sink_ty", "k")
+    }
+    assert(e2.getMessage.contains("type"))
+    // the matching type still probes fine
+    val ok = Events.noveltyKeyExistsJoin(
+      Seq("5", "6").toDF("k"), "k", spark.table(idxT))
+    assert(ok.select($"k").as[String].collect().toSet == Set("6"))
+    spark.sql(s"DROP TABLE IF EXISTS $idxT")
+    spark.sql(s"DROP TABLE IF EXISTS key_sink_ty")
+  }
+
   test("novelty ingest: crash between sink and index appends heals on replay") {
     // the claimed crash contract (noveltyIngestBatch scaladoc): the
     // index append (with its commit marker) is the LAST write, so a
