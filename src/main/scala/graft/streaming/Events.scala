@@ -1474,10 +1474,21 @@ object Events {
     // SINK keeps every raw signature (the loop's truth table); capped-
     // out signatures simply never become probe candidates, the same
     // deterministic false-novel-only error the r13 per-probe cap had.
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("band_key").orderBy("sig")
-    val capped = rows.withColumn("__graft_rn", row_number().over(w))
-      .filter(col("__graft_rn") <= maxBucket).drop("__graft_rn")
+    //
+    // A seed with ≤ maxBucket banded rows IN TOTAL cannot overfill any
+    // bucket, so the cap window (a shuffle + window over the seed) is
+    // provably a no-op — skipped. The guard is a limit-count that
+    // short-circuits after maxBucket+1 banded rows (the banding is
+    // map-only, so recomputing it for the guard costs less than any
+    // materialization); small seeds — the common create — save the
+    // window's two shuffle stages of job overhead.
+    val tiny = rows.limit(maxBucket + 1).count() <= maxBucket
+    val capped = if (tiny) rows else {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("band_key").orderBy("sig")
+      rows.withColumn("__graft_rn", row_number().over(w))
+        .filter(col("__graft_rn") <= maxBucket).drop("__graft_rn")
+    }
     groupForPartitionedWrite(capped, "band_pfx")
       .write.partitionBy("batch_id", "band_pfx")
       .saveAsTable(table)

@@ -66,13 +66,16 @@ class PlanAuditSpec extends SparkSpec {
   //    guarded dense signature sweep, minus the member-expansion joins.
   //  - sim_sq8_topk: the brute-force shape over int8 codes — same
   //    bounded-query-broadcast class as sim_bruteforce_topk.
+  //  - sim_rp_topk: candidate ranking in the JL-projected space — the
+  //    same bounded-query broadcast, just over 16-dim projections.
   private val bnljWhitelist = Set(
     "q22_dormant_value", "dd_allpairs", "dd_allpairs_join",
     "dd_tfidf_pairs", "dd_tfidf_join", "dd_containment",
     "dd_containment_reps", "dd_allpairs_reps", "dd_tfidf_reps",
     "dd_containment_join", "dd_source_overlap", "ta_drift",
     "sim_bruteforce_topk", "sim_sq8_topk", "sim_pq_topk",
-    "sim_ivfpq_topk", "sim_ivf_topk", "sim_ivf_multiassign")
+    "sim_ivfpq_topk", "sim_ivf_topk", "sim_ivf_multiassign",
+    "sim_rp_topk")
 
   test("no BroadcastNestedLoopJoin outside the whitelisted sites") {
     val offenders = planQueries.flatMap { name =>
