@@ -2625,6 +2625,25 @@ object SparkEntry {
         .orderBy(col("vec_id"))
     }),
 
+    "dd_semantic_rp" -> ((s, dir) => {
+      // assignment in the JL-PROJECTED space (r14 —
+      // Similarity.ivfAssignRp: nlist·16 + 16·64 multiplies per row
+      // instead of nlist·64): the same assignment-independent
+      // construction as dd_semantic_serve, so the SAME global
+      // brute-force oracle replays it — exact copies co-locate under
+      // ANY deterministic assignment (identical vectors project
+      // identically), and no natural pair reaches 0.95
+      val e = t(s, dir, "embeddings")
+      val doubled = e.select(col("vec_id"), col("embedding"))
+        .unionByName(e.select((col("vec_id") + 100000).as("vec_id"),
+          col("embedding")))
+        .localCheckpoint()
+      val cents = Similarity.ivfTrain(doubled, "vec_id", "embedding", 32)
+      Dedup.semanticDedupRp(doubled, "vec_id", "embedding", cents, 0.95)
+        .select(col("vec_id"), col("kept"))
+        .orderBy(col("vec_id"))
+    }),
+
     "dd_simhash_novelty_grow" -> ((s, dir) => {
       // the TEXT member of the maintained-index ingest family
       // (Events.textNoveltyIngestBatch — mm_phash_novelty_grow's twin
@@ -5208,6 +5227,18 @@ object SparkEntry {
     // the centroids come from (pre-trained input vs inline training),
     // never the keep/drop answer (assignment-independent construction)
     "dd_semantic_serve" ->
+      s"""WITH u AS (SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL SELECT vec_id + 100000, embedding FROM embeddings),
+        |drp AS (SELECT DISTINCT b.vec_id
+        |  FROM u a JOIN u b ON a.vec_id < b.vec_id
+        |  WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.95)
+        |SELECT u.vec_id, d.vec_id IS NULL AS kept
+        |FROM u LEFT JOIN drp d ON u.vec_id = d.vec_id
+        |ORDER BY u.vec_id""".stripMargin,
+
+    // assignment-independent construction (see the query comment): the
+    // oracle is the same global brute-force replay as dd_semantic_serve
+    "dd_semantic_rp" ->
       s"""WITH u AS (SELECT vec_id, embedding FROM embeddings
         |  UNION ALL SELECT vec_id + 100000, embedding FROM embeddings),
         |drp AS (SELECT DISTINCT b.vec_id

@@ -1745,22 +1745,43 @@ object Dedup {
       Similarity.ivfAssignTwoLevel(emb, id, vec, cents, ncoarse), id,
       vec, threshold)
 
+  /** [[semanticDedup]] (pre-trained form) with assignment in the
+    * JL-PROJECTED space ([[Similarity.ivfAssignRp]]) — a ~dIn/dOut
+    * FLOP cut on the flat assignment term that composes with the
+    * serving-rule nlist sizing: cell boundaries move (JL noise
+    * ~1/√dOut — the same boundary-approximate class as the two-level
+    * coarse quantizer), but identical vectors still always co-locate,
+    * so exact duplicates are never missed; the WITHIN-cell pair filter
+    * stays exact cosine on the raw vectors. */
+  def semanticDedupRp(emb: DataFrame, id: String, vec: String,
+                      cents: Array[Array[Double]],
+                      threshold: Double,
+                      dOut: Int = Similarity.RpDim): DataFrame =
+    dedupAssigned(Similarity.ivfAssignRp(emb, id, vec, cents, dOut),
+      id, vec, threshold)
+
   /** The SERVING-MODE semantic dedup entry point (r13 verdict #4):
     * pre-trained centroids sized by the
-    * [[graft.llm.Similarity.servingNlist]] rule, assignment
-    * auto-switched to the two-level coarse quantizer (ncoarse ≈
-    * √nlist) past [[graft.llm.Similarity.MaxUnrolledCentroids]] —
-    * wiring the measured crossover (at nlist=3,200 the two-level loop
-    * form beat flat 2.8×; at nlist=320 flat codegen'd dots still won,
-    * so the unrolled-vs-loop threshold is also roughly the economic
-    * one) as the default instead of SURVEY prose. Same keep/drop
-    * contract as [[semanticDedup]]: exact duplicates always co-locate;
-    * boundary near-dups are the standard coarse-quantizer trade. */
+    * [[graft.llm.Similarity.servingNlist]] rule, EXACT flat assignment
+    * up to [[graft.llm.Similarity.MaxUnrolledCentroids]] (unrolled
+    * codegen'd dots — measured fastest in that regime), and past it
+    * the cheapest measured approximate assignment: JL-PROJECTED
+    * ([[semanticDedupRp]] — r14, 2.74 s vs the two-level form's
+    * 4.12 s at nlist=3,200 on the sf1 probe corpus) when the vectors
+    * are wider than [[graft.llm.Similarity.RpDim]], else the two-level
+    * coarse quantizer (projection can't cut FLOPs at dIn ≤ dOut). All
+    * three assignments are deterministic and the approximation class
+    * above the wall is unchanged — boundary-approximate either way.
+    * Same keep/drop contract as [[semanticDedup]]: exact duplicates
+    * always co-locate; boundary near-dups are the standard
+    * coarse-quantizer trade. */
   def semanticDedupServe(emb: DataFrame, id: String, vec: String,
                          cents: Array[Array[Double]],
                          threshold: Double): DataFrame =
     if (cents.length <= Similarity.MaxUnrolledCentroids)
       semanticDedup(emb, id, vec, cents, threshold)
+    else if (cents.headOption.exists(_.length > Similarity.RpDim))
+      semanticDedupRp(emb, id, vec, cents, threshold)
     else semanticDedupCoarse(emb, id, vec, cents,
       ncoarse = math.max(2, math.round(math.sqrt(cents.length)).toInt),
       threshold = threshold)

@@ -346,6 +346,44 @@ object Similarity {
     corpus.select(col(id), col(vec),
       nearestCell(col(vec), centroids).as("cell"))
 
+  /** [[ivfAssign]] with distances evaluated in the JL-PROJECTED space
+    * ([[rpMatrix]]/[[rpProject]]): rows and centroids go through the
+    * SAME deterministic ±1 projection, so the per-row assignment costs
+    * nlist·dOut + dOut·dIn multiplies instead of nlist·dIn — at the
+    * defaults (16/64) a ~4× FLOP cut that holds at ANY nlist, on top
+    * of (and composable with) the two-level √nlist switch. The sign
+    * matrix scales every projected squared distance by the same
+    * ~dOut/dIn factor in expectation, so the argmin is the flat
+    * argmin up to JL boundary noise (~1/√dOut): cell boundaries move
+    * — the standard coarse-quantizer trade the two-level form already
+    * carries — but assignment stays DETERMINISTIC and identical
+    * vectors always co-locate, the invariant the dedup contract
+    * rests on. */
+  def ivfAssignRp(corpus: DataFrame, id: String, vec: String,
+                  centroids: Array[Array[Double]],
+                  dOut: Int = RpDim): DataFrame = {
+    require(!corpus.columns.contains("__graft_rp"),
+      "column name __graft_rp is reserved by ivfAssignRp")
+    val dIn = centroids.headOption.map(_.length).getOrElse(Dim)
+    val m = rpMatrix(dOut, dIn)
+    def proj(c: Array[Double]): Array[Double] =
+      m.map { row =>
+        var s = 0.0; var i = 0
+        while (i < c.length) { s += row(i) * c(i); i += 1 }
+        s
+      }
+    // the projection MUST be materialized as its own column before the
+    // argmin: inlined, every per-centroid distance term re-evaluates
+    // the 16-dot projection and the FLOP "cut" becomes a ~nlist×
+    // blow-up (measured: 43 s vs flat's 10 s at nlist=3,200 — the
+    // probe that caught it). As a multiply-referenced non-cheap alias
+    // the projection survives CollapseProject, so codegen evaluates it
+    // once per row into a local.
+    corpus.withColumn("__graft_rp", rpProject(col(vec), dOut, dIn))
+      .select(col(id), col(vec),
+        nearestCell(col("__graft_rp"), centroids.map(proj)).as("cell"))
+  }
+
   /** Serving-mode nlist SIZING RULE (r13 verdict #4 — previously SURVEY
     * prose, now the callable default): size cells to a constant mean
     * population `targetCell`, i.e. nlist = n / targetCell (clamped to

@@ -267,6 +267,18 @@ class LlmSpec extends SparkSpec {
       .select($"vec_id", $"kept").as[(Long, Boolean)].collect().toMap
     assert(served == flat)
     assert((0 until 6).forall(i => served(i.toLong) && !served(i + 100L)))
+    // r14: vectors WIDER than RpDim take the JL-projected path above
+    // the wall (dim 8 above can't profit from a 16-dim projection and
+    // stays two-level) — exact copies still drop exactly the high id
+    val bigCents64 = Array.tabulate(
+      Similarity.MaxUnrolledCentroids + 1)(i =>
+        Array.tabulate(64)(d => math.sin(i * 64 + d)))
+    val doubled = emb.select($"vec_id", $"embedding").unionByName(
+      emb.select(($"vec_id" + 100000).as("vec_id"), $"embedding"))
+    val servedRp = Dedup.semanticDedupServe(doubled, "vec_id",
+        "embedding", bigCents64, 0.95)
+    assert(servedRp.filter(!$"kept").count() == emb.count())
+    assert(servedRp.filter(!$"kept" && $"vec_id" < 100000).count() == 0)
   }
 
   test("loop-form assignment equals the unrolled form cell-for-cell") {
@@ -499,6 +511,48 @@ class LlmSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Similarity.rpTopK(emb, q, "vec_id", "embedding", 10, shortlist = 5)
     }
+  }
+
+  test("RP-projected IVF assignment: exact dups co-locate, flat agreement, dedup parity on copies") {
+    val cents = Similarity.ivfTrain(emb, "vec_id", "embedding", 32)
+    val flat = Similarity.ivfAssign(emb, "vec_id", "embedding", cents)
+      .select($"vec_id", $"cell").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toMap
+    val rp = Similarity.ivfAssignRp(emb, "vec_id", "embedding", cents)
+      .select($"vec_id", $"cell").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toMap
+    // cell IDENTITY is boundary-approximate on random vectors (nearly
+    // equidistant from every centroid, so JL noise ~1/√16 swings the
+    // argmin freely — agreement measured 0.334 on sf0.01, far above
+    // the 1/32 chance floor but low by construction of the data); the
+    // gate only pins it isn't degenerate
+    val agree = flat.keys.count(k => flat(k) == rp(k)).toDouble / flat.size
+    assert(agree > 0.15, s"agreement=$agree")
+    // the invariant the DEDUP contract rests on is pair co-location,
+    // not cell identity: a near-dup pair projects almost identically,
+    // so it moves cells TOGETHER — perturbed twins (first float ×1.01,
+    // the established near-dup plant) measured 1.000 co-location under
+    // RP assignment on sf0.01 (same as flat)
+    val twin = emb.select($"vec_id",
+      transform($"embedding",
+        (x, i) => when(i === 0, x * 1.01f).otherwise(x)).as("embedding"))
+    val rpTwin = Similarity.ivfAssignRp(twin, "vec_id", "embedding",
+        cents).select($"vec_id", $"cell").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toMap
+    val colocate = rp.keys.count(k => rp(k) == rpTwin(k)).toDouble / rp.size
+    assert(colocate > 0.95, s"pair co-location=$colocate")
+    // the dedup contract survives the moved boundaries: exact copies
+    // co-locate under ANY deterministic assignment, so the doubled
+    // corpus drops exactly one of each pair at 0.95 (no natural pair
+    // reaches it — dd_semantic's construction)
+    val doubled = emb.select($"vec_id", $"embedding").unionByName(
+      emb.select(($"vec_id" + 100000).as("vec_id"), $"embedding"))
+    val out = Dedup.semanticDedupRp(doubled, "vec_id", "embedding",
+      cents, 0.95)
+    assert(out.count() == 2 * emb.count())
+    assert(out.filter(!$"kept").count() == emb.count())
+    // dropped = exactly the high-id copy of every pair (min-id greedy)
+    assert(out.filter(!$"kept").filter($"vec_id" < 100000).count() == 0)
   }
 
   test("simhash banded pairs: complete vs brute force, twins at distance 0") {

@@ -92,7 +92,11 @@ object Sf1Probe {
     "dd_minhash_novelty_collapse",
     // r14 6th geometry: exact-key novelty — map-only hash + pruned
     // key semi-join; expect ~corpus-linear
-    "dd_key_novelty_grow")
+    "dd_key_novelty_grow",
+    // r14: JL random-projection top-k — fixed 5-query broadcast against
+    // the corpus in 16-dim projected space; expect ~corpus-linear (the
+    // projected scan), the rerank is shortlist-bounded
+    "sim_rp_topk")
 
   def main(args: Array[String]): Unit = {
     val src = "/root/testdata/sf0.1"
@@ -263,6 +267,19 @@ object Sf1Probe {
             "embedding", cents, if (m == 1) 6 else 18)
           .groupBy(col("cell")).agg(count(lit(1)).as("n"))
       }),
+      // r14: assignment in the JL-projected space — nlist·16 + 16·64
+      // multiplies per row instead of nlist·64; the ~4× FLOP cut that
+      // holds at any nlist (composable with the two-level switch)
+      "dd_assign_rp" -> ((dir, m) => {
+        val cents = if (m == 1) centsSrc else centsDst
+        graft.llm.Similarity.ivfAssignRp(doubledEmb(dir), "vec_id",
+            "embedding", cents)
+          .groupBy(col("cell")).agg(count(lit(1)).as("n"))
+      }),
+      "dd_assign_rp_3200" -> ((dir, _) =>
+        graft.llm.Similarity.ivfAssignRp(doubledEmb(dir), "vec_id",
+            "embedding", centsBig)
+          .groupBy(col("cell")).agg(count(lit(1)).as("n"))),
       // r13 (r12 verdict #6): the two-level crossover probe — at
       // nlist=320 the isolated FLOP win did NOT pay (codegen branch
       // overhead); these arms measure the nlist=3200 regime where the
