@@ -173,18 +173,29 @@ object Similarity {
              dOut: Int = RpDim, dIn: Int = Dim): DataFrame = {
     require(shortlist >= k, s"shortlist ($shortlist) must be >= k ($k)")
     val c = corpus.select(col(id).as("vec_id"), col(vec).as("cv"))
-      .withColumn("cp", rpProject(col("cv"), dOut, dIn))
     val q = queries.select(col(id).as("query_id"), col(vec).as("qv"))
-      .withColumn("qp", rpProject(col("qv"), dOut, dIn))
-    val scored = c.join(broadcast(q), col("query_id") =!= col("vec_id"))
-      .select(col("query_id"), col("vec_id"), col("qv"), col("cv"),
+    // the candidate stage is LEAN: only (query_id, vec_id, pcos) — 24
+    // bytes, not the 256-byte raw vectors — crosses the rank-window
+    // exchange; the raw vectors rejoin only for the shortlist-bounded
+    // rerank (|queries|·shortlist rows, broadcast back into one more
+    // map-only corpus pass)
+    val cp = c.select(col("vec_id"),
+      rpProject(col("cv"), dOut, dIn).as("cp"))
+    val qp = q.select(col("query_id"),
+      rpProject(col("qv"), dOut, dIn).as("qp"))
+    val scored = cp.join(broadcast(qp),
+        col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id"),
         Dedup.cosine(col("qp"), col("cp")).as("pcos"))
     val wp = Window.partitionBy(col("query_id"))
       .orderBy(col("pcos").desc, col("vec_id"))
     val short = scored.withColumn("prank", row_number().over(wp))
       .filter(col("prank") <= shortlist)
-    val exact = short.select(col("query_id"), col("vec_id"),
-      Dedup.cosine(col("qv"), col("cv")).as("cos"))
+      .select(col("query_id"), col("vec_id"))
+    val exact = c.join(broadcast(short), Seq("vec_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        Dedup.cosine(col("qv"), col("cv")).as("cos"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("vec_id"))
     exact.withColumn("rank", row_number().over(w))
