@@ -1760,31 +1760,47 @@ object Dedup {
     dedupAssigned(Similarity.ivfAssignRp(emb, id, vec, cents, dOut),
       id, vec, threshold)
 
+  /** [[semanticDedupRp]] through the two-level coarse quantizer
+    * ([[Similarity.ivfAssignTwoLevelRp]]) — ~(ncoarse + nlist/ncoarse)
+    * projected dots per row; the measured floor of the assignment
+    * family at large nlist (0.93 s vs projected-flat 2.68 s and
+    * full-width two-level 3.72 s at nlist=3,200 on the sf0.1 probe
+    * corpus). Same contract: deterministic, exact duplicates always
+    * co-locate, boundaries approximate. */
+  def semanticDedupRpCoarse(emb: DataFrame, id: String, vec: String,
+                            cents: Array[Array[Double]], ncoarse: Int,
+                            threshold: Double,
+                            dOut: Int = Similarity.RpDim): DataFrame =
+    dedupAssigned(
+      Similarity.ivfAssignTwoLevelRp(emb, id, vec, cents, ncoarse, dOut),
+      id, vec, threshold)
+
   /** The SERVING-MODE semantic dedup entry point (r13 verdict #4):
     * pre-trained centroids sized by the
     * [[graft.llm.Similarity.servingNlist]] rule, EXACT flat assignment
     * up to [[graft.llm.Similarity.MaxUnrolledCentroids]] (unrolled
     * codegen'd dots — measured fastest in that regime), and past it
-    * the cheapest measured approximate assignment: JL-PROJECTED
-    * ([[semanticDedupRp]] — r14, 2.74 s vs the two-level form's
-    * 4.12 s at nlist=3,200 on the sf1 probe corpus) when the vectors
-    * are wider than [[graft.llm.Similarity.RpDim]], else the two-level
-    * coarse quantizer (projection can't cut FLOPs at dIn ≤ dOut). All
-    * three assignments are deterministic and the approximation class
-    * above the wall is unchanged — boundary-approximate either way.
-    * Same keep/drop contract as [[semanticDedup]]: exact duplicates
-    * always co-locate; boundary near-dups are the standard
-    * coarse-quantizer trade. */
+    * the cheapest measured approximate assignment: the two-level
+    * coarse quantizer COMPOSED with the JL projection
+    * ([[semanticDedupRpCoarse]] — r14 probe at nlist=3,200: 0.93 s vs
+    * projected-flat 2.68 s, full-width two-level 3.72 s, flat 8.02 s)
+    * when the vectors are wider than [[graft.llm.Similarity.RpDim]],
+    * else the plain two-level quantizer (projection can't cut FLOPs at
+    * dIn ≤ dOut). All assignments are deterministic and the
+    * approximation class above the wall is unchanged —
+    * boundary-approximate either way. Same keep/drop contract as
+    * [[semanticDedup]]: exact duplicates always co-locate; boundary
+    * near-dups are the standard coarse-quantizer trade. */
   def semanticDedupServe(emb: DataFrame, id: String, vec: String,
                          cents: Array[Array[Double]],
-                         threshold: Double): DataFrame =
+                         threshold: Double): DataFrame = {
+    val ncoarse = math.max(2, math.round(math.sqrt(cents.length)).toInt)
     if (cents.length <= Similarity.MaxUnrolledCentroids)
       semanticDedup(emb, id, vec, cents, threshold)
     else if (cents.headOption.exists(_.length > Similarity.RpDim))
-      semanticDedupRp(emb, id, vec, cents, threshold)
-    else semanticDedupCoarse(emb, id, vec, cents,
-      ncoarse = math.max(2, math.round(math.sqrt(cents.length)).toInt),
-      threshold = threshold)
+      semanticDedupRpCoarse(emb, id, vec, cents, ncoarse, threshold)
+    else semanticDedupCoarse(emb, id, vec, cents, ncoarse, threshold)
+  }
 
   /** Within-cell min-id greedy dedup over an ASSIGNED frame — the
     * shared tail of the semanticDedup family. */

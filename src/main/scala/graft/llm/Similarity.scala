@@ -602,6 +602,46 @@ object Similarity {
           cellInGroupLoop(col(vec), col("__graft_grp")).as("cell"))
   }
 
+  /** [[ivfAssignTwoLevel]] COMPOSED with the JL projection
+    * ([[ivfAssignRp]]): the super-cell argmin, the group lookup, and
+    * the group-local argmin all run in the dOut-dim projected space —
+    * ~(ncoarse + nlist/ncoarse)·dOut + dOut·dIn multiplies per row,
+    * the 100 TB serving shape where nlist has grown to the hundreds of
+    * thousands and even 2√nlist full-width dots bind. The coarse
+    * k-means groups the PROJECTED centroids (the same space the row
+    * argmin runs in, so group shapes match the probe geometry).
+    * Deterministic; identical vectors co-locate — the dedup contract's
+    * invariant — and boundary approximation now stacks JL noise on the
+    * coarse-quantizer trade (both measured benign for the exact-dup
+    * construction; near-dup pairs project together). */
+  def ivfAssignTwoLevelRp(corpus: DataFrame, id: String, vec: String,
+                          centroids: Array[Array[Double]],
+                          ncoarse: Int,
+                          dOut: Int = RpDim): DataFrame = {
+    require(!corpus.columns.contains("__graft_rp"),
+      "column name __graft_rp is reserved by ivfAssignTwoLevelRp")
+    val dIn = centroids.headOption.map(_.length).getOrElse(Dim)
+    val m = rpMatrix(dOut, dIn)
+    def proj(c: Array[Double]): Array[Double] =
+      m.map { row =>
+        var s = 0.0; var i = 0
+        while (i < c.length) { s += row(i) * c(i); i += 1 }
+        s
+      }
+    val pcents = centroids.map(proj)
+    val (coarse, members) = coarseCentroids(pcents, ncoarse)
+    corpus
+      .withColumn("__graft_rp", rpProject(col(vec), dOut, dIn))
+      .select(col(id), col(vec), col("__graft_rp"),
+        nearestCellLoop(col("__graft_rp"), coarse).as("__graft_super"))
+      .select(col(id), col(vec), col("__graft_rp"),
+        element_at(memberGroupsLit(pcents, members),
+          col("__graft_super") + 1).as("__graft_grp"))
+      .select(col(id), col(vec),
+        cellInGroupLoop(col("__graft_rp"), col("__graft_grp"))
+          .as("cell"))
+  }
+
   /** [[ivfAssignTwoLevel]] forced onto the loop forms (exposed for the
     * equality pin below the auto threshold). */
   private[graft] def ivfAssignTwoLevelLoop(corpus: DataFrame, id: String,

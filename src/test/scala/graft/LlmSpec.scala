@@ -541,6 +541,24 @@ class LlmSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getInt(1))).toMap
     val colocate = rp.keys.count(k => rp(k) == rpTwin(k)).toDouble / rp.size
     assert(colocate > 0.95, s"pair co-location=$colocate")
+    // the two-level composed form keeps the same pair invariant (and
+    // NULL handling: a null vector gets a null cell, not a sentinel)
+    val rp2l = Similarity.ivfAssignTwoLevelRp(emb, "vec_id", "embedding",
+        cents, 6).select($"vec_id", $"cell").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toMap
+    val rp2lTwin = Similarity.ivfAssignTwoLevelRp(twin, "vec_id",
+        "embedding", cents, 6).select($"vec_id", $"cell").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toMap
+    val co2l = rp2l.keys.count(k => rp2l(k) == rp2lTwin(k)).toDouble /
+      rp2l.size
+    assert(co2l > 0.95, s"2lrp pair co-location=$co2l")
+    val withNull = emb.select($"vec_id", $"embedding").limit(3)
+      .unionByName(Seq((999999L, Option.empty[Seq[Float]]))
+        .toDF("vec_id", "embedding"))
+    assert(Similarity.ivfAssignTwoLevelRp(withNull, "vec_id",
+        "embedding", cents, 6)
+      .filter($"vec_id" === 999999L)
+      .select($"cell").collect().head.isNullAt(0))
     // the dedup contract survives the moved boundaries: exact copies
     // co-locate under ANY deterministic assignment, so the doubled
     // corpus drops exactly one of each pair at 0.95 (no natural pair

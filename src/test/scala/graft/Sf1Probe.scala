@@ -280,6 +280,12 @@ object Sf1Probe {
         graft.llm.Similarity.ivfAssignRp(doubledEmb(dir), "vec_id",
             "embedding", centsBig)
           .groupBy(col("cell")).agg(count(lit(1)).as("n"))),
+      // r14: two-level COMPOSED with the projection — 2√nlist dots at
+      // 16 dims; the regime where even projected flat dots bind
+      "dd_assign_2lrp_3200" -> ((dir, _) =>
+        graft.llm.Similarity.ivfAssignTwoLevelRp(doubledEmb(dir),
+            "vec_id", "embedding", centsBig, 56)
+          .groupBy(col("cell")).agg(count(lit(1)).as("n"))),
       // r13 (r12 verdict #6): the two-level crossover probe — at
       // nlist=320 the isolated FLOP win did NOT pay (codegen branch
       // overhead); these arms measure the nlist=3200 regime where the
