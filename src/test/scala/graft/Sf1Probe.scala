@@ -286,6 +286,12 @@ object Sf1Probe {
         graft.llm.Similarity.ivfAssignTwoLevelRp(doubledEmb(dir),
             "vec_id", "embedding", centsBig, 56)
           .groupBy(col("cell")).agg(count(lit(1)).as("n"))),
+      "dd_assign_2lrp" -> ((dir, m) => {
+        val cents = if (m == 1) centsSrc else centsDst
+        graft.llm.Similarity.ivfAssignTwoLevelRp(doubledEmb(dir),
+            "vec_id", "embedding", cents, if (m == 1) 6 else 18)
+          .groupBy(col("cell")).agg(count(lit(1)).as("n"))
+      }),
       // r13 (r12 verdict #6): the two-level crossover probe — at
       // nlist=320 the isolated FLOP win did NOT pay (codegen branch
       // overhead); these arms measure the nlist=3200 regime where the
