@@ -573,6 +573,39 @@ class LlmSpec extends SparkSpec {
     assert(out.filter(!$"kept").filter($"vec_id" < 100000).count() == 0)
   }
 
+  test("RP plan pins: lean rank window, staged projection survives CollapseProject") {
+    val old = spark.conf.getOption("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      // (a) rpTopK's candidate rank window must not carry the 256-byte
+      // raw vectors through its exchange — only (query_id, vec_id, pcos)
+      import org.apache.spark.sql.execution.window.WindowExec
+      import org.apache.spark.sql.types.ArrayType
+      val q = emb.filter($"vec_id" < 5)
+      val plan = Similarity.rpTopK(emb, q, "vec_id", "embedding", 10,
+        shortlist = 40).queryExecution.executedPlan
+      val windows = plan.collect { case w: WindowExec => w }
+      assert(windows.nonEmpty)
+      val pcosWindow = windows.filter(
+        _.child.output.exists(_.name == "pcos"))
+      assert(pcosWindow.nonEmpty)
+      assert(pcosWindow.forall(_.child.output.forall(a =>
+        !a.dataType.isInstanceOf[ArrayType])),
+        "raw vector columns leaked into the rank-window exchange")
+      // (b) ivfAssignRp must STAGE the projection: inlined into the
+      // per-centroid argmin it re-evaluates nlist times (the measured
+      // 4× loss) — the staged alias surviving CollapseProject is the pin
+      val cents = Similarity.ivfTrain(emb, "vec_id", "embedding", 32)
+      val assignPlan = Similarity.ivfAssignRp(emb, "vec_id", "embedding",
+        cents).queryExecution.executedPlan.toString
+      assert(assignPlan.contains("__graft_rp"),
+        "projection was collapsed into the argmin — per-centroid re-evaluation")
+    } finally old match {
+      case Some(o) => spark.conf.set("spark.sql.adaptive.enabled", o)
+      case None => spark.conf.unset("spark.sql.adaptive.enabled")
+    }
+  }
+
   test("simhash banded pairs: complete vs brute force, twins at distance 0") {
     val small = docs.limit(60)
     val u = small.select($"doc_id", $"text").unionByName(
