@@ -150,6 +150,23 @@ object Similarity {
       if ((h(0) & 1) == 0) 1.0 else -1.0
     }
 
+  /** Driver-side JL projection of a centroid matrix through
+    * [[rpMatrix]] — the model-sized twin of [[rpProject]], shared by
+    * the RP assignment paths (one matrix build, one projection loop —
+    * a fix to the projection arithmetic cannot miss a twin copy). */
+  private def rpProjectCentroids(centroids: Array[Array[Double]],
+                                 dOut: Int): Array[Array[Double]] = {
+    val dIn = centroids.headOption.map(_.length).getOrElse(Dim)
+    val m = rpMatrix(dOut, dIn)
+    centroids.map { c =>
+      m.map { row =>
+        var s = 0.0; var i = 0
+        while (i < c.length) { s += row(i) * c(i); i += 1 }
+        s
+      }
+    }
+  }
+
   /** The `dOut`-component JL projection of `vec`: one codegen'd
     * [[graft.functions.DotProduct]] per component against a literal ±1
     * row — map-only, no shuffle, constant expression-tree size. Store
@@ -179,14 +196,24 @@ object Similarity {
     // exchange; the raw vectors rejoin only for the shortlist-bounded
     // rerank (|queries|·shortlist rows, broadcast back into one more
     // map-only corpus pass)
+    // projected norms are staged ONCE PER ROW (query and corpus side)
+    // — Dedup.cosine inline would recompute dot(qp,qp)/dot(cp,cp) for
+    // every (query, corpus) pair, tripling the candidate-stage FLOPs
+    // this operator exists to slim; same doubles, same round → the
+    // pcos values are bit-identical to the inline form
+    def dot(a: Column, b: Column): Column =
+      graft.functions.DotProduct(a, b)
     val cp = c.select(col("vec_id"),
-      rpProject(col("cv"), dOut, dIn).as("cp"))
+        rpProject(col("cv"), dOut, dIn).as("cp"))
+      .withColumn("cn2", dot(col("cp"), col("cp")))
     val qp = q.select(col("query_id"),
-      rpProject(col("qv"), dOut, dIn).as("qp"))
+        rpProject(col("qv"), dOut, dIn).as("qp"))
+      .withColumn("qn2", dot(col("qp"), col("qp")))
     val scored = cp.join(broadcast(qp),
         col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id"),
-        Dedup.cosine(col("qp"), col("cp")).as("pcos"))
+        round(dot(col("qp"), col("cp")) /
+          sqrt(col("qn2") * col("cn2")), 6).as("pcos"))
     val wp = Window.partitionBy(col("query_id"))
       .orderBy(col("pcos").desc, col("vec_id"))
     val short = scored.withColumn("prank", row_number().over(wp))
@@ -376,13 +403,6 @@ object Similarity {
     require(!corpus.columns.contains("__graft_rp"),
       "column name __graft_rp is reserved by ivfAssignRp")
     val dIn = centroids.headOption.map(_.length).getOrElse(Dim)
-    val m = rpMatrix(dOut, dIn)
-    def proj(c: Array[Double]): Array[Double] =
-      m.map { row =>
-        var s = 0.0; var i = 0
-        while (i < c.length) { s += row(i) * c(i); i += 1 }
-        s
-      }
     // the projection MUST be materialized as its own column before the
     // argmin: inlined, every per-centroid distance term re-evaluates
     // the 16-dot projection and the FLOP "cut" becomes a ~nlist×
@@ -392,7 +412,8 @@ object Similarity {
     // once per row into a local.
     corpus.withColumn("__graft_rp", rpProject(col(vec), dOut, dIn))
       .select(col(id), col(vec),
-        nearestCell(col("__graft_rp"), centroids.map(proj)).as("cell"))
+        nearestCell(col("__graft_rp"),
+          rpProjectCentroids(centroids, dOut)).as("cell"))
   }
 
   /** Serving-mode nlist SIZING RULE (r13 verdict #4 — previously SURVEY
@@ -621,14 +642,7 @@ object Similarity {
     require(!corpus.columns.contains("__graft_rp"),
       "column name __graft_rp is reserved by ivfAssignTwoLevelRp")
     val dIn = centroids.headOption.map(_.length).getOrElse(Dim)
-    val m = rpMatrix(dOut, dIn)
-    def proj(c: Array[Double]): Array[Double] =
-      m.map { row =>
-        var s = 0.0; var i = 0
-        while (i < c.length) { s += row(i) * c(i); i += 1 }
-        s
-      }
-    val pcents = centroids.map(proj)
+    val pcents = rpProjectCentroids(centroids, dOut)
     val (coarse, members) = coarseCentroids(pcents, ncoarse)
     corpus
       .withColumn("__graft_rp", rpProject(col(vec), dOut, dIn))

@@ -1478,20 +1478,28 @@ object Events {
     // A seed with ≤ maxBucket banded rows IN TOTAL cannot overfill any
     // bucket, so the cap window (a shuffle + window over the seed) is
     // provably a no-op — skipped. The guard is a limit-count that
-    // short-circuits after maxBucket+1 banded rows (the banding is
-    // map-only, so recomputing it for the guard costs less than any
-    // materialization); small seeds — the common create — save the
-    // window's two shuffle stages of job overhead.
-    val tiny = rows.limit(maxBucket + 1).count() <= maxBucket
-    val capped = if (tiny) rows else {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("band_key").orderBy("sig")
-      rows.withColumn("__graft_rn", row_number().over(w))
-        .filter(col("__graft_rn") <= maxBucket).drop("__graft_rn")
-    }
-    groupForPartitionedWrite(capped, "band_pfx")
-      .write.partitionBy("batch_id", "band_pfx")
-      .saveAsTable(table)
+    // short-circuits after maxBucket+1 banded rows; the seed is
+    // PERSISTED across guard + write so both jobs see ONE evaluation —
+    // a non-deterministic seed (a sample(), a fresh-random column)
+    // recomputed between them could pass the guard tiny yet overfill a
+    // bucket in the write, silently breaking the CappedKProp invariant
+    // every windowless probe rests on. Each partition computes once
+    // and spills to disk if large; small seeds — the common create —
+    // still save the window's two shuffle stages of job overhead.
+    val pinned = rows.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val tiny = pinned.limit(maxBucket + 1).count() <= maxBucket
+      val capped = if (tiny) pinned else {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("band_key").orderBy("sig")
+        pinned.withColumn("__graft_rn", row_number().over(w))
+          .filter(col("__graft_rn") <= maxBucket).drop("__graft_rn")
+      }
+      groupForPartitionedWrite(capped, "band_pfx")
+        .write.partitionBy("batch_id", "band_pfx")
+        .saveAsTable(table)
+    } finally pinned.unpersist()
     setTableProps(spark, table,
       Map(IndexKindProp -> "signature",
         CappedKProp -> maxBucket.toString))

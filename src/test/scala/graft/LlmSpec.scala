@@ -600,6 +600,18 @@ class LlmSpec extends SparkSpec {
         cents).queryExecution.executedPlan.toString
       assert(assignPlan.contains("__graft_rp"),
         "projection was collapsed into the argmin — per-centroid re-evaluation")
+      // ... and the two-level composed form (the serve DEFAULT past the
+      // wall) must stage the projection and the group — both referenced
+      // more than once downstream, so collapsing either re-evaluates
+      // the 16-dot projection / the group literal lookup per term.
+      // (__graft_super is referenced exactly ONCE — as element_at's
+      // index — so CollapseProject legitimately inlines it; evaluated
+      // once per row either way.)
+      val plan2l = Similarity.ivfAssignTwoLevelRp(emb, "vec_id",
+        "embedding", cents, 6).queryExecution.executedPlan.toString
+      for (alias <- Seq("__graft_rp", "__graft_grp"))
+        assert(plan2l.contains(alias),
+          s"$alias was collapsed in ivfAssignTwoLevelRp — per-term re-evaluation")
     } finally old match {
       case Some(o) => spark.conf.set("spark.sql.adaptive.enabled", o)
       case None => spark.conf.unset("spark.sql.adaptive.enabled")
