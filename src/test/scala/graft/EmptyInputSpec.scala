@@ -247,4 +247,25 @@ class EmptyInputSpec extends SparkSpec {
     assert(graft.operators.QuantileRollup
       .estimateAcross(emptyRollup, Seq("k"), Seq(0.5)).count() === 0)
   }
+
+  test("RP operators on empty inputs are empty, never throw") {
+    val noVecs = Seq.empty[(Long, Seq[Double])].toDF("vec_id", "embedding")
+    val someVecs = Seq(
+        (1L, Seq.fill(64)(0.5)), (2L, Seq.fill(64)(-0.25)))
+      .toDF("vec_id", "embedding")
+    val cents = Array(Array.fill(64)(0.1), Array.fill(64)(-0.1))
+    import graft.llm.{Similarity, Dedup}
+    // empty corpus / empty queries through the JL top-k
+    assert(Similarity.rpTopK(noVecs, someVecs, "vec_id", "embedding",
+      10).count() === 0)
+    assert(Similarity.rpTopK(someVecs, noVecs, "vec_id", "embedding",
+      10).count() === 0)
+    // empty corpus through both RP assignments and the dedup wrapper
+    assert(Similarity.ivfAssignRp(noVecs, "vec_id", "embedding", cents)
+      .count() === 0)
+    assert(Similarity.ivfAssignTwoLevelRp(noVecs, "vec_id", "embedding",
+      cents, 2).count() === 0)
+    assert(Dedup.semanticDedupRp(noVecs, "vec_id", "embedding", cents,
+      0.95).count() === 0)
+  }
 }
