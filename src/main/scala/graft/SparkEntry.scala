@@ -2846,6 +2846,25 @@ object SparkEntry {
         .orderBy(col("query_id"))
     }),
 
+    "sim_ivf_rp_topk" -> ((s, dir) => {
+      // the IVF×JL composition on the SERVING path (r15, r14 verdict
+      // #4): coarse cells prune the scan to nprobe/nlist AND the
+      // candidate stage reads 16-dim projections instead of 64-dim
+      // vectors (assignment, probe selection, and scoring all in the
+      // projected space); exact rerank on the per-query shortlist.
+      // Recall floor measured (RpIvfProbe, deterministic end-to-end):
+      // min 0.60 on sf0.01 / 0.50 on sf0.001 at nprobe=16/short=200 —
+      // the JL worst case (random unit vectors) stacked on the IVF
+      // cell trade; gate 0.4 leaves corpus-shape margin. Raw recalls
+      // asserted in LlmSpec.
+      val e = t(s, dir, "embeddings").localCheckpoint()
+      val cent = Similarity.ivfTrain(e, "vec_id", "embedding", nlist = 32)
+      Similarity.ivfRpRecall(e, e.filter(col("vec_id") < 5),
+          "vec_id", "embedding", 10, cent, nprobe = 16, shortlist = 200)
+        .select(col("query_id"), (col("recall") >= 0.4).as("recall_ok"))
+        .orderBy(col("query_id"))
+    }),
+
     "sim_pq_topk" -> ((s, dir) => {
       // product quantization (ADC shortlist + exact rerank) gated on
       // recall vs the exact baseline — the memory lever: 8×6-bit codes
@@ -3943,6 +3962,13 @@ object SparkEntry {
 
   private def cosSql(a: String, b: String): String =
     s"round(${dotSql(a, b)} / sqrt(${dotSql(a, a)} * ${dotSql(b, b)}), 6)"
+
+  /** [[cosSql]] guarded against a zero norm (NULL instead of 0/0 —
+    * mirrors rpTopK's pcos guard; both engines rank NULL last under
+    * DESC, so degenerate projections never shortlist). */
+  private def cosSqlGuarded(a: String, b: String): String =
+    s"(CASE WHEN ${dotSql(a, a)} * ${dotSql(b, b)} > 0 " +
+      s"THEN ${cosSql(a, b)} ELSE NULL END)"
 
   /** SQ8 quantization twin of Similarity.sq8Quantize — clamp(floor(
     * x·127 + 0.5), ±127) per component, exact in IEEE doubles. */
@@ -5483,7 +5509,7 @@ object SparkEntry {
       // vec_id at both ranks in both engines
       s"""WITH c AS (SELECT vec_id, embedding AS cv, ${rpProjSql("embedding")} AS cp FROM embeddings),
         |q AS (SELECT vec_id AS query_id, cv AS qv, cp AS qp FROM c WHERE vec_id < 5),
-        |ps AS (SELECT query_id, vec_id, qv, cv, ${cosSql("qp", "cp")} AS pcos
+        |ps AS (SELECT query_id, vec_id, qv, cv, ${cosSqlGuarded("qp", "cp")} AS pcos
         |  FROM c CROSS JOIN q WHERE query_id != vec_id),
         |sl AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY pcos DESC, vec_id) AS prank FROM ps),
         |scored AS (SELECT query_id, vec_id, ${cosSql("qv", "cv")} AS cos FROM sl WHERE prank <= 40),
@@ -5506,6 +5532,13 @@ object SparkEntry {
       """SELECT vec_id AS query_id, true AS recall_ok
         |FROM embeddings WHERE vec_id >= 200 AND vec_id < 205
         |ORDER BY query_id""".stripMargin,
+
+    // IVF×JL composition gate: floor measured 0.60/0.50 (sf0.01/0.001)
+    // in RpIvfProbe at nprobe=16/shortlist=200; the oracle pins the
+    // 0.4 gate
+    "sim_ivf_rp_topk" ->
+      """SELECT vec_id AS query_id, true AS recall_ok
+        |FROM embeddings WHERE vec_id < 5 ORDER BY query_id""".stripMargin,
 
     // PQ gate: recall floor measured at 0.9 for this shape (LlmSpec /
     // PqProbe); the oracle pins the 0.7 gate

@@ -1777,27 +1777,57 @@ object Dedup {
 
   /** The SERVING-MODE semantic dedup entry point (r13 verdict #4):
     * pre-trained centroids sized by the
-    * [[graft.llm.Similarity.servingNlist]] rule, EXACT flat assignment
-    * up to [[graft.llm.Similarity.MaxUnrolledCentroids]] (unrolled
-    * codegen'd dots — measured fastest in that regime), and past it
-    * the cheapest measured approximate assignment: the two-level
-    * coarse quantizer COMPOSED with the JL projection
-    * ([[semanticDedupRpCoarse]] — r14 probe at nlist=3,200: 0.93 s vs
-    * projected-flat 2.68 s, full-width two-level 3.72 s, flat 8.02 s)
-    * when the vectors are wider than [[graft.llm.Similarity.RpDim]],
-    * else the plain two-level quantizer (projection can't cut FLOPs at
-    * dIn ≤ dOut). All assignments are deterministic and the
-    * approximation class above the wall is unchanged —
-    * boundary-approximate either way. Same keep/drop contract as
-    * [[semanticDedup]]: exact duplicates always co-locate; boundary
-    * near-dups are the standard coarse-quantizer trade. */
+    * [[graft.llm.Similarity.servingNlist]] rule, dispatched to the
+    * cheapest measured assignment for the regime. For vectors wider
+    * than [[graft.llm.Similarity.RpDim]], assignment runs in the
+    * JL-projected space at EVERY nlist (r14 verdict #2 — the
+    * below-wall flat arm was the weak scaler at sf1: per-row cost
+    * grows with nlist ∝ corpus, 3.1x on 10x data, and the exactness
+    * it paid for buys nothing the spec-pinned contract needs — pair
+    * co-location, which RP preserves at 1.000 measured):
+    * [[semanticDedupRp]] up to
+    * [[graft.llm.Similarity.MaxUnrolledCentroids]] (r14 probe at
+    * rule-sized nlist: RP-flat 0.25 s vs flat 0.47 s at sf0.1) and
+    * the two-level composition [[semanticDedupRpCoarse]] past it
+    * (r14 probe at nlist=3,200: 0.93 s vs projected-flat 2.68 s,
+    * full-width two-level 3.72 s, flat 8.02 s). Narrow vectors
+    * (dIn ≤ RpDim, where projection can't cut FLOPs) keep exact flat
+    * assignment below the wall and the plain two-level quantizer
+    * above it. All assignments are deterministic. Same keep/drop
+    * contract as [[semanticDedup]]: exact duplicates always
+    * co-locate; boundary near-dups are the standard coarse-quantizer
+    * trade (the JL projection moves cell boundaries — the same
+    * approximation class).
+    *
+    * Reproducibility pin (r14 ADVICE): the dispatch is a PERFORMANCE
+    * choice that can move which boundary-straddling near-dup pairs a
+    * given corpus keeps across library versions. Callers who must
+    * reproduce a prior run's exact keep/drop output should use the
+    * `fullWidth = true` overload, which pins the full-width
+    * assignment family (exact flat below the wall, plain two-level
+    * above it) regardless of vector width. */
   def semanticDedupServe(emb: DataFrame, id: String, vec: String,
                          cents: Array[Array[Double]],
-                         threshold: Double): DataFrame = {
+                         threshold: Double): DataFrame =
+    semanticDedupServe(emb, id, vec, cents, threshold, fullWidth = false)
+
+  /** [[semanticDedupServe]] with the assignment family pinned:
+    * `fullWidth = true` never projects (exact flat assignment below
+    * [[graft.llm.Similarity.MaxUnrolledCentroids]], the full-width
+    * two-level quantizer above it) — the reproducibility escape hatch
+    * for callers whose keep/drop output must be stable across library
+    * versions; `fullWidth = false` is the default dispatch above. */
+  def semanticDedupServe(emb: DataFrame, id: String, vec: String,
+                         cents: Array[Array[Double]],
+                         threshold: Double,
+                         fullWidth: Boolean): DataFrame = {
     val ncoarse = math.max(2, math.round(math.sqrt(cents.length)).toInt)
+    val project = !fullWidth &&
+      cents.headOption.exists(_.length > Similarity.RpDim)
     if (cents.length <= Similarity.MaxUnrolledCentroids)
-      semanticDedup(emb, id, vec, cents, threshold)
-    else if (cents.headOption.exists(_.length > Similarity.RpDim))
+      if (project) semanticDedupRp(emb, id, vec, cents, threshold)
+      else semanticDedup(emb, id, vec, cents, threshold)
+    else if (project)
       semanticDedupRpCoarse(emb, id, vec, cents, ncoarse, threshold)
     else semanticDedupCoarse(emb, id, vec, cents, ncoarse, threshold)
   }

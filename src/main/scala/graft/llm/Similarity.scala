@@ -26,6 +26,17 @@ import org.apache.spark.sql.types._
   */
 object Similarity {
 
+  /** Loud reject when a caller frame already carries a column name an
+    * assignment path fabricates — EVERY fabricated name, not just the
+    * first (r14 ADVICE: ivfAssignTwoLevelRp reserved only __graft_rp
+    * while also fabricating __graft_super/__graft_grp, so a collision
+    * on those surfaced as a confusing ambiguity error instead). */
+  private def requireUnreserved(df: DataFrame, op: String,
+                                names: String*): Unit =
+    names.filter(df.columns.contains).foreach(c =>
+      throw new IllegalArgumentException(
+        s"column name $c is reserved by $op"))
+
   /** Exact cosine top-k. `queries` should be small (it is broadcast). */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, id: String,
                      vec: String, k: Int): DataFrame = {
@@ -209,11 +220,19 @@ object Similarity {
     val qp = q.select(col("query_id"),
         rpProject(col("qv"), dOut, dIn).as("qp"))
       .withColumn("qn2", dot(col("qp"), col("qp")))
+    // a zero-norm PROJECTION is possible for a nonzero raw vector whose
+    // components cancel against every ±1 row (and for zero/null-adjacent
+    // vectors); unguarded, pcos = 0/0 = NaN, which Spark orders ABOVE
+    // all doubles in desc — such a row would enter every shortlist and
+    // engines disagree on 0/0. Guarded, it ranks null (desc = nulls
+    // LAST in both Spark and DuckDB), i.e. a degenerate projection is
+    // never shortlisted on projected evidence (r14 ADVICE)
     val scored = cp.join(broadcast(qp),
         col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id"),
-        round(dot(col("qp"), col("cp")) /
-          sqrt(col("qn2") * col("cn2")), 6).as("pcos"))
+        when(col("qn2") * col("cn2") > 0,
+          round(dot(col("qp"), col("cp")) /
+            sqrt(col("qn2") * col("cn2")), 6)).as("pcos"))
     val wp = Window.partitionBy(col("query_id"))
       .orderBy(col("pcos").desc, col("vec_id"))
     val short = scored.withColumn("prank", row_number().over(wp))
@@ -400,8 +419,7 @@ object Similarity {
   def ivfAssignRp(corpus: DataFrame, id: String, vec: String,
                   centroids: Array[Array[Double]],
                   dOut: Int = RpDim): DataFrame = {
-    require(!corpus.columns.contains("__graft_rp"),
-      "column name __graft_rp is reserved by ivfAssignRp")
+    requireUnreserved(corpus, "ivfAssignRp", "__graft_rp")
     val dIn = centroids.headOption.map(_.length).getOrElse(Dim)
     // the projection MUST be materialized as its own column before the
     // argmin: inlined, every per-centroid distance term re-evaluates
@@ -606,6 +624,8 @@ object Similarity {
   def ivfAssignTwoLevel(corpus: DataFrame, id: String, vec: String,
                         centroids: Array[Array[Double]],
                         ncoarse: Int): DataFrame = {
+    requireUnreserved(corpus, "ivfAssignTwoLevel",
+      "__graft_super", "__graft_grp")
     val (coarse, members) = coarseCentroids(centroids, ncoarse)
     val staged = corpus
       .select(col(id), col(vec),
@@ -639,8 +659,8 @@ object Similarity {
                           centroids: Array[Array[Double]],
                           ncoarse: Int,
                           dOut: Int = RpDim): DataFrame = {
-    require(!corpus.columns.contains("__graft_rp"),
-      "column name __graft_rp is reserved by ivfAssignTwoLevelRp")
+    requireUnreserved(corpus, "ivfAssignTwoLevelRp",
+      "__graft_rp", "__graft_super", "__graft_grp")
     val dIn = centroids.headOption.map(_.length).getOrElse(Dim)
     val pcents = rpProjectCentroids(centroids, dOut)
     val (coarse, members) = coarseCentroids(pcents, ncoarse)
@@ -741,6 +761,96 @@ object Similarity {
               iters: Int = 3): DataFrame =
     ivfTopK(corpus, queries, id, vec, k,
       ivfTrain(corpus, id, vec, nlist, iters), nprobe)
+
+  /** [[ivfTopK]] COMPOSED with the JL projection (r14 verdict #4 —
+    * [[ivfAssignRp]]'s 3–8× assignment win applied to the SERVING
+    * path): corpus cell assignment, query probe selection, AND
+    * candidate scoring all run in the dOut-dim projected space (rows,
+    * queries, and centroids through the same deterministic ±1 matrix),
+    * so the per-row corpus cost is nlist·dOut + dOut·dIn multiplies
+    * instead of nlist·dIn and the candidate stage scans dOut-wide
+    * projections instead of dIn-wide vectors; only the per-query
+    * `shortlist` survivors rejoin the raw vectors for the exact-cosine
+    * rerank (the [[rpTopK]]/[[pqTopK]] serving shape — at 100 TB the
+    * vectors are read for |queries|·shortlist rows, not the corpus).
+    * The probe geometry is self-consistent: queries probe the cells of
+    * the SAME projected space the corpus was assigned in, so JL
+    * boundary noise moves corpus row and probe together (the
+    * [[ivfAssignRp]] pair co-location property). Recall stacks the
+    * IVF cell-boundary trade with the JL shortlist trade — both
+    * measured in LlmSpec; raise `nprobe`/`shortlist` to buy it back.
+    * The rank window ships only (query_id, vec_id, pcos) — the lean
+    * 24-byte convention — and pcos guards the zero-norm projection
+    * like [[rpTopK]]. */
+  def ivfTopKRp(corpus: DataFrame, queries: DataFrame, id: String,
+                vec: String, k: Int, centroids: Array[Array[Double]],
+                nprobe: Int, shortlist: Int = 50,
+                dOut: Int = RpDim): DataFrame = {
+    require(shortlist >= k, s"shortlist ($shortlist) must be >= k ($k)")
+    val dIn = centroids.headOption.map(_.length).getOrElse(Dim)
+    val pcents = rpProjectCentroids(centroids, dOut)
+    def dot(a: Column, b: Column): Column =
+      graft.functions.DotProduct(a, b)
+    // the projection is staged as its own multiply-referenced alias
+    // (the ivfAssignRp plan pin — inlined, every per-centroid distance
+    // term re-evaluates the dOut-dot projection) and the raw vector is
+    // DROPPED before the candidate join: the cell scan carries
+    // (vec_id, cell, cp, cn2) only
+    val c = corpus.select(col(id).as("vec_id"), col(vec).as("cv"))
+      .withColumn("__graft_rp", rpProject(col("cv"), dOut, dIn))
+      .select(col("vec_id"),
+        nearestCell(col("__graft_rp"), pcents).as("cell"),
+        col("__graft_rp").as("cp"))
+      .withColumn("cn2", dot(col("cp"), col("cp")))
+    val q = queries.select(col(id).as("query_id"), col(vec).as("qv"))
+      .withColumn("__graft_rp", rpProject(col("qv"), dOut, dIn))
+      .select(col("query_id"),
+        explode(probeCells(col("__graft_rp"), pcents, nprobe)).as("cell"),
+        col("__graft_rp").as("qp"))
+      .withColumn("qn2", dot(col("qp"), col("qp")))
+    val scored = c.join(broadcast(q), Seq("cell"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id"),
+        when(col("qn2") * col("cn2") > 0,
+          round(dot(col("qp"), col("cp")) /
+            sqrt(col("qn2") * col("cn2")), 6)).as("pcos"))
+    val wp = Window.partitionBy(col("query_id"))
+      .orderBy(col("pcos").desc, col("vec_id"))
+    val short = scored.withColumn("prank", row_number().over(wp))
+      .filter(col("prank") <= shortlist)
+      .select(col("query_id"), col("vec_id"))
+    val exact = corpus.select(col(id).as("vec_id"), col(vec).as("cv"))
+      .join(broadcast(short), Seq("vec_id"))
+      .join(broadcast(queries.select(col(id).as("query_id"),
+        col(vec).as("qv"))), Seq("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        Dedup.cosine(col("qv"), col("cv")).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    exact.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** Per-query recall of [[ivfTopKRp]] against [[bruteForceTopK]] —
+    * the gate for the composed IVF×JL serving path (both trades
+    * measured together). */
+  def ivfRpRecall(corpus: DataFrame, queries: DataFrame, id: String,
+                  vec: String, k: Int, centroids: Array[Array[Double]],
+                  nprobe: Int, shortlist: Int = 50,
+                  dOut: Int = RpDim): DataFrame = {
+    val approx = ivfTopKRp(corpus, queries, id, vec, k, centroids,
+        nprobe, shortlist, dOut)
+      .select(col("query_id"), col("vec_id"))
+    val exact = bruteForceTopK(corpus, queries, id, vec, k)
+      .select(col("query_id"), col("vec_id"))
+    val hits = approx.intersect(exact)
+      .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
+    queries.select(col(id).as("query_id"))
+      .join(hits, Seq("query_id"), "left_outer")
+      .na.fill(0L, Seq("n_hits"))
+      .select(col("query_id"),
+        round(col("n_hits").cast(DoubleType) / k, 4).as("recall"))
+  }
 
   /** Per-query recall of [[ivfTopK]] against [[bruteForceTopK]] —
     * |ivf∩exact| / k — over PRE-TRAINED centroids, so the gate measures

@@ -394,13 +394,23 @@ object Events {
     *    `maxBucket` cap's per-bucket ranking is unaffected.
     *  - '''Streaming''' (stream-static, append-mode legal — no
     *    watermark, no state): the static index groups to per-band
-    *    candidate arrays and the stream takes 4 stateless LEFT
-    *    equi-joins, one per band — the stream side is never exploded
-    *    or re-aggregated (a streaming frame cannot legally aggregate).
-    *    This form re-aggregates the index each micro-batch (the
-    *    stream-static contract re-executes the static side); a
-    *    corpus-scale CONTINUOUS ingest belongs on the foreachBatch
-    *    loops, which probe batch-form.
+    *    candidate arrays ONCE, materialized at stream-construction
+    *    time (`localCheckpoint` — r15, r14 verdict #3: the
+    *    stream-static contract re-executes the static-side PLAN each
+    *    micro-batch, which previously re-ran the index
+    *    distinct+group+collect shuffle per batch, O(index·batches);
+    *    the checkpointed form re-reads materialized blocks instead),
+    *    and the stream takes 4 stateless LEFT equi-joins, one per
+    *    band — the stream side is never exploded or re-aggregated (a
+    *    streaming frame cannot legally aggregate). The index is
+    *    therefore FIXED for the stream's lifetime (it already was —
+    *    re-execution never guaranteed fresh reads — now it is pinned
+    *    and documented). Per-batch cost still scans the materialized
+    *    index (a stream's touched prefixes are unknown at plan time,
+    *    so the batch form's literal partition pruning cannot apply):
+    *    a corpus-scale CONTINUOUS ingest belongs on the foreachBatch
+    *    loops, which probe batch-form with pruning — the streaming
+    *    form warns loudly past [[MaxStreamStaticIndexRows]] band rows.
     *
     * Both forms apply the deterministic `maxBucket` candidate cap —
     * see [[DefaultMaxBandBucket]]; the INGEST loops' index tables are
@@ -429,9 +439,7 @@ object Events {
         col("sig").cast(LongType).as("sig"))
       .filter(col("sig").isNotNull)
     if (signed.isStreaming) {
-      val grouped = idx.groupBy("band_key")
-        .agg(slice(array_sort(collect_list(col("sig"))), 1, maxBucket)
-          .as("sigs"))
+      val grouped = groupedBandIndex(idx, maxBucket)
       var df = signed
       val sigsCols = (0 until 4).map { b =>
         val bk = s"__graft_bk$b"
@@ -491,6 +499,44 @@ object Events {
       signed.join(dupSigs, sig.cast(LongType) === bsig, "left_anti")
         .withColumn("novel", lit(true))
     }
+  }
+
+  /** Band rows above which the stream-static probe form logs a loud
+    * warning: each micro-batch of a stream-static join re-scans the
+    * (materialized) index, so a corpus-scale index pays O(index) IO
+    * per batch with no prefix pruning (a stream's touched prefixes are
+    * unknown at plan time). Past this size the foreachBatch ingest
+    * loops — whose batch-form probes push literal partition filters —
+    * are the right tool, and the warning says so. */
+  val MaxStreamStaticIndexRows: Long = 10000000L
+
+  /** The per-band candidate arrays of a band-exploded index,
+    * deterministically capped and MATERIALIZED (`localCheckpoint`) —
+    * the static side of [[noveltyBandedJoin]]'s streaming form, built
+    * ONCE per stream (r15, r14 verdict #3: un-materialized, the
+    * stream-static contract re-executed the distinct+group+collect
+    * shuffle on every micro-batch — O(index·batches); checkpointed,
+    * micro-batches re-read the materialized blocks). StreamingSpec
+    * pins that the returned plan carries no Aggregate — what a
+    * micro-batch re-executes is a block scan. */
+  private[graft] def groupedBandIndex(idx: DataFrame,
+                                      maxBucket: Int): DataFrame = {
+    val grouped = idx.groupBy("band_key")
+      .agg(slice(array_sort(collect_list(col("sig"))), 1, maxBucket)
+        .as("sigs"))
+      .localCheckpoint()
+    val n = grouped.select(sum(size(col("sigs")))).collect()
+      .headOption.flatMap(r => Option(r.get(0)).map(_.toString.toLong))
+      .getOrElse(0L)
+    if (n > MaxStreamStaticIndexRows)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"stream-static novelty probe over $n indexed signatures: every " +
+          "micro-batch re-scans the whole materialized index (no prefix " +
+          "pruning is possible for a stream). Corpus-scale continuous " +
+          "ingest belongs on the foreachBatch ingest loops " +
+          "(startImageNoveltyIngest and siblings), which probe " +
+          "batch-form with literal partition pruning.")
+    grouped
   }
 
   /** [[noveltyBandedJoin]] over a RAW signature index (one signature

@@ -267,5 +267,10 @@ class EmptyInputSpec extends SparkSpec {
       cents, 2).count() === 0)
     assert(Dedup.semanticDedupRp(noVecs, "vec_id", "embedding", cents,
       0.95).count() === 0)
+    // r15: the composed IVF×JL top-k, both sides
+    assert(Similarity.ivfTopKRp(noVecs, someVecs, "vec_id", "embedding",
+      10, cents, 2).count() === 0)
+    assert(Similarity.ivfTopKRp(someVecs, noVecs, "vec_id", "embedding",
+      10, cents, 2).count() === 0)
   }
 }

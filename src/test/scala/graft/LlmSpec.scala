@@ -279,6 +279,28 @@ class LlmSpec extends SparkSpec {
         "embedding", bigCents64, 0.95)
     assert(servedRp.filter(!$"kept").count() == emb.count())
     assert(servedRp.filter(!$"kept" && $"vec_id" < 100000).count() == 0)
+    // r15 (r14 verdict #2): BELOW the wall, wide vectors project too —
+    // serve dispatches to the RP-flat assignment (cell-identical to
+    // semanticDedupRp), while the fullWidth pin reproduces the exact
+    // flat cells; keep/drop agrees across all of them on the
+    // assignment-independent doubled corpus
+    def cellsOf(df: org.apache.spark.sql.DataFrame): Map[Long, Int] =
+      df.select($"vec_id", $"cell").as[(Long, Int)].collect().toMap
+    val cents32 = Similarity.ivfTrain(doubled, "vec_id", "embedding", 32)
+    val servedBelow = Dedup.semanticDedupServe(doubled, "vec_id",
+      "embedding", cents32, 0.95)
+    val rpBelow = Dedup.semanticDedupRp(doubled, "vec_id", "embedding",
+      cents32, 0.95)
+    val flatBelow = Dedup.semanticDedup(doubled, "vec_id", "embedding",
+      cents32, 0.95)
+    val pinnedBelow = Dedup.semanticDedupServe(doubled, "vec_id",
+      "embedding", cents32, 0.95, fullWidth = true)
+    assert(cellsOf(servedBelow) == cellsOf(rpBelow))
+    assert(cellsOf(pinnedBelow) == cellsOf(flatBelow))
+    def keptOf(df: org.apache.spark.sql.DataFrame): Set[(Long, Boolean)] =
+      df.select($"vec_id", $"kept").as[(Long, Boolean)].collect().toSet
+    assert(keptOf(servedBelow) == keptOf(flatBelow))
+    assert(keptOf(pinnedBelow) == keptOf(flatBelow))
   }
 
   test("loop-form assignment equals the unrolled form cell-for-cell") {
@@ -612,6 +634,53 @@ class LlmSpec extends SparkSpec {
       for (alias <- Seq("__graft_rp", "__graft_grp"))
         assert(plan2l.contains(alias),
           s"$alias was collapsed in ivfAssignTwoLevelRp — per-term re-evaluation")
+    } finally old match {
+      case Some(o) => spark.conf.set("spark.sql.adaptive.enabled", o)
+      case None => spark.conf.unset("spark.sql.adaptive.enabled")
+    }
+  }
+
+  test("IVF×JL composed top-k: recall floor, lean rank window, staged projection") {
+    // r15 (r14 verdict #4): ivfTopKRp stacks the IVF cell trade with
+    // the JL shortlist trade; deterministic end-to-end, so the floor is
+    // a fixed number per corpus — measured 0.50 min at
+    // nprobe=16/shortlist=200 on sf0.001 (RpIvfProbe; 0.60 on sf0.01,
+    // the driver's scale; plain IVF at nprobe=12 measures 0.60 here)
+    val cents = Similarity.ivfTrain(emb, "vec_id", "embedding", 32)
+    val q = emb.filter($"vec_id" < 5)
+    val rec = Similarity.ivfRpRecall(emb, q, "vec_id", "embedding", 10,
+        cents, nprobe = 16, shortlist = 200)
+      .select($"recall").as[Double].collect()
+    assert(rec.min >= 0.45, s"min recall ${rec.min} below the floor band")
+    info(s"IVF×JL recall per query: ${rec.mkString(",")}")
+    // shortlist ≥ probed population degenerates to exact-within-cells:
+    // every true neighbor found in a probed cell must surface
+    val full = Similarity.ivfTopKRp(emb, q, "vec_id", "embedding", 10,
+        cents, nprobe = 32, shortlist = 1000000)
+      .select($"query_id", $"vec_id").as[(Long, Long)].collect().toSet
+    val exact = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding",
+        10).select($"query_id", $"vec_id").as[(Long, Long)].collect().toSet
+    assert(full == exact,
+      "all-cell, unbounded-shortlist IVF×JL must equal brute force")
+    // plan pins (the RP conventions): the pcos rank window ships only
+    // (query_id, vec_id, pcos) — never the raw or projected arrays —
+    // and the corpus-side projection stays staged against
+    // CollapseProject (inlined, every per-centroid term re-evaluates it)
+    val old = spark.conf.getOption("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      import org.apache.spark.sql.execution.window.WindowExec
+      import org.apache.spark.sql.types.ArrayType
+      val plan = Similarity.ivfTopKRp(emb, q, "vec_id", "embedding", 10,
+        cents, nprobe = 16, shortlist = 200).queryExecution.executedPlan
+      val pcosWindow = plan.collect { case w: WindowExec => w }
+        .filter(_.child.output.exists(_.name == "pcos"))
+      assert(pcosWindow.nonEmpty)
+      assert(pcosWindow.forall(_.child.output.forall(a =>
+        !a.dataType.isInstanceOf[ArrayType])),
+        "array columns leaked into the rank-window exchange")
+      assert(plan.toString.contains("__graft_rp"),
+        "projection was collapsed into the argmin")
     } finally old match {
       case Some(o) => spark.conf.set("spark.sql.adaptive.enabled", o)
       case None => spark.conf.unset("spark.sql.adaptive.enabled")

@@ -96,7 +96,10 @@ object Sf1Probe {
     // r14: JL random-projection top-k — fixed 5-query broadcast against
     // the corpus in 16-dim projected space; expect ~corpus-linear (the
     // projected scan), the rerank is shortlist-bounded
-    "sim_rp_topk")
+    "sim_rp_topk",
+    // r15: the IVF×JL composed top-k — corpus-linear assignment in the
+    // projected space + cell-pruned candidate scan; expect ~linear
+    "sim_ivf_rp_topk")
 
   def main(args: Array[String]): Unit = {
     val src = "/root/testdata/sf0.1"
@@ -160,11 +163,31 @@ object Sf1Probe {
     def run(name: String, dir: String): Double =
       timeDf(SparkEntry.queries(name)(spark, dir))
     println(f"[sf1] ${"query"}%-22s ${"sf0.1"}%8s ${"sf1"}%8s ${"ratio"}%7s")
-    Queries.filter(q => only.forall(_.exists(q.startsWith))).foreach { q =>
-      val a = run(q, src)
-      val b = run(q, dst)
-      println(f"[sf1] $q%-22s $a%8.2f $b%8.2f ${b / a}%7.1fx")
+    // r15 (r14 verdict #6): `names:a,b,c` runs EXACT query names
+    // straight from SparkEntry.queries — the recurring sf1 mini-board
+    // (tools/sf1_board.py feeds it the top-25-by-cost rows of the
+    // previous round's archived board, so carried rows get re-probed
+    // every round instead of only when suspicion arises). The
+    // prefix-filter form below still serves ad-hoc runs over the
+    // curated attribution list.
+    val exactNames = args.headOption.filter(_.startsWith("names:"))
+      .map(_.stripPrefix("names:").split(",").map(_.trim)
+        .filter(_.nonEmpty).toSeq)
+    exactNames.foreach { names =>
+      names.filterNot(SparkEntry.queries.contains).foreach(n =>
+        println(s"[sf1] UNKNOWN query: $n"))
+      names.filter(SparkEntry.queries.contains).foreach { q =>
+        val a = run(q, src)
+        val b = run(q, dst)
+        println(f"[sf1] $q%-22s $a%8.2f $b%8.2f ${b / a}%7.1fx")
+      }
     }
+    if (exactNames.isEmpty)
+      Queries.filter(q => only.forall(_.exists(q.startsWith))).foreach { q =>
+        val a = run(q, src)
+        val b = run(q, dst)
+        println(f"[sf1] $q%-22s $a%8.2f $b%8.2f ${b / a}%7.1fx")
+      }
 
     // ---- attribution arms (r11 verdict #2): parameter-scaled or
     // component-isolated variants of the superlinear-tail rows. These
@@ -280,6 +303,18 @@ object Sf1Probe {
         graft.llm.Similarity.ivfAssignRp(doubledEmb(dir), "vec_id",
             "embedding", centsBig)
           .groupBy(col("cell")).agg(count(lit(1)).as("n"))),
+      // r15 (r14 verdict #4): the composed IVF×JL TOP-K at large nlist
+      // vs the full-width form — same centroids, same probe budget; the
+      // RP form assigns and scores in 16 dims (nlist·16 + 16·64 vs
+      // nlist·64 multiplies per corpus row) and must win in this regime
+      "sim_ivf_rp_3200" -> ((dir, _) =>
+        graft.llm.Similarity.ivfTopKRp(doubledEmb(dir),
+          doubledEmb(dir).filter(col("vec_id") < 5),
+          "vec_id", "embedding", 10, centsBig, 16, 200)),
+      "sim_ivf_flat_3200" -> ((dir, _) =>
+        graft.llm.Similarity.ivfTopK(doubledEmb(dir),
+          doubledEmb(dir).filter(col("vec_id") < 5),
+          "vec_id", "embedding", 10, centsBig, 16)),
       // r14: two-level COMPOSED with the projection — 2√nlist dots at
       // 16 dims; the regime where even projected flat dots bind
       "dd_assign_2lrp_3200" -> ((dir, _) =>

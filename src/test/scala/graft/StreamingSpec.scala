@@ -1605,6 +1605,28 @@ class StreamingSpec extends SparkSpec {
     assert(batch.nonEmpty && batch.size < media.count())
   }
 
+  test("stream-static novelty index is materialized once — no per-batch aggregation") {
+    // r15 (r14 verdict #3): the static side a micro-batch re-executes
+    // is the CHECKPOINTED per-band array frame — a block scan, never
+    // the distinct+group+collect shuffle (un-materialized, the
+    // stream-static contract re-ran that shuffle every micro-batch:
+    // O(index·batches) across a stream's lifetime)
+    val docs = Tables.load(spark, sf, "documents").limit(60)
+    val banded = graft.llm.Multimodal.bandIndexRows(
+      docs.select(graft.functions.SimHash60(lower($"text")).as("sig")),
+      "sig")
+    val grouped = Events.groupedBandIndex(
+      banded.select($"band_key".cast("long").as("band_key"),
+        $"sig".cast("long").as("sig")).filter($"sig".isNotNull), 4096)
+    import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+    assert(grouped.queryExecution.optimizedPlan.collect {
+        case a: Aggregate => a }.isEmpty,
+      "the stream-static index would re-aggregate per micro-batch")
+    // and the arrays themselves are the capped, sorted candidates
+    assert(grouped.columns.toSet == Set("band_key", "sigs"))
+    assert(grouped.count() > 0)
+  }
+
   test("compactBatchTable bounds ingest partitions; replay and decisions survive") {
     val idxT = "nov_idx_cp"; val sinkT = "nov_sink_cp"
     val idxU = "nov_idx_cu"; val sinkU = "nov_sink_cu"
