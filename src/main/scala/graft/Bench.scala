@@ -115,8 +115,62 @@ object Bench {
     // moves OUTSIDE the sentinel band) mechanically. Convention
     // documented in SURVEY §8.15.
     val sentinelNames = Seq("fn_safe_cast", "fn_datediff", "src_csv_roundtrip")
-    val sentinelJson = results
-      .filter { case (k, _) => sentinelNames.contains(k) }
+    // Per-CLASS sentinels (r15, r14 verdict #1): the three map-only
+    // rows above cannot represent shuffle- or codegen-heavy drift —
+    // dd_semantic elevated ~1.3x across rounds on byte-identical code
+    // while the map sentinels moved ~1.0x (mechanism measured in
+    // BoardOrderProbe: JIT-warmth/compile variance of codegen-heavy
+    // plans, spread 4.75–6.94 s on one box, one code). These two are
+    // FROZEN Bench-internal computations — they never share code with
+    // any SparkEntry query, so they cannot drift with operator work —
+    // timed like board rows (warm-up + min of 2) and reported in the
+    // sentinel block only (never in queries/total, so the oracle and
+    // the board composition are untouched).
+    //  - sentinel_shuffle: a wide-key hash aggregate over lineitem —
+    //    one full shuffle, the exchange-bound class.
+    //  - sentinel_codegen: a 256-way unrolled argmin over the
+    //    embeddings (fixed md5-derived centroid literals) — one big
+    //    generated method per run, the janino/JIT-bound class.
+    val extraSentinels: Seq[(String, (SparkSession, String) => DataFrame)] =
+      Seq(
+        "sentinel_shuffle" -> ((s: SparkSession, dir: String) => {
+          import org.apache.spark.sql.functions._
+          s.read.parquet(s"$dir/lineitem.parquet")
+            .groupBy(col("l_orderkey"))
+            .agg(sum(col("l_quantity")).as("q"),
+              avg(col("l_extendedprice")).as("p"),
+              count(lit(1)).as("n"))
+        }),
+        "sentinel_codegen" -> ((s: SparkSession, dir: String) => {
+          import org.apache.spark.sql.functions._
+          // frozen deterministic centroids — NOT Similarity.rpMatrix or
+          // ivfTrain (those evolve with the library); the formula lives
+          // only here
+          val cents = Array.tabulate(256, 64) { (i, d) =>
+            val h = java.security.MessageDigest.getInstance("MD5")
+              .digest(s"bench:$i:$d".getBytes("UTF-8"))
+            (java.lang.Byte.toUnsignedInt(h(0)) - 128) / 128.0
+          }
+          val scores = array(cents.map { c =>
+            val c2 = c.map(x => x * x).sum
+            graft.functions.DotProduct(col("embedding"),
+              typedLit(c.toSeq)) * -2.0 + lit(c2)
+          }.toIndexedSeq: _*)
+          s.read.parquet(s"$dir/embeddings.parquet")
+            .select((array_position(scores, array_min(scores)) - 1)
+              .as("cell"))
+            .groupBy(col("cell")).agg(count(lit(1)).as("n"))
+        }))
+    val extraSentinelTimes =
+      if (only.isEmpty)
+        extraSentinels.map { case (name, fn) =>
+          once(name, fn) // warm-up, untimed
+          name -> math.min(once(name, fn), once(name, fn))
+        }
+      else Seq.empty
+    val sentinelJson = (results
+      .filter { case (k, _) => sentinelNames.contains(k) } ++
+      extraSentinelTimes)
       .map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val full =

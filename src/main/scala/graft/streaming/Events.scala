@@ -418,7 +418,8 @@ object Events {
     * probes disable the cap here and carry no Window at all (r14). */
   def noveltyBandedJoin(signed: DataFrame, sigCol: String,
                         banded: DataFrame, maxHamming: Int,
-                        maxBucket: Int = DefaultMaxBandBucket)
+                        maxBucket: Int = DefaultMaxBandBucket,
+                        pfxShift: Int = -1)
       : DataFrame = {
     require(maxHamming < 4,
       "4×16-bit band lookup complete only for maxHamming < 4")
@@ -474,9 +475,23 @@ object Events {
       val pruned =
         if (!hasPfx) idx
         else {
+          // the prune shift MUST match the grain the index was written
+          // with (PfxShiftProp — the ingest loop threads it): a
+          // mismatched shift would select the wrong partitions and
+          // silently mark true duplicates novel. A caller who does NOT
+          // know the grain (pfxShift < 0, the default) prunes with the
+          // UNION of every grain the library writes — the stored
+          // values come from exactly one of them, so the union filter
+          // is a superset of the correct selection at either grain
+          // (never a miss; the cost is up to 4 extra literals that may
+          // collide with low fine-grain partitions, a bounded
+          // overshoot, ~4/64 worst case)
+          val shifts =
+            if (pfxShift >= 0) Seq(pfxShift)
+            else Seq(BandPfxShift, TinyIndexPfxShift)
           val pfx = batchSigs
-            .select(explode(array(bandKeyCols(bsig)
-              .map(k => shiftright(k, BandPfxShift)): _*)).as("p"))
+            .select(explode(array(shifts.flatMap(sh =>
+              bandKeyCols(bsig).map(k => shiftright(k, sh))): _*)).as("p"))
             .distinct().collect().map(_.getLong(0))
           if (pfx.isEmpty) idx.filter(lit(false))
           else banded
@@ -1448,12 +1463,42 @@ object Events {
     * maintenance cadence. */
   val BandPfxShift = 12
 
-  /** `band_pfx` of a signature-index band key; commit-marker rows
-    * (NULL band_key) land in their own -1 prefix partition, which no
-    * probe filter ever selects. */
-  private def sigBandPfx(bandKey: Column): Column =
+  /** The COARSE prefix grain for small signature indexes (r15, r14
+    * verdict #5): shift 16 keeps only the band index — 4 prefix
+    * partitions instead of 64. The r14 grain note measured the file
+    * cost of FINE grain (256 prefixes cost +1.7–2.6 s per board row);
+    * the r15 job-level decomposition of `mm_audio_novelty_grow`
+    * found the same tax at the other end: on a TINY index every
+    * create/append still wrote one file per touched prefix of 64 and
+    * paid the dynamic-partition commit + catalog registration for
+    * each, a fixed floor that dominates the trickle regime. Pruning
+    * buys nothing on an index that fits in a few tasks, so grain is
+    * now a PER-TABLE property chosen at create from the seed size
+    * ([[TinyIndexBandedRows]]), recorded under [[PfxShiftProp]], read
+    * back by the ingest loop for appends and probes, and RE-CHOSEN
+    * from the folded size at every compaction — a table that grows
+    * past tiny gets the fine grain (and its pruning) at its next
+    * maintenance fold, the same amortized slot that re-tightens the
+    * cap. */
+  val TinyIndexPfxShift = 16
+
+  /** Banded-row count at or below which a signature index takes the
+    * coarse grain ([[TinyIndexPfxShift]]). Matches the default cap
+    * ([[DefaultMaxBandBucket]]) so the create-time guard's single
+    * limit-count answers both questions. */
+  val TinyIndexBandedRows = 4096
+
+  /** Table property recording a signature index's `band_pfx` grain
+    * (the shift applied to `band_key`); absent on pre-r15 tables,
+    * which read as [[BandPfxShift]]. */
+  val PfxShiftProp = "graft.pfx.shift"
+
+  /** `band_pfx` of a signature-index band key at grain `shift`;
+    * commit-marker rows (NULL band_key) land in their own -1 prefix
+    * partition, which no probe filter ever selects. */
+  private def sigBandPfx(bandKey: Column, shift: Int): Column =
     when(bandKey.isNull, lit(-1L))
-      .otherwise(shiftright(bandKey, BandPfxShift))
+      .otherwise(shiftright(bandKey, shift))
 
   /** `band_pfx` of a MinHash band index's md5-hex band key: the first
     * TWO hex characters — 256 prefix partitions (the string geometry's
@@ -1510,7 +1555,6 @@ object Events {
     spark.sql(s"DROP TABLE IF EXISTS ${quoted(table)}")
     val rows = graft.llm.Multimodal.bandIndexRows(
         seed.select(col(sigCol).cast(LongType).as("sig")), "sig")
-      .withColumn("band_pfx", sigBandPfx(col("band_key")))
       .withColumn("batch_id", lit(-1L))
     // the index IS the capped probe structure (r14, verdict #2): the
     // per-bucket candidate cap is applied AT WRITE TIME — exact
@@ -1534,21 +1578,42 @@ object Events {
     // still save the window's two shuffle stages of job overhead.
     val pinned = rows.persist(
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pfxShift =
     try {
-      val tiny = pinned.limit(maxBucket + 1).count() <= maxBucket
-      val capped = if (tiny) pinned else {
+      // one limit-count answers both guards: cap-skip (≤ maxBucket
+      // banded rows cannot overfill any bucket) and the grain choice
+      // (≤ TinyIndexBandedRows takes the coarse 4-prefix grain — see
+      // TinyIndexPfxShift). A disabled cap (Int.MaxValue) always
+      // skips the window; the count then probes only the grain bound.
+      val guardK = (math.min(
+        math.max(maxBucket.toLong, TinyIndexBandedRows.toLong),
+        Int.MaxValue.toLong - 1) + 1).toInt
+      val n = pinned.limit(guardK).count()
+      val capSkip = maxBucket == Int.MaxValue || n <= maxBucket
+      val shift =
+        if (n <= TinyIndexBandedRows) TinyIndexPfxShift else BandPfxShift
+      val capped = if (capSkip) pinned else {
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy("band_key").orderBy("sig")
         pinned.withColumn("__graft_rn", row_number().over(w))
           .filter(col("__graft_rn") <= maxBucket).drop("__graft_rn")
       }
-      groupForPartitionedWrite(capped, "band_pfx")
+      val withPfx = capped
+        .withColumn("band_pfx", sigBandPfx(col("band_key"), shift))
+      // a tiny seed also skips the pre-write grouping SHUFFLE: one task
+      // writes every touched prefix's file (same file count, no
+      // exchange, no 32 near-empty reduce tasks — r15, the ingest
+      // family's fixed-cost trim; large seeds keep the grouped write)
+      (if (n <= TinyIndexBandedRows) withPfx.coalesce(1)
+       else groupForPartitionedWrite(withPfx, "band_pfx"))
         .write.partitionBy("batch_id", "band_pfx")
         .saveAsTable(table)
+      shift
     } finally pinned.unpersist()
     setTableProps(spark, table,
       Map(IndexKindProp -> "signature",
-        CappedKProp -> maxBucket.toString))
+        CappedKProp -> maxBucket.toString,
+        PfxShiftProp -> pfxShift.toString))
   }
 
   /** Table property on a signature index recording the per-bucket
@@ -1696,6 +1761,25 @@ object Events {
           s"'$other' with batch partitions present — marker-row " +
           "handling for this geometry is undefined; register it here")
     }
+    // r15: the compaction slot also RE-CHOOSES the signature grain
+    // from the folded size ([[TinyIndexPfxShift]]) — a tiny-created
+    // index that grew past the bound gets the fine 64-prefix grain
+    // (and its trickle pruning) here; the probe always reads the
+    // grain from [[PfxShiftProp]], so the switch is invisible to
+    // callers. The limit-count short-circuits and the fold input is
+    // the committed table (deterministic), so the extra evaluation is
+    // one pruned read.
+    val (foldedFinal, propOverride) = kind match {
+      case Some("signature") =>
+        val n = folded.filter(col("sig").isNotNull)
+          .limit(TinyIndexBandedRows + 1).count()
+        val shift =
+          if (n <= TinyIndexBandedRows) TinyIndexPfxShift
+          else BandPfxShift
+        (folded.withColumn("band_pfx", sigBandPfx(col("band_key"), shift)),
+          Map(PfxShiftProp -> shift.toString))
+      case _ => (folded, Map.empty[String, String])
+    }
     val tmp = s"${table}__compact_tmp"
     val backup = s"${table}__compact_backup"
     spark.sql(s"DROP TABLE IF EXISTS ${quoted(tmp)}")
@@ -1707,13 +1791,13 @@ object Events {
     // as one file per non-empty (partition[, bucket]) combo — the
     // compaction IS the answer to append-time file fragmentation
     val grouped = bspec match {
-      case Some(bs) => folded.repartition(
+      case Some(bs) => foldedFinal.repartition(
         meta.partitionColumnNames.map(col) :+
           pmod(hash(bs.bucketColumnNames.map(col): _*),
             lit(bs.numBuckets)): _*)
       case None if meta.partitionColumnNames.nonEmpty =>
-        folded.repartition(meta.partitionColumnNames.map(col): _*)
-      case None => folded
+        foldedFinal.repartition(meta.partitionColumnNames.map(col): _*)
+      case None => foldedFinal
     }
     val w0 = grouped.write.partitionBy(meta.partitionColumnNames: _*)
     val w = bspec match {
@@ -1730,7 +1814,8 @@ object Events {
     // geometry declaration above, the capped index's k) — saveAsTable
     // writes a fresh catalog entry, so carry them onto tmp explicitly
     setTableProps(spark, tmp,
-      tablePropsOf(spark, table).filter(_._1.startsWith("graft.")))
+      tablePropsOf(spark, table).filter(_._1.startsWith("graft.")) ++
+        propOverride)
     graft.mat.PartitionScoped.renameTable(spark, quoted(table),
       quoted(backup))
     graft.mat.PartitionScoped.renameTable(spark, quoted(tmp),
@@ -1845,8 +1930,12 @@ object Events {
     // a CappedKProp-declared index is pre-capped at write time — the
     // probe runs windowless; a raw/pre-r14 table keeps the per-probe
     // cap as a fallback
-    val cappedK = tablePropsOf(spark, indexTable).get(CappedKProp)
-      .map(_.toInt)
+    val idxProps = tablePropsOf(spark, indexTable)
+    val cappedK = idxProps.get(CappedKProp).map(_.toInt)
+    // the table's declared prefix grain (pre-r15 tables: the fixed
+    // BandPfxShift they were written with)
+    val idxPfxShift = idxProps.get(PfxShiftProp).map(_.toInt)
+      .getOrElse(BandPfxShift)
     val idx = spark.table(indexTable)
     // fully-committed replay: the index partition (written last, never
     // empty thanks to the marker row) is the commit record
@@ -1869,8 +1958,9 @@ object Events {
       val novel = (
         if (cappedK.isDefined)
           noveltyBandedJoin(signed, sigCol, idx, maxHamming,
-            maxBucket = Int.MaxValue)
-        else noveltyBandedJoin(signed, sigCol, idx, maxHamming))
+            maxBucket = Int.MaxValue, pfxShift = idxPfxShift)
+        else noveltyBandedJoin(signed, sigCol, idx, maxHamming,
+          pfxShift = idxPfxShift))
         .withColumn("batch_id", lit(batchId))
       if (!spark.catalog.tableExists(sinkTable))
         novel.write.partitionBy("batch_id").saveAsTable(sinkTable)
@@ -1897,20 +1987,34 @@ object Events {
       // compactions a bucket may hold up to k·batches candidates
       // (decisions err strictly TOWARD the uncapped truth);
       // compactBatchTable re-tightens the base to exactly bottom-k.
+      // The create-side tiny guard applies here too (r15, r14 verdict
+      // #5): a contribution with ≤ k banded rows IN TOTAL cannot
+      // overfill any bucket, so the window's shuffle is provably a
+      // no-op and a small batch — the trickle regime, where fixed
+      // per-batch cost IS the bill — skips it. Unlike the create's
+      // caller-supplied seed, the input here derives from the sink
+      // TABLE's committed batch partition (deterministic files), so
+      // the guard-count and the write may legally evaluate it twice —
+      // no persist needed.
       val banded0 = graft.llm.Multimodal.bandIndexRows(sigs, "sig")
+      val tinyAppend = cappedK.exists(k =>
+        banded0.limit(k + 1).count() <= k)
       val banded = cappedK match {
-        case Some(k) =>
+        case Some(k) if !tinyAppend =>
           val wc = org.apache.spark.sql.expressions.Window
             .partitionBy("band_key").orderBy("sig")
           banded0.withColumn("__graft_rn", row_number().over(wc))
             .filter(col("__graft_rn") <= k).drop("__graft_rn")
-        case None => banded0
+        case _ => banded0
       }
       val rows = banded
         .unionByName(marker)
-        .withColumn("band_pfx", sigBandPfx(col("band_key")))
+        .withColumn("band_pfx", sigBandPfx(col("band_key"), idxPfxShift))
         .withColumn("batch_id", lit(batchId))
-      groupForPartitionedWrite(rows, "band_pfx")
+      // a tiny contribution also writes single-task (the create-side
+      // trim): same files, no pre-write exchange
+      (if (tinyAppend) rows.coalesce(1)
+       else groupForPartitionedWrite(rows, "band_pfx"))
         .write.mode("append").partitionBy("batch_id", "band_pfx")
         .saveAsTable(indexTable)
     } finally cached.unpersist()

@@ -70,8 +70,30 @@ object AudioGrowProbe {
       media.unpersist()
       stages.toSeq
     }
+    // job-level attribution: record every job's wall time during the
+    // LAST run so the per-batch cost decomposes into its ~10 jobs
+    val jobs = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Long)]()
+    val starts = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          starts.put(j.jobId, System.nanoTime())
+        override def onJobEnd(
+            j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
+          Option(starts.remove(j.jobId)).foreach(t0 =>
+            jobs.add(j.jobId -> (System.nanoTime() - t0)))
+      })
     oneRun() // warm-up
-    val r1 = oneRun(); val r2 = oneRun()
+    val r1 = oneRun()
+    jobs.clear()
+    val r2 = oneRun()
+    import scala.jdk.CollectionConverters._
+    val js = jobs.asScala.toSeq.sortBy(_._1)
+    println(f"[agp] run2 jobs: ${js.size} total, " +
+      f"sum ${js.map(_._2).sum / 1e9}%.2f s")
+    js.foreach { case (id, ns) =>
+      println(f"[agp]   job $id%3d ${ns / 1e9}%6.3f s") }
     val names = r1.map(_._1)
     println(f"[agp] ${"stage"}%-16s ${"min(2)"}%8s")
     names.zipWithIndex.foreach { case (n, i) =>

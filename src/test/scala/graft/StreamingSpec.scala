@@ -1605,6 +1605,44 @@ class StreamingSpec extends SparkSpec {
     assert(batch.nonEmpty && batch.size < media.count())
   }
 
+  test("signature index grain: tiny create coarse, compaction re-grains, decisions stable") {
+    // r15 (r14 verdict #5): the band_pfx grain is a per-table property
+    // — a tiny seed creates at the coarse 4-prefix grain (the trickle
+    // write/commit floor), the compaction slot re-chooses it from the
+    // folded size, and every probe reads the declared grain, so the
+    // switch never changes a decision
+    val idxT = "grain_idx"; val sinkT = "grain_sink"
+    for (t <- Seq(idxT, sinkT)) spark.sql(s"DROP TABLE IF EXISTS $t")
+    def texts(lo: Int, hi: Int) = spark.range(lo, hi)
+      .select($"id".as("doc_id"), md5(concat(lit("t"), $"id")).as("text"))
+    Events.createSignatureIndex(spark, idxT,
+      texts(0, 50).select(
+        graft.functions.SimHash60(lower($"text")).as("sig")), "sig")
+    def shiftOf = spark.sql(s"SHOW TBLPROPERTIES $idxT").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+      .get(Events.PfxShiftProp)
+    assert(shiftOf.contains(Events.TinyIndexPfxShift.toString))
+    // coarse grain = at most 5 prefix dirs in the seed partition
+    // (4 bands + none for the absent marker)
+    val seedParts = spark.sql(s"SHOW PARTITIONS $idxT").collect()
+      .map(_.getString(0)).count(_.startsWith("batch_id=-1/"))
+    assert(seedParts <= 5, s"coarse-grain seed wrote $seedParts prefixes")
+    // two batches push the banded count far past the grain bound …
+    Events.textNoveltyIngestBatch(texts(50, 1200), 0L, idxT, sinkT)
+    Events.textNoveltyIngestBatch(texts(1200, 2400), 1L, idxT, sinkT)
+    // … so the maintenance fold re-grains to the fine shift
+    Events.compactBatchTable(spark, idxT)
+    assert(shiftOf.contains(Events.BandPfxShift.toString))
+    // decisions survive the re-grain: replayed content is dropped,
+    // fresh content passes (the probe reads the new declared grain)
+    Events.textNoveltyIngestBatch(
+      texts(0, 2400).unionByName(texts(9000, 9050)), 2L, idxT, sinkT)
+    val b2 = spark.table(sinkT).filter($"batch_id" === 2)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(b2 == (9000L until 9050L).toSet)
+    for (t <- Seq(idxT, sinkT)) spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
   test("stream-static novelty index is materialized once — no per-batch aggregation") {
     // r15 (r14 verdict #3): the static side a micro-batch re-executes
     // is the CHECKPOINTED per-band array frame — a block scan, never

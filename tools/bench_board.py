@@ -44,10 +44,39 @@ def main(cur_path: str, prev_path: str) -> None:
         # SAME commit); the sentinels are untouched map-only rows, so
         # their mean ratio estimates the box factor and the normalized
         # figure is the code-attributable movement.
-        mean_sent = sum(c / p for _, c, p in pairs) / len(pairs)
+        # the headline normalization stays on the MAP-ONLY sentinels
+        # (continuity with every prior round's board figure); the class
+        # block below is the finer-grained lens
+        map_pairs = [(k, c, p) for k, c, p in pairs
+                     if not k.startswith("sentinel_")]
+        mean_sent = sum(c / p for _, c, p in map_pairs) / len(map_pairs)
         print(f"normalized    : shared {sc / sp:.3f}x raw / "
               f"{mean_sent:.3f}x sentinel-mean = "
               f"{sc / sp / mean_sent:.3f}x code-attributable")
+        # r15 (r14 verdict #1): per-CLASS drift. The three map-only
+        # sentinels cannot see shuffle- or codegen-heavy drift —
+        # dd_semantic moved ~1.3x across rounds on byte-identical code
+        # while they moved ~1.0x (BoardOrderProbe r15: JIT-warmth/
+        # compile variance spreads a codegen-heavy row 4.75–6.94 s on
+        # one box and one code). Bench now times two FROZEN
+        # bench-internal rows of the missing classes; print each class
+        # ratio so a >2 s codegen-heavy mover can be judged against
+        # the codegen sentinel, not the map mean. Until both archives
+        # carry them, absent classes print as n/a. Cross-round per-row
+        # deltas for >2 s codegen-heavy rows carry ±30% error even
+        # sentinel-normalized — treat single-row movements inside that
+        # band as noise unless they repeat across independent runs.
+        classes = {"map": [k for k, _, _ in pairs
+                           if not k.startswith("sentinel_")],
+                   "shuffle": ["sentinel_shuffle"],
+                   "codegen": ["sentinel_codegen"]}
+        parts = []
+        for cls, names in classes.items():
+            rs = [sent_c[k] / sent_p[k] for k in names
+                  if k in sent_c and k in sent_p]
+            parts.append(f"{cls}={sum(rs) / len(rs):.2f}x"
+                         if rs else f"{cls}=n/a")
+        print("class drift   : " + "  ".join(parts))
     movers = sorted(((qc[k] / qp[k], k) for k in shared
                      if qp[k] > 0.3 and qc[k] / qp[k] > 1.25),
                     reverse=True)

@@ -1,0 +1,47 @@
+#!/usr/bin/env python3
+"""Recurring sf1 mini-board (r15, r14 verdict #6): re-probe the
+top-N-by-cost rows of the previous round's archived board at sf1 every
+round, so a serving-class scaling regression in a CARRIED row is caught
+automatically instead of only when suspicion arises.
+
+Reads the archive, picks the top-N costliest queries (skipping rows
+whose sf1 growth is OUTPUT-bound by construction on the shifted corpus
+— the documented exclusions below), and invokes
+`sbt "Test/runMain graft.Sf1Probe names:..."`. Tee the output to
+test_archive/sf1_board_r{N}.txt and compare round-over-round in SURVEY
+with the sentinel convention (fn_safe_cast / fn_datediff /
+src_csv_roundtrip are always appended as the drift basis).
+
+Usage: tools/sf1_board.py bench_archive/bench_r14.json [N]
+"""
+import json
+import subprocess
+import sys
+
+# rows whose sf1 number measures their OUTPUT growth or a correctness
+# construction, not the operator (curated in Sf1Probe's scaladoc):
+#  - *_novelty_collapse semantic arm is deliberately single-cell (the
+#    oracle construction) — its within-cell quadratic is the documented
+#    worst case, not the production shape
+#  - jw/allpairs expanded forms square clique sizes on the duplicated
+#    corpus by construction (the _reps forms are the scale path and are
+#    probed instead when they make the cut)
+EXCLUDE = {"dd_semantic_novelty_collapse"}
+
+SENTINELS = ["fn_safe_cast", "fn_datediff", "src_csv_roundtrip"]
+
+
+def main(archive: str, n: int = 25) -> None:
+    board = json.load(open(archive))["queries"]
+    top = [k for k, _ in sorted(board.items(), key=lambda kv: -kv[1])
+           if k not in EXCLUDE][:n]
+    names = top + [s for s in SENTINELS if s not in top]
+    print(f"[sf1-board] probing {len(names)} rows: {','.join(names)}",
+          flush=True)
+    subprocess.run(
+        ["sbt", "-batch", f"Test/runMain graft.Sf1Probe names:{','.join(names)}"],
+        check=True)
+
+
+if __name__ == "__main__":
+    main(sys.argv[1], int(sys.argv[2]) if len(sys.argv) > 2 else 25)
