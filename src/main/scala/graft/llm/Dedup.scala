@@ -1780,24 +1780,25 @@ object Dedup {
     * [[graft.llm.Similarity.servingNlist]] rule, dispatched to the
     * cheapest measured assignment for the regime. For vectors wider
     * than [[graft.llm.Similarity.RpDim]], assignment runs in the
-    * JL-projected space at EVERY nlist (r14 verdict #2 — the
-    * below-wall flat arm was the weak scaler at sf1: per-row cost
-    * grows with nlist ∝ corpus, 3.1x on 10x data, and the exactness
-    * it paid for buys nothing the spec-pinned contract needs — pair
-    * co-location, which RP preserves at 1.000 measured):
-    * [[semanticDedupRp]] up to
-    * [[graft.llm.Similarity.MaxUnrolledCentroids]] (r14 probe at
-    * rule-sized nlist: RP-flat 0.25 s vs flat 0.47 s at sf0.1) and
-    * the two-level composition [[semanticDedupRpCoarse]] past it
-    * (r14 probe at nlist=3,200: 0.93 s vs projected-flat 2.68 s,
-    * full-width two-level 3.72 s, flat 8.02 s). Narrow vectors
-    * (dIn ≤ RpDim, where projection can't cut FLOPs) keep exact flat
-    * assignment below the wall and the plain two-level quantizer
-    * above it. All assignments are deterministic. Same keep/drop
-    * contract as [[semanticDedup]]: exact duplicates always
-    * co-locate; boundary near-dups are the standard coarse-quantizer
-    * trade (the JL projection moves cell boundaries — the same
-    * approximation class).
+    * JL-PROJECTED space at EVERY nlist (r14 verdict #2 — the exact
+    * flat arm was the weak scaler at sf1: per-row cost grows with
+    * nlist ∝ corpus, 3.1x on 10x data, and the exactness it paid for
+    * buys nothing the spec-pinned contract needs — pair co-location,
+    * which the projection preserves at 1.000 measured): projected
+    * FLAT assignment ([[semanticDedupRp]] — since r15 a native
+    * constant-code-size argmin, [[graft.functions.NearestCentroid]],
+    * measured 0.14 s vs the two-level composition's 0.80 s at
+    * nlist=3,200, with no janino wall at any nlist) up to
+    * [[MaxFlatServeCentroids]], and the two-level composition
+    * [[semanticDedupRpCoarse]] past it (2·√nlist projected dots per
+    * row — the asymptotic winner once the flat matrix itself is tens
+    * of MB of per-executor state). Narrow vectors (dIn ≤ RpDim,
+    * where projection can't cut FLOPs) take the same flat/two-level
+    * split at full width. All assignments are deterministic. Same
+    * keep/drop contract as [[semanticDedup]]: exact duplicates
+    * always co-locate; boundary near-dups are the standard
+    * coarse-quantizer trade (the JL projection moves cell
+    * boundaries — the same approximation class).
     *
     * Reproducibility pin (r14 ADVICE): the dispatch is a PERFORMANCE
     * choice that can move which boundary-straddling near-dup pairs a
@@ -1817,18 +1818,30 @@ object Dedup {
     * two-level quantizer above it) — the reproducibility escape hatch
     * for callers whose keep/drop output must be stable across library
     * versions; `fullWidth = false` is the default dispatch above. */
+  /** Flat assignment is served natively
+    * ([[graft.functions.NearestCentroid]] — constant code size, child
+    * evaluated once) up to this many centroids; past it the two-level
+    * coarse quantizer takes over (per-row FLOPs 2·√nlist vs nlist —
+    * at the measured regimes the native flat loop wins on constants,
+    * 0.14 s vs 0.80 s at nlist=3,200 on the sf0.1 probe corpus, but
+    * the √nlist split must win asymptotically and 65,536 centroids ×
+    * 64 dims is where the flat matrix reaches ~32 MB of executor
+    * reference state). */
+  val MaxFlatServeCentroids = 65536
+
   def semanticDedupServe(emb: DataFrame, id: String, vec: String,
                          cents: Array[Array[Double]],
                          threshold: Double,
                          fullWidth: Boolean): DataFrame = {
-    val ncoarse = math.max(2, math.round(math.sqrt(cents.length)).toInt)
+    val ncoarse = math.min(cents.length,
+      math.max(2, math.round(math.sqrt(cents.length)).toInt))
     val project = !fullWidth &&
       cents.headOption.exists(_.length > Similarity.RpDim)
-    if (cents.length <= Similarity.MaxUnrolledCentroids)
-      if (project) semanticDedupRp(emb, id, vec, cents, threshold)
-      else semanticDedup(emb, id, vec, cents, threshold)
-    else if (project)
-      semanticDedupRpCoarse(emb, id, vec, cents, ncoarse, threshold)
+    val flat = cents.length <= MaxFlatServeCentroids
+    if (project)
+      if (flat) semanticDedupRp(emb, id, vec, cents, threshold)
+      else semanticDedupRpCoarse(emb, id, vec, cents, ncoarse, threshold)
+    else if (flat) semanticDedup(emb, id, vec, cents, threshold)
     else semanticDedupCoarse(emb, id, vec, cents, ncoarse, threshold)
   }
 

@@ -294,9 +294,28 @@ object Similarity {
     else centroidScoresLoop(vec, centroids)
 
   /** Nearest-centroid cell id (0-based). Ties take the first centroid —
-    * deterministic. Auto-switches to the loop score form past
-    * [[MaxUnrolledCentroids]]. */
-  def nearestCell(vec: Column, centroids: Array[Array[Double]]): Column = {
+    * deterministic. One native codegen'd argmin
+    * ([[graft.functions.NearestCentroid]], r15): generated code is
+    * constant-size at ANY nlist (no unroll/loop switch on this path),
+    * the vector child is evaluated exactly ONCE in every plan
+    * position — the column forms depended on the optimizer keeping a
+    * staged input alias, and under join column-pruning the re-inlined
+    * input was re-evaluated per centroid element by the interpreted
+    * HOF loop (measured 30× on ivfTopKRp's join stage) — and the
+    * centroid matrix rides the references array instead of the plan
+    * (a 3,200×64 matrix embedded as literals cost ~25 MiB of task
+    * binary per stage). Bit-identical cells to the unrolled and loop
+    * column forms (LlmSpec pins all three). */
+  def nearestCell(vec: Column, centroids: Array[Array[Double]]): Column =
+    graft.functions.NearestCentroid(vec, centroids)
+
+  /** The pre-r15 COLUMN-form argmin (unrolled per-centroid scores up
+    * to [[MaxUnrolledCentroids]], loop form past it) — kept for the
+    * three-way equality pin and as the reference semantics of
+    * [[nearestCell]]. */
+  private[graft] def nearestCellColumnForm(vec: Column,
+                                           centroids: Array[Array[Double]])
+      : Column = {
     val s = centroidScores(vec, centroids)
     (array_position(s, array_min(s)) - 1).cast(IntegerType)
   }

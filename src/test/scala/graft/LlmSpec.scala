@@ -246,10 +246,11 @@ class LlmSpec extends SparkSpec {
     assert(Similarity.servingNlist(50) == 1)
     assert(Similarity.servingNlist(1280000) == 10000)
     assert(Similarity.servingNlist(1000, targetCell = 100) == 10)
-    // dispatch: past MaxUnrolledCentroids the serve entry point runs the
-    // two-level assignment — on an exact-copy corpus (copies co-locate
-    // under ANY deterministic assignment; the far-apart bases never
-    // reach 0.95) both paths keep exactly the min id per copy group
+    // dispatch: since r15 the native argmin serves flat assignment up
+    // to MaxFlatServeCentroids at any width — on an exact-copy corpus
+    // (copies co-locate under ANY deterministic assignment; the
+    // far-apart bases never reach 0.95) every dispatch arm keeps
+    // exactly the min id per copy group
     val dim = 8
     val bases = (0 until 6).map(b =>
       Array.tabulate(dim)(d => if (d == b) 1.0 else 0.0))
@@ -279,18 +280,21 @@ class LlmSpec extends SparkSpec {
         "embedding", bigCents64, 0.95)
     assert(servedRp.filter(!$"kept").count() == emb.count())
     assert(servedRp.filter(!$"kept" && $"vec_id" < 100000).count() == 0)
-    // r15 (r14 verdict #2): BELOW the wall, wide vectors project too —
-    // serve dispatches to the RP-flat assignment (cell-identical to
-    // semanticDedupRp), while the fullWidth pin reproduces the exact
-    // flat cells; keep/drop agrees across all of them on the
-    // assignment-independent doubled corpus
+    // r15 (r14 verdict #2): wide vectors project at EVERY nlist —
+    // serve dispatches to the projected FLAT assignment (native
+    // NearestCentroid argmin — constant code size, so no janino wall;
+    // the r15 first cut dispatched the UNROLLED projected column form
+    // and the sf1 rule arm at 781 centroids failed codegen outright),
+    // cell-identical to semanticDedupRp, while the fullWidth pin
+    // reproduces the exact flat cells; keep/drop agrees across all of
+    // them on the assignment-independent doubled corpus
     def cellsOf(df: org.apache.spark.sql.DataFrame): Map[Long, Int] =
       df.select($"vec_id", $"cell").as[(Long, Int)].collect().toMap
     val cents32 = Similarity.ivfTrain(doubled, "vec_id", "embedding", 32)
     val servedBelow = Dedup.semanticDedupServe(doubled, "vec_id",
       "embedding", cents32, 0.95)
-    val rpBelow = Dedup.semanticDedupRp(doubled, "vec_id", "embedding",
-      cents32, 0.95)
+    val rpBelow = Dedup.semanticDedupRp(doubled, "vec_id",
+      "embedding", cents32, 0.95)
     val flatBelow = Dedup.semanticDedup(doubled, "vec_id", "embedding",
       cents32, 0.95)
     val pinnedBelow = Dedup.semanticDedupServe(doubled, "vec_id",
@@ -306,13 +310,19 @@ class LlmSpec extends SparkSpec {
   test("loop-form assignment equals the unrolled form cell-for-cell") {
     // the forms share the exact score arithmetic (same DotProduct
     // expression per element, same first-min tie rule), so the
-    // assignment must be BIT-equal — this is what lets nearestCell /
-    // ivfAssignTwoLevel auto-switch past MaxUnrolledCentroids without
-    // changing any caller's semantics
+    // assignment must be BIT-equal — this is what lets the native
+    // expression (r15) / ivfAssignTwoLevel's auto-switch stand in for
+    // the unrolled form without changing any caller's semantics.
+    // Three-way: native (nearestCell) == unrolled column form ==
+    // loop column form.
     val cents = Similarity.ivfTrain(emb, "vec_id", "embedding", 32)
     val flatCells = emb.select($"vec_id",
         Similarity.nearestCell($"embedding", cents).as("cell"))
       .as[(Long, Int)].collect().toMap
+    val columnCells = emb.select($"vec_id",
+        Similarity.nearestCellColumnForm($"embedding", cents).as("cell"))
+      .as[(Long, Int)].collect().toMap
+    assert(flatCells == columnCells)
     val loopCells = emb.select($"vec_id",
         Similarity.nearestCellLoop($"embedding", cents).as("cell"))
       .as[(Long, Int)].collect().toMap
@@ -614,14 +624,18 @@ class LlmSpec extends SparkSpec {
       assert(pcosWindow.forall(_.child.output.forall(a =>
         !a.dataType.isInstanceOf[ArrayType])),
         "raw vector columns leaked into the rank-window exchange")
-      // (b) ivfAssignRp must STAGE the projection: inlined into the
-      // per-centroid argmin it re-evaluates nlist times (the measured
-      // 4× loss) — the staged alias surviving CollapseProject is the pin
+      // (b) ivfAssignRp's argmin must be the NATIVE expression (r15):
+      // the column forms depended on the staged __graft_rp alias
+      // surviving CollapseProject, and under join column-pruning the
+      // optimizer re-inlined it into the interpreted HOF loop —
+      // per-centroid re-evaluation (the measured 30× ivfTopKRp join
+      // stage). The native NearestCentroid evaluates its child once
+      // in every plan position, so the pin is its presence.
       val cents = Similarity.ivfTrain(emb, "vec_id", "embedding", 32)
       val assignPlan = Similarity.ivfAssignRp(emb, "vec_id", "embedding",
         cents).queryExecution.executedPlan.toString
-      assert(assignPlan.contains("__graft_rp"),
-        "projection was collapsed into the argmin — per-centroid re-evaluation")
+      assert(assignPlan.contains("graft_nearest_centroid"),
+        "flat RP assignment is not the native argmin expression")
       // ... and the two-level composed form (the serve DEFAULT past the
       // wall) must stage the projection and the group — both referenced
       // more than once downstream, so collapsing either re-evaluates

@@ -68,6 +68,11 @@ class PlanAuditSpec extends SparkSpec {
   //    bounded-query-broadcast class as sim_bruteforce_topk.
   //  - sim_rp_topk: candidate ranking in the JL-projected space — the
   //    same bounded-query broadcast, just over 16-dim projections.
+  //  - sim_ivf_rp_topk: the composed IVF×JL row's recall gate runs
+  //    bruteForceTopK in-query (the sim_ivf_topk pattern) — the BNLJ
+  //    is the baseline's bounded-query broadcast, not the serving
+  //    path's (ivfTopKRp itself joins equi on cell; LlmSpec pins its
+  //    plan shapes).
   private val bnljWhitelist = Set(
     "q22_dormant_value", "dd_allpairs", "dd_allpairs_join",
     "dd_tfidf_pairs", "dd_tfidf_join", "dd_containment",
@@ -75,7 +80,7 @@ class PlanAuditSpec extends SparkSpec {
     "dd_containment_join", "dd_source_overlap", "ta_drift",
     "sim_bruteforce_topk", "sim_sq8_topk", "sim_pq_topk",
     "sim_ivfpq_topk", "sim_ivf_topk", "sim_ivf_multiassign",
-    "sim_rp_topk")
+    "sim_rp_topk", "sim_ivf_rp_topk")
 
   test("no BroadcastNestedLoopJoin outside the whitelisted sites") {
     val offenders = planQueries.flatMap { name =>
