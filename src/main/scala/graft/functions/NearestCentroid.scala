@@ -37,11 +37,21 @@ import org.apache.spark.sql.types._
   * (null dot → null score → null array_min) and yields NULL here
   * too. */
 case class NearestCentroid(child: Expression,
-                           centroids: Seq[Seq[Double]])
+                           centroids: Seq[Seq[Double]],
+                           projection: Option[Seq[Seq[Double]]] = None)
     extends UnaryExpression {
   require(centroids.nonEmpty, "centroid matrix is empty")
   require(centroids.forall(_.length == centroids.head.length),
     "centroid rows must share one dimension")
+  // with a projection, the centroids are in the PROJECTED space:
+  // row count of the projection = centroid dimension
+  projection.foreach { m =>
+    require(m.nonEmpty && m.forall(_.length == m.head.length),
+      "projection rows must share one dimension")
+    require(m.length == centroids.head.length,
+      s"projection emits ${m.length} dims but centroids have " +
+        s"${centroids.head.length}")
+  }
 
   private def elemType: DataType =
     child.dataType.asInstanceOf[ArrayType].elementType
@@ -65,6 +75,8 @@ case class NearestCentroid(child: Expression,
     centroids.map(_.toArray).toArray
   @transient private lazy val c2s: Array[Double] =
     centroids.map(_.map(x => x * x).sum).toArray
+  @transient private lazy val projM: Array[Array[Double]] =
+    projection.map(_.map(_.toArray).toArray).orNull
 
   private def get(a: ArrayData, t: DataType, i: Int): Double = t match {
     case FloatType => a.getFloat(i).toDouble
@@ -79,16 +91,39 @@ case class NearestCentroid(child: Expression,
   override def nullSafeEval(v: Any): Any = {
     val a = v.asInstanceOf[ArrayData]
     val t = elemType
-    val dim = cents.head.length
-    val n = math.min(a.numElements(), dim)
+    // with a fused projection, the INPUT dimension is the projection
+    // row length (the [[graft.llm.Similarity.rpProject]] rule: dot
+    // over the shorter of vector and projection row); without, the
+    // centroid dimension bounds the read
+    val inDim =
+      if (projM != null) projM(0).length else cents.head.length
+    val nIn = math.min(a.numElements(), inDim)
     var i = 0
-    while (i < n) {
+    while (i < nIn) {
       if (a.isNullAt(i)) return null
       i += 1
     }
-    val vec = new Array[Double](n)
+    val raw = new Array[Double](nIn)
     i = 0
-    while (i < n) { vec(i) = get(a, t, i); i += 1 }
+    while (i < nIn) { raw(i) = get(a, t, i); i += 1 }
+    // projected form: vec = M·raw (left-to-right double accumulation
+    // per component — bit-identical to rpProject's DotProduct rows)
+    val vec =
+      if (projM == null) raw
+      else {
+        val out = new Array[Double](projM.length)
+        var tIdx = 0
+        while (tIdx < projM.length) {
+          val row = projM(tIdx)
+          var acc = 0.0
+          var k = 0
+          while (k < nIn) { acc += raw(k) * row(k); k += 1 }
+          out(tIdx) = acc
+          tIdx += 1
+        }
+        out
+      }
+    val n = math.min(vec.length, cents.head.length)
     var best = Double.NaN
     var bestIdx = -1
     var j = 0
@@ -124,10 +159,15 @@ case class NearestCentroid(child: Expression,
       val centsRef = ctx.addReferenceObj("cents", cents,
         "double[][]")
       val c2Ref = ctx.addReferenceObj("c2s", c2s, "double[]")
+      val projRef =
+        if (projM == null) null
+        else ctx.addReferenceObj("projM", projM, "double[][]")
+      val nIn = ctx.freshName("nIn")
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val j = ctx.freshName("j")
       val k = ctx.freshName("k")
+      val raw = ctx.freshName("raw")
       val vec = ctx.freshName("vec")
       val acc = ctx.freshName("acc")
       val score = ctx.freshName("score")
@@ -135,20 +175,35 @@ case class NearestCentroid(child: Expression,
       val bestIdx = ctx.freshName("bestIdx")
       val c = ctx.freshName("c")
       val poisoned = ctx.freshName("poisoned")
+      val inDimExpr =
+        if (projRef == null) s"$centsRef[0].length"
+        else s"$projRef[0].length"
+      val project =
+        if (projRef == null) s"double[] $vec = $raw;\nint $n = $nIn;"
+        else
+          s"""double[] $vec = new double[$projRef.length];
+             |for (int $j = 0; $j < $projRef.length; $j++) {
+             |  double $acc = 0.0;
+             |  for (int $k = 0; $k < $nIn; $k++) {
+             |    $acc += $raw[$k] * $projRef[$j][$k];
+             |  }
+             |  $vec[$j] = $acc;
+             |}
+             |int $n = $vec.length;""".stripMargin
       s"""
-         |int $n = java.lang.Math.min($v.numElements(),
-         |  $centsRef[0].length);
+         |int $nIn = java.lang.Math.min($v.numElements(), $inDimExpr);
          |boolean $poisoned = false;
-         |for (int $i = 0; $i < $n; $i++) {
+         |for (int $i = 0; $i < $nIn; $i++) {
          |  if ($v.isNullAt($i)) { $poisoned = true; break; }
          |}
          |if ($poisoned) {
          |  ${ev.isNull} = true;
          |} else {
-         |  double[] $vec = new double[$n];
-         |  for (int $i = 0; $i < $n; $i++) {
-         |    $vec[$i] = ${genGet(elemType, v, i)};
+         |  double[] $raw = new double[$nIn];
+         |  for (int $i = 0; $i < $nIn; $i++) {
+         |    $raw[$i] = ${genGet(elemType, v, i)};
          |  }
+         |  $project
          |  double $best = Double.NaN;
          |  int $bestIdx = -1;
          |  for (int $j = 0; $j < $centsRef.length; $j++) {
@@ -180,4 +235,18 @@ object NearestCentroid {
     GraftColumnBridge.column(NearestCentroid(
       GraftColumnBridge.expression(vec),
       centroids.map(_.toSeq).toSeq))
+
+  /** Argmin with the JL projection FUSED into the expression: the raw
+    * vector is read once, projected (`projection` rows ·raw, the
+    * [[graft.llm.Similarity.rpProject]] arithmetic, bit-identical),
+    * and scored against the PROJECTED `centroids` — no intermediate
+    * projected-array column exists in the plan at all (r15: the
+    * staged CreateArray-of-dots projection measured ~30 µs/row —
+    * 10× the fused argmin itself — once the argmin went native). */
+  def projected(vec: Column, centroids: Array[Array[Double]],
+                projection: Array[Array[Double]]): Column =
+    GraftColumnBridge.column(NearestCentroid(
+      GraftColumnBridge.expression(vec),
+      centroids.map(_.toSeq).toSeq,
+      Some(projection.map(_.toSeq).toSeq)))
 }

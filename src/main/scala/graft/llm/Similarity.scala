@@ -438,19 +438,21 @@ object Similarity {
   def ivfAssignRp(corpus: DataFrame, id: String, vec: String,
                   centroids: Array[Array[Double]],
                   dOut: Int = RpDim): DataFrame = {
-    requireUnreserved(corpus, "ivfAssignRp", "__graft_rp")
     val dIn = centroids.headOption.map(_.length).getOrElse(Dim)
-    // the projection MUST be materialized as its own column before the
-    // argmin: inlined, every per-centroid distance term re-evaluates
-    // the 16-dot projection and the FLOP "cut" becomes a ~nlist×
-    // blow-up (measured: 43 s vs flat's 10 s at nlist=3,200 — the
-    // probe that caught it). As a multiply-referenced non-cheap alias
-    // the projection survives CollapseProject, so codegen evaluates it
-    // once per row into a local.
-    corpus.withColumn("__graft_rp", rpProject(col(vec), dOut, dIn))
-      .select(col(id), col(vec),
-        nearestCell(col("__graft_rp"),
-          rpProjectCentroids(centroids, dOut)).as("cell"))
+    // the projection is FUSED into the native argmin (r15): the r14
+    // staged-column form (rpProject as a multiply-referenced alias)
+    // depended on the optimizer keeping the alias — and even staged,
+    // the CreateArray-of-dots projection measured ~30 µs/row, 10× the
+    // native argmin itself. The fused expression reads the raw vector
+    // once, projects into a stack array, and argmins — no projected
+    // column exists in the plan at all, so there is nothing for
+    // ColumnPruning to inline or re-evaluate. Bit-identical cells to
+    // the staged form (same left-to-right dots; LlmSpec pins the
+    // composition).
+    corpus.select(col(id), col(vec),
+      graft.functions.NearestCentroid.projected(col(vec),
+        rpProjectCentroids(centroids, dOut),
+        rpMatrix(dOut, dIn)).as("cell"))
   }
 
   /** Serving-mode nlist SIZING RULE (r13 verdict #4 — previously SURVEY
