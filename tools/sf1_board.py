@@ -26,7 +26,13 @@ import sys
 #  - jw/allpairs expanded forms square clique sizes on the duplicated
 #    corpus by construction (the _reps forms are the scale path and are
 #    probed instead when they make the cut)
-EXCLUDE = {"dd_semantic_novelty_collapse"}
+EXCLUDE = {"dd_semantic_novelty_collapse",
+           # measured r15: 57x/71x on the shifted corpus — output-bound
+           # by construction (each text/name repeats 10x, pair output
+           # grows ~100x); the _reps siblings are the scale path and
+           # make the cut on their own cost
+           "dd_allpairs_join", "op_jw_cross", "op_jw_join",
+           "dd_tfidf_pairs"}
 
 SENTINELS = ["fn_safe_cast", "fn_datediff", "src_csv_roundtrip"]
 
