@@ -26,16 +26,11 @@ import org.apache.spark.sql.types._
   */
 object Similarity {
 
-  /** Loud reject when a caller frame already carries a column name an
-    * assignment path fabricates — EVERY fabricated name, not just the
-    * first (r14 ADVICE: ivfAssignTwoLevelRp reserved only __graft_rp
-    * while also fabricating __graft_super/__graft_grp, so a collision
-    * on those surfaced as a confusing ambiguity error instead). */
-  private def requireUnreserved(df: DataFrame, op: String,
-                                names: String*): Unit =
-    names.filter(df.columns.contains).foreach(c =>
-      throw new IllegalArgumentException(
-        s"column name $c is reserved by $op"))
+  // r14 ADVICE asked for complete reserved-name rejects on the
+  // assignment entry points (they fabricated __graft_rp/__graft_super/
+  // __graft_grp); r15 resolves it structurally — the native argmin
+  // expressions fabricate NO columns at all, so there is nothing to
+  // reserve.
 
   /** Exact cosine top-k. `queries` should be small (it is broadcast). */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, id: String,
@@ -551,35 +546,12 @@ object Similarity {
     (keep.map(coarse).toArray, keep.map(groups).toArray)
   }
 
-  /** The group-local argmin given an ALREADY-COMPUTED super-cell id —
-    * the second level of the two-level assignment. Kept separate from
-    * the super-cell expression on purpose: inlining `nearestCell(vec,
-    * coarse)` into every when-condition re-evaluates it per branch
-    * (Catalyst's subexpression elimination does not hoist across
-    * conditional branches — measured: the fused form ran SLOWER than
-    * the flat nlist-dot argmin), so the caller must materialize the
-    * super-cell in its own projection first. A NULL super-cell (null
-    * embedding) yields a NULL cell id, matching the flat
-    * [[nearestCell]]/[[ivfAssign]] path — the fold seed handles it, so
-    * null vectors never collect in a sentinel cell. */
-  private def cellWithinSuper(vec: Column, sup: Column,
-                              centroids: Array[Array[Double]],
-                              members: Array[Array[Int]]): Column =
-  {
-    val ladder = members.indices.foldLeft(lit(-1): Column) { (acc, g) =>
-      val mem = members(g)
-      val s = centroidScores(vec, mem.map(centroids))
-      val local = array_position(s, array_min(s)).cast(IntegerType)
-      when(sup === g,
-        element_at(typedLit(mem.toSeq), local)).otherwise(acc)
-    }
-    // the null guard wraps the ladder ONCE at the top — measured: the
-    // r13 first cut seeded the fold with this when() instead, and the
-    // innermost-branch placement DOUBLED the assignment cost
-    // (dd_semantic_coarse 2.5 → 5.2 s); the outer form is one extra
-    // comparison per row
-    when(sup.isNull, lit(null).cast(IntegerType)).otherwise(ladder)
-  }
+  // (r15: the unrolled when-ladder second level — cellWithinSuper —
+  // is gone; the native TwoLevelNearestCentroid is the serving form
+  // and the loop composition ivfAssignTwoLevelLoop remains as the
+  // reference semantics for its equality pin. The ladder's measured
+  // lessons — no cross-branch subexpression hoisting, null-guard
+  // placement — are recorded in SURVEY §8.19/§8.22.)
 
   /** Two-level nearest-cell id as one Column — convenience form;
     * prefer [[ivfAssignTwoLevel]], which stages the super-cell in its
@@ -595,15 +567,11 @@ object Similarity {
   def nearestCellTwoLevel(vec: Column, centroids: Array[Array[Double]],
                           coarse: Array[Array[Double]],
                           members: Array[Array[Int]]): Column =
-    if (centroids.length <= MaxUnrolledCentroids)
-      cellWithinSuper(vec, nearestCell(vec, coarse), centroids, members)
-    else
-      // loop form inline (no projection to stage into, so the group
-      // lookup — and through it the ncoarse-dot super argmin — is
-      // evaluated once per reference; prefer ivfAssignTwoLevel, which
-      // stages both)
-      cellInGroupLoop(vec, element_at(memberGroupsLit(centroids, members),
-        nearestCell(vec, coarse) + 1))
+    // one native expression (r15) — same cells as the column
+    // compositions (the equality pins), constant code size, input
+    // evaluated once in every plan position
+    graft.functions.TwoLevelNearestCentroid(vec, coarse, members,
+      centroids)
 
   /** The group-local argmin in LOOP form: the member groups live in
     * one literal array-of-arrays of (global cell id, weights, |c|²)
@@ -645,23 +613,15 @@ object Similarity {
   def ivfAssignTwoLevel(corpus: DataFrame, id: String, vec: String,
                         centroids: Array[Array[Double]],
                         ncoarse: Int): DataFrame = {
-    requireUnreserved(corpus, "ivfAssignTwoLevel",
-      "__graft_super", "__graft_grp")
     val (coarse, members) = coarseCentroids(centroids, ncoarse)
-    val staged = corpus
-      .select(col(id), col(vec),
-        nearestCell(col(vec), coarse).as("__graft_super"))
-    if (centroids.length <= MaxUnrolledCentroids)
-      staged.select(col(id), col(vec),
-        cellWithinSuper(col(vec), col("__graft_super"), centroids,
-          members).as("cell"))
-    else
-      staged
-        .select(col(id), col(vec),
-          element_at(memberGroupsLit(centroids, members),
-            col("__graft_super") + 1).as("__graft_grp"))
-        .select(col(id), col(vec),
-          cellInGroupLoop(col(vec), col("__graft_grp")).as("cell"))
+    // one native expression (r15 — TwoLevelNearestCentroid): super
+    // argmin + group argmin in a single codegen'd pass, constant code
+    // size in ncoarse and nlist, child evaluated once in every plan
+    // position. Bit-identical cells to the staged column composition
+    // (kept as ivfAssignTwoLevelLoop for the LlmSpec pin).
+    corpus.select(col(id), col(vec),
+      graft.functions.TwoLevelNearestCentroid(col(vec), coarse,
+        members, centroids).as("cell"))
   }
 
   /** [[ivfAssignTwoLevel]] COMPOSED with the JL projection
@@ -680,8 +640,28 @@ object Similarity {
                           centroids: Array[Array[Double]],
                           ncoarse: Int,
                           dOut: Int = RpDim): DataFrame = {
-    requireUnreserved(corpus, "ivfAssignTwoLevelRp",
-      "__graft_rp", "__graft_super", "__graft_grp")
+    val dIn = centroids.headOption.map(_.length).getOrElse(Dim)
+    val pcents = rpProjectCentroids(centroids, dOut)
+    val (coarse, members) = coarseCentroids(pcents, ncoarse)
+    // the full 100 TB serving shape — project, super argmin, group
+    // argmin — as ONE native expression (r15): no staged columns, no
+    // interpreted HOF loops, nothing for join pruning to re-inline;
+    // bit-identical cells to the staged column composition (the
+    // ivfAssignTwoLevelLoop pin).
+    corpus.select(col(id), col(vec),
+      graft.functions.TwoLevelNearestCentroid.projected(col(vec),
+        coarse, members, pcents, rpMatrix(dOut, dIn)).as("cell"))
+  }
+
+  /** The pre-r15 STAGED COLUMN composition of [[ivfAssignTwoLevelRp]]
+    * — kept as the reference semantics for the native expression's
+    * equality pin (LlmSpec: native == staged cell-for-cell). */
+  private[graft] def ivfAssignTwoLevelRpStaged(corpus: DataFrame,
+                                               id: String, vec: String,
+                                               centroids: Array[Array[Double]],
+                                               ncoarse: Int,
+                                               dOut: Int = RpDim)
+      : DataFrame = {
     val dIn = centroids.headOption.map(_.length).getOrElse(Dim)
     val pcents = rpProjectCentroids(centroids, dOut)
     val (coarse, members) = coarseCentroids(pcents, ncoarse)

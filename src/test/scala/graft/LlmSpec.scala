@@ -334,6 +334,16 @@ class LlmSpec extends SparkSpec {
       .ivfAssignTwoLevelLoop(emb, "vec_id", "embedding", cents, 6)
       .select($"vec_id", $"cell").as[(Long, Int)].collect().toMap
     assert(tl == tlLoop)
+    // r15: the native PROJECTED two-level expression equals the staged
+    // column composition cell-for-cell (same projection dots, same
+    // two argmins, same global-id mapping)
+    val tlRp = Similarity
+      .ivfAssignTwoLevelRp(emb, "vec_id", "embedding", cents, 6)
+      .select($"vec_id", $"cell").as[(Long, Int)].collect().toMap
+    val tlRpStaged = Similarity
+      .ivfAssignTwoLevelRpStaged(emb, "vec_id", "embedding", cents, 6)
+      .select($"vec_id", $"cell").as[(Long, Int)].collect().toMap
+    assert(tlRp == tlRpStaged)
     // NULL embedding → NULL cell on the loop paths too
     val withNull = emb.select($"vec_id", $"embedding").limit(3)
       .unionByName(Seq((999999L, Option.empty[Seq[Double]]))
@@ -636,18 +646,13 @@ class LlmSpec extends SparkSpec {
         cents).queryExecution.executedPlan.toString
       assert(assignPlan.contains("graft_nearest_centroid"),
         "flat RP assignment is not the native argmin expression")
-      // ... and the two-level composed form (the serve DEFAULT past the
-      // wall) must stage the projection and the group — both referenced
-      // more than once downstream, so collapsing either re-evaluates
-      // the 16-dot projection / the group literal lookup per term.
-      // (__graft_super is referenced exactly ONCE — as element_at's
-      // index — so CollapseProject legitimately inlines it; evaluated
-      // once per row either way.)
+      // ... and the two-level composed form is likewise the native
+      // expression (r15) — the staged column composition's aliases
+      // are gone from the plan entirely
       val plan2l = Similarity.ivfAssignTwoLevelRp(emb, "vec_id",
         "embedding", cents, 6).queryExecution.executedPlan.toString
-      for (alias <- Seq("__graft_rp", "__graft_grp"))
-        assert(plan2l.contains(alias),
-          s"$alias was collapsed in ivfAssignTwoLevelRp — per-term re-evaluation")
+      assert(plan2l.contains("graft_nearest_centroid_2l"),
+        "two-level RP assignment is not the native expression")
     } finally old match {
       case Some(o) => spark.conf.set("spark.sql.adaptive.enabled", o)
       case None => spark.conf.unset("spark.sql.adaptive.enabled")
