@@ -35,7 +35,19 @@ import org.apache.spark.sql.types._
   * NaN-greatest ordering). A NULL vector yields NULL; a null ELEMENT
   * within the compared range poisons every score in the unrolled form
   * (null dot → null score → null array_min) and yields NULL here
-  * too. */
+  * too.
+  *
+  * INTENTIONAL divergence on all-NaN scores (a NaN element in the
+  * input vector makes every centroid's score NaN): this expression
+  * returns NULL — there is no nearest centroid — while the column
+  * form's `array_position(s, array_min(s))` returns cell 0 under
+  * Spark's NaN-equals/NaN-greatest semantics (array_min of an
+  * all-NaN array is NaN, and array_position finds it at slot 1).
+  * "Assigned to cell 0" is an arbitrary artifact of NaN ordering,
+  * not a meaningful assignment, so NULL is the deliberate contract;
+  * the LlmSpec cell-for-cell equality pin therefore covers NaN-free
+  * inputs only (the trained-embedding corpora it runs on). Same rule
+  * in [[TwoLevelNearestCentroid]]. */
 case class NearestCentroid(child: Expression,
                            centroids: Seq[Seq[Double]],
                            projection: Option[Seq[Seq[Double]]] = None)

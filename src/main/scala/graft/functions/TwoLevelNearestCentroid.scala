@@ -28,7 +28,11 @@ import org.apache.spark.sql.types._
   * dot·(−2)+Σc² with left-to-right double dots, both argmins keep the
   * FIRST minimum (NaN never less), the returned id is the GLOBAL
   * centroid index of the group-local winner, and a NULL vector or a
-  * null element within the compared range yields NULL. */
+  * null element within the compared range yields NULL. All-NaN
+  * scores (a NaN input element) return NULL here, intentionally
+  * diverging from the column form's arbitrary cell-0 artifact — see
+  * [[NearestCentroid]]'s NaN note; the equality pin covers NaN-free
+  * inputs only. */
 case class TwoLevelNearestCentroid(child: Expression,
                                    coarse: Seq[Seq[Double]],
                                    members: Seq[Seq[Int]],

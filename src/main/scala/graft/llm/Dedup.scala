@@ -1612,6 +1612,18 @@ object Dedup {
     round(dot(a, b) / sqrt(dot(a, a) * dot(b, b)), 6)
   }
 
+  /** [[cosine]] with the zero-norm pole made a VALUE: `try_divide`
+    * returns NULL where a zero divisor (a zero-norm vector — its
+    * cosine is undefined) would be an ANSI DIVIDE_BY_ZERO error;
+    * every non-degenerate pair computes the bit-identical division.
+    * A NULL similarity passes no threshold, so in a similarity
+    * filter a zero vector is "not a duplicate of anything" — the
+    * only self-consistent reading of an undefined angle. */
+  def cosineZeroSafe(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column): Column = graft.functions.DotProduct(x, y)
+    round(try_divide(dot(a, b), sqrt(dot(a, a) * dot(b, b))), 6)
+  }
+
   /** Near-duplicate pairs by embedding cosine over a candidate pair list. */
   def cosineOnPairs(emb: DataFrame, pairs: DataFrame, id: String,
                     vec: String, threshold: Double): DataFrame = {
@@ -1812,12 +1824,6 @@ object Dedup {
                          threshold: Double): DataFrame =
     semanticDedupServe(emb, id, vec, cents, threshold, fullWidth = false)
 
-  /** [[semanticDedupServe]] with the assignment family pinned:
-    * `fullWidth = true` never projects (exact flat assignment below
-    * [[graft.llm.Similarity.MaxUnrolledCentroids]], the full-width
-    * two-level quantizer above it) — the reproducibility escape hatch
-    * for callers whose keep/drop output must be stable across library
-    * versions; `fullWidth = false` is the default dispatch above. */
   /** Flat assignment is served natively
     * ([[graft.functions.NearestCentroid]] — constant code size, child
     * evaluated once) up to this many centroids; past it the two-level
@@ -1829,6 +1835,18 @@ object Dedup {
     * reference state). */
   val MaxFlatServeCentroids = 65536
 
+  /** [[semanticDedupServe]] with the assignment family pinned:
+    * `fullWidth = true` never projects — exact FULL-WIDTH assignment,
+    * flat below [[MaxFlatServeCentroids]] and the full-width two-level
+    * quantizer past it (the same flat/two-level split as the default
+    * dispatch, just without the JL projection). The pin is the
+    * reproducibility escape hatch for callers whose keep/drop output
+    * must be stable across library versions — stable from r15 onward,
+    * when the flat bound became [[MaxFlatServeCentroids]]; pre-r15
+    * releases dispatched the two-level quantizer for nlist in
+    * (MaxUnrolledCentroids, 65536], so runs from THOSE versions at
+    * such nlist are not reproduced bit-for-bit by this overload.
+    * `fullWidth = false` is the default dispatch documented above. */
   def semanticDedupServe(emb: DataFrame, id: String, vec: String,
                          cents: Array[Array[Double]],
                          threshold: Double,
@@ -1846,9 +1864,110 @@ object Dedup {
   }
 
   /** Within-cell min-id greedy dedup over an ASSIGNED frame — the
-    * shared tail of the semanticDedup family. */
+    * shared tail of the semanticDedup family.
+    *
+    * The pair join runs over ONE REPRESENTATIVE per distinct
+    * (cell, vector), not per row (r15 verdict #1 — the last unbounded
+    * quadratic on the 100 TB path): the naive within-cell self-join is
+    * Σ|cell|², and k-means packs boilerplate/near-constant embeddings
+    * into ONE cell regardless of nlist — a 10⁶-member exact-duplicate
+    * cluster is 10¹² candidate pairs under the naive form and exactly
+    * ONE representative here. This is the same hazard [[allPairs]]
+    * documents and routes around, now built in.
+    *
+    * Keep/drop is PROVABLY unchanged (LlmSpec pins parity against the
+    * naive form, [[dedupAssignedPairJoin]]). Derivation: identical
+    * vectors score identically against everything, so for the min-id
+    * greedy rule only each group's MIN id matters as a dropper. Let
+    * G(y) be y's identical-vector group and m(G) a group's min id;
+    * y is dropped iff some same-cell x with x.id < y.id has
+    * cosine ≥ T, i.e. iff y.id > bnd(G(y)) where
+    * bnd(G) = min( {m(G) if cosine(v_G, v_G) ≥ T} ∪
+    *               {m(H) : H ≠ G same-cell, cosine(v_G, v_H) ≥ T} ).
+    * (The self term uses the SAME computed cosine expression the pair
+    * form evaluates on an identical pair — bit-identical, so even the
+    * rounded-self-cosine-below-threshold edge at T = 1.0 agrees.)
+    *
+    * One DELIBERATE divergence: zero-norm vectors. The naive join
+    * evaluates its cosine condition on every hash-matched pair —
+    * including each row's SELF-match, before the id< guard (the
+    * optimizer orders the conjuncts) — so under ANSI any zero vector
+    * in the corpus is a DIVIDE_BY_ZERO error, not a result. Here the
+    * pair tests use [[cosineZeroSafe]] (`try_divide` — bit-identical
+    * division for every non-degenerate pair, NULL at the zero-norm
+    * pole), so a zero vector's undefined cosine passes no threshold:
+    * it is KEPT and drops nothing, never crashed on. LlmSpec pins
+    * both behaviors.
+    *
+    * Shape at scale: the group-by carries map-side partial min (the
+    * shuffle moves ~one row per distinct vector per mapper, so a hot
+    * exact-duplicate cluster collapses BEFORE the wire); the rep pair
+    * join is the old join in distinct-vector space; the bound
+    * apply-back joins only the BOUNDED groups (inner-remapped — ≈ the
+    * number of near-dup clusters, broadcast in the common case,
+    * AQE-skew-splittable sort-merge past that), and is linear in the
+    * hot key — never a per-group buffer (a collect_list of member ids
+    * would re-concentrate a 10⁹-member cluster into one multi-GB
+    * buffer). */
   private def dedupAssigned(assigned: DataFrame, id: String, vec: String,
                             threshold: Double): DataFrame = {
+    // null-id rows can neither drop nor be dropped (strict < and the
+    // id join-back both reject null) — pass them through kept, exactly
+    // the naive form's behavior
+    val nullIds = assigned.filter(col(id).isNull)
+      .select(col(id), col("cell"), lit(true).as("kept"))
+    val rows = assigned.filter(col(id).isNotNull)
+      .select(col(id), col("cell"), col(vec))
+    val groups = rows.groupBy(col("cell"), col(vec))
+      .agg(min(col(id)).as("__gmin"), count(lit(1)).as("__gn"))
+    // qualifying unordered rep pairs — cosine evaluated ONCE per pair
+    // (the naive form's triangular-join cost, in distinct-vector
+    // space); each pair bounds BOTH groups, emitted via one explode so
+    // the join is not executed twice
+    val crossBounds = groups.alias("x").join(groups.alias("y"),
+        col("x.cell") === col("y.cell") &&
+          col("x.__gmin") < col("y.__gmin"))
+      .filter(cosineZeroSafe(col(s"x.$vec"), col(s"y.$vec")) >= threshold)
+      .select(explode(array(
+          struct(col("x.__gmin").as("__g"), col("y.__gmin").as("__b")),
+          struct(col("y.__gmin").as("__g"), col("x.__gmin").as("__b"))))
+        .as("p"))
+      .select(col("p.__g").as("__g"), col("p.__b").as("__b"))
+    // a self-similar group (cosine(v, v) ≥ T as COMPUTED — the same
+    // expression tree the naive form evaluates on an identical pair,
+    // so bit-identical; NaN, hence false, for NaN-element vectors)
+    // drops everything above its own min. Only MULTI-member groups
+    // with a non-null cell are tested (a singleton cannot self-drop; a
+    // null cell never matches any within-cell pair in the naive form,
+    // itself included).
+    val selfBounds = groups
+      .filter(col("__gn") >= 2 && col("cell").isNotNull &&
+        cosineZeroSafe(col(vec), col(vec)) >= threshold)
+      .select(col("__gmin").as("__g"), col("__gmin").as("__b"))
+    val bounds = crossBounds.unionByName(selfBounds)
+      .groupBy(col("__g")).agg(min(col("__b")).as("__bnd"))
+    // remap bounds to their group key with an INNER join: only groups
+    // that actually have a bound survive (≈ the number of near-dup
+    // clusters, usually ≪ corpus), so the apply-back below is a
+    // broadcast join against the full row set — no second full-data
+    // shuffle; an unmatched row has no bound and is kept
+    val withBnd = groups.join(bounds, col("__gmin") === col("__g"))
+      .select(col("cell").as("__bcell"), col(vec).as("__bvec"),
+        col("__bnd"))
+    rows.join(withBnd,
+        col("cell") === col("__bcell") && col(vec) === col("__bvec"),
+        "left_outer")
+      .select(col(id), col("cell"),
+        (col("__bnd").isNull || col(id) <= col("__bnd")).as("kept"))
+      .unionByName(nullIds)
+  }
+
+  /** The NAIVE within-cell pair join [[dedupAssigned]] replaced (r16) —
+    * kept as the keep/drop parity oracle for LlmSpec and the hot-cell
+    * skew probe. Σ|cell|² in ROW space: do not use at scale. */
+  private[graft] def dedupAssignedPairJoin(assigned: DataFrame,
+                                           id: String, vec: String,
+                                           threshold: Double): DataFrame = {
     val dropped = assigned.alias("x").join(assigned.alias("y"),
         col("x.cell") === col("y.cell") &&
           col(s"x.$id") < col(s"y.$id"))

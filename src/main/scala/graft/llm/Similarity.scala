@@ -193,8 +193,23 @@ object Similarity {
     * shortlist-vs-k margin, measured in LlmSpec. */
   def rpTopK(corpus: DataFrame, queries: DataFrame, id: String,
              vec: String, k: Int, shortlist: Int = 40,
-             dOut: Int = RpDim, dIn: Int = Dim): DataFrame = {
+             dOut: Int = RpDim, dIn: Int = Dim,
+             maxBroadcastRows: Int = MaxBroadcastQueries): DataFrame = {
     require(shortlist >= k, s"shortlist ($shortlist) must be >= k ($k)")
+    // loud reject past the broadcast contract (r15 verdict / What's
+    // missing #2): the candidate join here has NO equi key (it ranks
+    // every corpus row per query), so a non-broadcast fallback would
+    // be a cartesian shuffle — the one plan shape this library bans.
+    // A corpus-scale query set belongs on ivfTopKRp (cell equi-join
+    // dispatch past the same threshold) or knnGraph (the all-rows
+    // shape). The guard is a limit-count: short-circuits at cap + 1.
+    require(queries.limit(maxBroadcastRows + 1).count()
+        <= maxBroadcastRows,
+      s"rpTopK broadcasts the query side by contract (> " +
+        s"$maxBroadcastRows query rows would OOM the broadcast, " +
+        "and the rank join has no equi key to shuffle on) — use " +
+        "ivfTopKRp for large query sets (it dispatches to a shuffled " +
+        "cell equi-join) or knnGraph for corpus×corpus retrieval")
     val c = corpus.select(col(id).as("vec_id"), col(vec).as("cv"))
     val q = queries.select(col(id).as("query_id"), col(vec).as("qv"))
     // the candidate stage is LEAN: only (query_id, vec_id, pcos) — 24
@@ -242,6 +257,18 @@ object Similarity {
     exact.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }
+
+  /** Past this many query-side rows (counting probe explosion on the
+    * IVF path) the top-k serving paths leave the broadcast regime
+    * (r15 verdict / What's missing #2): at the default shapes a query
+    * row carries a dOut-dim projection (~200 B hashed), so 100k rows
+    * is ~20 MB of broadcast state per executor — past that,
+    * [[ivfTopKRp]] switches its candidate join to a shuffled cell
+    * equi-join and its rerank joins to plain shuffles (same plans
+    * minus the hints; AQE still picks broadcast when a side turns out
+    * tiny), while [[rpTopK]] — whose rank join has NO equi key —
+    * rejects loudly instead of degenerating to a cartesian shuffle. */
+  val MaxBroadcastQueries = 100000
 
   /** Past this many centroids the UNROLLED per-centroid score
     * expression is replaced by the loop form
@@ -782,16 +809,34 @@ object Similarity {
     * measured in LlmSpec; raise `nprobe`/`shortlist` to buy it back.
     * The rank window ships only (query_id, vec_id, pcos) — the lean
     * 24-byte convention — and pcos guards the zero-norm projection
-    * like [[rpTopK]]. */
+    * like [[rpTopK]]. Query sets past [[MaxBroadcastQueries]] exploded
+    * probe rows dispatch to the SHUFFLED form of the same joins
+    * (r16 — corpus-scale retrieval never OOMs a broadcast; LlmSpec
+    * pins both plan regimes and their row-for-row result equality). */
   def ivfTopKRp(corpus: DataFrame, queries: DataFrame, id: String,
                 vec: String, k: Int, centroids: Array[Array[Double]],
                 nprobe: Int, shortlist: Int = 50,
-                dOut: Int = RpDim): DataFrame = {
+                dOut: Int = RpDim,
+                maxBroadcastRows: Int = MaxBroadcastQueries): DataFrame = {
     require(shortlist >= k, s"shortlist ($shortlist) must be >= k ($k)")
     val dIn = centroids.headOption.map(_.length).getOrElse(Dim)
     val pcents = rpProjectCentroids(centroids, dOut)
     def dot(a: Column, b: Column): Column =
       graft.functions.DotProduct(a, b)
+    // large-query-set dispatch (r15 verdict / What's missing #2):
+    // the broadcast hints are correct for the serving contract
+    // (queries ≪ corpus) but corpus-scale retrieval (the kNN-graph
+    // shape, |Q| = |corpus|) would OOM the broadcast. Past
+    // [[MaxBroadcastQueries]] exploded probe rows the SAME joins run
+    // unhinted — the candidate join shuffles both sides on the cell
+    // equi-key (nlist keys; raise nlist with the corpus per the
+    // serving rule) and the rerank shuffles on vec_id/query_id. The
+    // guard is a limit-count on the query side: short-circuits at
+    // cap + 1 rows, so the small regime pays one tiny extra job.
+    val qCap = math.max(1, maxBroadcastRows / math.max(1, nprobe))
+    val big = queries.limit(qCap + 1).count() > qCap
+    def maybeBroadcast(df: DataFrame): DataFrame =
+      if (big) df else broadcast(df)
     // the projection is staged as its own multiply-referenced alias
     // (the ivfAssignRp plan pin — inlined, every per-centroid distance
     // term re-evaluates the dOut-dot projection) and the raw vector is
@@ -809,7 +854,7 @@ object Similarity {
         explode(probeCells(col("__graft_rp"), pcents, nprobe)).as("cell"),
         col("__graft_rp").as("qp"))
       .withColumn("qn2", dot(col("qp"), col("qp")))
-    val scored = c.join(broadcast(q), Seq("cell"))
+    val scored = c.join(maybeBroadcast(q), Seq("cell"))
       .filter(col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id"),
         when(col("qn2") * col("cn2") > 0,
@@ -821,8 +866,8 @@ object Similarity {
       .filter(col("prank") <= shortlist)
       .select(col("query_id"), col("vec_id"))
     val exact = corpus.select(col(id).as("vec_id"), col(vec).as("cv"))
-      .join(broadcast(short), Seq("vec_id"))
-      .join(broadcast(queries.select(col(id).as("query_id"),
+      .join(maybeBroadcast(short), Seq("vec_id"))
+      .join(maybeBroadcast(queries.select(col(id).as("query_id"),
         col(vec).as("qv"))), Seq("query_id"))
       .select(col("query_id"), col("vec_id"),
         Dedup.cosine(col("qv"), col("cv")).as("cos"))

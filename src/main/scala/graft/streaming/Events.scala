@@ -1584,10 +1584,14 @@ object Events {
       // banded rows cannot overfill any bucket) and the grain choice
       // (≤ TinyIndexBandedRows takes the coarse 4-prefix grain — see
       // TinyIndexPfxShift). A disabled cap (Int.MaxValue) always
-      // skips the window; the count then probes only the grain bound.
-      val guardK = (math.min(
-        math.max(maxBucket.toLong, TinyIndexBandedRows.toLong),
-        Int.MaxValue.toLong - 1) + 1).toInt
+      // skips the window — that branch is already decided — so the
+      // count probes ONLY the grain bound (r15 ADVICE: the unclamped
+      // guard made limit(Int.MaxValue).count() scan the full seed).
+      val guardK =
+        if (maxBucket == Int.MaxValue) TinyIndexBandedRows + 1
+        else (math.min(
+          math.max(maxBucket.toLong, TinyIndexBandedRows.toLong),
+          Int.MaxValue.toLong - 1) + 1).toInt
       val n = pinned.limit(guardK).count()
       val capSkip = maxBucket == Int.MaxValue || n <= maxBucket
       val shift =
@@ -1997,10 +2001,16 @@ object Events {
       // the guard-count and the write may legally evaluate it twice —
       // no persist needed.
       val banded0 = graft.llm.Multimodal.bandIndexRows(sigs, "sig")
-      val tinyAppend = cappedK.exists(k =>
+      // an index created with the documented cap-disable value
+      // (Int.MaxValue) can never overfill a bucket — skip both the
+      // window AND the tiny-guard count (k + 1 would overflow limit()
+      // to a negative value; the create path clamps against this exact
+      // overflow and the append path must too — r15 ADVICE)
+      val capDisabled = cappedK.contains(Int.MaxValue)
+      val tinyAppend = !capDisabled && cappedK.exists(k =>
         banded0.limit(k + 1).count() <= k)
       val banded = cappedK match {
-        case Some(k) if !tinyAppend =>
+        case Some(k) if !capDisabled && !tinyAppend =>
           val wc = org.apache.spark.sql.expressions.Window
             .partitionBy("band_key").orderBy("sig")
           banded0.withColumn("__graft_rn", row_number().over(wc))

@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.llm.{Dedup, Similarity}
+
+/** r16 (r15 verdict #1) — the within-cell semantic-dedup hot-cell skew
+  * probe. k-means packs exact-duplicate boilerplate embeddings into ONE
+  * cell regardless of nlist, so the naive within-cell pair join is
+  * Σ|cell|² with a data-dependent hot cell; the rep-collapse form
+  * (dedupAssigned since r16) joins one representative per distinct
+  * (cell, vector), so a hot exact-duplicate cluster contributes ONE
+  * rep. This probe plants a synthetic hot cell (h identical copies of
+  * one sf0.1 vector on top of the full sf0.1 corpus) and times both
+  * forms as h grows: the naive form must scale ~h², the rep form must
+  * stay flat. Run:
+  * `sbt "Test/runMain graft.HotCellProbe"` → archive the [probe] lines
+  * as test_archive/hot_cell_probe_r16.txt */
+object HotCellProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
+      "/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def time(label: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[probe] $label%-52s ${(System.nanoTime() - t0) / 1e9}%8.2f s" +
+        f"  ($r%d kept)")
+    }
+
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val cents = Similarity.ivfTrain(emb, "vec_id", "embedding", 32)
+    val v0 = emb.orderBy(col("vec_id")).limit(1).select(col("embedding"))
+
+    def corpus(hot: Int): DataFrame = emb
+      .unionByName(spark.range(hot).crossJoin(v0)
+        .select((col("id") + 1000000L).as("vec_id"), col("embedding")))
+      .localCheckpoint()
+
+    // steady-state: run each size twice, report the second
+    for (h <- Seq(1000, 10000, 100000); pass <- 1 to 2) {
+      val c = corpus(h)
+      val assigned = Similarity.ivfAssign(c, "vec_id", "embedding", cents)
+        .localCheckpoint()
+      if (h <= 10000) {
+        val t0 = System.nanoTime()
+        val kept = Dedup.dedupAssignedPairJoin(assigned, "vec_id",
+          "embedding", 0.95).filter(col("kept")).count()
+        if (pass == 2)
+          println(f"[probe] naive pair join  hot=$h%-7d ${
+            (System.nanoTime() - t0) / 1e9}%8.2f s  ($kept%d kept)")
+      } else if (pass == 2)
+        println(s"[probe] naive pair join  hot=$h  SKIPPED " +
+          "(10^10 candidate pairs; the 10k point already shows ~h^2)")
+      val t1 = System.nanoTime()
+      val kept2 = Dedup.semanticDedup(c, "vec_id", "embedding", cents,
+        0.95).filter(col("kept")).count()
+      if (pass == 2)
+        println(f"[probe] rep-collapse     hot=$h%-7d ${
+          (System.nanoTime() - t1) / 1e9}%8.2f s  ($kept2%d kept)")
+    }
+    spark.stop()
+  }
+}

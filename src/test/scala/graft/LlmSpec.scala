@@ -307,6 +307,75 @@ class LlmSpec extends SparkSpec {
     assert(keptOf(pinnedBelow) == keptOf(flatBelow))
   }
 
+  test("dedupAssigned rep-collapse: keep/drop parity with the naive pair join") {
+    // r16 (r15 verdict #1): the within-cell pair join now runs over one
+    // representative per distinct (cell, vector) — the naive Σ|cell|²
+    // self-join is the parity oracle. The corpus plants the exact
+    // hazard: a hot exact-duplicate cluster (k-means packs identical
+    // boilerplate embeddings into ONE cell), a doubled tail, and the
+    // degenerate shapes (zero vector → cosine NaN, NaN element → null
+    // cell, null embedding).
+    val cents = Similarity.ivfTrain(emb, "vec_id", "embedding", 32)
+    val v0 = emb.orderBy($"vec_id").limit(1).select($"embedding")
+    val hot = spark.range(400).crossJoin(v0)
+      .select(($"id" + 400000L).as("vec_id"), $"embedding")
+    val edges = Seq(
+      (500002L, Some(Float.NaN +: Seq.fill(63)(1.0f))),
+      (500003L, Option.empty[Seq[Float]]))
+      .toDF("vec_id", "embedding")
+    val corpus = emb.select($"vec_id", $"embedding")
+      .unionByName(emb.select(($"vec_id" + 100000L).as("vec_id"),
+        $"embedding"))
+      .unionByName(hot).unionByName(edges)
+    def norm(df: org.apache.spark.sql.DataFrame)
+        : Set[(Long, Option[Int], Boolean)] =
+      df.select($"vec_id", $"cell", $"kept")
+        .as[(Long, Option[Int], Boolean)].collect().toSet
+    for (t <- Seq(0.95, 1.0)) {
+      val assigned = Similarity.ivfAssign(corpus, "vec_id", "embedding",
+        cents)
+      val fast = norm(Dedup.semanticDedup(corpus, "vec_id", "embedding",
+        cents, t))
+      val naive = norm(Dedup.dedupAssignedPairJoin(assigned, "vec_id",
+        "embedding", t))
+      assert(fast == naive, s"threshold $t")
+      // the hot cluster is entirely dropped: its vector is v0's, whose
+      // original lower-id row co-locates (identical vectors, same
+      // cell) and the rounded self-cosine is exactly 1.0 — mutual
+      // duplicates even at t = 1.0
+      val hotKept = fast.collect {
+        case (id, _, true) if id >= 400000L && id < 400400L => id }
+      assert(hotKept.isEmpty, s"threshold $t: $hotKept")
+    }
+    // degenerate shapes are all kept (cosine NaN / null never ≥ T) and
+    // both land in the null cell
+    val out = norm(Dedup.semanticDedup(corpus, "vec_id", "embedding",
+      cents, 0.95)).filter(_._1 >= 500002L)
+    assert(out == Set((500002L, Option.empty[Int], true),
+      (500003L, Option.empty[Int], true)))
+    // a ZERO vector is KEPT, not crashed on (the deliberate
+    // divergence): its undefined cosine is NULL under cosineZeroSafe
+    // and passes no threshold; the NAIVE form evaluates its cosine
+    // condition on the hash SELF-match before the id< guard, so under
+    // ANSI a zero vector is a DIVIDE_BY_ZERO error — pin both
+    val tiny = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(0.0f, 1.0f)),
+      (3L, Seq(-1.0f, 0.0f)), (4L, Seq(0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val tinyCents = Array(Array(1.0, 0.0), Array(0.0, 1.0),
+      Array(-1.0, 0.0), Array(0.0, 0.0))
+    val tinyOut = norm(Dedup.semanticDedup(tiny, "vec_id", "embedding",
+      tinyCents, 0.5))
+    assert(tinyOut.forall(_._3), tinyOut)
+    assert(tinyOut.map(_._1) == Set(1L, 2L, 3L, 4L))
+    val naiveErr = intercept[Exception] {
+      Dedup.dedupAssignedPairJoin(
+        Similarity.ivfAssign(tiny, "vec_id", "embedding", tinyCents),
+        "vec_id", "embedding", 0.5).collect()
+    }
+    assert(naiveErr.toString.contains("DIVIDE_BY_ZERO"), naiveErr)
+  }
+
   test("loop-form assignment equals the unrolled form cell-for-cell") {
     // the forms share the exact score arithmetic (same DotProduct
     // expression per element, same first-min tie rule), so the
@@ -704,6 +773,61 @@ class LlmSpec extends SparkSpec {
       case Some(o) => spark.conf.set("spark.sql.adaptive.enabled", o)
       case None => spark.conf.unset("spark.sql.adaptive.enabled")
     }
+  }
+
+  test("top-k serving large-query dispatch: shuffled regime ≡ broadcast regime, rpTopK rejects") {
+    // r16 (r15 verdict #5): past MaxBroadcastQueries exploded probe
+    // rows, ivfTopKRp runs the SAME joins unhinted (a shuffled cell
+    // equi-join + shuffled rerank) instead of OOMing a corpus-scale
+    // broadcast. The dispatch is plan-only — the results must be
+    // row-for-row identical — and rpTopK, whose rank join has no equi
+    // key to shuffle on, rejects loudly with the dispatch pointer.
+    val cents = Similarity.ivfTrain(emb, "vec_id", "embedding", 32)
+    // |Q| = |corpus| — the kNN-graph shape the dispatch exists for
+    val q = emb.select($"vec_id", $"embedding")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select($"query_id", $"vec_id", $"rank")
+        .as[(Long, Long, Int)].collect().toSet
+    val small = Similarity.ivfTopKRp(emb, q, "vec_id", "embedding", 5,
+      cents, nprobe = 8, shortlist = 20)
+    val big = Similarity.ivfTopKRp(emb, q, "vec_id", "embedding", 5,
+      cents, nprobe = 8, shortlist = 20, maxBroadcastRows = 10)
+    assert(rows(small) == rows(big))
+    // plan pins for both regimes. AQE off so the authored hints are
+    // what's asserted, and auto-broadcast off so the pin isolates the
+    // HINT: at spec scale the planner would size-broadcast every side
+    // anyway (which is fine and size-bounded — the hazard the dispatch
+    // removes is the unconditional hint on a corpus-scale side)
+    val olds = Seq("spark.sql.adaptive.enabled",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> spark.conf.getOption(k))
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+      val smallPlan = Similarity.ivfTopKRp(emb, q, "vec_id", "embedding",
+          5, cents, nprobe = 8, shortlist = 20)
+        .queryExecution.executedPlan
+      assert(smallPlan.collect {
+        case j: BroadcastHashJoinExec => j }.nonEmpty,
+        "small regime lost its broadcast candidate join")
+      val bigPlan = Similarity.ivfTopKRp(emb, q, "vec_id", "embedding",
+          5, cents, nprobe = 8, shortlist = 20, maxBroadcastRows = 10)
+        .queryExecution.executedPlan
+      assert(bigPlan.collect {
+        case j: BroadcastHashJoinExec => j }.isEmpty,
+        "large regime still broadcasts a corpus-scale side")
+      assert(!bigPlan.toString.contains("CartesianProduct"),
+        "large regime degenerated to a cartesian shuffle")
+    } finally olds.foreach {
+      case (k, Some(o)) => spark.conf.set(k, o)
+      case (k, None) => spark.conf.unset(k)
+    }
+    val err = intercept[IllegalArgumentException] {
+      Similarity.rpTopK(emb, q, "vec_id", "embedding", 5,
+        maxBroadcastRows = 10)
+    }
+    assert(err.getMessage.contains("ivfTopKRp"), err.getMessage)
   }
 
   test("simhash banded pairs: complete vs brute force, twins at distance 0") {

@@ -368,6 +368,41 @@ object Sf1Probe {
         println(f"[sf1] $n%-22s $a%8.2f $b%8.2f ${b / a}%7.1fx")
       }
 
+    // op_range_join decomposition (r15 verdict #2): the 13.4× sf1
+    // ratio carried only an unproven output-bound explanation — this
+    // block makes it measured, the dd_allpairs_join standard. The
+    // shifted corpus grows BOTH join sides 10× on the SAME 7-year time
+    // axis (keys shift, dates do not), so window×point intersections
+    // grow ~100× by construction; the compared number is therefore the
+    // PER-OUTPUT-ROW ratio of the pre-aggregation pair count.
+    if (only.forall(_.exists(pfx => "op_range_split".startsWith(pfx)))) {
+      def rangeSplit(dir: String): (Long, Long, Long, Double) = {
+        val li = Tables.load(spark, dir, "lineitem")
+          .select(unix_timestamp(col("l_shipdate")).as("p"),
+            col("l_quantity"))
+        val promos = Tables.load(spark, dir, "orders")
+          .filter(col("o_orderkey") % 97 === 0)
+          .select(col("o_orderkey").as("promo_id"),
+            unix_timestamp(col("o_orderdate")).as("lo"),
+            (unix_timestamp(col("o_orderdate")) +
+              (col("o_orderkey") % 30 + 1) * 86400L).as("hi"))
+        val joined = graft.operators.RangeJoin.pointInInterval(li, "p",
+          promos, "lo", "hi", bucketWidth = 86400L * 31)
+        val t0 = System.nanoTime()
+        val pairs = joined.count()
+        val t = (System.nanoTime() - t0) / 1e9
+        (promos.count(), li.count(), pairs, t)
+      }
+      rangeSplit(src) // warm-up
+      val (pr1, li1, pa1, t1) = rangeSplit(src)
+      val (pr10, li10, pa10, t10) = rangeSplit(dst)
+      println(f"[sf1] op_range_windows       $pr1%8d $pr10%8d ${pr10.toDouble / pr1}%7.1fx")
+      println(f"[sf1] op_range_points        $li1%8d $li10%8d ${li10.toDouble / li1}%7.1fx")
+      println(f"[sf1] op_range_pairs         $pa1%8d $pa10%8d ${pa10.toDouble / pa1}%7.1fx")
+      println(f"[sf1] op_range_join_time     $t1%8.2f $t10%8.2f ${t10 / t1}%7.1fx")
+      println(f"[sf1] op_range_per_pair      ${(t10 / pa10) / (t1 / pa1)}%7.2fx")
+    }
+
     // bucketed-snapshot decomposition (r12 verdict #7): the compared
     // row's sf1 growth blamed the first-build CTAS without isolating
     // it. Three timings per scale, each on a fresh table: the BUILD

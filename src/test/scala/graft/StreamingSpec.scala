@@ -1482,6 +1482,40 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("cap-disabled index: create AND append run uncapped, no overflow") {
+    // r16 (r15 ADVICE): an index created with maxBucket = Int.MaxValue
+    // stores k = 2147483647 in CappedKProp; the APPEND path's tiny
+    // guard computed limit(k + 1) — overflowing to a negative limit,
+    // so every append threw AnalysisException. Post-fix, a disabled
+    // cap skips both the window and the guard count on create and
+    // append alike, and nothing is ever dropped from a bucket.
+    val idxT = "nov_idx_nocap"; val sinkT = "nov_sink_nocap"
+    for (t <- Seq(idxT, sinkT)) spark.sql(s"DROP TABLE IF EXISTS $t")
+    val docs = Tables.load(spark, sf, "documents").limit(90)
+    val media = graft.llm.Multimodal.syntheticContentImages(docs)
+      .localCheckpoint()
+    Events.createSignatureIndex(spark, idxT,
+      graft.llm.Multimodal.dhashSignatures(media.filter($"media_id" < 30))
+        .select($"dhash".as("sig")), "sig", maxBucket = Int.MaxValue)
+    // the append previously threw here (negative limit)
+    Events.imageNoveltyIngestBatch(
+      media.filter($"media_id" >= 30 && $"media_id" < 60), 0L,
+      idxT, sinkT)
+    Events.imageNoveltyIngestBatch(
+      media.filter($"media_id" >= 60), 1L, idxT, sinkT)
+    // uncapped: every distinct banded row of seed + novel arrivals is
+    // present (4 bands per signature, nothing bottom-k-trimmed)
+    val idxSigs = spark.table(idxT).filter($"sig".isNotNull)
+      .select($"sig").distinct().count()
+    val seedSigs = graft.llm.Multimodal
+      .dhashSignatures(media.filter($"media_id" < 30))
+      .select($"dhash").distinct().count()
+    assert(idxSigs >= seedSigs, s"index lost seed signatures: " +
+      s"$idxSigs < $seedSigs")
+    assert(spark.table(sinkT).count() > 0)
+    for (t <- Seq(idxT, sinkT)) spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
   test("banded novelty probe: bucketed index side runs with no exchange") {
     val idxT = "nov_idx_plan"
     spark.sql(s"DROP TABLE IF EXISTS $idxT")

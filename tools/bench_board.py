@@ -11,6 +11,46 @@ Usage: tools/bench_board.py bench_archive/bench_r13.json \
 import json
 import sys
 
+# r16 (r15 verdict #4): every query is tagged with the drift class of
+# its dominant cost so the regression list below can be normalized by
+# the MATCHING frozen sentinel instead of compared raw — the
+# dd_key_novelty_grow dispute (elevated on raw ratio, explained by
+# codegen-class JIT variance) becomes mechanical. Classes:
+#   map     — scan + narrow projection; normalized by the map-only
+#             sentinel mean (fn_safe_cast / fn_datediff / src_csv)
+#   shuffle — exchange-dominated (joins/aggs/writes); sentinel_shuffle
+#   codegen — large generated-code rows (expression-heavy dedup/text/
+#             media/vector families and multi-job ingest loops) whose
+#             JIT warmth spreads ±30%; sentinel_codegen
+# Prefix rules with explicit overrides — a new query gets a class the
+# moment it's named, no per-round curation.
+PREFIX_CLASS = [
+    ("fn_", "map"),
+    ("ta_", "codegen"), ("dd_", "codegen"), ("sim_", "codegen"),
+    ("mm_", "codegen"),
+    ("ev_", "shuffle"), ("mat_", "shuffle"), ("cat_", "shuffle"),
+    ("src_", "shuffle"), ("se_", "shuffle"), ("snapshot_", "shuffle"),
+    ("inc_", "shuffle"), ("ddl_", "shuffle"), ("q", "shuffle"),
+    ("op_", "shuffle"),
+]
+CLASS_OVERRIDES = {
+    # string-similarity joins are generated-code bound, not exchange
+    "op_jw_join": "codegen", "op_jw_cross": "codegen",
+    "op_jw_reps": "codegen", "op_editdist_join": "codegen",
+    # simple single-scan rows that behave like the map sentinels
+    "src_csv_roundtrip": "map", "src_json_roundtrip": "map",
+    "src_orc_roundtrip": "map",
+}
+
+
+def query_class(name: str) -> str:
+    if name in CLASS_OVERRIDES:
+        return CLASS_OVERRIDES[name]
+    for pfx, cls in PREFIX_CLASS:
+        if name.startswith(pfx):
+            return cls
+    return "shuffle"
+
 
 def main(cur_path: str, prev_path: str) -> None:
     cur = json.load(open(cur_path))
@@ -70,21 +110,34 @@ def main(cur_path: str, prev_path: str) -> None:
                            if not k.startswith("sentinel_")],
                    "shuffle": ["sentinel_shuffle"],
                    "codegen": ["sentinel_codegen"]}
+        class_ratio = {}
         parts = []
         for cls, names in classes.items():
             rs = [sent_c[k] / sent_p[k] for k in names
                   if k in sent_c and k in sent_p]
+            if rs:
+                class_ratio[cls] = sum(rs) / len(rs)
             parts.append(f"{cls}={sum(rs) / len(rs):.2f}x"
                          if rs else f"{cls}=n/a")
         print("class drift   : " + "  ".join(parts))
-    movers = sorted(((qc[k] / qp[k], k) for k in shared
-                     if qp[k] > 0.3 and qc[k] / qp[k] > 1.25),
+    else:
+        class_ratio = {}
+    # r16 (r15 verdict #4): the regression list is CLASS-NORMALIZED —
+    # each row's ratio is divided by its class sentinel's drift before
+    # the 1.25x flag, so a codegen-heavy row that merely rode a warm/
+    # cold JIT swing no longer reads as a code regression (and a real
+    # one on a box that got FASTER is no longer hidden). Raw ratio is
+    # printed alongside for continuity.
+    def nratio(k):
+        return qc[k] / qp[k] / class_ratio.get(query_class(k), 1.0)
+    movers = sorted(((nratio(k), k) for k in shared
+                     if qp[k] > 0.3 and nratio(k) > 1.25),
                     reverse=True)
-    print(f"regressions >1.25x (prev >0.3 s): "
-          f"{[(k, f'{r:.2f}x', f'{qp[k]:.2f}->{qc[k]:.2f}') for r, k in movers[:8]]}")
-    improv = sorted(((qc[k] / qp[k], k) for k in shared
-                     if qp[k] > 0.5 and qc[k] / qp[k] < 0.8))
-    print(f"improvements <0.8x (prev >0.5 s): "
+    print(f"regressions >1.25x class-normalized (prev >0.3 s): "
+          f"{[(k, query_class(k), f'{r:.2f}x', f'raw {qc[k] / qp[k]:.2f}x', f'{qp[k]:.2f}->{qc[k]:.2f}') for r, k in movers[:8]]}")
+    improv = sorted(((nratio(k), k) for k in shared
+                     if qp[k] > 0.5 and nratio(k) < 0.8))
+    print(f"improvements <0.8x class-normalized (prev >0.5 s): "
           f"{[(k, f'{r:.2f}x') for r, k in improv[:8]]}")
 
 
