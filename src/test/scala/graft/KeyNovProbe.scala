@@ -39,6 +39,54 @@ object KeyNovProbe {
         SparkEntry.queries("fn_safe_cast")(spark, sfDir)
       }
     }
+    // stage + job decomposition (AudioGrowProbe pattern): where the
+    // steady-state seconds go — the row is checkpoint + create + two
+    // ingest batches + sink read, each a driver-serial job train whose
+    // floor is write/commit overhead, not compute
+    import org.apache.spark.sql.functions._
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          jobs.incrementAndGet()
+      })
+    def t(label: String)(body: => Unit): Unit = {
+      val j0 = jobs.get()
+      val t0 = System.nanoTime()
+      body
+      println(f"[probe] stage $label%-18s ${(System.nanoTime() - t0) / 1e9}%6.2f s  ${jobs.get() - j0}%3d jobs")
+    }
+    val idxT = "dd_keynov_grow_idx"; val sinkT = "dd_keynov_grow_sink"
+    for (pass <- 1 to 2) {
+      println(s"[probe] ---- decomposition pass $pass")
+      for (tb <- Seq(idxT, sinkT)) spark.sql(s"DROP TABLE IF EXISTS $tb")
+      var d: org.apache.spark.sql.DataFrame = null
+      t("ckpt") {
+        d = Tables.load(spark, sfDir, "documents")
+          .select(col("doc_id"), col("text"))
+          .withColumn("k", md5(lower(col("text")).cast("binary")))
+          .localCheckpoint()
+      }
+      t("createKeyIndex") {
+        graft.streaming.Events.createKeyIndex(spark, idxT,
+          d.filter(col("doc_id") < 100).select(col("k")), "k")
+      }
+      t("batch0") {
+        graft.streaming.Events.keyNoveltyIngestBatch(
+          d.filter(col("doc_id") >= 100), 0L, idxT, sinkT, "k")
+      }
+      t("batch1") {
+        graft.streaming.Events.keyNoveltyIngestBatch(
+          d.select((col("doc_id") + 10000).as("doc_id"), col("text"),
+            col("k")), 1L, idxT, sinkT, "k")
+      }
+      t("sink_read") {
+        spark.table(sinkT).select(col("doc_id"), col("batch_id"))
+          .orderBy(col("doc_id"))
+          .write.format("noop").mode("overwrite").save()
+      }
+    }
     spark.stop()
   }
 }

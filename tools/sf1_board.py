@@ -32,7 +32,13 @@ EXCLUDE = {"dd_semantic_novelty_collapse",
            # grows ~100x); the _reps siblings are the scale path and
            # make the cut on their own cost
            "dd_allpairs_join", "op_jw_cross", "op_jw_join",
-           "dd_tfidf_pairs"}
+           "dd_tfidf_pairs",
+           # measured r16 (test_archive/range_join_probe_r16.txt): the
+           # shifted corpus grows windows AND points 10x on one time
+           # axis, so intersections grow exactly 100.0x (6.1M -> 612.7M
+           # pre-agg pairs) while the join runs 4.3x = 0.04x per output
+           # row — output-bound by construction
+           "op_range_join"}
 
 SENTINELS = ["fn_safe_cast", "fn_datediff", "src_csv_roundtrip"]
 
