@@ -1,0 +1,30 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** r16 — output-row decomposition for dd_allpairs / dd_containment,
+  * which first made the sf1 mini-board cut this round at 32.8×/30.3×:
+  * on the 10×-shifted corpus every TEXT repeats 10×, so near-dup
+  * cliques grow 10× and their PAIR output ~100× by construction (the
+  * dd_allpairs_join/op_jw_cross precedent — their `_reps` siblings are
+  * the scale path). This probe archives the measured output counts so
+  * the exclusion note is a recomputation, not an assertion. Run:
+  * `sbt "Test/runMain graft.ApCountProbe"` */
+object ApCountProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    for (q <- Seq("dd_allpairs", "dd_containment")) {
+      val a = SparkEntry.queries(q)(spark, "/root/testdata/sf0.1").count()
+      val b = SparkEntry.queries(q)(spark, "/tmp/graft_sf1").count()
+      println(f"[probe] $q%-18s output rows sf0.1=$a%10d sf1=$b%12d " +
+        f"ratio=${b.toDouble / a}%6.1fx")
+    }
+    spark.stop()
+  }
+}

@@ -341,6 +341,19 @@ object Sf1Probe {
         graft.llm.Similarity.ivfAssignTwoLevel(doubledEmb(dir), "vec_id",
             "embedding", centsBig, 56)
           .groupBy(col("cell")).agg(count(lit(1)).as("n"))),
+      // r16 (r15 verdict #5): corpus×corpus retrieval — |Q| = |corpus|,
+      // the kNN-graph shape the large-query dispatch exists for. At
+      // sf0.1 the doubled corpus is 4k queries × nprobe 8 = 32k probe
+      // rows (broadcast regime); at sf1 it's 40k × 8 = 320k, PAST
+      // MaxBroadcastQueries — the sf1 point runs the shuffled cell
+      // equi-join arm, so this row both proves no-broadcast-OOM at the
+      // real threshold and prices the dispatch crossing.
+      "sim_ivf_rp_selfq" -> ((dir, m) => {
+        val cents = if (m == 1) centsSrc else centsDst
+        val e = doubledEmb(dir)
+        graft.llm.Similarity.ivfTopKRp(e, e, "vec_id", "embedding",
+          k = 5, cents, nprobe = 8, shortlist = 20)
+      }),
       // ta_select without a binding budget: the residual
       // range-partitioned cumsum phase never runs — isolates the
       // scoring projection + histogram

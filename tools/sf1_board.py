@@ -33,6 +33,13 @@ EXCLUDE = {"dd_semantic_novelty_collapse",
            # make the cut on their own cost
            "dd_allpairs_join", "op_jw_cross", "op_jw_join",
            "dd_tfidf_pairs",
+           # measured r16 (test_archive/sf1_board_r16.txt tail): the
+           # pair-output forms first made the cut this round at
+           # 32.8x/30.3x — output counts recomputed (ApCountProbe):
+           # 791k -> 79.2M (100.1x) and 1.17M -> 117.2M (100.2x) pairs
+           # on the 10x-duplicated corpus, sub-linear per output row;
+           # the _reps siblings are the scale path
+           "dd_allpairs", "dd_containment",
            # measured r16 (test_archive/range_join_probe_r16.txt): the
            # shifted corpus grows windows AND points 10x on one time
            # axis, so intersections grow exactly 100.0x (6.1M -> 612.7M
