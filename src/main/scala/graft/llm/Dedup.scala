@@ -2022,12 +2022,23 @@ object Dedup {
                       id: String, vec: String,
                       cents: Array[Array[Double]], threshold: Double,
                       multiAssign: Int): DataFrame = {
+    // the probe is an EXISTS test, so the index side needs only its
+    // DISTINCT (cell, vector) rows (r16 — dedupAssigned's hot-cell
+    // rule applied here): a boilerplate cluster of 10⁶ identical index
+    // vectors would otherwise meet every in-cell batch row 10⁶ times;
+    // distinct-collapsed it is met once. Map-side partial aggregation
+    // collapses the duplicates before the shuffle wire, and the EXISTS
+    // answer is provably unchanged (exists over a multiset ≡ exists
+    // over its support). cosineZeroSafe keeps zero-norm vectors a
+    // RESULT (undefined cosine passes no threshold → no duplicate
+    // evidence → novel) instead of an ANSI division error.
     val idx = indexCells.select(col("cell"), col(vec).as("__graft_iv"))
+      .dropDuplicates("cell", "__graft_iv")
     val assignedBatch =
       if (multiAssign <= 1) Similarity.ivfAssign(batch, id, vec, cents)
       else Similarity.ivfAssign(batch, id, vec, cents, multiAssign)
     val hits = assignedBatch.join(idx, Seq("cell"))
-      .filter(cosine(col(vec), col("__graft_iv")) >= threshold)
+      .filter(cosineZeroSafe(col(vec), col("__graft_iv")) >= threshold)
       .select(col(id)).distinct().withColumn("__graft_hit", lit(true))
     batch.select(col(id)).join(hits, Seq(id), "left_outer")
       .select(col(id), coalesce(!col("__graft_hit"), lit(true)).as("novel"))

@@ -656,7 +656,7 @@ object Events {
       graft.llm.Similarity.nearestCell(col("doc"), cents))
     val edges = assigned.alias("a").join(assigned.alias("b"),
         col("a.cell") === col("b.cell") && col("a.doc") < col("b.doc"))
-      .filter(graft.llm.Dedup.cosine(col("a.doc"), col("b.doc"))
+      .filter(graft.llm.Dedup.cosineZeroSafe(col("a.doc"), col("b.doc"))
         >= threshold)
       .select(col("a.doc").as("id_a"), col("b.doc").as("id_b"))
       .localCheckpoint()
@@ -2155,7 +2155,15 @@ object Events {
     import spark.implicits._
     cents.zipWithIndex.map { case (w, i) => (i, w.toSeq) }.toSeq
       .toDF("cell", "w").write.saveAsTable(table + "__cents")
+    // the index is EXISTS-probe state, so seed multiplicity is
+    // semantically irrelevant — distinct it at create (r16,
+    // dedupAssigned's hot-cell rule): a boilerplate seed with 10⁶
+    // identical vectors would otherwise plant a permanent hot cluster
+    // every future batch's in-cell probe pays; appends are distinct
+    // by construction (a vector's second arrival is non-novel and
+    // never indexed)
     seed.select(col(vecCol).as("vec")).filter(col("vec").isNotNull)
+      .distinct()
       .withColumn("cell",
         graft.llm.Similarity.nearestCell(col("vec"), cents))
       .withColumn("batch_id", lit(-1L))
@@ -2272,7 +2280,7 @@ object Events {
     val dupVecs = probed
       .join(slice.select(col("cell"), col("vec").as("__graft_iv")),
         Seq("cell"))
-      .filter(graft.llm.Dedup.cosine(bvec, col("__graft_iv"))
+      .filter(graft.llm.Dedup.cosineZeroSafe(bvec, col("__graft_iv"))
         >= threshold)
       .select(bvec).distinct()
     val novel = work.join(dupVecs, col(vecCol) === bvec, "left_anti")
