@@ -1902,10 +1902,12 @@ object Dedup {
     * Shape at scale: the group-by carries map-side partial min (the
     * shuffle moves ~one row per distinct vector per mapper, so a hot
     * exact-duplicate cluster collapses BEFORE the wire); the rep pair
-    * join is the old join in distinct-vector space; the bound
-    * apply-back joins only the BOUNDED groups (inner-remapped — ≈ the
+    * join is the old join in distinct-vector space, with the SELF pair
+    * riding the same join (`<=` instead of `<` — one join, no separate
+    * self branch); bounds aggregate straight onto the (cell, vector)
+    * group key, so the apply-back joins only the BOUNDED groups (≈ the
     * number of near-dup clusters, broadcast in the common case,
-    * AQE-skew-splittable sort-merge past that), and is linear in the
+    * AQE-skew-splittable sort-merge past that) and is linear in the
     * hot key — never a per-group buffer (a collect_list of member ids
     * would re-concentrate a 10⁹-member cluster into one multi-GB
     * buffer). */
@@ -1919,42 +1921,40 @@ object Dedup {
     val rows = assigned.filter(col(id).isNotNull)
       .select(col(id), col("cell"), col(vec))
     val groups = rows.groupBy(col("cell"), col(vec))
-      .agg(min(col(id)).as("__gmin"), count(lit(1)).as("__gn"))
-    // qualifying unordered rep pairs — cosine evaluated ONCE per pair
+      .agg(min(col(id)).as("__gmin"))
+    // qualifying rep pairs — cosine evaluated ONCE per unordered pair
     // (the naive form's triangular-join cost, in distinct-vector
-    // space); each pair bounds BOTH groups, emitted via one explode so
-    // the join is not executed twice
-    val crossBounds = groups.alias("x").join(groups.alias("y"),
+    // space). `<=` admits each group's SELF pair: ids are unique, so
+    // equal mins means the same group, and a self-similar group
+    // (cosine(v, v) ≥ T as COMPUTED — bit-identical to what the naive
+    // form evaluates on an identical pair, so even the rounded-self-
+    // cosine edge at T = 1.0 agrees; NaN hence false for NaN-element
+    // vectors; NULL hence false for zero vectors) bounds itself at its
+    // own min — emitting (m, m) is harmless for singletons (no member
+    // exceeds the min) and exactly the self term of bnd(G) otherwise.
+    // Each qualifying pair bounds BOTH endpoints via one explode, keyed
+    // directly by the endpoint's (cell, vector), so no remap join is
+    // needed; a null cell never joins (===), itself included — the
+    // naive form's behavior.
+    val bounds = groups.alias("x").join(groups.alias("y"),
         col("x.cell") === col("y.cell") &&
-          col("x.__gmin") < col("y.__gmin"))
+          col("x.__gmin") <= col("y.__gmin"))
       .filter(cosineZeroSafe(col(s"x.$vec"), col(s"y.$vec")) >= threshold)
       .select(explode(array(
-          struct(col("x.__gmin").as("__g"), col("y.__gmin").as("__b")),
-          struct(col("y.__gmin").as("__g"), col("x.__gmin").as("__b"))))
+          struct(col("x.cell").as("__bcell"),
+            col(s"x.$vec").as("__bvec"), col("y.__gmin").as("__b")),
+          struct(col("y.cell").as("__bcell"),
+            col(s"y.$vec").as("__bvec"), col("x.__gmin").as("__b"))))
         .as("p"))
-      .select(col("p.__g").as("__g"), col("p.__b").as("__b"))
-    // a self-similar group (cosine(v, v) ≥ T as COMPUTED — the same
-    // expression tree the naive form evaluates on an identical pair,
-    // so bit-identical; NaN, hence false, for NaN-element vectors)
-    // drops everything above its own min. Only MULTI-member groups
-    // with a non-null cell are tested (a singleton cannot self-drop; a
-    // null cell never matches any within-cell pair in the naive form,
-    // itself included).
-    val selfBounds = groups
-      .filter(col("__gn") >= 2 && col("cell").isNotNull &&
-        cosineZeroSafe(col(vec), col(vec)) >= threshold)
-      .select(col("__gmin").as("__g"), col("__gmin").as("__b"))
-    val bounds = crossBounds.unionByName(selfBounds)
-      .groupBy(col("__g")).agg(min(col("__b")).as("__bnd"))
-    // remap bounds to their group key with an INNER join: only groups
-    // that actually have a bound survive (≈ the number of near-dup
-    // clusters, usually ≪ corpus), so the apply-back below is a
-    // broadcast join against the full row set — no second full-data
-    // shuffle; an unmatched row has no bound and is kept
-    val withBnd = groups.join(bounds, col("__gmin") === col("__g"))
-      .select(col("cell").as("__bcell"), col(vec).as("__bvec"),
-        col("__bnd"))
-    rows.join(withBnd,
+      .select(col("p.__bcell").as("__bcell"), col("p.__bvec").as("__bvec"),
+        col("p.__b").as("__b"))
+      .groupBy(col("__bcell"), col("__bvec"))
+      .agg(min(col("__b")).as("__bnd"))
+    // apply-back: only BOUNDED groups exist in `bounds` (≈ the number
+    // of near-dup clusters, usually ≪ corpus), so this is a broadcast
+    // join against the full row set — no second full-data shuffle; an
+    // unmatched row has no bound and is kept
+    rows.join(bounds,
         col("cell") === col("__bcell") && col(vec) === col("__bvec"),
         "left_outer")
       .select(col(id), col("cell"),
