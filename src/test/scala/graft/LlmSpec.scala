@@ -307,6 +307,40 @@ class LlmSpec extends SparkSpec {
     assert(keptOf(pinnedBelow) == keptOf(flatBelow))
   }
 
+  test("dedupAssigned rep-collapse: randomized keep/drop parity sweep") {
+    // r16 — seeded adversarial corpora for the rep-collapse derivation:
+    // small integer-grid vectors FORCE exact-duplicate groups, shared
+    // cells, and near-threshold pairs; every seed must agree with the
+    // naive pair join exactly, at a mid threshold and at the T = 1.0
+    // rounded-self-cosine edge. (Zero vectors are excluded here — the
+    // naive oracle throws on them by construction; the main test pins
+    // that divergence explicitly.)
+    val cents = Array(Array(4.0, 0.0, 0.0), Array(0.0, 4.0, 0.0),
+      Array(0.0, 0.0, 4.0), Array(2.0, 2.0, 2.0))
+    for (seed <- 1 to 6) {
+      val rnd = new scala.util.Random(seed)
+      val n = 40 + rnd.nextInt(40)
+      val data = (0 until n).map { i =>
+        (i.toLong, Seq.fill(3)((rnd.nextInt(5) + 1).toFloat))
+      }
+      val corpus = spark.createDataFrame(data.toSeq)
+        .toDF("vec_id", "embedding")
+      val assigned = Similarity.ivfAssign(corpus, "vec_id", "embedding",
+        cents)
+      for (t <- Seq(0.9, 1.0)) {
+        val fast = Dedup.semanticDedup(corpus, "vec_id", "embedding",
+            cents, t)
+          .select($"vec_id", $"cell", $"kept")
+          .as[(Long, Int, Boolean)].collect().toSet
+        val naive = Dedup.dedupAssignedPairJoin(assigned, "vec_id",
+            "embedding", t)
+          .select($"vec_id", $"cell", $"kept")
+          .as[(Long, Int, Boolean)].collect().toSet
+        assert(fast == naive, s"seed $seed threshold $t")
+      }
+    }
+  }
+
   test("dedupAssigned rep-collapse: keep/drop parity with the naive pair join") {
     // r16 (r15 verdict #1): the within-cell pair join now runs over one
     // representative per distinct (cell, vector) — the naive Σ|cell|²
