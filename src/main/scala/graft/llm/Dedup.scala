@@ -1817,7 +1817,8 @@ object Dedup {
     * given corpus keeps across library versions. Callers who must
     * reproduce a prior run's exact keep/drop output should use the
     * `fullWidth = true` overload, which pins the full-width
-    * assignment family (exact flat below the wall, plain two-level
+    * assignment family (exact flat below [[MaxFlatServeCentroids]],
+    * plain two-level
     * above it) regardless of vector width. */
   def semanticDedupServe(emb: DataFrame, id: String, vec: String,
                          cents: Array[Array[Double]],
