@@ -1864,6 +1864,19 @@ object Dedup {
     else semanticDedupCoarse(emb, id, vec, cents, ncoarse, threshold)
   }
 
+  /** Max DISTINCT (cell, vector) groups per cell before
+    * [[dedupAssigned]] salt-splits the cell's pair join (r16 verdict
+    * #1). Sizing: per join key the split form generates ≤ cap² ≈
+    * 6.7·10⁷ candidate pairs — one task-sized unit of streamed cosine
+    * work — and total per-cell work is ≤ gcnt·cap (linear in the hot
+    * cell). [[Similarity.servingNlist]] targets ~128 rows per cell,
+    * so legitimate cells sit ~64× BELOW this cap even before the
+    * exact-duplicate rep collapse shrinks them further — only
+    * jittered-boilerplate pathologies (10⁶ distinct near-identical
+    * vectors in one cell) cross it, and those trade bounded recall
+    * for bounded work per the scaladoc below. */
+  val MaxCellGroups = 8192
+
   /** Within-cell min-id greedy dedup over an ASSIGNED frame — the
     * shared tail of the semanticDedup family.
     *
@@ -1911,9 +1924,40 @@ object Dedup {
     * AQE-skew-splittable sort-merge past that) and is linear in the
     * hot key — never a per-group buffer (a collect_list of member ids
     * would re-concentrate a 10⁹-member cluster into one multi-GB
-    * buffer). */
-  private def dedupAssigned(assigned: DataFrame, id: String, vec: String,
-                            threshold: Double): DataFrame = {
+    * buffer).
+    *
+    * DISTINCT-vector skew (r16 verdict #1 — the one quadratic left
+    * after the rep collapse): the rep pair join is Σ|groups(cell)|²,
+    * and boilerplate that embeds with tiny variations (timestamps /
+    * counters in otherwise-identical pages) produces 10⁶ DISTINCT
+    * near-identical vectors that k-means packs into ONE cell — ~10¹²
+    * rep pairs with zero collapse. Cells whose GROUP count exceeds
+    * `maxCellGroups` are therefore salt-split: their groups spread
+    * over ceil(gcnt/cap) buckets by vector hash (deterministic), and
+    * the pair join adds the bucket to its equi key, bounding per-cell
+    * work at ~gcnt·cap pairs (linear in the hot cell, ~cap² per join
+    * key ⇒ task-sized) instead of gcnt². This is a RECALL TRADE of
+    * the same kind as nlist/multiAssign: qualifying pairs that
+    * straddle salt buckets are missed, so an over-cap near-dup clique
+    * keeps up to ceil(gcnt/cap) representatives instead of exactly
+    * one (a 10⁶-vector jittered clique at the default cap keeps ≤123
+    * of 10⁶ — 99.99% of the duplicates still drop). Below the cap —
+    * every legitimately-sized cell: [[Similarity.servingNlist]]
+    * targets ~128 rows/cell, so the default cap sits 64× above the
+    * target mean — the salt is constant 0 and keep/drop is EXACT,
+    * byte-for-byte the r16 behavior (LlmSpec pins parity, and pins
+    * the split form against the naive oracle per bucket). The
+    * decision is IN-PLAN (the per-cell group count is a window over
+    * the groups, single-lineage — one groups-sized exchange + sort,
+    * no second pass over the raw rows), so the common path pays one
+    * small stage and no extra scan, no driver round-trip, and no
+    * nondeterministic sampling. A hot cell funnels its groups through
+    * one window task, but the window computes only a count — the
+    * quadratic pair work downstream is what the salt bounds. */
+  private[graft] def dedupAssigned(assigned: DataFrame, id: String,
+                                   vec: String, threshold: Double,
+                                   maxCellGroups: Int = MaxCellGroups)
+      : DataFrame = {
     // null-id rows can neither drop nor be dropped (strict < and the
     // id join-back both reject null) — pass them through kept, exactly
     // the naive form's behavior
@@ -1921,16 +1965,49 @@ object Dedup {
       .select(col(id), col("cell"), lit(true).as("kept"))
     val rows = assigned.filter(col(id).isNotNull)
       .select(col(id), col("cell"), col(vec))
-    val groups = rows.groupBy(col("cell"), col(vec))
+    val groups0 = rows.groupBy(col("cell"), col(vec))
       .agg(min(col(id)).as("__gmin"))
+    // adaptive salt split (scaladoc above): over-cap cells spread
+    // their groups across hash buckets; everyone else gets salt 0.
+    // The per-cell group count is a WINDOW over the groups — inside
+    // the same lineage, NOT a second reference to `groups0` (a
+    // groupBy-and-join-back form re-executed the scan + assignment +
+    // group-by per reference and cost dd_semantic 1.75× on the r16
+    // board; the window adds only one groups-sized exchange + sort
+    // per join side, and AQE's stage reuse of the x/y sides is
+    // undisturbed). NULL-cell groups may get salted by their window
+    // partition — harmless, they pair with nothing either way (===
+    // rejects null) and the row set of `groups` is exactly the
+    // unsplit form's.
+    // Int.MaxValue disables the split statically: salt is a literal 0
+    // and the window never enters the plan — byte-identical to the
+    // pre-split (r16) form; the skew probe uses this as its UNSPLIT
+    // baseline arm.
+    val wcell = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cell"))
+    val groups =
+      if (maxCellGroups == Int.MaxValue)
+        groups0.withColumn("__salt", lit(0L))
+      else groups0
+        .withColumn("__gcnt", count(lit(1)).over(wcell))
+        .withColumn("__salt",
+          when(col("__gcnt") > maxCellGroups,
+            pmod(xxhash64(col(vec)),
+              ceil(col("__gcnt") / lit(maxCellGroups.toDouble))))
+            .otherwise(lit(0L)))
+        .drop("__gcnt")
     // qualifying rep pairs — cosine evaluated ONCE per unordered pair
     // (the naive form's triangular-join cost, in distinct-vector
     // space). `<=` admits each group's SELF pair: ids are unique, so
     // equal mins means the same group, and a self-similar group
     // (cosine(v, v) ≥ T as COMPUTED — bit-identical to what the naive
     // form evaluates on an identical pair, so even the rounded-self-
-    // cosine edge at T = 1.0 agrees; NaN hence false for NaN-element
-    // vectors; NULL hence false for zero vectors) bounds itself at its
+    // cosine edge at T = 1.0 agrees; NULL hence false for zero
+    // vectors. NaN-element vectors never reach this comparison at all
+    // — assignment routes them to the NULL cell and === rejects null,
+    // which matters because Spark orders NaN ABOVE every double, so a
+    // NaN cosine ≥ T would evaluate TRUE, not false — r16 ADVICE)
+    // bounds itself at its
     // own min — emitting (m, m) is harmless for singletons (no member
     // exceeds the min) and exactly the self term of bnd(G) otherwise.
     // Each qualifying pair bounds BOTH endpoints via one explode, keyed
@@ -1939,6 +2016,7 @@ object Dedup {
     // naive form's behavior.
     val bounds = groups.alias("x").join(groups.alias("y"),
         col("x.cell") === col("y.cell") &&
+          col("x.__salt") === col("y.__salt") &&
           col("x.__gmin") <= col("y.__gmin"))
       .filter(cosineZeroSafe(col(s"x.$vec"), col(s"y.$vec")) >= threshold)
       .select(explode(array(

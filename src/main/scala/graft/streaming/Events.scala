@@ -2159,10 +2159,17 @@ object Events {
     // semantically irrelevant — distinct it at create (r16,
     // dedupAssigned's hot-cell rule): a boilerplate seed with 10⁶
     // identical vectors would otherwise plant a permanent hot cluster
-    // every future batch's in-cell probe pays; appends are distinct
-    // by construction (a vector's second arrival is non-novel and
-    // never indexed)
+    // every future batch's in-cell probe pays. Zero-norm vectors are
+    // dropped too (r16 ADVICE): their cosine is NULL under
+    // cosineZeroSafe, so they can never supply duplicate evidence —
+    // indexing them is pure dead weight, and because a recurring zero
+    // vector is marked novel on EVERY batch the append path must
+    // apply the same filter or the index accumulates duplicates of it
+    // without bound (appends are otherwise distinct by construction:
+    // a nonzero vector's second arrival is non-novel, never indexed)
     seed.select(col(vecCol).as("vec")).filter(col("vec").isNotNull)
+      .filter(graft.functions.DotProduct(col("vec"), col("vec"))
+        =!= lit(0.0))
       .distinct()
       .withColumn("cell",
         graft.llm.Similarity.nearestCell(col("vec"), cents))
@@ -2296,11 +2303,19 @@ object Events {
     }
     // index append reads the novel vectors BACK from the sink's batch
     // partition (column- and partition-pruned), assigns their single
-    // cell map-only, and commits the marker row with them
+    // cell map-only, and commits the marker row with them. Zero-norm
+    // vectors are NOT indexed (r16 ADVICE): cosineZeroSafe makes
+    // their cosine NULL, so they pass no threshold — a recurring zero
+    // vector is novel on every batch and would otherwise re-append a
+    // duplicate (and probe-cost-bearing) index row each time, while
+    // as index state it can never mark anything a duplicate anyway
     val vecs = spark.table(sinkTable)
       .filter(col("batch_id") === batchId)
       .select(col(vecCol).as("vec"))
-      .filter(col("vec").isNotNull).distinct()
+      .filter(col("vec").isNotNull)
+      .filter(graft.functions.DotProduct(col("vec"), col("vec"))
+        =!= lit(0.0))
+      .distinct()
     val marker = spark.range(1).select(lit(-1).as("cell"),
       lit(null).cast(idx.schema("vec").dataType).as("vec"))
     vecs.withColumn("cell",

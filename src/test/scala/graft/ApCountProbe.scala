@@ -19,7 +19,12 @@ object ApCountProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    for (q <- Seq("dd_allpairs", "dd_containment")) {
+    // r17 (r16 verdict #2): dd_containment_join — the cross-corpus
+    // form — debuted on the r16 sf1 board at 6.7x without an archived
+    // output-count adjudication; it joins the run so the counts are
+    // recomputed, not asserted. (Sf1Probe now auto-annotates any >5x
+    // row with its output ratio, so future debuts self-adjudicate.)
+    for (q <- Seq("dd_allpairs", "dd_containment", "dd_containment_join")) {
       val a = SparkEntry.queries(q)(spark, "/root/testdata/sf0.1").count()
       val b = SparkEntry.queries(q)(spark, "/tmp/graft_sf1").count()
       println(f"[probe] $q%-18s output rows sf0.1=$a%10d sf1=$b%12d " +

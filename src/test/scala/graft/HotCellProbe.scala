@@ -13,9 +13,18 @@ import graft.llm.{Dedup, Similarity}
   * rep. This probe plants a synthetic hot cell (h identical copies of
   * one sf0.1 vector on top of the full sf0.1 corpus) and times both
   * forms as h grows: the naive form must scale ~h², the rep form must
-  * stay flat. Run:
+  * stay flat.
+  *
+  * r17 (r16 verdict #1) — the JITTERED arm: h DISTINCT near-identical
+  * copies (v0 + i·ε on one component — the timestamps-in-boilerplate
+  * embedding shape) land in the same cell but collapse to NOTHING
+  * under the rep group-by, so the r16 rep form is back to ~h² in
+  * distinct-vector space. The salt split (maxCellGroups) bounds it at
+  * ~h·cap: the probe times the UNSPLIT rep form (cap disabled) vs the
+  * split form (the shipped default — the probe's h crosses the 8192
+  * default, so the default path IS the split path) as h grows. Run:
   * `sbt "Test/runMain graft.HotCellProbe"` → archive the [probe] lines
-  * as test_archive/hot_cell_probe_r16.txt */
+  * as test_archive/hot_cell_probe_r{N}.txt */
 object HotCellProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
@@ -66,6 +75,57 @@ object HotCellProbe {
       if (pass == 2)
         println(f"[probe] rep-collapse     hot=$h%-7d ${
           (System.nanoTime() - t1) / 1e9}%8.2f s  ($kept2%d kept)")
+    }
+
+    // ---- r17 jittered arm (r16 verdict #1): h DISTINCT near-identical
+    // copies — v0 with component 0 shifted by i·1e-6 (pairwise cosine
+    // ≈ 1, every vector unique) — all land in v0's cell but the rep
+    // group-by collapses NOTHING, so the unsplit rep form is ~h² in
+    // distinct-vector space. The salt split bounds work at ~h·cap.
+    def jittered(hot: Int): DataFrame = emb
+      .unionByName(spark.range(hot).crossJoin(v0)
+        .select((col("id") + 1000000L).as("vec_id"),
+          transform(col("embedding"), (x, i) =>
+            when(i === 0,
+              (x + col("id").cast("double") * lit(1e-6)).cast("float"))
+              .otherwise(x)).as("embedding")))
+      .localCheckpoint()
+    for (h <- Seq(1000, 10000, 100000); pass <- 1 to 2) {
+      val c = jittered(h)
+      val assigned = Similarity.ivfAssign(c, "vec_id", "embedding", cents)
+        .localCheckpoint()
+      // unsplit rep form (cap disabled): the r16 shape — must grow ~h²
+      // in distinct-vector space; the 100k point is ~10^10 pairs,
+      // skipped like the naive arm above
+      if (h <= 10000) {
+        val t0 = System.nanoTime()
+        val kept = Dedup.dedupAssigned(assigned, "vec_id", "embedding",
+            0.95, maxCellGroups = Int.MaxValue)
+          .filter(col("kept")).count()
+        if (pass == 2)
+          println(f"[probe] rep UNSPLIT jitter=$h%-7d ${
+            (System.nanoTime() - t0) / 1e9}%8.2f s  ($kept%d kept)")
+      } else if (pass == 2)
+        println(s"[probe] rep UNSPLIT jitter=$h  SKIPPED " +
+          "(10^10 rep pairs; the 10k point already shows ~h^2)")
+      // the SHIPPED path (public semanticDedup, default cap 8192):
+      // identical to unsplit below the cap, salt-split above it —
+      // expect ~h·8192 pair work at the 100k point instead of h²
+      val t1 = System.nanoTime()
+      val kept1 = Dedup.semanticDedup(c, "vec_id", "embedding", cents,
+        0.95).filter(col("kept")).count()
+      if (pass == 2)
+        println(f"[probe] rep default-cap jitter=$h%-7d ${
+          (System.nanoTime() - t1) / 1e9}%8.2f s  ($kept1%d kept)")
+      // tight cap isolates the split's scaling: ~h·1024 pair work —
+      // near-linear in h once the cap binds
+      val t2 = System.nanoTime()
+      val kept2 = Dedup.dedupAssigned(assigned, "vec_id", "embedding",
+          0.95, maxCellGroups = 1024)
+        .filter(col("kept")).count()
+      if (pass == 2)
+        println(f"[probe] rep cap=1024    jitter=$h%-7d ${
+          (System.nanoTime() - t2) / 1e9}%8.2f s  ($kept2%d kept)")
     }
     spark.stop()
   }

@@ -341,6 +341,76 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("dedupAssigned salt split: over-cap cells bounded, per-bucket exact, sound") {
+    // r17 (r16 verdict #1): DISTINCT-vector near-dup skew — a jittered
+    // clique of J distinct near-identical vectors lands in ONE cell,
+    // where the rep pair join is J². Past maxCellGroups the cell's
+    // groups salt-split into ceil(gcnt/cap) hash buckets; the
+    // documented semantics is EXACTLY "naive dedup per (cell, salt)
+    // bucket" — pinned here bucket-for-bucket — plus the soundness
+    // direction (the split never drops a row the exact form keeps) and
+    // the exact-duplicate guarantee (identical vectors share a bucket,
+    // so the r16 rep collapse is untouched by the split).
+    val cents = Array(Array(1.0, 0.0, 0.0), Array(0.0, 1.0, 0.0))
+    val cap = 8
+    // 60 DISTINCT near-identical vectors (cell 0, pairwise cosine
+    // ≈ 1 ≫ 0.9), 5 EXACT copies of the i = 0 vector at higher ids,
+    // and an under-cap second cell with no qualifying pairs
+    val clique = (0 until 60).map(i =>
+      (i.toLong, Seq(100.0f + i * 1e-3f, 1.0f, 1.0f)))
+    val dups = (0 until 5).map(j =>
+      (1000L + j, Seq(100.0f, 1.0f, 1.0f)))
+    val other = (0 until 4).map(i =>
+      (2000L + i, Seq(0.0f, 1.0f, i * 1.0f)))
+    val corpus = (clique ++ dups ++ other).toDF("vec_id", "embedding")
+    val assigned = Similarity.ivfAssign(corpus, "vec_id", "embedding",
+      cents).localCheckpoint()
+    def keep(df: org.apache.spark.sql.DataFrame): Map[Long, Boolean] =
+      df.select($"vec_id", $"kept").as[(Long, Boolean)].collect().toMap
+    val t = 0.9
+    val exact = keep(Dedup.dedupAssignedPairJoin(assigned, "vec_id",
+      "embedding", t))
+    val split = keep(Dedup.dedupAssigned(assigned, "vec_id", "embedding",
+      t, maxCellGroups = cap))
+    // (a) default cap on this corpus: exact parity (61 groups < 8192)
+    assert(keep(Dedup.dedupAssigned(assigned, "vec_id", "embedding", t))
+      == exact)
+    // (b) soundness: every row the split drops, the exact form drops
+    assert(split.collect { case (id, false) => id }.toSet
+      .subsetOf(exact.collect { case (id, false) => id }.toSet))
+    // (c) the global min id survives both
+    assert(split(0L) && exact(0L))
+    // (d) the clique keeps at most ceil(gcnt/cap) representatives
+    //     (61 groups in cell 0 → 8 buckets), and more than the exact
+    //     form's single representative — i.e. the split actually
+    //     engaged and its loss is the documented bound
+    val cliqueKept = split.collect {
+      case (id, true) if id < 1000L => id }
+    assert(cliqueKept.size > 1 && cliqueKept.size <= 8, cliqueKept)
+    // (e) exact duplicates of the min vector share its bucket and drop
+    assert((1000L until 1005L).forall(id => !split(id)))
+    // (f) the full documented semantics: split == naive per (cell,
+    //     salt) bucket, reconstructed with the same salt expression
+    val counts = assigned.filter($"vec_id".isNotNull)
+      .groupBy($"cell")
+      .agg(countDistinct($"embedding").as("gcnt"))
+    val salted = assigned.join(counts, Seq("cell"), "left")
+      .withColumn("salt", when($"gcnt" > cap,
+          pmod(xxhash64($"embedding"),
+            ceil($"gcnt" / lit(cap.toDouble))))
+        .otherwise(lit(0L)))
+      .localCheckpoint()
+    val buckets = salted.select($"cell", $"salt").distinct()
+      .as[(Int, Long)].collect()
+    val perBucket = buckets.map { case (c, s) =>
+      keep(Dedup.dedupAssignedPairJoin(
+        salted.filter($"cell" === c && $"salt" === s)
+          .select($"vec_id", $"cell", $"embedding"),
+        "vec_id", "embedding", t))
+    }.reduce(_ ++ _)
+    assert(split == perBucket)
+  }
+
   test("dedupAssigned rep-collapse: keep/drop parity with the naive pair join") {
     // r16 (r15 verdict #1): the within-cell pair join now runs over one
     // representative per distinct (cell, vector) — the naive Σ|cell|²
@@ -862,6 +932,61 @@ class LlmSpec extends SparkSpec {
         maxBroadcastRows = 10)
     }
     assert(err.getMessage.contains("ivfTopKRp"), err.getMessage)
+  }
+
+  test("broadcast cap rescales by dOut (a bytes budget), Int.MaxValue disables") {
+    // r17 (r16 verdict #5): MaxBroadcastQueries encodes ~20 MB at the
+    // default dOut = 16; per-query broadcast bytes scale with dOut, so
+    // the effective ROW cap is rescaled by RpDim/dOut — floored at 10k
+    // rows, never above Int.MaxValue − 1 (so the guard's cap + 1
+    // limit-count cannot overflow negative when a caller disables with
+    // Int.MaxValue — the r16 ADVICE k + 1 class).
+    import Similarity.scaledBroadcastCap
+    assert(scaledBroadcastCap(100000, 16) == 100000)
+    assert(scaledBroadcastCap(100000, 32) == 50000)
+    assert(scaledBroadcastCap(100000, 256) == 10000) // the 10k floor
+    assert(scaledBroadcastCap(100000, 8) == 200000) // narrower → more
+    assert(scaledBroadcastCap(10, 256) == 10) // tiny explicit caps stay
+    assert(scaledBroadcastCap(Int.MaxValue, 256) == Int.MaxValue - 1)
+    assert(scaledBroadcastCap(Int.MaxValue, 16) == Int.MaxValue - 1)
+    // regime pin at a NON-DEFAULT dOut: the same 12k query set that
+    // the row cap admits at dOut = 16 (cap 200k) leaves the broadcast
+    // regime at dOut = 512 (scaled cap = 10k floor < 12k rows)
+    val q12k = spark.range(12000).crossJoin(emb.limit(1)
+        .select($"embedding"))
+      .select($"id".as("vec_id"), $"embedding").localCheckpoint()
+    val errW = intercept[IllegalArgumentException] {
+      Similarity.rpTopK(emb, q12k, "vec_id", "embedding", 5,
+        shortlist = 10, dOut = 512, maxBroadcastRows = 200000)
+    }
+    assert(errW.getMessage.contains("dOut=512"), errW.getMessage)
+    val cents = Similarity.ivfTrain(emb, "vec_id", "embedding", 8)
+    val olds = Seq("spark.sql.adaptive.enabled",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> spark.conf.getOption(k))
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+      val narrow = Similarity.ivfTopKRp(emb, q12k, "vec_id", "embedding",
+          5, cents, nprobe = 1, shortlist = 10,
+          maxBroadcastRows = 200000)
+        .queryExecution.executedPlan
+      assert(narrow.collect {
+        case j: BroadcastHashJoinExec => j }.nonEmpty,
+        "dOut=16 regime lost its broadcast candidate join")
+      val wide = Similarity.ivfTopKRp(emb, q12k, "vec_id", "embedding",
+          5, cents, nprobe = 1, shortlist = 10, dOut = 512,
+          maxBroadcastRows = 200000)
+        .queryExecution.executedPlan
+      assert(wide.collect {
+        case j: BroadcastHashJoinExec => j }.isEmpty,
+        "wide-dOut regime still broadcasts past the bytes budget")
+      assert(!wide.toString.contains("CartesianProduct"))
+    } finally olds.foreach {
+      case (k, Some(o)) => spark.conf.set(k, o)
+      case (k, None) => spark.conf.unset(k)
+    }
   }
 
   test("simhash banded pairs: complete vs brute force, twins at distance 0") {

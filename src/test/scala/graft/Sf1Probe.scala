@@ -162,6 +162,18 @@ object Sf1Probe {
     }
     def run(name: String, dir: String): Double =
       timeDf(SparkEntry.queries(name)(spark, dir))
+    // r17 (r16 verdict #2): any row growing >5x on the 10x corpus
+    // auto-annotates with its measured OUTPUT ratio, so pair-output
+    // rows (dd_containment_join's 6.7x debuted unadjudicated in r16)
+    // carry their output-bound evidence in the same artifact instead
+    // of waiting for a hand-run ApCountProbe.
+    def annotate(q: String, a: Double, b: Double): Unit =
+      if (b / a > 5.0) {
+        val oa = SparkEntry.queries(q)(spark, src).count()
+        val ob = SparkEntry.queries(q)(spark, dst).count()
+        println(f"[sf1]   ^ output rows sf0.1=$oa%d sf1=$ob%d " +
+          f"(${ob.toDouble / math.max(1L, oa)}%.1fx output growth)")
+      }
     println(f"[sf1] ${"query"}%-22s ${"sf0.1"}%8s ${"sf1"}%8s ${"ratio"}%7s")
     // r15 (r14 verdict #6): `names:a,b,c` runs EXACT query names
     // straight from SparkEntry.queries — the recurring sf1 mini-board
@@ -180,6 +192,7 @@ object Sf1Probe {
         val a = run(q, src)
         val b = run(q, dst)
         println(f"[sf1] $q%-22s $a%8.2f $b%8.2f ${b / a}%7.1fx")
+        annotate(q, a, b)
       }
     }
     if (exactNames.isEmpty)
@@ -187,6 +200,7 @@ object Sf1Probe {
         val a = run(q, src)
         val b = run(q, dst)
         println(f"[sf1] $q%-22s $a%8.2f $b%8.2f ${b / a}%7.1fx")
+        annotate(q, a, b)
       }
 
     // ---- attribution arms (r11 verdict #2): parameter-scaled or

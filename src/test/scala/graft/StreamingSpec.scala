@@ -1180,6 +1180,51 @@ class StreamingSpec extends SparkSpec {
       spark.sql(s"DROP TABLE IF EXISTS $t")
   }
 
+  test("embedding novelty ingest: zero-norm vectors never enter the index") {
+    // r17 (r16 ADVICE): a zero vector's cosine is NULL under
+    // cosineZeroSafe, so it can never be marked a duplicate — it is
+    // novel on EVERY batch (keep-on-no-evidence, pinned here) — but as
+    // index state it can never supply duplicate evidence either, so
+    // indexing it is dead weight that previously accumulated one
+    // duplicate index row per recurrence, without bound. Both the
+    // create (seed) and append paths must drop it.
+    val idxT = "emb_idx_z"; val sinkT = "emb_sink_z"
+    for (t <- Seq(idxT, s"${idxT}__cents", sinkT))
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+    val e = Tables.load(spark, sf, "embeddings")
+      .select($"vec_id", $"embedding").limit(50).localCheckpoint()
+    val zeroOf = (idOff: Long) => e.limit(1)
+      .select(($"vec_id" + idOff).as("vec_id"),
+        transform($"embedding", x => x * lit(0.0f)).as("embedding"))
+    val cents = graft.llm.Similarity.ivfTrain(e, "vec_id", "embedding", 4)
+    def zeroIdxRows(): Long = spark.table(idxT)
+      .filter($"vec".isNotNull)
+      .filter(graft.functions.DotProduct($"vec", $"vec") === 0.0)
+      .count()
+    // seed includes a zero vector — dropped at create
+    Events.createEmbeddingIndex(spark, idxT,
+      e.unionByName(zeroOf(800000L)), "embedding", cents)
+    assert(zeroIdxRows() == 0)
+    val idxAfterCreate = spark.table(idxT).count()
+    // the same zero vector arrives in TWO batches: novel both times
+    // (no cosine evidence can mark it duplicate), indexed neither time
+    for (b <- 0 to 1) {
+      Events.embeddingNoveltyIngestBatch(zeroOf(900000L + b), b.toLong,
+        idxT, sinkT, "embedding", 0.95)
+      assert(spark.table(sinkT).filter($"batch_id" === b)
+        .select($"vec_id").as[Long].collect().toSet
+        == Set(900000L + b), s"batch $b")
+    }
+    assert(zeroIdxRows() == 0)
+    // index grew only by the two per-batch marker rows (cell = -1)
+    assert(spark.table(idxT).filter($"vec".isNotNull).count()
+      == spark.table(idxT).filter($"vec".isNotNull && $"batch_id" === -1)
+        .count())
+    assert(spark.table(idxT).count() == idxAfterCreate + 2)
+    for (t <- Seq(idxT, s"${idxT}__cents", sinkT))
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
   test("embedding novelty ingest: streaming wiring equals batch calls") {
     import org.apache.spark.sql.types._
     val idxT = "emb_idx_s"; val sinkT = "emb_sink_s"

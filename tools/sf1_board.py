@@ -12,6 +12,12 @@ test_archive/sf1_board_r{N}.txt and compare round-over-round in SURVEY
 with the sentinel convention (fn_safe_cast / fn_datediff /
 src_csv_roundtrip are always appended as the drift basis).
 
+r17 (r16 verdict #2): Sf1Probe itself auto-annotates any row whose
+sf1/sf0.1 ratio exceeds 5x with its measured OUTPUT row counts at both
+scales, so a pair-output row that debuts on the board carries its
+output-bound adjudication in the same artifact (the
+dd_containment_join precedent — 6.7x in r16 with no archived counts).
+
 Usage: tools/sf1_board.py bench_archive/bench_r14.json [N]
 """
 import json
