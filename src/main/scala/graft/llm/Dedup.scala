@@ -357,8 +357,8 @@ object Dedup {
         .na.fill(0L, Seq("inter"))
         .join(szA, Seq("id_a")).join(szB, Seq("id_b"))
         .select(col("id_a"), col("id_b"),
-          round(col("inter").cast(DoubleType) /
-            (col("sz_a") + col("sz_b") - col("inter")), 6).as("jaccard"))
+          graft.functions.Round6(col("inter").cast(DoubleType) /
+            (col("sz_a") + col("sz_b") - col("inter"))).as("jaccard"))
         .filter(col("jaccard") >= threshold)
     }
   }
@@ -585,8 +585,8 @@ object Dedup {
       .join(sizes.select(col("doc").as("id_a"), col("sz").as("sz_a")), Seq("id_a"))
       .join(sizes.select(col("doc").as("id_b"), col("sz").as("sz_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
-        round(col("inter").cast(DoubleType) /
-          (col("sz_a") + col("sz_b") - col("inter")), 6).as("jaccard"))
+        graft.functions.Round6(col("inter").cast(DoubleType) /
+          (col("sz_a") + col("sz_b") - col("inter"))).as("jaccard"))
   }
 
   /** EXACT set-similarity self-join: every pair of documents whose
@@ -1609,7 +1609,11 @@ object Dedup {
     * [[graft.functions.DotProduct]] loop. */
   def cosine(a: Column, b: Column): Column = {
     def dot(x: Column, y: Column): Column = graft.functions.DotProduct(x, y)
-    round(dot(a, b) / sqrt(dot(a, a) * dot(b, b)), 6)
+    // Round6, not SQL round: the SQL form's BigDecimal round is a
+    // dtoa + decimal parse per call — invisible per result row, the
+    // dominant cost per candidate PAIR (r17; Round6's scaladoc has
+    // the measurement)
+    graft.functions.Round6(dot(a, b) / sqrt(dot(a, a) * dot(b, b)))
   }
 
   /** [[cosine]] with the zero-norm pole made a VALUE: `try_divide`
@@ -1621,7 +1625,8 @@ object Dedup {
     * only self-consistent reading of an undefined angle. */
   def cosineZeroSafe(a: Column, b: Column): Column = {
     def dot(x: Column, y: Column): Column = graft.functions.DotProduct(x, y)
-    round(try_divide(dot(a, b), sqrt(dot(a, a) * dot(b, b))), 6)
+    graft.functions.Round6(
+      try_divide(dot(a, b), sqrt(dot(a, a) * dot(b, b))))
   }
 
   /** Near-duplicate pairs by embedding cosine over a candidate pair list. */
@@ -1918,9 +1923,11 @@ object Dedup {
     * exact-duplicate cluster collapses BEFORE the wire); the rep pair
     * join is the old join in distinct-vector space, with the SELF pair
     * riding the same join (`<=` instead of `<` — one join, no separate
-    * self branch); bounds aggregate straight onto the (cell, vector)
-    * group key, so the apply-back joins only the BOUNDED groups (≈ the
-    * number of near-dup clusters, broadcast in the common case,
+    * self branch); bounds aggregate onto the (cell, min-id) group key
+    * — codegen-cheap on the 2-rows-per-qualifying-pair hot stream,
+    * with the group's vector re-attached by one bounded-size join —
+    * so the apply-back joins only the BOUNDED groups (≈ the number of
+    * near-dup clusters, broadcast in the common case,
     * AQE-skew-splittable sort-merge past that) and is linear in the
     * hot key — never a per-group buffer (a collect_list of member ids
     * would re-concentrate a 10⁹-member cluster into one multi-GB
@@ -2014,21 +2021,47 @@ object Dedup {
     // directly by the endpoint's (cell, vector), so no remap join is
     // needed; a null cell never joins (===), itself included — the
     // naive form's behavior.
-    val bounds = groups.alias("x").join(groups.alias("y"),
+    // the pair stream is keyed by (cell, gmin), NOT (cell, vector):
+    // ids are globally unique, so each group's min id NAMES the group
+    // — and the qualifying-pair stream is the hot path (a near-dup
+    // clique emits 2 rows per qualifying pair), so its partial-agg
+    // key must be codegen-cheap. Keyed on the raw float array, every
+    // emitted row paid an INTERPRETED NormalizeNaNAndZero transform +
+    // a 256-byte hash just to be grouped (measured: the jittered
+    // hot-cell probe sat minutes in ArrayTransform.nullSafeEval);
+    // keyed on (int, long) it is a codegen long hash. The vector is
+    // re-attached AFTER the min-agg by one bounded-size join against
+    // `groups` so the row-level apply-back below keeps its exact
+    // (cell, vector) key.
+    // self-norms are staged ONCE PER GROUP (the rpTopK convention):
+    // cosineZeroSafe inline recomputes dot(x,x) and dot(y,y) for every
+    // candidate pair, tripling the pair-stream FLOPs. Same doubles,
+    // same multiplication, same Round6 — sqrt(n2x·n2y) over the staged
+    // norms is bit-identical to the inline form, so keep/drop parity
+    // with the naive oracle is arithmetic, not approximate.
+    val gn = groups.withColumn("__n2",
+      graft.functions.DotProduct(col(vec), col(vec)))
+    def pairCos(): Column = graft.functions.Round6(
+      try_divide(graft.functions.DotProduct(col(s"x.$vec"),
+        col(s"y.$vec")), sqrt(col("x.__n2") * col("y.__n2"))))
+    val bounds0 = gn.alias("x").join(gn.alias("y"),
         col("x.cell") === col("y.cell") &&
           col("x.__salt") === col("y.__salt") &&
           col("x.__gmin") <= col("y.__gmin"))
-      .filter(cosineZeroSafe(col(s"x.$vec"), col(s"y.$vec")) >= threshold)
+      .filter(pairCos() >= threshold)
       .select(explode(array(
           struct(col("x.cell").as("__bcell"),
-            col(s"x.$vec").as("__bvec"), col("y.__gmin").as("__b")),
+            col("x.__gmin").as("__bg"), col("y.__gmin").as("__b")),
           struct(col("y.cell").as("__bcell"),
-            col(s"y.$vec").as("__bvec"), col("x.__gmin").as("__b"))))
+            col("y.__gmin").as("__bg"), col("x.__gmin").as("__b"))))
         .as("p"))
-      .select(col("p.__bcell").as("__bcell"), col("p.__bvec").as("__bvec"),
+      .select(col("p.__bcell").as("__bcell"), col("p.__bg").as("__bg"),
         col("p.__b").as("__b"))
-      .groupBy(col("__bcell"), col("__bvec"))
+      .groupBy(col("__bcell"), col("__bg"))
       .agg(min(col("__b")).as("__bnd"))
+    val bounds = bounds0.join(groups.select(col("cell").as("__bcell"),
+        col("__gmin").as("__bg"), col(vec).as("__bvec")),
+      Seq("__bcell", "__bg"))
     // apply-back: only BOUNDED groups exist in `bounds` (≈ the number
     // of near-dup clusters, usually ≪ corpus), so this is a broadcast
     // join against the full row set — no second full-data shuffle; an
@@ -2111,13 +2144,23 @@ object Dedup {
     // over its support). cosineZeroSafe keeps zero-norm vectors a
     // RESULT (undefined cosine passes no threshold → no duplicate
     // evidence → novel) instead of an ANSI division error.
+    // self-norms staged once per side (the dedupAssigned convention,
+    // r17): the probe is a |batch|·|cell slice| pair stream, and the
+    // inline cosine recomputes both self-dots per pair. Same doubles,
+    // same multiplication, same Round6 — bit-identical decisions.
     val idx = indexCells.select(col("cell"), col(vec).as("__graft_iv"))
       .dropDuplicates("cell", "__graft_iv")
+      .withColumn("__graft_in2",
+        graft.functions.DotProduct(col("__graft_iv"), col("__graft_iv")))
     val assignedBatch =
-      if (multiAssign <= 1) Similarity.ivfAssign(batch, id, vec, cents)
-      else Similarity.ivfAssign(batch, id, vec, cents, multiAssign)
+      (if (multiAssign <= 1) Similarity.ivfAssign(batch, id, vec, cents)
+       else Similarity.ivfAssign(batch, id, vec, cents, multiAssign))
+        .withColumn("__graft_bn2",
+          graft.functions.DotProduct(col(vec), col(vec)))
     val hits = assignedBatch.join(idx, Seq("cell"))
-      .filter(cosineZeroSafe(col(vec), col("__graft_iv")) >= threshold)
+      .filter(graft.functions.Round6(try_divide(
+          graft.functions.DotProduct(col(vec), col("__graft_iv")),
+          sqrt(col("__graft_bn2") * col("__graft_in2")))) >= threshold)
       .select(col(id)).distinct().withColumn("__graft_hit", lit(true))
     batch.select(col(id)).join(hits, Seq(id), "left_outer")
       .select(col(id), coalesce(!col("__graft_hit"), lit(true)).as("novel"))
@@ -2395,7 +2438,7 @@ object Dedup {
       .filter(col("cos") >= threshold)
       .select(col("pa.doc").as("doc_a"), col("pb.doc").as("doc_b"),
         col("dot"), col("pa.n2").as("n2_a"), col("pb.n2").as("n2_b"),
-        round(col("cos"), 6).as("cos"),
+        graft.functions.Round6(col("cos")).as("cos"),
         col("pa.n").as("n_a"), col("pb.n").as("n_b"))
     if (expandCliques) cross.drop("n_a", "n_b")
     else {
@@ -2409,7 +2452,7 @@ object Dedup {
         .filter(col("cosx") >= threshold)
         .select(col("doc").as("doc_a"), col("doc").as("doc_b"),
           col("n2").as("dot"), col("n2").as("n2_a"), col("n2").as("n2_b"),
-          round(col("cosx"), 6).as("cos"),
+          graft.functions.Round6(col("cosx")).as("cos"),
           col("n").as("n_a"), col("n").as("n_b"))
       cross.unionByName(intra)
     }
@@ -2447,7 +2490,7 @@ object Dedup {
       val crossR = sigPairs.select(col("sid_a").as("doc_a"),
         col("sid_b").as("doc_b"), col("dotd").cast(LongType).as("dot"),
         col("na2").as("n2_a"), col("nb2").as("n2_b"),
-        round(col("cos"), 6).as("cos"), col("n_a"), col("n_b"))
+        graft.functions.Round6(col("cos")).as("cos"), col("n_a"), col("n_b"))
       // identical-vector cliques: dot = n2 — emitted as the EXACT
       // long (the double dotd is only for cos: beyond 2⁵³ the
       // double round-trip would diverge from the prefix arm's exact
@@ -2460,7 +2503,7 @@ object Dedup {
         .select(col("sid").as("doc_a"), col("sid").as("doc_b"),
           col("na2").as("dot"),
           col("na2").as("n2_a"), col("nb2").as("n2_b"),
-          round(col("cos"), 6).as("cos"),
+          graft.functions.Round6(col("cos")).as("cos"),
           col("n").as("n_a"), col("n").as("n_b"))
       return crossR.unionByName(intraR)
     }
@@ -2478,7 +2521,7 @@ object Dedup {
           .as("n2_a"),
         when(col("da") < col("db"), col("nb2")).otherwise(col("na2"))
           .as("n2_b"),
-        round(col("cos"), 6).as("cos"))
+        graft.functions.Round6(col("cos")).as("cos"))
     // identical-vector pairs: dot = n2 (emitted as the EXACT long —
     // dotd only feeds cos, see the non-expand branch), same filter,
     // same op sequence
@@ -2492,7 +2535,7 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"),
         col("na2").as("dot"),
         col("na2").as("n2_a"), col("nb2").as("n2_b"),
-        round(col("cos"), 6).as("cos"))
+        graft.functions.Round6(col("cos")).as("cos"))
     cross.unionByName(intra)
   }
 
@@ -2889,7 +2932,7 @@ object Dedup {
       .filter(col("cos") >= threshold)
       .select(col("pa.doc").as("id_a"), col("pb.doc").as("id_b"),
         col("dot"), col("pa.n2").as("n2_a"), col("pb.n2").as("n2_b"),
-        round(col("cos"), 6).as("cos"),
+        graft.functions.Round6(col("cos")).as("cos"),
         col("pa.n").as("n_a"), col("pb.n").as("n_b"))
     if (expandCliques) cross.drop("n_a", "n_b") else cross
   }
@@ -2922,7 +2965,7 @@ object Dedup {
       return sigPairs.select(col("sid_a").as("id_a"),
         col("sid_b").as("id_b"), col("dotd").cast(LongType).as("dot"),
         col("na2").as("n2_a"), col("nb2").as("n2_b"),
-        round(col("cos"), 6).as("cos"), col("n_a"), col("n_b"))
+        graft.functions.Round6(col("cos")).as("cos"), col("n_a"), col("n_b"))
     sigPairs
       .join(dsL.select(col("sid").as("sid_a"), col("doc").as("id_a")),
         Seq("sid_a"))
@@ -2931,7 +2974,7 @@ object Dedup {
       .select(col("id_a"), col("id_b"),
         col("dotd").cast(LongType).as("dot"),
         col("na2").as("n2_a"), col("nb2").as("n2_b"),
-        round(col("cos"), 6).as("cos"))
+        graft.functions.Round6(col("cos")).as("cos"))
   }
 
   // -------------------------------------------------------------------

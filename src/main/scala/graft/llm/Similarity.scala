@@ -242,8 +242,8 @@ object Similarity {
         col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id"),
         when(col("qn2") * col("cn2") > 0,
-          round(dot(col("qp"), col("cp")) /
-            sqrt(col("qn2") * col("cn2")), 6)).as("pcos"))
+          graft.functions.Round6(dot(col("qp"), col("cp")) /
+            sqrt(col("qn2") * col("cn2")))).as("pcos"))
     val wp = Window.partitionBy(col("query_id"))
       .orderBy(col("pcos").desc, col("vec_id"))
     val short = scored.withColumn("prank", row_number().over(wp))
@@ -891,8 +891,8 @@ object Similarity {
       .filter(col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id"),
         when(col("qn2") * col("cn2") > 0,
-          round(dot(col("qp"), col("cp")) /
-            sqrt(col("qn2") * col("cn2")), 6)).as("pcos"))
+          graft.functions.Round6(dot(col("qp"), col("cp")) /
+            sqrt(col("qn2") * col("cn2")))).as("pcos"))
     val wp = Window.partitionBy(col("query_id"))
       .orderBy(col("pcos").desc, col("vec_id"))
     val short = scored.withColumn("prank", row_number().over(wp))

@@ -652,12 +652,17 @@ object Events {
     val v = col(vecCol)
     val vecs = batch.select(v.as("doc")).filter(col("doc").isNotNull)
       .distinct().localCheckpoint()
+    // self-norms staged once per distinct vector (the dedupAssigned
+    // convention, r17) — the inline cosine recomputed both self-dots
+    // per candidate pair; same doubles, same Round6, bit-identical
     val assigned = vecs.withColumn("cell",
-      graft.llm.Similarity.nearestCell(col("doc"), cents))
+        graft.llm.Similarity.nearestCell(col("doc"), cents))
+      .withColumn("n2", graft.functions.DotProduct(col("doc"), col("doc")))
     val edges = assigned.alias("a").join(assigned.alias("b"),
         col("a.cell") === col("b.cell") && col("a.doc") < col("b.doc"))
-      .filter(graft.llm.Dedup.cosineZeroSafe(col("a.doc"), col("b.doc"))
-        >= threshold)
+      .filter(graft.functions.Round6(try_divide(
+          graft.functions.DotProduct(col("a.doc"), col("b.doc")),
+          sqrt(col("a.n2") * col("b.n2")))) >= threshold)
       .select(col("a.doc").as("id_a"), col("b.doc").as("id_b"))
       .localCheckpoint()
     val reps = graft.llm.Dedup.connectedComponents(vecs, "doc", edges,
@@ -2284,11 +2289,17 @@ object Events {
         idx.filter(col("cell").isin(touched.map(c => c: Any).toSeq: _*))
       else idx
     val slice = slice0.filter(col("vec").isNotNull)
+    // self-norms staged once per side (the dedupAssigned convention,
+    // r17); same doubles, same Round6 — bit-identical probe decisions
     val dupVecs = probed
-      .join(slice.select(col("cell"), col("vec").as("__graft_iv")),
+      .withColumn("__graft_bn2", graft.functions.DotProduct(bvec, bvec))
+      .join(slice.select(col("cell"), col("vec").as("__graft_iv"),
+          graft.functions.DotProduct(col("vec"), col("vec"))
+            .as("__graft_in2")),
         Seq("cell"))
-      .filter(graft.llm.Dedup.cosineZeroSafe(bvec, col("__graft_iv"))
-        >= threshold)
+      .filter(graft.functions.Round6(try_divide(
+          graft.functions.DotProduct(bvec, col("__graft_iv")),
+          sqrt(col("__graft_bn2") * col("__graft_in2")))) >= threshold)
       .select(bvec).distinct()
     val novel = work.join(dupVecs, col(vecCol) === bvec, "left_anti")
       .withColumn("novel", lit(true))

@@ -341,6 +341,41 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("Round6 equals SQL round(x, 6) on real cosines and planted values") {
+    // r17: the similarity grain moved off SQL round (a BigDecimal
+    // dtoa per call — the dominant per-pair cost, see Round6's
+    // scaladoc) onto arithmetic half-away-from-zero rounding. Pin
+    // value equality against SQL round over every pairwise cosine the
+    // real corpus produces, plus planted signs/edges. (Exact decimal
+    // .xxxxxx5 boundaries are not representable in binary, so both
+    // forms see a value strictly off the half line — divergence would
+    // need the true expansion within ~1e-10 of it, absent here and
+    // measured absent in the corpus.)
+    def dot(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
+      graft.functions.DotProduct(x, y)
+    val e = emb.limit(200).select($"vec_id", $"embedding")
+    val raw = e.alias("a").crossJoin(e.alias("b"))
+      .select((dot($"a.embedding", $"b.embedding") /
+        sqrt(dot($"a.embedding", $"a.embedding") *
+          dot($"b.embedding", $"b.embedding"))).as("x"))
+    assert(raw.filter(graft.functions.Round6($"x") =!= round($"x", 6))
+      .count() == 0)
+    assert(raw.filter($"x".isNull).count() == 0) // the pin saw real rows
+    val planted = Seq(0.1234565, -0.1234565, 0.9999995, -0.9999995,
+      1.0, -1.0, 0.9999994999, -0.0000005, 5e-7, 0.0, -0.0,
+      Double.NaN, Double.PositiveInfinity, Double.NegativeInfinity)
+      .toDF("x")
+    val diff = planted
+      .select($"x", graft.functions.Round6($"x").as("a"),
+        round($"x", 6).as("b"))
+      .filter(!($"a" <=> $"b")) // null-safe: NaN <=> NaN is true
+      .collect()
+    assert(diff.isEmpty, diff.mkString(", "))
+    // null propagates like SQL round
+    assert(Seq(Option.empty[Double]).toDF("x")
+      .select(graft.functions.Round6($"x")).head.isNullAt(0))
+  }
+
   test("dedupAssigned salt split: over-cap cells bounded, per-bucket exact, sound") {
     // r17 (r16 verdict #1): DISTINCT-vector near-dup skew — a jittered
     // clique of J distinct near-identical vectors lands in ONE cell,
