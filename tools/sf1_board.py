@@ -46,6 +46,13 @@ EXCLUDE = {"dd_semantic_novelty_collapse",
            # on the 10x-duplicated corpus, sub-linear per output row;
            # the _reps siblings are the scale path
            "dd_allpairs", "dd_containment",
+           # measured r17 (test_archive/apcount_r17.txt + the r17
+           # board's auto-annotation): the cross-corpus form grows
+           # 100.0x in output (227,628 -> 22,762,800 pairs) on the
+           # 10x-duplicated corpus while running 6.8x = 0.068x per
+           # output row — output-bound like its siblings; the _reps
+           # form is the scale path
+           "dd_containment_join",
            # measured r16 (test_archive/range_join_probe_r16.txt): the
            # shifted corpus grows windows AND points 10x on one time
            # axis, so intersections grow exactly 100.0x (6.1M -> 612.7M
