@@ -1882,6 +1882,19 @@ object Dedup {
     * for bounded work per the scaladoc below. */
   val MaxCellGroups = 8192
 
+  /** Pivot-peel width for over-cap cells (r17): the `PivotPeelWidth`
+    * groups with the SMALLEST min-ids in an over-cap cell join against
+    * every group in the cell (O(gcnt·width) — 128× cheaper than the
+    * salted join it short-circuits at the default cap). Because every
+    * non-pivot group's min id exceeds every pivot's, a group that
+    * qualifies against ANY pivot gets its EXACT min-id bound from the
+    * pivot evidence alone (derivation in [[dedupAssigned]]); only
+    * pivot-UNREACHABLE groups fall back to the salted buckets. The
+    * real-world over-cap shape — one dense boilerplate clique — is
+    * resolved exactly (one representative kept), not approximately.
+    * 0 disables the peel (the salt-only form, kept as a probe arm). */
+  val PivotPeelWidth = 64
+
   /** Within-cell min-id greedy dedup over an ASSIGNED frame — the
     * shared tail of the semanticDedup family.
     *
@@ -1943,17 +1956,35 @@ object Dedup {
     * over ceil(gcnt/cap) buckets by vector hash (deterministic), and
     * the pair join adds the bucket to its equi key, bounding per-cell
     * work at ~gcnt·cap pairs (linear in the hot cell, ~cap² per join
-    * key ⇒ task-sized) instead of gcnt². This is a RECALL TRADE of
-    * the same kind as nlist/multiAssign: qualifying pairs that
-    * straddle salt buckets are missed, so an over-cap near-dup clique
-    * keeps up to ceil(gcnt/cap) representatives instead of exactly
-    * one (a 10⁶-vector jittered clique at the default cap keeps ≤123
-    * of 10⁶ — 99.99% of the duplicates still drop). Below the cap —
-    * every legitimately-sized cell: [[Similarity.servingNlist]]
+    * key ⇒ task-sized) instead of gcnt².
+    *
+    * Before the salted join, over-cap cells run a PIVOT PEEL
+    * ([[PivotPeelWidth]], r17): the `pivotWidth` smallest-min-id
+    * groups join against every group in the cell (O(gcnt·width)).
+    * Because every non-pivot group's min id exceeds every pivot's, a
+    * group qualifying ≥ 1 pivot gets its EXACT bound from pivot
+    * evidence alone — min{m(H) : qualifying H} is attained at a pivot
+    * whenever any pivot qualifies, since every qualifying non-pivot
+    * contributes a strictly larger min id. Resolved groups skip the
+    * salted join (they have nothing left to learn; evidence they can
+    * still SUPPLY to unresolved same-bucket groups rides the residual
+    * join's y side, order-free since a resolved group never appears
+    * as x). The real over-cap shape — one dense boilerplate clique,
+    * whose lowest-id member is a pivot by construction — therefore
+    * resolves EXACTLY: one representative kept, at ~width/cap of the
+    * salted join's cost. Only pivot-UNREACHABLE groups (no pivot
+    * within the threshold — an adversarial multi-cluster cell) pay
+    * the salted join's RECALL trade, which is of the same kind as
+    * nlist/multiAssign: qualifying pairs that straddle salt buckets
+    * are missed, so an unreachable near-dup cluster keeps up to
+    * ceil(gcnt/cap) representatives instead of exactly one. Below the
+    * cap — every legitimately-sized cell: [[Similarity.servingNlist]]
     * targets ~128 rows/cell, so the default cap sits 64× above the
     * target mean — the salt is constant 0 and keep/drop is EXACT,
-    * byte-for-byte the r16 behavior (LlmSpec pins parity, and pins
-    * the split form against the naive oracle per bucket). The
+    * byte-for-byte the r16 behavior (LlmSpec pins parity; pins the
+    * peel exact on pivot-covered cells and the monotone sandwich
+    * naive ⊇ peeled ⊇ salt-only on a pivot-unreachable one; and pins
+    * the salt-only arm against the naive oracle per bucket). The
     * decision is IN-PLAN (the per-cell group count is a window over
     * the groups, single-lineage — one groups-sized exchange + sort,
     * no second pass over the raw rows), so the common path pays one
@@ -1963,7 +1994,8 @@ object Dedup {
     * quadratic pair work downstream is what the salt bounds. */
   private[graft] def dedupAssigned(assigned: DataFrame, id: String,
                                    vec: String, threshold: Double,
-                                   maxCellGroups: Int = MaxCellGroups)
+                                   maxCellGroups: Int = MaxCellGroups,
+                                   pivotWidth: Int = PivotPeelWidth)
       : DataFrame = {
     // null-id rows can neither drop nor be dropped (strict < and the
     // id join-back both reject null) — pass them through kept, exactly
@@ -1995,10 +2027,12 @@ object Dedup {
     val groups =
       if (maxCellGroups == Int.MaxValue)
         groups0.withColumn("__salt", lit(0L))
+          .withColumn("__oc", lit(false))
       else groups0
         .withColumn("__gcnt", count(lit(1)).over(wcell))
+        .withColumn("__oc", col("__gcnt") > maxCellGroups)
         .withColumn("__salt",
-          when(col("__gcnt") > maxCellGroups,
+          when(col("__oc"),
             pmod(xxhash64(col(vec)),
               ceil(col("__gcnt") / lit(maxCellGroups.toDouble))))
             .otherwise(lit(0L)))
@@ -2039,16 +2073,24 @@ object Dedup {
     // same multiplication, same Round6 — sqrt(n2x·n2y) over the staged
     // norms is bit-identical to the inline form, so keep/drop parity
     // with the naive oracle is arithmetic, not approximate.
-    val gn = groups.withColumn("__n2",
+    // the groups frame is MATERIALIZED once (localCheckpoint): it is
+    // referenced by both sides of the small pair join, the pivot join,
+    // the residual join, and the bounds vector re-attach — lazily,
+    // every reference re-executed the scan + assignment + group-by +
+    // window upstream (AQE stage reuse recovered only part of it:
+    // measured ~2× on dd_semantic with the peel branches in the
+    // plan). The checkpoint is groups-sized (one row per DISTINCT
+    // (cell, vector) — the corpus's distinct vectors, already the
+    // operator's working set), eager, and linear; the disabled arm
+    // (Int.MaxValue) keeps the pure-lazy two-reference form.
+    val gn0 = groups.withColumn("__n2",
       graft.functions.DotProduct(col(vec), col(vec)))
+    val gn =
+      if (maxCellGroups == Int.MaxValue) gn0 else gn0.localCheckpoint()
     def pairCos(): Column = graft.functions.Round6(
       try_divide(graft.functions.DotProduct(col(s"x.$vec"),
         col(s"y.$vec")), sqrt(col("x.__n2") * col("y.__n2"))))
-    val bounds0 = gn.alias("x").join(gn.alias("y"),
-        col("x.cell") === col("y.cell") &&
-          col("x.__salt") === col("y.__salt") &&
-          col("x.__gmin") <= col("y.__gmin"))
-      .filter(pairCos() >= threshold)
+    def emit(pairs: DataFrame): DataFrame = pairs
       .select(explode(array(
           struct(col("x.cell").as("__bcell"),
             col("x.__gmin").as("__bg"), col("y.__gmin").as("__b")),
@@ -2057,9 +2099,63 @@ object Dedup {
         .as("p"))
       .select(col("p.__bcell").as("__bcell"), col("p.__bg").as("__bg"),
         col("p.__b").as("__b"))
+    // under-cap cells (every cell, in the common case): the plain
+    // within-cell pair join — salt is 0 throughout, so the key needs
+    // no salt conjunct and keep/drop is EXACT, byte-for-byte r16.
+    // When the split is disabled, __oc is literally false and the
+    // optimizer folds the whole big-cell branch away.
+    val small = gn.filter(!col("__oc"))
+    val pairsSmall = small.alias("x").join(small.alias("y"),
+        col("x.cell") === col("y.cell") &&
+          col("x.__gmin") <= col("y.__gmin"))
+      .filter(pairCos() >= threshold)
+    // over-cap cells, stage 1 — PIVOT PEEL ([[PivotPeelWidth]]): the
+    // `pivotWidth` smallest-gmin groups join against EVERY group in
+    // the cell (O(gcnt·width), unordered — pivot-pivot pairs evaluate
+    // twice, the min-agg absorbs it; pivot self-pairs ride along).
+    // EXACTNESS: every non-pivot gmin exceeds every pivot gmin, so
+    // for a group qualifying ≥1 pivot the true bound
+    // min{m(H) : qualifying H} IS min{m(p) : qualifying pivot p} —
+    // any qualifying non-pivot contributes a larger value. Such
+    // groups (the whole dense clique, in the real over-cap shape) are
+    // fully RESOLVED here and skip the salted join below.
+    val big = gn.filter(col("__oc"))
+    val wrank = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cell")).orderBy(col("__gmin"))
+    val pivots = big.withColumn("__grank", row_number().over(wrank))
+      .filter(col("__grank") <= pivotWidth).drop("__grank")
+    val pairsPivot = pivots.alias("x").join(big.alias("y"),
+        col("x.cell") === col("y.cell"))
+      .filter(pairCos() >= threshold)
+    // a group is resolved iff it received pivot evidence (appeared as
+    // a qualifying y — pivots included, via their self/peer pairs; at
+    // T = 1.0 a group whose rounded self-cosine misses the threshold
+    // resolves nothing and correctly falls through to the residual)
+    val resolved = pairsPivot
+      .select(col("y.cell").as("cell"), col("y.__gmin").as("__gmin"))
+      .distinct().withColumn("__res", lit(true))
+    // over-cap cells, stage 2 — the salted residual: only
+    // pivot-UNREACHABLE groups still need pairing (the x side), but
+    // they may be dropped by RESOLVED same-bucket groups too, so the
+    // y side keeps everyone: a resolved y joins in either id order
+    // (it never appears as x, so no pair is produced twice), an
+    // unresolved y under the `<=` order (once per unordered pair,
+    // self-pairs included). Evidence emitted to a resolved endpoint
+    // is ≥ its exact pivot bound — absorbed by the min, never wrong.
+    val bigF = big.join(resolved, Seq("cell", "__gmin"), "left")
+      .withColumn("__res", coalesce(col("__res"), lit(false)))
+    val pairsResidual = bigF.filter(!col("__res")).alias("x")
+      .join(bigF.alias("y"),
+        col("x.cell") === col("y.cell") &&
+          col("x.__salt") === col("y.__salt") &&
+          (col("x.__gmin") <= col("y.__gmin") || col("y.__res")))
+      .filter(pairCos() >= threshold)
+    val bounds0 = emit(pairsSmall)
+      .unionByName(emit(pairsPivot))
+      .unionByName(emit(pairsResidual))
       .groupBy(col("__bcell"), col("__bg"))
       .agg(min(col("__b")).as("__bnd"))
-    val bounds = bounds0.join(groups.select(col("cell").as("__bcell"),
+    val bounds = bounds0.join(gn.select(col("cell").as("__bcell"),
         col("__gmin").as("__bg"), col(vec).as("__bvec")),
       Seq("__bcell", "__bg"))
     // apply-back: only BOUNDED groups exist in `bounds` (≈ the number

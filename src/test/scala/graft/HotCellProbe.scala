@@ -108,24 +108,35 @@ object HotCellProbe {
       } else if (pass == 2)
         println(s"[probe] rep UNSPLIT jitter=$h  SKIPPED " +
           "(10^10 rep pairs; the 10k point already shows ~h^2)")
-      // the SHIPPED path (public semanticDedup, default cap 8192):
-      // identical to unsplit below the cap, salt-split above it —
-      // expect ~h·8192 pair work at the 100k point instead of h²
+      // the SHIPPED path (public semanticDedup, default cap 8192 +
+      // pivot peel): identical to unsplit below the cap; above it the
+      // peel resolves the clique EXACTLY against the 64 smallest-id
+      // groups (v0's original row is one — the real boilerplate
+      // shape), ~h·64 pair work, with the salted join left only the
+      // empty residual
       val t1 = System.nanoTime()
       val kept1 = Dedup.semanticDedup(c, "vec_id", "embedding", cents,
         0.95).filter(col("kept")).count()
       if (pass == 2)
-        println(f"[probe] rep default-cap jitter=$h%-7d ${
+        println(f"[probe] rep default     jitter=$h%-7d ${
           (System.nanoTime() - t1) / 1e9}%8.2f s  ($kept1%d kept)")
-      // tight cap isolates the split's scaling: ~h·1024 pair work —
-      // near-linear in h once the cap binds
+      // SALT-ONLY arm (pivotWidth = 0): the bound without the peel —
+      // ~h·cap pair work, ceil(h/cap) clique reps kept
       val t2 = System.nanoTime()
       val kept2 = Dedup.dedupAssigned(assigned, "vec_id", "embedding",
-          0.95, maxCellGroups = 1024)
+          0.95, maxCellGroups = 8192, pivotWidth = 0)
         .filter(col("kept")).count()
       if (pass == 2)
-        println(f"[probe] rep cap=1024    jitter=$h%-7d ${
+        println(f"[probe] rep salt-only   jitter=$h%-7d ${
           (System.nanoTime() - t2) / 1e9}%8.2f s  ($kept2%d kept)")
+      // tight cap isolates the salt scaling: ~h·1024 pair work
+      val t3 = System.nanoTime()
+      val kept3 = Dedup.dedupAssigned(assigned, "vec_id", "embedding",
+          0.95, maxCellGroups = 1024, pivotWidth = 0)
+        .filter(col("kept")).count()
+      if (pass == 2)
+        println(f"[probe] rep salt=1024   jitter=$h%-7d ${
+          (System.nanoTime() - t3) / 1e9}%8.2f s  ($kept3%d kept)")
     }
     spark.stop()
   }

@@ -405,27 +405,41 @@ class LlmSpec extends SparkSpec {
     val t = 0.9
     val exact = keep(Dedup.dedupAssignedPairJoin(assigned, "vec_id",
       "embedding", t))
-    val split = keep(Dedup.dedupAssigned(assigned, "vec_id", "embedding",
+    // the SALT-ONLY arm (pivotWidth = 0) and the SHIPPED form (pivot
+    // peel at the default width, which covers this 60-group cell
+    // entirely — the peel's exactness pin)
+    val saltOnly = keep(Dedup.dedupAssigned(assigned, "vec_id",
+      "embedding", t, maxCellGroups = cap, pivotWidth = 0))
+    val peeled = keep(Dedup.dedupAssigned(assigned, "vec_id", "embedding",
       t, maxCellGroups = cap))
     // (a) default cap on this corpus: exact parity (61 groups < 8192)
     assert(keep(Dedup.dedupAssigned(assigned, "vec_id", "embedding", t))
       == exact)
-    // (b) soundness: every row the split drops, the exact form drops
-    assert(split.collect { case (id, false) => id }.toSet
-      .subsetOf(exact.collect { case (id, false) => id }.toSet))
-    // (c) the global min id survives both
-    assert(split(0L) && exact(0L))
-    // (d) the clique keeps at most ceil(gcnt/cap) representatives
-    //     (61 groups in cell 0 → 8 buckets), and more than the exact
-    //     form's single representative — i.e. the split actually
-    //     engaged and its loss is the documented bound
-    val cliqueKept = split.collect {
+    // (b) the pivot peel RESOLVES the whole over-cap cell here (60
+    //     groups ≤ PivotPeelWidth) — the shipped form is EXACT even
+    //     though the cell is split
+    assert(peeled == exact)
+    // (c) soundness: every drop either form makes, the exact form makes
+    def dropped(m: Map[Long, Boolean]) =
+      m.collect { case (id, false) => id }.toSet
+    assert(dropped(saltOnly).subsetOf(dropped(exact)))
+    assert(dropped(peeled).subsetOf(dropped(exact)))
+    // (d) monotone sandwich: pivot evidence only ADDS real drops
+    assert(dropped(saltOnly).subsetOf(dropped(peeled)))
+    // (e) the global min id survives every form
+    assert(saltOnly(0L) && peeled(0L) && exact(0L))
+    // (f) salt-only: the clique keeps at most ceil(gcnt/cap)
+    //     representatives (61 groups in cell 0 → 8 buckets), and more
+    //     than the exact form's single one — the split engaged and its
+    //     loss is the documented bound
+    val cliqueKept = saltOnly.collect {
       case (id, true) if id < 1000L => id }
     assert(cliqueKept.size > 1 && cliqueKept.size <= 8, cliqueKept)
-    // (e) exact duplicates of the min vector share its bucket and drop
-    assert((1000L until 1005L).forall(id => !split(id)))
-    // (f) the full documented semantics: split == naive per (cell,
-    //     salt) bucket, reconstructed with the same salt expression
+    // (g) exact duplicates of the min vector share its bucket and drop
+    assert((1000L until 1005L).forall(id => !saltOnly(id)))
+    assert((1000L until 1005L).forall(id => !peeled(id)))
+    // (h) the salt-only documented semantics: naive per (cell, salt)
+    //     bucket, reconstructed with the same salt expression
     val counts = assigned.filter($"vec_id".isNotNull)
       .groupBy($"cell")
       .agg(countDistinct($"embedding").as("gcnt"))
@@ -443,7 +457,52 @@ class LlmSpec extends SparkSpec {
           .select($"vec_id", $"cell", $"embedding"),
         "vec_id", "embedding", t))
     }.reduce(_ ++ _)
-    assert(split == perBucket)
+    assert(saltOnly == perBucket)
+  }
+
+  test("pivot peel: unreachable residual stays salted, reachable cluster exact") {
+    // r17 — the over-cap shape the peel does NOT fully cover: one cell
+    // holding TWO distant jitter clusters. Pivots (smallest min-ids)
+    // all live in cluster A, so A resolves exactly (one rep); cluster
+    // B is pivot-unreachable and falls back to the salted buckets
+    // (≤ ceil(gcnt/cap) reps). Monotone sandwich pinned throughout.
+    val cents = Array(Array(1.0, 0.0, 0.0), Array(-1.0, 0.0, 0.0))
+    // both clusters assign to cell 0; cross-cluster cosine ≈ 0.22 < t
+    val clusterA = (0 until 30).map(i =>
+      (i.toLong, Seq(5.0f, 4.0f, i * 1e-4f)))
+    val clusterB = (0 until 30).map(i =>
+      (100L + i, Seq(5.0f, -4.0f, i * 1e-4f)))
+    val corpus = (clusterA ++ clusterB).toDF("vec_id", "embedding")
+    val assigned = Similarity.ivfAssign(corpus, "vec_id", "embedding",
+      cents).localCheckpoint()
+    assert(assigned.select($"cell").distinct().count() == 1)
+    def keep(df: org.apache.spark.sql.DataFrame): Map[Long, Boolean] =
+      df.select($"vec_id", $"kept").as[(Long, Boolean)].collect().toMap
+    def dropped(m: Map[Long, Boolean]) =
+      m.collect { case (id, false) => id }.toSet
+    val t = 0.9
+    val exact = keep(Dedup.dedupAssignedPairJoin(assigned, "vec_id",
+      "embedding", t))
+    // pivotWidth = 4 < cluster size: pivots are A's four smallest ids
+    val peeled = keep(Dedup.dedupAssigned(assigned, "vec_id",
+      "embedding", t, maxCellGroups = 8, pivotWidth = 4))
+    val saltOnly = keep(Dedup.dedupAssigned(assigned, "vec_id",
+      "embedding", t, maxCellGroups = 8, pivotWidth = 0))
+    // cluster A: pivot-reachable → exactly the naive answer (id 0 the
+    // only survivor)
+    assert(peeled(0L))
+    assert((1L until 30L).forall(id => !peeled(id)), "A not collapsed")
+    // cluster B: pivot-unreachable → the salted bound applies (60
+    // groups in the cell → 8 buckets), MORE than naive's single rep
+    val bKept = peeled.collect { case (id, true) if id >= 100L => id }
+    assert(bKept.size > 1 && bKept.size <= 8, bKept)
+    assert(peeled(100L), "B's min id must survive")
+    // monotone sandwich: exact ⊇ peeled ⊇ salt-only in dropped sets
+    assert(dropped(peeled).subsetOf(dropped(exact)))
+    assert(dropped(saltOnly).subsetOf(dropped(peeled)))
+    // and the B-side keep/drop is bucket-for-bucket the salt-only
+    // form's (the peel touches only pivot-reachable groups here)
+    assert(peeled.filter(_._1 >= 100L) == saltOnly.filter(_._1 >= 100L))
   }
 
   test("dedupAssigned rep-collapse: keep/drop parity with the naive pair join") {
