@@ -2551,8 +2551,16 @@ object SparkEntry {
       graft.streaming.Events.createEmbeddingIndex(s, idxT,
         s.range(0).select(lit(null).cast("array<float>").as("embedding")),
         "embedding", Array(Array.fill(dim)(0.0)))
+      // collapseCellCap disabled: this query's ONE-cell config is the
+      // price of a globally-replayable oracle (comment above), and the
+      // r17 over-cap guard would otherwise salt-split the deliberately
+      // oversized single cell at larger SFs, changing kept counts the
+      // DuckDB replay can't mirror. Production shapes (real cents,
+      // ~128 rows/cell) sit far below the cap; the guard itself is
+      // pinned in StreamingSpec and probed in HotCellProbe.
       graft.streaming.Events.embeddingNoveltyIngestBatch(batch, 0L,
-        idxT, sinkT, "embedding", 0.95, collapseIntraBatch = true)
+        idxT, sinkT, "embedding", 0.95, collapseIntraBatch = true,
+        collapseCellCap = Int.MaxValue)
       s.table(sinkT).select(col("vec_id"), col("batch_id"))
         .orderBy(col("vec_id"))
     }),

@@ -1242,10 +1242,23 @@ object Dedup {
     * cases; callers enforce it. Negative signatures (bit 63 set on the
     * 64-bit form) are safe: shiftright's sign extension is masked off
     * per band, and [[hamming]]'s XOR+popcount is representation-exact
-    * on two's-complement longs in Spark and DuckDB alike. */
+    * on two's-complement longs in Spark and DuckDB alike.
+    *
+    * `maxBucketSize` caps the hot-bucket quadratic ([[minhashCandidates]]'s
+    * rule, r17): a band bucket holding more than `maxBucketSize`
+    * DISTINCT signatures — templated near-identical text whose other
+    * bands carry the variation — is dropped from the self-join
+    * (Σ|bucket|² hamming evaluations otherwise). Recall trade of the
+    * banded kind: two signatures pair iff they SHARE an uncapped band,
+    * so near-dup pairs whose every common band is capped are missed;
+    * exact signature twins are ONE node here (the frame is distinct)
+    * and never affected. None = no cap — the pigeonhole-complete,
+    * oracle-checked default. */
   private[graft] def simhashSigPairs(sig: DataFrame, maxHamming: Int,
                                      bandBits: Int = SimHashBandBits,
-                                     nBands: Int = SimHashBands): DataFrame = {
+                                     nBands: Int = SimHashBands,
+                                     maxBucketSize: Option[Int] = None)
+      : DataFrame = {
     val bits = bandBits
     val sigs = sig.select(col("simhash")).distinct()
     // shiftright, not `/`: Spark's `/` on longs is DOUBLE division, and
@@ -1257,8 +1270,20 @@ object Dedup {
         shiftright(col("simhash"), b * bits)
           .bitwiseAND(lit((1L << bits) - 1)).cast(StringType))
     }
-    val banded = sigs.select(col("simhash"),
+    val banded0 = sigs.select(col("simhash"),
       explode(array(bandCols: _*)).as("band"))
+    val banded = maxBucketSize match {
+      case None => banded0
+      case Some(cap) =>
+        // window over the same subplan (the minhashCandidates shape):
+        // hot buckets never enter the self-join
+        import org.apache.spark.sql.expressions.Window
+        banded0
+          .withColumn("__bucket_n",
+            count(lit(1)).over(Window.partitionBy(col("band"))))
+          .filter(col("__bucket_n") <= cap)
+          .drop("__bucket_n")
+    }
     banded.alias("x").join(banded.alias("y"),
         col("x.band") === col("y.band") &&
           col("x.simhash") < col("y.simhash") &&

@@ -578,10 +578,12 @@ object Events {
     * Note the granularity is the signature, not the row: rows SHARING
     * the representative signature still pass together (exact-payload
     * row dedup is upstream's job — it needs a row identity this
-    * generic loop doesn't have). */
+    * generic loop doesn't have). `maxBucketSize` is the hot-band-bucket
+    * cap ([[graft.llm.Dedup.simhashSigPairs]], r17) — None = exact. */
   def collapseBySignature(signed: DataFrame, sigCol: String,
                           maxHamming: Int, maxIter: Int = 20,
-                          driverEdgeLimit: Long = 1000000L): DataFrame = {
+                          driverEdgeLimit: Long = 1000000L,
+                          maxBucketSize: Option[Int] = None): DataFrame = {
     require(maxHamming < 4,
       "4×16-bit band lookup complete only for maxHamming < 4")
     require(!signed.columns.contains("__graft_repsig"),
@@ -591,7 +593,7 @@ object Events {
       .filter(col("simhash").isNotNull).distinct()
       .localCheckpoint()
     val edges = graft.llm.Dedup.simhashSigPairs(sigs, maxHamming,
-        bandBits = 16, nBands = 4)
+        bandBits = 16, nBands = 4, maxBucketSize = maxBucketSize)
       .select(col("sa").as("id_a"), col("sb").as("id_b"))
       .localCheckpoint()
     val repSigs = graft.llm.Dedup.inheritSigComponents(
@@ -612,16 +614,32 @@ object Events {
     * engine-portable); rows keep iff their array is its component's
     * rep, NULL-array rows pass through. Granularity is the band array,
     * not the row: rows sharing a rep array pass together (row identity
-    * is upstream's job — the ingest family's convention). */
+    * is upstream's job — the ingest family's convention).
+    * `maxBucketSize` is the hot-band-bucket cap (r17) — None = exact. */
   def collapseByBands(signed: DataFrame, bandsCol: String,
                       maxIter: Int = 20,
-                      driverEdgeLimit: Long = 1000000L): DataFrame = {
+                      driverEdgeLimit: Long = 1000000L,
+                      maxBucketSize: Option[Int] = None): DataFrame = {
     require(!signed.columns.contains("__graft_repbar"),
       "column name __graft_repbar is reserved by collapseByBands")
     val barr = col(bandsCol)
     val arrs = signed.select(barr.as("doc")).filter(col("doc").isNotNull)
       .distinct().localCheckpoint()
-    val exploded = arrs.select(col("doc"), explode(col("doc")).as("band"))
+    val exploded0 = arrs.select(col("doc"), explode(col("doc")).as("band"))
+    // maxBucketSize caps the hot-band quadratic (minhashCandidates'
+    // rule, r17): a band shared by more than `maxBucketSize` DISTINCT
+    // arrays is dropped from the self-join — the banded recall trade;
+    // identical arrays are one node and never affected. None = exact.
+    val exploded = maxBucketSize match {
+      case None => exploded0
+      case Some(cap) =>
+        import org.apache.spark.sql.expressions.Window
+        exploded0
+          .withColumn("__bucket_n",
+            count(lit(1)).over(Window.partitionBy(col("band"))))
+          .filter(col("__bucket_n") <= cap)
+          .drop("__bucket_n")
+    }
     val edges = exploded.alias("a").join(exploded.alias("b"),
         col("a.band") === col("b.band") && col("a.doc") < col("b.doc"))
       .select(col("a.doc").as("id_a"), col("b.doc").as("id_b"))
@@ -642,11 +660,54 @@ object Events {
     * IVF caveat, and exact duplicates never are), rep = the
     * component's MINIMUM vector (lexicographic); rows keep iff their
     * vector is its component's rep, NULL-vector rows pass. Granularity
-    * is the vector: rows sharing a rep vector pass together. */
+    * is the vector: rows sharing a rep vector pass together.
+    *
+    * DISTINCT-vector skew ([[graft.llm.Dedup.dedupAssigned]]'s r17
+    * hazard rule, applied in COMPONENT space): the within-cell edge
+    * join is Σ|distinct(cell)|², and a batch of jittered boilerplate
+    * (one page embedded with timestamp/counter noise — all DISTINCT
+    * vectors, one k-means cell) makes it quadratic in the burst. Cells
+    * whose distinct-vector count exceeds `maxCellVectors` therefore
+    * run the guarded form:
+    *
+    *  - PIVOT PEEL: the cell's `pivotWidth` lexicographically-smallest
+    *    vectors edge-join against every vector in the cell
+    *    (O(vcnt·width), task-sized). A vector with ≥ 1 qualifying
+    *    pivot edge is COVERED; the dense boilerplate clique — any
+    *    clique containing at least one pivot — is fully connected
+    *    through that pivot, so its component (and its MIN-vector rep,
+    *    reachable via the pivot star) is EXACT.
+    *  - SALT RESIDUAL: uncovered vectors pair only within their
+    *    deterministic hash bucket (`pmod(xxhash64(vec),
+    *    ceil(vcnt/cap))`); a covered partner still supplies edges to
+    *    an uncovered same-bucket vector (the `b.__cov` disjunct), but
+    *    covered×covered residual pairs are skipped — their clique
+    *    connectivity already rides the pivot edges.
+    *
+    * Every emitted edge is a GENUINE qualifying pair (a subset of the
+    * exact edge set), so guarded components REFINE exact components:
+    * kept(exact) ⊆ kept(guarded) — the guard never drops a row the
+    * exact form keeps, it can only keep extra representatives. For a
+    * pivot-UNREACHABLE component (> `pivotWidth` mutually-far clusters
+    * packed in one over-cap cell) the fragments follow the salt: a
+    * clique keeps ≤ ceil(vcnt/cap) representatives (one per bucket),
+    * a chain possibly more. Identical vectors are ONE node here
+    * (`vecs` is distinct), so exact-duplicate collapse is untouched
+    * by construction. Below the cap — every legitimately-sized cell —
+    * the edge set is byte-identical to the unguarded form
+    * (StreamingSpec pins parity, clique exactness, the superset
+    * direction, and the salt-only per-bucket oracle).
+    * `maxCellVectors = Int.MaxValue` disables the guard statically
+    * (salt literal 0, no window in the plan) — the probe's baseline
+    * arm and the escape hatch for deliberately-degenerate cell
+    * configs (e.g. a single-centroid oracle replay). */
   def collapseByVector(batch: DataFrame, vecCol: String,
                        cents: Array[Array[Double]], threshold: Double,
                        maxIter: Int = 20,
-                       driverEdgeLimit: Long = 1000000L): DataFrame = {
+                       driverEdgeLimit: Long = 1000000L,
+                       maxCellVectors: Int = graft.llm.Dedup.MaxCellGroups,
+                       pivotWidth: Int = graft.llm.Dedup.PivotPeelWidth)
+      : DataFrame = {
     require(!batch.columns.contains("__graft_repvec"),
       "column name __graft_repvec is reserved by collapseByVector")
     val v = col(vecCol)
@@ -655,19 +716,92 @@ object Events {
     // self-norms staged once per distinct vector (the dedupAssigned
     // convention, r17) — the inline cosine recomputed both self-dots
     // per candidate pair; same doubles, same Round6, bit-identical
-    val assigned = vecs.withColumn("cell",
+    val assigned0 = vecs.withColumn("cell",
         graft.llm.Similarity.nearestCell(col("doc"), cents))
       .withColumn("n2", graft.functions.DotProduct(col("doc"), col("doc")))
-    val edges = assigned.alias("a").join(assigned.alias("b"),
+    // per-cell distinct-vector count as a WINDOW over the same
+    // subplan (the dedupAssigned convention — a groupBy-and-join-back
+    // would re-execute the assignment per reference); upstream is the
+    // `vecs` checkpoint, so re-references replay only map + window.
+    // A NULL cell (NaN-element vectors) may get salted by its window
+    // partition — harmless, `===` rejects null so it pairs with
+    // nothing either way.
+    val assigned =
+      if (maxCellVectors == Int.MaxValue)
+        assigned0.withColumn("__oc", lit(false))
+          .withColumn("__salt", lit(0L))
+      else assigned0
+        .withColumn("__vcnt", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("cell"))))
+        .withColumn("__oc", col("__vcnt") > maxCellVectors)
+        .withColumn("__salt",
+          when(col("__oc"),
+            pmod(xxhash64(col("doc")),
+              ceil(col("__vcnt") / lit(maxCellVectors.toDouble))))
+            .otherwise(lit(0L)))
+        .drop("__vcnt")
+    def qcos(): Column = graft.functions.Round6(try_divide(
+      graft.functions.DotProduct(col("a.doc"), col("b.doc")),
+      sqrt(col("a.n2") * col("b.n2"))))
+    // edges are emitted in xxhash64 space: an edge row carrying both
+    // full vectors is ~2 KB at dim 256, so a 10⁶-member clique's
+    // ~width·h star edges would be 100+ GB on the wire — hashed they
+    // are 16 bytes/row. collapseComponents' non-numeric branch applies
+    // the SAME hash internally (same collision model, ~n²/2⁶⁴);
+    // hashing at EMIT time keeps the pair-stream narrow AND routes the
+    // component loop through its numeric fast path. The component's
+    // lexicographic-min REP VECTOR is re-derived after labeling by one
+    // min-agg over the (hash, vector) nodes — `min` on ArrayType is
+    // the exact aggregate collapseComponents' own rep election uses.
+    def hEdges(pairs: DataFrame): DataFrame = {
+      val (ha, hb) = (xxhash64(col("a.doc")), xxhash64(col("b.doc")))
+      pairs.select(least(ha, hb).as("id_a"), greatest(ha, hb).as("id_b"))
+    }
+    // under-cap cells (every cell in the common case): the plain
+    // within-cell triangular join — byte-identical edges to the
+    // unguarded form. When the guard is disabled, __oc is literally
+    // false and the optimizer folds the over-cap branches away.
+    val small = assigned.filter(!col("__oc"))
+    val eSmall = hEdges(small.alias("a").join(small.alias("b"),
         col("a.cell") === col("b.cell") && col("a.doc") < col("b.doc"))
-      .filter(graft.functions.Round6(try_divide(
-          graft.functions.DotProduct(col("a.doc"), col("b.doc")),
-          sqrt(col("a.n2") * col("b.n2")))) >= threshold)
-      .select(col("a.doc").as("id_a"), col("b.doc").as("id_b"))
+      .filter(qcos() >= threshold))
+    // over-cap cells, stage 1 — pivot peel. Pivot-pivot pairs arrive
+    // in both orders; least/greatest + the final distinct normalize.
+    val big = assigned.filter(col("__oc"))
+    val wrank = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cell")).orderBy(col("doc"))
+    val pivots = big.withColumn("__r", row_number().over(wrank))
+      .filter(col("__r") <= pivotWidth).drop("__r")
+    val pairsPivot = pivots.alias("a").join(big.alias("b"),
+        col("a.cell") === col("b.cell") && col("a.doc") =!= col("b.doc"))
+      .filter(qcos() >= threshold)
+    val ePivot = hEdges(pairsPivot).distinct()
+    val covered = pairsPivot
+      .select(col("b.cell").as("cell"), col("b.doc").as("doc"))
+      .distinct().withColumn("__cov", lit(true))
+    // over-cap cells, stage 2 — the salted residual: uncovered x only
+    // (covered vectors' clique connectivity rides the pivot edges; a
+    // pivot's full edge set was evaluated in stage 1); covered y still
+    // supplies edges in either order, an uncovered y under `<` (once
+    // per unordered pair).
+    val bigF = big.join(covered, Seq("cell", "doc"), "left")
+      .withColumn("__cov", coalesce(col("__cov"), lit(false)))
+    val eResid = bigF.filter(!col("__cov")).alias("a")
+      .join(bigF.alias("b"),
+        col("a.cell") === col("b.cell") &&
+          col("a.__salt") === col("b.__salt") &&
+          (col("a.doc") < col("b.doc") || col("b.__cov")))
+      .filter(qcos() >= threshold)
+    val edges = eSmall.unionByName(ePivot).unionByName(hEdges(eResid))
       .localCheckpoint()
-    val reps = graft.llm.Dedup.connectedComponents(vecs, "doc", edges,
+    val nodes = vecs.select(xxhash64(col("doc")).as("doc"))
+    val labels = graft.llm.Dedup.connectedComponents(nodes, "doc", edges,
         maxIter, driverEdgeLimit)
-      .filter(col("keep")).select(col("doc").as("__graft_repvec"))
+    val reps = vecs.withColumn("__h", xxhash64(col("doc")))
+      .join(labels.select(col("doc").as("__h"), col("rep").as("__lbl")),
+        Seq("__h"))
+      .groupBy(col("__lbl")).agg(min(col("doc")).as("__graft_repvec"))
+      .select(col("__graft_repvec"))
     batch.join(reps, v === col("__graft_repvec"), "left_semi")
       .unionByName(batch.filter(v.isNull))
   }
@@ -2229,7 +2363,9 @@ object Events {
                                   indexTable: String, sinkTable: String,
                                   vecCol: String, threshold: Double,
                                   multiProbe: Int = 1,
-                                  collapseIntraBatch: Boolean = false)
+                                  collapseIntraBatch: Boolean = false,
+                                  collapseCellCap: Int =
+                                    graft.llm.Dedup.MaxCellGroups)
       : Unit = {
     require(batchId >= 0, s"batch_id must be >= 0 (got $batchId; -1 is " +
       "reserved for the index seed)")
@@ -2260,7 +2396,8 @@ object Events {
     // representative vector each first (same cells, same threshold)
     val work =
       if (collapseIntraBatch)
-        collapseByVector(batch, vecCol, cents, threshold)
+        collapseByVector(batch, vecCol, cents, threshold,
+          maxCellVectors = collapseCellCap)
       else batch
     val bvec = col("__graft_bvec")
     val batchVecs = work.select(col(vecCol).as("__graft_bvec"))

@@ -225,6 +225,17 @@ class EmptyInputSpec extends SparkSpec {
     val allNull = Seq(1L, 2L).toDF("media_id")
       .withColumn("s", lit(null).cast("long"))
     assert(Events.collapseBySignature(allNull, "s", 3).count() === 2)
+    // collapseByVector (guarded form, r17): empty frame → empty;
+    // all-null vectors pass through — the over-cap window/salt/peel
+    // branches tolerate both degenerate shapes
+    val cbvCents = Array(Array(1.0, 0.0))
+    val emptyVec = Seq.empty[(Long, Array[Float])].toDF("id", "vec")
+    assert(Events.collapseByVector(emptyVec, "vec", cbvCents, 0.9)
+      .count() === 0)
+    val allNullVec = Seq(1L, 2L).toDF("id")
+      .withColumn("vec", lit(null).cast("array<float>"))
+    assert(Events.collapseByVector(allNullVec, "vec", cbvCents, 0.9)
+      .count() === 2)
     // cappedBandBuckets of an empty index is zero
     assert(Events.cappedBandBuckets(emptyBanded) === 0L)
     // embedding ingest: an empty batch is a pure no-op (no tables read)

@@ -138,6 +138,44 @@ object HotCellProbe {
         println(f"[probe] rep salt=1024   jitter=$h%-7d ${
           (System.nanoTime() - t3) / 1e9}%8.2f s  ($kept3%d kept)")
     }
+
+    // ---- r17 (second session): the INTRA-BATCH collapse twin
+    // (Events.collapseByVector — connected components in
+    // distinct-vector space) under the same jittered hot cell. The
+    // unsplit hazard here is WORSE than dedupAssigned's: every clique
+    // pair qualifies, so the edge LIST itself is ~h²/2 rows — and
+    // before the r17 hash-space emit, each row carried BOTH full
+    // vectors (~2 KB at dim 256): the first run of this arm sat 25+
+    // min in a single-thread 4.1 GiB+/partition localCheckpoint at
+    // h = 10k (~100 GB of edges through one join key). Hash-space
+    // edges are 16 bytes/row, which makes the 10k unsplit point
+    // measurable — but it still evaluates ~5·10⁷ cosines through one
+    // join key and materializes ~5·10⁷ edges, hence ~h²; 100k stays
+    // skipped. The shipped default (cap 8192 + pivot peel) emits
+    // ~width·h star edges instead and must stay near-linear. Kept
+    // counts printed for the exactness check: the clique resolves to
+    // ONE rep iff its lexicographic-min vector (v0 itself) is
+    // pivot-covered.
+    for (h <- Seq(1000, 10000, 100000); pass <- 1 to 2) {
+      val c = jittered(h)
+      if (h <= 10000) {
+        val t0 = System.nanoTime()
+        val kept = graft.streaming.Events.collapseByVector(c, "embedding",
+            cents, 0.95, maxCellVectors = Int.MaxValue).count()
+        if (pass == 2)
+          println(f"[probe] cbv UNSPLIT jitter=$h%-7d ${
+            (System.nanoTime() - t0) / 1e9}%8.2f s  ($kept%d kept)")
+      } else if (pass == 2)
+        println(s"[probe] cbv UNSPLIT jitter=$h  SKIPPED " +
+          "(~5*10^9 pairs/edges through one join key; the 10k point " +
+          "already shows ~h^2)")
+      val t1 = System.nanoTime()
+      val kept1 = graft.streaming.Events.collapseByVector(c, "embedding",
+        cents, 0.95).count()
+      if (pass == 2)
+        println(f"[probe] cbv default jitter=$h%-7d ${
+          (System.nanoTime() - t1) / 1e9}%8.2f s  ($kept1%d kept)")
+    }
     spark.stop()
   }
 }

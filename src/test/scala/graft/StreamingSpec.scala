@@ -1855,6 +1855,153 @@ class StreamingSpec extends SparkSpec {
       spark.sql(s"DROP TABLE IF EXISTS $t")
   }
 
+  // ---- collapseByVector over-cap guard (r17: dedupAssigned's hazard
+  // rule in component space) -------------------------------------------
+  // two far-apart centroids on the first axis; every test vector's cell
+  // is decided by its first component's sign
+  private def cbvCents: Array[Array[Double]] =
+    Array(Array(10.0, 0.0, 0.0, 0.0), Array(-10.0, 0.0, 0.0, 0.0))
+  // dense clique: pairwise cosine ≈ 1 (first component dominates)
+  private def cbvClique(i: Int, sign: Float = 1f): Array[Float] =
+    Array(sign * 1000f, i * 0.001f, 0f, 0f)
+  // mutual non-dups in cell 0: directions ≥ 0.6 rad apart in the
+  // (x1, x2) plane (9 vectors: max angle 5.4, wrap gap 1.48 — every
+  // pairwise cosine ≤ cos(0.6) ≈ 0.825 < 0.9)
+  private def cbvScatter(i: Int): Array[Float] = {
+    val th = 0.6 * (i + 1)
+    Array(1f, (80 * math.cos(th)).toFloat, (80 * math.sin(th)).toFloat, 0f)
+  }
+  private def cbvKept(df: org.apache.spark.sql.DataFrame): Set[Long] =
+    df.select($"id").as[Long].collect().toSet
+
+  test("collapseByVector guard: under-cap cells are byte-identical to exact") {
+    val rows = (0 until 30).map(i => (i.toLong, cbvClique(i))) ++
+      (0 until 9).map(i => (100L + i, cbvScatter(i))) ++
+      (0 until 20).map(i => (200L + i, cbvClique(i / 2, sign = -1f))) ++
+      Seq((900L, null.asInstanceOf[Array[Float]]),
+        (901L, null.asInstanceOf[Array[Float]])) ++
+      Seq((950L, cbvClique(0)), (951L, cbvClique(0))) // rows SHARING a vec
+    val batch = rows.toDF("id", "vec").localCheckpoint()
+    val exact = cbvKept(Events.collapseByVector(batch, "vec", cbvCents,
+      0.9, maxCellVectors = Int.MaxValue))
+    val guarded = cbvKept(Events.collapseByVector(batch, "vec", cbvCents,
+      0.9)) // default cap 8192 — every cell far below it
+    assert(guarded == exact)
+    // null-vec rows pass through; rows sharing the rep vector pass
+    // together; the clique collapsed
+    assert(guarded.contains(900L) && guarded.contains(901L))
+    assert(guarded.contains(950L) == guarded.contains(951L))
+    assert(guarded.size < rows.size)
+  }
+
+  test("collapseByVector guard: pivot-covered over-cap clique is EXACT") {
+    // cell 0: 300-member jittered clique + 9 mutual non-dups = 309
+    // distinct vectors > cap 100 → over-cap. Lexicographic pivots
+    // (width 64) take the 9 scatter vectors (first element 1 < 1000)
+    // then 55 clique members — the clique holds a pivot, so it is
+    // covered and resolves exactly. Cell 1 stays under-cap.
+    val rows = (0 until 300).map(i => (i.toLong, cbvClique(i))) ++
+      (0 until 9).map(i => (1000L + i, cbvScatter(i))) ++
+      (0 until 20).map(i => (2000L + i, cbvClique(i / 2, sign = -1f)))
+    val batch = rows.toDF("id", "vec").localCheckpoint()
+    val exact = cbvKept(Events.collapseByVector(batch, "vec", cbvCents,
+      0.9, maxCellVectors = Int.MaxValue))
+    val guarded = cbvKept(Events.collapseByVector(batch, "vec", cbvCents,
+      0.9, maxCellVectors = 100))
+    assert(guarded == exact)
+    // and the clique really did collapse to one representative
+    assert(guarded.count(_ < 300L) == 1)
+  }
+
+  test("collapseByVector guard: pivot-unreachable cluster — superset, " +
+    "bucket bound") {
+    // cell 0 packs TWO mutually-far 60-member cliques (cos ≈ -1 across)
+    // with pivotWidth = 1: the single pivot is cluster B's lexicographic
+    // min (element 1: -80 < 80), so B resolves exactly while A is
+    // pivot-unreachable and fragments along the salt — at most
+    // ceil(120/40) = 3 representatives, never fewer than 1, and never
+    // a dropped row the exact form keeps.
+    val a = (0 until 60).map(i =>
+      (i.toLong, Array(1f, 80f, i * 0.001f, 0f)))
+    val b = (0 until 60).map(i =>
+      (1000L + i, Array(1f, -80f, i * 0.001f, 0f)))
+    val batch = (a ++ b).toDF("id", "vec").localCheckpoint()
+    val exact = cbvKept(Events.collapseByVector(batch, "vec", cbvCents,
+      0.9, maxCellVectors = Int.MaxValue))
+    val guarded = cbvKept(Events.collapseByVector(batch, "vec", cbvCents,
+      0.9, maxCellVectors = 40, pivotWidth = 1))
+    assert(exact.subsetOf(guarded), "guard dropped a row the exact form keeps")
+    assert(exact.count(_ < 1000L) == 1 && exact.count(_ >= 1000L) == 1)
+    assert(guarded.count(_ >= 1000L) == 1, "pivot-covered cluster not exact")
+    val aReps = guarded.count(_ < 1000L)
+    assert(aReps >= 1 && aReps <= 3,
+      s"unreachable cluster outside the bucket bound: $aReps reps")
+  }
+
+  test("collapseByVector guard: salt-only form equals the per-bucket " +
+    "exact oracle") {
+    // pivotWidth = 0 disables the peel, leaving pure salt buckets: the
+    // guarded components are then EXACTLY the union of independent
+    // exact collapses per (deterministic) bucket — reconstructed here
+    // with the same pmod(xxhash64(vec), nb) expression.
+    val cents1 = Array(Array(1.0, 0.0, 0.0, 0.0))
+    val rows = (0 until 40).map(i => (i.toLong, cbvClique(i))) ++
+      (0 until 40).map(i => (1000L + i, cbvClique(i, sign = -1f))) ++
+      (0 until 9).map(i => (2000L + i, cbvScatter(i)))
+    val batch = rows.toDF("id", "vec").localCheckpoint()
+    val cap = 25
+    val nDistinct = batch.select($"vec").distinct().count()
+    val nb = math.ceil(nDistinct.toDouble / cap).toLong
+    assert(nb == 4)
+    val guarded = cbvKept(Events.collapseByVector(batch, "vec", cents1,
+      0.9, maxCellVectors = cap, pivotWidth = 0))
+    val oracle = (0L until nb).flatMap { bkt =>
+      cbvKept(Events.collapseByVector(
+        batch.filter(pmod(xxhash64($"vec"), lit(nb)) === bkt),
+        "vec", cents1, 0.9, maxCellVectors = Int.MaxValue))
+    }.toSet
+    assert(guarded == oracle)
+  }
+
+  test("collapseBySignature maxBucketSize: hot band bucket drops, " +
+    "small buckets exact") {
+    // 20 signatures share band0 = 0x1234 and zero bands 2-3 (three hot
+    // buckets of 20) while band1 carries the variation — under cap 5
+    // every shared bucket is dropped, so the cluster loses ALL edges
+    // and fully fragments (every row kept: the banded recall trade,
+    // refinement-sound). A 2-signature cluster in its own buckets
+    // stays exact.
+    val hot = (0 until 20).map(i => (i.toLong, 0x1234L | (i.toLong << 16)))
+    val pairBase = 0x9999L | (5L << 48)
+    val small = Seq((100L, pairBase), (101L, pairBase | (1L << 16)))
+    val signed = (hot ++ small).toDF("id", "s").localCheckpoint()
+    val exact = Events.collapseBySignature(signed, "s", 3)
+      .select($"id").as[Long].collect().toSet
+    assert(exact.count(_ < 20L) == 1, "hot cluster should collapse to 1")
+    assert(exact.count(_ >= 100L) == 1, "small cluster should collapse to 1")
+    val capped = Events.collapseBySignature(signed, "s", 3,
+        maxBucketSize = Some(5))
+      .select($"id").as[Long].collect().toSet
+    assert(exact.subsetOf(capped), "cap dropped a row the exact form keeps")
+    assert(capped.count(_ < 20L) == 20, "capped hot cluster should fragment")
+    assert(capped.count(_ >= 100L) == 1, "sub-cap bucket must stay exact")
+  }
+
+  test("collapseByBands maxBucketSize: hot band drops, small bands exact") {
+    val hot = (0 until 10).map(i => (i.toLong, Seq("a", s"x$i")))
+    val small = Seq((100L, Seq("b", "y0")), (101L, Seq("b", "y1")))
+    val signed = (hot ++ small).toDF("id", "bands").localCheckpoint()
+    val exact = Events.collapseByBands(signed, "bands")
+      .select($"id").as[Long].collect().toSet
+    assert(exact.count(_ < 10L) == 1 && exact.count(_ >= 100L) == 1)
+    val capped = Events.collapseByBands(signed, "bands",
+        maxBucketSize = Some(5))
+      .select($"id").as[Long].collect().toSet
+    assert(exact.subsetOf(capped))
+    assert(capped.count(_ < 10L) == 10, "capped hot band should fragment")
+    assert(capped.count(_ >= 100L) == 1, "sub-cap band must stay exact")
+  }
+
   test("pre-capped index: windowless probe, exact bottom-k, fold re-tightens") {
     // r14 (verdict #2): the per-bucket candidate cap is MATERIALIZED in
     // the index itself at create/append/compaction time instead of a
