@@ -1670,12 +1670,33 @@ object Dedup {
     * equi-join on the bucket code — the shuffle is on 65,536 bucket
     * values, never all-pairs. Same-bucket-only blocking is the standard
     * recall trade (a near-dup pair straddling a hyperplane is missed;
-    * exact duplicates always share every sign bit). */
+    * exact duplicates always share every sign bit).
+    *
+    * `maxBucketSize` caps the hot-bucket quadratic
+    * ([[minhashCandidates]]' rule, r17): a jittered boilerplate burst
+    * is h DISTINCT near-identical vectors sharing every plane sign —
+    * one bucket, h² candidate pairs, each paying a full-vector cosine
+    * verify downstream. Over-cap buckets are dropped from the
+    * self-join (the banded recall trade; exact duplicates are immune
+    * when the caller rep-collapses to distinct-vector space first, as
+    * [[cosineClusters]] does). None = the exact, oracle-checked
+    * default. */
   def cosineCandidates(emb: DataFrame, id: String, vec: String,
                        planes: Int = Similarity.Planes,
-                       dim: Int = Similarity.Dim): DataFrame = {
-    val coded = emb.select(col(id).as("doc"),
+                       dim: Int = Similarity.Dim,
+                       maxBucketSize: Option[Int] = None): DataFrame = {
+    val coded0 = emb.select(col(id).as("doc"),
       Similarity.bucketCode(col(vec), planes, dim).as("bucket"))
+    val coded = maxBucketSize match {
+      case None => coded0
+      case Some(cap) =>
+        import org.apache.spark.sql.expressions.Window
+        coded0
+          .withColumn("__bucket_n",
+            count(lit(1)).over(Window.partitionBy(col("bucket"))))
+          .filter(col("__bucket_n") <= cap)
+          .drop("__bucket_n")
+    }
     coded.alias("a").join(coded.alias("b"),
         col("a.bucket") === col("b.bucket") && col("a.doc") < col("b.doc"))
       .select(col("a.doc").as("id_a"), col("b.doc").as("id_b"))
@@ -1701,7 +1722,8 @@ object Dedup {
                      planes: Int = Similarity.Planes,
                      dim: Int = Similarity.Dim,
                      maxIter: Int = 20,
-                     driverEdgeLimit: Long = 1000000L): DataFrame = {
+                     driverEdgeLimit: Long = 1000000L,
+                     maxBucketSize: Option[Int] = None): DataFrame = {
     val keyed = emb.select(col(id).as("doc"), col(vec).as("__v"))
       .withColumn("__vh", xxhash64(col("__v")))
     // rows within a __vh group carry the same vector, so first() is
@@ -1711,7 +1733,7 @@ object Dedup {
       .localCheckpoint()
     val repEmb = reps.select(col("doc"), col("__v").as(vec))
     val cross = cosineOnPairs(repEmb,
-        cosineCandidates(repEmb, "doc", vec, planes, dim),
+        cosineCandidates(repEmb, "doc", vec, planes, dim, maxBucketSize),
         "doc", vec, threshold)
       .select(col("id_a"), col("id_b"))
     // duplicates attach to their representative: linear, no verify

@@ -1315,11 +1315,22 @@ object Similarity {
     * blocking contract: a true neighbor straddling a hyperplane is
     * missed; raise `planes` probes or pre-cluster for higher recall.
     * Output: (id_a, id_b, cos) — ≤ k rows per id_a, ordered by the
-    * (cos desc, id_b) total order within each node. */
+    * (cos desc, id_b) total order within each node.
+    *
+    * `maxBucketSize` passes through to [[Dedup.cosineCandidates]]'
+    * hot-bucket cap (r17): a jittered boilerplate burst shares one
+    * bucket and pays h² candidate cosines. NOTE the trade is harsher
+    * here than in dedup — a capped bucket's vectors lose ALL their
+    * in-bucket neighbors (no kNN rows at all), so cap only when the
+    * caller pre-collapses duplicate bursts (e.g. via
+    * [[graft.streaming.Events.collapseByVector]]). None = exact
+    * default. */
   def knnGraph(emb: DataFrame, id: String, vec: String, k: Int,
-               planes: Int = Planes, dim: Int = Dim): DataFrame = {
+               planes: Int = Planes, dim: Int = Dim,
+               maxBucketSize: Option[Int] = None): DataFrame = {
     require(k > 0, s"k must be positive: $k")
-    val cand = Dedup.cosineCandidates(emb, id, vec, planes, dim)
+    val cand = Dedup.cosineCandidates(emb, id, vec, planes, dim,
+      maxBucketSize)
     val both = cand.unionByName(
       cand.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
     val cos = Dedup.cosineOnPairs(emb, both, id, vec, threshold = -1.0)

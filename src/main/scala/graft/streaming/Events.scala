@@ -640,13 +640,26 @@ object Events {
           .filter(col("__bucket_n") <= cap)
           .drop("__bucket_n")
     }
+    // edges in xxhash64 space (the collapseByVector convention, r17):
+    // an edge row carrying both band ARRAYS pays the array width per
+    // candidate pair through the distinct + checkpoint; hashed rows
+    // are 16 bytes and the component loop takes its numeric fast
+    // path. The lexicographic-min rep array is re-derived after
+    // labeling by one min-agg — the aggregate collapseComponents'
+    // own rep election uses, so semantics are unchanged.
+    val (ha, hb) = (xxhash64(col("a.doc")), xxhash64(col("b.doc")))
     val edges = exploded.alias("a").join(exploded.alias("b"),
         col("a.band") === col("b.band") && col("a.doc") < col("b.doc"))
-      .select(col("a.doc").as("id_a"), col("b.doc").as("id_b"))
+      .select(least(ha, hb).as("id_a"), greatest(ha, hb).as("id_b"))
       .distinct().localCheckpoint()
-    val reps = graft.llm.Dedup.connectedComponents(arrs, "doc", edges,
+    val labels = graft.llm.Dedup.connectedComponents(
+        arrs.select(xxhash64(col("doc")).as("doc")), "doc", edges,
         maxIter, driverEdgeLimit)
-      .filter(col("keep")).select(col("doc").as("__graft_repbar"))
+    val reps = arrs.withColumn("__h", xxhash64(col("doc")))
+      .join(labels.select(col("doc").as("__h"), col("rep").as("__lbl")),
+        Seq("__h"))
+      .groupBy(col("__lbl")).agg(min(col("doc")).as("__graft_repbar"))
+      .select(col("__graft_repbar"))
     signed.join(reps, barr === col("__graft_repbar"), "left_semi")
       .unionByName(signed.filter(barr.isNull))
   }

@@ -1232,6 +1232,30 @@ class LlmSpec extends SparkSpec {
     assert(cl.filter(!$"keep").count() >= emb.count())
   }
 
+  test("cosineCandidates maxBucketSize: hot LSH bucket drops, small " +
+    "buckets exact") {
+    // 30 jittered near-parallel vectors share every hyperplane sign
+    // (one bucket — the boilerplate-burst shape); a 2-vector near-dup
+    // pair points the other way. Cap 10 drops the hot bucket from the
+    // candidate join (fragmenting its cluster: the banded recall
+    // trade, refinement-sound); the sub-cap pair stays exact.
+    val hot = (0 until 30).map(i =>
+      (i.toLong, Array(1000f + i * 0.001f, 0f, 0f, 0f)))
+    val pair = Seq((100L, Array(-500f, 3f, 0f, 0f)),
+      (101L, Array(-500f, 3.001f, 0f, 0f)))
+    val u = (hot ++ pair).toDF("vec_id", "embedding").localCheckpoint()
+    def keptOf(cap: Option[Int]): Set[Long] =
+      Dedup.cosineClusters(u, "vec_id", "embedding", 0.95,
+          planes = 16, dim = 4, maxBucketSize = cap)
+        .filter($"keep").select($"doc").as[Long].collect().toSet
+    val exact = keptOf(None)
+    assert(exact.count(_ < 100L) == 1 && exact.count(_ >= 100L) == 1)
+    val capped = keptOf(Some(10))
+    assert(exact.subsetOf(capped), "cap dropped a row the exact form keeps")
+    assert(capped.count(_ < 100L) == 30, "capped hot bucket should fragment")
+    assert(capped.count(_ >= 100L) == 1, "sub-cap bucket must stay exact")
+  }
+
   test("dupSpanFraction: shared spans counted, unique docs score 0") {
     val d = Seq(
       (0L, "alpha beta gamma delta epsilon"),
