@@ -51,3 +51,57 @@ object PlanDump {
     spark.stop()
   }
 }
+
+/** Plan-shape survey over EVERY declared query (guide §1.1: capture the
+  * plan shape — Exchange count, join strategy, pushed filters, codegen
+  * spans — before optimizing): one line per query, written to the file
+  * given as arg(0). Side-effectful rows (materializations, novelty
+  * ingests) run their construction jobs exactly as Verify/Bench do;
+  * the surveyed plan is the declared query's returned frame.
+  *
+  * Usage: runMain graft.PlanSurvey <outFile>
+  */
+object PlanSurvey {
+  def main(args: Array[String]): Unit = {
+    require(args.length == 1, "usage: PlanSurvey <outFile>")
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val wh = Files.createTempDirectory("graft-wh").toString
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.warehouse.dir", wh)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def count(txt: String, token: String): Int =
+      token.r.findAllMatchIn(txt).size
+    val lines = SparkEntry.queries.toSeq.sortBy(_._1).map { case (n, fn) =>
+      try {
+        val txt = fn(spark, sfDir).queryExecution
+          .explainString(ExplainMode.fromString("formatted"))
+        // Count NODES via the detail-section headers "(nn) Operator" —
+        // formatted mode prints every node twice (tree + details), so a
+        // bare substring count would double. "Exchange" alone = shuffle
+        // exchanges; BroadcastExchange counted separately (a broadcast
+        // is deliberately NOT a shuffle).
+        val sh = count(txt, "(?m)^\\(\\d+\\) Exchange\\b")
+        val bc = count(txt, "(?m)^\\(\\d+\\) BroadcastExchange")
+        val joins = Seq("SortMergeJoin", "BroadcastHashJoin",
+          "ShuffledHashJoin", "BroadcastNestedLoopJoin", "CartesianProduct")
+          .map(j => j -> count(txt, s"(?m)^\\(\\d+\\) $j"))
+          .filter(_._2 > 0)
+          .map { case (j, c) => s"$j=$c" }.mkString(",")
+        val pushed = count(txt, "PushedFilters: \\[[^\\]]")
+        f"$n%-34s exch=$sh%-3d bcast=$bc%-3d pushedFilterScans=$pushed%-3d joins=[$joins]"
+      } catch { case e: Throwable =>
+        f"$n%-34s FAILED: ${e.getMessage}"
+      }
+    }
+    Files.writeString(Paths.get(args(0)),
+      lines.mkString("", "\n", "\n"))
+    println(s"[plansurvey] wrote ${args(0)} (${lines.size} rows)")
+    spark.stop()
+  }
+}
