@@ -249,8 +249,18 @@ object Bench {
         }
       }.getOrElse("")
     } catch { case _: Throwable => "" })
+    // EFFECTIVE core count + master on both lines (r17 verdict #2):
+    // the driver's r17 reduced-core scaling arm behaved like a 32-core
+    // run — the $SPARK_GRAFT_CPUS env apparently never reached the
+    // forked JVM — and nothing in the artifact could prove which core
+    // count a run actually used. defaultParallelism is what the
+    // scheduler REALLY got (not an env echo), so a scaling run is now
+    // self-adjudicating.
+    val effCpus = spark.sparkContext.defaultParallelism
+    val master = spark.sparkContext.master
+    val envJson = s""""cpus":$effCpus,"master":"$master""""
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sentinel":$sentinelJson$adjudication,"failed":$failedJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec",$envJson,"queries":$qs,"sentinel":$sentinelJson$adjudication,"failed":$failedJson,"sf":"$sfDir"}"""
     // a filtered probe run must not clobber the full board's per-query
     // map either (the compact stdout line defers to this file)
     try Files.writeString(Paths.get(
@@ -287,7 +297,7 @@ object Bench {
     // of this line — must carry its own drift evidence. ~250 bytes,
     // well inside the tail window the per-query map overflowed.
     val compact =
-      s"""{"metric":"total","value":$total,"unit":"sec","nqueries":${results.size},"sentinel":$sentinelJson$adjudication,"failed":$failedJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","nqueries":${results.size},$envJson,"sentinel":$sentinelJson$adjudication,"failed":$failedJson,"sf":"$sfDir"}"""
     println(compact)
   }
 }

@@ -11,9 +11,16 @@ import java.nio.file.{Files, Paths}
   *
   * Usage: runMain graft.PlanDump <outDir> <suffix> name1,name2,...
   * Session config mirrors Bench (same master/shuffle partitions) so the
-  * dumped plan is the bench plan. Construction side effects (novelty
-  * ingest rows create+populate their index/sink tables) run for real;
-  * the dump is the explain of the query's returned frame.
+  * dumped plan is the bench plan — with one caveat (r17 ADVICE): the
+  * dump is the INITIAL static plan (`AdaptiveSparkPlan isFinalPlan=
+  * false`, unexecuted); AQE can change join strategy/partitioning at
+  * bench runtime, so before/after comparisons are consistent but
+  * absolute plan-shape claims should be cross-checked when they ride
+  * on an AQE decision. Construction side effects (novelty ingest rows
+  * create+populate their index/sink tables) run for real; the dump is
+  * the explain of the query's returned frame. Exits non-zero when any
+  * requested name is unknown or throws (r17 ADVICE — a partial dump
+  * must be detectable by the invoking script).
   */
 object PlanDump {
   def main(args: Array[String]): Unit = {
@@ -21,6 +28,7 @@ object PlanDump {
     val outDir = args(0)
     val suffix = args(1)
     val names = args(2).split(",").map(_.trim).filter(_.nonEmpty)
+    var failures = 0
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val wh = Files.createTempDirectory("graft-wh").toString
@@ -35,7 +43,9 @@ object PlanDump {
     Files.createDirectories(Paths.get(outDir))
     names.foreach { n =>
       SparkEntry.queries.get(n) match {
-        case None => System.err.println(s"[plandump] no such query: $n")
+        case None =>
+          System.err.println(s"[plandump] no such query: $n")
+          failures += 1
         case Some(fn) =>
           try {
             val df = fn(spark, sfDir)
@@ -45,10 +55,12 @@ object PlanDump {
             println(s"[plandump] wrote $outDir/${n}_$suffix.txt")
           } catch { case e: Throwable =>
             System.err.println(s"[plandump] $n failed: ${e.getMessage}")
+            failures += 1
           }
       }
     }
     spark.stop()
+    if (failures > 0) sys.exit(1)
   }
 }
 
@@ -64,6 +76,10 @@ object PlanDump {
 object PlanSurvey {
   def main(args: Array[String]): Unit = {
     require(args.length == 1, "usage: PlanSurvey <outFile>")
+    // fail on an unwritable output path BEFORE the (expensive) survey
+    // of all queries, not after (r17 ADVICE)
+    Option(Paths.get(args(0)).toAbsolutePath.getParent)
+      .foreach(Files.createDirectories(_))
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val wh = Files.createTempDirectory("graft-wh").toString

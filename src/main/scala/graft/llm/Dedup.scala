@@ -2032,13 +2032,16 @@ object Dedup {
     * peel exact on pivot-covered cells and the monotone sandwich
     * naive ⊇ peeled ⊇ salt-only on a pivot-unreachable one; and pins
     * the salt-only arm against the naive oracle per bucket). The
-    * decision is IN-PLAN (the per-cell group count is a window over
-    * the groups, single-lineage — one groups-sized exchange + sort,
-    * no second pass over the raw rows), so the common path pays one
-    * small stage and no extra scan, no driver round-trip, and no
-    * nondeterministic sampling. A hot cell funnels its groups through
-    * one window task, but the window computes only a count — the
-    * quadratic pair work downstream is what the salt bounds. */
+    * over-cap decision (r18, replacing the r17 in-plan window that
+    * taxed every clean corpus with a groups-sized exchange + sort)
+    * is one bounded aggregate over the checkpointed groups: the
+    * over-cap cell list is ≤ total_groups/maxCellGroups rows by
+    * construction — a model-sized, deterministic driver probe, never
+    * a data collect and never sampling. When it is empty (every
+    * legitimately-sized corpus) the salt columns are literals and the
+    * optimizer folds the entire over-cap branch out of the plan; when
+    * it is not, the exact counts broadcast-join back and the salted
+    * form is byte-identical to the r17 window form. */
   private[graft] def dedupAssigned(assigned: DataFrame, id: String,
                                    vec: String, threshold: Double,
                                    maxCellGroups: Int = MaxCellGroups,
@@ -2053,37 +2056,6 @@ object Dedup {
       .select(col(id), col("cell"), col(vec))
     val groups0 = rows.groupBy(col("cell"), col(vec))
       .agg(min(col(id)).as("__gmin"))
-    // adaptive salt split (scaladoc above): over-cap cells spread
-    // their groups across hash buckets; everyone else gets salt 0.
-    // The per-cell group count is a WINDOW over the groups — inside
-    // the same lineage, NOT a second reference to `groups0` (a
-    // groupBy-and-join-back form re-executed the scan + assignment +
-    // group-by per reference and cost dd_semantic 1.75× on the r16
-    // board; the window adds only one groups-sized exchange + sort
-    // per join side, and AQE's stage reuse of the x/y sides is
-    // undisturbed). NULL-cell groups may get salted by their window
-    // partition — harmless, they pair with nothing either way (===
-    // rejects null) and the row set of `groups` is exactly the
-    // unsplit form's.
-    // Int.MaxValue disables the split statically: salt is a literal 0
-    // and the window never enters the plan — byte-identical to the
-    // pre-split (r16) form; the skew probe uses this as its UNSPLIT
-    // baseline arm.
-    val wcell = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("cell"))
-    val groups =
-      if (maxCellGroups == Int.MaxValue)
-        groups0.withColumn("__salt", lit(0L))
-          .withColumn("__oc", lit(false))
-      else groups0
-        .withColumn("__gcnt", count(lit(1)).over(wcell))
-        .withColumn("__oc", col("__gcnt") > maxCellGroups)
-        .withColumn("__salt",
-          when(col("__oc"),
-            pmod(xxhash64(col(vec)),
-              ceil(col("__gcnt") / lit(maxCellGroups.toDouble))))
-            .otherwise(lit(0L)))
-        .drop("__gcnt")
     // qualifying rep pairs — cosine evaluated ONCE per unordered pair
     // (the naive form's triangular-join cost, in distinct-vector
     // space). `<=` admits each group's SELF pair: ids are unique, so
@@ -2123,17 +2095,68 @@ object Dedup {
     // the groups frame is MATERIALIZED once (localCheckpoint): it is
     // referenced by both sides of the small pair join, the pivot join,
     // the residual join, and the bounds vector re-attach — lazily,
-    // every reference re-executed the scan + assignment + group-by +
-    // window upstream (AQE stage reuse recovered only part of it:
-    // measured ~2× on dd_semantic with the peel branches in the
-    // plan). The checkpoint is groups-sized (one row per DISTINCT
-    // (cell, vector) — the corpus's distinct vectors, already the
-    // operator's working set), eager, and linear; the disabled arm
-    // (Int.MaxValue) keeps the pure-lazy two-reference form.
-    val gn0 = groups.withColumn("__n2",
+    // every reference re-executed the scan + assignment + group-by
+    // upstream (AQE stage reuse recovered only part of it: measured
+    // ~2× on dd_semantic with the peel branches in the plan). The
+    // checkpoint is groups-sized (one row per DISTINCT (cell, vector)
+    // — the corpus's distinct vectors, already the operator's working
+    // set), eager, and linear; the disabled arm (Int.MaxValue) keeps
+    // the pure-lazy two-reference form.
+    val gn0 = groups0.withColumn("__n2",
       graft.functions.DotProduct(col(vec), col(vec)))
-    val gn =
+    val gn1 =
       if (maxCellGroups == Int.MaxValue) gn0 else gn0.localCheckpoint()
+    // adaptive salt split (scaladoc above): over-cap cells spread
+    // their groups across hash buckets; everyone else gets salt 0.
+    // r18 (r17 verdict #1): the r17 form computed the per-cell group
+    // count as a window INSIDE the checkpointed lineage — one extra
+    // groups-sized exchange + sort on every call, and the over-cap
+    // branches (pivot window, residual join, resolved distinct) stayed
+    // in the plan even when every cell was under cap, costing
+    // dd_semantic_coarse/rp ~0.3-0.4 s of steady-state premium at
+    // sf0.1 (the round's only real regressions). Now the over-cap
+    // cells are decided by ONE bounded aggregate over the checkpoint:
+    // `oc` holds only cells whose group count exceeds the cap — at
+    // most total_groups/maxCellGroups rows by construction (8192×
+    // smaller than the corpus's distinct vectors), so the isEmpty
+    // probe is a model-sized driver decision (the family's bounded-
+    // collect convention, cf. noveltyKeyExistsJoin's prefix collect),
+    // NOT a data collect. Counts are exact, so keep/drop is
+    // byte-identical to the window form.
+    //  - no over-cap cell (every legitimately-sized corpus): salt is a
+    //    literal 0 and __oc literal false — the optimizer folds the
+    //    whole big-cell branch away and the plan is the r16 shape over
+    //    checkpoint blocks (plan-verified: dd_semantic shuffle
+    //    Exchange 13 → 4, plans/r18/dd_semantic_{before,after}.txt).
+    //  - over-cap cells exist: their exact counts broadcast-join back
+    //    onto the groups (build side ≤ groups/8192 rows — broadcast-
+    //    safe by construction), and the salt derives from the joined
+    //    count exactly as the window form did. NULL-cell groups never
+    //    match the join (=== rejects null) and get salt 0 — harmless,
+    //    they pair with nothing either way.
+    // Int.MaxValue disables the split statically: salt is a literal 0
+    // and neither the count aggregate nor the probe run — byte-
+    // identical to the pre-split (r16) form; the skew probe uses this
+    // as its UNSPLIT baseline arm.
+    val gn =
+      if (maxCellGroups == Int.MaxValue)
+        gn1.withColumn("__salt", lit(0L)).withColumn("__oc", lit(false))
+      else {
+        val oc = gn1.groupBy(col("cell"))
+          .agg(count(lit(1)).as("__gcnt"))
+          .filter(col("__gcnt") > maxCellGroups)
+          .localCheckpoint()
+        if (oc.isEmpty)
+          gn1.withColumn("__salt", lit(0L)).withColumn("__oc", lit(false))
+        else gn1.join(broadcast(oc), Seq("cell"), "left_outer")
+          .withColumn("__oc", col("__gcnt").isNotNull)
+          .withColumn("__salt",
+            when(col("__oc"),
+              pmod(xxhash64(col(vec)),
+                ceil(col("__gcnt") / lit(maxCellGroups.toDouble))))
+              .otherwise(lit(0L)))
+          .drop("__gcnt")
+      }
     def pairCos(): Column = graft.functions.Round6(
       try_divide(graft.functions.DotProduct(col(s"x.$vec"),
         col(s"y.$vec")), sqrt(col("x.__n2") * col("y.__n2"))))

@@ -922,9 +922,16 @@ object TextAnalysis {
     * chars produce no rows (the [[hashedFeatures]] empty-doc
     * convention).
     *
-    * Shape at scale: one map-only position explode (≈ text bytes) →
-    * groupBy(doc, dim) with map-side combine; feature space fixed at
-    * `dim` regardless of corpus size. Output: (doc, dim, cnt). */
+    * Shape at scale: the whole featurization is ONE fused map-only
+    * expression ([[graft.functions.CharGramBuckets]] — r18): each
+    * doc's bucket counts accumulate in a single allocation-free pass
+    * over its code units, then a dim-bounded posexplode emits the
+    * non-zero buckets. No per-position row is ever generated, no
+    * per-gram string allocated, and no corpus-positions-sized
+    * aggregate runs — the former spelling (position explode →
+    * substring+hash per gram → groupBy(doc, dim)) paid all three for
+    * value-identical rows. Feature space fixed at `dim` regardless of
+    * corpus size. Output: (doc, dim, cnt). */
   def charGramFeatures(df: org.apache.spark.sql.DataFrame, id: String,
                        text: String, n: Int = 3,
                        dim: Int = 1024): org.apache.spark.sql.DataFrame = {
@@ -932,11 +939,11 @@ object TextAnalysis {
     require(dim > 0, s"dim must be positive: $dim")
     df.select(col(id).as("doc"), lower(col(text)).as("__t"))
       .filter(length(col("__t")) >= n)
-      .select(col("doc"), col("__t"),
-        explode(sequence(lit(1), length(col("__t")) - (n - 1))).as("i"))
-      .select(col("doc"),
-        pmod(tokenHash(expr(s"substring(__t, i, $n)")), lit(dim)).as("dim"))
-      .groupBy("doc", "dim").agg(count(lit(1)).as("cnt"))
+      .select(col("doc"), posexplode(
+        graft.functions.CharGramBuckets(col("__t"), n, dim)))
+      .filter(col("col") > 0)
+      .select(col("doc"), col("pos").cast(LongType).as("dim"),
+        col("col").as("cnt"))
   }
 
   /** Multi-class linear serving: per-(doc, class) margin = Σ cnt·w,

@@ -758,8 +758,17 @@ final class Materializer(spark: SparkSession, val catalog: CatalogOps) {
             Map(Materializer.SnapshotBucketsKey -> buckets.toString))
           buckets
       }
-    val staged = if (bucketed)
-      staged0.withColumn(BucketCol, bucketOf(effBuckets)) else staged0
+    // staged is consumed up to four times below (isEmpty, the touched-
+    // partition collect, and twice inside applyChanges: closers +
+    // inserts) — lazily, each consumer re-ran the whole staging join
+    // (source scan, unique-key window guard, source⋈open join).
+    // Materialize it once: the frame is change-volume-sized (inserts +
+    // new versions + closes — exactly what this run writes), so the
+    // checkpoint is bounded by the batch, never by the history (r18,
+    // guide §5).
+    val staged = (if (bucketed)
+      staged0.withColumn(BucketCol, bucketOf(effBuckets))
+    else staged0).localCheckpoint()
     def aligned(df: DataFrame) =
       df.select(snap.columns.map(col).toIndexedSeq: _*)
     if (staged.isEmpty) { tail(); return } // nothing changed: no-op

@@ -80,21 +80,27 @@ object Snapshot {
 
     val joined = src.join(open, keys, "left_outer")
 
-    val inserts = joined.filter(col("__snap_scd_id").isNull)
-      .withColumn("dbt_change_type", lit("insert"))
-    val newVersions = joined
-      .filter(col("__snap_scd_id").isNotNull &&
-        col("dbt_updated_at") > col("__snap_updated_at"))
-      .withColumn("dbt_change_type", lit("insert"))
-    // close the superseded open row: carry ITS scd_id, set valid_to
-    val updates = joined
-      .filter(col("__snap_scd_id").isNotNull &&
-        col("dbt_updated_at") > col("__snap_updated_at"))
-      .withColumn("dbt_scd_id", col("__snap_scd_id"))
-      .withColumn("dbt_valid_to", col("dbt_updated_at"))
-      .withColumn("dbt_change_type", lit("update"))
-
-    val base = inserts.unionByName(newVersions).unionByName(updates)
+    // one pass over the join: each row explodes into its change rows
+    // (insert: 1×'insert'; changed: 'insert' for the new version +
+    // 'update' closing the old row — carrying ITS scd_id and valid_to
+    // = the new updated_at; unchanged: none). The former three-branch
+    // union re-executed the source⋈open join (and the unique-key
+    // window guard under it) once per branch for the same row multiset
+    // (r18, guide §1.2).
+    val isInsert = col("__snap_scd_id").isNull
+    val isChanged = col("__snap_scd_id").isNotNull &&
+      col("dbt_updated_at") > col("__snap_updated_at")
+    val base = joined
+      .withColumn("dbt_change_type", explode(
+        when(isInsert, array(lit("insert")))
+          .when(isChanged, array(lit("insert"), lit("update")))
+          .otherwise(array().cast("array<string>"))))
+      .withColumn("dbt_scd_id",
+        when(col("dbt_change_type") === "update", col("__snap_scd_id"))
+          .otherwise(col("dbt_scd_id")))
+      .withColumn("dbt_valid_to",
+        when(col("dbt_change_type") === "update", col("dbt_updated_at"))
+          .otherwise(col("dbt_valid_to")))
       .drop("__snap_updated_at", "__snap_scd_id")
 
     if (!invalidateHardDeletes) base
@@ -147,19 +153,21 @@ object Snapshot {
     val differs = checkCols.map(c => !(col(c) <=> col(s"__snap_$c")))
       .reduce(_ || _)
 
-    val inserts = joined.filter(col("__snap_scd_id").isNull)
-      .withColumn("dbt_change_type", lit("insert"))
-    val newVersions = joined
-      .filter(col("__snap_scd_id").isNotNull && differs)
-      .withColumn("dbt_change_type", lit("insert"))
-    val updates = joined
-      .filter(col("__snap_scd_id").isNotNull && differs)
-      .withColumn("dbt_scd_id", col("__snap_scd_id"))
-      .withColumn("dbt_valid_to", now.cast("timestamp"))
-      .withColumn("dbt_change_type", lit("update"))
-
+    // one pass over the join — the [[stage]] explode form (r18)
+    val isInsert = col("__snap_scd_id").isNull
+    val isChanged = col("__snap_scd_id").isNotNull && differs
     val dropCols = checkCols.map(c => s"__snap_$c") :+ "__snap_scd_id"
-    val base = inserts.unionByName(newVersions).unionByName(updates)
+    val base = joined
+      .withColumn("dbt_change_type", explode(
+        when(isInsert, array(lit("insert")))
+          .when(isChanged, array(lit("insert"), lit("update")))
+          .otherwise(array().cast("array<string>"))))
+      .withColumn("dbt_scd_id",
+        when(col("dbt_change_type") === "update", col("__snap_scd_id"))
+          .otherwise(col("dbt_scd_id")))
+      .withColumn("dbt_valid_to",
+        when(col("dbt_change_type") === "update", now.cast("timestamp"))
+          .otherwise(col("dbt_valid_to")))
       .drop(dropCols: _*)
 
     if (!invalidateHardDeletes) base

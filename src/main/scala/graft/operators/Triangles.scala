@@ -61,9 +61,14 @@ object Triangles {
       .join(dirE.select(col("u").as("__cu"), col("w").as("__cw")),
         col("__cu") === col("x").getField("id") && col("__cw") === col("y"),
         "left_semi")
-    val corners = tri.select(col("u").as("node"))
-      .unionByName(tri.select(col("x").getField("id").as("node")))
-      .unionByName(tri.select(col("y").getField("id").as("node")))
+    // one corner row per triangle role via a single explode: the
+    // three-way union form replicated the `tri` subtree per role in
+    // the plan, and the closing semi join sits above the last exchange
+    // boundary, so each replica re-enumerated EVERY wedge — the
+    // operator's dominant cost — three times (r18; static plan shrank
+    // 192 → 70 Exchange nodes). Same corner multiset, one wedge pass.
+    val corners = tri.select(explode(array(col("u"),
+      col("x").getField("id"), col("y").getField("id"))).as("node"))
     deg.select(col("v").as("node"))
       .join(corners.groupBy("node").agg(count(lit(1)).as("n_tri")),
         Seq("node"), "left")
