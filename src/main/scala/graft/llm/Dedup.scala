@@ -3009,33 +3009,42 @@ object Dedup {
                 expandCliques: Boolean = true): DataFrame = {
     require(threshold > 0 && threshold <= 1,
       s"threshold must be in (0,1]: $threshold")
-    val n = left.count() + right.count()
-    def toksOf(df: DataFrame) = df.select(col(id).as("doc"),
-      explode(TextAnalysis.tokens(lower(col(text)))).as("tok"))
-    def tfOf(toks: DataFrame) =
-      toks.groupBy("doc", "tok").agg(count(lit(1)).as("tf"))
-    val tfL = tfOf(toksOf(left))
-    val tfR = tfOf(toksOf(right))
-    val dfc = tfL.unionByName(tfR)
-      .groupBy("tok").agg(count(lit(1)).as("dfd"))
+    // ONE tagged pipeline for both sides (r18, guide §1.2/§2.6): the
+    // per-side spelling ran eight eager actions during construction
+    // (two counts, the dfc checkpoint, the vocab probe, two dense
+    // checkpoints, two guard probes), each re-executing the token
+    // explode + tf aggregation for its side — at sf0.1 that action
+    // fan-out WAS the row (construction 2.7 s vs a 0.8 s sweep,
+    // TfJoinProbe). The doc key becomes struct(side, id) — the shared
+    // weighted helpers treat `doc` opaquely, id values never collide
+    // across sides through the tag, and the union corpus is exactly
+    // what the shared-idf semantics already used (n, dfd, mx were all
+    // union aggregates). One count, one tf checkpoint, one dense
+    // checkpoint, one guard probe.
+    val both = left.select(struct(lit(0).as("s"), col(id).as("i"))
+        .as("doc"), col(text).as("__t"))
+      .unionByName(right.select(struct(lit(1).as("s"), col(id).as("i"))
+        .as("doc"), col(text).as("__t")))
+    val n = both.count()
+    val tf = both.select(col("doc"),
+        explode(TextAnalysis.tokens(lower(col("__t")))).as("tok"))
+      .groupBy("doc", "tok").agg(count(lit(1)).as("tf"))
       .localCheckpoint()
-    def weighted(tf: DataFrame) = tf.join(broadcast(dfc), Seq("tok"))
+    val dfc = tf.groupBy("tok").agg(count(lit(1)).as("dfd"))
+      .localCheckpoint()
+    val w = tf.join(broadcast(dfc), Seq("tok"))
       .select(col("doc"), col("tok"),
         (col("tf") * (lit(1L) +
           floorLog2(expr(s"CAST($n AS BIGINT) div dfd")))).as("w"))
-    val wL = weighted(tfL)
-    val wR = weighted(tfR)
     // wmx rides along for the dense arm's overflow guard; the prefix
     // arm drops it
-    def norm2(w: DataFrame) =
-      w.groupBy("doc").agg(sum(col("w") * col("w")).as("n2"),
-        max(col("w")).as("wmx"))
-    val n2L = norm2(wL)
-    val n2R = norm2(wR)
+    val n2 = w.groupBy("doc").agg(sum(col("w") * col("w")).as("n2"),
+      max(col("w")).as("wmx"))
+    val sideCol = col("doc").getField("s")
     probeVocab(dfc, denseVocabMax) match {
       case Some(vocab) if vocab.nonEmpty =>
         val bits = denseBits(left.sparkSession, vocab)
-        def denseOf(w: DataFrame, n2: DataFrame) = w
+        val dw = w
           .join(broadcast(bits), Seq("tok"))
           .groupBy("doc").agg(map_from_entries(collect_list(
             struct(col("bit"), col("w").cast(IntegerType)))).as("m"))
@@ -3044,47 +3053,54 @@ object Dedup {
             transform(sequence(lit(0), lit(vocab.length - 1)),
               i => coalesce(element_at(col("m"), i), lit(0))).as("wvec"))
           .localCheckpoint()
-        val dwL = denseOf(wL, n2L)
-        val dwR = denseOf(wR, n2R)
-        // per-side probe jobs double as the int-overflow guard — see
+        // ONE probe job decides both sides' dense guards (distinct-
+        // signature counts + the int-overflow guard — see
         // [[tfidfPairs]]: a long weight beyond 2³¹ would have wrapped
-        // in the IntegerType cast above, silently corrupting dots
-        def probe(dw: DataFrame): (Long, Long) = {
-          val pr = dw.agg(countDistinct(col("wvec")).as("d"),
-            max(col("wmx")).as("wmx")).first()
-          (pr.getLong(0), if (pr.isNullAt(1)) 0L else pr.getLong(1))
-        }
-        val (dL, wmxL) = probe(dwL)
-        val (dR, wmxR) = probe(dwR)
+        // in the IntegerType cast above, silently corrupting dots)
+        val pr = dw.groupBy(sideCol.as("s"))
+          .agg(countDistinct(col("wvec")).as("d"), max(col("wmx")).as("wmx"))
+          .collect().map(r => r.getInt(0) ->
+            ((r.getLong(1), if (r.isNullAt(2)) 0L else r.getLong(2)))).toMap
+        val (dL, wmxL) = pr.getOrElse(0, (0L, 0L))
+        val (dR, wmxR) = pr.getOrElse(1, (0L, 0L))
+        def sideOf(s: Int) = dw.filter(sideCol === s)
+          .select(col("doc").getField("i").as("doc"), col("n2"),
+            col("wvec"))
         if (dL <= denseSigMax && dR <= denseSigMax &&
             math.max(wmxL, wmxR) <= Int.MaxValue &&
             dR * vocab.length * 4L <= AllPairsDenseBroadcastCap)
-          return tfidfJoinDense(dwL.drop("wmx"), dwR.drop("wmx"),
+          return tfidfJoinDense(sideOf(0), sideOf(1),
             threshold, expandCliques)
       case _ => ()
     }
     // prefix arm: corpus-max normalized weights over BOTH sides keep
     // the suffix bound valid for cross-side partners
-    def normalized(w: DataFrame, n2: DataFrame) =
-      w.join(n2.drop("wmx"), Seq("doc"))
+    val wh = w.join(n2.drop("wmx"), Seq("doc"))
       .withColumn("wh", col("w").cast(DoubleType) /
         sqrt(col("n2").cast(DoubleType)))
-    val whL = normalized(wL, n2L)
-    val whR = normalized(wR, n2R)
-    val mx = whL.unionByName(whR)
-      .groupBy("tok").agg(max(col("wh")).as("mx"))
+    val mx = wh.groupBy("tok").agg(max(col("wh")).as("mx"))
       .localCheckpoint()
     val tSlack = threshold * (1 - 1e-9)
-    // per-side rank/collapse/prefix via the SHARED weighted helpers
-    // (one copy of the semantics with [[tfidfPairs]]): per-side
-    // identical-weighted-token collapse under expandCliques=false
-    // (weights already fixed by the UNION-corpus idf above, so values
-    // are unchanged); identical cross-side vectors meet as a regular
-    // cos-1 candidate, so no intra rows
-    def prefixOf(wh: DataFrame) =
-      weightedPrefixTab(weightedDocTab(weightedRanked(wh, mx), tSlack,
-        collapse = !expandCliques))
-    val cross = prefixOf(whL).alias("pa").join(prefixOf(whR).alias("pb"),
+    // rank/collapse/prefix via the SHARED weighted helpers (one copy
+    // of the semantics with [[tfidfPairs]]). expandCliques=true (the
+    // output-expanded default) builds ONE prefix table over the tagged
+    // union — the cross join's side split replaces the per-side
+    // tables. expandCliques=false needs the identical-vector collapse
+    // to stay PER SIDE (a left doc must never collapse into a right
+    // rep), so it keeps the two-table form, filtered from the shared
+    // upstream.
+    def prefixOf(whSide: DataFrame, collapse: Boolean) =
+      weightedPrefixTab(weightedDocTab(weightedRanked(whSide, mx),
+        tSlack, collapse = collapse))
+    val (pa, pb) =
+      if (expandCliques) {
+        val p = prefixOf(wh, collapse = false)
+        (p.filter(col("doc").getField("s") === 0),
+          p.filter(col("doc").getField("s") === 1))
+      } else
+        (prefixOf(wh.filter(sideCol === 0), collapse = true),
+          prefixOf(wh.filter(sideCol === 1), collapse = true))
+    val cross = pa.alias("pa").join(pb.alias("pb"),
         col("pa.hk") === col("pb.hk"))
       // Cauchy-Schwarz positional filter — see [[tfidfPairs]]
       .filter(element_at(col("pa.rbn"), col("pa.rnk")) *
@@ -3096,7 +3112,8 @@ object Dedup {
       .withColumn("cos", col("dot").cast(DoubleType) /
         sqrt(col("pa.n2").cast(DoubleType) * col("pb.n2").cast(DoubleType)))
       .filter(col("cos") >= threshold)
-      .select(col("pa.doc").as("id_a"), col("pb.doc").as("id_b"),
+      .select(col("pa.doc").getField("i").as("id_a"),
+        col("pb.doc").getField("i").as("id_b"),
         col("dot"), col("pa.n2").as("n2_a"), col("pb.n2").as("n2_b"),
         graft.functions.Round6(col("cos")).as("cos"),
         col("pa.n").as("n_a"), col("pb.n").as("n_b"))
@@ -3163,19 +3180,23 @@ object Dedup {
     * [[TextAnalysis.dupSpanFraction]] (within-doc only).
     *
     * Plan shape at scale:
-    *   1. Position table: one map-only explode — Σ(len−k+1) rows ≈
-    *      corpus bytes.
-    *   2. Duplicated grams: groupBy(gram) count — partial aggregation
+    *   1. Position table: one map-only fused pass per doc
+    *      ([[graft.functions.GramHashes]]) — Σ(len−k+1) rows of
+    *      (doc, p, 8-byte gram hash), never a per-position gram
+    *      string.
+    *   2. Duplicated hashes: groupBy(hash) count — partial aggregation
     *      collapses each partition's repeats map-side (the skew-safe
-    *      choice over a gram-partitioned window: a boilerplate gram
+    *      choice over a partitioned window: a boilerplate gram
     *      occurring 10⁸ times combines before the exchange) — then a
-    *      broadcast-unfriendly but key-compressed LEFT SEMI join back.
-    *      Grams cross the shuffle as k-byte keys; at k beyond ~64
-    *      substitute the 64-bit rolling hash ([[graft.functions
-    *      .RollingHash]]) as the group key and re-verify the gram on
-    *      the survivors — collision-checked, and the exchange carries
-    *      8 bytes instead of k.
-    *   3. Spans: per-doc ordered window (partitioned by doc — never
+    *      LEFT SEMI join back. The exchange carries 8-byte keys
+    *      instead of k-byte grams (r18, guide §2.3).
+    *   3. Exact verify: candidate positions re-attach their doc's text
+    *      (one doc-keyed join — the same partitioning step 4 needs),
+    *      cut the true gram, and re-count BY GRAM; only grams with a
+    *      true count > 1 survive, so hash collisions cannot create a
+    *      duplicated position and the result is byte-identical to
+    *      grouping on raw grams.
+    *   4. Spans: per-doc ordered window (partitioned by doc — never
     *      global): a position starts a new span when it clears the
     *      running max end by more than one char; islands then reduce
     *      by groupBy(doc, span).
@@ -3187,15 +3208,39 @@ object Dedup {
                      k: Int): DataFrame = {
     require(k > 0, s"k must be positive: $k")
     import org.apache.spark.sql.expressions.Window
+    // r18 (guide §2.3 — shuffle keys/metadata, not payloads): the
+    // former position table materialized a fresh k-char gram string
+    // per corpus position (twice — once per consumer) and keyed the
+    // duplicate-count aggregate on those 64-byte strings. Positions
+    // now carry an 8-byte xxHash64 proxy ([[graft.functions
+    // .GramHashes]] — one fused, allocation-free pass per doc), the
+    // count aggregate and semi join run in hash space, and only the
+    // CANDIDATE positions (those whose hash count exceeds 1 — the
+    // duplicated fraction plus the ~n²/2⁶⁴ collision rate) re-derive
+    // their true gram for the exact re-verification the scaladoc's
+    // exactness contract requires. A gram's positions all share its
+    // hash, so every position of a truly duplicated gram reaches the
+    // verify step and the verified duplicate-position set is EXACTLY
+    // the old one — the hash only narrows what the wide path touches.
     val pos = df.filter(length(col(text)) >= k)
       .select(col(id).as("doc"),
-        explode(sequence(lit(1), length(col(text)) - (k - 1))).as("p0"),
-        col(text).as("__t"))
-      .select(col("doc"), col("p0").cast(LongType).as("p"),
-        expr(s"substring(__t, p0, $k)").as("gram"))
-    val dupg = pos.groupBy("gram").agg(count(lit(1)).as("cnt"))
+        posexplode(graft.functions.GramHashes(col(text), k)))
+      .select(col("doc"), (col("pos") + 1).cast(LongType).as("p"),
+        col("col").as("h"))
+    val duph = pos.groupBy("h").agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") > 1)
-    val dup = pos.join(dupg.select("gram"), Seq("gram"), "left_semi")
+    val cand = pos.join(duph.select("h"), Seq("h"), "left_semi")
+    // exact verify: re-attach the text (one join keyed by doc — the
+    // partitioning the span window below needs anyway), cut the true
+    // gram for candidate positions only, and keep positions whose
+    // GRAM count exceeds 1
+    val candG = cand.join(df.select(col(id).as("doc"),
+        col(text).as("__t")), Seq("doc"))
+      .select(col("doc"), col("p"),
+        expr(s"substring(__t, cast(p as int), $k)").as("gram"))
+    val dupg = candG.groupBy("gram").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > 1)
+    val dup = candG.join(dupg.select("gram"), Seq("gram"), "left_semi")
     val w = Window.partitionBy(col("doc")).orderBy(col("p"))
     val spans = dup
       .withColumn("pm", max(col("p")).over(

@@ -10,14 +10,22 @@ import org.apache.spark.sql.types.StringType
   * catalog.sql:1-175, which this extends with the statistics a CBO or a
   * data-quality check actually consumes).
   *
-  * Exact NDV uses Spark's multi-distinct rewrite (one Expand over the
-  * scan — rows × #profiled-columns in the map pipeline, but partial
-  * aggregation collapses each task to its distinct values before the
-  * single exchange). `approx = true` swaps in HyperLogLog++
-  * `approx_count_distinct` and the plan stays one un-expanded
-  * aggregation pass — the 100 TB default, and exactly what
-  * ANALYZE TABLE ... COMPUTE STATISTICS collects. Driver state is one
-  * aggregate row (4·#cols + 1 values) — model-sized by construction.
+  * Exact NDV (the default) runs ONE aggregation PER COLUMN, all
+  * submitted concurrently (r18, guide §2.6): a single aggregate with
+  * N `countDistinct`s triggers Spark's multi-distinct rewrite — an
+  * Expand that multiplies every row N+1 ways through the aggregation
+  * pipeline and shuffles the expanded union (measured 3.7 s on the
+  * orders profile at sf0.1; 0.7 s split). Per column the planner takes
+  * the one-distinct path instead — no Expand, partial aggregation on
+  * the column's own values, and a column-pruned parquet scan, so the
+  * N scans together read the same bytes the single Expand scan did.
+  * The concurrent jobs back-fill each other's stage tails (actions
+  * are only serial when the driver calls them serially). `approx =
+  * true` swaps in HyperLogLog++ `approx_count_distinct` and stays one
+  * un-expanded single-pass aggregation — the 100 TB default, and
+  * exactly what ANALYZE TABLE ... COMPUTE STATISTICS collects. Driver
+  * state is one aggregate row per column (5 values) — model-sized by
+  * construction.
   *
   * Output: (col_name, n_rows, n_nonnull, ndv, min_val, max_val),
   * ordered by col_name; min/max are NULL for all-null columns.
@@ -30,21 +38,50 @@ object Profile {
     import spark.implicits._
     val cs = if (columns.nonEmpty) columns else df.columns.toSeq
     require(cs.nonEmpty, "profile needs at least one column")
-    val aggs: Seq[Column] = count(lit(1)).as("__total") +: cs.flatMap { c =>
-      val ndv: Column =
-        if (approx) approx_count_distinct(col(c)) else countDistinct(col(c))
-      Seq(count(col(c)).as(s"${c}__n"), ndv.as(s"${c}__ndv"),
-        min(col(c)).cast(StringType).as(s"${c}__min"),
-        max(col(c)).cast(StringType).as(s"${c}__max"))
-    }
-    val r = df.agg(aggs.head, aggs.drop(1): _*).head()
-    val total = r.getLong(0)
-    cs.zipWithIndex.map { case (c, i) =>
-      val b = 1 + i * 4
-      (c, total, r.getLong(b), r.getLong(b + 1),
-        if (r.isNullAt(b + 2)) null else r.getString(b + 2),
-        if (r.isNullAt(b + 3)) null else r.getString(b + 3))
-    }.toDF("col_name", "n_rows", "n_nonnull", "ndv", "min_val", "max_val")
+    val rows: Seq[(String, Long, Long, Long, String, String)] =
+      if (approx) {
+        val aggs: Seq[Column] =
+          count(lit(1)).as("__total") +: cs.flatMap { c =>
+            Seq(count(col(c)).as(s"${c}__n"),
+              approx_count_distinct(col(c)).as(s"${c}__ndv"),
+              min(col(c)).cast(StringType).as(s"${c}__min"),
+              max(col(c)).cast(StringType).as(s"${c}__max"))
+          }
+        val r = df.agg(aggs.head, aggs.drop(1): _*).head()
+        val total = r.getLong(0)
+        cs.zipWithIndex.map { case (c, i) =>
+          val b = 1 + i * 4
+          (c, total, r.getLong(b), r.getLong(b + 1),
+            if (r.isNullAt(b + 2)) null else r.getString(b + 2),
+            if (r.isNullAt(b + 3)) null else r.getString(b + 3))
+        }
+      } else {
+        import scala.concurrent.{Await, ExecutionContext, Future}
+        import scala.concurrent.duration.Duration
+        // a small pool is plenty: enough in flight to back-fill stage
+        // tails, not so many the jobs fight for executors (guide §2.6)
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          math.min(4, cs.size))
+        implicit val ec: ExecutionContext =
+          ExecutionContext.fromExecutorService(pool)
+        try {
+          val futs = cs.map { c =>
+            Future {
+              val r = df.agg(count(lit(1)).as("__total"),
+                count(col(c)).as("__n"),
+                countDistinct(col(c)).as("__ndv"),
+                min(col(c)).cast(StringType).as("__min"),
+                max(col(c)).cast(StringType).as("__max")).head()
+              (c, r.getLong(0), r.getLong(1), r.getLong(2),
+                if (r.isNullAt(3)) null else r.getString(3),
+                if (r.isNullAt(4)) null else r.getString(4))
+            }
+          }
+          futs.map(Await.result(_, Duration.Inf))
+        } finally pool.shutdown()
+      }
+    rows.toDF("col_name", "n_rows", "n_nonnull", "ndv", "min_val",
+        "max_val")
       .orderBy(col("col_name"))
   }
 }

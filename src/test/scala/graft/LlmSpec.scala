@@ -2100,6 +2100,28 @@ class LlmSpec extends SparkSpec {
       .count() == 0)
   }
 
+  test("GramHashes: per-position xxhash64(substring) parity, incl. non-BMP") {
+    // the r18 substringSpans proxy: element i of GramHashes(text, k)
+    // must equal xxhash64(substring(text, i+1, k)) — Spark's xxhash64
+    // hashes a string's UTF-8 bytes with seed 42, which is exactly
+    // what the fused pass computes over each k-CODE-POINT window.
+    // Multi-byte and non-BMP chars (zh is 3 UTF-8 bytes, the emoji 4
+    // bytes / a surrogate pair) pin the code-point window arithmetic.
+    val texts = Seq("abcdefg", "a中文b😀cd", "ab", "")
+    for (k <- Seq(1, 3); t <- texts) {
+      val df = Seq(Tuple1(t)).toDF("t")
+      val fused = df.select(
+          graft.functions.GramHashes($"t", k).as("hs"))
+        .as[Seq[Long]].head()
+      val n = t.codePointCount(0, t.length)
+      val expected = (1 to math.max(0, n - k + 1)).map { i =>
+        df.select(xxhash64(expr(s"substring(t, $i, $k)")))
+          .as[Long].head()
+      }
+      assert(fused == expected, s"k=$k text=$t")
+    }
+  }
+
   test("sourceOverlap: hand-computed pair matrix, zero-overlap pairs kept") {
     // 3-gram sets: g1 = {abc, bcd}, g2 = {abc, bcx}, g3 = {qrs};
     // within-group repeats collapse (two identical g1 docs)
