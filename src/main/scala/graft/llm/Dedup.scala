@@ -2634,11 +2634,13 @@ object Dedup {
   private def tfidfPairsDense(dw: DataFrame,
                               threshold: Double,
                               expandCliques: Boolean = true): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val docSig = dw.withColumn("sid",
-      min(col("doc")).over(Window.partitionBy(col("wvec"))))
-    val sigs = docSig.groupBy(col("sid"))
-      .agg(first(col("wvec")).as("wvec"), first(col("n2")).as("n2"),
+    // signature collapse by ONE aggregate on the vector itself (r18):
+    // the former per-doc window (min(doc) over partitionBy(wvec)) +
+    // groupBy(sid) paid an array-keyed exchange + sort + a second
+    // aggregation for the same (sid, wvec, n2, n) table; n2 is a pure
+    // function of wvec, so first() is exact
+    val sigs = dw.groupBy(col("wvec"))
+      .agg(min(col("doc")).as("sid"), first(col("n2")).as("n2"),
         count(lit(1)).as("n"))
     def cosCol = col("dotd") /
       sqrt(col("na2").cast(DoubleType) * col("nb2").cast(DoubleType))
@@ -2673,7 +2675,12 @@ object Dedup {
           col("n").as("n_a"), col("n").as("n_b"))
       return crossR.unionByName(intraR)
     }
-    val members = docSig.select(col("sid"), col("doc"))
+    // (sid, doc, n2) per member via one join against the signature
+    // table — the window's per-doc sid column, without the window
+    val members = dw.select(col("doc"), col("wvec"))
+      .join(sigs.select(col("wvec"), col("sid"), col("n2").as("__sn2")),
+        Seq("wvec"))
+      .select(col("sid"), col("doc"), col("__sn2").as("n2"))
     val cross = sigPairs
       .join(members.select(col("sid").as("sid_a"), col("doc").as("da")),
         Seq("sid_a"))
@@ -2691,7 +2698,7 @@ object Dedup {
     // identical-vector pairs: dot = n2 (emitted as the EXACT long —
     // dotd only feeds cos, see the non-expand branch), same filter,
     // same op sequence
-    val intra = docSig.alias("x").join(docSig.alias("y"),
+    val intra = members.alias("x").join(members.alias("y"),
         col("x.sid") === col("y.sid") && col("x.doc") < col("y.doc"))
       .select(col("x.doc").as("doc_a"), col("y.doc").as("doc_b"),
         col("x.n2").cast(DoubleType).as("dotd"),
@@ -3126,17 +3133,16 @@ object Dedup {
   private def tfidfJoinDense(dwL: DataFrame, dwR: DataFrame,
                              threshold: Double,
                              expandCliques: Boolean = true): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    def sigged(dw: DataFrame) = dw.withColumn("sid",
-      min(col("doc")).over(Window.partitionBy(col("wvec"))))
-    val dsL = sigged(dwL)
-    val dsR = sigged(dwR)
-    def sigs(ds: DataFrame) = ds.groupBy(col("sid"))
-      .agg(first(col("wvec")).as("wvec"), first(col("n2")).as("n2"),
+    // signature collapse by one aggregate on the vector (the
+    // [[tfidfPairsDense]] r18 form — no per-doc window)
+    def sigs(dw: DataFrame) = dw.groupBy(col("wvec"))
+      .agg(min(col("doc")).as("sid"), first(col("n2")).as("n2"),
         count(lit(1)).as("n"))
-    val sigPairs = sigs(dsL).select(col("sid").as("sid_a"),
+    val sigsL = sigs(dwL)
+    val sigsR = sigs(dwR)
+    val sigPairs = sigsL.select(col("sid").as("sid_a"),
         col("wvec").as("wa"), col("n2").as("na2"), col("n").as("n_a"))
-      .crossJoin(broadcast(sigs(dsR).select(col("sid").as("sid_b"),
+      .crossJoin(broadcast(sigsR.select(col("sid").as("sid_b"),
         col("wvec").as("wb"), col("n2").as("nb2"), col("n").as("n_b"))))
       .withColumn("dotd", graft.functions.DotProduct(col("wa"), col("wb")))
       .withColumn("cos", col("dotd") /
@@ -3149,10 +3155,16 @@ object Dedup {
         col("sid_b").as("id_b"), col("dotd").cast(LongType).as("dot"),
         col("na2").as("n2_a"), col("nb2").as("n2_b"),
         graft.functions.Round6(col("cos")).as("cos"), col("n_a"), col("n_b"))
+    def members(dw: DataFrame, s: DataFrame) = dw
+      .select(col("doc"), col("wvec"))
+      .join(s.select(col("wvec"), col("sid")), Seq("wvec"))
+      .select(col("sid"), col("doc"))
     sigPairs
-      .join(dsL.select(col("sid").as("sid_a"), col("doc").as("id_a")),
+      .join(members(dwL, sigsL)
+        .select(col("sid").as("sid_a"), col("doc").as("id_a")),
         Seq("sid_a"))
-      .join(dsR.select(col("sid").as("sid_b"), col("doc").as("id_b")),
+      .join(members(dwR, sigsR)
+        .select(col("sid").as("sid_b"), col("doc").as("id_b")),
         Seq("sid_b"))
       .select(col("id_a"), col("id_b"),
         col("dotd").cast(LongType).as("dot"),

@@ -78,16 +78,14 @@ object JaroWinklerJoin {
   }
 
   /** (char, occurrence) tokens of each distinct name: "c:k" for the
-    * k-th occurrence of c. In: (sid, nm). Out: (sid, nm, tok). */
+    * k-th occurrence of c ([[graft.functions.CharOccToks]] — one
+    * fused pass per name; the former per-character explode +
+    * row_number window paid an exchange + sort of the whole character
+    * table just to number occurrences, r18). In: (sid, nm).
+    * Out: (sid, nm, tok). */
   private def charToks(dn: DataFrame): DataFrame = dn
     .select(col("sid"), col("nm"),
-      explode(sequence(lit(1), length(col("nm")))).as("i"))
-    .select(col("sid"), col("nm"), col("i"),
-      expr("substring(nm, i, 1)").as("ch"))
-    .withColumn("occ", row_number().over(
-      Window.partitionBy(col("sid"), col("ch")).orderBy(col("i"))))
-    .select(col("sid"), col("nm"),
-      concat(col("ch"), lit(":"), col("occ")).as("tok"))
+      explode(graft.functions.CharOccToks(col("nm"))).as("tok"))
 
   /** Rank tokens rarest-first under the SHARED `freq` order, build the
     * ordered token array, and explode each name's bound-derived

@@ -616,6 +616,34 @@ object Events {
     * not the row: rows sharing a rep array pass together (row identity
     * is upstream's job — the ingest family's convention).
     * `maxBucketSize` is the hot-band-bucket cap (r17) — None = exact. */
+  /** Hash-space edge collision metric (r17 verdict #5): the collapse
+    * operators emit component edges as `xxhash64` of the node payload
+    * (16 B/row instead of the array/vector width), accepting the
+    * ~n²/2⁶⁴ birthday model — a collision silently merges two
+    * components. This makes the acceptance OBSERVABLE: returns
+    * |distinct nodes| − |distinct hashes| (0 = no collision this
+    * batch), one bounded aggregate over the already-checkpointed
+    * distinct-node frame. Callers warn loudly on a nonzero count —
+    * the merge direction only coarsens near-dup granularity (extra
+    * rows dropped, never kept wrongly back into the index), same
+    * error class the banded caps document. */
+  private[graft] def hashEdgeCollisions(nodes: DataFrame,
+                                        h: Column): Long = {
+    val r = nodes.agg(count(lit(1)).as("n"),
+      countDistinct(h).as("d")).first()
+    r.getLong(0) - r.getLong(1)
+  }
+
+  private def warnHashCollisions(op: String, nodes: DataFrame,
+                                 h: Column): Unit = {
+    val c = hashEdgeCollisions(nodes, h)
+    if (c > 0)
+      System.err.println(s"[graft] $op: $c distinct nodes share an " +
+        "xxhash64 value — their components were merged and near-dup " +
+        "granularity coarsened for those rows (the documented " +
+        "n²/2⁶⁴ hash-space edge model)")
+  }
+
   def collapseByBands(signed: DataFrame, bandsCol: String,
                       maxIter: Int = 20,
                       driverEdgeLimit: Long = 1000000L,
@@ -625,6 +653,7 @@ object Events {
     val barr = col(bandsCol)
     val arrs = signed.select(barr.as("doc")).filter(col("doc").isNotNull)
       .distinct().localCheckpoint()
+    warnHashCollisions("collapseByBands", arrs, xxhash64(col("doc")))
     val exploded0 = arrs.select(col("doc"), explode(col("doc")).as("band"))
     // maxBucketSize caps the hot-band quadratic (minhashCandidates'
     // rule, r17): a band shared by more than `maxBucketSize` DISTINCT
@@ -726,6 +755,7 @@ object Events {
     val v = col(vecCol)
     val vecs = batch.select(v.as("doc")).filter(col("doc").isNotNull)
       .distinct().localCheckpoint()
+    warnHashCollisions("collapseByVector", vecs, xxhash64(col("doc")))
     // self-norms staged once per distinct vector (the dedupAssigned
     // convention, r17) — the inline cosine recomputed both self-dots
     // per candidate pair; same doubles, same Round6, bit-identical

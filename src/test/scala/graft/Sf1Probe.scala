@@ -167,8 +167,14 @@ object Sf1Probe {
     // rows (dd_containment_join's 6.7x debuted unadjudicated in r16)
     // carry their output-bound evidence in the same artifact instead
     // of waiting for a hand-run ApCountProbe.
+    // r18 (r17 verdict #7): SPARK_GRAFT_SF1_COUNTS=a,b forces the
+    // output-count annotation for named rows regardless of ratio, so
+    // carried adjudications (dd_key_novelty_grow) get their counts in
+    // the artifact instead of only >5x debutants.
+    val forceCounts = sys.env.get("SPARK_GRAFT_SF1_COUNTS")
+      .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String])
     def annotate(q: String, a: Double, b: Double): Unit =
-      if (b / a > 5.0) {
+      if (b / a > 5.0 || forceCounts.contains(q)) {
         val oa = SparkEntry.queries(q)(spark, src).count()
         val ob = SparkEntry.queries(q)(spark, dst).count()
         println(f"[sf1]   ^ output rows sf0.1=$oa%d sf1=$ob%d " +

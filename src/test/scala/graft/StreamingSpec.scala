@@ -2002,6 +2002,18 @@ class StreamingSpec extends SparkSpec {
     assert(capped.count(_ >= 100L) == 1, "sub-cap band must stay exact")
   }
 
+  test("hashEdgeCollisions: zero on distinct nodes, counts forced merges") {
+    // r18 (r17 verdict #5): the hash-space edge model (~n²/2⁶⁴) is now
+    // observable — the metric is |nodes| − |distinct h(nodes)|. A real
+    // xxhash64 collision cannot be crafted, so the detector itself is
+    // pinned with a degenerate hash expression: a constant hash must
+    // report n−1 forced merges, a per-row-unique hash zero.
+    val nodes = Seq(Seq("a", "b"), Seq("c", "d"), Seq("e", "f"))
+      .toDF("doc")
+    assert(Events.hashEdgeCollisions(nodes, xxhash64($"doc")) == 0L)
+    assert(Events.hashEdgeCollisions(nodes, lit(7L)) == 2L)
+  }
+
   test("pre-capped index: windowless probe, exact bottom-k, fold re-tightens") {
     // r14 (verdict #2): the per-bucket candidate cap is MATERIALIZED in
     // the index itself at create/append/compaction time instead of a
