@@ -898,12 +898,13 @@ object Dedup {
   private def allPairsDense(docWords: DataFrame, nWords: Int,
                             tN: Long,
                             expandCliques: Boolean = true): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    // collapse to distinct signatures; sid = smallest member (unique)
-    val docSig = docWords.withColumn("sid",
-      min(col("doc")).over(Window.partitionBy(col("words"))))
-    val sigs = docSig.groupBy(col("sid"))
-      .agg(first(col("words")).as("words"), first(col("sz")).as("sz"),
+    // collapse to distinct signatures by ONE aggregate on the bitset
+    // itself (r18 — the former per-doc min-window + second aggregation
+    // paid an array-keyed exchange + sort for the same table); sid =
+    // smallest member (unique), sz a pure function of words so first()
+    // is exact
+    val sigs = docWords.groupBy(col("words"))
+      .agg(min(col("doc")).as("sid"), first(col("sz")).as("sz"),
         count(lit(1)).as("n"))
     // D² popcount sweep under a broadcast nested-loop join: distinct
     // signatures only, size-filtered before the popcounts
@@ -934,7 +935,12 @@ object Dedup {
       return crossR.unionByName(intraR)
     }
     // expand qualifying signature pairs back to doc pairs (output-bound)
-    val members = docSig.select(col("sid"), col("doc"))
+    // via one join against the signature table (the window's per-doc
+    // sid column, without the window)
+    val members = docWords.select(col("doc"), col("words"))
+      .join(sigs.select(col("words"), col("sid"), col("sz").as("__ssz")),
+        Seq("words"))
+      .select(col("sid"), col("doc"), col("__ssz").as("sz"))
     val cross = sigPairs
       .join(members.select(col("sid").as("sid_a"), col("doc").as("da")),
         Seq("sid_a"))
@@ -944,7 +950,7 @@ object Dedup {
         greatest(col("da"), col("db")).as("doc_b"),
         col("inter"), col("uni"))
     // identical-set pairs: J = 1 ≥ any valid threshold by definition
-    val intra = docSig.alias("x").join(docSig.alias("y"),
+    val intra = members.alias("x").join(members.alias("y"),
         col("x.sid") === col("y.sid") && col("x.doc") < col("y.doc"))
       .select(col("x.doc").as("doc_a"), col("y.doc").as("doc_b"),
         col("x.sz").as("inter"), col("x.sz").as("uni"))
@@ -1048,18 +1054,20 @@ object Dedup {
   private def allPairsJoinDense(dwL: DataFrame, dwR: DataFrame,
                                 nWords: Int, tN: Long,
                                 expandCliques: Boolean = true): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    def sigged(dw: DataFrame) =
-      dw.withColumn("sid",
-        min(col("doc")).over(Window.partitionBy(col("words"))))
-    val dsL = sigged(dwL)
-    val dsR = sigged(dwR)
-    def sigs(ds: DataFrame) = ds.groupBy(col("sid"))
-      .agg(first(col("words")).as("words"), first(col("sz")).as("sz"),
+    // signature collapse by one aggregate on the bitset (the
+    // [[allPairsDense]] r18 form — no per-doc window)
+    def sigs(dw: DataFrame) = dw.groupBy(col("words"))
+      .agg(min(col("doc")).as("sid"), first(col("sz")).as("sz"),
         count(lit(1)).as("n"))
-    val sigPairs = sigs(dsL).select(col("sid").as("sid_a"),
+    val sigsL = sigs(dwL)
+    val sigsR = sigs(dwR)
+    def members(dw: DataFrame, s: DataFrame) = dw
+      .select(col("doc"), col("words"))
+      .join(s.select(col("words"), col("sid")), Seq("words"))
+      .select(col("sid"), col("doc"))
+    val sigPairs = sigsL.select(col("sid").as("sid_a"),
         col("words").as("wa"), col("sz").as("sz_a"), col("n").as("n_a"))
-      .crossJoin(broadcast(sigs(dsR).select(col("sid").as("sid_b"),
+      .crossJoin(broadcast(sigsR.select(col("sid").as("sid_b"),
         col("words").as("wb"), col("sz").as("sz_b"), col("n").as("n_b"))))
       .filter(least(col("sz_a"), col("sz_b")) * 1000000L >=
         lit(tN) * greatest(col("sz_a"), col("sz_b")))
@@ -1075,9 +1083,11 @@ object Dedup {
           (col("inter").cast(DoubleType) / col("uni")).as("jaccard"),
           col("n_a"), col("n_b"))
     sigPairs
-      .join(dsL.select(col("sid").as("sid_a"), col("doc").as("id_a")),
+      .join(members(dwL, sigsL)
+        .select(col("sid").as("sid_a"), col("doc").as("id_a")),
         Seq("sid_a"))
-      .join(dsR.select(col("sid").as("sid_b"), col("doc").as("id_b")),
+      .join(members(dwR, sigsR)
+        .select(col("sid").as("sid_b"), col("doc").as("id_b")),
         Seq("sid_b"))
       .withColumn("jaccard", col("inter").cast(DoubleType) / col("uni"))
       .select("id_a", "id_b", "inter", "uni", "jaccard")
@@ -2825,11 +2835,10 @@ object Dedup {
   private def containmentDense(docWords: DataFrame, nWords: Int,
                                tN: Long,
                                expandCliques: Boolean): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val docSig = docWords.withColumn("sid",
-      min(col("doc")).over(Window.partitionBy(col("words"))))
-    val sigs = docSig.groupBy(col("sid"))
-      .agg(first(col("words")).as("words"), first(col("sz")).as("sz"),
+    // signature collapse by one aggregate on the bitset (the
+    // [[allPairsDense]] r18 form — no per-doc window)
+    val sigs = docWords.groupBy(col("words"))
+      .agg(min(col("doc")).as("sid"), first(col("sz")).as("sz"),
         count(lit(1)).as("n"))
     val sigPairs = sigs.select(col("sid").as("sid_a"),
         col("words").as("wa"), col("sz").as("sz_a"), col("n").as("n_a"))
@@ -2854,14 +2863,17 @@ object Dedup {
           col("n").as("n_a"), col("n").as("n_b"))
       return crossR.unionByName(intraR)
     }
-    val members = docSig.select(col("sid"), col("doc"))
+    val members = docWords.select(col("doc"), col("words"))
+      .join(sigs.select(col("words"), col("sid"), col("sz").as("__ssz")),
+        Seq("words"))
+      .select(col("sid"), col("doc"), col("__ssz").as("sz"))
     val cross = sigPairs
       .join(members.select(col("sid").as("sid_a"), col("doc").as("id_a")),
         Seq("sid_a"))
       .join(members.select(col("sid").as("sid_b"), col("doc").as("id_b")),
         Seq("sid_b"))
       .select(col("id_a"), col("id_b"), col("inter"), col("sz_a"))
-    val intra = docSig.alias("x").join(docSig.alias("y"),
+    val intra = members.alias("x").join(members.alias("y"),
         col("x.sid") === col("y.sid") && col("x.doc") =!= col("y.doc"))
       .select(col("x.doc").as("id_a"), col("y.doc").as("id_b"),
         col("x.sz").as("inter"), col("x.sz").as("sz_a"))
@@ -2956,17 +2968,20 @@ object Dedup {
                                     nWords: Int, tN: Long,
                                     expandCliques: Boolean = true)
       : DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    def sigged(dw: DataFrame) = dw.withColumn("sid",
-      min(col("doc")).over(Window.partitionBy(col("words"))))
-    val dsL = sigged(dwL)
-    val dsR = sigged(dwR)
-    def sigs(ds: DataFrame) = ds.groupBy(col("sid"))
-      .agg(first(col("words")).as("words"), first(col("sz")).as("sz"),
+    // signature collapse by one aggregate on the bitset (the
+    // [[allPairsDense]] r18 form — no per-doc window)
+    def sigs(dw: DataFrame) = dw.groupBy(col("words"))
+      .agg(min(col("doc")).as("sid"), first(col("sz")).as("sz"),
         count(lit(1)).as("n"))
-    val sigPairs = sigs(dsL).select(col("sid").as("sid_a"),
+    val sigsL = sigs(dwL)
+    val sigsR = sigs(dwR)
+    def members(dw: DataFrame, s: DataFrame) = dw
+      .select(col("doc"), col("words"))
+      .join(s.select(col("words"), col("sid")), Seq("words"))
+      .select(col("sid"), col("doc"))
+    val sigPairs = sigsL.select(col("sid").as("sid_a"),
         col("words").as("wa"), col("sz").as("sz_a"), col("n").as("n_a"))
-      .crossJoin(broadcast(sigs(dsR).select(col("sid").as("sid_b"),
+      .crossJoin(broadcast(sigsR.select(col("sid").as("sid_b"),
         col("words").as("wb"), col("sz").as("sz_b"), col("n").as("n_b"))))
       .filter(col("sz_b") * 1000000L >= lit(tN) * col("sz_a"))
       .withColumn("inter", denseInterCol(nWords))
@@ -2979,9 +2994,11 @@ object Dedup {
         (col("inter").cast(DoubleType) / col("sz_a")).as("containment"),
         col("n_a"), col("n_b"))
     sigPairs
-      .join(dsL.select(col("sid").as("sid_a"), col("doc").as("id_a")),
+      .join(members(dwL, sigsL)
+        .select(col("sid").as("sid_a"), col("doc").as("id_a")),
         Seq("sid_a"))
-      .join(dsR.select(col("sid").as("sid_b"), col("doc").as("id_b")),
+      .join(members(dwR, sigsR)
+        .select(col("sid").as("sid_b"), col("doc").as("id_b")),
         Seq("sid_b"))
       .select(col("id_a"), col("id_b"), col("inter"), col("sz_a"),
         (col("inter").cast(DoubleType) / col("sz_a")).as("containment"))
